@@ -1,13 +1,184 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.EsHash
+import graft.operators.ShardPartitioning
+import graft.sources.Ingest
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed in SURVEY.md §2 (plus the mission-extension
+  * operators) has a `queries` entry; SQL-expressible ones also have a
+  * DuckDB oracle in `oracleSql` with identical column names.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q3_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Reference-derived surface (SURVEY.md §2.1-2.3, §2.7) ──────────────
+
+    // P1+P4: JSON doc-id/field extraction with null-record filter.
+    "ef_ingest_ids" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("props").isNotNull)
+        .select(
+          col("event_id").cast("string").as("doc_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          col("event_type"))
+    }),
+
+    // P2: envelope construction (the reference's index|docId|json packing).
+    "ef_envelope" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id").cast("string").as("doc_id"),
+        concat_ws("|", lit("events"), col("event_id").cast("string"),
+          col("props")).as("envelope"))
+    }),
+
+    // S2: multi-path input union (implicit UNION ALL of sources).
+    "ef_union_paths" -> ((s, dir) => {
+      val a = t(s, dir, "events")
+      val b = t(s, dir, "events")
+      a.unionAll(b).groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
+    // A2: manifest dedup + group-collect analogue (distinct per group).
+    "ef_manifest_agg" -> ((s, dir) => {
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("writers"),
+             count(lit(1)).as("n"))
+    }),
+
+    // X1/X2: ES murmur3 shard assignment histogram (custom hash — no SQL
+    // oracle possible; correctness locked by EsMurmur3Spec fixtures).
+    "ef_shard_hist" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(EsHash.esShard(col("event_id").cast("string"), 8).as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n"))
+    }),
+
+    // X1: exact shard→partition placement — every row reports its physical
+    // partition; correct iff partition == shard for all rows.
+    "ef_partition_placement" -> ((s, dir) => {
+      val docs = Ingest.fromColumns(t(s, dir, "events"), "events", "event_id", 8)
+      val placed = ShardPartitioning.partitionDocs(docs, 8)
+      placed.toDF()
+        .withColumn("partition", spark_partition_id())
+        .groupBy("shard", "partition").agg(count(lit(1)).as("n"))
+    }),
+
+    // A4: anti-join reconciliation analogue (keys with no counterpart).
+    "q_antijoin_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ── Core analytics (agg / join / window / sort-limit / date) ─────────
+
+    "q1_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_revenue_by_nation" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+    }),
+
+    "q_topk_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    }),
+
+    "q_events_daily" -> ((s, dir) => {
+      // events.ts is parquet TIMESTAMP(NANOS), read as epoch-nanos long;
+      // integer `div` — double division would lose precision above 2^53
+      t(s, dir, "events")
+        .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).as("total_value"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "ef_ingest_ids" ->
+      """SELECT CAST(event_id AS VARCHAR) AS doc_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       event_type
+        |FROM events WHERE props IS NOT NULL""".stripMargin,
+    "ef_envelope" ->
+      """SELECT CAST(event_id AS VARCHAR) AS doc_id,
+        |       'events' || '|' || CAST(event_id AS VARCHAR) || '|' || props AS envelope
+        |FROM events""".stripMargin,
+    "ef_union_paths" ->
+      """SELECT event_type, count(*) AS n
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "ef_manifest_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS writers, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_antijoin_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_revenue_by_nation" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/oracle_check.py /tmp/verify_out /root/testdata/sf0.01
+
+For each <name>/ parquet dir under verify_out, runs oracle_sql.json[name]
+in DuckDB with the sf-dir tables registered as views, sorts columns by
+name, sorts rows, and compares cell-by-cell (floats to 1e-9 rel).
+Exit code 1 if any query mismatches.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(r))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    failures = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"[FAIL] {name}: no parquet output")
+            failures += 1
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_cols = sorted(got.columns)
+        got_rows = canon(con.sql(
+            f"SELECT {', '.join(got_cols)} FROM got").fetchall())
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got_rows)} rows "
+                  f"({'OK' if got_rows else 'EMPTY!'})")
+            if not got_rows:
+                failures += 1
+            continue
+        try:
+            exp = con.sql(oracles[name])
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        exp_cols = sorted(exp.columns)
+        exp_rows = canon(con.sql(
+            f"SELECT {', '.join(exp_cols)} FROM exp").fetchall())
+        if got_cols != exp_cols:
+            print(f"[FAIL] {name}: columns {got_cols} != oracle {exp_cols}")
+            failures += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"[FAIL] {name}: {len(got_rows)} rows != oracle {len(exp_rows)}")
+            failures += 1
+            continue
+        bad = None
+        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+            if not all(cells_equal(x, y) for x, y in zip(g, e)):
+                bad = (i, g, e)
+                break
+        if bad:
+            print(f"[FAIL] {name}: row {bad[0]} differs\n  got {bad[1]}\n  exp {bad[2]}")
+            failures += 1
+        else:
+            print(f"[OK]   {name}: {len(got_rows)} rows, cols {got_cols}")
+    orphans = set(oracles) - set(names)
+    for o in sorted(orphans):
+        print(f"[WARN] oracle {o} has no query output")
+    print(f"\n{len(names) - failures}/{len(names)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
