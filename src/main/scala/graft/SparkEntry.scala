@@ -77,6 +77,19 @@ object SparkEntry {
         .groupBy("shard", "partition").agg(count(lit(1)).as("n"))
     }),
 
+    // S5-S12: the full offline-snapshot build — envelope → clustered DSv2
+    // write → stitched layout; returns the committed manifest (one row per
+    // populated shard). Side-effects into a fresh temp dir per run.
+    "ef_snapshot_build" -> ((s, dir) => {
+      import graft.core.ShardConfig
+      import graft.sinks.EsSnapshot
+      val dest = java.nio.file.Files.createTempDirectory("graft-snap-q").toString
+      val docs = Ingest.fromColumns(t(s, dir, "events"), "events", "event_id", 8)
+      EsSnapshot.write(docs, dest, ShardConfig(8), Some("bench_snapshot"))
+      EsSnapshot.readManifest(s, dest)
+        .groupBy("index", "indexId").agg(count(lit(1)).as("populated_shards"))
+    }),
+
     // A4: anti-join reconciliation analogue (keys with no counterpart).
     "q_antijoin_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")

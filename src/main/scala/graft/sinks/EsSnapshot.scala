@@ -1,0 +1,43 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.core.{IndexableDoc, ShardConfig}
+import graft.sinks.essnapshot.EsSnapshotSink
+
+/** User-facing facade over the `es-snapshot` DSv2 sink. */
+object EsSnapshot {
+
+  /**
+   * Bulk-build an offline snapshot from an envelope stream.
+   * The engine inserts the one required shuffle (cluster by index+shard);
+   * commit stitches per-shard snapshots into a single restorable layout.
+   */
+  def write(docs: Dataset[IndexableDoc], dest: String,
+            shards: ShardConfig = ShardConfig(),
+            snapshotName: Option[String] = None,
+            mappings: Option[String] = None,
+            template: Option[String] = None): Unit = {
+    var w = docs.toDF().write.format("es-snapshot")
+      .option("path", dest)
+      .option(EsSnapshotSink.ShardsDefaultOption, shards.defaultShards)
+    shards.perIndex.foreach { case (ix, n) =>
+      w = w.option(EsSnapshotSink.ShardsPerIndexPrefix + ix, n)
+    }
+    snapshotName.foreach(n => w = w.option(EsSnapshotSink.SnapshotNameOption, n))
+    mappings.foreach(m => w = w.option(EsSnapshotSink.MappingsOption, m))
+    template.foreach(t => w = w.option(EsSnapshotSink.TemplateOption, t))
+    w.mode("append").save()
+  }
+
+  /** The committed manifest, one row per populated shard:
+    * `index|snapshotUUID|indexId` (reference: BaseESReducer.java:317-319). */
+  def readManifest(spark: SparkSession, dest: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(s"$dest/manifest.txt")
+      .select(split(col("value"), "\\|").as("f"))
+      .select(col("f").getItem(0).as("index"),
+        col("f").getItem(1).as("snapshotUuid"),
+        col("f").getItem(2).as("indexId"))
+  }
+}

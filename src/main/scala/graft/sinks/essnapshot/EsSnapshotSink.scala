@@ -1,0 +1,335 @@
+package graft.sinks.essnapshot
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+import java.util.UUID
+import java.util.zip.GZIPOutputStream
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.ShardConfig
+
+/**
+ * DataSource-V2 batch sink `es-snapshot` — the Spark-native re-expression of
+ * the reference's reducer+post-processor pipeline (SURVEY.md §2.1 S5-S12).
+ *
+ * Topology mapping:
+ *  - reducer per shard (BaseESReducer.java:208-320)  → per-partition
+ *    [[ShardDocWriter]] (handles any number of shards per partition; the
+ *    engine clusters rows by (index, shard) via
+ *    [[RequiresDistributionAndOrdering]], so one shard's rows are never
+ *    split across writers)
+ *  - manifest lines on HDFS (BaseESReducer.java:317-319) → typed
+ *    [[ShardCommitMessage]]s through the DSv2 commit protocol
+ *  - IndexingPostProcessor.execute (IndexingPostProcessor.java:144-246)
+ *    → driver-side [[EsSnapshotBatchWrite.commit]]: winner-file sweep,
+ *    missing-shard backfill (A4), base-UUID stitching, root metadata,
+ *    manifest, metrics summary
+ *  - speculative-execution hazard (IndexingJob.java:121) → solved
+ *    structurally: writers stage under unique file names; only files named
+ *    in committed messages are kept, everything else is swept.
+ *
+ * Scale design: one shuffle (the required clustering), no driver data
+ * movement (only O(#shards) commit messages), Hadoop FS streams straight to
+ * the destination (file://, hdfs://, s3a:// — one code path replacing the
+ * reference's three transports, SnapshotTransportStrategy.java:26-61).
+ */
+class EsSnapshotDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "es-snapshot"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EsSnapshotSink.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new EsSnapshotTable(properties)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object EsSnapshotSink {
+  /** The IndexableDoc envelope, as the sink's fixed input schema. */
+  val Schema: StructType = StructType(Seq(
+    StructField("index", StringType, nullable = false),
+    StructField("docId", StringType, nullable = false),
+    StructField("routing", StringType, nullable = false),
+    StructField("shard", IntegerType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+
+  val SnapshotNameOption = "snapshot.name"
+  val ShardsDefaultOption = "shards.default"
+  val ShardsPerIndexPrefix = "shards.index." // shards.index.<name> = n
+  val MappingsOption = "index.mappings"
+  val TemplateOption = "index.template"
+  val BatchBytesOption = "batch.bytes" // stream flush granularity
+
+  def shardConfig(options: Map[String, String]): ShardConfig = {
+    val default = options.getOrElse(ShardsDefaultOption, "5").toInt
+    val perIndex = options.collect {
+      case (k, v) if k.toLowerCase.startsWith(ShardsPerIndexPrefix) =>
+        k.substring(ShardsPerIndexPrefix.length) -> v.toInt
+    }
+    ShardConfig(default, perIndex)
+  }
+}
+
+class EsSnapshotTable(properties: util.Map[String, String])
+    extends Table with SupportsWrite {
+  override def name(): String =
+    s"es-snapshot(${properties.getOrDefault("path", "?")})"
+  override def schema(): StructType = EsSnapshotSink.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new EsSnapshotWriteBuilder(info)
+}
+
+class EsSnapshotWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  // Overwrite semantics are natural for a snapshot destination: the commit
+  // rewrites root metadata to point at the new snapshot generation.
+  override def truncate(): WriteBuilder = this
+
+  override def build(): Write = {
+    val expected = EsSnapshotSink.Schema.map(f => f.name -> f.dataType).toMap
+    val given = info.schema()
+    require(
+      expected.keySet.subsetOf(given.fieldNames.toSet) &&
+        expected.forall { case (n, dt) =>
+          given.find(_.name == n).exists(_.dataType == dt) },
+      s"es-snapshot sink expects the IndexableDoc envelope " +
+        s"${EsSnapshotSink.Schema.simpleString}, got ${given.simpleString}")
+    new EsSnapshotWrite(info)
+  }
+}
+
+class EsSnapshotWrite(info: LogicalWriteInfo)
+    extends Write with RequiresDistributionAndOrdering {
+  private val options = info.options.asScala.toMap
+  private val dest = options.getOrElse("path",
+    throw new IllegalArgumentException("es-snapshot sink requires .option(\"path\", dest)"))
+
+  /** Cluster rows by (index, shard): each shard is built by exactly one
+    * writer — the reference's reducer-per-shard invariant — while letting
+    * AQE pick partition counts / coalesce empties. */
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(
+      Expressions.identity("index"), Expressions.identity("shard")))
+  override def requiredNumPartitions(): Int = 0 // engine/AQE decides
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = new EsSnapshotBatchWrite(info.schema(), dest, options)
+}
+
+/** One (index, shard, dataFile) unit committed by a writer task. */
+case class ShardFileCommit(index: String, shard: Int, fileName: String,
+                           docCount: Long, bytes: Long, indexingMs: Long,
+                           flushMs: Long) extends Serializable
+
+case class ShardCommitMessage(files: Seq[ShardFileCommit])
+    extends WriterCommitMessage
+
+class EsSnapshotBatchWrite(schema: StructType, dest: String,
+                           options: Map[String, String]) extends BatchWrite {
+
+  private val snapshotUuid = UUID.randomUUID().toString
+  private val snapshotName =
+    options.getOrElse(EsSnapshotSink.SnapshotNameOption, s"snapshot_$snapshotUuid")
+  private val shardCfg = EsSnapshotSink.shardConfig(options)
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val batchBytes = options.getOrElse(EsSnapshotSink.BatchBytesOption,
+      (10 * 1024 * 1024).toString).toLong // reference default: 10 MB bulks
+    new ShardDocWriterFactory(schema, dest, conf, batchBytes)
+  }
+
+  /** The post-processor, as the DSv2 driver commit
+    * (reference: IndexingPostProcessor.java:144-246). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.toSeq
+      .collect { case m: ShardCommitMessage => m.files }.flatten
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(conf)
+
+    val byIndex = commits.groupBy(_.index)
+    val indexes = byIndex.keys.toSeq.sorted
+
+    def write(path: Path, body: Array[Byte]): Unit = {
+      val out = fs.create(path, true)
+      try out.write(body) finally out.close()
+    }
+    def writeStr(path: Path, body: String): Unit = write(path, body.getBytes(UTF_8))
+
+    val manifest = new mutable.ArrayBuffer[String]
+    var totalDocs = 0L
+
+    for (index <- indexes) {
+      val numShards = shardCfg.shardsFor(index)
+      val perShard = byIndex(index).groupBy(_.shard)
+      val winners = byIndex(index).map(_.fileName).toSet
+      val id = SnapshotLayout.indexId(index)
+
+      for (shard <- 0 until numShards) {
+        val dir = new Path(SnapshotLayout.shardDir(dest, index, shard))
+        val files = perShard.getOrElse(shard, Seq.empty)
+        fs.mkdirs(dir)
+        // Sweep stray files from failed/zombie attempts: only files named in
+        // committed messages survive (replaces speculative-off reliance,
+        // IndexingJob.java:121, and empty-dir cleanup, BaseTransport.java:261-280).
+        val existing = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("__docs-"))
+        existing.filterNot(winners.contains)
+          .foreach(f => fs.delete(new Path(dir, f), false))
+
+        val docs = files.map(_.docCount).sum
+        val bytes = files.map(_.bytes).sum
+        totalDocs += docs
+        // Per-shard snapshot metadata under the ONE canonical snapshot uuid —
+        // the reference achieves this by renaming every reducer's
+        // snap-<reducerUUID>.dat to the base snapshot's uuid
+        // (IndexingPostProcessor.java:195-216); here shards are born stitched.
+        writeStr(new Path(dir, SnapshotLayout.snapDat(snapshotUuid)),
+          SnapshotLayout.shardSnapJson(snapshotName, index, shard, docs, bytes,
+            files.map(_.fileName).sorted))
+        if (files.nonEmpty)
+          manifest += SnapshotLayout.manifestLine(index, snapshotUuid, id)
+        // A4: shards with no rows still get a dir + snap file (empty-shard
+        // backfill, BaseTransport.java:144-167).
+      }
+
+      writeStr(new Path(SnapshotLayout.indicesDir(dest, index),
+          SnapshotLayout.metaDat(snapshotUuid)),
+        SnapshotLayout.jsonObj(
+          "index" -> SnapshotLayout.jsonStr(index),
+          "id" -> SnapshotLayout.jsonStr(id),
+          "shards" -> numShards.toString,
+          "mappings" -> SnapshotLayout.jsonStr(
+            options.getOrElse(EsSnapshotSink.MappingsOption, "{}")),
+          "template" -> SnapshotLayout.jsonStr(
+            options.getOrElse(EsSnapshotSink.TemplateOption, "{}"))))
+    }
+
+    // Root metadata (IndexingPostProcessor.java:144-193).
+    writeStr(new Path(destPath, SnapshotLayout.snapDat(snapshotUuid)),
+      SnapshotLayout.rootSnapJson(snapshotName, snapshotUuid, indexes, totalDocs))
+    writeStr(new Path(destPath, SnapshotLayout.metaDat(snapshotUuid)),
+      SnapshotLayout.jsonObj("cluster" -> SnapshotLayout.jsonStr("graft"),
+        "snapshot" -> SnapshotLayout.jsonStr(snapshotName)))
+    writeStr(new Path(destPath, SnapshotLayout.generationFile(0)),
+      SnapshotLayout.generationJson(snapshotName, snapshotUuid, indexes))
+    write(new Path(destPath, SnapshotLayout.IndexLatest),
+      SnapshotLayout.indexLatestBytes(0))
+    writeStr(new Path(destPath, SnapshotLayout.ManifestFile),
+      manifest.sorted.mkString("", "\n", "\n"))
+
+    // JOB_COUNTER-equivalent metrics (BaseESReducer.java:60-62).
+    writeStr(new Path(destPath, SnapshotLayout.SummaryFile),
+      SnapshotLayout.jsonObj(
+        "snapshot_uuid" -> SnapshotLayout.jsonStr(snapshotUuid),
+        "index_doc_created" -> totalDocs.toString,
+        "bytes_written" -> commits.map(_.bytes).sum.toString,
+        "time_spent_indexing_ms" -> commits.map(_.indexingMs).sum.toString,
+        "time_spent_flushing_ms" -> commits.map(_.flushMs).sum.toString,
+        "writer_files" -> commits.length.toString))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case m: ShardCommitMessage => m.files }.flatten
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(dest).getFileSystem(conf)
+    commits.foreach { c =>
+      val p = new Path(SnapshotLayout.shardDir(dest, c.index, c.shard), c.fileName)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+class ShardDocWriterFactory(schema: StructType, dest: String,
+                            conf: SerializableConfiguration, batchBytes: Long)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShardDocWriter(schema, dest, conf.value, partitionId, taskId, batchBytes)
+}
+
+/**
+ * Per-partition writer: streams each (index, shard) group's documents as
+ * gzipped NDJSON directly to the destination FS under an attempt-unique
+ * name (idempotency: the file only becomes part of the snapshot if this
+ * task's commit message wins).
+ *
+ * Mirrors the reducer's batching intent (BaseESReducer.java:255-266): the
+ * buffered+gzip stream flushes by size; counters time the indexing (append)
+ * and flushing (close) phases separately.
+ */
+class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
+                     partitionId: Int, taskId: Long, batchBytes: Long)
+    extends DataWriter[InternalRow] {
+
+  private val writerUuid = s"p$partitionId-t$taskId-${UUID.randomUUID()}"
+  private val iIndex = schema.fieldIndex("index")
+  private val iShard = schema.fieldIndex("shard")
+  private val iJson = schema.fieldIndex("json")
+
+  private final class ShardStream(val index: String, val shard: Int) {
+    val fileName: String = SnapshotLayout.dataFile(writerUuid)
+    val path = new Path(SnapshotLayout.shardDir(dest, index, shard), fileName)
+    private val fs = path.getFileSystem(conf)
+    val out: OutputStream = new GZIPOutputStream(
+      new BufferedOutputStream(fs.create(path, true), 64 * 1024))
+    var docCount = 0L
+    var bytes = 0L
+    var indexingNanos = 0L
+    var flushNanos = 0L
+
+    def append(json: Array[Byte]): Unit = {
+      val t0 = System.nanoTime()
+      out.write(json)
+      out.write('\n')
+      docCount += 1
+      bytes += json.length + 1
+      indexingNanos += System.nanoTime() - t0
+    }
+    def finish(): ShardFileCommit = {
+      val t0 = System.nanoTime()
+      out.close()
+      flushNanos += System.nanoTime() - t0
+      ShardFileCommit(index, shard, fileName, docCount, bytes,
+        indexingNanos / 1000000, flushNanos / 1000000)
+    }
+    def abort(): Unit = {
+      try out.close() catch { case _: Exception => () }
+      try { if (fs.exists(path)) fs.delete(path, false) }
+      catch { case _: Exception => () }
+    }
+  }
+
+  private val streams = mutable.LinkedHashMap.empty[(String, Int), ShardStream]
+
+  override def write(record: InternalRow): Unit = {
+    val index = record.getUTF8String(iIndex).toString
+    val shard = record.getInt(iShard)
+    val stream = streams.getOrElseUpdate((index, shard), new ShardStream(index, shard))
+    stream.append(record.getUTF8String(iJson).getBytes)
+  }
+
+  override def commit(): WriterCommitMessage =
+    ShardCommitMessage(streams.values.map(_.finish()).toSeq)
+
+  override def abort(): Unit = streams.values.foreach(_.abort())
+
+  override def close(): Unit = ()
+}

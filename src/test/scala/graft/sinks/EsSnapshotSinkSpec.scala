@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{EsMurmur3, ShardConfig}
+import graft.sinks.essnapshot.SnapshotLayout
+import graft.sources.Ingest
+
+class EsSnapshotSinkSpec extends SparkSpec {
+
+  private def readGzLines(p: JPath): Seq[String] = {
+    val in = new BufferedReader(new InputStreamReader(
+      new GZIPInputStream(Files.newInputStream(p)), "UTF-8"))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+    finally in.close()
+  }
+
+  test("end-to-end: envelope → clustered write → stitched snapshot layout") {
+    val dest = Files.createTempDirectory("graft-snap").toString
+    val numShards = 8
+    val src = spark.range(300).toDF("event_id")
+      .withColumn("payload", concat(lit("row-"), col("event_id")))
+    val docs = Ingest.fromColumns(src, "events", "event_id", numShards)
+    EsSnapshot.write(docs, dest, ShardConfig(numShards), Some("snap_test"),
+      mappings = Some("""{"properties":{"payload":{"type":"keyword"}}}"""))
+
+    // root metadata
+    val root = Paths.get(dest)
+    assert(Files.exists(root.resolve(SnapshotLayout.IndexLatest)))
+    assert(SnapshotLayout.parseIndexLatest(
+      Files.readAllBytes(root.resolve(SnapshotLayout.IndexLatest))) === 0L)
+    assert(Files.exists(root.resolve("index-0")))
+    val gen = Files.readString(root.resolve("index-0"))
+    assert(gen.contains("\"snap_test\"") && gen.contains(SnapshotLayout.indexId("events")))
+    assert(Files.list(root).iterator().asScala.map(_.getFileName.toString)
+      .exists(_.matches("snap-[0-9a-f-]+\\.dat")))
+
+    // every shard dir exists with a snap-*.dat, even if empty (A4 backfill)
+    val indexDir = root.resolve("indices").resolve(SnapshotLayout.indexId("events"))
+    (0 until numShards).foreach { s =>
+      val dir = indexDir.resolve(s.toString)
+      assert(Files.isDirectory(dir), s"missing shard dir $s")
+      assert(Files.list(dir).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("snap-")), s"no snap dat in shard $s")
+    }
+
+    // data fidelity: every doc landed in its ES-murmur3 shard; nothing lost
+    var total = 0
+    (0 until numShards).foreach { s =>
+      val dir = indexDir.resolve(s.toString)
+      val dataFiles = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__docs-")).toList
+      val lines = dataFiles.flatMap(readGzLines)
+      total += lines.size
+      lines.foreach { line =>
+        val id = line.replaceAll(""".*"event_id":(\d+).*""", "$1")
+        assert(EsMurmur3.shard(id, numShards) === s,
+          s"doc $id misplaced in shard $s")
+      }
+    }
+    assert(total === 300)
+
+    // manifest: one line per POPULATED shard, all with the same snapshot uuid
+    val manifest = EsSnapshot.readManifest(spark, dest).collect()
+    assert(manifest.length > 0 && manifest.length <= numShards)
+    assert(manifest.map(_.getString(1)).toSet.size === 1, "stitching broke: multiple uuids")
+    assert(manifest.map(_.getString(0)).toSet === Set("events"))
+    assert(manifest.map(_.getString(2)).toSet === Set(SnapshotLayout.indexId("events")))
+
+    // summary metrics
+    val summary = Files.readString(root.resolve(SnapshotLayout.SummaryFile))
+    assert(summary.contains("\"index_doc_created\":300"))
+  }
+
+  test("many shards on tiny data: empty shards backfilled, none populated twice") {
+    val dest = Files.createTempDirectory("graft-snap64").toString
+    val n = 64
+    val src = spark.range(20).toDF("event_id")
+    val docs = Ingest.fromColumns(src, "tiny", "event_id", n)
+    EsSnapshot.write(docs, dest, ShardConfig(n))
+    val indexDir = Paths.get(dest, "indices", SnapshotLayout.indexId("tiny"))
+    val populated = (0 until n).count { s =>
+      Files.list(indexDir.resolve(s.toString)).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("__docs-"))
+    }
+    assert(populated <= 20)
+    assert((0 until n).forall(s => Files.isDirectory(indexDir.resolve(s.toString))))
+    // doc_count 0 recorded for at least one empty shard
+    val emptyShard = (0 until n).find { s =>
+      !Files.list(indexDir.resolve(s.toString)).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("__docs-"))
+    }.get
+    val snapDat = Files.list(indexDir.resolve(emptyShard.toString)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("snap-")).get
+    assert(Files.readString(snapDat).contains("\"doc_count\":0"))
+  }
+
+  test("multi-index write with per-index shard override") {
+    val dest = Files.createTempDirectory("graft-snap-multi").toString
+    val a = Ingest.fromColumns(spark.range(50).toDF("event_id"), "alpha", "event_id", 4)
+    val b = Ingest.fromColumns(spark.range(50).toDF("event_id"), "beta", "event_id", 2)
+    EsSnapshot.write(a.union(b), dest,
+      ShardConfig(defaultShards = 4, perIndex = Map("beta" -> 2)))
+    assert(Files.isDirectory(Paths.get(dest, "indices", SnapshotLayout.indexId("alpha"), "3")))
+    assert(Files.isDirectory(Paths.get(dest, "indices", SnapshotLayout.indexId("beta"), "1")))
+    assert(!Files.exists(Paths.get(dest, "indices", SnapshotLayout.indexId("beta"), "2")))
+    val manifest = EsSnapshot.readManifest(spark, dest).collect()
+    assert(manifest.map(_.getString(0)).toSet === Set("alpha", "beta"))
+  }
+}
