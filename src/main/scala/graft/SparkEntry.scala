@@ -142,6 +142,116 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              sum(col("value").cast("decimal(18,2)")).as("total_value"))
     }),
+    // ── Mission extensions: dedup / similarity / text analysis ───────────
+
+    // Exact dedup: canonical doc per distinct text (hash-groupBy).
+    "dedup_exact" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("dup_count"), length(col("text")).as("text_len"))
+    }),
+
+    // MinHash+LSH near-dup: documents ∪ deterministic planted near-copies
+    // (doc_id+1000000, one appended token) — the pairs found must be
+    // exactly the plants. Custom sketch → no SQL oracle; the invariant
+    // is checked by the pair count and id offset.
+    "dedup_minhash" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" appended near duplicate token")).as("text"))
+      val pairs = Dedup.minhashPairs(docs.unionAll(plants), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
+      pairs.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 2).as("est_j"))
+    }),
+
+    // SimHash near-dup over the same planted corpus.
+    "dedup_simhash" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(docs.unionAll(plants), "doc_id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+    }),
+
+    // Exact n-gram Jaccard verification of LSH candidates.
+    "dedup_ngram_verify" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = docs.unionAll(plants)
+      val cand = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.verifyJaccard(cand, all, "doc_id", "text")
+        .filter(col("jaccard") >= 0.99)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
+    // Embedding-cosine near-dup (exact, on a deterministic subset ∪ planted
+    // exact copies). SQL-expressible via DuckDB list_cosine_similarity.
+    "dedup_embedding" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val v = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val plants = t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+      Similarity.cosinePairs(v.unionAll(plants), 0.999, lit(0))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "ann_topk" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, queries, 5)
+    }),
+
+    // LSH-bucketed ANN (scale path) — recall vs the exact baseline is the
+    // check; approximate → no SQL oracle.
+    "ann_lsh" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      // self-recovery guarantee: each query's own vector shares its bucket
+      Similarity.lshTopK(corpus, queries, 5, numPlanes = 10)
+        .filter(col("rank") === 1)
+    }),
+
+    // Token counting (whitespace + BPE-ish subword estimate).
+    "text_tokens" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+    }),
+
+    // Quality scoring: ratios rounded to 4dp, engine-comparable.
+    "text_quality" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+        .select("doc_id", "q_chars", "q_tokens", "alpha_ratio", "mean_word_len")
+    }),
+
+    // Language ID distribution (heuristic — no SQL oracle).
+    "text_langid" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+    }),
+
+    // Document fingerprinting (rolling-hash canonicalization — no oracle).
+    "text_fingerprint" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("distinct_fp"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -193,5 +303,51 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
         |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
+        |       length(text) AS text_len
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |            CAST(b.embedding AS DOUBLE[])), 6) >= 0.999""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS nn_id,
+        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |               CAST(q.qvec AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c CROSS JOIN q)
+        |SELECT query_id, rank, nn_id, cosine FROM (
+        |  SELECT query_id, nn_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, nn_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS q_chars,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS q_tokens,
+        |       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |             / greatest(length(text), 1), 4) AS alpha_ratio,
+        |       round((length(text) - (CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END - 1))
+        |             / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 4)
+        |         AS mean_word_len
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,82 @@
+package org.apache.spark.sql.graft
+// Same private[sql]-bridging package as EsHash.scala (see note there).
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/**
+ * Random-hyperplane LSH signature for cosine similarity (SimHash for
+ * vectors; Charikar 2002, public literature). Bit i of the signature is
+ * the sign of `vec · plane_i`, planes drawn deterministically from `seed`
+ * via a splitmix64 stream — every executor regenerates identical planes,
+ * nothing is shipped.
+ *
+ * Vectors within a small angle share signatures with high probability, so
+ * equal (or near-equal) signatures form ANN candidate buckets.
+ */
+object VectorSketchRuntime extends Serializable {
+
+  private final def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic N(0,1)-ish plane component via two splitmix uniforms
+    * (Box-Muller is overkill for LSH; a symmetric uniform works, but use
+    * the sum-of-uniforms approximation for better roundness). */
+  @inline private def planeComponent(seed: Long, plane: Int, i: Int): Double = {
+    val u1 = splitmix(seed ^ (plane.toLong << 32) ^ i.toLong)
+    val u2 = splitmix(u1)
+    ((u1 >>> 11).toDouble / (1L << 53).toDouble - 0.5) +
+      ((u2 >>> 11).toDouble / (1L << 53).toDouble - 0.5)
+  }
+
+  /** Signature: bit p set iff dot(vec, plane_p) > 0. numPlanes ≤ 64. */
+  def hyperplaneSig(vec: ArrayData, numPlanes: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += vec.getFloat(i) * planeComponent(seed, p, i)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** hyperplane_sig(vec: array<float>): Long LSH bucket signature. */
+case class HyperplaneSig(child: Expression, numPlanes: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numPlanes > 0 && numPlanes <= 64)
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorSketchRuntime.hyperplaneSig(input.asInstanceOf[ArrayData], numPlanes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.VectorSketchRuntime.hyperplaneSig($c, $numPlanes, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object VectorSketchFunctions {
+  def hyperplaneSig(c: Column, numPlanes: Int, seed: Long): Column =
+    ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(c), numPlanes, seed))
+}

@@ -13,4 +13,22 @@ package object functions {
     def esRouting(c: Column, numShards: Int): Column =
       org.apache.spark.sql.graft.EsHashFunctions.esRouting(c, numShards)
   }
+
+  /** Text-sketch expressions (see org.apache.spark.sql.graft.TextSketches). */
+  object Text {
+    /** MinHash signature: Array[Long] of `numHashes` minimums over
+      * char-`shingleSize`-gram hashes; single codegen'd pass. */
+    def minhashSig(c: Column, numHashes: Int, shingleSize: Int): Column =
+      org.apache.spark.sql.graft.TextSketchFunctions.minhashSig(c, numHashes, shingleSize)
+    /** 64-bit SimHash over whitespace tokens. */
+    def simhash64(c: Column): Column =
+      org.apache.spark.sql.graft.TextSketchFunctions.simhash64(c)
+  }
+
+  /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */
+  object Vectors {
+    /** Random-hyperplane LSH signature (≤64 bits) of an array<float> column. */
+    def hyperplaneSig(c: Column, numPlanes: Int, seed: Long): Column =
+      org.apache.spark.sql.graft.VectorSketchFunctions.hyperplaneSig(c, numPlanes, seed)
+  }
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for LLM training-data pipelines (mission
+ * extension, SURVEY.md §7.4): exact, MinHash+LSH, SimHash, and exact
+ * n-gram-Jaccard verification.
+ *
+ * Scale design: every method is a bounded number of shuffles over keys
+ * that stay small (band buckets, 16-bit chunks); no O(n²) self-join ever
+ * happens un-blocked. Candidate generation (LSH) and verification
+ * (signature/Jaccard estimates) are separate so the expensive exact check
+ * only runs on the tiny candidate set.
+ */
+object Dedup {
+
+  /** Exact dedup: one canonical row (min id) per distinct key. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Exact near-dup on normalized text: same distinct-word bag
+    * (fingerprint) regardless of order/case/whitespace. */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /**
+   * MinHash+LSH near-duplicate candidate pairs.
+   *
+   * shingle→minhash→band→bucket-join: signatures of `numHashes` minimums
+   * over char-`shingleSize`-grams; `bands` bands of `numHashes/bands` rows
+   * each; two docs collide iff some band hashes equal; collisions are
+   * scored by the signature-agreement Jaccard estimate and filtered.
+   *
+   * Emits (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
+   * bands. Probability calibration: P(collide) = 1-(1-j^r)^b.
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleSize: Int = 5, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+        graft.functions.Text.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
+      // band keys: hash of each signature slice; band index disambiguates
+      .withColumn("band_keys",
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
+    val banded = sigs.select(col("id"), col("sig"), explode(col("band_keys")).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val agree = expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> " +
+      "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs at hamming distance ≤ `maxHamming` (< 16).
+   * Banding: the 64-bit fingerprint splits into 4 16-bit chunks; hamming
+   * ≤ 3 guarantees at least one identical chunk (pigeonhole), so the join
+   * blocks on (chunkIndex, chunkValue) and verifies with bit_count.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4 * 4, "banding guarantee needs maxHamming < 16")
+    val fps = df.select(col(idCol).as("id"),
+      graft.functions.Text.simhash64(col(textCol)).as("fp"))
+    val chunked = fps.select(col("id"), col("fp"),
+        explode(expr("transform(sequence(0, 3), c -> " +
+          "struct(c AS chunk, shiftright(fp, c * 16) & 65535 AS cv))")).as("ck"))
+      .select(col("id"), col("fp"), col("ck.chunk"), col("ck.cv"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Character n-gram set of a string column (distinct shingles), via
+    * higher-order functions — no UDF. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /**
+   * Exact n-gram Jaccard for candidate pairs — the verification stage
+   * after LSH candidate generation. `pairs` must have (id_a, id_b).
+   */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol).as("vid"),
+      charNgrams(col(textCol), n).as("grams"))
+    pairs
+      .join(grams.withColumnRenamed("vid", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+      .join(grams.withColumnRenamed("vid", "id_b").withColumnRenamed("grams", "gb"), "id_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")), 6))
+      .drop("ga", "gb", "inter")
+  }
+
+  /**
+   * Canonical-representative assignment over near-dup pairs: iterative
+   * min-label propagation (connected components on the dup graph, log-n
+   * rounds bounded by `maxIter`). Returns (id, canonical_id).
+   */
+  def assignCanonical(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col("id"), col("id").as("canonical_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min("canonical_id").as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
+            .as("canonical_id"))
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.canonical_id") =!= col("l.canonical_id")).limit(1).count()
+      labels = updated.localCheckpoint(true) // truncate the iterative lineage
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for LLM training-data pipelines (mission
+ * extension, SURVEY.md §7.4). Entirely built from codegen'd
+ * `sql.functions` — no UDFs on the hot path, so all of this stays inside
+ * WholeStageCodegen and scans stay pruned to the text column.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column = {
+    val t = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, array().cast("array<string>")).otherwise(t)
+  }
+
+  /** Whitespace token count (empty text → 0). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-piece regex split — letters runs,
+    * digit runs, and single punctuation each count as one token. */
+  def subwordCount(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    size(pieces)
+  }
+
+  private val EnStop = Seq("the", "of", "and", "to", "in", "a", "is", "that",
+    "it", "for", "on", "with", "as", "was", "at", "by")
+  private val DeStop = Seq("der", "die", "das", "und", "ist", "ich", "nicht",
+    "ein", "eine", "mit", "für", "auf", "des", "im", "zu", "von")
+  private val FrStop = Seq("le", "la", "les", "de", "des", "et", "est", "un",
+    "une", "dans", "pour", "que", "qui", "au", "pas", "sur")
+  private val EsStop = Seq("el", "la", "los", "las", "de", "y", "es", "un",
+    "una", "en", "por", "que", "no", "con", "para", "del")
+
+  private def stopHits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(stops.map(lit): _*), t)))
+
+  /**
+   * Quality metrics: character count, alphabetic ratio, punctuation ratio,
+   * mean word length, English-stopword ratio, and a composite score.
+   * All ratios rounded to 4 decimals (stable across engines).
+   */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nChars = length(text)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
+    val nToks = size(toks)
+    val safeChars = greatest(nChars, lit(1))
+    val safeToks = greatest(nToks, lit(1))
+    df.withColumn("q_chars", nChars)
+      .withColumn("q_tokens", nToks)
+      .withColumn("alpha_ratio", round(alpha.cast("double") / safeChars, 4))
+      .withColumn("punct_ratio", round(punct.cast("double") / safeChars, 4))
+      .withColumn("mean_word_len",
+        round((nChars - (nToks - 1)).cast("double") / safeToks, 4))
+      .withColumn("stopword_ratio",
+        round(stopHits(transform(toks, lower _), EnStop).cast("double") / safeToks, 4))
+      .withColumn("quality_score", round(
+        least(col("alpha_ratio") * 1.2, lit(1.0)) * 0.5 +
+          least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.3 +
+          when(col("q_tokens").between(10, 10000), 0.2).otherwise(0.0), 4))
+  }
+
+  /**
+   * Heuristic language ID over {en, de, fr, es, zh}: stopword-hit voting
+   * plus a CJK-codepoint override. Deterministic; ties break by fixed
+   * language order.
+   */
+  def withLangId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
+    val toks = transform(tokens(col(textCol)), lower _)
+    val cjk = size(regexp_extract_all(col(textCol), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val scores = Seq(
+      "en" -> stopHits(toks, EnStop), "de" -> stopHits(toks, DeStop),
+      "fr" -> stopHits(toks, FrStop), "es" -> stopHits(toks, EsStop))
+    val best = scores.tail.foldLeft[Column](
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (l, s)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l"))).otherwise(acc)
+    }
+    df.withColumn(out,
+      when(cjk > 0, "zh")
+        .when(best.getField("s") > 0, best.getField("l"))
+        .otherwise("unknown"))
+  }
+
+  /**
+   * Document fingerprint (key-collision canonicalization): lowercase,
+   * tokenize, dedupe, sort, re-join, 64-bit hash — equal fingerprints ⇔
+   * same bag of distinct words regardless of order/whitespace/case.
+   */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ",
+      array_sort(array_distinct(transform(tokens(text), lower _)))))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+  // perturb ONE of the 8 repeats: token-vote margins stay dominant for
+  // simhash while ~4% of distinct 5-grams change for minhash/jaccard
+  private val near = base.replaceFirst("lazy dog", "lazy cat")
+  private val far = "completely different content about spark query engines " * 8
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("text")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("x", 1L, 2L), ("y", 2L, 1L)))
+  }
+
+  test("exactNormalized collapses reordered/re-cased docs") {
+    val df = Seq((5L, "Alpha beta GAMMA"), (9L, "gamma  alpha beta"),
+      (7L, "delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(df, "text", "doc_id")
+    assert(out.count() === 2)
+    assert(out.filter($"dup_count" === 2).select("doc_id").as[Long].head() === 5L)
+  }
+
+  test("minhash LSH finds planted near-dup and skips unrelated docs") {
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.5)
+    // identical docs → estimate 1.0
+    val ident = Dedup.minhashPairs(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    assert(ident._3 === 1.0)
+  }
+
+  test("simhash bands find near pairs within hamming budget") {
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    val identical = Dedup.simhashPairs(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "doc_id", "text",
+      maxHamming = 0).count()
+    assert(identical === 1)
+  }
+
+  test("verifyJaccard computes exact n-gram overlap on candidates") {
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val verified = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().sortBy(_._2).toSeq
+    assert(verified(0)._3 > 0.8)  // near pair: high exact jaccard
+    assert(verified(1)._3 < 0.05) // far pair: tiny overlap
+  }
+
+  test("assignCanonical propagates min label across a dup chain") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val labels = Dedup.assignCanonical(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus with known geometry
+  private def corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.01f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot/norm/cosine column functions") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.norm(col("a")).as("n"))
+    val r = df.head()
+    assert(r.getDouble(0) === 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5)) < 1e-12)
+  }
+
+  test("bruteForceTopK: identical vector ranks first with cosine 1") {
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("query_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, queries, 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(top.map(_._3) === Seq(0L, 4L, 1L)) // exact, ~exact, near
+    assert(top.head._4 === 1.0)
+    assert(top(1)._4 > 0.999)
+  }
+
+  test("lshTopK recovers the exact-duplicate neighbor via bucket join") {
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("query_id", "embedding")
+    val top = Similarity.lshTopK(corpus, queries, 2, numPlanes = 8)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(top.nonEmpty)
+    assert(top.head._3 === 0L && top.head._4 === 1.0)
+  }
+
+  test("cosinePairs finds planted near-duplicate embeddings") {
+    // cosine(v0,v1)=0.9939, cosine(v0,v4)≈1.0 → 0.999 isolates the plant
+    val pairs = Similarity.cosinePairs(corpus, 0.999, lit(0))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) === Seq((0L, 4L)))
+    val lshPairs = Similarity.lshCosinePairs(corpus, 0.999, numPlanes = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(lshPairs.map(p => (p._1, p._2)).contains((0L, 4L)))
+  }
+}

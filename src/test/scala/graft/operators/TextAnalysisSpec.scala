@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, empty and blank strings") {
+    val df = Seq("a b  c", "", "   ", "one", "x\t y\nz").toDF("text")
+      .withColumn("n", TextAnalysis.tokenCount(col("text")))
+    assert(df.select("n").as[Int].collect().toSeq === Seq(3, 0, 0, 1, 3))
+  }
+
+  test("subwordCount: letter runs, digit runs, punctuation singles") {
+    val df = Seq("hello, world42!").toDF("text")
+      .withColumn("n", TextAnalysis.subwordCount(col("text")))
+    // hello , world 42 !  → 5
+    assert(df.select("n").as[Int].head() === 5)
+  }
+
+  test("fingerprint: invariant to order, case, and extra whitespace") {
+    val df = Seq(
+      ("a", "The quick  brown fox"),
+      ("b", "brown FOX the quick"),
+      ("c", "the quick brown fox jumps")).toDF("id", "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val fps = df.select("id", "fp").as[(String, Long)].collect().toMap
+    assert(fps("a") === fps("b"))
+    assert(fps("a") !== fps("c"))
+  }
+
+  test("langId: stopword voting + CJK override") {
+    val samples = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("der Hund ist nicht in der Küche und das ist gut", "de"),
+      ("le chat est dans la maison et il est content", "fr"),
+      ("el perro es grande y la casa es bonita", "es"),
+      ("这是 一个 中文 句子", "zh"),
+      ("zzz qqq xxx", "unknown")).toDF("text", "expected")
+    val out = TextAnalysis.withLangId(samples, "text")
+    out.collect().foreach { r =>
+      assert(r.getAs[String]("lang_pred") === r.getAs[String]("expected"),
+        r.getAs[String]("text"))
+    }
+  }
+
+  test("quality metrics are bounded and rounded") {
+    val out = TextAnalysis.withQuality(
+      Seq("The quick brown fox jumps over the lazy dog.").toDF("text"), "text")
+      .select("alpha_ratio", "punct_ratio", "stopword_ratio", "quality_score")
+      .head()
+    val vals = (0 until 4).map(out.getDouble)
+    vals.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // 44 chars, 35 alpha → 0.7955
+    assert(out.getDouble(0) === 0.7955)
+    assert(out.getDouble(1) === math.rint(1.0 / 44 * 10000) / 10000)
+  }
+}
