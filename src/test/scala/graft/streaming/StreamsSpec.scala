@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.Streams.{Event, Session}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("sessionize splits per-user event runs on the gap (batch parity)") {
+    val events = Seq(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(5), 7, "click", 2.0),
+      Event(3, ts(40), 7, "click", 3.0),   // > 30min gap → new session
+      Event(4, ts(2), 9, "view", 5.0)
+    ).toDS()
+    val sessions = Streams.sessionize(events, gapMs = 30 * 60 * 1000)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.length === 3)
+    assert(sessions(0) === Session(7, ts(0), ts(5), 2, 3.0))
+    assert(sessions(1) === Session(7, ts(40), ts(40), 1, 3.0))
+    assert(sessions(2) === Session(9, ts(2), ts(2), 1, 5.0))
+  }
+
+  test("windowedTypeCounts: identical logic runs batch and streaming") {
+    // batch, over the real test table
+    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchOut = Streams.windowedTypeCounts(batchDf, "1 hour")
+    assert(batchOut.count() > 0)
+
+    // streaming, same function, file source + watermark, AvailableNow
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    batchDf.write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.readEventStream(spark, srcDir)
+    val out = Streams.windowedTypeCounts(stream, "1 hour", watermark = Some("10 minutes"))
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits windows the watermark has passed; the final
+    // (unclosed) window stays in state — everything BEFORE it must match
+    // the batch result exactly.
+    val streamed = spark.table("win_counts")
+    val maxStart = streamed.agg(org.apache.spark.sql.functions.max("window_start"))
+      .head().getTimestamp(0)
+    val batchRows = batchOut
+      .filter(org.apache.spark.sql.functions.col("window_start") <= maxStart)
+      .collect().map(_.toString).sorted
+    val streamRows = streamed.collect().map(_.toString).sorted
+    assert(streamRows.nonEmpty)
+    assert(streamRows.toSeq === batchRows.toSeq)
+  }
+}
