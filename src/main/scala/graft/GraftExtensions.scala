@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.spark.sql.graft.{EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, SimHash64}
+
+/**
+ * SparkSessionExtensions hook exposing the engine's native expressions to
+ * SQL. Enable with:
+ * {{{
+ *   SparkSession.builder()
+ *     .withExtensions(new GraftExtensions()) // or
+ *     .config("spark.sql.extensions", "graft.GraftExtensions")
+ * }}}
+ * then `SELECT es_shard(id, 5), minhash_sig(text, 64, 5) FROM ...`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String,
+                       usage: String, builder: FunctionBuilder): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
+      builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "es_murmur3",
+      "es_murmur3(str) - Elasticsearch 5.x routing hash (murmur3 over UTF-16LE, seed 0)",
+      { case Seq(child) => EsMurmur3Hash(child) })
+
+    register(ext, "es_shard",
+      "es_shard(str, numShards) - ES routing shard: floorMod(es_murmur3(str), numShards)",
+      { case Seq(child, n) => EsShard(child, n) })
+
+    register(ext, "minhash_sig",
+      "minhash_sig(text, numHashes, shingleSize) - MinHash signature over char shingles",
+      { case Seq(text, k, sh) =>
+        MinHashSig(text, intLit(k, "numHashes"), intLit(sh, "shingleSize")) })
+
+    register(ext, "simhash64",
+      "simhash64(text) - 64-bit SimHash over whitespace tokens",
+      { case Seq(text) => SimHash64(text) })
+
+    register(ext, "hyperplane_sig",
+      "hyperplane_sig(vec, numPlanes, seed) - random-hyperplane LSH signature of array<float>",
+      { case Seq(vec, p, s) =>
+        HyperplaneSig(vec, intLit(p, "numPlanes"), intLit(s, "seed").toLong) })
+  }
+}

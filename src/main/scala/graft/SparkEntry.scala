@@ -263,14 +263,19 @@ object SparkEntry {
     }),
 
     // Multimodal feature extraction feeding the ANN operator (binary →
-    // vector → LSH bucket join): the full media-dedup path.
+    // vector → LSH bucket join): the full media-dedup path. Byte-histogram
+    // stub features are mutually similar, so bucket fan-out is bounded by
+    // querying top-k for a sample instead of all-pairs (all-pairs over a
+    // near-degenerate embedding space is quadratic no matter the index).
     "mm_feature_ann" -> ((s, dir) => {
       import graft.operators.{Multimodal, Similarity}
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
       val feats = Multimodal.extractFeatures(media, dim = 32)
         .toDF("vec_id", "kind", "embedding")
-      Similarity.lshCosinePairs(feats, 0.999, numPlanes = 8)
-        .agg(count(lit(1)).as("dup_pairs"))
+      val queries = feats.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(feats, queries, 3, numPlanes = 16)
+        .groupBy("rank").agg(count(lit(1)).as("n"), round(avg("cosine"), 3).as("avg_cos"))
     }),
 
     // Video frame sampling (generator: one row per sampled frame).

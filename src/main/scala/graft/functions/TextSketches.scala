@@ -145,9 +145,51 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+object SigAgreeRuntime extends Serializable {
+  /** Count of positions where two long arrays agree. */
+  def agree(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** sig_agree(a, b): Int — positions where two minhash signatures match
+  * (codegen'd; the aggregate(zip_with(..)) equivalent is CodegenFallback
+  * and dominates LSH candidate scoring). */
+case class SigAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreeRuntime.agree(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.SigAgreeRuntime.agree($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+    copy(left = l, right = r)
+}
+
 object TextSketchFunctions {
   def minhashSig(c: Column, numHashes: Int, shingleSize: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), numHashes, shingleSize))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+  def sigAgree(a: Column, b: Column): Column =
+    ExpressionUtils.column(SigAgree(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -23,6 +23,9 @@ package object functions {
     /** 64-bit SimHash over whitespace tokens. */
     def simhash64(c: Column): Column =
       org.apache.spark.sql.graft.TextSketchFunctions.simhash64(c)
+    /** Count of agreeing positions between two minhash signatures. */
+    def sigAgree(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.TextSketchFunctions.sigAgree(a, b)
   }
 
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */
@@ -30,5 +33,8 @@ package object functions {
     /** Random-hyperplane LSH signature (≤64 bits) of an array<float> column. */
     def hyperplaneSig(c: Column, numPlanes: Int, seed: Long): Column =
       org.apache.spark.sql.graft.VectorSketchFunctions.hyperplaneSig(c, numPlanes, seed)
+    /** Native codegen'd cosine similarity between two array<float> columns. */
+    def cosineSim(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.VectorSketchFunctions.cosineSim(a, b)
   }
 }

@@ -54,8 +54,7 @@ object Dedup {
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
-    val agree = expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> " +
-      "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+    val agree = graft.functions.Text.sigAgree(col("a.sig"), col("b.sig"))
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -24,8 +24,11 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Cosine similarity — native codegen'd expression (the zip_with/
+    * aggregate composition above is CodegenFallback: interpreted lambdas,
+    * ~1000× slower per pair; keep HOF forms for ad-hoc column math only). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.Vectors.cosineSim(a, b)
 
   /**
    * Exact top-k neighbors for each query vector, brute force.

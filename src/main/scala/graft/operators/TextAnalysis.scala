@@ -73,20 +73,23 @@ object TextAnalysis {
    * language order.
    */
   def withLangId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    val toks = transform(tokens(col(textCol)), lower _)
-    val cjk = size(regexp_extract_all(col(textCol), lit("[\\u4e00-\\u9fff]"), lit(0)))
-    val scores = Seq(
-      "en" -> stopHits(toks, EnStop), "de" -> stopHits(toks, DeStop),
-      "fr" -> stopHits(toks, FrStop), "es" -> stopHits(toks, EsStop))
-    val best = scores.tail.foldLeft[Column](
-      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (l, s)) =>
-        when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l"))).otherwise(acc)
-    }
-    df.withColumn(out,
-      when(cjk > 0, "zh")
-        .when(best.getField("s") > 0, best.getField("l"))
-        .otherwise("unknown"))
+    // Each score is evaluated exactly once: scores land in an array column
+    // and argmax runs over the array (a when()-fold would duplicate every
+    // score subtree per branch — exponential codegen).
+    val langs = Seq("en", "de", "fr", "es")
+    val stops = Seq(EnStop, DeStop, FrStop, EsStop)
+    val toksCol = "__toks_" + out
+    val scoresCol = "__scores_" + out
+    df.withColumn(toksCol, transform(tokens(col(textCol)), lower _))
+      .withColumn(scoresCol, array(stops.map(sw => stopHits(col(toksCol), sw)): _*))
+      .withColumn(out,
+        when(col(textCol).rlike("[\\u4e00-\\u9fff]"), "zh") // CJK short-circuit
+          .when(array_max(col(scoresCol)) > 0,
+            element_at(
+              array(langs.map(lit): _*),
+              array_position(col(scoresCol), array_max(col(scoresCol))).cast("int")))
+          .otherwise("unknown"))
+      .drop(toksCol, scoresCol)
   }
 
   /**

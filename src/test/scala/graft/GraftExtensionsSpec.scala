@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EsMurmur3
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("SQL functions registered via SparkSessionExtensions") {
+    // getOrCreate would return the shared no-extensions session; this suite
+    // needs its own (suites run sequentially: Test/parallelExecution=false)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT es_murmur3('hello') AS h, es_shard('hello', 5) AS s,
+          |       simhash64('the quick brown fox') AS f,
+          |       size(minhash_sig('some text to sketch', 32, 4)) AS k,
+          |       hyperplane_sig(array(cast(1.0 as float), cast(0.0 as float)), 8, 42) AS hp
+          |""".stripMargin).head()
+      assert(r.getInt(0) === EsMurmur3.hash("hello"))
+      assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
+      assert(r.getLong(2) !== 0L)
+      assert(r.getInt(3) === 32)
+      assert(r.getLong(4) >= 0L && r.getLong(4) < 256L)
+    } finally spark.stop() // this suite owns its session (extensions differ)
+  }
+}
