@@ -30,6 +30,16 @@ object VerifyDrive {
     spark.range(1).select(esMurmur3(lit("")).as("empty_hash")).show()
     ev.groupBy(esShard(col("doc_id"), 5).as("shard")).count()
       .orderBy("shard").show()
+    // skew: salted join vs plain join on real tables must agree exactly
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s")).head()
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(orders, cust, "o_custkey", salt = 8)
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s")).head()
+    println(s"[skew] plain=$plain salted=$salted equal=${plain == salted}")
     spark.stop()
   }
 }
