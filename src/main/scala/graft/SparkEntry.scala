@@ -142,6 +142,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              sum(col("value").cast("decimal(18,2)")).as("total_value"))
     }),
+    // Rollup (hierarchical aggregate with subtotal rows).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+    }),
+
+    // Semi-join (EXISTS): segments of customers who placed large orders.
+    "q_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+
+    // Scalar function surface: string / date / math over orders.
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 8)).as("prio_u"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("skey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        round(abs(col("o_totalprice") * -1), 1).as("abs_price"),
+        pmod(col("o_orderkey"), lit(97)).as("kmod"),
+        length(col("o_orderpriority")).as("plen"))
+    }),
+
     // ── Mission extensions: dedup / similarity / text analysis ───────────
 
     // Exact dedup: canonical doc per distinct text (hash-groupBy).
@@ -345,6 +375,25 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
         |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       upper(substring(o_orderpriority, 1, 8)) AS prio_u,
+        |       concat_ws('-', o_orderstatus, o_orderpriority) AS skey,
+        |       year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |       day(o_orderdate) AS d,
+        |       round(abs(o_totalprice * -1), 1) AS abs_price,
+        |       o_orderkey % 97 AS kmod,
+        |       length(o_orderpriority) AS plen
+        |FROM orders""".stripMargin,
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value

@@ -30,6 +30,22 @@ object EsSnapshot {
     w.mode("append").save()
   }
 
+  /** Read a committed snapshot's documents back: one row per document with
+    * its shard provenance — the verification/restore path (a real ES
+    * restore would replay these into a live cluster; layout mode makes the
+    * payloads directly scannable instead). */
+  def readDocs(spark: SparkSession, dest: String, indexName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val indexDir = s"$dest/indices/${graft.sinks.essnapshot.SnapshotLayout.indexId(indexName)}"
+    spark.read
+      .option("pathGlobFilter", "docs-*.ndjson.gz")
+      .option("recursiveFileLookup", "true")
+      .text(indexDir)
+      .withColumn("shard",
+        regexp_extract(input_file_name(), "/(\\d+)/docs-", 1).cast("int"))
+      .select(col("value").as("json"), col("shard"))
+  }
+
   /** The committed manifest, one row per populated shard:
     * `index|snapshotUUID|indexId` (reference: BaseESReducer.java:317-319). */
   def readManifest(spark: SparkSession, dest: String): DataFrame = {

@@ -191,7 +191,7 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         // committed messages survive (replaces speculative-off reliance,
         // IndexingJob.java:121, and empty-dir cleanup, BaseTransport.java:261-280).
         val existing = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(_.startsWith("__docs-"))
+          .filter(_.startsWith("docs-"))
         existing.filterNot(winners.contains)
           .foreach(f => fs.delete(new Path(dir, f), false))
 

@@ -19,7 +19,7 @@ import java.util.UUID
  *     meta-<snapUuid>.dat   index metadata
  *     <shard>/
  *       snap-<snapUuid>.dat per-shard snapshot metadata
- *       __docs-<writer>.ndjson.gz   document payloads (layout mode)
+ *       docs-<writer>.ndjson.gz   document payloads (layout mode)
  *   manifest.txt            index|snapshotUUID|indexId per populated shard
  *   _SUMMARY.json           JOB_COUNTER-equivalent metrics
  * }}}
@@ -51,7 +51,7 @@ object SnapshotLayout {
   /** reference: BaseTransport.java:333-335 */
   def metaDat(uuid: String): String = s"meta-$uuid.dat"
 
-  def dataFile(writerUuid: String): String = s"__docs-$writerUuid.ndjson.gz"
+  def dataFile(writerUuid: String): String = s"docs-$writerUuid.ndjson.gz"
 
   val IndexLatest = "index.latest"
   val ManifestFile = "manifest.txt"

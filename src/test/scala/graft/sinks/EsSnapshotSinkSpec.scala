@@ -56,7 +56,7 @@ class EsSnapshotSinkSpec extends SparkSpec {
     (0 until numShards).foreach { s =>
       val dir = indexDir.resolve(s.toString)
       val dataFiles = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("__docs-")).toList
+        .filter(_.getFileName.toString.startsWith("docs-")).toList
       val lines = dataFiles.flatMap(readGzLines)
       total += lines.size
       lines.foreach { line =>
@@ -77,6 +77,17 @@ class EsSnapshotSinkSpec extends SparkSpec {
     // summary metrics
     val summary = Files.readString(root.resolve(SnapshotLayout.SummaryFile))
     assert(summary.contains("\"index_doc_created\":300"))
+
+    // restore path: read-back sees every doc in its ES-murmur3 shard
+    val back = EsSnapshot.readDocs(spark, dest, "events")
+    assert(back.count() === 300)
+    val misplaced = back.select(
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("json"), "$.event_id").as("id"),
+        org.apache.spark.sql.functions.col("shard"))
+      .collect()
+      .count(r => EsMurmur3.shard(r.getString(0), numShards) != r.getInt(1))
+    assert(misplaced === 0)
   }
 
   test("many shards on tiny data: empty shards backfilled, none populated twice") {
@@ -88,14 +99,14 @@ class EsSnapshotSinkSpec extends SparkSpec {
     val indexDir = Paths.get(dest, "indices", SnapshotLayout.indexId("tiny"))
     val populated = (0 until n).count { s =>
       Files.list(indexDir.resolve(s.toString)).iterator().asScala
-        .exists(_.getFileName.toString.startsWith("__docs-"))
+        .exists(_.getFileName.toString.startsWith("docs-"))
     }
     assert(populated <= 20)
     assert((0 until n).forall(s => Files.isDirectory(indexDir.resolve(s.toString))))
     // doc_count 0 recorded for at least one empty shard
     val emptyShard = (0 until n).find { s =>
       !Files.list(indexDir.resolve(s.toString)).iterator().asScala
-        .exists(_.getFileName.toString.startsWith("__docs-"))
+        .exists(_.getFileName.toString.startsWith("docs-"))
     }.get
     val snapDat = Files.list(indexDir.resolve(emptyShard.toString)).iterator().asScala
       .find(_.getFileName.toString.startsWith("snap-")).get
