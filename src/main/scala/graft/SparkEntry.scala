@@ -221,6 +221,25 @@ object SparkEntry {
         .select("id_a", "id_b", "jaccard")
     }),
 
+    // Full dedup pipeline composition: sketch → LSH candidates → exact
+    // verification → connected components → survivor count.
+    "dedup_pipeline" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      val all = docs.unionAll(plants)
+      val cand = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val verified = Dedup.verifyJaccard(cand, all, "doc_id", "text")
+        .filter(col("jaccard") >= 0.9).select("id_a", "id_b")
+      val labels = Dedup.assignCanonical(
+        all.select(col("doc_id").as("id")), verified)
+      labels.agg(count(lit(1)).as("docs"),
+        countDistinct(col("canonical_id")).as("survivors"))
+    }),
+
     // Embedding-cosine near-dup (exact, on a deterministic subset ∪ planted
     // exact copies). SQL-expressible via DuckDB list_cosine_similarity.
     "dedup_embedding" -> ((s, dir) => {

@@ -123,6 +123,10 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = ids.select(col("id"), col("id").as("canonical_id"))
+    // Labels only ever decrease under min-propagation, so the label sum is
+    // a fixpoint witness: unchanged sum ⇔ converged. One aggregate per
+    // round instead of a self-join diff.
+    var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -132,11 +136,11 @@ object Dedup {
         .select(col("id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
             .as("canonical_id"))
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.canonical_id") =!= col("l.canonical_id")).limit(1).count()
       labels = updated.localCheckpoint(true) // truncate the iterative lineage
-      converged = changed == 0
+      val s = labels.agg(sum(col("canonical_id")).cast("decimal(38,0)")).head()
+        .getDecimal(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     edges.unpersist()

@@ -130,6 +130,30 @@ class EsSnapshotWrite(info: LogicalWriteInfo)
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite = new EsSnapshotBatchWrite(info.schema(), dest, options)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new DocsWrittenMetric, new BytesWrittenMetric, new IndexingMsMetric)
+}
+
+/** DSv2 custom metrics: the reference's JOB_COUNTER surface
+  * (BaseESReducer.java:60-62) as live per-task Spark UI metrics. */
+class DocsWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "docsWritten"
+  override def description(): String = "documents bulk-indexed (INDEX_DOC_CREATED)"
+}
+class BytesWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bytesWritten"
+  override def description(): String = "payload bytes streamed to snapshot"
+}
+class IndexingMsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "indexingMs"
+  override def description(): String = "TIME_SPENT_INDEXING_MS"
+}
+
+private[essnapshot] case class TaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 /** One (index, shard, dataFile) unit committed by a writer task. */
@@ -328,6 +352,14 @@ class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
 
   override def commit(): WriterCommitMessage =
     ShardCommitMessage(streams.values.map(_.finish()).toSeq)
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val ss = streams.values
+    Array(
+      TaskMetric("docsWritten", ss.map(_.docCount).sum),
+      TaskMetric("bytesWritten", ss.map(_.bytes).sum),
+      TaskMetric("indexingMs", ss.map(_.indexingNanos).sum / 1000000))
+  }
 
   override def abort(): Unit = streams.values.foreach(_.abort())
 
