@@ -127,7 +127,17 @@ class EsSnapshotWrite(info: LogicalWriteInfo)
     Distributions.clustered(Array(
       Expressions.identity("index"), Expressions.identity("shard")))
   override def requiredNumPartitions(): Int = 0 // engine/AQE decides
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  /** In-partition sort by (index, shard): rows arrive group-contiguous, so
+    * a writer keeps exactly ONE output stream open regardless of how many
+    * shards AQE packs into its partition (file-handle/memory bound at
+    * wide shard counts; the reference gets the same effect from MR's
+    * shuffle sort). */
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.identity("index"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("shard"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite = new EsSnapshotBatchWrite(info.schema(), dest, options)
 
@@ -308,8 +318,10 @@ class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
   private val iShard = schema.fieldIndex("shard")
   private val iJson = schema.fieldIndex("json")
 
-  private final class ShardStream(val index: String, val shard: Int) {
-    val fileName: String = SnapshotLayout.dataFile(writerUuid)
+  private final class ShardStream(val index: String, val shard: Int, seq: Int) {
+    // seq guards the (engine-violated-ordering) case where a group is
+    // revisited after its stream closed: a fresh file, never an overwrite
+    val fileName: String = SnapshotLayout.dataFile(s"$writerUuid-$seq")
     val path = new Path(SnapshotLayout.shardDir(dest, index, shard), fileName)
     private val fs = path.getFileSystem(conf)
     val out: OutputStream = new GZIPOutputStream(
@@ -341,27 +353,64 @@ class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
     }
   }
 
-  private val streams = mutable.LinkedHashMap.empty[(String, Int), ShardStream]
+  // Rows arrive sorted by (index, shard) per requiredOrdering, so exactly
+  // one stream is open at a time; finished files accumulate as commits.
+  private var current: ShardStream = null
+  private val finished = mutable.ArrayBuffer.empty[ShardFileCommit]
+  private val openSeq = mutable.HashMap.empty[(String, Int), Int]
+  private var docsSoFar = 0L
+  private var bytesSoFar = 0L
+  private var indexingNanosSoFar = 0L
+
+  private def roll(index: String, shard: Int): ShardStream = {
+    if (current != null) {
+      docsSoFar += current.docCount
+      bytesSoFar += current.bytes
+      indexingNanosSoFar += current.indexingNanos
+      finished += current.finish()
+    }
+    val seq = openSeq.getOrElse((index, shard), 0)
+    openSeq((index, shard)) = seq + 1
+    current = new ShardStream(index, shard, seq)
+    current
+  }
 
   override def write(record: InternalRow): Unit = {
     val index = record.getUTF8String(iIndex).toString
     val shard = record.getInt(iShard)
-    val stream = streams.getOrElseUpdate((index, shard), new ShardStream(index, shard))
+    val stream =
+      if (current != null && current.shard == shard && current.index == index) current
+      else roll(index, shard)
     stream.append(record.getUTF8String(iJson).getBytes)
   }
 
-  override def commit(): WriterCommitMessage =
-    ShardCommitMessage(streams.values.map(_.finish()).toSeq)
-
-  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val ss = streams.values
-    Array(
-      TaskMetric("docsWritten", ss.map(_.docCount).sum),
-      TaskMetric("bytesWritten", ss.map(_.bytes).sum),
-      TaskMetric("indexingMs", ss.map(_.indexingNanos).sum / 1000000))
+  override def commit(): WriterCommitMessage = {
+    if (current != null) { finished += current.finish(); current = null }
+    ShardCommitMessage(finished.toSeq)
   }
 
-  override def abort(): Unit = streams.values.foreach(_.abort())
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val (d, b, n) =
+      if (current == null) (0L, 0L, 0L)
+      else (current.docCount, current.bytes, current.indexingNanos)
+    Array(
+      TaskMetric("docsWritten", docsSoFar + d),
+      TaskMetric("bytesWritten", bytesSoFar + b),
+      TaskMetric("indexingMs", (indexingNanosSoFar + n) / 1000000))
+  }
+
+  override def abort(): Unit = {
+    if (current != null) current.abort()
+    // also remove files this task already closed — their commits will
+    // never reach the driver
+    finished.foreach { c =>
+      try {
+        val p = new Path(SnapshotLayout.shardDir(dest, c.index, c.shard), c.fileName)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      } catch { case _: Exception => () }
+    }
+  }
 
   override def close(): Unit = ()
 }
