@@ -117,7 +117,8 @@ object Dedup {
    * min-label propagation (connected components on the dup graph, log-n
    * rounds bounded by `maxIter`). Returns (id, canonical_id).
    */
-  def assignCanonical(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def assignCanonical(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10,
+                      broadcastEdges: Boolean = true): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -130,9 +131,14 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+      // dup-pair graphs are usually sparse: edges (and thus neighborMin)
+      // are tiny next to the corpus — broadcast them so the big label
+      // frame is never shuffled inside the loop; disable for dense graphs
+      // that exceed broadcast limits (falls back to shuffle joins)
+      def maybeB(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
+      val neighborMin = maybeB(edges).join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("canonical_id").as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      val updated = labels.join(maybeB(neighborMin), labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
             .as("canonical_id"))
