@@ -1,0 +1,41 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sinks.EsSnapshot
+
+class EsIndexJobSpec extends SparkSpec {
+
+  test("CLI arg surface parses like the reference (pipe-separated inputs)") {
+    val a = EsIndexJob.parse(Array("/a/*.json|/b/part-*", "s3a://bucket/snap/",
+      "customers", "customer_id", "5", "nightly"))
+    assert(a.inputPaths === Seq("/a/*.json", "/b/part-*"))
+    assert(a.dest === "s3a://bucket/snap") // trailing slash stripped
+    assert(a.numShards === 5)
+    assert(a.snapshotName === Some("nightly"))
+    assert(a.mappings === None)
+  }
+
+  test("job runs end-to-end: NDJSON → snapshot → manifest count") {
+    val srcDir = Files.createTempDirectory("graft-job-src")
+    val lines = (0 until 50).map(i => s"""{"cid":"doc-$i","v":$i}""")
+    Files.writeString(srcDir.resolve("in.json"), lines.mkString("\n"))
+    val mappingsFile = srcDir.resolve("mappings.json")
+    Files.writeString(mappingsFile, """{"properties":{"v":{"type":"long"}}}""")
+    val dest = Files.createTempDirectory("graft-job-snap").toString
+
+    val args = EsIndexJob.parse(Array(srcDir.toString, dest, "docs", "cid", "4",
+      "job_snap", mappingsFile.toString))
+    val populated = EsIndexJob.run(spark, args)
+    assert(populated > 0 && populated <= 4)
+    assert(EsSnapshot.readDocs(spark, dest, "docs").count() === 50)
+    // mappings file content passed through to index metadata
+    val metaDir = java.nio.file.Paths.get(dest, "indices",
+      graft.sinks.essnapshot.SnapshotLayout.indexId("docs"))
+    val meta = Files.list(metaDir).iterator()
+    val metaFile = Iterator.continually(meta).takeWhile(_.hasNext)
+      .map(_.next()).find(_.getFileName.toString.startsWith("meta-")).get
+    assert(Files.readString(metaFile).contains("type"))
+  }
+}
