@@ -31,25 +31,72 @@ object Similarity {
     graft.functions.Vectors.cosineSim(a, b)
 
   /**
-   * Exact top-k neighbors for each query vector, brute force.
-   * The query set is broadcast (small side); the corpus streams through
-   * one pass — no shuffle of the corpus at all; the only shuffle is the
-   * per-query top-k (k rows per query per partition after partial rank
-   * pruning is not available for windows, so this ranks post-join; for
-   * large corpora prefer [[lshTopK]]).
+   * Exact top-k neighbors for each query vector, brute force, in ONE pass
+   * over the corpus with map-side reduction: each partition keeps a
+   * bounded heap per (broadcast) query, so the only shuffle carries
+   * ≤ k·|Q| rows per partition — never the |Q|×|C| scored cross product
+   * (a window rank over the cross join shuffles everything; at 10⁹ corpus
+   * rows that is the difference between gigabytes and petabytes moved).
    *
-   * Ties break deterministically by corpus id.
+   * Ties break deterministically by ascending corpus id.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(queryIdCol), col(vecCol).as("qvec"))
-    val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(queryIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qRows)
+
+    // (cosine desc, id asc) best-first ⇒ heap root = worst kept entry
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, cos) => (-cos, id)
+    }
+
+    val local = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].rdd
+      .mapPartitions { rows =>
+        val qs = qB.value
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord))
+        rows.foreach { case (id, vec) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val qv = qs(qi)._2
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            val n = math.min(vec.length, qv.length)
+            while (i < n) {
+              val x = vec(i).toDouble; val y = qv(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            // exactly Spark's round(_, 6): BigDecimal HALF_UP on the
+            // shortest decimal form (rint/floor tricks are half-even and
+            // diverge on representation boundaries)
+            val cos = java.math.BigDecimal
+              .valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((id, cos))
+            else {
+              val (wid, wcos) = h.head // worst kept
+              if (cos > wcos || (cos == wcos && id < wid)) {
+                h.dequeue(); h.enqueue((id, cos))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (id, cos) => (qs(qi)._1, id, cos) }
+        }
+      }
+      .toDF(queryIdCol, "nn_id", "cosine")
+
+    // merge partition-local top-k sets: tiny (≤ k·|Q|·partitions rows)
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    local.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
   }
