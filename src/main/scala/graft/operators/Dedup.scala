@@ -113,6 +113,26 @@ object Dedup {
   }
 
   /**
+   * One-call near-duplicate removal: MinHash-LSH candidates → exact
+   * n-gram Jaccard verification → connected components → keep only each
+   * component's canonical (min-id) row. Returns the deduplicated corpus
+   * with the original columns.
+   */
+  def dedupe(df: DataFrame, idCol: String, textCol: String,
+             jaccardThreshold: Double = 0.85, numHashes: Int = 64,
+             bands: Int = 16, shingleSize: Int = 5): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize,
+      threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
+      .select("id_a", "id_b")
+    val verified = verifyJaccard(cand, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= jaccardThreshold).select("id_a", "id_b")
+    val labels = assignCanonical(df.select(col(idCol).as("id")), verified)
+    df.join(labels.filter(col("id") === col("canonical_id"))
+        .select(col("id").as(s"__keep_$idCol")),
+      col(idCol) === col(s"__keep_$idCol"), "left_semi")
+  }
+
+  /**
    * Canonical-representative assignment over near-dup pairs: iterative
    * min-label propagation (connected components on the dup graph, log-n
    * rounds bounded by `maxIter`). Returns (id, canonical_id).

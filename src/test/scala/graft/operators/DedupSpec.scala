@@ -60,6 +60,15 @@ class DedupSpec extends SparkSpec {
     assert(verified(1)._3 < 0.05) // far pair: tiny overlap
   }
 
+  test("dedupe keeps one canonical row per near-dup component") {
+    val df = Seq((1L, base), (2L, near), (3L, far), (4L, base + " x"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupe(df, "doc_id", "text", jaccardThreshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1,2,4 are one component (near-identical); 3 survives alone
+    assert(kept === Seq(1L, 3L))
+  }
+
   test("assignCanonical propagates min label across a dup chain") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
