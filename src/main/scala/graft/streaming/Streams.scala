@@ -97,6 +97,62 @@ object Streams {
       }
   }
 
+  /**
+   * Unbounded-stream sessionization with correct incremental semantics:
+   * events buffer in [[GroupState]]; a session only closes when the
+   * event-time watermark passes its end + gap (late events within the
+   * watermark still join their session); the state times out at
+   * lastEvent + gap so idle users flush without new input.
+   *
+   * Use [[sessionize]] for bounded/batch data (single-sweep, no state
+   * carryover); this variant requires `withWatermark` upstream.
+   */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long,
+                       watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(userId: Long, buf: List[Event]): Session = {
+      val sorted = buf.sortBy(_.ts.getTime)
+      Session(userId, sorted.head.ts, sorted.last.ts, sorted.size.toLong,
+        math.rint(sorted.map(_.value).sum * 100) / 100)
+    }
+
+    def sessionsOf(buf: List[Event]): List[List[Event]] = {
+      val sorted = buf.sortBy(_.ts.getTime)
+      val out = List.newBuilder[List[Event]]
+      var cur = List(sorted.head)
+      sorted.tail.foreach { e =>
+        if (e.ts.getTime - cur.head.ts.getTime <= gapMs) cur = e :: cur
+        else { out += cur.reverse; cur = List(e) }
+      }
+      out += cur.reverse
+      out.result()
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(Nil) ++ it
+          if (buf.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val sessions = sessionsOf(buf)
+            // a session is final once the watermark passed its end + gap
+            val (closed, open) = sessions.partition(s =>
+              wm > s.last.ts.getTime + gapMs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open.flatten)
+              state.setTimeoutTimestamp(open.flatten.map(_.ts.getTime).max + gapMs)
+            }
+            closed.map(s => close(userId, s)).iterator
+          }
+      }
+  }
+
   /** Streaming snapshot ingestion: micro-batch the stream into successive
     * es-snapshot builds via foreachBatch (each batch = one full commit,
     * mirroring the reference's batch job run per data drop). */

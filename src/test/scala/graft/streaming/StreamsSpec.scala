@@ -28,6 +28,41 @@ class StreamsSpec extends SparkSpec {
     assert(sessions(2) === Session(9, ts(2), ts(2), 1, 5.0))
   }
 
+  test("sessionizeStream closes sessions only after the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val sessions = Streams.sessionizeStream(input.toDS(), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 7 has two events 5 min apart — one open session
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0) // watermark hasn't passed
+
+      // batch 2: user 7 again, 40 min later → new session buffered; the
+      // state's event-time timeout is now 10:50 (last event + gap)
+      input.addData(Event(3, ts(40), 7, "click", 3.0))
+      q.processAllAvailable()
+
+      // batches 3-4: OTHER users push the watermark past 10:50; user 7 has
+      // no new data, so its sessions flush via the state timeout
+      input.addData(Event(4, ts(55), 9, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(56), 9, "view", 6.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out").as[Session].collect()
+        .sortBy(_.start.getTime)
+      assert(out.length === 2)
+      assert(out(0) === Session(7, ts(0), ts(5), 2, 3.0))
+      assert(out(1) === Session(7, ts(40), ts(40), 1, 3.0))
+    } finally q.stop()
+  }
+
   test("windowedTypeCounts: identical logic runs batch and streaming") {
     // batch, over the real test table
     val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
