@@ -86,8 +86,10 @@ object SparkEntry {
       val dest = java.nio.file.Files.createTempDirectory("graft-snap-q").toString
       val docs = Ingest.fromColumns(t(s, dir, "events"), "events", "event_id", 8)
       EsSnapshot.write(docs, dest, ShardConfig(8), Some("bench_snapshot"))
-      EsSnapshot.readManifest(s, dest)
-        .groupBy("index", "indexId").agg(count(lit(1)).as("populated_shards"))
+      // round-trip through the DSv2 read path (one partition per shard)
+      EsSnapshot.readTable(s, dest).groupBy("index")
+        .agg(countDistinct(col("shard")).as("populated_shards"),
+          count(lit(1)).as("docs"))
     }),
 
     // A4: anti-join reconciliation analogue (keys with no counterpart).

@@ -30,6 +30,12 @@ object EsSnapshot {
     w.mode("append").save()
   }
 
+  /** DSv2 read of a committed snapshot: table of (index, shard, json) with
+    * one partition per shard dir and shard/index filter pruning at the
+    * directory listing (restore parallelism == shard topology). */
+  def readTable(spark: SparkSession, dest: String): DataFrame =
+    spark.read.format("es-snapshot").load(dest)
+
   /** Read a committed snapshot's documents back: one row per document with
     * its shard provenance — the verification/restore path (a real ES
     * restore would replay these into a live cluster; layout mode makes the

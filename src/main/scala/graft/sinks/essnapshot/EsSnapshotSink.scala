@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -50,11 +51,14 @@ import graft.core.ShardConfig
  */
 class EsSnapshotDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "es-snapshot"
+  // read path: spark.read.format("es-snapshot").load(dest) infers the scan
+  // schema; the write path passes the envelope schema in via external
+  // metadata (getTable's schema argument), so one Table serves both.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EsSnapshotSink.Schema
+    EsSnapshotRead.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new EsSnapshotTable(properties)
+    new EsSnapshotTable(schema, properties)
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -84,15 +88,25 @@ object EsSnapshotSink {
   }
 }
 
-class EsSnapshotTable(properties: util.Map[String, String])
-    extends Table with SupportsWrite {
+class EsSnapshotTable(tableSchema: StructType, properties: util.Map[String, String])
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String =
     s"es-snapshot(${properties.getOrDefault("path", "?")})"
-  override def schema(): StructType = EsSnapshotSink.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EsSnapshotWriteBuilder(info)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val dest = Option(options.get("path"))
+      .orElse(Option(properties.get("path")))
+      .getOrElse(throw new IllegalArgumentException(
+        "es-snapshot read requires a path"))
+    new EsSnapshotScanBuilder(dest, new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+  }
 }
 
 class EsSnapshotWriteBuilder(info: LogicalWriteInfo)

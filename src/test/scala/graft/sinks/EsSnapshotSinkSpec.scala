@@ -90,6 +90,31 @@ class EsSnapshotSinkSpec extends SparkSpec {
     assert(misplaced === 0)
   }
 
+  test("DSv2 read: one partition per shard, shard-filter pruning") {
+    val dest = Files.createTempDirectory("graft-snap-read").toString
+    val numShards = 8
+    val docs = Ingest.fromColumns(
+      spark.range(300).toDF("event_id"), "events", "event_id", numShards)
+    EsSnapshot.write(docs, dest, ShardConfig(numShards))
+
+    val table = EsSnapshot.readTable(spark, dest)
+    assert(table.columns.toSeq === Seq("index", "shard", "json"))
+    assert(table.count() === 300)
+    val populated = table.select("shard").distinct().count()
+    assert(table.rdd.getNumPartitions === populated)
+
+    // shard pruning: exactly one input partition scanned
+    val one = table.filter(col("shard") === 3)
+    assert(one.rdd.getNumPartitions === 1)
+    val expected = EsSnapshot.readDocs(spark, dest, "events")
+      .filter(col("shard") === 3).count()
+    assert(one.count() === expected)
+
+    // index-name pruning resolves ids through the generation file
+    assert(table.filter(col("index") === "events").count() === 300)
+    assert(table.filter(col("index") === "nope").rdd.getNumPartitions === 0)
+  }
+
   test("many shards on tiny data: empty shards backfilled, none populated twice") {
     val dest = Files.createTempDirectory("graft-snap64").toString
     val n = 64
