@@ -26,6 +26,10 @@ package object functions {
     /** Count of agreeing positions between two minhash signatures. */
     def sigAgree(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.TextSketchFunctions.sigAgree(a, b)
+    /** Single-pass text stats: [chars, tokens, alpha, punct, hits per
+      * stopword set...] as array<long>. */
+    def textStats(c: Column, stopwordSets: Seq[Seq[String]]): Column =
+      org.apache.spark.sql.graft.TextStatsFunctions.textStats(c, stopwordSets)
   }
 
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */

@@ -43,28 +43,35 @@ object TextAnalysis {
    * Quality metrics: character count, alphabetic ratio, punctuation ratio,
    * mean word length, English-stopword ratio, and a composite score.
    * All ratios rounded to 4 decimals (stable across engines).
+   *
+   * All counts come from ONE codegen'd pass over the document
+   * (`text_stats`) — the equivalent regexp_replace ×2 + tokenize + HOF
+   * stopword filter chain traverses each document five times, with the
+   * per-token lambda interpreted.
    */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
-    val text = col(textCol)
-    val toks = tokens(text)
-    val nChars = length(text)
-    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
-    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
-    val nToks = size(toks)
-    val safeChars = greatest(nChars, lit(1))
-    val safeToks = greatest(nToks, lit(1))
-    df.withColumn("q_chars", nChars)
-      .withColumn("q_tokens", nToks)
+    val st = "__qstats"
+    val nChars = element_at(col(st), 1)
+    val nToks = element_at(col(st), 2)
+    val alpha = element_at(col(st), 3)
+    val punct = element_at(col(st), 4)
+    val stopEn = element_at(col(st), 5)
+    val safeChars = greatest(nChars, lit(1L))
+    val safeToks = greatest(nToks, lit(1L))
+    df.withColumn(st,
+        graft.functions.Text.textStats(col(textCol), Seq(EnStop)))
+      .withColumn("q_chars", nChars.cast("int"))
+      .withColumn("q_tokens", nToks.cast("int"))
       .withColumn("alpha_ratio", round(alpha.cast("double") / safeChars, 4))
       .withColumn("punct_ratio", round(punct.cast("double") / safeChars, 4))
       .withColumn("mean_word_len",
         round((nChars - (nToks - 1)).cast("double") / safeToks, 4))
-      .withColumn("stopword_ratio",
-        round(stopHits(transform(toks, lower _), EnStop).cast("double") / safeToks, 4))
+      .withColumn("stopword_ratio", round(stopEn.cast("double") / safeToks, 4))
       .withColumn("quality_score", round(
         least(col("alpha_ratio") * 1.2, lit(1.0)) * 0.5 +
           least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.3 +
           when(col("q_tokens").between(10, 10000), 0.2).otherwise(0.0), 4))
+      .drop(st)
   }
 
   /**
@@ -73,15 +80,15 @@ object TextAnalysis {
    * language order.
    */
   def withLangId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    // Each score is evaluated exactly once: scores land in an array column
-    // and argmax runs over the array (a when()-fold would duplicate every
-    // score subtree per branch — exponential codegen).
+    // All four language scores come from the same single-pass text_stats
+    // call; argmax runs over the array slice (a when()-fold would
+    // duplicate every score subtree per branch — exponential codegen).
     val langs = Seq("en", "de", "fr", "es")
     val stops = Seq(EnStop, DeStop, FrStop, EsStop)
-    val toksCol = "__toks_" + out
+    val statsCol = "__stats_" + out
     val scoresCol = "__scores_" + out
-    df.withColumn(toksCol, transform(tokens(col(textCol)), lower _))
-      .withColumn(scoresCol, array(stops.map(sw => stopHits(col(toksCol), sw)): _*))
+    df.withColumn(statsCol, graft.functions.Text.textStats(col(textCol), stops))
+      .withColumn(scoresCol, slice(col(statsCol), 5, langs.length))
       .withColumn(out,
         when(col(textCol).rlike("[\\u4e00-\\u9fff]"), "zh") // CJK short-circuit
           .when(array_max(col(scoresCol)) > 0,
@@ -89,7 +96,7 @@ object TextAnalysis {
               array(langs.map(lit): _*),
               array_position(col(scoresCol), array_max(col(scoresCol))).cast("int")))
           .otherwise("unknown"))
-      .drop(toksCol, scoresCol)
+      .drop(statsCol, scoresCol)
   }
 
   /**
