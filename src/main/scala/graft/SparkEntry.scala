@@ -176,10 +176,11 @@ object SparkEntry {
 
     // ── Mission extensions: dedup / similarity / text analysis ───────────
 
-    // Exact dedup: canonical doc per distinct text (hash-groupBy).
+    // Exact dedup: canonical doc per distinct text — scale-shaped
+    // (hash-first grouping; text bodies only shuffle for collisions).
     "dedup_exact" -> ((s, dir) => {
       import graft.operators.Dedup
-      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.exactScalable(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("dup_count"), length(col("text")).as("text_len"))
     }),
 

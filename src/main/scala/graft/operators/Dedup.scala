@@ -21,6 +21,31 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /**
+   * Exact dedup, 100 TB shape: identical result to [[exact]] but the full
+   * text bodies never shuffle. Stage 1 groups 8-byte content hashes;
+   * stage 2 re-verifies only the hash-collision groups (dup candidates,
+   * a vanishing fraction of the corpus) against real text. [[exact]]
+   * shuffles the whole corpus keyed by document body — fine at test SF,
+   * prohibitive at scale.
+   */
+  def exactScalable(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), col(keyCol),
+      xxhash64(col(keyCol)).as("__h"), length(col(keyCol)).as("__len"))
+    val dupHashes = hashed.groupBy("__h", "__len")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select("__h", "__len")
+    // singletons: already unique, emit directly with dup_count 1
+    val singles = hashed.join(dupHashes, Seq("__h", "__len"), "left_anti")
+      .select(col(keyCol), col(idCol), lit(1L).as("dup_count"))
+    // collision groups: exact compare on the (tiny) candidate subset
+    val dups = hashed.join(dupHashes, Seq("__h", "__len"), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(keyCol), col(idCol), col("dup_count"))
+    singles.unionByName(dups)
+  }
+
   /** Exact near-dup on normalized text: same distinct-word bag
     * (fingerprint) regardless of order/case/whitespace. */
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =

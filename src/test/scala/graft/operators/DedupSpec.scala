@@ -18,6 +18,17 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq(("x", 1L, 2L), ("y", 2L, 1L)))
   }
 
+  test("exactScalable returns exactly the same result as exact") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y"), (9L, base), (8L, base),
+      (7L, near)).toDF("doc_id", "text")
+    val a = Dedup.exact(df, "text", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    val b = Dedup.exactScalable(df, "text", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.exists { case (_, id, n) => id == 8L && n == 2 })
+  }
+
   test("exactNormalized collapses reordered/re-cased docs") {
     val df = Seq((5L, "Alpha beta GAMMA"), (9L, "gamma  alpha beta"),
       (7L, "delta epsilon")).toDF("doc_id", "text")
