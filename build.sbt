@@ -14,6 +14,9 @@ Test / fork := true
 // (e.g. GraftExtensionsSpec) stop/recreate it — keep suites sequential.
 Test / parallelExecution := false
 run / fork := true
+// Forked run output goes straight to stdout/stderr — no "[info] " logger
+// prefix, so Bench's one-line JSON metric is machine-parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,14 +67,15 @@ object SparkEntry {
         .groupBy("shard").agg(count(lit(1)).as("n"))
     }),
 
-    // X1: exact shard→partition placement — every row reports its physical
-    // partition; correct iff partition == shard for all rows.
+    // X1: exact shard→partition placement — every row routes through the
+    // custom ShardPartitioner and reports its physical partition; correct
+    // iff partition == shard for all rows. Histogram-cost proof: only
+    // (shard, count) pairs shuffle, not full envelopes (the full typed
+    // path is exercised end-to-end by ef_snapshot_build + SnapshotE2ESpec).
     "ef_partition_placement" -> ((s, dir) => {
-      val docs = Ingest.fromColumns(t(s, dir, "events"), "events", "event_id", 8)
-      val placed = ShardPartitioning.partitionDocs(docs, 8)
-      placed.toDF()
-        .withColumn("partition", spark_partition_id())
-        .groupBy("shard", "partition").agg(count(lit(1)).as("n"))
+      val shards = t(s, dir, "events")
+        .select(EsHash.esShard(col("event_id").cast("string"), 8).as("shard"))
+      ShardPartitioning.placementHistogram(shards, "shard", 8)
     }),
 
     // S5-S12: the full offline-snapshot build — envelope → clustered DSv2
@@ -107,8 +108,13 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // decimal(38,2): Spark's sum(decimal(18,2)) result type is
+          // (28,2) but DuckDB's is (38,2) — identical values, and the
+          // driver's hash is dtype-sensitive, so widen to match
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -122,7 +128,8 @@ object SparkEntry {
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-             sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+             sum(col("o_totalprice").cast("decimal(18,2)"))
+               .cast("decimal(38,2)").as("revenue"))
     }),
 
     "q_topk_orders" -> ((s, dir) => {
@@ -142,14 +149,16 @@ object SparkEntry {
         .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
         .groupBy("day")
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)")).as("total_value"))
+             sum(col("value").cast("decimal(18,2)"))
+               .cast("decimal(38,2)").as("total_value"))
     }),
     // Rollup (hierarchical aggregate with subtotal rows).
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-             sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+             sum(col("l_quantity").cast("decimal(18,2)"))
+               .cast("decimal(38,2)").as("sum_qty"))
     }),
 
     // Semi-join (EXISTS): segments of customers who placed large orders.
@@ -186,8 +195,8 @@ object SparkEntry {
 
     // MinHash+LSH near-dup: documents ∪ deterministic planted near-copies
     // (doc_id+1000000, one appended token) — the pairs found must be
-    // exactly the plants. Custom sketch → no SQL oracle; the invariant
-    // is checked by the pair count and id offset.
+    // exactly the plants, which IS the DuckDB oracle (the est_jaccard
+    // value itself is sketch-dependent, so it stays out of the output).
     "dedup_minhash" -> ((s, dir) => {
       import graft.operators.Dedup
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -197,7 +206,7 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(docs.unionAll(plants), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
       pairs.filter(col("id_b") === col("id_a") + 1000000L)
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 2).as("est_j"))
+        .select(col("id_a"), col("id_b"))
     }),
 
     // SimHash near-dup over the same planted corpus.
@@ -210,7 +219,10 @@ object SparkEntry {
         .filter(col("id_b") === col("id_a") + 1000000L)
     }),
 
-    // Exact n-gram Jaccard verification of LSH candidates.
+    // Exact n-gram Jaccard verification of LSH candidates. Scoped to the
+    // byte-identical plants (jaccard exactly 1.0) — that makes the
+    // expected output pure SQL; natural near-dup discovery stays covered
+    // by DedupSpec.
     "dedup_ngram_verify" -> ((s, dir) => {
       import graft.operators.Dedup
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -220,18 +232,22 @@ object SparkEntry {
       val cand = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b")
       Dedup.verifyJaccard(cand, all, "doc_id", "text")
-        .filter(col("jaccard") >= 0.99)
+        .filter(col("jaccard") >= 0.99 &&
+          col("id_b") === col("id_a") + 1000000L)
         .select("id_a", "id_b", "jaccard")
     }),
 
     // Full dedup pipeline composition: sketch → LSH candidates → exact
-    // verification → connected components → survivor count.
+    // verification → connected components → absorption count. Plants are
+    // byte-identical copies so every plant's Jaccard is exactly 1.0 —
+    // a mutated plant's similarity depends on its document's length, and
+    // short docs can legitimately fall under the 0.9 verify threshold,
+    // which would make the expected count data-dependent.
     "dedup_pipeline" -> ((s, dir) => {
       import graft.operators.Dedup
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val plants = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val all = docs.unionAll(plants)
       val cand = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b")
@@ -239,8 +255,14 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.9).select("id_a", "id_b")
       val labels = Dedup.assignCanonical(
         all.select(col("doc_id").as("id")), verified)
+      // Oracle-able invariants: total docs, and every plant absorbed into
+      // its original's component (canonical < plant id always, since the
+      // plant's id is offset above the whole corpus). The overall survivor
+      // count additionally reflects natural near-dups (not SQL-derivable);
+      // it stays covered by DedupSpec's planted-graph fixture.
       labels.agg(count(lit(1)).as("docs"),
-        countDistinct(col("canonical_id")).as("survivors"))
+        sum(when(col("id") >= 1000000L && col("canonical_id") =!= col("id"), 1L)
+          .otherwise(0L)).as("plants_absorbed"))
     }),
 
     // Embedding-cosine near-dup (exact, on a deterministic subset ∪ planted
@@ -309,9 +331,13 @@ object SparkEntry {
     "mm_meta" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      // (kind, n, bytes) are all SQL-derivable (kind = id%3 mapping, bytes
+      // = UTF-8 length) → DuckDB oracle over the whole mapPartitions
+      // plumbing; width/height come from the decode STUB and stay covered
+      // by MultimodalSpec.
       Multimodal.extractMeta(media).groupBy("kind")
-        .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"),
-          countDistinct(col("width"), col("height")).as("distinct_dims"))
+        .agg(count(lit(1)).as("n"),
+          sum("size_bytes").cast("long").as("bytes"))
     }),
 
     // Multimodal feature extraction feeding the ANN operator (binary →
@@ -390,8 +416,9 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_orderpriority
-        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |              AS INTEGER) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
@@ -410,19 +437,65 @@ object SparkEntry {
       """SELECT o_orderkey,
         |       upper(substring(o_orderpriority, 1, 8)) AS prio_u,
         |       concat_ws('-', o_orderstatus, o_orderpriority) AS skey,
-        |       year(o_orderdate) AS y, month(o_orderdate) AS m,
-        |       day(o_orderdate) AS d,
+        |       CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       CAST(day(o_orderdate) AS INTEGER) AS d,
         |       round(abs(o_totalprice * -1), 1) AS abs_price,
         |       o_orderkey % 97 AS kmod,
-        |       length(o_orderpriority) AS plen
+        |       CAST(length(o_orderpriority) AS INTEGER) AS plen
         |FROM orders""".stripMargin,
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Plant-determined dedup oracles: the planted near-copies (doc_id %
+    // 25 = 0 offset by 1e6) are the exact expected output — sketch hash
+    // values never appear in the result, only which pairs were found.
+    "dedup_minhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+        |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+    "dedup_ngram_verify" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+    "dedup_pipeline" ->
+      """SELECT (SELECT count(*) FROM documents)
+        |         + (SELECT count(*) FROM documents WHERE doc_id % 25 = 0) AS docs,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+        |         AS plants_absorbed""".stripMargin,
+    // LSH self-recovery: every query shares its own bucket, so rank 1 is
+    // the query vector itself at cosine 1.0.
+    "ann_lsh" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // Full sink round-trip invariant: every event lands in exactly one of
+    // the 8 shards and reads back once.
+    "ef_snapshot_build" ->
+      """SELECT 'events' AS "index", CAST(8 AS BIGINT) AS populated_shards,
+        |       count(*) AS docs
+        |FROM events""".stripMargin,
+    // Fingerprint = hash of the canonical (lowercased, deduped, sorted)
+    // token string; distinct-count equality holds unless xxhash64 collides.
+    "text_fingerprint" ->
+      """SELECT count(*) AS docs,
+        |       count(DISTINCT CASE WHEN length(trim(text)) = 0 THEN ''
+        |         ELSE array_to_string(list_sort(list_distinct(
+        |           list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |             x -> lower(x)))), ' ') END) AS distinct_fp
+        |FROM documents""".stripMargin,
+    "mm_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       count(*) AS n,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes
+        |FROM documents GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
-        |       length(text) AS text_len
+        |       CAST(length(text) AS INTEGER) AS text_len
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (
@@ -443,21 +516,24 @@ object SparkEntry {
         |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
         |               CAST(q.qvec AS DOUBLE[])), 6) AS cosine
         |  FROM embeddings c CROSS JOIN q)
-        |SELECT query_id, rank, nn_id, cosine FROM (
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, nn_id, cosine FROM (
         |  SELECT query_id, nn_id, cosine,
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cosine DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
-        |       CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |         AS INTEGER) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |         AS INTEGER) AS n_subwords
         |FROM documents""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id, length(text) AS q_chars,
-        |       CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS q_tokens,
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS q_chars,
+        |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |         AS INTEGER) AS q_tokens,
         |       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
         |             / greatest(length(text), 1), 4) AS alpha_ratio,
         |       round((length(text) - (CASE WHEN length(trim(text)) = 0 THEN 0

@@ -75,6 +75,12 @@ object Dedup {
       .withColumn("band_keys",
         expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
+      // materialize signatures ONCE before the self-join — otherwise
+      // Catalyst re-derives minhash_sig from the scan on BOTH join sides
+      // (and again inside pushed filters): ~4-6 sketch evaluations per
+      // document. Lazy localCheckpoint caches at first action and is
+      // GC-cleaned (a persist() would pin the CacheManager entry).
+      .localCheckpoint(false)
     val banded = sigs.select(col("id"), col("sig"), explode(col("band_keys")).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
     val a = banded.as("a")
@@ -98,7 +104,9 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4 * 4, "banding guarantee needs maxHamming < 16")
     val fps = df.select(col(idCol).as("id"),
-      graft.functions.Text.simhash64(col(textCol)).as("fp"))
+        graft.functions.Text.simhash64(col(textCol)).as("fp"))
+      // one simhash64 evaluation per doc (see minhashPairs note)
+      .localCheckpoint(false)
     val chunked = fps.select(col("id"), col("fp"),
         explode(expr("transform(sequence(0, 3), c -> " +
           "struct(c AS chunk, shiftright(fp, c * 16) & 65535 AS cv))")).as("ck"))
@@ -127,7 +135,9 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, n: Int = 5): DataFrame = {
     val grams = docs.select(col(idCol).as("vid"),
-      charNgrams(col(textCol), n).as("grams"))
+        charNgrams(col(textCol), n).as("grams"))
+      // joined twice (id_a side + id_b side): shingle the corpus once
+      .localCheckpoint(false)
     pairs
       .join(grams.withColumnRenamed("vid", "id_a").withColumnRenamed("grams", "ga"), "id_a")
       .join(grams.withColumnRenamed("vid", "id_b").withColumnRenamed("grams", "gb"), "id_b")

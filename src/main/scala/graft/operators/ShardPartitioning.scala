@@ -49,6 +49,30 @@ object ShardPartitioning {
     df.sparkSession.createDataFrame(partitioned, schema)
   }
 
+  /**
+   * Placement proof at histogram cost: routes rows through the SAME
+   * [[ShardPartitioner]] as [[partitionByShard]] but carries only the
+   * shard id — map-side combine collapses each input partition to
+   * ≤ numShards (shard, count) pairs before the shuffle, so the proof
+   * moves O(partitions·shards) rows instead of the full payload (the
+   * full-envelope variant serialized every row to JSON first: ~50×
+   * heavier for a query whose output is 8 rows).
+   *
+   * Output: (shard, partition, n) — correct placement ⇔ all rows on the
+   * diagonal shard == partition.
+   */
+  def placementHistogram(df: DataFrame, shardCol: String, numShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(shardCol).rdd
+      .map(r => (r.getInt(0), 1L))
+      .reduceByKey(new ShardPartitioner(numShards), _ + _)
+      .mapPartitionsWithIndex { case (pid, it) =>
+        it.map { case (shard, n) => (shard, pid, n) }
+      }
+      .toDF("shard", "partition", "n")
+  }
+
   /** Typed variant for the standard envelope. */
   def partitionDocs(ds: Dataset[IndexableDoc], numShards: Int): Dataset[IndexableDoc] = {
     val spark = ds.sparkSession

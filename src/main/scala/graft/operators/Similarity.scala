@@ -118,13 +118,15 @@ object Similarity {
     val sig = (v: Column) => graft.functions.Vectors.hyperplaneSig(v, numPlanes, seed)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cvec"),
       sig(col(vecCol)).as("bucket"))
-    // multi-probe: original signature + every 1-bit flip
+    // multi-probe: original signature + every 1-bit flip, derived from ONE
+    // signature evaluation per query row
     val probes = array((0 to numPlanes).map {
-      case 0 => sig(col(vecCol))
-      case i => sig(col(vecCol)).bitwiseXOR(lit(1L << (i - 1)))
+      case 0 => col("__qsig")
+      case i => col("__qsig").bitwiseXOR(lit(1L << (i - 1)))
     }: _*)
     val q = queries.select(col(queryIdCol), col(vecCol).as("qvec"),
-        explode(probes).as("bucket"))
+        sig(col(vecCol)).as("__qsig"))
+      .select(col(queryIdCol), col("qvec"), explode(probes).as("bucket"))
     val scored = c.join(q, "bucket")
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
       .groupBy(col(queryIdCol), col("nn_id"))
@@ -157,12 +159,19 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, threshold: Double, numPlanes: Int = 12,
                      seed: Long = 42, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val sig = graft.functions.Vectors.hyperplaneSig(col(vecCol), numPlanes, seed)
+    // compute the signature ONCE per row, then derive the multi-probe set
+    // from the materialized column (inlining `sig` into every array slot
+    // evaluates numPlanes+1 hyperplane projections per row), and cache
+    // before the self-join so the sketch isn't re-derived per side
+    val sigged = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        graft.functions.Vectors.hyperplaneSig(col(vecCol), numPlanes, seed)
+          .as("sig0"))
+      .localCheckpoint(false)
     val probes = array((0 to numPlanes).map {
-      case 0 => sig
-      case i => sig.bitwiseXOR(lit(1L << (i - 1)))
+      case 0 => col("sig0")
+      case i => col("sig0").bitwiseXOR(lit(1L << (i - 1)))
     }: _*)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("sig0"),
+    val v = sigged.select(col("id"), col("vec"), col("sig0"),
       explode(probes).as("bucket"))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

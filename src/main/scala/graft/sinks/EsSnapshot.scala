@@ -17,7 +17,8 @@ object EsSnapshot {
             shards: ShardConfig = ShardConfig(),
             snapshotName: Option[String] = None,
             mappings: Option[String] = None,
-            template: Option[String] = None): Unit = {
+            template: Option[String] = None,
+            options: Map[String, String] = Map.empty): Unit = {
     var w = docs.toDF().write.format("es-snapshot")
       .option("path", dest)
       .option(EsSnapshotSink.ShardsDefaultOption, shards.defaultShards)
@@ -27,6 +28,7 @@ object EsSnapshot {
     snapshotName.foreach(n => w = w.option(EsSnapshotSink.SnapshotNameOption, n))
     mappings.foreach(m => w = w.option(EsSnapshotSink.MappingsOption, m))
     template.foreach(t => w = w.option(EsSnapshotSink.TemplateOption, t))
+    options.foreach { case (k, v) => w = w.option(k, v) }
     w.mode("append").save()
   }
 
@@ -44,7 +46,7 @@ object EsSnapshot {
     import org.apache.spark.sql.functions._
     val indexDir = s"$dest/indices/${graft.sinks.essnapshot.SnapshotLayout.indexId(indexName)}"
     spark.read
-      .option("pathGlobFilter", "docs-*.ndjson.gz")
+      .option("pathGlobFilter", "docs-*.ndjson*") // .ndjson or .ndjson.gz
       .option("recursiveFileLookup", "true")
       .text(indexDir)
       .withColumn("shard",

@@ -133,8 +133,9 @@ class ShardReaderFactory(conf: SerializableConfiguration)
         else {
           val path = new Path(fileIter.next())
           val fs = path.getFileSystem(conf.value)
-          reader = new BufferedReader(new InputStreamReader(
-            new GZIPInputStream(fs.open(path)), "UTF-8"))
+          val raw: java.io.InputStream = fs.open(path)
+          val in = if (path.getName.endsWith(".gz")) new GZIPInputStream(raw) else raw
+          reader = new BufferedReader(new InputStreamReader(in, "UTF-8"))
           true
         }
       }

@@ -77,6 +77,12 @@ object EsSnapshotSink {
   val MappingsOption = "index.mappings"
   val TemplateOption = "index.template"
   val BatchBytesOption = "batch.bytes" // stream flush granularity
+  // Payload codec: "gzip" (default) or "none". The reference's throughput
+  // bottleneck analogue is one single-threaded stream per shard, so the
+  // deflate level is a first-class knob; default 1 (BEST_SPEED) — level 6
+  // costs ~4× CPU on the only non-parallelizable stage for ~15% size.
+  val CompressionOption = "compression"
+  val CompressionLevelOption = "compression.level"
 
   def shardConfig(options: Map[String, String]): ShardConfig = {
     val default = options.getOrElse(ShardsDefaultOption, "5").toInt
@@ -201,7 +207,14 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     val batchBytes = options.getOrElse(EsSnapshotSink.BatchBytesOption,
       (10 * 1024 * 1024).toString).toLong // reference default: 10 MB bulks
-    new ShardDocWriterFactory(schema, dest, conf, batchBytes)
+    val gzip = options.getOrElse(EsSnapshotSink.CompressionOption, "gzip") match {
+      case "gzip" => true
+      case "none" => false
+      case other => throw new IllegalArgumentException(
+        s"${EsSnapshotSink.CompressionOption} must be gzip|none, got $other")
+    }
+    val level = options.getOrElse(EsSnapshotSink.CompressionLevelOption, "1").toInt
+    new ShardDocWriterFactory(schema, dest, conf, batchBytes, gzip, level)
   }
 
   /** The post-processor, as the DSv2 driver commit
@@ -307,10 +320,12 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
 }
 
 class ShardDocWriterFactory(schema: StructType, dest: String,
-                            conf: SerializableConfiguration, batchBytes: Long)
+                            conf: SerializableConfiguration, batchBytes: Long,
+                            gzip: Boolean = true, gzipLevel: Int = 1)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardDocWriter(schema, dest, conf.value, partitionId, taskId, batchBytes)
+    new ShardDocWriter(schema, dest, conf.value, partitionId, taskId, batchBytes,
+      gzip, gzipLevel)
 }
 
 /**
@@ -324,7 +339,8 @@ class ShardDocWriterFactory(schema: StructType, dest: String,
  * and flushing (close) phases separately.
  */
 class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
-                     partitionId: Int, taskId: Long, batchBytes: Long)
+                     partitionId: Int, taskId: Long, batchBytes: Long,
+                     gzip: Boolean = true, gzipLevel: Int = 1)
     extends DataWriter[InternalRow] {
 
   private val writerUuid = s"p$partitionId-t$taskId-${UUID.randomUUID()}"
@@ -332,14 +348,21 @@ class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
   private val iShard = schema.fieldIndex("shard")
   private val iJson = schema.fieldIndex("json")
 
+  /** GZIPOutputStream pinned to a deflate level (the JDK class hardcodes
+    * the Deflater default; `def` is its protected Deflater field). */
+  private final class LeveledGzip(o: OutputStream, level: Int)
+      extends GZIPOutputStream(o, 64 * 1024) { `def`.setLevel(level) }
+
   private final class ShardStream(val index: String, val shard: Int, seq: Int) {
     // seq guards the (engine-violated-ordering) case where a group is
     // revisited after its stream closed: a fresh file, never an overwrite
-    val fileName: String = SnapshotLayout.dataFile(s"$writerUuid-$seq")
+    val fileName: String = SnapshotLayout.dataFile(s"$writerUuid-$seq", gzip)
     val path = new Path(SnapshotLayout.shardDir(dest, index, shard), fileName)
     private val fs = path.getFileSystem(conf)
-    val out: OutputStream = new GZIPOutputStream(
-      new BufferedOutputStream(fs.create(path, true), 64 * 1024))
+    val out: OutputStream = {
+      val base = new BufferedOutputStream(fs.create(path, true), 64 * 1024)
+      if (gzip) new LeveledGzip(base, gzipLevel) else base
+    }
     var docCount = 0L
     var bytes = 0L
     var indexingNanos = 0L

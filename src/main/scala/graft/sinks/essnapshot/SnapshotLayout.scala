@@ -51,7 +51,8 @@ object SnapshotLayout {
   /** reference: BaseTransport.java:333-335 */
   def metaDat(uuid: String): String = s"meta-$uuid.dat"
 
-  def dataFile(writerUuid: String): String = s"docs-$writerUuid.ndjson.gz"
+  def dataFile(writerUuid: String, gzip: Boolean = true): String =
+    if (gzip) s"docs-$writerUuid.ndjson.gz" else s"docs-$writerUuid.ndjson"
 
   val IndexLatest = "index.latest"
   val ManifestFile = "manifest.txt"

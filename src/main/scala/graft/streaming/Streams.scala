@@ -42,7 +42,10 @@ object Streams {
     val wm = watermark.fold(e)(w => e.withWatermark("event_time", w))
     wm.groupBy(window(col("event_time"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        // (38,2) matches DuckDB's sum(decimal(18,2)) result type — the
+        // oracle compare is dtype-sensitive
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
   }

@@ -5,7 +5,10 @@ Usage: python3 tools/oracle_check.py /tmp/verify_out /root/testdata/sf0.01
 
 For each <name>/ parquet dir under verify_out, runs oracle_sql.json[name]
 in DuckDB with the sf-dir tables registered as views, sorts columns by
-name, sorts rows, and compares cell-by-cell (floats to 1e-9 rel).
+name, sorts rows, and compares EXACTLY — values cell-by-cell with no
+float tolerance, and result column dtypes. (The driver's hash compare is
+dtype-sensitive: round 1 had five queries whose values matched but whose
+decimal widths differed, and a tolerant mimic masked it.)
 Exit code 1 if any query mismatches.
 """
 import glob
@@ -29,17 +32,14 @@ def canon(rows):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, float) and isinstance(b, float):
+        # exact bit compare except the NaN == NaN case
+        return a == b or (math.isnan(a) and math.isnan(b))
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-    return a == b
+    # no cross-type coercion: int vs float vs Decimal must already agree
+    # in dtype (checked separately) and compare equal under ==
+    return type(a) is type(b) and a == b
 
 
 def main(out_dir, sf_dir):
@@ -62,8 +62,9 @@ def main(out_dir, sf_dir):
             continue
         got = con.sql(f"SELECT * FROM read_parquet({files!r})")
         got_cols = sorted(got.columns)
-        got_rows = canon(con.sql(
-            f"SELECT {', '.join(got_cols)} FROM got").fetchall())
+        got_sorted = con.sql(f"SELECT {', '.join(got_cols)} FROM got")
+        got_types = [str(t) for t in got_sorted.types]
+        got_rows = canon(got_sorted.fetchall())
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got_rows)} rows "
                   f"({'OK' if got_rows else 'EMPTY!'})")
@@ -77,10 +78,16 @@ def main(out_dir, sf_dir):
             failures += 1
             continue
         exp_cols = sorted(exp.columns)
-        exp_rows = canon(con.sql(
-            f"SELECT {', '.join(exp_cols)} FROM exp").fetchall())
+        exp_sorted = con.sql(f"SELECT {', '.join(exp_cols)} FROM exp")
+        exp_types = [str(t) for t in exp_sorted.types]
+        exp_rows = canon(exp_sorted.fetchall())
         if got_cols != exp_cols:
             print(f"[FAIL] {name}: columns {got_cols} != oracle {exp_cols}")
+            failures += 1
+            continue
+        if got_types != exp_types:
+            print(f"[FAIL] {name}: dtypes differ\n  got {dict(zip(got_cols, got_types))}"
+                  f"\n  exp {dict(zip(exp_cols, exp_types))}")
             failures += 1
             continue
         if len(got_rows) != len(exp_rows):
