@@ -93,6 +93,31 @@ object SparkEntry {
           count(lit(1)).as("docs"))
     }),
 
+    // X2 consumer: targeted-search read path — compute each wanted doc's
+    // shard with the routing strategy, read ONLY those shards through the
+    // DSv2 scan's pushed shard filter, and find every doc. Correct iff
+    // routing math, sink placement, and read-side pruning all agree.
+    "ef_targeted_read" -> ((s, dir) => {
+      import graft.core.{RoutingStrategyV5, ShardConfig}
+      import graft.sinks.EsSnapshot
+      val numShards = 8
+      val dest = java.nio.file.Files.createTempDirectory("graft-snap-tr").toString
+      val docs = Ingest.fromColumns(t(s, dir, "events"), "events", "event_id", numShards)
+      EsSnapshot.write(docs, dest, ShardConfig(numShards), Some("targeted"))
+      val strat = RoutingStrategyV5(numShards)
+      // wanted ids: a tiny driver-side set (targeted search is point-lookup
+      // shaped by construction — |ids| ≪ corpus)
+      val ids = t(s, dir, "events").filter(col("event_id") % 1000 === 0)
+        .select(col("event_id").cast("string"))
+        .collect().map(_.getString(0))
+      val shards = ids.map(strat.shardFor).distinct.toSeq
+      EsSnapshot.readTable(s, dest)
+        .filter(col("shard").isin(shards: _*)) // pushed → prunes shard dirs
+        .select(get_json_object(col("json"), "$.event_id").as("doc_id"))
+        .filter(col("doc_id").isin(ids.toSeq: _*))
+        .agg(count(lit(1)).as("found_docs"))
+    }),
+
     // A4: anti-join reconciliation analogue (keys with no counterpart).
     "q_antijoin_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -273,6 +298,20 @@ object SparkEntry {
       val plants = t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
       Similarity.cosinePairs(v.unionAll(plants), 0.999, lit(0))
+    }),
+
+    // LSH-blocked embedding near-dup — the 100 TB scale path (candidates
+    // only within hyperplane buckets, never all-pairs). Gated on planted
+    // exact copies: identical vectors share every bucket, so each plant
+    // MUST be recovered at cosine 1.0.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val v = t(s, dir, "embeddings")
+      val plants = v.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+      Similarity.lshCosinePairs(v.unionAll(plants), 0.9999, numPlanes = 12)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select("id_a", "id_b", "cosine")
     }),
 
     // Brute-force cosine top-k (exact ANN baseline).
@@ -472,6 +511,16 @@ object SparkEntry {
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // Targeted read: routing → shard → pruned scan must find exactly the
+    // wanted docs, no more, no fewer.
+    "ef_targeted_read" ->
+      """SELECT count(*) AS found_docs FROM events
+        |WHERE event_id % 1000 = 0""".stripMargin,
+    // Identical planted vectors must be recovered through LSH buckets.
+    "dedup_embedding_lsh" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     // Full sink round-trip invariant: every event lands in exactly one of
     // the 8 shards and reads back once.
     "ef_snapshot_build" ->

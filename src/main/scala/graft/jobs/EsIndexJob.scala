@@ -29,12 +29,12 @@ object EsIndexJob {
   final case class Args(inputPaths: Seq[String], dest: String, index: String,
                         docIdField: String, numShards: Int,
                         snapshotName: Option[String], mappings: Option[String],
-                        template: Option[String])
+                        template: Option[String], failFast: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     require(argv.length >= 5,
       "usage: <inputPaths(|-sep)> <dest> <indexName> <docIdField> <numShards> " +
-        "[snapshotName] [mappingsFile] [templateFile]")
+        "[snapshotName] [mappingsFile] [templateFile] [failfast|permissive]")
     Args(
       inputPaths = argv(0).split('|').toSeq.filter(_.nonEmpty), // README.md:30-31
       dest = argv(1).stripSuffix("/"), // IndexingJob.java:94
@@ -43,16 +43,33 @@ object EsIndexJob {
       numShards = argv(4).toInt,
       snapshotName = argv.lift(5),
       mappings = argv.lift(6),
-      template = argv.lift(7))
+      template = argv.lift(7),
+      // the reference always fails fast (BaseESReducer.java:284-293);
+      // permissive-with-counter is this engine's default
+      failFast = argv.lift(8).contains("failfast"))
   }
 
   def run(spark: SparkSession, args: Args): Long = {
     val mappings = args.mappings.map(Ingest.readConfigFile(spark, _))
     val template = args.template.map(Ingest.readConfigFile(spark, _))
     val raw = Ingest.ndjsonRaw(spark, args.inputPaths)
-    val docs = Ingest.toIndexable(raw, args.index, args.docIdField, args.numShards)
+    val (docs, ingestObs) = Ingest.toIndexableObserved(
+      raw, args.index, args.docIdField, args.numShards, failFast = args.failFast)
     EsSnapshot.write(docs, args.dest, ShardConfig(args.numShards),
       args.snapshotName, mappings, template)
+    // INDEXING_DOC_FAIL counter next to the sink's _SUMMARY.json — silent
+    // drops become a visible number in the committed snapshot
+    val m = ingestObs.get
+    val body = graft.sinks.essnapshot.SnapshotLayout.jsonObj(
+      "input_docs" -> m("input_docs").toString,
+      "rejected_docs" -> m("rejected_docs").toString,
+      "mode" -> graft.sinks.essnapshot.SnapshotLayout.jsonStr(
+        if (args.failFast) "failfast" else "permissive"))
+    val p = new org.apache.hadoop.fs.Path(args.dest, "_INGEST.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     EsSnapshot.readManifest(spark, args.dest).count()
   }
 

@@ -53,20 +53,35 @@ object Ingest {
   }
 
   /**
-   * P1+P2+P4: doc-id extraction, null-record filter, and typed-envelope
-   * construction (replaces the reference's `index|docId|json` string packing,
-   * IndexingMapperImpl.java:55-57, with real columns — no split/re-join,
-   * Tungsten handles layout).
+   * P1+P2+P4: doc-id extraction, malformed-record policy, and typed-
+   * envelope construction (replaces the reference's `index|docId|json`
+   * string packing, IndexingMapperImpl.java:55-57, with real columns — no
+   * split/re-join, Tungsten handles layout).
+   *
+   * Malformed-record policy: the reference FAILS the task on an
+   * unparseable payload (BaseESReducer.java:284-293 throws); `failFast =
+   * true` reproduces that (task dies with an INDEXING_DOC_FAIL message
+   * naming the payload). The default is permissive (drop the row) — pair
+   * it with [[toIndexableObserved]] so drops are counted, never silent.
    *
    * @param jsonCol     column holding the raw JSON document
    * @param docIdField  top-level JSON field with the document id
    *                    (reference: README.md:44-45)
+   * @param failFast    true → any row without an extractable doc id kills
+   *                    the job (the reference's behavior)
    */
   def toIndexable(df: DataFrame, indexName: String, docIdField: String,
-                  numShards: Int, jsonCol: String = "json"): Dataset[IndexableDoc] = {
+                  numShards: Int, jsonCol: String = "json",
+                  failFast: Boolean = false): Dataset[IndexableDoc] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val docId = get_json_object(col(jsonCol), s"$$.$docIdField")
+    val extracted = get_json_object(col(jsonCol), s"$$.$docIdField")
+    val docId =
+      if (failFast)
+        when(extracted.isNull, raise_error(concat(
+          lit(s"INDEXING_DOC_FAIL: no '$docIdField' in document: "),
+          coalesce(col(jsonCol), lit("<null>"))))).otherwise(extracted)
+      else extracted
     df.select(
         lit(indexName).as("index"),
         docId.as("docId"),
@@ -75,6 +90,28 @@ object Ingest {
         col(jsonCol).as("json"))
       .filter(col("docId").isNotNull && col("json").isNotNull) // P4
       .as[IndexableDoc]
+  }
+
+  /**
+   * [[toIndexable]] plus the reference's job counters
+   * (BaseESReducer.java:60-62): returns the envelope stream and an
+   * [[Observation]] that, after the first action on the stream, yields
+   * `input_docs` and `rejected_docs` (rows dropped for a missing doc id —
+   * the INDEXING_DOC_FAIL count). Metrics ride the same pass as the scan
+   * (a `CollectMetrics` node, no extra job).
+   */
+  def toIndexableObserved(df: DataFrame, indexName: String, docIdField: String,
+                          numShards: Int, jsonCol: String = "json",
+                          failFast: Boolean = false)
+  : (Dataset[IndexableDoc], org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_ingest_${java.util.UUID.randomUUID()}")
+    val rejected = get_json_object(col(jsonCol), s"$$.$docIdField").isNull ||
+      col(jsonCol).isNull
+    val observed = df.observe(obs,
+      count(lit(1)).as("input_docs"),
+      sum(when(rejected, 1L).otherwise(0L)).as("rejected_docs"))
+    (toIndexable(observed, indexName, docIdField, numShards, jsonCol, failFast), obs)
   }
 
   /** Envelope for already-columnar data: any DataFrame + an id column

@@ -115,6 +115,30 @@ class EsSnapshotSinkSpec extends SparkSpec {
     assert(table.filter(col("index") === "nope").rdd.getNumPartitions === 0)
   }
 
+  test("compression=none and leveled gzip both round-trip through the read path") {
+    val numShards = 4
+    val docs = Ingest.fromColumns(
+      spark.range(200).toDF("event_id"), "events", "event_id", numShards)
+
+    val plain = Files.createTempDirectory("graft-snap-plain").toString
+    EsSnapshot.write(docs, plain, ShardConfig(numShards),
+      options = Map("compression" -> "none"))
+    // data files are bare .ndjson (no .gz), still discovered and readable
+    val plainFiles = Files.walk(Paths.get(plain)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("docs-")).toList
+    assert(plainFiles.nonEmpty && plainFiles.forall(_.endsWith(".ndjson")))
+    assert(EsSnapshot.readTable(spark, plain).count() === 200)
+    assert(EsSnapshot.readDocs(spark, plain, "events").count() === 200)
+
+    val tight = Files.createTempDirectory("graft-snap-gz9").toString
+    EsSnapshot.write(docs, tight, ShardConfig(numShards),
+      options = Map("compression" -> "gzip", "compression.level" -> "9"))
+    val gzFiles = Files.walk(Paths.get(tight)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("docs-")).toList
+    assert(gzFiles.nonEmpty && gzFiles.forall(_.endsWith(".ndjson.gz")))
+    assert(EsSnapshot.readTable(spark, tight).count() === 200)
+  }
+
   test("many shards on tiny data: empty shards backfilled, none populated twice") {
     val dest = Files.createTempDirectory("graft-snap64").toString
     val n = 64

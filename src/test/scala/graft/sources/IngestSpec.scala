@@ -44,6 +44,30 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.ndjson(spark, Seq(p1, p2)).count() === 3)
   }
 
+  test("failFast mode dies on a missing doc id (reference INDEXING_DOC_FAIL)") {
+    val path = writeNdjson(Seq("""{"id":"ok"}""", """{"v":3}"""))
+    val raw = Ingest.ndjsonRaw(spark, Seq(path))
+    val ex = intercept[Exception] {
+      Ingest.toIndexable(raw, "idx", "id", 5, failFast = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("INDEXING_DOC_FAIL")))
+    // permissive default on the same input: row dropped, job survives
+    assert(Ingest.toIndexable(raw, "idx", "id", 5).count() === 1)
+  }
+
+  test("toIndexableObserved counts input and rejected docs") {
+    val path = writeNdjson(Seq(
+      """{"id":"a"}""", """{"id":"b"}""", """{"v":1}""", """{"nope":2}"""))
+    val raw = Ingest.ndjsonRaw(spark, Seq(path))
+    val (docs, obs) = Ingest.toIndexableObserved(raw, "idx", "id", 5)
+    assert(docs.count() === 2)
+    val m = obs.get
+    assert(m("input_docs") === 4L)
+    assert(m("rejected_docs") === 2L)
+  }
+
   test("readConfigFile round-trips a config blob (S4)") {
     val dir = Files.createTempDirectory("graft-conf")
     val f = dir.resolve("mappings.json")
