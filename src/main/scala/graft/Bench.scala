@@ -20,13 +20,23 @@ object Bench {
       "nation", "region").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // Caches (sketch-frame localCheckpoints) are per-query scratch: free
+    // them between queries or 33×2 runs of cached RDDs pile up in one JVM
+    // and GC pressure poisons later queries' timings.
+    def dropCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     // min over `repeats` runs: first run pays codegen/class-load warmup,
     // min strips run-to-run variance so rounds are comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropCaches()
+        dt
       }
       name -> times.min
     }
