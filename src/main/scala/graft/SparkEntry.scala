@@ -536,6 +536,29 @@ object SparkEntry {
         |           list_transform(regexp_split_to_array(trim(text), '\s+'),
         |             x -> lower(x)))), ' ') END) AS distinct_fp
         |FROM documents""".stripMargin,
+    // Replicates the langid heuristic exactly: whitespace tokens,
+    // lowercased, stopword-hit voting per language, argmax with fixed
+    // en>de>fr>es tie order, CJK short-circuit, unknown on zero hits.
+    "text_langid" ->
+      """WITH sc AS (
+        |  SELECT text,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by'], t))) AS s_en,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['der','die','das','und','ist','ich','nicht','ein','eine','mit','für','auf','des','im','zu','von'], t))) AS s_de,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','pour','que','qui','au','pas','sur'], t))) AS s_fr,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['el','la','los','las','de','y','es','un','una','en','por','que','no','con','para','del'], t))) AS s_es
+        |  FROM documents)
+        |SELECT CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+        |            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |            WHEN s_fr >= s_es THEN 'fr'
+        |            ELSE 'es' END AS lang_pred,
+        |       count(*) AS n
+        |FROM sc GROUP BY 1""".stripMargin,
     "mm_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,

@@ -76,7 +76,16 @@ object EsSnapshotSink {
   val ShardsPerIndexPrefix = "shards.index." // shards.index.<name> = n
   val MappingsOption = "index.mappings"
   val TemplateOption = "index.template"
-  val BatchBytesOption = "batch.bytes" // stream flush granularity
+  // Flush/roll triggers, mirroring the reference's bulk knobs
+  // (IndexingJob.java:64-75 exposes docs=20k / MB=10 / seconds=60): a
+  // shard's output rolls to a fresh data file when either threshold is
+  // crossed, bounding single-file size and retry cost. The time trigger
+  // is n/a here by design: the reference buffers docs in a live indexer
+  // (flushSec bounds its latency); this writer streams straight to the
+  // destination with only a 64 KB buffer, and in streaming mode the
+  // micro-batch interval plays that role (Streams.streamToSnapshots).
+  val BatchBytesOption = "batch.bytes" // roll file after N payload bytes
+  val BatchDocsOption = "batch.docs" // roll file after N docs (0 = off)
   // Payload codec: "gzip" (default) or "none". The reference's throughput
   // bottleneck analogue is one single-threaded stream per shard, so the
   // deflate level is a first-class knob; default 1 (BEST_SPEED) — level 6
@@ -206,7 +215,8 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
     val conf = new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     val batchBytes = options.getOrElse(EsSnapshotSink.BatchBytesOption,
-      (10 * 1024 * 1024).toString).toLong // reference default: 10 MB bulks
+      (256 * 1024 * 1024).toString).toLong // file-roll threshold
+    val batchDocs = options.getOrElse(EsSnapshotSink.BatchDocsOption, "0").toLong
     val gzip = options.getOrElse(EsSnapshotSink.CompressionOption, "gzip") match {
       case "gzip" => true
       case "none" => false
@@ -214,7 +224,8 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         s"${EsSnapshotSink.CompressionOption} must be gzip|none, got $other")
     }
     val level = options.getOrElse(EsSnapshotSink.CompressionLevelOption, "1").toInt
-    new ShardDocWriterFactory(schema, dest, conf, batchBytes, gzip, level)
+    new ShardDocWriterFactory(schema, dest, conf, batchBytes, gzip, level,
+      batchDocs)
   }
 
   /** The post-processor, as the DSv2 driver commit
@@ -321,11 +332,12 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
 
 class ShardDocWriterFactory(schema: StructType, dest: String,
                             conf: SerializableConfiguration, batchBytes: Long,
-                            gzip: Boolean = true, gzipLevel: Int = 1)
+                            gzip: Boolean = true, gzipLevel: Int = 1,
+                            batchDocs: Long = 0L)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardDocWriter(schema, dest, conf.value, partitionId, taskId, batchBytes,
-      gzip, gzipLevel)
+      gzip, gzipLevel, batchDocs)
 }
 
 /**
@@ -340,7 +352,8 @@ class ShardDocWriterFactory(schema: StructType, dest: String,
  */
 class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
                      partitionId: Int, taskId: Long, batchBytes: Long,
-                     gzip: Boolean = true, gzipLevel: Int = 1)
+                     gzip: Boolean = true, gzipLevel: Int = 1,
+                     batchDocs: Long = 0L)
     extends DataWriter[InternalRow] {
 
   private val writerUuid = s"p$partitionId-t$taskId-${UUID.randomUUID()}"
@@ -412,12 +425,20 @@ class ShardDocWriter(schema: StructType, dest: String, conf: Configuration,
     current
   }
 
+  private def thresholdHit(s: ShardStream): Boolean =
+    (batchBytes > 0 && s.bytes >= batchBytes) ||
+      (batchDocs > 0 && s.docCount >= batchDocs)
+
   override def write(record: InternalRow): Unit = {
     val index = record.getUTF8String(iIndex).toString
     val shard = record.getInt(iShard)
     val stream =
-      if (current != null && current.shard == shard && current.index == index) current
-      else roll(index, shard)
+      if (current != null && current.shard == shard && current.index == index) {
+        // bounded data files: roll at the bytes/docs flush threshold (the
+        // reference's bulk-size knobs); every rolled file is committed and
+        // listed in the shard's snap manifest
+        if (thresholdHit(current)) roll(index, shard) else current
+      } else roll(index, shard)
     stream.append(record.getUTF8String(iJson).getBytes)
   }
 

@@ -115,6 +115,36 @@ class EsSnapshotSinkSpec extends SparkSpec {
     assert(table.filter(col("index") === "nope").rdd.getNumPartitions === 0)
   }
 
+  test("batch.docs / batch.bytes roll data files; every roll is manifested") {
+    val numShards = 4
+    val dest = Files.createTempDirectory("graft-snap-roll").toString
+    val docs = Ingest.fromColumns(
+      spark.range(400).toDF("event_id"), "events", "event_id", numShards)
+    EsSnapshot.write(docs, dest, ShardConfig(numShards),
+      options = Map("batch.docs" -> "25"))
+
+    val indexDir = Paths.get(dest, "indices",
+      SnapshotLayout.indexId("events"))
+    var sawRoll = false
+    for (shard <- 0 until numShards) {
+      val files = Files.list(indexDir.resolve(shard.toString)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("docs-")).toList
+      // ~100 docs/shard at 25-doc rolls → several files
+      if (files.size > 1) sawRoll = true
+      files.foreach { f =>
+        // every rolled file carries a distinct writer seq, no overwrites
+        assert(files.count(_ == f) === 1)
+      }
+    }
+    assert(sawRoll, "roll threshold must produce multiple files per shard")
+    assert(EsSnapshot.readTable(spark, dest).count() === 400)
+    // a tiny byte threshold also rolls
+    val dest2 = Files.createTempDirectory("graft-snap-roll-b").toString
+    EsSnapshot.write(docs, dest2, ShardConfig(numShards),
+      options = Map("batch.bytes" -> "512"))
+    assert(EsSnapshot.readTable(spark, dest2).count() === 400)
+  }
+
   test("compression=none and leveled gzip both round-trip through the read path") {
     val numShards = 4
     val docs = Ingest.fromColumns(
