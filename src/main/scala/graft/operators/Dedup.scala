@@ -131,14 +131,24 @@ object Dedup {
   /**
    * Exact n-gram Jaccard for candidate pairs — the verification stage
    * after LSH candidate generation. `pairs` must have (id_a, id_b).
+   *
+   * Scale shape: only documents that appear in a candidate pair are ever
+   * shingled (semi-join first) — candidates are a vanishing fraction of a
+   * 100 TB corpus, so the expensive gram arrays exist only for them.
    */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, n: Int = 5): DataFrame = {
-    val grams = docs.select(col(idCol).as("vid"),
-        charNgrams(col(textCol), n).as("grams"))
-      // joined twice (id_a side + id_b side): shingle the corpus once
+    // the candidate set is small and referenced three times (two id
+    // projections + the verify join): materialize it once
+    val p = pairs.localCheckpoint(false)
+    val wanted = p.select(col("id_a").as("__wid"))
+      .unionAll(p.select(col("id_b").as("__wid"))).distinct()
+    val grams = docs
+      .join(wanted, col(idCol) === col("__wid"), "left_semi")
+      .select(col(idCol).as("vid"), charNgrams(col(textCol), n).as("grams"))
+      // joined twice (id_a side + id_b side): shingle each candidate once
       .localCheckpoint(false)
-    pairs
+    p
       .join(grams.withColumnRenamed("vid", "id_a").withColumnRenamed("grams", "ga"), "id_a")
       .join(grams.withColumnRenamed("vid", "id_b").withColumnRenamed("grams", "gb"), "id_b")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
