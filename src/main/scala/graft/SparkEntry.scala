@@ -335,6 +335,17 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // IVF-bucketed ANN (k-means coarse quantizer, the second scale path
+    // next to LSH). Self-recovery oracle, same contract as ann_lsh.
+    "ann_ivf" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(corpus, queries, 5, numCells = 16, nProbe = 4)
+        .filter(col("rank") === 1)
+    }),
+
     // Token counting (whitespace + BPE-ish subword estimate).
     "text_tokens" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -508,6 +519,11 @@ object SparkEntry {
     // LSH self-recovery: every query shares its own bucket, so rank 1 is
     // the query vector itself at cosine 1.0.
     "ann_lsh" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // IVF self-recovery: the query's own cell is always probed first.
+    "ann_ivf" ->
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,

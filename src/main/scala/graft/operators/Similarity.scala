@@ -139,6 +139,115 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN top-k — the other classic scale path next to
+   * LSH: a k-means coarse quantizer partitions the corpus into `numCells`
+   * cells; each query probes its `nProbe` nearest cells and exact cosine
+   * ranks only those candidates. Candidate volume ≈ corpus·nProbe/numCells
+   * per query, tunable independently of the hash-family geometry LSH is
+   * stuck with.
+   *
+   * Scale shape: training is `iters` corpus passes with map-side combine
+   * (shuffle carries numCells partial sums per partition, never vectors);
+   * the centroid table (numCells × dim) broadcasts; cell assignment is one
+   * streamed pass; the candidate join is an equi-join on a small int key.
+   * Self-recovery guarantee: a query that exists in the corpus always
+   * probes its own cell first ⇒ finds itself at cosine 1.0.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              seed: Long = 42, idCol: String = "vec_id",
+              vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+
+    // deterministic seeded init: the numCells rows with the smallest
+    // hash(id, seed) — TakeOrdered, no full sort
+    var centroids: Array[Array[Float]] = typed.toDF("id", "vec")
+      .withColumn("__h", xxhash64(col("id"), lit(seed)))
+      .orderBy("__h").limit(numCells)
+      .select("vec").as[Array[Float]].collect()
+
+    def nearest(cs: Array[Array[Float]], vec: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val cv = cs(c); var d = 0.0; var i = 0
+        val n = math.min(cv.length, vec.length)
+        while (i < n) { val t = cv(i) - vec(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // Lloyd iterations: per-partition (cell → sum, count) combine; only
+    // numCells·dim doubles per partition ever shuffle
+    for (_ <- 1 to iters) {
+      val cB = spark.sparkContext.broadcast(centroids)
+      val sums = typed.rdd.mapPartitions { rows =>
+        val cs = cB.value
+        val acc = Array.fill(cs.length)(null: Array[Double])
+        val cnt = new Array[Long](cs.length)
+        rows.foreach { case (_, vec) =>
+          val c = nearest(cs, vec)
+          if (acc(c) == null) acc(c) = new Array[Double](vec.length)
+          var i = 0
+          while (i < vec.length && i < acc(c).length) { acc(c)(i) += vec(i); i += 1 }
+          cnt(c) += 1
+        }
+        acc.iterator.zipWithIndex.collect {
+          case (s, c) if s != null => (c, (s, cnt(c)))
+        }
+      }.reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+        val (s1, n1) = a; val (s2, n2) = b
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        (s1, n1 + n2)
+      }.collectAsMap()
+      centroids = centroids.indices.map { c =>
+        sums.get(c) match {
+          case Some((s, n)) => s.map(v => (v / n).toFloat)
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+
+    val cB = spark.sparkContext.broadcast(centroids)
+    val binned = typed.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vec) => (nearest(cs, vec), id, vec) }
+    }.toDF("cell", "nn_id", "cvec")
+
+    // each query probes its nProbe nearest cells (own cell is always #1)
+    val probed = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value
+        rows.flatMap { case (qid, qvec) =>
+          val byDist = cs.indices.map { c =>
+            val cv = cs(c); var d = 0.0; var i = 0
+            val n = math.min(cv.length, qvec.length)
+            while (i < n) { val t = cv(i) - qvec(i); d += t * t; i += 1 }
+            (d, c)
+          }.sorted.take(math.min(nProbe, cs.length))
+          byDist.map { case (_, c) => (c, qid, qvec) }
+        }
+      }.toDF("cell", queryIdCol, "qvec")
+
+    val scored = binned.join(probed, "cell")
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+      .groupBy(col(queryIdCol), col("nn_id"))
+      .agg(max("cosine").as("cosine")) // dedupe (cells are disjoint; safe)
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs above `threshold` (exact,
    * blocked). `blockExpr` bounds the join fan-out (e.g. an LSH bucket or
    * a metadata key); pass `lit(0)` only for small/test corpora.

@@ -42,6 +42,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._3 === 0L && top.head._4 === 1.0)
   }
 
+  test("ivfTopK with one cell degenerates to exact brute force") {
+    val queries = corpus.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivf = Similarity.ivfTopK(corpus, queries, 3, numCells = 1, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.sorted.toSeq === brute.sorted.toSeq)
+  }
+
+  test("ivfTopK self-recovery: each in-corpus query probes its own cell") {
+    val queries = corpus
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rank1 = Similarity.ivfTopK(corpus, queries, 2, numCells = 3, nProbe = 1)
+      .filter(col("rank") === 1).collect()
+    assert(rank1.length === 5)
+    rank1.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), "rank-1 neighbor must be self")
+      assert(r.getDouble(3) === 1.0)
+    }
+  }
+
   test("cosinePairs finds planted near-duplicate embeddings") {
     // cosine(v0,v1)=0.9939, cosine(v0,v4)≈1.0 → 0.999 isolates the plant
     val pairs = Similarity.cosinePairs(corpus, 0.999, lit(0))
