@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, SimHash64}
+import org.apache.spark.sql.graft.{CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, SigAgree, SimHash64}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -56,5 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hyperplane_sig(vec, numPlanes, seed) - random-hyperplane LSH signature of array<float>",
       { case Seq(vec, p, s) =>
         HyperplaneSig(vec, intLit(p, "numPlanes"), intLit(s, "seed").toLong) })
+
+    register(ext, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two array<float/double> vectors",
+      { case Seq(a, b) => CosineSim(a, b) })
+
+    register(ext, "sig_agree",
+      "sig_agree(a, b) - number of agreeing positions of two sketch signatures",
+      { case Seq(a, b) => SigAgree(a, b) })
   }
 }

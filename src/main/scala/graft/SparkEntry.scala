@@ -369,6 +369,27 @@ object SparkEntry {
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
     }),
 
+    // Deterministic hash-based train/val/test split: disjoint, exhaustive,
+    // reproducible (pure function of id — no randomSplit run-to-run drift).
+    "split_assign" -> ((s, dir) => {
+      import graft.operators.Splits
+      Splits.assign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_splits"), sum("n").as("total_docs"))
+    }),
+
+    // Composite training-data filter: quality score + token-range gates,
+    // the end-to-end "keep what's trainable" shape. Fully SQL-replicated.
+    "text_quality_filter" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+        .filter(col("quality_score") >= 0.5 &&
+          col("q_tokens").between(5, 10000))
+        .agg(count(lit(1)).as("kept"),
+          round(avg("quality_score"), 4).as("avg_q"))
+    }),
+
     // Unified batch/stream tumbling-window rollup (same function serves
     // readStream with a watermark — StreamsSpec proves parity).
     "q_stream_windowed" -> ((s, dir) => {
@@ -552,6 +573,32 @@ object SparkEntry {
         |           list_transform(regexp_split_to_array(trim(text), '\s+'),
         |             x -> lower(x)))), ' ') END) AS distinct_fp
         |FROM documents""".stripMargin,
+    // Split invariant: 3 non-empty splits covering every doc exactly once
+    // (the assignment hash itself has no SQL analogue; SplitsSpec locks
+    // determinism/stability).
+    "split_assign" ->
+      """SELECT CAST(3 AS BIGINT) AS n_splits, count(*) AS total_docs
+        |FROM documents""".stripMargin,
+    // Full replication of the quality_score formula over the same gates.
+    "text_quality_filter" ->
+      """WITH q AS (
+        |  SELECT length(text) AS chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by'], t))) AS stop_en
+        |  FROM documents),
+        |scored AS (
+        |  SELECT round(
+        |      least(round(alpha / greatest(chars, 1), 4) * 1.2, 1.0) * 0.5 +
+        |      least(round(stop_en / greatest(toks, 1), 4) * 4.0, 1.0) * 0.3 +
+        |      CASE WHEN toks BETWEEN 10 AND 10000 THEN 0.2 ELSE 0.0 END, 4) AS quality_score,
+        |    toks
+        |  FROM q)
+        |SELECT count(*) AS kept, round(avg(quality_score), 4) AS avg_q
+        |FROM scored
+        |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
     // Replicates the langid heuristic exactly: whitespace tokens,
     // lowercased, stopword-hit voting per language, argmax with fixed
     // en>de>fr>es tie order, CJK short-circuit, unknown on zero hits.

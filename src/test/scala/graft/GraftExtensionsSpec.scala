@@ -24,13 +24,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT es_murmur3('hello') AS h, es_shard('hello', 5) AS s,
           |       simhash64('the quick brown fox') AS f,
           |       size(minhash_sig('some text to sketch', 32, 4)) AS k,
-          |       hyperplane_sig(array(cast(1.0 as float), cast(0.0 as float)), 8, 42) AS hp
+          |       hyperplane_sig(array(cast(1.0 as float), cast(0.0 as float)), 8, 42) AS hp,
+          |       cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+          |                  array(cast(1.0 as float), cast(0.0 as float))) AS cs,
+          |       sig_agree(minhash_sig('abcdef', 32, 4),
+          |                 minhash_sig('abcdef', 32, 4)) AS sa
           |""".stripMargin).head()
       assert(r.getInt(0) === EsMurmur3.hash("hello"))
       assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
       assert(r.getLong(2) !== 0L)
       assert(r.getInt(3) === 32)
       assert(r.getLong(4) >= 0L && r.getLong(4) < 256L)
+      assert(r.getDouble(5) === 1.0)
+      assert(r.getInt(6) === 32)
     } finally spark.stop() // this suite owns its session (extensions differ)
   }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("assignment is disjoint, exhaustive, and ratio-faithful") {
+    val df = spark.range(10000).toDF("id")
+    val assigned = Splits.assign(df, "id", weights)
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 10000L) // exhaustive + disjoint
+    assert(math.abs(counts("train") - 8000L) < 400, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 200)
+    assert(math.abs(counts("test") - 1000L) < 200)
+  }
+
+  test("assignment is a pure function of (id, salt): stable across runs and partitioning") {
+    val df = spark.range(2000).toDF("id")
+    val a = Splits.assign(df, "id", weights).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Splits.assign(df.repartition(13), "id", weights).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // a different salt reshuffles
+    val c = Splits.assign(df, "id", weights, salt = 7L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a !== c)
+  }
+
+  test("growing the corpus never moves an existing id between splits") {
+    val small = Splits.assign(spark.range(1000).toDF("id"), "id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = Splits.assign(spark.range(5000).toDF("id"), "id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, s) => assert(big(id) === s) }
+  }
+
+  test("only() selects exactly one split") {
+    val df = spark.range(3000).toDF("id")
+    val train = Splits.only(df, "id", weights, "train").count()
+    val other = Splits.assign(df, "id", weights)
+      .filter(col("split") =!= "train").count()
+    assert(train + other === 3000L)
+  }
+}
