@@ -396,6 +396,15 @@ object SparkEntry {
       graft.streaming.Streams.windowedTypeCounts(t(s, dir, "events"), "1 hour")
     }),
 
+    // Unified batch/stream event dedup (stream mode uses bounded
+    // dropDuplicatesWithinWatermark state — StreamsSpec). The doubled
+    // input models an at-least-once replay.
+    "q_stream_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.streaming.Streams.dedupEvents(e.unionAll(e), Seq("event_id"))
+        .agg(count(lit(1)).as("n_unique"))
+    }),
+
     // Multimodal: binary media envelope → per-partition decode-stub →
     // typed metadata (schema/partitioning/batching are the real product;
     // the codec is a documented stub — no SQL oracle).
@@ -515,6 +524,8 @@ object SparkEntry {
         |       o_orderkey % 97 AS kmod,
         |       CAST(length(o_orderpriority) AS INTEGER) AS plen
         |FROM orders""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT count(DISTINCT event_id) AS n_unique FROM events""",
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value

@@ -156,6 +156,25 @@ object Streams {
       }
   }
 
+  /**
+   * Exactly-once event dedup, unified batch/stream: on a stream, pass
+   * `watermark = Some((timeCol, delay))` — duplicates of a key arriving
+   * within the watermark bound are dropped with BOUNDED state
+   * (`dropDuplicatesWithinWatermark`: expired keys age out, unlike plain
+   * streaming dropDuplicates whose state grows forever); on a batch frame
+   * leave it None for plain dropDuplicates — identical results,
+   * DuckDB-oracle-able. The ingest-side guard for at-least-once upstreams
+   * (replayed events must not double-count or double-index).
+   */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+                  watermark: Option[(String, String)] = None): DataFrame =
+    watermark match {
+      case Some((timeCol, delay)) =>
+        events.withWatermark(timeCol, delay)
+          .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+      case None => events.dropDuplicates(idCols)
+    }
+
   /** Streaming snapshot ingestion: micro-batch the stream into successive
     * es-snapshot builds via foreachBatch (each batch = one full commit,
     * mirroring the reference's batch job run per data drop). */

@@ -92,4 +92,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamRows.nonEmpty)
     assert(streamRows.toSeq === batchRows.toSeq)
   }
+
+  test("dedupEvents batch mode drops exact key duplicates") {
+    import spark.implicits._
+    val e = Seq(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(1, ts(0), 7, "click", 1.0), // exact replay
+      Event(2, ts(5), 7, "click", 2.0)).toDF()
+    assert(Streams.dedupEvents(e, Seq("event_id")).count() === 2)
+  }
+
+  test("dedupEvents stream mode: replays within the watermark are dropped, state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val deduped = Streams.dedupEvents(input.toDS().toDF(), Seq("event_id"),
+      watermark = Some(("ts", "10 minutes")))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 8, "view", 2.0))
+      q.processAllAvailable()
+      // replay of event 1 in a later micro-batch, still inside the bound
+      input.addData(Event(1, ts(2), 7, "click", 1.0), Event(3, ts(3), 9, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L)) // the replay emitted nothing
+    } finally q.stop()
+  }
 }
