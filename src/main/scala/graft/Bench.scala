@@ -28,18 +28,21 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
-    // min over `repeats` runs: first run pays codegen/class-load warmup,
-    // min strips run-to-run variance so rounds are comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        dropCaches()
-        dt
-      }
-      name -> times.min
+    // min over `repeats` FULL passes of the suite (not back-to-back
+    // repeats of one query): environment noise arrives in multi-second
+    // bursts, and interleaving puts a query's samples minutes apart so a
+    // burst can poison at most one of them. First pass also pays
+    // codegen/class-load warmup.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to repeats; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      samples(name) = math.min(samples.getOrElse(name, Double.MaxValue), dt)
     }
+    val results = names.map { case (name, _) => name -> samples(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
