@@ -390,6 +390,24 @@ object SparkEntry {
           round(avg("quality_score"), 4).as("avg_q"))
     }),
 
+    // Flagship composition — the whole training-data pipeline in one
+    // plan: exact dedup (hash-first) → quality gates → routed envelope →
+    // clustered snapshot build → DSv2 read-back. Every stage is the
+    // operator the standalone queries gate individually.
+    "training_corpus_build" -> ((s, dir) => {
+      import graft.core.ShardConfig
+      import graft.operators.{Dedup, TextAnalysis}
+      import graft.sinks.EsSnapshot
+      val dest = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+      val deduped = Dedup.exactScalable(t(s, dir, "documents"), "text", "doc_id")
+      val kept = TextAnalysis.withQuality(deduped, "text")
+        .filter(col("quality_score") >= 0.5 && col("q_tokens").between(5, 10000))
+        .select("doc_id", "text")
+      val docs = Ingest.fromColumns(kept, "corpus", "doc_id", 4)
+      EsSnapshot.write(docs, dest, ShardConfig(4), Some("training_corpus"))
+      EsSnapshot.readTable(s, dest).agg(count(lit(1)).as("kept_docs"))
+    }),
+
     // Unified batch/stream tumbling-window rollup (same function serves
     // readStream with a watermark — StreamsSpec proves parity).
     "q_stream_windowed" -> ((s, dir) => {
@@ -609,6 +627,27 @@ object SparkEntry {
         |  FROM q)
         |SELECT count(*) AS kept, round(avg(quality_score), 4) AS avg_q
         |FROM scored
+        |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
+    // The whole pipeline is SQL: dedup by text, quality formula, count of
+    // what survives = what the snapshot reads back.
+    "training_corpus_build" ->
+      """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |q AS (
+        |  SELECT length(text) AS chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by'], t))) AS stop_en
+        |  FROM dd),
+        |scored AS (
+        |  SELECT round(
+        |      least(round(alpha / greatest(chars, 1), 4) * 1.2, 1.0) * 0.5 +
+        |      least(round(stop_en / greatest(toks, 1), 4) * 4.0, 1.0) * 0.3 +
+        |      CASE WHEN toks BETWEEN 10 AND 10000 THEN 0.2 ELSE 0.0 END, 4) AS quality_score,
+        |    toks
+        |  FROM q)
+        |SELECT count(*) AS kept_docs FROM scored
         |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
     // Replicates the langid heuristic exactly: whitespace tokens,
     // lowercased, stopword-hit voting per language, argmax with fixed

@@ -21,7 +21,11 @@ class EsIndexJobSpec extends SparkSpec {
     val srcDir = Files.createTempDirectory("graft-job-src")
     val lines = (0 until 50).map(i => s"""{"cid":"doc-$i","v":$i}""")
     Files.writeString(srcDir.resolve("in.json"), lines.mkString("\n"))
-    val mappingsFile = srcDir.resolve("mappings.json")
+    // config files live OUTSIDE the input dir — the whole srcDir is scanned
+    // as NDJSON, and a mappings file inside it would be counted (and
+    // rejected) as a docless input line
+    val confDir = Files.createTempDirectory("graft-job-conf")
+    val mappingsFile = confDir.resolve("mappings.json")
     Files.writeString(mappingsFile, """{"properties":{"v":{"type":"long"}}}""")
     val dest = Files.createTempDirectory("graft-job-snap").toString
 
@@ -37,5 +41,10 @@ class EsIndexJobSpec extends SparkSpec {
     val metaFile = Iterator.continually(meta).takeWhile(_.hasNext)
       .map(_.next()).find(_.getFileName.toString.startsWith("meta-")).get
     assert(Files.readString(metaFile).contains("type"))
+    // ingest counters committed next to the snapshot (INDEXING_DOC_FAIL)
+    val ingest = Files.readString(java.nio.file.Paths.get(dest, "_INGEST.json"))
+    assert(ingest.contains("\"input_docs\":50"))
+    assert(ingest.contains("\"rejected_docs\":0"))
+    assert(ingest.contains("permissive"))
   }
 }
