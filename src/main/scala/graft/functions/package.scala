@@ -30,6 +30,9 @@ package object functions {
       * stopword set...] as array<long>. */
     def textStats(c: Column, stopwordSets: Seq[Seq[String]]): Column =
       org.apache.spark.sql.graft.TextStatsFunctions.textStats(c, stopwordSets)
+    /** Single-pass sorted-distinct-lowercased-token canonical string. */
+    def canonicalTokens(c: Column): Column =
+      org.apache.spark.sql.graft.TextStatsFunctions.canonicalTokens(c)
   }
 
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */

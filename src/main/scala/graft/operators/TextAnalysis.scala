@@ -103,8 +103,11 @@ object TextAnalysis {
    * Document fingerprint (key-collision canonicalization): lowercase,
    * tokenize, dedupe, sort, re-join, 64-bit hash — equal fingerprints ⇔
    * same bag of distinct words regardless of order/whitespace/case.
+   * Canonicalization is the native single-pass `canonical_tokens`
+   * expression (the HOF composition `transform(tokens, lower)` is
+   * CodegenFallback — interpreted per token, 10-30× slower at corpus
+   * scale; StressBench measured the difference).
    */
   def fingerprint(text: Column): Column =
-    xxhash64(concat_ws(" ",
-      array_sort(array_distinct(transform(tokens(text), lower _)))))
+    xxhash64(graft.functions.Text.canonicalTokens(text))
 }

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-evidence harness: drives the dedup / similarity operators over
+ * SYNTHETIC corpora at 1×/4×/16× sizes and prints per-op timings, so the
+ * "no hidden quadratic" claim in SCALING.md is measured, not asserted.
+ *
+ * Corpus construction is deliberately clique-free (each doc is a fresh
+ * pseudo-random word sequence): multiplying real documents would create
+ * near-duplicate cliques whose PAIR OUTPUT grows quadratically by
+ * definition, which is a property of the data, not the operator. Here the
+ * candidate rate stays low, so operator cost should scale ~linearly in
+ * corpus size; a superlinear jump flags a broken blocking scheme.
+ *
+ * Run: `sbt "runMain graft.tools.StressBench"` (local[32], ~2-4 min).
+ */
+object StressBench {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** n pseudo-docs of `words` words over a `vocab`-word vocabulary —
+    * deterministic, distinct, naturally overlapping token sets. */
+  private def synthDocs(spark: SparkSession, n: Long, words: Int = 40,
+                        vocab: Int = 500): DataFrame =
+    spark.range(n).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        expr(s"transform(sequence(1, $words), " +
+          s"i -> hex(pmod(xxhash64(doc_id, i), $vocab)))")))
+
+  /** n pseudo-vectors, dim `d`, components in [-0.5, 0.5). */
+  private def synthVecs(spark: SparkSession, n: Long, d: Int = 64): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        expr(s"transform(sequence(1, $d), " +
+          s"i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Dedup, Similarity}
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
+    def run(op: String, n: Long)(f: => Long): Unit = {
+      val (sec, rows) = time(f)
+      results += ((op, n, sec, rows))
+      println(f"[stress] $op%-16s n=$n%-8d ${sec}%8.2f s  ($rows rows)")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
+    for (n <- Seq(20000L, 80000L, 320000L)) {
+      val docs = synthDocs(spark, n)
+      docs.cache().count() // corpus generation outside the timings
+      run("exact_dedup", n)(Dedup.exactScalable(docs, "text", "doc_id").count())
+      run("minhash_pairs", n)(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).count())
+      run("simhash_pairs", n)(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
+      run("fingerprint", n)(docs.select(
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct().count())
+      docs.unpersist()
+    }
+
+    for (n <- Seq(50000L, 200000L, 800000L)) {
+      val vecs = synthVecs(spark, n)
+      vecs.cache().count()
+      val queries = vecs.filter(col("vec_id") % (n / 100) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      run("lsh_topk", n)(Similarity.lshTopK(vecs, queries, 5, numPlanes = 14).count())
+      run("ivf_topk", n)(
+        Similarity.ivfTopK(vecs, queries, 5, numCells = 64, nProbe = 4).count())
+      vecs.unpersist()
+    }
+
+    // scaling factors op by op: sec(16x)/sec(1x) — linear ⇒ ~16, and the
+    // fixed per-job overhead at these sizes usually keeps it below that
+    println("op,n,seconds,rows")
+    results.foreach { case (op, n, s, r) => println(f"$op,$n,$s%.3f,$r") }
+    spark.stop()
+  }
+}

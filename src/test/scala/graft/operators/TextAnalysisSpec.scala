@@ -46,6 +46,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("native canonical_tokens matches the HOF composition exactly") {
+    import org.apache.spark.sql.functions._
+    val tricky = Seq(
+      "The quick  brown the THE fox",
+      "",
+      "   ",
+      "\tleading tab",
+      "one",
+      "Zebra apple zebra APPLE",
+      "a b c d e f a b c",
+      "münchen Straße MÜNCHEN",
+      "line1\nline2\r\nline3",
+      "trailing spaces   ").toDF("text")
+    val hof = concat_ws(" ",
+      array_sort(array_distinct(transform(TextAnalysis.tokens(col("text")), lower _))))
+    val rows = tricky.select(
+      graft.functions.Text.canonicalTokens(col("text")).as("native"),
+      hof.as("hof"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1), s"input=${r.getString(2)}")
+    }
+  }
+
   test("quality metrics are bounded and rounded") {
     val out = TextAnalysis.withQuality(
       Seq("The quick brown fox jumps over the lazy dog.").toDF("text"), "text")
