@@ -146,29 +146,45 @@ object Similarity {
    * per query, tunable independently of the hash-family geometry LSH is
    * stuck with.
    *
-   * Scale shape: training is `iters` corpus passes with map-side combine
-   * (shuffle carries numCells partial sums per partition, never vectors);
-   * the centroid table (numCells × dim) broadcasts; cell assignment is one
+   * Scale shape: the quantizer trains on a BOUNDED hash-sampled subset
+   * (`trainSample` rows — IVF practice: quantizer quality needs a few
+   * hundred points per cell, not the corpus), so Lloyd cost is
+   * O(iters · sample) regardless of corpus size; the centroid table
+   * (numCells × dim) broadcasts; full-corpus cell assignment is ONE
    * streamed pass; the candidate join is an equi-join on a small int key.
    * Self-recovery guarantee: a query that exists in the corpus always
    * probes its own cell first ⇒ finds itself at cosine 1.0.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
-              seed: Long = 42, idCol: String = "vec_id",
-              vecCol: String = "embedding",
+              seed: Long = 42, trainSample: Int = 50000,
+              idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
 
-    // deterministic seeded init: the numCells rows with the smallest
-    // hash(id, seed) — TakeOrdered, no full sort
-    var centroids: Array[Array[Float]] = typed.toDF("id", "vec")
-      .withColumn("__h", xxhash64(col("id"), lit(seed)))
-      .orderBy("__h").limit(numCells)
-      .select("vec").as[Array[Float]].collect()
+    // bounded training set: deterministic hash-ranked sample (one cheap
+    // count to size the threshold; the sample itself is a filtered scan)
+    val n = typed.count()
+    val frac = math.min(1.0, trainSample.toDouble / math.max(n, 1L))
+    val thresh = (frac * 1000000L).toLong
+    val train = typed.toDF("id", "vec")
+      .filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < thresh ||
+        lit(frac >= 1.0))
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .rdd.cache()
+    train.count() // materialize once; Lloyd iterates over this RDD only
+
+    // deterministic seeded init: the numCells sample rows with the
+    // smallest hash(id, seed) — TakeOrdered, no full sort
+    var centroids: Array[Array[Float]] = train
+      .map { case (id, vec) =>
+        (graft.core.EsMurmur3.hash(id.toString + seed).toLong, vec) }
+      .takeOrdered(numCells)(Ordering.by(_._1))
+      .map(_._2)
 
     def nearest(cs: Array[Array[Float]], vec: Array[Float]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
@@ -182,11 +198,12 @@ object Similarity {
       best
     }
 
-    // Lloyd iterations: per-partition (cell → sum, count) combine; only
-    // numCells·dim doubles per partition ever shuffle
+    // Lloyd iterations over the bounded sample: per-partition
+    // (cell → sum, count) combine; only numCells·dim doubles per
+    // partition ever shuffle
     for (_ <- 1 to iters) {
       val cB = spark.sparkContext.broadcast(centroids)
-      val sums = typed.rdd.mapPartitions { rows =>
+      val sums = train.mapPartitions { rows =>
         val cs = cB.value
         val acc = Array.fill(cs.length)(null: Array[Double])
         val cnt = new Array[Long](cs.length)
@@ -214,6 +231,7 @@ object Similarity {
       }.toArray
     }
 
+    train.unpersist(blocking = false)
     val cB = spark.sparkContext.broadcast(centroids)
     val binned = typed.mapPartitions { rows =>
       val cs = cB.value
