@@ -362,6 +362,12 @@ object SparkEntry {
         .select("doc_id", "q_chars", "q_tokens", "alpha_ratio", "mean_word_len")
     }),
 
+    // Corpus vocabulary statistics: deterministic top-k token counts.
+    "text_top_tokens" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.tokenFrequencies(t(s, dir, "documents"), "text", 20)
+    }),
+
     // Language ID distribution (heuristic — no SQL oracle).
     "text_langid" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -649,6 +655,11 @@ object SparkEntry {
         |  FROM q)
         |SELECT count(*) AS kept_docs FROM scored
         |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents WHERE length(trim(lower(text))) > 0)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     // Replicates the langid heuristic exactly: whitespace tokens,
     // lowercased, stopword-hit voting per language, argmax with fixed
     // en>de>fr>es tie order, CJK short-circuit, unknown on zero hits.

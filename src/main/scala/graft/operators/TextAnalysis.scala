@@ -100,6 +100,23 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus token-frequency table (vocabulary statistics — the input to
+   * tokenizer training and stopword discovery): lowercased whitespace
+   * tokens, counted corpus-wide, deterministic (count desc, token asc)
+   * top-k.
+   *
+   * Scale shape: explode + hash aggregate — partial (map-side) combine
+   * collapses each partition to its distinct-token counts before the
+   * shuffle, so the exchange carries vocabulary, not corpus; the final
+   * top-k is a TakeOrdered, not a full sort.
+   */
+  def tokenFrequencies(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /**
    * Document fingerprint (key-collision canonicalization): lowercase,
    * tokenize, dedupe, sort, re-join, 64-bit hash — equal fingerprints ⇔
    * same bag of distinct words regardless of order/whitespace/case.
