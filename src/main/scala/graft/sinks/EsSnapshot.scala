@@ -12,13 +12,16 @@ object EsSnapshot {
    * Bulk-build an offline snapshot from an envelope stream.
    * The engine inserts the one required shuffle (cluster by index+shard);
    * commit stitches per-shard snapshots into a single restorable layout.
+   * Repos accumulate: each write appends a snapshot + generation;
+   * `overwrite = true` makes this snapshot the repo's only one.
    */
   def write(docs: Dataset[IndexableDoc], dest: String,
             shards: ShardConfig = ShardConfig(),
             snapshotName: Option[String] = None,
             mappings: Option[String] = None,
             template: Option[String] = None,
-            options: Map[String, String] = Map.empty): Unit = {
+            options: Map[String, String] = Map.empty,
+            overwrite: Boolean = false): Unit = {
     var w = docs.toDF().write.format("es-snapshot")
       .option("path", dest)
       .option(EsSnapshotSink.ShardsDefaultOption, shards.defaultShards)
@@ -29,14 +32,20 @@ object EsSnapshot {
     mappings.foreach(m => w = w.option(EsSnapshotSink.MappingsOption, m))
     template.foreach(t => w = w.option(EsSnapshotSink.TemplateOption, t))
     options.foreach { case (k, v) => w = w.option(k, v) }
-    w.mode("append").save()
+    w.mode(if (overwrite) "overwrite" else "append").save()
   }
 
   /** DSv2 read of a committed snapshot: table of (index, shard, json) with
     * one partition per shard dir and shard/index filter pruning at the
-    * directory listing (restore parallelism == shard topology). */
-  def readTable(spark: SparkSession, dest: String): DataFrame =
-    spark.read.format("es-snapshot").load(dest)
+    * directory listing (restore parallelism == shard topology). Repos
+    * accumulate snapshots across generations; `snapshot` selects one by
+    * name or uuid (default: the most recent). */
+  def readTable(spark: SparkSession, dest: String,
+                snapshot: Option[String] = None): DataFrame = {
+    val r = spark.read.format("es-snapshot")
+    snapshot.foreach(s => r.option("snapshot", s))
+    r.load(dest)
+  }
 
   /** Read a committed snapshot's documents back: one row per document with
     * its shard provenance — the verification/restore path (a real ES

@@ -24,7 +24,8 @@ import org.apache.spark.util.SerializableConfiguration
  * (X2's `getPossibleRoutingHashes` use case — find one document's shard,
  * read only it) touches 1/numShards of the data.
  */
-class EsSnapshotScanBuilder(dest: String, conf: SerializableConfiguration)
+class EsSnapshotScanBuilder(dest: String, conf: SerializableConfiguration,
+                            snapshot: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var pushed: Array[Filter] = Array.empty
@@ -43,7 +44,7 @@ class EsSnapshotScanBuilder(dest: String, conf: SerializableConfiguration)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EsSnapshotScan(dest, conf, pushed)
+  override def build(): Scan = new EsSnapshotScan(dest, conf, pushed, snapshot)
 }
 
 object EsSnapshotRead {
@@ -57,11 +58,13 @@ case class ShardInputPartition(index: String, shard: Int,
                                files: Seq[String]) extends InputPartition
 
 class EsSnapshotScan(dest: String, conf: SerializableConfiguration,
-                     filters: Array[Filter]) extends Scan with Batch {
+                     filters: Array[Filter],
+                     snapshot: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = EsSnapshotRead.Schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"es-snapshot read $dest [pruned by ${filters.mkString(", ")}]"
+    s"es-snapshot read $dest [snapshot ${snapshot.getOrElse("<latest>")}; " +
+      s"pruned by ${filters.mkString(", ")}]"
 
   private def shardAdmitted(shard: Int): Boolean = filters.forall {
     case EqualTo("shard", v: Int) => shard == v
@@ -79,12 +82,29 @@ class EsSnapshotScan(dest: String, conf: SerializableConfiguration,
     val fs = new Path(dest).getFileSystem(conf.value)
     val indicesDir = new Path(dest, "indices")
     if (!fs.exists(indicesDir)) return Array.empty
-    // index-name filter needs id→name resolution from the generation file
-    val gen = new Path(dest, "index-0")
-    val genBody = if (fs.exists(gen)) {
-      val in = fs.open(gen)
+    def readStr(p: Path): String = {
+      val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    } else ""
+    }
+    // live generation via index.latest (BaseTransport.java:169-179), like
+    // a restore does; fall back to index-0 for hand-built layouts
+    val latest = new Path(dest, SnapshotLayout.IndexLatest)
+    val genN: Long =
+      if (fs.exists(latest)) {
+        val in = fs.open(latest)
+        val buf = new Array[Byte](8)
+        try { in.readFully(buf); SnapshotLayout.parseIndexLatest(buf) }
+        catch { case _: Exception => 0L } finally in.close()
+      } else 0L
+    val gen = new Path(dest, SnapshotLayout.generationFile(genN))
+    val genBody = if (fs.exists(gen)) readStr(gen) else ""
+    // snapshot selection: by name (latest with that name) or uuid;
+    // default = the repo's most recent snapshot
+    val known = SnapshotLayout.parseGenerationSnapshots(genBody)
+    val wantedUuid: Option[String] = snapshot match {
+      case Some(sel) => known.reverse.find(_._1 == sel).map(_._2).orElse(Some(sel))
+      case None => known.lastOption.map(_._2)
+    }
     val nameFilterAdmits: String => Boolean = {
       val wanted = filters.collect {
         case EqualTo("index", v: String) => Set(v)
@@ -102,8 +122,18 @@ class EsSnapshotScan(dest: String, conf: SerializableConfiguration,
         for (shardDir <- fs.listStatus(ixDir.getPath) if shardDir.isDirectory) {
           val shard = shardDir.getPath.getName.toIntOption.getOrElse(-1)
           if (shard >= 0 && shardAdmitted(shard)) {
+            // snapshot-scoped file set from the shard's snap manifest (the
+            // restore unit); fall back to all data files when no manifest
+            // exists (hand-built layouts)
+            val manifested: Option[Set[String]] = wantedUuid.flatMap { uuid =>
+              val snapDat = new Path(shardDir.getPath, SnapshotLayout.snapDat(uuid))
+              if (fs.exists(snapDat))
+                Some(SnapshotLayout.parseShardSnapFiles(readStr(snapDat)).toSet)
+              else None
+            }
             val files = fs.listStatus(shardDir.getPath)
               .filter(_.getPath.getName.startsWith("docs-"))
+              .filter(f => manifested.forall(_.contains(f.getPath.getName)))
               .map(_.getPath.toString).toSeq
             if (files.nonEmpty) parts += ShardInputPartition(name, shard, files)
           }

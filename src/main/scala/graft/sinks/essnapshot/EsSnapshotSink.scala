@@ -119,16 +119,21 @@ class EsSnapshotTable(tableSchema: StructType, properties: util.Map[String, Stri
       .orElse(Option(properties.get("path")))
       .getOrElse(throw new IllegalArgumentException(
         "es-snapshot read requires a path"))
+    val snapshot = Option(options.get("snapshot"))
+      .orElse(Option(properties.get("snapshot")))
     new EsSnapshotScanBuilder(dest, new SerializableConfiguration(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration),
+      snapshot)
   }
 }
 
 class EsSnapshotWriteBuilder(info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
-  // Overwrite semantics are natural for a snapshot destination: the commit
-  // rewrites root metadata to point at the new snapshot generation.
-  override def truncate(): WriteBuilder = this
+  // append (default) adds a snapshot + next generation to the repo;
+  // truncate (SaveMode.Overwrite) makes this snapshot the repo's ONLY
+  // one — prior generations' metadata and data files are swept at commit.
+  private var truncateRepo = false
+  override def truncate(): WriteBuilder = { truncateRepo = true; this }
 
   override def build(): Write = {
     val expected = EsSnapshotSink.Schema.map(f => f.name -> f.dataType).toMap
@@ -139,11 +144,11 @@ class EsSnapshotWriteBuilder(info: LogicalWriteInfo)
           given.find(_.name == n).exists(_.dataType == dt) },
       s"es-snapshot sink expects the IndexableDoc envelope " +
         s"${EsSnapshotSink.Schema.simpleString}, got ${given.simpleString}")
-    new EsSnapshotWrite(info)
+    new EsSnapshotWrite(info, truncateRepo)
   }
 }
 
-class EsSnapshotWrite(info: LogicalWriteInfo)
+class EsSnapshotWrite(info: LogicalWriteInfo, truncateRepo: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   private val options = info.options.asScala.toMap
   private val dest = options.getOrElse("path",
@@ -168,7 +173,8 @@ class EsSnapshotWrite(info: LogicalWriteInfo)
     Expressions.sort(Expressions.identity("shard"),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
-  override def toBatch: BatchWrite = new EsSnapshotBatchWrite(info.schema(), dest, options)
+  override def toBatch: BatchWrite =
+    new EsSnapshotBatchWrite(info.schema(), dest, options, truncateRepo)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new DocsWrittenMetric, new BytesWrittenMetric, new IndexingMsMetric)
@@ -204,7 +210,8 @@ case class ShardCommitMessage(files: Seq[ShardFileCommit])
     extends WriterCommitMessage
 
 class EsSnapshotBatchWrite(schema: StructType, dest: String,
-                           options: Map[String, String]) extends BatchWrite {
+                           options: Map[String, String],
+                           truncateRepo: Boolean = false) extends BatchWrite {
 
   private val snapshotUuid = UUID.randomUUID().toString
   private val snapshotName =
@@ -245,6 +252,34 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
       try out.write(body) finally out.close()
     }
     def writeStr(path: Path, body: String): Unit = write(path, body.getBytes(UTF_8))
+    def readStr(path: Path): String = {
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+
+    // Snapshot repos accumulate: read the live generation (if any), append
+    // this snapshot, and publish generation N+1 — the reference's repo
+    // shape, where index.latest names the authoritative index-N
+    // (BaseTransport.java:169-179) and every snapshot stays restorable.
+    // Truncate mode (SaveMode.Overwrite) instead forgets history: prior
+    // generations' metadata is ignored here and their files swept below.
+    val latestPath = new Path(destPath, SnapshotLayout.IndexLatest)
+    val prevGen: Option[Long] =
+      if (!truncateRepo && fs.exists(latestPath)) {
+        val in = fs.open(latestPath)
+        val buf = new Array[Byte](8)
+        try { in.readFully(buf); Some(SnapshotLayout.parseIndexLatest(buf)) }
+        catch { case _: Exception => None } finally in.close()
+      } else None
+    val prevBody = prevGen
+      .map(g => new Path(destPath, SnapshotLayout.generationFile(g)))
+      .filter(fs.exists)
+      .map(readStr)
+    val prevSnapshots = prevBody.map(SnapshotLayout.parseGenerationSnapshots)
+      .getOrElse(Seq.empty)
+    val prevIndices = prevBody.map(SnapshotLayout.parseGenerationIndices)
+      .getOrElse(Seq.empty)
+    val newGen = prevGen.fold(0L)(_ + 1)
 
     val manifest = new mutable.ArrayBuffer[String]
     var totalDocs = 0L
@@ -259,13 +294,29 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         val dir = new Path(SnapshotLayout.shardDir(dest, index, shard))
         val files = perShard.getOrElse(shard, Seq.empty)
         fs.mkdirs(dir)
-        // Sweep stray files from failed/zombie attempts: only files named in
-        // committed messages survive (replaces speculative-off reliance,
-        // IndexingJob.java:121, and empty-dir cleanup, BaseTransport.java:261-280).
+        // Sweep stray files from failed/zombie attempts: survivors are
+        // this commit's winners PLUS (append mode) every file manifested
+        // by an earlier snapshot's snap-*.dat — prior generations stay
+        // restorable. Truncate mode sweeps history too: old data files
+        // AND old snap manifests go. Replaces speculative-off reliance
+        // (IndexingJob.java:121) and empty-dir cleanup
+        // (BaseTransport.java:261-280).
+        val priorManifested: Set[String] =
+          if (truncateRepo) Set.empty
+          else fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("snap-"))
+            .flatMap(p => try SnapshotLayout.parseShardSnapFiles(readStr(p))
+              catch { case _: Exception => Seq.empty[String] })
+            .toSet
         val existing = fs.listStatus(dir).map(_.getPath.getName)
           .filter(_.startsWith("docs-"))
-        existing.filterNot(winners.contains)
+        existing.filterNot(f => winners.contains(f) || priorManifested.contains(f))
           .foreach(f => fs.delete(new Path(dir, f), false))
+        if (truncateRepo)
+          fs.listStatus(dir).map(_.getPath.getName)
+            .filter(n => n.startsWith("snap-") &&
+              n != SnapshotLayout.snapDat(snapshotUuid))
+            .foreach(f => fs.delete(new Path(dir, f), false))
 
         val docs = files.map(_.docCount).sum
         val bytes = files.map(_.bytes).sum
@@ -301,10 +352,42 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
     writeStr(new Path(destPath, SnapshotLayout.metaDat(snapshotUuid)),
       SnapshotLayout.jsonObj("cluster" -> SnapshotLayout.jsonStr("graft"),
         "snapshot" -> SnapshotLayout.jsonStr(snapshotName)))
-    writeStr(new Path(destPath, SnapshotLayout.generationFile(0)),
-      SnapshotLayout.generationJson(snapshotName, snapshotUuid, indexes))
+    if (truncateRepo) {
+      // forget prior generations at the root: stale index-N pointers and
+      // other snapshots' root/index metadata
+      fs.listStatus(destPath).map(_.getPath.getName).foreach { n =>
+        val stale =
+          (n.startsWith("index-") && n != SnapshotLayout.generationFile(newGen)) ||
+            ((n.startsWith("snap-") || n.startsWith("meta-")) && !n.contains(snapshotUuid))
+        if (stale) fs.delete(new Path(destPath, n), false)
+      }
+      for (index <- indexes) {
+        val ixDir = new Path(SnapshotLayout.indicesDir(dest, index))
+        if (fs.exists(ixDir))
+          fs.listStatus(ixDir).map(_.getPath.getName)
+            .filter(n => n.startsWith("meta-") && !n.contains(snapshotUuid))
+            .foreach(f => fs.delete(new Path(ixDir, f), false))
+      }
+      // indexes from prior writes that this snapshot doesn't carry are
+      // history too
+      val keepIds = indexes.map(SnapshotLayout.indexId).toSet
+      val indicesRoot = new Path(destPath, "indices")
+      if (fs.exists(indicesRoot))
+        fs.listStatus(indicesRoot).filter(_.isDirectory)
+          .filterNot(d => keepIds.contains(d.getPath.getName))
+          .foreach(d => fs.delete(d.getPath, true))
+    }
+    val mergedSnapshots = prevSnapshots :+ (snapshotName, snapshotUuid)
+    val prevIndexMap = prevIndices.toMap
+    val mergedIndices = (prevIndexMap.keySet ++ indexes).toSeq.sorted.map { ix =>
+      val uuids = prevIndexMap.getOrElse(ix, Seq.empty) ++
+        (if (indexes.contains(ix)) Seq(snapshotUuid) else Seq.empty)
+      ix -> uuids
+    }
+    writeStr(new Path(destPath, SnapshotLayout.generationFile(newGen)),
+      SnapshotLayout.generationJson(mergedSnapshots, mergedIndices))
     write(new Path(destPath, SnapshotLayout.IndexLatest),
-      SnapshotLayout.indexLatestBytes(0))
+      SnapshotLayout.indexLatestBytes(newGen))
     writeStr(new Path(destPath, SnapshotLayout.ManifestFile),
       manifest.sorted.mkString("", "\n", "\n"))
 

@@ -90,18 +90,66 @@ object SnapshotLayout {
 
   def jsonArr(items: Seq[String]): String = items.mkString("[", ",", "]")
 
-  /** Root `index-N` generation content: snapshot list + index-name→id map. */
-  def generationJson(snapshotName: String, snapshotUuid: String,
-                     indexes: Seq[String]): String =
+  /** Root `index-N` generation content: full snapshot list + index-name→
+    * (id, containing-snapshot-uuids) map — the repo-level view a restore
+    * reads (BaseTransport.java:186-201). Multi-snapshot: each commit
+    * appends itself and rewrites the next generation. */
+  def generationJson(snapshots: Seq[(String, String)],
+                     indices: Seq[(String, Seq[String])]): String =
     jsonObj(
-      "snapshots" -> jsonArr(Seq(jsonObj(
-        "name" -> jsonStr(snapshotName),
-        "uuid" -> jsonStr(snapshotUuid),
-        "state" -> jsonStr("SUCCESS")))),
-      "indices" -> jsonObj(indexes.map(ix =>
+      "snapshots" -> jsonArr(snapshots.map { case (name, uuid) =>
+        jsonObj(
+          "name" -> jsonStr(name),
+          "uuid" -> jsonStr(uuid),
+          "state" -> jsonStr("SUCCESS"))
+      }),
+      "indices" -> jsonObj(indices.map { case (ix, uuids) =>
         ix -> jsonObj(
           "id" -> jsonStr(indexId(ix)),
-          "snapshots" -> jsonArr(Seq(jsonStr(snapshotUuid))))): _*))
+          "snapshots" -> jsonArr(uuids.map(jsonStr)))
+      }: _*))
+
+  // ── generation/manifest JSON parsing (Jackson, as the reference's
+  //    getSnapshotMetadata does — BaseTransport.java:186-201) ──
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** (name, uuid) per snapshot, in commit order. */
+  def parseGenerationSnapshots(body: String): Seq[(String, String)] = {
+    val t = mapper.readTree(body)
+    val arr = t.get("snapshots")
+    if (arr == null || !arr.isArray) Seq.empty
+    else (0 until arr.size()).map { i =>
+      (arr.get(i).get("name").asText(), arr.get(i).get("uuid").asText())
+    }
+  }
+
+  /** (indexName, snapshotUuids) per index. */
+  def parseGenerationIndices(body: String): Seq[(String, Seq[String])] = {
+    val t = mapper.readTree(body)
+    val ix = t.get("indices")
+    if (ix == null || !ix.isObject) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+      val names = ix.fieldNames()
+      while (names.hasNext) {
+        val name = names.next()
+        val snaps = ix.get(name).get("snapshots")
+        val uuids =
+          if (snaps == null || !snaps.isArray) Seq.empty[String]
+          else (0 until snaps.size()).map(snaps.get(_).asText())
+        out += ((name, uuids))
+      }
+      out.toSeq
+    }
+  }
+
+  /** Data files listed in a per-shard snap-<uuid>.dat manifest. */
+  def parseShardSnapFiles(body: String): Seq[String] = {
+    val files = mapper.readTree(body).get("files")
+    if (files == null || !files.isArray) Seq.empty
+    else (0 until files.size()).map(files.get(_).asText())
+  }
 
   /** Per-shard snap-<uuid>.dat content. */
   def shardSnapJson(snapshotName: String, index: String, shard: Int,

@@ -44,23 +44,30 @@ class SnapshotE2ESpec extends SparkSpec {
     }
   }
 
-  test("re-running the same job is idempotent: stale files swept at commit") {
+  test("re-running with overwrite is idempotent: history and stale files swept") {
     val dest = Files.createTempDirectory("graft-rerun").toString
     val src = spark.range(100).toDF("event_id")
     val docs = Ingest.fromColumns(src, "rerun", "event_id", 4)
     EsSnapshot.write(docs, dest, ShardConfig(4))
-    EsSnapshot.write(docs, dest, ShardConfig(4)) // simulate a full re-run
+    // full re-run in overwrite mode: the new snapshot becomes the repo's
+    // ONLY one (append mode would add a second generation instead —
+    // SnapshotGenerationsSpec)
+    EsSnapshot.write(docs, dest, ShardConfig(4), overwrite = true)
 
-    // exactly one generation of data files survives → doc count unchanged
+    // exactly one snapshot's data files survive → doc count unchanged,
+    // even through the raw all-files view
     assert(EsSnapshot.readDocs(spark, dest, "rerun").count() === 100)
+    assert(EsSnapshot.readTable(spark, dest).count() === 100)
+    // repo restarts at generation 0 with a single snapshot entry
+    assert(SnapshotLayout.parseIndexLatest(
+      Files.readAllBytes(Paths.get(dest, "index.latest"))) === 0L)
+    assert(SnapshotLayout.parseGenerationSnapshots(
+      Files.readString(Paths.get(dest, "index-0"))).size === 1)
     val indexDir = Paths.get(dest, "indices", SnapshotLayout.indexId("rerun"))
     (0 until 4).foreach { s =>
       val snapDats = Files.list(indexDir.resolve(s.toString)).iterator().asScala
         .count(_.getFileName.toString.startsWith("snap-"))
-      // old snap-<uuid>.dat from run 1 remains alongside run 2's (different
-      // uuids — the root generation file points at the latest); data files
-      // are swept to the winning set only
-      assert(snapDats >= 1)
+      assert(snapDats === 1) // run 1's snap manifest swept with its files
     }
   }
 }
