@@ -176,16 +176,19 @@ object Streams {
     }
 
   /** Streaming snapshot ingestion: micro-batch the stream into successive
-    * es-snapshot builds via foreachBatch (each batch = one full commit,
-    * mirroring the reference's batch job run per data drop). */
+    * snapshots of ONE repo via foreachBatch — each batch commits as the
+    * repo's next snapshot generation (mirroring the reference's batch job
+    * run per data drop, accumulating like a real snapshot repository).
+    * `EsSnapshot.readTable(dest)` serves the latest batch;
+    * `readTable(dest, Some("batch-N"))` any earlier one. */
   def streamToSnapshots(events: DataFrame, dest: String, numShards: Int)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     events.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val docs = graft.sources.Ingest.fromColumns(
           batch.toDF(), "events", "event_id", numShards)
-        graft.sinks.EsSnapshot.write(docs, s"$dest/batch-$batchId",
-          graft.core.ShardConfig(numShards))
+        graft.sinks.EsSnapshot.write(docs, dest,
+          graft.core.ShardConfig(numShards), Some(s"batch-$batchId"))
     }
   }
 }

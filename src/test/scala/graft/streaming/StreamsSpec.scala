@@ -93,6 +93,29 @@ class StreamsSpec extends SparkSpec {
     assert(streamRows.toSeq === batchRows.toSeq)
   }
 
+  test("streamToSnapshots: each micro-batch commits as the repo's next snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val dest = java.nio.file.Files.createTempDirectory("graft-stream-snap").toString
+    val input = MemoryStream[Event]
+    val q = Streams.streamToSnapshots(input.toDF(), dest, numShards = 2).start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 8, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 9, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // one repo, two snapshots; default read = the latest micro-batch
+    assert(graft.sinks.EsSnapshot.readTable(spark, dest).count() === 1)
+    assert(graft.sinks.EsSnapshot
+      .readTable(spark, dest, Some("batch-0")).count() === 2)
+    assert(graft.sinks.EsSnapshot
+      .readTable(spark, dest, Some("batch-1")).count() === 1)
+  }
+
   test("dedupEvents batch mode drops exact key duplicates") {
     import spark.implicits._
     val e = Seq(
