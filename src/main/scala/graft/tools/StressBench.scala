@@ -63,7 +63,8 @@ object StressBench {
       spark.catalog.clearCache()
     }
 
-    for (n <- Seq(20000L, 80000L, 320000L)) {
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY") // "docs" | "ann"
+    for (n <- Seq(20000L, 80000L, 320000L) if only.forall(_ == "docs")) {
       val docs = synthDocs(spark, n)
       docs.cache().count() // corpus generation outside the timings
       run("exact_dedup", n)(Dedup.exactScalable(docs, "text", "doc_id").count())
@@ -77,7 +78,7 @@ object StressBench {
       docs.unpersist()
     }
 
-    for (n <- Seq(50000L, 200000L, 800000L)) {
+    for (n <- Seq(50000L, 200000L, 800000L) if only.forall(_ == "ann")) {
       val vecs = synthVecs(spark, n)
       vecs.cache().count()
       val queries = vecs.filter(col("vec_id") % (n / 100) === 0)
@@ -85,6 +86,27 @@ object StressBench {
       run("lsh_topk", n)(Similarity.lshTopK(vecs, queries, 5, numPlanes = 14).count())
       run("ivf_topk", n)(
         Similarity.ivfTopK(vecs, queries, 5, numCells = 64, nProbe = 4).count())
+      if (n == 50000L) {
+        // recall@5 of the approximate paths vs the exact baseline — the
+        // quality side of the speed/recall trade the knobs tune
+        def pairs(df: DataFrame): Set[(Long, Long)] = df
+          .select(col("query_id"), col("nn_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(Similarity.bruteForceTopK(vecs, queries, 5))
+        def recall(r: Set[(Long, Long)]): Double =
+          (r & exact).size.toDouble / exact.size
+        // cheap configs and recall-tuned configs: the knobs ARE the
+        // speed/recall trade (this synthetic corpus is uniform random —
+        // no cluster structure, the hardest case for ANN)
+        for ((label, approx) <- Seq(
+          "lsh p=14" -> Similarity.lshTopK(vecs, queries, 5, numPlanes = 14),
+          "lsh p=8" -> Similarity.lshTopK(vecs, queries, 5, numPlanes = 8),
+          "ivf probe=4" -> Similarity.ivfTopK(vecs, queries, 5,
+            numCells = 64, nProbe = 4),
+          "ivf probe=16" -> Similarity.ivfTopK(vecs, queries, 5,
+            numCells = 64, nProbe = 16)))
+          println(f"[stress] recall@5 vs brute (n=$n) $label: ${recall(pairs(approx))}%.2f")
+      }
       vecs.unpersist()
     }
 
