@@ -290,6 +290,23 @@ object SparkEntry {
           .otherwise(0L)).as("plants_absorbed"))
     }),
 
+    // Eval-set decontamination (train/test leakage removal): the eval set
+    // contains byte-identical copies of corpus docs (doc_id % 37), which
+    // MUST all be detected through the cross-corpus LSH join and removed.
+    // Natural near-dups of leaked docs may also be removed (correct
+    // behavior, data-dependent) — the oracle therefore counts removed
+    // PLANTS, which is exact.
+    "decontaminate" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val eval = corpus.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val cleaned = Dedup.decontaminate(corpus, eval, "doc_id", "text", 0.8)
+      corpus.join(cleaned.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(sum(when(col("doc_id") % 37 === 0, 1L).otherwise(0L))
+          .as("plants_removed"))
+    }),
+
     // Embedding-cosine near-dup (exact, on a deterministic subset ∪ planted
     // exact copies). SQL-expressible via DuckDB list_cosine_similarity.
     "dedup_embedding" -> ((s, dir) => {
@@ -572,6 +589,10 @@ object SparkEntry {
         |         + (SELECT count(*) FROM documents WHERE doc_id % 25 = 0) AS docs,
         |       (SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
         |         AS plants_absorbed""".stripMargin,
+    // Every leaked (byte-identical) eval doc must be caught and removed.
+    "decontaminate" ->
+      """SELECT count(*) AS plants_removed FROM documents
+        |WHERE doc_id % 37 = 0""".stripMargin,
     // LSH self-recovery: every query shares its own bucket, so rank 1 is
     // the query vector itself at cosine 1.0.
     "ann_lsh" ->

@@ -29,12 +29,14 @@ object EsIndexJob {
   final case class Args(inputPaths: Seq[String], dest: String, index: String,
                         docIdField: String, numShards: Int,
                         snapshotName: Option[String], mappings: Option[String],
-                        template: Option[String], failFast: Boolean = false)
+                        template: Option[String], failFast: Boolean = false,
+                        overwrite: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     require(argv.length >= 5,
       "usage: <inputPaths(|-sep)> <dest> <indexName> <docIdField> <numShards> " +
-        "[snapshotName] [mappingsFile] [templateFile] [failfast|permissive]")
+        "[snapshotName] [mappingsFile] [templateFile] [failfast|permissive] " +
+        "[overwrite|append]")
     Args(
       inputPaths = argv(0).split('|').toSeq.filter(_.nonEmpty), // README.md:30-31
       dest = argv(1).stripSuffix("/"), // IndexingJob.java:94
@@ -46,7 +48,10 @@ object EsIndexJob {
       template = argv.lift(7),
       // the reference always fails fast (BaseESReducer.java:284-293);
       // permissive-with-counter is this engine's default
-      failFast = argv.lift(8).contains("failfast"))
+      failFast = argv.lift(8).contains("failfast"),
+      // append (default) adds a snapshot generation to the repo;
+      // overwrite makes this run's snapshot the repo's only one
+      overwrite = argv.lift(9).contains("overwrite"))
   }
 
   def run(spark: SparkSession, args: Args): Long = {
@@ -56,7 +61,7 @@ object EsIndexJob {
     val (docs, ingestObs) = Ingest.toIndexableObserved(
       raw, args.index, args.docIdField, args.numShards, failFast = args.failFast)
     EsSnapshot.write(docs, args.dest, ShardConfig(args.numShards),
-      args.snapshotName, mappings, template)
+      args.snapshotName, mappings, template, overwrite = args.overwrite)
     // INDEXING_DOC_FAIL counter next to the sink's _SUMMARY.json — silent
     // drops become a visible number in the committed snapshot
     val m = ingestObs.get

@@ -178,6 +178,62 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus near-duplicate pairs: LSH-banded join of two DIFFERENT
+   * corpora (train × eval), never all-pairs — the candidate generator for
+   * decontamination. Emits (id_a from `a`, id_b from `b`, est_jaccard).
+   */
+  def crossMinhashPairs(a: DataFrame, b: DataFrame, idCol: String,
+                        textCol: String, numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 5, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+          graft.functions.Text.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
+        .withColumn("band_keys",
+          expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+            s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
+        .localCheckpoint(false) // one sketch evaluation per doc per side
+        .select(col("id"), col("sig"), explode(col("band_keys")).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val ba = banded(a).as("a")
+    val bb = banded(b).as("b")
+    val agree = graft.functions.Text.sigAgree(col("a.sig"), col("b.sig"))
+    ba.join(bb, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /**
+   * Eval-set decontamination: drop every document of `corpus` that is a
+   * near-duplicate of ANY document in `eval` (train/test leakage removal).
+   * LSH candidates via [[crossMinhashPairs]], exact n-gram Jaccard
+   * verification, then an anti-join — the corpus never cross-joins the
+   * eval set, and eval-side work is proportional to |eval|, not |corpus|.
+   */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, jaccardThreshold: Double = 0.8,
+                    numHashes: Int = 64, bands: Int = 16,
+                    shingleSize: Int = 5): DataFrame = {
+    val cand = crossMinhashPairs(corpus, eval, idCol, textCol, numHashes,
+      bands, shingleSize, threshold = math.max(0.0, jaccardThreshold - 0.2))
+      .select("id_a", "id_b")
+    // verify against the union so both sides' grams resolve (ids must be
+    // disjoint across corpora, as with any cross-corpus id space)
+    val verified = verifyJaccard(cand,
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(eval.select(col(idCol), col(textCol))),
+      idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a").as("__contaminated"))
+      .distinct()
+    corpus.join(verified, col(idCol) === col("__contaminated"), "left_anti")
+  }
+
+  /**
    * Canonical-representative assignment over near-dup pairs: iterative
    * min-label propagation (connected components on the dup graph, log-n
    * rounds bounded by `maxIter`). Returns (id, canonical_id).

@@ -80,6 +80,32 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("decontaminate removes corpus docs leaked into the eval set (and only those)") {
+    val corpus = Seq(
+      (1L, base),                 // leaked verbatim into eval
+      (2L, near),                 // near-dup of the leaked doc → contaminated too
+      (3L, far),                  // clean
+      (4L, "short unrelated doc about something else entirely " * 6)
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, base),               // copy of corpus doc 1
+      (101L, "held-out benchmark question with its own content " * 6)
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.decontaminate(corpus, eval, "doc_id", "text",
+      jaccardThreshold = 0.8)
+    val kept = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L)) // 1 exact leak, 2 near-dup of the leak
+  }
+
+  test("crossMinhashPairs joins two corpora, never self-pairs") {
+    val a = Seq((1L, base), (2L, far)).toDF("doc_id", "text")
+    val b = Seq((10L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.crossMinhashPairs(a, b, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 10L)))
+    assert(pairs.head._3 === 1.0)
+  }
+
   test("assignCanonical propagates min label across a dup chain") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
