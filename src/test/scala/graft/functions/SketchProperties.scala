@@ -86,4 +86,40 @@ object SketchProperties extends Properties("sketches") {
       val s = graft.core.EsMurmur3.shard(id, n)
       s >= 0 && s < n && s == graft.core.EsMurmur3.shard(id, n)
     }
+
+  // canonical_tokens: pure-JVM reference model of the HOF composition
+  // concat_ws(" ", array_sort(array_distinct(transform(split(trim(s),
+  // "\\s+"), lower)))) — arbitrary whitespace/case/duplication
+  private val wsChar = Gen.oneOf(' ', ' ', ' ', '\t', '\n', '\r', '\f')
+  private val messyDoc = Gen.listOfN(30, Gen.oneOf(
+    word, word.map(_.toUpperCase), Gen.const(""),
+    Gen.oneOf("Straße", "MÜNCHEN", "a|b", "x.y", "123")))
+    .flatMap(ws => Gen.listOfN(ws.length + 1, wsChar)
+      .map(seps => ws.zip(seps).map { case (w, c) => s"$w$c" }.mkString))
+
+  private def modelCanonical(s: String): String = {
+    val trimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    if (trimmed.isEmpty) ""
+    else {
+      val toks = trimmed.split("\\s+").toSeq
+      val lowered = toks.map(t => UTF8String.fromString(t).toLowerCase)
+      lowered.distinct.sorted(Ordering.comparatorToOrdering(
+        java.util.Comparator.naturalOrder[UTF8String]())).map(_.toString)
+        .mkString(" ")
+    }
+  }
+
+  property("canonical_tokens equals the split/lower/distinct/sort model") =
+    forAll(messyDoc) { s =>
+      org.apache.spark.sql.graft.CanonicalTokensRuntime
+        .canon(UTF8String.fromString(s)).toString == modelCanonical(s)
+    }
+
+  property("canonical_tokens is whitespace- and order-insensitive") =
+    forAll(Gen.listOfN(10, word)) { ws =>
+      val canon = (s: String) => org.apache.spark.sql.graft
+        .CanonicalTokensRuntime.canon(UTF8String.fromString(s)).toString
+      canon(ws.mkString(" ")) == canon(scala.util.Random.shuffle(ws).mkString("\t")) &&
+        canon(ws.mkString(" ")) == canon(("  " + ws.reverse.mkString("\n") + "  "))
+    }
 }
