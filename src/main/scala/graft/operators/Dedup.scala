@@ -244,6 +244,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
+    // dup-free corpus: every doc is its own canonical — skip the loop
+    // (and its per-round jobs) entirely
+    if (edges.isEmpty) {
+      edges.unpersist()
+      return ids.select(col("id"), col("id").as("canonical_id"))
+    }
     var labels = ids.select(col("id"), col("id").as("canonical_id"))
     // Labels only ever decrease under min-propagation, so the label sum is
     // a fixpoint witness: unchanged sum ⇔ converged. One aggregate per

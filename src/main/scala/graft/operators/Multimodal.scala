@@ -31,58 +31,81 @@ object Multimodal {
   final case class FrameSample(media_id: Long, frame_index: Int,
                                offset_ms: Long, phash: Long)
 
-  // ── STUB decode kernels (deterministic fakes; replace with real codecs) ──
-
-  /** STUB: "decode" a header — width/height/duration derived from a
-    * stable hash of the first 64 bytes. A real impl parses the container. */
-  private[operators] def decodeHeaderStub(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    val n = math.min(bytes.length, 64)
-    while (i < n) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
-    val w = 160 + math.floorMod(h, 8).toInt * 160          // 160..1280
-    val ht = 120 + math.floorMod(h >>> 8, 8).toInt * 120   // 120..960
-    val dur = if (kind == "image") 0L else 1000L + math.floorMod(h >>> 16, 60000L)
-    (w, ht, dur)
+  /**
+   * Decode-kernel seam: everything Spark-side (schema, partition-streamed
+   * iteration, batch shape) is codec-agnostic; a real deployment supplies
+   * a [[MediaCodec]] backed by javacv/ffmpeg/an encoder model, constructed
+   * ONCE per partition. Must be Serializable (ships in task closures).
+   */
+  trait MediaCodec extends Serializable {
+    /** (width, height, durationMs) from a container header. */
+    def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Long)
+    /** Fixed-dim feature vector for the media content. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB: fixed-dim feature vector from byte n-grams. A real impl runs a
-    * vision/audio encoder over the decoded frames. */
-  private[operators] def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= bytes(i); h *= 0x100000001b3L
-      acc(math.floorMod(h, dim).toInt) += 1f
-      i += 1
+  /**
+   * STUB codec — deterministic fakes over the byte content (no
+   * image/audio/video libraries exist in this environment). The default
+   * instance everywhere; swapping in a real codec changes one argument.
+   */
+  object StubCodec extends MediaCodec {
+    override def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      val n = math.min(bytes.length, 64)
+      while (i < n) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
+      val w = 160 + math.floorMod(h, 8).toInt * 160          // 160..1280
+      val ht = 120 + math.floorMod(h >>> 8, 8).toInt * 120   // 120..960
+      val dur = if (kind == "image") 0L else 1000L + math.floorMod(h >>> 16, 60000L)
+      (w, ht, dur)
     }
-    val norm = math.sqrt(acc.map(x => x * x).sum).toFloat max 1e-6f
-    acc.map(_ / norm)
+
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= bytes(i); h *= 0x100000001b3L
+        acc(math.floorMod(h, dim).toInt) += 1f
+        i += 1
+      }
+      val norm = math.sqrt(acc.map(x => x * x).sum).toFloat max 1e-6f
+      acc.map(_ / norm)
+    }
   }
+
+  private[operators] def decodeHeaderStub(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
+    StubCodec.decodeHeader(kind, bytes)
+
+  private[operators] def featureStub(bytes: Array[Byte], dim: Int): Array[Float] =
+    StubCodec.features(bytes, dim)
 
   // ── Real Spark plumbing ──────────────────────────────────────────────────
 
-  /** Decode metadata per partition (one "decoder" per partition — the
+  /** Decode metadata per partition (one decoder per partition — the
     * mapInPandas batching shape). */
-  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def extractMeta(media: Dataset[MediaRow],
+                  codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here (codec contexts, models)
+      // a real codec's per-partition init (contexts, models) goes in its
+      // construction; the instance is reused for the whole partition
       rows.map { m =>
-        val (w, h, d) = decodeHeaderStub(m.kind, m.bytes)
+        val (w, h, d) = codec.decodeHeader(m.kind, m.bytes)
         MediaMeta(m.media_id, m.kind, m.bytes.length, w, h, d)
       }
     }
   }
 
   /** Feature extraction: binary → dense Array[Float], partition-streamed. */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeature] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(rows =>
-      rows.map(m => MediaFeature(m.media_id, m.kind, featureStub(m.bytes, dim))))
+      rows.map(m => MediaFeature(m.media_id, m.kind, codec.features(m.bytes, dim))))
   }
 
   /** Frame sampling for video-kind rows: every `everyMs` up to duration;
