@@ -379,6 +379,22 @@ object SparkEntry {
         .select("doc_id", "q_chars", "q_tokens", "alpha_ratio", "mean_word_len")
     }),
 
+    // Pattern redaction (PII scrubbing): mask digit runs, report how many
+    // docs changed and how much text was removed — the audit numbers a
+    // scrubbing stage must emit.
+    "text_redact" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val redacted = TextAnalysis.redact(col("text"),
+        Seq(TextAnalysis.NumberRunPattern -> "<NUM>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), redacted.as("clean"))
+        .agg(
+          sum(when(col("clean") =!= col("text"), 1L).otherwise(0L))
+            .as("docs_changed"),
+          sum((length(col("text")) - length(col("clean"))).cast("long"))
+            .as("chars_removed"))
+    }),
+
     // Corpus vocabulary statistics: deterministic top-k token counts.
     "text_top_tokens" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -676,6 +692,14 @@ object SparkEntry {
         |  FROM q)
         |SELECT count(*) AS kept_docs FROM scored
         |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
+    "text_redact" ->
+      """WITH r AS (
+        |  SELECT text, regexp_replace(text, '[0-9]{4,}', '<NUM>', 'g') AS clean
+        |  FROM documents)
+        |SELECT CAST(sum(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS docs_changed,
+        |       CAST(sum(length(text) - length(clean)) AS BIGINT) AS chars_removed
+        |FROM r""".stripMargin,
     "text_top_tokens" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

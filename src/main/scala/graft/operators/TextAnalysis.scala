@@ -99,6 +99,20 @@ object TextAnalysis {
       .drop(statsCol, scoresCol)
   }
 
+  /** Common redaction patterns for training-data scrubbing. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberRunPattern: String = "[0-9]{4,}"
+
+  /**
+   * Pattern redaction (PII scrubbing / sensitive-content masking): each
+   * (regex → replacement) applies in order via codegen'd `regexp_replace`
+   * — map-only, no shuffle, stays inside WholeStageCodegen.
+   */
+  def redact(text: Column, patterns: Seq[(String, String)]): Column =
+    patterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
   /**
    * Corpus token-frequency table (vocabulary statistics — the input to
    * tokenizer training and stopword discovery): lowercased whitespace

@@ -46,6 +46,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("redact masks configured patterns in order") {
+    import org.apache.spark.sql.functions._
+    val out = Seq("mail me at a.b+c@example.org or call 12345678 x9")
+      .toDF("text")
+      .select(TextAnalysis.redact(col("text"), Seq(
+        TextAnalysis.EmailPattern -> "<EMAIL>",
+        TextAnalysis.NumberRunPattern -> "<NUM>")).as("clean"))
+      .head().getString(0)
+    assert(out === "mail me at <EMAIL> or call <NUM> x9")
+  }
+
   test("native canonical_tokens matches the HOF composition exactly") {
     import org.apache.spark.sql.functions._
     val tricky = Seq(
