@@ -175,6 +175,89 @@ object Streams {
       case None => events.dropDuplicates(idCols)
     }
 
+  final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+
+  final case class NearDupCandidate(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  // public: the state encoder's generated code constructs/accesses it
+  final case class BucketEntry(id: Long, sig: Array[Long], tsMs: Long)
+
+  /**
+   * STREAMING near-duplicate candidate generation: the LSH banding of
+   * [[graft.operators.Dedup.minhashPairs]] with per-bucket state instead
+   * of a self-join. Each arriving document lands in `bands` bucket groups;
+   * a bucket's state holds the recent (id, signature) entries; a new
+   * arrival is compared against them (signature-agreement estimate) and
+   * emits a candidate pair per match. State is bounded two ways: entries
+   * older than `stateTtlMs` (event time) are dropped, and the group times
+   * out at watermark + TTL, so an idle bucket frees its memory.
+   *
+   * Contract: AT-LEAST-ONCE candidate emission (a pair colliding in k
+   * bands is emitted up to k times — `.dropDuplicates` downstream or feed
+   * the idempotent exact-verification stage, exactly like the batch
+   * pipeline). Works identically on a bounded Dataset for testing.
+   */
+  def nearDupCandidates(docs: Dataset[DocEvent], numHashes: Int = 64,
+                        bands: Int = 16, shingleSize: Int = 5,
+                        threshold: Double = 0.5,
+                        watermarkDelay: String = "10 minutes",
+                        stateTtlMs: Long = 60 * 60 * 1000L)
+  : Dataset[NearDupCandidate] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val banded = docs
+      .withColumn("sig",
+        graft.functions.Text.minhashSig(col("text"), numHashes, shingleSize))
+      .withColumn("bk",
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))")))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        col("bk.band"), col("bk.bucket"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, Array[Long], Int, Long)]
+
+    banded
+      .groupByKey { case (_, _, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[List[BucketEntry], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[List[BucketEntry]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val arrivals = rows.toSeq.sortBy(_._2.getTime)
+          if (arrivals.isEmpty) {
+            // event-time timeout fired with no data: drop expired state
+            val kept = state.getOption.getOrElse(Nil)
+              .filter(e => wm <= 0 || e.tsMs + stateTtlMs > wm)
+            if (kept.isEmpty) state.remove()
+            else state.update(kept)
+            Iterator.empty
+          } else {
+            var entries = state.getOption.getOrElse(Nil)
+              .filter(e => wm <= 0 || e.tsMs + stateTtlMs > wm)
+            val out = List.newBuilder[NearDupCandidate]
+            arrivals.foreach { case (id, ts, sig, _, _) =>
+              entries.foreach { e =>
+                if (e.id != id) {
+                  var agree = 0
+                  var i = 0
+                  val n = math.min(sig.length, e.sig.length)
+                  while (i < n) { if (sig(i) == e.sig(i)) agree += 1; i += 1 }
+                  val est = agree.toDouble / numHashes
+                  if (est >= threshold)
+                    out += NearDupCandidate(math.min(id, e.id),
+                      math.max(id, e.id), est)
+                }
+              }
+              entries = BucketEntry(id, sig, ts.getTime) :: entries
+            }
+            state.update(entries)
+            state.setTimeoutTimestamp(entries.map(_.tsMs).max + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming snapshot ingestion: micro-batch the stream into successive
     * snapshots of ONE repo via foreachBatch — each batch commits as the
     * repo's next snapshot generation (mirroring the reference's batch job

@@ -116,6 +116,34 @@ class StreamsSpec extends SparkSpec {
       .readTable(spark, dest, Some("batch-1")).count() === 1)
   }
 
+  test("nearDupCandidates: streaming LSH catches a near-dup arriving in a later batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val input = MemoryStream[Streams.DocEvent]
+    val cands = Streams.nearDupCandidates(input.toDS(), threshold = 0.5)
+    val q = cands.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.DocEvent(1L, ts(0), base),
+        Streams.DocEvent(2L, ts(1), "completely different content about engines " * 8))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === 0) // nothing similar yet
+
+      // a near-copy of doc 1 arrives in a LATER micro-batch: the bucket
+      // state from batch 1 must still be there to catch it
+      input.addData(Streams.DocEvent(3L, ts(5), base + "tail"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out")
+        .select("id_a", "id_b").distinct()
+        .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+      assert(pairs === Set((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("dedupEvents batch mode drops exact key duplicates") {
     import spark.implicits._
     val e = Seq(
