@@ -63,6 +63,95 @@ object EsSnapshot {
       .select(col("value").as("json"), col("shard"))
   }
 
+  /**
+   * Delete one snapshot from a repo (ES delete-snapshot semantics): the
+   * snapshot disappears from a NEW generation, its metadata files go, and
+   * its data files are removed unless another snapshot's shard manifest
+   * still references them. Driver-side metadata surgery — O(shards) file
+   * ops, no Spark job. Returns false if the snapshot isn't in the repo.
+   */
+  def deleteSnapshot(spark: SparkSession, dest: String,
+                     nameOrUuid: String): Boolean = {
+    import graft.sinks.essnapshot.SnapshotLayout
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    def readStr(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def writeStr(p: Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    val latestPath = new Path(destPath, SnapshotLayout.IndexLatest)
+    if (!fs.exists(latestPath)) return false
+    val gen = {
+      val in = fs.open(latestPath)
+      val buf = new Array[Byte](8)
+      try { in.readFully(buf); SnapshotLayout.parseIndexLatest(buf) }
+      finally in.close()
+    }
+    val genPath = new Path(destPath, SnapshotLayout.generationFile(gen))
+    if (!fs.exists(genPath)) return false
+    val body = readStr(genPath)
+    val snapshots = SnapshotLayout.parseGenerationSnapshots(body)
+    val victim = snapshots.reverse.find(_._1 == nameOrUuid)
+      .orElse(snapshots.find(_._2 == nameOrUuid))
+    victim match {
+      case None => false
+      case Some((_, uuid)) =>
+        val remaining = snapshots.filterNot(_._2 == uuid)
+        val indices = SnapshotLayout.parseGenerationIndices(body)
+        val newIndices = indices
+          .map { case (ix, uuids) => ix -> uuids.filterNot(_ == uuid) }
+          .filter(_._2.nonEmpty)
+        // publish the new generation FIRST (readers atomically stop seeing
+        // the victim), then garbage-collect its files
+        writeStr(new Path(destPath, SnapshotLayout.generationFile(gen + 1)),
+          SnapshotLayout.generationJson(remaining, newIndices))
+        val out = fs.create(latestPath, true)
+        try out.write(SnapshotLayout.indexLatestBytes(gen + 1))
+        finally out.close()
+
+        val survivingIds = newIndices.map { case (ix, _) =>
+          SnapshotLayout.indexId(ix) }.toSet
+        for ((ix, uuids) <- indices if uuids.contains(uuid)) {
+          val ixDir = new Path(SnapshotLayout.indicesDir(dest, ix))
+          if (fs.exists(ixDir)) {
+            if (!survivingIds.contains(SnapshotLayout.indexId(ix))) {
+              fs.delete(ixDir, true) // no snapshot carries this index now
+            } else {
+              fs.delete(new Path(ixDir, SnapshotLayout.metaDat(uuid)), false)
+              for (shardDir <- fs.listStatus(ixDir) if shardDir.isDirectory) {
+                val sd = shardDir.getPath
+                val snapDat = new Path(sd, SnapshotLayout.snapDat(uuid))
+                if (fs.exists(snapDat)) {
+                  val mine = SnapshotLayout.parseShardSnapFiles(readStr(snapDat))
+                  val referenced = fs.listStatus(sd).map(_.getPath)
+                    .filter(p => p.getName.startsWith("snap-") &&
+                      p.getName != SnapshotLayout.snapDat(uuid))
+                    .flatMap(p =>
+                      try SnapshotLayout.parseShardSnapFiles(readStr(p))
+                      catch { case _: Exception => Seq.empty[String] })
+                    .toSet
+                  mine.filterNot(referenced.contains)
+                    .foreach(f => fs.delete(new Path(sd, f), false))
+                  fs.delete(snapDat, false)
+                }
+              }
+            }
+          }
+        }
+        fs.delete(new Path(destPath, SnapshotLayout.snapDat(uuid)), false)
+        fs.delete(new Path(destPath, SnapshotLayout.metaDat(uuid)), false)
+        true
+    }
+  }
+
   /** The committed manifest, one row per populated shard:
     * `index|snapshotUUID|indexId` (reference: BaseESReducer.java:317-319). */
   def readManifest(spark: SparkSession, dest: String): DataFrame = {

@@ -70,4 +70,45 @@ class SnapshotGenerationsSpec extends SparkSpec {
       .count(r => graft.core.EsMurmur3.shard(r.getString(0), numShards) != r.getInt(1))
     assert(misplaced === 0)
   }
+
+  test("deleteSnapshot garbage-collects one snapshot, the rest stays restorable") {
+    val dest = Files.createTempDirectory("graft-del").toString
+    val numShards = 3
+    val a = Ingest.fromColumns(
+      spark.range(60).toDF("event_id"), "events", "event_id", numShards)
+    val b = Ingest.fromColumns(
+      spark.range(60, 100).toDF("event_id"), "events", "event_id", numShards)
+    EsSnapshot.write(a, dest, ShardConfig(numShards), Some("snap_a"))
+    EsSnapshot.write(b, dest, ShardConfig(numShards), Some("snap_b"))
+
+    assert(EsSnapshot.deleteSnapshot(spark, dest, "snap_a"))
+    assert(!EsSnapshot.deleteSnapshot(spark, dest, "snap_a")) // already gone
+
+    val root = Paths.get(dest)
+    // a THIRD generation published, listing only snap_b
+    assert(SnapshotLayout.parseIndexLatest(
+      Files.readAllBytes(root.resolve("index.latest"))) === 2L)
+    val snaps = SnapshotLayout.parseGenerationSnapshots(
+      Files.readString(root.resolve("index-2")))
+    assert(snaps.map(_._1) === Seq("snap_b"))
+    val uuidB = snaps.head._2
+
+    // snap_b fully readable; snap_a unselectable and its files gone
+    assert(EsSnapshot.readTable(spark, dest).count() === 40)
+    assert(EsSnapshot.readTable(spark, dest, Some("snap_b")).count() === 40)
+    // raw all-files view shows only snap_b's data survived the GC
+    assert(EsSnapshot.readDocs(spark, dest, "events").count() === 40)
+    // per-shard: exactly snap_b's manifest remains
+    val indexDir = root.resolve("indices").resolve(SnapshotLayout.indexId("events"))
+    (0 until numShards).foreach { s =>
+      import scala.jdk.CollectionConverters._
+      val dats = Files.list(indexDir.resolve(s.toString)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("snap-")).toList
+      assert(dats === List(s"snap-$uuidB.dat"))
+    }
+
+    // deleting the last snapshot empties the repo listing
+    assert(EsSnapshot.deleteSnapshot(spark, dest, "snap_b"))
+    assert(EsSnapshot.readTable(spark, dest).count() === 0)
+  }
 }
