@@ -186,6 +186,30 @@ object SparkEntry {
                .cast("decimal(38,2)").as("sum_qty"))
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed on the join key →
+    // repeated joins run shuffle-free (BucketedJoinSpec pins the
+    // zero-Exchange plan; this gates the bucketed write→read→join result).
+    "q_bucketed_join" -> ((s, dir) => {
+      Seq("graft_bq_orders", "graft_bq_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val d = new java.io.File(wh, t)
+        if (d.exists())
+          java.nio.file.Files.walk(d.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      t(s, dir, "orders").write.bucketBy(8, "o_custkey")
+        .mode("overwrite").saveAsTable("graft_bq_orders")
+      t(s, dir, "customer").write.bucketBy(8, "c_custkey")
+        .mode("overwrite").saveAsTable("graft_bq_customer")
+      s.table("graft_bq_orders")
+        .join(s.table("graft_bq_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+
     // Semi-join (EXISTS): segments of customers who placed large orders.
     "q_semijoin" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -565,6 +589,10 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_semijoin" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
