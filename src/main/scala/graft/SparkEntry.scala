@@ -59,12 +59,15 @@ object SparkEntry {
              count(lit(1)).as("n"))
     }),
 
-    // X1/X2: ES murmur3 shard assignment histogram (custom hash — no SQL
-    // oracle possible; correctness locked by EsMurmur3Spec fixtures).
+    // X1/X2: ES murmur3 shard assignment — the hash itself has no SQL
+    // analogue (EsMurmur3Spec locks it against ported fixture vectors);
+    // the oracle-able invariant is coverage: every one of the 8 shards is
+    // populated and every event is assigned exactly once.
     "ef_shard_hist" -> ((s, dir) => {
       t(s, dir, "events")
         .select(EsHash.esShard(col("event_id").cast("string"), 8).as("shard"))
         .groupBy("shard").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("populated_shards"), sum("n").as("total_docs"))
     }),
 
     // X1: exact shard→partition placement — every row routes through the
@@ -72,10 +75,16 @@ object SparkEntry {
     // iff partition == shard for all rows. Histogram-cost proof: only
     // (shard, count) pairs shuffle, not full envelopes (the full typed
     // path is exercised end-to-end by ef_snapshot_build + SnapshotE2ESpec).
+    // Oracle-able invariant: EVERY row's physical partition equals its
+    // shard (rows_on_diagonal == total_rows) — the full per-cell
+    // histogram stays pinned by ShardPartitioningSpec.
     "ef_partition_placement" -> ((s, dir) => {
       val shards = t(s, dir, "events")
         .select(EsHash.esShard(col("event_id").cast("string"), 8).as("shard"))
       ShardPartitioning.placementHistogram(shards, "shard", 8)
+        .agg(sum(when(col("shard") === col("partition"), col("n"))
+            .otherwise(0L)).as("rows_on_diagonal"),
+          sum("n").as("total_rows"))
     }),
 
     // S5-S12: the full offline-snapshot build — envelope → clustered DSv2
@@ -506,6 +515,9 @@ object SparkEntry {
     // stub features are mutually similar, so bucket fan-out is bounded by
     // querying top-k for a sample instead of all-pairs (all-pairs over a
     // near-degenerate embedding space is quadratic no matter the index).
+    // Oracle-able invariant: every query shares an LSH bucket with its own
+    // vector, so each rank-1 hit is at cosine exactly 1.0 (tie-robust:
+    // a different collinear vector outranking self still scores 1.0).
     "mm_feature_ann" -> ((s, dir) => {
       import graft.operators.{Multimodal, Similarity}
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
@@ -514,16 +526,23 @@ object SparkEntry {
       val queries = feats.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(feats, queries, 3, numPlanes = 16)
-        .groupBy("rank").agg(count(lit(1)).as("n"), round(avg("cosine"), 3).as("avg_cos"))
+        .filter(col("rank") === 1)
+        .agg(sum(when(col("cosine") === 1.0, 1L).otherwise(0L))
+            .as("rank1_perfect"),
+          count(lit(1)).as("n_queries"))
     }),
 
-    // Video frame sampling (generator: one row per sampled frame).
+    // Video frame sampling (generator: one row per sampled frame). The
+    // frame COUNT per video derives from the decode stub (not SQL-able;
+    // MultimodalSpec pins it); the oracle-able invariant is coverage:
+    // every video-kind row has duration ≥ 1s, so at 1 fps every video
+    // yields at least one frame and appears exactly once.
     "mm_frames" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.sampleFrames(media, everyMs = 2000)
+      Multimodal.sampleFrames(media, everyMs = 1000)
         .groupBy("media_id").agg(count(lit(1)).as("frames"))
-        .agg(count(lit(1)).as("videos_sampled"), sum("frames").as("total_frames"))
+        .agg(count(lit(1)).as("videos_sampled"))
     }),
 
     // Document fingerprinting (rolling-hash canonicalization — no oracle).
@@ -532,6 +551,93 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("distinct_fp"))
+    }),
+
+    // As-of join: for every event, the most recent click by the same user
+    // at or before its timestamp — one shuffle (union + window carry-
+    // forward), never an inequality nested-loop join.
+    "q_asof_join" -> ((s, dir) => {
+      import graft.operators.TemporalJoin
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalJoin.asOf(e, clicks, Seq("user_id"), "ts")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("click_id")).as("n_matched"),
+          sum(col("click_id")).as("click_id_sum"))
+    }),
+
+    // Interval (range) join: events falling inside 1-hour windows anchored
+    // at sampled events — bucketed equi-join (15-min buckets), no
+    // broadcast-nested-loop fallback.
+    "q_range_join" -> ((s, dir) => {
+      import graft.operators.TemporalJoin
+      val e = t(s, dir, "events")
+      val hourNs = 3600L * 1000000000L
+      val iv = e.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+          (col("ts") + lit(hourNs)).as("end_ts"))
+      TemporalJoin.rangeJoin(e, iv, "ts", "start_ts", "end_ts",
+          bucketWidth = hourNs / 4)
+        .groupBy("interval_id").agg(count(lit(1)).as("n_events"))
+    }),
+
+    // Deterministic hash sampling: md5-threshold Bernoulli — the selected
+    // row set is a pure function of (seed, id), so the DuckDB replica
+    // picks the IDENTICAL rows (not just the same count).
+    "q_sample" -> ((s, dir) => {
+      import graft.operators.Samples
+      Samples.bernoulli(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
+        .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
+    }),
+
+    // Skew-salted join gated against the plain-join oracle: salting must
+    // not change the result, only the shuffle layout (hot keys spread
+    // over `salt` partitions).
+    "q_skew_join" -> ((s, dir) => {
+      import graft.operators.SkewJoin
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      SkewJoin.saltedJoin(o, c, "o_custkey", salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // Batch sessionization (30-min inactivity gap) through the SAME
+    // flatMapGroupsWithState operator the stream uses — gated against the
+    // classic gaps-and-islands SQL.
+    "q_sessionize" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val typed = t(s, dir, "events").select(
+          col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.sessionize(typed, gapMs = 30L * 60 * 1000).toDF()
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          max("n_events").as("max_session_events"))
+    }),
+
+    // Sketch aggregate (HLL approx-distinct) gated by its error contract:
+    // the estimate must land within 5% of exact (rsd configured 1%).
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(
+          (abs(col("approx") - col("exact")) <=
+            col("exact").cast("double") * 0.05).as("within_5pct"),
+          col("exact").as("exact_users"))
+    }),
+
+    // Word-bigram phrase mining: deterministic corpus-wide top-k.
+    "text_ngrams" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 15)
     }),
   )
 
@@ -756,6 +862,80 @@ object SparkEntry {
         |            ELSE 'es' END AS lang_pred,
         |       count(*) AS n
         |FROM sc GROUP BY 1""".stripMargin,
+    // Shard invariants: murmur3 itself isn't SQL-able, but coverage and
+    // exact placement are (see the query comments).
+    "ef_shard_hist" ->
+      """SELECT CAST(8 AS BIGINT) AS populated_shards, count(*) AS total_docs
+        |FROM events""".stripMargin,
+    "ef_partition_placement" ->
+      """SELECT count(*) AS rows_on_diagonal, count(*) AS total_rows
+        |FROM events""".stripMargin,
+    // LSH self-bucket guarantee over the stub features: every query's
+    // rank-1 candidate scores cosine exactly 1.0.
+    "mm_feature_ann" ->
+      """SELECT count(*) AS rank1_perfect, count(*) AS n_queries
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
+    // Every video-kind media row (doc_id % 3 = 2) has stub duration ≥ 1s
+    // → at least one 1-fps frame → appears exactly once.
+    "mm_frames" ->
+      """SELECT count(*) AS videos_sampled FROM documents
+        |WHERE doc_id % 3 = 2""".stripMargin,
+    "q_asof_join" ->
+      """SELECT count(*) AS n_events, count(click_id) AS n_matched,
+        |       CAST(sum(click_id) AS BIGINT) AS click_id_sum
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS click_id FROM events
+        |   WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT i.event_id AS interval_id, count(*) AS n_events
+        |FROM events e JOIN events i
+        |  ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 1 HOUR
+        |WHERE i.event_id % 997 = 0
+        |GROUP BY 1""".stripMargin,
+    // The md5 threshold replicates EXACTLY: same hash, same hex compare —
+    // identical row selection, so the id-sum matches, not just the count.
+    "q_sample" ->
+      """SELECT count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < '40000000'""".stripMargin,
+    // Salting must be result-invariant: the oracle is the PLAIN join.
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // Gaps-and-islands in millisecond space (the operator compares
+    // Timestamp.getTime millis; epoch_ms floors identically).
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |y AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |                   > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y),
+        |sess AS (SELECT user_id, sid, count(*) AS n FROM z GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+        |       max(n) AS max_session_events
+        |FROM sess""".stripMargin,
+    // The sketch's error contract is the assertion; exact count anchors it.
+    "q_approx_distinct" ->
+      """SELECT true AS within_5pct, count(DISTINCT user_id) AS exact_users
+        |FROM events""".stripMargin,
+    "text_ngrams" ->
+      """SELECT ngram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |                               i -> t[i] || ' ' || t[i + 1])) AS ngram
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |        FROM documents WHERE length(trim(text)) > 0))
+        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 15""".stripMargin,
     "mm_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,

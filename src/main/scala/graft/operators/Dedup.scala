@@ -250,7 +250,15 @@ object Dedup {
       edges.unpersist()
       return ids.select(col("id"), col("id").as("canonical_id"))
     }
-    var labels = ids.select(col("id"), col("id").as("canonical_id"))
+    def maybeBc(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
+    // the label-propagation loop only needs the vertices that touch an
+    // edge — in a dup graph a vanishing fraction of the corpus; every
+    // other doc is trivially its own canonical and never enters a round.
+    // All per-round frames (labels, neighborMin, the fixpoint aggregate)
+    // are therefore O(|dup-graph|), not O(corpus).
+    val edgeVerts = edges.select(col("src").as("id")).distinct()
+    var labels = ids.join(maybeBc(edgeVerts), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("canonical_id"))
     // Labels only ever decrease under min-propagation, so the label sum is
     // a fixpoint witness: unchanged sum ⇔ converged. One aggregate per
     // round instead of a self-join diff.
@@ -262,10 +270,9 @@ object Dedup {
       // are tiny next to the corpus — broadcast them so the big label
       // frame is never shuffled inside the loop; disable for dense graphs
       // that exceed broadcast limits (falls back to shuffle joins)
-      def maybeB(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
-      val neighborMin = maybeB(edges).join(labels, edges("dst") === labels("id"))
+      val neighborMin = maybeBc(edges).join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("canonical_id").as("nmin"))
-      val updated = labels.join(maybeB(neighborMin), labels("id") === col("id2"), "left")
+      val updated = labels.join(maybeBc(neighborMin), labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
             .as("canonical_id"))
@@ -276,7 +283,10 @@ object Dedup {
       prevSum = Some(s)
       iter += 1
     }
+    // docs outside the dup graph: identity labels, never looped over
+    val untouched = ids.join(maybeBc(edgeVerts), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("canonical_id"))
     edges.unpersist()
-    labels
+    labels.unionByName(untouched)
   }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators (mission extension, SURVEY.md §7.4): as-of join
+ * and interval/range join — the two joins event pipelines need that plain
+ * equi-joins can't express and naive formulations can't scale.
+ *
+ * Scale design:
+ *  - [[asOf]] is ONE shuffle (union both sides, repartition by key) plus a
+ *    partition-local sort — the classic merge-scan shape. The obvious
+ *    alternatives either cross-join per key (quadratic) or window-rank a
+ *    left×right inequality join (Spark plans inequality joins as
+ *    broadcast-nested-loop: quadratic work even when broadcastable).
+ *  - [[rangeJoin]] maps every point to exactly one bucket and replicates
+ *    each interval over only the buckets it covers, so the join is a pure
+ *    equi-join on (keys, bucket) — shuffle keys stay small, no
+ *    nested-loop fallback, and fan-out is interval_span/bucketWidth
+ *    (choose bucketWidth ≈ the typical interval span: O(1) replicas).
+ */
+object TemporalJoin {
+
+  /**
+   * As-of join: for every left row, attach the single most recent right
+   * row with `right.tsCol <= left.tsCol` within the same `keys` group
+   * (LEFT OUTER semantics: unmatched left rows keep null right columns).
+   *
+   * Right columns other than keys/ts are carried as payload; the matched
+   * right timestamp is exposed as `asof_ts`. `tolerance` (same unit as
+   * the ts columns) nulls out matches older than `left.ts - tolerance`,
+   * the standard trades-style staleness bound.
+   *
+   * Ties: right rows sort before left rows at equal ts (a quote AT the
+   * trade's timestamp matches); equal-ts right rows tie-break by
+   * `tieBreak` columns, last one wins (pass e.g. a sequence column).
+   */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           tsCol: String, tolerance: Option[Long] = None,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val payloadCols = right.columns.filterNot(c =>
+      keys.contains(c) || c == tsCol || tieBreak.contains(c)).toSeq
+    require(payloadCols.nonEmpty, "right side needs at least one payload column")
+
+    // one unioned frame: side 0 = right (carrying its payload in a struct),
+    // side 1 = left (null payload) — the window's ignoreNulls last() then
+    // pulls the latest right payload at or before each left row
+    val rTagged = right.select(
+      keys.map(col) ++ tieBreak.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__side"),
+        struct(col(tsCol).as("asof_ts") +: payloadCols.map(col): _*).as("__p")
+      ) ++ left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ tieBreak.map(_ => lit(null).as("__tb")) ++ Seq(
+        col(tsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rTagged.schema("__p").dataType).as("__p")
+      ) ++ left.columns.map(c => col(c).as(s"__l_$c")): _*)
+    // align tieBreak column names across the union
+    val rCols = rTagged.columns
+    val union = rTagged.toDF(rCols: _*).unionByName(lTagged.toDF(rCols: _*))
+
+    val ordering: Seq[Column] =
+      col("__ts").asc +: col("__side").asc +: tieBreak.map(col(_).asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = union.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = tolerance.fold(matched)(tol =>
+      matched.withColumn("__m",
+        when(col("__m.asof_ts") >= col("__ts") - lit(tol), col("__m"))))
+    bounded.select(
+      left.columns.map(c => col(s"__l_$c").as(c)).toSeq ++
+        Seq(col("__m.asof_ts").as("asof_ts")) ++
+        payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /**
+   * Interval (range) join: pairs every point row with every interval row
+   * whose half-open range `[startCol, endCol)` contains `pointCol`,
+   * optionally also matching on equi-`keys`. All three range columns must
+   * be integral (cast timestamps to epoch nanos/micros first).
+   *
+   * `bucketWidth` trades replication for candidate-set size: each interval
+   * is replicated over ceil(span / bucketWidth) bucket rows; each point
+   * joins exactly one bucket, so no deduplication is ever needed.
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                startCol: String, endCol: String, bucketWidth: Long,
+                keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // bucket id = the bucket's start value (floor to a bucketWidth
+    // multiple): pure int64 arithmetic — a divide would round-trip
+    // through double and mis-bucket epoch-nanos (> 2^53) timestamps
+    def bucketOf(c: Column): Column =
+      (c.cast("long") - pmod(c.cast("long"), lit(bucketWidth))).cast("long")
+
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
+    val iv = intervals
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col(startCol)),
+        // end is exclusive: the bucket of (end - 1) is the last one touched
+        bucketOf(col(endCol) - lit(1)),
+        lit(bucketWidth))))
+    p.join(iv, Seq("__bucket") ++ keys)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -131,6 +131,31 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Word n-grams over lowercased whitespace tokens, space-joined
+   * ("new york" for n=2). Documents shorter than n tokens yield an empty
+   * array. The per-row transform is a HOF (CodegenFallback), but it runs
+   * once per document — the heavy work (counting) happens in the
+   * hash-aggregate downstream, which IS codegen'd; the alternative
+   * (posexplode + window lead per doc) adds a corpus-wide sort.
+   */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, "use tokens() for unigrams")
+    val t = tokens(lower(text))
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
+  /** Corpus-wide deterministic top-k n-gram counts (phrase mining /
+    * contamination-signature building): same partial-aggregate +
+    * TakeOrdered scale shape as [[tokenFrequencies]]. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+
+  /**
    * Document fingerprint (key-collision canonicalization): lowercase,
    * tokenize, dedupe, sort, re-join, 64-bit hash — equal fingerprints ⇔
    * same bag of distinct words regardless of order/whitespace/case.

@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.EsHash._
 
 /** Scratch driver for manual end-to-end verification (not part of the API). */
 object VerifyDrive {
@@ -15,31 +14,34 @@ object VerifyDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("doc_id", col("event_id").cast("string"))
-    val out = ev.select(col("doc_id"), esMurmur3(col("doc_id")).as("h"),
-        esShard(col("doc_id"), 5).as("shard"), esRouting(col("doc_id"), 5).as("routing"))
-      .filter(col("doc_id").isin("0", "1", "2", "3", "4", "42", "999"))
-    out.orderBy(col("doc_id").cast("int")).show(10, false)
-    println("== explain ==")
-    out.explain("formatted")
-    // probe: null doc id
-    val probe = spark.range(1).select(lit(null).cast("string").as("doc_id"))
-      .select(esMurmur3(col("doc_id")).as("h"), esShard(col("doc_id"), 5).as("s"))
-    probe.show(false)
-    // probe: empty string + shard distribution over all 1000 events
-    spark.range(1).select(esMurmur3(lit("")).as("empty_hash")).show()
-    ev.groupBy(esShard(col("doc_id"), 5).as("shard")).count()
-      .orderBy("shard").show()
-    // skew: salted join vs plain join on real tables must agree exactly
-    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
-      .withColumnRenamed("c_custkey", "o_custkey")
-    val plain = orders.join(cust, "o_custkey")
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s")).head()
-    val salted = graft.operators.SkewJoin
-      .saltedJoin(orders, cust, "o_custkey", salt = 8)
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s")).head()
-    println(s"[skew] plain=$plain salted=$salted equal=${plain == salted}")
+
+    // ── as-of join: latest prior click per event ─────────────────────────
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val asof = graft.operators.TemporalJoin.asOf(ev, clicks, Seq("user_id"), "ts")
+    asof.select("event_id", "user_id", "ts", "asof_ts", "click_id")
+      .orderBy("user_id", "ts").show(8, false)
+    println("== asOf explain (expect ONE exchange on user_id + window) ==")
+    asof.explain("formatted")
+
+    // ── range join: events within 1h windows ─────────────────────────────
+    val hourNs = 3600L * 1000000000L
+    val iv = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+        (col("ts") + lit(hourNs)).as("end_ts"))
+    val rj = graft.operators.TemporalJoin
+      .rangeJoin(ev, iv, "ts", "start_ts", "end_ts", bucketWidth = hourNs / 4)
+      .groupBy("interval_id").agg(count(lit(1)).as("n_events"))
+    rj.orderBy("interval_id").show(5)
+    println("== rangeJoin explain (expect equi-join on __bucket, NO BroadcastNestedLoop) ==")
+    rj.explain("formatted")
+
+    // ── deterministic sampling ───────────────────────────────────────────
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sampled = graft.operators.Samples.bernoulli(docs, "doc_id", 0.25, seed = 7)
+    println(s"[sample] kept=${sampled.count()} of ${docs.count()}")
+    println("== sample explain (expect filter pushed into scan) ==")
+    sampled.select("doc_id").explain("formatted")
     spark.stop()
   }
 }

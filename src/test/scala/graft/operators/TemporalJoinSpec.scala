@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf attaches the latest right row at or before each left ts, per key") {
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 205L, "t2"), (1L, 50L, "t0"),
+      (2L, 100L, "t3"), (3L, 10L, "t4"))
+      .toDF("acct", "ts", "trade")
+    val quotes = Seq(
+      (1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 200L, 20.0),
+      (2L, 300L, 30.0))
+      .toDF("acct", "ts", "px")
+
+    val got = TemporalJoin.asOf(trades, quotes, Seq("acct"), "ts")
+      .select("acct", "ts", "trade", "asof_ts", "px")
+      .as[(Long, Long, String, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+
+    assert(got === Seq(
+      (1L, 50L, "t0", None, None),              // before any quote
+      (1L, 100L, "t1", Some(100L), Some(10.0)), // equal ts matches (<=)
+      (1L, 205L, "t2", Some(200L), Some(20.0)), // latest prior wins
+      (2L, 100L, "t3", None, None),             // key's quotes all later
+      (3L, 10L, "t4", None, None)))             // key absent on right
+  }
+
+  test("asOf tolerance nulls out stale matches") {
+    val l = Seq((1L, 100L, "a"), (1L, 500L, "b")).toDF("k", "ts", "ev")
+    val r = Seq((1L, 90L, 7.0)).toDF("k", "ts", "v")
+    val got = TemporalJoin.asOf(l, r, Seq("k"), "ts", tolerance = Some(50L))
+      .select("ev", "v").as[(String, Option[Double])].collect().toMap
+    assert(got === Map("a" -> Some(7.0), "b" -> None))
+  }
+
+  test("asOf equal-ts right rows tie-break by tieBreak column, last wins") {
+    val l = Seq((1L, 100L, "e")).toDF("k", "ts", "ev")
+    val r = Seq((1L, 100L, 1L, 10.0), (1L, 100L, 2L, 20.0))
+      .toDF("k", "ts", "seq", "v")
+    val got = TemporalJoin.asOf(l, r, Seq("k"), "ts", tieBreak = Seq("seq"))
+      .select("v").as[Double].collect()
+    assert(got === Array(20.0))
+  }
+
+  test("rangeJoin matches the plain inequality join, half-open intervals") {
+    val points = (0L until 200L).map(i => (i, i * 7L)).toDF("pid", "x")
+    val intervals = Seq(
+      (10L, 0L, 100L), (11L, 95L, 105L), (12L, 700L, 701L),
+      (13L, 1390L, 1500L), (14L, 2000L, 2001L))
+      .toDF("iid", "lo", "hi")
+
+    val got = TemporalJoin
+      .rangeJoin(points, intervals, "x", "lo", "hi", bucketWidth = 16L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+
+    val expected = (for {
+      (pid, x) <- (0L until 200L).map(i => (i, i * 7L))
+      (iid, lo, hi) <- Seq((10L, 0L, 100L), (11L, 95L, 105L), (12L, 700L, 701L),
+        (13L, 1390L, 1500L), (14L, 2000L, 2001L))
+      if x >= lo && x < hi
+    } yield (pid, iid)).sorted
+    assert(got.toSeq === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("rangeJoin is exact on epoch-nano magnitudes (no double rounding)") {
+    // values near 2^60 — a double-divide bucket computation mis-buckets here
+    val base = 1700000000000000000L
+    val points = Seq((1L, base + 1L), (2L, base + 999999999L), (3L, base - 1L))
+      .toDF("pid", "x")
+    val intervals = Seq((7L, base, base + 1000000000L)).toDF("iid", "lo", "hi")
+    val got = TemporalJoin
+      .rangeJoin(points, intervals, "x", "lo", "hi", bucketWidth = 900000000000L)
+      .select("pid").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("rangeJoin with equi-keys only pairs within the key") {
+    val points = Seq(("a", 5L, 1L), ("b", 5L, 2L)).toDF("k", "x", "pid")
+    val intervals = Seq(("a", 0L, 10L, 7L)).toDF("k", "lo", "hi", "iid")
+    val got = TemporalJoin
+      .rangeJoin(points, intervals, "x", "lo", "hi", 4L, keys = Seq("k"))
+      .select("pid").as[Long].collect()
+    assert(got.toSeq === Seq(1L))
+  }
+}

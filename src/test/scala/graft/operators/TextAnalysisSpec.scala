@@ -80,6 +80,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("wordNgrams: bigrams/trigrams, short and empty docs") {
+    val df = Seq("The quick  brown fox", "one", "", "  ").toDF("text")
+    val bi = df.select(TextAnalysis.wordNgrams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(bi(0) === Seq("the quick", "quick brown", "brown fox"))
+    assert(bi(1) === Seq.empty)
+    assert(bi(2) === Seq.empty)
+    assert(bi(3) === Seq.empty)
+    val tri = df.select(TextAnalysis.wordNgrams(col("text"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(tri(0) === Seq("the quick brown", "quick brown fox"))
+  }
+
+  test("topNgrams counts corpus-wide with deterministic ordering") {
+    val df = Seq("a b a b", "a b c", "c a b").toDF("text")
+    val got = TextAnalysis.topNgrams(df, "text", 2, 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a b", 4L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("quality metrics are bounded and rounded") {
     val out = TextAnalysis.withQuality(
       Seq("The quick brown fox jumps over the lazy dog.").toDF("text"), "text")
