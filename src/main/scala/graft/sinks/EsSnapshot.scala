@@ -152,6 +152,48 @@ object EsSnapshot {
     }
   }
 
+  /**
+   * Compact a snapshot repo to its `keep` most recent snapshots: older
+   * snapshots go through [[deleteSnapshot]]'s reference-counted GC (data
+   * files shared with a surviving snapshot are kept), then the metadata
+   * chain is collapsed — superseded `index-N` generation files are pruned
+   * so the repo's metadata footprint is O(keep), not O(total writes).
+   * The retention policy every long-lived repo needs (a streaming
+   * `streamToSnapshots` repo grows one snapshot per micro-batch).
+   * Returns the number of snapshots removed.
+   */
+  def compactRepo(spark: SparkSession, dest: String, keep: Int = 1): Int = {
+    require(keep >= 1, "keep must be >= 1")
+    import graft.sinks.essnapshot.SnapshotLayout
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    val latestPath = new Path(destPath, SnapshotLayout.IndexLatest)
+    if (!fs.exists(latestPath)) return 0
+    def currentGen(): Long = {
+      val in = fs.open(latestPath)
+      val buf = new Array[Byte](8)
+      try { in.readFully(buf); SnapshotLayout.parseIndexLatest(buf) }
+      finally in.close()
+    }
+    val genPath = new Path(destPath, SnapshotLayout.generationFile(currentGen()))
+    if (!fs.exists(genPath)) return 0
+    val body = {
+      val in = fs.open(genPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // generation order is append order: oldest first
+    val victims = SnapshotLayout.parseGenerationSnapshots(body).dropRight(keep)
+    victims.foreach { case (_, uuid) => deleteSnapshot(spark, dest, uuid) }
+    // each delete published a new generation; sweep every superseded one
+    val live = SnapshotLayout.generationFile(currentGen())
+    fs.listStatus(destPath).map(_.getPath)
+      .filter { p => p.getName.startsWith("index-") && p.getName != live }
+      .foreach(p => fs.delete(p, false))
+    victims.size
+  }
+
   /** The committed manifest, one row per populated shard:
     * `index|snapshotUUID|indexId` (reference: BaseESReducer.java:317-319). */
   def readManifest(spark: SparkSession, dest: String): DataFrame = {

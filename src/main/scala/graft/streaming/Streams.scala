@@ -258,6 +258,112 @@ object Streams {
       }
   }
 
+  final case class DupVerdict(doc_id: Long, dup_of: Long, jaccard: Double)
+
+  // public: the state encoder's generated code constructs/accesses it
+  final case class VerifiedEntry(id: Long, sig: Array[Long],
+                                 gramHashes: Array[Long], tsMs: Long)
+
+  /**
+   * STREAMING end-to-end near-duplicate detection: [[nearDupCandidates]]'
+   * LSH banding PLUS inline exact verification — one stateful stage, no
+   * downstream join needed. Each bucket's state keeps (signature, sorted
+   * 64-bit shingle-hash set); an arrival that band-collides is first
+   * screened by the cheap signature-agreement estimate, then EXACTLY
+   * verified by Jaccard over the hash sets (exact up to 64-bit shingle
+   * collisions — the same trade the batch pipeline's verify stage makes
+   * with xxhash-bucketed grams). Emits a verdict per (later doc, earlier
+   * doc) pair at or above `jaccardThreshold`.
+   *
+   * Survivor semantics: a doc with NO emitted verdict for `doc_id` is
+   * first-of-its-kind so far — `survivors = arrivals anti-join verdicts`
+   * per micro-batch (or downstream `dropDuplicates("doc_id")` on the
+   * verdict stream for the dup list). Emission is AT-LEAST-ONCE across
+   * bands, like the candidate stream. State is TTL-bounded (event time)
+   * and groups time out at watermark + TTL.
+   */
+  def nearDupVerdicts(docs: Dataset[DocEvent], numHashes: Int = 64,
+                      bands: Int = 16, shingleSize: Int = 5,
+                      candidateThreshold: Double = 0.5,
+                      jaccardThreshold: Double = 0.9,
+                      watermarkDelay: String = "10 minutes",
+                      stateTtlMs: Long = 60 * 60 * 1000L)
+  : Dataset[DupVerdict] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val banded = docs
+      .withColumn("sig",
+        graft.functions.Text.minhashSig(col("text"), numHashes, shingleSize))
+      // exact-verification payload: the doc's distinct shingle set as
+      // sorted 64-bit hashes — computed ONCE per doc, before banding
+      // replicates the row (array stays ~|distinct shingles| longs, far
+      // smaller than the text for long documents)
+      .withColumn("gram_hashes", array_sort(array_distinct(transform(
+        graft.operators.Dedup.charNgrams(col("text"), shingleSize),
+        g => xxhash64(g)))))
+      .withColumn("bk",
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))")))
+      .select(col("doc_id"), col("ts"), col("sig"), col("gram_hashes"),
+        col("bk.band"), col("bk.bucket"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, Array[Long], Array[Long], Int, Long)]
+
+    // sorted-array intersection size (both inputs ascending, distinct)
+    def intersect(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var n = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      n
+    }
+
+    banded
+      .groupByKey { case (_, _, _, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[List[VerifiedEntry], DupVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[List[VerifiedEntry]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val arrivals = rows.toSeq.sortBy(_._2.getTime)
+          if (arrivals.isEmpty) {
+            val kept = state.getOption.getOrElse(Nil)
+              .filter(e => wm <= 0 || e.tsMs + stateTtlMs > wm)
+            if (kept.isEmpty) state.remove()
+            else state.update(kept)
+            Iterator.empty
+          } else {
+            var entries = state.getOption.getOrElse(Nil)
+              .filter(e => wm <= 0 || e.tsMs + stateTtlMs > wm)
+            val out = List.newBuilder[DupVerdict]
+            arrivals.foreach { case (id, ts, sig, grams, _, _) =>
+              entries.foreach { e =>
+                if (e.id != id) {
+                  var agree = 0
+                  var i = 0
+                  val n = math.min(sig.length, e.sig.length)
+                  while (i < n) { if (sig(i) == e.sig(i)) agree += 1; i += 1 }
+                  if (agree.toDouble / numHashes >= candidateThreshold) {
+                    val inter = intersect(grams, e.gramHashes)
+                    val union = grams.length + e.gramHashes.length - inter
+                    val j = if (union == 0) 1.0
+                      else math.rint(inter.toDouble / union * 1e6) / 1e6
+                    if (j >= jaccardThreshold) out += DupVerdict(id, e.id, j)
+                  }
+                }
+              }
+              entries = VerifiedEntry(id, sig, grams, ts.getTime) :: entries
+            }
+            state.update(entries)
+            state.setTimeoutTimestamp(entries.map(_.tsMs).max + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming snapshot ingestion: micro-batch the stream into successive
     * snapshots of ONE repo via foreachBatch — each batch commits as the
     * repo's next snapshot generation (mirroring the reference's batch job

@@ -111,4 +111,55 @@ class SnapshotGenerationsSpec extends SparkSpec {
     assert(EsSnapshot.deleteSnapshot(spark, dest, "snap_b"))
     assert(EsSnapshot.readTable(spark, dest).count() === 0)
   }
+
+  test("compactRepo keeps the newest snapshots and collapses the generation chain") {
+    val dest = Files.createTempDirectory("graft-compact").toString
+    val numShards = 2
+    for (i <- 0 until 4) {
+      val docs = Ingest.fromColumns(
+        spark.range(i * 50, i * 50 + 50).toDF("event_id"),
+        "events", "event_id", numShards)
+      EsSnapshot.write(docs, dest, ShardConfig(numShards), Some(s"snap_$i"))
+    }
+    assert(EsSnapshot.compactRepo(spark, dest, keep = 2) === 2)
+
+    val root = Paths.get(dest)
+    // exactly ONE generation file remains, and index.latest points at it
+    import scala.jdk.CollectionConverters._
+    val genFiles = Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("index-")).toList
+    val gen = SnapshotLayout.parseIndexLatest(
+      Files.readAllBytes(root.resolve("index.latest")))
+    assert(genFiles === List(s"index-$gen"))
+    // survivors: the two newest, in order, still fully readable
+    val snaps = SnapshotLayout.parseGenerationSnapshots(
+      Files.readString(root.resolve(s"index-$gen")))
+    assert(snaps.map(_._1) === Seq("snap_2", "snap_3"))
+    assert(EsSnapshot.readTable(spark, dest, Some("snap_2")).count() === 50)
+    assert(EsSnapshot.readTable(spark, dest, Some("snap_3")).count() === 50)
+    assert(EsSnapshot.readTable(spark, dest).count() === 50) // latest
+    // victims' root metadata is gone
+    assert(!Files.list(root).iterator().asScala.exists { p =>
+      val n = p.getFileName.toString
+      snaps.map(_._2).forall(u => !n.contains(u)) &&
+        (n.startsWith("snap-") || n.startsWith("meta-"))
+    })
+    // data-file GC: only the survivors' manifested files remain per shard
+    val indexDir = root.resolve("indices").resolve(SnapshotLayout.indexId("events"))
+    val surviving = snaps.map(_._2).toSet
+    (0 until numShards).foreach { s =>
+      val names = Files.list(indexDir.resolve(s.toString)).iterator().asScala
+        .map(_.getFileName.toString).toList
+      val manifested = names.filter(_.startsWith("snap-"))
+        .map(_.stripPrefix("snap-").stripSuffix(".dat")).toSet
+      assert(manifested === surviving)
+      val referenced = manifested.flatMap(u =>
+        SnapshotLayout.parseShardSnapFiles(
+          Files.readString(indexDir.resolve(s.toString).resolve(s"snap-$u.dat"))))
+      assert(names.filter(_.startsWith("docs-")).toSet === referenced)
+    }
+    // compacting an already-compact repo is a no-op
+    assert(EsSnapshot.compactRepo(spark, dest, keep = 2) === 0)
+  }
 }
