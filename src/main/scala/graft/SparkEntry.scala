@@ -209,9 +209,12 @@ object SparkEntry {
             .sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
-      t(s, dir, "orders").write.bucketBy(8, "o_custkey")
+      // bucket only the join/agg columns: the bucketed-table write is the
+      // dominant cost and column pruning applies to IT, not just the read
+      t(s, dir, "orders").select("o_custkey").write.bucketBy(8, "o_custkey")
         .mode("overwrite").saveAsTable("graft_bq_orders")
-      t(s, dir, "customer").write.bucketBy(8, "c_custkey")
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
         .mode("overwrite").saveAsTable("graft_bq_customer")
       s.table("graft_bq_orders")
         .join(s.table("graft_bq_customer"),
@@ -639,6 +642,39 @@ object SparkEntry {
       import graft.operators.TextAnalysis
       TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 15)
     }),
+
+    // Partial-containment decontamination: the n-gram overlap check (the
+    // "13-gram" rule at n=5 for the small test docs). Every doc sharing a
+    // 5-gram with the eval slice is flagged — eval members flag
+    // themselves, plus any doc naturally quoting them.
+    "decontaminate_ngram" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val eval = corpus.filter(col("doc_id") % 37 === 0)
+      Dedup.ngramOverlapFlags(corpus, eval, "doc_id", "text", n = 5)
+        .agg(count(lit(1)).as("flagged_docs"),
+          sum("overlap").as("total_overlap"))
+    }),
+
+    // TF-IDF/BM25 input statistics: per-token document frequency + term
+    // frequency, deterministic top-k.
+    "text_doc_freq" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.docFrequencies(t(s, dir, "documents"), "text", 20)
+    }),
+
+    // Exact interpolated percentiles (sort-based, not a sketch) — the
+    // distribution profile a corpus-sizing pass needs.
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+          .as("p"))
+        .select(
+          round(element_at(col("p"), 1), 4).as("p25"),
+          round(element_at(col("p"), 2), 4).as("p50"),
+          round(element_at(col("p"), 3), 4).as("p75"),
+          round(element_at(col("p"), 4), 4).as("p99"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -929,6 +965,39 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT true AS within_5pct, count(DISTINCT user_id) AS exact_users
         |FROM events""".stripMargin,
+    // Exact n-gram set intersection — the SQL computes the same flags
+    // over gram STRINGS (the operator hashes them; 64-bit collisions are
+    // the only divergence risk, negligible at corpus scale).
+    "decontaminate_ngram" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(t) - 4),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |                  t[i+3] || ' ' || t[i+4])) AS gram
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |          FROM documents WHERE length(trim(text)) > 0))),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS overlap
+        |  FROM g JOIN eg USING (gram)
+        |  GROUP BY doc_id)
+        |SELECT count(*) AS flagged_docs, CAST(sum(overlap) AS BIGINT) AS total_overlap
+        |FROM hits WHERE overlap >= 1""".stripMargin,
+    "text_doc_freq" ->
+      """SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |FROM (SELECT doc_id,
+        |             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents WHERE length(trim(lower(text))) > 0)
+        |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+    // quantile_cont uses the same linear interpolation as Spark's exact
+    // percentile; identical doubles → identical 4dp rounding.
+    "q_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders""".stripMargin,
     "text_ngrams" ->
       """SELECT ngram, count(*) AS n FROM (
         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),

@@ -234,6 +234,40 @@ object Dedup {
   }
 
   /**
+   * Word-n-gram overlap decontamination (the "13-gram check" of LLM
+   * training-data hygiene, n configurable): flag every corpus document
+   * sharing at least `minOverlap` distinct word n-grams with ANY eval
+   * document. Unlike the whole-document LSH path ([[decontaminate]]),
+   * this catches PARTIAL containment — an eval passage quoted inside an
+   * otherwise-novel document.
+   *
+   * Scale shape: grams travel as 64-bit hashes (never strings); the eval
+   * side reduces to its distinct gram-hash set (O(|eval| · grams/doc) —
+   * eval sets are small by construction) and broadcast-joins against the
+   * corpus gram stream; the per-doc overlap count is a partial-aggregated
+   * groupBy. The corpus is streamed once, nothing corpus-sized shuffles
+   * except the (doc, matched-gram) hits.
+   *
+   * Returns (idCol, overlap) for flagged docs only.
+   */
+  def ngramOverlapFlags(corpus: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, n: Int = 13,
+                        minOverlap: Int = 1): DataFrame = {
+    def gramHashes(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty) :+
+          explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__gram"): _*)
+      base.withColumn("__gh", xxhash64(col("__gram"))).drop("__gram")
+    }
+    val evalGrams = gramHashes(eval, withId = false).distinct()
+    gramHashes(corpus, withId = true)
+      .dropDuplicates(idCol, "__gh") // distinct grams per doc
+      .join(broadcast(evalGrams), "__gh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /**
    * Canonical-representative assignment over near-dup pairs: iterative
    * min-label propagation (connected components on the dup graph, log-n
    * rounds bounded by `maxIter`). Returns (id, canonical_id).

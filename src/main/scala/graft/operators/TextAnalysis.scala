@@ -146,6 +146,18 @@ object TextAnalysis {
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
   }
 
+  /** Per-token document frequency + total term frequency (the exact
+    * inputs to TF-IDF / BM25 weighting), deterministic top-k by df.
+    * Scale shape: one explode, dropDuplicates for the df side rides the
+    * same shuffle as the count aggregate; top-k is a TakeOrdered. */
+  def docFrequencies(df: DataFrame, textCol: String, k: Int,
+                     idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+
   /** Corpus-wide deterministic top-k n-gram counts (phrase mining /
     * contamination-signature building): same partial-aggregate +
     * TakeOrdered scale shape as [[tokenFrequencies]]. */

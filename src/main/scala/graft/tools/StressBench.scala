@@ -64,7 +64,12 @@ object StressBench {
     }
 
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY") // "docs" | "ann"
-    for (n <- Seq(20000L, 80000L, 320000L) if only.forall(_ == "docs")) {
+    // XL=1 adds a 64× tier (1.28M docs / 3.2M vectors) — minutes, not
+    // seconds; run it when re-validating the linearity claim end-to-end
+    val xl = sys.env.get("SPARK_GRAFT_STRESS_XL").contains("1")
+    val docTiers = Seq(20000L, 80000L, 320000L) ++ (if (xl) Seq(1280000L) else Nil)
+    val annTiers = Seq(50000L, 200000L, 800000L) ++ (if (xl) Seq(3200000L) else Nil)
+    for (n <- docTiers if only.forall(_ == "docs")) {
       val docs = synthDocs(spark, n)
       docs.cache().count() // corpus generation outside the timings
       run("exact_dedup", n)(Dedup.exactScalable(docs, "text", "doc_id").count())
@@ -78,7 +83,7 @@ object StressBench {
       docs.unpersist()
     }
 
-    for (n <- Seq(50000L, 200000L, 800000L) if only.forall(_ == "ann")) {
+    for (n <- annTiers if only.forall(_ == "ann")) {
       val vecs = synthVecs(spark, n)
       vecs.cache().count()
       val queries = vecs.filter(col("vec_id") % (n / 100) === 0)

@@ -97,6 +97,21 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(3L, 4L)) // 1 exact leak, 2 near-dup of the leak
   }
 
+  test("ngramOverlapFlags catches partial containment whole-doc LSH misses") {
+    val passage = "the secret benchmark answer is forty two exactly"
+    val corpus = Seq(
+      (1L, s"a long novel document that happens to quote $passage in the middle " +
+        ("plus lots of its own original content " * 10)),
+      (2L, far),
+      (3L, "another clean document with nothing shared at all " * 8)
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, passage)).toDF("doc_id", "text")
+    val flagged = Dedup.ngramOverlapFlags(corpus, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet === Set(1L)) // quoting doc flagged, clean docs not
+    assert(flagged(1L) >= 4L) // the 8-token passage spans ≥4 distinct 5-grams
+  }
+
   test("crossMinhashPairs joins two corpora, never self-pairs") {
     val a = Seq((1L, base), (2L, far)).toDF("doc_id", "text")
     val b = Seq((10L, base)).toDF("doc_id", "text")

@@ -93,6 +93,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tri(0) === Seq("the quick brown", "quick brown fox"))
   }
 
+  test("docFrequencies: df counts documents once, tf counts occurrences") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.docFrequencies(df, "text", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 3L), ("b", 2L, 4L), ("c", 1L, 1L)))
+  }
+
   test("topNgrams counts corpus-wide with deterministic ordering") {
     val df = Seq("a b a b", "a b c", "c a b").toDF("text")
     val got = TextAnalysis.topNgrams(df, "text", 2, 3)
