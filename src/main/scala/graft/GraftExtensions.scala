@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, SigAgree, SimHash64}
+import org.apache.spark.sql.graft.{CanonicalTokens, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, SigAgree, SimHash64, WordNgrams}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -64,5 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "sig_agree",
       "sig_agree(a, b) - number of agreeing positions of two sketch signatures",
       { case Seq(a, b) => SigAgree(a, b) })
+
+    register(ext, "canonical_tokens",
+      "canonical_tokens(text) - sorted distinct lowercased tokens, space-joined",
+      { case Seq(text) => CanonicalTokens(text) })
+
+    register(ext, "word_ngrams",
+      "word_ngrams(text, n) - lowercase word n-grams, space-joined",
+      { case Seq(text, n) => WordNgrams(text, intLit(n, "n")) })
   }
 }

@@ -33,6 +33,9 @@ package object functions {
     /** Single-pass sorted-distinct-lowercased-token canonical string. */
     def canonicalTokens(c: Column): Column =
       org.apache.spark.sql.graft.TextStatsFunctions.canonicalTokens(c)
+    /** Single-pass lowercase word n-grams (array<string>). */
+    def wordNgrams(c: Column, n: Int): Column =
+      org.apache.spark.sql.graft.TextStatsFunctions.wordNgrams(c, n)
   }
 
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */

@@ -43,6 +43,9 @@ object TemporalJoin {
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == tsCol || tieBreak.contains(c)).toSeq
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: $collisions — rename first")
 
     // one unioned frame: side 0 = right (carrying its payload in a struct),
     // side 1 = left (null payload) — the window's ignoreNulls last() then

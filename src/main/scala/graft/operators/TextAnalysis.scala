@@ -133,12 +133,17 @@ object TextAnalysis {
   /**
    * Word n-grams over lowercased whitespace tokens, space-joined
    * ("new york" for n=2). Documents shorter than n tokens yield an empty
-   * array. The per-row transform is a HOF (CodegenFallback), but it runs
-   * once per document — the heavy work (counting) happens in the
-   * hash-aggregate downstream, which IS codegen'd; the alternative
-   * (posexplode + window lead per doc) adds a corpus-wide sort.
+   * array. Native single-pass expression — the HOF composition
+   * ([[wordNgramsHof]], kept for parity testing) is CodegenFallback with
+   * an interpreted per-gram lambda: it cost 15 s on the sf0.1 5-gram
+   * decontamination query vs explode-speed for this.
    */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.Text.wordNgrams(text, n)
+
+  /** HOF reference implementation of [[wordNgrams]] (exact-parity-tested
+    * against the native expression; do not use on hot paths). */
+  private[operators] def wordNgramsHof(text: Column, n: Int): Column = {
     require(n >= 2, "use tokens() for unigrams")
     val t = tokens(lower(text))
     when(size(t) < n, array().cast("array<string>")).otherwise(

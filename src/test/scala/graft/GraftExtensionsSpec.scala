@@ -28,7 +28,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
           |                  array(cast(1.0 as float), cast(0.0 as float))) AS cs,
           |       sig_agree(minhash_sig('abcdef', 32, 4),
-          |                 minhash_sig('abcdef', 32, 4)) AS sa
+          |                 minhash_sig('abcdef', 32, 4)) AS sa,
+          |       canonical_tokens('B a b') AS ct,
+          |       word_ngrams('New York City', 2) AS ng
           |""".stripMargin).head()
       assert(r.getInt(0) === EsMurmur3.hash("hello"))
       assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
@@ -37,6 +39,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(4) >= 0L && r.getLong(4) < 256L)
       assert(r.getDouble(5) === 1.0)
       assert(r.getInt(6) === 32)
+      assert(r.getString(7) === "a b")
+      assert(r.getSeq[String](8) === Seq("new york", "york city"))
     } finally spark.stop() // this suite owns its session (extensions differ)
   }
 }

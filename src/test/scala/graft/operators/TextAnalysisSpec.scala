@@ -93,6 +93,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tri(0) === Seq("the quick brown", "quick brown fox"))
   }
 
+  test("native word_ngrams matches the HOF reference on tricky inputs") {
+    val tricky = Seq(
+      "",
+      "   ",
+      "\tleading tab then words here",
+      "one",
+      "two words",
+      "Zebra apple ZEBRA apple mix",
+      "a  b   c    d", // runs of spaces
+      "line1\nline2\r\nline3 line4",
+      "trailing spaces   ",
+      "münchen Straße MÜNCHEN again").toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = tricky.select(
+        TextAnalysis.wordNgrams(col("text"), n).as("native"),
+        TextAnalysis.wordNgramsHof(col("text"), n).as("hof"),
+        col("text")).as[(Seq[String], Seq[String], String)].collect()
+      rows.foreach { case (nat, hof, input) =>
+        assert(nat === hof, s"n=$n input=$input")
+      }
+    }
+  }
+
   test("docFrequencies: df counts documents once, tf counts occurrences") {
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
     val got = TextAnalysis.docFrequencies(df, "text", 10)
