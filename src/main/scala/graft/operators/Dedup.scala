@@ -64,9 +64,20 @@ object Dedup {
    * Emits (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
    * bands. Probability calibration: P(collide) = 1-(1-j^r)^b.
    */
+  /**
+   * @param maxBucketSize when > 0, LSH buckets holding more than this many
+   *   docs are skipped entirely (their pairs are still found by any
+   *   NON-degenerate band the pair shares). A bucket of size B costs
+   *   B²/2 comparisons — one pathological bucket (boilerplate headers,
+   *   empty-ish docs, low-entropy corpora) turns the whole job quadratic,
+   *   and the [[StressBench]] XL tier measured exactly that blow-up on a
+   *   low-entropy synthetic corpus. Standard large-scale dedup practice;
+   *   trade: recall for pairs whose ONLY shared bands are degenerate.
+   */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleSize: Int = 5, threshold: Double = 0.7): DataFrame = {
+                   shingleSize: Int = 5, threshold: Double = 0.7,
+                   maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
@@ -81,17 +92,37 @@ object Dedup {
       // document. Lazy localCheckpoint caches at first action and is
       // GC-cleaned (a persist() would pin the CacheManager entry).
       .localCheckpoint(false)
-    val banded = sigs.select(col("id"), col("sig"), explode(col("band_keys")).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // The band self-join carries ONLY (id, band, bucket) — 24-byte rows.
+    // Joining with the signature inline multiplies the shuffle by the
+    // 0.5 KB sig × bands replication (measured: the sf-XL 1.28M-doc tier
+    // fell off a spill cliff at ~390 s; the lean join + score-after shape
+    // is minutes→seconds). Signatures rejoin only for the (few) candidate
+    // pairs, which AQE broadcasts against the checkpointed sig frame.
+    val banded0 = sigs.select(col("id"), explode(col("band_keys")).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val banded = if (maxBucketSize > 0) {
+      // one count-aggregate (16-byte keys, map-side combined) finds the
+      // OVERSIZED buckets — few on any corpus, so the exclusion anti-join
+      // broadcasts (the inverse semi-join against all healthy buckets is
+      // corpus-sized: measured 163 s vs seconds at the 1.28M tier)
+      val oversized = banded0.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
+        .select("band", "bucket")
+      banded0.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    } else banded0
     val a = banded.as("a")
     val b = banded.as("b")
-    val agree = graft.functions.Text.sigAgree(col("a.sig"), col("b.sig"))
-    a.join(b, col("a.band") === col("b.band") &&
+    val cand = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair colliding in k bands scores once, not k times
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("__sig_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("__sig_b"))
+    val agree = graft.functions.Text.sigAgree(col("__sig_a"), col("__sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
         (agree.cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /**
@@ -187,24 +218,30 @@ object Dedup {
                         shingleSize: Int = 5, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def banded(df: DataFrame): DataFrame =
+    // lean band join + score-after, as in [[minhashPairs]]
+    def sigged(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"),
           graft.functions.Text.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
         .withColumn("band_keys",
           expr(s"transform(sequence(0, ${bands - 1}), b -> " +
             s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
         .localCheckpoint(false) // one sketch evaluation per doc per side
-        .select(col("id"), col("sig"), explode(col("band_keys")).as("bk"))
-        .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
-    val ba = banded(a).as("a")
-    val bb = banded(b).as("b")
-    val agree = graft.functions.Text.sigAgree(col("a.sig"), col("b.sig"))
-    ba.join(bb, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), explode(col("band_keys")).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val sigA = sigged(a)
+    val sigB = sigged(b)
+    val cand = banded(sigA).as("a").join(banded(sigB).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val agree = graft.functions.Text.sigAgree(col("__sig_a"), col("__sig_b"))
+    cand
+      .join(sigA.select(col("id").as("id_a"), col("sig").as("__sig_a")), "id_a")
+      .join(sigB.select(col("id").as("id_b"), col("sig").as("__sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
         (agree.cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /**

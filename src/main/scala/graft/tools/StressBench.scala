@@ -26,9 +26,14 @@ object StressBench {
   }
 
   /** n pseudo-docs of `words` words over a `vocab`-word vocabulary —
-    * deterministic, distinct, naturally overlapping token sets. */
+    * deterministic, distinct, naturally overlapping token sets. Vocab
+    * must be large enough that unrelated docs have LOW shingle Jaccard:
+    * at vocab=500 the shared-shingle floor is high enough that MinHash
+    * bands collide for a constant FRACTION of all pairs — the measured
+    * quadratic blow-up demonstrated in the degenerate-corpus block below,
+    * a data property, not operator cost. */
   private def synthDocs(spark: SparkSession, n: Long, words: Int = 40,
-                        vocab: Int = 500): DataFrame =
+                        vocab: Int = 50000): DataFrame =
     spark.range(n).toDF("doc_id")
       .withColumn("text", concat_ws(" ",
         expr(s"transform(sequence(1, $words), " +
@@ -75,12 +80,37 @@ object StressBench {
       run("exact_dedup", n)(Dedup.exactScalable(docs, "text", "doc_id").count())
       run("minhash_pairs", n)(
         Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).count())
+      if (n >= 1280000L)
+        // at XL size even a flat shingle distribution yields sig-coincidence
+        // hot buckets (docs sharing one band's minima); the cap is the
+        // at-scale configuration — measure it next to the uncapped run
+        run("minhash_cap1k", n)(
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+            maxBucketSize = 1000).count())
       run("simhash_pairs", n)(
         Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
       run("fingerprint", n)(docs.select(
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
         .distinct().count())
       docs.unpersist()
+    }
+
+    if (only.forall(_ == "docs")) {
+      // Degenerate-corpus demonstration: a 500-word vocabulary gives
+      // unrelated docs a high shingle-Jaccard floor → LSH buckets hold a
+      // constant fraction of the corpus → the candidate join is O(n²) BY
+      // DATA. maxBucketSize skips those buckets and restores near-linear
+      // cost (recall only drops for pairs whose every shared band is
+      // degenerate).
+      val nD = 160000L
+      val degen = synthDocs(spark, nD, vocab = 500)
+      degen.cache().count()
+      run("minhash_degen", nD)(
+        Dedup.minhashPairs(degen, "doc_id", "text", threshold = 0.5).count())
+      run("minhash_capped", nD)(
+        Dedup.minhashPairs(degen, "doc_id", "text", threshold = 0.5,
+          maxBucketSize = 200).count())
+      degen.unpersist()
     }
 
     for (n <- annTiers if only.forall(_ == "ann")) {

@@ -97,6 +97,20 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(3L, 4L)) // 1 exact leak, 2 near-dup of the leak
   }
 
+  test("minhashPairs maxBucketSize skips degenerate buckets, keeps clean ones") {
+    // 30 identical docs: every band bucket holds all 30 → all degenerate
+    val clones = (1L to 30L).map(i => (i, base)).toDF("doc_id", "text")
+    // plus a clean near-dup pair in its own buckets
+    val pair = Seq((100L, far), (101L, far)).toDF("doc_id", "text")
+    val all = clones.unionAll(pair)
+    val uncapped = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
+    assert(uncapped.count() === 30L * 29 / 2 + 1) // every clone pair + (100,101)
+    val capped = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5,
+      maxBucketSize = 10)
+    val got = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 101L))) // clone buckets skipped, clean pair kept
+  }
+
   test("ngramOverlapFlags catches partial containment whole-doc LSH misses") {
     val passage = "the secret benchmark answer is forty two exactly"
     val corpus = Seq(
