@@ -570,6 +570,20 @@ object SparkEntry {
           sum(col("click_id")).as("click_id_sum"))
     }),
 
+    // As-of join with a staleness bound: matches older than 10 minutes
+    // are nulled out (trades-style tolerance), left rows all survive.
+    "q_asof_tolerance" -> ((s, dir) => {
+      import graft.operators.TemporalJoin
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalJoin.asOf(e, clicks, Seq("user_id"), "ts",
+          tolerance = Some(600L * 1000000000L))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("click_id")).as("n_matched"),
+          sum(col("click_id")).as("click_id_sum"))
+    }),
+
     // Interval (range) join: events falling inside 1-hour windows anchored
     // at sampled events — bucketed equi-join (15-min buckets), no
     // broadcast-nested-loop fallback.
@@ -592,6 +606,39 @@ object SparkEntry {
       import graft.operators.Samples
       Samples.bernoulli(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
         .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
+    }),
+
+    // Stratified variant: per-language fractions (down-weight an
+    // over-represented stratum) — again the IDENTICAL row set in DuckDB.
+    "q_sample_stratified" -> ((s, dir) => {
+      import graft.operators.Samples
+      Samples.stratified(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.1), defaultFraction = 0.25, seed = 11)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
+    }),
+
+    // Token-budget corpus packing: best documents first (longest by
+    // n_chars, id tie-break) per language until 20k tokens — the corpus
+    // mixing step. Exact long-integer running sums → engine-portable.
+    "q_token_budget" -> ((s, dir) => {
+      import graft.operators.{Samples, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Samples.byTokenBudget(docs, "lang", "n_tokens", budget = 20000L,
+          priority = Seq(col("n_chars").desc, col("doc_id").asc))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"), sum("n_tokens").as("kept_tokens"),
+          sum("doc_id").as("id_sum"))
+    }),
+
+    // BM25 ranked retrieval over the corpus (posting list filtered to the
+    // query terms before any shuffle; term stats broadcast; TakeOrdered
+    // top-k). Score arithmetic replicated operation-for-operation in SQL.
+    "text_bm25" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "text",
+        Seq("spark", "vector", "merge"), k = 10)
     }),
 
     // Skew-salted join gated against the plain-join oracle: salting must
@@ -936,6 +983,70 @@ object SparkEntry {
         |FROM documents
         |WHERE substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
         |      < '40000000'""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE substring(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < CASE lang WHEN 'en' THEN '80000000'
+        |                  WHEN 'zh' THEN '1999999a'
+        |                  ELSE '40000000' END
+        |GROUP BY lang""".stripMargin,
+    // Running sums are exact bigints; the priority order (n_chars DESC,
+    // doc_id) is a total order → identical kept set in both engines.
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang
+        |                             ORDER BY n_chars DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT lang, count(*) AS kept_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c WHERE cum <= 20000 GROUP BY lang""".stripMargin,
+    // Score arithmetic mirrors the Spark expression operation-for-
+    // operation (same IEEE ops in the same order); avgdl is exact
+    // sum/count in both engines; 4dp rounding absorbs any residual ulp.
+    "text_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS dl,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM base),
+        |posting AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base
+        |        WHERE dl > 0)
+        |  WHERE token IN ('spark', 'vector', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+        |           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+        |  FROM posting p JOIN dfreq f ON p.token = f.token CROSS JOIN stats s)
+        |SELECT doc_id, round(sum(w), 4) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT count(*) AS n_events,
+        |       count(CASE WHEN c.c_ts >= e.ts - INTERVAL 10 MINUTE
+        |                  THEN c.click_id END) AS n_matched,
+        |       CAST(sum(CASE WHEN c.c_ts >= e.ts - INTERVAL 10 MINUTE
+        |                     THEN c.click_id END) AS BIGINT) AS click_id_sum
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts AS c_ts, event_id AS click_id FROM events
+        |   WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.c_ts""".stripMargin,
     // Salting must be result-invariant: the oracle is the PLAIN join.
     "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,

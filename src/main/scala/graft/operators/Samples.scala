@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,5 +56,35 @@ object Samples {
     df.filter(
       substring(md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))), 1, 8)
         < frac)
+  }
+
+  /**
+   * Token-budget corpus packing: within each `groupCol` stratum, keep rows
+   * in `priority` order until the running sum of `costCol` exceeds
+   * `budget` (the first row that would cross the line is dropped, as is
+   * everything after it). The standard "N billion tokens per language,
+   * best documents first" mixing step of a training-corpus build.
+   *
+   * `priority` MUST be a deterministic total order (tie-break on a unique
+   * id) or the kept set is not reproducible. Integral `costCol` makes the
+   * running sum exact — no float-accumulation ambiguity at any scale.
+   *
+   * Scale shape: one shuffle on `groupCol`, then a partition-local
+   * spill-backed sort — the inherent cost of exact priority packing.
+   * Parallelism is bounded by the number of strata (languages/sources);
+   * for a HOT stratum at the 100 TB tier, pre-trim with
+   * [[bernoulli]]/[[stratified]] or a coarse priority-threshold filter to
+   * ~(budget + slack) worth of candidates first, then pack exactly —
+   * packing only ever reads the best ~budget tokens per group, so the
+   * window never sees the full stratum.
+   */
+  def byTokenBudget(df: DataFrame, groupCol: String, costCol: String,
+                    budget: Long, priority: Seq[Column]): DataFrame = {
+    require(priority.nonEmpty, "need a deterministic priority order")
+    val w = Window.partitionBy(col(groupCol)).orderBy(priority: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
   }
 }

@@ -163,6 +163,54 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token").asc)
       .limit(k)
 
+  /**
+   * BM25 ranked retrieval (Okapi, Lucene's idf variant): score every
+   * document against a bag of query terms and return the top `k`.
+   * The relevance primitive a training-data pipeline uses for targeted
+   * corpus slicing ("find docs about X") and hard-negative mining.
+   *
+   * Scale shape (the reason this is not "join docs to a TF-IDF table"):
+   *  - the posting list is filtered to the query terms IMMEDIATELY after
+   *    tokenization, map-side — the shuffle carries only
+   *    (doc, term, tf) for docs that actually contain a query term;
+   *  - per-term document frequencies aggregate to ≤ |terms| rows and
+   *    broadcast back; corpus stats (N, avgdl) are a 1-row broadcast —
+   *    no scalar ever leaves the plan for the driver;
+   *  - final top-k is orderBy+limit = TakeOrdered (per-partition heaps,
+   *    k rows to the driver, never a full sort).
+   * Two corpus scans total (one for stats, one for postings) — at 100 TB
+   * both are column-pruned to the text column and pipeline fully.
+   *
+   * Score arithmetic is shaped for cross-engine IEEE parity (the DuckDB
+   * oracle replicates it operation-for-operation); output rounds to 4dp.
+   */
+  def bm25TopK(df: DataFrame, textCol: String, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol), size(toks).cast("long").as("dl"), toks.as("__toks"))
+    // exact long sum / count, not avg(): both engines then divide the same
+    // exact integers — no accumulation-order ulps in avgdl
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val posting = base
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = posting.groupBy("token").agg(countDistinct(col(idCol)).as("df"))
+    posting.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__w",
+        col("__idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col(idCol)).agg(round(sum(col("__w")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Corpus-wide deterministic top-k n-gram counts (phrase mining /
     * contamination-signature building): same partial-aggregate +
     * TakeOrdered scale shape as [[tokenFrequencies]]. */

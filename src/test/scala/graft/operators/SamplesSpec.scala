@@ -48,6 +48,32 @@ class SamplesSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("byTokenBudget packs best-first per group, drops the crossing row") {
+    val df = Seq(
+      // lang en: priority = score desc → 40 + 50 = 90 ≤ 100; +20 crosses
+      (1L, "en", 40L, 3.0), (2L, "en", 50L, 2.0), (3L, "en", 20L, 1.0),
+      // lang de: single row over budget → nothing kept
+      (4L, "de", 150L, 9.0),
+      // lang fr: everything fits
+      (5L, "fr", 30L, 5.0), (6L, "fr", 30L, 4.0)
+    ).toDF("doc_id", "lang", "cost", "score")
+    val kept = Samples.byTokenBudget(df, "lang", "cost", budget = 100L,
+        priority = Seq(col("score").desc, col("doc_id").asc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 5L, 6L))
+  }
+
+  test("byTokenBudget is invariant to input partitioning") {
+    val df = (0 until 1000)
+      .map(i => (i.toLong, s"l${i % 4}", (i % 37 + 1).toLong))
+      .toDF("doc_id", "lang", "cost")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Samples.byTokenBudget(d, "lang", "cost", budget = 500L,
+          priority = Seq(col("cost").desc, col("doc_id").asc))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
+
   test("stratified applies per-stratum fractions with default for the rest") {
     val df = (0 until 9000).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
     val kept = Samples.stratified(df, "id", "lang",

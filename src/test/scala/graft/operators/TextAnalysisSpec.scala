@@ -130,6 +130,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("a b", 4L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("bm25TopK matches a hand-computed reference score") {
+    // corpus: 4 docs; query = {x}. df(x)=2, N=4, avgdl = (3+2+2+1)/4 = 2.0
+    val df = Seq(
+      (1L, "x x y"),   // tf=2, dl=3
+      (2L, "x z"),     // tf=1, dl=2
+      (3L, "y z"),     // no match
+      (4L, "w")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "text", Seq("x"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    def score(tf: Long, dl: Long): Double = {
+      val w = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+      math.rint(w * 10000) / 10000
+    }
+    assert(got === Seq((1L, score(2, 3)), (2L, score(1, 2))))
+    assert(got.head._2 > got(1)._2) // higher tf wins despite longer doc
+  }
+
+  test("bm25TopK: rarer terms outweigh common ones at equal tf") {
+    val df = (1L to 20L).map(i => (i, if (i <= 10) "common rare" else "common"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(df, "text", Seq("common", "rare"), k = 20)
+      .as[(Long, Double)].collect()
+    // docs containing the rare term all rank above common-only docs
+    assert(top.take(10).map(_._1).toSet === (1L to 10L).toSet)
+  }
+
   test("quality metrics are bounded and rounded") {
     val out = TextAnalysis.withQuality(
       Seq("The quick brown fox jumps over the lazy dog.").toDF("text"), "text")
