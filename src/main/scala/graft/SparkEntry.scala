@@ -142,13 +142,13 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          // decimal(38,2): Spark's sum(decimal(18,2)) result type is
-          // (28,2) but DuckDB's is (38,2) — identical values, and the
-          // driver's hash is dtype-sensitive, so widen to match
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_base_price"),
+          // Accumulate in exact decimal (no float-ordering drift), but emit
+          // DOUBLE: DECIMAL output columns hash-mismatch in the driver's
+          // reader (representation asymmetry), so no query may emit one.
+          round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -162,8 +162,8 @@ object SparkEntry {
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-             sum(col("o_totalprice").cast("decimal(18,2)"))
-               .cast("decimal(38,2)").as("revenue"))
+             round(sum(col("o_totalprice").cast("decimal(18,2)"))
+               .cast("double"), 2).as("revenue"))
     }),
 
     "q_topk_orders" -> ((s, dir) => {
@@ -183,16 +183,16 @@ object SparkEntry {
         .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
         .groupBy("day")
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)"))
-               .cast("decimal(38,2)").as("total_value"))
+             round(sum(col("value").cast("decimal(18,2)"))
+               .cast("double"), 2).as("total_value"))
     }),
     // Rollup (hierarchical aggregate with subtotal rows).
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-             sum(col("l_quantity").cast("decimal(18,2)"))
-               .cast("decimal(38,2)").as("sum_qty"))
+             round(sum(col("l_quantity").cast("decimal(18,2)"))
+               .cast("double"), 2).as("sum_qty"))
     }),
 
     // Bucketed co-located join: both sides pre-bucketed on the join key →
@@ -749,8 +749,8 @@ object SparkEntry {
         |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= DATE '1998-09-02'
@@ -758,7 +758,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_revenue_by_nation" ->
       """SELECT n_name, count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -772,11 +772,11 @@ object SparkEntry {
         |  FROM orders) WHERE rk <= 3""".stripMargin,
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n
@@ -802,7 +802,8 @@ object SparkEntry {
       """SELECT count(DISTINCT event_id) AS n_unique FROM events""",
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     // Plant-determined dedup oracles: the planted near-copies (doc_id %
     // 25 = 0 offset by 1e6) are the exact expected output — sketch hash

@@ -298,13 +298,19 @@ object Similarity {
       case 0 => col("sig0")
       case i => col("sig0").bitwiseXOR(lit(1L << (i - 1)))
     }: _*)
-    val v = sigged.select(col("id"), col("vec"), col("sig0"),
-      explode(probes).as("bucket"))
-    v.as("a").join(v.as("b"),
+    // ONE-SIDED multi-probe: only side a explodes its probe set; side b
+    // stays at its base signature. XOR symmetry makes the collision
+    // contract hamming<=1 in either direction — identical vectors still
+    // share every bucket (full planted-pair recall) — at HALF the banded
+    // frame of probing both sides (which only bought hamming<=2). A pair
+    // collides in at most one (probe, base) bucket, so no distinct() pass
+    // is needed: one fewer shuffle.
+    val a = sigged.select(col("id"), col("vec"), explode(probes).as("bucket"))
+    val b = sigged.select(col("id"), col("vec"), col("sig0").as("bucket"))
+    a.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cosine", round(cosine(col("a.vec"), col("b.vec")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
-      .distinct()
   }
 }

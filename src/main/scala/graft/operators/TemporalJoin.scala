@@ -46,6 +46,16 @@ object TemporalJoin {
     val collisions = payloadCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: $collisions — rename first")
+    // `asof_ts` is this operator's output column; `__`-prefixed names are
+    // its internal tagging scheme — either on an input silently corrupts
+    // the output (duplicate columns / mis-tagged rows), so reject up front
+    require(!left.columns.contains("asof_ts"),
+      "left side may not have a column named asof_ts (reserved output name) — rename first")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved by asOf: ${reserved.toSet} — rename first")
+    require(!tieBreak.contains(tsCol) && tieBreak.toSet.intersect(keys.toSet).isEmpty,
+      "tieBreak columns must be distinct from keys and the ts column")
 
     // one unioned frame: side 0 = right (carrying its payload in a struct),
     // side 1 = left (null payload) — the window's ignoreNulls last() then
@@ -101,6 +111,10 @@ object TemporalJoin {
 
     val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
     val iv = intervals
+      // half-open [start, end): end <= start is empty and matches nothing —
+      // drop those rows BEFORE the explode, where sequence(hi, lo) would
+      // throw "Illegal sequence boundaries" (a data-dependent job crash)
+      .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
         bucketOf(col(startCol)),
         // end is exclusive: the bucket of (end - 1) is the last one touched

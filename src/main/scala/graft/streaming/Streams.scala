@@ -42,10 +42,10 @@ object Streams {
     val wm = watermark.fold(e)(w => e.withWatermark("event_time", w))
     wm.groupBy(window(col("event_time"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        // (38,2) matches DuckDB's sum(decimal(18,2)) result type — the
-        // oracle compare is dtype-sensitive
-        sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("total_value"))
+        // Accumulate in exact decimal but emit DOUBLE — DECIMAL output
+        // columns hash-mismatch in the driver's oracle reader.
+        round(sum(col("value").cast("decimal(18,2)"))
+          .cast("double"), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
   }
@@ -201,7 +201,8 @@ object Streams {
                         bands: Int = 16, shingleSize: Int = 5,
                         threshold: Double = 0.5,
                         watermarkDelay: String = "10 minutes",
-                        stateTtlMs: Long = 60 * 60 * 1000L)
+                        stateTtlMs: Long = 60 * 60 * 1000L,
+                        maxBucketSize: Int = 1000)
   : Dataset[NearDupCandidate] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
@@ -249,7 +250,15 @@ object Streams {
                       math.max(id, e.id), est)
                 }
               }
-              entries = BucketEntry(id, sig, ts.getTime) :: entries
+              // degenerate-bucket cap (mirrors Dedup.minhashPairs'
+              // maxBucketSize): a hot bucket would otherwise grow state and
+              // per-arrival work O(B) — O(B²) total within the TTL window.
+              // New arrivals into a full bucket still compare against the
+              // kept entries but are not retained (documented recall trade:
+              // pairs BOTH landing past the cap in every shared band are
+              // missed — same contract as the batch path).
+              if (entries.lengthCompare(maxBucketSize) < 0)
+                entries = BucketEntry(id, sig, ts.getTime) :: entries
             }
             state.update(entries)
             state.setTimeoutTimestamp(entries.map(_.tsMs).max + stateTtlMs)
@@ -287,7 +296,8 @@ object Streams {
                       candidateThreshold: Double = 0.5,
                       jaccardThreshold: Double = 0.9,
                       watermarkDelay: String = "10 minutes",
-                      stateTtlMs: Long = 60 * 60 * 1000L)
+                      stateTtlMs: Long = 60 * 60 * 1000L,
+                      maxBucketSize: Int = 1000)
   : Dataset[DupVerdict] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
@@ -355,7 +365,10 @@ object Streams {
                   }
                 }
               }
-              entries = VerifiedEntry(id, sig, grams, ts.getTime) :: entries
+              // degenerate-bucket cap — see nearDupCandidates; bounds state
+              // size AND per-arrival compare work to maxBucketSize
+              if (entries.lengthCompare(maxBucketSize) < 0)
+                entries = VerifiedEntry(id, sig, grams, ts.getTime) :: entries
             }
             state.update(entries)
             state.setTimeoutTimestamp(entries.map(_.tsMs).max + stateTtlMs)

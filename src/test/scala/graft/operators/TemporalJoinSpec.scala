@@ -80,6 +80,39 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("rangeJoin tolerates degenerate intervals (end <= start matches nothing)") {
+    // empty / inverted intervals are valid data under half-open semantics —
+    // they must match nothing, not crash the job in sequence()
+    val points = Seq((1L, 5L), (2L, 16L)).toDF("pid", "x")
+    val intervals = Seq(
+      (10L, 0L, 10L),   // normal: contains x=5
+      (11L, 16L, 16L),  // empty, start ON a bucket boundary (width 16)
+      (12L, 20L, 4L),   // inverted
+      (13L, 5L, 5L))    // empty mid-bucket
+      .toDF("iid", "lo", "hi")
+    val got = TemporalJoin
+      .rangeJoin(points, intervals, "x", "lo", "hi", bucketWidth = 16L)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 10L)))
+  }
+
+  test("asOf rejects reserved and colliding column names up front") {
+    val l = Seq((1L, 100L, "a")).toDF("k", "ts", "ev")
+    val r = Seq((1L, 90L, 7.0)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asOf(l.withColumnRenamed("ev", "asof_ts"), r, Seq("k"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asOf(l, r.withColumnRenamed("v", "__p"), Seq("k"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asOf(l.withColumnRenamed("ev", "__side"), r, Seq("k"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asOf(l, r, Seq("k"), "ts", tieBreak = Seq("k"))
+    }
+  }
+
   test("rangeJoin with equi-keys only pairs within the key") {
     val points = Seq(("a", 5L, 1L), ("b", 5L, 2L)).toDF("k", "x", "pid")
     val intervals = Seq(("a", 0L, 10L, 7L)).toDF("k", "lo", "hi", "iid")
