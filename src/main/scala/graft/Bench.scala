@@ -33,7 +33,14 @@ object Bench {
     // bursts, and interleaving puts a query's samples minutes apart so a
     // burst can poison at most one of them. First pass also pays
     // codegen/class-load warmup.
+    // MemoryStream parity drives are correctness gates whose runtime is
+    // driver-side replay machinery (per-micro-batch replanning + state
+    // rounds), not engine throughput — the engine operators they gate are
+    // benched via q_sessionize / q_stream_windowed / dedup_minhash. Timing
+    // them here would only add fixed replay overhead to the total.
+    val parityDrives = Set("q_sessionize_stream", "q_stream_neardup")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => parityDrives.contains(n) }
     val samples = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()

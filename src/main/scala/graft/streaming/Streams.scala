@@ -157,6 +157,117 @@ object Streams {
   }
 
   /**
+   * Driver-facing parity drive for [[sessionizeStream]]: replays a bounded,
+   * ts-ordered event cohort through a real MemoryStream in multiple
+   * micro-batches (plus sentinel batches that push the watermark so every
+   * session flushes via state timeout), then compares the streamed sessions
+   * row-for-row with the batch [[sessionize]] result. Returns ONE row
+   * (n_stream, n_batch, n_matched) — all three equal the gaps-and-islands
+   * session count iff streaming and batch semantics agree exactly.
+   *
+   * The cohort is a deterministic user sample (caller filters), so the
+   * driver-side replay stays bounded at ANY corpus scale — this is a parity
+   * GATE, not the scale path ([[sessionize]]/[[sessionizeStream]] are).
+   */
+  def sessionizeStreamParity(spark: SparkSession, events: Dataset[Event],
+                             gapMs: Long, batches: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = events.collect().sortBy(_.ts.getTime)
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[Event]
+    val sessions = sessionizeStream(input.toDS(), gapMs)
+    val sinkName = "graft_sessionize_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    // the replay's cost is state-store rounds (shuffle partitions × micro-
+    // batches), not data volume — pin the scratch stream to few partitions
+    // (the SCALE path is sessionizeStream itself under the session's conf)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = sessions.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      // ts-ordered chunks: watermark only moves forward, nothing arrives late
+      val chunk = math.max(1, (rows.length + batches - 1) / batches)
+      rows.grouped(chunk).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+      // sentinel user (-1) advances the watermark past every open session's
+      // end + gap; two batches because timeouts fire against the PREVIOUS
+      // batch's watermark
+      input.addData(Event(-1L, new Timestamp(maxTs + gapMs + 3600000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(maxTs + gapMs + 7200000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    val streamed = spark.table(sinkName).filter(col("user_id") >= 0)
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+    val batch = sessionize(events, gapMs).toDF()
+    val cols = Seq("user_id", "start", "end", "n_events", "total_value")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch, cols).agg(count(lit(1)).as("n_matched")))
+  }
+
+  /**
+   * Driver-facing parity drive for [[nearDupVerdicts]]: streams the corpus
+   * (with byte-identical planted copies, ids offset by 1e6) through a
+   * MemoryStream in two micro-batches — originals first, plants later — and
+   * returns the distinct (id_a, id_b) verdict pairs in plant form. Emission
+   * is inline (not watermark-gated), so no sentinel batches are needed.
+   */
+  def nearDupStreamParity(spark: SparkSession, docs: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val originals = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val base = 1700000000000L // fixed epoch base for synthetic arrival times
+    val origEvents = originals.zipWithIndex.map { case ((id, text), i) =>
+      DocEvent(id, new Timestamp(base + i * 1000L), text)
+    }
+    val plantEvents = originals.filter(_._1 % 25 == 0).zipWithIndex.map {
+      case ((id, text), i) =>
+        DocEvent(id + 1000000L,
+          new Timestamp(base + (originals.length + i) * 1000L), text)
+    }
+
+    val input = MemoryStream[DocEvent]
+    val verdicts = nearDupVerdicts(input.toDS())
+    val sinkName = "graft_neardup_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    // see sessionizeStreamParity: pin the scratch stream's state rounds
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = verdicts.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      input.addData(origEvents.toSeq); q.processAllAvailable()
+      input.addData(plantEvents.toSeq); q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    spark.table(sinkName)
+      .select(least(col("doc_id"), col("dup_of")).as("id_a"),
+        greatest(col("doc_id"), col("dup_of")).as("id_b"))
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .distinct()
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+  }
+
+  /**
    * Exactly-once event dedup, unified batch/stream: on a stream, pass
    * `watermark = Some((timeCol, delay))` — duplicates of a key arriving
    * within the watermark bound are dropped with BOUNDED state

@@ -113,6 +113,42 @@ object StressBench {
       degen.unpersist()
     }
 
+    // Hot-key temporal joins: one user owns ~50% of events. asOf's window
+    // partitions by key — the hot key's timeline sorts in ONE task; rangeJoin
+    // fans each interval over span/bucketWidth buckets — a dense hot-key
+    // interval set multiplies candidates. Measured uniform vs hot at equal n
+    // so the skew penalty (not corpus size) is the number on display.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "temporal")) {
+      def evts(skewed: Boolean, rows: Long, idOff: Long = 0): DataFrame = {
+        val user = if (skewed) "if (pmod(id, 2) = 0, 0L, pmod(id, 1000))"
+                   else "pmod(id, 1000)"
+        spark.range(rows).toDF("id")
+          .select((col("id") + idOff).as("eid"),
+            expr(user).as("user"),
+            (col("id") * 7L + idOff).as("ts"))
+      }
+      for (skew <- Seq(false, true)) {
+        val tag = if (skew) "hot50" else "uniform"
+        val left = evts(skew, n).cache(); left.count()
+        val right = evts(skew, n / 10, idOff = 3).select(
+          col("user"), col("ts"), (col("ts") % 97).as("px")).cache()
+        right.count()
+        run(s"asof_$tag", n)(
+          graft.operators.TemporalJoin.asOf(left, right, Seq("user"), "ts").count())
+        // intervals tile the full point ts range (stride 700, span 1000):
+        // modest overlap, so runtime measures probe cost, not output size
+        val intervals = evts(skew, n / 100).select(
+          col("user"), (col("eid") * 700L).as("lo"),
+          (col("eid") * 700L + 1000L).as("hi"), col("eid").as("iid"))
+        run(s"range_$tag", n)(
+          graft.operators.TemporalJoin.rangeJoin(left.withColumnRenamed("ts", "x"),
+            intervals, "x", "lo", "hi", bucketWidth = 1000L,
+            keys = Seq("user")).count())
+        left.unpersist(); right.unpersist()
+      }
+    }
+
     for (n <- annTiers if only.forall(_ == "ann")) {
       val vecs = synthVecs(spark, n)
       vecs.cache().count()
