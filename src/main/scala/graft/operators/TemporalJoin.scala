@@ -90,6 +90,127 @@ object TemporalJoin {
   }
 
   /**
+   * Hot-key-safe as-of join: identical semantics to [[asOf]], but the
+   * window partitions by (keys, time-slice) instead of keys alone, so NO
+   * single task ever sorts more than one slice of one key — the mitigation
+   * for a key that owns a material fraction of both streams (where plain
+   * asOf's per-key sort becomes the straggler).
+   *
+   * Construction (all heavy frames stay O(rows); the carry frames are
+   * O(#distinct (key, slice)) — summaries, not data):
+   *   1. per (key, slice): the slice's WINNING right row (latest ts,
+   *      tieBreak-last), as a one-row summary;
+   *   2. running carry of those summaries across slices per key — the
+   *      latest right payload up to each summary's slice;
+   *   3. an as-of match AT SLICE GRANULARITY seeds every left slice with
+   *      the carry from strictly-earlier slices;
+   *   4. final window per (key, slice): seed first, then the in-slice
+   *      merge-scan exactly like [[asOf]].
+   *
+   * Pick `sliceWidth` ≈ hot-key event span / desired parallelism. Light
+   * keys pay two extra small shuffles; use [[asOf]] when no key is hot.
+   */
+  def asOfSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 tsCol: String, sliceWidth: Long,
+                 tolerance: Option[Long] = None,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    require(sliceWidth > 0, "sliceWidth must be positive")
+    val payloadCols = right.columns.filterNot(c =>
+      keys.contains(c) || c == tsCol || tieBreak.contains(c)).toSeq
+    require(payloadCols.nonEmpty, "right side needs at least one payload column")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: $collisions — rename first")
+    require(!left.columns.contains("asof_ts"),
+      "left side may not have a column named asof_ts (reserved output name) — rename first")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved by asOfSliced: ${reserved.toSet} — rename first")
+    require(!tieBreak.contains(tsCol) && tieBreak.toSet.intersect(keys.toSet).isEmpty,
+      "tieBreak columns must be distinct from keys and the ts column")
+
+    // slice id = the slice's START value (exact int64 floor-to-multiple,
+    // like rangeJoin's bucketOf — a double divide would mis-slice
+    // epoch-nano timestamps above 2^53)
+    def sliceOf(c: Column): Column =
+      (c.cast("long") - pmod(c.cast("long"), lit(sliceWidth))).cast("long")
+    val kCols = keys.map(col)
+
+    // (1) slice winners: one summary row per (key, slice) of the right side
+    val pStruct = struct(col(tsCol).as("asof_ts") +: payloadCols.map(col): _*)
+    val winnerOrd: Seq[Column] =
+      col(tsCol).desc +: tieBreak.map(col(_).desc_nulls_last)
+    val summaries = right
+      .withColumn("__slice", sliceOf(col(tsCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((kCols :+ col("__slice")): _*).orderBy(winnerOrd: _*)))
+      .filter(col("__rn") === 1)
+      .select(kCols ++ Seq(col("__slice"), pStruct.as("__p")): _*)
+
+    // (2) running carry per key across summary slices (summaries are tiny)
+    val carryWin = Window.partitionBy(kCols: _*).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = summaries
+      .withColumn("__carry", last(col("__p")).over(carryWin))
+      .select(kCols ++ Seq(col("__slice"), col("__carry")): _*)
+
+    // (3) slice-granular as-of: each LEFT slice gets the carry from
+    // strictly earlier slices (carry of slice s becomes visible at s+1)
+    val leftSlices = left.select(kCols :+ sliceOf(col(tsCol)).as("__slice"): _*)
+      .distinct()
+    val seedUnion = carries.select(
+        kCols ++ Seq((col("__slice") + sliceWidth).as("__at"),
+          lit(0).as("__sside"), col("__carry")): _*)
+      .unionByName(leftSlices.select(
+        kCols ++ Seq(col("__slice").as("__at"), lit(1).as("__sside"),
+          lit(null).cast(summaries.schema("__p").dataType).as("__carry")): _*))
+    val seedWin = Window.partitionBy(kCols: _*)
+      .orderBy(col("__at").asc, col("__sside").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = seedUnion
+      .withColumn("__seedp", last(col("__carry"), ignoreNulls = true).over(seedWin))
+      .filter(col("__sside") === 1 && col("__seedp").isNotNull)
+      .select(kCols ++ Seq(col("__at").as("__slice"), col("__seedp")): _*)
+
+    // (4) final merge-scan per (key, slice): seed rows order FIRST
+    // (__first=0), then rights-before-lefts by ts like asOf
+    val nullTb = tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    def lNulls = left.columns.map(c =>
+      lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))
+    val rTagged = right.select(
+      kCols ++ Seq(sliceOf(col(tsCol)).as("__slice"), lit(1).as("__first"),
+        col(tsCol).as("__ts"), lit(0).as("__side"), pStruct.as("__p")) ++
+        tieBreak.map(col) ++ lNulls: _*)
+    val seedTagged = seeds.select(
+      kCols ++ Seq(col("__slice"), lit(0).as("__first"),
+        lit(null).cast(right.schema(tsCol).dataType).as("__ts"),
+        lit(0).as("__side"), col("__seedp").as("__p")) ++ nullTb ++ lNulls: _*)
+    val lTagged = left.select(
+      kCols ++ Seq(sliceOf(col(tsCol)).as("__slice"), lit(1).as("__first"),
+        col(tsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rTagged.schema("__p").dataType).as("__p")) ++ nullTb ++
+        left.columns.map(c => col(c).as(s"__l_$c")): _*)
+    val cols = rTagged.columns
+    val union = rTagged.toDF(cols: _*)
+      .unionByName(seedTagged.toDF(cols: _*))
+      .unionByName(lTagged.toDF(cols: _*))
+
+    val ordering: Seq[Column] = col("__first").asc +: col("__ts").asc +:
+      col("__side").asc +: tieBreak.map(col(_).asc_nulls_first)
+    val w = Window.partitionBy(kCols :+ col("__slice"): _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = union.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = tolerance.fold(matched)(tol =>
+      matched.withColumn("__m",
+        when(col("__m.asof_ts") >= col("__ts") - lit(tol), col("__m"))))
+    bounded.select(
+      left.columns.map(c => col(s"__l_$c").as(c)).toSeq ++
+        Seq(col("__m.asof_ts").as("asof_ts")) ++
+        payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /**
    * Interval (range) join: pairs every point row with every interval row
    * whose half-open range `[startCol, endCol)` contains `pointCol`,
    * optionally also matching on equi-`keys`. All three range columns must

@@ -134,8 +134,18 @@ object StressBench {
         val right = evts(skew, n / 10, idOff = 3).select(
           col("user"), col("ts"), (col("ts") % 97).as("px")).cache()
         right.count()
+        // filter on the matched payload: count() alone lets the optimizer
+        // prune the window's carry-forward column and skip the sort
         run(s"asof_$tag", n)(
-          graft.operators.TemporalJoin.asOf(left, right, Seq("user"), "ts").count())
+          graft.operators.TemporalJoin.asOf(left, right, Seq("user"), "ts")
+            .filter(col("px").isNotNull).count())
+        if (skew)
+          // the hot-key mitigation: slice the timeline so no task sorts
+          // more than (hot-key rows × sliceWidth / ts-span)
+          run(s"asof_sliced_$tag", n)(
+            graft.operators.TemporalJoin.asOfSliced(left, right, Seq("user"),
+              "ts", sliceWidth = math.max(1L, 7L * n / 64))
+              .filter(col("px").isNotNull).count())
         // intervals tile the full point ts range (stride 700, span 1000):
         // modest overlap, so runtime measures probe cost, not output size
         val intervals = evts(skew, n / 100).select(

@@ -113,6 +113,55 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfSliced: exact parity with asOf across slice widths (randomized)") {
+    // pseudo-random but deterministic corpus; quote gaps straddle slice
+    // boundaries so the carry/seed path is genuinely exercised
+    val rnd = new scala.util.Random(7)
+    val trades = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong, i.toLong))
+      .toDF("k", "ts", "tid")
+    val quotes = (1 to 150).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong, i.toDouble))
+      .toDF("k", "ts", "px")
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ts", "tid", "asof_ts", "px")
+      .as[(Long, Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+
+    val plain = canon(TemporalJoin.asOf(trades, quotes, Seq("k"), "ts"))
+    for (w <- Seq(1L, 7L, 100L, 1000L, 100000L)) {
+      val sliced = canon(
+        TemporalJoin.asOfSliced(trades, quotes, Seq("k"), "ts", sliceWidth = w))
+      assert(sliced === plain, s"sliceWidth=$w diverged from asOf")
+    }
+    // tolerance + tieBreak variants hold too
+    val qTb = (1 to 150).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong / 10 * 10, i.toLong, i.toDouble))
+      .toDF("k", "ts", "seq", "px")
+    def canonTb(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ts", "tid", "asof_ts", "px")
+      .as[(Long, Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val plainTb = canonTb(TemporalJoin.asOf(trades, qTb, Seq("k"), "ts",
+      tolerance = Some(500L), tieBreak = Seq("seq")))
+    val slicedTb = canonTb(TemporalJoin.asOfSliced(trades, qTb, Seq("k"), "ts",
+      sliceWidth = 64L, tolerance = Some(500L), tieBreak = Seq("seq")))
+    assert(slicedTb === plainTb)
+  }
+
+  test("asOfSliced: epoch-nano magnitudes slice exactly") {
+    val base = 1700000000000000000L
+    val l = Seq((1L, base + 10L, "a"), (1L, base + 2000000001L, "b"))
+      .toDF("k", "ts", "ev")
+    val r = Seq((1L, base + 5L, 1.5), (1L, base + 1999999999L, 2.5))
+      .toDF("k", "ts", "px")
+    val got = TemporalJoin.asOfSliced(l, r, Seq("k"), "ts",
+        sliceWidth = 1000000000L)
+      .select("ev", "px").as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 1.5, "b" -> 2.5))
+  }
+
   test("rangeJoin with equi-keys only pairs within the key") {
     val points = Seq(("a", 5L, 1L), ("b", 5L, 2L)).toDF("k", "x", "pid")
     val intervals = Seq(("a", 0L, 10L, 7L)).toDF("k", "lo", "hi", "iid")
