@@ -580,6 +580,21 @@ object SparkEntry {
           sum(col("click_id")).as("click_id_sum"))
     }),
 
+    // Same as-of semantics through the hot-key-safe sliced variant
+    // (per-(key, time-slice) windows + carried boundary seeds) — gated
+    // against the identical DuckDB ASOF oracle as q_asof_join.
+    "q_asof_sliced" -> ((s, dir) => {
+      import graft.operators.TemporalJoin
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalJoin.asOfSliced(e, clicks, Seq("user_id"), "ts",
+          sliceWidth = 3600L * 1000000000L) // 1h slices in epoch-nanos
+        .agg(count(lit(1)).as("n_events"),
+          count(col("click_id")).as("n_matched"),
+          sum(col("click_id")).as("click_id_sum"))
+    }),
+
     // As-of join with a staleness bound: matches older than 10 minutes
     // are nulled out (trades-style tolerance), left rows all survive.
     "q_asof_tolerance" -> ((s, dir) => {
@@ -1001,6 +1016,13 @@ object SparkEntry {
       """SELECT count(*) AS videos_sampled FROM documents
         |WHERE doc_id % 3 = 2""".stripMargin,
     "q_asof_join" ->
+      """SELECT count(*) AS n_events, count(click_id) AS n_matched,
+        |       CAST(sum(click_id) AS BIGINT) AS click_id_sum
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS click_id FROM events
+        |   WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "q_asof_sliced" ->
       """SELECT count(*) AS n_events, count(click_id) AS n_matched,
         |       CAST(sum(click_id) AS BIGINT) AS click_id_sum
         |FROM events e ASOF LEFT JOIN

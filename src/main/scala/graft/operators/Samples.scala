@@ -87,4 +87,61 @@ object Samples {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /**
+   * Hot-stratum-safe token-budget packing — IDENTICAL kept set to
+   * [[byTokenBudget]] ordered by (`priorityValue` asc, `tieBreak`), but no
+   * task ever sorts more than one value-range chunk of one stratum
+   * (the [[byTokenBudget]] window sorts a whole stratum in one task).
+   *
+   * Same summary-frame pattern as `TemporalJoin.asOfSliced`:
+   *   1. per-stratum approximate quantiles of `priorityValue` split each
+   *      stratum into ≈`chunks` value-range chunks (equal values always
+   *      share a chunk, so chunk order extends the total priority order);
+   *   2. per-(stratum, chunk) cost sums → exact exclusive prefix offsets
+   *      over a summary frame (O(#strata × chunks) rows);
+   *   3. the running sum inside each chunk starts from its offset —
+   *      exact long arithmetic end to end, so the cut row is identical.
+   *
+   * `priorityValue` must be numeric (quantile-rangeable), ascending =
+   * "cheapest/best first" — pass e.g. `negate(score)` for best-first.
+   * Chunk-boundary quantiles being approximate only skews chunk SIZES,
+   * never correctness.
+   */
+  def byTokenBudgetScalable(df: DataFrame, groupCol: String, costCol: String,
+                            budget: Long, priorityValue: Column,
+                            tieBreak: Seq[Column], chunks: Int = 32): DataFrame = {
+    require(chunks > 1, "need at least 2 chunks")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val withP = df.withColumn("__p", priorityValue.cast("double"))
+    // (1) per-stratum chunk boundaries (a small agg frame), joined back by
+    // broadcast; strict `<` keeps equal priority values in one chunk
+    val qs = (1 until chunks).map(i => i.toDouble / chunks)
+    val bounds = withP.groupBy(col(groupCol))
+      .agg(expr(s"percentile_approx(__p, array(${qs.mkString(",")}), 1000)")
+        .as("__bnds"))
+    val chunked = withP.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__chunk",
+        size(filter(col("__bnds"), b => b < col("__p")))) // 0..chunks-1
+      .drop("__bnds")
+    // (2) exact exclusive prefix offsets over the (stratum, chunk) summary
+    val sums = chunked.groupBy(col(groupCol), col("__chunk"))
+      .agg(sum(col(costCol).cast("long")).as("__csum"))
+    val offW = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__off", coalesce(sum(col("__csum")).over(offW), lit(0L)))
+      .select(col(groupCol), col("__chunk"), col("__off"))
+    // (3) parallel within-chunk packing, stitched by the offsets
+    val ord: Seq[Column] = col("__p").asc +: tieBreak
+    val w = Window.partitionBy(col(groupCol), col("__chunk")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked.join(broadcast(offsets), Seq(groupCol, "__chunk"))
+      .withColumn("__cum",
+        col("__off") + sum(col(costCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__p", "__chunk", "__off", "__cum")
+  }
 }

@@ -74,6 +74,35 @@ class SamplesSpec extends SparkSpec {
     assert(run(df) === run(df.repartition(13)))
   }
 
+  test("byTokenBudgetScalable keeps the identical set to byTokenBudget") {
+    // random costs, several strata, deliberate priority TIES (score % 7)
+    // so chunk boundaries land on equal values and the tieBreak matters
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 2000).map { i =>
+      (i.toLong, s"l${rnd.nextInt(3)}", (rnd.nextInt(50) + 1).toLong,
+        (rnd.nextInt(100) % 7).toDouble)
+    }.toDF("doc_id", "lang", "cost", "score")
+
+    for (budget <- Seq(0L, 100L, 5000L, 1000000L); chunks <- Seq(2, 8, 64)) {
+      val exact = Samples.byTokenBudget(df, "lang", "cost", budget,
+          priority = Seq(col("score").asc, col("doc_id").asc))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val scalable = Samples.byTokenBudgetScalable(df, "lang", "cost", budget,
+          priorityValue = col("score"), tieBreak = Seq(col("doc_id").asc),
+          chunks = chunks)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(scalable === exact, s"budget=$budget chunks=$chunks diverged")
+    }
+    // best-first (desc) via negation matches too
+    val exactDesc = Samples.byTokenBudget(df, "lang", "cost", 3000L,
+        priority = Seq(col("score").desc, col("doc_id").asc))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val scalableDesc = Samples.byTokenBudgetScalable(df, "lang", "cost", 3000L,
+        priorityValue = negate(col("score")), tieBreak = Seq(col("doc_id").asc))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(scalableDesc === exactDesc)
+  }
+
   test("stratified applies per-stratum fractions with default for the rest") {
     val df = (0 until 9000).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
     val kept = Samples.stratified(df, "id", "lang",
