@@ -735,6 +735,27 @@ object SparkEntry {
           col("exact").as("exact_users"))
     }),
 
+    // C4-style boilerplate-line removal, gated by plants: a banner line
+    // appended to doc_id % 7 == 0 must be stripped from exactly those
+    // docs (natural lines all have doc-frequency 1 — corpus is dup-free),
+    // byte counts and untouched-doc counts SQL-derivable.
+    "text_boilerplate" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val banner = "subscribe to our newsletter for updates" // 39 chars
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("\n" + banner)))
+          .otherwise(col("text")))
+      val cleaned = TextAnalysis
+        .stripBoilerplate(planted, "doc_id", "text", minDocFreq = 10)
+        .withColumnRenamed("text", "clean")
+      planted.join(cleaned, "doc_id")
+        .agg(count(when(col("clean") =!= col("text"), 1)).as("docs_changed"),
+          sum(length(col("text")) - length(col("clean")))
+            .cast("long").as("chars_removed"),
+          count(when(col("clean") === col("text"), 1)).as("docs_unchanged"))
+    }),
+
     // Word-bigram phrase mining: deterministic corpus-wide top-k.
     "text_ngrams" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -907,6 +928,13 @@ object SparkEntry {
         |FROM events""".stripMargin,
     // Fingerprint = hash of the canonical (lowercased, deduped, sorted)
     // token string; distinct-count equality holds unless xxhash64 collides.
+    // Planted-banner strip: 39 banner chars + 1 newline per planted doc.
+    "text_boilerplate" ->
+      """SELECT count(*) FILTER (WHERE doc_id % 7 = 0) AS docs_changed,
+        |       CAST(count(*) FILTER (WHERE doc_id % 7 = 0) * 40 AS BIGINT)
+        |         AS chars_removed,
+        |       count(*) FILTER (WHERE doc_id % 7 <> 0) AS docs_unchanged
+        |FROM documents""".stripMargin,
     "text_fingerprint" ->
       """SELECT count(*) AS docs,
         |       count(DISTINCT CASE WHEN length(trim(text)) = 0 THEN ''

@@ -231,4 +231,55 @@ object TextAnalysis {
    */
   def fingerprint(text: Column): Column =
     xxhash64(graft.functions.Text.canonicalTokens(text))
+
+  /**
+   * Corpus-frequent line statistics: one row per line (by 64-bit hash)
+   * appearing in at least `minDocFreq` DISTINCT documents — the
+   * boilerplate census behind [[stripBoilerplate]], exposed for
+   * inspection/tuning. Shuffle is O(distinct (doc, line)) 16-byte keys
+   * with map-side combine; the result is small BY CONSTRUCTION (only
+   * frequent lines survive).
+   */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       minDocFreq: Long): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col("__id"), col("line"), xxhash64(col("line")).as("line_hash"))
+      .groupBy("line_hash")
+      .agg(countDistinct(col("__id")).as("doc_freq"),
+        first(col("line")).as("line"))
+      .filter(col("doc_freq") >= minDocFreq)
+
+  /**
+   * C4-style boilerplate-line removal: delete every line that occurs in
+   * at least `minDocFreq` distinct documents (cookie banners, nav menus,
+   * subscribe prompts — template text that repeats across a crawl),
+   * preserving the order of surviving lines byte-exactly.
+   *
+   * Scale shape: census via [[boilerplateLines]] (aggregated 8-byte line
+   * hashes, map-side combined), then the small frequent-line set joins
+   * back BROADCAST as an anti-join on the exploded lines, and documents
+   * reassemble with one groupBy — two O(lines) shuffles total, no
+   * all-pairs anything. Docs whose every line is boilerplate come back
+   * with empty text (filter afterwards if desired).
+   */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       minDocFreq: Long): DataFrame = {
+    val frequent = boilerplateLines(df, idCol, textCol, minDocFreq)
+      .select(col("line_hash"))
+    // only (id, pos, line) rides the line-level shuffles; other columns
+    // rejoin at document granularity at the end
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")))
+    val kept = lines.join(broadcast(frequent),
+      xxhash64(col("col")) === col("line_hash"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          s => s("col"))).as("__newtext"))
+    // left join: a doc whose EVERY line was boilerplate comes back empty
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__newtext"), lit("")))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -168,4 +168,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getDouble(0) === 0.7955)
     assert(out.getDouble(1) === math.rint(1.0 / 44 * 10000) / 10000)
   }
+
+  test("stripBoilerplate removes frequent lines, keeps order, handles all-boilerplate docs") {
+    val banner = "subscribe to our newsletter"
+    val nav = "home | about | contact"
+    val docs = Seq(
+      (1L, s"$nav\nunique first body\n$banner"),
+      (2L, s"$nav\nanother body line\nmore body\n$banner"),
+      (3L, s"$nav\n$banner"),              // nothing but boilerplate
+      (4L, "fully unique document"),       // untouched
+      (5L, s"$nav\nrepeated line\nrepeated line\n$banner") // in-doc repeat
+    ).toDF("doc_id", "text")
+
+    // census: distinct-doc counts, not occurrence counts
+    val census = TextAnalysis.boilerplateLines(docs, "doc_id", "text", 4L)
+      .select("line", "doc_freq").as[(String, Long)].collect().toMap
+    assert(census === Map(nav -> 4L, banner -> 4L))
+
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", 4L)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "unique first body",
+      2L -> "another body line\nmore body",
+      3L -> "",
+      4L -> "fully unique document",
+      5L -> "repeated line\nrepeated line"))
+  }
 }
