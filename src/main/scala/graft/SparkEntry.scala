@@ -353,6 +353,28 @@ object SparkEntry {
           .as("plants_removed"))
     }),
 
+    // Corpus clustering (k-means domain/topic bucketing — the mixture-
+    // weighting step of a corpus build). Gated by invariants: planted
+    // byte-identical copies MUST land in their original's cell (broadcast/
+    // assignment consistency), total rows and cell spread are SQL-pinned.
+    "cluster_assign" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val plants = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionAll(plants)
+      val centroids = Similarity.trainKMeans(corpus, numCells = 8)
+      val assigned = Similarity.kmeansAssign(corpus, centroids)
+      val copies = assigned.filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("vec_id"),
+          col("cell").as("cell_copy"))
+      assigned.agg(count(lit(1)).as("n_vecs"),
+          (countDistinct(col("cell")) >= 2).as("spread_ok"))
+        .crossJoin(assigned.join(copies, "vec_id")
+          .agg(count(when(col("cell") === col("cell_copy"), 1))
+            .as("copies_agree")))
+    }),
+
     // Embedding-cosine near-dup (exact, on a deterministic subset ∪ planted
     // exact copies). SQL-expressible via DuckDB list_cosine_similarity.
     "dedup_embedding" -> ((s, dir) => {
@@ -1236,6 +1258,14 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
         |       CAST(length(text) AS INTEGER) AS text_len
         |FROM documents GROUP BY text""".stripMargin,
+    // Clustering invariants: every planted copy shares its original's cell.
+    "cluster_assign" ->
+      """SELECT (SELECT count(*) FROM embeddings)
+        |         + (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+        |         AS n_vecs,
+        |       true AS spread_ok,
+        |       (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+        |         AS copies_agree""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0

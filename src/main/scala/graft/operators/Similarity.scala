@@ -155,11 +155,38 @@ object Similarity {
    * Self-recovery guarantee: a query that exists in the corpus always
    * probes its own cell first ⇒ finds itself at cosine 1.0.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
-              seed: Long = 42, trainSample: Int = 50000,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              queryIdCol: String = "query_id"): DataFrame = {
+  /** Squared-L2 argmin over a centroid table — the shared kernel of the
+    * k-means/IVF family below. */
+  private[operators] def nearest(cs: Array[Array[Float]],
+                                 vec: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val cv = cs(c); var d = 0.0; var i = 0
+      val n = math.min(cv.length, vec.length)
+      while (i < n) { val t = cv(i) - vec(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * Distributed k-means (Lloyd) over a BOUNDED deterministic sample —
+   * the coarse quantizer of [[ivfTopK]], exposed as a first-class
+   * operator because corpus clustering is its own pipeline step (domain/
+   * topic bucketing for mixture weighting, dedup-within-cluster, stratified
+   * eval splits). Returns the `numCells` centroid table.
+   *
+   * Scale shape: the sample is a hash-filtered scan capped at
+   * `trainSample` rows, so Lloyd costs O(iters · sample) regardless of
+   * corpus size; each iteration shuffles only numCells·dim doubles per
+   * partition (map-side combine); init is seeded hash-rank (TakeOrdered,
+   * no full sort).
+   */
+  def trainKMeans(corpus: DataFrame, numCells: Int, iters: Int = 5,
+                  seed: Long = 42, trainSample: Int = 50000,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+  : Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
@@ -185,18 +212,6 @@ object Similarity {
         (graft.core.EsMurmur3.hash(id.toString + seed).toLong, vec) }
       .takeOrdered(numCells)(Ordering.by(_._1))
       .map(_._2)
-
-    def nearest(cs: Array[Array[Float]], vec: Array[Float]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val cv = cs(c); var d = 0.0; var i = 0
-        val n = math.min(cv.length, vec.length)
-        while (i < n) { val t = cv(i) - vec(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
 
     // Lloyd iterations over the bounded sample: per-partition
     // (cell → sum, count) combine; only numCells·dim doubles per
@@ -230,8 +245,42 @@ object Similarity {
         }
       }.toArray
     }
-
     train.unpersist(blocking = false)
+    centroids
+  }
+
+  /**
+   * Assign every corpus vector to its nearest centroid (squared-L2):
+   * one broadcast + one streamed map pass, no shuffle. Output columns:
+   * (`idCol`, cell). Pair with [[trainKMeans]] for the full clustering
+   * step; [[ivfTopK]] composes exactly these two pieces.
+   */
+  def kmeansAssign(corpus: DataFrame, centroids: Array[Array[Float]],
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value
+        rows.map { case (id, vec) => (id, nearest(cs, vec)) }
+      }.toDF(idCol, "cell")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              seed: Long = 42, trainSample: Int = 50000,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+
+    val centroids = trainKMeans(corpus, numCells, iters, seed, trainSample,
+      idCol, vecCol)
     val cB = spark.sparkContext.broadcast(centroids)
     val binned = typed.mapPartitions { rows =>
       val cs = cB.value

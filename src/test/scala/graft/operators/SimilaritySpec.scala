@@ -73,4 +73,32 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(lshPairs.map(p => (p._1, p._2)).contains((0L, 4L)))
   }
+
+  test("trainKMeans + kmeansAssign recover well-separated planted clusters") {
+    // 3 tight clusters far apart in R^4: center c at (10c, 10c, 10c, 10c)
+    // with ±0.1 jitter — any sane Lloyd run separates them perfectly
+    val vecs = (for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val base = 10f * c
+      val j = (i % 5) * 0.02f
+      ((c * 40 + i).toLong,
+        Array(base + j, base - j, base + 2 * j, base))
+    }).toDF("vec_id", "embedding")
+
+    val centroids = Similarity.trainKMeans(vecs, numCells = 3, iters = 5)
+    assert(centroids.length === 3)
+    val assigned = Similarity.kmeansAssign(vecs, centroids)
+      .as[(Long, Int)].collect().toMap
+    // each planted cluster maps to exactly one cell; cells are distinct
+    val cellsByCluster = (0 until 3).map { c =>
+      val cells = (0 until 40).map(i => assigned((c * 40 + i).toLong)).toSet
+      assert(cells.size === 1, s"planted cluster $c split across cells $cells")
+      cells.head
+    }
+    assert(cellsByCluster.toSet.size === 3, "clusters collapsed into one cell")
+    // identical vectors always agree (the consistency the driver gate pins)
+    assert(assigned(0L) === assigned(5L)) // same jitter pattern i%5
+  }
 }
