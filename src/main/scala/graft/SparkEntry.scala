@@ -530,6 +530,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_unique"))
     }),
 
+    // REAL multimodal decode: synthesize genuine BMP/WAV containers from
+    // doc ids, decode them with RawFormatsCodec (actual header parsing,
+    // zero libraries) through the partition-streamed path — dimensions
+    // and durations are exact functions of the id, so the oracle is
+    // plain SQL arithmetic.
+    "mm_decode_real" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val spark = s
+      import spark.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          if (id % 2 == 0)
+            Multimodal.MediaRow(id, "image", Multimodal.MediaSynth.bmp(
+              16 + (id % 32).toInt, 8 + (id % 16).toInt, id))
+          else
+            Multimodal.MediaRow(id, "audio",
+              Multimodal.MediaSynth.wav(800 * (1 + (id % 10).toInt)))
+        }
+      Multimodal.extractMeta(media, Multimodal.RawFormatsCodec).toDF()
+        .agg(count(lit(1)).as("n"),
+          sum("width").cast("long").as("sum_w"),
+          sum("height").cast("long").as("sum_h"),
+          sum("duration_ms").cast("long").as("sum_dur"))
+    }),
+
     // Multimodal: binary media envelope → per-partition decode-stub →
     // typed metadata (schema/partitioning/batching are the real product;
     // the codec is a documented stub — no SQL oracle).
@@ -1065,6 +1090,17 @@ object SparkEntry {
     "mm_frames" ->
       """SELECT count(*) AS videos_sampled FROM documents
         |WHERE doc_id % 3 = 2""".stripMargin,
+    // Real-container decode: w = 16 + id%32, h = 8 + id%16 (BMP, even ids);
+    // 800·(1+id%10) samples at 8 kHz = 100·(1+id%10) ms (WAV, odd ids).
+    "mm_decode_real" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE 0 END)
+        |    AS BIGINT) AS sum_w,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 ELSE 0 END)
+        |    AS BIGINT) AS sum_h,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 100 * (1 + doc_id % 10) ELSE 0 END)
+        |    AS BIGINT) AS sum_dur
+        |FROM documents""".stripMargin,
     "q_asof_join" ->
       """SELECT count(*) AS n_events, count(click_id) AS n_matched,
         |       CAST(sum(click_id) AS BIGINT) AS click_id_sum

@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
  * `mapInPandas` batching: one decoder instance per partition, streaming,
  * no per-row setup).
  *
- * NOTE: no image/audio/video codecs exist in this environment, so the
- * decode kernels are STUBS — deterministic fakes over the byte content,
- * clearly marked below. The Spark-side plumbing (schema, partitioning,
- * batch iteration, feature schema) is real and tested; swapping a stub
- * for a JNI/javacv call changes one function body.
+ * Decode kernels: REAL for uncompressed containers — [[RawFormatsCodec]]
+ * parses genuine BMP and WAV files (fixed-layout LE headers, RIFF chunk
+ * walk) and computes real content features (per-region pixel intensity,
+ * per-segment PCM RMS). Compressed formats (JPEG/MP4/...) need a decoder
+ * library this environment doesn't have, so they run on [[StubCodec]] —
+ * a deterministic fake behind the same [[MediaCodec]] seam; swapping in
+ * a JNI/javacv codec changes one constructor argument. The Spark-side
+ * plumbing (schema, partitioning, batch iteration, feature schema) is
+ * identical either way and fully tested.
  */
 object Multimodal {
 
@@ -80,6 +84,153 @@ object Multimodal {
 
   private[operators] def featureStub(bytes: Array[Byte], dim: Int): Array[Float] =
     StubCodec.features(bytes, dim)
+
+  /**
+   * REAL codec for uncompressed container formats — no external library
+   * needed, the headers are fixed-layout little-endian structs:
+   *  - image = BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): width/height at
+   *    byte offsets 18/22;
+   *  - audio = WAV (RIFF/fmt/data): duration derived from the data-chunk
+   *    byte length and the fmt chunk's byte rate.
+   * Features are real content statistics: per-region mean pixel intensity
+   * (BMP) / per-segment RMS amplitude (WAV). Compressed formats
+   * (JPEG/MP4/...) still need a real decoder dependency — `video` stays
+   * on [[StubCodec]], the documented seam.
+   */
+  object RawFormatsCodec extends MediaCodec {
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** (fmtOff, dataOff, dataLen) by walking RIFF chunks. */
+    private def wavChunks(b: Array[Byte]): (Int, Int, Int) = {
+      require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(8) == 'W',
+        "not a RIFF/WAVE stream")
+      var off = 12
+      var fmt = -1; var data = -1; var dataLen = -1
+      while (off + 8 <= b.length && (fmt < 0 || data < 0)) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val len = le32(b, off + 4)
+        if (id == "fmt ") fmt = off + 8
+        else if (id == "data") { data = off + 8; dataLen = len }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(fmt >= 0 && data >= 0, "WAV missing fmt/data chunk")
+      (fmt, data, dataLen)
+    }
+
+    override def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
+      kind match {
+        case "image" =>
+          require(bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M',
+            "not a BMP stream")
+          (le32(bytes, 18), le32(bytes, 22), 0L)
+        case "audio" =>
+          val (fmt, _, dataLen) = wavChunks(bytes)
+          val byteRate = le32(bytes, fmt + 8)
+          (0, 0, if (byteRate <= 0) 0L else dataLen * 1000L / byteRate)
+        case other => StubCodec.decodeHeader(other, bytes) // video: stub seam
+      }
+
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        // BMP: mean pixel intensity per horizontal region of the image
+        val pixOff = le32(bytes, 10)
+        val counts = new Array[Long](dim)
+        var i = pixOff
+        while (i < bytes.length) {
+          val region = ((i - pixOff).toLong * dim / (bytes.length - pixOff)).toInt
+          out(region) += (bytes(i) & 0xff); counts(region) += 1
+          i += 1
+        }
+        var r = 0
+        while (r < dim) { if (counts(r) > 0) out(r) /= counts(r) * 255f; r += 1 }
+        out
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(8) == 'W') {
+        // WAV: RMS amplitude per time segment (16-bit PCM assumed)
+        val (_, data, dataLen) = wavChunks(bytes)
+        val nSamp = dataLen / 2
+        if (nSamp == 0) return out
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var s = 0
+        while (s < nSamp && data + 2 * s + 1 < bytes.length) {
+          val v = (le16(bytes, data + 2 * s).toShort).toDouble / 32768.0
+          val seg = (s.toLong * dim / nSamp).toInt
+          sums(seg) += v * v; counts(seg) += 1
+          s += 1
+        }
+        var i = 0
+        while (i < dim) {
+          if (counts(i) > 0) out(i) = math.sqrt(sums(i) / counts(i)).toFloat
+          i += 1
+        }
+        out
+      } else StubCodec.features(bytes, dim)
+    }
+  }
+
+  /** Deterministic REAL media synthesis (for tests/gates — and the proof
+    * that [[RawFormatsCodec]] parses genuine files, not our own fakes). */
+  object MediaSynth {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+    /** A valid 24-bit BMP, deterministic pixel pattern from `seed`. */
+    def bmp(w: Int, h: Int, seed: Long = 0L): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) / 4 * 4 // rows pad to 4-byte boundaries
+      val pixBytes = rowBytes * h
+      val fileSize = 54 + pixBytes
+      val out = java.nio.ByteBuffer.allocate(fileSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+        .putInt(0).putInt(54)                 // reserved, pixel offset
+        .putInt(40).putInt(w).putInt(h)       // info header, dims
+        .putShort(1).putShort(24)             // planes, bpp
+        .putInt(0).putInt(pixBytes)           // BI_RGB, image size
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((x * 31L + y * 17L + seed) & 0xff).toInt
+          out.put(v.toByte).put((v ^ 0x55).toByte).put((255 - v).toByte)
+          x += 1
+        }
+        var pad = rowBytes - w * 3
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+        y += 1
+      }
+      out.array()
+    }
+
+    /** A valid 16-bit mono PCM WAV of `nSamples` at `sampleRate` Hz. */
+    def wav(nSamples: Int, sampleRate: Int = 8000, seed: Long = 0L): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)              // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16)             // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var s = 0
+      while (s < nSamples) {
+        val v = (math.sin((s + seed) * 0.1) * 12000).toInt
+        out.putShort(v.toShort)
+        s += 1
+      }
+      out.array()
+    }
+  }
 
   // ── Real Spark plumbing ──────────────────────────────────────────────────
 

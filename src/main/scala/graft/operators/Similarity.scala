@@ -334,7 +334,8 @@ object Similarity {
     * embedding dedup: candidates only within (multi-probed) buckets. */
   def lshCosinePairs(df: DataFrame, threshold: Double, numPlanes: Int = 12,
                      seed: Long = 42, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxBucketSize: Int = 0): DataFrame = {
     // compute the signature ONCE per row, then derive the multi-probe set
     // from the materialized column (inlining `sig` into every array slot
     // evaluates numPlanes+1 hyperplane projections per row), and cache
@@ -354,12 +355,33 @@ object Similarity {
     // frame of probing both sides (which only bought hamming<=2). A pair
     // collides in at most one (probe, base) bucket, so no distinct() pass
     // is needed: one fewer shuffle.
-    val a = sigged.select(col("id"), col("vec"), explode(probes).as("bucket"))
-    val b = sigged.select(col("id"), col("vec"), col("sig0").as("bucket"))
-    a.as("a").join(b.as("b"),
+    //
+    // LEAN JOIN (the same shape as Dedup.minhashPairs): the banded frames
+    // carry ONLY (id, bucket) 16-byte rows — letting the (numPlanes+1)×-
+    // replicated probe side drag the embedding through the shuffle is the
+    // exact spill cliff the minhash path hit in round 3 (measured here
+    // too: 739 s at 3.2M×64-dim vs ~40 s lean). Vectors rejoin just for
+    // the candidate pairs against the checkpointed frame.
+    val a0 = sigged.select(col("id"), explode(probes).as("bucket"))
+    val b0 = sigged.select(col("id"), col("sig0").as("bucket"))
+    val (aSide, bSide) = if (maxBucketSize > 0) {
+      // degenerate buckets (identical-vector floods) fan out quadratically
+      // within the bucket; the count-agg + broadcast anti-join cap skips
+      // them, losing only pairs whose EVERY shared bucket is degenerate
+      val oversized = b0.groupBy("bucket")
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
+        .select("bucket")
+      (a0.join(broadcast(oversized), Seq("bucket"), "left_anti"),
+        b0.join(broadcast(oversized), Seq("bucket"), "left_anti"))
+    } else (a0, b0)
+    val cand = aSide.as("a").join(bSide.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", round(cosine(col("a.vec"), col("b.vec")), 6))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val va = sigged.select(col("id").as("id_a"), col("vec").as("__vec_a"))
+    val vb = sigged.select(col("id").as("id_b"), col("vec").as("__vec_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", round(cosine(col("__vec_a"), col("__vec_b")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -167,6 +167,15 @@ object StressBench {
       run("lsh_topk", n)(Similarity.lshTopK(vecs, queries, 5, numPlanes = 14).count())
       run("ivf_topk", n)(
         Similarity.ivfTopK(vecs, queries, 5, numCells = 64, nProbe = 4).count())
+      // embedding near-dup pairs via one-sided multi-probe LSH. Planes
+      // scale with corpus (≈ log2(n) + 6) so expected bucket occupancy
+      // stays O(1) on a uniform corpus — the knob the operator documents;
+      // under-provisioned planes make buckets corpus-fraction sized and
+      // the within-bucket join quadratic BY DATA (same story as minhash
+      // degenerate buckets).
+      val planes = math.min(40, (math.log(n.toDouble) / math.log(2)).ceil.toInt + 6)
+      run("cos_pairs_lsh", n)(
+        Similarity.lshCosinePairs(vecs, 0.999, numPlanes = planes).count())
       if (n == 50000L) {
         // recall@5 of the approximate paths vs the exact baseline — the
         // quality side of the speed/recall trade the knobs tune

@@ -54,4 +54,59 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(bytes.take(12), "UTF-8").startsWith("GFT:320:240:"))
     assert(Multimodal.extractMeta(resized).count() === 4)
   }
+
+  test("RawFormatsCodec decodes REAL BMP and WAV files exactly") {
+    // synthesized files are valid containers; the codec reads headers back
+    val bmp = Multimodal.MediaSynth.bmp(37, 23, seed = 5)
+    assert(Multimodal.RawFormatsCodec.decodeHeader("image", bmp) === ((37, 23, 0L)))
+    // 12000 samples at 8000 Hz mono 16-bit = 1500 ms
+    val wav = Multimodal.MediaSynth.wav(12000, 8000)
+    assert(Multimodal.RawFormatsCodec.decodeHeader("audio", wav) === ((0, 0, 1500L)))
+
+    // hand-built fixture (not via MediaSynth): a 1x1 BMP byte-for-byte
+    val tiny = Array[Byte](
+      'B', 'M', 58, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0,            // info: w=1 h=1
+      1, 0, 24, 0, 0, 0, 0, 0, 4, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      9, 8, 7, 0)                                      // one BGR pixel + pad
+    assert(Multimodal.RawFormatsCodec.decodeHeader("image", tiny) === ((1, 1, 0L)))
+
+    // features are real content statistics: a louder WAV has higher RMS
+    val quiet = Multimodal.MediaSynth.wav(8000).map(b => b)
+    val silent = {
+      val w = Multimodal.MediaSynth.wav(8000)
+      // zero the PCM payload, keep headers: RMS must drop to 0
+      java.util.Arrays.fill(w, 44, w.length, 0.toByte); w
+    }
+    val fLoud = Multimodal.RawFormatsCodec.features(quiet, 8)
+    val fSilent = Multimodal.RawFormatsCodec.features(silent, 8)
+    assert(fLoud.sum > 0.1f && fSilent.sum === 0.0f)
+
+    // malformed input fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.RawFormatsCodec.decodeHeader("image", "not a bmp".getBytes)
+    }
+  }
+
+  test("extractMeta runs the REAL codec through the partition-streamed path") {
+    val media = (0L until 30L).map { id =>
+      if (id % 2 == 0)
+        Multimodal.MediaRow(id, "image",
+          Multimodal.MediaSynth.bmp(16 + (id % 32).toInt, 8 + (id % 16).toInt, id))
+      else
+        Multimodal.MediaRow(id, "audio",
+          Multimodal.MediaSynth.wav(800 * (1 + (id % 10).toInt)))
+    }.toDS()
+    val meta = Multimodal.extractMeta(media, Multimodal.RawFormatsCodec)
+      .collect().map(m => m.media_id -> m).toMap
+    (0L until 30L).foreach { id =>
+      if (id % 2 == 0) {
+        assert(meta(id).width === 16 + (id % 32).toInt)
+        assert(meta(id).height === 8 + (id % 16).toInt)
+      } else
+        // 800*(1+id%10) samples / 8000 Hz = 100*(1+id%10) ms
+        assert(meta(id).duration_ms === 100L * (1 + (id % 10)))
+    }
+  }
 }
