@@ -770,6 +770,28 @@ object SparkEntry {
         s, t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Deterministic WEIGHTED sampling (quality-weighted keep probability):
+    // the per-row weight is a pure function of the id here so the oracle
+    // replicates the identical row set, not just the rate.
+    "q_sample_weighted" -> ((s, dir) => {
+      import graft.operators.Samples
+      val d = t(s, dir, "documents")
+        .withColumn("w", (col("doc_id") % 100).cast("double") / 100.0)
+      Samples.weighted(d, "doc_id", "w")
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // Deterministic k-per-group cap (balanced per-language corpus mix):
+    // exact hash-rank selection, reproducible in any engine.
+    "q_sample_per_group" -> ((s, dir) => {
+      import graft.operators.Samples
+      Samples.kPerGroup(t(s, dir, "documents"), "doc_id", "lang", k = 25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     // Sketch aggregate (HLL approx-distinct) gated by its error contract:
     // the estimate must land within 5% of exact (rsd configured 1%).
     "q_approx_distinct" -> ((s, dir) => {
@@ -1128,6 +1150,23 @@ object SparkEntry {
         |FROM documents
         |WHERE substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
         |      < '40000000'""".stripMargin,
+    // Per-row hex threshold from the row's own weight — identical string
+    // compare both engines (weights here are k/100 < 1, so no 'g' branch).
+    "q_sample_weighted" ->
+      """SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < lower(lpad(to_hex(CAST(round(
+        |            (doc_id % 100) / 100.0 * 4294967296.0) AS BIGINT)),
+        |          8, '0'))""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 GROUP BY lang""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents

@@ -59,6 +59,45 @@ object Samples {
   }
 
   /**
+   * Deterministic WEIGHTED sampling: each row survives with its own
+   * probability `weightCol` ∈ [0,1] (e.g. a quality score driving
+   * keep-probability — the soft-filter step between hard quality cuts and
+   * uniform sampling). Same md5-threshold mechanism: the row's uniform
+   * draw is a pure function of (seed, id), the threshold is the row's own
+   * weight — reproducible everywhere, map-only, no shuffle.
+   */
+  def weighted(df: DataFrame, idCol: String, weightCol: String,
+               seed: Long = 42L): DataFrame = {
+    // the row's own weight becomes its hex threshold (same lexicographic
+    // top-32-bit compare as bernoulli — engine-portable with no integer
+    // hex parsing on the oracle side); w >= 1 keeps unconditionally
+    val wHex = when(col(weightCol).cast("double") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(
+        round(col(weightCol).cast("double") * 4294967296.0).cast("long"))),
+        8, "0"))
+    df.filter(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), 1, 8) < wHex)
+  }
+
+  /**
+   * Deterministic k-PER-GROUP sampling: exactly min(k, |group|) rows per
+   * group, chosen uniformly BY HASH RANK (the balanced per-language/
+   * per-source cap of a corpus mix). Unlike reservoir sampling this is
+   * run- and partitioning-independent, and any engine reproduces the
+   * selection. One shuffle on the group key; rank via window.
+   */
+  def kPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /**
    * Token-budget corpus packing: within each `groupCol` stratum, keep rows
    * in `priority` order until the running sum of `costCol` exceeds
    * `budget` (the first row that would cross the line is dropped, as is

@@ -74,6 +74,38 @@ class SamplesSpec extends SparkSpec {
     assert(run(df) === run(df.repartition(13)))
   }
 
+  test("weighted: keep rate tracks the per-row weight; w>=1 always kept, w=0 never") {
+    val df = (0 until 4000)
+      .map(i => (i.toLong, if (i % 4 == 0) 0.0 else if (i % 4 == 1) 0.25
+        else if (i % 4 == 2) 0.75 else 1.0))
+      .toDF("id", "w")
+    val kept = Samples.weighted(df, "id", "w").groupBy("w")
+      .count().as[(Double, Long)].collect().toMap
+    assert(!kept.contains(0.0))
+    assert(kept(1.0) === 1000L)
+    assert(kept(0.25) > 150 && kept(0.25) < 350)   // ≈250
+    assert(kept(0.75) > 650 && kept(0.75) < 850)   // ≈750
+    // deterministic: same call, same rows
+    val a = Samples.weighted(df, "id", "w").select("id").as[Long].collect().sorted
+    val b = Samples.weighted(df.repartition(7), "id", "w")
+      .select("id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("kPerGroup: exact k per group, partitioning-independent") {
+    val df = (0 until 1000).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val out = Samples.kPerGroup(df, "id", "g", k = 40)
+    val byG = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG.values.toSet === Set(40L))
+    // a group smaller than k keeps all its rows
+    val small = (0 until 5).map(i => (i.toLong, "only")).toDF("id", "g")
+    assert(Samples.kPerGroup(small, "id", "g", 40).count() === 5)
+    val a = out.select("id").as[Long].collect().sorted
+    val b = Samples.kPerGroup(df.repartition(11), "id", "g", 40)
+      .select("id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("byTokenBudgetScalable keeps the identical set to byTokenBudget") {
     // random costs, several strata, deliberate priority TIES (score % 7)
     // so chunk boundaries land on equal values and the tieBreak matters
