@@ -63,6 +63,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream state survives a checkpoint restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-restart-out").toString
+    val input = MemoryStream[Event]
+    val sessions = Streams.sessionizeStream(input.toDS(), gapMs = 10 * 60 * 1000)
+    // the memory sink refuses checkpoint recovery; the parquet file sink
+    // is the recoverable one (exactly-once via its file manifest)
+    def start() = sessions.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1: user 7's session accumulates in state, nothing emits yet
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(outDir).count() === 0)
+
+    // run 2: a NEW query restores from the SAME checkpoint; pushing the
+    // watermark must flush the session buffered BEFORE the restart —
+    // proof the flatMapGroupsWithState state store round-tripped
+    val q2 = start()
+    try {
+      input.addData(Event(3, ts(40), 9, "view", 5.0))
+      q2.processAllAvailable()
+      input.addData(Event(4, ts(41), 9, "view", 6.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(outDir).as[Session].collect()
+    assert(out.toSeq === Seq(Session(7, ts(0), ts(5), 2, 3.0)))
+  }
+
   test("windowedTypeCounts: identical logic runs batch and streaming") {
     // batch, over the real test table
     val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
