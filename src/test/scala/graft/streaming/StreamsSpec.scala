@@ -218,6 +218,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupVerdicts state survives a checkpoint restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ckpt = Files.createTempDirectory("graft-nd-restart-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-nd-restart-out").toString
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val input = MemoryStream[Streams.DocEvent]
+    val verdicts = Streams.nearDupVerdicts(input.toDS(),
+      candidateThreshold = 0.4, jaccardThreshold = 0.9)
+    def start() = verdicts.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1: the original document enters bucket state; no verdict yet
+    val q1 = start()
+    try {
+      input.addData(Streams.DocEvent(1L, ts(0), base))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: a byte-identical copy arrives AFTER the restart — matching
+    // it requires the (signature, gram-hash set) state written before the
+    // stop to round-trip through the checkpoint's state store
+    val q2 = start()
+    try {
+      input.addData(Streams.DocEvent(2L, ts(5), base))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "dup_of", "jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((2L, 1L, 1.0)))
+  }
+
   test("dedupEvents batch mode drops exact key duplicates") {
     import spark.implicits._
     val e = Seq(
