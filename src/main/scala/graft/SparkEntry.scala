@@ -831,6 +831,17 @@ object SparkEntry {
       TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 15)
     }),
 
+    // Gopher-style repetition quality signals: most-frequent-n-gram token
+    // coverage + duplicate-n-gram occurrence fraction, n ∈ {2,3}. One
+    // codegen'd pass per n (per-doc hash map) — the SQL replica explodes
+    // every gram of the corpus through two GROUP BYs.
+    "text_repetition" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.withRepetition(t(s, dir, "documents"), "text", Seq(2, 3))
+        .select("doc_id", "top2gram_cover", "dup2gram_frac",
+                "top3gram_cover", "dup3gram_frac")
+    }),
+
     // Partial-containment decontamination: the n-gram overlap check (the
     // "13-gram" rule at n=5 for the small test docs). Every doc sharing a
     // 5-gram with the eval slice is flagged — eval members flag
@@ -1323,6 +1334,35 @@ object SparkEntry {
         |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
         |        FROM documents WHERE length(trim(text)) > 0))
         |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 15""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS ntok,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |                             i -> t[i] || ' ' || t[i + 1])) AS g
+        |       FROM toks WHERE ntok >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total,
+        |              coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |                             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |       FROM toks WHERE ntok >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total,
+        |              coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT toks.doc_id,
+        |       coalesce(CAST(a2.maxc * 2 AS DOUBLE) / toks.ntok, 0.0) AS top2gram_cover,
+        |       coalesce(CAST(a2.dup AS DOUBLE) / a2.total, 0.0) AS dup2gram_frac,
+        |       coalesce(CAST(a3.maxc * 3 AS DOUBLE) / toks.ntok, 0.0) AS top3gram_cover,
+        |       coalesce(CAST(a3.dup AS DOUBLE) / a3.total, 0.0) AS dup3gram_frac
+        |FROM toks
+        |LEFT JOIN a2 ON toks.doc_id = a2.doc_id
+        |LEFT JOIN a3 ON toks.doc_id = a3.doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,

@@ -92,6 +92,9 @@ object TextStatsFunctions {
 
   def wordNgrams(c: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(c), n))
+
+  def repetitionStats(c: Column, n: Int): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c), n))
 }
 
 /**
@@ -169,6 +172,97 @@ case class WordNgrams(child: Expression, n: Int)
       s"org.apache.spark.sql.graft.WordNgramsRuntime.grams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/**
+ * Single-pass word n-gram repetition statistics — the Gopher-style
+ * "repetitious document" quality signals (Rae et al. 2021 §A1.1: excess
+ * duplicate n-grams mark low-quality boilerplate/spam): per document, the
+ * occurrence count of its MOST FREQUENT word n-gram and the number of
+ * n-gram occurrences that are duplicates. Tokenization is identical to
+ * [[WordNgramsRuntime]] (lowercase, ASCII-space trim, `\s+` split with
+ * Java split's leading-empty quirk), so the counts agree with an
+ * explode-the-grams SQL replica. One hash map per row, no shuffle, no
+ * gram materialization in the plan — the explode/groupBy formulation of
+ * the same signal shuffles every gram of the corpus.
+ */
+object RepetitionStatsRuntime extends Serializable {
+
+  /** Returns [ntok, total_grams, max_count, dup_occurrences]. */
+  def stats(s: UTF8String, n: Int): GenericArrayData = {
+    val out = new Array[Long](4)
+    val raw = s.toLowerCase.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    if (b >= e) return new GenericArrayData(out)
+    def isSep(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val toks = new scala.collection.mutable.ArrayBuffer[String](32)
+    if (isSep(raw.charAt(b))) toks += "" // split's leading-empty quirk
+    val tok = new java.lang.StringBuilder(16)
+    var i = b
+    while (i < e) {
+      val c = raw.charAt(i)
+      if (isSep(c)) {
+        if (tok.length > 0) { toks += tok.toString; tok.setLength(0) }
+      } else tok.append(c)
+      i += 1
+    }
+    if (tok.length > 0) toks += tok.toString
+    out(0) = toks.length
+    if (toks.length < n) return new GenericArrayData(out)
+    val total = toks.length - n + 1
+    out(1) = total
+    val counts = new java.util.HashMap[String, Array[Int]](total * 2)
+    val sb = new java.lang.StringBuilder
+    var g = 0
+    while (g < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(g + j))
+        j += 1
+      }
+      val c = counts.computeIfAbsent(sb.toString, _ => new Array[Int](1))
+      c(0) += 1
+      g += 1
+    }
+    var maxC = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > maxC) maxC = c
+      if (c > 1) dup += c
+    }
+    out(2) = maxC
+    out(3) = dup
+    new GenericArrayData(out)
+  }
+}
+
+/** repetition_stats(text, n): array<long> =
+  * [ntok, total_grams, max_gram_count, dup_gram_occurrences]. */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 2, "repetition signals need n >= 2")
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsRuntime.stats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.RepetitionStatsRuntime.stats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Concat-and-split sequence packing (mission extension, SURVEY.md §7.4):
+ * lay every document's tokens end to end in a deterministic global order
+ * and cut the stream every `seqLen` tokens — the standard way LLM
+ * training examples are built from a corpus (each document lands at a
+ * global token offset; sequence `i` is tokens `[i*seqLen, (i+1)*seqLen)`,
+ * and a document may straddle a cut).
+ *
+ * The global order is `md5(seed:id)` (tie-break on id) — the same
+ * engine-portable hash order [[Samples]] uses, so the packing doubles as
+ * the corpus SHUFFLE for training (hash order is uniform, independent of
+ * input layout, and reproducible by any engine from (seed, id) alone).
+ *
+ * Scale shape: a naive exact packing is one global-order window — a
+ * single task sorting the corpus. Instead the hash order is factored
+ * through its own prefix: rows group by the first `chunkChars` hex chars
+ * of the hash (16^chunkChars chunks whose lexicographic order EXTENDS the
+ * hash order), per-chunk token sums roll into exact exclusive prefix
+ * offsets over a summary frame (16^chunkChars rows, the only global
+ * sort), and each chunk's running sum starts from its offset. Exact long
+ * arithmetic end to end — the assignment is provably identical for every
+ * `chunkChars`, so the knob only sizes tasks: pick it so one chunk
+ * (corpus_tokens / 16^chunkChars) fits a task's sort budget; the default
+ * 3 gives 4096-way parallelism.
+ */
+object Packing {
+
+  /**
+   * Assigns each row its packed position: `seq_id` (which training
+   * sequence its first token lands in) and `seq_pos` (token offset within
+   * that sequence). `costCol` is the row's token count; rows with cost 0
+   * occupy no space but still get the position they straddle.
+   */
+  def packSequences(df: DataFrame, idCol: String, costCol: String,
+                    seqLen: Long, seed: Long = 42L,
+                    chunkChars: Int = 3): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(chunkChars >= 1 && chunkChars <= 8, "chunkChars in [1,8]")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val withH = df
+      .withColumn("__h",
+        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__chunk", substring(col("__h"), 1, chunkChars))
+    // exact exclusive prefix offsets over the chunk summary (the only
+    // global-order window — 16^chunkChars rows, one tiny task)
+    val sums = withH.groupBy("__chunk")
+      .agg(sum(col(costCol).cast("long")).as("__csum"))
+    val offW = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__off", coalesce(sum(col("__csum")).over(offW), lit(0L)))
+      .select("__chunk", "__off")
+    // parallel within-chunk running sums, stitched by the offsets
+    val w = Window.partitionBy(col("__chunk"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH.join(broadcast(offsets), Seq("__chunk"))
+      .withColumn("__start",
+        col("__off") + coalesce(sum(col(costCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__start div ${seqLen}L"))
+      .withColumn("seq_pos", col("__start") % seqLen)
+      .drop("__h", "__chunk", "__off", "__start")
+  }
+}

@@ -151,6 +151,36 @@ object TextAnalysis {
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
   }
 
+  /**
+   * Gopher-style repetition signals (Rae et al. 2021 §A1.1), the standard
+   * "repetitious document" quality cut of a web-corpus pipeline. For each
+   * n in `ns` adds two doubles:
+   *   - `top{n}gram_cover`: tokens covered by the single most frequent
+   *     word n-gram (count × n / ntok) — high = a phrase loops;
+   *   - `dup{n}gram_frac`: fraction of n-gram occurrences that are
+   *     duplicates (Σ count>1 / total grams) — high = boilerplate/spam.
+   * Short docs (< n tokens) score 0.0. One codegen'd pass per n
+   * (`repetition_stats` — per-doc hash map, no gram explode, no shuffle);
+   * filters compose downstream (e.g. `dup2gram_frac < 0.2`).
+   */
+  def withRepetition(df: DataFrame, textCol: String,
+                     ns: Seq[Int] = Seq(2, 3)): DataFrame =
+    ns.foldLeft(df) { (acc, n) =>
+      val r = s"__rep$n"
+      val ntok = element_at(col(r), 1)
+      val total = element_at(col(r), 2)
+      val maxC = element_at(col(r), 3)
+      val dup = element_at(col(r), 4)
+      acc.withColumn(r, graft.functions.Text.repetitionStats(col(textCol), n))
+        .withColumn(s"top${n}gram_cover",
+          when(ntok === 0L, lit(0.0))
+            .otherwise((maxC * n).cast("double") / ntok.cast("double")))
+        .withColumn(s"dup${n}gram_frac",
+          when(total === 0L, lit(0.0))
+            .otherwise(dup.cast("double") / total.cast("double")))
+        .drop(r)
+    }
+
   /** Per-token document frequency + total term frequency (the exact
     * inputs to TF-IDF / BM25 weighting), deterministic top-k by df.
     * Scale shape: one explode, dropDuplicates for the df side rides the

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: contiguous offsets in hash order, straddling allowed") {
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 2L)).toDF("id", "cost")
+    val out = Packing.packSequences(df, "id", "cost", seqLen = 6, seed = 7L)
+      .select("id", "cost", "seq_id", "seq_pos")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+
+    // reconstruct the expected order from the same hash
+    val order = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 2L))
+      .sortBy { case (id, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"7:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+    var start = 0L
+    order.foreach { case (id, cost) =>
+      assert(out(id) === ((start / 6, start % 6)), s"id=$id start=$start")
+      start += cost
+    }
+  }
+
+  test("packSequences: assignment is invariant to chunkChars") {
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 37 + 1).as("cost"))
+    val a = Packing.packSequences(df, "id", "cost", 128, chunkChars = 1)
+      .select("id", "seq_id", "seq_pos")
+    val b = Packing.packSequences(df, "id", "cost", 128, chunkChars = 4)
+      .select("id", "seq_id", "seq_pos")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("packSequences matches a single global-order window reference") {
+    val df = spark.range(0, 500)
+      .select(col("id"), (col("id") % 11).as("cost")) // includes cost-0 rows
+    val out = Packing.packSequences(df, "id", "cost", 64)
+      .select("id", "seq_id", "seq_pos")
+    val h = md5(concat(lit("42:"), col("id").cast("string")))
+    val w = Window.orderBy(h.asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df
+      .withColumn("start", coalesce(sum(col("cost").cast("long")).over(w), lit(0L)))
+      .select(col("id"), expr("start div 64L").as("seq_id"),
+        (col("start") % 64).as("seq_pos"))
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
+  }
+
+  test("packSequences rejects reserved column names") {
+    val df = Seq((1L, 2L)).toDF("id", "__cost")
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(df, "id", "__cost", 10)
+    }
+  }
+}

@@ -194,4 +194,51 @@ class TextAnalysisSpec extends SparkSpec {
       4L -> "fully unique document",
       5L -> "repeated line\nrepeated line"))
   }
+
+  test("withRepetition: Gopher repetition signals, hand-computed") {
+    val docs = Seq(
+      // "a b" ×3 (sliding: [a b, b a, a b, b a, a b]) — 5 bigrams, max 3,
+      // all 5 occurrences duplicated; 4 trigrams (aba ×2, bab ×2)
+      (1L, "a b a b a b"),
+      // all distinct bigrams/trigrams
+      (2L, "one two three four"),
+      // shorter than a trigram
+      (3L, "hi there"),
+      // single token: no grams at all
+      (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(docs, "text", Seq(2, 3))
+      .select("doc_id", "top2gram_cover", "dup2gram_frac",
+              "top3gram_cover", "dup3gram_frac")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((3.0 * 2 / 6, 1.0, 2.0 * 3 / 6, 1.0)))
+    assert(out(2L) === ((1.0 * 2 / 4, 0.0, 1.0 * 3 / 4, 0.0)))
+    assert(out(3L) === ((1.0 * 2 / 2, 0.0, 0.0, 0.0)))
+    assert(out(4L) === ((0.0, 0.0, 0.0, 0.0)))
+    assert(out(5L) === ((0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("repetition_stats agrees with an explode/groupBy replica on real docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val native = TextAnalysis.withRepetition(docs, "text", Seq(2))
+      .select(col("doc_id"), col("top2gram_cover"), col("dup2gram_frac"))
+    val grams = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"),
+        explode(TextAnalysis.wordNgrams(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "ntok", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "ntok")
+      .agg(max("c").as("maxc"), sum("c").as("total"),
+           sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+    val replica = docs.select("doc_id")
+      .join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce((col("maxc") * 2).cast("double") / col("ntok").cast("double"),
+          lit(0.0)).as("top2gram_cover"),
+        coalesce(col("dup").cast("double") / col("total").cast("double"),
+          lit(0.0)).as("dup2gram_frac"))
+    assert(native.exceptAll(replica).isEmpty && replica.exceptAll(native).isEmpty)
+  }
 }
