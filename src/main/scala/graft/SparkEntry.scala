@@ -704,6 +704,32 @@ object SparkEntry {
           sum("doc_id").as("id_sum"))
     }),
 
+    // Corpus mixture rescaling: downsample sources to target shares
+    // (closed-form binding-source rates + md5-threshold sampling — both
+    // replicated exactly in SQL, so the kept ROW SET matches, not just
+    // the counts).
+    "q_domain_mix" -> ((s, dir) => {
+      import graft.operators.Mixes
+      Mixes.toTargetShares(t(s, dir, "documents"), "doc_id", "source",
+          "n_chars", Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.1), seed = 13L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_cost"),
+          sum("doc_id").as("id_sum"))
+    }),
+
+    // Concat-and-split sequence packing: every doc gets its global token
+    // offset in deterministic hash order, sequences cut every 512 tokens.
+    // Chunked exact prefix sums — no global-order window task; the oracle
+    // IS that single global window, proving the factorization exact.
+    "q_pack_sequences" -> ((s, dir) => {
+      import graft.operators.{Packing, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", seqLen = 512L)
+        .select("doc_id", "seq_id", "seq_pos")
+    }),
+
     // BM25 ranked retrieval over the corpus (posting list filtered to the
     // query terms before any shuffle; term stats broadcast; TakeOrdered
     // top-k). Score arithmetic replicated operation-for-operation in SQL.
@@ -1162,14 +1188,17 @@ object SparkEntry {
         |WHERE substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
         |      < '40000000'""".stripMargin,
     // Per-row hex threshold from the row's own weight — identical string
-    // compare both engines (weights here are k/100 < 1, so no 'g' branch).
+    // compare both engines (scaled >= 2^32 → 'g' mirrors the Spark-side
+    // lpad-truncation guard; weights here are k/100 < 1 so it never fires).
     "q_sample_weighted" ->
       """SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents
         |WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
-        |      < lower(lpad(to_hex(CAST(round(
-        |            (doc_id % 100) / 100.0 * 4294967296.0) AS BIGINT)),
-        |          8, '0'))""".stripMargin,
+        |      < CASE WHEN round((doc_id % 100) / 100.0 * 4294967296.0)
+        |                  >= 4294967296.0 THEN 'g'
+        |             ELSE lower(lpad(to_hex(CAST(round(
+        |                    (doc_id % 100) / 100.0 * 4294967296.0) AS BIGINT)),
+        |                  8, '0')) END""".stripMargin,
     "q_sample_per_group" ->
       """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM (
@@ -1204,6 +1233,46 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM c WHERE cum <= 20000 GROUP BY lang""".stripMargin,
+    // Rates derive from aggregate sums with a FIXED double-op order
+    // (T = min(cost/w); rate = (w*T)/cost), so DuckDB computes the exact
+    // same rate doubles, hence the same thresholds and kept rows.
+    "q_domain_mix" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+        |                                 ('src2', 0.2), ('src3', 0.1)) AS t(source, w)),
+        |costs AS (
+        |  SELECT d.source, w.w, CAST(sum(d.n_chars) AS BIGINT) AS cost
+        |  FROM documents d JOIN w ON d.source = w.source GROUP BY 1, 2),
+        |tv AS (SELECT min(CAST(cost AS DOUBLE) / w) AS t FROM costs),
+        |rates AS (
+        |  SELECT source, (w * (SELECT t FROM tv)) / CAST(cost AS DOUBLE) AS rate
+        |  FROM costs),
+        |kept AS (
+        |  SELECT d.source, d.doc_id, d.n_chars
+        |  FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE substring(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |        < CASE WHEN round(r.rate * 4294967296.0) >= 4294967296.0 THEN 'g'
+        |               ELSE lower(lpad(to_hex(CAST(round(r.rate * 4294967296.0)
+        |                      AS BIGINT)), 8, '0')) END)
+        |SELECT source, count(*) AS kept_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_cost,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source""".stripMargin,
+    // The oracle is the naive single-global-window formulation; matching
+    // it exactly proves the chunked prefix-sum factorization correct.
+    "q_pack_sequences" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS cost,
+        |         md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id,
+        |         CAST(coalesce(sum(cost) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS s
+        |  FROM c)
+        |SELECT doc_id, s // 512 AS seq_id, s % 512 AS seq_pos FROM o""".stripMargin,
     // Score arithmetic mirrors the Spark expression operation-for-
     // operation (same IEEE ops in the same order); avgdl is exact
     // sum/count in both engines; 4dp rounding absorbs any residual ulp.

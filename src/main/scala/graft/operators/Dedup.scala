@@ -54,6 +54,50 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   /**
+   * Chunk-level (paragraph-style) exact dedup — the RefinedWeb/CCNet move
+   * of removing repeated PASSAGES while keeping the documents around
+   * them. Fixed `chunkTokens`-token windows stand in for paragraphs
+   * (corpus text here has no newlines; on real web text pass
+   * paragraph-split chunks through the same keep-first machinery). The
+   * FIRST occurrence of a chunk corpus-wide (smallest `(id, chunk_idx)`)
+   * survives; every later identical chunk is dropped, and each document
+   * is re-assembled from its surviving chunks in order (fully-duplicated
+   * docs collapse to empty text — doc-level dedup falls out).
+   *
+   * Scale shape: one explode (chunk rows ≈ token count / chunkTokens),
+   * one shuffle keyed by chunk text for the keep-first window, one
+   * groupBy(id) to re-assemble. For 100 TB, swap the chunk-text shuffle
+   * key for `xxhash64(chunk)` + collision re-check, exactly as
+   * [[exactScalable]] does for whole documents.
+   */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = df
+      .select(col(idCol), toks.as("__t"), nChunks.as("__n"))
+      .filter(col("__n") > 0) // sequence(0, -1) would run BACKWARD, not empty
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), col("__n") - 1),
+          i => array_join(
+            slice(col("__t"), i * chunkTokens + 1, chunkTokens), " ")))
+        .as(Seq("__idx", "__chunk")))
+    val firstW = Window.partitionBy(col("__chunk"))
+      .orderBy(col(idCol).asc, col("__idx").asc)
+    val kept = chunks
+      .withColumn("__rk", row_number().over(firstW))
+      .filter(col("__rk") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__idx"), col("__chunk")))),
+          s => s.getField("__chunk")), " ").as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
+  /**
    * MinHash+LSH near-duplicate candidate pairs.
    *
    * shingle→minhash→band→bucket-join: signatures of `numHashes` minimums

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus mixture rescaling (mission extension, SURVEY.md §7.4): given
+ * target per-source shares (the "data mixture" of a training run — e.g.
+ * 40% web, 30% code, 20% books, 10% wiki), downsample each source so the
+ * KEPT corpus matches the target distribution, keeping as much data as
+ * possible without upsampling anything.
+ *
+ * Closed form: with per-source cost `c_s` (tokens/chars) and target
+ * weight `w_s`, the largest achievable mixed total is `T = min_s(c_s /
+ * w_s)` (the scarcest source relative to its target binds); source `s`
+ * then keeps `rate_s = w_s·T / c_s` of its cost. The sampling is the
+ * engine-portable md5-threshold mechanism of [[Samples]], with each
+ * row's threshold coming from its source's rate — so re-runs, retries,
+ * and a SQL replica all keep the identical row set.
+ *
+ * Scale shape: one partial-aggregated pass for the per-source costs (a
+ * #sources-row frame), a broadcast join of the rates, and a map-only
+ * filter — no full-data shuffle anywhere. Expected (not exact) share
+ * match: Bernoulli sampling concentrates tightly at corpus scale; use
+ * [[Samples.kPerGroup]]-style exact rank cuts when exact counts matter
+ * more than one-pass scanning.
+ */
+object Mixes {
+
+  /**
+   * Keep a deterministic subset of `df` whose per-source `costCol` mass
+   * approaches the `targets` distribution (weights need not sum to 1 —
+   * only ratios matter... pass them normalized for readable rates). Rows
+   * whose stratum is absent from `targets` are dropped (weight 0).
+   */
+  def toTargetShares(df: DataFrame, idCol: String, stratumCol: String,
+                     costCol: String, targets: Map[String, Double],
+                     seed: Long = 42L): DataFrame = {
+    require(targets.nonEmpty, "need at least one target share")
+    require(targets.values.forall(_ > 0.0), "target shares must be positive")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val wExpr = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (stratum, w)) =>
+        when(col(stratumCol) === lit(stratum), lit(w)).otherwise(acc)
+    }
+    val withW = df.withColumn("__w", wExpr).filter(col("__w").isNotNull)
+    // per-source cost mass (#sources rows), the binding total T, and the
+    // per-source keep rate — all in-plan, broadcast back; the double ops
+    // ((w*T)/c after T = min(c/w)) are in a fixed order so any engine
+    // reproduces the exact rate, hence the exact kept row set
+    val costs = withW.groupBy(col(stratumCol), col("__w"))
+      .agg(sum(col(costCol).cast("long")).as("__cost"))
+    val tFrame = costs.agg(
+      min(col("__cost").cast("double") / col("__w")).as("__t"))
+    val rates = costs.crossJoin(broadcast(tFrame))
+      .withColumn("__rate",
+        (col("__w") * col("__t")) / col("__cost").cast("double"))
+      .select(col(stratumCol), col("__rate"))
+    // per-row hex threshold from the source's rate (same mechanism and
+    // hex-compare semantics as Samples.weighted). The guard is on the
+    // SCALED value: a rate within 2^-33 of 1.0 rounds to 2^32, whose hex
+    // is 9 digits — lpad would TRUNCATE it to "10000000" and the
+    // threshold would collapse; >= 2^32 must mean "keep everything"
+    val scaled = round(col("__rate") * 4294967296.0)
+    val thr = when(scaled >= 4294967296.0, lit("g"))
+      .otherwise(lpad(lower(hex(scaled.cast("long"))), 8, "0"))
+    withW.join(broadcast(rates), Seq(stratumCol))
+      .filter(
+        substring(md5(concat(lit(seed.toString), lit(":"),
+          col(idCol).cast("string"))), 1, 8) < thr)
+      .drop("__w", "__rate")
+  }
+}

@@ -245,4 +245,45 @@ object TemporalJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /**
+   * Interval OVERLAP join: pairs every left interval `[lStart, lEnd)` with
+   * every right interval `[rStart, rEnd)` that overlaps it (optionally
+   * also matching equi-`keys`) — the two-sided generalization of
+   * [[rangeJoin]]. All four range columns must be integral.
+   *
+   * Same bucketed equi-join shape: each side replicates over the buckets
+   * its span touches, overlapping pairs meet in every shared bucket — and
+   * are kept ONLY in the first one, `max(bucketOf(lStart),
+   * bucketOf(rStart))` (both intervals contain `max(lStart, rStart)`, so
+   * both are present in its bucket). An exact arithmetic predicate, not a
+   * `distinct()` — no dedup shuffle, and the join stays a pure equi-join
+   * Catalyst can plan (shuffle or broadcast by bucket+keys), never a
+   * nested-loop inequality join.
+   *
+   * Column names of the two frames must be disjoint (aside from `keys`).
+   */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val dup = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
+    require(dup.isEmpty, s"column names must be disjoint (rename first): $dup")
+    def bucketOf(c: Column): Column =
+      (c.cast("long") - pmod(c.cast("long"), lit(bucketWidth))).cast("long")
+    def spanned(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) > col(s)) // empty interval overlaps nothing
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col(s)), bucketOf(col(e) - lit(1)), lit(bucketWidth))))
+    spanned(left, lStart, lEnd)
+      .join(spanned(right, rStart, rEnd), Seq("__bucket") ++ keys)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      // count each overlapping pair exactly once: in the bucket where the
+      // later-starting interval begins (its first bucket — shared, since
+      // the other interval covers that point too)
+      .filter(col("__bucket") ===
+        greatest(bucketOf(col(lStart)), bucketOf(col(rStart))))
+      .drop("__bucket")
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(aN: Int, bN: Int, cN: Int) = {
+    val rows =
+      (0 until aN).map(i => (i.toLong, "a", 10L)) ++
+      (0 until bN).map(i => (1000L + i, "b", 10L)) ++
+      (0 until cN).map(i => (2000L + i, "c", 10L))
+    rows.toDF("id", "src", "cost")
+  }
+
+  test("binding source keeps everything; others downsample toward targets") {
+    // costs: a=100, b=400; targets 0.5/0.5 → T = min(200, 800) = 200
+    // → rate_a = 1.0 (exact), rate_b = 0.25
+    val df = corpus(10, 40, 0)
+    val out = Mixes.toTargetShares(df, "id", "src", "cost",
+      Map("a" -> 0.5, "b" -> 0.5), seed = 1L)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("a") === 10L) // rate 1.0 → 'g' threshold keeps all
+    assert(bySrc.getOrElse("b", 0L) > 0L && bySrc("b") < 40L)
+  }
+
+  test("strata without a target weight are dropped") {
+    val df = corpus(5, 5, 5)
+    val out = Mixes.toTargetShares(df, "id", "src", "cost",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(out.filter(col("src") === "c").count() === 0L)
+  }
+
+  test("deterministic: identical kept set across runs and repartitionings") {
+    val df = corpus(50, 80, 30)
+    val targets = Map("a" -> 0.2, "b" -> 0.5, "c" -> 0.3)
+    val once = Mixes.toTargetShares(df, "id", "src", "cost", targets)
+      .select("id").as[Long].collect().sorted.toSeq
+    val again = Mixes.toTargetShares(df.repartition(7), "id", "src", "cost", targets)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(once === again && once.nonEmpty)
+  }
+
+  test("kept mixture tracks the target shares on a large corpus") {
+    val df = spark.range(0, 30000).select(col("id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("src"), lit(1L).as("cost"))
+    // equal input mass, skewed targets
+    val out = Mixes.toTargetShares(df, "id", "src", "cost",
+      Map("s0" -> 0.6, "s1" -> 0.3, "s2" -> 0.1))
+    val n = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    val total = n.values.sum.toDouble
+    // binding source is s0 (10000/0.6 smallest) → kept ≈ 16667 rows
+    assert(n("s0") === 10000L) // binding source keeps everything
+    assert(math.abs(n("s1") / total - 0.3) < 0.02)
+    assert(math.abs(n("s2") / total - 0.1) < 0.02)
+  }
+}
