@@ -704,6 +704,38 @@ object SparkEntry {
           sum("doc_id").as("id_sum"))
     }),
 
+    // Interval OVERLAP join (two-sided rangeJoin): 30-min click windows ×
+    // 1-h marker windows, bucketed equi-join with the first-shared-bucket
+    // predicate — each overlapping pair exactly once, no distinct(), no
+    // inequality nested loop. Oracle is the naive inequality join.
+    "q_interval_join" -> ((s, dir) => {
+      import graft.operators.TemporalJoin
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("ts").cast("long").as("cs"),
+          (col("ts").cast("long") + lit(1800000000000L)).as("ce"))
+      val marks = e.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("interval_id"),
+          col("ts").cast("long").as("ms"),
+          (col("ts").cast("long") + lit(3600000000000L)).as("me"))
+      TemporalJoin.overlapJoin(clicks, marks, "cs", "ce", "ms", "me",
+          bucketWidth = 3600000000000L)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("click_id")).as("click_sum"),
+          sum(col("interval_id")).as("interval_sum"))
+    }),
+
+    // Chunk-level (paragraph-style) exact dedup: repeated 10-token chunks
+    // removed corpus-wide (first occurrence survives), docs re-assembled.
+    "dedup_chunk" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 10)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("clean_text"))).as("clean_chars"),
+          sum(when(col("clean_text") === "", 1L).otherwise(0L)).as("empty_docs"))
+    }),
+
     // Corpus mixture rescaling: downsample sources to target shares
     // (closed-form binding-source rates + md5-threshold sampling — both
     // replicated exactly in SQL, so the kept ROW SET matches, not just
@@ -1233,6 +1265,44 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM c WHERE cum <= 20000 GROUP BY lang""".stripMargin,
+    "q_interval_join" ->
+      """SELECT count(*) AS n_pairs,
+        |       CAST(sum(c.click_id) AS BIGINT) AS click_sum,
+        |       CAST(sum(m.interval_id) AS BIGINT) AS interval_sum
+        |FROM (SELECT event_id AS click_id, epoch_ns(ts) AS cs,
+        |             epoch_ns(ts) + 1800000000000 AS ce
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id AS interval_id, epoch_ns(ts) AS ms,
+        |             epoch_ns(ts) + 3600000000000 AS me
+        |      FROM events WHERE event_id % 997 = 0) m
+        |  ON c.cs < m.me AND m.ms < c.ce""".stripMargin,
+    "dedup_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS idx,
+        |         array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk
+        |  FROM toks, UNNEST(generate_series(0,
+        |         CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk
+        |                            ORDER BY doc_id, idx) AS rk
+        |  FROM chunks),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept WHERE rk = 1 GROUP BY doc_id),
+        |final AS (
+        |  SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |  FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(length(clean_text)) AS BIGINT) AS clean_chars,
+        |       CAST(sum(CASE WHEN clean_text = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS empty_docs
+        |FROM final""".stripMargin,
     // Rates derive from aggregate sums with a FIXED double-op order
     // (T = min(cost/w); rate = (w*T)/cost), so DuckDB computes the exact
     // same rate doubles, hence the same thresholds and kept rows.

@@ -82,7 +82,7 @@ object Dedup {
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), col("__n") - 1),
           i => array_join(
-            slice(col("__t"), i * chunkTokens + 1, chunkTokens), " ")))
+            slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
         .as(Seq("__idx", "__chunk")))
     val firstW = Window.partitionBy(col("__chunk"))
       .orderBy(col(idCol).asc, col("__idx").asc)

@@ -142,4 +142,30 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L))
   }
+
+  test("dedupChunks: first occurrence survives, later copies drop, docs rebuild in order") {
+    // 2-token chunks: doc1 = [a b][c d], doc2 repeats [a b] then unique,
+    // doc3 is a full copy of doc1, doc4 has an odd tail chunk, doc5 blank
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d"),
+      (4L, "p q r"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "a b c d",
+      2L -> "x y",      // [a b] already seen in doc 1
+      3L -> "",         // full duplicate collapses to empty
+      4L -> "p q r",    // short tail chunk [r] kept as its own unit
+      5L -> ""))
+  }
+
+  test("dedupChunks: within-doc repeated chunk keeps only the first") {
+    val docs = Seq((7L, "a b a b c c")).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(7L -> "a b c c"))
+  }
 }

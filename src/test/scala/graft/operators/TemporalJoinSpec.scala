@@ -170,4 +170,46 @@ class TemporalJoinSpec extends SparkSpec {
       .select("pid").as[Long].collect()
     assert(got.toSeq === Seq(1L))
   }
+
+  test("overlapJoin matches a naive inequality join, each pair exactly once") {
+    // deterministic pseudo-random intervals with many multi-bucket spans
+    val l = (0 until 120).map { i =>
+      val s = (i * 37L) % 500; (i.toLong, s, s + 1 + (i * 13L) % 90)
+    }
+    val r = (0 until 150).map { i =>
+      val s = (i * 23L) % 500; (1000L + i, s, s + 1 + (i * 7L) % 60)
+    }
+    val lDf = l.toDF("lid", "ls", "le")
+    val rDf = r.toDF("rid", "rs", "re")
+    val expected = (for {
+      (lid, ls, le) <- l; (rid, rs, re) <- r
+      if ls < re && rs < le
+    } yield (lid, rid)).toSet
+    for (bw <- Seq(16L, 64L, 1024L)) {
+      val got = TemporalJoin.overlapJoin(lDf, rDf, "ls", "le", "rs", "re", bw)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at bw=$bw")
+      assert(got.toSet === expected, s"wrong pair set at bw=$bw")
+    }
+  }
+
+  test("overlapJoin: empty/inverted intervals match nothing, no crash") {
+    val l = Seq((1L, 10L, 10L), (2L, 20L, 5L), (3L, 0L, 4L)).toDF("lid", "ls", "le")
+    val r = Seq((9L, 0L, 100L)).toDF("rid", "rs", "re")
+    val got = TemporalJoin.overlapJoin(l, r, "ls", "le", "rs", "re", 8L)
+      .select("lid").as[Long].collect()
+    assert(got.toSeq === Seq(3L))
+  }
+
+  test("overlapJoin with equi-keys and disjoint-name enforcement") {
+    val l = Seq(("a", 0L, 10L, 1L), ("b", 0L, 10L, 2L)).toDF("k", "ls", "le", "lid")
+    val r = Seq(("a", 5L, 15L, 9L)).toDF("k", "rs", "re", "rid")
+    val got = TemporalJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", 4L, keys = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 9L)))
+    intercept[IllegalArgumentException] {
+      TemporalJoin.overlapJoin(l, l, "ls", "le", "ls", "le", 4L)
+    }
+  }
 }
