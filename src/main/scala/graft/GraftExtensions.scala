@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{CanonicalTokens, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams}
+import org.apache.spark.sql.graft.{CanonicalTokens, CharEntropy, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -76,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "repetition_stats",
       "repetition_stats(text, n) - [ntok, total_grams, max_gram_count, dup_gram_occurrences]",
       { case Seq(text, n) => RepetitionStats(text, intLit(n, "n")) })
+
+    register(ext, "char_entropy",
+      "char_entropy(text) - Shannon entropy over code points, bits/char",
+      { case Seq(text) => CharEntropy(text) })
   }
 }

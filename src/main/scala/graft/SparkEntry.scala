@@ -199,6 +199,36 @@ object SparkEntry {
                .cast("double"), 2).as("sum_qty"))
     }),
 
+    // Cube (full subtotal lattice — rollup's big sibling, §2.4 breadth).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("revenue"))
+    }),
+
+    // Pivot (wide conditional aggregation); count-holes coalesced to 0 to
+    // match the FILTER formulation.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+    }),
+
+    // Character-level Shannon entropy — the gibberish/binary-spill quality
+    // cut. Native single-pass expression; 4dp rounding absorbs summation-
+    // order ulps between engines.
+    "text_entropy" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        round(graft.functions.Text.charEntropy(col("text")), 4).as("entropy"))
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join key →
     // repeated joins run shuffle-free (BucketedJoinSpec pins the
     // zero-Exchange plan; this gates the bucketed write→read→join result).
@@ -1265,6 +1295,29 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM c WHERE cum <= 20000 GROUP BY lang""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, n, c, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+        |h AS (SELECT doc_id,
+        |             round(sum(-(CAST(cnt AS DOUBLE) / n)
+        |                       * log2(CAST(cnt AS DOUBLE) / n)), 4) AS entropy
+        |      FROM cc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.entropy, 0.0) AS entropy
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "q_interval_join" ->
       """SELECT count(*) AS n_pairs,
         |       CAST(sum(c.click_id) AS BIGINT) AS click_sum,

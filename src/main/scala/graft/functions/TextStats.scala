@@ -95,6 +95,9 @@ object TextStatsFunctions {
 
   def repetitionStats(c: Column, n: Int): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c), n))
+
+  def charEntropy(c: Column): Column =
+    ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(c)))
 }
 
 /**
@@ -243,6 +246,58 @@ object RepetitionStatsRuntime extends Serializable {
     out(3) = dup
     new GenericArrayData(out)
   }
+}
+
+/**
+ * Character-level Shannon entropy (bits per character, code-point
+ * alphabet) — the cheap gibberish/binary-spill detector of a corpus
+ * quality pipeline: natural text sits ~3.5-4.5 bits, base64/hex blobs
+ * and key-mash spike toward log2(alphabet), single-char floods → 0.
+ * One pass + one bounded map per row; entropy terms are summed in
+ * code-point order so the result is deterministic (last-ulp summation
+ * differences vs an unordered SQL replica are absorbed by rounding at
+ * the call site — round to ≤6 dp when comparing engines).
+ */
+object CharEntropyRuntime extends Serializable {
+  def entropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = scala.collection.mutable.TreeMap.empty[Int, Long]
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.update(cp, counts.getOrElse(cp, 0L) + 1L)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    val nd = n.toDouble
+    counts.valuesIterator.foreach { c =>
+      val p = c / nd
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+}
+
+/** char_entropy(text): double — Shannon entropy over code points. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyRuntime.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharEntropyRuntime.entropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
 }
 
 /** repetition_stats(text, n): array<long> =

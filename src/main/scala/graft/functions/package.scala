@@ -40,6 +40,9 @@ package object functions {
       * [ntok, total_grams, max_gram_count, dup_gram_occurrences]. */
     def repetitionStats(c: Column, n: Int): Column =
       org.apache.spark.sql.graft.TextStatsFunctions.repetitionStats(c, n)
+    /** Single-pass character-level Shannon entropy (bits/char). */
+    def charEntropy(c: Column): Column =
+      org.apache.spark.sql.graft.TextStatsFunctions.charEntropy(c)
   }
 
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */

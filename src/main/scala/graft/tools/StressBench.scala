@@ -159,6 +159,46 @@ object StressBench {
       }
     }
 
+    // Corpus-assembly ops: sequence packing, target-share mixing, chunk
+    // dedup, interval-overlap join. Packing/mixing are the map-heavy
+    // paths (one bounded shuffle each); chunk dedup shuffles chunk rows;
+    // overlap join fans intervals over spanned buckets — all should
+    // scale ~linearly here.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "assemble")) {
+      import graft.operators.{Mixes, Packing}
+      val rows = spark.range(n).toDF("id")
+        .select(col("id"),
+          concat(lit("s"), pmod(col("id"), lit(20)).cast("string")).as("src"),
+          (pmod(xxhash64(col("id")), lit(400)) + 20).as("cost"))
+        .cache()
+      rows.count()
+      run("pack_seqs", n)(
+        Packing.packSequences(rows, "id", "cost", seqLen = 2048)
+          .select(max("seq_id")).collect().head.getLong(0))
+      val targets = (0 until 20).map(i =>
+        s"s$i" -> (if (i == 0) 0.2 else 0.8 / 19)).toMap
+      run("domain_mix", n)(
+        Mixes.toTargetShares(rows, "id", "src", "cost", targets).count())
+      rows.unpersist()
+      val docs = synthDocs(spark, n / 20)
+      docs.cache().count()
+      run("repetition", n / 20)(
+        docs.select(graft.functions.Text.repetitionStats(col("text"), 2).as("r"))
+          .agg(sum(element_at(col("r"), 4))).count())
+      run("chunk_dedup", n / 20)(
+        Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 10)
+          .agg(sum(length(col("clean_text")))).count())
+      docs.unpersist()
+      val li = spark.range(n / 10).select(col("id").as("lid"),
+        (col("id") * 700L).as("ls"), (col("id") * 700L + 1000L).as("le"))
+      val ri = spark.range(n / 10).select(col("id").as("rid"),
+        (col("id") * 1100L).as("rs"), (col("id") * 1100L + 900L).as("re"))
+      run("overlap_join", n / 10)(
+        graft.operators.TemporalJoin.overlapJoin(li, ri, "ls", "le", "rs", "re",
+          bucketWidth = 1000L).count())
+    }
+
     for (n <- annTiers if only.forall(_ == "ann")) {
       val vecs = synthVecs(spark, n)
       vecs.cache().count()

@@ -219,6 +219,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("charEntropy: hand-computed values, code-point alphabet") {
+    val df = Seq("aabb", "aaaa", "abcd", "", "𝄞𝄞")
+      .toDF("text")
+      .select(graft.functions.Text.charEntropy(col("text")).as("h"))
+    val hs = df.as[Double].collect().toSeq
+    assert(hs(0) === 1.0) // two symbols, equal mass
+    assert(hs(1) === 0.0) // single symbol
+    assert(hs(2) === 2.0) // four equal symbols
+    assert(hs(3) === 0.0) // empty
+    assert(hs(4) === 0.0) // one supplementary code point, twice
+  }
+
   test("repetition_stats agrees with an explode/groupBy replica on real docs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
