@@ -850,6 +850,23 @@ object SparkEntry {
       Streams.sessionizeStreamParity(s, cohort, gapMs = 30L * 60 * 1000)
     }),
 
+    // TRUE-streaming stream-stream time-bounded join (attribution): the
+    // click/purchase cohorts replay through two MemoryStreams; the
+    // streamed pair set must equal the plain batch join.
+    "q_stream_join" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      def cohort(tpe: String) = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0 && col("event_type") === tpe)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.intervalJoinStreamParity(s, cohort("click"), cohort("purchase"),
+        beforeMs = 0L, afterMs = 30L * 60 * 1000)
+    }),
+
     // TRUE-streaming end-to-end near-dup: corpus + byte-identical plants
     // stream through MemoryStream; the emitted verdicts must be exactly
     // the planted pairs (same plant convention as dedup_minhash).
@@ -1477,6 +1494,20 @@ object SparkEntry {
         |  FROM y),
         |n AS (SELECT count(*) AS c
         |      FROM (SELECT user_id, sid FROM z GROUP BY 1, 2))
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // Stream-stream join parity: the batch inequality join computed at
+    // MICROsecond precision (the operator's timestamp unit) — all three
+    // outputs equal it when the streamed pair set is exact.
+    "q_stream_join" ->
+      """WITH l AS (
+        |  SELECT event_id, epoch_us(ts) AS us, user_id FROM events
+        |  WHERE user_id % 10 = 0 AND event_type = 'click'),
+        |r AS (
+        |  SELECT event_id, epoch_us(ts) AS us, user_id FROM events
+        |  WHERE user_id % 10 = 0 AND event_type = 'purchase'),
+        |n AS (SELECT count(*) AS c FROM l JOIN r
+        |      ON l.user_id = r.user_id
+        |     AND r.us >= l.us AND r.us <= l.us + 1800000000)
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Streaming near-dup verdicts = exactly the planted pairs.
     "q_stream_neardup" ->

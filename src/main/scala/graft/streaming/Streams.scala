@@ -488,6 +488,99 @@ object Streams {
       }
   }
 
+  /**
+   * Stream-stream time-bounded equi-join — the attribution classic ("join
+   * every click to the purchases by the same user within the next
+   * `afterMs`"). Built on Structured Streaming's stream-stream inner
+   * join: watermarks on BOTH sides plus an event-time RANGE condition are
+   * exactly what lets the state store size itself — each side buffers
+   * only rows younger than watermark + window, evicting as event time
+   * advances. Without the range bound the join state grows forever; this
+   * operator makes the bound part of the signature.
+   *
+   * Output columns: `l_id, l_ts, user_id, r_id, r_ts` (one row per
+   * matched pair). Works identically on bounded Datasets (batch parity).
+   */
+  def intervalJoinStream(left: Dataset[Event], right: Dataset[Event],
+                         beforeMs: Long, afterMs: Long,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(beforeMs >= 0 && afterMs >= 0, "window bounds must be >= 0")
+    val l = left.toDF()
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("user_id"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.toDF()
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $beforeMs MILLISECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $afterMs MILLISECONDS"))
+      .select(col("l_id"), col("l_ts"), col("user_id"), col("r_id"), col("r_ts"))
+  }
+
+  /**
+   * Driver-facing parity drive for [[intervalJoinStream]]: replays both
+   * cohorts through MemoryStreams in ts-aligned chunks and compares the
+   * streamed pair set with the plain batch join — output
+   * `(n_stream, n_batch, n_matched)`, all equal when the streaming path
+   * is exact. The watermark delay is stretched past the join window so
+   * chunk-boundary skew between the two streams can never evict a row
+   * before its match arrives (the SCALE path is [[intervalJoinStream]]
+   * under a real delay; this is the correctness gate).
+   */
+  def intervalJoinStreamParity(spark: SparkSession,
+                               leftB: Dataset[Event], rightB: Dataset[Event],
+                               beforeMs: Long, afterMs: Long,
+                               batches: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lRows = leftB.collect().sortBy(_.ts.getTime)
+    val rRows = rightB.collect().sortBy(_.ts.getTime)
+    require(lRows.nonEmpty && rRows.nonEmpty, "parity drive needs non-empty cohorts")
+    val delay = s"${beforeMs + afterMs + 3600000L} milliseconds"
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val joined = intervalJoinStream(lIn.toDS(), rIn.toDS(),
+      beforeMs, afterMs, watermarkDelay = delay)
+    val sinkName = "graft_interval_join_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    // see sessionizeStreamParity: pin the scratch stream's state rounds
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = joined.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      // time-aligned chunks: both sides advance together, so the (stretched)
+      // watermark always trails every unmatched row's window
+      val lChunk = math.max(1, (lRows.length + batches - 1) / batches)
+      val rChunk = math.max(1, (rRows.length + batches - 1) / batches)
+      val lChunks = lRows.grouped(lChunk).map(_.toSeq).toList
+      val rChunks = rRows.grouped(rChunk).map(_.toSeq).toList
+      lChunks.zipAll(rChunks, Seq.empty[Event], Seq.empty[Event]).foreach {
+        case (lg, rg) =>
+          if (lg.nonEmpty) lIn.addData(lg)
+          if (rg.nonEmpty) rIn.addData(rg)
+          q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    val streamed = spark.table(sinkName).localCheckpoint(true)
+    val batch = intervalJoinStream(leftB, rightB, beforeMs, afterMs)
+    val cols = Seq("l_id", "r_id")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.select(cols.map(col): _*)
+        .join(batch.select(cols.map(col): _*), cols)
+        .agg(count(lit(1)).as("n_matched")))
+  }
+
   /** Streaming snapshot ingestion: micro-batch the stream into successive
     * snapshots of ONE repo via foreachBatch — each batch commits as the
     * repo's next snapshot generation (mirroring the reference's batch job

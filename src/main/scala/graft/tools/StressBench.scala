@@ -183,12 +183,16 @@ object StressBench {
       rows.unpersist()
       val docs = synthDocs(spark, n / 20)
       docs.cache().count()
+      // NOTE: must COLLECT the aggregate value — `.agg(...).count()` has
+      // cardinality 1 regardless, so column pruning would skip the work
       run("repetition", n / 20)(
         docs.select(graft.functions.Text.repetitionStats(col("text"), 2).as("r"))
-          .agg(sum(element_at(col("r"), 4))).count())
+          .agg(sum(element_at(col("r"), 4)).as("s"))
+          .collect().head.getLong(0))
       run("chunk_dedup", n / 20)(
         Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 10)
-          .agg(sum(length(col("clean_text")))).count())
+          .agg(sum(length(col("clean_text"))).as("s"))
+          .collect().head.getLong(0))
       docs.unpersist()
       val li = spark.range(n / 10).select(col("id").as("lid"),
         (col("id") * 700L).as("ls"), (col("id") * 700L + 1000L).as("le"))

@@ -254,6 +254,37 @@ class StreamsSpec extends SparkSpec {
     assert(got === Set((2L, 1L, 1.0)))
   }
 
+  test("intervalJoinStream: streamed pairs equal the batch join across batches") {
+    // clicks at :00/:10/:50; purchases at :05/:12/:45/:55 — 30-min window
+    val clicks = Seq(
+      Event(1, ts(0), 7, "click", 0.0),
+      Event(2, ts(10), 7, "click", 0.0),
+      Event(3, ts(50), 7, "click", 0.0),
+      Event(4, ts(0), 9, "click", 0.0))
+    val purchases = Seq(
+      Event(101, ts(5), 7, "purchase", 1.0),
+      Event(102, ts(12), 7, "purchase", 2.0),
+      Event(103, ts(45), 7, "purchase", 3.0),  // matches only click :50? no — within [50,80]? 45<50 → no; within [10,40]? 45>40 → no
+      Event(104, ts(55), 7, "purchase", 4.0),
+      Event(105, ts(59), 8, "purchase", 5.0))  // other user — never matches
+    // expected (l_id, r_id): 1→101,102; 2→102; 3→104; 4→none
+    val expected = Set((1L, 101L), (1L, 102L), (2L, 102L), (3L, 104L))
+
+    val out = Streams.intervalJoinStreamParity(spark,
+        clicks.toDS(), purchases.toDS(),
+        beforeMs = 0L, afterMs = 30L * 60 * 1000, batches = 3)
+      .collect().head
+    assert(out.getAs[Long]("n_batch") === expected.size)
+    assert(out.getAs[Long]("n_stream") === expected.size)
+    assert(out.getAs[Long]("n_matched") === expected.size)
+
+    // and the batch-mode operator itself produces exactly the pair set
+    val pairs = Streams.intervalJoinStream(clicks.toDS(), purchases.toDS(),
+        0L, 30L * 60 * 1000)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(pairs === expected)
+  }
+
   test("dedupEvents batch mode drops exact key duplicates") {
     import spark.implicits._
     val e = Seq(
