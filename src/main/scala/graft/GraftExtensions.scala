@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{CanonicalTokens, CharEntropy, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams}
+import org.apache.spark.sql.graft.{CanonicalTokens, CharEntropy, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -80,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "char_entropy",
       "char_entropy(text) - Shannon entropy over code points, bits/char",
       { case Seq(text) => CharEntropy(text) })
+
+    register(ext, "zorder62",
+      "zorder62(a, b) - Morton interleave of two low-31-bit values (data layout)",
+      { case Seq(a, b) => ZOrder62(a, b) })
   }
 }

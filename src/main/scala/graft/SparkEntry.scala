@@ -199,6 +199,16 @@ object SparkEntry {
                .cast("double"), 2).as("sum_qty"))
     }),
 
+    // Z-order (Morton) layout value: the 2-D clustering key vanilla Spark
+    // lacks (Delta/Iceberg's OPTIMIZE ZORDER). Exact bit-interleave
+    // replicated in SQL bit arithmetic.
+    "q_zorder" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("event_id") % 7 === 0)
+        .select(col("event_id"),
+          graft.functions.Layout.zorder62(col("user_id"),
+            expr("ts div 1000000000")).as("z"))
+    }),
+
     // Cube (full subtotal lattice — rollup's big sibling, §2.4 breadth).
     "q_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1312,6 +1322,25 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM c WHERE cum <= 20000 GROUP BY lang""".stripMargin,
+    // The same mask-shift spreading, step by step in BIGINT arithmetic —
+    // inputs masked to 31 bits so every intermediate stays positive.
+    "q_zorder" ->
+      """WITH s AS (
+        |  SELECT event_id,
+        |         user_id & 2147483647 AS x,
+        |         (epoch_ns(ts) // 1000000000) & 2147483647 AS y
+        |  FROM events WHERE event_id % 7 = 0),
+        |x1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
+        |              (y | (y << 16)) & 281470681808895 AS y FROM s),
+        |x2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,
+        |              (y | (y << 8)) & 71777214294589695 AS y FROM x1),
+        |x3 AS (SELECT event_id, (x | (x << 4)) & 1085102592571150095 AS x,
+        |              (y | (y << 4)) & 1085102592571150095 AS y FROM x2),
+        |x4 AS (SELECT event_id, (x | (x << 2)) & 3689348814741910323 AS x,
+        |              (y | (y << 2)) & 3689348814741910323 AS y FROM x3),
+        |x5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
+        |              (y | (y << 1)) & 6148914691236517205 AS y FROM x4)
+        |SELECT event_id, x | (y << 1) AS z FROM x5""".stripMargin,
     "q_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)

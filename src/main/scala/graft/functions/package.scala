@@ -45,6 +45,14 @@ package object functions {
       org.apache.spark.sql.graft.TextStatsFunctions.charEntropy(c)
   }
 
+  /** Data-layout expressions. */
+  object Layout {
+    /** Morton interleave of two low-31-bit values — sort/range-partition
+      * by this to co-cluster both dimensions for min/max pruning. */
+    def zorder62(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ZOrderFunctions.zorder62(a, b)
+  }
+
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */
   object Vectors {
     /** Random-hyperplane LSH signature (≤64 bits) of an array<float> column. */

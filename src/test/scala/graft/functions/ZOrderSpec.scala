@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import org.apache.spark.sql.graft.ZOrderRuntime
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Bit-by-bit reference: z bit 2i = a bit i, z bit 2i+1 = b bit i. */
+  private def refZ(a: Long, b: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 31) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zorder62 matches the bit-by-bit reference on random and edge values") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L),
+        (0x7FFFFFFFL, 0x7FFFFFFFL), (0x7FFFFFFFL, 0L),
+        (0xFFFFFFFFFFL, 5L) /* masked down to 31 bits */) ++
+      Seq.fill(500)((rnd.nextLong().abs, rnd.nextLong().abs))
+    cases.foreach { case (a, b) =>
+      assert(ZOrderRuntime.zorder62(a, b) ===
+        refZ(a & 0x7FFFFFFFL, b & 0x7FFFFFFFL), s"a=$a b=$b")
+      assert(ZOrderRuntime.zorder62(a, b) >= 0L, "must stay positive")
+    }
+    // expression path agrees with the runtime
+    val viaExpr = Seq((12345L, 67890L)).toDF("a", "b")
+      .select(graft.functions.Layout.zorder62(col("a"), col("b")))
+      .as[Long].head()
+    assert(viaExpr === ZOrderRuntime.zorder62(12345L, 67890L))
+  }
+
+  test("clusterByZOrder co-clusters BOTH dimensions; single-key sort does not") {
+    import graft.operators.DataLayout
+    val n = 65536
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 1024).as("u"),
+      (col("id") * 40503L % 1024).as("t"))
+
+    def meanSpreads(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = laid
+        .withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("u") - min("u")).as("su"), (max("t") - min("t")).as("st"))
+        .agg(avg("su").as("au"), avg("st").as("at"))
+        .head()
+      (s.getDouble(0), s.getDouble(1))
+    }
+
+    // explicit 16 tiles (AQE would coalesce an un-sized range exchange
+    // at this row count, flattening the layout under test)
+    val (zu, zt) = meanSpreads(
+      DataLayout.clusterByZOrder(df, "u", "t", numPartitions = Some(16)))
+    val (ku, kt) = meanSpreads(
+      df.repartitionByRange(16, col("u")).sortWithinPartitions("u"))
+
+    // z-layout: per-partition range well under the 1024 domain in BOTH dims
+    assert(zu < 1024 * 0.5 && zt < 1024 * 0.5, s"z spreads: $zu / $zt")
+    // single-key layout tightens u but leaves t at ~full domain
+    assert(ku < 1024 * 0.2, s"key layout u spread: $ku")
+    assert(kt > 1024 * 0.8, s"key layout t spread: $kt")
+    // and z beats single-key on the second dimension by a wide margin
+    assert(zt < kt * 0.5)
+  }
+}
