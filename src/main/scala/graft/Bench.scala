@@ -38,7 +38,8 @@ object Bench {
     // rounds), not engine throughput — the engine operators they gate are
     // benched via q_sessionize / q_stream_windowed / dedup_minhash. Timing
     // them here would only add fixed replay overhead to the total.
-    val parityDrives = Set("q_sessionize_stream", "q_stream_neardup")
+    val parityDrives = Set("q_sessionize_stream", "q_stream_neardup",
+      "q_stream_join")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => parityDrives.contains(n) }
     val samples = scala.collection.mutable.Map.empty[String, Double]

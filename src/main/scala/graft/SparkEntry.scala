@@ -561,6 +561,13 @@ object SparkEntry {
       graft.streaming.Streams.windowedTypeCounts(t(s, dir, "events"), "1 hour")
     }),
 
+    // Sliding (hopping) windows: every event lands in window/slide = 4
+    // overlapping windows — the trend-line rollup tumbling can't express.
+    "q_stream_sliding" -> ((s, dir) => {
+      graft.streaming.Streams.slidingTypeCounts(t(s, dir, "events"),
+        "1 hour", "15 minutes")
+    }),
+
     // Unified batch/stream event dedup (stream mode uses bounded
     // dropDuplicatesWithinWatermark state — StreamsSpec). The doubled
     // input models an at-least-once replay.
@@ -1072,6 +1079,17 @@ object SparkEntry {
         |       count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Each event replicates into the 4 overlapping hour windows whose
+    // starts are the preceding 15-min marks (all 4 always cover ts, so
+    // no range filter is needed); epoch-aligned like Spark's window().
+    "q_stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |         - k * INTERVAL '15 minutes' AS window_start,
+        |       event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS total_value
+        |FROM events, UNNEST(generate_series(0, 3)) AS u(k)
+        |GROUP BY 1, 2""".stripMargin,
     // Plant-determined dedup oracles: the planted near-copies (doc_id %
     // 25 = 0 offset by 1e6) are the exact expected output — sketch hash
     // values never appear in the result, only which pairs were found.

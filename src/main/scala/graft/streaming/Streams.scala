@@ -50,6 +50,26 @@ object Streams {
         col("n"), col("total_value"))
   }
 
+  /**
+   * SLIDING (hopping) window per-type rollup — each event lands in
+   * window/slide overlapping windows (the trend-line view; tumbling is
+   * the slide == window special case). Same unified batch/stream shape
+   * as [[windowedTypeCounts]]; state on a stream is bounded by
+   * watermark + window as usual.
+   */
+  def slidingTypeCounts(events: DataFrame, windowDur: String = "1 hour",
+                        slideDur: String = "15 minutes",
+                        watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val wm = watermark.fold(e)(w => e.withWatermark("event_time", w))
+    wm.groupBy(window(col("event_time"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)"))
+          .cast("double"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
   /** File-based streaming source over an events directory (same schema as
     * the batch table) — readStream → transforms → writeStream. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
@@ -503,8 +523,11 @@ object Streams {
    */
   def intervalJoinStream(left: Dataset[Event], right: Dataset[Event],
                          beforeMs: Long, afterMs: Long,
-                         watermarkDelay: String = "10 minutes"): DataFrame = {
+                         watermarkDelay: String = "10 minutes",
+                         joinType: String = "inner"): DataFrame = {
     require(beforeMs >= 0 && afterMs >= 0, "window bounds must be >= 0")
+    require(Set("inner", "left_outer").contains(joinType),
+      "joinType must be inner or left_outer")
     val l = left.toDF()
       .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
         col("user_id"))
@@ -513,10 +536,15 @@ object Streams {
       .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
         col("user_id").as("r_user"))
       .withWatermark("r_ts", watermarkDelay)
+    // left_outer: the null row for an unmatched click can only emit once
+    // the watermark proves no purchase can still arrive — the range
+    // condition is what makes that decidable, so outer results trickle
+    // out as event time advances (same rows as batch, later arrival)
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $beforeMs MILLISECONDS") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $afterMs MILLISECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $afterMs MILLISECONDS"),
+      joinType)
       .select(col("l_id"), col("l_ts"), col("user_id"), col("r_id"), col("r_ts"))
   }
 

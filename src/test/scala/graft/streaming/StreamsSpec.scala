@@ -130,6 +130,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamRows.toSeq === batchRows.toSeq)
   }
 
+  test("slidingTypeCounts: each event lands in window/slide windows; batch == stream") {
+    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchOut = Streams.slidingTypeCounts(batchDf, "1 hour", "15 minutes")
+    // replication invariant: total weighted count = 4 × event count
+    val total = batchOut.agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0)
+    assert(total === 4L * batchDf.count())
+
+    val srcDir = Files.createTempDirectory("graft-slide-src").toString
+    batchDf.write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.readEventStream(spark, srcDir)
+    val out = Streams.slidingTypeCounts(stream, "1 hour", "15 minutes",
+      watermark = Some("10 minutes"))
+    val ckpt = Files.createTempDirectory("graft-slide-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("slide_counts")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("slide_counts")
+    val maxStart = streamed.agg(org.apache.spark.sql.functions.max("window_start"))
+      .head().getTimestamp(0)
+    val batchRows = batchOut
+      .filter(org.apache.spark.sql.functions.col("window_start") <= maxStart)
+      .collect().map(_.toString).sorted
+    val streamRows = streamed.collect().map(_.toString).sorted
+    assert(streamRows.nonEmpty)
+    assert(streamRows.toSeq === batchRows.toSeq)
+  }
+
   test("streamToSnapshots: each micro-batch commits as the repo's next snapshot") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -283,6 +312,38 @@ class StreamsSpec extends SparkSpec {
         0L, 30L * 60 * 1000)
       .select("l_id", "r_id").as[(Long, Long)].collect().toSet
     assert(pairs === expected)
+  }
+
+  test("intervalJoinStream left_outer emits unmatched lefts once the watermark decides") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val joined = Streams.intervalJoinStream(lIn.toDS(), rIn.toDS(),
+      beforeMs = 0L, afterMs = 30L * 60 * 1000,
+      watermarkDelay = "1 minute", joinType = "left_outer")
+    val sinkName = "graft_interval_join_outer_out"
+    spark.catalog.dropTempView(sinkName)
+    val q = joined.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      lIn.addData(Event(1, ts(0), 7, "click", 0.0),   // will match
+                  Event(2, ts(0), 9, "click", 0.0))   // never matches
+      rIn.addData(Event(101, ts(5), 7, "purchase", 1.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past click+window+delay; two rounds
+      // because outer-null emission fires against the previous watermark
+      for (m <- Seq(50, 55)) {
+        val sentinel = Event(-m, Timestamp.valueOf(f"2024-01-01 12:$m%02d:00"), -1, "wm", 0.0)
+        lIn.addData(sentinel); rIn.addData(sentinel)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table(sinkName).filter(col("user_id") >= 0)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows === Set((1L, 101L), (2L, -1L)))
   }
 
   test("dedupEvents batch mode drops exact key duplicates") {
