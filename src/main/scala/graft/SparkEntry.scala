@@ -320,6 +320,36 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // Incremental corpus admission (the daily-crawl-drop workflow): the
+    // delta mixes near-copies of corpus docs (must be REJECTED), novel
+    // docs (ADMITTED), and an exact within-delta dup of half the novels
+    // (collapsed to the min id). Expected admissions are exactly the
+    // novel ids — which IS the oracle.
+    "dedup_incremental" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val all = t(s, dir, "documents")
+      val docs = all.select("doc_id", "text")
+      // long docs + a short marker keep the plants' exact shingle-Jaccard
+      // comfortably above the 0.7 verify threshold (word-soup docs have
+      // FEW distinct shingles, so a long marker dilutes short docs below
+      // any fixed threshold — a data property, not an operator bug)
+      val plants = all.filter(col("doc_id") % 25 === 0 && col("n_chars") >= 200)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      // hash-derived tokens: novels share ~no shingles with the corpus OR
+      // each other (a periodic 'nv7x1 nv7x2…' pattern cross-matches other
+      // novels through its repeating substrings)
+      val novel = docs.filter(col("doc_id") % 25 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(1, 30), " +
+            "i -> substring(md5(concat(doc_id, 'x', i)), 1, 8)))").as("text"))
+      val dupNovel = novel.filter((col("doc_id") - 2000000L) % 50 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val delta = plants.unionAll(novel).unionAll(dupNovel)
+      Dedup.admitDelta(docs, delta, "doc_id", "text", jaccardThreshold = 0.7)
+        .agg(count(lit(1)).as("admitted"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // SimHash near-dup over the same planted corpus.
     "dedup_simhash" -> ((s, dir) => {
       import graft.operators.Dedup
@@ -1099,6 +1129,12 @@ object SparkEntry {
     "dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+    // Admissions = exactly the novel delta docs (plants rejected against
+    // the corpus; within-delta exact dups collapse to the min id).
+    "dedup_incremental" ->
+      """SELECT count(*) AS admitted,
+        |       CAST(sum(doc_id + 2000000) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 25 = 7""".stripMargin,
     "dedup_ngram_verify" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS jaccard

@@ -315,6 +315,25 @@ object Dedup {
   }
 
   /**
+   * Incremental corpus admission — the daily-crawl-drop workflow: admit
+   * only `delta` documents that are near-duplicates of NEITHER the
+   * already-kept `corpus` NOR an earlier-kept delta document. Composes
+   * [[decontaminate]] with roles swapped (delta is screened against the
+   * corpus — work scales with |delta|, never re-deduping the corpus) and
+   * [[dedupe]] within the survivors. Run per drop; the admitted rows
+   * append to the corpus for the next drop.
+   */
+  def admitDelta(corpus: DataFrame, delta: DataFrame, idCol: String,
+                 textCol: String, jaccardThreshold: Double = 0.85,
+                 numHashes: Int = 64, bands: Int = 16,
+                 shingleSize: Int = 5): DataFrame = {
+    val fresh = decontaminate(delta, corpus, idCol, textCol,
+      jaccardThreshold, numHashes, bands, shingleSize)
+    dedupe(fresh, idCol, textCol, jaccardThreshold, numHashes, bands,
+      shingleSize)
+  }
+
+  /**
    * Word-n-gram overlap decontamination (the "13-gram check" of LLM
    * training-data hygiene, n configurable): flag every corpus document
    * sharing at least `minOverlap` distinct word n-grams with ANY eval

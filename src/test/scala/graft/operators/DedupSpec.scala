@@ -162,6 +162,26 @@ class DedupSpec extends SparkSpec {
       5L -> ""))
   }
 
+  test("admitDelta: rejects corpus near-dups, collapses within-delta dups, admits novel") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different second document about spark catalyst plans")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      // near-copy of corpus doc 1 → rejected
+      (10L, "the quick brown fox jumps over the lazy dog again and again today extra"),
+      // two exact copies of a novel doc → one admitted (min id)
+      (11L, "entirely novel material nothing like anything kept before in corpus"),
+      (12L, "entirely novel material nothing like anything kept before in corpus"),
+      // unique novel doc → admitted
+      (13L, "another fresh unique document with its own vocabulary and phrasing")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.admitDelta(corpus, delta, "doc_id", "text",
+        jaccardThreshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(11L, 13L))
+  }
+
   test("dedupChunks: within-doc repeated chunk keeps only the first") {
     val docs = Seq((7L, "a b a b c c")).toDF("doc_id", "text")
     val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 2)
