@@ -567,6 +567,26 @@ object SparkEntry {
           round(avg("quality_score"), 4).as("avg_q"))
     }),
 
+    // Flagship corpus-ASSEMBLY composition — length gate → target-share
+    // domain mix → concat-and-split sequence packing, one plan, every
+    // stage the operator its standalone query gates; the oracle
+    // replicates the full chain (rates, thresholds, global hash-order
+    // prefix sums) in SQL.
+    "training_set_assemble" -> ((s, dir) => {
+      import graft.operators.{Mixes, Packing, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val mixed = Mixes.toTargetShares(docs, "doc_id", "source", "n_tokens",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        seed = 13L)
+      Packing.packSequences(mixed, "doc_id", "n_tokens", seqLen = 256L)
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("n_tokens").as("total_tokens"),
+          max("seq_id").as("last_seq"),
+          sum(col("seq_id") * col("doc_id") % 997).as("assignment_sig"))
+    }),
+
     // Flagship composition — the whole training-data pipeline in one
     // plan: exact dedup (hash-first) → quality gates → routed envelope →
     // clustered snapshot build → DSv2 read-back. Every stage is the
@@ -1456,6 +1476,43 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN clean_text = '' THEN 1 ELSE 0 END) AS BIGINT)
         |         AS empty_docs
         |FROM final""".stripMargin,
+    // The assembly chain end-to-end: token gate → mix rates/thresholds →
+    // global hash-order prefix sums → sequence ids, all replicated.
+    "training_set_assemble" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE n_tokens >= 20),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+        |                            ('src2', 0.2), ('src3', 0.1)) AS t(source, w)),
+        |costs AS (
+        |  SELECT f.source, w.w, CAST(sum(f.n_tokens) AS BIGINT) AS cost
+        |  FROM f JOIN w ON f.source = w.source GROUP BY 1, 2),
+        |tv AS (SELECT min(CAST(cost AS DOUBLE) / w) AS t FROM costs),
+        |rates AS (
+        |  SELECT source, (w * (SELECT t FROM tv)) / CAST(cost AS DOUBLE) AS rate
+        |  FROM costs),
+        |kept AS (
+        |  SELECT f.doc_id, f.n_tokens
+        |  FROM f JOIN rates r ON f.source = r.source
+        |  WHERE substring(md5('13:' || CAST(f.doc_id AS VARCHAR)), 1, 8)
+        |        < CASE WHEN round(r.rate * 4294967296.0) >= 4294967296.0 THEN 'g'
+        |               ELSE lower(lpad(to_hex(CAST(round(r.rate * 4294967296.0)
+        |                      AS BIGINT)), 8, '0')) END),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS s
+        |  FROM kept)
+        |SELECT count(*) AS kept_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(max(s // 256) AS BIGINT) AS last_seq,
+        |       CAST(sum((s // 256) * doc_id % 997) AS BIGINT) AS assignment_sig
+        |FROM o""".stripMargin,
     // Rates derive from aggregate sums with a FIXED double-op order
     // (T = min(cost/w); rate = (w*T)/cost), so DuckDB computes the exact
     // same rate doubles, hence the same thresholds and kept rows.
