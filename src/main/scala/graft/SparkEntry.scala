@@ -324,7 +324,9 @@ object SparkEntry {
     // delta mixes near-copies of corpus docs (must be REJECTED), novel
     // docs (ADMITTED), and an exact within-delta dup of half the novels
     // (collapsed to the min id). Expected admissions are exactly the
-    // novel ids — which IS the oracle.
+    // novel ids — which IS the oracle. (The 1e6/2e6/3e6 plant-id offsets
+    // share the suite-wide convention and its ceiling: valid while the
+    // documents table stays under 1M rows — sf0.1 is 5k.)
     "dedup_incremental" -> ((s, dir) => {
       import graft.operators.Dedup
       val all = t(s, dir, "documents")
@@ -1357,10 +1359,10 @@ object SparkEntry {
       """SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents
         |WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
-        |      < CASE WHEN round((doc_id % 100) / 100.0 * 4294967296.0)
+        |      < CASE WHEN greatest(round((doc_id % 100) / 100.0 * 4294967296.0), 0)
         |                  >= 4294967296.0 THEN 'g'
-        |             ELSE lower(lpad(to_hex(CAST(round(
-        |                    (doc_id % 100) / 100.0 * 4294967296.0) AS BIGINT)),
+        |             ELSE lower(lpad(to_hex(CAST(greatest(round(
+        |                    (doc_id % 100) / 100.0 * 4294967296.0), 0) AS BIGINT)),
         |                  8, '0')) END""".stripMargin,
     "q_sample_per_group" ->
       """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum

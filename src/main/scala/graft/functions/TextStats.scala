@@ -101,32 +101,29 @@ object TextStatsFunctions {
 }
 
 /**
- * Single-pass word n-gram generation. Exactly equivalent to the HOF
- * composition `transform(sequence(...), i -> concat_ws(" ",
- * element_at(tokens(lower(text)), i+j)...))` — including Java split's
- * leading-empty-token quirk after a non-space whitespace lead — but that
- * transform is CodegenFallback with an interpreted per-GRAM lambda
- * (measured 15 s for the 5-gram decontamination query at sf0.1; this
- * expression brings the gram stage back to explode-speed).
+ * THE shared lowercase `\\s+` tokenizer of this file: `lower()` first
+ * (UTF8String semantics, locale-independent), then the ASCII-space trim
+ * Spark's `trim()` applies, then a `split("\\s+")`-equivalent walk
+ * INCLUDING Java split's leading-empty-token quirk. Its parity with the
+ * SQL replica `regexp_split_to_array(trim(lower(text)), '\\s+')` is
+ * load-bearing for every oracle built on word tokens — which is exactly
+ * why there is one copy.
  */
-object WordNgramsRuntime extends Serializable {
+private[graft] object LowerTokenizer extends Serializable {
 
   // Java regex \s — the separator class of split("\\s+")
-  private def isSep(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+  def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  private val Empty = new GenericArrayData(new Array[Any](0))
-
-  def grams(s: UTF8String, n: Int): GenericArrayData = {
-    // lower() first (UTF8String semantics, locale-independent), then the
-    // ASCII-space trim Spark's trim() applies, then \s+ split
+  /** Empty buffer for blank/whitespace-only input. */
+  def tokens(s: UTF8String): scala.collection.mutable.ArrayBuffer[String] = {
     val raw = s.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String](32)
     var b = 0
     var e = raw.length
     while (b < e && raw.charAt(b) == ' ') b += 1
     while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    if (b >= e) return Empty
-    val toks = new scala.collection.mutable.ArrayBuffer[String](32)
+    if (b >= e) return toks
     if (isSep(raw.charAt(b))) toks += "" // split's leading-empty quirk
     val tok = new java.lang.StringBuilder(16)
     var i = b
@@ -138,6 +135,25 @@ object WordNgramsRuntime extends Serializable {
       i += 1
     }
     if (tok.length > 0) toks += tok.toString
+    toks
+  }
+}
+
+/**
+ * Single-pass word n-gram generation. Exactly equivalent to the HOF
+ * composition `transform(sequence(...), i -> concat_ws(" ",
+ * element_at(tokens(lower(text)), i+j)...))` — including Java split's
+ * leading-empty-token quirk after a non-space whitespace lead — but that
+ * transform is CodegenFallback with an interpreted per-GRAM lambda
+ * (measured 15 s for the 5-gram decontamination query at sf0.1; this
+ * expression brings the gram stage back to explode-speed).
+ */
+object WordNgramsRuntime extends Serializable {
+
+  private val Empty = new GenericArrayData(new Array[Any](0))
+
+  def grams(s: UTF8String, n: Int): GenericArrayData = {
+    val toks = LowerTokenizer.tokens(s)
     if (toks.length < n) return Empty
     val out = new Array[Any](toks.length - n + 1)
     val sb = new java.lang.StringBuilder
@@ -195,26 +211,7 @@ object RepetitionStatsRuntime extends Serializable {
   /** Returns [ntok, total_grams, max_count, dup_occurrences]. */
   def stats(s: UTF8String, n: Int): GenericArrayData = {
     val out = new Array[Long](4)
-    val raw = s.toLowerCase.toString
-    var b = 0
-    var e = raw.length
-    while (b < e && raw.charAt(b) == ' ') b += 1
-    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    if (b >= e) return new GenericArrayData(out)
-    def isSep(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-    val toks = new scala.collection.mutable.ArrayBuffer[String](32)
-    if (isSep(raw.charAt(b))) toks += "" // split's leading-empty quirk
-    val tok = new java.lang.StringBuilder(16)
-    var i = b
-    while (i < e) {
-      val c = raw.charAt(i)
-      if (isSep(c)) {
-        if (tok.length > 0) { toks += tok.toString; tok.setLength(0) }
-      } else tok.append(c)
-      i += 1
-    }
-    if (tok.length > 0) toks += tok.toString
+    val toks = LowerTokenizer.tokens(s)
     out(0) = toks.length
     if (toks.length < n) return new GenericArrayData(out)
     val total = toks.length - n + 1
@@ -262,20 +259,30 @@ object CharEntropyRuntime extends Serializable {
   def entropy(s: UTF8String): Double = {
     val str = s.toString
     if (str.isEmpty) return 0.0
-    val counts = scala.collection.mutable.TreeMap.empty[Int, Long]
+    // hash map while counting (no per-insert tree rebalancing on the
+    // corpus-scale hot path); one sort of the DISTINCT code points keeps
+    // the summation order deterministic
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
     var i = 0
     var n = 0L
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      counts.update(cp, counts.getOrElse(cp, 0L) + 1L)
+      counts.computeIfAbsent(cp, _ => new Array[Long](1))(0) += 1
       n += 1
       i += Character.charCount(cp)
     }
+    val cps = new Array[Int](counts.size())
+    val it = counts.keySet().iterator()
+    var k = 0
+    while (it.hasNext) { cps(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(cps)
     var h = 0.0
     val nd = n.toDouble
-    counts.valuesIterator.foreach { c =>
-      val p = c / nd
+    var j = 0
+    while (j < cps.length) {
+      val p = counts.get(cps(j))(0) / nd
       h -= p * (math.log(p) / math.log(2.0))
+      j += 1
     }
     h
   }

@@ -52,24 +52,26 @@ object Mixes {
     // reproduces the exact rate, hence the exact kept row set
     val costs = withW.groupBy(col(stratumCol), col("__w"))
       .agg(sum(col(costCol).cast("long")).as("__cost"))
+    // a target stratum ABSENT from the input would silently drop out of
+    // the min (the formula says c_s = 0 ⇒ T = 0 ⇒ keep nothing); fail
+    // fast instead of returning a corpus that violates the declared mix.
+    // The check reads the #sources-row aggregate — bounded, one tiny job.
+    val present = costs.select(col(stratumCol).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val absent = targets.keySet -- present
+    require(absent.isEmpty,
+      s"target strata absent from the input (achievable mixed total is 0): $absent")
     val tFrame = costs.agg(
       min(col("__cost").cast("double") / col("__w")).as("__t"))
     val rates = costs.crossJoin(broadcast(tFrame))
       .withColumn("__rate",
         (col("__w") * col("__t")) / col("__cost").cast("double"))
       .select(col(stratumCol), col("__rate"))
-    // per-row hex threshold from the source's rate (same mechanism and
-    // hex-compare semantics as Samples.weighted). The guard is on the
-    // SCALED value: a rate within 2^-33 of 1.0 rounds to 2^32, whose hex
-    // is 9 digits — lpad would TRUNCATE it to "10000000" and the
-    // threshold would collapse; >= 2^32 must mean "keep everything"
-    val scaled = round(col("__rate") * 4294967296.0)
-    val thr = when(scaled >= 4294967296.0, lit("g"))
-      .otherwise(lpad(lower(hex(scaled.cast("long"))), 8, "0"))
-    withW.join(broadcast(rates), Seq(stratumCol))
-      .filter(
-        substring(md5(concat(lit(seed.toString), lit(":"),
-          col(idCol).cast("string"))), 1, 8) < thr)
+    // per-row keep filter: exactly Samples.weighted with the source's
+    // rate as the row weight — one implementation of the subtle
+    // scaled-threshold guards (lpad truncation at 1.0, negative clamp)
+    Samples.weighted(withW.join(broadcast(rates), Seq(stratumCol)),
+        idCol, "__rate", seed)
       .drop("__w", "__rate")
   }
 }

@@ -70,11 +70,15 @@ object Samples {
                seed: Long = 42L): DataFrame = {
     // the row's own weight becomes its hex threshold (same lexicographic
     // top-32-bit compare as bernoulli — engine-portable with no integer
-    // hex parsing on the oracle side). The keep-all guard is on the
-    // SCALED value, not the weight: w ∈ (1 - 2^-33, 1.0) rounds to 2^32,
-    // whose 9-digit hex lpad would TRUNCATE to "10000000" — collapsing
-    // the threshold; scaled >= 2^32 must mean "keep unconditionally"
-    val scaled = round(col(weightCol).cast("double") * 4294967296.0)
+    // hex parsing on the oracle side). BOTH guards are on the SCALED
+    // value, not the weight: w ∈ (1 - 2^-33, 1.0) rounds to 2^32, whose
+    // 9-digit hex lpad would TRUNCATE to "10000000" (collapsing the
+    // threshold), so scaled >= 2^32 must mean "keep unconditionally";
+    // and a NEGATIVE w scales to a negative long whose 16-digit
+    // sign-extended hex lpad-truncates to "ffffffff" (keep ~everything
+    // where none was intended), so scaled clamps at 0 first
+    val scaled = greatest(round(col(weightCol).cast("double") * 4294967296.0),
+      lit(0.0))
     val wHex = when(scaled >= 4294967296.0, lit("g"))
       .otherwise(lpad(lower(hex(scaled.cast("long"))), 8, "0"))
     df.filter(

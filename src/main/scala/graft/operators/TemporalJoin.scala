@@ -224,6 +224,9 @@ object TemporalJoin {
                 startCol: String, endCol: String, bucketWidth: Long,
                 keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("__bucket") &&
+        !intervals.columns.contains("__bucket"),
+      "column __bucket is reserved here — rename first")
     // bucket id = the bucket's start value (floor to a bucketWidth
     // multiple): pure int64 arithmetic — a divide would round-trip
     // through double and mis-bucket epoch-nanos (> 2^53) timestamps
@@ -270,6 +273,9 @@ object TemporalJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val dup = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
     require(dup.isEmpty, s"column names must be disjoint (rename first): $dup")
+    require(!left.columns.contains("__bucket") &&
+        !right.columns.contains("__bucket"),
+      "column __bucket is reserved here — rename first")
     def bucketOf(c: Column): Column =
       (c.cast("long") - pmod(c.cast("long"), lit(bucketWidth))).cast("long")
     def spanned(df: DataFrame, s: String, e: String): DataFrame = df

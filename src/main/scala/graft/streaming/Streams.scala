@@ -37,18 +37,9 @@ object Streams {
    * batch frame leave it None — identical results, DuckDB-oracle-able.
    */
   def windowedTypeCounts(events: DataFrame, windowDur: String = "1 hour",
-                         watermark: Option[String] = None): DataFrame = {
-    val e = withEventTime(events)
-    val wm = watermark.fold(e)(w => e.withWatermark("event_time", w))
-    wm.groupBy(window(col("event_time"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        // Accumulate in exact decimal but emit DOUBLE — DECIMAL output
-        // columns hash-mismatch in the driver's oracle reader.
-        round(sum(col("value").cast("decimal(18,2)"))
-          .cast("double"), 2).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
-  }
+                         watermark: Option[String] = None): DataFrame =
+    // tumbling IS the slide == window special case
+    slidingTypeCounts(events, windowDur, windowDur, watermark)
 
   /**
    * SLIDING (hopping) window per-type rollup — each event lands in
@@ -64,6 +55,8 @@ object Streams {
     val wm = watermark.fold(e)(w => e.withWatermark("event_time", w))
     wm.groupBy(window(col("event_time"), windowDur, slideDur), col("event_type"))
       .agg(count(lit(1)).as("n"),
+        // Accumulate in exact decimal but emit DOUBLE — DECIMAL output
+        // columns hash-mismatch in the driver's oracle reader.
         round(sum(col("value").cast("decimal(18,2)"))
           .cast("double"), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -568,7 +561,12 @@ object Streams {
 
     val lRows = leftB.collect().sortBy(_.ts.getTime)
     val rRows = rightB.collect().sortBy(_.ts.getTime)
-    require(lRows.nonEmpty && rRows.nonEmpty, "parity drive needs non-empty cohorts")
+    // an empty side makes the inner join empty by definition — report the
+    // agreeing zeros rather than crashing the whole verify/bench driver
+    // on a data-dependent cohort (no stream needs to run to prove it)
+    if (lRows.isEmpty || rRows.isEmpty)
+      return spark.range(1).select(lit(0L).as("n_stream"),
+        lit(0L).as("n_batch"), lit(0L).as("n_matched"))
     val delay = s"${beforeMs + afterMs + 3600000L} milliseconds"
     val lIn = MemoryStream[Event]
     val rIn = MemoryStream[Event]

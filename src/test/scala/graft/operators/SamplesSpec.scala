@@ -74,6 +74,18 @@ class SamplesSpec extends SparkSpec {
     assert(run(df) === run(df.repartition(13)))
   }
 
+  test("weighted: negative and near-1.0 weights hit the scaled-threshold guards") {
+    // negative: scaled long is negative → 16-digit sign-extended hex
+    // would lpad-truncate to "ffffffff" (keep ~all); the clamp keeps none
+    val neg = (0 until 1000).map(i => (i.toLong, -0.5)).toDF("id", "w")
+    assert(Samples.weighted(neg, "id", "w").count() === 0L)
+    // 1 - 2^-40: rounds to 2^32, whose 9-digit hex would lpad-truncate
+    // to "10000000" (keep ~6%); the guard keeps everything
+    val near1 = (0 until 1000).map(i => (i.toLong, 1.0 - math.pow(2, -40)))
+      .toDF("id", "w")
+    assert(Samples.weighted(near1, "id", "w").count() === 1000L)
+  }
+
   test("weighted: keep rate tracks the per-row weight; w>=1 always kept, w=0 never") {
     val df = (0 until 4000)
       .map(i => (i.toLong, if (i % 4 == 0) 0.0 else if (i % 4 == 1) 0.25
