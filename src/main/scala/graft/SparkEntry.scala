@@ -209,6 +209,27 @@ object SparkEntry {
             expr("ts div 1000000000")).as("z"))
     }),
 
+    // Analytic window functions (lag/lead/ntile — §2.6 breadth).
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_key"),
+          lead("o_orderkey", 1).over(w).as("next_key"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Arbitrary grouping sets (the general form cube/rollup specialize).
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+              |""".stripMargin)
+    }),
+
     // Cube (full subtotal lattice — rollup's big sibling, §2.4 breadth).
     "q_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1417,6 +1438,17 @@ object SparkEntry {
         |x5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
         |              (y | (y << 1)) & 6148914691236517205 AS y FROM x4)
         |SELECT event_id, x | (y << 1) AS z FROM x5""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       lag(o_orderkey, 1) OVER w AS prev_key,
+        |       lead(o_orderkey, 1) OVER w AS next_key,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
     "q_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)

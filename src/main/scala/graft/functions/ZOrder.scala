@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
@@ -38,9 +38,10 @@ object ZOrderRuntime extends Serializable {
     spread31(a) | (spread31(b) << 1)
 }
 
-/** zorder62(a, b): long — Morton interleave of the two low-31-bit values. */
+/** zorder62(a, b): long — Morton interleave of the two low-31-bit values
+  * (narrower integral inputs implicitly widen). */
 case class ZOrder62(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType

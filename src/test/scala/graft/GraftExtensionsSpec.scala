@@ -30,7 +30,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       sig_agree(minhash_sig('abcdef', 32, 4),
           |                 minhash_sig('abcdef', 32, 4)) AS sa,
           |       canonical_tokens('B a b') AS ct,
-          |       word_ngrams('New York City', 2) AS ng
+          |       word_ngrams('New York City', 2) AS ng,
+          |       repetition_stats('a b a b', 2) AS rs,
+          |       char_entropy('aabb') AS ce,
+          |       zorder62(3, 1) AS z
           |""".stripMargin).head()
       assert(r.getInt(0) === EsMurmur3.hash("hello"))
       assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
@@ -41,6 +44,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(6) === 32)
       assert(r.getString(7) === "a b")
       assert(r.getSeq[String](8) === Seq("new york", "york city"))
+      // [ntok=4, grams=3, max("a b")=2, dup occurrences=2]
+      assert(r.getSeq[Long](9) === Seq(4L, 3L, 2L, 2L))
+      assert(r.getDouble(10) === 1.0)
+      // a=0b11 → even bits 0,2; b=0b1 → odd bit 1 → 0b111 = 7
+      assert(r.getLong(11) === 7L)
     } finally spark.stop() // this suite owns its session (extensions differ)
   }
 }
