@@ -882,6 +882,21 @@ object SparkEntry {
         .select("doc_id", "seq_id", "seq_pos")
     }),
 
+    // Length-bucketed inference batching: similar-length docs batch
+    // together (padding-to-batch-max stays under one bucketWidth);
+    // chunked exact prefix COUNTS — no whole-bucket sort task. Oracle is
+    // the single per-bucket window.
+    "q_batch_by_length" -> ((s, dir) => {
+      import graft.operators.{Packing, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Packing.batchByLength(docs, "doc_id", "n_tokens",
+          bucketWidth = 16L, batchSize = 8)
+        .groupBy("length_bucket")
+        .agg(count(lit(1)).as("n_docs"), max("batch_id").as("last_batch"),
+          sum(col("batch_pos") * col("doc_id") % 997).as("pos_sig"))
+    }),
+
     // BM25 ranked retrieval over the corpus (posting list filtered to the
     // query terms before any shuffle; term stats broadcast; TakeOrdered
     // top-k). Score arithmetic replicated operation-for-operation in SQL.
@@ -1571,6 +1586,21 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS kept_cost,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM kept GROUP BY source""".stripMargin,
+    "q_batch_by_length" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens // 16 AS length_bucket,
+        |         row_number() OVER (PARTITION BY (n_tokens // 16)
+        |           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+        |  FROM d)
+        |SELECT length_bucket, count(*) AS n_docs,
+        |       CAST(max(rn // 8) AS BIGINT) AS last_batch,
+        |       CAST(sum((rn % 8) * doc_id % 997) AS BIGINT) AS pos_sig
+        |FROM b GROUP BY length_bucket""".stripMargin,
     // The oracle is the naive single-global-window formulation; matching
     // it exactly proves the chunked prefix-sum factorization correct.
     "q_pack_sequences" ->

@@ -69,4 +69,50 @@ object Packing {
       .withColumn("seq_pos", col("__start") % seqLen)
       .drop("__h", "__chunk", "__off", "__start")
   }
+
+  /**
+   * Length-bucketed BATCHING — the inference/eval-side sibling of
+   * [[packSequences]]: group rows of similar token length into
+   * fixed-size batches so per-batch padding (to the batch max) stays
+   * small. Rows bucket by `costCol div bucketWidth`; within a length
+   * bucket they order by the same engine-portable md5 hash and cut
+   * every `batchSize` rows. Adds `length_bucket`, `batch_id` (dense
+   * within its bucket), `batch_pos`.
+   *
+   * Same scale factorization as [[packSequences]], over COUNTS instead
+   * of token sums: a hot length bucket (most web docs cluster around
+   * the median) never sorts in one task — hash-prefix chunks compute
+   * exact exclusive row-number offsets over a (bucket × 16^chunkChars)
+   * summary frame, and the row number is provably chunking-invariant.
+   */
+  def batchByLength(df: DataFrame, idCol: String, costCol: String,
+                    bucketWidth: Long, batchSize: Int, seed: Long = 42L,
+                    chunkChars: Int = 2): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    require(chunkChars >= 1 && chunkChars <= 8, "chunkChars in [1,8]")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val withH = df
+      .withColumn("length_bucket",
+        expr(s"CAST($costCol AS BIGINT) div ${bucketWidth}L"))
+      .withColumn("__h",
+        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__chunk", substring(col("__h"), 1, chunkChars))
+    val counts = withH.groupBy("length_bucket", "__chunk")
+      .agg(count(lit(1)).as("__cnt"))
+    val offW = Window.partitionBy(col("length_bucket")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select("length_bucket", "__chunk", "__off")
+    val w = Window.partitionBy(col("length_bucket"), col("__chunk"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withH.join(broadcast(offsets), Seq("length_bucket", "__chunk"))
+      .withColumn("__rn", col("__off") + row_number().over(w) - 1)
+      .withColumn("batch_id", expr(s"__rn div ${batchSize}L"))
+      .withColumn("batch_pos", col("__rn") % batchSize)
+      .drop("__h", "__chunk", "__off", "__rn")
+  }
 }

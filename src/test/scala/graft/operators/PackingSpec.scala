@@ -54,6 +54,36 @@ class PackingSpec extends SparkSpec {
     assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
   }
 
+  test("batchByLength: fixed batches within length buckets, chunking-invariant") {
+    val df = spark.range(0, 2000)
+      .select(col("id"), (col("id") % 300 + 1).as("cost"))
+    val out = Packing.batchByLength(df, "id", "cost",
+      bucketWidth = 64, batchSize = 8, chunkChars = 1)
+
+    // every batch holds rows of one length bucket; full batches have 8
+    val sizes = out.groupBy("length_bucket", "batch_id").count()
+    val byBucket = sizes.groupBy("length_bucket")
+      .agg(max("count").as("mx"), count(lit(1)).as("nb"),
+        sum(when(col("count") === 8, 1L).otherwise(0L)).as("full"))
+      .collect()
+    byBucket.foreach { r =>
+      assert(r.getAs[Long]("mx") <= 8)
+      // at most one partial batch per bucket (the tail)
+      assert(r.getAs[Long]("nb") - r.getAs[Long]("full") <= 1)
+    }
+    // cost range inside a batch stays within the bucket width
+    val spread = out.groupBy("length_bucket", "batch_id")
+      .agg((max("cost") - min("cost")).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(spread < 64)
+
+    // assignment is invariant to the chunking knob
+    val b = Packing.batchByLength(df, "id", "cost", 64, 8, chunkChars = 3)
+      .select("id", "length_bucket", "batch_id", "batch_pos")
+    val a = out.select("id", "length_bucket", "batch_id", "batch_pos")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("packSequences rejects reserved column names") {
     val df = Seq((1L, 2L)).toDF("id", "__cost")
     intercept[IllegalArgumentException] {
