@@ -882,6 +882,18 @@ object SparkEntry {
         .select("doc_id", "seq_id", "seq_pos")
     }),
 
+    // Curriculum packing: packSequences in an explicit easy-to-hard
+    // order (short docs first here) — quantile-chunked exact prefix
+    // sums; the oracle is the naive global priority-order window.
+    "q_pack_curriculum" -> ((s, dir) => {
+      import graft.operators.{Packing, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Packing.packSequencesBy(docs, "doc_id", "n_tokens", seqLen = 256L,
+          priorityValue = col("n_chars"), chunks = 16)
+        .select("doc_id", "seq_id", "seq_pos")
+    }),
+
     // Length-bucketed inference batching: similar-length docs batch
     // together (padding-to-batch-max stays under one bucketWidth);
     // chunked exact prefix COUNTS — no whole-bucket sort task. Oracle is
@@ -1586,6 +1598,20 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS kept_cost,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM kept GROUP BY source""".stripMargin,
+    "q_pack_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           ORDER BY CAST(n_chars AS DOUBLE), doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS s
+        |  FROM d)
+        |SELECT doc_id, s // 256 AS seq_id, s % 256 AS seq_pos FROM o""".stripMargin,
     "q_batch_by_length" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,52 @@ object Packing {
       .withColumn("seq_id", expr(s"__start div ${seqLen}L"))
       .withColumn("seq_pos", col("__start") % seqLen)
       .drop("__h", "__chunk", "__off", "__start")
+  }
+
+  /**
+   * CURRICULUM sequence packing — [[packSequences]] with an explicit
+   * training order (easy-to-hard by a difficulty score, short-to-long by
+   * length, …) instead of the hash shuffle: rows lay out by
+   * (`priorityValue` asc, id) and cut every `seqLen` tokens. Same
+   * exact-prefix-sum factorization, but chunks come from approximate
+   * QUANTILES of the priority value (equal values always share a chunk,
+   * so chunk order extends the total order — the
+   * `Samples.byTokenBudgetScalable` pattern); quantile error only skews
+   * chunk sizes, never the assignment. No global-order window task.
+   */
+  def packSequencesBy(df: DataFrame, idCol: String, costCol: String,
+                      seqLen: Long, priorityValue: Column,
+                      chunks: Int = 64): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(chunks > 1, "need at least 2 chunks")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val withP = df.withColumn("__p", priorityValue.cast("double"))
+    val qs = (1 until chunks).map(i => i.toDouble / chunks)
+    val bounds = withP.agg(
+      expr(s"percentile_approx(__p, array(${qs.mkString(",")}), 1000)")
+        .as("__bnds"))
+    val chunked = withP.crossJoin(broadcast(bounds))
+      .withColumn("__chunk",
+        size(filter(col("__bnds"), b => b < col("__p")))) // 0..chunks-1
+      .drop("__bnds")
+    val sums = chunked.groupBy("__chunk")
+      .agg(sum(col(costCol).cast("long")).as("__csum"))
+    val offW = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__off", coalesce(sum(col("__csum")).over(offW), lit(0L)))
+      .select("__chunk", "__off")
+    val w = Window.partitionBy(col("__chunk"))
+      .orderBy(col("__p").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunked.join(broadcast(offsets), Seq("__chunk"))
+      .withColumn("__start",
+        col("__off") + coalesce(sum(col(costCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__start div ${seqLen}L"))
+      .withColumn("seq_pos", col("__start") % seqLen)
+      .drop("__p", "__chunk", "__off", "__start")
   }
 
   /**

@@ -84,6 +84,28 @@ class PackingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("packSequencesBy: curriculum order, exact parity with a global window") {
+    val df = spark.range(0, 800).select(col("id"),
+      (col("id") % 13 + 1).as("cost"),
+      (col("id") * 37 % 100).as("difficulty")) // many ties
+    val out = Packing.packSequencesBy(df, "id", "cost", 64,
+        priorityValue = col("difficulty"), chunks = 16)
+      .select("id", "seq_id", "seq_pos")
+    val w = Window.orderBy(col("difficulty").cast("double").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df
+      .withColumn("start", coalesce(sum(col("cost").cast("long")).over(w), lit(0L)))
+      .select(col("id"), expr("start div 64L").as("seq_id"),
+        (col("start") % 64).as("seq_pos"))
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
+    // and the order really is curriculum: sequence index grows with difficulty
+    val joined = Packing.packSequencesBy(df, "id", "cost", 64,
+        col("difficulty"), chunks = 16)
+    val corr = joined.agg(org.apache.spark.sql.functions.corr(
+      col("difficulty").cast("double"), col("seq_id").cast("double"))).head().getDouble(0)
+    assert(corr > 0.95)
+  }
+
   test("packSequences rejects reserved column names") {
     val df = Seq((1L, 2L)).toDF("id", "__cost")
     intercept[IllegalArgumentException] {
