@@ -209,6 +209,16 @@ object SparkEntry {
             expr("ts div 1000000000")).as("z"))
     }),
 
+    // Set operations (INTERSECT / EXCEPT — §2.6 breadth): customers with
+    // orders in BOTH halves of the keyspace vs only the first.
+    "q_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0).select("o_custkey")
+      val b = o.filter(col("o_orderkey") % 2 === 1).select("o_custkey")
+      a.intersect(b).agg(count(lit(1)).as("in_both"))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("only_even")))
+    }),
+
     // Analytic window functions (lag/lead/ntile — §2.6 breadth).
     "q_window_funcs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1465,6 +1475,12 @@ object SparkEntry {
         |x5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
         |              (y | (y << 1)) & 6148914691236517205 AS y FROM x4)
         |SELECT event_id, x | (y << 1) AS z FROM x5""".stripMargin,
+    "q_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1),
+        |x AS (SELECT count(*) AS in_both FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+        |y AS (SELECT count(*) AS only_even FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |SELECT x.in_both, y.only_even FROM x, y""".stripMargin,
     "q_window_funcs" ->
       """SELECT o_orderpriority, o_orderkey,
         |       lag(o_orderkey, 1) OVER w AS prev_key,

@@ -26,6 +26,15 @@ class MixesSpec extends SparkSpec {
     assert(bySrc.getOrElse("b", 0L) > 0L && bySrc("b") < 40L)
   }
 
+  test("a target stratum absent from the input fails fast") {
+    val df = corpus(5, 5, 0)
+    val ex = intercept[IllegalArgumentException] {
+      Mixes.toTargetShares(df, "id", "src", "cost",
+        Map("a" -> 0.5, "b" -> 0.25, "zz" -> 0.25))
+    }
+    assert(ex.getMessage.contains("zz"))
+  }
+
   test("strata without a target weight are dropped") {
     val df = corpus(5, 5, 5)
     val out = Mixes.toTargetShares(df, "id", "src", "cost",
