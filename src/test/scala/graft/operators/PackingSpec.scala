@@ -106,6 +106,17 @@ class PackingSpec extends SparkSpec {
     assert(corr > 0.95)
   }
 
+  test("edge cases: empty input and single-bucket batching don't crash") {
+    val empty = spark.range(0).select(col("id"), lit(1L).as("cost"))
+    assert(Packing.packSequences(empty, "id", "cost", 10).count() === 0L)
+    assert(Packing.batchByLength(empty, "id", "cost", 10, 4).count() === 0L)
+    // one giant length bucket still batches correctly via the chunked path
+    val one = spark.range(0, 100).select(col("id"), lit(5L).as("cost"))
+    val out = Packing.batchByLength(one, "id", "cost",
+      bucketWidth = 1000000L, batchSize = 1)
+    assert(out.select("batch_id").distinct().count() === 100L)
+  }
+
   test("packSequences rejects reserved column names") {
     val df = Seq((1L, 2L)).toDF("id", "__cost")
     intercept[IllegalArgumentException] {
