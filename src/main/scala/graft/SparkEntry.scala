@@ -351,6 +351,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // Exact repeated-span removal (token-level substring dedup): the
+    // planted copies are SHIFTED by a 3-token prefix — fixed-window
+    // chunk dedup misses every one of them; the stride-1 span scan trims
+    // them back to prefix + tail. The oracle replicates the whole
+    // machinery (stride-1 grams, global keep-first, interval merging)
+    // over gram STRINGS, so nothing about the data needs predicting.
+    "dedup_spans" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("zz zz zz "), col("text")).as("text"))
+      Dedup.removeRepeatedSpans(docs.unionAll(plants), "doc_id", "text",
+          spanTokens = 20)
+        .withColumn("orig_n", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("clean_n",
+          TextAnalysis.tokenCount(col("clean_text")).cast("long"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("orig_n") - col("clean_n")).as("removed_tokens"),
+          sum(when(col("clean_n") < col("orig_n"), 1L).otherwise(0L))
+            .as("docs_changed"))
+    }),
+
     // Incremental corpus admission (the daily-crawl-drop workflow): the
     // delta mixes near-copies of corpus docs (must be REJECTED), novel
     // docs (ADMITTED), and an exact within-delta dup of half the novels
@@ -1209,6 +1232,40 @@ object SparkEntry {
     "dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+    // Same stride-1 gram → keep-first → merge-intervals machinery over
+    // gram STRINGS (the operator hashes them; 64-bit collisions are the
+    // only divergence risk). Removed tokens = covered positions — no
+    // text rebuild needed on the oracle side.
+    "dedup_spans" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |alld AS (SELECT doc_id, text FROM base
+        |         UNION ALL
+        |         SELECT doc_id + 1000000, 'zz zz zz ' || text
+        |         FROM base WHERE doc_id % 25 = 0),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |       FROM alld WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+19], ' ') AS gram
+        |      FROM tk, UNNEST(generate_series(1, len(t) - 19)) AS u(i)),
+        |d AS (SELECT doc_id, pos AS s, pos + 20 AS e
+        |      FROM (SELECT doc_id, pos,
+        |              row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        |            FROM g)
+        |      WHERE rk > 1),
+        |m AS (SELECT doc_id, s, e,
+        |             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |                    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND 1 PRECEDING), -1)
+        |                  THEN 1 ELSE 0 END AS ng
+        |      FROM d),
+        |mg AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id
+        |          ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+        |iv AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM mg GROUP BY 1, 2),
+        |rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed
+        |        FROM iv GROUP BY 1)
+        |SELECT (SELECT count(*) FROM alld) AS n_docs,
+        |       CAST(coalesce(sum(removed), 0) AS BIGINT) AS removed_tokens,
+        |       count(*) AS docs_changed
+        |FROM rem""".stripMargin,
     // Admissions = exactly the novel delta docs (plants rejected against
     // the corpus; within-delta exact dups collapse to the min id).
     "dedup_incremental" ->

@@ -315,6 +315,69 @@ object Dedup {
   }
 
   /**
+   * Exact repeated-SPAN removal — token-level substring dedup (the Lee
+   * et al. 2022 "Deduplicating Training Data Makes Language Models
+   * Better" semantic, word- instead of BPE-token granularity): every
+   * `spanTokens`-token span whose lowercased content already occurred
+   * EARLIER in the corpus (global (id, position) order; first occurrence
+   * wins) is removed from the later document, with overlapping repeated
+   * spans merged before cutting. The stride-1 scan catches repeats at
+   * ANY alignment — [[dedupChunks]]' fixed windows miss a copy shifted
+   * by one token; this does not.
+   *
+   * Scale shape: the gram frame is one row per TOKEN (id, pos,
+   * 8-byte xxhash of the span) — ~16 bytes × corpus tokens through one
+   * shuffle keyed by span hash (the honest cost of alignment-free
+   * substring dedup; Lee et al. build a distributed suffix array for the
+   * same movement). Interval merging is a per-doc window over only the
+   * DUPLICATED spans; the rebuild's per-token HOF membership test runs
+   * against merged (disjoint) intervals, bounded per doc. 64-bit span-
+   * hash collisions are the only approximation (same trade as
+   * [[ngramOverlapFlags]]); the oracle groups by the span STRING.
+   */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, "spans need at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol),
+        posexplode(graft.functions.Text.wordNgrams(col(textCol), spanTokens))
+          .as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__g")).as("__h"))
+    val firstW = Window.partitionBy(col("__h"))
+      .orderBy(col(idCol).asc, col("__pos").asc)
+    val covered = grams
+      .withColumn("__rk", row_number().over(firstW))
+      .filter(col("__rk") > 1)
+      .select(col(idCol), col("__pos").as("__s"),
+        (col("__pos") + spanTokens).as("__e"))
+    // merge overlapping/adjacent intervals per doc (classic running-max
+    // sweep) so the rebuild tests each token against few disjoint ranges
+    val mW = Window.partitionBy(col(idCol)).orderBy(col("__s").asc, col("__e").asc)
+    val prevMax = max(col("__e")).over(mW.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = covered
+      .withColumn("__ng", when(col("__s") > coalesce(prevMax, lit(-1)), 1)
+        .otherwise(0))
+      .withColumn("__grp",
+        sum(col("__ng")).over(mW.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("__s").as("s"), max("__e").as("e"))
+    val ivs = merged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+    df.join(ivs, Seq(idCol), "left")
+      .withColumn("clean_text", {
+        val t = TextAnalysis.tokens(col(textCol))
+        when(col("__ivs").isNull, col(textCol)).otherwise(
+          array_join(transform(
+            filter(sequence(lit(0), size(t) - 1), p =>
+              !exists(col("__ivs"),
+                iv => p >= iv.getField("s") && p < iv.getField("e"))),
+            p => element_at(t, p + 1)), " "))
+      })
+      .drop("__ivs")
+  }
+
+  /**
    * Incremental corpus admission — the daily-crawl-drop workflow: admit
    * only `delta` documents that are near-duplicates of NEITHER the
    * already-kept `corpus` NOR an earlier-kept delta document. Composes

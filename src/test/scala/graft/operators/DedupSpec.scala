@@ -182,6 +182,23 @@ class DedupSpec extends SparkSpec {
     assert(admitted === Set(11L, 13L))
   }
 
+  test("removeRepeatedSpans: shifted cross-doc copy trimmed, first occurrence kept") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),           // contains A's [a b c d] shifted by 1
+      (3L, "p q r p q r p q r"),     // within-doc triple repeat
+      (4L, "completely unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanTokens = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) === "a b c d e f")  // first occurrence untouched
+    // spans [a b c]@1 and [b c d]@2 repeat → merged [1,5) → x … y survive
+    assert(out(2L) === "x y")
+    // grams at pos 3..6 repeat → merged [3,9) → first period survives
+    assert(out(3L) === "p q r")
+    assert(out(4L) === "completely unrelated words here")
+  }
+
   test("dedupChunks: within-doc repeated chunk keeps only the first") {
     val docs = Seq((7L, "a b a b c c")).toDF("doc_id", "text")
     val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 2)
