@@ -365,12 +365,9 @@ object SparkEntry {
           concat(lit("zz zz zz "), col("text")).as("text"))
       Dedup.removeRepeatedSpans(docs.unionAll(plants), "doc_id", "text",
           spanTokens = 20)
-        .withColumn("orig_n", TextAnalysis.tokenCount(col("text")).cast("long"))
-        .withColumn("clean_n",
-          TextAnalysis.tokenCount(col("clean_text")).cast("long"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("orig_n") - col("clean_n")).as("removed_tokens"),
-          sum(when(col("clean_n") < col("orig_n"), 1L).otherwise(0L))
+          sum(col("removed_tokens")).as("removed_tokens"),
+          sum(when(col("removed_tokens") > 0, 1L).otherwise(0L))
             .as("docs_changed"))
     }),
 

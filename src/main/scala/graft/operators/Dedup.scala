@@ -330,14 +330,23 @@ object Dedup {
    * shuffle keyed by span hash (the honest cost of alignment-free
    * substring dedup; Lee et al. build a distributed suffix array for the
    * same movement). Interval merging is a per-doc window over only the
-   * DUPLICATED spans; the rebuild's per-token HOF membership test runs
-   * against merged (disjoint) intervals, bounded per doc. 64-bit span-
-   * hash collisions are the only approximation (same trade as
+   * DUPLICATED spans; the rebuild slices the gaps between the merged
+   * disjoint intervals — O(tokens + intervals) per doc. 64-bit span-hash
+   * collisions are the only approximation (same trade as
    * [[ngramOverlapFlags]]); the oracle groups by the span STRING.
+   * Output adds `removed_tokens` (covered-position count, computed from
+   * the intervals — exact on any input) and `clean_text` (verbatim for
+   * untouched docs; single-space re-joined where spans were cut).
+   * Tokenization parity with a SQL replica assumes whitespace-normalized
+   * text (the suite-wide `\s+`/trim contract).
    */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           spanTokens: Int): DataFrame = {
     require(spanTokens >= 2, "spans need at least 2 tokens")
+    val reserved = df.columns.filter(c => c.startsWith("__") || c == "clean_text"
+      || c == "removed_tokens")
+    require(reserved.isEmpty,
+      s"column names reserved here: ${reserved.toSet} — rename first")
     import org.apache.spark.sql.expressions.Window
     val grams = df.select(col(idCol),
         posexplode(graft.functions.Text.wordNgrams(col(textCol), spanTokens))
@@ -363,16 +372,26 @@ object Dedup {
       .groupBy(col(idCol), col("__grp"))
       .agg(min("__s").as("s"), max("__e").as("e"))
     val ivs = merged.groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"),
+        sum(col("e") - col("s")).as("removed_tokens"))
+    // rebuild by slicing out the GAPS between the sorted disjoint
+    // intervals — O(tokens + intervals) per doc (a per-token membership
+    // test against the interval list would be O(tokens × intervals));
+    // `removed_tokens` comes from the intervals themselves, so it is
+    // exact regardless of any tokenization quirk in the rebuild.
+    // Contract: clean_text of an untouched document is the verbatim
+    // input; a trimmed document comes back single-space re-joined.
     df.join(ivs, Seq(idCol), "left")
+      .withColumn("removed_tokens", coalesce(col("removed_tokens"), lit(0L)))
       .withColumn("clean_text", {
         val t = TextAnalysis.tokens(col(textCol))
+        val gapStarts = concat(array(lit(0)),
+          transform(col("__ivs"), iv => iv.getField("e")))
+        val gapEnds = concat(transform(col("__ivs"), iv => iv.getField("s")),
+          array(size(t)))
         when(col("__ivs").isNull, col(textCol)).otherwise(
-          array_join(transform(
-            filter(sequence(lit(0), size(t) - 1), p =>
-              !exists(col("__ivs"),
-                iv => p >= iv.getField("s") && p < iv.getField("e"))),
-            p => element_at(t, p + 1)), " "))
+          array_join(flatten(zip_with(gapStarts, gapEnds,
+            (gs, ge) => slice(t, gs + 1, greatest(ge - gs, lit(0))))), " "))
       })
       .drop("__ivs")
   }

@@ -189,14 +189,18 @@ class DedupSpec extends SparkSpec {
       (3L, "p q r p q r p q r"),     // within-doc triple repeat
       (4L, "completely unrelated words here")
     ).toDF("doc_id", "text")
-    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanTokens = 3)
-      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val rows = Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanTokens = 3)
+      .select("doc_id", "clean_text", "removed_tokens")
+      .as[(Long, String, Long)].collect()
+    val out = rows.map(r => r._1 -> r._2).toMap
+    val removed = rows.map(r => r._1 -> r._3).toMap
     assert(out(1L) === "a b c d e f")  // first occurrence untouched
     // spans [a b c]@1 and [b c d]@2 repeat → merged [1,5) → x … y survive
     assert(out(2L) === "x y")
     // grams at pos 3..6 repeat → merged [3,9) → first period survives
     assert(out(3L) === "p q r")
     assert(out(4L) === "completely unrelated words here")
+    assert(removed === Map(1L -> 0L, 2L -> 4L, 3L -> 6L, 4L -> 0L))
   }
 
   test("dedupChunks: within-doc repeated chunk keeps only the first") {
