@@ -193,6 +193,13 @@ object StressBench {
         Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 10)
           .agg(sum(length(col("clean_text"))).as("s"))
           .collect().head.getLong(0))
+      // stride-1 span dedup: one (id,pos,hash) row per corpus token — the
+      // heaviest assembly shuffle; clique-free corpus → ~no removals, so
+      // the number measures the token-level movement, not output size
+      run("span_dedup", n / 20)(
+        Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanTokens = 20)
+          .agg(sum(col("removed_tokens")).as("s"))
+          .collect().head.getLong(0))
       docs.unpersist()
       val li = spark.range(n / 10).select(col("id").as("lid"),
         (col("id") * 700L).as("ls"), (col("id") * 700L + 1000L).as("le"))
