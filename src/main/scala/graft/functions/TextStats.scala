@@ -109,7 +109,7 @@ object TextStatsFunctions {
  * load-bearing for every oracle built on word tokens — which is exactly
  * why there is one copy.
  */
-private[graft] object LowerTokenizer extends Serializable {
+object LowerTokenizer extends Serializable {
 
   // Java regex \s — the separator class of split("\\s+")
   def isSep(c: Char): Boolean =

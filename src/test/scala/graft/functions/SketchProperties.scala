@@ -122,4 +122,18 @@ object SketchProperties extends Properties("sketches") {
       canon(ws.mkString(" ")) == canon(scala.util.Random.shuffle(ws).mkString("\t")) &&
         canon(ws.mkString(" ")) == canon(("  " + ws.reverse.mkString("\n") + "  "))
     }
+
+  // LowerTokenizer underlies word_ngrams AND repetition_stats; its parity
+  // with Java's split("\\s+") on lowercased, space-trimmed input (the SQL
+  // oracles' regexp_split_to_array contract) is load-bearing — lock it
+  // against the real thing, weird whitespace included.
+  property("LowerTokenizer equals lower→space-trim→Java split(\\s+)") =
+    forAll(messyDoc) { s =>
+      val lowered = UTF8String.fromString(s).toLowerCase.toString
+      val trimmed = lowered.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val model: Seq[String] =
+        if (trimmed.isEmpty) Seq.empty else trimmed.split("\\s+").toSeq
+      org.apache.spark.sql.graft.LowerTokenizer
+        .tokens(UTF8String.fromString(s)).toSeq == model
+    }
 }
