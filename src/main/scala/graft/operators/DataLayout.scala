@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -32,5 +32,31 @@ object DataLayout {
         n => withZ.repartitionByRange(n, col("__z")))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+  }
+
+  /**
+   * Quantile-bucket a column of ANY orderable type into `[0, buckets)` —
+   * the domain compactor that makes [[clusterByZOrder]] usable on wide
+   * longs, doubles, or timestamps (zorder62 interleaves 31-bit values;
+   * a quantile rank preserves order AND equalizes bucket occupancy,
+   * which is what tiles the z-plane evenly when data is skewed). One
+   * bounded `percentile_approx` aggregate broadcasts back — no global
+   * sort, no per-row window. Equal values always share a bucket.
+   */
+  def withQuantileBucket(df: DataFrame, valueCol: Column, out: String,
+                         buckets: Int = 1024): DataFrame = {
+    require(buckets > 1 && buckets <= 4096,
+      "buckets in (1, 4096] — bucket resolution, not cardinality")
+    require(!df.columns.contains("__qb_bnds") && !df.columns.contains("__qb_v"),
+      "columns __qb_v/__qb_bnds are reserved")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = df.select(valueCol.cast("double").as("__qb_v"))
+      .agg(expr(s"percentile_approx(__qb_v, array(${qs.mkString(",")}), " +
+        s"${math.min(buckets * 4, 10000)})").as("__qb_bnds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(out,
+        size(filter(col("__qb_bnds"), b => b < valueCol.cast("double")))
+          .cast("long"))
+      .drop("__qb_bnds")
   }
 }

@@ -36,6 +36,23 @@ class ZOrderSpec extends SparkSpec {
     assert(viaExpr === ZOrderRuntime.zorder62(12345L, 67890L))
   }
 
+  test("withQuantileBucket: order-preserving, bounded range, ~uniform occupancy") {
+    import graft.operators.DataLayout
+    // heavily skewed domain (epoch-nano-scale magnitudes)
+    val df = spark.range(0, 20000).select(
+      (col("id") * col("id") * 1000000L + 1700000000000000000L).as("v"))
+    val out = DataLayout.withQuantileBucket(df, col("v"), "b", buckets = 64)
+    val stats = out.agg(min("b"), max("b"),
+      countDistinct("b")).head()
+    assert(stats.getLong(0) >= 0L && stats.getLong(1) < 64L)
+    assert(stats.getLong(2) > 48L) // skew flattened into most buckets
+    // order-preserving: bucket is monotone in the value
+    val viol = out.join(out.withColumnRenamed("v", "v2").withColumnRenamed("b", "b2")
+        .sample(0.01, 7), col("v") < col("v2") && col("b") > col("b2"), "inner")
+      .count()
+    assert(viol === 0L)
+  }
+
   test("clusterByZOrder co-clusters BOTH dimensions; single-key sort does not") {
     import graft.operators.DataLayout
     val n = 65536
