@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{CanonicalTokens, CharEntropy, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62}
+import org.apache.spark.sql.graft.{CanonicalTokens, CharEntropy, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -84,5 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "zorder62",
       "zorder62(a, b) - Morton interleave of two low-31-bit values (data layout)",
       { case Seq(a, b) => ZOrder62(a, b) })
+
+    register(ext, "zorder63",
+      "zorder63(a, b, c) - three-way Morton interleave, 21 bits per dimension",
+      { case Seq(a, b, c) => ZOrder63(a, b, c) })
   }
 }

@@ -51,6 +51,9 @@ package object functions {
       * by this to co-cluster both dimensions for min/max pruning. */
     def zorder62(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.ZOrderFunctions.zorder62(a, b)
+    /** Three-way Morton interleave (21 bits per dimension). */
+    def zorder63(a: Column, b: Column, c: Column): Column =
+      org.apache.spark.sql.graft.ZOrderFunctions.zorder63(a, b, c)
   }
 
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */

@@ -36,6 +36,27 @@ class ZOrderSpec extends SparkSpec {
     assert(viaExpr === ZOrderRuntime.zorder62(12345L, 67890L))
   }
 
+  test("zorder63 matches a bit-by-bit 3-way reference") {
+    def ref3(a: Long, b: Long, c: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 21) {
+        z |= ((a >> i) & 1L) << (3 * i)
+        z |= ((b >> i) & 1L) << (3 * i + 1)
+        z |= ((c >> i) & 1L) << (3 * i + 2)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq((0L, 0L, 0L), (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL),
+        (1L, 2L, 4L), (0xFFFFFFFFL, 0L, 7L)) ++
+      Seq.fill(300)((rnd.nextLong().abs, rnd.nextLong().abs, rnd.nextLong().abs))
+    cases.foreach { case (a, b, c) =>
+      assert(ZOrderRuntime.zorder63(a, b, c) ===
+        ref3(a & 0x1FFFFFL, b & 0x1FFFFFL, c & 0x1FFFFFL), s"($a,$b,$c)")
+      assert(ZOrderRuntime.zorder63(a, b, c) >= 0L)
+    }
+  }
+
   test("withQuantileBucket: order-preserving, bounded range, ~uniform occupancy") {
     import graft.operators.DataLayout
     // heavily skewed domain (epoch-nano-scale magnitudes)
