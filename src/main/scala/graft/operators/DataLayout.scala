@@ -34,6 +34,20 @@ object DataLayout {
       .drop("__z")
   }
 
+  /** Three-dimension variant of [[clusterByZOrder]] (21 bits per
+    * dimension — tenant × time × key). */
+  def clusterByZOrder3(df: DataFrame, a: String, b: String, c: String,
+                       numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains("__z"), "column __z is reserved here")
+    val withZ = df.withColumn("__z",
+      graft.functions.Layout.zorder63(col(a).cast("long"),
+        col(b).cast("long"), col(c).cast("long")))
+    numPartitions.fold(withZ.repartitionByRange(col("__z")))(
+        n => withZ.repartitionByRange(n, col("__z")))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /**
    * Quantile-bucket a column of ANY orderable type into `[0, buckets)` —
    * the domain compactor that makes [[clusterByZOrder]] usable on wide

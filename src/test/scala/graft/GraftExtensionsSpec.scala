@@ -33,7 +33,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       word_ngrams('New York City', 2) AS ng,
           |       repetition_stats('a b a b', 2) AS rs,
           |       char_entropy('aabb') AS ce,
-          |       zorder62(3, 1) AS z
+          |       zorder62(3, 1) AS z,
+          |       zorder63(1, 1, 1) AS z3
           |""".stripMargin).head()
       assert(r.getInt(0) === EsMurmur3.hash("hello"))
       assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
@@ -49,6 +50,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(10) === 1.0)
       // a=0b11 → even bits 0,2; b=0b1 → odd bit 1 → 0b111 = 7
       assert(r.getLong(11) === 7L)
+      // three dims, bit 0 each → bits 0,1,2 → 7
+      assert(r.getLong(12) === 7L)
     } finally spark.stop() // this suite owns its session (extensions differ)
   }
 }
