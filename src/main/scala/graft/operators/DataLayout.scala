@@ -67,10 +67,14 @@ object DataLayout {
     val bounds = df.select(valueCol.cast("double").as("__qb_v"))
       .agg(expr(s"percentile_approx(__qb_v, array(${qs.mkString(",")}), " +
         s"${math.min(buckets * 4, 10000)})").as("__qb_bnds"))
+    // NULL values stay NULL (a NULL never orders into any bucket; without
+    // the guard `b < NULL` is NULL, filter() drops it, and size() = 0
+    // silently co-clusters null rows with the smallest values)
     df.crossJoin(broadcast(bounds))
       .withColumn(out,
-        size(filter(col("__qb_bnds"), b => b < valueCol.cast("double")))
-          .cast("long"))
+        when(valueCol.isNull, lit(null).cast("long")).otherwise(
+          size(filter(col("__qb_bnds"), b => b < valueCol.cast("double")))
+            .cast("long")))
       .drop("__qb_bnds")
   }
 }

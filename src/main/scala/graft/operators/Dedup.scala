@@ -70,9 +70,20 @@ object Dedup {
    * key for `xxhash64(chunk)` + collision re-check, exactly as
    * [[exactScalable]] does for whole documents.
    */
+  /**
+   * Output schema: exactly `(idCol, clean_text)` — one row per input row,
+   * other input columns intentionally dropped (join back on `idCol` to
+   * recover them; carrying wide payload columns through the chunk shuffle
+   * would multiply shuffle bytes by the chunk fan-out for nothing).
+   */
   def dedupChunks(df: DataFrame, idCol: String, textCol: String,
                   chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
+    val reserved = df.columns
+      .filter(c => c.startsWith("__") || c == "clean_text")
+    require(reserved.isEmpty,
+      s"column names starting with __ (and clean_text) are reserved here: " +
+        s"${reserved.toSet}")
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalysis.tokens(col(textCol))
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")

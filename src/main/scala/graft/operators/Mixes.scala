@@ -56,11 +56,22 @@ object Mixes {
     // the min (the formula says c_s = 0 ⇒ T = 0 ⇒ keep nothing); fail
     // fast instead of returning a corpus that violates the declared mix.
     // The check reads the #sources-row aggregate — bounded, one tiny job.
-    val present = costs.select(col(stratumCol).cast("string"))
-      .collect().map(_.getString(0)).toSet
+    // one tiny collect serves both guards: absence AND zero/NULL cost. A
+    // stratum whose summed cost is 0 (or all-NULL) would make T = 0 — or
+    // worse, its own rate 0/0 = NaN, which under Spark's NaN-is-largest
+    // ordering passes every md5 threshold: the output would be exactly
+    // the zero-cost stratum and nothing else, the opposite of the mix.
+    val costRows = costs.select(col(stratumCol).cast("string"),
+        col("__cost")).collect()
+    val present = costRows.map(_.getString(0)).toSet
     val absent = targets.keySet -- present
     require(absent.isEmpty,
       s"target strata absent from the input (achievable mixed total is 0): $absent")
+    val zeroCost = costRows.filter(r => r.isNullAt(1) || r.getLong(1) <= 0L)
+      .map(_.getString(0)).toSet
+    require(zeroCost.isEmpty,
+      s"target strata present but with zero/NULL total $costCol " +
+        s"(achievable mixed total is 0): $zeroCost")
     val tFrame = costs.agg(
       min(col("__cost").cast("double") / col("__w")).as("__t"))
     val rates = costs.crossJoin(broadcast(tFrame))

@@ -140,9 +140,12 @@ object Packing {
     val reserved = df.columns.filter(_.startsWith("__"))
     require(reserved.isEmpty,
       s"column names starting with __ are reserved here: ${reserved.toSet}")
+    // col(costCol), not a spliced SQL string — a cost column named with
+    // spaces/dots/hyphens must resolve like everywhere else in this file
     val withH = df
-      .withColumn("length_bucket",
-        expr(s"CAST($costCol AS BIGINT) div ${bucketWidth}L"))
+      .withColumn("__c", col(costCol).cast("long"))
+      .withColumn("length_bucket", expr(s"__c div ${bucketWidth}L"))
+      .drop("__c")
       .withColumn("__h",
         md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
       .withColumn("__chunk", substring(col("__h"), 1, chunkChars))

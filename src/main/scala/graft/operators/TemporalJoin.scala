@@ -265,12 +265,23 @@ object TemporalJoin {
    * nested-loop inequality join.
    *
    * Column names of the two frames must be disjoint (aside from `keys`).
+   *
+   * Fan-out bound: each interval is replicated over ceil(span /
+   * bucketWidth) bucket rows — size `bucketWidth` near the MEDIAN span,
+   * not the max. A mis-sized width (one huge outlier interval, or
+   * nanos-vs-millis confusion) would otherwise materialize millions of
+   * rows per interval or hit Spark's array-length cap inside
+   * `sequence()`; `maxBucketsPerInterval` turns that into an immediate,
+   * attributable error (a `raise_error` naming the offending span)
+   * instead of a silent blow-up or an opaque sequence failure.
    */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   lStart: String, lEnd: String,
                   rStart: String, rEnd: String,
-                  bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+                  bucketWidth: Long, keys: Seq[String] = Nil,
+                  maxBucketsPerInterval: Long = 1L << 16): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val dup = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
     require(dup.isEmpty, s"column names must be disjoint (rename first): $dup")
     require(!left.columns.contains("__bucket") &&
@@ -278,10 +289,25 @@ object TemporalJoin {
       "column __bucket is reserved here — rename first")
     def bucketOf(c: Column): Column =
       (c.cast("long") - pmod(c.cast("long"), lit(bucketWidth))).cast("long")
+    // exact int64 bucket count; the raise_error branch types as NULL and
+    // unifies with the long first-bucket, so the guard costs one compare
+    // per interval row and never fires on well-sized data
+    def firstBucketGuarded(s: String, e: String): Column = {
+      val nBuckets =
+        (bucketOf(col(e) - lit(1)) - bucketOf(col(s))) / lit(bucketWidth) + lit(1)
+      when(nBuckets > lit(maxBucketsPerInterval),
+        raise_error(concat(
+          lit(s"overlapJoin: interval [$s, $e) = ["),
+          col(s).cast("string"), lit(", "), col(e).cast("string"),
+          lit(s") spans more than $maxBucketsPerInterval buckets of width " +
+            s"$bucketWidth — resize bucketWidth or raise maxBucketsPerInterval"))))
+        .otherwise(bucketOf(col(s)))
+    }
     def spanned(df: DataFrame, s: String, e: String): DataFrame = df
       .filter(col(e) > col(s)) // empty interval overlaps nothing
       .withColumn("__bucket", explode(sequence(
-        bucketOf(col(s)), bucketOf(col(e) - lit(1)), lit(bucketWidth))))
+        firstBucketGuarded(s, e),
+        bucketOf(col(e) - lit(1)), lit(bucketWidth))))
     spanned(left, lStart, lEnd)
       .join(spanned(right, rStart, rEnd), Seq("__bucket") ++ keys)
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))

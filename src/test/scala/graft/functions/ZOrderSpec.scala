@@ -74,6 +74,18 @@ class ZOrderSpec extends SparkSpec {
     assert(viol === 0L)
   }
 
+  test("withQuantileBucket: NULL values stay NULL, not bucket 0") {
+    import graft.operators.DataLayout
+    val df = spark.range(0, 100).select(
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"))
+    val out = DataLayout.withQuantileBucket(df, col("v"), "b", buckets = 8)
+    assert(out.filter(col("v").isNull && col("b").isNotNull).count() === 0L)
+    assert(out.filter(col("v").isNull).count() === 10L)
+    // non-null rows still bucket normally
+    assert(out.filter(col("v").isNotNull && col("b").isNull).count() === 0L)
+  }
+
   test("clusterByZOrder co-clusters BOTH dimensions; single-key sort does not") {
     import graft.operators.DataLayout
     val n = 65536

@@ -209,4 +209,15 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out === Map(7L -> "a b c c"))
   }
+
+  test("dedupChunks rejects reserved column names like its siblings") {
+    intercept[IllegalArgumentException] {
+      Dedup.dedupChunks(Seq((1L, "a", "x")).toDF("doc_id", "text", "__idx"),
+        "doc_id", "text", chunkTokens = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupChunks(Seq((1L, "a", "x")).toDF("doc_id", "text", "clean_text"),
+        "doc_id", "text", chunkTokens = 2)
+    }
+  }
 }

@@ -35,6 +35,25 @@ class MixesSpec extends SparkSpec {
     assert(ex.getMessage.contains("zz"))
   }
 
+  test("a target stratum with zero or all-NULL cost fails fast") {
+    // zero-cost stratum: present, but its rate would be 0/0 = NaN — under
+    // NaN-is-largest ordering the output would be exactly this stratum
+    val zero = Seq((1L, "a", 10L), (2L, "b", 0L), (3L, "b", 0L))
+      .toDF("id", "src", "cost")
+    val ex = intercept[IllegalArgumentException] {
+      Mixes.toTargetShares(zero, "id", "src", "cost",
+        Map("a" -> 0.5, "b" -> 0.5))
+    }
+    assert(ex.getMessage.contains("b") && ex.getMessage.contains("zero/NULL"))
+    val allNull = Seq((1L, "a", Some(10L)), (2L, "b", None))
+      .toDF("id", "src", "cost")
+    val ex2 = intercept[IllegalArgumentException] {
+      Mixes.toTargetShares(allNull, "id", "src", "cost",
+        Map("a" -> 0.5, "b" -> 0.5))
+    }
+    assert(ex2.getMessage.contains("b"))
+  }
+
   test("strata without a target weight are dropped") {
     val df = corpus(5, 5, 5)
     val out = Mixes.toTargetShares(df, "id", "src", "cost",

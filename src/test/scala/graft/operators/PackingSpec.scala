@@ -117,6 +117,17 @@ class PackingSpec extends SparkSpec {
     assert(out.select("batch_id").distinct().count() === 100L)
   }
 
+  test("batchByLength resolves awkward cost-column names (spaces/dots)") {
+    // a raw-spliced SQL fragment would fail to parse "token count" or
+    // resolve "a.b" as a struct access; col() handles both
+    val df = spark.range(0, 20).select(col("id"),
+      (col("id") * 10).as("token count"))
+    val out = Packing.batchByLength(df, "id", "token count",
+      bucketWidth = 50L, batchSize = 4)
+    assert(out.count() === 20L)
+    assert(out.select("length_bucket").distinct().count() === 4L)
+  }
+
   test("packSequences rejects reserved column names") {
     val df = Seq((1L, 2L)).toDF("id", "__cost")
     intercept[IllegalArgumentException] {

@@ -201,6 +201,22 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L))
   }
 
+  test("overlapJoin: per-interval bucket fan-out over the cap errors, not OOMs") {
+    val l = Seq((1L, 0L, 1000000L)).toDF("lid", "ls", "le") // 1M buckets at bw=1
+    val r = Seq((9L, 5L, 6L)).toDF("rid", "rs", "re")
+    val ex = intercept[Exception] {
+      TemporalJoin.overlapJoin(l, r, "ls", "le", "rs", "re", 1L,
+        maxBucketsPerInterval = 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("spans more than 1000 buckets")), ex)
+    // same data under a cap that fits works normally
+    val ok = TemporalJoin.overlapJoin(l, r, "ls", "le", "rs", "re", 1L,
+      maxBucketsPerInterval = 2000000L).count()
+    assert(ok === 1L)
+  }
+
   test("overlapJoin with equi-keys and disjoint-name enforcement") {
     val l = Seq(("a", 0L, 10L, 1L), ("b", 0L, 10L, 2L)).toDF("k", "ls", "le", "lid")
     val r = Seq(("a", 5L, 15L, 9L)).toDF("k", "rs", "re", "rid")
