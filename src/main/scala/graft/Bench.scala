@@ -57,10 +57,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // belt and braces: bare line on stdout (run / outputStrategy strips the
-    // sbt logger prefix) AND a metric file the driver can read directly
+    // sbt logger prefix), a metric file the driver can read directly, AND
+    // the line again AFTER spark.stop() — shutdown log noise otherwise
+    // pushes the only copy past the driver's log-tail capture window
+    spark.sparkContext.setLogLevel("ERROR")
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_METRIC.json"), line + "\n")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
