@@ -374,12 +374,22 @@ object Similarity {
       (a0.join(broadcast(oversized), Seq("bucket"), "left_anti"),
         b0.join(broadcast(oversized), Seq("bucket"), "left_anti"))
     } else (a0, b0)
-    val cand = aSide.as("a").join(bSide.as("b"),
+    // SHUFFLE_HASH, not the default sort-merge: the probe side is
+    // (numPlanes+1)× replicated (~29× at the 3.2M stress tier = 93M rows)
+    // and sorting it is the measured wall (52× time for 64× data — the
+    // tier was sort-bound, not join-bound). A shuffled hash join streams
+    // the big banded side and builds a per-partition table of the BASE
+    // side only (N/partitions 16-byte rows — trivially in-memory at any
+    // sane partition count). Same exchange, zero sorts.
+    val cand = aSide.as("a").join(bSide.hint("shuffle_hash").as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val va = sigged.select(col("id").as("id_a"), col("vec").as("__vec_a"))
     val vb = sigged.select(col("id").as("id_b"), col("vec").as("__vec_b"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    // the vector rejoins build on the N-row vector frames and stream the
+    // candidate pairs — again hash, not sort, on both joins
+    cand.join(va.hint("shuffle_hash"), "id_a")
+      .join(vb.hint("shuffle_hash"), "id_b")
       .withColumn("cosine", round(cosine(col("__vec_a"), col("__vec_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
