@@ -268,22 +268,35 @@ object Dedup {
    * corpora (train × eval), never all-pairs — the candidate generator for
    * decontamination. Emits (id_a from `a`, id_b from `b`, est_jaccard).
    */
+  /** Lean MinHash sketch frame `(id, sig, band_keys)`, localCheckpointed
+    * so the sketch is evaluated exactly once per document no matter how
+    * many joins reference it — the shared currency of [[minhashPairs]],
+    * [[crossMinhashPairs]], and [[admitDelta]]. */
+  private def sketchFrame(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, bands: Int,
+                          shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    df.select(col(idCol).as("id"),
+        graft.functions.Text.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
+      .withColumn("band_keys",
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
+      .localCheckpoint(false)
+  }
+
+  /** `(id, band, bucket)` 24-byte band rows of a [[sketchFrame]]. */
+  private def bandFrame(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), explode(col("band_keys")).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+
   def crossMinhashPairs(a: DataFrame, b: DataFrame, idCol: String,
                         textCol: String, numHashes: Int = 64, bands: Int = 16,
                         shingleSize: Int = 5, threshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // lean band join + score-after, as in [[minhashPairs]]
     def sigged(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-          graft.functions.Text.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
-        .withColumn("band_keys",
-          expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-            s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
-        .localCheckpoint(false) // one sketch evaluation per doc per side
-    def banded(sigs: DataFrame): DataFrame =
-      sigs.select(col("id"), explode(col("band_keys")).as("bk"))
-        .select(col("id"), col("bk.band"), col("bk.bucket"))
+      sketchFrame(df, idCol, textCol, numHashes, bands, shingleSize)
+    def banded(sigs: DataFrame): DataFrame = bandFrame(sigs)
     val sigA = sigged(a)
     val sigB = sigged(b)
     val cand = banded(sigA).as("a").join(banded(sigB).as("b"),
@@ -414,16 +427,74 @@ object Dedup {
    * [[decontaminate]] with roles swapped (delta is screened against the
    * corpus — work scales with |delta|, never re-deduping the corpus) and
    * [[dedupe]] within the survivors. Run per drop; the admitted rows
-   * append to the corpus for the next drop.
+   * append to the corpus for the next drop. Ids must be disjoint across
+   * the two frames (the standard cross-corpus contract — the merged
+   * candidate frame relies on it).
    */
   def admitDelta(corpus: DataFrame, delta: DataFrame, idCol: String,
                  textCol: String, jaccardThreshold: Double = 0.85,
                  numHashes: Int = 64, bands: Int = 16,
                  shingleSize: Int = 5): DataFrame = {
-    val fresh = decontaminate(delta, corpus, idCol, textCol,
-      jaccardThreshold, numHashes, bands, shingleSize)
-    dedupe(fresh, idCol, textCol, jaccardThreshold, numHashes, bands,
-      shingleSize)
+    // ONE delta sketch and ONE verification pass serve both stages.
+    // Composing decontaminate ∘ dedupe ran minhash_sig over the delta
+    // twice, two candidate distinct() shuffles, and two verifyJaccard
+    // pipelines (2 localCheckpoint jobs each) — at bench scale the job
+    // COUNT, not the data, was the measured top fixed cost. Per-pair
+    // predicates (signature estimate, exact Jaccard) commute with the
+    // survivor restriction, so within-delta candidates are generated over
+    // the WHOLE delta, verified together with the cross-corpus pairs, and
+    // restricted to survivors afterwards — identical output to the old
+    // two-stage composition.
+    val candMargin = math.max(0.0, jaccardThreshold - 0.2) // recall margin
+    val sigD = sketchFrame(delta, idCol, textCol, numHashes, bands, shingleSize)
+    val sigC = sketchFrame(corpus, idCol, textCol, numHashes, bands, shingleSize)
+    val bandedD = bandFrame(sigD)
+    val estAgree = graft.functions.Text.sigAgree(col("__sig_a"), col("__sig_b"))
+      .cast("double") / numHashes
+
+    // candidates, both kinds in one frame: delta×corpus (screening) and
+    // delta×delta (within-drop dedupe); ids are disjoint across corpora
+    // (the documented cross-corpus contract), so the branch tag survives
+    // the shared distinct and the shared sig joins below
+    val candX = bandedD.as("a").join(bandFrame(sigC).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(true).as("__cross"))
+    val candD = bandedD.as("a").join(bandedD.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(false).as("__cross"))
+    val sigAll = sigD.unionByName(sigC)
+    val cand = candX.unionByName(candD).distinct() // one shuffle, not two
+      .join(sigD.select(col("id").as("id_a"), col("sig").as("__sig_a")), "id_a")
+      .join(sigAll.select(col("id").as("id_b"), col("sig").as("__sig_b")), "id_b")
+      .filter(estAgree >= candMargin)
+      .select("id_a", "id_b", "__cross")
+
+    // one exact-Jaccard verification over the union doc set; the __cross
+    // tag rides through verifyJaccard's candidate checkpoint
+    val verified = verifyJaccard(cand,
+        delta.select(col(idCol), col(textCol))
+          .unionByName(corpus.select(col(idCol), col(textCol))),
+        idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .localCheckpoint(false) // referenced three times below
+    val contaminated = verified.filter(col("__cross"))
+      .select(col("id_a").as("id")).distinct()
+      .localCheckpoint(false) // referenced four times below
+    // within-delta dup edges among SURVIVORS only (both endpoints clean) —
+    // exactly the pair set dedupe(fresh) would have generated
+    val verifiedD = verified.filter(!col("__cross"))
+      .join(contaminated.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(contaminated.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b")
+    val survivorIds = sigD.select(col("id"))
+      .join(contaminated, Seq("id"), "left_anti")
+    val keep = assignCanonical(survivorIds, verifiedD)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as("__admit_id"))
+    delta.join(keep, col(idCol) === col("__admit_id"), "left_semi")
   }
 
   /**
