@@ -81,6 +81,16 @@ object EsSnapshot {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
+    def readBytes(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    }
     def writeStr(p: Path, body: String): Unit = {
       val out = fs.create(p, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -130,12 +140,12 @@ object EsSnapshot {
                 val sd = shardDir.getPath
                 val snapDat = new Path(sd, SnapshotLayout.snapDat(uuid))
                 if (fs.exists(snapDat)) {
-                  val mine = SnapshotLayout.parseShardSnapFiles(readStr(snapDat))
+                  val mine = SnapshotLayout.parseShardSnapFiles(readBytes(snapDat))
                   val referenced = fs.listStatus(sd).map(_.getPath)
                     .filter(p => p.getName.startsWith("snap-") &&
                       p.getName != SnapshotLayout.snapDat(uuid))
                     .flatMap(p =>
-                      try SnapshotLayout.parseShardSnapFiles(readStr(p))
+                      try SnapshotLayout.parseShardSnapFiles(readBytes(p))
                       catch { case _: Exception => Seq.empty[String] })
                     .toSet
                   mine.filterNot(referenced.contains)

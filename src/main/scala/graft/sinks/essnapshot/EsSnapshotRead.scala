@@ -86,6 +86,16 @@ class EsSnapshotScan(dest: String, conf: SerializableConfiguration,
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
+    def readBytes(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    }
     // live generation via index.latest (BaseTransport.java:169-179), like
     // a restore does; fall back to index-0 for hand-built layouts
     val latest = new Path(dest, SnapshotLayout.IndexLatest)
@@ -128,7 +138,7 @@ class EsSnapshotScan(dest: String, conf: SerializableConfiguration,
             val manifested: Option[Set[String]] = wantedUuid.flatMap { uuid =>
               val snapDat = new Path(shardDir.getPath, SnapshotLayout.snapDat(uuid))
               if (fs.exists(snapDat))
-                Some(SnapshotLayout.parseShardSnapFiles(readStr(snapDat)).toSet)
+                Some(SnapshotLayout.parseShardSnapFiles(readBytes(snapDat)).toSet)
               else None
             }
             val files = fs.listStatus(shardDir.getPath)

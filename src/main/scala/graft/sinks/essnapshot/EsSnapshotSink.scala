@@ -256,6 +256,16 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
       val in = fs.open(path)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
+    def readBytes(path: Path): Array[Byte] = {
+      val in = fs.open(path)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    }
 
     // Snapshot repos accumulate: read the live generation (if any), append
     // this snapshot, and publish generation N+1 — the reference's repo
@@ -305,7 +315,7 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
           if (truncateRepo) Set.empty
           else fs.listStatus(dir).map(_.getPath)
             .filter(_.getName.startsWith("snap-"))
-            .flatMap(p => try SnapshotLayout.parseShardSnapFiles(readStr(p))
+            .flatMap(p => try SnapshotLayout.parseShardSnapFiles(readBytes(p))
               catch { case _: Exception => Seq.empty[String] })
             .toSet
         val existing = fs.listStatus(dir).map(_.getPath.getName)
@@ -325,8 +335,8 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         // the reference achieves this by renaming every reducer's
         // snap-<reducerUUID>.dat to the base snapshot's uuid
         // (IndexingPostProcessor.java:195-216); here shards are born stitched.
-        writeStr(new Path(dir, SnapshotLayout.snapDat(snapshotUuid)),
-          SnapshotLayout.shardSnapJson(snapshotName, index, shard, docs, bytes,
+        write(new Path(dir, SnapshotLayout.snapDat(snapshotUuid)),
+          SnapshotLayout.shardSnapDat(snapshotName, index, shard, docs, bytes,
             files.map(_.fileName).sorted))
         if (files.nonEmpty)
           manifest += SnapshotLayout.manifestLine(index, snapshotUuid, id)
@@ -334,24 +344,18 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         // backfill, BaseTransport.java:144-167).
       }
 
-      writeStr(new Path(SnapshotLayout.indicesDir(dest, index),
+      write(new Path(SnapshotLayout.indicesDir(dest, index),
           SnapshotLayout.metaDat(snapshotUuid)),
-        SnapshotLayout.jsonObj(
-          "index" -> SnapshotLayout.jsonStr(index),
-          "id" -> SnapshotLayout.jsonStr(id),
-          "shards" -> numShards.toString,
-          "mappings" -> SnapshotLayout.jsonStr(
-            options.getOrElse(EsSnapshotSink.MappingsOption, "{}")),
-          "template" -> SnapshotLayout.jsonStr(
-            options.getOrElse(EsSnapshotSink.TemplateOption, "{}"))))
+        SnapshotLayout.indexMetaDat(index, id, numShards,
+          options.getOrElse(EsSnapshotSink.MappingsOption, "{}"),
+          options.getOrElse(EsSnapshotSink.TemplateOption, "{}")))
     }
 
     // Root metadata (IndexingPostProcessor.java:144-193).
-    writeStr(new Path(destPath, SnapshotLayout.snapDat(snapshotUuid)),
-      SnapshotLayout.rootSnapJson(snapshotName, snapshotUuid, indexes, totalDocs))
-    writeStr(new Path(destPath, SnapshotLayout.metaDat(snapshotUuid)),
-      SnapshotLayout.jsonObj("cluster" -> SnapshotLayout.jsonStr("graft"),
-        "snapshot" -> SnapshotLayout.jsonStr(snapshotName)))
+    write(new Path(destPath, SnapshotLayout.snapDat(snapshotUuid)),
+      SnapshotLayout.rootSnapDat(snapshotName, snapshotUuid, indexes, totalDocs))
+    write(new Path(destPath, SnapshotLayout.metaDat(snapshotUuid)),
+      SnapshotLayout.rootMetaDat("graft", snapshotName))
     if (truncateRepo) {
       // forget prior generations at the root: stale index-N pointers and
       // other snapshots' root/index metadata

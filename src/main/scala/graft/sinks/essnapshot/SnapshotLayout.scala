@@ -144,32 +144,54 @@ object SnapshotLayout {
     }
   }
 
+  // ── `.dat` bodies: SMILE, the wire format a real ES 5.x restore parses
+  //    (the reference inherits it from the embedded node —
+  //    ESEmbededContainer.java:169-221; stitch-time rewrite of the same
+  //    trees at IndexingPostProcessor.java:195-216). Field order below is
+  //    FIXED — the stitched tree is golden-tested byte-for-byte. ──
+
+  import Smile.{SArr, SLong, SObj, SStr, SVal}
+
   /** Data files listed in a per-shard snap-<uuid>.dat manifest. */
-  def parseShardSnapFiles(body: String): Seq[String] = {
-    val files = mapper.readTree(body).get("files")
-    if (files == null || !files.isArray) Seq.empty
-    else (0 until files.size()).map(files.get(_).asText())
-  }
+  def parseShardSnapFiles(body: Array[Byte]): Seq[String] =
+    Smile.arr(Smile.read(body), "files").collect { case SStr(s) => s }
 
-  /** Per-shard snap-<uuid>.dat content. */
-  def shardSnapJson(snapshotName: String, index: String, shard: Int,
-                    docCount: Long, bytes: Long, files: Seq[String]): String =
-    jsonObj(
-      "snapshot" -> jsonStr(snapshotName),
-      "index" -> jsonStr(index),
-      "shard" -> shard.toString,
-      "doc_count" -> docCount.toString,
-      "total_size_bytes" -> bytes.toString,
-      "files" -> jsonArr(files.map(jsonStr)))
+  /** Per-shard snap-<uuid>.dat content (SMILE). */
+  def shardSnapDat(snapshotName: String, index: String, shard: Int,
+                   docCount: Long, bytes: Long, files: Seq[String]): Array[Byte] =
+    Smile.write(SObj.of(
+      "snapshot" -> SStr(snapshotName),
+      "index" -> SStr(index),
+      "shard" -> SLong(shard.toLong),
+      "doc_count" -> SLong(docCount),
+      "total_size_bytes" -> SLong(bytes),
+      "files" -> SArr(files.map(f => SStr(f): SVal))))
 
-  /** Root snap-<uuid>.dat content. */
-  def rootSnapJson(snapshotName: String, snapshotUuid: String,
-                   indexes: Seq[String], totalDocs: Long): String =
-    jsonObj(
-      "name" -> jsonStr(snapshotName),
-      "uuid" -> jsonStr(snapshotUuid),
-      "state" -> jsonStr("SUCCESS"),
-      "indices" -> jsonArr(indexes.map(jsonStr)),
-      "total_docs" -> totalDocs.toString,
-      "version" -> jsonStr("graft-layout-1"))
+  /** Root snap-<uuid>.dat content (SMILE). */
+  def rootSnapDat(snapshotName: String, snapshotUuid: String,
+                  indexes: Seq[String], totalDocs: Long): Array[Byte] =
+    Smile.write(SObj.of(
+      "name" -> SStr(snapshotName),
+      "uuid" -> SStr(snapshotUuid),
+      "state" -> SStr("SUCCESS"),
+      "indices" -> SArr(indexes.map(ix => SStr(ix): SVal)),
+      "total_docs" -> SLong(totalDocs),
+      "version" -> SStr("graft-layout-1")))
+
+  /** Index meta-<uuid>.dat content (SMILE): shard topology + the user's
+    * mappings/template JSON carried as opaque strings, exactly as given. */
+  def indexMetaDat(index: String, id: String, shards: Int,
+                   mappings: String, template: String): Array[Byte] =
+    Smile.write(SObj.of(
+      "index" -> SStr(index),
+      "id" -> SStr(id),
+      "shards" -> SLong(shards.toLong),
+      "mappings" -> SStr(mappings),
+      "template" -> SStr(template)))
+
+  /** Root meta-<uuid>.dat content (SMILE). */
+  def rootMetaDat(cluster: String, snapshotName: String): Array[Byte] =
+    Smile.write(SObj.of(
+      "cluster" -> SStr(cluster),
+      "snapshot" -> SStr(snapshotName)))
 }

@@ -40,7 +40,10 @@ class EsIndexJobSpec extends SparkSpec {
     val meta = Files.list(metaDir).iterator()
     val metaFile = Iterator.continually(meta).takeWhile(_.hasNext)
       .map(_.next()).find(_.getFileName.toString.startsWith("meta-")).get
-    assert(Files.readString(metaFile).contains("type"))
+    // index meta is SMILE now: decode and check the mappings passthrough
+    val metaTree = graft.sinks.essnapshot.Smile.read(Files.readAllBytes(metaFile))
+    assert(graft.sinks.essnapshot.Smile.str(metaTree, "mappings")
+      .exists(_.contains("type")))
     // ingest counters committed next to the snapshot (INDEXING_DOC_FAIL)
     val ingest = Files.readString(java.nio.file.Paths.get(dest, "_INGEST.json"))
     assert(ingest.contains("\"input_docs\":50"))

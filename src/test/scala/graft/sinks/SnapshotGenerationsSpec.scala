@@ -59,7 +59,7 @@ class SnapshotGenerationsSpec extends SparkSpec {
     // manifests (spot-check shard 0)
     val shard0 = Paths.get(SnapshotLayout.shardDir(dest, "events", 0))
     val manifestedA = SnapshotLayout.parseShardSnapFiles(
-      Files.readString(shard0.resolve(s"snap-$uuidA.dat")))
+      Files.readAllBytes(shard0.resolve(s"snap-$uuidA.dat")))
     manifestedA.foreach(f =>
       assert(Files.exists(shard0.resolve(f)), s"snap_a file $f must survive"))
 
@@ -156,7 +156,7 @@ class SnapshotGenerationsSpec extends SparkSpec {
       assert(manifested === surviving)
       val referenced = manifested.flatMap(u =>
         SnapshotLayout.parseShardSnapFiles(
-          Files.readString(indexDir.resolve(s.toString).resolve(s"snap-$u.dat"))))
+          Files.readAllBytes(indexDir.resolve(s.toString).resolve(s"snap-$u.dat"))))
       assert(names.filter(_.startsWith("docs-")).toSet === referenced)
     }
     // compacting an already-compact repo is a no-op

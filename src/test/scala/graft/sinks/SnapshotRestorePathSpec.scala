@@ -35,10 +35,11 @@ import graft.sources.Ingest
  *  5. Every data file named by a per-shard snap manifest exists in that
  *     shard's directory, and manifest doc counts sum to the input count.
  *
- * Known byte-level delta vs a live ES 5.x repo, asserted here so the gap
- * is explicit and tracked: the `.dat` BODIES are plain JSON ("layout
- * mode"), not SMILE-encoded ES metadata — names, generations, and
- * directory topology match; body encoding does not (COVERAGE.md S6/S7).
+ * The `.dat` BODIES are SMILE-encoded (the wire format a live ES 5.x
+ * restore parses — `:)\n` header pinned below), decoded here with the
+ * repo's subset reader. The remaining byte-level delta vs a live repo is
+ * the field SCHEMA inside the SMILE trees and the Lucene segment payloads
+ * (layout mode) — tracked in README's compatibility matrix.
  */
 class SnapshotRestorePathSpec extends SparkSpec {
 
@@ -92,12 +93,14 @@ class SnapshotRestorePathSpec extends SparkSpec {
       assert(Files.exists(snapFile), s"shard $shard snap-$uuid.dat must exist")
 
       // step 5: data files named in the shard manifest are all present
-      val shardTree = mapper.readTree(Files.readAllBytes(snapFile))
-      assert(shardTree.get("snapshot").asText() === "restore_snap")
-      assert(shardTree.get("shard").asInt() === shard)
-      totalDocs += shardTree.get("doc_count").asLong()
-      val listed = shardTree.get("files").elements().asScala
-        .map(_.asText()).toSeq
+      // (shard snap bodies are SMILE — decode with the subset reader)
+      import graft.sinks.essnapshot.Smile
+      val shardTree = Smile.read(Files.readAllBytes(snapFile))
+      assert(Smile.str(shardTree, "snapshot").contains("restore_snap"))
+      assert(Smile.long(shardTree, "shard").contains(shard.toLong))
+      totalDocs += Smile.long(shardTree, "doc_count").getOrElse(0L)
+      val listed = Smile.arr(shardTree, "files")
+        .collect { case Smile.SStr(s) => s }
       listed.foreach(f => assert(Files.exists(shardDir.resolve(f)),
         s"manifested data file $f must exist in shard $shard"))
       // and nothing but manifested data files survives the commit sweep
@@ -107,10 +110,16 @@ class SnapshotRestorePathSpec extends SparkSpec {
     }
     assert(totalDocs === 40L)
 
-    // documented delta: .dat bodies are JSON layout-mode, NOT SMILE — the
-    // first byte of a SMILE stream is ':' (0x3A ":)\n" header); ours is '{'
-    val firstByte = Files.readAllBytes(root.resolve(s"snap-$uuid.dat")).head
-    assert(firstByte === '{'.toByte,
-      "layout-mode .dat bodies are JSON (documented deviation, COVERAGE.md S6/S7)")
+    // .dat bodies are SMILE: every metadata blob leads with the ":)\n"
+    // magic + flags byte a real ES 5.x restore expects to parse
+    for (datPath <- Seq(
+        root.resolve(s"snap-$uuid.dat"),
+        root.resolve(s"meta-$uuid.dat"),
+        indexDir.resolve(s"meta-$uuid.dat"),
+        indexDir.resolve("0").resolve(s"snap-$uuid.dat"))) {
+      val head = Files.readAllBytes(datPath).take(4)
+      assert(head === Array[Byte](0x3A, 0x29, 0x0A, 0x00),
+        s".dat bodies are SMILE-encoded (got ${head.mkString(",")} in $datPath)")
+    }
   }
 }

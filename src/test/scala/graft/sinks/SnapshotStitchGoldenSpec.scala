@@ -31,8 +31,8 @@ import graft.sources.Ingest
  *   (c) the whole tree, uuid-normalized, is byte-for-byte deterministic
  *       for a fixed fixture.
  *
- * Deltas vs a live ES 5.x repo stay pinned in SnapshotRestorePathSpec
- * (JSON-not-SMILE bodies) and README.md's compatibility matrix.
+ * `.dat` bodies are SMILE (pinned in SnapshotRestorePathSpec); remaining
+ * deltas vs a live ES 5.x repo stay pinned in README.md's matrix.
  */
 class SnapshotStitchGoldenSpec extends SparkSpec {
 
@@ -102,16 +102,19 @@ class SnapshotStitchGoldenSpec extends SparkSpec {
     // index.latest is the 8-byte BE generation 0
     assert(Files.readAllBytes(root.resolve("index.latest")).toSeq
       === Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0))
-    // shard snap bodies: field-exact JSON after uuid normalization
-    // (murmur3("0".."9") mod 2 places 6 docs in shard 0, 4 in shard 1)
-    val shard0 = mapper.readTree(Files.readAllBytes(
-      root.resolve("indices").resolve(indexId).resolve("0")
-        .resolve(s"snap-$baseUuid.dat")))
-    val shard1 = mapper.readTree(Files.readAllBytes(
-      root.resolve("indices").resolve(indexId).resolve("1")
-        .resolve(s"snap-$baseUuid.dat")))
-    assert(shard0.get("doc_count").asLong() + shard1.get("doc_count").asLong() === 10L)
-    assert(shard0.get("snapshot").asText() === "gold_snap")
-    assert(shard1.get("snapshot").asText() === "gold_snap")
+    // shard snap bodies: SMILE, field-exact, and byte-exact re-encodable —
+    // Smile.write(Smile.read(file)) == file proves the writer's canonical
+    // token choices (the deterministic field order the golden tree needs)
+    import graft.sinks.essnapshot.Smile
+    val bodies = Seq("0", "1").map { s =>
+      Files.readAllBytes(root.resolve("indices").resolve(indexId)
+        .resolve(s).resolve(s"snap-$baseUuid.dat"))
+    }
+    val trees = bodies.map(Smile.read)
+    assert(bodies.zip(trees).forall { case (b, t) =>
+      java.util.Arrays.equals(b, Smile.write(t)) },
+      "shard snap SMILE bodies must round-trip byte-exactly")
+    assert(trees.map(Smile.long(_, "doc_count").get).sum === 10L)
+    assert(trees.forall(Smile.str(_, "snapshot").contains("gold_snap")))
   }
 }
