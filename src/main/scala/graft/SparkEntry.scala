@@ -705,6 +705,26 @@ object SparkEntry {
           sum("duration_ms").cast("long").as("sum_dur"))
     }),
 
+    // COMPRESSED-image decode through the JDK's own ImageIO (PNG writer →
+    // PNG reader round-trip per row): decoded dims must equal the SQL
+    // arithmetic that synthesized them — a real compression cycle, not a
+    // header echo. GIF rows interleave to cover a second real format.
+    "mm_decode_png" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val spark = s
+      import spark.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val fmt = if (id % 2 == 0) "png" else "gif"
+          Multimodal.MediaRow(id, "image", Multimodal.MediaSynth.image(
+            16 + (id % 32).toInt, 8 + (id % 16).toInt, id, fmt))
+        }
+      Multimodal.extractMeta(media, Multimodal.ImageIOCodec).toDF()
+        .agg(count(lit(1)).as("n"),
+          sum("width").cast("long").as("sum_w"),
+          sum("height").cast("long").as("sum_h"))
+    }),
+
     // Multimodal: binary media envelope → per-partition decode-stub →
     // typed metadata (schema/partitioning/batching are the real product;
     // the codec is a documented stub — no SQL oracle).
@@ -1436,6 +1456,11 @@ object SparkEntry {
         |    AS BIGINT) AS sum_h,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 100 * (1 + doc_id % 10) ELSE 0 END)
         |    AS BIGINT) AS sum_dur
+        |FROM documents""".stripMargin,
+    "mm_decode_png" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(16 + doc_id % 32) AS BIGINT) AS sum_w,
+        |  CAST(sum(8 + doc_id % 16) AS BIGINT) AS sum_h
         |FROM documents""".stripMargin,
     "q_asof_join" ->
       """SELECT count(*) AS n_events, count(click_id) AS n_matched,

@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
  * Decode kernels: REAL for uncompressed containers — [[RawFormatsCodec]]
  * parses genuine BMP and WAV files (fixed-layout LE headers, RIFF chunk
  * walk) and computes real content features (per-region pixel intensity,
- * per-segment PCM RMS). Compressed formats (JPEG/MP4/...) need a decoder
- * library this environment doesn't have, so they run on [[StubCodec]] —
- * a deterministic fake behind the same [[MediaCodec]] seam; swapping in
- * a JNI/javacv codec changes one constructor argument. The Spark-side
- * plumbing (schema, partitioning, batch iteration, feature schema) is
- * identical either way and fully tested.
+ * per-segment PCM RMS) — and REAL for compressed images via
+ * [[ImageIOCodec]] (the JDK's own PNG/JPEG/GIF readers, zero new
+ * dependencies). Compressed audio/video (MP3/MP4/...) still need a
+ * decoder library this environment doesn't have, so they run on
+ * [[StubCodec]] — a deterministic fake behind the same [[MediaCodec]]
+ * seam; swapping in a JNI/javacv codec changes one constructor argument.
+ * The Spark-side plumbing (schema, partitioning, batch iteration,
+ * feature schema) is identical either way and fully tested.
  */
 object Multimodal {
 
@@ -173,6 +175,57 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL codec for COMPRESSED image containers via the JDK's own
+   * `javax.imageio` (PNG/JPEG/GIF/BMP readers ship in every JRE — zero
+   * new dependencies). Audio stays on [[RawFormatsCodec]]'s real WAV
+   * kernel; compressed audio/video (MP3/MP4/...) remain the one
+   * documented [[StubCodec]] seam left.
+   *
+   * Features are the same semantic as the BMP kernel: mean luminance per
+   * row-major pixel region — so the SAME logical image encoded as PNG or
+   * decoded raw yields comparable vectors (spec-pinned).
+   */
+  object ImageIOCodec extends MediaCodec {
+    private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+    override def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
+      kind match {
+        case "image" =>
+          val img = decode(bytes)
+          require(img != null, "undecodable image stream (no ImageIO reader)")
+          (img.getWidth, img.getHeight, 0L)
+        case other => RawFormatsCodec.decodeHeader(other, bytes)
+      }
+
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = try decode(bytes) catch { case _: Exception => null }
+      if (img == null) RawFormatsCodec.features(bytes, dim)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Float](dim)
+        val counts = new Array[Long](dim)
+        val total = w.toLong * h
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3f
+            val region = ((y.toLong * w + x) * dim / total).toInt
+            out(region) += luma; counts(region) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var r = 0
+        while (r < dim) { if (counts(r) > 0) out(r) /= counts(r) * 255f; r += 1 }
+        out
+      }
+    }
+  }
+
   /** Deterministic REAL media synthesis (for tests/gates — and the proof
     * that [[RawFormatsCodec]] parses genuine files, not our own fakes). */
   object MediaSynth {
@@ -208,6 +261,29 @@ object Multimodal {
         y += 1
       }
       out.array()
+    }
+
+    /** A REAL compressed image via `ImageIO.write` — same deterministic
+      * pixel pattern as [[bmp]], encoded by the JDK's own PNG/JPEG/GIF
+      * writer (format ∈ {"png", "jpg", "gif"}). The decode gate is
+      * honest: bytes go through a genuine compression round-trip. */
+    def image(w: Int, h: Int, seed: Long = 0L, format: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((x * 31L + y * 17L + seed) & 0xff).toInt
+          img.setRGB(x, y, (v << 16) | ((v ^ 0x55) << 8) | (255 - v))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for $format")
+      out.toByteArray
     }
 
     /** A valid 16-bit mono PCM WAV of `nSamples` at `sampleRate` Hz. */

@@ -89,6 +89,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIOCodec decodes real PNG/JPEG/GIF round-trips (dims + content)") {
+    for (fmt <- Seq("png", "jpg", "gif")) {
+      val bytes = Multimodal.MediaSynth.image(40, 24, seed = 7L, format = fmt)
+      // a genuine compressed container, not our own header: PNG magic /
+      // JFIF-or-Exif marker / GIF87a-89a signature
+      fmt match {
+        case "png" => assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte)
+        case "jpg" => assert((bytes(0) & 0xff) === 0xFF && (bytes(1) & 0xff) === 0xD8)
+        case "gif" => assert(bytes.take(3) === Array[Byte]('G', 'I', 'F'))
+      }
+      assert(Multimodal.ImageIOCodec.decodeHeader("image", bytes) === ((40, 24, 0L)))
+    }
+    // content features: an all-dark vs all-bright PNG must separate, and a
+    // lossless PNG of the SAME pattern must match its own re-encode exactly
+    def solid(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val dark = Multimodal.ImageIOCodec.features(solid(10), 4)
+    val bright = Multimodal.ImageIOCodec.features(solid(240), 4)
+    assert(dark.forall(f => math.abs(f - 10f / 255f) < 1e-4))
+    assert(bright.forall(f => math.abs(f - 240f / 255f) < 1e-4))
+    // audio delegates to the real WAV kernel; undecodable bytes fail loudly
+    val wav = Multimodal.MediaSynth.wav(8000)
+    assert(Multimodal.ImageIOCodec.decodeHeader("audio", wav) === ((0, 0, 1000L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIOCodec.decodeHeader("image", "not an image".getBytes)
+    }
+  }
+
   test("extractMeta runs the REAL codec through the partition-streamed path") {
     val media = (0L until 30L).map { id =>
       if (id % 2 == 0)
