@@ -251,6 +251,154 @@ object StressBench {
       vecs.unpersist()
     }
 
+    // ANN recall on a CLUSTERED manifold — the realistic embedding case
+    // (uniform random vectors are the adversarial floor: no structure for
+    // LSH planes or IVF cells to find). Points = cluster center + noise;
+    // true neighbors are overwhelmingly same-cluster, which is exactly the
+    // structure real text/image embeddings have.
+    if (only.contains("annrecall")) {
+      val n = 200000L
+      val cClusters = 256
+      val d = 64
+      val sigma = 0.08 // noise scale ≪ inter-center distance
+      val vecs = spark.range(n).toDF("vec_id")
+        .withColumn("embedding", expr(
+          s"transform(sequence(1, $d), i -> cast(" +
+            s"(pmod(xxhash64(pmod(vec_id, $cClusters), i), 1000) / 1000.0 - 0.5)" +
+            s" + $sigma * (pmod(xxhash64(vec_id, i, 7), 1000) / 1000.0 - 0.5)" +
+            s" as float))"))
+        .cache()
+      vecs.count()
+      val queries = vecs.filter(col("vec_id") % (n / 200) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def pairs(df: DataFrame): Set[(Long, Long)] = df
+        .select(col("query_id"), col("nn_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.bruteForceTopK(vecs, queries, 5))
+      for ((label, mk) <- Seq[(String, () => DataFrame)](
+        "lsh p=14" -> (() => Similarity.lshTopK(vecs, queries, 5, numPlanes = 14)),
+        "lsh p=10" -> (() => Similarity.lshTopK(vecs, queries, 5, numPlanes = 10)),
+        "ivf c=256 probe=1" -> (() => Similarity.ivfTopK(vecs, queries, 5,
+          numCells = 256, nProbe = 1)),
+        "ivf c=256 probe=4" -> (() => Similarity.ivfTopK(vecs, queries, 5,
+          numCells = 256, nProbe = 4)),
+        "ivf c=64 probe=4" -> (() => Similarity.ivfTopK(vecs, queries, 5,
+          numCells = 64, nProbe = 4)))) {
+        val t0 = System.nanoTime()
+        val got = pairs(mk())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = (got & exact).size.toDouble / exact.size
+        println(f"[stress] clustered recall@5 (n=$n, C=$cClusters, sigma=$sigma) " +
+          f"$label%-18s recall=$recall%.3f  ${sec}%6.2f s")
+      }
+      vecs.unpersist()
+    }
+
+    // Z-order pruning END-TO-END: write the same 2-D table twice — z-order
+    // clustered vs single-key sorted — with small parquet row groups, run
+    // the identical 2-D box scan on both, and read the SCAN metrics (rows
+    // surviving row-group pruning, files touched) from the executed plan.
+    if (only.contains("zorder")) {
+      val n = if (xl) 16000000L else 4000000L
+      val dom = 4096L
+      val box = 64L // query box side: dom/64 of each dimension
+      val df = spark.range(n).select(
+        pmod(col("id") * 2654435761L, lit(dom)).as("u"),
+        pmod(col("id") * 40503L, lit(dom)).as("t"),
+        col("id").as("payload"))
+      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      val (zdir, kdir) = (s"$base/z", s"$base/k")
+      // ~1 MB row groups → row-group pruning granularity well below a file
+      graft.operators.DataLayout.clusterByZOrder(df, "u", "t", Some(64))
+        .write.option("parquet.block.size", 1 << 20).parquet(zdir)
+      df.repartitionByRange(64, col("u")).sortWithinPartitions("u")
+        .write.option("parquet.block.size", 1 << 20).parquet(kdir)
+      def scanStats(dir: String): (Long, Long, Double) = {
+        val agg = spark.read.parquet(dir)
+          .filter(col("u") >= 1024 && col("u") < lit(1024 + box) &&
+            col("t") >= 2048 && col("t") < lit(2048 + box))
+          .agg(sum("payload").as("s"), count(lit(1)).as("n"))
+        val t0 = System.nanoTime()
+        agg.collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // AQE wraps materialized stages in QueryStageExec — recurse through
+        // them (and the adaptive root) to reach the actual scan nodes
+        def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allScans(qs.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allScans(a.executedPlan)
+        }.flatten
+        val scans = allScans(agg.queryExecution.executedPlan)
+        (scans.map(_.metrics("numOutputRows").value).sum,
+          scans.map(_.metrics("numFiles").value).sum, sec)
+      }
+      val (zRows, zFiles, zSec) = scanStats(zdir)
+      val (kRows, kFiles, kSec) = scanStats(kdir)
+      println(f"[stress] zorder scan (n=$n, box=$box x $box of $dom x $dom): " +
+        f"z-order rows=$zRows files=$zFiles ${zSec}%5.2f s | " +
+        f"key-sort rows=$kRows files=$kFiles ${kSec}%5.2f s | " +
+        f"rows-read ratio=${kRows.toDouble / math.max(1, zRows)}%.1f x")
+    }
+
+    // Streaming throughput: real MemoryStream drives at stress size —
+    // events/sec through sessionizeStream and docs/sec through
+    // nearDupVerdicts, with state rows/bytes from the progress feed.
+    // (The CORRECTNESS parity drives stay tiny; this measures rate.)
+    if (only.contains("stream")) {
+      import graft.streaming.Streams
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val base = 1700000000000L
+
+      // sessionize: 1M events, 20k users, 16 micro-batches
+      val nEv = 1000000
+      val events = (0 until nEv).map { i =>
+        Streams.Event(i.toLong, new java.sql.Timestamp(base + i * 3L),
+          (i % 20000).toLong, "t", 1.0)
+      }
+      val inE = MemoryStream[Streams.Event]
+      val qS = Streams.sessionizeStream(inE.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("stress_sessionize")
+        .outputMode("append").start()
+      val tE0 = System.nanoTime()
+      events.grouped(nEv / 16).foreach { g =>
+        inE.addData(g); qS.processAllAvailable() }
+      val eSec = (System.nanoTime() - tE0) / 1e9
+      val sState = qS.recentProgress.flatMap(_.stateOperators)
+      println(f"[stress] sessionizeStream: $nEv events / ${eSec}%.1f s = " +
+        f"${nEv / eSec}%.0f ev/s; state rows max=" +
+        f"${if (sState.isEmpty) 0L else sState.map(_.numRowsTotal).max}, " +
+        f"mem max=${if (sState.isEmpty) 0L else sState.map(_.memoryUsedBytes).max} B")
+      qS.stop()
+
+      // near-dup verdicts: 50k docs, 8 micro-batches (minhash + banded
+      // state is the cost; vocabulary large enough to avoid degenerate
+      // buckets, matching the batch tier's corpus shape)
+      val nDocs = 50000
+      val docRows = synthDocs(spark, nDocs.toLong).select("doc_id", "text")
+        .collect().zipWithIndex.map { case (r, i) =>
+          Streams.DocEvent(r.getLong(0),
+            new java.sql.Timestamp(base + i * 100L), r.getString(1)) }
+      val inD = MemoryStream[Streams.DocEvent]
+      val qD = Streams.nearDupVerdicts(inD.toDS())
+        .writeStream.format("memory").queryName("stress_neardup")
+        .outputMode("append").start()
+      val tD0 = System.nanoTime()
+      docRows.grouped(nDocs / 8).foreach { g =>
+        inD.addData(g.toSeq); qD.processAllAvailable() }
+      val dSec = (System.nanoTime() - tD0) / 1e9
+      val dState = qD.recentProgress.flatMap(_.stateOperators)
+      println(f"[stress] nearDupVerdicts: $nDocs docs / ${dSec}%.1f s = " +
+        f"${nDocs / dSec}%.0f docs/s; state rows max=" +
+        f"${if (dState.isEmpty) 0L else dState.map(_.numRowsTotal).max}, " +
+        f"mem max=${if (dState.isEmpty) 0L else dState.map(_.memoryUsedBytes).max} B")
+      qD.stop()
+    }
+
     // scaling factors op by op: sec(16x)/sec(1x) — linear ⇒ ~16, and the
     // fixed per-job overhead at these sizes usually keeps it below that
     println("op,n,seconds,rows")
