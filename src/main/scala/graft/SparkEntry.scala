@@ -522,6 +522,23 @@ object SparkEntry {
         .select("id_a", "id_b", "cosine")
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    // dedup within clusters only. Gated on planted exact copies: an
+    // identical vector always lands in its original's cell (same argmin)
+    // and scores cosine 1.0, so exactly the plants drop (keep-first
+    // min-id rule) and every original survives — no original pair
+    // reaches the 0.9999 threshold on this table, the same property
+    // dedup_embedding_lsh relies on.
+    "semantic_dedup" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val v = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val plants = v.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(v.unionAll(plants), 0.9999, numCells = 8)
+        .agg(count(lit(1)).as("kept"),
+          sum("vec_id").cast("long").as("id_sum"))
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline).
     "ann_topk" -> ((s, dir) => {
       import graft.operators.Similarity
@@ -1318,6 +1335,11 @@ object SparkEntry {
     "ef_targeted_read" ->
       """SELECT count(*) AS found_docs FROM events
         |WHERE event_id % 1000 = 0""".stripMargin,
+    // SemDeDup: plants drop (same cell as their original, cosine 1.0),
+    // originals all survive → the kept set IS the original table.
+    "semantic_dedup" ->
+      """SELECT count(*) AS kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM embeddings""".stripMargin,
     // Identical planted vectors must be recovered through LSH buckets.
     "dedup_embedding_lsh" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,

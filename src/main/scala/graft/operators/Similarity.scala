@@ -330,6 +330,52 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /**
+   * SemDeDup-style SEMANTIC deduplication (the method of Abbas et al.
+   * 2023, "SemDeDup: Data-efficient learning at web-scale through
+   * semantic deduplication", arXiv:2303.09540): k-means-cluster the
+   * embedding space, then deduplicate WITHIN each cluster only — two
+   * semantically-redundant documents land in the same cluster, so the
+   * quadratic cosine comparison is confined to cluster-mates.
+   *
+   * Keep rule (deterministic, order-free): a vector is dropped iff some
+   * SMALLER-id cluster-mate has cosine ≥ `threshold` with it — the
+   * keep-first semantic every dedup operator in this engine uses, so
+   * re-runs, retries, and the SQL oracle all keep the identical row set.
+   * (The paper keeps a random/centroid-distant representative per
+   * ε-ball; min-id is the reproducible choice and drops the same count.)
+   *
+   * Scale shape: centroid training is bounded-sample ([[trainKMeans]] —
+   * cost independent of corpus size), assignment is one broadcast +
+   * streamed map pass (no shuffle), and the within-cluster pair join is
+   * an equi-join on `cell` whose fan-out is Σ|cell|² — size `numCells ≈
+   * n / targetCellSize` to bound it (the paper uses ~100k clusters at
+   * web scale for exactly this reason). Identical vectors always share a
+   * cell (same argmin), so exact duplicates are never missed; near-dups
+   * split across a cell boundary are the method's documented recall
+   * trade.
+   */
+  def semanticDedup(df: DataFrame, threshold: Double, numCells: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    iters: Int = 5, seed: Long = 42,
+                    trainSample: Int = 50000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val cents = trainKMeans(df, numCells, iters, seed, trainSample, idCol, vecCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(cents)
+    // assignment keeps the vector inline — no join back to the corpus
+    val withCell = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value
+        rows.map { case (id, vec) => (id, vec, nearest(cs, vec)) }
+      }.toDF(idCol, vecCol, "cell")
+    val dropIds = cosinePairs(withCell, threshold, col("cell"), idCol, vecCol)
+      .select(col("id_b").as("__sd_drop")).distinct()
+    df.join(dropIds, col(idCol) === col("__sd_drop"), "left_anti")
+  }
+
   /** LSH-blocked cosine near-dup pairs — the scale path for
     * embedding dedup: candidates only within (multi-probed) buckets. */
   def lshCosinePairs(df: DataFrame, threshold: Double, numPlanes: Int = 12,

@@ -101,4 +101,26 @@ class SimilaritySpec extends SparkSpec {
     // identical vectors always agree (the consistency the driver gate pins)
     assert(assigned(0L) === assigned(5L)) // same jitter pattern i%5
   }
+
+  test("semanticDedup drops within-cluster near-dups, keeps min-id first") {
+    // two far-apart clusters; within cluster 0: ids 0 and 1 are IDENTICAL,
+    // id 2 is a near-dup of 0 (cos > 0.999), id 3 is distinct (orthogonal
+    // jitter, cos < threshold); cluster 1 has no dups
+    val rows = Seq(
+      0L -> Array(1f, 2f, 3f, 4f),
+      1L -> Array(1f, 2f, 3f, 4f),                  // exact dup of 0
+      2L -> Array(1.0001f, 2.0002f, 3.0001f, 4f),   // near-dup of 0
+      3L -> Array(4f, 3f, 2f, 1f),                  // same region, different direction
+      10L -> Array(100f, 100f, 100f, 100f),         // far region...
+      11L -> Array(-100f, 100f, -100f, 100f)        // ...orthogonal mate (cos 0)
+    ).toDF("vec_id", "embedding")
+    // NOTE the only >= 0.999 pairs are (0,1)/(0,2)/(1,2), and identical/
+    // near-identical vectors co-cluster under ANY k-means outcome — the
+    // expected keep set is robust to how the far points split
+    val kept = Similarity.semanticDedup(rows, 0.999, numCells = 2,
+        trainSample = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 3L, 10L, 11L),
+      s"expected min-id survivors per near-dup group, got $kept")
+  }
 }
