@@ -522,6 +522,33 @@ object SparkEntry {
         .select("id_a", "id_b", "cosine")
     }),
 
+    // URL-level keep-first dedup — the crawl pipeline's first gate.
+    // Four URL variants per group (case, www+fragment, default port +
+    // tracking param, trailing slash) all canonicalize to one key; the
+    // min-id survivor per group is doc_id % 4 == 0 by construction, so
+    // the invariant is exactly SQL-checkable while the regex semantics
+    // themselves are pinned pairwise (incl. must-NOT-merge cases) in
+    // TextAnalysisSpec.
+    "dedup_url" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val urls = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("__g", expr("doc_id div 4").cast("string"))
+        .withColumn("url", concat(
+          when(col("doc_id") % 4 === 1,
+            concat(lit("HTTPS://WWW.EXAMPLE"), col("__g"), lit(".COM/docs/page#frag")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://example"), col("__g"),
+              lit(".com:443/docs/page?utm_source=feed")))
+          .when(col("doc_id") % 4 === 3,
+            concat(lit("https://example"), col("__g"), lit(".com/docs/page/")))
+          .otherwise(
+            concat(lit("https://example"), col("__g"), lit(".com/docs/page")))))
+        .drop("__g")
+      TextAnalysis.dedupByUrl(urls, "doc_id", "url")
+        .agg(count(lit(1)).as("kept"),
+          sum("doc_id").cast("long").as("id_sum"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
     // dedup within clusters only. Gated on planted exact copies: an
     // identical vector always lands in its original's cell (same argmin)
@@ -1335,6 +1362,11 @@ object SparkEntry {
     "ef_targeted_read" ->
       """SELECT count(*) AS found_docs FROM events
         |WHERE event_id % 1000 = 0""".stripMargin,
+    // URL dedup: the canonical-group minimum is doc_id % 4 == 0 by
+    // construction (consecutive ids, 4 variants per group).
+    "dedup_url" ->
+      """SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
     // SemDeDup: plants drop (same cell as their original, cosine 1.0),
     // originals all survive → the kept set IS the original table.
     "semantic_dedup" ->

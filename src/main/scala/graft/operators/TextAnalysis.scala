@@ -263,6 +263,66 @@ object TextAnalysis {
     xxhash64(graft.functions.Text.canonicalTokens(text))
 
   /**
+   * URL canonicalization — the FIRST dedup key of a crawl pipeline
+   * (CCNet/RefinedWeb dedup by normalized URL before any content
+   * sketch). Deterministic rewrite chain, all codegen'd `functions._`
+   * regex steps (engine-portable: the DuckDB oracle replays the same
+   * rules):
+   *   1. trim; drop the `#fragment`;
+   *   2. lowercase ONLY the scheme://host part (paths stay
+   *      case-sensitive);
+   *   3. strip a leading `www.`;
+   *   4. strip explicit default ports (`:80` for http, `:443` for
+   *      https);
+   *   5. remove tracking params (`utm_*`, `gclid`, `fbclid`) and tidy
+   *      the left-over `?`/`&` separators;
+   *   6. strip trailing slashes (`https://a.com/` ≡ `https://a.com`).
+   *
+   * Not a full RFC 3986 normalizer (no percent-decoding or path-segment
+   * resolution) — it is the practical crawl-dedup key, documented as
+   * such.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val trimmed = regexp_replace(trim(url), "#.*$", "")
+    // lowercase scheme://authority, keep the rest verbatim
+    val head = lower(regexp_extract(trimmed,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$", 1))
+    val rest = regexp_extract(trimmed,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$", 2)
+    // when the scheme regex doesn't match (relative/opaque), pass through
+    val lowered = when(head === "", trimmed).otherwise(concat(head, rest))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    // captured-group form, not lookahead — RE2 (the oracle's engine) has
+    // no lookahead assertions
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "[?&](?:utm_[^&=#]*|gclid|fbclid)=[^&#]*", "")
+    // a surviving param after a removed leading one: "...path&a=b" → "?a=b"
+    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    regexp_replace(regexp_replace(fixedSep, "[?&]+$", ""), "/+$", "")
+  }
+
+  /**
+   * URL-level keep-first dedup: one survivor (smallest `idCol`) per
+   * [[canonicalUrl]] group. Shuffle carries (id, 8-byte url hash) —
+   * bodies never move; at 100 TB this is the cheap first gate before
+   * any content sketching, exactly where crawl pipelines put it. 64-bit
+   * hash collisions are the usual approximation (~n²/2⁶⁵).
+   */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__uh") && !df.columns.contains("__rk"),
+      "columns __uh/__rk are reserved here")
+    val w = Window.partitionBy(col("__uh")).orderBy(col(idCol).asc)
+    df.withColumn("__uh", xxhash64(canonicalUrl(col(urlCol))))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__uh", "__rk")
+  }
+
+  /**
    * Corpus-frequent line statistics: one row per line (by 64-bit hash)
    * appearing in at least `minDocFreq` DISTINCT documents — the
    * boilerplate census behind [[stripBoilerplate]], exposed for

@@ -253,4 +253,49 @@ class TextAnalysisSpec extends SparkSpec {
           lit(0.0)).as("dup2gram_frac"))
     assert(native.exceptAll(replica).isEmpty && replica.exceptAll(native).isEmpty)
   }
+
+  test("canonicalUrl: each rewrite rule, and what must NOT merge") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+        .as[String].head()
+    val base = "https://example.com/Path"
+    // every variant class collapses to the same canonical form
+    for (variant <- Seq(
+        "https://example.com/Path",
+        "  https://example.com/Path  ",          // whitespace
+        "https://example.com/Path#section-2",    // fragment
+        "HTTPS://EXAMPLE.COM/Path",              // scheme+host case
+        "https://www.example.com/Path",          // www
+        "https://example.com:443/Path",          // default port
+        "https://example.com/Path/",             // trailing slash
+        "https://example.com/Path?utm_source=x&utm_medium=y", // tracking only
+        "https://www.example.com:443/Path/#f"))  // stacked
+      assert(canon(variant) === base, s"variant $variant")
+    // tracking params drop but REAL params survive, separators repaired
+    assert(canon("https://a.com/p?utm_source=x&q=1") === "https://a.com/p?q=1")
+    assert(canon("https://a.com/p?q=1&fbclid=zzz") === "https://a.com/p?q=1")
+    assert(canon("https://a.com/p?gclid=1&utm_x=2") === "https://a.com/p")
+    // things that must NOT merge: path case, real params, non-default port
+    assert(canon("https://example.com/path") !== base)
+    assert(canon("https://example.com/Path?q=1") !== base)
+    assert(canon("https://example.com:8443/Path") !== base)
+    // http default port is 80, not 443
+    assert(canon("http://a.com:80/x") === "http://a.com/x")
+    assert(canon("http://a.com:443/x") === "http://a.com:443/x")
+    // non-URL strings pass through un-mangled (minus trim/fragment rules)
+    assert(canon("not a url") === "not a url")
+  }
+
+  test("dedupByUrl keeps the smallest id per canonical group") {
+    val df = Seq(
+      (0L, "https://site.com/a"),
+      (1L, "https://www.site.com/a/"),      // dup of 0
+      (2L, "HTTPS://SITE.COM/a#x"),         // dup of 0
+      (3L, "https://site.com/b"),
+      (4L, "https://site.com/b?utm_source=t") // dup of 3
+    ).toDF("doc_id", "url")
+    val kept = TextAnalysis.dedupByUrl(df, "doc_id", "url")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 3L))
+  }
 }
