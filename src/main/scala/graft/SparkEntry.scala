@@ -653,6 +653,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_splits"), sum("n").as("total_docs"))
     }),
 
+    // LEAKAGE-SAFE split: near-dup groups co-assign to one split (raw
+    // id-hash splitting would scatter a dup group across train/test with
+    // probability 1-Σw²). Plants are byte-near copies of corpus docs
+    // (same construction dedup_incremental verifies at 0.85); the gate
+    // counts (original, plant) pairs sharing a split — must be ALL.
+    "split_leakage_safe" -> ((s, dir) => {
+      import graft.operators.Splits
+      val all = t(s, dir, "documents")
+      val docs = all.select("doc_id", "text")
+      val plants = all.filter(col("doc_id") % 25 === 0 && col("n_chars") >= 200)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      val assigned = Splits.assignLeakageSafe(docs.unionAll(plants),
+        "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val o = assigned.select(col("doc_id").as("oid"), col("split").as("osplit"))
+      val p = assigned.select((col("doc_id") - 1000000L).as("oid"),
+        col("split").as("psplit"))
+      o.join(p, "oid")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("osplit") === col("psplit"), 1L).otherwise(0L))
+            .cast("long").as("same_split_pairs"))
+        .crossJoin(assigned.agg(count(lit(1)).as("total_docs")))
+    }),
+
     // Composite training-data filter: quality score + token-range gates,
     // the end-to-end "keep what's trainable" shape. Fully SQL-replicated.
     "text_quality_filter" -> ((s, dir) => {
@@ -1405,6 +1429,14 @@ object SparkEntry {
     "split_assign" ->
       """SELECT CAST(3 AS BIGINT) AS n_splits, count(*) AS total_docs
         |FROM documents""".stripMargin,
+    // Every (original, plant) near-dup pair must share its split.
+    "split_leakage_safe" ->
+      """SELECT CAST(p.cnt AS BIGINT) AS n_pairs,
+        |       CAST(p.cnt AS BIGINT) AS same_split_pairs,
+        |       CAST(d.cnt + p.cnt AS BIGINT) AS total_docs
+        |FROM (SELECT count(*) cnt FROM documents
+        |      WHERE doc_id % 25 = 0 AND n_chars >= 200) p,
+        |     (SELECT count(*) cnt FROM documents) d""".stripMargin,
     // Full replication of the quality_score formula over the same gates.
     "text_quality_filter" ->
       """WITH q AS (

@@ -44,4 +44,38 @@ object Splits {
   def only(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
            name: String, salt: Long = 0L): DataFrame =
     assign(df, idCol, weights, salt).filter(col("split") === name).drop("split")
+
+  /**
+   * LEAKAGE-SAFE split: hashing raw ids puts two near-duplicate documents
+   * in different splits with probability 1 - Σw², quietly leaking train
+   * content into eval (the classic contamination eval papers flag).
+   * Here every near-dup connected component is hashed by its CANONICAL
+   * id ([[Dedup.minhashPairs]] → verify → [[Dedup.assignCanonical]]),
+   * so a whole dup group always lands in ONE split; singleton docs hash
+   * by their own id exactly as [[assign]] does.
+   *
+   * Scale shape: the dup graph is the same lean band-join machinery as
+   * [[Dedup.dedupe]] (cost ∝ candidates, not n²); the split itself stays
+   * a map-only hash on the joined canonical column.
+   */
+  def assignLeakageSafe(df: DataFrame, idCol: String, textCol: String,
+                        weights: Seq[(String, Double)],
+                        jaccardThreshold: Double = 0.85, salt: Long = 0L,
+                        out: String = "split"): DataFrame = {
+    require(!df.columns.contains("__canon"), "column __canon is reserved here")
+    val cand = Dedup.minhashPairs(df, idCol, textCol,
+      threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
+      .select("id_a", "id_b")
+    val verified = Dedup.verifyJaccard(cand, df, idCol, textCol)
+      .filter(col("jaccard") >= jaccardThreshold).select("id_a", "id_b")
+    val labels = Dedup.assignCanonical(
+        df.select(col(idCol).cast("long").as("id")), verified)
+      .withColumnRenamed("canonical_id", "__canon")
+    assign(df.join(labels, col(idCol) === col("id"), "left")
+        .drop("id")
+        // a doc outside the dup graph is its own canonical; NULL-safe
+        .withColumn("__canon", coalesce(col("__canon"), col(idCol).cast("long"))),
+      "__canon", weights, salt, out)
+      .drop("__canon")
+  }
 }

@@ -49,4 +49,26 @@ class SplitsSpec extends SparkSpec {
       .filter(col("split") =!= "train").count()
     assert(train + other === 3000L)
   }
+
+  test("assignLeakageSafe: near-dup groups share a split; singletons match assign()") {
+    import org.apache.spark.sql.functions.{concat_ws, expr}
+    // distinct md5-derived docs (no accidental shingle overlap) + exact
+    // copies of every 5th doc under offset ids
+    val docs = spark.range(200).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        expr("transform(sequence(1, 30), i -> substr(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 8))")))
+    val plants = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val assigned = Splits.assignLeakageSafe(docs.unionAll(plants),
+      "doc_id", "text", weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every dup pair co-assigned
+    (0L until 200L by 5).foreach { id =>
+      assert(assigned(id) === assigned(id + 1000L), s"pair $id split apart") }
+    // docs outside any dup group get exactly the plain assign() split
+    val plain = Splits.assign(docs, "doc_id", weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (0L until 200L).filter(_ % 5 != 0).foreach { id =>
+      assert(assigned(id) === plain(id)) }
+  }
 }
