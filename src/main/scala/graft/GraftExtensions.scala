@@ -88,5 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "zorder63",
       "zorder63(a, b, c) - three-way Morton interleave, 21 bits per dimension",
       { case Seq(a, b, c) => ZOrder63(a, b, c) })
+
+    // a composed rewrite chain, not a single native expression: the
+    // builder and the Column facade share ONE Catalyst tree definition
+    register(ext, "canonical_url",
+      "canonical_url(url) - crawl-dedup URL key: fragment/case/www/default-port/tracking-param/trailing-slash normalization",
+      { case Seq(url) => org.apache.spark.sql.graft.UrlFunctions.canonicalUrl(url) })
   }
 }

@@ -280,29 +280,12 @@ object TextAnalysis {
    *
    * Not a full RFC 3986 normalizer (no percent-decoding or path-segment
    * resolution) — it is the practical crawl-dedup key, documented as
-   * such.
+   * such. One definition serves both surfaces: this Column facade and
+   * the `canonical_url` SQL registration both delegate to the Catalyst
+   * tree in [[org.apache.spark.sql.graft.UrlFunctions]].
    */
-  def canonicalUrl(url: Column): Column = {
-    val trimmed = regexp_replace(trim(url), "#.*$", "")
-    // lowercase scheme://authority, keep the rest verbatim
-    val head = lower(regexp_extract(trimmed,
-      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$", 1))
-    val rest = regexp_extract(trimmed,
-      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$", 2)
-    // when the scheme regex doesn't match (relative/opaque), pass through
-    val lowered = when(head === "", trimmed).otherwise(concat(head, rest))
-    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
-    // captured-group form, not lookahead — RE2 (the oracle's engine) has
-    // no lookahead assertions
-    val noPort = regexp_replace(
-      regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
-      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    val noTrack = regexp_replace(noPort,
-      "[?&](?:utm_[^&=#]*|gclid|fbclid)=[^&#]*", "")
-    // a surviving param after a removed leading one: "...path&a=b" → "?a=b"
-    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
-    regexp_replace(regexp_replace(fixedSep, "[?&]+$", ""), "/+$", "")
-  }
+  def canonicalUrl(url: Column): Column =
+    org.apache.spark.sql.graft.UrlFunctions.canonicalUrl(url)
 
   /**
    * URL-level keep-first dedup: one survivor (smallest `idCol`) per

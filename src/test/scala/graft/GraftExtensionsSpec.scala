@@ -34,7 +34,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       repetition_stats('a b a b', 2) AS rs,
           |       char_entropy('aabb') AS ce,
           |       zorder62(3, 1) AS z,
-          |       zorder63(1, 1, 1) AS z3
+          |       zorder63(1, 1, 1) AS z3,
+          |       canonical_url('HTTPS://WWW.Example.COM:443/Path/?utm_source=x#f') AS cu
           |""".stripMargin).head()
       assert(r.getInt(0) === EsMurmur3.hash("hello"))
       assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
@@ -52,6 +53,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(11) === 7L)
       // three dims, bit 0 each → bits 0,1,2 → 7
       assert(r.getLong(12) === 7L)
+      assert(r.getString(13) === "https://example.com/Path")
     } finally spark.stop() // this suite owns its session (extensions differ)
   }
 }
