@@ -535,20 +535,58 @@ object Dedup {
    * Canonical-representative assignment over near-dup pairs: iterative
    * min-label propagation (connected components on the dup graph, log-n
    * rounds bounded by `maxIter`). Returns (id, canonical_id).
+   *
+   * Dup graphs are a vanishing fraction of any deduped corpus, so up to
+   * `maxDriverEdges` directed edge rows the components are solved in ONE
+   * collect + union-find on the driver (exactly the component-min labels
+   * the converged loop yields) instead of log-n shuffle rounds each
+   * paying a state checkpoint — at bench scale the rounds, not the data,
+   * are the cost. Above the threshold (≈32 MB of edge rows at the
+   * default) the distributed loop runs unchanged; pass 0 to force it.
    */
   def assignCanonical(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10,
-                      broadcastEdges: Boolean = true): DataFrame = {
+                      broadcastEdges: Boolean = true,
+                      maxDriverEdges: Long = 2L << 20): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     // dup-free corpus: every doc is its own canonical — skip the loop
-    // (and its per-round jobs) entirely
-    if (edges.isEmpty) {
+    // (and its per-round jobs) entirely. The count doubles as the
+    // driver-path size gate (one job either way).
+    val edgeCount = edges.count()
+    if (edgeCount == 0L) {
       edges.unpersist()
       return ids.select(col("id"), col("id").as("canonical_id"))
     }
     def maybeBc(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
+    if (maxDriverEdges > 0 && edgeCount <= maxDriverEdges) {
+      // driver union-find: component-min labels, identical to the
+      // converged propagation result, zero iterative rounds
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: every tree's root stays its component's
+        // minimum, so find() IS the canonical id
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val labels = maybeBc(verts.iterator.map(v => (v, find(v))).toSeq
+        .toDF("id2", "__cc"))
+      return ids.join(labels, col("id") === col("id2"), "left")
+        .select(col("id"), coalesce(col("__cc"), col("id")).as("canonical_id"))
+    }
     // the label-propagation loop only needs the vertices that touch an
     // edge — in a dup graph a vanishing fraction of the corpus; every
     // other doc is trivially its own canonical and never enters a round.

@@ -143,6 +143,21 @@ class DedupSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L))
   }
 
+  test("assignCanonical: driver union-find equals the distributed loop") {
+    val ids = spark.range(0, 30).toDF("id")
+    // chains, a merged pair of chains, and singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 10L)).toDF("id_a", "id_b")
+    val fast = Dedup.assignCanonical(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    val loop = Dedup.assignCanonical(ids, pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === loop)
+    assert(fast(4L) === 1L)              // chain min
+    assert(fast(20L) === 10L && fast(22L) === 10L) // merged components
+    assert(fast(7L) === 7L)              // singleton identity
+  }
+
   test("dedupChunks: first occurrence survives, later copies drop, docs rebuild in order") {
     // 2-token chunks: doc1 = [a b][c d], doc2 repeats [a b] then unique,
     // doc3 is a full copy of doc1, doc4 has an odd tail chunk, doc5 blank
