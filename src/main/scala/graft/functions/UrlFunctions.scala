@@ -38,10 +38,16 @@ object UrlFunctions {
     val noPort = rr(rr(noWww,
       "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    val noTrack = rr(noPort, "[?&](?:utm_[^&=#]*|gclid|fbclid)=[^&#]*", "")
-    // a surviving param after a removed leading one: "...path&a=b" → "?a=b"
-    val fixedSep = rr(noTrack, "^([^?]*)&", "$1?")
-    rr(rr(fixedSep, "[?&]+$", ""), "/+$", "")
+    // tracking params: '&'-prefixed ones drop outright, then a LEADING
+    // '?tracker=v&rest' hands its '?' to the next param by consuming the
+    // following '&'. Order matters — doing '&' first means at most ONE
+    // leading tracker remains for the '?' pass, so a single pass of each
+    // suffices. No blanket "first '&' becomes '?'" repair: '&' is a legal
+    // PATH character ("/x&y"), and rewriting it would falsely merge
+    // distinct URLs.
+    val noAmpTrack = rr(noPort, "&(?:utm_[^&=#]*|gclid|fbclid)=[^&#]*", "")
+    val noTrack = rr(noAmpTrack, "\\?(?:utm_[^&=#]*|gclid|fbclid)=[^&#]*&?", "?")
+    rr(rr(noTrack, "[?&]+$", ""), "/+$", "")
   }
 
   def canonicalUrl(url: Column): Column =

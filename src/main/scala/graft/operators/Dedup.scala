@@ -560,7 +560,12 @@ object Dedup {
       return ids.select(col("id"), col("id").as("canonical_id"))
     }
     def maybeBc(df: DataFrame): DataFrame = if (broadcastEdges) broadcast(df) else df
-    if (maxDriverEdges > 0 && edgeCount <= maxDriverEdges) {
+    // the driver path works in the long domain; any other id type
+    // (string/int-keyed graphs were always legal here) stays on the
+    // loop, which also keeps the output label type identical per input
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && maxDriverEdges > 0 && edgeCount <= maxDriverEdges) {
       // driver union-find: component-min labels, identical to the
       // converged propagation result, zero iterative rounds
       val spark = ids.sparkSession

@@ -62,19 +62,29 @@ object Splits {
                         weights: Seq[(String, Double)],
                         jaccardThreshold: Double = 0.85, salt: Long = 0L,
                         out: String = "split"): DataFrame = {
-    require(!df.columns.contains("__canon"), "column __canon is reserved here")
+    require(!df.columns.contains("__canon") && !df.columns.contains("__lsid"),
+      "columns __canon/__lsid are reserved here")
+    // ids must be BIGINT: the canonical label lives in the long domain,
+    // and hashing a silently-cast id would diverge from assign() for any
+    // other type (a NULL-producing cast would even collapse the whole
+    // corpus into one split) — fail loudly instead
+    require(df.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"$idCol must be BIGINT for leakage-safe splitting " +
+        s"(got ${df.schema(idCol).dataType}); derive a long id first")
     val cand = Dedup.minhashPairs(df, idCol, textCol,
       threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
       .select("id_a", "id_b")
     val verified = Dedup.verifyJaccard(cand, df, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold).select("id_a", "id_b")
+    // alias uniquely: df may itself carry an "id" column
     val labels = Dedup.assignCanonical(
-        df.select(col(idCol).cast("long").as("id")), verified)
-      .withColumnRenamed("canonical_id", "__canon")
-    assign(df.join(labels, col(idCol) === col("id"), "left")
-        .drop("id")
+        df.select(col(idCol).as("id")), verified)
+      .select(col("id").as("__lsid"), col("canonical_id").as("__canon"))
+    assign(df.join(labels, col(idCol) === col("__lsid"), "left")
+        .drop("__lsid")
         // a doc outside the dup graph is its own canonical; NULL-safe
-        .withColumn("__canon", coalesce(col("__canon"), col(idCol).cast("long"))),
+        .withColumn("__canon", coalesce(col("__canon"), col(idCol))),
       "__canon", weights, salt, out)
       .drop("__canon")
   }

@@ -81,16 +81,7 @@ object EsSnapshot {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    def readBytes(p: Path): Array[Byte] = {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
-    }
+    def readBytes(p: Path): Array[Byte] = SnapshotLayout.readBytes(fs, p)
     def writeStr(p: Path, body: String): Unit = {
       val out = fs.create(p, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

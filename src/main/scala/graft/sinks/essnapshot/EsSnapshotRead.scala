@@ -86,16 +86,7 @@ class EsSnapshotScan(dest: String, conf: SerializableConfiguration,
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    def readBytes(p: Path): Array[Byte] = {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
-    }
+    def readBytes(p: Path): Array[Byte] = SnapshotLayout.readBytes(fs, p)
     // live generation via index.latest (BaseTransport.java:169-179), like
     // a restore does; fall back to index-0 for hand-built layouts
     val latest = new Path(dest, SnapshotLayout.IndexLatest)

@@ -256,16 +256,7 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
       val in = fs.open(path)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    def readBytes(path: Path): Array[Byte] = {
-      val in = fs.open(path)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
-    }
+    def readBytes(path: Path): Array[Byte] = SnapshotLayout.readBytes(fs, path)
 
     // Snapshot repos accumulate: read the live generation (if any), append
     // this snapshot, and publish generation N+1 — the reference's repo

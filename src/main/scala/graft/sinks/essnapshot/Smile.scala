@@ -107,7 +107,11 @@ object Smile {
 
   private def writeStringValue(out: ByteArrayOutputStream, s: String): Unit = {
     val b = s.getBytes(UTF_8)
-    val ascii = b.length == s.length && s.forall(_ < 0x80)
+    // classify by the ENCODED bytes, not the chars: a lone surrogate
+    // encodes to the 1-byte replacement '?' — char-based classification
+    // would route it to the tiny-Unicode class whose minimum length is 2
+    // and emit an invalid token
+    val ascii = asciiBytes(b)
     if (b.length == 0) out.write(0x20) // empty string
     else if (ascii && b.length <= 32) { out.write(0x40 + b.length - 1); out.write(b, 0, b.length) }
     else if (ascii && b.length <= 64) { out.write(0x60 + b.length - 33); out.write(b, 0, b.length) }
@@ -120,9 +124,15 @@ object Smile {
     }
   }
 
+  private def asciiBytes(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if ((b(i) & 0x80) != 0) return false; i += 1 }
+    true
+  }
+
   private def writeKey(out: ByteArrayOutputStream, k: String): Unit = {
     val b = k.getBytes(UTF_8)
-    val ascii = b.length == k.length && k.forall(_ < 0x80)
+    val ascii = asciiBytes(b)
     if (b.length == 0) out.write(0x20) // empty key name
     else if (ascii && b.length <= 64) { out.write(0x80 + b.length - 1); out.write(b, 0, b.length) }
     else if (!ascii && b.length >= 2 && b.length <= 57) { out.write(0xC0 + b.length - 2); out.write(b, 0, b.length) }

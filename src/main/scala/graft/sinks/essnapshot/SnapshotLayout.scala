@@ -152,9 +152,35 @@ object SnapshotLayout {
 
   import Smile.{SArr, SLong, SObj, SStr, SVal}
 
-  /** Data files listed in a per-shard snap-<uuid>.dat manifest. */
+  /** Data files listed in a per-shard snap-<uuid>.dat manifest. SMILE is
+    * the written format; pre-round-5 repos carried JSON bodies, and a
+    * parse failure here is NOT safe to swallow — the commit sweep and
+    * `deleteSnapshot` treat "no parse" as "no referenced files" and
+    * would garbage-collect data files that legacy snapshots still
+    * reference. The JSON fallback keeps appending to (and deleting
+    * from) a legacy repo lossless. */
   def parseShardSnapFiles(body: Array[Byte]): Seq[String] =
-    Smile.arr(Smile.read(body), "files").collect { case SStr(s) => s }
+    if (body.length >= 3 && body(0) == 0x3A && body(1) == 0x29 && body(2) == 0x0A)
+      Smile.arr(Smile.read(body), "files").collect { case SStr(s) => s }
+    else {
+      val files = mapper.readTree(body).get("files")
+      if (files == null || !files.isArray) Seq.empty
+      else (0 until files.size()).map(files.get(_).asText())
+    }
+
+  /** Chunked whole-file read — the shared helper for every `.dat`
+    * consumer (binary-safe, unlike a UTF-8 string round-trip). */
+  def readBytes(fs: org.apache.hadoop.fs.FileSystem,
+                path: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
 
   /** Per-shard snap-<uuid>.dat content (SMILE). */
   def shardSnapDat(snapshotName: String, index: String, shard: Int,

@@ -275,6 +275,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(canon("https://a.com/p?utm_source=x&q=1") === "https://a.com/p?q=1")
     assert(canon("https://a.com/p?q=1&fbclid=zzz") === "https://a.com/p?q=1")
     assert(canon("https://a.com/p?gclid=1&utm_x=2") === "https://a.com/p")
+    // '&' is a legal PATH character: never rewritten, never merged with
+    // a real query string, and stacked trackers still clean up fully
+    assert(canon("https://a.com/x&y") === "https://a.com/x&y")
+    assert(canon("https://a.com/x&y") !== canon("https://a.com/x?y"))
+    assert(canon("https://a.com/a&b?q=1") === "https://a.com/a&b?q=1")
+    assert(canon("https://a.com/p?utm_a=1&utm_b=2&q=3") === "https://a.com/p?q=3")
+    assert(canon("https://a.com/p?utm_a=1&utm_b=2") === "https://a.com/p")
     // things that must NOT merge: path case, real params, non-default port
     assert(canon("https://example.com/path") !== base)
     assert(canon("https://example.com/Path?q=1") !== base)

@@ -146,6 +146,28 @@ class SmileSpec extends AnyFunSuite {
     assert(Smile.read(Smile.write(tree)) === tree)
   }
 
+  test("lone surrogates degrade to valid SMILE (UTF-8 replacement), never a bad token") {
+    // "\uD800" has no UTF-8 encoding; getBytes yields the 1-byte '?'. A
+    // char-based ASCII check would route it to the tiny-Unicode class
+    // (minimum length 2) and emit the invalid token 0x7F — byte-based
+    // classification keeps the document well-formed.
+    val enc = Smile.write(SStr("\uD800"))
+    assert(enc.drop(4) === bytes(0x40, '?'))
+    assert(Smile.read(enc) === SStr("?"))
+  }
+
+  test("parseShardSnapFiles reads legacy JSON bodies AND current SMILE bodies") {
+    import graft.sinks.essnapshot.SnapshotLayout
+    // pre-round-5 repos wrote JSON .dat bodies; swallowing a parse
+    // failure would let the commit sweep delete their data files
+    val legacy = """{"snapshot":"s","files":["docs-a.ndjson.gz","docs-b.ndjson.gz"]}"""
+      .getBytes("UTF-8")
+    assert(SnapshotLayout.parseShardSnapFiles(legacy)
+      === Seq("docs-a.ndjson.gz", "docs-b.ndjson.gz"))
+    val smile = SnapshotLayout.shardSnapDat("s", "i", 0, 1L, 2L, Seq("f1"))
+    assert(SnapshotLayout.parseShardSnapFiles(smile) === Seq("f1"))
+  }
+
   test("reader rejects shared-name/value headers and unknown tokens") {
     val shared = bytes(0x3A, 0x29, 0x0A, 0x01, 0x21)
     intercept[IllegalArgumentException](Smile.read(shared))
