@@ -353,7 +353,10 @@ object Similarity {
    * web scale for exactly this reason). Identical vectors always share a
    * cell (same argmin), so exact duplicates are never missed; near-dups
    * split across a cell boundary are the method's documented recall
-   * trade.
+   * trade. Practical `numCells` ceiling here: assignment scans centroids
+   * linearly (cost n·numCells·dim), so keep numCells ≲ a few thousand —
+   * beyond that, assign cells hierarchically (coarse [[kmeansAssign]]
+   * then re-cluster per coarse cell) rather than one flat codebook.
    */
   def semanticDedup(df: DataFrame, threshold: Double, numCells: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",

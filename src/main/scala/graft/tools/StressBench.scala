@@ -189,6 +189,18 @@ object StressBench {
         docs.select(graft.functions.Text.repetitionStats(col("text"), 2).as("r"))
           .agg(sum(element_at(col("r"), 4)).as("s"))
           .collect().head.getLong(0))
+      // URL keep-first dedup: 4 variant forms per canonical group; the
+      // window's rank-1 filter optimizes to WindowGroupLimit (map-side
+      // partial top-1), so the one shuffle carries near-deduped rows
+      run("url_dedup", n)(
+        graft.operators.TextAnalysis.dedupByUrl(
+          spark.range(n).toDF("id").select(col("id"),
+            concat(lit("https://"),
+              when(col("id") % 4 === 1, "WWW.").otherwise(""),
+              lit("host"), expr("id div 4").cast("string"), lit(".com/p"),
+              when(col("id") % 4 === 2, "?utm_source=x").otherwise(""),
+              when(col("id") % 4 === 3, "/").otherwise("")).as("url")),
+          "id", "url").count())
       run("chunk_dedup", n / 20)(
         Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 10)
           .agg(sum(length(col("clean_text"))).as("s"))
