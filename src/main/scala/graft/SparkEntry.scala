@@ -773,6 +773,25 @@ object SparkEntry {
           sum("duration_ms").cast("long").as("sum_dur"))
     }),
 
+    // COMPRESSED-audio decode: Sun AU container holding G.711 u-law (a
+    // genuine 2:1 audio codec, expanded by the spec's bias-132 formula —
+    // zero deps). Decoded duration must equal the SQL arithmetic that
+    // sized each clip: 800*(1+id%10) u-law samples at 8 kHz mono.
+    "mm_decode_au" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val spark = s
+      import spark.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRow(id, "audio",
+            Multimodal.MediaSynth.au(800 * (1 + (id % 10).toInt)))
+        }
+      Multimodal.extractMeta(media, Multimodal.RawFormatsCodec).toDF()
+        .agg(count(lit(1)).as("n"),
+          sum("duration_ms").cast("long").as("sum_dur"),
+          sum("size_bytes").cast("long").as("sum_bytes"))
+    }),
+
     // COMPRESSED-image decode through the JDK's own ImageIO (PNG writer →
     // PNG reader round-trip per row): decoded dims must equal the SQL
     // arithmetic that synthesized them — a real compression cycle, not a
@@ -1547,6 +1566,13 @@ object SparkEntry {
       """SELECT count(*) AS n,
         |  CAST(sum(16 + doc_id % 32) AS BIGINT) AS sum_w,
         |  CAST(sum(8 + doc_id % 16) AS BIGINT) AS sum_h
+        |FROM documents""".stripMargin,
+    // u-law AU: duration = samples/8 ms; size = 24-byte header + 1
+    // byte/sample (the 2:1 compression made SQL-visible).
+    "mm_decode_au" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(100 * (1 + doc_id % 10)) AS BIGINT) AS sum_dur,
+        |  CAST(sum(24 + 800 * (1 + doc_id % 10)) AS BIGINT) AS sum_bytes
         |FROM documents""".stripMargin,
     "q_asof_join" ->
       """SELECT count(*) AS n_events, count(click_id) AS n_matched,

@@ -123,12 +123,46 @@ object Multimodal {
       (fmt, data, dataLen)
     }
 
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private def isAu(b: Array[Byte]): Boolean =
+      b.length >= 24 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'
+
+    /** (dataOff, dataLen, encoding, sampleRate, channels) from a
+      * big-endian Sun AU header (public format: ".snd" magic + 6 u32s). */
+    private def auHeader(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      require(isAu(b), "not an AU stream")
+      val off = be32(b, 4)
+      val len = be32(b, 8) match {
+        case -1 => b.length - off // 0xFFFFFFFF = unknown: rest of stream
+        case n => n
+      }
+      (off, len, be32(b, 12), be32(b, 16), be32(b, 20))
+    }
+
+    /** G.711 μ-law expansion (public CCITT spec — the standard bias-132
+      * segment/mantissa form; inverse of [[MediaSynth.pcmToUlaw]]). */
+    private[operators] def ulawToPcm(u: Byte): Int = {
+      val x = (~u) & 0xff
+      val exp = (x >> 4) & 0x07
+      val mant = x & 0x0f
+      val mag = (((mant << 3) + 0x84) << exp) - 0x84
+      if ((x & 0x80) != 0) -mag else mag
+    }
+
     override def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
       kind match {
         case "image" =>
           require(bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M',
             "not a BMP stream")
           (le32(bytes, 18), le32(bytes, 22), 0L)
+        case "audio" if isAu(bytes) =>
+          // 8-bit μ-law: one byte per sample per channel
+          val (_, len, enc, rate, ch) = auHeader(bytes)
+          require(enc == 1, s"AU encoding $enc unsupported (1 = G.711 u-law)")
+          (0, 0, if (rate <= 0 || ch <= 0) 0L else len * 1000L / (rate.toLong * ch))
         case "audio" =>
           val (fmt, _, dataLen) = wavChunks(bytes)
           val byteRate = le32(bytes, fmt + 8)
@@ -150,6 +184,30 @@ object Multimodal {
         }
         var r = 0
         while (r < dim) { if (counts(r) > 0) out(r) /= counts(r) * 255f; r += 1 }
+        out
+      } else if (isAu(bytes)) {
+        // μ-law AU: expand each compressed byte, RMS per time segment —
+        // the same content statistic as the PCM WAV path
+        val (off, len, enc, _, _) = auHeader(bytes)
+        require(enc == 1, s"AU encoding $enc unsupported (1 = G.711 u-law)")
+        val n = math.min(len, bytes.length - off)
+        if (n <= 0) return out
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var s = 0
+        while (s < n) {
+          // same 16-bit normalization as the WAV path (the bias-132
+          // expansion spans ±32124), so AU/WAV of one signal compare
+          val v = ulawToPcm(bytes(off + s)).toDouble / 32768.0
+          val seg = (s.toLong * dim / n).toInt
+          sums(seg) += v * v; counts(seg) += 1
+          s += 1
+        }
+        var i = 0
+        while (i < dim) {
+          if (counts(i) > 0) out(i) = math.sqrt(sums(i) / counts(i)).toFloat
+          i += 1
+        }
         out
       } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(8) == 'W') {
         // WAV: RMS amplitude per time segment (16-bit PCM assumed)
@@ -284,6 +342,36 @@ object Multimodal {
       require(javax.imageio.ImageIO.write(img, format, out),
         s"no ImageIO writer for $format")
       out.toByteArray
+    }
+
+    /** G.711 μ-law compression of one PCM sample (public CCITT spec:
+      * clip, bias 132, segment search, 4-bit mantissa, complement). */
+    private[operators] def pcmToUlaw(pcm: Int): Byte = {
+      val sign = if (pcm < 0) 0x80 else 0
+      var x = math.min(math.abs(pcm), 32635) + 0x84
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = (x >> (exp + 3)) & 0x0f
+      (~(sign | (exp << 4) | mant)).toByte
+    }
+
+    /** A REAL compressed-audio file: Sun AU container (big-endian header)
+      * holding G.711 μ-law — a genuine 2:1 audio codec, same sine signal
+      * as [[wav]] so the two formats' content features are comparable. */
+    def au(nSamples: Int, sampleRate: Int = 8000, seed: Long = 0L): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(24 + nSamples)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.put(".snd".getBytes("US-ASCII"))
+        .putInt(24).putInt(nSamples) // data offset, data size
+        .putInt(1)                   // encoding 1 = G.711 u-law
+        .putInt(sampleRate).putInt(1) // rate, channels
+      var s = 0
+      while (s < nSamples) {
+        out.put(pcmToUlaw((math.sin((s + seed) * 0.1) * 12000).toInt))
+        s += 1
+      }
+      out.array()
     }
 
     /** A valid 16-bit mono PCM WAV of `nSamples` at `sampleRate` Hz. */

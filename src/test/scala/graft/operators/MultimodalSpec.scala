@@ -123,6 +123,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("G.711 u-law AU: real compressed-audio decode (header, codec, content)") {
+    // codec inverse: expand(compress(s)) within u-law quantization error
+    // (error bound grows with the segment: <= 2^exp * 8 over the bias form)
+    for (pcm <- Seq(0, 1, -1, 7, 130, -2000, 12000, -12000, 32000, -32635)) {
+      val rt = Multimodal.RawFormatsCodec.ulawToPcm(Multimodal.MediaSynth.pcmToUlaw(pcm))
+      val tol = math.max(8, math.abs(pcm) / 16 + 8)
+      assert(math.abs(rt - math.max(-32635, math.min(32635, pcm))) <= tol,
+        s"pcm $pcm -> $rt")
+    }
+    // header: 12000 u-law samples at 8 kHz mono = 1500 ms
+    val au = Multimodal.MediaSynth.au(12000, 8000)
+    assert(au.take(4) === ".snd".getBytes("US-ASCII"))
+    assert(Multimodal.RawFormatsCodec.decodeHeader("audio", au) === ((0, 0, 1500L)))
+    // content: same sine signal as WAV → per-segment RMS must agree
+    // within a few percent despite the 2:1 compression cycle (u-law
+    // quantization error is ~2% relative at these amplitudes)
+    val fAu = Multimodal.RawFormatsCodec.features(au, 8)
+    val fWav = Multimodal.RawFormatsCodec.features(Multimodal.MediaSynth.wav(12000, 8000), 8)
+    fAu.zip(fWav).foreach { case (a, w) =>
+      assert(w > 0.1f && math.abs(a - w) / w < 0.05f, s"AU rms $a vs WAV rms $w") }
+    // silence compresses to silence
+    val silent = {
+      val a = Multimodal.MediaSynth.au(4000)
+      java.util.Arrays.fill(a, 24, a.length,
+        Multimodal.MediaSynth.pcmToUlaw(0))
+      a
+    }
+    assert(Multimodal.RawFormatsCodec.features(silent, 4).sum < 0.01f)
+    // unsupported AU encodings fail loudly
+    val aLaw = Multimodal.MediaSynth.au(100)
+    aLaw(15) = 27 // encoding field -> A-law
+    intercept[IllegalArgumentException] {
+      Multimodal.RawFormatsCodec.decodeHeader("audio", aLaw)
+    }
+  }
+
   test("extractMeta runs the REAL codec through the partition-streamed path") {
     val media = (0L until 30L).map { id =>
       if (id % 2 == 0)
