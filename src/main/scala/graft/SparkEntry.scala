@@ -106,6 +106,29 @@ object SparkEntry {
           count(lit(1)).as("docs"))
     }),
 
+    // S7 generations end-to-end: TWO appended snapshots into one repo,
+    // then scoped reads of EACH — generation chain, scoped discovery,
+    // and the sweep's preservation of prior snapshots' files, all in one
+    // oracled plan (previously generation semantics were spec-only).
+    "ef_snapshot_append" -> ((s, dir) => {
+      import graft.core.ShardConfig
+      import graft.sinks.EsSnapshot
+      val dest = java.nio.file.Files.createTempDirectory("graft-snap-gen").toString
+      val evs = t(s, dir, "events")
+      val a = Ingest.fromColumns(evs.filter(col("event_id") % 2 === 0),
+        "events", "event_id", 4)
+      val b = Ingest.fromColumns(evs.filter(col("event_id") % 2 === 1),
+        "events", "event_id", 4)
+      EsSnapshot.write(a, dest, ShardConfig(4), Some("gen_a"))
+      EsSnapshot.write(b, dest, ShardConfig(4), Some("gen_b"))
+      EsSnapshot.readTable(s, dest, Some("gen_a"))
+        .agg(count(lit(1)).as("docs_a"))
+        .crossJoin(EsSnapshot.readTable(s, dest, Some("gen_b"))
+          .agg(count(lit(1)).as("docs_b")))
+        .crossJoin(EsSnapshot.readTable(s, dest) // default = newest
+          .agg(count(lit(1)).as("docs_latest")))
+    }),
+
     // X2 consumer: targeted-search read path — compute each wanted doc's
     // shard with the routing strategy, read ONLY those shards through the
     // DSv2 scan's pushed shard filter, and find every doc. Correct iff
@@ -595,6 +618,20 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopK(corpus, queries, 5, numCells = 16, nProbe = 4)
+        .filter(col("rank") === 1)
+    }),
+
+    // Persisted IVF index: build once (codebook + cell-partitioned
+    // store), probe via a partition-pruned read — gated on the same
+    // rank-1 self-recovery invariant as the in-line ann_ivf path.
+    "ann_ivf_index" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val dest = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+      Similarity.buildIvfIndex(corpus, dest, numCells = 16)
+      Similarity.ivfTopKFromIndex(s, dest, queries, 5, nProbe = 4)
         .filter(col("rank") === 1)
     }),
 
@@ -1400,6 +1437,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // Same self-recovery through the persisted, partition-pruned store.
+    "ann_ivf_index" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     // Targeted read: routing → shard → pruned scan must find exactly the
     // wanted docs, no more, no fewer.
     "ef_targeted_read" ->
@@ -1420,6 +1462,12 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // Two appended generations: snapshot-scoped reads see exactly their
+    // own halves; the unscoped read resolves to the NEWEST generation.
+    "ef_snapshot_append" ->
+      """SELECT a.cnt AS docs_a, b.cnt AS docs_b, b.cnt AS docs_latest
+        |FROM (SELECT count(*) cnt FROM events WHERE event_id % 2 = 0) a,
+        |     (SELECT count(*) cnt FROM events WHERE event_id % 2 = 1) b""".stripMargin,
     // Full sink round-trip invariant: every event lands in exactly one of
     // the 8 shards and reads back once.
     "ef_snapshot_build" ->

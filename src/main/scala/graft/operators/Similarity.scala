@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,8 +287,19 @@ object Similarity {
       rows.map { case (id, vec) => (nearest(cs, vec), id, vec) }
     }.toDF("cell", "nn_id", "cvec")
 
-    // each query probes its nProbe nearest cells (own cell is always #1)
-    val probed = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+    val probed = probeFrame(queries, centroids, nProbe, queryIdCol, vecCol)
+    topKFromCells(binned, probed, k, queryIdCol)
+  }
+
+  /** Per-query probe frame `(cell, queryIdCol, qvec)`: each query row
+    * replicated over its `nProbe` nearest cells (own cell always #1). */
+  private def probeFrame(queries: DataFrame, centroids: Array[Array[Float]],
+                         nProbe: Int, queryIdCol: String,
+                         vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    queries.select(col(queryIdCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val cs = cB.value
@@ -302,7 +313,11 @@ object Similarity {
           byDist.map { case (_, c) => (c, qid, qvec) }
         }
       }.toDF("cell", queryIdCol, "qvec")
+  }
 
+  /** Join probed cells with the binned corpus, score, rank, cut at k. */
+  private def topKFromCells(binned: DataFrame, probed: DataFrame, k: Int,
+                            queryIdCol: String): DataFrame = {
     val scored = binned.join(probed, "cell")
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
       .groupBy(col(queryIdCol), col("nn_id"))
@@ -312,6 +327,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /**
+   * Persist an IVF index — the build-once/probe-many ANN workflow: a
+   * parquet codebook (`dest/centroids`) and the corpus assigned and
+   * PARTITIONED by cell (`dest/vectors`). Probing broadcast-joins the
+   * tiny probed-cells frame against the partitioned store, so dynamic
+   * partition pruning reads ONLY the probed cells' files — at 100 TB the
+   * scan itself is the candidate selection, and index build cost
+   * (train + one assignment pass + one partitioned write) amortizes over
+   * every query batch that follows.
+   */
+  def buildIvfIndex(corpus: DataFrame, dest: String, numCells: Int = 16,
+                    iters: Int = 5, seed: Long = 42, trainSample: Int = 50000,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainKMeans(corpus, numCells, iters, seed, trainSample,
+      idCol, vecCol)
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+    val cB = spark.sparkContext.broadcast(cents)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value
+        rows.map { case (id, vec) => (nearest(cs, vec), id, vec) }
+      }.toDF("cell", "nn_id", "cvec")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/vectors")
+  }
+
+  /** Probe a [[buildIvfIndex]] store: same semantics (and, with the same
+    * build knobs, the same RESULTS) as [[ivfTopK]], but the corpus pass
+    * is replaced by a partition-pruned read of the probed cells. */
+  def ivfTopKFromIndex(spark: SparkSession, dest: String, queries: DataFrame,
+                       k: Int, nProbe: Int = 4,
+                       queryIdCol: String = "query_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dest/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val probed = probeFrame(queries, cents, nProbe, queryIdCol, vecCol)
+    val binned = spark.read.parquet(s"$dest/vectors")
+      .select(col("cell").cast("int"), col("nn_id"), col("cvec"))
+    topKFromCells(binned, broadcast(probed), k, queryIdCol)
   }
 
   /**

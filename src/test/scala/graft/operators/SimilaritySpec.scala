@@ -102,6 +102,25 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned(0L) === assigned(5L)) // same jitter pattern i%5
   }
 
+  test("persisted IVF index returns exactly the direct ivfTopK results") {
+    val n = 2000
+    val vecs = spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        expr("transform(sequence(1, 8), " +
+          "i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
+    val queries = vecs.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-ivf-ix").toString
+    Similarity.buildIvfIndex(vecs, dest, numCells = 8)
+    val direct = Similarity.ivfTopK(vecs, queries, 5, numCells = 8, nProbe = 3)
+    val fromIx = Similarity.ivfTopKFromIndex(spark, dest, queries, 5, nProbe = 3)
+    assert(fromIx.exceptAll(direct).isEmpty && direct.exceptAll(fromIx).isEmpty)
+    // the store really is cell-partitioned (one directory per cell)
+    val cells = new java.io.File(s"$dest/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).toSeq
+    assert(cells.nonEmpty && cells.size <= 8)
+  }
+
   test("semanticDedup drops within-cluster near-dups, keeps min-id first") {
     // two far-apart clusters; within cluster 0: ids 0 and 1 are IDENTICAL,
     // id 2 is a near-dup of 0 (cos > 0.999), id 3 is distinct (orthogonal
