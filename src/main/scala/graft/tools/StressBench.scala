@@ -355,6 +355,46 @@ object StressBench {
         f"rows-read ratio=${kRows.toDouble / math.max(1, zRows)}%.1f x")
     }
 
+    // Persisted-IVF probe pruning: the candidate-selection-at-the-scan
+    // claim, measured — files/rows read for a probed query batch vs the
+    // full store.
+    if (only.contains("ivfindex")) {
+      val n = 800000L
+      val cells = 64
+      val nProbe = 4
+      val vecs = synthVecs(spark, n)
+      val dest = java.nio.file.Files.createTempDirectory("graft-ivfix").toString
+      val tB0 = System.nanoTime()
+      Similarity.buildIvfIndex(vecs, dest, numCells = cells)
+      val buildSec = (System.nanoTime() - tB0) / 1e9
+      // pruning is PER BATCH (the probed cells of all queries union): a
+      // 50-query batch covers ~all 64 cells by coupon-collecting, so the
+      // point-lookup shape — small batches — is where the claim lives
+      val queries = vecs.filter(col("vec_id") % (n / 3) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val topk = Similarity.ivfTopKFromIndex(spark, dest, queries, 5, nProbe)
+      val t0 = System.nanoTime()
+      // collect() executes topk's OWN queryExecution (count() would build
+      // a different plan and leave these metrics at zero)
+      val rows = topk.collect().length
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qs.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+      val vecScans = allScans(topk.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains("vectors")))
+      val readRows = vecScans.map(_.metrics("numOutputRows").value).sum
+      println(f"[stress] ivf index (n=$n, cells=$cells, nProbe=$nProbe): " +
+        f"build ${buildSec}%5.1f s; probe batch ${probeSec}%5.2f s " +
+        f"($rows results); store rows read=$readRows of $n " +
+        f"(${readRows * 100.0 / n}%.1f%%)")
+    }
+
     // Streaming throughput: real MemoryStream drives at stress size —
     // events/sec through sessionizeStream and docs/sec through
     // nearDupVerdicts, with state rows/bytes from the progress feed.
