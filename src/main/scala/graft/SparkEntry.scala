@@ -751,12 +751,14 @@ object SparkEntry {
     // operator the standalone queries gate individually.
     "training_corpus_build" -> ((s, dir) => {
       import graft.core.ShardConfig
-      import graft.operators.{Dedup, TextAnalysis}
+      import graft.pipelines.{CorpusPipeline, CorpusPrepConfig}
       import graft.sinks.EsSnapshot
       val dest = java.nio.file.Files.createTempDirectory("graft-corpus").toString
-      val deduped = Dedup.exactScalable(t(s, dir, "documents"), "text", "doc_id")
-      val kept = TextAnalysis.withQuality(deduped, "text")
-        .filter(col("quality_score") >= 0.5 && col("q_tokens").between(5, 10000))
+      // the prep stages run through the one-call pipeline facade — same
+      // operators, gated here through the composed surface
+      val kept = CorpusPipeline.prepare(
+          t(s, dir, "documents").select("doc_id", "text"),
+          CorpusPrepConfig()) // exact dedup + quality/token gates
         .select("doc_id", "text")
       val docs = Ingest.fromColumns(kept, "corpus", "doc_id", 4)
       EsSnapshot.write(docs, dest, ShardConfig(4), Some("training_corpus"))

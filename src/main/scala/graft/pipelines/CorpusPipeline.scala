@@ -1,0 +1,92 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Mixes, Splits, TextAnalysis}
+
+/**
+ * Stage toggles for [[CorpusPipeline.prepare]] — the canonical
+ * training-corpus preparation flow as ONE declarative plan. Every stage
+ * is the exact operator the standalone queries gate individually; this
+ * facade only fixes the composition order a crawl pipeline uses:
+ *
+ *   URL dedup → exact dedup → quality/token gates → near-dup dedupe →
+ *   eval-set decontamination → target-share mixing → leakage-safe split
+ *
+ * Cheap, high-yield stages run first (URL and exact dedup shuffle
+ * 8-16-byte keys; near-dup sketching then sees a smaller corpus; mixing
+ * and splitting run on what survives).
+ */
+final case class CorpusPrepConfig(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    /** Column holding each document's source URL — enables stage 1. */
+    urlCol: Option[String] = None,
+    exactDedup: Boolean = true,
+    /** quality_score floor (TextAnalysis.withQuality semantics). */
+    minQuality: Option[Double] = Some(0.5),
+    /** Inclusive (min, max) token-count gate. */
+    tokenRange: Option[(Long, Long)] = Some((5L, 10000L)),
+    /** Near-dup dedupe at this exact-Jaccard threshold when set. */
+    nearDupThreshold: Option[Double] = None,
+    /** (stratumCol, weights): downsample to target shares when set. */
+    targetShares: Option[(String, Map[String, Double])] = None,
+    /** Split weights: adds a leakage-safe `split` column when set. */
+    splitWeights: Option[Seq[(String, Double)]] = None,
+    seed: Long = 42L)
+
+object CorpusPipeline {
+
+  /**
+   * Run the configured stages over `df`; `evalSets` are decontamination
+   * references (train/test leakage removal) applied after near-dup
+   * dedupe. Returns the surviving rows with the original columns (plus
+   * `split` when `splitWeights` is set). Disabled stages cost nothing —
+   * the plan simply omits them.
+   */
+  def prepare(df: DataFrame, cfg: CorpusPrepConfig,
+              evalSets: Seq[DataFrame] = Nil): DataFrame = {
+    var cur = df
+    cfg.urlCol.foreach { u =>
+      cur = TextAnalysis.dedupByUrl(cur, cfg.idCol, u)
+    }
+    if (cfg.exactDedup) {
+      // exactScalable returns only (id, text, dup_count); the facade's
+      // contract is the input schema (+ split), so keep the survivors by
+      // semi-joining their ids — every input column rides through
+      val keep = Dedup.exactScalable(cur, cfg.textCol, cfg.idCol)
+        .select(col(cfg.idCol).as("__keep_exact"))
+      cur = cur.join(keep, col(cfg.idCol) === col("__keep_exact"), "left_semi")
+    }
+    if (cfg.minQuality.isDefined || cfg.tokenRange.isDefined) {
+      val cols = cur.columns
+      var q = TextAnalysis.withQuality(cur, cfg.textCol)
+      cfg.minQuality.foreach(m => q = q.filter(col("quality_score") >= m))
+      cfg.tokenRange.foreach { case (lo, hi) =>
+        q = q.filter(col("q_tokens").between(lo, hi)) }
+      cur = q.select(cols.head, cols.tail: _*)
+    }
+    cfg.nearDupThreshold.foreach { t =>
+      cur = Dedup.dedupe(cur, cfg.idCol, cfg.textCol, jaccardThreshold = t)
+    }
+    evalSets.foreach { ev =>
+      cur = Dedup.decontaminate(cur, ev, cfg.idCol, cfg.textCol)
+    }
+    cfg.targetShares.foreach { case (stratumCol, weights) =>
+      // token count as the mixing cost — the unit training runs budget in
+      require(!cur.columns.contains("__mix_cost"), "__mix_cost is reserved")
+      val cols = cur.columns
+      cur = Mixes.toTargetShares(
+        cur.withColumn("__mix_cost",
+          TextAnalysis.tokenCount(col(cfg.textCol)).cast("long")),
+        cfg.idCol, stratumCol, "__mix_cost", weights, cfg.seed)
+        .select(cols.head, cols.tail: _*)
+    }
+    cfg.splitWeights.foreach { w =>
+      cur = Splits.assignLeakageSafe(cur, cfg.idCol, cfg.textCol, w,
+        salt = cfg.seed)
+    }
+    cur
+  }
+}
