@@ -274,21 +274,27 @@ object Similarity {
               seed: Long = 42, trainSample: Int = 50000,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-
     val centroids = trainKMeans(corpus, numCells, iters, seed, trainSample,
       idCol, vecCol)
-    val cB = spark.sparkContext.broadcast(centroids)
-    val binned = typed.mapPartitions { rows =>
-      val cs = cB.value
-      rows.map { case (id, vec) => (nearest(cs, vec), id, vec) }
-    }.toDF("cell", "nn_id", "cvec")
-
+    val binned = assignCells(corpus, centroids, idCol, vecCol)
     val probed = probeFrame(queries, centroids, nProbe, queryIdCol, vecCol)
     topKFromCells(binned, probed, k, queryIdCol)
+  }
+
+  /** `(cell, nn_id, cvec)`: every corpus vector with its nearest-centroid
+    * cell, vector kept inline — the shared binning pass of [[ivfTopK]],
+    * [[buildIvfIndex]], and [[semanticDedup]]. */
+  private def assignCells(corpus: DataFrame, centroids: Array[Array[Float]],
+                          idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value
+        rows.map { case (id, vec) => (nearest(cs, vec), id, vec) }
+      }.toDF("cell", "nn_id", "cvec")
   }
 
   /** Per-query probe frame `(cell, queryIdCol, qvec)`: each query row
@@ -349,13 +355,7 @@ object Similarity {
     cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
-    val cB = spark.sparkContext.broadcast(cents)
-    corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        val cs = cB.value
-        rows.map { case (id, vec) => (nearest(cs, vec), id, vec) }
-      }.toDF("cell", "nn_id", "cvec")
+    assignCells(corpus, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/vectors")
   }
 
@@ -436,16 +436,9 @@ object Similarity {
                     trainSample: Int = 50000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val cents = trainKMeans(df, numCells, iters, seed, trainSample, idCol, vecCol)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cB = spark.sparkContext.broadcast(cents)
     // assignment keeps the vector inline — no join back to the corpus
-    val withCell = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        val cs = cB.value
-        rows.map { case (id, vec) => (id, vec, nearest(cs, vec)) }
-      }.toDF(idCol, vecCol, "cell")
+    val withCell = assignCells(df, cents, idCol, vecCol)
+      .select(col("nn_id").as(idCol), col("cvec").as(vecCol), col("cell"))
     val dropIds = cosinePairs(withCell, threshold, col("cell"), idCol, vecCol)
       .select(col("id_b").as("__sd_drop")).distinct()
     df.join(dropIds, col(idCol) === col("__sd_drop"), "left_anti")

@@ -74,13 +74,16 @@ object CorpusPipeline {
       cur = Dedup.decontaminate(cur, ev, cfg.idCol, cfg.textCol)
     }
     cfg.targetShares.foreach { case (stratumCol, weights) =>
-      // token count as the mixing cost — the unit training runs budget in
-      require(!cur.columns.contains("__mix_cost"), "__mix_cost is reserved")
+      // token count as the mixing cost — the unit training runs budget
+      // in. NOT a __-prefixed name: Mixes reserves that whole prefix for
+      // itself and rejects such input columns.
+      require(!cur.columns.contains("graft_mix_cost"),
+        "column graft_mix_cost is reserved here")
       val cols = cur.columns
       cur = Mixes.toTargetShares(
-        cur.withColumn("__mix_cost",
+        cur.withColumn("graft_mix_cost",
           TextAnalysis.tokenCount(col(cfg.textCol)).cast("long")),
-        cfg.idCol, stratumCol, "__mix_cost", weights, cfg.seed)
+        cfg.idCol, stratumCol, "graft_mix_cost", weights, cfg.seed)
         .select(cols.head, cols.tail: _*)
     }
     cfg.splitWeights.foreach { w =>

@@ -46,6 +46,17 @@ object StressBench {
         expr(s"transform(sequence(1, $d), " +
           s"i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
 
+  /** Collect FileSourceScanExec nodes, recursing through AQE's
+    * QueryStageExec wrappers and the adaptive root. */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allScans(qs.plan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allScans(a.executedPlan)
+  }.flatten
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -333,16 +344,6 @@ object StressBench {
         val t0 = System.nanoTime()
         agg.collect()
         val sec = (System.nanoTime() - t0) / 1e9
-        // AQE wraps materialized stages in QueryStageExec — recurse through
-        // them (and the adaptive root) to reach the actual scan nodes
-        def allScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            allScans(qs.plan)
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            allScans(a.executedPlan)
-        }.flatten
         val scans = allScans(agg.queryExecution.executedPlan)
         (scans.map(_.metrics("numOutputRows").value).sum,
           scans.map(_.metrics("numFiles").value).sum, sec)
@@ -372,20 +373,15 @@ object StressBench {
       // point-lookup shape — small batches — is where the claim lives
       val queries = vecs.filter(col("vec_id") % (n / 3) === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val topk = Similarity.ivfTopKFromIndex(spark, dest, queries, 5, nProbe)
+      // time the WHOLE probe call: ivfTopKFromIndex eagerly reads the
+      // codebook and collects the probed-cell set — per-batch costs a
+      // real serving path pays every time
       val t0 = System.nanoTime()
+      val topk = Similarity.ivfTopKFromIndex(spark, dest, queries, 5, nProbe)
       // collect() executes topk's OWN queryExecution (count() would build
       // a different plan and leave these metrics at zero)
       val rows = topk.collect().length
       val probeSec = (System.nanoTime() - t0) / 1e9
-      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allScans(qs.plan)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allScans(a.executedPlan)
-      }.flatten
       val vecScans = allScans(topk.queryExecution.executedPlan)
         .filter(_.metadata.get("Location").exists(_.contains("vectors")))
       val readRows = vecScans.map(_.metrics("numOutputRows").value).sum

@@ -40,6 +40,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
   }
 
+  test("target-share mixing stage runs and keeps the input schema") {
+    val df = corpus().select("doc_id", "text")
+      .withColumn("source",
+        concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    val out = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      targetShares = Some(("source", Map("s0" -> 0.7, "s1" -> 0.3)))))
+    assert(out.columns.toSeq === df.columns.toSeq)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // binding source keeps everything; the other downsamples
+    assert(bySrc.values.sum < 100L && bySrc.getOrElse("s0", 0L) > 0L)
+  }
+
   test("url dedup + near-dup + split compose in the canonical order") {
     // every doc pair (2k, 2k+1) shares a canonical URL → odd ids drop in
     // stage 1 BEFORE sketching; a planted near-dup of doc 0 survives URL
