@@ -119,6 +119,10 @@ class SimilaritySpec extends SparkSpec {
     val cells = new java.io.File(s"$dest/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).toSeq
     assert(cells.nonEmpty && cells.size <= 8)
+    // rebuilding over the same dest overwrites cleanly (same results)
+    Similarity.buildIvfIndex(vecs, dest, numCells = 8)
+    val again = Similarity.ivfTopKFromIndex(spark, dest, queries, 5, nProbe = 3)
+    assert(again.exceptAll(direct).isEmpty && direct.exceptAll(again).isEmpty)
   }
 
   test("semanticDedup drops within-cluster near-dups, keeps min-id first") {

@@ -53,6 +53,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bySrc.values.sum < 100L && bySrc.getOrElse("s0", 0L) > 0L)
   }
 
+  test("eval-set decontamination drops near-copies of eval docs") {
+    val df = corpus().select("doc_id", "text")
+    // the eval set is a near-copy of docs 10 and 20 (disjoint id space)
+    val eval = df.filter(col("doc_id").isin(10L, 20L))
+      .select((col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    val out = CorpusPipeline.prepare(df, CorpusPrepConfig(
+        exactDedup = false, minQuality = None, tokenRange = None),
+      evalSets = Seq(eval))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(10L) && !ids.contains(20L))
+    assert(ids.size === 98)
+  }
+
   test("url dedup + near-dup + split compose in the canonical order") {
     // every doc pair (2k, 2k+1) shares a canonical URL → odd ids drop in
     // stage 1 BEFORE sketching; a planted near-dup of doc 0 survives URL
