@@ -39,7 +39,7 @@ object Bench {
     // benched via q_sessionize / q_stream_windowed / dedup_minhash. Timing
     // them here would only add fixed replay overhead to the total.
     val parityDrives = Set("q_sessionize_stream", "q_stream_neardup",
-      "q_stream_join")
+      "q_stream_join", "q_stream_snapshot")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => parityDrives.contains(n) }
     val samples = scala.collection.mutable.Map.empty[String, Double]

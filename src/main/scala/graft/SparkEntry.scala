@@ -765,6 +765,37 @@ object SparkEntry {
       EsSnapshot.readTable(s, dest).agg(count(lit(1)).as("kept_docs"))
     }),
 
+    // Streaming snapshot ingestion: a real MemoryStream drives
+    // streamToSnapshots through two micro-batches — each commits as the
+    // repo's next snapshot generation; scoped reads see exactly their
+    // batch, the default read the latest. (Correctness drive like the
+    // other MemoryStream parities — excluded from bench timing.)
+    "q_stream_snapshot" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val dest = java.nio.file.Files.createTempDirectory("graft-snap-sq").toString
+      val cohort = t(s, dir, "events").filter(col("user_id") % 100 === 0)
+        .select(col("event_id")).as[Long].collect().sorted
+      val (b0, b1) = cohort.partition(_ % 2 == 0)
+      def ev(id: Long) =
+        Streams.Event(id, new java.sql.Timestamp(1700000000000L + id), 0L, "t", 0.0)
+      val input = MemoryStream[Streams.Event]
+      val q = Streams.streamToSnapshots(input.toDF(), dest, numShards = 4).start()
+      try {
+        input.addData(b0.toSeq.map(ev)); q.processAllAvailable()
+        input.addData(b1.toSeq.map(ev)); q.processAllAvailable()
+      } finally q.stop()
+      import graft.sinks.EsSnapshot
+      EsSnapshot.readTable(s, dest, Some("batch-0"))
+        .agg(count(lit(1)).as("docs_b0"))
+        .crossJoin(EsSnapshot.readTable(s, dest, Some("batch-1"))
+          .agg(count(lit(1)).as("docs_b1")))
+        .crossJoin(EsSnapshot.readTable(s, dest)
+          .agg(count(lit(1)).as("docs_latest")))
+    }),
+
     // Unified batch/stream tumbling-window rollup (same function serves
     // readStream with a watermark — StreamsSpec proves parity).
     "q_stream_windowed" -> ((s, dir) => {
@@ -1464,6 +1495,13 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // Streaming snapshot ingestion: per-micro-batch generations.
+    "q_stream_snapshot" ->
+      """SELECT a.cnt AS docs_b0, b.cnt AS docs_b1, b.cnt AS docs_latest
+        |FROM (SELECT count(*) cnt FROM events
+        |      WHERE user_id % 100 = 0 AND event_id % 2 = 0) a,
+        |     (SELECT count(*) cnt FROM events
+        |      WHERE user_id % 100 = 0 AND event_id % 2 = 1) b""".stripMargin,
     // Two appended generations: snapshot-scoped reads see exactly their
     // own halves; the unscoped read resolves to the NEWEST generation.
     "ef_snapshot_append" ->
