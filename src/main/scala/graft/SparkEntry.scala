@@ -129,6 +129,29 @@ object SparkEntry {
           .agg(count(lit(1)).as("docs_latest")))
     }),
 
+    // S7 retention: three appended snapshots, DELETE the middle one
+    // (ref-counted GC — only files no surviving snapshot references go),
+    // then prove the survivors still read scoped and latest-resolved.
+    "ef_snapshot_retention" -> ((s, dir) => {
+      import graft.core.ShardConfig
+      import graft.sinks.EsSnapshot
+      val dest = java.nio.file.Files.createTempDirectory("graft-snap-ret").toString
+      val evs = t(s, dir, "events")
+      for (r <- 0 to 2)
+        EsSnapshot.write(
+          Ingest.fromColumns(evs.filter(col("event_id") % 3 === r),
+            "events", "event_id", 4),
+          dest, ShardConfig(4), Some(s"snap_$r"))
+      val deleted = EsSnapshot.deleteSnapshot(s, dest, "snap_1")
+      EsSnapshot.readTable(s, dest, Some("snap_0"))
+        .agg(count(lit(1)).as("docs_a"))
+        .crossJoin(EsSnapshot.readTable(s, dest, Some("snap_2"))
+          .agg(count(lit(1)).as("docs_c")))
+        .crossJoin(EsSnapshot.readTable(s, dest) // latest survivor
+          .agg(count(lit(1)).as("docs_latest")))
+        .withColumn("deleted_b", lit(if (deleted) 1L else 0L))
+    }),
+
     // X2 consumer: targeted-search read path — compute each wanted doc's
     // shard with the routing strategy, read ONLY those shards through the
     // DSv2 scan's pushed shard filter, and find every doc. Correct iff
@@ -1495,6 +1518,12 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // Retention: survivors of a ref-counted delete still read exactly.
+    "ef_snapshot_retention" ->
+      """SELECT a.cnt AS docs_a, c.cnt AS docs_c, c.cnt AS docs_latest,
+        |       CAST(1 AS BIGINT) AS deleted_b
+        |FROM (SELECT count(*) cnt FROM events WHERE event_id % 3 = 0) a,
+        |     (SELECT count(*) cnt FROM events WHERE event_id % 3 = 2) c""".stripMargin,
     // Streaming snapshot ingestion: per-micro-batch generations.
     "q_stream_snapshot" ->
       """SELECT a.cnt AS docs_b0, b.cnt AS docs_b1, b.cnt AS docs_latest
