@@ -56,16 +56,30 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces: bare line on stdout (run / outputStrategy strips the
-    // sbt logger prefix), a metric file the driver can read directly, AND
-    // the line again AFTER spark.stop() — shutdown log noise otherwise
-    // pushes the only copy past the driver's log-tail capture window
+    // The driver's tail capture is a FIXED ~2000-char window; the full
+    // per-query line (~90 queries, full double precision) is ~4000 chars and
+    // can never fit, wherever it is printed (r4/r5 `parsed: null`). So:
+    // full-precision line on stdout + BENCH_METRIC.json for the complete
+    // record, and a COMPACT line (total + the slowest queries at 2 dp, built
+    // to a hard length budget that leaves room for sbt's [success] epilogue)
+    // printed LAST so the tail window always contains one parseable line.
     spark.sparkContext.setLogLevel("ERROR")
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_METRIC.json"), line + "\n")
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val compactBudget = 1500
+    val slowest = results.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+    def compactLine(n: Int): String = {
+      val cq = slowest.take(n).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","timed":${results.size},"queries":$cq,"sf":"$sfDir"}"""
+    }
+    val compact = (results.size to 0 by -1).iterator.map(compactLine)
+      .find(_.length <= compactBudget).getOrElse(compactLine(0))
+    println(compact)
     spark.stop()
-    println(line)
+    println(compact)
     System.out.flush()
   }
 }

@@ -48,6 +48,11 @@ object Multimodal {
     def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Long)
     /** Fixed-dim feature vector for the media content. */
     def features(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Kind-aware variant — the one the pipeline calls. Default ignores
+      * `kind` (content sniffing); codecs override it to fail loudly when
+      * the declared kind is undecodable instead of silently degrading. */
+    def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
+      features(bytes, dim)
   }
 
   /**
@@ -135,9 +140,14 @@ object Multimodal {
     private def auHeader(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
       require(isAu(b), "not an AU stream")
       val off = be32(b, 4)
+      require(off >= 24 && off <= b.length, s"malformed AU data offset $off")
       val len = be32(b, 8) match {
         case -1 => b.length - off // 0xFFFFFFFF = unknown: rest of stream
-        case n => n
+        case n =>
+          // any other negative size is a corrupt header, not a sentinel —
+          // without this, decodeHeader propagates a negative duration_ms
+          require(n >= 0, s"malformed AU data size $n")
+          n
       }
       (off, len, be32(b, 12), be32(b, 16), be32(b, 20))
     }
@@ -260,27 +270,42 @@ object Multimodal {
     override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val img = try decode(bytes) catch { case _: Exception => null }
       if (img == null) RawFormatsCodec.features(bytes, dim)
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val out = new Array[Float](dim)
-        val counts = new Array[Long](dim)
-        val total = w.toLong * h
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3f
-            val region = ((y.toLong * w + x) * dim / total).toInt
-            out(region) += luma; counts(region) += 1
-            x += 1
-          }
-          y += 1
-        }
-        var r = 0
-        while (r < dim) { if (counts(r) > 0) out(r) /= counts(r) * 255f; r += 1 }
-        out
+      else luminance(img, dim)
+    }
+
+    /** Declared-image bytes that no ImageIO reader decodes fail LOUDLY —
+      * the same contract as decodeHeader — instead of falling through to
+      * deterministic stub features that would silently flow into
+      * ANN/dedup. Non-image kinds keep the raw-format chain. */
+    override def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
+      kind match {
+        case "image" =>
+          val img = decode(bytes)
+          require(img != null, "undecodable image stream (no ImageIO reader)")
+          luminance(img, dim)
+        case _ => RawFormatsCodec.features(bytes, dim)
       }
+
+    private def luminance(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](dim)
+      val counts = new Array[Long](dim)
+      val total = w.toLong * h
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3f
+          val region = ((y.toLong * w + x) * dim / total).toInt
+          out(region) += luma; counts(region) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var r = 0
+      while (r < dim) { if (counts(r) > 0) out(r) /= counts(r) * 255f; r += 1 }
+      out
     }
   }
 
@@ -420,7 +445,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(rows =>
-      rows.map(m => MediaFeature(m.media_id, m.kind, codec.features(m.bytes, dim))))
+      rows.map(m =>
+        MediaFeature(m.media_id, m.kind, codec.features(m.kind, m.bytes, dim))))
   }
 
   /** Frame sampling for video-kind rows: every `everyMs` up to duration;

@@ -131,16 +131,26 @@ object EsSnapshot {
                 val sd = shardDir.getPath
                 val snapDat = new Path(sd, SnapshotLayout.snapDat(uuid))
                 if (fs.exists(snapDat)) {
-                  val mine = SnapshotLayout.parseShardSnapFiles(readBytes(snapDat))
-                  val referenced = fs.listStatus(sd).map(_.getPath)
-                    .filter(p => p.getName.startsWith("snap-") &&
-                      p.getName != SnapshotLayout.snapDat(uuid))
-                    .flatMap(p =>
-                      try SnapshotLayout.parseShardSnapFiles(readBytes(p))
-                      catch { case _: Exception => Seq.empty[String] })
-                    .toSet
-                  mine.filterNot(referenced.contains)
-                    .foreach(f => fs.delete(new Path(sd, f), false))
+                  // FAIL CLOSED: the ref-count sweep deletes a data file
+                  // only when it can PROVE no surviving snapshot references
+                  // it. A parse failure on any manifest — the victim's or a
+                  // survivor's — means that proof is unavailable, so data
+                  // files in this shard dir are left in place (an orphan
+                  // leak, recoverable) rather than garbage-collected (data
+                  // loss for every snapshot the corrupt manifest covers).
+                  val proof = try {
+                    val mine = SnapshotLayout.parseShardSnapFiles(readBytes(snapDat))
+                    val referenced = fs.listStatus(sd).map(_.getPath)
+                      .filter(p => p.getName.startsWith("snap-") &&
+                        p.getName != SnapshotLayout.snapDat(uuid))
+                      .flatMap(p => SnapshotLayout.parseShardSnapFiles(readBytes(p)))
+                      .toSet
+                    Some((mine, referenced))
+                  } catch { case _: Exception => None }
+                  proof.foreach { case (mine, referenced) =>
+                    mine.filterNot(referenced.contains)
+                      .foreach(f => fs.delete(new Path(sd, f), false))
+                  }
                   fs.delete(snapDat, false)
                 }
               }

@@ -302,17 +302,24 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         // AND old snap manifests go. Replaces speculative-off reliance
         // (IndexingJob.java:121) and empty-dir cleanup
         // (BaseTransport.java:261-280).
-        val priorManifested: Set[String] =
-          if (truncateRepo) Set.empty
-          else fs.listStatus(dir).map(_.getPath)
+        // FAIL CLOSED like deleteSnapshot's GC: a prior manifest that
+        // fails to parse must not make its data files look unreferenced —
+        // skip the sweep for this shard dir (stray-attempt files leak,
+        // recoverable) instead of deleting files an earlier snapshot may
+        // still reference (data loss).
+        val priorManifested: Option[Set[String]] =
+          if (truncateRepo) Some(Set.empty)
+          else try Some(fs.listStatus(dir).map(_.getPath)
             .filter(_.getName.startsWith("snap-"))
-            .flatMap(p => try SnapshotLayout.parseShardSnapFiles(readBytes(p))
-              catch { case _: Exception => Seq.empty[String] })
-            .toSet
-        val existing = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(_.startsWith("docs-"))
-        existing.filterNot(f => winners.contains(f) || priorManifested.contains(f))
-          .foreach(f => fs.delete(new Path(dir, f), false))
+            .flatMap(p => SnapshotLayout.parseShardSnapFiles(readBytes(p)))
+            .toSet)
+          catch { case _: Exception => None }
+        priorManifested.foreach { prior =>
+          fs.listStatus(dir).map(_.getPath.getName)
+            .filter(_.startsWith("docs-"))
+            .filterNot(f => winners.contains(f) || prior.contains(f))
+            .foreach(f => fs.delete(new Path(dir, f), false))
+        }
         if (truncateRepo)
           fs.listStatus(dir).map(_.getPath.getName)
             .filter(n => n.startsWith("snap-") &&

@@ -17,7 +17,12 @@ import java.nio.charset.StandardCharsets.UTF_8
  *  - header flags 0: shared property names, shared string values, and
  *    raw binary are DISABLED (never emitted; the reader rejects their
  *    tokens). Back-references save bytes but cost determinism-reasoning;
- *    metadata blobs are tiny.
+ *    metadata blobs are tiny. NOTE this makes the codec WRITE-ONLY with
+ *    respect to a genuine ES 5.x repo: Jackson (and hence a real node)
+ *    writes SMILE with shared property names enabled (header flags 0x01)
+ *    by default, so this reader parses graft-written blobs but would
+ *    reject metadata copied out of a live repo. A read-a-real-repo path
+ *    needs shared-name back-reference decoding first.
  *  - integers always fit the int/long zigzag-VInt forms (no BigInteger),
  *    doubles use the 10-byte 7-bit-packed form, strings/keys cover every
  *    length class incl. the 0xFC-terminated long forms.

@@ -152,21 +152,30 @@ object SnapshotLayout {
 
   import Smile.{SArr, SLong, SObj, SStr, SVal}
 
-  /** Data files listed in a per-shard snap-<uuid>.dat manifest. SMILE is
-    * the written format; pre-round-5 repos carried JSON bodies, and a
-    * parse failure here is NOT safe to swallow — the commit sweep and
-    * `deleteSnapshot` treat "no parse" as "no referenced files" and
-    * would garbage-collect data files that legacy snapshots still
-    * reference. The JSON fallback keeps appending to (and deleting
-    * from) a legacy repo lossless. */
-  def parseShardSnapFiles(body: Array[Byte]): Seq[String] =
-    if (body.length >= 3 && body(0) == 0x3A && body(1) == 0x29 && body(2) == 0x0A)
-      Smile.arr(Smile.read(body), "files").collect { case SStr(s) => s }
+  /** Data files listed in a per-shard snap-<uuid>.dat manifest. The written
+    * format is CodecUtil-framed SMILE (the real ES 5.x blob shape); two
+    * generations of legacy repos stay readable — bare SMILE (round 5) and
+    * JSON (pre-round-5) — because a parse failure here is NOT safe to
+    * swallow: the commit sweep and `deleteSnapshot` treat "no parse" as
+    * "no referenced files" and would garbage-collect data files that
+    * legacy snapshots still reference. */
+  def parseShardSnapFiles(body: Array[Byte]): Seq[String] = {
+    val smileBody = datSmileBody(body)
+    if (smileBody.length >= 3 && smileBody(0) == 0x3A && smileBody(1) == 0x29 &&
+        smileBody(2) == 0x0A)
+      Smile.arr(Smile.read(smileBody), "files").collect { case SStr(s) => s }
     else {
-      val files = mapper.readTree(body).get("files")
+      val files = mapper.readTree(smileBody).get("files")
       if (files == null || !files.isArray) Seq.empty
       else (0 until files.size()).map(files.get(_).asText())
     }
+  }
+
+  /** Strip the CodecUtil frame (verifying its CRC32) if present; pass
+    * legacy unframed bodies through untouched. The one helper every
+    * direct `.dat` consumer goes through. */
+  def datSmileBody(bytes: Array[Byte]): Array[Byte] =
+    if (LuceneFrame.isFramed(bytes)) LuceneFrame.unwrap(bytes).body else bytes
 
   /** Chunked whole-file read — the shared helper for every `.dat`
     * consumer (binary-safe, unlike a UTF-8 string round-trip). */
@@ -182,42 +191,44 @@ object SnapshotLayout {
     } finally in.close()
   }
 
-  /** Per-shard snap-<uuid>.dat content (SMILE). */
+  /** Per-shard snap-<uuid>.dat content: CodecUtil("snapshot")-framed SMILE,
+    * the blob shape ES 5.x's indexShardSnapshotFormat writes. */
   def shardSnapDat(snapshotName: String, index: String, shard: Int,
                    docCount: Long, bytes: Long, files: Seq[String]): Array[Byte] =
-    Smile.write(SObj.of(
+    LuceneFrame.wrap(LuceneFrame.SnapshotCodec, Smile.write(SObj.of(
       "snapshot" -> SStr(snapshotName),
       "index" -> SStr(index),
       "shard" -> SLong(shard.toLong),
       "doc_count" -> SLong(docCount),
       "total_size_bytes" -> SLong(bytes),
-      "files" -> SArr(files.map(f => SStr(f): SVal))))
+      "files" -> SArr(files.map(f => SStr(f): SVal)))))
 
-  /** Root snap-<uuid>.dat content (SMILE). */
+  /** Root snap-<uuid>.dat content: CodecUtil("snapshot")-framed SMILE. */
   def rootSnapDat(snapshotName: String, snapshotUuid: String,
                   indexes: Seq[String], totalDocs: Long): Array[Byte] =
-    Smile.write(SObj.of(
+    LuceneFrame.wrap(LuceneFrame.SnapshotCodec, Smile.write(SObj.of(
       "name" -> SStr(snapshotName),
       "uuid" -> SStr(snapshotUuid),
       "state" -> SStr("SUCCESS"),
       "indices" -> SArr(indexes.map(ix => SStr(ix): SVal)),
       "total_docs" -> SLong(totalDocs),
-      "version" -> SStr("graft-layout-1")))
+      "version" -> SStr("graft-layout-1"))))
 
-  /** Index meta-<uuid>.dat content (SMILE): shard topology + the user's
-    * mappings/template JSON carried as opaque strings, exactly as given. */
+  /** Index meta-<uuid>.dat content (CodecUtil("index-metadata")-framed
+    * SMILE): shard topology + the user's mappings/template JSON carried as
+    * opaque strings, exactly as given. */
   def indexMetaDat(index: String, id: String, shards: Int,
                    mappings: String, template: String): Array[Byte] =
-    Smile.write(SObj.of(
+    LuceneFrame.wrap(LuceneFrame.IndexMetadataCodec, Smile.write(SObj.of(
       "index" -> SStr(index),
       "id" -> SStr(id),
       "shards" -> SLong(shards.toLong),
       "mappings" -> SStr(mappings),
-      "template" -> SStr(template)))
+      "template" -> SStr(template))))
 
-  /** Root meta-<uuid>.dat content (SMILE). */
+  /** Root meta-<uuid>.dat content (CodecUtil("metadata")-framed SMILE). */
   def rootMetaDat(cluster: String, snapshotName: String): Array[Byte] =
-    Smile.write(SObj.of(
+    LuceneFrame.wrap(LuceneFrame.MetadataCodec, Smile.write(SObj.of(
       "cluster" -> SStr(cluster),
-      "snapshot" -> SStr(snapshotName)))
+      "snapshot" -> SStr(snapshotName))))
 }

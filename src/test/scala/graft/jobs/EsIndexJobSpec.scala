@@ -41,7 +41,8 @@ class EsIndexJobSpec extends SparkSpec {
     val metaFile = Iterator.continually(meta).takeWhile(_.hasNext)
       .map(_.next()).find(_.getFileName.toString.startsWith("meta-")).get
     // index meta is SMILE now: decode and check the mappings passthrough
-    val metaTree = graft.sinks.essnapshot.Smile.read(Files.readAllBytes(metaFile))
+    val metaTree = graft.sinks.essnapshot.Smile.read(graft.sinks.essnapshot
+      .SnapshotLayout.datSmileBody(Files.readAllBytes(metaFile)))
     assert(graft.sinks.essnapshot.Smile.str(metaTree, "mappings")
       .exists(_.contains("type")))
     // ingest counters committed next to the snapshot (INDEXING_DOC_FAIL)

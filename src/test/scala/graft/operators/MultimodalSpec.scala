@@ -159,6 +159,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("undecodable declared-image bytes fail loudly in features, like decodeHeader") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7 + 3).toByte)
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIOCodec.features("image", junk, 8)
+    }
+    // the kindless sniffing path (no declared kind to honor) still degrades
+    assert(Multimodal.ImageIOCodec.features(junk, 8).length === 8)
+    // non-image kinds keep the raw-format chain
+    val wav = Multimodal.MediaSynth.wav(800)
+    assert(Multimodal.ImageIOCodec.features("audio", wav, 8).toSeq
+      === Multimodal.RawFormatsCodec.features(wav, 8).toSeq)
+  }
+
+  test("corrupt AU headers (negative size/offset) are malformed, not negative durations") {
+    val au = Multimodal.MediaSynth.au(100)
+    val badSize = au.clone()
+    badSize(8) = 0x80.toByte // data size -> large negative, NOT the -1 sentinel
+    intercept[IllegalArgumentException] {
+      Multimodal.RawFormatsCodec.decodeHeader("audio", badSize)
+    }
+    val badOff = au.clone()
+    badOff(4) = 0x80.toByte // data offset -> negative
+    intercept[IllegalArgumentException] {
+      Multimodal.RawFormatsCodec.decodeHeader("audio", badOff)
+    }
+    // the -1 unknown-length sentinel still decodes (rest-of-stream)
+    val unknown = au.clone()
+    unknown(8) = 0xFF.toByte; unknown(9) = 0xFF.toByte
+    unknown(10) = 0xFF.toByte; unknown(11) = 0xFF.toByte
+    val (_, _, dur) = Multimodal.RawFormatsCodec.decodeHeader("audio", unknown)
+    assert(dur === 100L * 1000 / 8000)
+  }
+
   test("extractMeta runs the REAL codec through the partition-streamed path") {
     val media = (0L until 30L).map { id =>
       if (id % 2 == 0)

@@ -190,7 +190,8 @@ class EsSnapshotSinkSpec extends SparkSpec {
     val snapDat = Files.list(indexDir.resolve(emptyShard.toString)).iterator().asScala
       .find(_.getFileName.toString.startsWith("snap-")).get
     assert(graft.sinks.essnapshot.Smile.long(
-      graft.sinks.essnapshot.Smile.read(Files.readAllBytes(snapDat)),
+      graft.sinks.essnapshot.Smile.read(graft.sinks.essnapshot.SnapshotLayout
+        .datSmileBody(Files.readAllBytes(snapDat))),
       "doc_count").contains(0L))
   }
 

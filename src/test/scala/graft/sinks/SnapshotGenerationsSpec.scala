@@ -112,6 +112,59 @@ class SnapshotGenerationsSpec extends SparkSpec {
     assert(EsSnapshot.readTable(spark, dest).count() === 0)
   }
 
+  test("GC fails CLOSED: a corrupt surviving manifest protects its data files") {
+    val dest = Files.createTempDirectory("graft-gc-closed").toString
+    val numShards = 2
+    val a = Ingest.fromColumns(
+      spark.range(40).toDF("event_id"), "events", "event_id", numShards)
+    val b = Ingest.fromColumns(
+      spark.range(40, 80).toDF("event_id"), "events", "event_id", numShards)
+    EsSnapshot.write(a, dest, ShardConfig(numShards), Some("snap_a"))
+    EsSnapshot.write(b, dest, ShardConfig(numShards), Some("snap_b"))
+
+    val root = Paths.get(dest)
+    val snaps = SnapshotLayout.parseGenerationSnapshots(
+      Files.readString(root.resolve("index-1")))
+    val uuidB = snaps.find(_._1 == "snap_b").get._2
+    val indexDir = root.resolve("indices").resolve(SnapshotLayout.indexId("events"))
+
+    // record both snapshots' shard-0 manifests, then corrupt the
+    // SURVIVOR's (one flipped byte — the CRC32 frame makes this
+    // detectable instead of silently parsing garbage)
+    val uuidA = snaps.find(_._1 == "snap_a").get._2
+    val shard0 = indexDir.resolve("0")
+    val bManifest = shard0.resolve(s"snap-$uuidB.dat")
+    val bFiles = SnapshotLayout.parseShardSnapFiles(Files.readAllBytes(bManifest))
+    val aFiles = SnapshotLayout.parseShardSnapFiles(
+      Files.readAllBytes(shard0.resolve(s"snap-$uuidA.dat")))
+    assert(bFiles.nonEmpty && aFiles.nonEmpty,
+      "fixture needs both snapshots' data in shard 0")
+    val corrupt = Files.readAllBytes(bManifest)
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x40).toByte
+    Files.write(bManifest, corrupt)
+
+    // deleting snap_a: with the survivor's manifest unreadable there is NO
+    // proof any shard-0 data file is unreferenced, so the sweep must
+    // delete NOTHING in shard 0 — the victim's files leak (recoverable)
+    // rather than risk deleting files the corrupt manifest references
+    // (the fail-open behavior this pins down deleted aFiles here)
+    assert(EsSnapshot.deleteSnapshot(spark, dest, "snap_a"))
+    (bFiles ++ aFiles).foreach(f => assert(Files.exists(shard0.resolve(f)),
+      s"fail-closed GC must leave shard-0 data file $f in place"))
+    // the victim's metadata still goes away everywhere, and in shards
+    // with a healthy surviving manifest its data files ARE collected
+    assert(!Files.exists(shard0.resolve(s"snap-$uuidA.dat")))
+    assert(!Files.exists(root.resolve(s"snap-$uuidA.dat")))
+    val shard1 = indexDir.resolve("1")
+    import scala.jdk.CollectionConverters._
+    val shard1Docs = Files.list(shard1).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("docs-")).toSet
+    val bShard1 = SnapshotLayout.parseShardSnapFiles(
+      Files.readAllBytes(shard1.resolve(s"snap-$uuidB.dat"))).toSet
+    assert(shard1Docs === bShard1,
+      "healthy shard must GC the victim's files down to the survivor's set")
+  }
+
   test("compactRepo keeps the newest snapshots and collapses the generation chain") {
     val dest = Files.createTempDirectory("graft-compact").toString
     val numShards = 2

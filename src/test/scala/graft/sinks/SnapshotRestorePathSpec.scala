@@ -95,7 +95,8 @@ class SnapshotRestorePathSpec extends SparkSpec {
       // step 5: data files named in the shard manifest are all present
       // (shard snap bodies are SMILE — decode with the subset reader)
       import graft.sinks.essnapshot.Smile
-      val shardTree = Smile.read(Files.readAllBytes(snapFile))
+      val shardTree = Smile.read(graft.sinks.essnapshot.SnapshotLayout
+        .datSmileBody(Files.readAllBytes(snapFile)))
       assert(Smile.str(shardTree, "snapshot").contains("restore_snap"))
       assert(Smile.long(shardTree, "shard").contains(shard.toLong))
       totalDocs += Smile.long(shardTree, "doc_count").getOrElse(0L)
@@ -110,14 +111,18 @@ class SnapshotRestorePathSpec extends SparkSpec {
     }
     assert(totalDocs === 40L)
 
-    // .dat bodies are SMILE: every metadata blob leads with the ":)\n"
-    // magic + flags byte a real ES 5.x restore expects to parse
-    for (datPath <- Seq(
-        root.resolve(s"snap-$uuid.dat"),
-        root.resolve(s"meta-$uuid.dat"),
-        indexDir.resolve(s"meta-$uuid.dat"),
-        indexDir.resolve("0").resolve(s"snap-$uuid.dat"))) {
-      val head = Files.readAllBytes(datPath).take(4)
+    // .dat blobs are CodecUtil-framed SMILE: the frame verifies (magics +
+    // CRC32) under its ES 5.x codec name, and the body inside leads with
+    // the ":)\n" SMILE magic + flags byte a real restore expects to parse
+    import graft.sinks.essnapshot.LuceneFrame
+    for ((datPath, codec) <- Seq(
+        root.resolve(s"snap-$uuid.dat") -> LuceneFrame.SnapshotCodec,
+        root.resolve(s"meta-$uuid.dat") -> LuceneFrame.MetadataCodec,
+        indexDir.resolve(s"meta-$uuid.dat") -> LuceneFrame.IndexMetadataCodec,
+        indexDir.resolve("0").resolve(s"snap-$uuid.dat")
+          -> LuceneFrame.SnapshotCodec)) {
+      val body = LuceneFrame.unwrapExpecting(codec, Files.readAllBytes(datPath))
+      val head = body.take(4)
       assert(head === Array[Byte](0x3A, 0x29, 0x0A, 0x00),
         s".dat bodies are SMILE-encoded (got ${head.mkString(",")} in $datPath)")
     }

@@ -102,14 +102,17 @@ class SnapshotStitchGoldenSpec extends SparkSpec {
     // index.latest is the 8-byte BE generation 0
     assert(Files.readAllBytes(root.resolve("index.latest")).toSeq
       === Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0))
-    // shard snap bodies: SMILE, field-exact, and byte-exact re-encodable —
-    // Smile.write(Smile.read(file)) == file proves the writer's canonical
-    // token choices (the deterministic field order the golden tree needs)
-    import graft.sinks.essnapshot.Smile
-    val bodies = Seq("0", "1").map { s =>
+    // shard snap bodies: CodecUtil("snapshot")-framed SMILE, field-exact,
+    // and byte-exact re-encodable — unwrap verifies both magics + the CRC32
+    // footer, and Smile.write(Smile.read(body)) == body proves the writer's
+    // canonical token choices (the deterministic field order the golden
+    // tree needs)
+    import graft.sinks.essnapshot.{LuceneFrame, Smile}
+    val blobs = Seq("0", "1").map { s =>
       Files.readAllBytes(root.resolve("indices").resolve(indexId)
         .resolve(s).resolve(s"snap-$baseUuid.dat"))
     }
+    val bodies = blobs.map(LuceneFrame.unwrapExpecting(LuceneFrame.SnapshotCodec, _))
     val trees = bodies.map(Smile.read)
     assert(bodies.zip(trees).forall { case (b, t) =>
       java.util.Arrays.equals(b, Smile.write(t)) },
