@@ -612,6 +612,23 @@ object SparkEntry {
           sum("vec_id").cast("long").as("id_sum"))
     }),
 
+    // Same SemDeDup invariant through the TWO-LEVEL codebook (the
+    // ~100k-cell web-scale path: coarse+fine argmin, assignment cost
+    // 2·√numCells·dim per vector instead of numCells·dim). numCells over
+    // the hierarchical threshold forces the hier trainer; an identical
+    // vector shares its original's coarse argmin AND fine argmin, so
+    // exactly the plants drop — cell structure cannot change the answer.
+    "semantic_dedup_hier" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val v = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val plants = v.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(v.unionAll(plants), 0.9999, numCells = 6000,
+          hierarchicalAbove = 4096)
+        .agg(count(lit(1)).as("kept"),
+          sum("vec_id").cast("long").as("id_sum"))
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline).
     "ann_topk" -> ((s, dir) => {
       import graft.operators.Similarity
@@ -1511,6 +1528,10 @@ object SparkEntry {
     // SemDeDup: plants drop (same cell as their original, cosine 1.0),
     // originals all survive → the kept set IS the original table.
     "semantic_dedup" ->
+      """SELECT count(*) AS kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM embeddings""".stripMargin,
+    // Hier path: identical plants drop through the two-level argmin too.
+    "semantic_dedup_hier" ->
       """SELECT count(*) AS kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
         |FROM embeddings""".stripMargin,
     // Identical planted vectors must be recovered through LSH buckets.

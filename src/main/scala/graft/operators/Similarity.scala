@@ -187,13 +187,21 @@ object Similarity {
                   seed: Long = 42, trainSample: Int = 50000,
                   idCol: String = "vec_id", vecCol: String = "embedding")
   : Array[Array[Float]] = {
+    val train = boundedSample(corpus, trainSample, seed, idCol, vecCol)
+    try lloyd(train, numCells, iters, seed)
+    finally train.unpersist(blocking = false)
+  }
+
+  /** Bounded deterministic training set: hash-ranked sample capped at
+    * `trainSample` rows (one cheap count to size the threshold; the
+    * sample itself is a filtered scan), cached for Lloyd to iterate. */
+  private def boundedSample(corpus: DataFrame, trainSample: Int, seed: Long,
+                            idCol: String, vecCol: String)
+  : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-
-    // bounded training set: deterministic hash-ranked sample (one cheap
-    // count to size the threshold; the sample itself is a filtered scan)
     val n = typed.count()
     val frac = math.min(1.0, trainSample.toDouble / math.max(n, 1L))
     val thresh = (frac * 1000000L).toLong
@@ -204,20 +212,25 @@ object Similarity {
       .as[(Long, Array[Float])]
       .rdd.cache()
     train.count() // materialize once; Lloyd iterates over this RDD only
+    train
+  }
 
-    // deterministic seeded init: the numCells sample rows with the
-    // smallest hash(id, seed) — TakeOrdered, no full sort
+  /** Distributed Lloyd over a (bounded, cached) sample RDD: deterministic
+    * seeded hash-rank init (TakeOrdered, no full sort), then `iters`
+    * rounds of per-partition (cell → sum, count) combine — only
+    * numCells·dim doubles per partition ever shuffle. */
+  private def lloyd(train: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+                    numCells: Int, iters: Int, seed: Long)
+  : Array[Array[Float]] = {
+    val sc = train.sparkContext
     var centroids: Array[Array[Float]] = train
       .map { case (id, vec) =>
         (graft.core.EsMurmur3.hash(id.toString + seed).toLong, vec) }
       .takeOrdered(numCells)(Ordering.by(_._1))
       .map(_._2)
 
-    // Lloyd iterations over the bounded sample: per-partition
-    // (cell → sum, count) combine; only numCells·dim doubles per
-    // partition ever shuffle
     for (_ <- 1 to iters) {
-      val cB = spark.sparkContext.broadcast(centroids)
+      val cB = sc.broadcast(centroids)
       val sums = train.mapPartitions { rows =>
         val cs = cB.value
         val acc = Array.fill(cs.length)(null: Array[Double])
@@ -245,8 +258,129 @@ object Similarity {
         }
       }.toArray
     }
-    train.unpersist(blocking = false)
     centroids
+  }
+
+  /** Plain-Scala Lloyd over one (bounded) in-memory group — the fine
+    * re-clustering step of [[trainKMeansHier]], run inside an executor
+    * task. Same deterministic init and empty-cell rule as [[lloyd]]. */
+  private def localLloyd(rows: Array[(Long, Array[Float])], k: Int,
+                         iters: Int, seed: Long): Array[Array[Float]] = {
+    if (rows.isEmpty) return Array.empty
+    var cents = rows
+      .sortBy { case (id, _) =>
+        (graft.core.EsMurmur3.hash(id.toString + seed).toLong, id) }
+      .take(k).map(_._2.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(null: Array[Double])
+      val cnt = new Array[Long](cents.length)
+      rows.foreach { case (_, vec) =>
+        val c = nearest(cents, vec)
+        if (sums(c) == null) sums(c) = new Array[Double](vec.length)
+        var i = 0
+        while (i < vec.length && i < sums(c).length) { sums(c)(i) += vec(i); i += 1 }
+        cnt(c) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (cnt(c) > 0) sums(c).map(v => (v / cnt(c)).toFloat) else cents(c)
+      }.toArray
+    }
+    cents
+  }
+
+  /**
+   * Two-level codebook: `coarse(c)` super-centroids, `fine(c)(f)` the
+   * sub-centroids WITHIN super-cell c (jagged — sparse super-cells hold
+   * fewer). Global cell id = `offsets(c) + f`, stable for a fixed
+   * codebook. Assignment cost per vector is (|coarse| + |fine(c)|)·dim
+   * ≈ 2·√numCells·dim — the shape that reaches the ~100k-cell regime
+   * web-scale SemDeDup/IVF operate in (a flat codebook's n·numCells·dim
+   * assignment pass is the ceiling this lifts).
+   */
+  final case class HierCodebook(coarse: Array[Array[Float]],
+                                fine: Array[Array[Array[Float]]]) {
+    require(coarse.length == fine.length, "one fine table per coarse cell")
+    val offsets: Array[Int] = fine.map(_.length).scanLeft(0)(_ + _).init
+    def numCells: Int = offsets.last + fine.last.length
+    def cellOf(vec: Array[Float]): Int = {
+      val c = nearest(coarse, vec)
+      offsets(c) + nearest(fine(c), vec)
+    }
+    /** Global-cell-id-ordered flat centroid table (for probe-side use —
+      * queries are few, so a linear probe scan is affordable even when
+      * corpus assignment is not). */
+    def flatten: Array[Array[Float]] = fine.flatten
+  }
+
+  /**
+   * Hierarchical (two-level) k-means — the codebook trainer for the
+   * many-cells regime: coarse-cluster the bounded sample into
+   * ~√numCells super-cells with the distributed [[lloyd]], then
+   * re-cluster each super-cell's sample slice independently (one
+   * `groupByKey` over the SAME cached sample; each group is ≤ the
+   * sample, and the √numCells local Lloyd runs execute in parallel
+   * across executors). One count + one sample scan total — the same
+   * I/O as the flat trainer.
+   */
+  def trainKMeansHier(corpus: DataFrame, numCells: Int, iters: Int = 5,
+                      seed: Long = 42, trainSample: Int = 50000,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+  : HierCodebook = {
+    require(numCells >= 1, "numCells must be >= 1")
+    val numCoarse = math.max(1, math.ceil(math.sqrt(numCells.toDouble)).toInt)
+    val numFine = math.max(1, math.ceil(numCells.toDouble / numCoarse).toInt)
+    val train = boundedSample(corpus, trainSample, seed, idCol, vecCol)
+    try {
+      val coarse = lloyd(train, numCoarse, iters, seed)
+      val cB = train.sparkContext.broadcast(coarse)
+      val fineMap = train
+        .map { case (id, vec) => (nearest(cB.value, vec), (id, vec)) }
+        .groupByKey(math.min(numCoarse, 256))
+        .mapValues { slice =>
+          // sort for a deterministic fold order (group arrival order is
+          // shuffle-dependent); each slice is bounded by the sample size
+          localLloyd(slice.toArray.sortBy(_._1), numFine, iters, seed)
+        }
+        .collectAsMap()
+      val fine = Array.tabulate(coarse.length) { c =>
+        val fs = fineMap.getOrElse(c, Array.empty[Array[Float]])
+        // a super-cell with no sample rows keeps one fine centroid — its
+        // own coarse centroid — so every coarse cell stays addressable
+        if (fs.isEmpty) Array(coarse(c)) else fs
+      }
+      HierCodebook(coarse, fine)
+    } finally train.unpersist(blocking = false)
+  }
+
+  /** Assign every corpus vector to its hierarchical cell: one broadcast +
+    * one streamed map pass, no shuffle — the two-level analogue of
+    * [[kmeansAssign]]. Output columns: (`idCol`, cell). */
+  def kmeansAssignHier(corpus: DataFrame, codebook: HierCodebook,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(codebook)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cb = cbB.value
+        rows.map { case (id, vec) => (id, cb.cellOf(vec)) }
+      }.toDF(idCol, "cell")
+  }
+
+  /** Two-level analogue of [[assignCells]]: `(cell, nn_id, cvec)`. */
+  private def assignCellsHier(corpus: DataFrame, codebook: HierCodebook,
+                              idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(codebook)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cb = cbB.value
+        rows.map { case (id, vec) => (cb.cellOf(vec), id, vec) }
+      }.toDF("cell", "nn_id", "cvec")
   }
 
   /**
@@ -425,21 +559,33 @@ object Similarity {
    * web scale for exactly this reason). Identical vectors always share a
    * cell (same argmin), so exact duplicates are never missed; near-dups
    * split across a cell boundary are the method's documented recall
-   * trade. Practical `numCells` ceiling here: assignment scans centroids
-   * linearly (cost n·numCells·dim), so keep numCells ≲ a few thousand —
-   * beyond that, assign cells hierarchically (coarse [[kmeansAssign]]
-   * then re-cluster per coarse cell) rather than one flat codebook.
+   * trade. A FLAT codebook's assignment scans centroids linearly (cost
+   * n·numCells·dim — fine up to a few thousand cells); `hierarchical =
+   * true` switches to the two-level [[trainKMeansHier]]/
+   * [[kmeansAssignHier]] codebook (assignment ≈ n·2√numCells·dim),
+   * which is how the paper's ~100k-cell web-scale regime stays
+   * affordable. Default auto-switches above `hierarchicalAbove` cells.
    */
   def semanticDedup(df: DataFrame, threshold: Double, numCells: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     iters: Int = 5, seed: Long = 42,
-                    trainSample: Int = 50000): DataFrame = {
+                    trainSample: Int = 50000,
+                    hierarchicalAbove: Int = 4096): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    val cents = trainKMeans(df, numCells, iters, seed, trainSample, idCol, vecCol)
     // assignment keeps the vector inline — no join back to the corpus
-    val withCell = assignCells(df, cents, idCol, vecCol)
+    val withCell =
+      if (numCells > hierarchicalAbove) {
+        val cb = trainKMeansHier(df, numCells, iters, seed, trainSample,
+          idCol, vecCol)
+        assignCellsHier(df, cb, idCol, vecCol)
+      } else {
+        val cents = trainKMeans(df, numCells, iters, seed, trainSample,
+          idCol, vecCol)
+        assignCells(df, cents, idCol, vecCol)
+      }
+    val binned = withCell
       .select(col("nn_id").as(idCol), col("cvec").as(vecCol), col("cell"))
-    val dropIds = cosinePairs(withCell, threshold, col("cell"), idCol, vecCol)
+    val dropIds = cosinePairs(binned, threshold, col("cell"), idCol, vecCol)
       .select(col("id_b").as("__sd_drop")).distinct()
     df.join(dropIds, col(idCol) === col("__sd_drop"), "left_anti")
   }

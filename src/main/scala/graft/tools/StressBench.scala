@@ -391,6 +391,37 @@ object StressBench {
         f"(${readRows * 100.0 / n}%.1f%%)")
     }
 
+    // Hierarchical-codebook assignment: a FLAT codebook's corpus
+    // assignment pass costs n·numCells·dim (the documented ceiling at a
+    // few thousand cells); the two-level codebook's costs
+    // n·(coarse+fine)·dim ≈ n·2√numCells·dim. Measured: assignment
+    // wall-clock vs cell count — hier stays near-flat 256 → 16k while
+    // flat grows linearly with cells (flat run capped at 1024 cells to
+    // keep the tier's runtime sane; its slope is already visible).
+    if (only.contains("hierkmeans")) {
+      val n = 200000L
+      val vecs = synthVecs(spark, n).cache()
+      vecs.count()
+      for (cells <- Seq(256, 1024, 4096, 16384)) {
+        val tT0 = System.nanoTime()
+        val cb = Similarity.trainKMeansHier(vecs, cells, iters = 3)
+        val trainSec = (System.nanoTime() - tT0) / 1e9
+        val tA0 = System.nanoTime()
+        Similarity.kmeansAssignHier(vecs, cb).count()
+        val hierSec = (System.nanoTime() - tA0) / 1e9
+        val flat = if (cells <= 1024) {
+          val cents = Similarity.trainKMeans(vecs, cells, iters = 3)
+          val t0 = System.nanoTime()
+          Similarity.kmeansAssign(vecs, cents).count()
+          f", flat assign ${(System.nanoTime() - t0) / 1e9}%6.2f s"
+        } else ""
+        println(f"[stress] hierkmeans (n=$n, cells=$cells): " +
+          f"realized=${cb.numCells}, train $trainSec%5.1f s; " +
+          f"hier assign $hierSec%6.2f s" + flat)
+      }
+      vecs.unpersist()
+    }
+
     // Streaming throughput: real MemoryStream drives at stress size —
     // events/sec through sessionizeStream and docs/sec through
     // nearDupVerdicts, with state rows/bytes from the progress feed.

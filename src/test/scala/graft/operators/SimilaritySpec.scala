@@ -125,6 +125,64 @@ class SimilaritySpec extends SparkSpec {
     assert(again.exceptAll(direct).isEmpty && direct.exceptAll(again).isEmpty)
   }
 
+  test("hierarchical codebook: two-level assignment is consistent and flatten-aligned") {
+    // 4 well-separated planted clusters in R^4
+    val vecs = (for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val base = 20f * c
+      val j = (i % 5) * 0.02f
+      ((c * 50 + i).toLong, Array(base + j, base - j, base + 2 * j, base))
+    }).toDF("vec_id", "embedding")
+
+    val cb = Similarity.trainKMeansHier(vecs, numCells = 16, iters = 5,
+      trainSample = 1000)
+    // structure: ~sqrt(16)=4 coarse cells, jagged fine tables, global ids
+    // dense in [0, numCells)
+    assert(cb.coarse.length === 4)
+    assert(cb.offsets.head === 0)
+    assert(cb.numCells === cb.fine.map(_.length).sum)
+    assert(cb.flatten.length === cb.numCells)
+    // flatten alignment: the centroid at index cellOf(v) IS the fine
+    // centroid the two-level argmin picked
+    val probe = Array(20.02f, 19.98f, 20.04f, 20f)
+    val cell = cb.cellOf(probe)
+    assert(cell >= 0 && cell < cb.numCells)
+    val c = cb.offsets.lastIndexWhere(_ <= cell)
+    assert(cb.flatten(cell).toSeq === cb.fine(c)(cell - cb.offsets(c)).toSeq)
+
+    val assigned = Similarity.kmeansAssignHier(vecs, cb)
+      .as[(Long, Int)].collect().toMap
+    // identical vectors always agree (same coarse argmin, same fine argmin)
+    assert(assigned(0L) === assigned(5L)) // same jitter pattern i%5
+    // far-apart planted clusters never share a cell
+    val byCluster = (0 until 4).map { cl =>
+      (0 until 50).map(i => assigned((cl * 50 + i).toLong)).toSet
+    }
+    for (a <- 0 until 4; b <- a + 1 until 4)
+      assert((byCluster(a) & byCluster(b)).isEmpty,
+        s"clusters $a/$b share cells ${byCluster(a) & byCluster(b)}")
+  }
+
+  test("semanticDedup hierarchical path keeps the planted-dup invariant") {
+    // 200 base vectors on DISTINCT hypercube corners (sign pattern = the
+    // id's bits) — pairwise cosine ≤ 6/8 = 0.75, far under threshold —
+    // plus exact copies of every 10th: regardless of cell structure, each
+    // copy shares its original's cell and only copies drop (min-id rule)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (((i >> d) & 1) == 1) 1f else -1f))
+    }
+    val plants = base.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 1000L, v) }
+    val rows = (base ++ plants).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(rows, 0.9999, numCells = 64,
+        trainSample = 1000, hierarchicalAbove = 8) // force the hier path
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === base.map(_._1).toSet,
+      "exactly the planted copies must drop through the hierarchical codebook")
+  }
+
   test("semanticDedup drops within-cluster near-dups, keeps min-id first") {
     // two far-apart clusters; within cluster 0: ids 0 and 1 are IDENTICAL,
     // id 2 is a near-dup of 0 (cos > 0.999), id 3 is distinct (orthogonal
