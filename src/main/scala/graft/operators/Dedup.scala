@@ -64,11 +64,19 @@ object Dedup {
    * is re-assembled from its surviving chunks in order (fully-duplicated
    * docs collapse to empty text — doc-level dedup falls out).
    *
-   * Scale shape: one explode (chunk rows ≈ token count / chunkTokens),
-   * one shuffle keyed by chunk text for the keep-first window, one
-   * groupBy(id) to re-assemble. For 100 TB, swap the chunk-text shuffle
-   * key for `xxhash64(chunk)` + collision re-check, exactly as
-   * [[exactScalable]] does for whole documents.
+   * 100 TB shape — document text never shuffles:
+   *   1. chunk hashes `xxhash64(chunk)` aggregate to find collision
+   *      groups (the census exchange carries only hash + partial count,
+   *      map-side combined);
+   *   2. only collision-group chunk rows carry text into the keep-first
+   *      window, partitioned by true equality `(hash, chunk)` so a
+   *      hash collision between DIFFERENT chunks can never merge them —
+   *      the [[exactScalable]] recheck, at chunk grain;
+   *   3. the loser set `(id, idx)` — actual duplicate chunks only —
+   *      groups per doc (a broadcast at real dup rates) and joins back to
+   *      the original rows; each document rebuilds MAP-SIDE by
+   *      re-chunking its own text and skipping the lost indexes, so the
+   *      assembly never exchanges bodies either.
    */
   /**
    * Output schema: exactly `(idCol, clean_text)` — one row per input row,
@@ -78,22 +86,78 @@ object Dedup {
    */
   def dedupChunks(df: DataFrame, idCol: String, textCol: String,
                   chunkTokens: Int): DataFrame = {
-    require(chunkTokens > 0, "chunkTokens must be positive")
-    val reserved = df.columns
-      .filter(c => c.startsWith("__") || c == "clean_text")
-    require(reserved.isEmpty,
-      s"column names starting with __ (and clean_text) are reserved here: " +
-        s"${reserved.toSet}")
+    requireChunkContract(df, chunkTokens)
     import org.apache.spark.sql.expressions.Window
-    val toks = TextAnalysis.tokens(col(textCol))
-    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    // both the census and the keep-first window read the exploded chunk
+    // frame; persist it for the (eager, checkpoint-bounded) loser
+    // computation so tokenize+chunk+hash runs once, not twice —
+    // DISK-spillable, local to each executor, never an exchange
     val chunks = df
-      .select(col(idCol), toks.as("__t"), nChunks.as("__n"))
-      .filter(col("__n") > 0) // sequence(0, -1) would run BACKWARD, not empty
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), col("__n") - 1),
-          i => array_join(
-            slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .select(col(idCol), posexplode(chunkArray(col(textCol), chunkTokens))
+        .as(Seq("__idx", "__chunk")))
+      .select(col(idCol), col("__idx"), col("__chunk"),
+        xxhash64(col("__chunk")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // census exchange carries only (hash, partial count) — the text
+    // equality in the window below already disarms hash collisions, so
+    // nothing else needs to ride along
+    val dupHashes = chunks.groupBy("__h")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select("__h")
+    val firstW = Window
+      .partitionBy(col("__h"), col("__chunk"))
+      .orderBy(col(idCol).asc, col("__idx").asc)
+    // the census is DISTINCT duplicated chunks — orders smaller than dup
+    // instances in boilerplate-shaped corpora — so broadcast it and filter
+    // candidates map-side; a shuffled semi-join here would move every
+    // chunk's text keyed by hash, the exact exchange this path exists to
+    // avoid. (Worst case — millions of pairwise-distinct dup chunks — the
+    // escape hatch is Spark's runtime bloom-filter semi-join reduction on
+    // the same shape.)
+    val lost = chunks.join(broadcast(dupHashes), Seq("__h"), "left_semi")
+      .withColumn("__rk", row_number().over(firstW))
+      .filter(col("__rk") > 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__idx")).as("__lost"))
+      // one row per LOSING doc — orders smaller than the corpus;
+      // materialize once so sizing it doesn't recompute the window
+      .localCheckpoint()
+    chunks.unpersist(blocking = false) // checkpoint consumed both readers
+    // broadcast the loser table so the rebuild join never exchanges the
+    // corpus (a stats-blind planner falls back to a sort-merge join here
+    // and re-shuffles every document body keyed by id — measured 173 MB
+    // of 219 at the stress tier); past the size guard, fall back to the
+    // shuffled join — at that dup-doc rate text movement is unavoidable
+    // and the text-keyed baseline pays the same exchange
+    val lostSide =
+      if (lost.count() <= MaxBroadcastLoserDocs) broadcast(lost) else lost
+    val lostOrEmpty = coalesce(col("__lost"), array().cast("array<int>"))
+    df.select(col(idCol), col(textCol))
+      .join(lostSide, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(chunkArray(col(textCol), chunkTokens),
+            (c, i) => not(array_contains(lostOrEmpty, i))), " ")
+          .as("clean_text"))
+  }
+
+  /** Loser-table rows above which [[dedupChunks]]'s rebuild join stops
+    * broadcasting (≈ tens of MB of (id, int-array) rows — comfortably
+    * under executor memory, well over any boilerplate-shaped dup rate's
+    * distinct losing-doc count at one shard of a partitioned corpus). */
+  private val MaxBroadcastLoserDocs = 1000000L
+
+  /** The pre-hashing chunk dedup: identical semantics to [[dedupChunks]]
+    * but the keep-first window shuffles FULL chunk text corpus-wide and
+    * the rebuild re-shuffles surviving text keyed by id — kept only as
+    * the [[graft.tools.StressBench]] `chunkbytes` comparison baseline. */
+  private[graft] def dedupChunksTextKeyed(df: DataFrame, idCol: String,
+                                          textCol: String,
+                                          chunkTokens: Int): DataFrame = {
+    requireChunkContract(df, chunkTokens)
+    import org.apache.spark.sql.expressions.Window
+    val chunks = df
+      .select(col(idCol), posexplode(chunkArray(col(textCol), chunkTokens))
         .as(Seq("__idx", "__chunk")))
     val firstW = Window.partitionBy(col("__chunk"))
       .orderBy(col(idCol).asc, col("__idx").asc)
@@ -106,6 +170,27 @@ object Dedup {
           s => s.getField("__chunk")), " ").as("clean_text"))
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
+  private def requireChunkContract(df: DataFrame, chunkTokens: Int): Unit = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val reserved = df.columns
+      .filter(c => c.startsWith("__") || c == "clean_text")
+    require(reserved.isEmpty,
+      s"column names starting with __ (and clean_text) are reserved here: " +
+        s"${reserved.toSet}")
+  }
+
+  /** Fixed `chunkTokens`-token chunk strings of `text`, in order; empty
+    * text → empty array (the `when` guard keeps `sequence(0, -1)` — which
+    * would run BACKWARD — from ever evaluating). */
+  private def chunkArray(text: Column, chunkTokens: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    when(n > 0,
+      transform(sequence(lit(0), n - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /**

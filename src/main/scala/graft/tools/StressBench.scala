@@ -46,6 +46,19 @@ object StressBench {
         expr(s"transform(sequence(1, $d), " +
           s"i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
 
+  /** Collect ShuffleExchangeLike nodes, recursing through AQE's
+    * QueryStageExec wrappers and the adaptive root (ReusedExchangeExec is
+    * a leaf, so reused exchanges are never double-counted). */
+  private def allExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = p.collect {
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      Seq(e)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allExchanges(qs.plan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allExchanges(a.executedPlan)
+  }.flatten
+
   /** Collect FileSourceScanExec nodes, recursing through AQE's
     * QueryStageExec wrappers and the adaptive root. */
   private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
@@ -389,6 +402,66 @@ object StressBench {
         f"build ${buildSec}%5.1f s; probe batch ${probeSec}%5.2f s " +
         f"($rows results); store rows read=$readRows of $n " +
         f"(${readRows * 100.0 / n}%.1f%%)")
+    }
+
+    // Chunk-dedup shuffle bytes: the hashed-key path promises ~16 bytes
+    // per chunk through the exchanges (keys + the small loser set) where
+    // the text-keyed baseline moves every chunk's TEXT twice (keep-first
+    // window + id-keyed reassembly). Measured from the executed plan's
+    // ShuffleExchangeLike write metrics — same corpus, both paths.
+    if (only.contains("chunkbytes")) {
+      val n = if (xl) 2000000L else 500000L
+      // 40-word docs of 8-char words (web-ish token length); every 10th
+      // doc is a FULL copy from a 997-doc pool (≈10% duplicated chunks —
+      // boilerplate-style dup rate); hashed tokens avoid the synthetic
+      // periodic-text cross-match hazard
+      val docs = spark.range(n).toDF("doc_id")
+        .withColumn("pool", when(col("doc_id") % 10 === 0,
+          col("doc_id") % 997).otherwise(col("doc_id")))
+        .withColumn("text", expr("concat_ws(' ', transform(sequence(1, 40), " +
+          "i -> substring(hex(xxhash64(pool, i)), 1, 8)))"))
+        .select("doc_id", "text")
+        .cache()
+      docs.count()
+      // task-level listener, not executed-plan metrics: dedupChunks
+      // materializes its loser table eagerly (localCheckpoint), so part
+      // of its shuffle happens OUTSIDE the final Dataset's queryExecution
+      def shuffled(run: => org.apache.spark.sql.DataFrame)
+      : (Long, Long, Double) = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val recs = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val t0 = System.nanoTime()
+          run.select(sum(length(col("clean_text"))).as("sig"),
+            count(lit(1)).as("nn")).collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus drains asynchronously
+          (bytes.get, recs.get, sec)
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val (hB, hR, hSec) = shuffled(
+        Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 8))
+      val (tB, tR, tSec) = shuffled(
+        Dedup.dedupChunksTextKeyed(docs, "doc_id", "text", chunkTokens = 8))
+      val chunks = n * 5 // 40 words / 8-token chunks
+      println(f"[stress] chunkbytes (n=$n docs, ~$chunks chunks): " +
+        f"hashed ${hB / 1e6}%8.1f MB / $hR rows / $hSec%5.1f s " +
+        f"(${hB.toDouble / chunks}%5.1f B/chunk) | " +
+        f"text-keyed ${tB / 1e6}%8.1f MB / $tR rows / $tSec%5.1f s " +
+        f"(${tB.toDouble / chunks}%5.1f B/chunk) | " +
+        f"bytes ratio ${tB.toDouble / math.max(1, hB)}%.1f x")
+      docs.unpersist()
     }
 
     // Hierarchical-codebook assignment: a FLAT codebook's corpus

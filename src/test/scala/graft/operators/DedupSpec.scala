@@ -225,6 +225,31 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(7L -> "a b c c"))
   }
 
+  test("dedupChunks: hashed-key path matches the text-keyed baseline exactly") {
+    // a corpus mixing every shape at once: cross-doc dups, within-doc
+    // dups, full-copy docs, odd tails, empties — the hashed-key +
+    // collision-recheck path must be row-for-row identical to the
+    // pre-hashing baseline that shuffles chunk text
+    val docs = (0L until 60L).map { i =>
+      val t = i % 6 match {
+        case 0 => s"w${i % 7} x${i % 7} y z q r"   // shared leading chunk
+        case 1 => "a b c d a b"                     // within-doc repeat
+        case 2 => s"u$i v$i w$i"                    // unique + odd tail
+        case 3 => "a b c d a b"                     // full copy of case-1 docs
+        case 4 => ""                                // empty
+        case _ => s"s${i / 6} t${i / 6} s${i / 6} t${i / 6}" // paired copies
+      }
+      (i, t)
+    }.toDF("doc_id", "text")
+    val hashed = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, String)].collect().toMap
+    val textKeyed = Dedup.dedupChunksTextKeyed(docs, "doc_id", "text",
+        chunkTokens = 2)
+      .as[(Long, String)].collect().toMap
+    assert(hashed === textKeyed)
+    assert(hashed.size === 60)
+  }
+
   test("dedupChunks rejects reserved column names like its siblings") {
     intercept[IllegalArgumentException] {
       Dedup.dedupChunks(Seq((1L, "a", "x")).toDF("doc_id", "text", "__idx"),
