@@ -9,27 +9,44 @@ import graft.operators.{Dedup, Mixes, Splits, TextAnalysis}
  * Stage toggles for [[CorpusPipeline.prepare]] — the canonical
  * training-corpus preparation flow as ONE declarative plan. Every stage
  * is the exact operator the standalone queries gate individually; this
- * facade only fixes the composition order a crawl pipeline uses:
+ * facade only fixes the composition order a crawl pipeline uses
+ * (the C4/RefinedWeb chain):
  *
- *   URL dedup → exact dedup → quality/token gates → near-dup dedupe →
- *   eval-set decontamination → target-share mixing → leakage-safe split
+ *   URL dedup → boilerplate-line strip → exact dedup → quality/token
+ *   gates → repeated-span removal → chunk dedup → near-dup dedupe →
+ *   eval-set decontamination (LSH + exact 13-gram) → target-share
+ *   mixing → leakage-safe split
  *
  * Cheap, high-yield stages run first (URL and exact dedup shuffle
  * 8-16-byte keys; near-dup sketching then sees a smaller corpus; mixing
- * and splitting run on what survives).
+ * and splitting run on what survives). Text-REWRITING stages
+ * (boilerplate, spans, chunks) run before near-dup sketching so
+ * signatures see cleaned text; a document whose text empties out at any
+ * rewriting stage is dropped (its content survives wherever the
+ * keep-first copy lives).
  */
 final case class CorpusPrepConfig(
     idCol: String = "doc_id",
     textCol: String = "text",
     /** Column holding each document's source URL — enables stage 1. */
     urlCol: Option[String] = None,
+    /** Strip lines appearing in ≥ this many docs (C4 boilerplate rule). */
+    boilerplateMinDocFreq: Option[Long] = None,
     exactDedup: Boolean = true,
     /** quality_score floor (TextAnalysis.withQuality semantics). */
     minQuality: Option[Double] = Some(0.5),
     /** Inclusive (min, max) token-count gate. */
     tokenRange: Option[(Long, Long)] = Some((5L, 10000L)),
+    /** Remove corpus-wide repeated spans of this many tokens when set. */
+    spanDedupTokens: Option[Int] = None,
+    /** Keep-first chunk dedup at this chunk size when set. */
+    chunkDedupTokens: Option[Int] = None,
     /** Near-dup dedupe at this exact-Jaccard threshold when set. */
     nearDupThreshold: Option[Double] = None,
+    /** (n, minOverlap): ALSO drop docs sharing ≥ minOverlap exact
+      * word n-grams with any eval set (the GPT-3/PaLM 13-gram rule),
+      * on top of the always-on LSH decontamination pass. */
+    ngramDecontamination: Option[(Int, Int)] = None,
     /** (stratumCol, weights): downsample to target shares when set. */
     targetShares: Option[(String, Map[String, Double])] = None,
     /** Split weights: adds a leakage-safe `split` column when set. */
@@ -48,8 +65,23 @@ object CorpusPipeline {
   def prepare(df: DataFrame, cfg: CorpusPrepConfig,
               evalSets: Seq[DataFrame] = Nil): DataFrame = {
     var cur = df
+    // swap `textCol` for a (idCol, clean_text) frame's cleaned text,
+    // preserving the input column order; docs whose text emptied out are
+    // dropped (their content survives at the keep-first copy)
+    def replaceText(base: DataFrame, cleaned: DataFrame): DataFrame = {
+      val cols = base.columns
+      base.join(cleaned.select(col(cfg.idCol), col("clean_text")),
+          Seq(cfg.idCol))
+        .select(cols.map(c =>
+          if (c == cfg.textCol) col("clean_text").as(c) else col(c)): _*)
+        .filter(length(trim(col(cfg.textCol))) > 0)
+    }
     cfg.urlCol.foreach { u =>
       cur = TextAnalysis.dedupByUrl(cur, cfg.idCol, u)
+    }
+    cfg.boilerplateMinDocFreq.foreach { f =>
+      cur = TextAnalysis.stripBoilerplate(cur, cfg.idCol, cfg.textCol, f)
+        .filter(length(trim(col(cfg.textCol))) > 0)
     }
     if (cfg.exactDedup) {
       // exactScalable returns only (id, text, dup_count); the facade's
@@ -67,11 +99,26 @@ object CorpusPipeline {
         q = q.filter(col("q_tokens").between(lo, hi)) }
       cur = q.select(cols.head, cols.tail: _*)
     }
+    cfg.spanDedupTokens.foreach { k =>
+      cur = replaceText(cur,
+        Dedup.removeRepeatedSpans(cur, cfg.idCol, cfg.textCol, k))
+    }
+    cfg.chunkDedupTokens.foreach { k =>
+      cur = replaceText(cur,
+        Dedup.dedupChunks(cur, cfg.idCol, cfg.textCol, k))
+    }
     cfg.nearDupThreshold.foreach { t =>
       cur = Dedup.dedupe(cur, cfg.idCol, cfg.textCol, jaccardThreshold = t)
     }
     evalSets.foreach { ev =>
       cur = Dedup.decontaminate(cur, ev, cfg.idCol, cfg.textCol)
+      cfg.ngramDecontamination.foreach { case (n, minOverlap) =>
+        val flagged = Dedup.ngramOverlapFlags(cur, ev, cfg.idCol,
+            cfg.textCol, n, minOverlap)
+          .select(col(cfg.idCol).as("__ngram_flagged"))
+        cur = cur.join(flagged,
+          col(cfg.idCol) === col("__ngram_flagged"), "left_anti")
+      }
     }
     cfg.targetShares.foreach { case (stratumCol, weights) =>
       // token count as the mixing cost — the unit training runs budget

@@ -67,6 +67,80 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids.size === 98)
   }
 
+  test("boilerplate stage equals inline stripBoilerplate; all-boilerplate docs drop") {
+    val df = (0L until 10L).map { i =>
+      val body = s"unique line $i alpha\nunique line $i beta"
+      val t =
+        if (i == 9L) "subscribe to our newsletter"
+        else if (i < 6) s"subscribe to our newsletter\n$body"
+        else body
+      (i, t)
+    }.toDF("doc_id", "text")
+    val facade = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      boilerplateMinDocFreq = Some(3)))
+    val inline = TextAnalysis.stripBoilerplate(df, "doc_id", "text", 3)
+      .filter(length(trim(col("text"))) > 0)
+    assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
+    // doc 9 was ONLY the censored line → emptied → dropped
+    assert(!facade.select("doc_id").as[Long].collect().contains(9L))
+  }
+
+  test("span and chunk dedup stages equal their inline compositions") {
+    // doc 50 is a full copy of doc 0 (all chunks lose → doc drops);
+    // doc 51 embeds a 6-token run of doc 1 inside novel text
+    val base = (0L until 50L).map { i =>
+      (i, (1 to 24).map(k => s"w${i}x$k").mkString(" "))
+    }
+    val spanRun = base(1)._2.split(" ").take(6).mkString(" ")
+    val df = (base ++ Seq((50L, base(0)._2), (51L, s"zz aa $spanRun qq rr")))
+      .toDF("doc_id", "text")
+    val off = CorpusPrepConfig(exactDedup = false, minQuality = None,
+      tokenRange = None)
+
+    val facadeChunk = CorpusPipeline.prepare(df,
+      off.copy(chunkDedupTokens = Some(8)))
+    val inlineChunk = Dedup.dedupChunks(df, "doc_id", "text", 8)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .filter(length(trim(col("text"))) > 0)
+    assert(facadeChunk.exceptAll(inlineChunk).isEmpty &&
+      inlineChunk.exceptAll(facadeChunk).isEmpty)
+    assert(!facadeChunk.select("doc_id").as[Long].collect().contains(50L))
+
+    val facadeSpan = CorpusPipeline.prepare(df,
+      off.copy(spanDedupTokens = Some(6)))
+    val inlineSpan = Dedup.removeRepeatedSpans(df, "doc_id", "text", 6)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .filter(length(trim(col("text"))) > 0)
+    assert(facadeSpan.exceptAll(inlineSpan).isEmpty &&
+      inlineSpan.exceptAll(facadeSpan).isEmpty)
+    // the stolen run is cut from doc 51, the novel frame survives
+    val d51 = facadeSpan.filter(col("doc_id") === 51L)
+      .select("text").as[String].collect()
+    assert(d51.toSeq === Seq("zz aa qq rr"))
+  }
+
+  test("exact n-gram decontamination catches partial containment LSH misses") {
+    val df = corpus().select("doc_id", "text")
+    // the eval doc embeds an 8-token RUN of doc 30 inside unrelated
+    // text: whole-doc Jaccard is far below the LSH threshold, so only
+    // the exact-n-gram pass can flag doc 30
+    val run = df.filter(col("doc_id") === 30L)
+      .select("text").as[String].head().split(" ").slice(5, 13).mkString(" ")
+    val eval = Seq((9000L,
+      s"alpha beta gamma $run delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val off = CorpusPrepConfig(exactDedup = false, minQuality = None,
+      tokenRange = None)
+    val lshOnly = CorpusPipeline.prepare(df, off, evalSets = Seq(eval))
+      .select("doc_id").as[Long].collect().toSet
+    val withNgram = CorpusPipeline.prepare(df,
+        off.copy(ngramDecontamination = Some((8, 1))), evalSets = Seq(eval))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lshOnly.contains(30L), "LSH alone must miss the partial overlap")
+    assert(withNgram === lshOnly - 30L)
+  }
+
   test("url dedup + near-dup + split compose in the canonical order") {
     // every doc pair (2k, 2k+1) shares a canonical URL → odd ids drop in
     // stage 1 BEFORE sketching; a planted near-dup of doc 0 survives URL
