@@ -902,6 +902,28 @@ object SparkEntry {
           sum("size_bytes").cast("long").as("sum_bytes"))
     }),
 
+    // IMA-ADPCM decode (WAV format tag 0x0011, 4:1 — a second REAL
+    // compressed audio codec, pure spec arithmetic, zero deps): per-doc
+    // synthesis runs a genuine encode, extractMeta a genuine block-wise
+    // decode; duration/size must equal the SQL arithmetic that sized the
+    // blocks. The sample-exact decode is pinned against an independent
+    // reference decoder in MultimodalSpec.
+    "mm_decode_adpcm" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val spark = s
+      import spark.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRow(id, "audio",
+            Multimodal.MediaSynth.adpcmWav(505 * (1 + (id % 8).toInt),
+              seed = id))
+        }
+      Multimodal.extractMeta(media, Multimodal.RawFormatsCodec).toDF()
+        .agg(count(lit(1)).as("n"),
+          sum("duration_ms").cast("long").as("sum_dur"),
+          sum("size_bytes").cast("long").as("sum_bytes"))
+    }),
+
     // COMPRESSED-image decode through the JDK's own ImageIO (PNG writer →
     // PNG reader round-trip per row): decoded dims must equal the SQL
     // arithmetic that synthesized them — a real compression cycle, not a
@@ -1711,6 +1733,14 @@ object SparkEntry {
       """SELECT count(*) AS n,
         |  CAST(sum(100 * (1 + doc_id % 10)) AS BIGINT) AS sum_dur,
         |  CAST(sum(24 + 800 * (1 + doc_id % 10)) AS BIGINT) AS sum_bytes
+        |FROM documents""".stripMargin,
+    // (1+k) blocks of 505 samples at 8000 Hz, floor'd ms; 48-byte header
+    // + 256-byte blocks — the byte/temporal geometry the decoder derives.
+    "mm_decode_adpcm" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor((1 + doc_id % 8) * 505 * 1000 / 8000)
+        |    AS BIGINT)) AS BIGINT) AS sum_dur,
+        |  CAST(sum(48 + 256 * (1 + doc_id % 8)) AS BIGINT) AS sum_bytes
         |FROM documents""".stripMargin,
     "q_asof_join" ->
       """SELECT count(*) AS n_events, count(click_id) AS n_matched,

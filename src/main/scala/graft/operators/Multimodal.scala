@@ -93,6 +93,81 @@ object Multimodal {
     StubCodec.features(bytes, dim)
 
   /**
+   * IMA/DVI ADPCM (public IMA Digital Audio Focus Group spec; WAV format
+   * tag 0x0011): 4 bits per sample, 4:1 compression of 16-bit PCM, pure
+   * integer arithmetic — an adaptive step-size table of 89 entries and a
+   * per-code index walk. Blocks are self-contained: each starts with the
+   * (predictor: s16 LE, stepIndex: u8, reserved) state header followed by
+   * packed nibbles (low nibble first), so any block decodes without its
+   * neighbors — which is also why the format suits splittable processing.
+   * Shared by [[RawFormatsCodec]] (decode) and [[MediaSynth]] (encode:
+   * the encoder embeds this decoder's arithmetic, per the spec).
+   */
+  private[operators] object ImaAdpcm {
+    val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One decode step: (code, predictor, stepIndex) → (sample, index'). */
+    def step(code: Int, pred: Int, index: Int): (Int, Int) = {
+      val s = StepTable(index)
+      var diff = s >> 3
+      if ((code & 4) != 0) diff += s
+      if ((code & 2) != 0) diff += s >> 1
+      if ((code & 1) != 0) diff += s >> 2
+      val p = if ((code & 8) != 0) pred - diff else pred + diff
+      val clamped = math.max(-32768, math.min(32767, p))
+      val idx = math.max(0, math.min(88, index + IndexTable(code & 7)))
+      (clamped, idx)
+    }
+
+    /** Quantize `diff = target - pred` to the 4-bit code at `index` —
+      * the spec's encoder: magnitude bits by step comparison, then the
+      * state advances through [[step]] so encoder and decoder predictors
+      * stay in lockstep. Returns (code, predictor', index'). */
+    def encodeStep(target: Int, pred: Int, index: Int): (Int, Int, Int) = {
+      val s = StepTable(index)
+      var diff = target - pred
+      var code = 0
+      if (diff < 0) { code = 8; diff = -diff }
+      if (diff >= s) { code |= 4; diff -= s }
+      if (diff >= (s >> 1)) { code |= 2; diff -= s >> 1 }
+      if (diff >= (s >> 2)) code |= 1
+      val (p, idx) = step(code, pred, index)
+      (code, p, idx)
+    }
+
+    /** Decode one mono block at `off` (blockAlign bytes): the 4-byte
+      * state header's predictor is sample 0, then two samples per packed
+      * byte, low nibble first. */
+    def decodeBlock(b: Array[Byte], off: Int, blockAlign: Int): Array[Short] = {
+      var pred = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+      var index = math.max(0, math.min(88, b(off + 2) & 0xff))
+      val nData = blockAlign - 4
+      val out = new Array[Short](1 + nData * 2)
+      out(0) = pred.toShort
+      var i = 0
+      while (i < nData) {
+        val byte = b(off + 4 + i) & 0xff
+        val (s1, i1) = step(byte & 0x0f, pred, index)
+        pred = s1; index = i1
+        out(1 + 2 * i) = s1.toShort
+        val (s2, i2) = step((byte >> 4) & 0x0f, pred, index)
+        pred = s2; index = i2
+        out(2 + 2 * i) = s2.toShort
+        i += 1
+      }
+      out
+    }
+  }
+
+  /**
    * REAL codec for uncompressed container formats — no external library
    * needed, the headers are fixed-layout little-endian structs:
    *  - image = BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): width/height at
@@ -152,6 +227,21 @@ object Multimodal {
       (off, len, be32(b, 12), be32(b, 16), be32(b, 20))
     }
 
+    /** (sampleRate, blockAlign, samplesPerBlock) from an IMA-ADPCM fmt
+      * chunk (format tag 0x0011). Mono only — the per-channel nibble
+      * interleave is a documented non-goal; stereo fails loudly. */
+    private def adpcmFmt(b: Array[Byte], fmt: Int): (Int, Int, Int) = {
+      require(le32(b, fmt - 4) >= 20, "IMA-ADPCM fmt chunk needs cbSize+samplesPerBlock")
+      val channels = le16(b, fmt + 2)
+      require(channels == 1, s"IMA-ADPCM: mono only, got $channels channels")
+      val blockAlign = le16(b, fmt + 12)
+      require(blockAlign > 4, s"IMA-ADPCM blockAlign $blockAlign too small")
+      val spb = le16(b, fmt + 18)
+      require(spb == (blockAlign - 4) * 2 + 1,
+        s"IMA-ADPCM samplesPerBlock $spb inconsistent with blockAlign $blockAlign")
+      (le32(b, fmt + 4), blockAlign, spb)
+    }
+
     /** G.711 μ-law expansion (public CCITT spec — the standard bias-132
       * segment/mantissa form; inverse of [[MediaSynth.pcmToUlaw]]). */
     private[operators] def ulawToPcm(u: Byte): Int = {
@@ -175,8 +265,15 @@ object Multimodal {
           (0, 0, if (rate <= 0 || ch <= 0) 0L else len * 1000L / (rate.toLong * ch))
         case "audio" =>
           val (fmt, _, dataLen) = wavChunks(bytes)
-          val byteRate = le32(bytes, fmt + 8)
-          (0, 0, if (byteRate <= 0) 0L else dataLen * 1000L / byteRate)
+          le16(bytes, fmt) match {
+            case 0x0011 => // IMA ADPCM: whole blocks of samplesPerBlock
+              val (rate, blockAlign, spb) = adpcmFmt(bytes, fmt)
+              val nBlocks = dataLen / blockAlign
+              (0, 0, if (rate <= 0) 0L else nBlocks * spb.toLong * 1000L / rate)
+            case _ =>
+              val byteRate = le32(bytes, fmt + 8)
+              (0, 0, if (byteRate <= 0) 0L else dataLen * 1000L / byteRate)
+          }
         case other => StubCodec.decodeHeader(other, bytes) // video: stub seam
       }
 
@@ -220,8 +317,39 @@ object Multimodal {
         }
         out
       } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(8) == 'W') {
+        val (fmt, data, dataLen) = wavChunks(bytes)
+        if (le16(bytes, fmt) == 0x0011) {
+          // IMA ADPCM: real 4:1 decode block by block, then the same
+          // per-segment RMS statistic as the PCM path (same ±32768
+          // normalization, so ADPCM/PCM of one signal compare)
+          val (_, blockAlign, spb) = adpcmFmt(bytes, fmt)
+          val nBlocks = math.min(dataLen, bytes.length - data) / blockAlign
+          val total = nBlocks.toLong * spb
+          if (total <= 0) return out
+          val sums = new Array[Double](dim)
+          val counts = new Array[Long](dim)
+          var blk = 0
+          var s = 0L
+          while (blk < nBlocks) {
+            val pcm = ImaAdpcm.decodeBlock(bytes, data + blk * blockAlign,
+              blockAlign)
+            var j = 0
+            while (j < spb) {
+              val v = pcm(j).toDouble / 32768.0
+              val seg = (s * dim / total).toInt
+              sums(seg) += v * v; counts(seg) += 1
+              s += 1; j += 1
+            }
+            blk += 1
+          }
+          var i = 0
+          while (i < dim) {
+            if (counts(i) > 0) out(i) = math.sqrt(sums(i) / counts(i)).toFloat
+            i += 1
+          }
+          return out
+        }
         // WAV: RMS amplitude per time segment (16-bit PCM assumed)
-        val (_, data, dataLen) = wavChunks(bytes)
         val nSamp = dataLen / 2
         if (nSamp == 0) return out
         val sums = new Array[Double](dim)
@@ -395,6 +523,51 @@ object Multimodal {
       while (s < nSamples) {
         out.put(pcmToUlaw((math.sin((s + seed) * 0.1) * 12000).toInt))
         s += 1
+      }
+      out.array()
+    }
+
+    /** A REAL IMA-ADPCM WAV (format tag 0x0011, mono, 4:1): the same
+      * sine signal as [[wav]] pushed through a genuine spec encoder —
+      * [[ImaAdpcm.encodeStep]] quantizes against the decoder's own
+      * predicted state, so bytes only decode correctly through real
+      * ADPCM arithmetic. `nSamples` rounds DOWN to whole blocks
+      * (`samplesPerBlock = (blockAlign-4)*2+1`). */
+    def adpcmWav(nSamples: Int, sampleRate: Int = 8000, seed: Long = 0L,
+                 blockAlign: Int = 256): Array[Byte] = {
+      val spb = (blockAlign - 4) * 2 + 1
+      val nBlocks = nSamples / spb
+      val dataLen = nBlocks * blockAlign
+      val out = java.nio.ByteBuffer.allocate(48 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // byteRate for ADPCM = rate * blockAlign / samplesPerBlock (ceil'd
+      // by convention; our decoder derives duration from blocks instead)
+      val byteRate = (sampleRate.toLong * blockAlign / spb).toInt
+      out.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(20)
+        .putShort(0x0011).putShort(1)           // IMA ADPCM, mono
+        .putInt(sampleRate).putInt(byteRate)
+        .putShort(blockAlign.toShort).putShort(4) // block align, bits
+        .putShort(2).putShort(spb.toShort)      // cbSize, samplesPerBlock
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      def signal(s: Int): Int = (math.sin((s + seed) * 0.1) * 12000).toInt
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = blk * spb
+        var pred = signal(base) // sample 0 rides verbatim in the header
+        var index = 0
+        out.putShort(pred.toShort).put(0.toByte).put(0.toByte)
+        var i = 0
+        while (i < blockAlign - 4) {
+          val (c1, p1, i1) = ImaAdpcm.encodeStep(signal(base + 1 + 2 * i), pred, index)
+          pred = p1; index = i1
+          val (c2, p2, i2) = ImaAdpcm.encodeStep(signal(base + 2 + 2 * i), pred, index)
+          pred = p2; index = i2
+          out.put((c1 | (c2 << 4)).toByte)
+          i += 1
+        }
+        blk += 1
       }
       out.array()
     }
