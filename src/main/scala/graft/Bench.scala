@@ -40,8 +40,13 @@ object Bench {
     // them here would only add fixed replay overhead to the total.
     val parityDrives = Set("q_sessionize_stream", "q_stream_neardup",
       "q_stream_join", "q_stream_snapshot")
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset for local
+    // iteration (the driver never sets it — full suite by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => parityDrives.contains(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()

@@ -742,8 +742,12 @@ object SparkEntry {
       val plants = all.filter(col("doc_id") % 25 === 0 && col("n_chars") >= 200)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zq")).as("text"))
+      // materialize the assignment once: the gate references it three
+      // times (pair sides + total), and each reference would otherwise
+      // re-run the whole dup-graph machinery and re-scan the source
       val assigned = Splits.assignLeakageSafe(docs.unionAll(plants),
         "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .localCheckpoint(false)
       val o = assigned.select(col("doc_id").as("oid"), col("split").as("osplit"))
       val p = assigned.select((col("doc_id") - 1000000L).as("oid"),
         col("split").as("psplit"))

@@ -337,12 +337,16 @@ object Dedup {
   def dedupe(df: DataFrame, idCol: String, textCol: String,
              jaccardThreshold: Double = 0.85, numHashes: Int = 64,
              bands: Int = 16, shingleSize: Int = 5): DataFrame = {
-    val cand = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize,
+    // ONE shared (id, text) projection feeds sketch, verify, and label
+    // stages — without it each stage re-scans (and re-decodes) the source
+    // table; only the final survivor semi-join touches the source again
+    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val cand = minhashPairs(slim, idCol, textCol, numHashes, bands, shingleSize,
       threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
       .select("id_a", "id_b")
-    val verified = verifyJaccard(cand, df, idCol, textCol, shingleSize)
+    val verified = verifyJaccard(cand, slim, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= jaccardThreshold).select("id_a", "id_b")
-    val labels = assignCanonical(df.select(col(idCol).as("id")), verified)
+    val labels = assignCanonical(slim.select(col(idCol).as("id")), verified)
     df.join(labels.filter(col("id") === col("canonical_id"))
         .select(col("id").as(s"__keep_$idCol")),
       col(idCol) === col(s"__keep_$idCol"), "left_semi")
@@ -408,14 +412,16 @@ object Dedup {
                     textCol: String, jaccardThreshold: Double = 0.8,
                     numHashes: Int = 64, bands: Int = 16,
                     shingleSize: Int = 5): DataFrame = {
-    val cand = crossMinhashPairs(corpus, eval, idCol, textCol, numHashes,
+    // ONE shared slim projection per side: sketching and gram verify
+    // both read it instead of re-scanning the source tables
+    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val slimE = eval.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val cand = crossMinhashPairs(slimC, slimE, idCol, textCol, numHashes,
       bands, shingleSize, threshold = math.max(0.0, jaccardThreshold - 0.2))
       .select("id_a", "id_b")
     // verify against the union so both sides' grams resolve (ids must be
     // disjoint across corpora, as with any cross-corpus id space)
-    val verified = verifyJaccard(cand,
-      corpus.select(col(idCol), col(textCol))
-        .unionByName(eval.select(col(idCol), col(textCol))),
+    val verified = verifyJaccard(cand, slimC.unionByName(slimE),
       idCol, textCol, shingleSize)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a").as("__contaminated"))
@@ -531,8 +537,11 @@ object Dedup {
     // restricted to survivors afterwards — identical output to the old
     // two-stage composition.
     val candMargin = math.max(0.0, jaccardThreshold - 0.2) // recall margin
-    val sigD = sketchFrame(delta, idCol, textCol, numHashes, bands, shingleSize)
-    val sigC = sketchFrame(corpus, idCol, textCol, numHashes, bands, shingleSize)
+    // shared slim projections: sketch + verify read these, not the source
+    val slimD = delta.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val sigD = sketchFrame(slimD, idCol, textCol, numHashes, bands, shingleSize)
+    val sigC = sketchFrame(slimC, idCol, textCol, numHashes, bands, shingleSize)
     val bandedD = bandFrame(sigD)
     val estAgree = graft.functions.Text.sigAgree(col("__sig_a"), col("__sig_b"))
       .cast("double") / numHashes
@@ -559,9 +568,7 @@ object Dedup {
 
     // one exact-Jaccard verification over the union doc set; the __cross
     // tag rides through verifyJaccard's candidate checkpoint
-    val verified = verifyJaccard(cand,
-        delta.select(col(idCol), col(textCol))
-          .unionByName(corpus.select(col(idCol), col(textCol))),
+    val verified = verifyJaccard(cand, slimD.unionByName(slimC),
         idCol, textCol, shingleSize)
       .filter(col("jaccard") >= jaccardThreshold)
       .localCheckpoint(false) // referenced three times below

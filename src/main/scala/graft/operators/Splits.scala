@@ -72,14 +72,18 @@ object Splits {
         org.apache.spark.sql.types.LongType,
       s"$idCol must be BIGINT for leakage-safe splitting " +
         s"(got ${df.schema(idCol).dataType}); derive a long id first")
-    val cand = Dedup.minhashPairs(df, idCol, textCol,
+    // ONE shared (id, text) projection feeds sketch, verify, and label
+    // stages (the dup-graph machinery re-scanned the source table per
+    // stage otherwise); only the final label join reads the source again
+    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val cand = Dedup.minhashPairs(slim, idCol, textCol,
       threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
       .select("id_a", "id_b")
-    val verified = Dedup.verifyJaccard(cand, df, idCol, textCol)
+    val verified = Dedup.verifyJaccard(cand, slim, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold).select("id_a", "id_b")
     // alias uniquely: df may itself carry an "id" column
     val labels = Dedup.assignCanonical(
-        df.select(col(idCol).as("id")), verified)
+        slim.select(col(idCol).as("id")), verified)
       .select(col("id").as("__lsid"), col("canonical_id").as("__canon"))
     assign(df.join(labels, col(idCol) === col("__lsid"), "left")
         .drop("__lsid")

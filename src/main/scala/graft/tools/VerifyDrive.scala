@@ -19,36 +19,19 @@ object VerifyDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // current investigation: per-exchange shuffle bytes of the hashed
-    // dedupChunks path — which exchange carries the unexpected volume?
-    val n = 500000L
-    val docs = spark.range(n).toDF("doc_id")
-      .withColumn("pool", when(col("doc_id") % 10 === 0,
-        col("doc_id") % 997).otherwise(col("doc_id")))
-      .withColumn("text", expr("concat_ws(' ', transform(sequence(1, 40), " +
-        "i -> substring(hex(xxhash64(pool, i)), 1, 8)))"))
-      .select("doc_id", "text")
-      .cache()
-    docs.count()
-    val out = graft.operators.Dedup.dedupChunks(docs, "doc_id", "text", 8)
-      .select(sum(length(col("clean_text"))).as("sig"), count(lit(1)).as("nn"))
-    out.collect()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit =
-      p match {
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(qs.plan, depth)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan, depth)
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
-          val b = e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
-          val r = e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
-          println(f"[drive] exchange@$depth: ${b / 1e6}%8.1f MB, $r rows :: " +
-            e.child.getClass.getSimpleName)
-          e.children.foreach(walk(_, depth + 1))
-        case other => other.children.foreach(walk(_, depth + 1))
-      }
-    walk(out.queryExecution.executedPlan, 0)
-    println(out.queryExecution.executedPlan.toString.take(8000))
+    // current investigation: shared-slim-checkpoint effect on composed
+    // dedup operators at the bench scale factor
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (q <- Seq("split_leakage_safe", "dedup_incremental", "dedup_pipeline",
+        "dedup_chunk", "training_corpus_build"); i <- 1 to 2) {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      // collect(), not count(): count lets Catalyst prune the aggregate
+      // expressions under measurement (the recurring timing trap)
+      graft.SparkEntry.queries(q)(spark, sfDir).collect()
+      println(f"[drive] $q pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
