@@ -549,6 +549,43 @@ object StressBench {
         f"${if (dState.isEmpty) 0L else dState.map(_.numRowsTotal).max}, " +
         f"mem max=${if (dState.isEmpty) 0L else dState.map(_.memoryUsedBytes).max} B")
       qD.stop()
+
+      // stream-stream interval join (the attribution join): 500k clicks ×
+      // 500k purchases over 50k users, purchases landing 1.5 ms after
+      // their click (≈1 match per click inside the [0, +5 min] window);
+      // both sides watermarked 10 min, so steady-state join state buffers
+      // ~watermark-window rows per side — rate + state rows/bytes from
+      // the progress feed, like the two tiers above
+      val nJ = 500000
+      val clicks = (0 until nJ).map { i =>
+        Streams.Event(i.toLong, new java.sql.Timestamp(base + i * 6L),
+          (i % 50000).toLong, "click", 1.0)
+      }
+      val buys = (0 until nJ).map { i =>
+        Streams.Event((i + 10000000).toLong,
+          new java.sql.Timestamp(base + i * 6L + 1500L),
+          (i % 50000).toLong, "purchase", 1.0)
+      }
+      val inL = MemoryStream[Streams.Event]
+      val inR = MemoryStream[Streams.Event]
+      val qJ = Streams.intervalJoinStream(inL.toDS(), inR.toDS(),
+          beforeMs = 0L, afterMs = 300000L, watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName("stress_ijoin")
+        .outputMode("append").start()
+      val tJ0 = System.nanoTime()
+      val jChunks = 16
+      clicks.grouped(nJ / jChunks).zip(buys.grouped(nJ / jChunks)).foreach {
+        case (lg, rg) =>
+          inL.addData(lg); inR.addData(rg); qJ.processAllAvailable()
+      }
+      val jSec = (System.nanoTime() - tJ0) / 1e9
+      val jOut = spark.table("stress_ijoin").count()
+      val jState = qJ.recentProgress.flatMap(_.stateOperators)
+      println(f"[stress] intervalJoinStream: ${2 * nJ} rows in / ${jSec}%.1f s" +
+        f" = ${2 * nJ / jSec}%.0f rows/s ($jOut pairs); state rows max=" +
+        f"${if (jState.isEmpty) 0L else jState.map(_.numRowsTotal).max}, " +
+        f"mem max=${if (jState.isEmpty) 0L else jState.map(_.memoryUsedBytes).max} B")
+      qJ.stop()
     }
 
     // scaling factors op by op: sec(16x)/sec(1x) — linear ⇒ ~16, and the
