@@ -47,6 +47,10 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => parityDrives.contains(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a typo'd (or parity-excluded) subset must not emit a valid-looking
+    // 0.00-sec metric line and overwrite BENCH_METRIC.json
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no benchable queries: ${only.get}")
     val samples = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()

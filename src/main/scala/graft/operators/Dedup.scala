@@ -111,10 +111,17 @@ object Dedup {
     // instances in boilerplate-shaped corpora — so broadcast it and filter
     // candidates map-side; a shuffled semi-join here would move every
     // chunk's text keyed by hash, the exact exchange this path exists to
-    // avoid. (Worst case — millions of pairwise-distinct dup chunks — the
-    // escape hatch is Spark's runtime bloom-filter semi-join reduction on
-    // the same shape.)
-    val lost = chunks.join(broadcast(dupHashes), Seq("__h"), "left_semi")
+    // avoid. The broadcast is size-GUARDED, not forced: a pathological
+    // census (hundreds of millions of pairwise-distinct dup chunks) falls
+    // back to the shuffled semi-join rather than aborting on the
+    // broadcast limit — text moves, but only because the data genuinely
+    // dup-floods (and the runtime bloom-filter semi-join reduction can
+    // still thin it when enabled).
+    val census = dupHashes.localCheckpoint() // count + join read it once
+    val censusSide =
+      if (census.count() <= MaxBroadcastCensusRows) broadcast(census)
+      else census
+    val lost = chunks.join(censusSide, Seq("__h"), "left_semi")
       .withColumn("__rk", row_number().over(firstW))
       .filter(col("__rk") > 1)
       .groupBy(col(idCol))
@@ -128,9 +135,18 @@ object Dedup {
     // and re-shuffles every document body keyed by id — measured 173 MB
     // of 219 at the stress tier); past the size guard, fall back to the
     // shuffled join — at that dup-doc rate text movement is unavoidable
-    // and the text-keyed baseline pays the same exchange
+    // and the text-keyed baseline pays the same exchange. The guard
+    // bounds the PAYLOAD (doc rows AND total lost indexes — the arrays
+    // are unbounded per row), not just the row count.
+    val (lostDocs, lostIdx) = {
+      val r = lost.agg(count(lit(1)), coalesce(sum(size(col("__lost"))),
+        lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val lostSide =
-      if (lost.count() <= MaxBroadcastLoserDocs) broadcast(lost) else lost
+      if (lostDocs <= MaxBroadcastLoserDocs &&
+        lostIdx <= MaxBroadcastLoserIndexes) broadcast(lost)
+      else lost
     val lostOrEmpty = coalesce(col("__lost"), array().cast("array<int>"))
     df.select(col(idCol), col(textCol))
       .join(lostSide, Seq(idCol), "left")
@@ -146,6 +162,15 @@ object Dedup {
     * under executor memory, well over any boilerplate-shaped dup rate's
     * distinct losing-doc count at one shard of a partitioned corpus). */
   private val MaxBroadcastLoserDocs = 1000000L
+
+  /** Companion payload bound: total lost-chunk indexes across all loser
+    * rows (~4 B each; 16M ≈ 64 MB broadcast) — rows alone don't bound
+    * the broadcast when individual docs lose thousands of chunks. */
+  private val MaxBroadcastLoserIndexes = 16000000L
+
+  /** Census rows above which [[dedupChunks]] stops broadcasting the
+    * duplicated-chunk hash set (8-byte rows; 32M ≈ 256 MB broadcast). */
+  private val MaxBroadcastCensusRows = 32000000L
 
   /** The pre-hashing chunk dedup: identical semantics to [[dedupChunks]]
     * but the keep-first window shuffles FULL chunk text corpus-wide and

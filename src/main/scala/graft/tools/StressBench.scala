@@ -46,19 +46,6 @@ object StressBench {
         expr(s"transform(sequence(1, $d), " +
           s"i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
 
-  /** Collect ShuffleExchangeLike nodes, recursing through AQE's
-    * QueryStageExec wrappers and the adaptive root (ReusedExchangeExec is
-    * a leaf, so reused exchanges are never double-counted). */
-  private def allExchanges(p: org.apache.spark.sql.execution.SparkPlan)
-  : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = p.collect {
-    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
-      Seq(e)
-    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      allExchanges(qs.plan)
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      allExchanges(a.executedPlan)
-  }.flatten
-
   /** Collect FileSourceScanExec nodes, recursing through AQE's
     * QueryStageExec wrappers and the adaptive root. */
   private def allScans(p: org.apache.spark.sql.execution.SparkPlan)

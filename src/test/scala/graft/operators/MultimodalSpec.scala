@@ -192,6 +192,22 @@ class MultimodalSpec extends SparkSpec {
     assert(dur === 100L * 1000 / 8000)
   }
 
+  test("corrupt RIFF chunk lengths are malformed, not negative durations or hangs") {
+    // data-chunk size with bit 31 set: unguarded, decodeHeader returns a
+    // negative duration_ms (PCM and ADPCM branches both divide by it) and
+    // a negative length on a pre-fmt junk chunk walks the offset BACKWARD
+    val wav = Multimodal.MediaSynth.wav(100)
+    val badData = wav.clone(); badData(43) = 0x80.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.RawFormatsCodec.decodeHeader("audio", badData)
+    }
+    val adpcm = Multimodal.MediaSynth.adpcmWav(505)
+    val badAdpcm = adpcm.clone(); badAdpcm(47) = 0x80.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.RawFormatsCodec.decodeHeader("audio", badAdpcm)
+    }
+  }
+
   test("IMA ADPCM: real 4:1 decode matches an independent reference decoder") {
     // reference decoder written straight from the public IMA spec,
     // independent of the production kernel (shares only the constants)
