@@ -661,6 +661,20 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // IVF through the TWO-LEVEL codebook (numCells over the hierarchical
+    // threshold): same rank-1 self-recovery invariant — the hier probe
+    // always includes the query's own two-level argmin cell, where its
+    // identical corpus vector must sit, whatever the cell structure.
+    "ann_ivf_hier" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(corpus, queries, 5, numCells = 6000, nProbe = 4,
+          hierarchicalAbove = 4096)
+        .filter(col("rank") === 1)
+    }),
+
     // Persisted IVF index: build once (codebook + cell-partitioned
     // store), probe via a partition-pruned read — gated on the same
     // rank-1 self-recovery invariant as the in-line ann_ivf path.
@@ -1533,6 +1547,12 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     // IVF self-recovery: the query's own cell is always probed first.
     "ann_ivf" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // hier codebook: the probe set always contains the query's own
+    // two-level cell, so rank-1 self-recovery is structural.
+    "ann_ivf_hier" ->
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,

@@ -403,16 +403,71 @@ object Similarity {
       }.toDF(idCol, "cell")
   }
 
+  /** IVF top-k. Above `hierarchicalAbove` cells the codebook goes
+    * two-level ([[trainKMeansHier]]): corpus assignment drops from
+    * n·numCells·dim to ≈ n·2√numCells·dim, which is what makes the
+    * ~100k-cell web-scale cell count affordable; probing stays consistent
+    * with the two-level assignment (see [[HierCodebook]]), so
+    * identical-vector self-recovery holds on either path. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
               seed: Long = 42, trainSample: Int = 50000,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              queryIdCol: String = "query_id"): DataFrame = {
-    val centroids = trainKMeans(corpus, numCells, iters, seed, trainSample,
-      idCol, vecCol)
-    val binned = assignCells(corpus, centroids, idCol, vecCol)
-    val probed = probeFrame(queries, centroids, nProbe, queryIdCol, vecCol)
-    topKFromCells(binned, probed, k, queryIdCol)
+              queryIdCol: String = "query_id",
+              hierarchicalAbove: Int = 4096): DataFrame = {
+    if (numCells > hierarchicalAbove) {
+      val cb = trainKMeansHier(corpus, numCells, iters, seed, trainSample,
+        idCol, vecCol)
+      val binned = assignCellsHier(corpus, cb, idCol, vecCol)
+      val probed = probeFrameHier(queries, cb, nProbe, queryIdCol, vecCol)
+      topKFromCells(binned, probed, k, queryIdCol)
+    } else {
+      val centroids = trainKMeans(corpus, numCells, iters, seed, trainSample,
+        idCol, vecCol)
+      val binned = assignCells(corpus, centroids, idCol, vecCol)
+      val probed = probeFrame(queries, centroids, nProbe, queryIdCol, vecCol)
+      topKFromCells(binned, probed, k, queryIdCol)
+    }
+  }
+
+  /** Per-query probe frame through a two-level codebook: rank the fine
+    * centroids of the query's `nProbe + 1` nearest COARSE cells and take
+    * the global top `nProbe`; the query's own two-level argmin cell
+    * ([[HierCodebook.cellOf]]) is always probed first, so an identical
+    * corpus vector (same coarse argmin, same fine argmin) is always in a
+    * probed cell — the self-recovery invariant the flat path has. Cost
+    * per query ≈ (1 + nProbe)·√numCells·dim — queries are few, corpus
+    * assignment is where the two-level saving matters. */
+  private def probeFrameHier(queries: DataFrame, codebook: HierCodebook,
+                             nProbe: Int, queryIdCol: String,
+                             vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(codebook)
+    queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cb = cbB.value
+        rows.flatMap { case (qid, qvec) =>
+          def d2(cv: Array[Float]): Double = {
+            var d = 0.0; var i = 0
+            val n = math.min(cv.length, qvec.length)
+            while (i < n) { val t = cv(i) - qvec(i); d += t * t; i += 1 }
+            d
+          }
+          val coarseRanked = cb.coarse.indices
+            .map(c => (d2(cb.coarse(c)), c)).sorted
+            .take(math.min(cb.coarse.length, 1 + nProbe))
+          val fineRanked = coarseRanked.flatMap { case (_, c) =>
+            cb.fine(c).indices.map(f =>
+              (d2(cb.fine(c)(f)), cb.offsets(c) + f))
+          }.sorted.map(_._2)
+          val own = cb.cellOf(qvec)
+          (own +: fineRanked).distinct
+            .take(math.max(1, math.min(nProbe, 1 + fineRanked.length)))
+            .map(cell => (cell, qid, qvec))
+        }
+      }.toDF("cell", queryIdCol, "qvec")
   }
 
   /** `(cell, nn_id, cvec)`: every corpus vector with its nearest-centroid

@@ -165,6 +165,38 @@ class SimilaritySpec extends SparkSpec {
         s"clusters $a/$b share cells ${byCluster(a) & byCluster(b)}")
   }
 
+  test("ivfTopK hierarchical path self-recovers and ranks true neighbors") {
+    // 4 tight planted clusters; queries are corpus members — rank 1 must
+    // be the query itself (cosine 1.0) and the rest of top-k same-cluster
+    val vecs = (for {
+      c <- 0 until 4
+      i <- 0 until 40
+    } yield {
+      val ang = c * math.Pi / 2 + i * 0.002 // all vectors DISTINCT: the
+      // rank-1 cosine-1.0 hit is uniquely the query itself
+      ((c * 40 + i).toLong,
+        Array(math.cos(ang).toFloat * 10, math.sin(ang).toFloat * 10,
+          (c + 1).toFloat, 1f))
+    }).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.ivfTopK(vecs, queries, 5, numCells = 32, nProbe = 3,
+        trainSample = 1000, hierarchicalAbove = 8) // force the hier path
+      .collect()
+    val r1 = top.filter(_.getAs[Int]("rank") == 1)
+    assert(r1.length === 8)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("nn_id") === r.getAs[Long]("query_id"),
+        s"rank-1 must be the query itself: $r")
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    // every top-5 neighbor of a cluster-c query is from cluster c
+    top.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("nn_id")
+      assert(q / 40 === n / 40, s"cross-cluster neighbor: $r")
+    }
+  }
+
   test("semanticDedup hierarchical path keeps the planted-dup invariant") {
     // 200 base vectors on DISTINCT hypercube corners (sign pattern = the
     // id's bits) — pairwise cosine ≤ 6/8 = 0.75, far under threshold —
