@@ -675,6 +675,21 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // IVF-PQ (Jégou et al. 2011): the candidate join ships m-byte PQ
+    // codes instead of float vectors; ADC shortlist, then exact rerank.
+    // Self-recovery is structural: encode() is the per-subspace argmin,
+    // so the query's own code sits at its global ADC minimum, survives
+    // the shortlist, and exact rerank puts it at rank 1 / cosine 1.0.
+    "ann_ivf_pq" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopK(corpus, queries, 5, numCells = 16, nProbe = 4,
+          m = 8, rerankSize = 50)
+        .filter(col("rank") === 1)
+    }),
+
     // Persisted IVF index: build once (codebook + cell-partitioned
     // store), probe via a partition-pruned read — gated on the same
     // rank-1 self-recovery invariant as the in-line ann_ivf path.
@@ -1553,6 +1568,11 @@ object SparkEntry {
     // hier codebook: the probe set always contains the query's own
     // two-level cell, so rank-1 self-recovery is structural.
     "ann_ivf_hier" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // PQ: own code = global ADC minimum ⇒ shortlist ⇒ exact rerank top.
+    "ann_ivf_pq" ->
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,

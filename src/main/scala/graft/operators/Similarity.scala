@@ -384,6 +384,199 @@ object Similarity {
   }
 
   /**
+   * Product-quantization codebook (Jégou/Douze/Schmid 2011, public
+   * paper): the vector space splits into `m` orthogonal subspaces of
+   * `subDim` dims; each subspace has its own ≤256 centroids, so a vector
+   * compresses to `m` BYTES — 32× smaller than 64 float dims. This is
+   * the ANN memory lever at 100 TB: the candidate-scoring join ships
+   * codes, never vectors (IVF-PQ, [[ivfPqTopK]]).
+   *
+   * `encode` = per-subspace argmin (the code with MINIMUM asymmetric
+   * distance to the vector — which is why an identical corpus vector
+   * always sits at the global ADC minimum of its own query, the
+   * self-recovery invariant the gate checks). `lut(q)` = per-subspace
+   * 256-entry distance table; ADC(q, code) = Σ_s lut(s)(code(s)).
+   */
+  final case class PqCodebook(sub: Array[Array[Array[Float]]], subDim: Int)
+    extends Serializable {
+    def m: Int = sub.length
+    def dim: Int = m * subDim
+
+    private def subDist(s: Int, k: Int, vec: Array[Float]): Double = {
+      val cv = sub(s)(k); val off = s * subDim
+      var d = 0.0; var i = 0
+      while (i < subDim) { val t = cv(i) - vec(off + i); d += t * t; i += 1 }
+      d
+    }
+
+    def encode(vec: Array[Float]): Array[Byte] = {
+      require(vec.length == dim, s"vector dim ${vec.length} != codebook $dim")
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        var best = 0; var bd = Double.MaxValue; var k = 0
+        while (k < sub(s).length) {
+          val d = subDist(s, k, vec)
+          if (d < bd) { bd = d; best = k }
+          k += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+
+    /** Per-subspace distance table for one query — build once per query,
+      * then each candidate scores in m table lookups instead of dim
+      * multiplies. */
+    def lut(q: Array[Float]): Array[Array[Float]] =
+      Array.tabulate(m)(s =>
+        Array.tabulate(sub(s).length)(k => subDist(s, k, q).toFloat))
+
+    def adc(lut: Array[Array[Float]], code: Array[Byte]): Float = {
+      var d = 0f; var s = 0
+      while (s < m) { d += lut(s)(code(s) & 0xff); s += 1 }
+      d
+    }
+  }
+
+  /**
+   * Train a PQ codebook on the bounded hash-ranked sample: ONE cached
+   * sample, `iters` distributed Lloyd rounds covering ALL `m` subspaces
+   * per pass (each partition accumulates (subspace, code) → (sum, count);
+   * only m·256·subDim doubles per partition ever move). K is 256 (byte
+   * codes) or the sample size if smaller.
+   */
+  def trainPq(corpus: DataFrame, m: Int = 8, iters: Int = 5,
+              seed: Long = 42, trainSample: Int = 50000,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+  : PqCodebook = {
+    require(m >= 1, "m must be >= 1")
+    val train = boundedSample(corpus, trainSample, seed, idCol, vecCol)
+    try {
+      val dim = train.first()._2.length
+      require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+      val subDim = dim / m
+      val sc = train.sparkContext
+      val initRows = train
+        .map { case (id, vec) =>
+          (graft.core.EsMurmur3.hash(id.toString + "pq" + seed).toLong, vec) }
+        .takeOrdered(256)(Ordering.by(_._1))
+        .map(_._2)
+      var cents: Array[Array[Array[Float]]] = Array.tabulate(m)(s =>
+        initRows.map(v => java.util.Arrays.copyOfRange(v, s * subDim,
+          (s + 1) * subDim)))
+      for (_ <- 1 to iters) {
+        val cB = sc.broadcast(PqCodebook(cents, subDim))
+        val merged = train.mapPartitions { rows =>
+          val cb = cB.value
+          val k = cb.sub(0).length
+          val sums = Array.ofDim[Double](m, k, subDim)
+          val cnt = Array.ofDim[Long](m, k)
+          rows.foreach { case (_, vec) =>
+            val code = cb.encode(vec)
+            var s = 0
+            while (s < m) {
+              val c = code(s) & 0xff
+              var i = 0
+              while (i < subDim) { sums(s)(c)(i) += vec(s * subDim + i); i += 1 }
+              cnt(s)(c) += 1
+              s += 1
+            }
+          }
+          Iterator.single((sums, cnt))
+        }.reduce { case ((s1, c1), (s2, c2)) =>
+          for (s <- 0 until m; c <- 0 until c1(s).length) {
+            c1(s)(c) += c2(s)(c)
+            var i = 0
+            while (i < subDim) { s1(s)(c)(i) += s2(s)(c)(i); i += 1 }
+          }
+          (s1, c1)
+        }
+        cents = Array.tabulate(m)(s => Array.tabulate(cents(s).length) { c =>
+          if (merged._2(s)(c) > 0)
+            merged._1(s)(c).map(v => (v / merged._2(s)(c)).toFloat)
+          else cents(s)(c) // empty code keeps its centroid, like lloyd()
+        })
+      }
+      PqCodebook(cents, subDim)
+    } finally train.unpersist(blocking = false)
+  }
+
+  /**
+   * IVF-PQ top-k (IVFADC without residual encoding — documented recall
+   * trade vs the paper's residual variant, same memory shape): coarse
+   * cells gate the search, PQ codes stand in for vectors inside it.
+   *
+   * Scale shape — the candidate join ships `m`-byte codes, never the
+   * `dim`-float vectors ([[ivfTopK]]'s one weight at 100 TB): one map
+   * pass assigns + encodes the corpus into `(cell, id, code)`; the
+   * probed-cell set broadcasts against it (map-side filter); ADC scores
+   * each candidate in m table lookups (per-partition LUT cache keyed by
+   * query); the top-`rerankSize` shortlist per query — tiny — rejoins
+   * the EXACT vectors for a full-precision cosine rerank, so the final
+   * ranking is exact over the shortlist. Queries broadcast
+   * (|Q| ≪ |corpus|, as documented for [[bruteForceTopK]]).
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+                rerankSize: Int = 50, iters: Int = 5, seed: Long = 42,
+                trainSample: Int = 50000,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                queryIdCol: String = "query_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = trainKMeans(corpus, numCells, iters, seed, trainSample,
+      idCol, vecCol)
+    val pq = trainPq(corpus, m, iters, seed, trainSample, idCol, vecCol)
+    val cB = spark.sparkContext.broadcast(coarse)
+    val pqB = spark.sparkContext.broadcast(pq)
+    // the compressed corpus: 12 + m bytes per vector, vectors stay home
+    val codes = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value; val cb = pqB.value
+        rows.map { case (id, vec) => (nearest(cs, vec), id, cb.encode(vec)) }
+      }.toDF("cell", "nn_id", "code")
+    val qRows = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qRows.toMap)
+    val probedCells = probeFrame(queries, coarse, nProbe, queryIdCol, vecCol)
+      .select(col("cell"), col(queryIdCol))
+    val cand = codes.join(broadcast(probedCells), "cell")
+      .select(col(queryIdCol), col("nn_id"), col("code"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val cb = pqB.value; val qm = qB.value
+        val luts = scala.collection.mutable.HashMap
+          .empty[Long, Array[Array[Float]]]
+        rows.map { case (qid, id, code) =>
+          val lut = luts.getOrElseUpdate(qid, cb.lut(qm(qid)))
+          (qid, id, cb.adc(lut, code))
+        }
+      }.toDF(queryIdCol, "nn_id", "adc")
+    val wAdc = Window.partitionBy(queryIdCol)
+      .orderBy(col("adc").asc, col("nn_id").asc)
+    val shortlist = cand.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= math.max(rerankSize, k))
+      .select(col(queryIdCol), col("nn_id"))
+    // exact rerank over the tiny shortlist: broadcast it against the
+    // corpus (map-side semi-filter — no corpus shuffle), then score with
+    // full-precision cosine and cut at k
+    val exact = corpus.select(col(idCol).cast("long").as("nn_id"),
+      col(vecCol).as("cvec"))
+    val qv = queries.select(col(queryIdCol).cast("long"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    exact.join(broadcast(shortlist), "nn_id")
+      .join(broadcast(qv), queryIdCol)
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /**
    * Assign every corpus vector to its nearest centroid (squared-L2):
    * one broadcast + one streamed map pass, no shuffle. Output columns:
    * (`idCol`, cell). Pair with [[trainKMeans]] for the full clustering

@@ -197,6 +197,58 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ codebook: encode is the per-subspace argmin, ADC of own code is the global minimum") {
+    val vecs = (0L until 400L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (math.sin(i * 0.37 + d * 1.7) * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPq(vecs, m = 4, trainSample = 1000)
+    assert(cb.m === 4 && cb.subDim === 2 && cb.dim === 8)
+    // ADC(q, encode(q)) = Σ_s min_k d(q_s, c_k) — no other code can beat
+    // it (the self-recovery invariant's arithmetic core), checked against
+    // random other codes
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { t =>
+      val q = Array.tabulate(8)(d => (math.sin(t * 0.91 + d) * 5).toFloat)
+      val lut = cb.lut(q)
+      val own = cb.adc(lut, cb.encode(q))
+      (0 until 20).foreach { _ =>
+        val other = Array.fill(4)((rnd.nextInt(cb.sub(0).length)).toByte)
+        assert(own <= cb.adc(lut, other) + 1e-6f)
+      }
+    }
+  }
+
+  test("ivfPqTopK: codes-only candidate join still self-recovers after exact rerank") {
+    // same distinct planted clusters as the hier test — rank 1 must be
+    // the query itself at cosine 1.0, neighbors cluster-local
+    val vecs = (for {
+      c <- 0 until 4
+      i <- 0 until 40
+    } yield {
+      val ang = c * math.Pi / 2 + i * 0.002
+      ((c * 40 + i).toLong,
+        Array(math.cos(ang).toFloat * 10, math.sin(ang).toFloat * 10,
+          (c + 1).toFloat, 1f))
+    }).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.ivfPqTopK(vecs, queries, 5, numCells = 8,
+        nProbe = 3, m = 2, rerankSize = 30, trainSample = 1000)
+      .collect()
+    val r1 = top.filter(_.getAs[Int]("rank") == 1)
+    assert(r1.length === 8)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("nn_id") === r.getAs[Long]("query_id"),
+        s"rank-1 must be the query itself: $r")
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    top.foreach { r =>
+      assert(r.getAs[Long]("query_id") / 40 === r.getAs[Long]("nn_id") / 40,
+        s"cross-cluster neighbor: $r")
+    }
+  }
+
   test("semanticDedup hierarchical path keeps the planted-dup invariant") {
     // 200 base vectors on DISTINCT hypercube corners (sign pattern = the
     // id's bits) — pairwise cosine ≤ 6/8 = 0.75, far under threshold —
