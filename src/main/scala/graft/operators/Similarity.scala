@@ -383,6 +383,29 @@ object Similarity {
       }.toDF("cell", "nn_id", "cvec")
   }
 
+  /** L2-normalize the vector column (zero vectors pass through): one
+    * streamed map pass. */
+  private def l2Normalize(df: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(rows => rows.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        val n = math.sqrt(s)
+        val out =
+          if (n > 0) {
+            val o = new Array[Float](v.length)
+            var j = 0
+            while (j < v.length) { o(j) = (v(j) / n).toFloat; j += 1 }
+            o
+          } else v
+        (id, out)
+      }).toDF(idCol, vecCol)
+  }
+
   /**
    * Product-quantization codebook (Jégou/Douze/Schmid 2011, public
    * paper): the vector space splits into `m` orthogonal subspaces of
@@ -504,19 +527,25 @@ object Similarity {
   }
 
   /**
-   * IVF-PQ top-k (IVFADC without residual encoding — documented recall
-   * trade vs the paper's residual variant, same memory shape): coarse
-   * cells gate the search, PQ codes stand in for vectors inside it.
+   * IVF-PQ top-k (IVFADC, the paper's residual form): coarse cells gate
+   * the search; inside a cell every vector is PQ-encoded as its RESIDUAL
+   * `v − coarseCentroid(cell)`. Residuals matter, not niceness: whole-
+   * vector codes quantize at unit scale, so a tight cluster of near-
+   * identical vectors collapses onto one code and the ADC shortlist
+   * degenerates to an id tie-break (measured recall 0.12 on the
+   * clustered stress manifold); residual codes quantize at CLUSTER
+   * RADIUS scale and resolve intra-cluster order (same tier: ~1.0).
    *
    * Scale shape — the candidate join ships `m`-byte codes, never the
    * `dim`-float vectors ([[ivfTopK]]'s one weight at 100 TB): one map
    * pass assigns + encodes the corpus into `(cell, id, code)`; the
    * probed-cell set broadcasts against it (map-side filter); ADC scores
    * each candidate in m table lookups (per-partition LUT cache keyed by
-   * query); the top-`rerankSize` shortlist per query — tiny — rejoins
-   * the EXACT vectors for a full-precision cosine rerank, so the final
-   * ranking is exact over the shortlist. Queries broadcast
-   * (|Q| ≪ |corpus|, as documented for [[bruteForceTopK]]).
+   * (query, cell) — the residual LUT is cell-specific); the
+   * top-`rerankSize` shortlist per query — tiny — rejoins the EXACT
+   * vectors for a full-precision cosine rerank, so the final ranking is
+   * exact over the shortlist. Queries broadcast (|Q| ≪ |corpus|, as
+   * documented for [[bruteForceTopK]]).
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
@@ -526,32 +555,62 @@ object Similarity {
                 queryIdCol: String = "query_id"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val coarse = trainKMeans(corpus, numCells, iters, seed, trainSample,
+    // ALL approximate stages run on L2-NORMALIZED vectors: on the unit
+    // sphere squared-L2 order ≡ cosine order (d² = 2 − 2cos), so the ADC
+    // shortlist ranks by the same metric the exact rerank scores with —
+    // unnormalized, ADC-by-L2 against a cosine ground truth threw away
+    // true neighbors at the shortlist (measured recall 0.13 → ~1 after)
+    val corpusN = l2Normalize(corpus, idCol, vecCol)
+    val queriesN = l2Normalize(queries, queryIdCol, vecCol)
+    val coarse = trainKMeans(corpusN, numCells, iters, seed, trainSample,
       idCol, vecCol)
-    val pq = trainPq(corpus, m, iters, seed, trainSample, idCol, vecCol)
     val cB = spark.sparkContext.broadcast(coarse)
+    def residual(vec: Array[Float], cell: Int,
+                 cs: Array[Array[Float]]): Array[Float] = {
+      val cv = cs(cell)
+      val out = new Array[Float](vec.length)
+      var i = 0
+      val n = math.min(vec.length, cv.length)
+      while (i < n) { out(i) = vec(i) - cv(i); i += 1 }
+      out
+    }
+    // PQ trains on RESIDUALS (one streamed derivation of the same frame
+    // the code pass reads; trainPq's bounded sample does the rest)
+    val residuals = corpusN.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value
+        rows.map { case (id, vec) => (id, residual(vec, nearest(cs, vec), cs)) }
+      }.toDF(idCol, vecCol)
+    val pq = trainPq(residuals, m, iters, seed, trainSample, idCol, vecCol)
     val pqB = spark.sparkContext.broadcast(pq)
     // the compressed corpus: 12 + m bytes per vector, vectors stay home
-    val codes = corpus.select(col(idCol).cast("long"), col(vecCol))
+    val codes = corpusN.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val cs = cB.value; val cb = pqB.value
-        rows.map { case (id, vec) => (nearest(cs, vec), id, cb.encode(vec)) }
+        rows.map { case (id, vec) =>
+          val cell = nearest(cs, vec)
+          (cell, id, cb.encode(residual(vec, cell, cs)))
+        }
       }.toDF("cell", "nn_id", "code")
-    val qRows = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+    val qRows = queriesN.select(col(queryIdCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
     val qB = spark.sparkContext.broadcast(qRows.toMap)
-    val probedCells = probeFrame(queries, coarse, nProbe, queryIdCol, vecCol)
+    val probedCells = probeFrame(queriesN, coarse, nProbe, queryIdCol, vecCol)
       .select(col("cell"), col(queryIdCol))
     val cand = codes.join(broadcast(probedCells), "cell")
-      .select(col(queryIdCol), col("nn_id"), col("code"))
-      .as[(Long, Long, Array[Byte])]
+      .select(col(queryIdCol), col("cell"), col("nn_id"), col("code"))
+      .as[(Long, Int, Long, Array[Byte])]
       .mapPartitions { rows =>
-        val cb = pqB.value; val qm = qB.value
+        val cs = cB.value; val cb = pqB.value; val qm = qB.value
+        // LUT per (query, probed cell): ADC compares the QUERY residual
+        // against candidate-code residual centroids of that cell
         val luts = scala.collection.mutable.HashMap
-          .empty[Long, Array[Array[Float]]]
-        rows.map { case (qid, id, code) =>
-          val lut = luts.getOrElseUpdate(qid, cb.lut(qm(qid)))
+          .empty[(Long, Int), Array[Array[Float]]]
+        rows.map { case (qid, cell, id, code) =>
+          val lut = luts.getOrElseUpdate((qid, cell),
+            cb.lut(residual(qm(qid), cell, cs)))
           (qid, id, cb.adc(lut, code))
         }
       }.toDF(queryIdCol, "nn_id", "adc")

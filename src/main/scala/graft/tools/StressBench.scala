@@ -306,7 +306,22 @@ object StressBench {
         "ivf c=256 probe=4" -> (() => Similarity.ivfTopK(vecs, queries, 5,
           numCells = 256, nProbe = 4)),
         "ivf c=64 probe=4" -> (() => Similarity.ivfTopK(vecs, queries, 5,
-          numCells = 64, nProbe = 4)))) {
+          numCells = 64, nProbe = 4)),
+        // IVF-PQ: the candidate join carries 8-byte codes, not 256-byte
+        // vectors (32× lighter rows through the hot join); exact rerank
+        // restores precision on the shortlist. The rerank shortlist must
+        // COVER the per-query ambiguity set (~780 same-cluster members
+        // whose cosine gaps sit below 8-byte-code resolution): r=50
+        // under-covers by design, r=1000 is the paper's operating point
+        "ivfpq c=64 m=8 r=50" -> (() => Similarity.ivfPqTopK(vecs, queries, 5,
+          numCells = 64, nProbe = 4, m = 8, rerankSize = 50)),
+        "ivfpq c=64 m=8 r=1000" -> (() => Similarity.ivfPqTopK(vecs, queries, 5,
+          numCells = 64, nProbe = 4, m = 8, rerankSize = 1000)),
+        // 16k cells over 200k vectors = ~12 vectors/cell: probing 64
+        // cells (~0.4%) covers ~one planted cluster — the sane knob
+        // point for a many-cells codebook
+        "ivf hier c=16k probe=64" -> (() => Similarity.ivfTopK(vecs, queries, 5,
+          numCells = 16384, nProbe = 64, hierarchicalAbove = 4096)))) {
         val t0 = System.nanoTime()
         val got = pairs(mk())
         val sec = (System.nanoTime() - t0) / 1e9
