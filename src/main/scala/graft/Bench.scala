@@ -74,8 +74,12 @@ object Bench {
     // printed LAST so the tail window always contains one parseable line.
     spark.sparkContext.setLogLevel("ERROR")
     println(line)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_METRIC.json"), line + "\n")
+    // a SPARK_GRAFT_BENCH_ONLY subset must not overwrite the full-suite
+    // record with a partial total that reads like a (spectacular) full
+    // run — subset runs are stdout-only
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_METRIC.json"), line + "\n")
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val compactBudget = 1500
     val slowest = results.sortBy(-_._2)

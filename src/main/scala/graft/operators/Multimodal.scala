@@ -195,10 +195,12 @@ object Multimodal {
       while (off + 8 <= b.length && (fmt < 0 || data < 0)) {
         val id = new String(b, off, 4, "US-ASCII")
         val len = le32(b, off + 4)
-        // a negative chunk length is a corrupt header: unguarded it walks
-        // the offset BACKWARD (infinite loop) or propagates a negative
-        // dataLen into negative durations — the AU-header class of bug
-        require(len >= 0, s"malformed RIFF chunk '$id' length $len")
+        // an out-of-range chunk length is a corrupt header: negative
+        // walks the offset BACKWARD (infinite loop) or propagates into
+        // negative durations; oversized overstates duration silently and
+        // can overflow the offset — both are the AU-header class of bug
+        require(len >= 0 && len <= b.length - off - 8,
+          s"malformed RIFF chunk '$id' length $len (${b.length - off - 8} left)")
         if (id == "fmt ") fmt = off + 8
         else if (id == "data") { data = off + 8; dataLen = len }
         off += 8 + len + (len & 1) // chunks are word-aligned

@@ -560,7 +560,11 @@ object Similarity {
     // shortlist ranks by the same metric the exact rerank scores with —
     // unnormalized, ADC-by-L2 against a cosine ground truth threw away
     // true neighbors at the shortlist (measured recall 0.13 → ~1 after)
-    val corpusN = l2Normalize(corpus, idCol, vecCol)
+    // the normalized corpus feeds FIVE consumers (coarse training's
+    // count+sample, residual-sample count+sample, the code pass) — the
+    // same shared-projection shape the Dedup slim checkpoints fix; cache
+    // it once instead of re-normalizing the upstream scan per consumer
+    val corpusN = l2Normalize(corpus, idCol, vecCol).localCheckpoint(false)
     val queriesN = l2Normalize(queries, queryIdCol, vecCol)
     val coarse = trainKMeans(corpusN, numCells, iters, seed, trainSample,
       idCol, vecCol)
@@ -609,6 +613,10 @@ object Similarity {
         val luts = scala.collection.mutable.HashMap
           .empty[(Long, Int), Array[Array[Float]]]
         rows.map { case (qid, cell, id, code) =>
+          // bound the cache: at ~8 KB per LUT an unbounded map reaches
+          // GBs once |Q|·nProbe grows — clear-and-rebuild is O(1)
+          // amortized and keeps the partition's footprint ≤ ~32 MB
+          if (luts.size >= 4096) luts.clear()
           val lut = luts.getOrElseUpdate((qid, cell),
             cb.lut(residual(qm(qid), cell, cs)))
           (qid, id, cb.adc(lut, code))

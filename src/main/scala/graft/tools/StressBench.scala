@@ -553,7 +553,7 @@ object StressBench {
       qD.stop()
 
       // stream-stream interval join (the attribution join): 500k clicks ×
-      // 500k purchases over 50k users, purchases landing 1.5 ms after
+      // 500k purchases over 50k users, purchases landing 1.5 s after
       // their click (≈1 match per click inside the [0, +5 min] window);
       // both sides watermarked 10 min, so steady-state join state buffers
       // ~watermark-window rows per side — rate + state rows/bytes from
