@@ -1027,6 +1027,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("videos_sampled"))
     }),
 
+    // Learned-BPE vocabulary + token counting (Sennrich 2016): one
+    // distributed word-frequency pass, driver-side merge loop, broadcast
+    // encode. The 50-word synthetic vocab fully collapses under 256
+    // merges (each pair repeats corpus-wide), so the learned-BPE token
+    // count of every doc equals its 8-word count — the merge MECHANISM
+    // is pinned against a hand-derived sequence in BpeSpec.
+    "text_bpe" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 8), " +
+          "i -> concat('w', pmod(doc_id * 7 + i, 50))))").as("text"))
+      val vocab = Bpe.train(docs, "text", numMerges = 256)
+      Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+        .agg(count(lit(1)).as("docs"),
+          sum("bpe_tokens").cast("long").as("total_bpe_tokens"))
+    }),
+
     // Document fingerprinting (rolling-hash canonicalization — no oracle).
     "text_fingerprint" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -1645,6 +1662,13 @@ object SparkEntry {
         |         ELSE array_to_string(list_sort(list_distinct(
         |           list_transform(regexp_split_to_array(trim(text), '\s+'),
         |             x -> lower(x)))), ' ') END) AS distinct_fp
+        |FROM documents""".stripMargin,
+    // BPE full-collapse invariant: 256 merges exceed the ≤90 needed for
+    // the 50-word synthetic vocab (every pair repeats corpus-wide), so
+    // each of the 8 words per doc encodes to ONE learned token.
+    "text_bpe" ->
+      """SELECT count(*) AS docs,
+        |       CAST(count(*) * 8 AS BIGINT) AS total_bpe_tokens
         |FROM documents""".stripMargin,
     // Split invariant: 3 non-empty splits covering every doc exactly once
     // (the assignment hash itself has no SQL analogue; SplitsSpec locks

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding vocabulary training + encoding (Sennrich/Haddow/
+ * Birch 2016, public algorithm; mission extension, SURVEY.md §7.4 —
+ * upgrades token COUNTING from the regex estimate in
+ * [[TextAnalysis.subwordCount]] to a vocabulary actually learned from
+ * the corpus, the way training pipelines size token budgets).
+ *
+ * Scale shape — the standard industrial decomposition (sentencepiece
+ * does the same): BPE training only needs the WORD-FREQUENCY dictionary,
+ * not the corpus, so the single distributed pass is one
+ * explode+groupBy over 8-byte-ish word tokens (map-side combined,
+ * capped at `maxWords` rows collected); the merge loop then runs
+ * driver-side over that bounded table — numMerges iterations of
+ * in-memory pair counting, zero further cluster work. Encoding is a
+ * broadcast-vocab `mapPartitions` pass (merge-rank map, per-word
+ * lowest-rank-first application — the canonical BPE encoder).
+ *
+ * Determinism: merge ties break by (count desc, pair lexicographic asc),
+ * and the word table orders by (freq desc, word asc) before the cap, so
+ * the learned vocabulary is a pure function of the corpus content.
+ */
+object Bpe {
+
+  /** Ordered merge list — rank = position. */
+  final case class Vocab(merges: Vector[(String, String)]) extends Serializable {
+    /** (pair → rank), for the encoder's lowest-rank-first loop. */
+    lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+    /** Encode one word: start at character symbols, repeatedly merge the
+      * adjacent pair with the LOWEST learned rank until none applies. */
+    def encodeWord(word: String): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      var done = syms.length <= 1
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var bestAt = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestAt = i }
+          i += 1
+        }
+        if (bestAt < 0) done = true
+        else {
+          syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+            syms.drop(bestAt + 2)
+          if (syms.length <= 1) done = true
+        }
+      }
+      syms
+    }
+  }
+
+  /**
+   * Learn `numMerges` merges from the corpus. ONE distributed pass
+   * (word-frequency dictionary, capped at the `maxWords` most frequent
+   * words — the long tail contributes ~nothing to pair statistics), then
+   * the classic driver-side merge loop. Stops early when no pair repeats.
+   */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 100000): Vocab = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordFreq: Array[(String, Long)] = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w")).limit(maxWords)
+      .as[(String, Long)].collect()
+
+    var words: Array[(Vector[String], Long)] =
+      wordFreq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val merges = Vector.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    while (learned < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      // a pair seen once merges nothing worth keeping — also the natural
+      // termination once every frequent word is a single symbol
+      val candidates = counts.filter(_._2 >= 2)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val best = candidates.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        words = words.map { case (syms, n) =>
+          if (syms.length <= 1) (syms, n)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                syms(i + 1) == best._2) {
+                out += (syms(i) + syms(i + 1)); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), n)
+          }
+        }
+        learned += 1
+      }
+    }
+    Vocab(merges.result())
+  }
+
+  /** Learned-BPE token count per document: broadcast vocab, one typed
+    * `mapPartitions` pass (no UDF — the repo-wide rule; imperative
+    * per-row kernels ride the [[Multimodal]] iterator shape). Output
+    * schema: exactly `(idCol, bpe_tokens)` — join back on `idCol` for
+    * other columns, as with [[Dedup.dedupChunks]]. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  vocab: Vocab): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vB = spark.sparkContext.broadcast(vocab)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val v = vB.value
+        rows.map { case (id, text) =>
+          val n =
+            if (text == null) 0L
+            else text.trim.split("\\s+").iterator.filter(_.nonEmpty)
+              .map(w => v.encodeWord(w).length.toLong).sum
+          (id, n)
+        }
+      }.toDF(idCol, "bpe_tokens")
+  }
+}
