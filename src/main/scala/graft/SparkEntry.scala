@@ -1044,6 +1044,18 @@ object SparkEntry {
           sum("bpe_tokens").cast("long").as("total_bpe_tokens"))
     }),
 
+    // CCNet-style LM quality scoring: add-one bigram cross-entropy per
+    // doc under a model trained on the same corpus. Fully replicated in
+    // SQL (tokenizer parity with text_tokens; 4dp rounding absorbs
+    // cross-engine log/summation ulps, as text_entropy establishes).
+    "text_perplexity" -> ((s, dir) => {
+      import graft.operators.LangModel
+      val docs = t(s, dir, "documents")
+      val model = LangModel.trainBigramLM(docs, "text")
+      LangModel.scorePerplexity(docs, model, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("ce"))
+    }),
+
     // Document fingerprinting (rolling-hash canonicalization — no oracle).
     "text_fingerprint" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -1670,6 +1682,45 @@ object SparkEntry {
       """SELECT count(*) AS docs,
         |       CAST(count(*) * 8 AS BIGINT) AS total_bpe_tokens
         |FROM documents""".stripMargin,
+    // Full replication of the add-one bigram LM: same tokenizer as
+    // text_tokens, lockstep-unnest slices for bigrams, coalesce(prev,cur)
+    // unigram join exactly as the Spark side; 4dp rounding absorbs
+    // cross-engine ln/summation ulps (the text_entropy precedent).
+    "text_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |dn AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |uc AS (SELECT w, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc),
+        |grams AS (
+        |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
+        |  FROM dn WHERE n >= 1
+        |  UNION ALL
+        |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
+        |  FROM dn WHERE n >= 2),
+        |bc AS (SELECT prev, cur, count(*) AS cnt FROM grams
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT g.doc_id, g.n,
+        |         CASE WHEN g.prev IS NULL
+        |              THEN ln((coalesce(u2.cnt, 0) + 1) / (k.ntot + k.v))
+        |              ELSE ln((coalesce(b.cnt, 0) + 1)
+        |                      / (coalesce(u2.cnt, 0) + k.v))
+        |         END AS lp
+        |  FROM grams g
+        |  CROSS JOIN k
+        |  LEFT JOIN uc u2 ON u2.w = coalesce(g.prev, g.cur)
+        |  LEFT JOIN bc b ON b.prev = g.prev AND b.cur = g.cur),
+        |per AS (SELECT doc_id, round(-sum(lp) / any_value(n), 4) AS ce,
+        |               any_value(n) AS n FROM lp GROUP BY doc_id)
+        |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
+        |       per.ce
+        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin,
     // Split invariant: 3 non-empty splits covering every doc exactly once
     // (the assignment hash itself has no SQL analogue; SplitsSpec locks
     // determinism/stability).

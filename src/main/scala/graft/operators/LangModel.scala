@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * N-gram language-model quality scoring (mission extension, SURVEY.md
+ * §7.4) — the CCNet/RedPajama-style perplexity filter: train a bigram LM
+ * on a (clean) corpus, score each document by its per-token cross-entropy
+ * under that model, and drop the tail. A document that the corpus-level
+ * model finds "surprising" (high perplexity) is boilerplate, gibberish,
+ * non-language, or out-of-domain — exactly the material LLM pipelines
+ * filter before training.
+ *
+ * Model = add-one (Laplace) smoothed bigram LM over whitespace tokens,
+ * the same tokenizer as the rest of the text surface (`lower`, `trim`,
+ * `split("\\s+")`, empties dropped), so perplexities compose with
+ * [[TextAnalysis]] gates:
+ *
+ *   P(w_1)           = (c(w_1) + 1) / (N + V)
+ *   P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+ *   crossEntropy(d)  = -(1/n_d) * sum ln P    (nats), ppl = exp(ce)
+ *
+ * Scale shape: everything is map-side array work (`transform`/`slice` on
+ * the token array — bigrams are derived WITHOUT a window shuffle) plus
+ * hash aggregations keyed by short token strings. Scoring joins the
+ * per-doc n-gram frame (doc id + two tokens per row — no document text)
+ * against the model on its natural keys; both sides are key-only frames,
+ * so the shuffles ship tokens, never bodies. The model itself is
+ * O(unique bigrams) — at 100 TB train on a sampled/clean slice (CCNet
+ * trains on Wikipedia, not the crawl) so the model side stays small and
+ * AQE broadcasts it.
+ */
+object LangModel {
+
+  /** Lowercased whitespace tokens, empties dropped — the corpus-standard
+    * tokenizer ([[TextAnalysis.tokens]] ∘ lower, minus empty strings). */
+  private def toks(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
+
+  /**
+   * Train the bigram model. Returns one DataFrame carrying both orders:
+   * unigram rows (`prev IS NULL`, `cur`, `cnt`) and bigram rows
+   * (`prev`, `cur`, `cnt`). Laplace constants (V = unigram row count,
+   * N = unigram count sum) derive from the unigram rows at scoring time.
+   */
+  def trainBigramLM(docs: DataFrame, textCol: String): DataFrame = {
+    val base = docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0)
+    val uni = base.select(explode(col("t")).as("cur"))
+      .groupBy("cur").agg(count(lit(1)).as("cnt"))
+      .select(lit(null).cast("string").as("prev"), col("cur"), col("cnt"))
+    val big = base.where(size(col("t")) >= 2)
+      .select(explode(bigrams(col("t"))).as("b"))
+      .select(col("b.prev"), col("b.cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
+    uni.unionByName(big)
+  }
+
+  /** `[{prev, cur}]` adjacent pairs of a token array with size >= 2 —
+    * pure array math, no shuffle, no window. */
+  private def bigrams(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 1),
+      i => struct(element_at(t, i).as("prev"), element_at(t, i + 1).as("cur")))
+
+  /**
+   * Score `docs` under a trained model: per-document add-one-smoothed
+   * cross-entropy in nats (`ce`, 4dp) and perplexity (`ppl = exp(ce)`,
+   * 4dp), plus `n_tokens`. Empty documents score NULL with `n_tokens` 0.
+   * Tokens/bigrams unseen in training back off to the smoothing floor, so
+   * scoring a corpus disjoint from the training slice is well-defined.
+   */
+  def scorePerplexity(docs: DataFrame, model: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val uniModel = model.where(col("prev").isNull)
+      .select(col("cur").as("u_tok"), col("cnt").as("u_cnt"))
+    val bigModel = model.where(col("prev").isNotNull)
+      .select(col("prev").as("b_prev"), col("cur").as("b_cur"),
+        col("cnt").as("b_cnt"))
+    // Laplace constants: one tiny aggregate over the unigram rows.
+    val Array(vocab, nTotal) = uniModel
+      .agg(count(lit(1)).cast("double"), sum("u_cnt").cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+
+    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+    // First token: P(w1) = (c(w1)+1)/(N+V); rows carry prev = NULL.
+    val first = base.where(col("n") >= 1)
+      .select(col("__id"), col("n"), lit(null).cast("string").as("prev"),
+        element_at(col("t"), 1).as("cur"))
+    // Interior bigrams: P(w_i|w_{i-1}) = (c(prev,cur)+1)/(c(prev)+V).
+    val inner = base.where(col("n") >= 2)
+      .select(col("__id"), col("n"), explode(bigrams(col("t"))).as("b"))
+      .select(col("__id"), col("n"), col("b.prev"), col("b.cur"))
+
+    val scored = first.unionByName(inner)
+      .join(bigModel, col("prev") === col("b_prev") &&
+        col("cur") === col("b_cur"), "left")
+      .join(uniModel,
+        coalesce(col("prev"), col("cur")) === col("u_tok"), "left")
+      .withColumn("lp",
+        when(col("prev").isNull,
+          log((coalesce(col("u_cnt"), lit(0L)) + 1).cast("double") /
+            lit(nTotal + vocab)))
+          .otherwise(log((coalesce(col("b_cnt"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("u_cnt"), lit(0L)).cast("double") + lit(vocab)))))
+      .groupBy("__id")
+      .agg(first_value(col("n")).as("n_tokens"),
+        (-sum(col("lp")) / first_value(col("n"))).as("ce_raw"))
+
+    docs.select(col(idCol)).join(scored, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).cast("int").as("n_tokens"),
+        round(col("ce_raw"), 4).as("ce"),
+        round(exp(col("ce_raw")), 4).as("ppl"))
+  }
+
+  /**
+   * The CCNet-style filter in one call: train on `trainDocs` (pass the
+   * clean slice — or the corpus itself for self-perplexity), score
+   * `docs`, and keep documents at or below the given perplexity. Empty
+   * documents carry no evidence either way and are kept.
+   */
+  def perplexityFilter(docs: DataFrame, trainDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       maxPpl: Double): DataFrame = {
+    val model = trainBigramLM(trainDocs, textCol)
+    val kept = scorePerplexity(docs, model, idCol, textCol)
+      .where(col("ppl").isNull || col("ppl") <= maxPpl)
+      .select(col(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+}

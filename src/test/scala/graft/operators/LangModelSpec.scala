@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus: "a b a" + "a c". Unigrams a:3 b:1 c:1 → V=3, N=5.
+  // Bigrams: (a,b):1, (b,a):1, (a,c):1.
+  private def corpus = Seq((1L, "A b a"), (2L, "a C")).toDF("doc_id", "text")
+
+  test("trainBigramLM counts lowercased unigrams and adjacent bigrams") {
+    val m = LangModel.trainBigramLM(corpus, "text").collect()
+    val uni = m.filter(_.isNullAt(0)).map(r => r.getString(1) -> r.getLong(2)).toMap
+    val big = m.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(uni === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(big === Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("a", "c") -> 1L))
+  }
+
+  test("scorePerplexity matches the hand-computed add-one cross-entropy") {
+    val model = LangModel.trainBigramLM(corpus, "text")
+    val got = LangModel.scorePerplexity(corpus, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1 "a b a": P(a)=(3+1)/(5+3)=1/2; P(b|a)=(1+1)/(3+3)=1/3;
+    // P(a|b)=(1+1)/(1+3)=1/2 → ce = -(ln .5 + ln(1/3) + ln .5)/3
+    val ce1 = -(math.log(0.5) + math.log(1.0 / 3) + math.log(0.5)) / 3
+    // doc 2 "a c": P(a)=1/2; P(c|a)=(1+1)/(3+3)=1/3 → -(ln .5 + ln(1/3))/2
+    val ce2 = -(math.log(0.5) + math.log(1.0 / 3)) / 2
+    assert(got(1L)._1 === 3)
+    assert(got(1L)._2 === math.rint(ce1 * 1e4) / 1e4)
+    assert(got(1L)._3 === math.rint(math.exp(ce1) * 1e4) / 1e4)
+    assert(got(2L)._1 === 2)
+    assert(got(2L)._2 === math.rint(ce2 * 1e4) / 1e4)
+  }
+
+  test("unseen tokens back off to the smoothing floor; empty docs score NULL") {
+    val model = LangModel.trainBigramLM(corpus, "text")
+    val other = Seq((10L, "z z"), (11L, ""), (12L, "   ")).toDF("doc_id", "text")
+    val rows = LangModel.scorePerplexity(other, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "z z": P(z)=(0+1)/(5+3)=1/8; P(z|z)=(0+1)/(0+3)=1/3
+    val ce = -(math.log(1.0 / 8) + math.log(1.0 / 3)) / 2
+    assert(rows(10L).getDouble(2) === math.rint(ce * 1e4) / 1e4)
+    for (id <- Seq(11L, 12L)) {
+      assert(rows(id).getInt(1) === 0)
+      assert(rows(id).isNullAt(2) && rows(id).isNullAt(3))
+    }
+  }
+
+  test("perplexityFilter keeps low-perplexity and empty docs, drops gibberish") {
+    val train = Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val docs = Seq((100L, "the cat sat on the mat"), (101L, "zq xv qqq zz pf"),
+      (102L, "")).toDF("doc_id", "text")
+    val kept = LangModel.perplexityFilter(docs, train, "doc_id", "text",
+      maxPpl = 8.0).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(100L, 102L))
+  }
+}
