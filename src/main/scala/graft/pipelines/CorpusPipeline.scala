@@ -13,9 +13,9 @@ import graft.operators.{Dedup, Mixes, Splits, TextAnalysis}
  * (the C4/RefinedWeb chain):
  *
  *   URL dedup → boilerplate-line strip → exact dedup → quality/token
- *   gates → repeated-span removal → chunk dedup → near-dup dedupe →
- *   eval-set decontamination (LSH + exact 13-gram) → target-share
- *   mixing → leakage-safe split
+ *   gates → repeated-span removal → chunk dedup → LM perplexity gate →
+ *   near-dup dedupe → eval-set decontamination (LSH + exact 13-gram) →
+ *   target-share mixing → leakage-safe split
  *
  * Cheap, high-yield stages run first (URL and exact dedup shuffle
  * 8-16-byte keys; near-dup sketching then sees a smaller corpus; mixing
@@ -41,6 +41,10 @@ final case class CorpusPrepConfig(
     spanDedupTokens: Option[Int] = None,
     /** Keep-first chunk dedup at this chunk size when set. */
     chunkDedupTokens: Option[Int] = None,
+    /** CCNet-style LM gate: self-train a bigram LM on the corpus as it
+      * stands after the structural gates, then drop documents whose
+      * add-one-smoothed perplexity exceeds this ceiling. */
+    maxPerplexity: Option[Double] = None,
     /** Near-dup dedupe at this exact-Jaccard threshold when set. */
     nearDupThreshold: Option[Double] = None,
     /** (n, minOverlap): ALSO drop docs sharing ≥ minOverlap exact
@@ -106,6 +110,14 @@ object CorpusPipeline {
     cfg.chunkDedupTokens.foreach { k =>
       cur = replaceText(cur,
         Dedup.dedupChunks(cur, cfg.idCol, cfg.textCol, k))
+    }
+    cfg.maxPerplexity.foreach { ceiling =>
+      // self-perplexity: the corpus that survived the structural gates is
+      // its own LM training slice (CCNet trains on a clean reference; at
+      // 100 TB pass a sampled slice by training outside the facade and
+      // filtering with LangModel.perplexityFilter directly)
+      cur = graft.operators.LangModel.perplexityFilter(
+        cur, cur, cfg.idCol, cfg.textCol, ceiling)
     }
     cfg.nearDupThreshold.foreach { t =>
       cur = Dedup.dedupe(cur, cfg.idCol, cfg.textCol, jaccardThreshold = t)

@@ -76,6 +76,7 @@ object EsSnapshotSink {
   val ShardsPerIndexPrefix = "shards.index." // shards.index.<name> = n
   val MappingsOption = "index.mappings"
   val TemplateOption = "index.template"
+  val TemplateNameOption = "index.template.name"
   // Flush/roll triggers, mirroring the reference's bulk knobs
   // (IndexingJob.java:64-75 exposes docs=20k / MB=10 / seconds=60): a
   // shard's output rolls to a fresh data file when either threshold is
@@ -284,6 +285,7 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
 
     val manifest = new mutable.ArrayBuffer[String]
     var totalDocs = 0L
+    var totalShards = 0L
 
     for (index <- indexes) {
       val numShards = shardCfg.shardsFor(index)
@@ -327,7 +329,14 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
             .foreach(f => fs.delete(new Path(dir, f), false))
 
         val docs = files.map(_.docCount).sum
-        val bytes = files.map(_.bytes).sum
+        // FileInfo lengths are ON-DISK blob sizes (what ES records and a
+        // restore pre-allocates), not payload bytes — one listStatus per
+        // shard dir, the same call the sweep above already pays for.
+        val onDiskLen: Map[String, Long] =
+          fs.listStatus(dir).map(s => s.getPath.getName -> s.getLen).toMap
+        val fileLens = files.map(f =>
+          (f.fileName, onDiskLen.getOrElse(f.fileName, f.bytes))).sortBy(_._1)
+        val bytes = fileLens.map(_._2).sum
         totalDocs += docs
         // Per-shard snapshot metadata under the ONE canonical snapshot uuid —
         // the reference achieves this by renaming every reducer's
@@ -335,25 +344,30 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         // (IndexingPostProcessor.java:195-216); here shards are born stitched.
         write(new Path(dir, SnapshotLayout.snapDat(snapshotUuid)),
           SnapshotLayout.shardSnapDat(snapshotName, index, shard, docs, bytes,
-            files.map(_.fileName).sorted))
+            fileLens))
         if (files.nonEmpty)
           manifest += SnapshotLayout.manifestLine(index, snapshotUuid, id)
         // A4: shards with no rows still get a dir + snap file (empty-shard
         // backfill, BaseTransport.java:144-167).
       }
 
+      totalShards += numShards
       write(new Path(SnapshotLayout.indicesDir(dest, index),
           SnapshotLayout.metaDat(snapshotUuid)),
         SnapshotLayout.indexMetaDat(index, id, numShards,
-          options.getOrElse(EsSnapshotSink.MappingsOption, "{}"),
-          options.getOrElse(EsSnapshotSink.TemplateOption, "{}")))
+          options.getOrElse(EsSnapshotSink.MappingsOption, "{}")))
     }
 
-    // Root metadata (IndexingPostProcessor.java:144-193).
+    // Root metadata (IndexingPostProcessor.java:144-193). The template —
+    // cluster-level state in ES — lands in the root MetaData blob under
+    // its name, as a real repo stores it.
     write(new Path(destPath, SnapshotLayout.snapDat(snapshotUuid)),
-      SnapshotLayout.rootSnapDat(snapshotName, snapshotUuid, indexes, totalDocs))
+      SnapshotLayout.rootSnapDat(snapshotName, snapshotUuid, indexes,
+        totalDocs, totalShards))
     write(new Path(destPath, SnapshotLayout.metaDat(snapshotUuid)),
-      SnapshotLayout.rootMetaDat("graft", snapshotName))
+      SnapshotLayout.rootMetaDat("graft",
+        options.getOrElse(EsSnapshotSink.TemplateNameOption, "template_1"),
+        options.getOrElse(EsSnapshotSink.TemplateOption, "{}")))
     if (truncateRepo) {
       // forget prior generations at the root: stale index-N pointers and
       // other snapshots' root/index metadata

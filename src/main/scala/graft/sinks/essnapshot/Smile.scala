@@ -14,15 +14,16 @@ import java.nio.charset.StandardCharsets.UTF_8
  * wire format from first principles.
  *
  * Deliberate subset, all within the spec:
- *  - header flags 0: shared property names, shared string values, and
- *    raw binary are DISABLED (never emitted; the reader rejects their
- *    tokens). Back-references save bytes but cost determinism-reasoning;
- *    metadata blobs are tiny. NOTE this makes the codec WRITE-ONLY with
- *    respect to a genuine ES 5.x repo: Jackson (and hence a real node)
- *    writes SMILE with shared property names enabled (header flags 0x01)
- *    by default, so this reader parses graft-written blobs but would
- *    reject metadata copied out of a live repo. A read-a-real-repo path
- *    needs shared-name back-reference decoding first.
+ *  - WRITER emits header flags 0: shared property names, shared string
+ *    values, and raw binary are never emitted (back-references save
+ *    bytes but cost determinism-reasoning; metadata blobs are tiny).
+ *  - READER additionally accepts the shared-property-names flag (0x01)
+ *    and resolves both short (0x40-0x7F) and long (0x30-0x33) key
+ *    back-references with the spec's 1024-entry clear-on-full table —
+ *    Jackson, and hence a real ES 5.x node, writes SMILE with shared
+ *    names enabled by default, so metadata copied OUT of a live repo
+ *    parses. Shared string values (0x02, Jackson-default off) and raw
+ *    binary (0x04) remain rejected.
  *  - integers always fit the int/long zigzag-VInt forms (no BigInteger),
  *    doubles use the 10-byte 7-bit-packed form, strings/keys cover every
  *    length class incl. the 0xFC-terminated long forms.
@@ -150,21 +151,26 @@ object Smile {
 
   // ── reader ──────────────────────────────────────────────────────────
 
-  /** Decode one SMILE document (subset above; shared-name/value and raw-
-    * binary tokens are rejected with a clear error). */
+  /** Decode one SMILE document. The reader accepts the shared-property-
+    * names header flag (0x01) and resolves key back-references — Jackson,
+    * and hence a real ES 5.x node, writes SMILE with shared names enabled
+    * by default, so metadata copied out of a live repo now parses.
+    * Shared string VALUES (0x02, off by default in Jackson) and raw
+    * binary (0x04) stay rejected with a clear error. */
   def read(bytes: Array[Byte]): SVal = {
     require(bytes.length >= 4 && bytes(0) == 0x3A && bytes(1) == 0x29 &&
       bytes(2) == 0x0A, "not a SMILE document (missing :)\\n header)")
-    // flags: low nibble bits 0x01 shared names / 0x02 shared values /
-    // 0x04 raw binary — all unsupported by this subset reader
-    require((bytes(3) & 0x07) == 0,
+    // flags low nibble: 0x01 shared names (supported, read-side) /
+    // 0x02 shared values / 0x04 raw binary (both unsupported)
+    require((bytes(3) & 0x06) == 0,
       f"unsupported SMILE features in header flags 0x${bytes(3)}%02x")
-    val in = new Cursor(bytes, 4)
+    val in = new Cursor(bytes, 4, sharedNames = (bytes(3) & 0x01) != 0)
     val v = readVal(in)
     v
   }
 
-  private final class Cursor(val a: Array[Byte], var p: Int) {
+  private final class Cursor(val a: Array[Byte], var p: Int,
+                             val sharedNames: Boolean = false) {
     def next(): Int = { val b = a(p) & 0xFF; p += 1; b }
     def take(n: Int): Array[Byte] = {
       val r = java.util.Arrays.copyOfRange(a, p, p + n); p += n; r
@@ -175,6 +181,24 @@ object Smile {
       val r = java.util.Arrays.copyOfRange(a, s, p)
       p += 1 // consume 0xFC
       r
+    }
+    // Shared-name back-reference table (spec §"Shared name references"):
+    // every literal key of 1-64 encoded bytes is appended in order of
+    // appearance; at 1024 entries the table CLEARS before the next add.
+    private val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def noteName(key: String, encodedLen: Int): String = {
+      if (sharedNames && encodedLen >= 1 && encodedLen <= 64) {
+        if (names.length == 1024) names.clear()
+        names += key
+      }
+      key
+    }
+    def sharedName(idx: Int): String = {
+      require(sharedNames,
+        s"shared key reference #$idx in a document whose header declares no shared names")
+      require(idx < names.length,
+        s"shared key reference #$idx beyond table size ${names.length}")
+      names(idx)
     }
   }
 
@@ -219,10 +243,22 @@ object Smile {
   private def readKey(in: Cursor): String = {
     val t = in.next()
     t match {
-      case 0x20 => ""
-      case 0x34 => new String(in.untilMarker(), UTF_8)
-      case n if n >= 0x80 && n <= 0xBF => new String(in.take(n - 0x80 + 1), UTF_8)
-      case n if n >= 0xC0 && n <= 0xF7 => new String(in.take(n - 0xC0 + 2), UTF_8)
+      case 0x20 => "" // never added to the shared table (has its own token)
+      // 2-byte long shared ref: low 2 bits of the token are the high bits
+      // of a 10-bit index (only indices >= 64 use this form)
+      case n if n >= 0x30 && n <= 0x33 =>
+        in.sharedName(((n - 0x30) << 8) | in.next())
+      case 0x34 =>
+        val b = in.untilMarker()
+        in.noteName(new String(b, UTF_8), b.length)
+      // 1-byte short shared ref: indices 0-63
+      case n if n >= 0x40 && n <= 0x7F => in.sharedName(n - 0x40)
+      case n if n >= 0x80 && n <= 0xBF =>
+        val len = n - 0x80 + 1
+        in.noteName(new String(in.take(len), UTF_8), len)
+      case n if n >= 0xC0 && n <= 0xF7 =>
+        val len = n - 0xC0 + 2
+        in.noteName(new String(in.take(len), UTF_8), len)
       case other =>
         throw new IllegalArgumentException(
           f"unsupported SMILE key token 0x$other%02x at ${in.p - 1}")

@@ -150,7 +150,34 @@ object SnapshotLayout {
   //    trees at IndexingPostProcessor.java:195-216). Field order below is
   //    FIXED — the stitched tree is golden-tested byte-for-byte. ──
 
-  import Smile.{SArr, SLong, SObj, SStr, SVal}
+  import Smile.{SArr, SBool, SDouble, SLong, SNull, SObj, SStr, SVal}
+
+  /** ES 5.6.16's version id (major·10^6 + minor·10^4 + rev·10^2 + build):
+    * the value a 5.6.16 node writes as `version_id` in SnapshotInfo and
+    * `index.version.created` in index settings. */
+  val EsVersionId = 5061699L
+
+  /** JSON text → SMILE value tree, so user-supplied mappings/templates
+    * land in the metadata blobs as real object trees (the shape ES
+    * stores), not quoted JSON strings. */
+  private[graft] def jsonToSVal(
+      n: com.fasterxml.jackson.databind.JsonNode): SVal =
+    if (n == null || n.isNull) SNull
+    else if (n.isTextual) SStr(n.asText())
+    else if (n.isBoolean) SBool(n.asBoolean())
+    else if (n.isIntegralNumber) SLong(n.asLong())
+    else if (n.isNumber) SDouble(n.asDouble())
+    else if (n.isArray) SArr((0 until n.size()).map(i => jsonToSVal(n.get(i))))
+    else {
+      val fields = scala.collection.mutable.ArrayBuffer.empty[(String, SVal)]
+      val it = n.fieldNames()
+      while (it.hasNext) { val k = it.next(); fields += k -> jsonToSVal(n.get(k)) }
+      SObj(fields.toSeq)
+    }
+
+  private def parseJsonTree(json: String): SVal =
+    jsonToSVal(mapper.readTree(
+      if (json == null || json.trim.isEmpty) "{}" else json))
 
   /** Data files listed in a per-shard snap-<uuid>.dat manifest. The written
     * format is CodecUtil-framed SMILE (the real ES 5.x blob shape); two
@@ -163,11 +190,23 @@ object SnapshotLayout {
     val smileBody = datSmileBody(body)
     if (smileBody.length >= 3 && smileBody(0) == 0x3A && smileBody(1) == 0x29 &&
         smileBody(2) == 0x0A)
-      Smile.arr(Smile.read(smileBody), "files").collect { case SStr(s) => s }
+      Smile.arr(Smile.read(smileBody), "files").map {
+        // current: ES 5.x FileInfo objects — the DATA file is physical_name
+        case o: SObj => Smile.str(o, "physical_name").getOrElse(
+          throw new IllegalArgumentException(
+            "FileInfo entry missing physical_name"))
+        // round-5 repos: bare file-name strings
+        case SStr(s) => s
+        case other => throw new IllegalArgumentException(
+          s"unreadable files[] entry: $other")
+      }
     else {
       val files = mapper.readTree(smileBody).get("files")
       if (files == null || !files.isArray) Seq.empty
-      else (0 until files.size()).map(files.get(_).asText())
+      else (0 until files.size()).map { i =>
+        val e = files.get(i)
+        if (e.isTextual) e.asText() else e.get("physical_name").asText()
+      }
     }
   }
 
@@ -191,44 +230,99 @@ object SnapshotLayout {
     } finally in.close()
   }
 
-  /** Per-shard snap-<uuid>.dat content: CodecUtil("snapshot")-framed SMILE,
-    * the blob shape ES 5.x's indexShardSnapshotFormat writes. */
+  /** Per-shard snap-<uuid>.dat content: CodecUtil("snapshot")-framed SMILE
+    * carrying ES 5.x's `BlobStoreIndexShardSnapshot` field tree — name,
+    * index_version, start_time, time, number_of_files, total_size, and a
+    * `files` array of FileInfo objects (name `__i`, physical_name, length,
+    * written_by). Layout-mode value deltas, disclosed in README's
+    * compatibility matrix: times are 0 (deterministic goldens),
+    * `written_by` is the layout-format tag (a real node writes its Lucene
+    * version), and a trailing vendor-extension `doc_count` field carries
+    * the per-shard row count graft's own read/verify path gates on (ES
+    * keeps doc counts in the Lucene segments this mode doesn't write). */
   def shardSnapDat(snapshotName: String, index: String, shard: Int,
-                   docCount: Long, bytes: Long, files: Seq[String]): Array[Byte] =
-    LuceneFrame.wrap(LuceneFrame.SnapshotCodec, Smile.write(SObj.of(
-      "snapshot" -> SStr(snapshotName),
-      "index" -> SStr(index),
-      "shard" -> SLong(shard.toLong),
-      "doc_count" -> SLong(docCount),
-      "total_size_bytes" -> SLong(bytes),
-      "files" -> SArr(files.map(f => SStr(f): SVal)))))
-
-  /** Root snap-<uuid>.dat content: CodecUtil("snapshot")-framed SMILE. */
-  def rootSnapDat(snapshotName: String, snapshotUuid: String,
-                  indexes: Seq[String], totalDocs: Long): Array[Byte] =
+                   docCount: Long, bytes: Long,
+                   files: Seq[(String, Long)]): Array[Byte] =
     LuceneFrame.wrap(LuceneFrame.SnapshotCodec, Smile.write(SObj.of(
       "name" -> SStr(snapshotName),
-      "uuid" -> SStr(snapshotUuid),
-      "state" -> SStr("SUCCESS"),
-      "indices" -> SArr(indexes.map(ix => SStr(ix): SVal)),
-      "total_docs" -> SLong(totalDocs),
-      "version" -> SStr("graft-layout-1"))))
+      "index_version" -> SLong(0L),
+      "start_time" -> SLong(0L),
+      "time" -> SLong(0L),
+      "number_of_files" -> SLong(files.size.toLong),
+      "total_size" -> SLong(bytes),
+      "files" -> SArr(files.zipWithIndex.map { case ((f, len), i) =>
+        SObj.of(
+          "name" -> SStr(s"__$i"),
+          "physical_name" -> SStr(f),
+          "length" -> SLong(len),
+          "written_by" -> SStr("graft-layout-1")): SVal
+      }),
+      "doc_count" -> SLong(docCount))))
+
+  /** Root snap-<uuid>.dat content: CodecUtil("snapshot")-framed SMILE
+    * carrying ES 5.x's `SnapshotInfo` tree — one top-level `snapshot`
+    * object with name, uuid, version_id, indices, state, start_time,
+    * end_time, total_shards, successful_shards, failures. Times are 0
+    * (deterministic goldens) and a vendor-extension `total_docs` carries
+    * the corpus row count graft's verify path gates on. */
+  def rootSnapDat(snapshotName: String, snapshotUuid: String,
+                  indexes: Seq[String], totalDocs: Long,
+                  totalShards: Long): Array[Byte] =
+    LuceneFrame.wrap(LuceneFrame.SnapshotCodec, Smile.write(SObj.of(
+      "snapshot" -> SObj.of(
+        "name" -> SStr(snapshotName),
+        "uuid" -> SStr(snapshotUuid),
+        "version_id" -> SLong(EsVersionId),
+        "indices" -> SArr(indexes.map(ix => SStr(ix): SVal)),
+        "state" -> SStr("SUCCESS"),
+        "start_time" -> SLong(0L),
+        "end_time" -> SLong(0L),
+        "total_shards" -> SLong(totalShards),
+        "successful_shards" -> SLong(totalShards),
+        "failures" -> SArr(Seq.empty),
+        "total_docs" -> SLong(totalDocs)))))
 
   /** Index meta-<uuid>.dat content (CodecUtil("index-metadata")-framed
-    * SMILE): shard topology + the user's mappings/template JSON carried as
-    * opaque strings, exactly as given. */
+    * SMILE): ES 5.x's `IndexMetaData` tree — the index name keys one
+    * object with version, routing_num_shards, state, settings (flat
+    * `index.*` keys including number_of_shards / number_of_replicas /
+    * uuid / version.created), mappings as REAL parsed object trees (one
+    * array entry, as ES writes single-type indices), aliases,
+    * primary_terms, and in_sync_allocations (empty per shard — layout
+    * mode has no allocation ids because no node ever held the shards). */
   def indexMetaDat(index: String, id: String, shards: Int,
-                   mappings: String, template: String): Array[Byte] =
+                   mappings: String): Array[Byte] =
     LuceneFrame.wrap(LuceneFrame.IndexMetadataCodec, Smile.write(SObj.of(
-      "index" -> SStr(index),
-      "id" -> SStr(id),
-      "shards" -> SLong(shards.toLong),
-      "mappings" -> SStr(mappings),
-      "template" -> SStr(template))))
+      index -> SObj.of(
+        "version" -> SLong(1L),
+        "routing_num_shards" -> SLong(shards.toLong),
+        "state" -> SStr("open"),
+        "settings" -> SObj.of(
+          "index.number_of_shards" -> SStr(shards.toString),
+          "index.number_of_replicas" -> SStr("0"),
+          "index.uuid" -> SStr(id),
+          "index.version.created" -> SStr(EsVersionId.toString)),
+        "mappings" -> SArr(Seq(parseJsonTree(mappings))),
+        "aliases" -> SObj(Seq.empty),
+        "primary_terms" -> SArr(Seq.fill(shards)(SLong(0L): SVal)),
+        "in_sync_allocations" -> SObj(
+          (0 until shards).map(s => s.toString -> (SArr(Seq.empty): SVal)))))))
 
-  /** Root meta-<uuid>.dat content (CodecUtil("metadata")-framed SMILE). */
-  def rootMetaDat(cluster: String, snapshotName: String): Array[Byte] =
+  /** Root meta-<uuid>.dat content (CodecUtil("metadata")-framed SMILE):
+    * ES 5.x's `MetaData` snapshot-context tree — `meta-data` object with
+    * version, cluster_uuid, and the index template (parsed to a real
+    * object tree) under its name, exactly where a restore looks for it
+    * (the reference installs the same template on its embedded node —
+    * ESEmbededContainer.java:205-207). Per-index metadata lives in the
+    * per-index meta blobs, as in a real repo. */
+  def rootMetaDat(clusterUuid: String, templateName: String,
+                  template: String): Array[Byte] =
     LuceneFrame.wrap(LuceneFrame.MetadataCodec, Smile.write(SObj.of(
-      "cluster" -> SStr(cluster),
-      "snapshot" -> SStr(snapshotName))))
+      "meta-data" -> SObj.of(
+        "version" -> SLong(1L),
+        "cluster_uuid" -> SStr(clusterUuid),
+        "templates" -> (parseJsonTree(template) match {
+          case o: SObj if o.fields.nonEmpty => SObj.of(templateName -> o)
+          case _ => SObj(Seq.empty)
+        })))))
 }

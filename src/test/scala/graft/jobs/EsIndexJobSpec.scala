@@ -40,11 +40,17 @@ class EsIndexJobSpec extends SparkSpec {
     val meta = Files.list(metaDir).iterator()
     val metaFile = Iterator.continually(meta).takeWhile(_.hasNext)
       .map(_.next()).find(_.getFileName.toString.startsWith("meta-")).get
-    // index meta is SMILE now: decode and check the mappings passthrough
+    // index meta is the ES 5.x IndexMetaData tree: the index name keys
+    // the object, and the mappings file lands PARSED under "mappings"
     val metaTree = graft.sinks.essnapshot.Smile.read(graft.sinks.essnapshot
       .SnapshotLayout.datSmileBody(Files.readAllBytes(metaFile)))
-    assert(graft.sinks.essnapshot.Smile.str(metaTree, "mappings")
-      .exists(_.contains("type")))
+    locally {
+      import graft.sinks.essnapshot.Smile
+      val im = Smile.field(metaTree, "docs").get
+      val mapped = Smile.arr(im, "mappings").head
+      val vField = Smile.field(Smile.field(mapped, "properties").get, "v").get
+      assert(Smile.str(vField, "type").contains("long"))
+    }
     // ingest counters committed next to the snapshot (INDEXING_DOC_FAIL)
     val ingest = Files.readString(java.nio.file.Paths.get(dest, "_INGEST.json"))
     assert(ingest.contains("\"input_docs\":50"))

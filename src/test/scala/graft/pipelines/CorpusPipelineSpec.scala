@@ -141,6 +141,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(withNgram === lshOnly - 30L)
   }
 
+  test("perplexity stage equals inline perplexityFilter; gibberish drops") {
+    import graft.operators.LangModel
+    val df = (Seq.tabulate(40)(i => (i.toLong, "the cat sat on the mat today")) :+
+      ((99L, "zq xv qqq zz pf mmm ww")))
+      .toDF("doc_id", "text")
+    val facade = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      maxPerplexity = Some(8.0)))
+    val inline = LangModel.perplexityFilter(df, df, "doc_id", "text", 8.0)
+    assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
+    assert(!facade.select("doc_id").as[Long].collect().contains(99L))
+  }
+
   test("url dedup + near-dup + split compose in the canonical order") {
     // every doc pair (2k, 2k+1) shares a canonical URL → odd ids drop in
     // stage 1 BEFORE sketching; a planted near-dup of doc 0 survives URL

@@ -164,16 +164,96 @@ class SmileSpec extends AnyFunSuite {
       .getBytes("UTF-8")
     assert(SnapshotLayout.parseShardSnapFiles(legacy)
       === Seq("docs-a.ndjson.gz", "docs-b.ndjson.gz"))
-    val smile = SnapshotLayout.shardSnapDat("s", "i", 0, 1L, 2L, Seq("f1"))
+    val smile = SnapshotLayout.shardSnapDat("s", "i", 0, 1L, 2L, Seq(("f1", 2L)))
     assert(SnapshotLayout.parseShardSnapFiles(smile) === Seq("f1"))
   }
 
-  test("reader rejects shared-name/value headers and unknown tokens") {
-    val shared = bytes(0x3A, 0x29, 0x0A, 0x01, 0x21)
-    intercept[IllegalArgumentException](Smile.read(shared))
+  test("metadata blobs carry user JSON as parsed trees in ES 5.x shapes") {
+    import graft.sinks.essnapshot.SnapshotLayout
+    val mappings = """{"doc":{"properties":{
+      "user_id":{"type":"keyword"},"n":{"type":"long","null_value":null},
+      "boost":1.5,"enabled":true,"tags":["a","b"]}}}"""
+    val im = Smile.field(Smile.read(SnapshotLayout.datSmileBody(
+      SnapshotLayout.indexMetaDat("idx", "IDXID", 2, mappings))), "idx").get
+    val mapped = Smile.arr(im, "mappings").head
+    val props = Smile.field(Smile.field(mapped, "doc").get, "properties").get
+    // nested objects, strings, longs, doubles, booleans, nulls, arrays all
+    // survive as typed SMILE values — not a quoted JSON string
+    assert(Smile.str(Smile.field(props, "user_id").get, "type")
+      .contains("keyword"))
+    assert(Smile.field(Smile.field(props, "n").get, "null_value")
+      .contains(SNull))
+    assert(Smile.field(props, "boost").contains(SDouble(1.5)))
+    assert(Smile.field(props, "enabled").contains(SBool(true)))
+    assert(Smile.field(props, "tags")
+      .contains(SArr(Seq(SStr("a"), SStr("b")))))
+    // template lands under its NAME inside meta-data.templates
+    val rt = Smile.read(SnapshotLayout.datSmileBody(SnapshotLayout
+      .rootMetaDat("cluster-x", "tmpl_events",
+        """{"template":"idx*","settings":{"index.refresh_interval":"-1"}}""")))
+    val tmpl = Smile.field(Smile.field(
+      Smile.field(rt, "meta-data").get, "templates").get, "tmpl_events").get
+    assert(Smile.str(tmpl, "template").contains("idx*"))
+  }
+
+  test("reader rejects shared-VALUE/raw-binary headers and unknown tokens") {
+    intercept[IllegalArgumentException](
+      Smile.read(bytes(0x3A, 0x29, 0x0A, 0x02, 0x21))) // shared values
+    intercept[IllegalArgumentException](
+      Smile.read(bytes(0x3A, 0x29, 0x0A, 0x04, 0x21))) // raw binary
     intercept[IllegalArgumentException](Smile.read(bytes(0x7B, 0x7D))) // "{}"
     // unsupported value token (BigDecimal 0x2A)
     intercept[IllegalArgumentException](
       Smile.read(bytes(0x3A, 0x29, 0x0A, 0x00, 0x2A)))
+  }
+
+  test("shared-name flag: short key back-references resolve (hand-derived)") {
+    // flags 0x01 (shared names — what Jackson/ES 5.x writes by default);
+    // {"a":1,"b":{"a":2}} with the second "a" as short shared ref #0:
+    //   FA  80 'a'  C2   80 'b'  FA  40  C4  FB  FB
+    // ("a" enters the table at first literal appearance; 0x40+0 refs it)
+    val doc = bytes(0x3A, 0x29, 0x0A, 0x01,
+      0xFA, 0x80, 'a', 0xC2, 0x80, 'b',
+      0xFA, 0x40, 0xC4, 0xFB, 0xFB)
+    assert(Smile.read(doc) === SObj.of(
+      "a" -> SLong(1),
+      "b" -> SObj.of("a" -> SLong(2))))
+    // a reference in a flags-0 document is still rejected
+    intercept[IllegalArgumentException](Smile.read(bytes(
+      0x3A, 0x29, 0x0A, 0x00, 0xFA, 0x40, 0xC2, 0xFB)))
+    // a reference beyond the table is rejected, not mis-resolved
+    intercept[IllegalArgumentException](Smile.read(bytes(
+      0x3A, 0x29, 0x0A, 0x01, 0xFA, 0x41, 0xC2, 0xFB)))
+  }
+
+  test("shared-name flag: long (2-byte) refs and the 1024-entry clear-on-full table") {
+    // Build {"k0000":0,...,"k0099":0,"k0065":0} with the repeat encoded as
+    // the 2-byte long-ref form (index 65 >= 64 → token 0x30, low byte 65)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes(0x3A, 0x29, 0x0A, 0x01)); out.write(0xFA)
+    for (i <- 0 until 100) {
+      val k = f"k$i%04d" // 5 ASCII bytes → short-name token 0x80+4
+      out.write(0x80 + k.length - 1); out.write(k.getBytes("UTF-8"))
+      out.write(0xC0) // zigzag(0)
+    }
+    out.write(0x30); out.write(65); out.write(0xC0) // long ref #65
+    out.write(0xFB)
+    val tree = Smile.read(out.toByteArray).asInstanceOf[SObj]
+    assert(tree.fields.length === 101)
+    assert(tree.fields.last === ("k0065" -> SLong(0)))
+
+    // Clear-on-full: after 1024 names the table resets, so ref #0 then
+    // resolves to the 1025th name, not the 1st
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(bytes(0x3A, 0x29, 0x0A, 0x01)); big.write(0xFA)
+    for (i <- 0 until 1025) {
+      val k = f"n$i%04d"
+      big.write(0x80 + k.length - 1); big.write(k.getBytes("UTF-8"))
+      big.write(0xC0)
+    }
+    big.write(0x40); big.write(0xC0) // short ref #0 → "n1024" post-reset
+    big.write(0xFB)
+    val bigTree = Smile.read(big.toByteArray).asInstanceOf[SObj]
+    assert(bigTree.fields.last === ("n1024" -> SLong(0)))
   }
 }

@@ -97,11 +97,22 @@ class SnapshotRestorePathSpec extends SparkSpec {
       import graft.sinks.essnapshot.Smile
       val shardTree = Smile.read(graft.sinks.essnapshot.SnapshotLayout
         .datSmileBody(Files.readAllBytes(snapFile)))
-      assert(Smile.str(shardTree, "snapshot").contains("restore_snap"))
-      assert(Smile.long(shardTree, "shard").contains(shard.toLong))
+      // ES 5.x BlobStoreIndexShardSnapshot field tree: "name" is the
+      // snapshot name; data files are FileInfo objects under "files"
+      // with the on-disk name in "physical_name" and its byte length
+      assert(Smile.str(shardTree, "name").contains("restore_snap"))
       totalDocs += Smile.long(shardTree, "doc_count").getOrElse(0L)
-      val listed = Smile.arr(shardTree, "files")
-        .collect { case Smile.SStr(s) => s }
+      val fileInfos = Smile.arr(shardTree, "files")
+        .collect { case o: Smile.SObj => o }
+      assert(Smile.long(shardTree, "number_of_files")
+        .contains(fileInfos.size.toLong))
+      fileInfos.zipWithIndex.foreach { case (fi, i) =>
+        assert(Smile.str(fi, "name").contains(s"__$i"))
+        val phys = Smile.str(fi, "physical_name").get
+        assert(Smile.long(fi, "length").exists(_ ==
+          Files.size(shardDir.resolve(phys))))
+      }
+      val listed = fileInfos.map(fi => Smile.str(fi, "physical_name").get)
       listed.foreach(f => assert(Files.exists(shardDir.resolve(f)),
         s"manifested data file $f must exist in shard $shard"))
       // and nothing but manifested data files survives the commit sweep
@@ -110,6 +121,51 @@ class SnapshotRestorePathSpec extends SparkSpec {
       assert(onDisk === listed.toSet)
     }
     assert(totalDocs === 40L)
+
+    // root snap-<uuid>.dat: ES 5.x SnapshotInfo — one top-level
+    // "snapshot" object with name/uuid/version_id/indices/state/shard
+    // totals (the tree a real 5.x _restore parses first)
+    {
+      import graft.sinks.essnapshot.{Smile, SnapshotLayout}
+      val rootTree = Smile.read(SnapshotLayout.datSmileBody(
+        Files.readAllBytes(root.resolve(s"snap-$uuid.dat"))))
+      val info = Smile.field(rootTree, "snapshot").get
+      assert(Smile.str(info, "name").contains("restore_snap"))
+      assert(Smile.str(info, "uuid").contains(uuid))
+      assert(Smile.long(info, "version_id")
+        .contains(SnapshotLayout.EsVersionId))
+      assert(Smile.str(info, "state").contains("SUCCESS"))
+      assert(Smile.long(info, "total_shards").contains(numShards.toLong))
+      assert(Smile.long(info, "successful_shards").contains(numShards.toLong))
+      assert(Smile.arr(info, "indices")
+        .collect { case Smile.SStr(s) => s } === Seq("idx_restore"))
+    }
+
+    // index meta-<uuid>.dat: ES 5.x IndexMetaData — the index NAME keys
+    // one object carrying flat index.* settings and mappings as a real
+    // parsed tree (one array entry), not a quoted JSON string
+    {
+      import graft.sinks.essnapshot.{Smile, SnapshotLayout}
+      val metaTree = Smile.read(SnapshotLayout.datSmileBody(
+        Files.readAllBytes(indexDir.resolve(s"meta-$uuid.dat"))))
+      val im = Smile.field(metaTree, "idx_restore").get
+      assert(Smile.str(im, "state").contains("open"))
+      val settings = Smile.field(im, "settings").get
+      assert(Smile.str(settings, "index.number_of_shards")
+        .contains(numShards.toString))
+      assert(Smile.str(settings, "index.version.created")
+        .contains(SnapshotLayout.EsVersionId.toString))
+      assert(Smile.arr(im, "mappings").size === 1)
+      val inSync = Smile.field(im, "in_sync_allocations").get
+        .asInstanceOf[Smile.SObj]
+      assert(inSync.fields.map(_._1) === (0 until numShards).map(_.toString))
+      // root meta-<uuid>.dat: ES 5.x MetaData snapshot-context tree
+      val rootMeta = Smile.read(SnapshotLayout.datSmileBody(
+        Files.readAllBytes(root.resolve(s"meta-$uuid.dat"))))
+      val md = Smile.field(rootMeta, "meta-data").get
+      assert(Smile.str(md, "cluster_uuid").contains("graft"))
+      assert(Smile.field(md, "templates").contains(Smile.SObj(Seq.empty)))
+    }
 
     // .dat blobs are CodecUtil-framed SMILE: the frame verifies (magics +
     // CRC32) under its ES 5.x codec name, and the body inside leads with

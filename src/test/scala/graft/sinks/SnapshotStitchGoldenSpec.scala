@@ -118,6 +118,12 @@ class SnapshotStitchGoldenSpec extends SparkSpec {
       java.util.Arrays.equals(b, Smile.write(t)) },
       "shard snap SMILE bodies must round-trip byte-exactly")
     assert(trees.map(Smile.long(_, "doc_count").get).sum === 10L)
-    assert(trees.forall(Smile.str(_, "snapshot").contains("gold_snap")))
+    // ES 5.x BlobStoreIndexShardSnapshot: snapshot name under "name",
+    // FileInfo objects under "files" with __i virtual names
+    assert(trees.forall(Smile.str(_, "name").contains("gold_snap")))
+    assert(trees.forall(t => Smile.arr(t, "files").zipWithIndex.forall {
+      case (fi, i) => Smile.str(fi, "name").contains(s"__$i") &&
+        Smile.str(fi, "physical_name").exists(_.startsWith("docs-"))
+    }))
   }
 }
