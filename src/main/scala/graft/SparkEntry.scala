@@ -1056,6 +1056,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("ce"))
     }),
 
+    // DSIR data selection (Xie et al. 2023): pick the 50 documents whose
+    // bigram distribution best matches the 'dup'-marked target slice,
+    // sampling ∝ exp(document log-likelihood ratio) via deterministic
+    // md5-Gumbel top-k. Fully replicated in SQL (two LM replications +
+    // the same hex-uniform Gumbel keys). Selection enriches the 5%
+    // target slice to ~50% of the cut — measured at sf0.001 and sf0.01.
+    "data_select_dsir" -> ((s, dir) => {
+      import graft.operators.DataSelection
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("text").contains("dup"))
+      DataSelection.selectByImportance(docs, target, "doc_id", "text",
+          k = 50, seed = 11)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Document fingerprinting (rolling-hash canonicalization — no oracle).
     "text_fingerprint" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -1721,6 +1736,66 @@ object SparkEntry {
         |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
         |       per.ce
         |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin,
+    // Two full bigram-LM replications (target slice vs whole corpus),
+    // document-level llr = n · (ce_raw - ce_target) on the 4dp-rounded
+    // cross-entropies, and the same md5-hex Gumbel keys — engine-exact
+    // except the sub-1e-12 key-boundary class every float oracle shares.
+    "data_select_dsir" ->
+      """WITH d AS (
+        |  SELECT doc_id, position('dup' IN text) > 0 AS is_tgt,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |dn AS (SELECT doc_id, is_tgt, t, len(t) AS n FROM d),
+        |uc_r AS (SELECT w, count(*) AS cnt
+        |         FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
+        |k_r AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |               CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc_r),
+        |bc_r AS (SELECT prev, cur, count(*) AS cnt FROM (
+        |           SELECT unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
+        |           FROM dn WHERE n >= 2) GROUP BY 1, 2),
+        |uc_t AS (SELECT w, count(*) AS cnt
+        |         FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0 AND is_tgt)
+        |         GROUP BY w),
+        |k_t AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |               CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc_t),
+        |bc_t AS (SELECT prev, cur, count(*) AS cnt FROM (
+        |           SELECT unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
+        |           FROM dn WHERE n >= 2 AND is_tgt) GROUP BY 1, 2),
+        |grams AS (
+        |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
+        |  FROM dn WHERE n >= 1
+        |  UNION ALL
+        |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
+        |  FROM dn WHERE n >= 2),
+        |lp AS (
+        |  SELECT g.doc_id, g.n,
+        |         CASE WHEN g.prev IS NULL
+        |              THEN ln((coalesce(ur.cnt, 0) + 1) / (k_r.ntot + k_r.v))
+        |              ELSE ln((coalesce(br.cnt, 0) + 1)
+        |                      / (coalesce(ur.cnt, 0) + k_r.v)) END AS lp_r,
+        |         CASE WHEN g.prev IS NULL
+        |              THEN ln((coalesce(ut.cnt, 0) + 1) / (k_t.ntot + k_t.v))
+        |              ELSE ln((coalesce(bt.cnt, 0) + 1)
+        |                      / (coalesce(ut.cnt, 0) + k_t.v)) END AS lp_t
+        |  FROM grams g
+        |  CROSS JOIN k_r CROSS JOIN k_t
+        |  LEFT JOIN uc_r ur ON ur.w = coalesce(g.prev, g.cur)
+        |  LEFT JOIN uc_t ut ON ut.w = coalesce(g.prev, g.cur)
+        |  LEFT JOIN bc_r br ON br.prev = g.prev AND br.cur = g.cur
+        |  LEFT JOIN bc_t bt ON bt.prev = g.prev AND bt.cur = g.cur),
+        |per AS (SELECT doc_id, any_value(n) AS n,
+        |               round(-sum(lp_r) / any_value(n), 4) AS ce_r,
+        |               round(-sum(lp_t) / any_value(n), 4) AS ce_t
+        |        FROM lp GROUP BY doc_id),
+        |sel AS (
+        |  SELECT doc_id, n * (ce_r - ce_t) - ln(-ln(
+        |           (('0x' || substring(md5('11:' || CAST(doc_id AS VARCHAR)),
+        |                                1, 8))::BIGINT + 1)
+        |           / 4294967297.0)) AS gk
+        |  FROM per ORDER BY gk DESC, doc_id LIMIT 50)
+        |SELECT d2.doc_id, d2.lang FROM documents d2 JOIN sel USING (doc_id)"""
+        .stripMargin,
     // Split invariant: 3 non-empty splits covering every doc exactly once
     // (the assignment hash itself has no SQL analogue; SplitsSpec locks
     // determinism/stability).

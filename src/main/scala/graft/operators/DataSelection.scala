@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Data selection via importance resampling — DSIR (Xie et al. 2023,
+ * "Data Selection for Language Models via Importance Resampling"):
+ * pick the raw-corpus documents whose n-gram distribution looks like a
+ * TARGET domain by scoring each document under two cheap n-gram LMs
+ * (target vs raw) and sampling with Gumbel top-k, which draws without
+ * replacement proportionally to exp(importance). The standard way to
+ * carve a domain-matched slice (code, medical, wiki-like, ...) out of a
+ * crawl before training.
+ *
+ * Built on [[LangModel]]'s add-one bigram LMs: the importance weight is
+ * the per-token log-likelihood ratio `ce_raw - ce_target` (both in
+ * nats/token, so long documents aren't favored), and the Gumbel noise is
+ * derived from the same seeded md5 uniform the Samples operators use —
+ * fully deterministic, re-runnable, engine-replicable.
+ *
+ * Scale shape: two LM trainings + two scoring passes (each map-side
+ * bigrams + key-only joins, see [[LangModel]]), one md5 per doc, and a
+ * top-k. Top-k plans as TakeOrderedAndProject (per-partition heaps, one
+ * k-row reduce) — right for k up to the low millions; for a
+ * billion-document cut, replace the global sort with a gumbel-key
+ * threshold from `approx_percentile` and keep everything map-side.
+ */
+object DataSelection {
+
+  /**
+   * Per-document importance weights. `llr` is the DOCUMENT log-likelihood
+   * ratio in nats — `n_tokens · (ce_raw - ce_target)`, i.e.
+   * `log p_target(d) - log p_raw(d)` — the paper's importance weight
+   * (length-scaled: a long on-domain document IS stronger evidence than a
+   * short one, and the scale is what lets the weights dominate the
+   * Gumbel noise). `llr_per_token` is the length-neutral rate for
+   * analysis/thresholding. Positive means target-like. Empty documents
+   * carry NULL in both.
+   */
+  def importanceWeights(docs: DataFrame, targetModel: DataFrame,
+                        rawModel: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tgt = LangModel.scorePerplexity(docs, targetModel, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("ce").as("ce_target"))
+    val raw = LangModel.scorePerplexity(docs, rawModel, idCol, textCol)
+      .select(col(idCol).as("__raw_id"), col("ce").as("ce_raw"))
+    tgt.join(raw, col(idCol) === col("__raw_id"))
+      .withColumn("llr_per_token", col("ce_raw") - col("ce_target"))
+      .withColumn("llr", col("n_tokens") * col("llr_per_token"))
+      .drop("__raw_id")
+  }
+
+  /**
+   * The one-call DSIR cut: train the target LM on `target`, the raw LM
+   * on `docs` themselves, weight every document, and keep the Gumbel
+   * top-k (`key = llr - ln(-ln u)` with `u` a seeded md5 uniform —
+   * deterministic sampling ∝ exp(llr), the Gumbel-max trick). Returns
+   * the selected documents with their input columns. Empty documents
+   * carry no evidence and are never selected.
+   */
+  def selectByImportance(docs: DataFrame, target: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, seed: Long): DataFrame = {
+    val targetModel = LangModel.trainBigramLM(target, textCol)
+    val rawModel = LangModel.trainBigramLM(docs, textCol)
+    val w = importanceWeights(docs, targetModel, rawModel, idCol, textCol)
+      .where(col("llr").isNotNull)
+    // top 32 md5 bits → uniform in (0, 1), identical in any engine
+    val v = conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4294967297.0)
+    val picked = w
+      .withColumn("gumbel_key", col("llr") - log(-log(u)))
+      .orderBy(desc("gumbel_key"), col(idCol))
+      .limit(k)
+      .select(col(idCol).as("__dsir_id"))
+    docs.join(picked, col(idCol) === col("__dsir_id"), "left_semi")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DataSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two separated "domains": target-like docs repeat the aa-bb bigram
+  // chain, junk docs the zz-qq chain. The raw pool is half each.
+  private def pool = (
+    Seq.tabulate(30)(i => (i.toLong, "aa bb aa bb aa bb")) ++
+    Seq.tabulate(30)(i => (100L + i, "zz qq zz qq zz qq")))
+    .toDF("doc_id", "text")
+  private def target =
+    Seq.tabulate(20)(i => (1000L + i, "aa bb aa bb")).toDF("doc_id", "text")
+
+  test("importanceWeights: target-like llr positive, junk negative, empty NULL") {
+    val tm = LangModel.trainBigramLM(target, "text")
+    val rm = LangModel.trainBigramLM(pool, "text")
+    val w = DataSelection.importanceWeights(
+      pool.union(Seq((999L, "")).toDF("doc_id", "text")),
+      tm, rm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(w(0L).getAs[Double]("llr") > 0.0, "target-like doc must score positive llr")
+    assert(w(100L).getAs[Double]("llr") < -0.5, "junk doc must score negative llr")
+    assert(w(0L).getAs[Double]("llr") - w(100L).getAs[Double]("llr") > 0.8,
+      "llr must separate the domains by ~1 nat/token")
+    assert(w(999L).isNullAt(w(999L).fieldIndex("llr")), "empty doc llr is NULL")
+  }
+
+  test("selectByImportance is the exact Gumbel top-k of the llr weights") {
+    val k = 20
+    val sel = DataSelection.selectByImportance(
+      pool, target, "doc_id", "text", k = k, seed = 11)
+    val ids = sel.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids.length === k)
+
+    // independent replication: llr from importanceWeights + the md5
+    // uniform + Gumbel key computed HERE, not through the operator
+    val tm = LangModel.trainBigramLM(target, "text")
+    val rm = LangModel.trainBigramLM(pool, "text")
+    val llr = DataSelection.importanceWeights(pool, tm, rm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("llr")).toMap
+    def gumbelKey(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"11:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967297.0
+      llr(id) - math.log(-math.log(u))
+    }
+    val expected = llr.keys.toSeq
+      .sortBy(id => (-gumbelKey(id), id)).take(k).sorted
+    assert(ids === expected, "selection must equal the hand-computed top-k")
+    // sampling ∝ exp(llr): the target-like side must dominate the cut
+    assert(ids.count(_ < 100L) > k / 2, s"got $ids")
+
+    // deterministic: same seed, same cut
+    val again = DataSelection.selectByImportance(
+      pool, target, "doc_id", "text", k = k, seed = 11)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === ids)
+  }
+}
