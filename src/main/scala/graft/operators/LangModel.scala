@@ -72,15 +72,26 @@ object LangModel {
    */
   def scorePerplexity(docs: DataFrame, model: DataFrame,
                       idCol: String, textCol: String): DataFrame = {
-    val uniModel = model.where(col("prev").isNull)
+    // Reused by the constants collect AND both scoring joins below — a
+    // lazy checkpoint stops the model plan (and everything upstream of
+    // the training corpus) re-running once per consumer.
+    val m = model.localCheckpoint(false)
+    val uniModel = m.where(col("prev").isNull)
       .select(col("cur").as("u_tok"), col("cnt").as("u_cnt"))
-    val bigModel = model.where(col("prev").isNotNull)
+    val bigModel = m.where(col("prev").isNotNull)
       .select(col("prev").as("b_prev"), col("cur").as("b_cur"),
         col("cnt").as("b_cnt"))
-    // Laplace constants: one tiny aggregate over the unigram rows.
+    // Laplace constants: one tiny aggregate over the unigram rows. An
+    // EMPTY model must fail loudly here — V = N = 0 would otherwise turn
+    // every smoothed probability into (c+1)/0 = +Inf, ce into -Inf, and
+    // ppl into 0, silently passing every document through any filter.
     val Array(vocab, nTotal) = uniModel
       .agg(count(lit(1)).cast("double"), sum("u_cnt").cast("double"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      .collect()(0).toSeq.map(v => Option(v).fold(0.0)(_.asInstanceOf[Double]))
+      .toArray
+    require(vocab > 0,
+      "scorePerplexity: the model has no unigram rows — the training " +
+        "corpus was empty or all-whitespace; train on a non-empty slice")
 
     val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
       .withColumn("n", size(col("t")))

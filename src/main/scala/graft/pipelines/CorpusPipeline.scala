@@ -115,7 +115,10 @@ object CorpusPipeline {
       // self-perplexity: the corpus that survived the structural gates is
       // its own LM training slice (CCNet trains on a clean reference; at
       // 100 TB pass a sampled slice by training outside the facade and
-      // filtering with LangModel.perplexityFilter directly)
+      // filtering with LangModel.perplexityFilter directly). The gate
+      // reads `cur` several times (train + score + keep-join); a lazy
+      // checkpoint stops the upstream stage chain replaying per read.
+      cur = cur.localCheckpoint(false)
       cur = graft.operators.LangModel.perplexityFilter(
         cur, cur, cfg.idCol, cfg.textCol, ceiling)
     }

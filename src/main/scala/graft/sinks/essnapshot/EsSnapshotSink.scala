@@ -145,6 +145,18 @@ class EsSnapshotWriteBuilder(info: LogicalWriteInfo)
           given.find(_.name == n).exists(_.dataType == dt) },
       s"es-snapshot sink expects the IndexableDoc envelope " +
         s"${EsSnapshotSink.Schema.simpleString}, got ${given.simpleString}")
+    // Mappings/template options land PARSED in the metadata blobs at
+    // commit time — reject malformed JSON here, before any executor
+    // writes a byte, not mid-commit with a raw Jackson error.
+    for (opt <- Seq(EsSnapshotSink.MappingsOption,
+        EsSnapshotSink.TemplateOption);
+        json <- Option(info.options.get(opt)) if json.trim.nonEmpty) {
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"option $opt is not valid JSON: ${e.getMessage}")
+      }
+    }
     new EsSnapshotWrite(info, truncateRepo)
   }
 }
@@ -309,31 +321,35 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         // skip the sweep for this shard dir (stray-attempt files leak,
         // recoverable) instead of deleting files an earlier snapshot may
         // still reference (data loss).
+        // ONE listStatus per shard dir serves the whole block: the sweep
+        // (names), the truncate sweep (names), and the FileInfo lengths
+        // (getLen) — deletions below only touch non-winners, so winners'
+        // recorded lengths stay exact.
+        val entries = fs.listStatus(dir)
         val priorManifested: Option[Set[String]] =
           if (truncateRepo) Some(Set.empty)
-          else try Some(fs.listStatus(dir).map(_.getPath)
+          else try Some(entries.map(_.getPath)
             .filter(_.getName.startsWith("snap-"))
             .flatMap(p => SnapshotLayout.parseShardSnapFiles(readBytes(p)))
             .toSet)
           catch { case _: Exception => None }
         priorManifested.foreach { prior =>
-          fs.listStatus(dir).map(_.getPath.getName)
+          entries.map(_.getPath.getName)
             .filter(_.startsWith("docs-"))
             .filterNot(f => winners.contains(f) || prior.contains(f))
             .foreach(f => fs.delete(new Path(dir, f), false))
         }
         if (truncateRepo)
-          fs.listStatus(dir).map(_.getPath.getName)
+          entries.map(_.getPath.getName)
             .filter(n => n.startsWith("snap-") &&
               n != SnapshotLayout.snapDat(snapshotUuid))
             .foreach(f => fs.delete(new Path(dir, f), false))
 
         val docs = files.map(_.docCount).sum
         // FileInfo lengths are ON-DISK blob sizes (what ES records and a
-        // restore pre-allocates), not payload bytes — one listStatus per
-        // shard dir, the same call the sweep above already pays for.
+        // restore pre-allocates), not payload bytes
         val onDiskLen: Map[String, Long] =
-          fs.listStatus(dir).map(s => s.getPath.getName -> s.getLen).toMap
+          entries.map(s => s.getPath.getName -> s.getLen).toMap
         val fileLens = files.map(f =>
           (f.fileName, onDiskLen.getOrElse(f.fileName, f.bytes))).sortBy(_._1)
         val bytes = fileLens.map(_._2).sum
@@ -343,8 +359,7 @@ class EsSnapshotBatchWrite(schema: StructType, dest: String,
         // snap-<reducerUUID>.dat to the base snapshot's uuid
         // (IndexingPostProcessor.java:195-216); here shards are born stitched.
         write(new Path(dir, SnapshotLayout.snapDat(snapshotUuid)),
-          SnapshotLayout.shardSnapDat(snapshotName, index, shard, docs, bytes,
-            fileLens))
+          SnapshotLayout.shardSnapDat(snapshotName, docs, bytes, fileLens))
         if (files.nonEmpty)
           manifest += SnapshotLayout.manifestLine(index, snapshotUuid, id)
         // A4: shards with no rows still get a dir + snap file (empty-shard

@@ -205,7 +205,13 @@ object SnapshotLayout {
       if (files == null || !files.isArray) Seq.empty
       else (0 until files.size()).map { i =>
         val e = files.get(i)
-        if (e.isTextual) e.asText() else e.get("physical_name").asText()
+        if (e.isTextual) e.asText()
+        else {
+          val p = e.get("physical_name")
+          if (p == null) throw new IllegalArgumentException(
+            "FileInfo entry missing physical_name")
+          p.asText()
+        }
       }
     }
   }
@@ -240,8 +246,7 @@ object SnapshotLayout {
     * version), and a trailing vendor-extension `doc_count` field carries
     * the per-shard row count graft's own read/verify path gates on (ES
     * keeps doc counts in the Lucene segments this mode doesn't write). */
-  def shardSnapDat(snapshotName: String, index: String, shard: Int,
-                   docCount: Long, bytes: Long,
+  def shardSnapDat(snapshotName: String, docCount: Long, bytes: Long,
                    files: Seq[(String, Long)]): Array[Byte] =
     LuceneFrame.wrap(LuceneFrame.SnapshotCodec, Smile.write(SObj.of(
       "name" -> SStr(snapshotName),

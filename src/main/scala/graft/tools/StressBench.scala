@@ -497,6 +497,30 @@ object StressBench {
       vecs.unpersist()
     }
 
+    // LM quality ops: bigram-LM train/score and the DSIR cut over the
+    // clique-free corpus. The model is O(unique bigrams) ≈ O(corpus
+    // tokens) at this vocab — the honest shuffle-heavy regime: every
+    // stage is key-only joins/aggs, so cost should track corpus size
+    // ~linearly; a superlinear jump flags a broken join shape.
+    if (only.contains("perplexity")) {
+      import graft.operators.{DataSelection, LangModel}
+      for (n <- docTiers) {
+        val docs = synthDocs(spark, n)
+        docs.cache().count()
+        run("lm_train", n)(LangModel.trainBigramLM(docs, "text").count())
+        run("lm_score", n) {
+          val m = LangModel.trainBigramLM(docs, "text")
+          LangModel.scorePerplexity(docs, m, "doc_id", "text").count()
+        }
+        run("dsir_select", n) {
+          val target = docs.filter(col("doc_id") % 20 === 0)
+          DataSelection.selectByImportance(docs, target, "doc_id", "text",
+            k = 1000, seed = 7).count()
+        }
+        docs.unpersist()
+      }
+    }
+
     // Streaming throughput: real MemoryStream drives at stress size —
     // events/sec through sessionizeStream and docs/sec through
     // nearDupVerdicts, with state rows/bytes from the progress feed.

@@ -50,6 +50,17 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("an empty training corpus fails loudly, not with infinite probabilities") {
+    // V = N = 0 would make every smoothed probability (c+1)/0 = +Inf and
+    // every ppl 0 — silently passing any filter; the guard refuses instead
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val model = LangModel.trainBigramLM(empty, "text")
+    val ex = intercept[IllegalArgumentException] {
+      LangModel.scorePerplexity(corpus, model, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("no unigram rows"))
+  }
+
   test("perplexityFilter keeps low-perplexity and empty docs, drops gibberish") {
     val train = Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat"))
       .toDF("doc_id", "text")

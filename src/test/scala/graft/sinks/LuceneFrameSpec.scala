@@ -76,7 +76,7 @@ class LuceneFrameSpec extends AnyFunSuite {
 
   test("parseShardSnapFiles reads all three generations of snap bodies") {
     // current: framed SMILE (what shardSnapDat writes today)
-    val current = SnapshotLayout.shardSnapDat("s", "i", 0, 1L, 2L, Seq(("f1", 1L), ("f2", 1L)))
+    val current = SnapshotLayout.shardSnapDat("s", 1L, 2L, Seq(("f1", 1L), ("f2", 1L)))
     assert(LuceneFrame.isFramed(current))
     assert(SnapshotLayout.parseShardSnapFiles(current) === Seq("f1", "f2"))
     // round-5 repos: bare SMILE

@@ -164,7 +164,7 @@ class SmileSpec extends AnyFunSuite {
       .getBytes("UTF-8")
     assert(SnapshotLayout.parseShardSnapFiles(legacy)
       === Seq("docs-a.ndjson.gz", "docs-b.ndjson.gz"))
-    val smile = SnapshotLayout.shardSnapDat("s", "i", 0, 1L, 2L, Seq(("f1", 2L)))
+    val smile = SnapshotLayout.shardSnapDat("s", 1L, 2L, Seq(("f1", 2L)))
     assert(SnapshotLayout.parseShardSnapFiles(smile) === Seq("f1"))
   }
 
