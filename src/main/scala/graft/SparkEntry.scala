@@ -1071,6 +1071,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Streaming CCNet gate: the corpus streamed through a frozen-LM
+    // perplexity filter in two REAL micro-batches (foreachBatch reusing
+    // the batch operator; stream-static, zero state). Per-doc scoring
+    // under a frozen model has no batch-boundary sensitivity, so the
+    // surviving set equals the batch filter — which the oracle replicates.
+    "q_stream_perplexity" -> ((s, dir) => {
+      import graft.streaming.Streams
+      Streams.perplexityGateStreamParity(s, t(s, dir, "documents"),
+          "doc_id", "text", maxPpl = 31.0)
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("doc_id").cast("long").as("id_sum"))
+    }),
+
     // Document fingerprinting (rolling-hash canonicalization — no oracle).
     "text_fingerprint" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -1796,6 +1809,46 @@ object SparkEntry {
         |  FROM per ORDER BY gk DESC, doc_id LIMIT 50)
         |SELECT d2.doc_id, d2.lang FROM documents d2 JOIN sel USING (doc_id)"""
         .stripMargin,
+    // The batch CCNet cut the streaming gate must equal: same LM as
+    // text_perplexity, keep round(exp(ce_raw), 4) <= 31 or empty docs.
+    // ppl rounds exp of the UNROUNDED ce, exactly as the operator does.
+    "q_stream_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |dn AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |uc AS (SELECT w, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc),
+        |grams AS (
+        |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
+        |  FROM dn WHERE n >= 1
+        |  UNION ALL
+        |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
+        |  FROM dn WHERE n >= 2),
+        |bc AS (SELECT prev, cur, count(*) AS cnt FROM grams
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT g.doc_id, g.n,
+        |         CASE WHEN g.prev IS NULL
+        |              THEN ln((coalesce(u2.cnt, 0) + 1) / (k.ntot + k.v))
+        |              ELSE ln((coalesce(b.cnt, 0) + 1)
+        |                      / (coalesce(u2.cnt, 0) + k.v))
+        |         END AS lp
+        |  FROM grams g
+        |  CROSS JOIN k
+        |  LEFT JOIN uc u2 ON u2.w = coalesce(g.prev, g.cur)
+        |  LEFT JOIN bc b ON b.prev = g.prev AND b.cur = g.cur),
+        |per AS (SELECT doc_id, round(exp(-sum(lp) / any_value(n)), 4) AS ppl
+        |        FROM lp GROUP BY doc_id),
+        |kept AS (
+        |  SELECT doc.doc_id FROM documents doc LEFT JOIN per USING (doc_id)
+        |  WHERE per.ppl IS NULL OR per.ppl <= 31.0)
+        |SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept""".stripMargin,
     // Split invariant: 3 non-empty splits covering every doc exactly once
     // (the assignment hash itself has no SQL analogue; SplitsSpec locks
     // determinism/stability).

@@ -607,6 +607,76 @@ object Streams {
         .agg(count(lit(1)).as("n_matched")))
   }
 
+  /**
+   * Streaming CCNet gate: score each micro-batch of documents against a
+   * FROZEN bigram model and keep docs at/below `maxPpl`, handing
+   * survivors to `sink`. Stream-static by construction — the model is a
+   * static frame trained offline (on the clean reference slice), scoring
+   * is per-document with no cross-document interaction, so there is ZERO
+   * streaming state to bound and batch/stream results are identical
+   * row-for-row. foreachBatch reuses the BATCH operator verbatim — the
+   * same reuse discipline as [[streamToSnapshots]].
+   */
+  def perplexityGateStream(docs: DataFrame, model: DataFrame,
+                           idCol: String, textCol: String, maxPpl: Double)(
+      sink: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.LangModel
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val kept = LangModel.scorePerplexity(b, model, idCol, textCol)
+          .where(col("ppl").isNull || col("ppl") <= maxPpl)
+          .select(col(idCol))
+        sink(b.join(kept, Seq(idCol), "left_semi"))
+    }
+  }
+
+  /** Parity drive for [[perplexityGateStream]]: trains the model on the
+    * full static corpus, streams the same corpus through the gate in two
+    * micro-batches, and returns the surviving ids — which must equal the
+    * batch [[graft.operators.LangModel.perplexityFilter]] cut exactly
+    * (per-doc scoring under a frozen model has no batch-boundary
+    * sensitivity; this drive proves it through a REAL streaming query). */
+  def perplexityGateStreamParity(spark: SparkSession, docs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxPpl: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val model = graft.operators.LangModel.trainBigramLM(docs, textCol)
+      .localCheckpoint(true)
+    val rows = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val base = 1700000000000L
+    val events = rows.zipWithIndex.map { case ((id, text), i) =>
+      DocEvent(id, new Timestamp(base + i * 1000L), text)
+    }
+    val (first, second) = events.splitAt(events.length / 2)
+
+    val keptIds = new scala.collection.mutable.ArrayBuffer[Long]
+    val input = MemoryStream[DocEvent]
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = perplexityGateStream(
+        input.toDS().select(col("doc_id"), col("text")),
+        model, "doc_id", "text", maxPpl) { kept =>
+      keptIds.synchronized {
+        keptIds ++= kept.select(col("doc_id").cast("long")).as[Long].collect()
+      }
+    }.start()
+    try {
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+    keptIds.toSeq.toDF("doc_id")
+  }
+
   /** Streaming snapshot ingestion: micro-batch the stream into successive
     * snapshots of ONE repo via foreachBatch — each batch commits as the
     * repo's next snapshot generation (mirroring the reference's batch job

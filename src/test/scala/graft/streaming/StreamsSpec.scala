@@ -376,4 +376,19 @@ class StreamsSpec extends SparkSpec {
       assert(ids.toSeq === Seq(1L, 2L, 3L)) // the replay emitted nothing
     } finally q.stop()
   }
+
+  test("perplexity gate: stream equals batch under a frozen model") {
+    import org.apache.spark.sql.functions.col
+    val docs = (Seq.tabulate(40)(i => (i.toLong, "the cat sat on the mat")) :+
+      ((99L, "zq xv qqq zz pf")) :+ ((100L, "")))
+      .toDF("doc_id", "text")
+    val streamed = Streams.perplexityGateStreamParity(
+      spark, docs, "doc_id", "text", maxPpl = 8.0)
+      .as[Long].collect().toSet
+    val batch = graft.operators.LangModel.perplexityFilter(
+      docs, docs, "doc_id", "text", maxPpl = 8.0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(streamed === batch, "micro-batched gate must match the batch cut")
+    assert(!streamed.contains(99L) && streamed.contains(100L))
+  }
 }
