@@ -1459,6 +1459,41 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /**
+   * Shared DuckDB CTE prefix for the three bigram-LM oracles — ONE
+   * source of truth for the tokenizer/gram/model SQL, mirroring how the
+   * Spark side shares [[graft.operators.LangModel]] (a missed hand-edit
+   * in one copy would silently desynchronize that oracle). Emits
+   * `d`/`dn` (tokens + the `is_tgt` marker), one `uc<sfx>`/`k<sfx>`/
+   * `bc<sfx>` model triple per (suffix, rowFilter), and the scoring
+   * `grams` frame; each query appends its own lp/aggregation tail.
+   */
+  private def lmOracleCtes(models: Seq[(String, String)]): String = {
+    val modelCtes = models.map { case (sfx, filter) =>
+      s"""uc$sfx AS (SELECT w, count(*) AS cnt
+         |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0$filter)
+         |       GROUP BY w),
+         |k$sfx AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+         |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc$sfx),
+         |bc$sfx AS (SELECT prev, cur, count(*) AS cnt FROM (
+         |           SELECT unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
+         |           FROM dn WHERE n >= 2$filter) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, position('dup' IN text) > 0 AS is_tgt,
+       |         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                     x -> x <> '') AS t
+       |  FROM documents),
+       |dn AS (SELECT doc_id, is_tgt, t, len(t) AS n FROM d),
+       |$modelCtes,
+       |grams AS (
+       |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
+       |  FROM dn WHERE n >= 1
+       |  UNION ALL
+       |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
+       |  FROM dn WHERE n >= 2)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ef_ingest_ids" ->
       """SELECT CAST(event_id AS VARCHAR) AS doc_id,
@@ -1714,25 +1749,8 @@ object SparkEntry {
     // text_tokens, lockstep-unnest slices for bigrams, coalesce(prev,cur)
     // unigram join exactly as the Spark side; 4dp rounding absorbs
     // cross-engine ln/summation ulps (the text_entropy precedent).
-    "text_perplexity" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                     x -> x <> '') AS t
-        |  FROM documents),
-        |dn AS (SELECT doc_id, t, len(t) AS n FROM d),
-        |uc AS (SELECT w, count(*) AS cnt
-        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
-        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
-        |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc),
-        |grams AS (
-        |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
-        |  FROM dn WHERE n >= 1
-        |  UNION ALL
-        |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
-        |  FROM dn WHERE n >= 2),
-        |bc AS (SELECT prev, cur, count(*) AS cnt FROM grams
-        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+    "text_perplexity" -> (lmOracleCtes(Seq(("", ""))) +
+      """,
         |lp AS (
         |  SELECT g.doc_id, g.n,
         |         CASE WHEN g.prev IS NULL
@@ -1748,39 +1766,14 @@ object SparkEntry {
         |               any_value(n) AS n FROM lp GROUP BY doc_id)
         |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
         |       per.ce
-        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin,
+        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin),
     // Two full bigram-LM replications (target slice vs whole corpus),
     // document-level llr = n · (ce_raw - ce_target) on the 4dp-rounded
     // cross-entropies, and the same md5-hex Gumbel keys — engine-exact
     // except the sub-1e-12 key-boundary class every float oracle shares.
-    "data_select_dsir" ->
-      """WITH d AS (
-        |  SELECT doc_id, position('dup' IN text) > 0 AS is_tgt,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                     x -> x <> '') AS t
-        |  FROM documents),
-        |dn AS (SELECT doc_id, is_tgt, t, len(t) AS n FROM d),
-        |uc_r AS (SELECT w, count(*) AS cnt
-        |         FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
-        |k_r AS (SELECT CAST(count(*) AS DOUBLE) AS v,
-        |               CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc_r),
-        |bc_r AS (SELECT prev, cur, count(*) AS cnt FROM (
-        |           SELECT unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
-        |           FROM dn WHERE n >= 2) GROUP BY 1, 2),
-        |uc_t AS (SELECT w, count(*) AS cnt
-        |         FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0 AND is_tgt)
-        |         GROUP BY w),
-        |k_t AS (SELECT CAST(count(*) AS DOUBLE) AS v,
-        |               CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc_t),
-        |bc_t AS (SELECT prev, cur, count(*) AS cnt FROM (
-        |           SELECT unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
-        |           FROM dn WHERE n >= 2 AND is_tgt) GROUP BY 1, 2),
-        |grams AS (
-        |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
-        |  FROM dn WHERE n >= 1
-        |  UNION ALL
-        |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
-        |  FROM dn WHERE n >= 2),
+    "data_select_dsir" -> (lmOracleCtes(
+      Seq(("_r", ""), ("_t", " AND is_tgt"))) +
+      """,
         |lp AS (
         |  SELECT g.doc_id, g.n,
         |         CASE WHEN g.prev IS NULL
@@ -1808,29 +1801,12 @@ object SparkEntry {
         |           / 4294967297.0)) AS gk
         |  FROM per ORDER BY gk DESC, doc_id LIMIT 50)
         |SELECT d2.doc_id, d2.lang FROM documents d2 JOIN sel USING (doc_id)"""
-        .stripMargin,
+        .stripMargin),
     // The batch CCNet cut the streaming gate must equal: same LM as
     // text_perplexity, keep round(exp(ce_raw), 4) <= 31 or empty docs.
     // ppl rounds exp of the UNROUNDED ce, exactly as the operator does.
-    "q_stream_perplexity" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                     x -> x <> '') AS t
-        |  FROM documents),
-        |dn AS (SELECT doc_id, t, len(t) AS n FROM d),
-        |uc AS (SELECT w, count(*) AS cnt
-        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
-        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
-        |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM uc),
-        |grams AS (
-        |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
-        |  FROM dn WHERE n >= 1
-        |  UNION ALL
-        |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
-        |  FROM dn WHERE n >= 2),
-        |bc AS (SELECT prev, cur, count(*) AS cnt FROM grams
-        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+    "q_stream_perplexity" -> (lmOracleCtes(Seq(("", ""))) +
+      """,
         |lp AS (
         |  SELECT g.doc_id, g.n,
         |         CASE WHEN g.prev IS NULL
@@ -1848,7 +1824,7 @@ object SparkEntry {
         |  SELECT doc.doc_id FROM documents doc LEFT JOIN per USING (doc_id)
         |  WHERE per.ppl IS NULL OR per.ppl <= 31.0)
         |SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM kept""".stripMargin,
+        |FROM kept""".stripMargin),
     // Split invariant: 3 non-empty splits covering every doc exactly once
     // (the assignment hash itself has no SQL analogue; SplitsSpec locks
     // determinism/stability).

@@ -64,17 +64,19 @@ object LangModel {
       i => struct(element_at(t, i).as("prev"), element_at(t, i + 1).as("cur")))
 
   /**
-   * Score `docs` under a trained model: per-document add-one-smoothed
-   * cross-entropy in nats (`ce`, 4dp) and perplexity (`ppl = exp(ce)`,
-   * 4dp), plus `n_tokens`. Empty documents score NULL with `n_tokens` 0.
-   * Tokens/bigrams unseen in training back off to the smoothing floor, so
-   * scoring a corpus disjoint from the training slice is well-defined.
+   * A model readied for repeated scoring: checkpointed order splits and
+   * the Laplace constants, computed ONCE. [[scorePerplexity]] prepares
+   * internally for one-shot use; callers that score many frames against
+   * one frozen model (the streaming gate, DSIR's two scoring passes over
+   * batches) prepare up front and reuse.
    */
-  def scorePerplexity(docs: DataFrame, model: DataFrame,
-                      idCol: String, textCol: String): DataFrame = {
-    // Reused by the constants collect AND both scoring joins below — a
-    // lazy checkpoint stops the model plan (and everything upstream of
-    // the training corpus) re-running once per consumer.
+  final case class PreparedModel private[LangModel] (
+      uni: DataFrame, big: DataFrame, vocab: Double, nTotal: Double)
+
+  def prepare(model: DataFrame): PreparedModel = {
+    // Reused by the constants collect AND both scoring joins — a lazy
+    // checkpoint stops the model plan (and everything upstream of the
+    // training corpus) re-running once per consumer.
     val m = model.localCheckpoint(false)
     val uniModel = m.where(col("prev").isNull)
       .select(col("cur").as("u_tok"), col("cnt").as("u_cnt"))
@@ -92,6 +94,25 @@ object LangModel {
     require(vocab > 0,
       "scorePerplexity: the model has no unigram rows — the training " +
         "corpus was empty or all-whitespace; train on a non-empty slice")
+    PreparedModel(uniModel, bigModel, vocab, nTotal)
+  }
+
+  /**
+   * Score `docs` under a trained model: per-document add-one-smoothed
+   * cross-entropy in nats (`ce`, 4dp) and perplexity (`ppl = exp(ce)`,
+   * 4dp), plus `n_tokens`. Empty documents score NULL with `n_tokens` 0.
+   * Tokens/bigrams unseen in training back off to the smoothing floor, so
+   * scoring a corpus disjoint from the training slice is well-defined.
+   */
+  def scorePerplexity(docs: DataFrame, model: DataFrame,
+                      idCol: String, textCol: String): DataFrame =
+    scorePerplexity(docs, prepare(model), idCol, textCol)
+
+  /** [[scorePerplexity]] against a [[PreparedModel]] — no per-call model
+    * recompute or constants job; the per-micro-batch path. */
+  def scorePerplexity(docs: DataFrame, pm: PreparedModel,
+                      idCol: String, textCol: String): DataFrame = {
+    val PreparedModel(uniModel, bigModel, vocab, nTotal) = pm
 
     val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
       .withColumn("n", size(col("t")))

@@ -119,8 +119,13 @@ object CorpusPipeline {
       // reads `cur` several times (train + score + keep-join); a lazy
       // checkpoint stops the upstream stage chain replaying per read.
       cur = cur.localCheckpoint(false)
-      cur = graft.operators.LangModel.perplexityFilter(
-        cur, cur, cfg.idCol, cfg.textCol, ceiling)
+      // A slice whose every surviving text emptied out has nothing to
+      // train on — and nothing to gate (empty docs are kept by the
+      // gate's own semantics). Skip rather than fail the whole pipeline
+      // on scorePerplexity's empty-model guard.
+      if (!cur.where(length(trim(col(cfg.textCol))) > 0).isEmpty)
+        cur = graft.operators.LangModel.perplexityFilter(
+          cur, cur, cfg.idCol, cfg.textCol, ceiling)
     }
     cfg.nearDupThreshold.foreach { t =>
       cur = Dedup.dedupe(cur, cfg.idCol, cfg.textCol, jaccardThreshold = t)

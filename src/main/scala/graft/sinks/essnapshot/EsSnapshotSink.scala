@@ -146,16 +146,21 @@ class EsSnapshotWriteBuilder(info: LogicalWriteInfo)
       s"es-snapshot sink expects the IndexableDoc envelope " +
         s"${EsSnapshotSink.Schema.simpleString}, got ${given.simpleString}")
     // Mappings/template options land PARSED in the metadata blobs at
-    // commit time — reject malformed JSON here, before any executor
-    // writes a byte, not mid-commit with a raw Jackson error.
+    // commit time — reject malformed input here, before any executor
+    // writes a byte, not mid-commit with a raw Jackson error. They must
+    // be JSON OBJECTS: a bare array/string/number would be silently
+    // dropped (template) or produce a bogus tree (mappings) downstream.
     for (opt <- Seq(EsSnapshotSink.MappingsOption,
         EsSnapshotSink.TemplateOption);
         json <- Option(info.options.get(opt)) if json.trim.nonEmpty) {
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"option $opt is not valid JSON: ${e.getMessage}")
-      }
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"option $opt is not valid JSON: ${e.getMessage}")
+        }
+      if (!node.isObject) throw new IllegalArgumentException(
+        s"option $opt must be a JSON object, got ${node.getNodeType}")
     }
     new EsSnapshotWrite(info, truncateRepo)
   }

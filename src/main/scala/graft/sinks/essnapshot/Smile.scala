@@ -22,8 +22,10 @@ import java.nio.charset.StandardCharsets.UTF_8
  *    back-references with the spec's 1024-entry clear-on-full table —
  *    Jackson, and hence a real ES 5.x node, writes SMILE with shared
  *    names enabled by default, so metadata copied OUT of a live repo
- *    parses. Shared string values (0x02, Jackson-default off) and raw
- *    binary (0x04) remain rejected.
+ *    parses. The raw-binary header flag (0x04) is likewise accepted —
+ *    ES's SmileXContent declares it on every blob — with rejection
+ *    deferred to an actual 0xFD token; shared string values (0x02,
+ *    Jackson-default off) remain header-rejected.
  *  - integers always fit the int/long zigzag-VInt forms (no BigInteger),
  *    doubles use the 10-byte 7-bit-packed form, strings/keys cover every
  *    length class incl. the 0xFC-terminated long forms.
@@ -161,8 +163,12 @@ object Smile {
     require(bytes.length >= 4 && bytes(0) == 0x3A && bytes(1) == 0x29 &&
       bytes(2) == 0x0A, "not a SMILE document (missing :)\\n header)")
     // flags low nibble: 0x01 shared names (supported, read-side) /
-    // 0x02 shared values / 0x04 raw binary (both unsupported)
-    require((bytes(3) & 0x06) == 0,
+    // 0x02 shared values (unsupported) / 0x04 raw binary — the raw bit
+    // only DECLARES that token 0xFD may appear, and ES's SmileXContent
+    // sets it on every blob (ENCODE_BINARY_AS_7BIT disabled), so a
+    // header-level reject would refuse all real-repo metadata; accept
+    // the flag and reject at an actual 0xFD token instead.
+    require((bytes(3) & 0x02) == 0,
       f"unsupported SMILE features in header flags 0x${bytes(3)}%02x")
     val in = new Cursor(bytes, 4, sharedNames = (bytes(3) & 0x01) != 0)
     val v = readVal(in)

@@ -165,7 +165,13 @@ object SnapshotLayout {
     if (n == null || n.isNull) SNull
     else if (n.isTextual) SStr(n.asText())
     else if (n.isBoolean) SBool(n.asBoolean())
-    else if (n.isIntegralNumber) SLong(n.asLong())
+    else if (n.isIntegralNumber) {
+      // asLong() on a BigInteger node wraps mod 2^64 — corrupt metadata
+      // with no error; refuse instead (SMILE's subset here has no BigInt)
+      if (!n.canConvertToLong) throw new IllegalArgumentException(
+        s"integral JSON number out of long range: $n")
+      SLong(n.asLong())
+    }
     else if (n.isNumber) SDouble(n.asDouble())
     else if (n.isArray) SArr((0 until n.size()).map(i => jsonToSVal(n.get(i))))
     else {

@@ -622,10 +622,13 @@ object Streams {
       sink: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.LangModel
+    // model setup (checkpoint + Laplace-constants job) happens ONCE when
+    // the stream is wired, not per micro-batch — the model is frozen
+    val pm = LangModel.prepare(model)
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
-        val kept = LangModel.scorePerplexity(b, model, idCol, textCol)
+        val kept = LangModel.scorePerplexity(b, pm, idCol, textCol)
           .where(col("ppl").isNull || col("ppl") <= maxPpl)
           .select(col(idCol))
         sink(b.join(kept, Seq(idCol), "left_semi"))

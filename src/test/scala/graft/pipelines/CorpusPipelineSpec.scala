@@ -154,6 +154,14 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!facade.select("doc_id").as[Long].collect().contains(99L))
   }
 
+  test("perplexity stage skips (keeps all) when every surviving text is empty") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      maxPerplexity = Some(8.0)))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
   test("url dedup + near-dup + split compose in the canonical order") {
     // every doc pair (2k, 2k+1) shares a canonical URL → odd ids drop in
     // stage 1 BEFORE sketching; a planted near-dup of doc 0 survives URL

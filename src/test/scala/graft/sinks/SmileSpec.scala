@@ -196,11 +196,17 @@ class SmileSpec extends AnyFunSuite {
     assert(Smile.str(tmpl, "template").contains("idx*"))
   }
 
-  test("reader rejects shared-VALUE/raw-binary headers and unknown tokens") {
+  test("reader rejects shared-VALUE headers and unknown tokens; raw flag tolerated") {
     intercept[IllegalArgumentException](
       Smile.read(bytes(0x3A, 0x29, 0x0A, 0x02, 0x21))) // shared values
+    // the raw-binary bit only DECLARES 0xFD may appear — ES sets it on
+    // every blob (flags 0x05), so the header must pass and rejection
+    // happens at an actual raw token
+    assert(Smile.read(bytes(0x3A, 0x29, 0x0A, 0x04, 0x21)) === SNull)
+    assert(Smile.read(bytes(0x3A, 0x29, 0x0A, 0x05, 0xFA, 0x80, 'a', 0xC2,
+      0xFB)) === SObj.of("a" -> SLong(1))) // the real-repo header shape
     intercept[IllegalArgumentException](
-      Smile.read(bytes(0x3A, 0x29, 0x0A, 0x04, 0x21))) // raw binary
+      Smile.read(bytes(0x3A, 0x29, 0x0A, 0x05, 0xFD))) // actual raw token
     intercept[IllegalArgumentException](Smile.read(bytes(0x7B, 0x7D))) // "{}"
     // unsupported value token (BigDecimal 0x2A)
     intercept[IllegalArgumentException](
