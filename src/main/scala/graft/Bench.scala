@@ -54,7 +54,15 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Full-plan evaluation, NOT `.count()`: count() lets Catalyst
+      // eliminate unique-keyed left joins and final projections, so a
+      // query ending in a scoring join times near-zero (caught on
+      // text_perplexity: 0.2 s counted vs 17 s evaluated at 320k docs).
+      // toRdd iterates the plan compiled for ALL output columns —
+      // everything the query claims to produce is actually computed —
+      // without collect()'s driver-side materialization.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       dropCaches()
       samples(name) = math.min(samples.getOrElse(name, Double.MaxValue), dt)

@@ -509,10 +509,13 @@ object StressBench {
         docs.cache().count()
         run("lm_train", n)(LangModel.trainBigramLM(docs, "text").count())
         // prepare OUTSIDE the timed block: lm_score measures the scoring
-        // joins alone, not a re-training pass
+        // joins alone, not a re-training pass. The action must CONSUME
+        // ce — under a bare count() Catalyst eliminates the unique-keyed
+        // left joins and the "scoring" times near-zero.
         val pm = LangModel.prepare(LangModel.trainBigramLM(docs, "text"))
         run("lm_score", n)(
-          LangModel.scorePerplexity(docs, pm, "doc_id", "text").count())
+          LangModel.scorePerplexity(docs, pm, "doc_id", "text")
+            .agg(count(col("ce"))).first().getLong(0))
         run("dsir_select", n) {
           val target = docs.filter(col("doc_id") % 20 === 0)
           DataSelection.selectByImportance(docs, target, "doc_id", "text",
