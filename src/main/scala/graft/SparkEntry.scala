@@ -1071,6 +1071,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Web-scale LM scoring (Brants et al. 2007): trigram counts + stupid
+    // backoff — seen trigram → c3/c2(prefix); else α·(bigram ratio);
+    // else α²·Laplace unigram floor; leading positions start at their
+    // highest available order. Fully replicated in SQL (lockstep-unnest
+    // gram tables, five key-only joins, the same α-on-backoff CASE).
+    "text_backoff" -> ((s, dir) => {
+      import graft.operators.LangModel
+      val docs = t(s, dir, "documents")
+      val model = LangModel.trainNgramLM(docs, "text", maxOrder = 3)
+      LangModel.scoreStupidBackoff(docs, model, "doc_id", "text")
+    }),
+
     // Streaming CCNet gate: the corpus streamed through a frozen-LM
     // perplexity filter in two REAL micro-batches (foreachBatch reusing
     // the batch operator; stream-static, zero state). Per-doc scoring
@@ -1802,6 +1814,68 @@ object SparkEntry {
         |  FROM per ORDER BY gk DESC, doc_id LIMIT 50)
         |SELECT d2.doc_id, d2.lang FROM documents d2 JOIN sel USING (doc_id)"""
         .stripMargin),
+    // Full trigram + stupid-backoff replication: lockstep-unnest gram
+    // count tables, per-position gram/prefix structs via index lambdas,
+    // α only on actual backoff steps, Laplace unigram floor — the same
+    // arithmetic as scoreStupidBackoff; 4dp absorbs ln/product ulps.
+    "text_backoff" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |dn AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |g1 AS (SELECT w, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM g1),
+        |g2c AS (SELECT g, count(*) AS cnt FROM (
+        |         SELECT unnest(t[1:n-1]) || ' ' || unnest(t[2:n]) AS g
+        |         FROM dn WHERE n >= 2) GROUP BY g),
+        |g3c AS (SELECT g, count(*) AS cnt FROM (
+        |         SELECT unnest(t[1:n-2]) || ' ' || unnest(t[2:n-1])
+        |                || ' ' || unnest(t[3:n]) AS g
+        |         FROM dn WHERE n >= 3) GROUP BY g),
+        |pos AS (
+        |  SELECT doc_id, n,
+        |         unnest(t) AS w1,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 2 THEN t[i-1] || ' ' || x END)) AS g2,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || x
+        |           END)) AS g3,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 2 THEN t[i-1] END)) AS p2,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END)) AS p3
+        |  FROM dn WHERE n >= 1),
+        |lp AS (
+        |  SELECT p.doc_id, p.n,
+        |         CASE WHEN c3.cnt IS NOT NULL
+        |              THEN CAST(c3.cnt AS DOUBLE) / cp3.cnt
+        |              WHEN c2.cnt IS NOT NULL THEN
+        |                (CASE WHEN p.g3 IS NOT NULL THEN 0.4::DOUBLE
+        |                      ELSE 1.0::DOUBLE END)
+        |                * CAST(c2.cnt AS DOUBLE) / cp2.cnt
+        |              ELSE (CASE WHEN p.g3 IS NOT NULL
+        |                         THEN 0.4::DOUBLE * 0.4::DOUBLE
+        |                         WHEN p.g2 IS NOT NULL THEN 0.4::DOUBLE
+        |                         ELSE 1.0::DOUBLE END)
+        |                   * (coalesce(c1.cnt, 0) + 1) / (k.ntot + k.v)
+        |         END AS s
+        |  FROM pos p
+        |  CROSS JOIN k
+        |  LEFT JOIN g3c c3 ON c3.g = p.g3
+        |  LEFT JOIN g2c c2 ON c2.g = p.g2
+        |  LEFT JOIN g2c cp3 ON cp3.g = p.p3
+        |  LEFT JOIN g1 c1 ON c1.w = p.w1
+        |  LEFT JOIN g1 cp2 ON cp2.w = p.p2),
+        |per AS (SELECT doc_id, any_value(n) AS n,
+        |               round(-sum(ln(s)) / any_value(n), 4) AS backoff_ce
+        |        FROM lp GROUP BY doc_id)
+        |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
+        |       per.backoff_ce
+        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin,
     // The batch CCNet cut the streaming gate must equal: same LM as
     // text_perplexity, keep round(exp(ce_raw), 4) <= 31 or empty docs.
     // ppl rounds exp of the UNROUNDED ce, exactly as the operator does.

@@ -148,6 +148,110 @@ object LangModel {
   }
 
   /**
+   * Train an order-1..maxOrder n-gram count model (Brants et al. 2007,
+   * "Large Language Models in Machine Translation" — the distributed
+   * "stupid backoff" LM built exactly this way at web scale): one row
+   * per distinct n-gram, `(gram, n, cnt)` with `gram` the space-joined
+   * tokens and `n` its order. Pure map-side gram construction (array
+   * slices over the token array) + one hash aggregation per order.
+   */
+  def trainNgramLM(docs: DataFrame, textCol: String,
+                   maxOrder: Int = 3): DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 5, s"maxOrder $maxOrder not in 1..5")
+    val base = docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0)
+    (1 to maxOrder).map { k =>
+      base.where(size(col("t")) >= k)
+        .select(explode(grams(col("t"), k)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .select(col("gram"), lit(k).as("n"), col("cnt"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Space-joined k-grams of a token array with size >= k — map-side. */
+  private def grams(t: Column, k: Int): Column =
+    transform(sequence(lit(1), size(t) - (k - 1)), i =>
+      concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*))
+
+  /**
+   * Per-document mean negative log stupid-backoff score under a
+   * [[trainNgramLM]] trigram model:
+   *
+   *   S(w_i) = c3(g3)/c2(p3)           if the trigram was seen
+   *          = α · c2(g2)/c1(p2)       else if the bigram was seen
+   *          = α² · (c1(w)+1)/(N+V)    else (Laplace unigram floor — the
+   *                                    one deviation from the paper,
+   *                                    which has no OOV mass at all)
+   *
+   * with leading positions starting at their highest available order.
+   * `backoff_ce = -(1/n)·Σ ln S` (4dp); empty docs score NULL. The
+   * scoring frame carries only (id, five short gram strings) per token —
+   * five key-only equi-joins against the model, same shuffle shape as
+   * the bigram scorer.
+   */
+  def scoreStupidBackoff(docs: DataFrame, model: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.4): DataFrame = {
+    val m = model.localCheckpoint(false)
+    def order(k: Int, gramCol: String, cntName: String) =
+      m.where(col("n") === k)
+        .select(col("gram").as(gramCol), col("cnt").as(cntName))
+    val Array(vocab, nTotal) = m.where(col("n") === 1)
+      .agg(count(lit(1)).cast("double"), sum("cnt").cast("double"))
+      .collect()(0).toSeq.map(v => Option(v).fold(0.0)(_.asInstanceOf[Double]))
+      .toArray
+    require(vocab > 0,
+      "scoreStupidBackoff: the model has no unigram rows — the training " +
+        "corpus was empty or all-whitespace; train on a non-empty slice")
+
+    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+    // one struct per token position: the ending k-grams and their
+    // backoff prefixes, built map-side from the array
+    val pos = base.where(col("n") >= 1)
+      .select(col("__id"), col("n"), explode(transform(
+        sequence(lit(1), size(col("t"))), i => struct(
+          element_at(col("t"), i).as("w1"),
+          when(i >= 2, concat_ws(" ",
+            element_at(col("t"), i - 1), element_at(col("t"), i))).as("g2"),
+          when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
+            element_at(col("t"), i - 1), element_at(col("t"), i))).as("g3"),
+          when(i >= 2, element_at(col("t"), i - 1)).as("p2"),
+          when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
+            element_at(col("t"), i - 1))).as("p3")))).as("g"))
+      .select(col("__id"), col("n"), col("g.w1"), col("g.g2"), col("g.g3"),
+        col("g.p2"), col("g.p3"))
+
+    val scored = pos
+      .join(order(3, "m_g3", "c3"), col("g3") === col("m_g3"), "left")
+      .join(order(2, "m_g2", "c2"), col("g2") === col("m_g2"), "left")
+      .join(order(2, "m_p3", "cp3"), col("p3") === col("m_p3"), "left")
+      .join(order(1, "m_w1", "c1"), col("w1") === col("m_w1"), "left")
+      .join(order(1, "m_p2", "cp2"), col("p2") === col("m_p2"), "left")
+      .withColumn("floor1",
+        (coalesce(col("c1"), lit(0L)) + 1).cast("double") /
+          lit(nTotal + vocab))
+      // α multiplies only on an ACTUAL backoff step: position i starts
+      // at its highest available order (g3 null ⇔ i<3, g2 null ⇔ i=1)
+      .withColumn("s",
+        when(col("c3").isNotNull, col("c3").cast("double") / col("cp3"))
+          .when(col("c2").isNotNull,
+            when(col("g3").isNotNull, lit(alpha)).otherwise(lit(1.0)) *
+              col("c2").cast("double") / col("cp2"))
+          .otherwise(
+            when(col("g3").isNotNull, lit(alpha * alpha))
+              .when(col("g2").isNotNull, lit(alpha)).otherwise(lit(1.0)) *
+              col("floor1")))
+      .groupBy("__id")
+      .agg(first_value(col("n")).as("n_tokens"),
+        (-sum(log(col("s"))) / first_value(col("n"))).as("ce_raw"))
+
+    docs.select(col(idCol)).join(scored, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).cast("int").as("n_tokens"),
+        round(col("ce_raw"), 4).as("backoff_ce"))
+  }
+
+  /**
    * The CCNet-style filter in one call: train on `trainDocs` (pass the
    * clean slice — or the corpus itself for self-perplexity), score
    * `docs`, and keep documents at or below the given perplexity. Empty

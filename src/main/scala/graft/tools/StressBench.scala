@@ -521,6 +521,14 @@ object StressBench {
           DataSelection.selectByImportance(docs, target, "doc_id", "text",
             k = 1000, seed = 7).count()
         }
+        // trigram stupid backoff: train (3 gram aggs) + score (5 key-only
+        // joins); the action consumes backoff_ce (count() would eliminate
+        // the scoring joins — see lm_score)
+        run("backoff3", n) {
+          val m3 = LangModel.trainNgramLM(docs, "text", maxOrder = 3)
+          LangModel.scoreStupidBackoff(docs, m3, "doc_id", "text")
+            .agg(count(col("backoff_ce"))).first().getLong(0)
+        }
         docs.unpersist()
       }
     }

@@ -61,6 +61,36 @@ class LangModelSpec extends SparkSpec {
     assert(ex.getMessage.contains("no unigram rows"))
   }
 
+  test("trainNgramLM counts all orders; stupid backoff matches hand-computed scores") {
+    // corpus "a b c" + "a b d": uni a:2 b:2 c:1 d:1 (V=4, N=6);
+    // bi "a b":2 "b c":1 "b d":1; tri "a b c":1 "a b d":1
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val model = LangModel.trainNgramLM(docs, "text", maxOrder = 3)
+    val byOrder = model.collect()
+      .groupBy(_.getInt(1)).map { case (k, rs) =>
+        k -> rs.map(r => r.getString(0) -> r.getLong(2)).toMap }
+    assert(byOrder(1) === Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    assert(byOrder(2) === Map("a b" -> 2L, "b c" -> 1L, "b d" -> 1L))
+    assert(byOrder(3) === Map("a b c" -> 1L, "a b d" -> 1L))
+
+    val score = Seq((10L, "a b c"), (11L, "b c d"), (12L, "z"), (13L, ""))
+      .toDF("doc_id", "text")
+    val got = LangModel.scoreStupidBackoff(score, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // "a b c": floor(a)=0.3 (start at order 1, no α); "a b" seen → 2/c1(a)=1.0
+    // (start at order 2, no α); "a b c" seen → 1/c2("a b")=0.5
+    assert(got(10L).getDouble(2) ===
+      r4(-(math.log(0.3) + math.log(1.0) + math.log(0.5)) / 3))
+    // "b c d": floor(b)=0.3; "b c" seen → 1/c1(b)=0.5; tri "b c d" AND
+    // bi "c d" unseen → α²·floor(d)=0.16·0.2
+    assert(got(11L).getDouble(2) ===
+      r4(-(math.log(0.3) + math.log(0.5) + math.log(0.16 * 0.2)) / 3))
+    // "z": OOV single token → Laplace floor 1/10, no α (order 1 is the start)
+    assert(got(12L).getDouble(2) === r4(-math.log(0.1)))
+    assert(got(13L).getInt(1) === 0 && got(13L).isNullAt(2))
+  }
+
   test("perplexityFilter keeps low-perplexity and empty docs, drops gibberish") {
     val train = Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat"))
       .toDF("doc_id", "text")
