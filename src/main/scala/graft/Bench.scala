@@ -61,16 +61,22 @@ object Bench {
       // toRdd iterates the plan compiled for ALL output columns —
       // everything the query claims to produce is actually computed —
       // without collect()'s driver-side materialization.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       dropCaches()
-      samples(name) = math.min(samples.getOrElse(name, Double.MaxValue), dt)
+      // a FAILED query must not min-merge its time-to-crash as a valid
+      // sample (a regression would SHRINK the total); -1 is sticky and
+      // visible in the per-query map
+      if (!ok) samples(name) = -1.0
+      else if (samples.getOrElse(name, Double.MaxValue) >= 0)
+        samples(name) = math.min(samples.getOrElse(name, Double.MaxValue), dt)
     }
     val results = names.map { case (name, _) => name -> samples(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum // -1 failure markers excluded
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver's tail capture is a FIXED ~2000-char window; the full

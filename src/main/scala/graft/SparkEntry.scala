@@ -1491,12 +1491,7 @@ object SparkEntry {
          |           SELECT unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
          |           FROM dn WHERE n >= 2$filter) GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (
-       |  SELECT doc_id, position('dup' IN text) > 0 AS is_tgt,
-       |         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-       |                     x -> x <> '') AS t
-       |  FROM documents),
-       |dn AS (SELECT doc_id, is_tgt, t, len(t) AS n FROM d),
+    s"""$lmDocTokensCtes,
        |$modelCtes,
        |grams AS (
        |  SELECT doc_id, n, CAST(NULL AS VARCHAR) AS prev, t[1] AS cur
@@ -1505,6 +1500,16 @@ object SparkEntry {
        |  SELECT doc_id, n, unnest(t[1:n-1]) AS prev, unnest(t[2:n]) AS cur
        |  FROM dn WHERE n >= 2)""".stripMargin
   }
+
+  /** The tokenizer prefix itself (`d`/`dn`), shared by [[lmOracleCtes]]
+    * AND the trigram-backoff oracle, which builds its own gram tables. */
+  private val lmDocTokensCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, position('dup' IN text) > 0 AS is_tgt,
+      |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents),
+      |dn AS (SELECT doc_id, is_tgt, t, len(t) AS n FROM d)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ef_ingest_ids" ->
@@ -1818,13 +1823,8 @@ object SparkEntry {
     // count tables, per-position gram/prefix structs via index lambdas,
     // α only on actual backoff steps, Laplace unigram floor — the same
     // arithmetic as scoreStupidBackoff; 4dp absorbs ln/product ulps.
-    "text_backoff" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                     x -> x <> '') AS t
-        |  FROM documents),
-        |dn AS (SELECT doc_id, t, len(t) AS n FROM d),
+    "text_backoff" -> (lmDocTokensCtes +
+      """,
         |g1 AS (SELECT w, count(*) AS cnt
         |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
         |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
@@ -1875,7 +1875,7 @@ object SparkEntry {
         |        FROM lp GROUP BY doc_id)
         |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
         |       per.backoff_ce
-        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin,
+        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin),
     // The batch CCNet cut the streaming gate must equal: same LM as
     // text_perplexity, keep round(exp(ce_raw), 4) <= 31 or empty docs.
     // ppl rounds exp of the UNROUNDED ce, exactly as the operator does.

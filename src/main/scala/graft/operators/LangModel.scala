@@ -158,13 +158,21 @@ object LangModel {
   def trainNgramLM(docs: DataFrame, textCol: String,
                    maxOrder: Int = 3): DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 5, s"maxOrder $maxOrder not in 1..5")
-    val base = docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0)
-    (1 to maxOrder).map { k =>
-      base.where(size(col("t")) >= k)
-        .select(explode(grams(col("t"), k)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .select(col("gram"), lit(k).as("n"), col("cnt"))
-    }.reduce(_ unionByName _)
+    // ONE corpus scan: every order's grams ride one exploded array of
+    // (gram, order) structs into a single (gram, n) aggregation — a
+    // per-order union would re-scan and re-tokenize the corpus k times
+    val allGrams = flatten(array((1 to maxOrder).map { k =>
+      val g = transform(grams(col("t"), k),
+        gr => struct(gr.as("gram"), lit(k).as("n")))
+      // guard: sequence(1, size-(k-1)) DESCENDS for short docs
+      when(size(col("t")) >= k, g)
+        .otherwise(array().cast(s"array<struct<gram:string,n:int>>"))
+    }: _*))
+    docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0)
+      .select(explode(allGrams).as("g"))
+      .groupBy(col("g.gram").as("gram"), col("g.n").as("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("gram"), col("n"), col("cnt"))
   }
 
   /** Space-joined k-grams of a token array with size >= k — map-side. */
