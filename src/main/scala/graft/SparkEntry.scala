@@ -1083,6 +1083,20 @@ object SparkEntry {
       LangModel.scoreStupidBackoff(docs, model, "doc_id", "text")
     }),
 
+    // The 100 TB shuffle diet for the same scorer: gram keys xxhash64'd
+    // to 8 bytes on BOTH model and position sides (vs five up-to-3-token
+    // strings per position — the measured sort-spill driver at the 1M+
+    // doc tier, SCALING.md). Scores are bit-identical to text_backoff
+    // short of a ~1e-19 hash collision, so the string-gram DuckDB
+    // replication stays the exact oracle.
+    "text_backoff_hashed" -> ((s, dir) => {
+      import graft.operators.LangModel
+      val docs = t(s, dir, "documents")
+      val model = LangModel.trainNgramLM(docs, "text", maxOrder = 3,
+        hashedKeys = true)
+      LangModel.scoreStupidBackoff(docs, model, "doc_id", "text")
+    }),
+
     // Streaming CCNet gate: the corpus streamed through a frozen-LM
     // perplexity filter in two REAL micro-batches (foreachBatch reusing
     // the batch operator; stream-static, zero state). Per-doc scoring
@@ -1511,6 +1525,65 @@ object SparkEntry {
       |  FROM documents),
       |dn AS (SELECT doc_id, is_tgt, t, len(t) AS n FROM d)""".stripMargin
 
+  /** Full trigram + stupid-backoff replication (lockstep-unnest gram
+    * count tables, per-position gram/prefix structs via index lambdas,
+    * α only on actual backoff steps, Laplace unigram floor) — shared by
+    * `text_backoff` (string keys) and `text_backoff_hashed` (xxhash64
+    * keys; same scores, collisions ~1e-19). */
+  private val backoffOracleSql: String = lmDocTokensCtes +
+    """,
+      |g1 AS (SELECT w, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM g1),
+        |g2c AS (SELECT g, count(*) AS cnt FROM (
+        |         SELECT unnest(t[1:n-1]) || ' ' || unnest(t[2:n]) AS g
+        |         FROM dn WHERE n >= 2) GROUP BY g),
+        |g3c AS (SELECT g, count(*) AS cnt FROM (
+        |         SELECT unnest(t[1:n-2]) || ' ' || unnest(t[2:n-1])
+        |                || ' ' || unnest(t[3:n]) AS g
+        |         FROM dn WHERE n >= 3) GROUP BY g),
+        |pos AS (
+        |  SELECT doc_id, n,
+        |         unnest(t) AS w1,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 2 THEN t[i-1] || ' ' || x END)) AS g2,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || x
+        |           END)) AS g3,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 2 THEN t[i-1] END)) AS p2,
+        |         unnest(list_transform(t, (x, i) ->
+        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END)) AS p3
+        |  FROM dn WHERE n >= 1),
+        |lp AS (
+        |  SELECT p.doc_id, p.n,
+        |         CASE WHEN c3.cnt IS NOT NULL
+        |              THEN CAST(c3.cnt AS DOUBLE) / cp3.cnt
+        |              WHEN c2.cnt IS NOT NULL THEN
+        |                (CASE WHEN p.g3 IS NOT NULL THEN 0.4::DOUBLE
+        |                      ELSE 1.0::DOUBLE END)
+        |                * CAST(c2.cnt AS DOUBLE) / cp2.cnt
+        |              ELSE (CASE WHEN p.g3 IS NOT NULL
+        |                         THEN 0.4::DOUBLE * 0.4::DOUBLE
+        |                         WHEN p.g2 IS NOT NULL THEN 0.4::DOUBLE
+        |                         ELSE 1.0::DOUBLE END)
+        |                   * (coalesce(c1.cnt, 0) + 1) / (k.ntot + k.v)
+        |         END AS s
+        |  FROM pos p
+        |  CROSS JOIN k
+        |  LEFT JOIN g3c c3 ON c3.g = p.g3
+        |  LEFT JOIN g2c c2 ON c2.g = p.g2
+        |  LEFT JOIN g2c cp3 ON cp3.g = p.p3
+        |  LEFT JOIN g1 c1 ON c1.w = p.w1
+        |  LEFT JOIN g1 cp2 ON cp2.w = p.p2),
+        |per AS (SELECT doc_id, any_value(n) AS n,
+        |               round(-sum(ln(s)) / any_value(n), 4) AS backoff_ce
+        |        FROM lp GROUP BY doc_id)
+        |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
+        |       per.backoff_ce
+        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ef_ingest_ids" ->
       """SELECT CAST(event_id AS VARCHAR) AS doc_id,
@@ -1823,59 +1896,13 @@ object SparkEntry {
     // count tables, per-position gram/prefix structs via index lambdas,
     // α only on actual backoff steps, Laplace unigram floor — the same
     // arithmetic as scoreStupidBackoff; 4dp absorbs ln/product ulps.
-    "text_backoff" -> (lmDocTokensCtes +
-      """,
-        |g1 AS (SELECT w, count(*) AS cnt
-        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
-        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
-        |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM g1),
-        |g2c AS (SELECT g, count(*) AS cnt FROM (
-        |         SELECT unnest(t[1:n-1]) || ' ' || unnest(t[2:n]) AS g
-        |         FROM dn WHERE n >= 2) GROUP BY g),
-        |g3c AS (SELECT g, count(*) AS cnt FROM (
-        |         SELECT unnest(t[1:n-2]) || ' ' || unnest(t[2:n-1])
-        |                || ' ' || unnest(t[3:n]) AS g
-        |         FROM dn WHERE n >= 3) GROUP BY g),
-        |pos AS (
-        |  SELECT doc_id, n,
-        |         unnest(t) AS w1,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 2 THEN t[i-1] || ' ' || x END)) AS g2,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || x
-        |           END)) AS g3,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 2 THEN t[i-1] END)) AS p2,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END)) AS p3
-        |  FROM dn WHERE n >= 1),
-        |lp AS (
-        |  SELECT p.doc_id, p.n,
-        |         CASE WHEN c3.cnt IS NOT NULL
-        |              THEN CAST(c3.cnt AS DOUBLE) / cp3.cnt
-        |              WHEN c2.cnt IS NOT NULL THEN
-        |                (CASE WHEN p.g3 IS NOT NULL THEN 0.4::DOUBLE
-        |                      ELSE 1.0::DOUBLE END)
-        |                * CAST(c2.cnt AS DOUBLE) / cp2.cnt
-        |              ELSE (CASE WHEN p.g3 IS NOT NULL
-        |                         THEN 0.4::DOUBLE * 0.4::DOUBLE
-        |                         WHEN p.g2 IS NOT NULL THEN 0.4::DOUBLE
-        |                         ELSE 1.0::DOUBLE END)
-        |                   * (coalesce(c1.cnt, 0) + 1) / (k.ntot + k.v)
-        |         END AS s
-        |  FROM pos p
-        |  CROSS JOIN k
-        |  LEFT JOIN g3c c3 ON c3.g = p.g3
-        |  LEFT JOIN g2c c2 ON c2.g = p.g2
-        |  LEFT JOIN g2c cp3 ON cp3.g = p.p3
-        |  LEFT JOIN g1 c1 ON c1.w = p.w1
-        |  LEFT JOIN g1 cp2 ON cp2.w = p.p2),
-        |per AS (SELECT doc_id, any_value(n) AS n,
-        |               round(-sum(ln(s)) / any_value(n), 4) AS backoff_ce
-        |        FROM lp GROUP BY doc_id)
-        |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
-        |       per.backoff_ce
-        |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin),
+    "text_backoff" -> backoffOracleSql,
+    // The hashed-key mode computes the SAME scores over xxhash64 gram
+    // keys (a collision is a ~1e-19 event, absent at any test SF), so
+    // the string-gram replication is its exact oracle too — the hashed
+    // shuffle path is gated by the full DuckDB compare, not a weaker
+    // rows-only check.
+    "text_backoff_hashed" -> backoffOracleSql,
     // The batch CCNet cut the streaming gate must equal: same LM as
     // text_perplexity, keep round(exp(ce_raw), 4) <= 31 or empty docs.
     // ppl rounds exp of the UNROUNDED ce, exactly as the operator does.

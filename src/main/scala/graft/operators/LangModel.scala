@@ -39,21 +39,40 @@ object LangModel {
   private def toks(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
 
+  /** Null-preserving 8-byte key of a (possibly null) gram string. Plain
+    * `xxhash64(null)` returns the seed, which would let a leading
+    * position's absent prefix "match" a real gram whose hash happens to
+    * equal it AND lose the nullability the backoff `when`-chain reads. */
+  private def hkey(c: Column): Column = when(c.isNotNull, xxhash64(c))
+
   /**
    * Train the bigram model. Returns one DataFrame carrying both orders:
    * unigram rows (`prev IS NULL`, `cur`, `cnt`) and bigram rows
    * (`prev`, `cur`, `cnt`). Laplace constants (V = unigram row count,
    * N = unigram count sum) derive from the unigram rows at scoring time.
+   *
+   * `hashedKeys = true` is the 100 TB shuffle diet: tokens are keyed by
+   * `xxhash64` (columns `prevh`/`curh`, 8 bytes each) from the training
+   * aggregation onward, so neither the model agg nor the scoring joins
+   * ever ship token strings. A hash collision conflates two tokens'
+   * counts — a ~1e-19-probability score perturbation, not a correctness
+   * event — and the scorer auto-detects the mode from the schema, so a
+   * string model can never silently join against hashed positions. The
+   * string mode stays the oracle-parity default.
    */
-  def trainBigramLM(docs: DataFrame, textCol: String): DataFrame = {
+  def trainBigramLM(docs: DataFrame, textCol: String,
+                    hashedKeys: Boolean = false): DataFrame = {
     val base = docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0)
-    val uni = base.select(explode(col("t")).as("cur"))
-      .groupBy("cur").agg(count(lit(1)).as("cnt"))
-      .select(lit(null).cast("string").as("prev"), col("cur"), col("cnt"))
+    def k(c: Column) = if (hashedKeys) hkey(c) else c
+    val (prevName, curName) = if (hashedKeys) ("prevh", "curh") else ("prev", "cur")
+    val keyType = if (hashedKeys) "long" else "string"
+    val uni = base.select(explode(col("t")).as("tok"))
+      .groupBy(k(col("tok")).as(curName)).agg(count(lit(1)).as("cnt"))
+      .select(lit(null).cast(keyType).as(prevName), col(curName), col("cnt"))
     val big = base.where(size(col("t")) >= 2)
       .select(explode(bigrams(col("t"))).as("b"))
-      .select(col("b.prev"), col("b.cur"))
-      .groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
+      .groupBy(k(col("b.prev")).as(prevName), k(col("b.cur")).as(curName))
+      .agg(count(lit(1)).as("cnt"))
     uni.unionByName(big)
   }
 
@@ -71,17 +90,22 @@ object LangModel {
    * batches) prepare up front and reuse.
    */
   final case class PreparedModel private[LangModel] (
-      uni: DataFrame, big: DataFrame, vocab: Double, nTotal: Double)
+      uni: DataFrame, big: DataFrame, vocab: Double, nTotal: Double,
+      hashed: Boolean)
 
   def prepare(model: DataFrame): PreparedModel = {
+    // Mode rides the schema (trainBigramLM hashedKeys → prevh/curh), so
+    // string-vs-hashed mismatches fail at analysis, never join silently.
+    val hashed = model.columns.contains("prevh")
+    val (prevName, curName) = if (hashed) ("prevh", "curh") else ("prev", "cur")
     // Reused by the constants collect AND both scoring joins — a lazy
     // checkpoint stops the model plan (and everything upstream of the
     // training corpus) re-running once per consumer.
     val m = model.localCheckpoint(false)
-    val uniModel = m.where(col("prev").isNull)
-      .select(col("cur").as("u_tok"), col("cnt").as("u_cnt"))
-    val bigModel = m.where(col("prev").isNotNull)
-      .select(col("prev").as("b_prev"), col("cur").as("b_cur"),
+    val uniModel = m.where(col(prevName).isNull)
+      .select(col(curName).as("u_tok"), col("cnt").as("u_cnt"))
+    val bigModel = m.where(col(prevName).isNotNull)
+      .select(col(prevName).as("b_prev"), col(curName).as("b_cur"),
         col("cnt").as("b_cnt"))
     // Laplace constants: one tiny aggregate over the unigram rows. An
     // EMPTY model must fail loudly here — V = N = 0 would otherwise turn
@@ -94,7 +118,7 @@ object LangModel {
     require(vocab > 0,
       "scorePerplexity: the model has no unigram rows — the training " +
         "corpus was empty or all-whitespace; train on a non-empty slice")
-    PreparedModel(uniModel, bigModel, vocab, nTotal)
+    PreparedModel(uniModel, bigModel, vocab, nTotal, hashed)
   }
 
   /**
@@ -112,18 +136,23 @@ object LangModel {
     * recompute or constants job; the per-micro-batch path. */
   def scorePerplexity(docs: DataFrame, pm: PreparedModel,
                       idCol: String, textCol: String): DataFrame = {
-    val PreparedModel(uniModel, bigModel, vocab, nTotal) = pm
+    val PreparedModel(uniModel, bigModel, vocab, nTotal, _) = pm
+    // Position keys match the model's mode: 8-byte hashes against a
+    // hashed model (the scoring shuffle ships longs, never tokens).
+    def k(c: Column) = if (pm.hashed) hkey(c) else c
+    val keyType = if (pm.hashed) "long" else "string"
 
     val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
       .withColumn("n", size(col("t")))
     // First token: P(w1) = (c(w1)+1)/(N+V); rows carry prev = NULL.
     val first = base.where(col("n") >= 1)
-      .select(col("__id"), col("n"), lit(null).cast("string").as("prev"),
-        element_at(col("t"), 1).as("cur"))
+      .select(col("__id"), col("n"), lit(null).cast(keyType).as("prev"),
+        k(element_at(col("t"), 1)).as("cur"))
     // Interior bigrams: P(w_i|w_{i-1}) = (c(prev,cur)+1)/(c(prev)+V).
     val inner = base.where(col("n") >= 2)
       .select(col("__id"), col("n"), explode(bigrams(col("t"))).as("b"))
-      .select(col("__id"), col("n"), col("b.prev"), col("b.cur"))
+      .select(col("__id"), col("n"),
+        k(col("b.prev")).as("prev"), k(col("b.cur")).as("cur"))
 
     val scored = first.unionByName(inner)
       .join(bigModel, col("prev") === col("b_prev") &&
@@ -155,8 +184,14 @@ object LangModel {
    * tokens and `n` its order. Pure map-side gram construction (array
    * slices over the token array) + one hash aggregation per order.
    */
+  /** `hashedKeys = true` keys the model by `xxhash64(gram)` (column
+    * `gramh`, 8 bytes) so the training aggregation AND the downstream
+    * scoring joins never shuffle gram strings — the measured fix for the
+    * string-key sort spill at the 1M+ doc tier (SCALING.md). Collisions
+    * conflate two grams' counts (~1e-19 per pair): a score perturbation,
+    * not a correctness event. String mode stays the oracle default. */
   def trainNgramLM(docs: DataFrame, textCol: String,
-                   maxOrder: Int = 3): DataFrame = {
+                   maxOrder: Int = 3, hashedKeys: Boolean = false): DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 5, s"maxOrder $maxOrder not in 1..5")
     // ONE corpus scan: every order's grams ride one exploded array of
     // (gram, order) structs into a single (gram, n) aggregation — a
@@ -168,11 +203,13 @@ object LangModel {
       when(size(col("t")) >= k, g)
         .otherwise(array().cast(s"array<struct<gram:string,n:int>>"))
     }: _*))
+    val keyName = if (hashedKeys) "gramh" else "gram"
+    def key(c: Column) = if (hashedKeys) xxhash64(c) else c
     docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0)
       .select(explode(allGrams).as("g"))
-      .groupBy(col("g.gram").as("gram"), col("g.n").as("n"))
+      .groupBy(key(col("g.gram")).as(keyName), col("g.n").as("n"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("gram"), col("n"), col("cnt"))
+      .select(col(keyName), col("n"), col("cnt"))
   }
 
   /** Space-joined k-grams of a token array with size >= k — map-side. */
@@ -199,10 +236,16 @@ object LangModel {
   def scoreStupidBackoff(docs: DataFrame, model: DataFrame,
                          idCol: String, textCol: String,
                          alpha: Double = 0.4): DataFrame = {
+    // Mode rides the model schema (trainNgramLM hashedKeys → `gramh`):
+    // against a hashed model every position ships five 8-byte longs
+    // instead of five up-to-3-token strings, and a mismatch fails at
+    // analysis instead of silently joining across representations.
+    val hashed = model.columns.contains("gramh")
+    val keyName = if (hashed) "gramh" else "gram"
     val m = model.localCheckpoint(false)
     def order(k: Int, gramCol: String, cntName: String) =
       m.where(col("n") === k)
-        .select(col("gram").as(gramCol), col("cnt").as(cntName))
+        .select(col(keyName).as(gramCol), col("cnt").as(cntName))
     val Array(vocab, nTotal) = m.where(col("n") === 1)
       .agg(count(lit(1)).cast("double"), sum("cnt").cast("double"))
       .collect()(0).toSeq.map(v => Option(v).fold(0.0)(_.asInstanceOf[Double]))
@@ -215,17 +258,21 @@ object LangModel {
       .withColumn("n", size(col("t")))
     // one struct per token position: the ending k-grams and their
     // backoff prefixes, built map-side from the array
+    // k(): positions carry the model's key representation from the
+    // explode onward (null-preserving — the α when-chain reads g2/g3
+    // nullability to know each position's starting order)
+    def k(c: Column) = if (hashed) hkey(c) else c
     val pos = base.where(col("n") >= 1)
       .select(col("__id"), col("n"), explode(transform(
         sequence(lit(1), size(col("t"))), i => struct(
-          element_at(col("t"), i).as("w1"),
-          when(i >= 2, concat_ws(" ",
-            element_at(col("t"), i - 1), element_at(col("t"), i))).as("g2"),
-          when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
-            element_at(col("t"), i - 1), element_at(col("t"), i))).as("g3"),
-          when(i >= 2, element_at(col("t"), i - 1)).as("p2"),
-          when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
-            element_at(col("t"), i - 1))).as("p3")))).as("g"))
+          k(element_at(col("t"), i)).as("w1"),
+          k(when(i >= 2, concat_ws(" ",
+            element_at(col("t"), i - 1), element_at(col("t"), i)))).as("g2"),
+          k(when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
+            element_at(col("t"), i - 1), element_at(col("t"), i)))).as("g3"),
+          k(when(i >= 2, element_at(col("t"), i - 1))).as("p2"),
+          k(when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
+            element_at(col("t"), i - 1)))).as("p3")))).as("g"))
       .select(col("__id"), col("n"), col("g.w1"), col("g.g2"), col("g.g3"),
         col("g.p2"), col("g.p3"))
 

@@ -529,6 +529,15 @@ object StressBench {
           LangModel.scoreStupidBackoff(docs, m3, "doc_id", "text")
             .agg(count(col("backoff_ce"))).first().getLong(0)
         }
+        // the hashed-key mode: same train+score, 8-byte gram keys on
+        // every shuffle — the string tier's top-end sort spill (4× data
+        // → 5.8× time) should flatten to ~linear here
+        run("backoff3h", n) {
+          val m3 = LangModel.trainNgramLM(docs, "text", maxOrder = 3,
+            hashedKeys = true)
+          LangModel.scoreStupidBackoff(docs, m3, "doc_id", "text")
+            .agg(count(col("backoff_ce"))).first().getLong(0)
+        }
         docs.unpersist()
       }
     }

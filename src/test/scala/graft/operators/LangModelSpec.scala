@@ -91,6 +91,40 @@ class LangModelSpec extends SparkSpec {
     assert(got(13L).getInt(1) === 0 && got(13L).isNullAt(2))
   }
 
+  test("hashed-key backoff scores equal the string-key scores exactly") {
+    // hashedKeys ships 8-byte xxhash64 keys through every shuffle; on a
+    // collision-free corpus (any test SF) the scores are bit-identical
+    val docs = Seq((1L, "a b c d e"), (2L, "a b d"), (3L, "z q"),
+      (4L, ""), (5L, "c")).toDF("doc_id", "text")
+    val ms = LangModel.trainNgramLM(docs, "text", maxOrder = 3)
+    val mh = LangModel.trainNgramLM(docs, "text", maxOrder = 3,
+      hashedKeys = true)
+    assert(mh.columns.toSeq === Seq("gramh", "n", "cnt"))
+    // same count multiset per order — the hash only renames keys
+    assert(mh.groupBy("n").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      === ms.groupBy("n").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    def rows(m: org.apache.spark.sql.DataFrame) =
+      LangModel.scoreStupidBackoff(docs, m, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    assert(rows(mh) === rows(ms))
+  }
+
+  test("hashed-key bigram perplexity equals the string-key scores exactly") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c"), (3L, "z z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val ms = LangModel.trainBigramLM(docs, "text")
+    val mh = LangModel.trainBigramLM(docs, "text", hashedKeys = true)
+    assert(mh.columns.toSeq === Seq("prevh", "curh", "cnt"))
+    def rows(m: org.apache.spark.sql.DataFrame) =
+      LangModel.scorePerplexity(docs, m, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(_._1).toSeq
+    assert(rows(mh) === rows(ms))
+  }
+
   test("perplexityFilter keeps low-perplexity and empty docs, drops gibberish") {
     val train = Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat"))
       .toDF("doc_id", "text")
