@@ -1097,6 +1097,34 @@ object SparkEntry {
       LangModel.scoreStupidBackoff(docs, model, "doc_id", "text")
     }),
 
+    // Interpolated Kneser-Ney trigram scoring (Chen & Goodman 1998) —
+    // the quality smoothing stupid backoff trades against. All
+    // continuation-count tables (N1+ prefix/suffix/middle types) are
+    // aggregations over the SAME trainNgramLM gram tables, so the whole
+    // scorer replicates in SQL (type tables via regexp/split_part on
+    // gram strings; same greatest/discount arithmetic; 4dp).
+    "text_kneser_ney" -> ((s, dir) => {
+      import graft.operators.LangModel
+      val docs = t(s, dir, "documents")
+      val model = LangModel.trainNgramLM(docs, "text", maxOrder = 3)
+      LangModel.scoreKneserNey(docs, model, "doc_id", "text")
+    }),
+
+    // Trained quality classifier (Joulin 2016 fastText family, NB
+    // member): label the corpus by the planted 'dup' slice, train
+    // bag-of-1..2-gram Laplace counts, score every doc's log-odds.
+    // Training is one feature-keyed agg, scoring one key-only join —
+    // fully replicated in SQL (same feats/counts/priors arithmetic;
+    // 4dp absorbs ln-sum ulps per the text_backoff precedent).
+    "text_classify" -> ((s, dir) => {
+      import graft.operators.Classifier
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("is_tgt", col("text").contains("dup"))
+      val model = Classifier.trainNaiveBayes(labeled, "is_tgt", "text",
+        ngramOrder = 2)
+      Classifier.scoreLogOdds(docs, model, "doc_id", "text")
+    }),
+
     // Streaming CCNet gate: the corpus streamed through a frozen-LM
     // perplexity filter in two REAL micro-batches (foreachBatch reusing
     // the batch operator; stream-static, zero state). Per-doc scoring
@@ -1530,32 +1558,38 @@ object SparkEntry {
     * α only on actual backoff steps, Laplace unigram floor) — shared by
     * `text_backoff` (string keys) and `text_backoff_hashed` (xxhash64
     * keys; same scores, collisions ~1e-19). */
-  private val backoffOracleSql: String = lmDocTokensCtes +
+  /** Shared trigram-oracle plumbing — gram count tables (g1/g2c/g3c)
+    * and the per-position gram/prefix frame — used by the stupid-
+    * backoff AND Kneser-Ney replications. */
+  private val triGramPosCtes: String =
+    """g1 AS (SELECT w, count(*) AS cnt
+      |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
+      |g2c AS (SELECT g, count(*) AS cnt FROM (
+      |         SELECT unnest(t[1:n-1]) || ' ' || unnest(t[2:n]) AS g
+      |         FROM dn WHERE n >= 2) GROUP BY g),
+      |g3c AS (SELECT g, count(*) AS cnt FROM (
+      |         SELECT unnest(t[1:n-2]) || ' ' || unnest(t[2:n-1])
+      |                || ' ' || unnest(t[3:n]) AS g
+      |         FROM dn WHERE n >= 3) GROUP BY g),
+      |pos AS (
+      |  SELECT doc_id, n,
+      |         unnest(t) AS w1,
+      |         unnest(list_transform(t, (x, i) ->
+      |           CASE WHEN i >= 2 THEN t[i-1] || ' ' || x END)) AS g2,
+      |         unnest(list_transform(t, (x, i) ->
+      |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || x
+      |           END)) AS g3,
+      |         unnest(list_transform(t, (x, i) ->
+      |           CASE WHEN i >= 2 THEN t[i-1] END)) AS p2,
+      |         unnest(list_transform(t, (x, i) ->
+      |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END)) AS p3
+      |  FROM dn WHERE n >= 1)""".stripMargin
+
+  private val backoffOracleSql: String = lmDocTokensCtes + ",\n" +
+    triGramPosCtes +
     """,
-      |g1 AS (SELECT w, count(*) AS cnt
-        |       FROM (SELECT unnest(t) AS w FROM dn WHERE n > 0) GROUP BY w),
         |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
         |             CAST(sum(cnt) AS DOUBLE) AS ntot FROM g1),
-        |g2c AS (SELECT g, count(*) AS cnt FROM (
-        |         SELECT unnest(t[1:n-1]) || ' ' || unnest(t[2:n]) AS g
-        |         FROM dn WHERE n >= 2) GROUP BY g),
-        |g3c AS (SELECT g, count(*) AS cnt FROM (
-        |         SELECT unnest(t[1:n-2]) || ' ' || unnest(t[2:n-1])
-        |                || ' ' || unnest(t[3:n]) AS g
-        |         FROM dn WHERE n >= 3) GROUP BY g),
-        |pos AS (
-        |  SELECT doc_id, n,
-        |         unnest(t) AS w1,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 2 THEN t[i-1] || ' ' || x END)) AS g2,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || x
-        |           END)) AS g3,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 2 THEN t[i-1] END)) AS p2,
-        |         unnest(list_transform(t, (x, i) ->
-        |           CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END)) AS p3
-        |  FROM dn WHERE n >= 1),
         |lp AS (
         |  SELECT p.doc_id, p.n,
         |         CASE WHEN c3.cnt IS NOT NULL
@@ -1583,6 +1617,62 @@ object SparkEntry {
         |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
         |       per.backoff_ce
         |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin
+
+  /** Interpolated Kneser-Ney replication: continuation-type tables
+    * (N1+ prefix/suffix/middle) from the gram TYPE tables via
+    * regexp/split_part, then the same two-level interpolation CASE as
+    * `LangModel.scoreKneserNey` (D = 0.75, add-one continuation floor). */
+  private val knOracleSql: String = lmDocTokensCtes + ",\n" +
+    triGramPosCtes +
+    """,
+      |kk AS (SELECT CAST((SELECT count(*) FROM g1) AS DOUBLE) AS v,
+      |              CAST((SELECT count(*) FROM g2c) AS DOUBLE) AS b),
+      |p12 AS (SELECT regexp_replace(g, ' [^ ]+$', '') AS p,
+      |               count(*) AS np FROM g3c GROUP BY 1),
+      |c23 AS (SELECT regexp_replace(g, '^[^ ]+ ', '') AS sfx,
+      |               count(*) AS c23 FROM g3c GROUP BY 1),
+      |nmt AS (SELECT split_part(g, ' ', 2) AS v2, count(*) AS nm
+      |        FROM g3c GROUP BY 1),
+      |vst AS (SELECT split_part(sfx, ' ', 1) AS v2, count(*) AS vs
+      |        FROM c23 GROUP BY 1),
+      |cwt AS (SELECT split_part(g, ' ', 2) AS w, count(*) AS cw
+      |        FROM g2c GROUP BY 1),
+      |joined AS (
+      |  SELECT p.doc_id, p.n, p.g2 AS g2k, p.g3 AS g3k,
+      |         c3.cnt AS c3v, cp3.cnt AS cp3v, p12.np AS npv,
+      |         c23.c23 AS c23v, nmt.nm AS nmv, vst.vs AS vsv,
+      |         (coalesce(cwt.cw, 0) + 1) / (kk.b + kk.v) AS pc
+      |  FROM pos p
+      |  CROSS JOIN kk
+      |  LEFT JOIN g3c c3 ON c3.g = p.g3
+      |  LEFT JOIN g2c cp3 ON cp3.g = p.p3
+      |  LEFT JOIN p12 ON p12.p = p.p3
+      |  LEFT JOIN c23 ON c23.sfx = p.g2
+      |  LEFT JOIN nmt ON nmt.v2 = p.p2
+      |  LEFT JOIN vst ON vst.v2 = p.p2
+      |  LEFT JOIN cwt ON cwt.w = p.w1),
+      |lvl2 AS (
+      |  SELECT *,
+      |         CASE WHEN coalesce(nmv, 0) > 0
+      |              THEN greatest(coalesce(c23v, 0) - 0.75, 0) / nmv
+      |                   + 0.75 * vsv / nmv * pc
+      |              ELSE pc END AS p2lvl
+      |  FROM joined),
+      |lp AS (
+      |  SELECT doc_id, n,
+      |         CASE WHEN g3k IS NULL THEN
+      |                CASE WHEN g2k IS NULL THEN pc ELSE p2lvl END
+      |              WHEN coalesce(cp3v, 0) > 0 AND coalesce(npv, 0) > 0
+      |              THEN greatest(coalesce(c3v, 0) - 0.75, 0) / cp3v
+      |                   + 0.75 * npv / cp3v * p2lvl
+      |              ELSE p2lvl END AS p
+      |  FROM lvl2),
+      |per AS (SELECT doc_id, any_value(n) AS n,
+      |               round(-sum(ln(p)) / any_value(n), 4) AS kn_ce
+      |        FROM lp GROUP BY doc_id)
+      |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
+      |       per.kn_ce
+      |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ef_ingest_ids" ->
@@ -1903,6 +1993,40 @@ object SparkEntry {
     // shuffle path is gated by the full DuckDB compare, not a weaker
     // rows-only check.
     "text_backoff_hashed" -> backoffOracleSql,
+    "text_kneser_ney" -> knOracleSql,
+    // Full NB-classifier replication: 1..2-gram features via
+    // unnest/lockstep-slices, per-class Laplace counts, prior from the
+    // dn doc counts — the same arithmetic as Classifier.scoreLogOdds.
+    "text_classify" -> (lmDocTokensCtes +
+      """,
+        |feats AS (
+        |  SELECT doc_id, is_tgt, unnest(t) AS f FROM dn WHERE n >= 1
+        |  UNION ALL
+        |  SELECT doc_id, is_tgt,
+        |         unnest(t[1:n-1]) || ' ' || unnest(t[2:n]) AS f
+        |  FROM dn WHERE n >= 2),
+        |fc AS (SELECT f, sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS cp,
+        |              sum(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END) AS cn
+        |       FROM feats GROUP BY f),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+        |             CAST(sum(cp) AS DOUBLE) AS npos,
+        |             CAST(sum(cn) AS DOUBLE) AS nneg FROM fc),
+        |pr AS (SELECT CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)
+        |                   AS DOUBLE) AS dpos,
+        |              CAST(sum(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END)
+        |                   AS DOUBLE) AS dneg
+        |       FROM dn),
+        |lr AS (SELECT fe.doc_id,
+        |              ln((coalesce(fc.cp, 0) + 1) / (k.npos + k.v))
+        |            - ln((coalesce(fc.cn, 0) + 1) / (k.nneg + k.v)) AS lr
+        |       FROM feats fe CROSS JOIN k LEFT JOIN fc ON fc.f = fe.f),
+        |per AS (SELECT doc_id, count(*) AS nf, sum(lr) AS slr
+        |        FROM lr GROUP BY doc_id)
+        |SELECT doc.doc_id, CAST(coalesce(per.nf, 0) AS INTEGER) AS n_feats,
+        |       round(ln(pr.dpos / pr.dneg) + coalesce(per.slr, 0.0), 4)
+        |         AS logodds
+        |FROM documents doc CROSS JOIN pr LEFT JOIN per USING (doc_id)"""
+        .stripMargin),
     // The batch CCNet cut the streaming gate must equal: same LM as
     // text_perplexity, keep round(exp(ce_raw), 4) <= 31 or empty docs.
     // ppl rounds exp of the UNROUNDED ce, exactly as the operator does.

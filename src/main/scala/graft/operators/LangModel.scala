@@ -307,6 +307,141 @@ object LangModel {
   }
 
   /**
+   * Per-document mean negative log probability under INTERPOLATED
+   * KNESER-NEY smoothing (Chen & Goodman 1998, "An Empirical Study of
+   * Smoothing Techniques for Language Modeling" — the quality smoothing
+   * stupid backoff trades against at web scale; Brants 2007 §1 frames
+   * exactly this trade). Works off the same [[trainNgramLM]] trigram
+   * model: all continuation-count tables are plain aggregations over
+   * the gram TYPE tables, so the whole scorer stays SQL-replicable.
+   *
+   *   P(w|uv) = max(c(uvw)−D,0)/c(uv) + D·N1+(uv•)/c(uv) · P(w|v)
+   *   P(w|v)  = max(N1+(•vw)−D,0)/N1+(•v•)
+   *           + D·|{w′: N1+(•vw′)>0}|/N1+(•v•) · Pc(w)
+   *   Pc(w)   = (N1+(•w)+1)/(B+V)   [add-one on the continuation
+   *             distribution — the one deviation from the paper, which
+   *             leaves OOV mass undefined; same role as the backoff
+   *             scorer's Laplace floor]
+   *
+   * with D the absolute discount, N1+ type counts from the trigram/
+   * bigram tables, B = bigram types, V = unigram types. Leading
+   * positions start at their highest available order; a context that
+   * was never CONTINUED (c(uv)>0 but no trigram starts uvw, or
+   * N1+(•v•)=0) backs off an order rather than scoring zero.
+   * `kn_ce = -(1/n)·Σ ln P` (4dp); empty docs score NULL.
+   *
+   * Scale shape: the derived tables are aggregations OVER THE MODEL
+   * (O(gram types), not corpus size); scoring is the same (id, short
+   * key) equi-join frame as the other scorers. `hashedKeys` hashes the
+   * join keys to 8 bytes on both sides AFTER the structural
+   * prefix/suffix extraction (KN needs gram structure, so the model
+   * itself must be string-keyed; the *joins* need not ship strings).
+   */
+  def scoreKneserNey(docs: DataFrame, model: DataFrame,
+                     idCol: String, textCol: String,
+                     discount: Double = 0.75,
+                     hashedKeys: Boolean = false): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount $discount not in (0,1)")
+    val m = model.localCheckpoint(false)
+    def jk(c: Column) = if (hashedKeys) hkey(c) else c
+    val g3types = m.where(col("n") === 3).select(col("gram"), col("cnt"))
+    val g2types = m.where(col("n") === 2).select(col("gram"), col("cnt"))
+    // N1+(uv•): distinct trigram types per 2-token prefix
+    val p12 = g3types.groupBy(substring_index(col("gram"), " ", 2).as("k"))
+      .agg(count(lit(1)).as("np")).select(jk(col("k")).as("k_np"), col("np"))
+    // N1+(•vw): distinct trigram types per 2-token suffix (the
+    // continuation count of bigram vw) — keep the string key long
+    // enough to derive the two tables below, hash only at the join
+    val c23str = g3types
+      .groupBy(substring_index(col("gram"), " ", -2).as("k"))
+      .agg(count(lit(1)).as("c23")).localCheckpoint(false)
+    val c23 = c23str.select(jk(col("k")).as("k_c23"), col("c23"))
+    // N1+(•v•): trigram types per middle token
+    val nmid = g3types
+      .groupBy(element_at(split(col("gram"), " "), 2).as("k"))
+      .agg(count(lit(1)).as("nm")).select(jk(col("k")).as("k_nm"), col("nm"))
+    // |{w′: N1+(•vw′)>0}|: distinct continued-bigram types per v —
+    // derived from the suffix table, not the corpus
+    val vstart = c23str
+      .groupBy(substring_index(col("k"), " ", 1).as("k"))
+      .agg(count(lit(1)).as("vs")).select(jk(col("k")).as("k_vs"), col("vs"))
+    // N1+(•w): distinct bigram types ending in w
+    val contw = g2types
+      .groupBy(substring_index(col("gram"), " ", -1).as("k"))
+      .agg(count(lit(1)).as("cw")).select(jk(col("k")).as("k_cw"), col("cw"))
+    val Array(vocab, btypes) = m
+      .agg(count(when(col("n") === 1, 1)).cast("double"),
+        count(when(col("n") === 2, 1)).cast("double"))
+      .collect()(0).toSeq.map(v => Option(v).fold(0.0)(_.asInstanceOf[Double]))
+      .toArray
+    require(vocab > 0,
+      "scoreKneserNey: the model has no unigram rows — the training " +
+        "corpus was empty or all-whitespace; train on a non-empty slice")
+
+    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+    // per-position frame: same shape as the stupid-backoff scorer
+    // (w1/g2/g3/p2/p3), with join keys in the model's representation
+    val pos = base.where(col("n") >= 1)
+      .select(col("__id"), col("n"), explode(transform(
+        sequence(lit(1), size(col("t"))), i => struct(
+          jk(element_at(col("t"), i)).as("w1"),
+          jk(when(i >= 2, concat_ws(" ",
+            element_at(col("t"), i - 1), element_at(col("t"), i)))).as("g2"),
+          jk(when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
+            element_at(col("t"), i - 1), element_at(col("t"), i)))).as("g3"),
+          jk(when(i >= 2, element_at(col("t"), i - 1))).as("p2"),
+          jk(when(i >= 3, concat_ws(" ", element_at(col("t"), i - 2),
+            element_at(col("t"), i - 1)))).as("p3")))).as("g"))
+      .select(col("__id"), col("n"), col("g.w1"), col("g.g2"), col("g.g3"),
+        col("g.p2"), col("g.p3"))
+
+    val d = lit(discount)
+    val scored = pos
+      .join(m.where(col("n") === 3).select(jk(col("gram")).as("m_g3"),
+        col("cnt").as("c3")), col("g3") === col("m_g3"), "left")
+      .join(m.where(col("n") === 2).select(jk(col("gram")).as("m_p3"),
+        col("cnt").as("cp3")), col("p3") === col("m_p3"), "left")
+      .join(p12, col("p3") === col("k_np"), "left")
+      .join(c23, col("g2") === col("k_c23"), "left")
+      .join(nmid, col("p2") === col("k_nm"), "left")
+      .join(vstart, col("p2") === col("k_vs"), "left")
+      .join(contw, col("w1") === col("k_cw"), "left")
+      // Pc(w): add-one continuation unigram — always > 0
+      .withColumn("pc",
+        (coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          lit(btypes + vocab))
+      // bigram level P(w|v): defined when v was seen as a trigram
+      // middle; else the continuation unigram
+      .withColumn("p2lvl",
+        when(coalesce(col("nm"), lit(0L)) > 0,
+          greatest(coalesce(col("c23"), lit(0L)).cast("double") - d,
+            lit(0.0)) / col("nm") +
+            d * col("vs") / col("nm") * col("pc"))
+          .otherwise(col("pc")))
+      // trigram level: defined when the context bigram was seen AND
+      // continued at least once; else back off to the bigram level
+      .withColumn("p",
+        when(col("g3").isNull,
+          when(col("g2").isNull, col("pc")).otherwise(col("p2lvl")))
+          .otherwise(
+            when(coalesce(col("cp3"), lit(0L)) > 0 &&
+              coalesce(col("np"), lit(0L)) > 0,
+              greatest(coalesce(col("c3"), lit(0L)).cast("double") - d,
+                lit(0.0)) / col("cp3") +
+                d * col("np") / col("cp3") * col("p2lvl"))
+              .otherwise(col("p2lvl"))))
+      .groupBy("__id")
+      .agg(first_value(col("n")).as("n_tokens"),
+        (-sum(log(col("p"))) / first_value(col("n"))).as("ce_raw"))
+
+    docs.select(col(idCol)).join(scored, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).cast("int").as("n_tokens"),
+        round(col("ce_raw"), 4).as("kn_ce"))
+  }
+
+  /**
    * The CCNet-style filter in one call: train on `trainDocs` (pass the
    * clean slice — or the corpus itself for self-perplexity), score
    * `docs`, and keep documents at or below the given perplexity. Empty

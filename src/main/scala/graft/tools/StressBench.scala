@@ -70,7 +70,13 @@ object StressBench {
     import graft.operators.{Dedup, Similarity}
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
+    // Optional op-level filter within a section (comma-separated run()
+    // names) — lets a crashing tier (e.g. the string-key backoff OOM
+    // demonstration) be isolated without re-timing its whole section.
+    val opsOnly = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def run(op: String, n: Long)(f: => Long): Unit = {
+      if (opsOnly.exists(!_.contains(op))) return
       val (sec, rows) = time(f)
       results += ((op, n, sec, rows))
       println(f"[stress] $op%-16s n=$n%-8d ${sec}%8.2f s  ($rows rows)")

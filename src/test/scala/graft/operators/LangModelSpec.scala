@@ -91,6 +91,53 @@ class LangModelSpec extends SparkSpec {
     assert(got(13L).getInt(1) === 0 && got(13L).isNullAt(2))
   }
 
+  test("Kneser-Ney matches the hand-computed interpolated arithmetic") {
+    // corpus: "a b c", "a b d", "b c" →
+    //   uni types V=4 (a,b,c,d); bi types B=3 ("a b":2,"b c":2,"b d":1);
+    //   tri types: "a b c":1, "a b d":1
+    // derived: N1+("a b"•)=2; cont N1+(•"b c")=1, N1+(•"b d")=1;
+    //   N1+(•b•)=2; |{w: N1+(•bw)>0}|=2; N1+(•w): b←"a b", c←"b c",
+    //   d←"b d" each 1 → Pc(a)=1/7, Pc(b)=Pc(c)=Pc(d)=2/7
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val model = LangModel.trainNgramLM(docs, "text", maxOrder = 3)
+    val D = 0.75
+    val score = Seq((10L, "a b c"), (11L, "z"), (12L, ""))
+      .toDF("doc_id", "text")
+    val got = LangModel.scoreKneserNey(score, model, "doc_id", "text",
+      discount = D).collect().map(r => r.getLong(0) -> r).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // i=1 "a": Pc(a) = (0+1)/(3+4) = 1/7
+    val p1 = 1.0 / 7
+    // i=2 "b"|a: N1+(•a•)=0 → Pc(b) = 2/7
+    val p2 = 2.0 / 7
+    // i=3 "c"|"a b": c("a b")=2, N1+("a b"•)=2 →
+    //   P(c|b) = max(1−D,0)/N1+(•b•) + D·2/N1+(•b•)·Pc(c)
+    //          = 0.25/2 + 0.75·(2/7) = 0.125 + 3/14
+    //   P = max(1−D,0)/2 + D·2/2·P(c|b)
+    val p2lvl = (1 - D) / 2 + D * 2.0 / 2 * (2.0 / 7)
+    val p3 = (1 - D) / 2 + D * 2.0 / 2 * p2lvl
+    assert(got(10L).getInt(1) === 3)
+    assert(got(10L).getDouble(2) ===
+      r4(-(math.log(p1) + math.log(p2) + math.log(p3)) / 3))
+    // OOV single token: Pc(z) = 1/7 (add-one continuation floor)
+    assert(got(11L).getDouble(2) === r4(-math.log(1.0 / 7)))
+    assert(got(12L).getInt(1) === 0 && got(12L).isNullAt(2))
+  }
+
+  test("hashed-key Kneser-Ney equals the string-key scores exactly") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b d"), (3L, "b c"), (4L, ""),
+      (5L, "q z")).toDF("doc_id", "text")
+    val model = LangModel.trainNgramLM(docs, "text", maxOrder = 3)
+    def rows(hashed: Boolean) =
+      LangModel.scoreKneserNey(docs, model, "doc_id", "text",
+        hashedKeys = hashed)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(_._1).toSeq
+    assert(rows(true) === rows(false))
+  }
+
   test("hashed-key backoff scores equal the string-key scores exactly") {
     // hashedKeys ships 8-byte xxhash64 keys through every shuffle; on a
     // collision-free corpus (any test SF) the scores are bit-identical
