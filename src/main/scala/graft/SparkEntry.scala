@@ -685,8 +685,10 @@ object SparkEntry {
       val corpus = t(s, dir, "embeddings")
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
+      // rerank shortlist auto-derived from the index's cell histogram
+      // (max(k, p95 cell population)) — no manual coverage knob
       Similarity.ivfPqTopK(corpus, queries, 5, numCells = 16, nProbe = 4,
-          m = 8, rerankSize = 50)
+          m = 8)
         .filter(col("rank") === 1)
     }),
 

@@ -61,18 +61,113 @@ object Bpe {
    * (word-frequency dictionary, capped at the `maxWords` most frequent
    * words — the long tail contributes ~nothing to pair statistics), then
    * the classic driver-side merge loop. Stops early when no pair repeats.
+   *
+   * The merge loop keeps pair counts INCREMENTALLY (the subword-nmt
+   * fast path): after merging pair p, only the words that actually
+   * contain p adjacently — found through a pair → word-index inverted
+   * index — have their old pair contributions subtracted and new ones
+   * added, so a merge step costs O(words containing p), not O(dict).
+   * The bookkeeping is exact (full old word subtracted, full new word
+   * added), so the learned merge sequence is IDENTICAL to a per-step
+   * recount ([[trainRecount]], kept as the parity reference). This is
+   * what makes 32k-merge vocabularies tractable driver-side.
    */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             maxWords: Int = 100000): Vocab = {
     require(numMerges >= 0, "numMerges must be >= 0")
+    val wordFreq = wordFrequencies(df, textCol, maxWords)
+    val words: Array[Array[String]] =
+      wordFreq.map { case (w, _) => w.map(_.toString).toArray }
+    val freqs: Array[Long] = wordFreq.map(_._2)
+
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    // pair → indices of words where it has occurred; entries go stale
+    // when a word mutates (cheap) and are re-checked against the actual
+    // word at merge time rather than eagerly pruned
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def bump(idx: Int, syms: Array[String], sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(idx)
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0)
+          where.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty)
+            .add(idx)
+        i += 1
+      }
+    }
+    words.indices.foreach(i => bump(i, words(i), 1L))
+
+    val merges = Vector.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    while (learned < numMerges && !exhausted) {
+      // a pair seen once merges nothing worth keeping — also the natural
+      // termination once every frequent word is a single symbol
+      var best: (String, String) = null
+      var bestN = 1L
+      counts.foreach { case (p, n) =>
+        if (n > bestN || (n == bestN && best != null &&
+          (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestN = n
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        for (idx <- where.getOrElse(best,
+          scala.collection.mutable.BitSet.empty)) {
+          val syms = words(idx)
+          var contains = false
+          var i = 0
+          while (i < syms.length - 1 && !contains) {
+            if (syms(i) == best._1 && syms(i + 1) == best._2) contains = true
+            i += 1
+          }
+          if (contains) { // stale index entries skip here
+            bump(idx, syms, -1L)
+            val out = Array.newBuilder[String]
+            i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                syms(i + 1) == best._2) {
+                out += (syms(i) + syms(i + 1)); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            words(idx) = out.result()
+            bump(idx, words(idx), 1L)
+          }
+        }
+        where.remove(best)
+        learned += 1
+      }
+    }
+    Vocab(merges.result())
+  }
+
+  /** The shared distributed half: word-frequency dictionary ordered by
+    * (freq desc, word asc), capped at `maxWords`. */
+  private def wordFrequencies(df: DataFrame, textCol: String,
+                              maxWords: Int): Array[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val wordFreq: Array[(String, Long)] = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("w")).limit(maxWords)
       .as[(String, Long)].collect()
+  }
 
+  /** Per-step full-recount reference implementation (the pre-r7 body).
+    * Kept ONLY as the parity oracle for the incremental [[train]] —
+    * O(numMerges × dict); do not use on large merge counts. */
+  private[operators] def trainRecount(df: DataFrame, textCol: String,
+                                      numMerges: Int,
+                                      maxWords: Int = 100000): Vocab = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val wordFreq = wordFrequencies(df, textCol, maxWords)
     var words: Array[(Vector[String], Long)] =
       wordFreq.map { case (w, n) => (w.map(_.toString).toVector, n) }
     val merges = Vector.newBuilder[(String, String)]
@@ -89,8 +184,6 @@ object Bpe {
           i += 1
         }
       }
-      // a pair seen once merges nothing worth keeping — also the natural
-      // termination once every frequent word is a single symbol
       val candidates = counts.filter(_._2 >= 2)
       if (candidates.isEmpty) exhausted = true
       else {

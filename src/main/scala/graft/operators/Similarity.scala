@@ -192,9 +192,15 @@ object Similarity {
     finally train.unpersist(blocking = false)
   }
 
-  /** Bounded deterministic training set: hash-ranked sample capped at
-    * `trainSample` rows (one cheap count to size the threshold; the
-    * sample itself is a filtered scan), cached for Lloyd to iterate. */
+  /** Bounded deterministic training set: the `trainSample` globally
+    * smallest hash ranks in ONE pass (per-partition bounded heaps via
+    * `takeOrdered` — no sizing `count()`, no second scan; the previous
+    * count-then-filter shape cost an extra full scan per training).
+    * The driver transiently holds the sample (trainSample × dim
+    * floats — the same order of memory as the centroid broadcast this
+    * feeds); it is re-parallelized and cached for Lloyd to iterate.
+    * Ranking uses the same seeded hash as Lloyd's init, so init
+    * centroids are a deterministic prefix of the sample ranking. */
   private def boundedSample(corpus: DataFrame, trainSample: Int, seed: Long,
                             idCol: String, vecCol: String)
   : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {
@@ -202,15 +208,15 @@ object Similarity {
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    val n = typed.count()
-    val frac = math.min(1.0, trainSample.toDouble / math.max(n, 1L))
-    val thresh = (frac * 1000000L).toLong
-    val train = typed.toDF("id", "vec")
-      .filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < thresh ||
-        lit(frac >= 1.0))
-      .select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])]
-      .rdd.cache()
+    val sample = typed.rdd
+      .map { case (id, vec) =>
+        ((graft.core.EsMurmur3.hash(id.toString + seed).toLong, id),
+          (id, vec)) }
+      .takeOrdered(trainSample)(Ordering.by(_._1))
+      .map(_._2)
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, sample.length / 1024 + 1))
+    val train = spark.sparkContext.parallelize(sample.toSeq, parts).cache()
     train.count() // materialize once; Lloyd iterates over this RDD only
     train
   }
@@ -546,10 +552,21 @@ object Similarity {
    * vectors for a full-precision cosine rerank, so the final ranking is
    * exact over the shortlist. Queries broadcast (|Q| ≪ |corpus|, as
    * documented for [[bruteForceTopK]]).
+   *
+   * `rerankSize <= 0` (the default) derives the shortlist from the
+   * index itself: max(k, p95 cell population) off the code frame's
+   * cell histogram. The shortlist must cover the per-query AMBIGUITY
+   * SET — the near-tie group whose cosine gaps sit below m-byte code
+   * resolution — and on a clustered manifold that group is the
+   * co-cluster ≈ cell population (measured: r=50 under a ~780-member
+   * cluster scored recall 0.128; r ≥ population scored 1.000). A p95
+   * over cell sizes covers the dense cells that dominate that risk
+   * without letting one mega-cell set a corpus-sized shortlist; the
+   * manual knob remains for callers that know their margin.
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
-                rerankSize: Int = 50, iters: Int = 5, seed: Long = 42,
+                rerankSize: Int = 0, iters: Int = 5, seed: Long = 42,
                 trainSample: Int = 50000,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 queryIdCol: String = "query_id"): DataFrame = {
@@ -589,7 +606,7 @@ object Similarity {
     val pq = trainPq(residuals, m, iters, seed, trainSample, idCol, vecCol)
     val pqB = spark.sparkContext.broadcast(pq)
     // the compressed corpus: 12 + m bytes per vector, vectors stay home
-    val codes = corpusN.select(col(idCol).cast("long"), col(vecCol))
+    val codesRaw = corpusN.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val cs = cB.value; val cb = pqB.value
@@ -598,6 +615,20 @@ object Similarity {
           (cell, id, cb.encode(residual(vec, cell, cs)))
         }
       }.toDF("cell", "nn_id", "code")
+    // auto shortlist: checkpoint the code frame so the histogram and
+    // the candidate join share ONE encode pass (12+m bytes/vector —
+    // exactly what a persisted IVFADC index materializes anyway)
+    val (codes, shortlistSize) =
+      if (rerankSize > 0) (codesRaw, math.max(rerankSize, k))
+      else {
+        val ck = codesRaw.localCheckpoint(false)
+        val cellCounts = ck.groupBy("cell").count()
+          .select(col("count")).as[Long].collect().sorted
+        val p95 = if (cellCounts.isEmpty) k
+          else cellCounts(math.min(cellCounts.length - 1,
+            math.ceil(cellCounts.length * 0.95).toInt - 1)).toInt
+        (ck, math.max(k, p95))
+      }
     val qRows = queriesN.select(col(queryIdCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
     val qB = spark.sparkContext.broadcast(qRows.toMap)
@@ -625,7 +656,7 @@ object Similarity {
     val wAdc = Window.partitionBy(queryIdCol)
       .orderBy(col("adc").asc, col("nn_id").asc)
     val shortlist = cand.withColumn("__r", row_number().over(wAdc))
-      .filter(col("__r") <= math.max(rerankSize, k))
+      .filter(col("__r") <= shortlistSize)
       .select(col(queryIdCol), col("nn_id"))
     // exact rerank over the tiny shortlist: broadcast it against the
     // corpus (map-side semi-filter — no corpus shuffle), then score with

@@ -323,6 +323,11 @@ object StressBench {
           numCells = 64, nProbe = 4, m = 8, rerankSize = 50)),
         "ivfpq c=64 m=8 r=1000" -> (() => Similarity.ivfPqTopK(vecs, queries, 5,
           numCells = 64, nProbe = 4, m = 8, rerankSize = 1000)),
+        // auto mode: shortlist = max(k, p95 cell population) derived
+        // from the code frame's histogram — must land in the r=1000
+        // recall band without the manual knob
+        "ivfpq c=64 m=8 r=auto" -> (() => Similarity.ivfPqTopK(vecs, queries, 5,
+          numCells = 64, nProbe = 4, m = 8)),
         // 16k cells over 200k vectors = ~12 vectors/cell: probing 64
         // cells (~0.4%) covers ~one planted cluster — the sane knob
         // point for a many-cells codebook
@@ -546,6 +551,22 @@ object StressBench {
         }
         docs.unpersist()
       }
+    }
+
+    // BPE merge-loop scaling: the incremental pair bookkeeping should
+    // make merge count ~free relative to the recount's O(merges × dict)
+    // (the distributed word-frequency pass is identical either way).
+    if (only.contains("bpe")) {
+      import graft.operators.Bpe
+      val docs = synthDocs(spark, 320000L)
+      docs.cache().count()
+      for (merges <- Seq(1024, 8192, 32768)) {
+        val t0 = System.nanoTime()
+        val v = Bpe.train(docs, "text", numMerges = merges)
+        println(f"[stress] bpe train merges=$merges%-6d " +
+          f"learned=${v.merges.length}%-6d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      docs.unpersist()
     }
 
     // Streaming throughput: real MemoryStream drives at stress size —

@@ -30,6 +30,27 @@ class BpeSpec extends SparkSpec {
     assert(counts.length === 16 && counts.forall(_._2 == 1L))
   }
 
+  test("incremental pair counting learns the identical sequence to a full recount") {
+    // a mixed-shape corpus with overlapping-pair words (aaa…), shared
+    // stems, and ties — the incremental bookkeeping must reproduce the
+    // recount's merge SEQUENCE exactly, not just the final vocab set
+    val docs = (0 until 200).map { i =>
+      val w = (i % 7) match {
+        case 0 => "aaaa"
+        case 1 => "banana"
+        case 2 => "bandana"
+        case 3 => "cabana"
+        case 4 => s"tok${i % 13}x"
+        case 5 => "aab aab abb"
+        case _ => s"pre${i % 5}fix post${i % 3}fix"
+      }
+      (i.toLong, w)
+    }.toDF("doc_id", "text")
+    val inc = Bpe.train(docs, "text", numMerges = 64)
+    val ref = Bpe.trainRecount(docs, "text", numMerges = 64)
+    assert(inc.merges === ref.merges)
+  }
+
   test("encoding applies merges lowest-rank-first; empty and OOV text behave") {
     val vocab = Bpe.Vocab(Vector(("a", "b"), ("ab", "c")))
     assert(vocab.encodeWord("abcabc") === Vector("abc", "abc"))

@@ -233,8 +233,11 @@ class SimilaritySpec extends SparkSpec {
     }).toDF("vec_id", "embedding")
     val queries = vecs.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
+    // default rerankSize (auto: max(k, p95 cell population) from the
+    // code-frame histogram) — the derived shortlist must cover the
+    // 40-member planted clusters without a manual knob
     val top = Similarity.ivfPqTopK(vecs, queries, 5, numCells = 8,
-        nProbe = 3, m = 2, rerankSize = 30, trainSample = 1000)
+        nProbe = 3, m = 2, trainSample = 1000)
       .collect()
     val r1 = top.filter(_.getAs[Int]("rank") == 1)
     assert(r1.length === 8)
