@@ -456,4 +456,22 @@ object LangModel {
       .select(col(idCol))
     docs.join(kept, Seq(idCol), "left_semi")
   }
+
+  /**
+   * [[perplexityFilter]]'s trigram sibling: train a [[trainNgramLM]]
+   * model on `trainDocs` (hashed keys — the filter only compares the
+   * score against a ceiling, so the 8-byte shuffle diet is free here),
+   * score `docs` with stupid backoff, and keep documents at or below
+   * `maxBackoffCe` nats. Empty documents carry no evidence and are kept.
+   */
+  def backoffFilter(docs: DataFrame, trainDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    maxBackoffCe: Double): DataFrame = {
+    val model = trainNgramLM(trainDocs, textCol, maxOrder = 3,
+      hashedKeys = true)
+    val kept = scoreStupidBackoff(docs, model, idCol, textCol)
+      .where(col("backoff_ce").isNull || col("backoff_ce") <= maxBackoffCe)
+      .select(col(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
 }

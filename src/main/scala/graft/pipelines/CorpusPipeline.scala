@@ -14,8 +14,9 @@ import graft.operators.{Dedup, Mixes, Splits, TextAnalysis}
  *
  *   URL dedup → boilerplate-line strip → exact dedup → quality/token
  *   gates → repeated-span removal → chunk dedup → LM perplexity gate →
- *   near-dup dedupe → eval-set decontamination (LSH + exact 13-gram) →
- *   target-share mixing → leakage-safe split
+ *   trigram backoff gate → classifier quality cut → near-dup dedupe →
+ *   eval-set decontamination (LSH + exact 13-gram) → DSIR importance
+ *   selection → target-share mixing → leakage-safe split
  *
  * Cheap, high-yield stages run first (URL and exact dedup shuffle
  * 8-16-byte keys; near-dup sketching then sees a smaller corpus; mixing
@@ -45,6 +46,19 @@ final case class CorpusPrepConfig(
       * stands after the structural gates, then drop documents whose
       * add-one-smoothed perplexity exceeds this ceiling. */
     maxPerplexity: Option[Double] = None,
+    /** Trigram stupid-backoff gate (Brants 2007): self-train an
+      * order-1..3 model (hashed gram keys) and drop documents whose
+      * mean negative log backoff score exceeds this many nats. */
+    maxBackoffCe: Option[Double] = None,
+    /** (exemplars, minLogOdds): supervised quality cut — label the
+      * corpus by membership in the exemplar frame (CCNet's "looks like
+      * Wikipedia" classifier), train the NB bag-of-n-grams model, keep
+      * documents scoring >= minLogOdds. */
+    classifierTarget: Option[(DataFrame, Double)] = None,
+    /** (target, k): DSIR importance resampling (Xie 2023) — keep the
+      * Gumbel-top-k documents whose n-gram distribution best matches
+      * the target frame. Runs after decontamination, before mixing. */
+    importanceTarget: Option[(DataFrame, Int)] = None,
     /** Near-dup dedupe at this exact-Jaccard threshold when set. */
     nearDupThreshold: Option[Double] = None,
     /** (n, minOverlap): ALSO drop docs sharing ≥ minOverlap exact
@@ -127,6 +141,20 @@ object CorpusPipeline {
         cur = graft.operators.LangModel.perplexityFilter(
           cur, cur, cfg.idCol, cfg.textCol, ceiling)
     }
+    cfg.maxBackoffCe.foreach { ceiling =>
+      // same self-train shape (and the same empty-slice skip) as the
+      // perplexity gate, one model order up
+      cur = cur.localCheckpoint(false)
+      if (!cur.where(length(trim(col(cfg.textCol))) > 0).isEmpty)
+        cur = graft.operators.LangModel.backoffFilter(
+          cur, cur, cfg.idCol, cfg.textCol, ceiling)
+    }
+    cfg.classifierTarget.foreach { case (exemplars, minLogOdds) =>
+      // fail-loud by design: an exemplar set disjoint from (or covering)
+      // the corpus trains no two-class model — trainNaiveBayes raises
+      cur = graft.operators.Classifier.classifierFilter(
+        cur, exemplars, cfg.idCol, cfg.textCol, minLogOdds)
+    }
     cfg.nearDupThreshold.foreach { t =>
       cur = Dedup.dedupe(cur, cfg.idCol, cfg.textCol, jaccardThreshold = t)
     }
@@ -139,6 +167,10 @@ object CorpusPipeline {
         cur = cur.join(flagged,
           col(cfg.idCol) === col("__ngram_flagged"), "left_anti")
       }
+    }
+    cfg.importanceTarget.foreach { case (target, k) =>
+      cur = graft.operators.DataSelection.selectByImportance(
+        cur, target, cfg.idCol, cfg.textCol, k, cfg.seed)
     }
     cfg.targetShares.foreach { case (stratumCol, weights) =>
       // token count as the mixing cost — the unit training runs budget

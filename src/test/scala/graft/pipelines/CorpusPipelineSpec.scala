@@ -162,6 +162,58 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
 
+  test("backoff stage equals inline backoffFilter; gibberish drops") {
+    import graft.operators.LangModel
+    val df = (Seq.tabulate(40)(i => (i.toLong, "the cat sat on the mat today")) :+
+      ((99L, "zq xv qqq zz pf mmm ww")))
+      .toDF("doc_id", "text")
+    val facade = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      maxBackoffCe = Some(0.5)))
+    val inline = LangModel.backoffFilter(df, df, "doc_id", "text", 0.5)
+    assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
+    assert(!facade.select("doc_id").as[Long].collect().contains(99L))
+  }
+
+  test("classifier stage equals inline classifierFilter; off-domain drops") {
+    import graft.operators.Classifier
+    val tgt = (0 until 20).map(i =>
+      (i.toLong, s"quality prose tok${i % 5} curated"))
+    val crawl = (0 until 60).map(i =>
+      (100L + i, s"spam noise junk${i % 7} listing"))
+    val df = (tgt ++ crawl).toDF("doc_id", "text")
+    val exemplars = df.filter($"doc_id" < 20)
+    val facade = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      classifierTarget = Some((exemplars, 0.0))))
+    val inline = Classifier.classifierFilter(df, exemplars, "doc_id",
+      "text", 0.0)
+    assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
+    assert(facade.select("doc_id").as[Long].collect().toSet ===
+      (0L until 20L).toSet)
+  }
+
+  test("DSIR stage equals inline selectByImportance; target slice enriches") {
+    import graft.operators.DataSelection
+    // 10 docs carry the planted 'dup' marker vocabulary; the rest are
+    // md5 noise — the importance cut must favor the marked slice
+    val df = corpus().withColumn("text",
+      when(col("doc_id") < 10,
+        concat_ws(" ", lit("dup alpha beta gamma delta"), col("text")))
+        .otherwise(col("text")))
+      .select("doc_id", "text")
+    val target = df.filter(col("text").contains("dup"))
+    val facade = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      importanceTarget = Some((target, 12)), seed = 11L))
+    val inline = DataSelection.selectByImportance(df, target, "doc_id",
+      "text", 12, 11L)
+    assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
+    val picked = facade.select("doc_id").as[Long].collect().toSet
+    assert(picked.count(_ < 10L) >= 8,
+      s"importance cut should be dominated by the target slice: $picked")
+  }
+
   test("url dedup + near-dup + split compose in the canonical order") {
     // every doc pair (2k, 2k+1) shares a canonical URL → odd ids drop in
     // stage 1 BEFORE sketching; a planted near-dup of doc 0 survives URL
