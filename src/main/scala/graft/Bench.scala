@@ -98,9 +98,13 @@ object Bench {
     val compactBudget = 1500
     val slowest = results.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+    // failed queries carry a sticky -1 marker excluded from the total —
+    // count them separately so the line's per-query values sum to the
+    // reported total ("timed" = genuinely timed only)
+    val failed = results.count(_._2 < 0)
     def compactLine(n: Int): String = {
       val cq = slowest.take(n).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","timed":${results.size},"queries":$cq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","timed":${results.size - failed},"failed":$failed,"queries":$cq,"sf":"$sfDir"}"""
     }
     val compact = (results.size to 0 by -1).iterator.map(compactLine)
       .find(_.length <= compactBudget).getOrElse(compactLine(0))

@@ -119,7 +119,8 @@ object Dedup {
     // still thin it when enabled).
     val census = dupHashes.localCheckpoint() // count + join read it once
     val censusSide =
-      if (census.count() <= MaxBroadcastCensusRows) broadcast(census)
+      if (census.count() <= maxBroadcastCensusRows(df.sparkSession))
+        broadcast(census)
       else census
     val lost = chunks.join(censusSide, Seq("__h"), "left_semi")
       .withColumn("__rk", row_number().over(firstW))
@@ -169,8 +170,19 @@ object Dedup {
   private val MaxBroadcastLoserIndexes = 16000000L
 
   /** Census rows above which [[dedupChunks]] stops broadcasting the
-    * duplicated-chunk hash set (8-byte rows; 32M ≈ 256 MB broadcast). */
-  private val MaxBroadcastCensusRows = 32000000L
+    * duplicated-chunk hash set. Derived from a MEMORY budget, not a
+    * fixed row count: a hashed broadcast relation costs ~40 bytes per
+    * 8-byte key once the hash table, pointers, and page layout are
+    * paid — several times the serialized size — so the cap is
+    * `spark.graft.dedup.maxCensusBroadcastMb` (default 256 MB of
+    * RELATION memory ≈ 6.7M rows) per driver/executor, tunable without
+    * a rebuild for bigger drivers. */
+  private def maxBroadcastCensusRows(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val mb = spark.conf.getOption("spark.graft.dedup.maxCensusBroadcastMb")
+      .map(_.toLong).getOrElse(256L)
+    mb * 1024L * 1024L / 40L
+  }
 
   /** The pre-hashing chunk dedup: identical semantics to [[dedupChunks]]
     * but the keep-first window shuffles FULL chunk text corpus-wide and

@@ -636,21 +636,26 @@ object Similarity {
       .select(col("cell"), col(queryIdCol))
     val cand = codes.join(broadcast(probedCells), "cell")
       .select(col(queryIdCol), col("cell"), col("nn_id"), col("code"))
+      // cluster candidates by (cell, query) INSIDE each partition (a
+      // local sort, no exchange) so LUT locality is structural: each
+      // (query, cell) group streams through contiguously and ONE live
+      // LUT suffices — the old bounded map cleared wholesale at 4096
+      // entries and rebuilt LUTs repeatedly once |Q|·nProbe interleaved
+      // past its capacity
+      .sortWithinPartitions(col("cell"), col(queryIdCol))
       .as[(Long, Int, Long, Array[Byte])]
       .mapPartitions { rows =>
         val cs = cB.value; val cb = pqB.value; val qm = qB.value
         // LUT per (query, probed cell): ADC compares the QUERY residual
         // against candidate-code residual centroids of that cell
-        val luts = scala.collection.mutable.HashMap
-          .empty[(Long, Int), Array[Array[Float]]]
+        var curKey: (Long, Int) = null
+        var curLut: Array[Array[Float]] = null
         rows.map { case (qid, cell, id, code) =>
-          // bound the cache: at ~8 KB per LUT an unbounded map reaches
-          // GBs once |Q|·nProbe grows — clear-and-rebuild is O(1)
-          // amortized and keeps the partition's footprint ≤ ~32 MB
-          if (luts.size >= 4096) luts.clear()
-          val lut = luts.getOrElseUpdate((qid, cell),
-            cb.lut(residual(qm(qid), cell, cs)))
-          (qid, id, cb.adc(lut, code))
+          if (curKey == null || curKey._1 != qid || curKey._2 != cell) {
+            curKey = (qid, cell)
+            curLut = cb.lut(residual(qm(qid), cell, cs))
+          }
+          (qid, id, cb.adc(curLut, code))
         }
       }.toDF(queryIdCol, "nn_id", "adc")
     val wAdc = Window.partitionBy(queryIdCol)

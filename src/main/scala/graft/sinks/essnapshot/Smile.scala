@@ -255,8 +255,12 @@ object Smile {
       case n if n >= 0x30 && n <= 0x33 =>
         in.sharedName(((n - 0x30) << 8) | in.next())
       case 0x34 =>
+        // long-form names are NOT added to the shared table — Jackson's
+        // reader never notes long-name tokens, so noting a nonconforming
+        // writer's short-name-in-long-form here would desynchronize
+        // every later back-reference index
         val b = in.untilMarker()
-        in.noteName(new String(b, UTF_8), b.length)
+        new String(b, UTF_8)
       // 1-byte short shared ref: indices 0-63
       case n if n >= 0x40 && n <= 0x7F => in.sharedName(n - 0x40)
       case n if n >= 0x80 && n <= 0xBF =>
