@@ -1121,7 +1121,11 @@ object SparkEntry {
     "text_classify" -> ((s, dir) => {
       import graft.operators.Classifier
       val docs = t(s, dir, "documents")
-      val labeled = docs.withColumn("is_tgt", col("text").contains("dup"))
+      // coalesce: contains() is NULL on NULL text, and a NULL label
+      // would fall out of BOTH class priors where the oracle's CASE
+      // puts it in the negative class — align on negative
+      val labeled = docs.withColumn("is_tgt",
+        coalesce(col("text").contains("dup"), lit(false)))
       val model = Classifier.trainNaiveBayes(labeled, "is_tgt", "text",
         ngramOrder = 2)
       Classifier.scoreLogOdds(docs, model, "doc_id", "text")

@@ -19,9 +19,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration subset (comma-separated names); the driver runs
-    // the full surface — oracle_sql.json always carries every entry.
+    // the full surface with the env var unset. Unknown names are an
+    // ERROR (a typo would otherwise "verify" zero queries and read as
+    // green), and the dumped oracle map is restricted to the subset so
+    // a stale outDir's other parquet dirs cannot be compared against
+    // fresh SQL and masquerade as a full pass — use a fresh outDir per
+    // subset run regardless.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -49,6 +60,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -66,7 +66,8 @@ object Bpe {
    * fast path): after merging pair p, only the words that actually
    * contain p adjacently — found through a pair → word-index inverted
    * index — have their old pair contributions subtracted and new ones
-   * added, so a merge step costs O(words containing p), not O(dict).
+   * added, and best-pair selection is a lazy-deletion max-heap, so a
+   * merge step costs O(words containing p) + O(log pairs), not O(dict).
    * The bookkeeping is exact (full old word subtracted, full new word
    * added), so the learned merge sequence is IDENTICAL to a per-step
    * recount ([[trainRecount]], kept as the parity reference). This is
@@ -87,12 +88,33 @@ object Bpe {
     // word at merge time rather than eagerly pruned
     val where = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.BitSet]
+    // best-pair selection is a LAZY-DELETION max-heap, not a map scan
+    // (the scan was O(distinct pairs) per merge and dominated large
+    // merge counts): every count update pushes a fresh (count, pair)
+    // entry; stale entries — whose count no longer matches — are
+    // discarded at poll time. Max = highest count, then pair ASC.
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+                    y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap =
+      scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    var trackHeap = false // init builds counts first, then seeds once
     def bump(idx: Int, syms: Array[String], sign: Long): Unit = {
       var i = 0
       while (i < syms.length - 1) {
         val p = (syms(i), syms(i + 1))
         val c = counts.getOrElse(p, 0L) + sign * freqs(idx)
         if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (trackHeap && c > 0L) heap.enqueue((c, p._1, p._2))
         if (sign > 0)
           where.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty)
             .add(idx)
@@ -100,6 +122,8 @@ object Bpe {
       }
     }
     words.indices.foreach(i => bump(i, words(i), 1L))
+    counts.foreach { case (p, n) => heap.enqueue((n, p._1, p._2)) }
+    trackHeap = true
 
     val merges = Vector.newBuilder[(String, String)]
     var learned = 0
@@ -108,15 +132,16 @@ object Bpe {
       // a pair seen once merges nothing worth keeping — also the natural
       // termination once every frequent word is a single symbol
       var best: (String, String) = null
-      var bestN = 1L
-      counts.foreach { case (p, n) =>
-        if (n > bestN || (n == bestN && best != null &&
-          (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
-          best = p; bestN = n
+      while (best == null && !exhausted) {
+        if (heap.isEmpty) exhausted = true
+        else {
+          val (n, a, b) = heap.dequeue()
+          // current (not stale) AND eligible; a discarded count-1 entry
+          // re-enqueues itself if its count ever rises again
+          if (n >= 2L && counts.getOrElse((a, b), 0L) == n) best = (a, b)
         }
       }
-      if (best == null) exhausted = true
-      else {
+      if (best != null) {
         merges += best
         for (idx <- where.getOrElse(best,
           scala.collection.mutable.BitSet.empty)) {

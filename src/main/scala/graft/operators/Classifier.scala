@@ -34,17 +34,15 @@ import org.apache.spark.sql.functions._
  */
 object Classifier {
 
-  /** Corpus-standard tokenizer (lower, trim, whitespace split, empties
-    * dropped) — identical to [[LangModel]]'s so gates compose. */
-  private def toks(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
+  /** The corpus-standard tokenizer — [[LangModel.toks]] shared directly
+    * (one definition), so LM gates and classifier cuts compose over the
+    * same token stream by construction. */
+  private def toks(text: Column): Column = LangModel.toks(text)
 
-  /** Space-joined k-grams of a token array (map-side; empty for short
-    * docs — the `when` guards `sequence`'s descent when size < k). */
+  /** Space-joined k-grams via the shared [[LangModel.grams]] builder
+    * (the `when` guards `sequence`'s descent when size < k). */
   private def gramsOfOrder(t: Column, k: Int): Column =
-    when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*)))
+    when(size(t) >= k, LangModel.grams(t, k))
       .otherwise(array().cast("array<string>"))
 
   /** All features of orders 1..ngramOrder as one flat array. */
@@ -64,8 +62,10 @@ object Classifier {
   }
 
   /**
-   * Train on a labeled frame (`labelCol` boolean: true = target class).
-   * One corpus scan: every order's grams ride one exploded array into a
+   * Train on a labeled frame (`labelCol` boolean: true = target class;
+   * must be NON-NULL — a NULL label counts toward neither class prior,
+   * silently skewing ln P(pos)/P(neg), so coalesce upstream). One
+   * corpus scan: every order's grams ride one exploded array into a
    * single feature-keyed aggregation with two conditional sums. Both
    * classes must be non-empty — a one-class "model" would score +/-Inf
    * everywhere and silently pass or drop the whole corpus downstream.

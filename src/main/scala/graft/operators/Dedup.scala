@@ -179,8 +179,16 @@ object Dedup {
     * a rebuild for bigger drivers. */
   private def maxBroadcastCensusRows(
       spark: org.apache.spark.sql.SparkSession): Long = {
-    val mb = spark.conf.getOption("spark.graft.dedup.maxCensusBroadcastMb")
-      .map(_.toLong).getOrElse(256L)
+    val key = "spark.graft.dedup.maxCensusBroadcastMb"
+    val mb = spark.conf.getOption(key).map { raw =>
+      // fail at READ time with the key named, not with a bare
+      // NumberFormatException from inside a census-sizing job
+      val parsed = scala.util.Try(raw.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"$key must be a plain MB integer (e.g. 256), got '$raw'"))
+      require(parsed > 0, s"$key must be positive, got $parsed")
+      parsed
+    }.getOrElse(256L)
     mb * 1024L * 1024L / 40L
   }
 

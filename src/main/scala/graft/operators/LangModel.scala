@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   /** Lowercased whitespace tokens, empties dropped — the corpus-standard
-    * tokenizer ([[TextAnalysis.tokens]] ∘ lower, minus empty strings). */
-  private def toks(text: Column): Column =
+    * tokenizer ([[TextAnalysis.tokens]] ∘ lower, minus empty strings).
+    * Shared with [[Classifier]] so LM gates and classifier cuts compose
+    * over the SAME token stream by construction, not by hand-sync. */
+  private[operators] def toks(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
 
   /** Null-preserving 8-byte key of a (possibly null) gram string. Plain
@@ -212,8 +214,10 @@ object LangModel {
       .select(col(keyName), col("n"), col("cnt"))
   }
 
-  /** Space-joined k-grams of a token array with size >= k — map-side. */
-  private def grams(t: Column, k: Int): Column =
+  /** Space-joined k-grams of a token array with size >= k — map-side.
+    * Callers guard size < k (sequence DESCENDS there); shared with
+    * [[Classifier]]'s feature construction. */
+  private[operators] def grams(t: Column, k: Int): Column =
     transform(sequence(lit(1), size(t) - (k - 1)), i =>
       concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*))
 

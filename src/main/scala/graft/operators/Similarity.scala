@@ -196,11 +196,15 @@ object Similarity {
     * smallest hash ranks in ONE pass (per-partition bounded heaps via
     * `takeOrdered` — no sizing `count()`, no second scan; the previous
     * count-then-filter shape cost an extra full scan per training).
-    * The driver transiently holds the sample (trainSample × dim
-    * floats — the same order of memory as the centroid broadcast this
-    * feeds); it is re-parallelized and cached for Lloyd to iterate.
-    * Ranking uses the same seeded hash as Lloyd's init, so init
-    * centroids are a deterministic prefix of the sample ranking. */
+    * DRIVER MEMORY IS THE TRADE: the merge transiently holds up to
+    * ~2 × trainSample boxed (rank, (id, vector)) tuples — ~25 MB at
+    * the dim-64 defaults but ~0.5-1 GB at trainSample=50k × dim 1024;
+    * shrink trainSample for wide embeddings (quantizer quality needs
+    * a few hundred points per cell, not 50k). Same driver-side shape
+    * as Spark MLlib KMeans init's takeSample. The sample is then
+    * re-parallelized and cached for Lloyd to iterate. Ranking uses the
+    * same seeded hash as Lloyd's init, so init centroids are a
+    * deterministic prefix of the sample ranking. */
   private def boundedSample(corpus: DataFrame, trainSample: Int, seed: Long,
                             idCol: String, vecCol: String)
   : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {
@@ -560,9 +564,12 @@ object Similarity {
    * resolution — and on a clustered manifold that group is the
    * co-cluster ≈ cell population (measured: r=50 under a ~780-member
    * cluster scored recall 0.128; r ≥ population scored 1.000). A p95
-   * over cell sizes covers the dense cells that dominate that risk
-   * without letting one mega-cell set a corpus-sized shortlist; the
-   * manual knob remains for callers that know their margin.
+   * over cell sizes covers the dense cells that dominate that risk;
+   * note at numCells < 20 the p95 IS the largest cell, so a collapsed
+   * quantizer can derive a corpus-scale shortlist — correct (the data
+   * genuinely has no resolvable structure) and safe (the rerank join's
+   * broadcast is size-guarded with a shuffled fallback). The manual
+   * knob remains for callers that know their margin.
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCells: Int = 16, nProbe: Int = 4, m: Int = 8,
@@ -663,15 +670,21 @@ object Similarity {
     val shortlist = cand.withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= shortlistSize)
       .select(col(queryIdCol), col("nn_id"))
-    // exact rerank over the tiny shortlist: broadcast it against the
-    // corpus (map-side semi-filter — no corpus shuffle), then score with
-    // full-precision cosine and cut at k
+    // exact rerank over the shortlist: broadcast it against the corpus
+    // (map-side semi-filter — no corpus shuffle) ONLY under a size
+    // guard — |Q| × shortlistSize is known exactly here, and in auto
+    // mode a collapsed quantizer (one mega-cell) can make shortlistSize
+    // corpus-scale, where a forced broadcast would OOM; past the bound
+    // the join falls back to a shuffle, which is what the data demands
+    val shortlistRows = qRows.length.toLong * shortlistSize
+    val shortSide =
+      if (shortlistRows <= 4000000L) broadcast(shortlist) else shortlist
     val exact = corpus.select(col(idCol).cast("long").as("nn_id"),
       col(vecCol).as("cvec"))
     val qv = queries.select(col(queryIdCol).cast("long"), col(vecCol).as("qvec"))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col("nn_id").asc)
-    exact.join(broadcast(shortlist), "nn_id")
+    exact.join(shortSide, "nn_id")
       .join(broadcast(qv), queryIdCol)
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
       .withColumn("rank", row_number().over(w))
