@@ -329,8 +329,8 @@ object Similarity {
    * re-cluster each super-cell's sample slice independently (one
    * `groupByKey` over the SAME cached sample; each group is ≤ the
    * sample, and the √numCells local Lloyd runs execute in parallel
-   * across executors). One count + one sample scan total — the same
-   * I/O as the flat trainer.
+   * across executors). One sample scan total (takeOrdered, no sizing
+   * count) — the same I/O as the flat trainer.
    */
   def trainKMeansHier(corpus: DataFrame, numCells: Int, iters: Int = 5,
                       seed: Long = 42, trainSample: Int = 50000,
