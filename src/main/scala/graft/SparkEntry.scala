@@ -15,8 +15,27 @@ import graft.sources.Ingest
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The events feed has shipped `ts` two ways across testdata generations:
+    * parquet TIMESTAMP(NANOS) surfacing as epoch-nanos INT64 (via
+    * spark.sql.legacy.parquet.nanosAsLong=true) and native TIMESTAMP(MICROS)
+    * surfacing as TIMESTAMP_NTZ. Graft's temporal operators take epoch-nanos
+    * BIGINT, so normalize at the load edge — the DuckDB oracle reads the
+    * same instants via epoch_ns(ts) (session timezone is pinned to UTC, so
+    * the NTZ→instant cast is the identity DuckDB applies). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 
   // q_bucketed_join table-prep memo: source dirs whose bucketed tables
   // already exist in this JVM (bench repeat passes reuse them)

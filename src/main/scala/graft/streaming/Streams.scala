@@ -24,12 +24,20 @@ object Streams {
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
                            n_events: Long, total_value: Double)
 
-  /** events.parquet carries ts as epoch-nanos (TIMESTAMP(NANOS)); normalize
-    * to a real timestamp column for event-time semantics. */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time",
-      timestamp_seconds(expr("ts div 1000000000")) +
-        expr("make_interval(0, 0, 0, 0, 0, 0, (ts % 1000000000) / 1000000000.0)"))
+  /** events feeds carry `ts` either as epoch-nanos INT64 (legacy
+    * TIMESTAMP(NANOS) parquet read via nanosAsLong) or as a native
+    * timestamp column; normalize to a real `event_time` timestamp for
+    * event-time semantics whichever shape arrives. */
+  def withEventTime(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val eventTime = events.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+      case _ =>
+        timestamp_seconds(expr("ts div 1000000000")) +
+          expr("make_interval(0, 0, 0, 0, 0, 0, (ts % 1000000000) / 1000000000.0)")
+    }
+    events.withColumn("event_time", eventTime)
+  }
 
   /**
    * Tumbling-window per-type rollup. On a stream, pass `watermark` (e.g.
