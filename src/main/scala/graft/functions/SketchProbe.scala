@@ -1,0 +1,93 @@
+package org.apache.spark.sql.graft
+// Same private[sql]-bridging package as EsHash.scala (see note there).
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+
+/**
+ * Probe expressions over SERIALIZED sketches (Spark's public
+ * `org.apache.spark.util.sketch` implementations — the same bytes the
+ * built-in `count_min_sketch` aggregate and `DataFrameStatFunctions
+ * .bloomFilter` produce).
+ *
+ * The sketch bytes travel INSIDE the expression, so they ship with the
+ * serialized plan to every task — the intended shape: a sketch is a few
+ * KB–MB summary of a pass over the data, and probing it on the map side
+ * prunes rows BEFORE the shuffle that would otherwise carry them. The
+ * deserialized probe object is a `@transient lazy val`: each executor
+ * deserializes once on first row, never per row.
+ *
+ * Both probes stay inside whole-stage codegen via `addReferenceObj` —
+ * the generated code calls the probe method on the expression instance
+ * directly (same technique Spark's own BloomFilterMightContain uses).
+ */
+case class CmsGeProbe(child: Expression, sketchBytes: Array[Byte], minCount: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val cms: CountMinSketch =
+    CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "cms_ge"
+
+  /** True iff the sketch's (over-)estimate reaches `minCount`. CMS never
+    * undercounts, so `false` proves the true count is below `minCount` —
+    * the one-sided guarantee the exact second pass relies on. */
+  def probe(v: Long): Boolean = cms.estimateCount(java.lang.Long.valueOf(v)) >= minCount
+
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsGe", this, classOf[CmsGeProbe].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsGeProbe =
+    copy(child = newChild)
+}
+
+/** bloom_contains(key: long): membership probe against a serialized
+  * [[BloomFilter]] — no false negatives, `fpp` false positives. */
+case class BloomContainsProbe(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  def probe(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomContains", this,
+      classOf[BloomContainsProbe].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsProbe =
+    copy(child = newChild)
+}
+
+object SketchProbeFunctions {
+  def cmsGe(c: Column, sketchBytes: Array[Byte], minCount: Long): Column =
+    ExpressionUtils.column(
+      CmsGeProbe(ExpressionUtils.expression(c), sketchBytes, minCount))
+  def bloomContains(c: Column, filterBytes: Array[Byte]): Column =
+    ExpressionUtils.column(
+      BloomContainsProbe(ExpressionUtils.expression(c), filterBytes))
+}

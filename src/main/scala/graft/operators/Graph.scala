@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph centrality over edge frames (mission extension): RefinedWeb /
+ * Common-Crawl-style pipelines weight documents by the link authority of
+ * their host, and PageRank over the host graph is the canonical form
+ * (Page et al. 1999, public literature).
+ *
+ * Implementation is the classic damped power iteration expressed as
+ * DataFrame joins — the textbook iterative-Spark workload. Per
+ * iteration: one equi-join (contribution edges × current ranks, on
+ * `src`) and one aggregation (sum contributions per `dst`). Both are
+ * key-partitioned shuffles of (id, double) pairs — never payloads — and
+ * the contribution-edge frame (src, dst, 1/outdeg) is computed once and
+ * reused every round from a checkpoint, so iteration N's lineage does
+ * not replay rounds 1..N-1. Lineage is additionally truncated every few
+ * rounds (iterative plans otherwise grow until analysis itself is the
+ * cost). At cluster scale the same loop holds: ranks and edges are both
+ * hash-partitioned by the join key, and AQE coalesces the per-round
+ * exchanges.
+ *
+ * Dangling nodes (no out-edges) leak their damped mass — the simple
+ * formulation `r' = (1-d)/N + d·Σ_in r/deg`, identical in the SQL
+ * oracle, so cross-engine results agree term for term.
+ */
+object Graph {
+
+  /**
+   * Damped PageRank by `iters` power-iteration rounds over distinct
+   * `(srcCol, dstCol)` edges. Returns one row per node: (`node`, `pr`).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pageRank on an empty edge frame")
+
+    // contribution weight 1/outdeg, attached once — reused every round
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val contribEdges = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(false)
+
+    val base = (1.0 - damping) / nNodes
+    var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
+    var i = 1
+    while (i <= iters) {
+      val contribs = contribEdges
+        .join(ranks, contribEdges("src") === ranks("node"))
+        .groupBy("dst").agg(sum(col("rank") * col("w")).as("contrib"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(nodes("node"),
+          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      // truncate lineage every 3 rounds; otherwise the plan for round N
+      // contains all prior rounds and planning cost compounds
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+      i += 1
+    }
+    ranks.select(col("node"), col("rank").as("pr"))
+  }
+}

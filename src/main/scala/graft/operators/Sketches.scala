@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.SketchProbeFunctions
+
+/**
+ * Sketch-gated exact operators (mission extension): a cheap mergeable
+ * sketch pass bounds the candidate set, then an exact pass over ONLY the
+ * survivors produces the precise answer. The sketches are one-sided
+ * (CMS never undercounts; Bloom has no false negatives), so pruning by
+ * them can never drop a true result row — the output is EXACT and fully
+ * SQL-oracle-able, while the expensive shuffle runs over a fraction of
+ * the data.
+ *
+ * This is the 100 TB shape for "find the heavy keys" / "join a huge fact
+ * to a small dimension": the first pass is map-side-combined aggregation
+ * into a few-KB summary (no row shuffle at all), and the second pass
+ * shuffles only rows the summary could not rule out.
+ */
+object Sketches {
+
+  /**
+   * Exact frequent items: every key of `keyCol` (integral) whose row
+   * count ≥ `minCount`, with its exact count.
+   *
+   * Pass 1 builds a count-min sketch with the BUILT-IN codegen'd
+   * `count_min_sketch` aggregate (partial-agg'd map side; the only thing
+   * that moves is the ~`e/eps · ln(1/(1-confidence))` counter table).
+   * Pass 2 filters rows through the sketch probe (map-side, inside
+   * whole-stage codegen) and exactly counts the survivors.
+   *
+   * Why not one plain groupBy? At 100 TB with ~10⁹ distinct keys the
+   * partial-agg hash tables overflow and the shuffle degrades to ~input
+   * size; gating by the sketch first means only rows of PLAUSIBLY-heavy
+   * keys enter the aggregation, so the shuffle is ∝ heavy-key rows. CMS
+   * overestimates ⇒ a few light keys survive the gate but are removed by
+   * the exact `HAVING n ≥ minCount` — never the reverse.
+   *
+   * `eps` trades sketch width for gate precision: estimates overshoot by
+   * ≤ eps·N (N = total rows) with probability `confidence`, so choose
+   * eps ≪ minCount/N to keep false survivors rare.
+   */
+  def frequentItems(df: DataFrame, keyCol: String, minCount: Long,
+                    eps: Double = 0.0001, confidence: Double = 0.99,
+                    seed: Int = 42): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val keyed = df.select(col(keyCol).cast("long").as("key"))
+    val sketchBytes = keyed
+      .agg(count_min_sketch(col("key"), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    keyed
+      .filter(SketchProbeFunctions.cmsGe(col("key"), sketchBytes, minCount))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /**
+   * Exact left-semi join (`large` rows whose `largeKey` appears in
+   * `small`'s `smallKey`), with the probe side pre-filtered by a Bloom
+   * filter built from the build side.
+   *
+   * The filter is built with Spark's `DataFrameStatFunctions.bloomFilter`
+   * (a tree-aggregated pass over `small`), serialized into the probe
+   * expression, and applied map-side inside codegen BEFORE the join's
+   * exchange — at scale this is the manual form of runtime row-level
+   * filtering: the big side's shuffle carries only rows that might
+   * match (plus ≤ `fpp` false positives), instead of everything. The
+   * left-semi join afterwards removes the false positives, so the
+   * result is exact.
+   *
+   * `expectedItems` sizes the filter; pass the build side's (approximate)
+   * distinct-key count when known, or ≤ 0 to spend one count() on it.
+   */
+  def bloomSemiJoin(large: DataFrame, small: DataFrame,
+                    largeKey: String, smallKey: String,
+                    expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val n = if (expectedItems > 0) expectedItems else small.count()
+    val bloom = small.select(col(smallKey).cast("long").as(smallKey))
+      .stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
+    val bytes = {
+      val out = new ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val pre = large.filter(
+      SketchProbeFunctions.bloomContains(col(largeKey).cast("long"), bytes))
+    val keys = small.select(col(smallKey).cast("long").as("__bsj_key")).distinct()
+    pre.join(keys, pre(largeKey).cast("long") === col("__bsj_key"), "left_semi")
+  }
+}
