@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{CanonicalTokens, CharEntropy, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
+import org.apache.spark.sql.graft.{BloomContainsProbe, CanonicalTokens, CharEntropy, CmsGeProbe, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -25,6 +25,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def binLit(e: Expression, what: String): Array[Byte] = e match {
+    case Literal(v: Array[Byte], _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a binary literal (the serialized sketch), got $other")
   }
 
   private def register(ext: SparkSessionExtensions, name: String,
@@ -88,6 +101,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "zorder63",
       "zorder63(a, b, c) - three-way Morton interleave, 21 bits per dimension",
       { case Seq(a, b, c) => ZOrder63(a, b, c) })
+
+    register(ext, "cms_ge",
+      "cms_ge(key, sketchBytes, minCount) - count-min-sketch over-estimate of key >= minCount (one-sided heavy-key gate; CMS never undercounts)",
+      { case Seq(child, bytes, min) =>
+        CmsGeProbe(child, binLit(bytes, "sketchBytes"), longLit(min, "minCount")) })
+
+    register(ext, "bloom_contains",
+      "bloom_contains(key, filterBytes) - Bloom-filter membership probe (no false negatives)",
+      { case Seq(child, bytes) =>
+        BloomContainsProbe(child, binLit(bytes, "filterBytes")) })
 
     // a composed rewrite chain, not a single native expression: the
     // builder and the Column facade share ONE Catalyst tree definition

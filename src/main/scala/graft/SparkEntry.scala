@@ -390,6 +390,46 @@ object SparkEntry {
         length(col("o_orderpriority")).as("plen"))
     }),
 
+    // ── Sketch-gated exact operators + graph centrality ──────────────────
+
+    // Exact frequent items, CMS-gated: pass 1 aggregates a count-min
+    // sketch (map-side partials, ~KBs move), pass 2 exactly counts only
+    // rows whose key the sketch says is PLAUSIBLY heavy. One-sided (CMS
+    // never undercounts) ⇒ result identical to the plain groupBy+HAVING
+    // the oracle runs. eps=1e-4 ⇒ overshoot ≤ 6 rows at sf0.01's 60k —
+    // far below minCount=40, so false survivors are rare and the second
+    // pass shuffles ~heavy-key rows only.
+    "q_frequent_items" -> ((s, dir) => {
+      graft.operators.Sketches.frequentItems(
+        t(s, dir, "lineitem"), "l_partkey", minCount = 40)
+    }),
+
+    // Exact semi-join, Bloom-gated: filter built from the small side's
+    // keys probes map-side INSIDE the scan's codegen stage, so the big
+    // side's shuffle carries only potential matches (+ ≤1% false
+    // positives the exact left-semi then removes). p_size ≤ 5 keeps ~10%
+    // of parts ⇒ the gate drops ~90% of lineitem pre-exchange.
+    "q_bloom_semijoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "part").filter(col("p_size") <= 5)
+      graft.operators.Sketches.bloomSemiJoin(li, dim, "l_partkey", "p_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_qty"))
+    }),
+
+    // Damped PageRank over the part→supplier edge graph (6 power-iteration
+    // rounds; see operators/Graph.scala for the iteration/lineage story).
+    // 6dp rounding absorbs cross-engine summation-order ulps (values are
+    // O(1e-4..1e-2); double noise is O(1e-15)).
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
     // ── Mission extensions: dedup / similarity / text analysis ───────────
 
     // Exact dedup: canonical doc per distinct text — scale-shaped
@@ -2347,6 +2387,50 @@ object SparkEntry {
         |      FROM cc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(h.entropy, 0.0) AS entropy
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    // Sketch gates are one-sided (CMS never undercounts, Bloom has no
+    // false negatives), so the oracle for both sketch-gated operators is
+    // the PLAIN EXACT query — any divergence is a correctness bug.
+    "q_frequent_items" ->
+      """SELECT CAST(l_partkey AS BIGINT) AS key, count(*) AS n
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40""".stripMargin,
+    "q_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY l_returnflag""".stripMargin,
+    // PageRank: the damped power iteration replicated term for term as 6
+    // unrolled join+aggregate rounds (recursive CTEs can't aggregate in
+    // the recursive term; fixed iteration count makes unrolling exact).
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |ce AS (SELECT e.src, e.dst, 1.0/d.deg AS w
+        |       FROM edges e JOIN deg d ON e.src = d.src),
+        |p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+        |p1 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p0 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p2 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p1 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p3 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p2 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p4 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p3 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p5 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p6 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
+        |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
     "q_interval_join" ->
       """SELECT count(*) AS n_pairs,
         |       CAST(sum(c.click_id) AS BIGINT) AS click_sum,

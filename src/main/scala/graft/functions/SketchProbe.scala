@@ -33,6 +33,18 @@ case class CmsGeProbe(child: Expression, sketchBytes: Array[Byte], minCount: Lon
   @transient private lazy val cms: CountMinSketch =
     CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
 
+  // Array[Byte] equals/hashCode are reference-based, which would make two
+  // structurally identical probes never semanticEquals — defeating
+  // canonicalization / common-subexpression elimination. Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case o: CmsGeProbe => child == o.child && minCount == o.minCount &&
+      java.util.Arrays.equals(sketchBytes, o.sketchBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(sketchBytes)) +
+      java.lang.Long.hashCode(minCount)
+
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = BooleanType
@@ -62,6 +74,15 @@ case class BloomContainsProbe(child: Expression, filterBytes: Array[Byte])
 
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  // Content equality over the serialized filter (see CmsGeProbe note).
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomContainsProbe => child == o.child &&
+      java.util.Arrays.equals(filterBytes, o.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)

@@ -56,6 +56,21 @@ package object functions {
       org.apache.spark.sql.graft.ZOrderFunctions.zorder63(a, b, c)
   }
 
+  /** Serialized-sketch probes (see org.apache.spark.sql.graft.SketchProbe):
+    * the map-side gate of the sketch-then-exact operators in
+    * [[graft.operators.Sketches]]. The sketch bytes travel inside the
+    * expression (plan-shipped to every task, deserialized once per
+    * executor); both probes stay inside whole-stage codegen. */
+  object Sketch {
+    /** True iff the count-min sketch's (over-)estimate of `c` ≥ minCount —
+      * CMS never undercounts, so `false` PROVES the true count is below. */
+    def cmsGe(c: Column, sketchBytes: Array[Byte], minCount: Long): Column =
+      org.apache.spark.sql.graft.SketchProbeFunctions.cmsGe(c, sketchBytes, minCount)
+    /** Bloom membership probe — no false negatives, `fpp` false positives. */
+    def bloomContains(c: Column, filterBytes: Array[Byte]): Column =
+      org.apache.spark.sql.graft.SketchProbeFunctions.bloomContains(c, filterBytes)
+  }
+
   /** Vector-sketch expressions (see org.apache.spark.sql.graft.VectorSketch). */
   object Vectors {
     /** Random-hyperplane LSH signature (≤64 bits) of an array<float> column. */

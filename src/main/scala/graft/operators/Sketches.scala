@@ -23,6 +23,18 @@ import org.apache.spark.sql.graft.SketchProbeFunctions
  */
 object Sketches {
 
+  /** Both probes hash `long` keys, so the key columns must be integral —
+    * a silent `cast("long")` on doubles/strings would make distinct values
+    * that truncate to the same long spuriously match (and values that cast
+    * to null silently vanish). Fail loudly instead. */
+  private def requireIntegral(df: DataFrame, colName: String, what: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(colName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$what column '$colName' must be an integral type (byte/short/int/long) " +
+        s"for lossless sketch probing; got ${dt.simpleString}")
+  }
+
   /**
    * Exact frequent items: every key of `keyCol` (integral) whose row
    * count ≥ `minCount`, with its exact count.
@@ -43,12 +55,19 @@ object Sketches {
    * `eps` trades sketch width for gate precision: estimates overshoot by
    * ≤ eps·N (N = total rows) with probability `confidence`, so choose
    * eps ≪ minCount/N to keep false survivors rare.
+   *
+   * NULL keys are excluded (explicit pre-filter — the sketch aggregate
+   * skips them and the null-intolerant probe would drop them anyway; a
+   * plain groupBy would return a null group, so the contract difference
+   * is made visible here rather than left implicit).
    */
   def frequentItems(df: DataFrame, keyCol: String, minCount: Long,
                     eps: Double = 0.0001, confidence: Double = 0.99,
                     seed: Int = 42): DataFrame = {
     require(minCount > 0, "minCount must be positive")
-    val keyed = df.select(col(keyCol).cast("long").as("key"))
+    requireIntegral(df, keyCol, "frequentItems key")
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"))
     val sketchBytes = keyed
       .agg(count_min_sketch(col("key"), lit(eps), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
@@ -73,12 +92,20 @@ object Sketches {
    * result is exact.
    *
    * `expectedItems` sizes the filter; pass the build side's (approximate)
-   * distinct-key count when known, or ≤ 0 to spend one count() on it.
+   * distinct-key count when known, or ≤ 0 to derive it with one
+   * `approx_count_distinct` (HLL) pass — a map-side partial aggregate
+   * whose shuffle is one sketch per partition, never a full `count()`
+   * job over the build side's rows. (Distinct count is also the RIGHT
+   * sizing input — bloom capacity is per distinct key, and a row count
+   * over-sizes the filter on duplicate-heavy build sides.)
    */
   def bloomSemiJoin(large: DataFrame, small: DataFrame,
                     largeKey: String, smallKey: String,
                     expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val n = if (expectedItems > 0) expectedItems else small.count()
+    requireIntegral(large, largeKey, "bloomSemiJoin probe")
+    requireIntegral(small, smallKey, "bloomSemiJoin build")
+    val n = if (expectedItems > 0) expectedItems
+      else small.agg(approx_count_distinct(col(smallKey))).head().getLong(0)
     val bloom = small.select(col(smallKey).cast("long").as(smallKey))
       .stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
     val bytes = {
@@ -88,7 +115,9 @@ object Sketches {
     }
     val pre = large.filter(
       SketchProbeFunctions.bloomContains(col(largeKey).cast("long"), bytes))
-    val keys = small.select(col(smallKey).cast("long").as("__bsj_key")).distinct()
-    pre.join(keys, pre(largeKey).cast("long") === col("__bsj_key"), "left_semi")
+    // join on the ORIGINAL key columns (integral ⇒ equality semantics are
+    // native; the long cast exists only inside the probe)
+    val keys = small.select(col(smallKey).as("__bsj_key")).distinct()
+    pre.join(keys, pre(largeKey) === col("__bsj_key"), "left_semi")
   }
 }

@@ -54,6 +54,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // three dims, bit 0 each → bits 0,1,2 → 7
       assert(r.getLong(12) === 7L)
       assert(r.getString(13) === "https://example.com/Path")
+
+      // sketch probes: the serialized sketch rides in as a binary literal
+      val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.99, 42)
+      Seq(7L, 7L, 7L, 9L).foreach(v => cms.add(java.lang.Long.valueOf(v)))
+      val cmsOut = new java.io.ByteArrayOutputStream()
+      cms.writeTo(cmsOut)
+      val cmsHex = cmsOut.toByteArray.map("%02X".format(_)).mkString
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(4, 0.01)
+      bf.putLong(42L)
+      val bfOut = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bfOut)
+      val bfHex = bfOut.toByteArray.map("%02X".format(_)).mkString
+      val r2 = spark.sql(
+        s"""SELECT cms_ge(CAST(7 AS BIGINT), X'$cmsHex', 3) AS heavy,
+           |       cms_ge(CAST(9 AS BIGINT), X'$cmsHex', 3) AS light,
+           |       bloom_contains(CAST(42 AS BIGINT), X'$bfHex') AS present
+           |""".stripMargin).head()
+      assert(r2.getBoolean(0) === true)   // count(7)=3 >= 3
+      assert(r2.getBoolean(1) === false)  // count(9)=1 < 3 (no collision at this width)
+      assert(r2.getBoolean(2) === true)   // no false negatives
     } finally spark.stop() // this suite owns its session (extensions differ)
   }
 }

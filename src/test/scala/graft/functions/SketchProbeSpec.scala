@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{BloomContainsProbe, CmsGeProbe, SketchProbeFunctions}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+
+import graft.SparkSpec
+
+/** Probe expressions over serialized sketches: interpreted-vs-codegen
+  * parity, the one-sided guarantees the exact second pass relies on,
+  * null semantics, and content-based expression equality (an
+  * Array[Byte] param with reference equals would defeat semanticEquals /
+  * canonicalization — pinned here). */
+class SketchProbeSpec extends SparkSpec {
+
+  private def cmsBytes(values: Seq[Long], eps: Double = 0.01): Array[Byte] = {
+    val cms = CountMinSketch.create(eps, 0.99, 42)
+    values.foreach(v => cms.add(java.lang.Long.valueOf(v)))
+    val out = new ByteArrayOutputStream()
+    cms.writeTo(out)
+    out.toByteArray
+  }
+
+  private def bloomBytes(values: Seq[Long]): Array[Byte] = {
+    val bf = BloomFilter.create(values.size.toLong.max(1), 0.01)
+    values.foreach(bf.putLong)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  // skewed multiset: key k appears k times, k = 1..20
+  private val skewed: Seq[Long] = (1L to 20L).flatMap(k => Seq.fill(k.toInt)(k))
+
+  test("cms_ge: interpreted eval matches codegen'd DataFrame filter; one-sided") {
+    val bytes = cmsBytes(skewed)
+    val minCount = 10L
+
+    // interpreted path: Expression.eval directly
+    val expr = CmsGeProbe(BoundReference(0, LongType, nullable = true), bytes, minCount)
+    val interpreted = (1L to 20L).filter(k => expr.eval(InternalRow(k)) == true)
+
+    // codegen path: the same probe inside a whole-stage-codegen'd filter
+    import spark.implicits._
+    val codegen = (1L to 20L).toDF("key")
+      .filter(SketchProbeFunctions.cmsGe(col("key"), bytes, minCount))
+      .as[Long].collect().sorted.toSeq
+
+    assert(interpreted === codegen)
+    // one-sided: CMS never undercounts, so every truly-heavy key survives
+    assert((10L to 20L).forall(interpreted.contains), s"lost a heavy key: $interpreted")
+    // eval of a null input is null (nullIntolerant), i.e. filtered out
+    assert(expr.eval(InternalRow(null)) == null)
+  }
+
+  test("bloom_contains: no false negatives; interpreted matches codegen") {
+    val inserted = (0L until 500L).map(_ * 7L)
+    val bytes = bloomBytes(inserted)
+
+    val expr = BloomContainsProbe(BoundReference(0, LongType, nullable = true), bytes)
+    assert(inserted.forall(v => expr.eval(InternalRow(v)) == true),
+      "bloom filter returned a false negative")
+    assert(expr.eval(InternalRow(null)) == null)
+
+    import spark.implicits._
+    val probes = (0L until 3500L)
+    val codegen = probes.toDF("key")
+      .filter(SketchProbeFunctions.bloomContains(col("key"), bytes))
+      .as[Long].collect().toSet
+    val interpreted = probes.filter(v => expr.eval(InternalRow(v)) == true).toSet
+    assert(codegen === interpreted)
+    assert(inserted.toSet.subsetOf(codegen))
+  }
+
+  test("probes compare by sketch CONTENT, not array reference") {
+    val bytes = cmsBytes(skewed)
+    val child = BoundReference(0, LongType, nullable = true)
+    val a = CmsGeProbe(child, bytes, 5L)
+    val b = CmsGeProbe(child, bytes.clone(), 5L) // distinct array object
+    assert(a === b)
+    assert(a.hashCode === b.hashCode)
+    assert(a.semanticEquals(b), "structurally identical probes must canonicalize equal")
+    assert(a !== CmsGeProbe(child, bytes, 6L))
+
+    val fb = bloomBytes(Seq(1L, 2L, 3L))
+    val x = BloomContainsProbe(child, fb)
+    val y = BloomContainsProbe(child, fb.clone())
+    assert(x === y)
+    assert(x.hashCode === y.hashCode)
+    assert(x.semanticEquals(y))
+    assert(x !== BloomContainsProbe(child, bloomBytes(Seq(9L))))
+  }
+}

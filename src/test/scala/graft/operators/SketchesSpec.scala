@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sketch-gated exact operators: the load-bearing invariant is
+  * ONE-SIDEDNESS — the sketch gate may pass extra rows (removed by the
+  * exact second pass) but can never drop a row the plain exact query
+  * returns, so each operator's result must be IDENTICAL to its ungated
+  * equivalent. Every test here compares against that equivalent. */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // key k appears k times (k = 1..30) plus nulls — skew and a null group
+  private def skewedDf = {
+    val rows = (1 to 30).flatMap(k => Seq.fill(k)(Option(k.toLong))) ++
+      Seq.fill(40)(Option.empty[Long])
+    rows.toDF("k")
+  }
+
+  test("frequentItems == plain groupBy+HAVING (one-sided CMS gate)") {
+    val got = Sketches.frequentItems(skewedDf, "k", minCount = 12)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val expect = skewedDf.filter(col("k").isNotNull)
+      .groupBy(col("k").as("key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 12)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got.nonEmpty && got.forall(_._2 >= 12))
+  }
+
+  test("frequentItems: null keys are excluded by documented contract") {
+    // 40 nulls >= minCount 35, but the contract (scaladoc'd) excludes them
+    val got = Sketches.frequentItems(skewedDf, "k", minCount = 35)
+    assert(got.filter(col("key").isNull).count() === 0)
+  }
+
+  test("frequentItems rejects non-integral key types loudly") {
+    val strs = Seq("a", "a", "b").toDF("s")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.frequentItems(strs, "s", minCount = 2)
+    }
+    assert(ex.getMessage.contains("integral"))
+    val dbls = Seq(2.1, 2.9).toDF("d")
+    intercept[IllegalArgumentException] {
+      Sketches.frequentItems(dbls, "d", minCount = 1)
+    }
+  }
+
+  test("bloomSemiJoin == plain left-semi join, all columns intact") {
+    val large = (1L to 2000L).map(i => (i, i % 97, s"payload-$i"))
+      .toDF("id", "key", "payload")
+    val small = Seq(3L, 5L, 7L, 11L, 13L).toDF("dim_key")
+    val got = Sketches.bloomSemiJoin(large, small, "key", "dim_key")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val expect = large.join(small, large("key") === small("dim_key"), "left_semi")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("bloomSemiJoin: explicit and HLL-derived sizing agree; int keys work") {
+    val large = (1 to 500).map(i => (i, i % 13)).toDF("id", "key") // ints
+    val small = Seq(1, 2, 3).toDF("dim_key")
+    val sized = Sketches.bloomSemiJoin(large, small, "key", "dim_key",
+      expectedItems = 3L).as[(Int, Int)].collect().sorted.toSeq
+    val derived = Sketches.bloomSemiJoin(large, small, "key", "dim_key")
+      .as[(Int, Int)].collect().sorted.toSeq
+    val expect = large.join(small, large("key") === small("dim_key"), "left_semi")
+      .as[(Int, Int)].collect().sorted.toSeq
+    assert(sized === expect)
+    assert(derived === expect)
+  }
+
+  test("bloomSemiJoin rejects non-integral keys (no silent lossy cast)") {
+    val large = Seq(2.1, 2.9).toDF("d")
+    val small = Seq(2L).toDF("k")
+    // doubles 2.1 and 2.9 both truncate to long 2 — the loud failure is
+    // the fix for exactly that spurious-match class
+    intercept[IllegalArgumentException] {
+      Sketches.bloomSemiJoin(large, small, "d", "k")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomSemiJoin(small, large, "k", "d")
+    }
+  }
+}
