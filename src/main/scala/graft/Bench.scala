@@ -77,8 +77,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // -1 failure markers excluded
+    // Cross-engine anchor: BASELINE_LOCAL.json is the DuckDB oracle-suite
+    // total over the SAME sf parquet (tools/oracle_bench.py; BASELINE.md
+    // §BASELINE_LOCAL). Emitting the ratio into the bench artifact makes
+    // the round-over-round trend machine-checkable — a rising ratio on an
+    // unchanged query set is the real regression signal even when both
+    // absolute totals drift with the machine. Only emitted when the
+    // anchor was measured at the sf this run benched.
+    val anchorFields = {
+      val p = java.nio.file.Paths.get("BASELINE_LOCAL.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val v = """"value"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        val sfMatch = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        def r2(x: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, x)
+        v.filter(_ > 0 && sfMatch).map { d =>
+          s""","spark_total":${r2(total)},"duckdb_total":${r2(d)},"ratio":${r2(total / d)}"""
+        }.getOrElse("")
+      } else ""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$anchorFields,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's tail capture is a FIXED ~2000-char window; the full
     // per-query line (~90 queries, full double precision) is ~4000 chars and
     // can never fit, wherever it is printed (r4/r5 `parsed: null`). So:

@@ -450,11 +450,16 @@ object LangModel {
    * clean slice — or the corpus itself for self-perplexity), score
    * `docs`, and keep documents at or below the given perplexity. Empty
    * documents carry no evidence either way and are kept.
+   *
+   * Trains with hashed keys (scoring rides the model schema): the filter
+   * only compares the score against a ceiling, so the 8-byte shuffle
+   * diet is free here — same reasoning as [[backoffFilter]]. The
+   * string-keyed path stays directly oracled via `text_perplexity`.
    */
   def perplexityFilter(docs: DataFrame, trainDocs: DataFrame,
                        idCol: String, textCol: String,
                        maxPpl: Double): DataFrame = {
-    val model = trainBigramLM(trainDocs, textCol)
+    val model = trainBigramLM(trainDocs, textCol, hashedKeys = true)
     val kept = scorePerplexity(docs, model, idCol, textCol)
       .where(col("ppl").isNull || col("ppl") <= maxPpl)
       .select(col(idCol))

@@ -193,18 +193,20 @@ object Similarity {
   }
 
   /** Bounded deterministic training set: the `trainSample` globally
-    * smallest hash ranks in ONE pass (per-partition bounded heaps via
-    * `takeOrdered` — no sizing `count()`, no second scan; the previous
-    * count-then-filter shape cost an extra full scan per training).
-    * DRIVER MEMORY IS THE TRADE: the merge transiently holds up to
-    * ~2 × trainSample boxed (rank, (id, vector)) tuples — ~25 MB at
-    * the dim-64 defaults but ~0.5-1 GB at trainSample=50k × dim 1024;
-    * shrink trainSample for wide embeddings (quantizer quality needs
-    * a few hundred points per cell, not 50k). Same driver-side shape
-    * as Spark MLlib KMeans init's takeSample. The sample is then
-    * re-parallelized and cached for Lloyd to iterate. Ranking uses the
-    * same seeded hash as Lloyd's init, so init centroids are a
-    * deterministic prefix of the sample ranking. */
+    * smallest hash ranks in ONE scan. Each partition keeps at most
+    * `trainSample` survivors in a bounded max-heap; the per-partition
+    * partials are merged in a SINGLE EXECUTOR TASK (one extra narrow
+    * shuffle of ≤ numPartitions·trainSample already-pruned rows), so the
+    * driver receives exactly ONE k-bounded sample — O(trainSample), not
+    * the former `takeOrdered` merge that transiently held ~2× the sample
+    * in boxed tuples driver-side (0.5-1 GB at trainSample=50k × dim
+    * 1024). At extreme partition counts an intermediate merge level
+    * could bound the single merge task's fan-in; at ≤ O(100) partitions
+    * the streamed iterator merge (live set ≈ heap + one incoming
+    * partial) is the simpler shape. The sample is then re-parallelized
+    * and cached for Lloyd to iterate. Ranking uses the same seeded hash
+    * as Lloyd's init, so init centroids are a deterministic prefix of
+    * the sample ranking. */
   private def boundedSample(corpus: DataFrame, trainSample: Int, seed: Long,
                             idCol: String, vecCol: String)
   : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {
@@ -212,12 +214,35 @@ object Similarity {
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    val sample = typed.rdd
+    // max-heap on (rankHash, id): root = largest kept rank; k smallest survive
+    val heapOrd: Ordering[(Long, Long, Array[Float])] =
+      Ordering.by(e => (e._1, e._2))
+    def bounded(it: Iterator[(Long, Long, Array[Float])])
+    : Array[(Long, Long, Array[Float])] = {
+      val pq = scala.collection.mutable.PriorityQueue.empty(heapOrd)
+      it.foreach { e =>
+        if (pq.size < trainSample) pq += e
+        else {
+          val top = pq.head
+          if (e._1 < top._1 || (e._1 == top._1 && e._2 < top._2)) {
+            pq.dequeue(); pq += e
+          }
+        }
+      }
+      pq.dequeueAll.reverseIterator.toArray // ascending (rank, id)
+    }
+    val partials = typed.rdd
       .map { case (id, vec) =>
-        ((graft.core.EsMurmur3.hash(id.toString + seed).toLong, id),
-          (id, vec)) }
-      .takeOrdered(trainSample)(Ordering.by(_._1))
-      .map(_._2)
+        (graft.core.EsMurmur3.hash(id.toString + seed).toLong, id, vec) }
+      .mapPartitions(it => Iterator.single(bounded(it)))
+    // repartition(1) (NOT coalesce): the scan/prune stays parallel and
+    // only pruned partials flow to the one merge task
+    val sample = partials.repartition(1)
+      .mapPartitions(heaps => Iterator.single(bounded(heaps.flatMap(_.iterator))))
+      .collect() match {
+        case Array(merged) => merged.map(e => (e._2, e._3))
+        case _ => Array.empty[(Long, Array[Float])] // empty corpus: no partials
+      }
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, sample.length / 1024 + 1))
     val train = spark.sparkContext.parallelize(sample.toSeq, parts).cache()

@@ -553,6 +553,33 @@ object StressBench {
       }
     }
 
+    // NB classifier train + score, hashed feature keys — the same join
+    // shape as lm_score (one feature-keyed agg to train, one model
+    // equi-join to score), so its tiers should track the lm_score line
+    // ~linearly. Labels are text-independent (cost is what's measured);
+    // 20% positive keeps both classes populated for the fail-loud check.
+    if (only.contains("classify")) {
+      import graft.operators.Classifier
+      for (n <- docTiers) {
+        val docs = synthDocs(spark, n)
+          .withColumn("label", col("doc_id") % 5 === 0)
+          .cache()
+        docs.count()
+        run("nb_train", n)(
+          Classifier.trainNaiveBayes(docs, "label", "text",
+            hashedKeys = true).features.count())
+        // model prepared OUTSIDE the timed block (lm_score convention);
+        // the action consumes logodds so the scoring join can't be
+        // optimized away under a bare count()
+        val m = Classifier.trainNaiveBayes(docs, "label", "text",
+          hashedKeys = true)
+        run("nb_score", n)(
+          Classifier.scoreLogOdds(docs, m, "doc_id", "text")
+            .agg(count(col("logodds"))).first().getLong(0))
+        docs.unpersist()
+      }
+    }
+
     // BPE merge-loop scaling: the incremental pair bookkeeping should
     // make merge count ~free relative to the recount's O(merges × dict)
     // (the distributed word-frequency pass is identical either way).
