@@ -103,12 +103,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(a, b, c) => ZOrder63(a, b, c) })
 
     register(ext, "cms_ge",
-      "cms_ge(key, sketchBytes, minCount) - count-min-sketch over-estimate of key >= minCount (one-sided heavy-key gate; CMS never undercounts)",
+      "cms_ge(key, sketchBytes, minCount) - count-min-sketch over-estimate of key (bigint or string) >= minCount (one-sided heavy-key gate; CMS never undercounts)",
       { case Seq(child, bytes, min) =>
         CmsGeProbe(child, binLit(bytes, "sketchBytes"), longLit(min, "minCount")) })
 
     register(ext, "bloom_contains",
-      "bloom_contains(key, filterBytes) - Bloom-filter membership probe (no false negatives)",
+      "bloom_contains(key, filterBytes) - Bloom-filter membership probe of key (bigint or string; no false negatives)",
       { case Seq(child, bytes) =>
         BloomContainsProbe(child, binLit(bytes, "filterBytes")) })
 

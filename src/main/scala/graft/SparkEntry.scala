@@ -419,6 +419,32 @@ object SparkEntry {
             .cast("double"), 2).as("sum_qty"))
     }),
 
+    // Exact anti-join, Bloom-gated — the decontamination/blocklist shape.
+    // The gate INVERTS for anti-join: a negative probe PROVES absence, so
+    // ~90% of lineitem bypasses the join entirely (no exchange); only
+    // probe-positive rows (matches + ≤1% fp) run the exact left-anti that
+    // separates true matches (dropped) from false positives (kept).
+    "q_bloom_antijoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "part").filter(col("p_size") <= 5)
+      graft.operators.Sketches.bloomAntiJoin(li, dim, "l_partkey", "p_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_qty"))
+    }),
+
+    // Exact heavy word-bigrams via the STRING-keyed CMS gate (tokens/
+    // hosts/fingerprints — text keys probe the sketch by UTF-8 bytes, no
+    // pre-hashing). Same one-sided two-pass shape as q_frequent_items.
+    "q_frequent_terms" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(
+          graft.functions.Text.wordNgrams(col("text"), 2)).as("term"))
+      graft.operators.Sketches.frequentItems(grams, "term", minCount = 40)
+    }),
+
     // Damped PageRank over the part→supplier edge graph (6 power-iteration
     // rounds; see operators/Graph.scala for the iteration/lineage story).
     // 6dp rounding absorbs cross-engine summation-order ulps (values are
@@ -2400,6 +2426,20 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY l_returnflag""".stripMargin,
+    "q_bloom_antijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_frequent_terms" ->
+      """SELECT ngram AS key, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |                               i -> t[i] || ' ' || t[i + 1])) AS ngram
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |        FROM documents WHERE length(trim(text)) > 0))
+        |GROUP BY ngram HAVING count(*) >= 40""".stripMargin,
     // PageRank: the damped power iteration replicated term for term as 6
     // unrolled join+aggregate rounds (recursive CTEs can't aggregate in
     // the recursive term; fixed iteration count makes unrolling exact).

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /**
@@ -46,7 +47,8 @@ case class CmsGeProbe(child: Expression, sketchBytes: Array[Byte], minCount: Lon
       java.lang.Long.hashCode(minCount)
 
   override def nullIntolerant: Boolean = true
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(LongType, StringType))
   override def dataType: DataType = BooleanType
   override def prettyName: String = "cms_ge"
 
@@ -55,12 +57,23 @@ case class CmsGeProbe(child: Expression, sketchBytes: Array[Byte], minCount: Lon
     * the one-sided guarantee the exact second pass relies on. */
   def probe(v: Long): Boolean = cms.estimateCount(java.lang.Long.valueOf(v)) >= minCount
 
-  override protected def nullSafeEval(input: Any): Any =
-    probe(input.asInstanceOf[Long])
+  /** String keys probe by UTF-8 bytes — the exact representation the
+    * built-in `count_min_sketch` aggregate inserts (`addBinary` of
+    * `UTF8String.getBytes`), so estimates agree with the trained sketch.
+    * Parity is pinned in SketchProbeSpec. */
+  def probeBytes(b: Array[Byte]): Boolean = cms.estimateCount(b) >= minCount
+
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case l: java.lang.Long => probe(l)
+    case s: UTF8String => probeBytes(s.getBytes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cmsGe", this, classOf[CmsGeProbe].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+    child.dataType match {
+      case StringType => defineCodeGen(ctx, ev, c => s"$ref.probeBytes($c.getBytes())")
+      case _ => defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): CmsGeProbe =
@@ -85,19 +98,31 @@ case class BloomContainsProbe(child: Expression, filterBytes: Array[Byte])
     31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 
   override def nullIntolerant: Boolean = true
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(LongType, StringType))
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
   def probe(v: Long): Boolean = bloom.mightContainLong(v)
 
-  override protected def nullSafeEval(input: Any): Any =
-    probe(input.asInstanceOf[Long])
+  /** String keys probe by UTF-8 bytes — `BloomFilter.putString` delegates
+    * to `putBinary` of the UTF-8 encoding, so `mightContainBinary` of
+    * `UTF8String.getBytes` matches however the filter was populated
+    * (stat.bloomFilter or putString). No-false-negatives pinned in spec. */
+  def probeBytes(b: Array[Byte]): Boolean = bloom.mightContainBinary(b)
+
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case l: java.lang.Long => probe(l)
+    case s: UTF8String => probeBytes(s.getBytes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomContains", this,
       classOf[BloomContainsProbe].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+    child.dataType match {
+      case StringType => defineCodeGen(ctx, ev, c => s"$ref.probeBytes($c.getBytes())")
+      case _ => defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomContainsProbe =

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.SketchProbeFunctions
@@ -23,21 +23,32 @@ import org.apache.spark.sql.graft.SketchProbeFunctions
  */
 object Sketches {
 
-  /** Both probes hash `long` keys, so the key columns must be integral —
-    * a silent `cast("long")` on doubles/strings would make distinct values
-    * that truncate to the same long spuriously match (and values that cast
-    * to null silently vanish). Fail loudly instead. */
-  private def requireIntegral(df: DataFrame, colName: String, what: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(colName).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$what column '$colName' must be an integral type (byte/short/int/long) " +
-        s"for lossless sketch probing; got ${dt.simpleString}")
+  /** The probes hash `long` or UTF-8-string keys, so key columns must be
+    * integral (losslessly widened to long) or string — a silent
+    * `cast("long")` on doubles would make distinct values that truncate
+    * to the same long spuriously match (and values that cast to null
+    * silently vanish). Fail loudly instead. Returns true iff string. */
+  private def keyIsString(df: DataFrame, colName: String, what: String): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    df.schema(colName).dataType match {
+      case StringType => true
+      case ByteType | ShortType | IntegerType | LongType => false
+      case dt => throw new IllegalArgumentException(
+        s"$what column '$colName' must be an integral or string type " +
+          s"for lossless sketch probing; got ${dt.simpleString}")
+    }
   }
 
+  /** Integral keys widen to long for the probe; strings probe as-is. */
+  private def probeKey(c: Column, isString: Boolean): Column =
+    if (isString) c else c.cast("long")
+
   /**
-   * Exact frequent items: every key of `keyCol` (integral) whose row
-   * count ≥ `minCount`, with its exact count.
+   * Exact frequent items: every key of `keyCol` (integral or string)
+   * whose row count ≥ `minCount`, with its exact count. String keys
+   * probe the sketch by their UTF-8 bytes — exactly how the built-in
+   * aggregate inserts them — so heavy-hitter sweeps over tokens, hosts,
+   * or fingerprints need no pre-hashing.
    *
    * Pass 1 builds a count-min sketch with the BUILT-IN codegen'd
    * `count_min_sketch` aggregate (partial-agg'd map side; the only thing
@@ -65,9 +76,9 @@ object Sketches {
                     eps: Double = 0.0001, confidence: Double = 0.99,
                     seed: Int = 42): DataFrame = {
     require(minCount > 0, "minCount must be positive")
-    requireIntegral(df, keyCol, "frequentItems key")
+    val isString = keyIsString(df, keyCol, "frequentItems key")
     val keyed = df.filter(col(keyCol).isNotNull)
-      .select(col(keyCol).cast("long").as("key"))
+      .select(probeKey(col(keyCol), isString).as("key"))
     val sketchBytes = keyed
       .agg(count_min_sketch(col("key"), lit(eps), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
@@ -102,22 +113,65 @@ object Sketches {
   def bloomSemiJoin(large: DataFrame, small: DataFrame,
                     largeKey: String, smallKey: String,
                     expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    requireIntegral(large, largeKey, "bloomSemiJoin probe")
-    requireIntegral(small, smallKey, "bloomSemiJoin build")
-    val n = if (expectedItems > 0) expectedItems
-      else small.agg(approx_count_distinct(col(smallKey))).head().getLong(0)
-    val bloom = small.select(col(smallKey).cast("long").as(smallKey))
-      .stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
-    val bytes = {
-      val out = new ByteArrayOutputStream()
-      bloom.writeTo(out)
-      out.toByteArray
-    }
+    val bytes = buildBloom(large, small, largeKey, smallKey, expectedItems, fpp)
+    val isLargeString = keyIsString(large, largeKey, "bloomSemiJoin probe")
     val pre = large.filter(
-      SketchProbeFunctions.bloomContains(col(largeKey).cast("long"), bytes))
+      SketchProbeFunctions.bloomContains(
+        probeKey(col(largeKey), isLargeString), bytes))
     // join on the ORIGINAL key columns (integral ⇒ equality semantics are
     // native; the long cast exists only inside the probe)
     val keys = small.select(col(smallKey).as("__bsj_key")).distinct()
     pre.join(keys, pre(largeKey) === col("__bsj_key"), "left_semi")
+  }
+
+  /**
+   * Exact anti-join (`large` rows whose `largeKey` does NOT appear in
+   * `small`'s `smallKey`) — the decontamination / blocklist shape: drop
+   * every corpus row whose key matches a (comparatively small) reject
+   * set.
+   *
+   * Bloom's one-sidedness INVERTS here: a negative probe PROVES the key
+   * is absent from the blocklist, so probe-negative rows (the vast
+   * majority when the blocklist is selective) are emitted directly —
+   * they never enter any join, exchange, or state. Only probe-POSITIVE
+   * rows (true matches + ≤ `fpp` false positives) run the exact
+   * left-anti join that separates real matches (dropped) from false
+   * positives (kept). NULL keys match nothing under anti-join semantics
+   * and are kept, exactly as the plain left-anti join would.
+   *
+   * At 100 TB this is the difference between shuffling the corpus and
+   * shuffling ~the contaminated fraction: the big side's exchange
+   * carries only rows the filter could not clear.
+   */
+  def bloomAntiJoin(large: DataFrame, small: DataFrame,
+                    largeKey: String, smallKey: String,
+                    expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val bytes = buildBloom(large, small, largeKey, smallKey, expectedItems, fpp)
+    val isLargeString = keyIsString(large, largeKey, "bloomAntiJoin probe")
+    val hit = SketchProbeFunctions.bloomContains(
+      probeKey(col(largeKey), isLargeString), bytes)
+    // definitely-absent rows (and null keys, which match nothing) bypass
+    // the join entirely; !hit is null for null keys, hence the explicit arm
+    val clear = large.filter(col(largeKey).isNull || !hit)
+    val suspect = large.filter(hit) // null-intolerant probe: nulls already out
+    val keys = small.select(col(smallKey).as("__baj_key")).distinct()
+    clear.unionByName(
+      suspect.join(keys, suspect(largeKey) === col("__baj_key"), "left_anti"))
+  }
+
+  /** Shared build-side pass for the bloom joins: validate key types, size
+    * the filter (HLL when unspecified), serialize. */
+  private def buildBloom(large: DataFrame, small: DataFrame,
+                         largeKey: String, smallKey: String,
+                         expectedItems: Long, fpp: Double): Array[Byte] = {
+    keyIsString(large, largeKey, "bloom probe")
+    val isSmallString = keyIsString(small, smallKey, "bloom build")
+    val n = if (expectedItems > 0) expectedItems
+      else small.agg(approx_count_distinct(col(smallKey))).head().getLong(0)
+    val bloom = small.select(probeKey(col(smallKey), isSmallString).as(smallKey))
+      .stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
+    val out = new ByteArrayOutputStream()
+    bloom.writeTo(out)
+    out.toByteArray
   }
 }

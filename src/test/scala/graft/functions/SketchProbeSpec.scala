@@ -77,6 +77,43 @@ class SketchProbeSpec extends SparkSpec {
     assert(inserted.toSet.subsetOf(codegen))
   }
 
+  test("string cms_ge probes bytes exactly as the built-in aggregate inserts") {
+    import spark.implicits._
+    // sketch trained by Spark's own count_min_sketch AGGREGATE over strings
+    val rows = (1 to 20).flatMap(k => Seq.fill(k)(s"w$k"))
+    val bytes = rows.toDF("s")
+      .agg(count_min_sketch(col("s"), lit(0.01), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    // probe through the expression (codegen) — representation mismatch
+    // between insert and probe would lose heavy keys, violating CMS's
+    // no-undercount guarantee
+    val survivors = (1 to 20).map(k => s"w$k").toDF("s")
+      .filter(SketchProbeFunctions.cmsGe(col("s"), bytes, 10L))
+      .as[String].collect().toSet
+    assert((10 to 20).forall(k => survivors.contains(s"w$k")),
+      s"heavy string key lost: $survivors")
+    // interpreted parity
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = CmsGeProbe(BoundReference(0, StringType, nullable = true), bytes, 10L)
+    val interp = (1 to 20).map(k => s"w$k")
+      .filter(w => expr.eval(InternalRow(UTF8String.fromString(w))) == true).toSet
+    assert(interp === survivors)
+  }
+
+  test("string bloom_contains: no false negatives vs stat.bloomFilter build") {
+    import spark.implicits._
+    val hosts = (0 until 300).map(i => s"host-$i.example.com")
+    val bf = hosts.toDF("h").stat.bloomFilter("h", 300, 0.01)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    val bytes = out.toByteArray
+    val found = hosts.toDF("h")
+      .filter(SketchProbeFunctions.bloomContains(col("h"), bytes))
+      .as[String].collect().toSet
+    assert(found === hosts.toSet, "bloom string probe lost inserted keys")
+  }
+
   test("probes compare by sketch CONTENT, not array reference") {
     val bytes = cmsBytes(skewed)
     val child = BoundReference(0, LongType, nullable = true)

@@ -37,16 +37,12 @@ class SketchesSpec extends SparkSpec {
     assert(got.filter(col("key").isNull).count() === 0)
   }
 
-  test("frequentItems rejects non-integral key types loudly") {
-    val strs = Seq("a", "a", "b").toDF("s")
-    val ex = intercept[IllegalArgumentException] {
-      Sketches.frequentItems(strs, "s", minCount = 2)
-    }
-    assert(ex.getMessage.contains("integral"))
+  test("frequentItems rejects lossy key types loudly (doubles)") {
     val dbls = Seq(2.1, 2.9).toDF("d")
-    intercept[IllegalArgumentException] {
+    val ex = intercept[IllegalArgumentException] {
       Sketches.frequentItems(dbls, "d", minCount = 1)
     }
+    assert(ex.getMessage.contains("integral or string"))
   }
 
   test("bloomSemiJoin == plain left-semi join, all columns intact") {
@@ -72,6 +68,47 @@ class SketchesSpec extends SparkSpec {
       .as[(Int, Int)].collect().sorted.toSeq
     assert(sized === expect)
     assert(derived === expect)
+  }
+
+  test("frequentItems over STRING keys == plain groupBy+HAVING") {
+    // token k repeats k times — string keys probe the sketch by UTF-8 bytes
+    val rows = (1 to 25).flatMap(k => Seq.fill(k)(s"tok-$k"))
+    val df = rows.toDF("term")
+    val got = Sketches.frequentItems(df, "term", minCount = 10)
+      .as[(String, Long)].collect().sorted.toSeq
+    val expect = df.groupBy(col("term").as("key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10).as[(String, Long)].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got.map(_._1) === (10 to 25).map(k => s"tok-$k"))
+  }
+
+  test("bloomAntiJoin == plain left-anti join; null keys kept") {
+    val large = ((1L to 2000L).map(i => (i, Option(i % 97), s"p-$i")) ++
+      Seq((9001L, Option.empty[Long], "null-key"))) // anti-join keeps null keys
+      .toDF("id", "key", "payload")
+    val small = Seq(3L, 5L, 7L, 11L, 13L).toDF("dim_key")
+    val got = Sketches.bloomAntiJoin(large, small, "key", "dim_key")
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1).toSeq
+    val expect = large.join(small, large("key") === small("dim_key"), "left_anti")
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1).toSeq
+    assert(got === expect)
+    assert(got.exists(_._2.isEmpty), "the null-key row must be kept")
+    // completeness both ways: semi ∪ anti == large, disjoint
+    val semi = Sketches.bloomSemiJoin(large.filter(col("key").isNotNull),
+      small, "key", "dim_key").count()
+    assert(semi + got.size === large.count())
+  }
+
+  test("bloomAntiJoin over STRING keys == plain left-anti") {
+    val large = (1 to 600).map(i => (i, s"host${i % 37}.com")).toDF("id", "host")
+    val block = Seq("host3.com", "host11.com", "host20.com").toDF("bad")
+    val got = Sketches.bloomAntiJoin(large, block, "host", "bad")
+      .as[(Int, String)].collect().sorted.toSeq
+    val expect = large.join(block, large("host") === block("bad"), "left_anti")
+      .as[(Int, String)].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got.nonEmpty && !got.exists(r => Set("host3.com", "host11.com",
+      "host20.com").contains(r._2)))
   }
 
   test("bloomSemiJoin rejects non-integral keys (no silent lossy cast)") {
