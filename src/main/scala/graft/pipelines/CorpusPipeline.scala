@@ -12,7 +12,8 @@ import graft.operators.{Dedup, Mixes, Splits, TextAnalysis}
  * facade only fixes the composition order a crawl pipeline uses
  * (the C4/RefinedWeb chain):
  *
- *   URL dedup → boilerplate-line strip → exact dedup → quality/token
+ *   URL dedup → blocklist cut (Bloom-gated) → boilerplate-line strip →
+ *   exact dedup → quality/token
  *   gates → repeated-span removal → chunk dedup → LM perplexity gate →
  *   trigram backoff gate → classifier quality cut → near-dup dedupe →
  *   eval-set decontamination (LSH + exact 13-gram) → DSIR importance
@@ -31,6 +32,14 @@ final case class CorpusPrepConfig(
     textCol: String = "text",
     /** Column holding each document's source URL — enables stage 1. */
     urlCol: Option[String] = None,
+    /** (blocklist, corpusKeyCol, blockKeyCol): drop every document whose
+      * key (URL, domain, fingerprint — integral or string) appears in
+      * the blocklist — the C4 bad-URL cut. Bloom-gated
+      * ([[graft.operators.Sketches.bloomAntiJoin]]): the clean majority
+      * of the corpus proves its absence map-side and never enters a
+      * join, so the cut costs ~one scan at 100 TB. Runs immediately
+      * after URL dedup (cheapest, highest-yield cuts first). */
+    blocklist: Option[(DataFrame, String, String)] = None,
     /** Strip lines appearing in ≥ this many docs (C4 boilerplate rule). */
     boilerplateMinDocFreq: Option[Long] = None,
     exactDedup: Boolean = true,
@@ -96,6 +105,9 @@ object CorpusPipeline {
     }
     cfg.urlCol.foreach { u =>
       cur = TextAnalysis.dedupByUrl(cur, cfg.idCol, u)
+    }
+    cfg.blocklist.foreach { case (block, keyCol, blockKeyCol) =>
+      cur = graft.operators.Sketches.bloomAntiJoin(cur, block, keyCol, blockKeyCol)
     }
     cfg.boilerplateMinDocFreq.foreach { f =>
       cur = TextAnalysis.stripBoilerplate(cur, cfg.idCol, cfg.textCol, f)

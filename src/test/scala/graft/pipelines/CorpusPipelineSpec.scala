@@ -53,6 +53,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bySrc.values.sum < 100L && bySrc.getOrElse("s0", 0L) > 0L)
   }
 
+  test("blocklist stage equals inline bloomAntiJoin; schema preserved") {
+    val df = corpus() // keeps the url column — the C4 bad-URL cut shape
+    val block = Seq("https://site3.com/p", "https://site7.com/p").toDF("bad_url")
+    val facade = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      exactDedup = false, minQuality = None, tokenRange = None,
+      blocklist = Some((block, "url", "bad_url"))))
+    val inline = graft.operators.Sketches.bloomAntiJoin(df, block, "url", "bad_url")
+    assert(facade.columns.toSeq === df.columns.toSeq)
+    assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
+    // the blocked urls are gone, everything else survives
+    assert(facade.filter(col("url").isin("https://site3.com/p",
+      "https://site7.com/p")).isEmpty)
+    assert(facade.count() === df.count() - 2)
+  }
+
   test("eval-set decontamination drops near-copies of eval docs") {
     val df = corpus().select("doc_id", "text")
     // the eval set is a near-copy of docs 10 and 20 (disjoint id space)
