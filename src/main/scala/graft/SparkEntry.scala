@@ -434,6 +434,32 @@ object SparkEntry {
             .cast("double"), 2).as("sum_qty"))
     }),
 
+    // Persisted + incrementally-merged Bloom filter — the daily-drop
+    // blocklist lifecycle: save a lifetime-sized filter from slice A,
+    // merge slice B in (O(delta), geometry inherited), load, and run the
+    // exact anti-join against the full blocklist with the pre-built
+    // filter (no rebuild scan). Result is EXACT — identical oracle to
+    // q_bloom_antijoin — because the exact pass joins the key table; the
+    // persisted filter only gates.
+    "q_bloom_index" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val dest = java.nio.file.Files.createTempDirectory("graft-bloom-q")
+        .toString + "/blocklist.bloom"
+      val part = t(s, dir, "part")
+      val sliceA = part.filter(col("p_size") <= 3)
+      val sliceB = part.filter(col("p_size") > 3 && col("p_size") <= 5)
+      Sketches.saveBloomFilter(sliceA, "p_partkey", dest, expectedItems = 4000)
+      Sketches.mergeIntoBloomFilter(sliceB, "p_partkey", dest)
+      val bytes = Sketches.loadBloomFilter(s, dest)
+      val block = part.filter(col("p_size") <= 5)
+      Sketches.bloomAntiJoinWithFilter(t(s, dir, "lineitem"), block,
+          "l_partkey", "p_partkey", bytes)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_qty"))
+    }),
+
     // Exact heavy word-bigrams via the STRING-keyed CMS gate (tokens/
     // hosts/fingerprints — text keys probe the sketch by UTF-8 bytes, no
     // pre-hashing). Same one-sided two-pass shape as q_frequent_items.
@@ -2427,6 +2453,15 @@ object SparkEntry {
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY l_returnflag""".stripMargin,
     "q_bloom_antijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY l_returnflag""".stripMargin,
+    // identical to q_bloom_antijoin: the persisted/merged filter only
+    // gates; the exact pass determines the result
+    "q_bloom_index" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
         |         AS sum_qty

@@ -112,17 +112,9 @@ object Sketches {
    */
   def bloomSemiJoin(large: DataFrame, small: DataFrame,
                     largeKey: String, smallKey: String,
-                    expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val bytes = buildBloom(large, small, largeKey, smallKey, expectedItems, fpp)
-    val isLargeString = keyIsString(large, largeKey, "bloomSemiJoin probe")
-    val pre = large.filter(
-      SketchProbeFunctions.bloomContains(
-        probeKey(col(largeKey), isLargeString), bytes))
-    // join on the ORIGINAL key columns (integral ⇒ equality semantics are
-    // native; the long cast exists only inside the probe)
-    val keys = small.select(col(smallKey).as("__bsj_key")).distinct()
-    pre.join(keys, pre(largeKey) === col("__bsj_key"), "left_semi")
-  }
+                    expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame =
+    bloomSemiJoinWithFilter(large, small, largeKey, smallKey,
+      buildBloom(large, small, largeKey, smallKey, expectedItems, fpp))
 
   /**
    * Exact anti-join (`large` rows whose `largeKey` does NOT appear in
@@ -142,22 +134,21 @@ object Sketches {
    * At 100 TB this is the difference between shuffling the corpus and
    * shuffling ~the contaminated fraction: the big side's exchange
    * carries only rows the filter could not clear.
+   *
+   * COST SHAPE: the clear/suspect split reads `large` twice (two scan
+   * branches under the union) — the deliberate trade: scans are
+   * sequential columnar reads with pushdown and no state, while the
+   * avoided exchange is the cluster bottleneck; when `large` is already
+   * cached/checkpointed the second read is a memory pass. If the probe
+   * side will be consumed by a SINGLE downstream join anyway (no union
+   * needed), prefer [[bloomSemiJoin]]'s shape with an anti join — one
+   * scan, gate still pre-exchange.
    */
   def bloomAntiJoin(large: DataFrame, small: DataFrame,
                     largeKey: String, smallKey: String,
-                    expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val bytes = buildBloom(large, small, largeKey, smallKey, expectedItems, fpp)
-    val isLargeString = keyIsString(large, largeKey, "bloomAntiJoin probe")
-    val hit = SketchProbeFunctions.bloomContains(
-      probeKey(col(largeKey), isLargeString), bytes)
-    // definitely-absent rows (and null keys, which match nothing) bypass
-    // the join entirely; !hit is null for null keys, hence the explicit arm
-    val clear = large.filter(col(largeKey).isNull || !hit)
-    val suspect = large.filter(hit) // null-intolerant probe: nulls already out
-    val keys = small.select(col(smallKey).as("__baj_key")).distinct()
-    clear.unionByName(
-      suspect.join(keys, suspect(largeKey) === col("__baj_key"), "left_anti"))
-  }
+                    expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame =
+    bloomAntiJoinWithFilter(large, small, largeKey, smallKey,
+      buildBloom(large, small, largeKey, smallKey, expectedItems, fpp))
 
   /** Shared build-side pass for the bloom joins: validate key types, size
     * the filter (HLL when unspecified), serialize. */
@@ -165,13 +156,138 @@ object Sketches {
                          largeKey: String, smallKey: String,
                          expectedItems: Long, fpp: Double): Array[Byte] = {
     keyIsString(large, largeKey, "bloom probe")
-    val isSmallString = keyIsString(small, smallKey, "bloom build")
-    val n = if (expectedItems > 0) expectedItems
-      else small.agg(approx_count_distinct(col(smallKey))).head().getLong(0)
-    val bloom = small.select(probeKey(col(smallKey), isSmallString).as(smallKey))
-      .stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
     val out = new ByteArrayOutputStream()
-    bloom.writeTo(out)
+    bloomOf(small, smallKey, expectedItems, fpp).writeTo(out)
     out.toByteArray
+  }
+
+  private def bloomOf(df: DataFrame, keyCol: String,
+                      expectedItems: Long, fpp: Double)
+  : org.apache.spark.util.sketch.BloomFilter = {
+    val isString = keyIsString(df, keyCol, "bloom build")
+    val n = if (expectedItems > 0) expectedItems
+      else df.agg(approx_count_distinct(col(keyCol))).head().getLong(0)
+    df.select(probeKey(col(keyCol), isString).as(keyCol))
+      .stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
+  }
+
+  // ── Persisted / incrementally-merged filters (the daily-drop shape) ──
+  //
+  // A production blocklist / kept-corpus filter is built ONCE and then
+  // grows by deltas: re-scanning the accumulated corpus every day to
+  // rebuild it costs O(corpus·days), while Bloom filters are mergeable —
+  // OR-ing two filters of identical geometry equals the filter of the
+  // union — so the daily cost is O(delta). The persisted artifact is the
+  // serialized filter (cluster-readable via Hadoop FileSystem, same
+  // transport layer as the snapshot sink). The probes stay EXACT-result
+  // operators: the filter only gates; the exact pass still joins the key
+  // table (which, in the daily-drop scenario, is the kept corpus already
+  // on disk). Size `expectedItems` for the filter's LIFETIME capacity at
+  // save time — merging cannot grow geometry, and a filter filled far
+  // past capacity degrades toward all-positive (gate stops pruning;
+  // results stay exact). Rebuild when saturated.
+
+  /** Build a Bloom filter of `keyCol` and persist it to `dest` (a single
+    * file on any Hadoop-FS scheme). Size `expectedItems` to the expected
+    * LIFETIME distinct-key count if the filter will be grown with
+    * [[mergeIntoBloomFilter]]; ≤ 0 sizes to the current frame (HLL). */
+  def saveBloomFilter(df: DataFrame, keyCol: String, dest: String,
+                      expectedItems: Long = 0L, fpp: Double = 0.01): Unit = {
+    val bloom = bloomOf(df, keyCol, expectedItems, fpp)
+    val path = new org.apache.hadoop.fs.Path(dest)
+    val fs = path.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Read a persisted filter's bytes — feed to the probe functions or the
+    * `filterBytes` join overloads. */
+  def loadBloomFilter(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Merge `delta`'s keys into the persisted filter at `path` in place —
+    * O(delta) daily accumulation. Geometry is inherited from the stored
+    * filter (each task deserializes its own copy as the fold zero, puts
+    * its partition's keys, and the copies OR-merge — existing bits are
+    * idempotent under OR), so merged probes have NO false negatives for
+    * old or new keys. */
+  def mergeIntoBloomFilter(delta: DataFrame, keyCol: String,
+                           path: String): Unit = {
+    import java.io.ByteArrayInputStream
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = delta.sparkSession
+    val isString = keyIsString(delta, keyCol, "bloom merge")
+    val zero = BloomFilter.readFrom(
+      new ByteArrayInputStream(loadBloomFilter(spark, path)))
+    val keys = delta.filter(col(keyCol).isNotNull)
+      .select(probeKey(col(keyCol), isString).as("k"))
+    val merged =
+      if (isString) {
+        import spark.implicits._
+        keys.as[String].rdd.treeAggregate(zero)(
+          (f, v) => { f.putString(v); f },
+          (a, b) => { a.mergeInPlace(b); a }, depth = 2)
+      } else {
+        import spark.implicits._
+        keys.as[Long].rdd.treeAggregate(zero)(
+          (f, v) => { f.putLong(v); f },
+          (a, b) => { a.mergeInPlace(b); a }, depth = 2)
+      }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try merged.writeTo(out) finally out.close()
+  }
+
+  /** [[bloomSemiJoin]] with a pre-built (persisted) filter: skips the
+    * build pass; the exact left-semi still runs against `small`.
+    * CORRECTNESS REQUIREMENT: the filter must contain EVERY key of
+    * `small` (built from it, or a superset grown by [[
+    * mergeIntoBloomFilter]]) — a stale filter missing keys would drop
+    * true matches, the one failure mode Bloom's no-false-negative
+    * guarantee cannot cover. Supersets only add false positives, which
+    * the exact pass removes. */
+  def bloomSemiJoinWithFilter(large: DataFrame, small: DataFrame,
+                              largeKey: String, smallKey: String,
+                              filterBytes: Array[Byte]): DataFrame = {
+    val isString = keyIsString(large, largeKey, "bloomSemiJoin probe")
+    keyIsString(small, smallKey, "bloomSemiJoin build")
+    // join on the ORIGINAL key columns (integral ⇒ equality semantics are
+    // native; the long cast exists only inside the probe)
+    val pre = large.filter(SketchProbeFunctions.bloomContains(
+      probeKey(col(largeKey), isString), filterBytes))
+    val keys = small.select(col(smallKey).as("__bsj_key")).distinct()
+    pre.join(keys, pre(largeKey) === col("__bsj_key"), "left_semi")
+  }
+
+  /** [[bloomAntiJoin]] with a pre-built (persisted) filter: skips the
+    * build pass; the exact left-anti still runs for probe-positives. A
+    * filter that is a SUPERSET of `small`'s keys (e.g. grown by deltas
+    * not yet in the key table) only adds false positives, which the
+    * exact pass keeps — results remain exact for the CURRENT `small`. */
+  def bloomAntiJoinWithFilter(large: DataFrame, small: DataFrame,
+                              largeKey: String, smallKey: String,
+                              filterBytes: Array[Byte]): DataFrame = {
+    val isString = keyIsString(large, largeKey, "bloomAntiJoin probe")
+    keyIsString(small, smallKey, "bloomAntiJoin build")
+    val hit = SketchProbeFunctions.bloomContains(
+      probeKey(col(largeKey), isString), filterBytes)
+    val clear = large.filter(col(largeKey).isNull || !hit)
+    val suspect = large.filter(hit)
+    val keys = small.select(col(smallKey).as("__baj_key")).distinct()
+    clear.unionByName(
+      suspect.join(keys, suspect(largeKey) === col("__baj_key"), "left_anti"))
   }
 }

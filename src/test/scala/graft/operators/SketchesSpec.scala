@@ -111,6 +111,51 @@ class SketchesSpec extends SparkSpec {
       "host20.com").contains(r._2)))
   }
 
+  test("persisted bloom: save + merge delta + load covers the union; joins stay exact") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-bloom-spec")
+      .toString + "/f.bloom"
+    val sliceA = Seq(3L, 5L, 7L).toDF("dim_key")
+    val sliceB = Seq(11L, 13L).toDF("dim_key")
+    Sketches.saveBloomFilter(sliceA, "dim_key", dest, expectedItems = 100)
+    Sketches.mergeIntoBloomFilter(sliceB, "dim_key", dest)
+    val bytes = Sketches.loadBloomFilter(spark, dest)
+    // no false negatives across BOTH slices after the merge
+    val union = Seq(3L, 5L, 7L, 11L, 13L).toDF("k")
+    assert(union.filter(
+      graft.functions.Sketch.bloomContains(col("k"), bytes)).count() === 5)
+
+    val large = (1L to 2000L).map(i => (i, i % 97)).toDF("id", "key")
+    val full = sliceA.unionByName(sliceB)
+    // WithFilter joins against the full key table == plain joins
+    val semi = Sketches.bloomSemiJoinWithFilter(large, full, "key", "dim_key", bytes)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(semi === large.join(full, large("key") === full("dim_key"), "left_semi")
+      .as[(Long, Long)].collect().sorted.toSeq)
+    val anti = Sketches.bloomAntiJoinWithFilter(large, full, "key", "dim_key", bytes)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(anti === large.join(full, large("key") === full("dim_key"), "left_anti")
+      .as[(Long, Long)].collect().sorted.toSeq)
+    // SUPERSET filter (grown past the current key table) stays exact for
+    // the anti shape: extra false positives are kept by the exact pass
+    val antiSubset = Sketches.bloomAntiJoinWithFilter(large, sliceA, "key",
+        "dim_key", bytes).as[(Long, Long)].collect().sorted.toSeq
+    assert(antiSubset === large.join(sliceA, large("key") === sliceA("dim_key"),
+      "left_anti").as[(Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("persisted bloom: string keys merge and probe by the same bytes") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-bloom-str")
+      .toString + "/f.bloom"
+    val a = Seq("host1.com", "host2.com").toDF("h")
+    val b = Seq("host3.com").toDF("h")
+    Sketches.saveBloomFilter(a, "h", dest, expectedItems = 50)
+    Sketches.mergeIntoBloomFilter(b, "h", dest)
+    val bytes = Sketches.loadBloomFilter(spark, dest)
+    val probes = Seq("host1.com", "host2.com", "host3.com").toDF("h")
+    assert(probes.filter(
+      graft.functions.Sketch.bloomContains(col("h"), bytes)).count() === 3)
+  }
+
   test("bloomSemiJoin rejects non-integral keys (no silent lossy cast)") {
     val large = Seq(2.1, 2.9).toDF("d")
     val small = Seq(2L).toDF("k")
