@@ -1461,6 +1461,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     }),
 
+    // Differentially-salted join: the CMS pass detects heavy customers
+    // (~8% here) and salts ONLY their rows; the light majority joins
+    // plain with no replication tax. Exact — same oracle as the plain
+    // join (the probe partitions the skewed side one-sidedly).
+    "q_skew_join_adaptive" -> ((s, dir) => {
+      import graft.operators.SkewJoin
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      SkewJoin.adaptiveSaltedJoin(o, c, "o_custkey",
+          minHeavyCount = 15, salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
     // Batch sessionization (30-min inactivity gap) through the SAME
     // flatMapGroupsWithState operator the stream uses — gated against the
     // classic gaps-and-islands SQL.
@@ -2690,6 +2705,13 @@ object SparkEntry {
         |  ON e.user_id = c.user_id AND e.ts >= c.c_ts""".stripMargin,
     // Salting must be result-invariant: the oracle is the PLAIN join.
     "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // identical to q_skew_join: differential salting must not change the
+    // result — the oracle is the plain join
+    "q_skew_join_adaptive" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
