@@ -482,6 +482,19 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // Weighted PageRank: same graph, edge weight = link multiplicity
+    // (how many lineitems connect the part to the supplier) — the
+    // host-authority form where link FREQUENCY matters. Contribution is
+    // w/Σ_out w; duplicate edges sum their weights by contract.
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+          weightCol = Some("w"))
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
     // ── Mission extensions: dedup / similarity / text analysis ───────────
 
     // Exact dedup: canonical doc per distinct text — scale-shaped
@@ -2501,6 +2514,38 @@ object SparkEntry {
         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
         |ce AS (SELECT e.src, e.dst, 1.0/d.deg AS w
         |       FROM edges e JOIN deg d ON e.src = d.src),
+        |p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+        |p1 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p0 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p2 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p1 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p3 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p2 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p4 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p3 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p5 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p6 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
+        |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+    // weighted variant: edge weight = lineitem multiplicity; contribution
+    // w/Σ_out w replaces 1/outdeg — otherwise the same six unrolled rounds
+    "q_pagerank_weighted" ->
+      """WITH edges AS (
+        |  SELECT l_partkey AS src, l_suppkey AS dst,
+        |         CAST(count(*) AS DOUBLE) AS w0
+        |  FROM lineitem GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ow AS (SELECT src, SUM(w0) AS ow FROM edges GROUP BY src),
+        |ce AS (SELECT e.src, e.dst, e.w0/o.ow AS w
+        |       FROM edges e JOIN ow o ON e.src = o.src),
         |p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
         |p1 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce

@@ -29,27 +29,50 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /**
-   * Damped PageRank by `iters` power-iteration rounds over distinct
-   * `(srcCol, dstCol)` edges. Returns one row per node: (`node`, `pr`).
+   * Damped PageRank by `iters` power-iteration rounds. Returns one row
+   * per node: (`node`, `pr`).
+   *
+   * Unweighted (`weightCol = None`): duplicate `(src, dst)` edges
+   * collapse to one, contribution weight is `1/outdeg`. Weighted:
+   * duplicate edges SUM their weights (so a link-count column expresses
+   * link frequency naturally) and contribution weight is
+   * `w / Σ_out w` — weights must be strictly positive (checked,
+   * fail-loud: a zero/negative weight silently corrupts every rank
+   * downstream of its source).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+               iters: Int = 10, damping: Double = 0.85,
+               weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(false)
+    val e = (weightCol match {
+      case Some(wc) => edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"),
+          col(wc).cast("double").as("w0"))
+        .groupBy("src", "dst").agg(sum("w0").as("w0"))
+      case None => edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .distinct()
+        .withColumn("w0", lit(1.0))
+    }).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(false)
     val nNodes = nodes.count()
     require(nNodes > 0, "pageRank on an empty edge frame")
+    if (weightCol.isDefined) {
+      val minW = e.agg(min("w0")).head().getDouble(0)
+      require(minW > 0,
+        s"pageRank edge weights must be strictly positive; min = $minW")
+    }
 
-    // contribution weight 1/outdeg, attached once — reused every round
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val contribEdges = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+    // contribution weight w/Σ_out w (1/outdeg unweighted), attached
+    // once — reused every round
+    val outW = e.groupBy("src").agg(sum("w0").as("ow"))
+    val contribEdges = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w0") / col("ow")).as("w"))
       .localCheckpoint(false)
 
     val base = (1.0 - damping) / nNodes

@@ -60,6 +60,52 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - expect.values.sum) < 1e-9)
   }
 
+  /** Weighted reference: contribution w/Σ_out w, duplicate edges sum. */
+  private def refWeighted(edges: Seq[(Long, Long, Double)], iters: Int,
+                          d: Double): Map[Long, Double] = {
+    val e = edges.groupBy(t => (t._1, t._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size
+    val outW = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _, w) => r(s) * w / outW(s) }.sum
+      }
+      r = nodes.map(nd => nd -> ((1 - d) / n + d * contrib.getOrElse(nd, 0.0))).toMap
+    }
+    r
+  }
+
+  test("weighted pageRank: w/sum(w) contributions; duplicate edges sum") {
+    // 1 sends 3x its mass share to 2 vs 3; the duplicate (1,2) rows sum
+    val wEdges = Seq((1L, 2L, 2.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+      (2L, 3L, 5.0), (3L, 1L, 2.0))
+    val got = Graph.pageRank(wEdges.toDF("src", "dst", "w"), "src", "dst",
+        iters = 10, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    val expect = refWeighted(wEdges, iters = 10, d = 0.85)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (node, pr) =>
+      assert(math.abs(pr - expect(node)) < 1e-12, s"node $node: $pr vs ${expect(node)}")
+    }
+    // weighting matters: 2 gets 3/4 of 1's mass here, vs 1/2 unweighted —
+    // so weighted rank(2) must exceed the unweighted run's rank(2)
+    val unweighted = Graph.pageRank(
+      wEdges.map(e => (e._1, e._2)).toDF("src", "dst"), "src", "dst", iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) > unweighted(2L))
+  }
+
+  test("weighted pageRank rejects non-positive weights loudly") {
+    val bad = Seq((1L, 2L, 1.0), (2L, 1L, 0.0)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(bad, "src", "dst", iters = 2, weightCol = Some("w"))
+    }
+    assert(ex.getMessage.contains("positive"))
+  }
+
   test("pageRank validates its inputs") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 0)
