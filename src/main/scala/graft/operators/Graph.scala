@@ -36,9 +36,11 @@ object Graph {
    * collapse to one, contribution weight is `1/outdeg`. Weighted:
    * duplicate edges SUM their weights (so a link-count column expresses
    * link frequency naturally) and contribution weight is
-   * `w / Σ_out w` — weights must be strictly positive (checked,
-   * fail-loud: a zero/negative weight silently corrupts every rank
-   * downstream of its source).
+   * `w / Σ_out w` — weights must be NON-NULL and strictly positive
+   * (checked, fail-loud: aggregates silently skip nulls and a
+   * zero/negative weight corrupts every rank downstream of its source,
+   * so nulls coerce to -Infinity pre-sum and the single min-check
+   * rejects all three cases at once).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
@@ -48,7 +50,11 @@ object Graph {
       case Some(wc) => edges
         .select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"),
-          col(wc).cast("double").as("w0"))
+          // null → -Inf: survives the sum (aggregates skip real nulls)
+          // and trips the min > 0 check below instead of silently
+          // dropping the edge's weight
+          coalesce(col(wc).cast("double"), lit(Double.NegativeInfinity))
+            .as("w0"))
         .groupBy("src", "dst").agg(sum("w0").as("w0"))
       case None => edges
         .select(col(srcCol).cast("long").as("src"),
@@ -64,8 +70,9 @@ object Graph {
     require(nNodes > 0, "pageRank on an empty edge frame")
     if (weightCol.isDefined) {
       val minW = e.agg(min("w0")).head().getDouble(0)
-      require(minW > 0,
-        s"pageRank edge weights must be strictly positive; min = $minW")
+      require(minW > 0 && !minW.isNaN, // NaN: mixed ±Inf sums
+        s"pageRank edge weights must be non-null and strictly positive; " +
+          s"min aggregated weight = $minW")
     }
 
     // contribution weight w/Σ_out w (1/outdeg unweighted), attached

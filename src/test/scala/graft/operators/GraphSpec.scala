@@ -98,12 +98,18 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) > unweighted(2L))
   }
 
-  test("weighted pageRank rejects non-positive weights loudly") {
+  test("weighted pageRank rejects non-positive and null weights loudly") {
     val bad = Seq((1L, 2L, 1.0), (2L, 1L, 0.0)).toDF("src", "dst", "w")
     val ex = intercept[IllegalArgumentException] {
       Graph.pageRank(bad, "src", "dst", iters = 2, weightCol = Some("w"))
     }
     assert(ex.getMessage.contains("positive"))
+    // a NULL weight must fail, not silently vanish from the sum
+    val withNull = Seq((1L, 2L, Option(1.0)), (2L, 1L, Option.empty[Double]))
+      .toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(withNull, "src", "dst", iters = 2, weightCol = Some("w"))
+    }
   }
 
   test("pageRank validates its inputs") {
