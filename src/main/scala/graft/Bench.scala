@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,11 +28,17 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
-    // min over `repeats` FULL passes of the suite (not back-to-back
+    // MEDIAN over `repeats` FULL passes of the suite (not back-to-back
     // repeats of one query): environment noise arrives in multi-second
     // bursts, and interleaving puts a query's samples minutes apart so a
-    // burst can poison at most one of them. First pass also pays
-    // codegen/class-load warmup.
+    // burst can poison at most one of them — with repeats >= 3 the
+    // median then discards it entirely. First pass also pays
+    // codegen/class-load warmup. The per-query SPREAD (max - min across
+    // passes) ships in the artifact alongside the median, so a
+    // round-over-round comparison can tell a real regression (median
+    // moved, spread tight) from session noise (spread as wide as the
+    // delta) WITHOUT a separate re-run session — the bench is
+    // self-attributing.
     // MemoryStream parity drives are correctness gates whose runtime is
     // driver-side replay machinery (per-micro-batch replanning + state
     // rounds), not engine throughput — the engine operators they gate are
@@ -51,7 +57,8 @@ object Bench {
     // 0.00-sec metric line and overwrite BENCH_METRIC.json
     require(names.nonEmpty,
       s"SPARK_GRAFT_BENCH_ONLY matched no benchable queries: ${only.get}")
-    val samples = scala.collection.mutable.Map.empty[String, Double]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val crashed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // Full-plan evaluation, NOT `.count()`: count() lets Catalyst
@@ -66,15 +73,31 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       dropCaches()
-      // a FAILED query must not min-merge its time-to-crash as a valid
-      // sample (a regression would SHRINK the total); -1 is sticky and
-      // visible in the per-query map
-      if (!ok) samples(name) = -1.0
-      else if (samples.getOrElse(name, Double.MaxValue) >= 0)
-        samples(name) = math.min(samples.getOrElse(name, Double.MaxValue), dt)
+      // a FAILED query must not report its time-to-crash as a valid
+      // sample (a regression would SHRINK the total); the failure is
+      // sticky and surfaces as -1 in the per-query map
+      if (!ok) crashed += name
+      else samples(name) = dt :: samples.getOrElse(name, Nil)
     }
-    val results = names.map { case (name, _) => name -> samples(name) }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // per-query: median across passes (the value every total/ratio uses)
+    // and spread = max - min (the noise band those passes saw)
+    val results = names.map { case (name, _) =>
+      val xs = if (crashed(name)) Nil else samples.getOrElse(name, Nil)
+      name -> (if (xs.isEmpty) -1.0 else median(xs))
+    }
+    val spreads = names.map { case (name, _) =>
+      val xs = if (crashed(name)) Nil else samples.getOrElse(name, Nil)
+      name -> (if (xs.isEmpty) -1.0 else xs.max - xs.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // -1 failure markers excluded
     // Cross-engine anchor: BASELINE_LOCAL.json is the DuckDB oracle-suite
@@ -84,22 +107,28 @@ object Bench {
     // unchanged query set is the real regression signal even when both
     // absolute totals drift with the machine. Only emitted when the
     // anchor was measured at the sf this run benched.
-    val anchorFields = {
+    // Regexes are ANCHORED to the artifact's identifying prefix — a
+    // bare first-"value" match would silently bind to a per-query time
+    // if the JSON were reordered or extended — and the whole read is
+    // Try-wrapped so a malformed/unreadable anchor file degrades to
+    // no anchor fields instead of killing the bench emit.
+    val anchorFields = scala.util.Try {
       val p = java.nio.file.Paths.get("BASELINE_LOCAL.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p)
-        val v = """"value"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
-        val sfMatch = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
+        val v =
+          """"metric"\s*:\s*"duckdb_oracle_total"\s*,\s*"value"\s*:\s*([0-9.]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val sfMatch = """"sf"\s*:\s*"([^"]+)"\s*,\s*"queries"""".r
+          .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
         def r2(x: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, x)
         v.filter(_ > 0 && sfMatch).map { d =>
           s""","spark_total":${r2(total)},"duckdb_total":${r2(d)},"ratio":${r2(total / d)}"""
         }.getOrElse("")
       } else ""
-    }
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec"$anchorFields,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats$anchorFields,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
     // The driver's tail capture is a FIXED ~2000-char window; the full
     // per-query line (~90 queries, full double precision) is ~4000 chars and
     // can never fit, wherever it is printed (r4/r5 `parsed: null`). So:

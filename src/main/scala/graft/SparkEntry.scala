@@ -41,6 +41,25 @@ object SparkEntry {
   // already exist in this JVM (bench repeat passes reuse them)
   @volatile private var bucketedTablesFor: Set[String] = Set.empty
 
+  // Run-scoped scratch root for queries that persist side artifacts
+  // (e.g. q_bloom_index's filter file): ONE JVM-lifetime dir, removed on
+  // exit — repeated bench/verify invocations overwrite the same paths
+  // instead of leaking a fresh temp dir per run. Local-FS is the right
+  // transport for a single-JVM bench artifact; the operator itself
+  // takes any Hadoop-FS URI in production.
+  private lazy val scratchRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scala.util.Try {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      ()
+    }))
+    p.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q3_revenue_by_nation")(spark, "/root/testdata/sf0.001")
@@ -443,8 +462,7 @@ object SparkEntry {
     // persisted filter only gates.
     "q_bloom_index" -> ((s, dir) => {
       import graft.operators.Sketches
-      val dest = java.nio.file.Files.createTempDirectory("graft-bloom-q")
-        .toString + "/blocklist.bloom"
+      val dest = s"$scratchRoot/blocklist.bloom"
       val part = t(s, dir, "part")
       val sliceA = part.filter(col("p_size") <= 3)
       val sliceB = part.filter(col("p_size") > 3 && col("p_size") <= 5)
@@ -492,6 +510,19 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("w"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
           weightCol = Some("w"))
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
+    // Mass-conserving PageRank: supplier→part edges leave most parts
+    // DANGLING (no out-edges); redistributeDangling pools their rank and
+    // hands it back evenly each round, so ranks sum to 1 — the
+    // host-authority convention. The oracle unrolls the same six rounds
+    // with the dangling-mass term as a scalar subquery per round.
+    "q_pagerank_dangling" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+          redistributeDangling = true)
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
@@ -954,10 +985,16 @@ object SparkEntry {
       import graft.sinks.EsSnapshot
       val dest = java.nio.file.Files.createTempDirectory("graft-corpus").toString
       // the prep stages run through the one-call pipeline facade — same
-      // operators, gated here through the composed surface
+      // operators, gated here through the composed surface. The
+      // blocklist stage (Bloom-gated anti-join, the C4 bad-URL cut)
+      // runs ACTIVE under the oracle: every 13th doc_id is blocked.
+      val blocklist = t(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("bad_id"))
       val kept = CorpusPipeline.prepare(
           t(s, dir, "documents").select("doc_id", "text"),
-          CorpusPrepConfig()) // exact dedup + quality/token gates
+          CorpusPrepConfig( // blocklist cut + exact dedup + quality/token gates
+            blocklist = Some((blocklist, "doc_id", "bad_id"))))
         .select("doc_id", "text")
       val docs = Ingest.fromColumns(kept, "corpus", "doc_id", 4)
       EsSnapshot.write(docs, dest, ShardConfig(4), Some("training_corpus"))
@@ -2229,10 +2266,13 @@ object SparkEntry {
         |SELECT count(*) AS kept, round(avg(quality_score), 4) AS avg_q
         |FROM scored
         |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
-    // The whole pipeline is SQL: dedup by text, quality formula, count of
-    // what survives = what the snapshot reads back.
+    // The whole pipeline is SQL: blocklist cut (every 13th doc_id),
+    // dedup by text, quality formula, count of what survives = what the
+    // snapshot reads back. The blocklist runs BEFORE dedup (facade stage
+    // order), so keep-first picks the min doc_id among UNBLOCKED copies.
     "training_corpus_build" ->
-      """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents
+        |            WHERE doc_id % 13 <> 0 GROUP BY text),
         |q AS (
         |  SELECT length(text) AS chars,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2563,6 +2603,49 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
         |p6 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
+        |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+    // mass-conserving variant: per round, the dangling nodes' pooled rank
+    // (scalar subquery over the previous iterate) is redistributed evenly
+    // — same six unrolled rounds, supplier→part edges so most parts dangle
+    "q_pagerank_dangling" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |ce AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.deg AS w
+        |       FROM edges e JOIN deg d ON e.src = d.src),
+        |p0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+        |p1 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |    (SELECT COALESCE(SUM(p.r), 0) FROM p0 p
+        |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p0 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p2 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |    (SELECT COALESCE(SUM(p.r), 0) FROM p1 p
+        |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p1 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p3 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |    (SELECT COALESCE(SUM(p.r), 0) FROM p2 p
+        |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p2 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p4 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |    (SELECT COALESCE(SUM(p.r), 0) FROM p3 p
+        |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p3 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p5 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |    (SELECT COALESCE(SUM(p.r), 0) FROM p4 p
+        |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p6 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |    (SELECT COALESCE(SUM(p.r), 0) FROM p5 p
+        |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
         |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,

@@ -27,6 +27,16 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
  * Both probes stay inside whole-stage codegen via `addReferenceObj` —
  * the generated code calls the probe method on the expression instance
  * directly (same technique Spark's own BloomFilterMightContain uses).
+ *
+ * TYPE SAFETY (SQL surface): these extend `ExpectsInputTypes` and
+ * deliberately NOT `ImplicitCastInputTypes` — the analyzer's implicit
+ * cast rule only fires for the latter, so a fractional/decimal key
+ * fails analysis loudly (DATATYPE_MISMATCH) instead of being silently
+ * truncated to long — the same lossy-cast failure mode the operator
+ * API rejects in `Sketches.keyIsString`. Integral keys of any width
+ * ARE accepted (byte/short/int/long — the widening is lossless and
+ * handled here, matching the operator API's `probeKey`). Pinned in
+ * SketchProbeSpec.
  */
 case class CmsGeProbe(child: Expression, sketchBytes: Array[Byte], minCount: Long)
     extends UnaryExpression with ExpectsInputTypes {
@@ -48,7 +58,7 @@ case class CmsGeProbe(child: Expression, sketchBytes: Array[Byte], minCount: Lon
 
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(TypeCollection(LongType, StringType))
+    Seq(TypeCollection(ByteType, ShortType, IntegerType, LongType, StringType))
   override def dataType: DataType = BooleanType
   override def prettyName: String = "cms_ge"
 
@@ -64,8 +74,8 @@ case class CmsGeProbe(child: Expression, sketchBytes: Array[Byte], minCount: Lon
   def probeBytes(b: Array[Byte]): Boolean = cms.estimateCount(b) >= minCount
 
   override protected def nullSafeEval(input: Any): Any = input match {
-    case l: java.lang.Long => probe(l)
     case s: UTF8String => probeBytes(s.getBytes)
+    case n: java.lang.Number => probe(n.longValue()) // integral widening only
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -99,7 +109,7 @@ case class BloomContainsProbe(child: Expression, filterBytes: Array[Byte])
 
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(TypeCollection(LongType, StringType))
+    Seq(TypeCollection(ByteType, ShortType, IntegerType, LongType, StringType))
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
@@ -112,8 +122,8 @@ case class BloomContainsProbe(child: Expression, filterBytes: Array[Byte])
   def probeBytes(b: Array[Byte]): Boolean = bloom.mightContainBinary(b)
 
   override protected def nullSafeEval(input: Any): Any = input match {
-    case l: java.lang.Long => probe(l)
     case s: UTF8String => probeBytes(s.getBytes)
+    case n: java.lang.Number => probe(n.longValue()) // integral widening only
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -22,9 +22,23 @@ import org.apache.spark.sql.functions._
  * hash-partitioned by the join key, and AQE coalesces the per-round
  * exchanges.
  *
- * Dangling nodes (no out-edges) leak their damped mass — the simple
- * formulation `r' = (1-d)/N + d·Σ_in r/deg`, identical in the SQL
- * oracle, so cross-engine results agree term for term.
+ * CHECKPOINT RELIABILITY: truncating lineage means the truncated blocks
+ * are the ONLY copy of the iteration state. `localCheckpoint` stores
+ * them executor-local and non-replicated — free and fine on local[n],
+ * but on a real cluster one lost executor after truncation fails the
+ * job unrecoverably (the lineage that could recompute the blocks is
+ * gone by design). Pass `checkpointDir` (or pre-set
+ * `sparkContext.setCheckpointDir`) to switch every truncation to
+ * RELIABLE `checkpoint()` on the cluster FS — the mode a 100 TB run
+ * must use; local mode keeps the zero-IO default.
+ *
+ * Dangling nodes (no out-edges) leak their damped mass by default —
+ * the simple formulation `r' = (1-d)/N + d·Σ_in r/deg`, identical in
+ * the SQL oracle, so cross-engine results agree term for term. Set
+ * `redistributeDangling` for the mass-conserving form
+ * `r' = (1-d)/N + d·(Σ_in r/deg + m_dangling/N)` (m_dangling = total
+ * rank on dangling nodes), under which ranks sum to 1 every round —
+ * the convention real host-authority weighting usually wants.
  */
 object Graph {
 
@@ -36,17 +50,39 @@ object Graph {
    * collapse to one, contribution weight is `1/outdeg`. Weighted:
    * duplicate edges SUM their weights (so a link-count column expresses
    * link frequency naturally) and contribution weight is
-   * `w / Σ_out w` — weights must be NON-NULL and strictly positive
-   * (checked, fail-loud: aggregates silently skip nulls and a
+   * `w / Σ_out w` — weights must be NON-NULL, strictly positive and
+   * non-NaN (checked, fail-loud: aggregates silently skip nulls, a
    * zero/negative weight corrupts every rank downstream of its source,
-   * so nulls coerce to -Infinity pre-sum and the single min-check
-   * rejects all three cases at once).
+   * and a NaN poisons them outright — so nulls coerce to -Infinity
+   * pre-sum for the min-check, and NaNs are counted explicitly because
+   * `min` sorts NaN ABOVE all real values and would otherwise let a
+   * NaN mixed with positive weights slip through).
+   *
+   * `checkpointDir`: when set (or when the context already has a
+   * checkpoint dir), lineage truncation uses reliable `checkpoint()`
+   * there instead of executor-local `localCheckpoint` — survives
+   * executor loss; required at cluster scale (see object doc).
+   *
+   * `redistributeDangling`: when true, each round adds the dangling
+   * nodes' pooled rank, divided evenly, to every node's contribution —
+   * ranks then sum to 1 (mass-conserving PageRank). Costs one extra
+   * O(nodes) join + scalar aggregate per round.
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               checkpointDir: Option[String] = None,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = (weightCol match {
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    // one truncation mode for every cut in the loop: reliable checkpoint
+    // when a cluster-FS dir is available, executor-local otherwise
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(false)
+    val e = cut(weightCol match {
       case Some(wc) => edges
         .select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"),
@@ -61,26 +97,37 @@ object Graph {
           col(dstCol).cast("long").as("dst"))
         .distinct()
         .withColumn("w0", lit(1.0))
-    }).localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
+    })
+    val nodes = cut(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     val nNodes = nodes.count()
     require(nNodes > 0, "pageRank on an empty edge frame")
     if (weightCol.isDefined) {
-      val minW = e.agg(min("w0")).head().getDouble(0)
-      require(minW > 0 && !minW.isNaN, // NaN: mixed ±Inf sums
-        s"pageRank edge weights must be non-null and strictly positive; " +
-          s"min aggregated weight = $minW")
+      // min() alone cannot catch a NaN mixed with real weights (Spark
+      // orders NaN greater than every value), so count NaNs explicitly
+      val row = e.agg(min("w0").as("mn"),
+        sum(when(isnan(col("w0")), 1L).otherwise(0L)).as("nans")).head()
+      val minW = row.getDouble(0)
+      val nans = row.getLong(1)
+      require(nans == 0 && minW > 0 && !minW.isNaN,
+        s"pageRank edge weights must be non-null, non-NaN and strictly " +
+          s"positive; min aggregated weight = $minW, NaN weights = $nans")
     }
 
     // contribution weight w/Σ_out w (1/outdeg unweighted), attached
     // once — reused every round
     val outW = e.groupBy("src").agg(sum("w0").as("ow"))
-    val contribEdges = e.join(outW, "src")
-      .select(col("src"), col("dst"), (col("w0") / col("ow")).as("w"))
-      .localCheckpoint(false)
+    val contribEdges = cut(e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w0") / col("ow")).as("w")))
+
+    // dangling = nodes with no out-edges; their pooled rank is the
+    // per-round redistribution mass (computed only when requested)
+    val dangling =
+      if (redistributeDangling)
+        cut(nodes.join(e.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti"))
+      else null
 
     val base = (1.0 - damping) / nNodes
     var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
@@ -89,13 +136,26 @@ object Graph {
       val contribs = contribEdges
         .join(ranks, contribEdges("src") === ranks("node"))
         .groupBy("dst").agg(sum(col("rank") * col("w")).as("contrib"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(nodes("node"),
+      ranks =
+        if (redistributeDangling) {
+          // one-row frame: Σ rank over dangling nodes this round (a
+          // broadcast-nested-loop of a single row — no data-sized join)
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          next.crossJoin(dm)
+            .select(nodes("node"),
+              (lit(base) + lit(damping) *
+                (coalesce(col("contrib"), lit(0.0)) +
+                  col("dm") / nNodes)).as("rank"))
+        } else next.select(nodes("node"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
       // truncate lineage every 3 rounds; otherwise the plan for round N
-      // contains all prior rounds and planning cost compounds
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+      // contains all prior rounds (TWO copies per round when the
+      // dangling branch reads `ranks` a second time) and planning cost
+      // compounds
+      if (i % 3 == 0 && i < iters) ranks = cut(ranks)
       i += 1
     }
     ranks.select(col("node"), col("rank").as("pr"))

@@ -23,6 +23,9 @@ import org.apache.spark.sql.graft.SketchProbeFunctions
  */
 object Sketches {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The probes hash `long` or UTF-8-string keys, so key columns must be
     * integral (losslessly widened to long) or string — a silent
     * `cast("long")` on doubles would make distinct values that truncate
@@ -71,14 +74,26 @@ object Sketches {
    * skips them and the null-intolerant probe would drop them anyway; a
    * plain groupBy would return a null group, so the contract difference
    * is made visible here rather than left implicit).
+   *
+   * COST SHAPE: the keyed projection is scanned TWICE (sketch pass +
+   * exact pass). At 100 TB that is the deliberate trade — scans are
+   * sequential columnar reads with pushdown, the avoided exchange is
+   * the bottleneck — but when the input fits in memory (or is itself
+   * expensive to recompute), pass `cache` to persist the keyed frame
+   * between the passes. The frame stays persisted for the caller to
+   * release (`spark.catalog.clearCache()` or unpersist) — it cannot be
+   * dropped here because the returned plan still reads it lazily.
    */
   def frequentItems(df: DataFrame, keyCol: String, minCount: Long,
                     eps: Double = 0.0001, confidence: Double = 0.99,
-                    seed: Int = 42): DataFrame = {
+                    seed: Int = 42,
+                    cache: Option[org.apache.spark.storage.StorageLevel] = None)
+  : DataFrame = {
     require(minCount > 0, "minCount must be positive")
     val isString = keyIsString(df, keyCol, "frequentItems key")
-    val keyed = df.filter(col(keyCol).isNotNull)
+    val keyed0 = df.filter(col(keyCol).isNotNull)
       .select(probeKey(col(keyCol), isString).as("key"))
+    val keyed = cache.map(keyed0.persist).getOrElse(keyed0)
     val sketchBytes = keyed
       .agg(count_min_sketch(col("key"), lit(eps), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
@@ -150,12 +165,29 @@ object Sketches {
     bloomAntiJoinWithFilter(large, small, largeKey, smallKey,
       buildBloom(large, small, largeKey, smallKey, expectedItems, fpp))
 
+  /** The probe hashes a key by its class (long bits vs UTF-8 bytes), so a
+    * filter built from one class and probed with the other produces false
+    * NEGATIVES — the one failure mode that silently breaks the exactness
+    * contract (semi-join drops true matches; anti-join keeps blocklisted
+    * rows). Both sides must therefore be in the SAME class. */
+  private def requireSameKeyClass(probeIsString: Boolean,
+                                  buildIsString: Boolean,
+                                  what: String): Unit =
+    require(probeIsString == buildIsString,
+      s"$what: probe and build key types must both be integral or both " +
+        s"string (probe is ${if (probeIsString) "string" else "integral"}, " +
+        s"build is ${if (buildIsString) "string" else "integral"}); a " +
+        s"cross-class probe hashes differently and would produce Bloom " +
+        s"false negatives")
+
   /** Shared build-side pass for the bloom joins: validate key types, size
     * the filter (HLL when unspecified), serialize. */
   private def buildBloom(large: DataFrame, small: DataFrame,
                          largeKey: String, smallKey: String,
                          expectedItems: Long, fpp: Double): Array[Byte] = {
-    keyIsString(large, largeKey, "bloom probe")
+    val probeIsString = keyIsString(large, largeKey, "bloom probe")
+    requireSameKeyClass(probeIsString,
+      keyIsString(small, smallKey, "bloom build"), "bloom join")
     val out = new ByteArrayOutputStream()
     bloomOf(small, smallKey, expectedItems, fpp).writeTo(out)
     out.toByteArray
@@ -185,20 +217,51 @@ object Sketches {
   // on disk). Size `expectedItems` for the filter's LIFETIME capacity at
   // save time — merging cannot grow geometry, and a filter filled far
   // past capacity degrades toward all-positive (gate stops pruning;
-  // results stay exact). Rebuild when saturated.
+  // results stay exact). Rebuild when saturated — both writers RETURN
+  // the filter's observed fpp (`BloomFilter.expectedFpp`, computed from
+  // actual bit saturation) so callers can see saturation coming, log a
+  // warning past `warnFpp`, and fail loudly past `maxFpp` when the
+  // caller would rather rebuild than ship a filter that no longer
+  // prunes.
+
+  /** Observed-saturation gate shared by the two writers: returns the
+    * filter's current fpp, warns past `warnFpp`, throws past `maxFpp`. */
+  private def checkSaturation(bloom: org.apache.spark.util.sketch.BloomFilter,
+                              what: String, path: String,
+                              warnFpp: Double, maxFpp: Double): Double = {
+    val observed = bloom.expectedFpp()
+    require(observed <= maxFpp,
+      s"$what: observed Bloom fpp $observed exceeds maxFpp $maxFpp at " +
+        s"$path — the filter is saturated past its lifetime capacity " +
+        s"(merging cannot grow geometry); rebuild it with a larger " +
+        s"expectedItems")
+    if (observed > warnFpp) log.warn(
+      s"$what: Bloom filter at $path is saturating — observed fpp " +
+        s"$observed > warnFpp $warnFpp; the gate still returns exact " +
+        s"results but prunes less; plan a rebuild with larger " +
+        s"expectedItems")
+    observed
+  }
 
   /** Build a Bloom filter of `keyCol` and persist it to `dest` (a single
     * file on any Hadoop-FS scheme). Size `expectedItems` to the expected
     * LIFETIME distinct-key count if the filter will be grown with
-    * [[mergeIntoBloomFilter]]; ≤ 0 sizes to the current frame (HLL). */
+    * [[mergeIntoBloomFilter]]; ≤ 0 sizes to the current frame (HLL).
+    * Returns the observed fpp (≈ the design `fpp` when sized right);
+    * warns past `warnFpp`, fails past `maxFpp` (default 1.0 = never —
+    * a saturated filter stops pruning but never breaks exactness). */
   def saveBloomFilter(df: DataFrame, keyCol: String, dest: String,
-                      expectedItems: Long = 0L, fpp: Double = 0.01): Unit = {
+                      expectedItems: Long = 0L, fpp: Double = 0.01,
+                      warnFpp: Double = 0.1, maxFpp: Double = 1.0): Double = {
     val bloom = bloomOf(df, keyCol, expectedItems, fpp)
+    val observed = checkSaturation(bloom, "saveBloomFilter", dest,
+      warnFpp, maxFpp)
     val path = new org.apache.hadoop.fs.Path(dest)
     val fs = path.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(path, true)
     try bloom.writeTo(out) finally out.close()
+    observed
   }
 
   /** Read a persisted filter's bytes — feed to the probe functions or the
@@ -222,9 +285,14 @@ object Sketches {
     * filter (each task deserializes its own copy as the fold zero, puts
     * its partition's keys, and the copies OR-merge — existing bits are
     * idempotent under OR), so merged probes have NO false negatives for
-    * old or new keys. */
+    * old or new keys. Returns the merged filter's observed fpp — THE
+    * saturation signal for the daily-drop lifecycle (geometry is fixed
+    * at save time, so fpp only ratchets up as deltas accumulate); warns
+    * past `warnFpp`, fails (before overwriting the stored filter) past
+    * `maxFpp`. */
   def mergeIntoBloomFilter(delta: DataFrame, keyCol: String,
-                           path: String): Unit = {
+                           path: String, warnFpp: Double = 0.1,
+                           maxFpp: Double = 1.0): Double = {
     import java.io.ByteArrayInputStream
     import org.apache.spark.util.sketch.BloomFilter
     val spark = delta.sparkSession
@@ -245,10 +313,13 @@ object Sketches {
           (f, v) => { f.putLong(v); f },
           (a, b) => { a.mergeInPlace(b); a }, depth = 2)
       }
+    val observed = checkSaturation(merged, "mergeIntoBloomFilter", path,
+      warnFpp, maxFpp)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try merged.writeTo(out) finally out.close()
+    observed
   }
 
   /** [[bloomSemiJoin]] with a pre-built (persisted) filter: skips the
@@ -263,7 +334,8 @@ object Sketches {
                               largeKey: String, smallKey: String,
                               filterBytes: Array[Byte]): DataFrame = {
     val isString = keyIsString(large, largeKey, "bloomSemiJoin probe")
-    keyIsString(small, smallKey, "bloomSemiJoin build")
+    requireSameKeyClass(isString,
+      keyIsString(small, smallKey, "bloomSemiJoin build"), "bloomSemiJoin")
     // join on the ORIGINAL key columns (integral ⇒ equality semantics are
     // native; the long cast exists only inside the probe)
     val pre = large.filter(SketchProbeFunctions.bloomContains(
@@ -281,7 +353,8 @@ object Sketches {
                               largeKey: String, smallKey: String,
                               filterBytes: Array[Byte]): DataFrame = {
     val isString = keyIsString(large, largeKey, "bloomAntiJoin probe")
-    keyIsString(small, smallKey, "bloomAntiJoin build")
+    requireSameKeyClass(isString,
+      keyIsString(small, smallKey, "bloomAntiJoin build"), "bloomAntiJoin")
     val hit = SketchProbeFunctions.bloomContains(
       probeKey(col(largeKey), isString), filterBytes)
     val clear = large.filter(col(largeKey).isNull || !hit)

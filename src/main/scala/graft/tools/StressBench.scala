@@ -580,6 +580,37 @@ object StressBench {
       }
     }
 
+    // Iterative PageRank: per-round cost is one equi-join + one hash agg
+    // over (id, double) pairs, so FIXED-ITERATION wall should track edge
+    // count ~linearly — a superlinear jump flags compounding lineage /
+    // plan growth or a broken per-round join shape (the failure mode an
+    // iterative operator can hide that one-shot operators can't). Graph:
+    // n edges over n/10 nodes (avg outdeg ~10), hashed dst so in-degree
+    // varies but no planted hot node; ~9% of nodes end up dangling, so
+    // the redistribution variant exercises its extra per-round scalar
+    // aggregate too. Weighted runs on the same edges with a 1..5 weight.
+    if (only.contains("graph")) {
+      for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+        val nodes = n / 10
+        val edges = spark.range(n).select(
+          pmod(col("id") * 2654435761L, lit(nodes)).as("src"),
+          pmod(xxhash64(col("id")), lit(nodes)).as("dst"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("double").as("w"))
+          .cache()
+        edges.count()
+        run("pagerank6", n)(
+          graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6)
+            .count())
+        run("pagerank6_w", n)(
+          graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+            weightCol = Some("w")).count())
+        run("pagerank6_dang", n)(
+          graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+            redistributeDangling = true).count())
+        edges.unpersist()
+      }
+    }
+
     // BPE merge-loop scaling: the incremental pair bookkeeping should
     // make merge count ~free relative to the recount's O(merges × dict)
     // (the distributed word-frequency pass is identical either way).

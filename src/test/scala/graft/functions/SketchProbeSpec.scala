@@ -114,6 +114,42 @@ class SketchProbeSpec extends SparkSpec {
     assert(found === hosts.toSet, "bloom string probe lost inserted keys")
   }
 
+  test("fractional keys fail analysis loudly; integral widths widen losslessly") {
+    import spark.implicits._
+    val bytes = cmsBytes(skewed)
+    // ExpectsInputTypes (deliberately NOT ImplicitCastInputTypes): the
+    // analyzer inserts no implicit cast, so a DOUBLE key is a loud
+    // DATATYPE_MISMATCH analysis failure — never a silent truncation
+    val exCms = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.5, 2.0).toDF("k")
+        .filter(SketchProbeFunctions.cmsGe(col("k"), bytes, 1L)).collect()
+    }
+    assert(exCms.getMessage.contains("DATATYPE_MISMATCH"))
+    val exBloom = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(BigDecimal(2)).toDF("k")
+        .filter(SketchProbeFunctions.bloomContains(col("k"), bloomBytes(Seq(2L))))
+        .collect()
+    }
+    assert(exBloom.getMessage.contains("DATATYPE_MISMATCH"))
+    // INT keys widen losslessly and agree with the long-typed probe
+    val intSurvivors = (1 to 20).toDF("key")
+      .filter(SketchProbeFunctions.cmsGe(col("key"), bytes, 10L))
+      .as[Int].collect().map(_.toLong).sorted.toSeq
+    val longSurvivors = (1L to 20L).toDF("key")
+      .filter(SketchProbeFunctions.cmsGe(col("key"), bytes, 10L))
+      .as[Long].collect().sorted.toSeq
+    assert(intSurvivors === longSurvivors)
+    val bBytes = bloomBytes((0L until 100L).toSeq)
+    val intHits = (0 until 200).toDF("key")
+      .filter(SketchProbeFunctions.bloomContains(col("key"), bBytes))
+      .as[Int].collect().map(_.toLong).toSet
+    val longHits = (0L until 200L).toDF("key")
+      .filter(SketchProbeFunctions.bloomContains(col("key"), bBytes))
+      .as[Long].collect().toSet
+    assert(intHits === longHits)
+    assert((0L until 100L).toSet.subsetOf(intHits), "int widening lost inserted keys")
+  }
+
   test("probes compare by sketch CONTENT, not array reference") {
     val bytes = cmsBytes(skewed)
     val child = BoundReference(0, LongType, nullable = true)

@@ -112,6 +112,76 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weighted pageRank rejects a NaN weight mixed with positive weights") {
+    // min() orders NaN above every real value, so a min-only guard would
+    // return the positive minimum and let the NaN poison every rank —
+    // the explicit NaN count must catch it
+    val withNaN = Seq((1L, 2L, 1.0), (2L, 3L, Double.NaN), (3L, 1L, 2.0))
+      .toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(withNaN, "src", "dst", iters = 2, weightCol = Some("w"))
+    }
+    assert(ex.getMessage.contains("NaN"))
+  }
+
+  test("reliable-checkpoint mode matches localCheckpoint results exactly") {
+    // cluster mode truncates lineage into the checkpoint dir (survives
+    // executor loss) — the numbers must be bit-identical to the
+    // local-mode default
+    val local = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iters = 7).as[(Long, Double)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+    try {
+      val rel = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+          iters = 7, checkpointDir = Some(dir.toString))
+        .as[(Long, Double)].collect().toMap
+      assert(rel === local)
+      // the reliable files actually landed (the mode really switched)
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      assert(wrote, "reliable checkpoint wrote nothing under the dir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  /** Reference with dangling-mass redistribution: ranks conserve mass. */
+  private def refDangling(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size
+    val outDeg = e.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val dangling = nodes.filterNot(outDeg.contains)
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = dangling.map(r).sum
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _) => r(s) / outDeg(s) }.sum
+      }
+      r = nodes.map(nd =>
+        nd -> ((1 - d) / n + d * (contrib.getOrElse(nd, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("redistributeDangling conserves rank mass (sum == 1)") {
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = 10, redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    val expect = refDangling(edges, iters = 10, d = 0.85)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (node, pr) =>
+      assert(math.abs(pr - expect(node)) < 1e-12, s"node $node: $pr vs ${expect(node)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"mass-conserving ranks must sum to 1, got ${got.values.sum}")
+    // default mode on the same graph leaks mass — the option changes it
+    val leaky = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iters = 10).as[(Long, Double)].collect().toMap
+    assert(leaky.values.sum < 0.999)
+  }
+
   test("pageRank validates its inputs") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 0)

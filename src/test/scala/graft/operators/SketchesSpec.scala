@@ -168,4 +168,71 @@ class SketchesSpec extends SparkSpec {
       Sketches.bloomSemiJoin(small, large, "k", "d")
     }
   }
+
+  test("bloom joins reject CROSS-CLASS key pairs (string vs integral)") {
+    // a filter built from longs probed with strings (or vice versa)
+    // hashes differently → false NEGATIVES → silently wrong results;
+    // both sides must be in the same key class, checked loudly
+    val longs = (1L to 100L).map(i => (i, i % 7)).toDF("id", "key")
+    val strs = Seq("3", "5").toDF("dim_key")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.bloomSemiJoin(longs, strs, "key", "dim_key")
+    }
+    assert(ex.getMessage.contains("false negatives"))
+    intercept[IllegalArgumentException] {
+      Sketches.bloomAntiJoin(strs, longs, "dim_key", "key")
+    }
+    // the pre-built-filter overloads guard the same way
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+      bf.putLong(3L); bf.writeTo(out); out.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomSemiJoinWithFilter(longs, strs, "key", "dim_key", bytes)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomAntiJoinWithFilter(longs, strs, "key", "dim_key", bytes)
+    }
+  }
+
+  test("bloom saturation: writers report observed fpp; merge past capacity degrades it") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-bloom-sat")
+      .toString + "/f.bloom"
+    // lifetime-sized for 20 keys at 1% — observed fpp starts near design
+    val small = (1L to 10L).toDF("k")
+    val fppAtSave = Sketches.saveBloomFilter(small, "k", dest,
+      expectedItems = 20, fpp = 0.01)
+    assert(fppAtSave < 0.05, s"fresh filter should be near design fpp, got $fppAtSave")
+    // merge 100x the capacity: geometry can't grow, fpp must ratchet up
+    val flood = (100L to 2100L).toDF("k")
+    val fppAfter = Sketches.mergeIntoBloomFilter(flood, "k", dest)
+    assert(fppAfter > 0.5, s"past-capacity merge must report saturation, got $fppAfter")
+    assert(fppAfter > fppAtSave)
+    // maxFpp turns saturation into a loud failure BEFORE overwriting
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.mergeIntoBloomFilter((3000L to 3100L).toDF("k"), "k", dest,
+        maxFpp = 0.1)
+    }
+    assert(ex.getMessage.contains("saturated"))
+    // results stay EXACT even saturated (the filter only gates)
+    val bytes = Sketches.loadBloomFilter(spark, dest)
+    val large = (1L to 3000L).map(i => (i, i % 500)).toDF("id", "key")
+    val full = small.unionByName(flood)
+    val anti = Sketches.bloomAntiJoinWithFilter(large, full, "key", "k", bytes)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(anti === large.join(full, large("key") === full("k"), "left_anti")
+      .as[(Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("frequentItems with a cache StorageLevel returns identical results") {
+    import org.apache.spark.storage.StorageLevel
+    val plain = Sketches.frequentItems(skewedDf, "k", minCount = 12)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val cached = Sketches.frequentItems(skewedDf, "k", minCount = 12,
+        cache = Some(StorageLevel.MEMORY_AND_DISK))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(cached === plain)
+    spark.catalog.clearCache() // caller-releases contract (scaladoc'd)
+  }
 }
