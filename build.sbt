@@ -35,4 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the bench holds per-query checkpoint caches plus 32
   // concurrent tasks' shuffle state; 8g GC-thrashes at sf0.1
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Pre-size the heap to the max: a fresh JVM growing into its first
+  // multi-GB working set pays tens of seconds of GC that read as
+  // operator cost (measured on the 16M-edge PageRank stress cell:
+  // 102 s first-run growing vs 43 s pre-sized, 12-26 s steady) — one
+  // source of the end-of-session bench drift that has repeatedly
+  // minted false regression flags.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -94,11 +94,21 @@ object Bench {
       val xs = if (crashed(name)) Nil else samples.getOrElse(name, Nil)
       name -> (if (xs.isEmpty) -1.0 else xs.max - xs.min)
     }
+    // best-pass map: min across passes — the pre-r9 per-query semantics,
+    // kept in the artifact so cross-round totals stay comparable across
+    // the min→median headline change
+    val mins = names.map { case (name, _) =>
+      val xs = if (crashed(name)) Nil else samples.getOrElse(name, Nil)
+      name -> (if (xs.isEmpty) -1.0 else xs.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val minJson = mins.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val minTotal = mins.map(_._2).filter(_ >= 0).sum
     val total = results.map(_._2).filter(_ >= 0).sum // -1 failure markers excluded
     // Cross-engine anchor: BASELINE_LOCAL.json is the DuckDB oracle-suite
     // total over the SAME sf parquet (tools/oracle_bench.py; BASELINE.md
@@ -122,13 +132,15 @@ object Bench {
         val sfMatch = """"sf"\s*:\s*"([^"]+)"\s*,\s*"queries"""".r
           .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
         def r2(x: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, x)
+        // ratio = median-based (the r9+ headline); ratio_min = best-pass
+        // based, comparable with rounds ≤ 8 whose per-query value was min
         v.filter(_ > 0 && sfMatch).map { d =>
-          s""","spark_total":${r2(total)},"duckdb_total":${r2(d)},"ratio":${r2(total / d)}"""
+          s""","spark_total":${r2(total)},"duckdb_total":${r2(d)},"ratio":${r2(total / d)},"ratio_min":${r2(minTotal / d)}"""
         }.getOrElse("")
       } else ""
     }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats$anchorFields,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"min_total":${"%.2f".formatLocal(java.util.Locale.ROOT, minTotal)}$anchorFields,"queries":$qs,"spread":$spreadJson,"min":$minJson,"sf":"$sfDir"}"""
     // The driver's tail capture is a FIXED ~2000-char window; the full
     // per-query line (~90 queries, full double precision) is ~4000 chars and
     // can never fit, wherever it is printed (r4/r5 `parsed: null`). So:

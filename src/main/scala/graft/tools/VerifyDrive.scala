@@ -19,58 +19,37 @@ object VerifyDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // current investigation: why is ivfPqTopK recall low on the clustered
-    // manifold — quantization error, or a shortlist/scoring bug?
-    import graft.operators.Similarity
-    import spark.implicits._
-    val n = 200000L
-    val cClusters = 256
-    val d = 64
-    val sigma = 0.08
-    val vecs = spark.range(n).toDF("vec_id")
-      .withColumn("embedding", expr(
-        s"transform(sequence(1, $d), i -> cast(" +
-          s"(pmod(xxhash64(pmod(vec_id, $cClusters), i), 1000) / 1000.0 - 0.5)" +
-          s" + $sigma * (pmod(xxhash64(vec_id, i, 7), 1000) / 1000.0 - 0.5)" +
-          s" as float))"))
+    // current investigation: the graph stress tier shows UNWEIGHTED
+    // pageRank 2-5x slower than weighted on the same synthetic edges
+    // (all-unique pairs), while the sf0.1 bench (duplicate-heavy edges)
+    // shows no gap. Isolate: is the e-construction stage (distinct vs
+    // groupBy+sum) the difference, or the iteration loop?
+    def run(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[drive] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    val n = 16000000L
+    val nodes = n / 10
+    val edges = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(nodes)).as("src"),
+      pmod(xxhash64(col("id")), lit(nodes)).as("dst"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("double").as("w"))
       .cache()
-    vecs.count()
-    val pq = Similarity.trainPq(vecs, m = 8)
-    val sample = vecs.limit(2000).as[(Long, Array[Float])].collect()
-    // reconstruction error vs signal scale
-    def recon(code: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](pq.dim)
-      for (s <- 0 until pq.m; i <- 0 until pq.subDim)
-        out(s * pq.subDim + i) = pq.sub(s)(code(s) & 0xff)(i)
-      out
+    edges.count()
+    for (i <- 1 to 2) {
+      run(s"pr_unweighted#$i")(
+        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6).count())
+      run(s"pr_weighted#$i")(
+        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+          weightCol = Some("w")).count())
+      run(s"pr_dangling#$i")(
+        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+          redistributeDangling = true).count())
     }
-    val errs = sample.map { case (_, v) =>
-      val r = recon(pq.encode(v))
-      math.sqrt(v.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }
-    val norms = sample.map { case (_, v) =>
-      math.sqrt(v.map(x => x * x).sum) }
-    println(f"[drive] pq recon err mean=${errs.sum / errs.length}%.4f " +
-      f"norm mean=${norms.sum / norms.length}%.4f")
-    // ADC vs true cosine ordering for one query against its cluster
-    val q = sample.head._2
-    val lut = pq.lut(q)
-    val scored = sample.map { case (id, v) =>
-      val cos = {
-        val dn = math.sqrt(v.map(x => x * x).sum) *
-          math.sqrt(q.map(x => x * x).sum)
-        v.zip(q).map { case (a, b) => a * b }.sum / dn
-      }
-      (id, cos, pq.adc(lut, pq.encode(v)))
-    }
-    val byCos = scored.sortBy(-_._2).take(5).map(_._1).toSet
-    val byAdc = scored.sortBy(_._3).take(50).map(_._1).toSet
-    println(s"[drive] top5-by-cosine=$byCos in ADC-top50? " +
-      s"${byCos.intersect(byAdc).size}/5")
-    println("[drive] head by cos: " +
-      scored.sortBy(-_._2).take(5).map(t => f"(${t._1},cos=${t._2}%.3f,adc=${t._3}%.3f)").mkString(" "))
-    println("[drive] head by adc: " +
-      scored.sortBy(_._3).take(5).map(t => f"(${t._1},cos=${t._2}%.3f,adc=${t._3}%.3f)").mkString(" "))
     spark.stop()
   }
 }
