@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{BloomContainsProbe, CanonicalTokens, CharEntropy, CmsGeProbe, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
+import org.apache.spark.sql.graft.{BloomContainsProbe, CanonicalTokens, CharEntropy, CmsGeProbe, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, NfcClean, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "char_entropy",
       "char_entropy(text) - Shannon entropy over code points, bits/char",
       { case Seq(text) => CharEntropy(text) })
+
+    register(ext, "nfc_clean",
+      "nfc_clean(text) - NFC + control-strip + whitespace-collapse + trim",
+      { case Seq(text) => NfcClean(text) })
 
     register(ext, "zorder62",
       "zorder62(a, b) - Morton interleave of two low-31-bit values (data layout)",

@@ -793,6 +793,27 @@ object SparkEntry {
       Similarity.bruteForceTopK(corpus, queries, 5)
     }),
 
+    // Contrastive hard-negative mining: top-k most-similar vectors with
+    // a DIFFERENT label. Exact streamed-heap form; full SQL oracle.
+    "q_hard_negatives" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      Similarity.hardNegatives(corpus, queries, 5)
+    }),
+
+    // Int8 scalar-quantized ANN (SQ8): codes-only shortlist pass + exact
+    // float rerank. Rank-1 self-recovery invariant, same as ann_lsh.
+    "ann_sq" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.sqTopK(corpus, queries, 5, rerankFactor = 4)
+        .filter(col("rank") === 1)
+    }),
+
     // LSH-bucketed ANN (scale path) — recall vs the exact baseline is the
     // check; approximate → no SQL oracle.
     "ann_lsh" -> ((s, dir) => {
@@ -862,6 +883,25 @@ object SparkEntry {
     }),
 
     // Token counting (whitespace + BPE-ish subword estimate).
+    // Unicode NFC normalization + control-strip + whitespace collapse
+    // (the first stage of web-scrape cleanup) — one codegen'd pass whose
+    // regex-chain equivalent IS the oracle.
+    "text_normalize" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"),
+        length(TextAnalysis.normalizeText(col("text"))).cast("int")
+          .as("n_norm_chars"))
+    }),
+
+    // Overlapping token-window passage chunking (RAG / long-doc
+    // pretraining splitter) — map-only HOF plan, full SQL oracle.
+    "text_chunks" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.chunkPassages(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+    }),
+
     "text_tokens" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       t(s, dir, "documents").select(
@@ -1048,6 +1088,17 @@ object SparkEntry {
     // Unified batch/stream event dedup (stream mode uses bounded
     // dropDuplicatesWithinWatermark state — StreamsSpec). The doubled
     // input models an at-least-once replay.
+    // Streaming heavy hitters: bounded space-saving bucket state,
+    // exactly-once threshold-crossing emission, driven through a REAL
+    // 3-micro-batch MemoryStream query (counts accumulate ACROSS
+    // batches). Eviction-free capacity here ⇒ the emitted key set is
+    // exactly the batch GROUP BY HAVING heavies — the oracle.
+    "q_stream_heavy" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.streaming.Streams.heavyHittersStreamParity(s, e, "user_id", 75L)
+        .select(col("key").as("user_id"))
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       val e = t(s, dir, "events")
       graft.streaming.Streams.dedupEvents(e.unionAll(e), Seq("event_id"))
@@ -1445,6 +1496,19 @@ object SparkEntry {
       Mixes.toTargetShares(t(s, dir, "documents"), "doc_id", "source",
           "n_chars", Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
             "src3" -> 0.1), seed = 13L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_cost"),
+          sum("doc_id").as("id_sum"))
+    }),
+
+    // Temperature (α) mixing: flatten the natural source-size
+    // distribution so kept mass ∝ c^α — downsample-only, smallest
+    // source keeps all. Rates quantized to 2^-20 so pow ULP differences
+    // between engines cannot flip the md5-threshold row set.
+    "q_temperature_mix" -> ((s, dir) => {
+      import graft.operators.Mixes
+      Mixes.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+          "n_chars", alpha = 0.5, seed = 13L)
         .groupBy("source")
         .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_cost"),
           sum("doc_id").as("id_sum"))
@@ -1930,6 +1994,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q_stream_dedup" ->
       """SELECT count(DISTINCT event_id) AS n_unique FROM events""",
+    "q_stream_heavy" ->
+      """SELECT user_id FROM events
+        |GROUP BY user_id HAVING count(*) >= 75""".stripMargin,
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n,
@@ -2011,6 +2078,12 @@ object SparkEntry {
     // LSH self-recovery: every query shares its own bucket, so rank 1 is
     // the query vector itself at cosine 1.0.
     "ann_lsh" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // SQ8 self-recovery: the identical vector cannot miss the codes
+    // shortlist; the exact rerank pins it at rank 1.
+    "ann_sq" ->
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
@@ -2748,6 +2821,27 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS kept_cost,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM kept GROUP BY source""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH costs AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cost
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |mn AS (SELECT min(CAST(cost AS DOUBLE)) AS cmin FROM costs),
+        |rates AS (
+        |  SELECT source,
+        |         round(power(CAST(cost AS DOUBLE) / (SELECT cmin FROM mn), -0.5)
+        |               * 1048576.0) / 1048576.0 AS rate
+        |  FROM costs),
+        |kept AS (
+        |  SELECT d.source, d.doc_id, d.n_chars
+        |  FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE substring(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |        < CASE WHEN round(r.rate * 4294967296.0) >= 4294967296.0 THEN 'g'
+        |               ELSE lower(lpad(to_hex(CAST(round(r.rate * 4294967296.0)
+        |                      AS BIGINT)), 8, '0')) END)
+        |SELECT source, count(*) AS kept_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_cost,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source""".stripMargin,
     "q_pack_curriculum" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,
@@ -3015,6 +3109,42 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cosine DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlab
+        |           FROM embeddings WHERE vec_id % 100 = 0 AND label IS NOT NULL),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS nn_id,
+        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |               CAST(q.qvec AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c CROSS JOIN q
+        |  WHERE c.label IS NOT NULL AND c.label <> q.qlab)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, nn_id, cosine FROM (
+        |  SELECT query_id, nn_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, nn_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |       '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |       '\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
+        |FROM documents""".stripMargin,
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         CAST(unnest(range(0, len(toks), 48)) AS INTEGER) AS start
+        |  FROM d)
+        |SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_id,
+        |       CAST(least(64, len(toks) - start) AS INTEGER) AS n_chunk_tokens,
+        |       array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+        |         AS chunk_text
+        |FROM s""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0

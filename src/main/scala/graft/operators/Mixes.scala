@@ -85,4 +85,56 @@ object Mixes {
         idCol, "__rate", seed)
       .drop("__w", "__rate")
   }
+
+  /**
+   * Temperature-based corpus mixing (the multilingual-LM standard —
+   * mT5/XLM-R/LLaMA family): instead of declaring explicit target
+   * shares, flatten the NATURAL size distribution by a temperature
+   * `alpha` ∈ (0, 1]. The kept mass of stratum `s` is proportional to
+   * `c_s^alpha` (α = 1 keeps the natural mix, α → 0 approaches uniform),
+   * realized by downsampling only (nothing upsamples): the smallest
+   * stratum keeps everything and stratum `s` keeps
+   * `rate_s = (c_s / c_min)^(α−1)` of its rows.
+   *
+   * The rate is quantized to 2^-20 before thresholding so that a
+   * last-ULP difference in `pow` between engines cannot flip the kept
+   * row set — the md5-threshold row selection then replicates exactly in
+   * SQL (same mechanism as [[Samples.weighted]]).
+   *
+   * Rows with a NULL stratum are dropped (they cannot be attributed to
+   * a source, and any rate for them would be arbitrary). Strata with
+   * zero/NULL total cost fail loudly — their rate would be 0^negative =
+   * +Inf, which under the threshold clamp silently keeps everything.
+   *
+   * Scale shape: one partial-aggregated pass for per-stratum costs (a
+   * #strata-row frame), a broadcast rate join, and a map-only filter —
+   * no full-data shuffle anywhere.
+   */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        costCol: String, alpha: Double,
+                        seed: Long = 42L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val rows = df.filter(col(stratumCol).isNotNull)
+    val costs = rows.groupBy(col(stratumCol))
+      .agg(sum(col(costCol).cast("long")).as("__cost"))
+    // fail-loud guard on degenerate strata — one tiny #strata-row collect
+    val bad = costs.filter(col("__cost").isNull || col("__cost") <= 0L)
+      .select(col(stratumCol).cast("string")).collect()
+      .map(r => if (r.isNullAt(0)) "null" else r.getString(0)).toSet
+    require(bad.isEmpty,
+      s"strata with zero/NULL total $costCol (rate would be undefined): $bad")
+    val minF = costs.agg(min(col("__cost").cast("double")).as("__cmin"))
+    // rate_s = (c_s/c_min)^(α−1), quantized to 2^-20 for engine parity
+    val rates = costs.crossJoin(broadcast(minF))
+      .withColumn("__rate",
+        round(pow(col("__cost").cast("double") / col("__cmin"),
+          lit(alpha - 1.0)) * 1048576.0) / lit(1048576.0))
+      .select(col(stratumCol), col("__rate"))
+    Samples.weighted(rows.join(broadcast(rates), Seq(stratumCol)),
+        idCol, "__rate", seed)
+      .drop("__rate")
+  }
 }

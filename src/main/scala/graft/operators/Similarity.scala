@@ -102,6 +102,255 @@ object Similarity {
   }
 
   /**
+   * Contrastive hard-negative mining: for each query vector, the k
+   * corpus vectors MOST cosine-similar among those with a DIFFERENT
+   * label (the "hard" negatives an embedding/reranker trainer wants —
+   * near the query but provably not its class).
+   *
+   * Exact form, same streamed shape as [[bruteForceTopK]]: queries are
+   * collected and broadcast (the query set is the small side by
+   * contract), the corpus streams once through partition-local k-heaps —
+   * no shuffle of corpus vectors, merge cost ≤ k·|Q|·partitions rows.
+   * Rows with a NULL label on either side are excluded: a null cannot
+   * prove the labels differ, and a mined "negative" that silently shares
+   * the query's class would poison the contrastive loss.
+   *
+   * At 100 TB the same heap pass applies per corpus split; for very
+   * large query sets compose [[ivfTopK]] with an oversampled k and
+   * label filter instead (see [[hardNegativesIvf]]).
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    queryIdCol: String = "query_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float], Long)] = queries
+      .filter(col(labelCol).isNotNull)
+      .select(col(queryIdCol).cast("long"), col(vecCol),
+        col(labelCol).cast("long"))
+      .as[(Long, Array[Float], Long)].collect()
+    val qB = spark.sparkContext.broadcast(qRows)
+
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, cos) => (-cos, id)
+    }
+
+    val local = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .as[(Long, Array[Float], Long)].rdd
+      .mapPartitions { rows =>
+        val qs = qB.value
+        val heaps = qs.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord))
+        rows.foreach { case (id, vec, lab) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi)._3 != lab) { // negatives only: label must differ
+              val qv = qs(qi)._2
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              val n = math.min(vec.length, qv.length)
+              while (i < n) {
+                val x = vec(i).toDouble; val y = qv(i).toDouble
+                dot += x * y; na += x * x; nb += y * y; i += 1
+              }
+              // Spark round(_, 6) semantics — see bruteForceTopK
+              val cos = java.math.BigDecimal
+                .valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((id, cos))
+              else {
+                val (wid, wcos) = h.head
+                if (cos > wcos || (cos == wcos && id < wid)) {
+                  h.dequeue(); h.enqueue((id, cos))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (id, cos) => (qs(qi)._1, id, cos) }
+        }
+      }
+      .toDF(queryIdCol, "nn_id", "cosine")
+
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /**
+   * Hard-negative mining through the IVF shortlist (scale path for
+   * LARGE query sets, where broadcasting queries is off the table):
+   * [[ivfTopK]] with an oversampled k' = k·`oversample`, labels joined
+   * back on the 8-byte id key, same-label candidates dropped, re-ranked
+   * to k. Approximate exactly where ivfTopK is (cell recall); the label
+   * filter itself is exact. NULL-label rows are excluded as in
+   * [[hardNegatives]].
+   */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                       oversample: Int = 4, numCells: Int = 64,
+                       nProbe: Int = 8,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label",
+                       queryIdCol: String = "query_id"): DataFrame = {
+    require(oversample >= 2, "oversample must leave room for same-label hits")
+    val c = corpus.filter(col(labelCol).isNotNull)
+    val q = queries.filter(col(labelCol).isNotNull)
+    val labels = c.select(col(idCol).cast("long").as("nn_id"),
+      col(labelCol).cast("long").as("__nn_label"))
+    val qLabels = q.select(col(queryIdCol).cast("long").as(queryIdCol),
+      col(labelCol).cast("long").as("__q_label"))
+    val shortlist = ivfTopK(c, q, k * oversample, numCells = numCells,
+      nProbe = nProbe, idCol = idCol, vecCol = vecCol,
+      queryIdCol = queryIdCol)
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    shortlist
+      .join(labels, Seq("nn_id"))
+      .join(broadcast(qLabels), Seq(queryIdCol))
+      .filter(col("__nn_label") =!= col("__q_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /**
+   * ANN via int8 SCALAR quantization (SQ8 — the third compression path
+   * next to IVF cells and PQ codes): each float32 dimension maps
+   * affinely to one unsigned byte using per-dimension corpus [min, max]
+   * (4× smaller vectors ⇒ 4× less memory traffic on the scan pass); the
+   * k·`rerankFactor` shortlist per query is mined from the CODES with
+   * partition-local heaps (no shuffle of vectors, merge ≤
+   * shortlist·|Q|·partitions rows), then an exact float rerank — an
+   * 8-byte-id join back to the corpus — restores exact cosine semantics
+   * on the kept k.
+   *
+   * Self-recovery: a query identical to a corpus vector scores
+   * approx-cosine ≈ 1 on its own code, cannot miss the shortlist at any
+   * sane `rerankFactor`, and the exact rerank pins it at rank 1 (the
+   * ann_sq oracle invariant).
+   *
+   * The min/max pass is one `treeAggregate` shipping 2·dim floats per
+   * partition; corpus vectors are assumed uniform-dimension (as in
+   * [[trainPq]]).
+   */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             rerankFactor: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id"): DataFrame = {
+    require(k > 0 && rerankFactor >= 1, "k and rerankFactor must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+
+    // per-dimension [min, max]: one treeAggregate, 2·dim floats/partition
+    type MM = (Array[Float], Array[Float])
+    val mm: MM = vecs.rdd.map(_._2).treeAggregate(null: MM)(
+      (acc, v) =>
+        if (acc == null) (v.clone(), v.clone())
+        else {
+          var i = 0
+          while (i < v.length) {
+            if (v(i) < acc._1(i)) acc._1(i) = v(i)
+            if (v(i) > acc._2(i)) acc._2(i) = v(i)
+            i += 1
+          }
+          acc
+        },
+      (a, b) =>
+        if (a == null) b else if (b == null) a
+        else {
+          var i = 0
+          while (i < a._1.length) {
+            if (b._1(i) < a._1(i)) a._1(i) = b._1(i)
+            if (b._2(i) > a._2(i)) a._2(i) = b._2(i)
+            i += 1
+          }
+          a
+        })
+    require(mm != null, "sqTopK: empty corpus")
+    val mins = mm._1
+    val scales = Array.tabulate(mins.length) { i =>
+      val r = mm._2(i) - mins(i); if (r > 0f) r / 255f else 1f
+    }
+    val minsB = spark.sparkContext.broadcast(mins)
+    val scalesB = spark.sparkContext.broadcast(scales)
+
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(queryIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qRows)
+    val shortlist = k * rerankFactor
+
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, cos) => (-cos, id)
+    }
+    // codes-only scan: quantize and heap-select in one partition pass —
+    // float vectors never leave their partition, only (qid, nn_id) pairs
+    val cand = vecs.rdd.mapPartitions { rows =>
+      val qs = qB.value
+      val mn = minsB.value
+      val sc = scalesB.value
+      val heaps = qs.map(_ =>
+        new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord))
+      rows.foreach { case (id, vec) =>
+        val d = math.min(vec.length, mn.length)
+        val code = new Array[Int](d)
+        var i = 0
+        while (i < d) {
+          val q = math.round((vec(i) - mn(i)) / sc(i))
+          code(i) = if (q < 0) 0 else if (q > 255) 255 else q
+          i += 1
+        }
+        var qi = 0
+        while (qi < qs.length) {
+          val qv = qs(qi)._2
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          val n = math.min(d, qv.length)
+          while (j < n) {
+            val x = mn(j) + code(j) * sc(j).toDouble // dequantized
+            val y = qv(j).toDouble
+            dot += x * y; na += x * x; nb += y * y; j += 1
+          }
+          val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+          val h = heaps(qi)
+          if (h.size < shortlist) h.enqueue((id, cos))
+          else {
+            val (wid, wcos) = h.head
+            if (cos > wcos || (cos == wcos && id < wid)) {
+              h.dequeue(); h.enqueue((id, cos))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (id, _) => (qs(qi)._1, id) }
+      }
+    }.toDF(queryIdCol, "nn_id").dropDuplicates(queryIdCol, "nn_id")
+
+    // exact rerank over the shortlist: 8-byte-id join back to the corpus
+    val cvecs = corpus.select(col(idCol).cast("long").as("nn_id"),
+      col(vecCol).as("cvec"))
+    val qvecs = queries.select(col(queryIdCol).cast("long").as(queryIdCol),
+      col(vecCol).as("qvec"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    cand.join(cvecs, Seq("nn_id"))
+      .join(broadcast(qvecs), Seq(queryIdCol))
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /**
    * ANN top-k via random-hyperplane LSH: corpus and queries are bucketed
    * by `numPlanes`-bit signatures; each query is probed in its own bucket
    * plus all 1-bit-flip neighbor buckets (multi-probe), then exact cosine

@@ -20,6 +20,12 @@ object TextAnalysis {
   /** Whitespace token count (empty text → 0). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode NFC + control-strip + whitespace-collapse + trim, one
+    * codegen'd pass — see [[org.apache.spark.sql.graft.NormalizeRuntime]]
+    * for the exact contract and its SQL replica. */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.graft.NormalizeFunctions.nfcClean(text)
+
   /** BPE-ish subword count estimate: word-piece regex split — letters runs,
     * digit runs, and single punctuation each count as one token. */
   def subwordCount(text: Column): Column = {
@@ -336,6 +342,37 @@ object TextAnalysis {
    * all-pairs anything. Docs whose every line is boilerplate come back
    * with empty text (filter afterwards if desired).
    */
+  /**
+   * Overlapping token-window passage chunking (the RAG / long-document
+   * pretraining splitter): each document becomes ⌈n/stride⌉ chunks of up
+   * to `chunkTokens` whitespace tokens, successive chunks `stride`
+   * tokens apart (overlap = chunkTokens − stride). Output rows:
+   * `(idCol, chunk_id, n_chunk_tokens, chunk_text)`; empty documents
+   * produce no chunks.
+   *
+   * Pure HOF/codegen plan — tokenize once, `posexplode` a
+   * `sequence(0, n−1, stride)` of starts, `slice` + `array_join` per
+   * chunk. Map-side only: no shuffle, no UDF; chunk rows inherit the
+   * scan's partitioning, so the downstream embed/dedup stage shuffles
+   * chunks, never whole documents.
+   */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        size(slice(col("__toks"), col("col") + 1, lit(chunkTokens)))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("col") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        minDocFreq: Long): DataFrame = {
     val frequent = boilerplateLines(df, idCol, textCol, minDocFreq)

@@ -704,4 +704,126 @@ object Streams {
           graft.core.ShardConfig(numShards), Some(s"batch-$batchId"))
     }
   }
+
+  final case class KeyEvent(key: Long, ts: Timestamp)
+  final case class HeavyEmit(key: Long, guaranteed_count: Long)
+  // public: state encoder codegen constructs/accesses these
+  final case class SsEntry(key: Long, count: Long, err: Long)
+  final case class HhState(entries: List[SsEntry], emitted: List[Long])
+
+  /**
+   * STREAMING heavy hitters with BOUNDED state — the stream analogue of
+   * [[graft.operators.Sketches.frequentItems]]: per-key counts are
+   * tracked in space-saving summaries (Metwally et al. 2005, "Efficient
+   * computation of frequent and top-k elements in data streams"), one
+   * summary of `capacityPerBucket` counters per hash bucket, so total
+   * state is `numBuckets · capacityPerBucket` counters NO MATTER how
+   * many distinct keys the stream carries — the property a grouped
+   * `count()` in update mode cannot give.
+   *
+   * A key is emitted (exactly once, with its guaranteed count at
+   * crossing time) when its GUARANTEED count — tracked count minus the
+   * eviction-inherited overestimate — reaches `threshold`. Space-saving
+   * invariants: a tracked key's true count lies in
+   * `[count − err, count]`, and any key with true count above the
+   * bucket's minimum tracked count is guaranteed tracked — so a key
+   * whose true count reaches `threshold + maxErr` CANNOT be missed
+   * (no false negatives beyond the documented error band), and an
+   * emitted key's true count is ≥ `threshold` ALWAYS (guaranteed counts
+   * never overestimate — no false positives, ever).
+   *
+   * When `capacityPerBucket` ≥ the bucket's distinct-key count nothing
+   * evicts, `err` stays 0, counts are EXACT, and the emitted set equals
+   * the batch `GROUP BY key HAVING count(*) ≥ threshold` — the
+   * [[heavyHittersStreamParity]] / q_stream_heavy oracle. The emitted-set
+   * memory is bounded by stream volume / threshold (a key must absorb
+   * `threshold` arrivals to enter it).
+   *
+   * Works identically on a bounded Dataset (batch mode) for testing.
+   */
+  def heavyHittersStream(events: Dataset[KeyEvent], threshold: Long,
+                         capacityPerBucket: Int = 4096,
+                         numBuckets: Int = 64): Dataset[HeavyEmit] = {
+    require(threshold > 0, "threshold must be positive")
+    require(capacityPerBucket > 0 && numBuckets > 0,
+      "capacity and buckets must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e =>
+        math.floorMod(scala.util.hashing.byteswap64(e.key), numBuckets.toLong))
+      .flatMapGroupsWithState[HhState, HeavyEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[HhState]) =>
+          val prev = state.getOption.getOrElse(HhState(Nil, Nil))
+          // small mutable summary (≤ capacity entries): key → (count, err)
+          val m = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+          prev.entries.foreach(e => m.put(e.key, (e.count, e.err)))
+          val emitted = scala.collection.mutable.LinkedHashSet(prev.emitted: _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[HeavyEmit]
+          rows.foreach { e =>
+            m.get(e.key) match {
+              case Some((c, err)) => m.update(e.key, (c + 1, err))
+              case None if m.size < capacityPerBucket =>
+                m.put(e.key, (1L, 0L))
+              case None =>
+                // evict the minimum-count entry (tie: smallest key, so
+                // replay/recovery reproduces the same summary), inherit
+                // its count as the newcomer's overestimate bound
+                val (mk, (mc, _)) = m.minBy { case (k, (c, _)) => (c, k) }
+                m.remove(mk)
+                m.put(e.key, (mc + 1, mc))
+            }
+            val (c, err) = m(e.key)
+            if (c - err >= threshold && !emitted.contains(e.key)) {
+              emitted.add(e.key)
+              out += HeavyEmit(e.key, c - err)
+            }
+          }
+          state.update(HhState(
+            m.iterator.map { case (k, (c, e)) => SsEntry(k, c, e) }.toList,
+            emitted.toList))
+          out.iterator
+      }
+  }
+
+  /** Parity drive for [[heavyHittersStream]]: replays a bounded key
+    * frame through a REAL 3-micro-batch MemoryStream query with
+    * eviction-free capacity; the emitted key set must equal the batch
+    * `GROUP BY HAVING` heavies exactly (counts accumulate across
+    * batches in bucket state — the cross-batch catch is the point). */
+  def heavyHittersStreamParity(spark: SparkSession, keys: DataFrame,
+                               keyCol: String, threshold: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = keys.select(col(keyCol).cast("long")).as[Long].collect()
+    val base = 1700000000000L
+    val events = rows.zipWithIndex.map { case (k, i) =>
+      KeyEvent(k, new Timestamp(base + i * 10L))
+    }
+    val third = math.max(events.length / 3, 1)
+    val batches = events.grouped(third).toSeq
+
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    val input = MemoryStream[KeyEvent]
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = heavyHittersStream(input.toDS(), threshold)
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: Dataset[HeavyEmit], _: Long) =>
+          got.synchronized {
+            got ++= batch.collect().map(e => (e.key, e.guaranteed_count))
+          }
+          () // foreachBatch needs Unit, not the appended buffer
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+    got.toSeq.toDF("key", "crossing_count")
+  }
 }

@@ -35,7 +35,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       char_entropy('aabb') AS ce,
           |       zorder62(3, 1) AS z,
           |       zorder63(1, 1, 1) AS z3,
-          |       canonical_url('HTTPS://WWW.Example.COM:443/Path/?utm_source=x#f') AS cu
+          |       canonical_url('HTTPS://WWW.Example.COM:443/Path/?utm_source=x#f') AS cu,
+          |       nfc_clean('  a\tb  ') AS nc
           |""".stripMargin).head()
       assert(r.getInt(0) === EsMurmur3.hash("hello"))
       assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
@@ -54,6 +55,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // three dims, bit 0 each → bits 0,1,2 → 7
       assert(r.getLong(12) === 7L)
       assert(r.getString(13) === "https://example.com/Path")
+      assert(r.getString(14) === "a b")
 
       // sketch probes: the serialized sketch rides in as a binary literal
       val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.99, 42)

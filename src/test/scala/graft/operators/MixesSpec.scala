@@ -71,6 +71,52 @@ class MixesSpec extends SparkSpec {
     assert(once === again && once.nonEmpty)
   }
 
+  test("temperature α=1 keeps the natural mix (everything)") {
+    val df = corpus(10, 40, 5)
+    val out = Mixes.temperatureSample(df, "id", "src", "cost", alpha = 1.0)
+    assert(out.count() === 55L) // every rate is (c/cmin)^0 = 1.0
+  }
+
+  test("temperature flattens toward uniform: smallest stratum keeps all, " +
+      "kept mass tracks c^alpha") {
+    val df = spark.range(0, 42000).select(col("id"),
+      when(col("id") < 2000L, "small")
+        .when(col("id") < 10000L, "mid").otherwise("big").as("src"),
+      lit(1L).as("cost"))
+    // costs: small=2000, mid=8000, big=32000; α=0.5 →
+    // rate_small=1, rate_mid=(4)^-0.5=0.5, rate_big=(16)^-0.5=0.25
+    val out = Mixes.temperatureSample(df, "id", "src", "cost", alpha = 0.5)
+    val n = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(n("small") === 2000L) // rate exactly 1.0 keeps all
+    assert(math.abs(n("mid") / 8000.0 - 0.5) < 0.03)
+    assert(math.abs(n("big") / 32000.0 - 0.25) < 0.03)
+  }
+
+  test("temperature: null-stratum rows are dropped; zero-cost stratum fails") {
+    val withNull = Seq((1L, Some("a"), 10L), (2L, None, 10L), (3L, Some("b"), 10L))
+      .toDF("id", "src", "cost")
+    val out = Mixes.temperatureSample(withNull, "id", "src", "cost", 1.0)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    val zero = Seq((1L, "a", 10L), (2L, "b", 0L)).toDF("id", "src", "cost")
+    val ex = intercept[IllegalArgumentException] {
+      Mixes.temperatureSample(zero, "id", "src", "cost", 0.5)
+    }
+    assert(ex.getMessage.contains("b"))
+    intercept[IllegalArgumentException] {
+      Mixes.temperatureSample(withNull, "id", "src", "cost", 0.0)
+    }
+  }
+
+  test("temperature: deterministic across repartitionings") {
+    val df = corpus(50, 80, 30)
+    val once = Mixes.temperatureSample(df, "id", "src", "cost", 0.7, seed = 5L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val again = Mixes.temperatureSample(df.repartition(7), "id", "src", "cost",
+        0.7, seed = 5L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(once === again && once.nonEmpty)
+  }
+
   test("kept mixture tracks the target shares on a large corpus") {
     val df = spark.range(0, 30000).select(col("id"),
       concat(lit("s"), (col("id") % 3).cast("string")).as("src"), lit(1L).as("cost"))

@@ -34,6 +34,100 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1)._4 > 0.999)
   }
 
+  // corpus with labels: ids 0,1,4 point +x (label 0 except 4), 2 +y, 3 +z
+  private def labeled = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), Some(0)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), Some(0)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), Some(1)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), Some(2)),
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.01f), Some(1)),
+    (5L, Array(0.95f, 0.05f, 0.0f, 0.0f), None) // null label: excluded
+  ).toDF("vec_id", "embedding", "label")
+
+  test("hardNegatives: nearest different-label vectors, same-label and " +
+      "null-label rows excluded") {
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("query_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled, queries, 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    // label-0 ids 0,1 excluded; null-label id 5 excluded;
+    // nearest negatives: 4 (≈1.0, label 1), then 2 and 3 (orthogonal)
+    assert(out.map(_._3) === Seq(4L, 2L, 3L))
+    assert(out.head._4 > 0.999)
+    assert(out.forall(r => r._3 != 0L && r._3 != 1L && r._3 != 5L))
+  }
+
+  test("hardNegatives: null-label query is dropped entirely") {
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f), Some(0)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f), None))
+      .toDF("query_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled, queries, 2)
+    assert(out.select("query_id").distinct().as[Long].collect().toSeq === Seq(100L))
+  }
+
+  test("hardNegativesIvf matches exact hardNegatives on well-separated data") {
+    // big enough for a real cell structure; labels alternate within
+    // tight clusters so every query has close negatives
+    val n = 400
+    val rows = (0 until n).map { i =>
+      val c = i % 4
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 1.0f
+      base(c * 2 + 1) = 0.01f * (i / 4 % 25)
+      (i.toLong, base, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = rows.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val exact = Similarity.hardNegatives(rows, queries, 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // 1 cell ⇒ shortlist is global ⇒ must equal the exact answer
+    val ivf = Similarity.hardNegativesIvf(rows, queries, 3,
+        oversample = 4, numCells = 1, nProbe = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivf === exact)
+  }
+
+  test("sqTopK: self-recovery and exact-rerank ordering on known geometry") {
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "embedding")
+    val top = Similarity.sqTopK(corpus, queries, 3, rerankFactor = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    // rerank is exact → same order as brute force on these vectors
+    assert(top.map(_._3) === Seq(0L, 4L, 1L))
+    assert(top.head._4 === 1.0)
+  }
+
+  test("sqTopK with a generous shortlist equals exact brute force") {
+    val n = 300
+    val rows = (0 until n).map { i =>
+      val v = Array.tabulate(8)(j =>
+        (math.sin(i * 0.37 + j * 1.13) * 3 + j * 0.1).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = rows.filter(col("vec_id") % 60 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(rows, queries, 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // shortlist = 4·75 = n ⇒ every candidate survives to the exact
+    // rerank ⇒ the answer must be identical to brute force
+    val sq = Similarity.sqTopK(rows, queries, 4, rerankFactor = 75)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(sq === exact)
+  }
+
+  test("sqTopK: constant dimension (zero range) quantizes without dividing by zero") {
+    val rows = Seq(
+      (0L, Array(1.0f, 5.0f, 0.0f)),
+      (1L, Array(0.9f, 5.0f, 0.1f)),
+      (2L, Array(0.0f, 5.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((9L, Array(1.0f, 5.0f, 0.0f))).toDF("query_id", "embedding")
+    val top = Similarity.sqTopK(rows, queries, 2, rerankFactor = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(top.map(_._3) === Seq(0L, 1L))
+    assert(top.head._4 === 1.0)
+  }
+
   test("lshTopK recovers the exact-duplicate neighbor via bucket join") {
     val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("query_id", "embedding")
     val top = Similarity.lshTopK(corpus, queries, 2, numPlanes = 8)

@@ -169,6 +169,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getDouble(1) === math.rint(1.0 / 44 * 10000) / 10000)
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse, trim") {
+    val rows = Seq(
+      (1L, "cafe\u0301"),         // decomposed e+accent composes under NFC
+      (2L, "  a\t\tb\nc  "),            // collapse + trim
+      (3L, "a\u0001b\u0002c"),    // control chars vanish, no space
+      (4L, "a \u0000  b"),        // control inside a ws run: one space
+      (5L, "\t \n"),                    // all-whitespace → empty
+      (6L, "a\u000bb"),          // vertical tab is a control: strip
+      (7L, "a\u00a0b")           // NBSP is content: untouched
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("t"))
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(out(1L) === "caf\u00e9")
+    assert(out(2L) === "a b c")
+    assert(out(3L) === "abc")
+    assert(out(4L) === "a b")
+    assert(out(5L) === "")
+    assert(out(6L) === "ab")
+    assert(out(7L) === "a\u00a0b")
+  }
+
+  test("normalizeText: null passes through as null") {
+    val rows = Seq((1L, Some("  x  y ")), (2L, None)).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("t"))
+      .orderBy("doc_id").as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq((1L, Some("x y")), (2L, None)))
+  }
+
+  test("chunkPassages: hand-derived windows, overlap, tail, empty docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x y"),           // 2 tokens → one short chunk
+      (3L, "   "),           // empty → no chunks
+      (4L, "")               // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // doc 1: starts 0,3,6 → [a b c d], [d e f g], [g]
+    assert(out === Seq(
+      (1L, 0, 4, "a b c d"),
+      (1L, 1, 4, "d e f g"),
+      (1L, 2, 1, "g"),
+      (2L, 0, 2, "x y")))
+  }
+
+  test("chunkPassages: stride == chunkTokens partitions without overlap; " +
+      "bad stride fails") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(docs, "doc_id", "text", 2, 2)
+      .orderBy("chunk_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(out.map(_._4) === Seq("a b", "c d", "e"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkPassages(docs, "doc_id", "text", 2, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkPassages(docs, "doc_id", "text", 2, 0)
+    }
+  }
+
   test("stripBoilerplate removes frequent lines, keeps order, handles all-boilerplate docs") {
     val banner = "subscribe to our newsletter"
     val nav = "home | about | contact"

@@ -391,4 +391,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch, "micro-batched gate must match the batch cut")
     assert(!streamed.contains(99L) && streamed.contains(100L))
   }
+
+  test("heavyHittersStream: counts accumulate across micro-batches, " +
+      "exactly-once crossing emission, batch HAVING parity") {
+    // key 1: 10 arrivals, key 2: 6, key 3: 2 — threshold 5; spread so NO
+    // single batch alone crosses for key 2 (the cross-batch catch)
+    val keys = (Seq.fill(10)(1L) ++ Seq.fill(6)(2L) ++ Seq.fill(2)(3L))
+    val shuffled = new scala.util.Random(7).shuffle(keys)
+    val out = Streams.heavyHittersStreamParity(
+        spark, shuffled.toDF("k"), "k", threshold = 5L)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted === Seq(1L, 2L)) // each emitted exactly once
+    assert(out.forall(_._2 === 5L)) // crossing count == threshold (exact path)
+  }
+
+  test("heavyHittersStream under eviction: no false positives, heavy key " +
+      "still caught (space-saving guarantee)") {
+    import org.apache.spark.sql.functions.col
+    // one bucket, capacity 2, threshold 6: keys 10,20,...,80 appear once
+    // each (churn), key 99 appears 30 times — err from evictions can
+    // only DELAY its crossing, never mint a light key
+    val base = 1700000000000L
+    val churn = (0 until 8).flatMap(i => Seq.fill(1)((i + 1) * 10L))
+    val rows = (churn.take(4) ++ Seq.fill(30)(99L) ++ churn.drop(4))
+      .zipWithIndex.map { case (k, i) =>
+        Streams.KeyEvent(k, new java.sql.Timestamp(base + i))
+      }
+    val out = Streams.heavyHittersStream(
+        spark.createDataset(rows), threshold = 6L,
+        capacityPerBucket = 2, numBuckets = 1)
+      .collect().toSeq
+    assert(out.map(_.key) === Seq(99L)) // only the true heavy emits
+    assert(out.head.guaranteed_count >= 6L)
+  }
 }
