@@ -418,6 +418,27 @@ object SparkEntry {
     // the oracle runs. eps=1e-4 ⇒ overshoot ≤ 6 rows at sf0.01's 60k —
     // far below minCount=40, so false survivors are rare and the second
     // pass shuffles ~heavy-key rows only.
+    // Persisted HLL distinct-count ledger (daily-drop lifecycle, the
+    // distinct-count sibling of q_bloom_index): day-1 sketch saved,
+    // day-2 delta merged O(delta), estimate from the stored union. The
+    // error-bound gate + exact count is the same oracle shape as
+    // q_approx_distinct.
+    "q_hll_ledger" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val dest = s"$scratchRoot/users.hll"
+      val e = t(s, dir, "events")
+      Sketches.saveHllSketch(e.filter(col("event_id") % 2 === 0),
+        "user_id", dest)
+      Sketches.mergeIntoHllSketch(e.filter(col("event_id") % 2 === 1),
+        "user_id", dest)
+      val est = Sketches.hllEstimate(s, dest)
+      e.agg(countDistinct(col("user_id")).as("exact"))
+        .select(
+          (abs(lit(est) - col("exact")) <=
+            col("exact").cast("double") * 0.05).as("within_5pct"),
+          col("exact").as("exact_users"))
+    }),
+
     "q_frequent_items" -> ((s, dir) => {
       graft.operators.Sketches.frequentItems(
         t(s, dir, "lineitem"), "l_partkey", minCount = 40)
@@ -801,6 +822,42 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
       Similarity.hardNegatives(corpus, queries, 5)
+    }),
+
+    // Winnowing fingerprints (MOSS): every w-gram window contributes its
+    // min k-gram hash — guaranteed catch for any ≥ w+k−1 token overlap.
+    // Full SQL oracle (window-min over the identical md5/lpad keys).
+    "dedup_winnow" -> ((s, dir) => {
+      graft.operators.Dedup.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+    }),
+
+    // Robust per-stratum outlier flags (median/MAD): heavy-tail-safe
+    // quality gating; exact medians replicated by DuckDB median().
+    "q_mad_outliers" -> ((s, dir) => {
+      graft.operators.DataSelection.madOutliers(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "n_chars", "source", threshold = 2.0)
+        .select(col("doc_id"), col("source"),
+          round(col("robust_z"), 6).as("robust_z"), col("is_outlier"))
+    }),
+
+    // Persisted IVF index + incremental DELTA APPEND (daily embedding
+    // drop): build on the even half, append the odd half against the
+    // FROZEN codebook, probe both through the store. Self-recovery must
+    // hold for appended vectors too — their argmin cell under the old
+    // codebook is exactly the cell the probe checks first.
+    "ann_ivf_append" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val dest = s"$scratchRoot/ivf_append"
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), dest,
+        numCells = 16)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), dest)
+      val queries = emb.filter(col("vec_id") % 100 <= 1)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopKFromIndex(s, dest, queries, 5, nProbe = 4)
+        .filter(col("rank") === 1)
     }),
 
     // Int8 scalar-quantized ANN (SQ8): codes-only shortlist pass + exact
@@ -2087,6 +2144,56 @@ object SparkEntry {
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // Append self-recovery: old (even) AND delta (odd) vectors both
+    // recover through the incrementally-extended store.
+    "ann_ivf_append" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 100 <= 1""".stripMargin,
+    "dedup_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks)),
+        |keyed AS (
+        |  SELECT doc_id, pos,
+        |         substring(md5(gram), 1, 16)
+        |           || lpad(CAST(pos AS VARCHAR), 9, '0') AS key
+        |  FROM grams),
+        |sel AS (
+        |  SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY doc_id) AS g,
+        |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM keyed)
+        |SELECT DISTINCT doc_id, substring(fp, 1, 16) AS fp_hash,
+        |       CAST(substring(fp, 17, 9) AS INTEGER) AS fp_pos
+        |FROM sel WHERE pos <= greatest(g - 4, 0)""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT source, median(CAST(n_chars AS DOUBLE)) AS med
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |mad AS (
+        |  SELECT d.source,
+        |         median(abs(CAST(d.n_chars AS DOUBLE) - m.med)) AS mad
+        |  FROM documents d JOIN med m ON d.source = m.source
+        |  WHERE d.n_chars IS NOT NULL GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |       round(CASE WHEN a.mad > 0
+        |             THEN (CAST(d.n_chars AS DOUBLE) - m.med) / a.mad END, 6)
+        |         AS robust_z,
+        |       CASE WHEN d.n_chars IS NULL OR m.med IS NULL THEN NULL
+        |            WHEN a.mad > 0
+        |              THEN abs((CAST(d.n_chars AS DOUBLE) - m.med) / a.mad) > 2.0
+        |            ELSE CAST(d.n_chars AS DOUBLE) <> m.med END AS is_outlier
+        |FROM documents d
+        |LEFT JOIN med m ON d.source = m.source
+        |LEFT JOIN mad a ON d.source = a.source""".stripMargin,
     // IVF self-recovery: the query's own cell is always probed first.
     "ann_ivf" ->
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
@@ -2996,6 +3103,11 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
     // The sketch's error contract is the assertion; exact count anchors it.
     "q_approx_distinct" ->
+      """SELECT true AS within_5pct, count(DISTINCT user_id) AS exact_users
+        |FROM events""".stripMargin,
+    // Same gate shape: the merged-ledger estimate must sit within the
+    // sketch's error bound of the true distinct count.
+    "q_hll_ledger" ->
       """SELECT true AS within_5pct, count(DISTINCT user_id) AS exact_users
         |FROM events""".stripMargin,
     // Exact n-gram set intersection — the SQL computes the same flags

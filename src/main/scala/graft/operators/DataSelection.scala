@@ -77,4 +77,50 @@ object DataSelection {
       .select(col(idCol).as("__dsir_id"))
     docs.join(picked, col(idCol) === col("__dsir_id"), "left_semi")
   }
+
+  /**
+   * Robust per-stratum outlier flags via median / MAD (median absolute
+   * deviation) — the quality-filter step that survives the heavy-tailed
+   * length/score distributions real corpora have, where mean/stddev
+   * z-scores are dragged by the very outliers they should catch.
+   *
+   * Per stratum: `med = median(value)`, `mad = median(|value − med|)`,
+   * `robust_z = (value − med) / mad`; a row is an outlier when
+   * `|robust_z| > threshold` (≈3.5 is the Iglewicz–Hoaglin convention;
+   * multiply by 1.4826 yourself if you want σ-consistent units — this
+   * operator reports the raw ratio so the SQL replica is exact).
+   * Degenerate strata with `mad = 0` (over half the values identical)
+   * get `robust_z = NULL` and flag any value ≠ med.
+   *
+   * Scale shape: two grouped EXACT-percentile aggregations (sort-based
+   * within stratum — the honest cost of exact medians; swap in
+   * `approx_percentile` upstream if the stratum is truly huge) producing
+   * #strata-row frames, broadcast back, then a map-only flag pass. NULL
+   * values and NULL strata pass through unflagged (`is_outlier` NULL) —
+   * they carry no evidence either way.
+   */
+  def madOutliers(df: DataFrame, valueCol: String, stratumCol: String,
+                  threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val v = col(valueCol).cast("double")
+    val meds = df.filter(col(stratumCol).isNotNull && v.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(expr(s"percentile(cast($valueCol as double), 0.5)").as("__med"))
+    val withMed = df.join(broadcast(meds), Seq(stratumCol), "left")
+    val mads = withMed.filter(col("__med").isNotNull && v.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(expr(s"percentile(abs(cast($valueCol as double) - __med), 0.5)")
+        .as("__mad"))
+    withMed.join(broadcast(mads), Seq(stratumCol), "left")
+      .withColumn("robust_z",
+        when(col("__mad") > 0.0, (v - col("__med")) / col("__mad")))
+      .withColumn("is_outlier",
+        when(v.isNull || col("__med").isNull, lit(null).cast("boolean"))
+          .when(col("__mad") > 0.0, abs(col("robust_z")) > threshold)
+          .otherwise(v =!= col("__med")))
+      .drop("__med", "__mad")
+  }
 }

@@ -767,4 +767,52 @@ object Dedup {
     edges.unpersist()
     labels.unionByName(untouched)
   }
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+   * algorithm): from each document's word `k`-gram hash sequence, every
+   * window of `w` consecutive grams contributes its minimum hash
+   * (leftmost occurrence on ties), deduped. The GUARANTEE plain
+   * mod-p gram sampling cannot give: any shared run of ≥ `w + k − 1`
+   * tokens between two documents contains a full shared window, whose
+   * minimum hash is selected in BOTH — so every sufficiently long copy
+   * is caught by a fingerprint-hash join, with ~2/(w+1) of grams kept.
+   *
+   * Output: `(idCol, fp_hash, fp_pos)` — the selected gram's 16-hex-char
+   * md5 prefix and its gram position. Join on `fp_hash` for candidate
+   * pairs (positions are doc-local). Documents shorter than `w` grams
+   * contribute their global minimum (one truncated window); documents
+   * with fewer than `k` tokens contribute nothing.
+   *
+   * Scale shape: grams reduce to (id, pos, 22-byte key) BEFORE the
+   * shuffle; one shuffle on doc id + per-doc sort by pos (the inherent
+   * cost of positional windows — same shape as sequence packing); the
+   * md5/lpad key construction is engine-portable, so the SQL replica
+   * selects the identical fingerprint set.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0, "k (gram size) must be positive")
+    require(w > 0, "w (window size) must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // key = hash || zero-padded pos: min() compares the hash first, the
+    // position only on ties — "leftmost occurrence of the window min"
+    val keyed = df
+      .select(col(idCol),
+        posexplode(graft.functions.Text.wordNgrams(col(textCol), k)))
+      .select(col(idCol), col("pos"),
+        concat(substring(md5(col("col")), 1, 16),
+          lpad(col("pos").cast("string"), 9, "0")).as("__key"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .withColumn("__g", count(lit(1)).over(byDoc))
+      .withColumn("__fp", min(col("__key")).over(frame))
+      .filter(col("pos") <= greatest(col("__g") - w, lit(0)))
+      .select(col(idCol), col("__fp")).distinct()
+      .select(col(idCol),
+        substring(col("__fp"), 1, 16).as("fp_hash"),
+        substring(col("__fp"), 17, 9).cast("int").as("fp_pos"))
+  }
 }

@@ -101,6 +101,22 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** Long label key for negative mining: integral types widen
+    * losslessly; strings hash via xxhash64 (equality-preserving, see
+    * [[hardNegatives]]); anything else fails loudly — a silent
+    * fractional cast would collapse distinct labels. */
+  private def labelKey(df: DataFrame, labelCol: String): Column = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    df.schema(labelCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(labelCol).cast("long")
+      case StringType => xxhash64(col(labelCol))
+      case dt => throw new IllegalArgumentException(
+        s"label column '$labelCol' must be an integral or string type " +
+          s"for lossless negative-label comparison; got ${dt.simpleString}")
+    }
+  }
+
   /**
    * Contrastive hard-negative mining: for each query vector, the k
    * corpus vectors MOST cosine-similar among those with a DIFFERENT
@@ -115,6 +131,13 @@ object Similarity {
    * prove the labels differ, and a mined "negative" that silently shares
    * the query's class would poison the contrastive loss.
    *
+   * Labels must be integral (widened losslessly to long) or string
+   * (compared via xxhash64 of the bytes — equality-preserving; a 64-bit
+   * collision equating two DISTINCT labels is ~2^-64 and errs on the
+   * EXCLUDE side, never minting a false negative pair). Fractional or
+   * other label types fail loudly — a silent cast would collapse
+   * distinct labels.
+   *
    * At 100 TB the same heap pass applies per corpus split; for very
    * large query sets compose [[ivfTopK]] with an oversampled k and
    * label filter instead (see [[hardNegativesIvf]]).
@@ -128,7 +151,7 @@ object Similarity {
     val qRows: Array[(Long, Array[Float], Long)] = queries
       .filter(col(labelCol).isNotNull)
       .select(col(queryIdCol).cast("long"), col(vecCol),
-        col(labelCol).cast("long"))
+        labelKey(queries, labelCol))
       .as[(Long, Array[Float], Long)].collect()
     val qB = spark.sparkContext.broadcast(qRows)
 
@@ -137,7 +160,7 @@ object Similarity {
     }
 
     val local = corpus.filter(col(labelCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .select(col(idCol).cast("long"), col(vecCol), labelKey(corpus, labelCol))
       .as[(Long, Array[Float], Long)].rdd
       .mapPartitions { rows =>
         val qs = qB.value
@@ -202,9 +225,9 @@ object Similarity {
     val c = corpus.filter(col(labelCol).isNotNull)
     val q = queries.filter(col(labelCol).isNotNull)
     val labels = c.select(col(idCol).cast("long").as("nn_id"),
-      col(labelCol).cast("long").as("__nn_label"))
+      labelKey(c, labelCol).as("__nn_label"))
     val qLabels = q.select(col(queryIdCol).cast("long").as(queryIdCol),
-      col(labelCol).cast("long").as("__q_label"))
+      labelKey(q, labelCol).as("__q_label"))
     val shortlist = ivfTopK(c, q, k * oversample, numCells = numCells,
       nProbe = nProbe, idCol = idCol, vecCol = vecCol,
       queryIdCol = queryIdCol)
@@ -1129,6 +1152,37 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
     assignCells(corpus, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/vectors")
+  }
+
+  /**
+   * Append a DELTA of new vectors to a [[buildIvfIndex]] store WITHOUT
+   * retraining the codebook — the daily embedding-drop lifecycle (the
+   * ANN analogue of [[graft.operators.Sketches.mergeIntoBloomFilter]]
+   * and [[graft.operators.Dedup.admitDelta]]): the delta is assigned to
+   * the EXISTING centroids in one broadcast map pass (work ∝ |delta|,
+   * the store is never rewritten) and appended to the cell-partitioned
+   * vector files; [[ivfTopKFromIndex]] then serves old + new uniformly.
+   *
+   * Codebook drift is the caller's rebuild trigger: the returned
+   * per-cell delta counts expose skew — when fresh data concentrates in
+   * few cells (distribution shift), probe cost degrades and a
+   * [[buildIvfIndex]] retrain is due. Same observability contract as
+   * the Bloom filter's saturation signal.
+   */
+  def appendToIvfIndex(delta: DataFrame, dest: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Map[Int, Long] = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dest/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"no centroids at $dest — buildIvfIndex first")
+    val assigned = assignCells(delta, cents, idCol, vecCol)
+      .localCheckpoint(true) // one assignment pass feeds write + census
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dest/vectors")
+    assigned.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
   }
 
   /** Probe a [[buildIvfIndex]] store: same semantics (and, with the same

@@ -267,18 +267,7 @@ object Sketches {
   /** Read a persisted filter's bytes — feed to the probe functions or the
     * `filterBytes` join overloads. */
   def loadBloomFilter(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Array[Byte] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    try {
-      val out = new ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } finally in.close()
-  }
+                      path: String): Array[Byte] = readBytes(spark, path)
 
   /** Merge `delta`'s keys into the persisted filter at `path` in place —
     * O(delta) daily accumulation. Geometry is inherited from the stored
@@ -362,5 +351,76 @@ object Sketches {
     val keys = small.select(col(smallKey).as("__baj_key")).distinct()
     clear.unionByName(
       suspect.join(keys, suspect(largeKey) === col("__baj_key"), "left_anti"))
+  }
+
+  // ---- persisted HLL distinct-count ledger -------------------------------
+  //
+  // The distinct-count sibling of the persisted Bloom blocklist: a daily
+  // "unique users/documents/urls ever seen" ledger that costs one
+  // O(delta) scan per drop and KILOBYTES of state forever. HLL union is
+  // lossless with respect to the sketch's own error bound — merging
+  // day-by-day gives the SAME sketch as one pass over the union, so the
+  // ledger never degrades with age (unlike the Bloom filter, whose fpp
+  // ratchets); there is no rebuild trigger to watch.
+
+  /** Build an HLL sketch of `keyCol`'s distinct values (Spark's built-in
+    * Apache DataSketches HllSketch aggregate, map-side combined — KBs
+    * move per partition) and persist it at `dest` (any Hadoop FS).
+    * `lgK` trades state (2^lgK bytes-ish) for error (~1.04/√2^lgK;
+    * lgK=12 ⇒ ~1.6%). NULL keys are ignored — they are not a value. */
+  def saveHllSketch(df: DataFrame, keyCol: String, dest: String,
+                    lgK: Int = 12): Unit = {
+    val bytes = df.filter(col(keyCol).isNotNull)
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("s"))
+      .head().getAs[Array[Byte]](0)
+    writeBytes(df.sparkSession, dest, bytes)
+  }
+
+  /** Fold `delta`'s keys into the ledger at `path` in place — one
+    * O(delta) scan; the stored union is byte-for-byte what a fresh
+    * sketch over (old ∪ delta) at the SAME lgK would estimate.
+    * `allowDifferentLgK` tolerates a delta sketched at another lgK
+    * (the union downgrades to the coarser config). */
+  def mergeIntoHllSketch(delta: DataFrame, keyCol: String, path: String,
+                         lgK: Int = 12): Unit = {
+    val spark = delta.sparkSession
+    val old = readBytes(spark, path)
+    val add = delta.filter(col(keyCol).isNotNull)
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val merged = spark.range(1)
+      .select(hll_union(lit(old), lit(add), allowDifferentLgConfigK = true)
+        .as("u"))
+      .head().getAs[Array[Byte]](0)
+    writeBytes(spark, path, merged)
+  }
+
+  /** Estimate the ledger's distinct count. */
+  def hllEstimate(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Long =
+    spark.range(1)
+      .select(hll_sketch_estimate(lit(readBytes(spark, path))).as("e"))
+      .head().getLong(0)
+
+  private def writeBytes(spark: org.apache.spark.sql.SparkSession,
+                         dest: String, bytes: Array[Byte]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dest)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readBytes(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 }

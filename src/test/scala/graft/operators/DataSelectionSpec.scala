@@ -60,4 +60,43 @@ class DataSelectionSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(again === ids)
   }
+
+  test("madOutliers: hand-computed medians, MAD, flags; heavy tail caught") {
+    import org.apache.spark.sql.functions.col
+    // stratum A: [1,2,3,4,100] → med 3, |dev| [2,1,0,1,97] → mad 1
+    val rows = Seq(
+      (1L, "A", Some(1L)), (2L, "A", Some(2L)), (3L, "A", Some(3L)),
+      (4L, "A", Some(4L)), (5L, "A", Some(100L)),
+      (6L, "A", None) // null value: passes through unflagged
+    ).toDF("id", "src", "v")
+    val out = DataSelection.madOutliers(rows, "v", "src", threshold = 3.5)
+      .select("id", "robust_z", "is_outlier")
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((Some(-2.0), Some(false))))
+    assert(out(3L) === ((Some(0.0), Some(false))))
+    assert(out(5L) === ((Some(97.0), Some(true)))) // the heavy tail
+    assert(out(6L) === ((None, None)))
+  }
+
+  test("madOutliers: mad=0 stratum flags any value off the median; " +
+      "null stratum passes through") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, Some("B"), Some(5L)), (2L, Some("B"), Some(5L)),
+      (3L, Some("B"), Some(5L)), (4L, Some("B"), Some(7L)),
+      (5L, None, Some(9L))
+    ).toDF("id", "src", "v")
+    val out = DataSelection.madOutliers(rows, "v", "src", threshold = 2.0)
+      .select("id", "robust_z", "is_outlier")
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // med 5, mad 0 → z NULL; only the 7 deviates
+    assert(out(1L) === ((None, Some(false))))
+    assert(out(4L) === ((None, Some(true))))
+    assert(out(5L) === ((None, None))) // null stratum: no evidence
+    intercept[IllegalArgumentException] {
+      DataSelection.madOutliers(rows, "v", "src", threshold = 0.0)
+    }
+  }
 }

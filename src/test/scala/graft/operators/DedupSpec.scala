@@ -260,4 +260,44 @@ class DedupSpec extends SparkSpec {
         "doc_id", "text", chunkTokens = 2)
     }
   }
+
+  test("winnowFingerprints: hand-derived selection on a tiny doc") {
+    // k=2, w=2 over "a b c d": grams [a b, b c, c d] at pos 0,1,2;
+    // windows [0,1],[1,2] → min-key winners; replicate the key rule here
+    def key(gram: String, pos: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.take(16) + f"$pos%09d"
+    }
+    val grams = Seq("a b" -> 0, "b c" -> 1, "c d" -> 2)
+    val expected = Seq(
+      grams.take(2).map { case (g, p) => key(g, p) }.min,
+      grams.drop(1).map { case (g, p) => key(g, p) }.min
+    ).distinct.map(k => (k.take(16), k.drop(16).toInt)).toSet
+    val out = Dedup.winnowFingerprints(
+        Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text",
+        k = 2, w = 2)
+      .select("fp_hash", "fp_pos").as[(String, Int)].collect().toSet
+    assert(out === expected)
+  }
+
+  test("winnowFingerprints: shared run of >= w+k-1 tokens shares a hash; " +
+      "short docs degrade gracefully") {
+    val docs = Seq(
+      (1L, "xx yy the quick brown fox jumps zz ww"),
+      (2L, "aa bb cc the quick brown fox jumps dd"), // shared 5-token run
+      (3L, "totally different content here now"),
+      (4L, "one two three"), // 1 gram (< w): global-min fallback
+      (5L, "single"),    // < k tokens: no grams, no fingerprints
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 3)
+    val byDoc = fps.select("doc_id", "fp_hash").as[(Long, String)]
+      .collect().groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    // guarantee: docs 1 and 2 share a 5-token run = w+k-1 → shared hash
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    assert(byDoc(3L).intersect(byDoc(1L)).isEmpty)
+    assert(byDoc(4L).size === 1)
+    assert(!byDoc.contains(5L) && !byDoc.contains(6L))
+  }
 }

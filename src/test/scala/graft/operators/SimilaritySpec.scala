@@ -66,6 +66,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.select("query_id").distinct().as[Long].collect().toSeq === Seq(100L))
   }
 
+  test("hardNegatives: string labels compare correctly; fractional labels fail loud") {
+    val strLabeled = Seq(
+      (0L, Array(1.0f, 0.0f), "cat"),
+      (1L, Array(0.9f, 0.1f), "cat"),
+      (2L, Array(0.8f, 0.2f), "dog")).toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Array(1.0f, 0.0f), "cat"))
+      .toDF("query_id", "embedding", "label")
+    val out = Similarity.hardNegatives(strLabeled, queries, 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out.map(_._3) === Seq(2L)) // only the dog is a negative
+    val badLabels = Seq((0L, Array(1.0f), 0.5)).toDF("vec_id", "embedding", "label")
+    val badQ = Seq((1L, Array(1.0f), 0.5)).toDF("query_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(badLabels, badQ, 1)
+    }
+    assert(ex.getMessage.contains("integral or string"))
+  }
+
   test("hardNegativesIvf matches exact hardNegatives on well-separated data") {
     // big enough for a real cell structure; labels alternate within
     // tight clusters so every query has close negatives
@@ -217,6 +235,36 @@ class SimilaritySpec extends SparkSpec {
     Similarity.buildIvfIndex(vecs, dest, numCells = 8)
     val again = Similarity.ivfTopKFromIndex(spark, dest, queries, 5, nProbe = 3)
     assert(again.exceptAll(direct).isEmpty && direct.exceptAll(again).isEmpty)
+  }
+
+  test("appendToIvfIndex: delta probes through the frozen codebook; " +
+      "census counts the appended rows") {
+    val n = 2000
+    val vecs = spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        expr("transform(sequence(1, 8), " +
+          "i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
+    val old = vecs.filter(col("vec_id") % 2 === 0)
+    val delta = vecs.filter(col("vec_id") % 2 === 1)
+    val dest = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.buildIvfIndex(old, dest, numCells = 8)
+    val census = Similarity.appendToIvfIndex(delta, dest)
+    assert(census.values.sum === n / 2) // every delta row landed in a cell
+    // appended vectors self-recover through the store: their argmin cell
+    // under the OLD codebook is exactly the first cell the probe checks
+    val queries = vecs.filter(col("vec_id") % 400 === 1) // odd = appended
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfTopKFromIndex(spark, dest, queries, 1, nProbe = 2)
+      .filter(col("rank") === 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall { case (q, nn) => q === nn })
+    // old vectors unaffected
+    val oldQ = vecs.filter(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val gotOld = Similarity.ivfTopKFromIndex(spark, dest, oldQ, 1, nProbe = 2)
+      .filter(col("rank") === 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSeq
+    assert(gotOld.nonEmpty && gotOld.forall { case (q, nn) => q === nn })
   }
 
   test("hierarchical codebook: two-level assignment is consistent and flatten-aligned") {

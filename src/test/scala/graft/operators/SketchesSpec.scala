@@ -235,4 +235,32 @@ class SketchesSpec extends SparkSpec {
     assert(cached === plain)
     spark.catalog.clearCache() // caller-releases contract (scaladoc'd)
   }
+
+  test("HLL ledger: save + O(delta) merges estimate the union; overlap " +
+      "does not double-count; string keys; null keys ignored") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val dest = s"$dir/ledger.hll"
+    // day 1: users 0..999; day 2: 500..1499 (50% overlap)
+    val day1 = spark.range(0, 1000).select(col("id").as("u"))
+    val day2 = spark.range(500, 1500).select(col("id").as("u"))
+    Sketches.saveHllSketch(day1, "u", dest)
+    Sketches.mergeIntoHllSketch(day2, "u", dest)
+    val est = Sketches.hllEstimate(spark, dest)
+    // true union = 1500; lgK=12 error ~1.6% — assert a loose 5% band,
+    // which also proves the overlap was not double-counted (2000 would
+    // be 33% off)
+    assert(math.abs(est - 1500L) <= 75L, s"estimate $est")
+    // a second identical merge is idempotent within the sketch (same keys
+    // add no new registers)
+    Sketches.mergeIntoHllSketch(day2, "u", dest)
+    assert(Sketches.hllEstimate(spark, dest) === est)
+    // string keys + nulls
+    val dest2 = s"$dir/strings.hll"
+    val strs = Seq(Some("a"), Some("b"), Some("c"), None)
+      .toDF("k")
+    Sketches.saveHllSketch(strs, "k", dest2)
+    val est2 = Sketches.hllEstimate(spark, dest2)
+    assert(est2 === 3L) // tiny cardinalities are exact in HLL
+  }
 }
