@@ -803,11 +803,15 @@ object Dedup {
       .select(col(idCol), col("pos"),
         concat(substring(md5(col("col")), 1, 16),
           lpad(col("pos").cast("string"), 9, "0")).as("__key"))
-    val byDoc = Window.partitionBy(col(idCol))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
+    // both windows share (partition, order) so they compile into ONE
+    // Window operator over ONE sort — grams are dense 0..g−1, so the
+    // doc's gram count is max(pos)+1 from the same ordered pass
+    val ordered = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val frame = ordered.rowsBetween(Window.currentRow, w - 1)
+    val full = ordered.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     keyed
-      .withColumn("__g", count(lit(1)).over(byDoc))
+      .withColumn("__g", max(col("pos")).over(full) + 1)
       .withColumn("__fp", min(col("__key")).over(frame))
       .filter(col("pos") <= greatest(col("__g") - w, lit(0)))
       .select(col(idCol), col("__fp")).distinct()
