@@ -824,6 +824,26 @@ object SparkEntry {
       Similarity.hardNegatives(corpus, queries, 5)
     }),
 
+    // One-pass column profile (ingest data-quality gate): per-column
+    // nulls / distincts / min / max, exact-replicated per column in SQL.
+    "q_profile" -> ((s, dir) => {
+      graft.operators.Profiling.profile(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+    }),
+
+    // Banded edit-distance verification of candidate pairs: the
+    // levenshtein(l, r, threshold) kernel stops at O(len·maxDist);
+    // pairs beyond the cap report NULL without the full matrix.
+    // Candidates here are adjacent-id pairs (SQL-replicable); maxDist
+    // 285 ≈ the corpus median, so both verdicts occur.
+    "dedup_edit_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      graft.operators.Dedup.verifyEditDistance(docs, "doc_id", "text",
+        pairs, maxDist = 285)
+    }),
+
     // Winnowing fingerprints (MOSS): every w-gram window contributes its
     // min k-gram hash — guaranteed catch for any ≥ w+k−1 token overlap.
     // Full SQL oracle (window-min over the identical md5/lpad keys).
@@ -1030,7 +1050,7 @@ object SparkEntry {
       // re-run the whole dup-graph machinery and re-scan the source
       val assigned = Splits.assignLeakageSafe(docs.unionAll(plants),
         "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val o = assigned.select(col("doc_id").as("oid"), col("split").as("osplit"))
       val p = assigned.select((col("doc_id") - 1000000L).as("oid"),
         col("split").as("psplit"))
@@ -2150,6 +2170,35 @@ object SparkEntry {
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 <= 1""".stripMargin,
+    "q_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_nulls,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |       CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*),
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT source), min(source), max(source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*),
+        |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
+    "dedup_edit_verify" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(CASE WHEN levenshtein(a.text, b.text) <= 285
+        |            THEN levenshtein(a.text, b.text) END AS INTEGER)
+        |         AS edit_dist,
+        |       levenshtein(a.text, b.text) <= 285 AS is_dup
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "dedup_winnow" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

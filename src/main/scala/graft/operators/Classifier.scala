@@ -84,7 +84,7 @@ object Classifier {
       .groupBy(key(col("f")).as(keyName))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("cnt_pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("cnt_neg"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val Array(vocab, nPos, nNeg) = features
       .agg(count(lit(1)).cast("double"),
         sum("cnt_pos").cast("double"), sum("cnt_neg").cast("double"))

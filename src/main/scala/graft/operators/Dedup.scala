@@ -276,7 +276,7 @@ object Dedup {
       // (and again inside pushed filters): ~4-6 sketch evaluations per
       // document. Lazy localCheckpoint caches at first action and is
       // GC-cleaned (a persist() would pin the CacheManager entry).
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // The band self-join carries ONLY (id, band, bucket) — 24-byte rows.
     // Joining with the signature inline multiplies the shuffle by the
     // 0.5 KB sig × bands replication (measured: the sf-XL 1.28M-doc tier
@@ -322,7 +322,7 @@ object Dedup {
     val fps = df.select(col(idCol).as("id"),
         graft.functions.Text.simhash64(col(textCol)).as("fp"))
       // one simhash64 evaluation per doc (see minhashPairs note)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val chunked = fps.select(col("id"), col("fp"),
         explode(expr("transform(sequence(0, 3), c -> " +
           "struct(c AS chunk, shiftright(fp, c * 16) & 65535 AS cv))")).as("ck"))
@@ -356,14 +356,14 @@ object Dedup {
                     textCol: String, n: Int = 5): DataFrame = {
     // the candidate set is small and referenced three times (two id
     // projections + the verify join): materialize it once
-    val p = pairs.localCheckpoint(false)
+    val p = pairs.localCheckpoint(true)
     val wanted = p.select(col("id_a").as("__wid"))
       .unionAll(p.select(col("id_b").as("__wid"))).distinct()
     val grams = docs
       .join(wanted, col(idCol) === col("__wid"), "left_semi")
       .select(col(idCol).as("vid"), charNgrams(col(textCol), n).as("grams"))
       // joined twice (id_a side + id_b side): shingle each candidate once
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     p
       .join(grams.withColumnRenamed("vid", "id_a").withColumnRenamed("grams", "ga"), "id_a")
       .join(grams.withColumnRenamed("vid", "id_b").withColumnRenamed("grams", "gb"), "id_b")
@@ -385,7 +385,7 @@ object Dedup {
     // ONE shared (id, text) projection feeds sketch, verify, and label
     // stages — without it each stage re-scans (and re-decodes) the source
     // table; only the final survivor semi-join touches the source again
-    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(true)
     val cand = minhashPairs(slim, idCol, textCol, numHashes, bands, shingleSize,
       threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
       .select("id_a", "id_b")
@@ -416,7 +416,7 @@ object Dedup {
       .withColumn("band_keys",
         expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
   }
 
   /** `(id, band, bucket)` 24-byte band rows of a [[sketchFrame]]. */
@@ -459,8 +459,8 @@ object Dedup {
                     shingleSize: Int = 5): DataFrame = {
     // ONE shared slim projection per side: sketching and gram verify
     // both read it instead of re-scanning the source tables
-    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(false)
-    val slimE = eval.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val slimE = eval.select(col(idCol), col(textCol)).localCheckpoint(true)
     val cand = crossMinhashPairs(slimC, slimE, idCol, textCol, numHashes,
       bands, shingleSize, threshold = math.max(0.0, jaccardThreshold - 0.2))
       .select("id_a", "id_b")
@@ -583,8 +583,8 @@ object Dedup {
     // two-stage composition.
     val candMargin = math.max(0.0, jaccardThreshold - 0.2) // recall margin
     // shared slim projections: sketch + verify read these, not the source
-    val slimD = delta.select(col(idCol), col(textCol)).localCheckpoint(false)
-    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val slimD = delta.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(true)
     val sigD = sketchFrame(slimD, idCol, textCol, numHashes, bands, shingleSize)
     val sigC = sketchFrame(slimC, idCol, textCol, numHashes, bands, shingleSize)
     val bandedD = bandFrame(sigD)
@@ -616,10 +616,10 @@ object Dedup {
     val verified = verifyJaccard(cand, slimD.unionByName(slimC),
         idCol, textCol, shingleSize)
       .filter(col("jaccard") >= jaccardThreshold)
-      .localCheckpoint(false) // referenced three times below
+      .localCheckpoint(true) // referenced three times below
     val contaminated = verified.filter(col("__cross"))
       .select(col("id_a").as("id")).distinct()
-      .localCheckpoint(false) // referenced four times below
+      .localCheckpoint(true) // referenced four times below
     // within-delta dup edges among SURVIVORS only (both endpoints clean) —
     // exactly the pair set dedupe(fresh) would have generated
     val verifiedD = verified.filter(!col("__cross"))
@@ -766,6 +766,41 @@ object Dedup {
       .select(col("id"), col("id").as("canonical_id"))
     edges.unpersist()
     labels.unionByName(untouched)
+  }
+
+  /**
+   * Exact edit-distance verification of near-dup CANDIDATE pairs — the
+   * strictest verifier in the candidate→verify family (Jaccard and
+   * signature agreement tolerate reorderings; Levenshtein counts every
+   * insertion/deletion/substitution). `pairs` carries `(id_a, id_b)`
+   * from any candidate generator (MinHash bands, winnowing-hash
+   * collisions, URL groups); texts attach via two 8-byte-id joins, and
+   * the BANDED `levenshtein(l, r, threshold)` kernel stops each pair at
+   * O(len·maxDist) instead of O(len²) — pairs beyond `maxDist` report
+   * `edit_dist` NULL and `is_dup` false without computing the full
+   * matrix.
+   *
+   * Output: `(id_a, id_b, edit_dist, is_dup)`. The contract mirrors
+   * [[verifyJaccard]]: the candidate set is assumed band-bounded (the
+   * generators here never emit unblocked all-pairs), so the text
+   * movement is ∝ candidates, not corpus².
+   */
+  def verifyEditDistance(docs: DataFrame, idCol: String, textCol: String,
+                         pairs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val a = docs.select(col(idCol).cast("long").as("id_a"),
+      col(textCol).as("__text_a"))
+    val b = docs.select(col(idCol).cast("long").as("id_b"),
+      col(textCol).as("__text_b"))
+    pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
+      // banded kernel returns -1 past the threshold → NULL via nullif
+      .withColumn("edit_dist",
+        nullif(levenshtein(col("__text_a"), col("__text_b"), maxDist),
+          lit(-1)))
+      .withColumn("is_dup", col("edit_dist").isNotNull)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("is_dup"))
   }
 
   /**

@@ -80,8 +80,8 @@ object Graph {
     // one truncation mode for every cut in the loop: reliable checkpoint
     // when a cluster-FS dir is available, executor-local otherwise
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false)
-      else df.localCheckpoint(false)
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val e = cut(weightCol match {
       case Some(wc) => edges
         .select(col(srcCol).cast("long").as("src"),

@@ -100,10 +100,10 @@ object LangModel {
     // string-vs-hashed mismatches fail at analysis, never join silently.
     val hashed = model.columns.contains("prevh")
     val (prevName, curName) = if (hashed) ("prevh", "curh") else ("prev", "cur")
-    // Reused by the constants collect AND both scoring joins — a lazy
+    // Reused by the constants collect AND both scoring joins — an eager
     // checkpoint stops the model plan (and everything upstream of the
     // training corpus) re-running once per consumer.
-    val m = model.localCheckpoint(false)
+    val m = model.localCheckpoint(true)
     val uniModel = m.where(col(prevName).isNull)
       .select(col(curName).as("u_tok"), col("cnt").as("u_cnt"))
     val bigModel = m.where(col(prevName).isNotNull)
@@ -246,7 +246,7 @@ object LangModel {
     // analysis instead of silently joining across representations.
     val hashed = model.columns.contains("gramh")
     val keyName = if (hashed) "gramh" else "gram"
-    val m = model.localCheckpoint(false)
+    val m = model.localCheckpoint(true)
     def order(k: Int, gramCol: String, cntName: String) =
       m.where(col("n") === k)
         .select(col(keyName).as(gramCol), col("cnt").as(cntName))
@@ -346,7 +346,7 @@ object LangModel {
                      discount: Double = 0.75,
                      hashedKeys: Boolean = false): DataFrame = {
     require(discount > 0 && discount < 1, s"discount $discount not in (0,1)")
-    val m = model.localCheckpoint(false)
+    val m = model.localCheckpoint(true)
     def jk(c: Column) = if (hashedKeys) hkey(c) else c
     val g3types = m.where(col("n") === 3).select(col("gram"), col("cnt"))
     val g2types = m.where(col("n") === 2).select(col("gram"), col("cnt"))
@@ -358,7 +358,7 @@ object LangModel {
     // enough to derive the two tables below, hash only at the join
     val c23str = g3types
       .groupBy(substring_index(col("gram"), " ", -2).as("k"))
-      .agg(count(lit(1)).as("c23")).localCheckpoint(false)
+      .agg(count(lit(1)).as("c23")).localCheckpoint(true)
     val c23 = c23str.select(jk(col("k")).as("k_c23"), col("c23"))
     // N1+(•v•): trigram types per middle token
     val nmid = g3types

@@ -885,7 +885,7 @@ object Similarity {
     // count+sample, residual-sample count+sample, the code pass) — the
     // same shared-projection shape the Dedup slim checkpoints fix; cache
     // it once instead of re-normalizing the upstream scan per consumer
-    val corpusN = l2Normalize(corpus, idCol, vecCol).localCheckpoint(false)
+    val corpusN = l2Normalize(corpus, idCol, vecCol).localCheckpoint(true)
     val queriesN = l2Normalize(queries, queryIdCol, vecCol)
     val coarse = trainKMeans(corpusN, numCells, iters, seed, trainSample,
       idCol, vecCol)
@@ -925,7 +925,7 @@ object Similarity {
     val (codes, shortlistSize) =
       if (rerankSize > 0) (codesRaw, math.max(rerankSize, k))
       else {
-        val ck = codesRaw.localCheckpoint(false)
+        val ck = codesRaw.localCheckpoint(true)
         val cellCounts = ck.groupBy("cell").count()
           .select(col("count")).as[Long].collect().sorted
         val p95 = if (cellCounts.isEmpty) k
@@ -1197,7 +1197,7 @@ object Similarity {
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val probed = probeFrame(queries, cents, nProbe, queryIdCol, vecCol)
-      .localCheckpoint(false) // evaluated twice: cell set + the probe join
+      .localCheckpoint(true) // evaluated twice: cell set + the probe join
     // LITERAL partition predicate, not a join-driven one: dynamic
     // partition pruning declines filter-less build sides (measured: 98%
     // of store rows read), while an isin over the collected probed-cell
@@ -1295,7 +1295,7 @@ object Similarity {
     val sigged = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         graft.functions.Vectors.hyperplaneSig(col(vecCol), numPlanes, seed)
           .as("sig0"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val probes = array((0 to numPlanes).map {
       case 0 => col("sig0")
       case i => col("sig0").bitwiseXOR(lit(1L << (i - 1)))

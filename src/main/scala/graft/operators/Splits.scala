@@ -75,7 +75,7 @@ object Splits {
     // ONE shared (id, text) projection feeds sketch, verify, and label
     // stages (the dup-graph machinery re-scanned the source table per
     // stage otherwise); only the final label join reads the source again
-    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(true)
     val cand = Dedup.minhashPairs(slim, idCol, textCol,
       threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
       .select("id_a", "id_b")

@@ -30,6 +30,13 @@ import graft.operators.{Dedup, Mixes, Splits, TextAnalysis}
 final case class CorpusPrepConfig(
     idCol: String = "doc_id",
     textCol: String = "text",
+    /** Unicode NFC + control-strip + whitespace-collapse as stage 0
+      * (before ANY hashing stage — composed-vs-decomposed forms and
+      * stray control bytes otherwise make identical visible text hash
+      * differently through every dedup that follows). Map-only codegen
+      * ([[graft.operators.TextAnalysis.normalizeText]]); docs whose
+      * text normalizes to empty are dropped. */
+    normalizeText: Boolean = false,
     /** Column holding each document's source URL — enables stage 1. */
     urlCol: Option[String] = None,
     /** (blocklist, corpusKeyCol, blockKeyCol): drop every document whose
@@ -103,6 +110,11 @@ object CorpusPipeline {
           if (c == cfg.textCol) col("clean_text").as(c) else col(c)): _*)
         .filter(length(trim(col(cfg.textCol))) > 0)
     }
+    if (cfg.normalizeText) {
+      cur = cur
+        .withColumn(cfg.textCol, TextAnalysis.normalizeText(col(cfg.textCol)))
+        .filter(length(col(cfg.textCol)) > 0)
+    }
     cfg.urlCol.foreach { u =>
       cur = TextAnalysis.dedupByUrl(cur, cfg.idCol, u)
     }
@@ -142,9 +154,9 @@ object CorpusPipeline {
       // its own LM training slice (CCNet trains on a clean reference; at
       // 100 TB pass a sampled slice by training outside the facade and
       // filtering with LangModel.perplexityFilter directly). The gate
-      // reads `cur` several times (train + score + keep-join); a lazy
+      // reads `cur` several times (train + score + keep-join); an eager
       // checkpoint stops the upstream stage chain replaying per read.
-      cur = cur.localCheckpoint(false)
+      cur = cur.localCheckpoint(true)
       // A slice whose every surviving text emptied out has nothing to
       // train on — and nothing to gate (empty docs are kept by the
       // gate's own semantics). Skip rather than fail the whole pipeline
@@ -156,7 +168,7 @@ object CorpusPipeline {
     cfg.maxBackoffCe.foreach { ceiling =>
       // same self-train shape (and the same empty-slice skip) as the
       // perplexity gate, one model order up
-      cur = cur.localCheckpoint(false)
+      cur = cur.localCheckpoint(true)
       if (!cur.where(length(trim(col(cfg.textCol))) > 0).isEmpty)
         cur = graft.operators.LangModel.backoffFilter(
           cur, cur, cfg.idCol, cfg.textCol, ceiling)

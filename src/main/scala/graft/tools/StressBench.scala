@@ -611,6 +611,27 @@ object StressBench {
       }
     }
 
+    // Round-9 map-heavy text operators: all three are shuffle-free or
+    // single-shuffle plans, so wall should track doc count ~linearly
+    // (winnow's one doc-keyed sort is the only super-linear term, and
+    // only within partitions).
+    if (only.contains("textops")) {
+      for (n <- Seq(80000L, 320000L, 1280000L)) {
+        val docs = synthDocs(spark, n).cache()
+        docs.count()
+        run("nfc_clean", n)(
+          docs.select(graft.operators.TextAnalysis.normalizeText(col("text"))
+            .as("t")).queryExecution.toRdd.count())
+        run("chunk_passages", n)(
+          graft.operators.TextAnalysis.chunkPassages(docs, "doc_id", "text",
+            chunkTokens = 16, stride = 12).queryExecution.toRdd.count())
+        run("winnow", n)(
+          graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text",
+            k = 3, w = 4).queryExecution.toRdd.count())
+        docs.unpersist()
+      }
+    }
+
     // BPE merge-loop scaling: the incremental pair bookkeeping should
     // make merge count ~free relative to the recount's O(merges × dict)
     // (the distributed word-frequency pass is identical either way).

@@ -261,6 +261,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("verifyEditDistance: hand-computed distances, banded cap, missing ids") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"), // classic distance 3
+      (3L, "kitten"),                  // exact copy of 1
+      (4L, "completely different")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 99L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.verifyEditDistance(docs, "doc_id", "text", pairs,
+        maxDist = 3)
+      .as[(Long, Long, Option[Int], Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 2L)) === ((Some(3), true)))  // at the cap: kept
+    assert(out((1L, 3L)) === ((Some(0), true)))  // identical
+    assert(out((1L, 4L)) === ((None, false)))    // beyond cap: banded out
+    assert(!out.contains((1L, 99L)))             // unknown id: dropped
+    intercept[IllegalArgumentException] {
+      Dedup.verifyEditDistance(docs, "doc_id", "text", pairs, maxDist = -1)
+    }
+  }
+
   test("winnowFingerprints: hand-derived selection on a tiny doc") {
     // k=2, w=2 over "a b c d": grams [a b, b c, c d] at pos 0,1,2;
     // windows [0,1],[1,2] → min-key winners; replicate the key rule here

@@ -40,6 +40,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
   }
 
+  test("normalize stage equals inline normalizeText; NFC variants now " +
+      "collapse under exact dedup") {
+    // two docs identical up to NFC form + whitespace noise: only with
+    // the normalize stage on do they dedup to one survivor
+    val df = Seq(
+      (1L, "cafe\u0301 one two three four five"),   // decomposed
+      (2L, "café  one two three\tfour five"),
+      (3L, "all-whitespace doc below"),
+      (4L, " \t ")
+    ).toDF("doc_id", "text")
+    val facade = CorpusPipeline.prepare(df, CorpusPrepConfig(
+      normalizeText = true, minQuality = None, tokenRange = None))
+    val inline = {
+      val n = df.withColumn("text", TextAnalysis.normalizeText(col("text")))
+        .filter(length(col("text")) > 0)
+      val keep = Dedup.exactScalable(n, "text", "doc_id")
+        .select(col("doc_id").as("__k"))
+      n.join(keep, col("doc_id") === col("__k"), "left_semi")
+        .select("doc_id", "text")
+    }
+    assert(facade.exceptAll(inline).isEmpty && inline.exceptAll(facade).isEmpty)
+    val ids = facade.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 3L)) // 2 deduped into 1; 4 normalized empty
+  }
+
   test("target-share mixing stage runs and keeps the input schema") {
     val df = corpus().select("doc_id", "text")
       .withColumn("source",
