@@ -844,6 +844,21 @@ object SparkEntry {
         pairs, maxDist = 285)
     }),
 
+    // One-call winnow dedupe: winnow candidates → banded edit-distance
+    // verify → connected components → keep-first. At maxDist = 0 the
+    // composition IS exact dedup (identical texts share every
+    // fingerprint, nothing else survives distance 0), so the whole
+    // four-stage machine is oracled by the plain min-id-per-text query.
+    "dedup_winnow_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.operators.Dedup.dedupeByWinnow(docs.unionAll(plants),
+          "doc_id", "text", maxDist = 0)
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     // Winnowing fingerprints (MOSS): every w-gram window contributes its
     // min k-gram hash — guaranteed catch for any ≥ w+k−1 token overlap.
     // Full SQL oracle (window-min over the identical md5/lpad keys).
@@ -2199,6 +2214,14 @@ object SparkEntry {
         |         AS edit_dist,
         |       levenshtein(a.text, b.text) <= 285 AS is_dup
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_winnow_pipeline" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text)
+        |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM keep""".stripMargin,
     "dedup_winnow" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

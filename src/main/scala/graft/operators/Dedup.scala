@@ -398,6 +398,44 @@ object Dedup {
   }
 
   /**
+   * One-call WINNOW-based dedupe — the MOSS-flavored sibling of
+   * [[dedupe]]: winnowing fingerprints generate candidates (guaranteed
+   * for any ≥ w+k−1 token overlap — a stronger floor than MinHash band
+   * probability), banded edit distance verifies them (order-sensitive,
+   * stricter than Jaccard), connected components collapse dup groups,
+   * and the minimum id per group survives.
+   *
+   * Candidate pairs join on `fp_hash` (8-byte-equivalent keys);
+   * `maxBucketSize` caps pathological fingerprint buckets exactly like
+   * the LSH band join's cap (a stop-phrase gram shared by everything
+   * must not quadratically explode — the docs it would have paired are
+   * still covered by their other, rarer fingerprints).
+   */
+  def dedupeByWinnow(df: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int, k: Int = 3, w: Int = 4,
+                     maxBucketSize: Int = 64): DataFrame = {
+    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val fps = winnowFingerprints(slim, idCol, textCol, k, w)
+      .select(col("fp_hash"), col(idCol).cast("long"))
+    val capped = fps.join(
+      fps.groupBy("fp_hash").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucketSize)
+        .select("fp_hash"),
+      Seq("fp_hash"), "left_semi")
+    val cand = capped.select(col("fp_hash"), col(idCol).as("id_a"))
+      .join(capped.select(col("fp_hash"), col(idCol).as("id_b")), Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val verified = verifyEditDistance(slim, idCol, textCol, cand, maxDist)
+      .filter(col("is_dup")).select("id_a", "id_b")
+    val labels = assignCanonical(
+      slim.select(col(idCol).cast("long").as("id")), verified)
+    df.join(labels.filter(col("id") === col("canonical_id"))
+        .select(col("id").as(s"__keep_$idCol")),
+      col(idCol) === col(s"__keep_$idCol"), "left_semi")
+  }
+
+  /**
    * Cross-corpus near-duplicate pairs: LSH-banded join of two DIFFERENT
    * corpora (train × eval), never all-pairs — the candidate generator for
    * decontamination. Emits (id_a from `a`, id_b from `b`, est_jaccard).

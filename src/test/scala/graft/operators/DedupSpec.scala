@@ -261,6 +261,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupeByWinnow: near-copies collapse keep-first, distinct docs survive") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog todny"), // 1 edit
+      (3L, "the quick brown fox jumps over the lazy dog today"), // exact copy
+      (4L, "completely unrelated content with different words here"),
+      (5L, "another standalone document nothing shared at all")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupeByWinnow(docs, "doc_id", "text", maxDist = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L)) // 2 and 3 fold into 1
+    // maxDist 0: only the byte-identical pair merges
+    val strict = Dedup.dedupeByWinnow(docs, "doc_id", "text", maxDist = 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(strict === Seq(1L, 2L, 4L, 5L))
+  }
+
   test("verifyEditDistance: hand-computed distances, banded cap, missing ids") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"), // classic distance 3
