@@ -521,6 +521,17 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // HITS hubs & authorities over the same link graph: per round, two
+    // equi-joins + two L2 normalizations (one-row broadcast frames).
+    // Oracle = three unrolled rounds in SQL, 6dp.
+    "q_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iters = 3)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+    }),
+
     // Weighted PageRank: same graph, edge weight = link multiplicity
     // (how many lineitems connect the part to the supplier) — the
     // host-authority form where link FREQUENCY matters. Contribution is
@@ -2826,6 +2837,40 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
         |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+    // HITS: three unrolled rounds; each round = in-sum, L2 norm,
+    // out-sum, L2 norm. The norm scalar subqueries read each raw frame
+    // a second time — linear chain, no exponential re-evaluation.
+    "q_hits" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        |h0 AS (SELECT node, 1.0 AS h FROM nodes),
+        |a1r AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS ar FROM nodes n
+        |  LEFT JOIN (SELECT e.dst, SUM(h.h) AS v FROM edges e
+        |    JOIN h0 h ON h.node = e.src GROUP BY e.dst) s ON s.dst = n.node),
+        |a1 AS (SELECT node, ar / (SELECT sqrt(SUM(ar*ar)) FROM a1r) AS a FROM a1r),
+        |h1r AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS hr FROM nodes n
+        |  LEFT JOIN (SELECT e.src, SUM(a.a) AS v FROM edges e
+        |    JOIN a1 a ON a.node = e.dst GROUP BY e.src) s ON s.src = n.node),
+        |h1 AS (SELECT node, hr / (SELECT sqrt(SUM(hr*hr)) FROM h1r) AS h FROM h1r),
+        |a2r AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS ar FROM nodes n
+        |  LEFT JOIN (SELECT e.dst, SUM(h.h) AS v FROM edges e
+        |    JOIN h1 h ON h.node = e.src GROUP BY e.dst) s ON s.dst = n.node),
+        |a2 AS (SELECT node, ar / (SELECT sqrt(SUM(ar*ar)) FROM a2r) AS a FROM a2r),
+        |h2r AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS hr FROM nodes n
+        |  LEFT JOIN (SELECT e.src, SUM(a.a) AS v FROM edges e
+        |    JOIN a2 a ON a.node = e.dst GROUP BY e.src) s ON s.src = n.node),
+        |h2 AS (SELECT node, hr / (SELECT sqrt(SUM(hr*hr)) FROM h2r) AS h FROM h2r),
+        |a3r AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS ar FROM nodes n
+        |  LEFT JOIN (SELECT e.dst, SUM(h.h) AS v FROM edges e
+        |    JOIN h2 h ON h.node = e.src GROUP BY e.dst) s ON s.dst = n.node),
+        |a3 AS (SELECT node, ar / (SELECT sqrt(SUM(ar*ar)) FROM a3r) AS a FROM a3r),
+        |h3r AS MATERIALIZED (SELECT n.node, COALESCE(s.v, 0) AS hr FROM nodes n
+        |  LEFT JOIN (SELECT e.src, SUM(a.a) AS v FROM edges e
+        |    JOIN a3 a ON a.node = e.dst GROUP BY e.src) s ON s.src = n.node),
+        |h3 AS (SELECT node, hr / (SELECT sqrt(SUM(hr*hr)) FROM h3r) AS h FROM h3r)
+        |SELECT h3.node, ROUND(h3.h, 6) AS hub, ROUND(a3.a, 6) AS auth
+        |FROM h3 JOIN a3 ON a3.node = h3.node""".stripMargin,
     // weighted variant: edge weight = lineitem multiplicity; contribution
     // w/Σ_out w replaces 1/outdeg — otherwise the same six unrolled rounds
     "q_pagerank_weighted" ->

@@ -160,4 +160,79 @@ object Graph {
     }
     ranks.select(col("node"), col("rank").as("pr"))
   }
+
+  /**
+   * HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
+   * in a hyperlinked environment") — the second classic link-analysis
+   * centrality next to [[pageRank]], and the one that separates
+   * DIRECTORY pages (hubs: link to many good authorities) from CONTENT
+   * pages (authorities: linked from many good hubs). For corpus
+   * curation the authority score is the seed-quality signal; the hub
+   * score finds the link farms to discount.
+   *
+   * Per round: `a(v) = Σ_{u→v} h(u)`, L2-normalized; then
+   * `h(u) = Σ_{u→v} a(v)`, L2-normalized — two equi-joins + two
+   * aggregations over (id, double) pairs and two one-row norm frames
+   * (broadcast back; no data-sized join). Duplicate edges collapse
+   * (unweighted adjacency, the classic formulation). Same lineage
+   * discipline and `checkpointDir` reliability contract as
+   * [[pageRank]]: truncations every 2 rounds, reliable `checkpoint()`
+   * on a cluster FS when configured.
+   *
+   * With ≥ 1 edge the norms are always strictly positive (induction:
+   * the round's normalized scores have norm 1, so some score is
+   * positive, and every positive authority has an in-edge whose source
+   * then accrues positive hub mass), so the divisions cannot NaN.
+   *
+   * Returns one row per node: (`node`, `hub`, `auth`).
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 10,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct())
+    require(!nodes.isEmpty, "hits on an empty edge frame")
+
+    var hubs = nodes.select(col("node"), lit(1.0).as("h"))
+    var auths: DataFrame = null
+    var i = 1
+    while (i <= iters) {
+      val aRaw = nodes.join(
+          e.join(hubs, e("src") === hubs("node"))
+            .groupBy("dst").agg(sum("h").as("v")),
+          nodes("node") === col("dst"), "left")
+        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("ar"))
+      val aNorm = aRaw.agg(sqrt(sum(col("ar") * col("ar"))).as("nrm"))
+      auths = aRaw.crossJoin(broadcast(aNorm))
+        .select(col("node"), (col("ar") / col("nrm")).as("a"))
+      val hRaw = nodes.join(
+          e.join(auths, e("dst") === auths("node"))
+            .groupBy("src").agg(sum("a").as("v")),
+          nodes("node") === col("src"), "left")
+        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("hr"))
+      val hNorm = hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("nrm"))
+      hubs = hRaw.crossJoin(broadcast(hNorm))
+        .select(col("node"), (col("hr") / col("nrm")).as("h"))
+      if (i % 2 == 0 && i < iters) {
+        hubs = cut(hubs)
+        auths = cut(auths)
+      }
+      i += 1
+    }
+    hubs.join(auths.select(col("node").as("__an"), col("a")),
+        col("node") === col("__an"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
 }

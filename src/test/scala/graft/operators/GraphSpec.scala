@@ -190,4 +190,55 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
     }
   }
+
+  /** Reference HITS: same alternating L2-normalized sums. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+  : Map[Long, (Double, Double)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = nodes.map(_ -> 0.0).toMap
+    def l2(m: Map[Long, Double]): Map[Long, Double] = {
+      val n = math.sqrt(m.values.map(x => x * x).sum)
+      m.map { case (k, v) => k -> v / n }
+    }
+    for (_ <- 1 to iters) {
+      a = l2(nodes.map(nd =>
+        nd -> e.filter(_._2 == nd).map(ed => h(ed._1)).sum).toMap)
+      h = l2(nodes.map(nd =>
+        nd -> e.filter(_._1 == nd).map(ed => a(ed._2)).sum).toMap)
+    }
+    nodes.map(nd => nd -> ((h(nd), a(nd)))).toMap
+  }
+
+  test("hits matches the in-memory alternating iteration; dup edges collapse") {
+    val got = Graph.hits((edges ++ edges).toDF("src", "dst"), "src", "dst",
+        iters = 5)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = refHits(edges, iters = 5)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (node, (hub, auth)) =>
+      assert(math.abs(hub - expect(node)._1) < 1e-12, s"hub $node")
+      assert(math.abs(auth - expect(node)._2) < 1e-12, s"auth $node")
+    }
+    // structure: 3 is the top authority (fed by 1 AND 2); 1 is a strong
+    // hub (links to 2 and 3); the dangling sink 4 has hub exactly 0
+    assert(got(3L)._2 > got(2L)._2)
+    assert(got(4L)._1 === 0.0)
+    // L2 norms are 1 after the final round
+    assert(math.abs(got.values.map(v => v._1 * v._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(v => v._2 * v._2).sum - 1.0) < 1e-9)
+  }
+
+  test("hits: reliable-checkpoint mode returns identical scores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hits-ck").toString
+    val local = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .as[(Long, Double, Double)].collect().toSet
+    val rel = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 4,
+        checkpointDir = Some(dir))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(rel === local)
+    spark.sparkContext.setCheckpointDir(null) // restore shared-session state
+  }
 }
