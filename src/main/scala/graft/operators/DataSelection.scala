@@ -123,4 +123,43 @@ object DataSelection {
           .otherwise(v =!= col("__med")))
       .drop("__med", "__mad")
   }
+
+  /**
+   * Per-stratum winsorization: clamp `valueCol` into its stratum's
+   * exact `[pLow, pHigh]` quantile band — the tail-taming companion to
+   * [[madOutliers]] when the rows should be KEPT but their extreme
+   * values must stop dominating downstream statistics (loss-weighting
+   * by length, price aggregates, score calibration). Winsorizing beats
+   * dropping when the tail rows carry signal and only their magnitude
+   * is the problem (Dixon 1960, the classic robust-statistics trade).
+   *
+   * Quantiles are EXACT interpolated percentiles (sort-based within
+   * stratum, same engine-portable semantics as [[madOutliers]] /
+   * DuckDB's `quantile_cont`), computed for all strata in ONE grouped
+   * aggregation producing a #strata-row frame that broadcasts back —
+   * the data frame itself is touched by one scan and one map-only
+   * clamp pass, no data-sized shuffle. NULL values and NULL strata
+   * pass through unclamped (no evidence to clamp by).
+   *
+   * Adds `<valueCol>_w` (the clamped double); original columns are
+   * untouched.
+   */
+  def winsorize(df: DataFrame, valueCol: String, stratumCol: String,
+                pLow: Double = 0.05, pHigh: Double = 0.95): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1; got [$pLow, $pHigh]")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(col(stratumCol).isNotNull && v.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(expr(s"percentile(cast($valueCol as double), ${pLow}D)").as("__qlo"),
+        expr(s"percentile(cast($valueCol as double), ${pHigh}D)").as("__qhi"))
+    df.join(broadcast(bounds), Seq(stratumCol), "left")
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull || col("__qlo").isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__qlo")), col("__qhi"))))
+      .drop("__qlo", "__qhi")
+  }
 }

@@ -162,6 +162,216 @@ object Graph {
   }
 
   /**
+   * Connected components by iterative min-label propagation WITH
+   * pointer-jumping — every node ends labeled by the smallest node id
+   * in its component (the same canonical-min convention
+   * [[graft.operators.Dedup.assignCanonical]] uses for dup clusters,
+   * here as a first-class operator over ANY edge frame: co-purchase
+   * clusters, host-graph islands, session stitching).
+   *
+   * Per round: (1) neighbor-min — one equi-join of the undirected edge
+   * frame against current labels plus a per-node min aggregate, and
+   * (2) pointer-jump — labels join THEMSELVES (`lbl := label(lbl)`),
+   * which contracts label chains geometrically, so convergence is
+   * O(log diameter) rounds, not O(diameter) (the classic
+   * shortcut-propagation hybrid; a bare neighbor-min walk would pay a
+   * round per hop on path graphs). All per-round frames are (id, id)
+   * pairs keyed by the join column — payloads never enter the loop.
+   *
+   * Convergence is DETECTED, not assumed: labels only ever decrease,
+   * so the label sum (exact, decimal — long ids may overflow a long
+   * sum) is a strictly-decreasing fixpoint witness; an unchanged sum
+   * ⇔ converged. Fails loudly if `maxIter` rounds pass without
+   * convergence — a truncated run would silently mislabel whole
+   * components, the one failure mode an exactness gate cannot admit.
+   *
+   * Same `checkpointDir` reliability contract as [[pageRank]]: every
+   * round cuts lineage (each round reads the label frame twice, so
+   * the plan otherwise doubles per round), executor-local by default,
+   * reliable `checkpoint()` when a cluster FS dir is configured.
+   *
+   * Returns one row per node: (`node`, `component`).
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")) // self-loops never move a label
+    // both directions once, up front: neighbor-min then needs ONE join
+    // per round instead of two
+    val und = cut(dir0
+      .unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    val nodes = cut(und.select(col("src").as("node")).distinct())
+    require(!nodes.isEmpty, "connectedComponents on an empty edge frame")
+
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val nmin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("n2")).agg(min("lbl").as("nmin"))
+      val stepped = labels.join(nmin, labels("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer-jump: every label is a live node id (the min of node
+      // ids), so the self-join matches exactly one row; label(lbl) ≤
+      // lbl by monotonicity, least() makes that explicit
+      val jump = stepped.select(col("node").as("__jn"), col("lbl").as("__jl"))
+      labels = cut(stepped.join(jump, stepped("lbl") === col("__jn"))
+        .select(stepped("node"),
+          least(stepped("lbl"), col("__jl")).as("lbl")))
+      // cast BEFORE the sum: a long-typed sum could overflow and alias
+      // two different label states into one witness value
+      val s = labels.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        s"raise maxIter (pointer-jumping needs ~log2(diameter) rounds); " +
+        s"a truncated run would silently mislabel components")
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
+  /**
+   * Exact per-node triangle counts (Cohen 2009 MapReduce formulation /
+   * Suri-Vassilvitskii 2011 "Counting triangles and the curse of the
+   * last reducer") — the local clustering signal that separates
+   * organically-linked hosts (high triangle density) from link farms
+   * and spam rings (star-shaped, triangle-free), and co-purchase
+   * cliques from coincidental pairs.
+   *
+   * The graph is canonicalized first (undirected, self-loops dropped,
+   * duplicates collapsed). Enumeration then orients every edge from
+   * its lower-(degree, id) endpoint to the higher — each triangle is
+   * generated EXACTLY once, from its lowest-order corner — and the
+   * per-node out-degree under this orientation is O(√E), which bounds
+   * the wedge join (the "curse of the last reducer" fix: a
+   * 10⁸-follower hub generates wedges from its √E oriented out-edges,
+   * not its full fan-in). Plan shape: degree agg → two broadcast-or-
+   * shuffle equi-joins (wedge build on the shared low corner, closure
+   * probe on the (v,w) pair) → explode the three corners → count.
+   * Everything that moves is (long, long) pairs.
+   *
+   * Returns (`node`, `triangles`) for EVERY node of the canonical
+   * graph, zeros included (the zero IS the spam signal).
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+  : DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("long").as("s0"),
+        col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("n"))
+      .unionAll(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    // orient low-(deg, id) → high; canon already has a < b, so the id
+    // tiebreak keeps a → b
+    val fwd = col("da") < col("db") || (col("da") === col("db"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    // wedges from each low corner u: unordered endpoint pairs, ordered
+    // by the SAME (deg, id) total order so the closing edge — if it
+    // exists — is oriented exactly v1 → v2
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val closure = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    val tris = wedges.join(closure,
+      col("v1") === col("cu") && col("v2") === col("cv"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+  }
+
+  /**
+   * k-core decomposition membership (Seidman 1983 "Network structure
+   * and minimum degree"): the maximal subgraph in which every node has
+   * degree ≥ k, computed by the classic peel — repeatedly delete nodes
+   * of degree < k until none remain. The k-core is a UNIQUE fixpoint,
+   * independent of peel order, so the result is exactly oracle-able
+   * and deterministic under any partitioning. Corpus-curation use: the
+   * dense co-citation / co-purchase core is the trusted seed set;
+   * nodes peeled early are the periphery and the spam tails.
+   *
+   * Per peel round: one degree aggregate over the surviving canonical
+   * edge frame + two left-anti joins dropping edges that touch a
+   * deleted node — (long, long) pairs only, and each round's frame
+   * SHRINKS (usually geometrically; peels converge in tens of rounds
+   * on power-law graphs). Lineage is cut every round (the anti-join
+   * chain otherwise nests one plan per round). Fails loudly if
+   * `maxIter` rounds don't reach the fixpoint — a truncated peel
+   * returns a SUPERSET of the core, silently.
+   *
+   * Returns the surviving nodes with their in-core degree:
+   * (`node`, `deg`) — empty when the graph has no k-core.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 50,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    var cur = cut(edges
+      .select(col(srcCol).cast("long").as("s0"),
+        col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct())
+    var i = 0
+    while (i < maxIter) {
+      val deg = cur.select(col("a").as("n"))
+        .unionAll(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k).select(col("n"))
+      if (bad.isEmpty) {
+        return deg.select(col("n").as("node"), col("deg"))
+      }
+      cur = cut(cur
+        .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
+        .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
+        .select(col("a"), col("b")))
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"kCore(k=$k) did not reach the peel fixpoint in $maxIter rounds " +
+        s"— raise maxIter; a truncated peel silently returns a superset " +
+        s"of the core")
+  }
+
+  /**
    * HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
    * in a hyperlinked environment") — the second classic link-analysis
    * centrality next to [[pageRank]], and the one that separates

@@ -50,4 +50,98 @@ object Profiling {
       .select(col("col_name"), col("__rows").as("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /**
+   * Corpus snapshot diff — classify every key across two versions of a
+   * table as `added` / `removed` / `changed` (unchanged rows are
+   * omitted; at 100 TB they are ~everything, and emitting them would
+   * make the diff as big as the corpus). THE daily-drop audit: what did
+   * yesterday's pipeline run actually do to the corpus?
+   *
+   * Scale shape: each side is projected to `(key, xxhash64(payload))`
+   * BEFORE the full-outer join, so the shuffle carries 16 bytes per
+   * row, never document text. `changed` therefore means "64-bit payload
+   * hashes differ" — a colliding changed-pair (2⁻⁶⁴ per pair) would
+   * misreport as unchanged; the add/remove classes are hash-free and
+   * exact. Null payload columns hash as a fixed sentinel (Spark's
+   * xxhash64 null contract), so null→value edits are real changes.
+   *
+   * `keyCol` must be unique per side (it is the join key; duplicate
+   * keys would cross-product and inflate every class). A cross-product
+   * is not detectable post-join, so `checkUniqueKeys` (default ON)
+   * verifies it up front with one count-distinct aggregate per side —
+   * noise next to a silently wrong audit table; switch it off only
+   * when uniqueness is already guaranteed by the sink that wrote the
+   * snapshots.
+   *
+   * Returns (`key`, `change`) with `change` ∈ added|removed|changed.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   compareCols: Seq[String],
+                   checkUniqueKeys: Boolean = true): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    def sig(df: DataFrame, side: String): DataFrame = {
+      if (checkUniqueKeys) {
+        val r = df.agg(count(lit(1)).as("n"),
+          countDistinct(col(keyCol)).as("d")).head()
+        require(r.getLong(0) == r.getLong(1),
+          s"snapshotDiff $side side: key '$keyCol' is not unique " +
+            s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct keys) — " +
+            s"the diff join would cross-product")
+      }
+      df.select(col(keyCol).as(s"__k_$side"),
+        xxhash64(compareCols.map(col): _*).as(s"__h_$side"))
+    }
+    val o = sig(oldDf, "old")
+    val n = sig(newDf, "new")
+    o.join(n, col("__k_old") === col("__k_new"), "full_outer")
+      .select(
+        coalesce(col("__k_old"), col("__k_new")).as("key"),
+        when(col("__k_old").isNull, lit("added"))
+          .when(col("__k_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
+
+  /**
+   * Exact equi-width histogram of a numeric column: `nBuckets` equal
+   * intervals over `[lo, hi]` (derived from the frame's min/max in one
+   * aggregate when not given), values clamped into the edge buckets so
+   * hi itself — and out-of-range values under caller-supplied bounds —
+   * land in a bucket instead of vanishing. The distribution half of the
+   * [[profile]] gate (a null-rate spike shows up there; a SHAPE shift —
+   * token-length collapse, price-scale drift — shows up here).
+   *
+   * One scan + one groupBy on the bucket index; only non-empty buckets
+   * return (at 100 TB a fixed-width bucket list is trivially dense
+   * anyway, and emitting empties would need a generate_series join).
+   * The bucket arithmetic (`floor((v - lo) / width)`, clamped) runs in
+   * doubles and is engine-portable — no sketch, no rank.
+   *
+   * Returns (`bucket`, `lo`, `hi`, `n`) ordered by bucket index, where
+   * lo/hi are the bucket's own bounds.
+   */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int,
+                bounds: Option[(Double, Double)] = None): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val (lo, hi) = bounds.getOrElse {
+      val r = df.agg(min(col(valueCol).cast("double")),
+        max(col(valueCol).cast("double"))).head()
+      require(!r.isNullAt(0), s"histogram over all-null '$valueCol'")
+      (r.getDouble(0), r.getDouble(1))
+    }
+    require(hi > lo, s"histogram needs hi > lo; got [$lo, $hi]")
+    val width = (hi - lo) / nBuckets
+    val v = col(valueCol).cast("double")
+    val idx = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+    df.filter(v.isNotNull)
+      .select(idx.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("lo"),
+        (lit(lo) + (col("bucket") + 1) * lit(width)).as("hi"),
+        col("n"))
+  }
 }

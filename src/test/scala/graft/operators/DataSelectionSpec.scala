@@ -99,4 +99,28 @@ class DataSelectionSpec extends SparkSpec {
       DataSelection.madOutliers(rows, "v", "src", threshold = 0.0)
     }
   }
+
+  test("winsorize clamps into per-stratum exact quantile bands") {
+    // stratum a: values 1..5 — p25 = 2.0, p75 = 4.0 (exact interpolated);
+    // stratum b: constant 10s — band [10, 10], everything stays 10
+    val rows = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("a"), Some(2.0)),
+      (3L, Some("a"), Some(3.0)), (4L, Some("a"), Some(4.0)),
+      (5L, Some("a"), Some(5.0)),
+      (6L, Some("b"), Some(10.0)), (7L, Some("b"), Some(10.0)),
+      (8L, Some("a"), None), // null value: passes through null
+      (9L, None, Some(99.0)) // null stratum: no band, null out
+    ).toDF("id", "src", "v")
+    val out = DataSelection.winsorize(rows, "v", "src",
+        pLow = 0.25, pHigh = 0.75)
+      .select("id", "v_w").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(2.0) && out(5L) === Some(4.0)) // clamped
+    assert(out(2L) === Some(2.0) && out(3L) === Some(3.0) &&
+      out(4L) === Some(4.0)) // in band
+    assert(out(6L) === Some(10.0) && out(7L) === Some(10.0))
+    assert(out(8L) === None && out(9L) === None)
+    intercept[IllegalArgumentException] {
+      DataSelection.winsorize(rows, "v", "src", pLow = 0.9, pHigh = 0.1)
+    }
+  }
 }

@@ -241,4 +241,104 @@ class GraphSpec extends SparkSpec {
     assert(rel === local)
     spark.sparkContext.setCheckpointDir(null) // restore shared-session state
   }
+
+  // ── connected components ────────────────────────────────────────────
+
+  /** Reference: flat union-find over the undirected edge set. */
+  private def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponents labels every node with its component min") {
+    // two components (a 4-chain and a triangle), plus a self-loop and
+    // duplicate/reversed edges that must all collapse
+    val e = Seq((10L, 11L), (11L, 12L), (12L, 13L), // chain
+      (20L, 21L), (21L, 22L), (22L, 20L), // triangle
+      (13L, 13L), (11L, 10L), (10L, 11L)) // self-loop + dup + reverse
+    val got = Graph.connectedComponents(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val expect = refComponents(e.filter(p => p._1 != p._2))
+    assert(got === expect)
+    assert(got(13L) === 10L && got(20L) === 20L)
+  }
+
+  test("connectedComponents converges on a long path in few rounds") {
+    // a 64-node path has diameter 63; pointer-jumping must close it
+    // well inside the default 30-round budget (bare neighbor-min would
+    // need 63)
+    val e = (0L until 63L).map(i => (i, i + 1))
+    val got = Graph.connectedComponents(e.toDF("src", "dst"), "src", "dst",
+        maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 64 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small") {
+    val e = (0L until 63L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Graph.connectedComponents(e.toDF("src", "dst"), "src", "dst",
+        maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  // ── triangle counts ─────────────────────────────────────────────────
+
+  test("triangleCounts matches hand-enumerated triangles, zeros included") {
+    // K4 on {1..4} (4 triangles, 3 per node) + pendant 5 (0 triangles)
+    // + a detached star 6-(7,8,9) (0 triangles anywhere)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = k4 ++ Seq((4L, 5L), (6L, 7L), (6L, 8L), (6L, 9L),
+      (2L, 1L), (3L, 3L)) // reversed dup + self-loop must not count
+    val got = Graph.triangleCounts(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val expect = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L)
+    assert(got === expect)
+  }
+
+  test("triangleCounts on a bipartite graph is all zeros") {
+    val e = for (a <- 1L to 3L; b <- 10L to 13L) yield (a, b)
+    val got = Graph.triangleCounts(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(got.length === 7 && got.forall(_._2 == 0L))
+  }
+
+  // ── k-core ──────────────────────────────────────────────────────────
+
+  test("kCore peels to the unique fixpoint") {
+    // K4 core {1..4} with a 2-chain tail 4-5-6: at k=3 the tail peels
+    // in two rounds (6 first, then 5), leaving exactly the K4 with
+    // in-core degree 3 each
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = k4 ++ Seq((4L, 5L), (5L, 6L))
+    val got = Graph.kCore(e.toDF("src", "dst"), "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore returns empty when no core exists; fails loudly on truncation") {
+    val chain = (1L to 5L).sliding(2).map(s => (s.head, s.last)).toSeq
+    assert(Graph.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2)
+      .isEmpty) // a path has no 2-core
+    // a 12-path at k=2 peels one LAYER per round (only the current
+    // endpoints are below k), needing ~6 rounds to empty; cap at 2
+    val path = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2,
+        maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
 }

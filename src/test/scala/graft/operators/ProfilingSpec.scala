@@ -37,4 +37,60 @@ class ProfilingSpec extends SparkSpec {
       Profiling.profile(frame.limit(0).drop("id", "lang", "n"))
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed; unchanged omitted") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("id", "s", "n")
+    val nw = Seq((1L, "a", 10), // unchanged
+      (2L, "B", 20), // changed (s)
+      (3L, "c", 31), // changed (n)
+      (5L, "e", 50)) // added; 4 removed
+      .toDF("id", "s", "n")
+    val got = Profiling.snapshotDiff(old, nw, "id", Seq("s", "n"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("snapshotDiff: null→value edits are changes; dup keys fail loudly") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "s")
+    val nw = Seq((1L, Some("now-set")), (2L, Some("x"))).toDF("id", "s")
+    val got = Profiling.snapshotDiff(old, nw, "id", Seq("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed"))
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "s")
+    val ex = intercept[IllegalArgumentException] {
+      Profiling.snapshotDiff(dup, nw, "id", Seq("s"))
+    }
+    assert(ex.getMessage.contains("not unique"))
+  }
+
+  test("histogram: hand-computed buckets, clamped edges, only non-empty") {
+    // [0, 10) in 5 buckets of width 2; 10.0 clamps into bucket 4;
+    // -3 clamps into bucket 0 under caller-given bounds; null dropped
+    val vals = Seq(Some(0.0), Some(1.9), Some(2.0), Some(9.9), Some(10.0),
+      Some(-3.0), None).toDF("v")
+    val got = Profiling.histogram(vals, "v", 5, bounds = Some((0.0, 10.0)))
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      0L -> ((0.0, 2.0, 3L)), // 0.0, 1.9, clamped -3
+      1L -> ((2.0, 4.0, 1L)),
+      4L -> ((8.0, 10.0, 2L)))) // 9.9 and clamped 10.0
+  }
+
+  test("histogram: derived bounds and degenerate inputs fail loudly") {
+    val vals = Seq(1.0, 2.0, 3.0).toDF("v")
+    val got = Profiling.histogram(vals, "v", 2)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    // derived [1, 3], width 1: {1.0} and {2.0, 3.0 (clamped max)}
+    assert(got.toSeq === Seq((0L, 1.0, 2.0, 1L), (1L, 2.0, 3.0, 2L)))
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(Seq(Option.empty[Double]).toDF("v"), "v", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(Seq(5.0, 5.0).toDF("v"), "v", 4) // hi == lo
+    }
+  }
 }
