@@ -60,6 +60,63 @@ object SparkEntry {
     p.toString
   }
 
+  /** Co-purchase part graph: one edge per unordered part pair appearing
+    * together in ≥ `minSupport` orders (src < dst), with an optional
+    * quantity cap pre-filter. Per-order fan-out is bounded by
+    * items-per-order (≤ 7 here), so the self-join is shuffle-bounded by
+    * the lineitem scan, not quadratic. Shared by the three graph-family
+    * queries so the Spark and SQL derivations each live in ONE place. */
+  private def copurchaseEdges(s: SparkSession, dir: String,
+                              qtyMax: Option[Int],
+                              minSupport: Int): DataFrame = {
+    val li0 = t(s, dir, "lineitem")
+    val li = qtyMax.fold(li0)(q => li0.filter(col("l_quantity") <= q))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("m"))
+    (if (minSupport > 1) pairs.filter(col("m") >= minSupport) else pairs)
+      .select("src", "dst")
+  }
+
+  /** The SQL form of [[copurchaseEdges]], as a CTE prefix defining `e`. */
+  private def copurchaseSql(qtyMax: Option[Int], minSupport: Int): String = {
+    val qf = qtyMax.map(q => s" WHERE l_quantity <= $q").getOrElse("")
+    val sup = if (minSupport > 1) s" HAVING count(*) >= $minSupport" else ""
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem$qf),
+       |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |       AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2$sup)""".stripMargin
+  }
+
+  /** Unrolled k-core peel oracle: `rounds` delete-below-k rounds as a
+    * CTE chain (peeling is idempotent past the fixpoint, so unrolling
+    * MORE rounds than the engine needs is safe; the engine-side peel at
+    * sf0.01 converges in 8). One generator instead of 12 hand-copied
+    * round blocks — a missed hand-edit would silently desynchronize. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references its predecessor three times, so an un-hinted
+    // chain expands 3^rounds-fold (it exhausts file handles re-opening
+    // the scan before it exhausts memory)
+    val steps = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
+         |  SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY n),
+         |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+         |  WHERE a NOT IN (SELECT n FROM d$i WHERE deg < $k)
+         |    AND b NOT IN (SELECT n FROM d$i WHERE deg < $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseSql(Some(30), 2)},
+       |e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e),
+       |$steps,
+       |dfin AS (SELECT n, count(*) AS deg FROM (
+       |  SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |  GROUP BY n)
+       |SELECT n AS node, deg FROM dfin""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q3_revenue_by_nation")(spark, "/root/testdata/sf0.001")
@@ -556,6 +613,77 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
           redistributeDangling = true)
         .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
+    // Connected components over the support-2 co-purchase graph (parts
+    // bought together in ≥2 orders, quantity-filtered to keep real
+    // component structure — 241 components at sf0.01). Pointer-jumping
+    // min-label propagation, converged-by-witness; the oracle is a
+    // DuckDB recursive CTE computing min reachable id.
+    "q_connected_components" -> ((s, dir) => {
+      graft.operators.Graph.connectedComponents(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        "src", "dst")
+    }),
+
+    // Exact per-node triangle counts over the FULL co-purchase graph
+    // (~116k edges at sf0.01): degree-oriented enumeration — each
+    // triangle generated once from its lowest-(deg,id) corner, wedge
+    // fan-out bounded ~sqrt(E). The oracle enumerates a<b<c id-ordered
+    // triangles directly; both orders count the same triangle set.
+    "q_triangles" -> ((s, dir) => {
+      graft.operators.Graph.triangleCounts(
+        copurchaseEdges(s, dir, qtyMax = None, minSupport = 1),
+        "src", "dst")
+    }),
+
+    // 3-core of the support-2 co-purchase graph: the dense "trusted
+    // seed" subgraph (1055 of 1892 nodes at sf0.01; the peel takes 8
+    // rounds). Oracle = 12 unrolled peel rounds (idempotent past the
+    // fixpoint), generated by kcoreOracleSql.
+    "q_kcore" -> ((s, dir) => {
+      graft.operators.Graph.kCore(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        "src", "dst", k = 3)
+    }),
+
+    // Corpus snapshot diff — the daily-drop audit. Old/new versions are
+    // derived deterministically from documents (drop-by-modulus +
+    // edit-by-modulus); the operator classifies via 8-byte payload
+    // hashes so the full-outer join never moves text; the oracle
+    // classifies by comparing the text itself.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Profiling.snapshotDiff(old, nw, "doc_id", Seq("text"))
+    }),
+
+    // Per-stratum winsorization: order totals clamped into the exact
+    // [p05, p95] band per order priority, then per-stratum aggregates
+    // of the clamped values (2dp absorbs summation-order ulps).
+    "q_winsorize" -> ((s, dir) => {
+      graft.operators.DataSelection.winsorize(
+          t(s, dir, "orders"), "o_totalprice", "o_orderpriority",
+          pLow = 0.05, pHigh = 0.95)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice_w"), 2).as("sum_w"),
+          round(min("o_totalprice_w"), 2).as("min_w"),
+          round(max("o_totalprice_w"), 2).as("max_w"))
+    }),
+
+    // Exact equi-width histogram of order totals, bounds derived from
+    // the frame's min/max — distribution-shape profiling. The bucket
+    // arithmetic (floor((v-lo)/width), clamped) runs in IEEE doubles
+    // identically in both engines; no rounding needed.
+    "q_histogram" -> ((s, dir) => {
+      graft.operators.Profiling.histogram(
+        t(s, dir, "orders"), "o_totalprice", nBuckets = 8)
     }),
 
     // ── Mission extensions: dedup / similarity / text analysis ───────────
@@ -2946,6 +3074,75 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
         |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+    // components = min reachable node id, computed by a recursive CTE
+    // (DuckDB iterates UNION-dedup'd reachability to fixpoint); the
+    // engine's pointer-jumping propagation converges to the same min
+    "q_connected_components" ->
+      s"""WITH RECURSIVE ${copurchaseSql(Some(30), 2)},
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT src AS node FROM und),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT u.src, r.lbl FROM reach r JOIN und u ON u.dst = r.node)
+         |SELECT node, MIN(lbl) AS component FROM reach GROUP BY node""".stripMargin,
+    // id-ordered triangle enumeration (a<b<c) — a different generation
+    // order than the engine's degree orientation, but the SAME triangle
+    // set, so per-node counts agree exactly
+    "q_triangles" ->
+      s"""WITH ${copurchaseSql(None, 1)},
+         |deg AS (SELECT n, count(*) AS d FROM (
+         |  SELECT src AS n FROM e UNION ALL SELECT dst FROM e) GROUP BY n),
+         |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+         |  FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |pern AS (SELECT n, count(*) AS t FROM (
+         |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) GROUP BY n)
+         |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
+         |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
+    "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+        |nw AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS "key",
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n.text THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+        |WHERE change <> 'unchanged'""".stripMargin,
+    // quantile_cont matches Spark's exact interpolated percentile;
+    // identical doubles → identical clamps → 2dp-identical aggregates
+    "q_winsorize" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS qlo,
+        |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS qhi
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT o.o_orderpriority,
+        |    LEAST(GREATEST(CAST(o.o_totalprice AS DOUBLE), b.qlo), b.qhi) AS vw
+        |  FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(vw), 2) AS sum_w, round(min(vw), 2) AS min_w,
+        |  round(max(vw), 2) AS max_w
+        |FROM w GROUP BY 1""".stripMargin,
+    // same IEEE arithmetic both sides: width = (hi-lo)/8 computed once,
+    // floor((v-lo)/width) clamped into [0, 7]
+    "q_histogram" ->
+      """WITH s AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS slo,
+        |    max(CAST(o_totalprice AS DOUBLE)) AS shi FROM orders),
+        |idx AS (SELECT CAST(LEAST(GREATEST(
+        |    FLOOR((CAST(o_totalprice AS DOUBLE) - s.slo) / ((s.shi - s.slo) / 8)),
+        |    0), 7) AS BIGINT) AS bucket
+        |  FROM orders, s WHERE o_totalprice IS NOT NULL)
+        |SELECT bucket,
+        |  (SELECT slo FROM s) + bucket * ((SELECT (shi - slo) / 8 FROM s)) AS lo,
+        |  (SELECT slo FROM s) + (bucket + 1) * ((SELECT (shi - slo) / 8 FROM s)) AS hi,
+        |  count(*) AS n
+        |FROM idx GROUP BY bucket""".stripMargin,
     "q_interval_join" ->
       """SELECT count(*) AS n_pairs,
         |       CAST(sum(c.click_id) AS BIGINT) AS click_sum,
