@@ -190,13 +190,21 @@ object Graph {
    * the plan otherwise doubles per round), executor-local by default,
    * reliable `checkpoint()` when a cluster FS dir is configured.
    *
+   * Graphs at or under `maxDriverEdges` canonical edges (default
+   * ≈32 MB of edge rows) skip the loop for a driver union-find — the
+   * same size-gated escape hatch as `Dedup.assignCanonical`, because
+   * on a small graph the per-round job overhead IS the cost; 0 forces
+   * the distributed loop.
+   *
    * Returns one row per node: (`node`, `component`).
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 30,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          maxDriverEdges: Long = 2L << 20): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
-    val sc = edges.sparkSession.sparkContext
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     val reliable = sc.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
@@ -206,6 +214,47 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")) // self-loops never move a label
+    // Driver union-find below the size gate (same escape hatch and
+    // default as Dedup.assignCanonical, ≈32 MB of edge rows): the
+    // iterative loop pays ~4 jobs per ROUND — on a small graph the
+    // rounds, not the data, are the whole cost. Union-by-min-root
+    // yields exactly the component-min labels the converged loop
+    // produces. Pass 0 to force the distributed loop.
+    if (maxDriverEdges > 0) {
+      val canon = dir0
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().cache()
+      val n = canon.count()
+      if (n == 0) {
+        canon.unpersist()
+        throw new IllegalArgumentException(
+          "connectedComponents on an empty edge frame")
+      }
+      if (n <= maxDriverEdges) {
+        import spark.implicits._
+        val es = canon.as[(Long, Long)].collect()
+        canon.unpersist()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        return verts.iterator.map(v => (v, find(v))).toSeq
+          .toDF("node", "component")
+      }
+      canon.unpersist()
+    }
     // both directions once, up front: neighbor-min then needs ONE join
     // per round instead of two
     val und = cut(dir0
@@ -266,11 +315,22 @@ object Graph {
    * probe on the (v,w) pair) → explode the three corners → count.
    * Everything that moves is (long, long) pairs.
    *
+   * The closure probe is the operator's one big join: the wedge set
+   * (Σ orientedOutDeg² rows — easily 50× the edge count on dense
+   * graphs) probes the oriented edge set. At or under
+   * `maxBroadcastEdges` oriented edges (default 4M ≈ tens of MB
+   * serialized) the edge set broadcasts and the probe runs map-side —
+   * wedges stream through the hash map WITHOUT ever shuffling, which
+   * is the difference between seconds and an exchange of 10⁷–10⁸
+   * wedge rows. Above the gate it falls back to a shuffled hash join
+   * keyed by the (v, w) pair — the honest distributed form. Pass 0 to
+   * force the shuffle path.
+   *
    * Returns (`node`, `triangles`) for EVERY node of the canonical
    * graph, zeros included (the zero IS the spam signal).
    */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
-  : DataFrame = {
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxBroadcastEdges: Long = 4L << 20): DataFrame = {
     val canon = edges
       .select(col(srcCol).cast("long").as("s0"),
         col(dstCol).cast("long").as("d0"))
@@ -299,7 +359,16 @@ object Graph {
     val wedges = o1.join(o2, Seq("u"))
       .filter(col("dv1") < col("dv2") ||
         (col("dv1") === col("dv2") && col("v1") < col("v2")))
-    val closure = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    val closure0 = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    // the canonical frame is read three times (degree agg, orientation
+    // join, closure) — persist it across the branches; stays persisted
+    // for the returned plan's lifetime (caller releases, same contract
+    // as Sketches.frequentItems' cache)
+    val useBroadcast = maxBroadcastEdges > 0 && {
+      canon.persist()
+      canon.count() <= maxBroadcastEdges
+    }
+    val closure = if (useBroadcast) broadcast(closure0) else closure0
     val tris = wedges.join(closure,
       col("v1") === col("cu") && col("v2") === col("cv"))
     val perNode = tris

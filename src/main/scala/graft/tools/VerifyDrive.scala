@@ -19,11 +19,9 @@ object VerifyDrive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // current investigation: the graph stress tier shows UNWEIGHTED
-    // pageRank 2-5x slower than weighted on the same synthetic edges
-    // (all-unique pairs), while the sf0.1 bench (duplicate-heavy edges)
-    // shows no gap. Isolate: is the e-construction stage (distinct vs
-    // groupBy+sum) the difference, or the iteration loop?
+    // current investigation: q_triangles stage breakdown at sf0.1 —
+    // where do the 29 s go (edge derivation vs wedge join vs closure
+    // probe), and does the closure broadcast actually fire?
     def run(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -32,24 +30,41 @@ object VerifyDrive {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
-    val n = 16000000L
-    val nodes = n / 10
-    val edges = spark.range(n).select(
-      pmod(col("id") * 2654435761L, lit(nodes)).as("src"),
-      pmod(xxhash64(col("id")), lit(nodes)).as("dst"),
-      (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("double").as("w"))
-      .cache()
-    edges.count()
-    for (i <- 1 to 2) {
-      run(s"pr_unweighted#$i")(
-        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6).count())
-      run(s"pr_weighted#$i")(
-        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
-          weightCol = Some("w")).count())
-      run(s"pr_dangling#$i")(
-        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
-          redistributeDangling = true).count())
-    }
+    val dir = "/root/testdata/sf0.1"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("m")).select("src", "dst")
+    run("edge_derivation")(edges.count())
+    val canon = edges.select(col("src").as("a"), col("dst").as("b")).cache()
+    run("canon_cache")(canon.count())
+    val deg = canon.select(col("a").as("n"))
+      .unionAll(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg")).cache()
+    run("deg")(deg.count())
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val fwd = col("da") < col("db") || (col("da") === col("db"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv")).cache()
+    run("oriented_cache")(oriented.count())
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    run("wedges")(wedges.count())
+    val closure = broadcast(oriented.select(col("u").as("cu"), col("v").as("cv")))
+    val tris = wedges.join(closure,
+      col("v1") === col("cu") && col("v2") === col("cv"))
+    run("tris_probe")(tris.count())
+    run("full_operator")(graft.operators.Graph.triangleCounts(
+      edges, "src", "dst").count())
     spark.stop()
   }
 }

@@ -273,13 +273,35 @@ class GraphSpec extends SparkSpec {
     assert(got(13L) === 10L && got(20L) === 20L)
   }
 
+  test("connectedComponents: driver union-find == distributed loop") {
+    val e = Seq((10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L))
+    val driver = Graph.connectedComponents(e.toDF("src", "dst"),
+        "src", "dst").as[(Long, Long)].collect().toSet
+    val loop = Graph.connectedComponents(e.toDF("src", "dst"),
+        "src", "dst", maxDriverEdges = 0).as[(Long, Long)].collect().toSet
+    assert(driver === loop)
+    assert(driver === refComponents(e).toSet)
+  }
+
+  test("triangleCounts: shuffled closure == broadcast closure") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 4L)) // K4 + extra triangle
+    val bc = Graph.triangleCounts(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val shuffled = Graph.triangleCounts(e.toDF("src", "dst"), "src", "dst",
+        maxBroadcastEdges = 0).as[(Long, Long)].collect().toSet
+    assert(bc === shuffled)
+    assert(bc.toMap.apply(4L) === 4L) // 4 sits in K4's three + the tail one
+  }
+
   test("connectedComponents converges on a long path in few rounds") {
     // a 64-node path has diameter 63; pointer-jumping must close it
     // well inside the default 30-round budget (bare neighbor-min would
     // need 63)
     val e = (0L until 63L).map(i => (i, i + 1))
     val got = Graph.connectedComponents(e.toDF("src", "dst"), "src", "dst",
-        maxIter = 10)
+        maxIter = 10, maxDriverEdges = 0) // force the distributed loop
       .as[(Long, Long)].collect().toMap
     assert(got.size === 64 && got.values.forall(_ == 0L))
   }
@@ -288,7 +310,7 @@ class GraphSpec extends SparkSpec {
     val e = (0L until 63L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] {
       Graph.connectedComponents(e.toDF("src", "dst"), "src", "dst",
-        maxIter = 2).collect()
+        maxIter = 2, maxDriverEdges = 0).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
   }
