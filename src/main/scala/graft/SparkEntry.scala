@@ -117,6 +117,37 @@ object SparkEntry {
        |SELECT n AS node, deg FROM dfin""".stripMargin
   }
 
+  /** Unrolled power-iteration oracle for q_pca_scores: gram/covariance
+    * from the exploded (vec_id, i, value) frame, `iters` matvec+normalize
+    * rounds as a generated MATERIALIZED CTE chain (same reasoning as
+    * [[kcoreOracleSql]]), then the centered projection. d is pinned to
+    * the testdata's 64 (v0 = 1/√64 = 0.125, exact in both engines). */
+  private def pcaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS wv
+         |  FROM cov c JOIN $prev v ON v.i = c.j GROUP BY c.i),
+         |v$t AS MATERIALIZED (SELECT i,
+         |  wv / (SELECT sqrt(SUM(wv * wv)) FROM w$t) AS v FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xv
+       |  FROM embeddings, range(1, 65) t(i) WHERE embedding IS NOT NULL),
+       |nn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM x),
+       |mu AS MATERIALIZED (
+       |  SELECT i, SUM(xv) / (SELECT n FROM nn) AS m FROM x GROUP BY i),
+       |cov AS MATERIALIZED (
+       |  SELECT s.i, s.j, s.s / (SELECT n FROM nn) - ma.m * mb.m AS c
+       |  FROM (SELECT a.i, b.i AS j, SUM(a.xv * b.xv) AS s
+       |        FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2) s
+       |  JOIN mu ma ON ma.i = s.i JOIN mu mb ON mb.i = s.j),
+       |v0 AS (SELECT i, 0.125 AS v FROM mu),
+       |$rounds
+       |SELECT x.vec_id, ROUND(SUM((x.xv - mu.m) * v$iters.v), 6) AS pc1
+       |FROM x JOIN mu ON mu.i = x.i JOIN v$iters ON v$iters.i = x.i
+       |GROUP BY x.vec_id""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q3_revenue_by_nation")(spark, "/root/testdata/sf0.001")
@@ -684,6 +715,37 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) => {
       graft.operators.Profiling.histogram(
         t(s, dir, "orders"), "o_totalprice", nBuckets = 8)
+    }),
+
+    // Exact weighted sampling without replacement (A-Res), 5 docs per
+    // language weighted by n_chars — fixed-size per-stratum samples
+    // where heavier rows are proportionally likelier. The md5-uniform /
+    // quantized ln(u)/w key replays identically in SQL.
+    "q_sample_weighted_topk" -> ((s, dir) => {
+      graft.operators.Samples.weightedKPerGroup(
+          t(s, dir, "documents").filter(col("n_chars") > 0),
+          "doc_id", "n_chars", "lang", k = 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+
+    // Per-doc TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df), ties lexical. Broadcast vocabulary join + per-doc
+    // window rank — no global sort.
+    "text_tfidf" -> ((s, dir) => {
+      graft.operators.TextAnalysis.tfIdfTopTerms(
+        t(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+        "text", k = 3)
+    }),
+
+    // Dominant-principal-component scores: one treeAggregate moment
+    // pass (17 KB accumulator), driver-side power iteration (8 rounds),
+    // then a map-only codegen'd centered projection. The oracle replays
+    // the same covariance + 8 unrolled matvec rounds in SQL; 6dp
+    // absorbs cross-engine summation-order ulps.
+    "q_pca_scores" -> ((s, dir) => {
+      graft.operators.Similarity.pcaScores(
+          t(s, dir, "embeddings"), "vec_id", "embedding", iters = 8)
+        .select(col("vec_id"), round(col("pc1"), 6).as("pc1"))
     }),
 
     // ── Mission extensions: dedup / similarity / text analysis ───────────
@@ -3102,6 +3164,36 @@ object SparkEntry {
          |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_pca_scores" -> pcaOracleSql(iters = 8),
+    // same md5→52-bit→uniform mapping, same quantized A-Res key
+    "q_sample_weighted_topk" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w, n_chars
+        |  FROM documents WHERE n_chars > 0),
+        |keyed AS (SELECT lang, doc_id, n_chars,
+        |  round(ln((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT)
+        |        / 4503599627370496.0) / w, 12) AS key
+        |  FROM d)
+        |SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+        |  FROM keyed)
+        |WHERE rk <= 5""".stripMargin,
+    // rank on the ROUNDED score in both engines so near-ties resolve
+    // identically (then lexically by token)
+    "text_tfidf" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |tf AS (SELECT doc_id, w AS token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |  round(tf.tf * ln((SELECT n FROM nn) / dfq.df), 4) AS tfidf
+        |  FROM tf JOIN dfq USING (token))
+        |SELECT doc_id, token, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk FROM sc)
+        |WHERE rk <= 3""".stripMargin,
     "q_corpus_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
         |nw AS (SELECT doc_id,

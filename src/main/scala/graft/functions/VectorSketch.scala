@@ -57,6 +57,21 @@ object VectorSketchRuntime extends Serializable {
 }
 
 object VectorMathRuntime extends Serializable {
+  /** Centered projection Σ (x_i − μ_i)·v_i in double precision,
+    * left-to-right accumulation (the PCA-score hot path; μ and v are
+    * plan constants, broadcast with the serialized expression). */
+  def centeredDot(x: ArrayData, mu: Array[Double],
+                  dir: Array[Double]): Double = {
+    val n = math.min(x.numElements(), mu.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += (x.getFloat(i).toDouble - mu(i)) * dir(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity in double precision, left-to-right accumulation
     * (matches DuckDB list_cosine_similarity fold order bit-for-bit). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -123,9 +138,39 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** centered_dot(vec: array<float>): Double — Σ (x_i − μ_i)·v_i against
+  * plan-constant center/direction arrays (PCA projection / whitening
+  * scores). Constants ride along as expression references, so the probe
+  * runs inside whole-stage codegen with zero per-row allocation. */
+case class CenteredDot(child: Expression, mu: Array[Double],
+                       dir: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mu.length == dir.length,
+    s"center and direction dims differ: ${mu.length} vs ${dir.length}")
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "centered_dot"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMathRuntime.centeredDot(input.asInstanceOf[ArrayData], mu, dir)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("cdMu", mu, "double[]")
+    val dirRef = ctx.addReferenceObj("cdDir", dir, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.VectorMathRuntime.centeredDot($c, $muRef, $dirRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CenteredDot =
+    copy(child = newChild)
+}
+
 object VectorSketchFunctions {
   def hyperplaneSig(c: Column, numPlanes: Int, seed: Long): Column =
     ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(c), numPlanes, seed))
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def centeredDot(c: Column, mu: Array[Double], dir: Array[Double]): Column =
+    ExpressionUtils.column(CenteredDot(ExpressionUtils.expression(c), mu, dir))
 }

@@ -79,5 +79,9 @@ package object functions {
     /** Native codegen'd cosine similarity between two array<float> columns. */
     def cosineSim(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.VectorSketchFunctions.cosineSim(a, b)
+    /** Native codegen'd centered projection Σ (x_i − μ_i)·v_i against
+      * plan-constant center/direction arrays (PCA scores). */
+    def centeredDot(c: Column, mu: Array[Double], dir: Array[Double]): Column =
+      org.apache.spark.sql.graft.VectorSketchFunctions.centeredDot(c, mu, dir)
   }
 }

@@ -189,4 +189,54 @@ object Samples {
       .filter(col("__cum") <= budget)
       .drop("__p", "__chunk", "__off", "__cum")
   }
+
+  /**
+   * Exact weighted sampling WITHOUT replacement, k per group — the
+   * A-Res scheme (Efraimidis–Spirakis 2006, "Weighted random sampling
+   * with a reservoir"): each row draws `u = uniform(seed, id)` and the
+   * k rows with the largest `u^(1/w)` per group are the sample, which
+   * is distributionally exact weighted sampling without replacement.
+   * This fills the gap between [[weighted]] (independent per-row
+   * keep-probabilities — sample SIZE varies) and [[kPerGroup]]
+   * (uniform, weight-blind): a fixed-size per-stratum sample where
+   * higher-weight rows are proportionally likelier — the "sample 10k
+   * docs per language, biased by quality score" shape.
+   *
+   * Determinism/portability: `u` is 52 explicit bits of
+   * `md5(seed:id)` divided by 2^52 — the same md5 convention as every
+   * sampler here, numeric instead of lexicographic because A-Res needs
+   * `ln(u)/w` (rank-equivalent to `u^(1/w)`, cheaper and better
+   * conditioned). The key is quantized to 12 decimal places before
+   * ranking — same defense as `Mixes.temperatureSample`'s rate
+   * quantization: `ln` may differ by an ulp across engine libms, and
+   * quantization keeps a sub-ulp delta from flipping a rank (ties
+   * break on id). One shuffle on the group key; rank via window —
+   * partitioning-independent, any engine reproduces the selection.
+   *
+   * Weights must be non-null, non-NaN, strictly positive — checked
+   * fail-loud in one aggregate (a zero weight makes `ln(u)/w` ±Inf,
+   * a null silently vanishes from windows; both corrupt the sample
+   * contract rather than erroring on their own).
+   */
+  def weightedKPerGroup(df: DataFrame, idCol: String, weightCol: String,
+                        groupCol: String, k: Int,
+                        seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w0 = col(weightCol).cast("double")
+    val chk = df.agg(
+      min(coalesce(w0, lit(Double.NegativeInfinity))).as("mn"),
+      sum(when(isnan(w0), 1L).otherwise(0L)).as("nans")).head()
+    require(!chk.isNullAt(0) && chk.getDouble(0) > 0 && chk.getLong(1) == 0,
+      s"weightedKPerGroup weights must be non-null, non-NaN and strictly " +
+        s"positive; min (nulls as -Inf) = ${chk.get(0)}, NaNs = ${chk.get(1)}")
+    val u = expr(s"conv(substring(md5(concat('$seed:', cast($idCol as " +
+      s"string))), 1, 13), 16, 10)").cast("double") /
+      lit(4503599627370496.0) // 2^52
+    val key = round(log(u) / w0, 12)
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(key.desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -247,6 +247,42 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Per-document TF-IDF keyword extraction: the `k` highest-scoring
+   * terms per document, `score = tf · ln(N / df)` (plain idf — exact
+   * integer inputs, so the only float op is one log+multiply and the
+   * 4dp rounding absorbs nothing but sub-ulp noise). The classic
+   * "what is this document about" signal: topic tagging, clustering
+   * features, and the query-side complement of [[bm25TopK]].
+   *
+   * Scale shape: one tokenize pass → per-(doc, term) counts (one
+   * shuffle keyed by doc+term), per-term document frequencies
+   * aggregate to a term-vocabulary frame joined back BROADCAST (a
+   * deduped vocabulary is ≪ corpus), corpus size N is a 1-row
+   * broadcast, and the per-doc top-k is a window rank over the
+   * (doc, term) frame — partitioned by doc, never a global sort.
+   * Ties break lexicographically so any engine reproduces the set.
+   */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, k: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val tf = base.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Corpus-wide deterministic top-k n-gram counts (phrase mining /
     * contamination-signature building): same partial-aggregate +
     * TakeOrdered scale shape as [[tokenFrequencies]]. */

@@ -157,4 +157,48 @@ class SamplesSpec extends SparkSpec {
     assert(math.abs(byStratum("s1") / 3000.0 - 0.2) < 0.05)
     assert(!byStratum.contains("s2"))
   }
+
+  test("weightedKPerGroup: exact k per group, matches the A-Res reference") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong, s"g${i % 3}", 1.0 + (i % 7))).toDF("id", "grp", "w")
+    val got = Samples.weightedKPerGroup(rows, "id", "w", "grp", k = 5)
+      .select("grp", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.values.forall(_.size == 5))
+    // in-memory A-Res replica: same md5-uniform, same quantized key
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+    }
+    val expect = (0 until 300).map(i =>
+        (s"g${i % 3}", i.toLong, 1.0 + (i % 7)))
+      .groupBy(_._1).view.mapValues { xs =>
+        xs.sortBy { case (_, id, w) =>
+          (-BigDecimal(math.log(u(id)) / w)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+        }.take(5).map(_._2).toSet
+      }.toMap
+    assert(got === expect)
+  }
+
+  test("weightedKPerGroup: higher weights win more slots; bad weights fail") {
+    // two weight classes in one group: weight-1000 rows should crowd out
+    // weight-0.01 rows almost surely
+    val rows = (0 until 100).map(i =>
+      (i.toLong, "g", if (i < 10) 1000.0 else 0.01)).toDF("id", "grp", "w")
+    val kept = Samples.weightedKPerGroup(rows, "id", "w", "grp", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept.count(_ < 10) >= 9, s"heavy rows under-sampled: $kept")
+    intercept[IllegalArgumentException] {
+      Samples.weightedKPerGroup(
+        Seq((1L, "g", 0.0)).toDF("id", "grp", "w"), "id", "w", "grp", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Samples.weightedKPerGroup(
+        Seq((1L, "g", Option.empty[Double])).toDF("id", "grp", "w"),
+        "id", "w", "grp", 1)
+    }
+  }
 }

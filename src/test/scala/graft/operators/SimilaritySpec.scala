@@ -433,4 +433,46 @@ class SimilaritySpec extends SparkSpec {
     assert(kept === Set(0L, 3L, 10L, 11L),
       s"expected min-id survivors per near-dup group, got $kept")
   }
+
+  test("principalComponent recovers a planted dominant axis") {
+    // variance 100× larger along (1,1,0,0)/√2 than any other direction
+    val axis = Array(1f, 1f, 0f, 0f).map(_ / math.sqrt(2.0).toFloat)
+    val rows = (0 until 200).map { i =>
+      val a = (i % 21 - 10).toFloat // -10..10 along the axis
+      val noise = ((i * 7) % 5 - 2) * 0.01f
+      (i.toLong, Array(a * axis(0) + noise, a * axis(1) - noise,
+        noise, -noise))
+    }.toDF("vec_id", "embedding")
+    val (mu, v, lambda) = Similarity.principalComponent(rows, "embedding")
+    // direction aligns with the planted axis (sign is deterministic but
+    // axis-alignment is the invariant worth asserting)
+    val cosAxis = math.abs(v(0) * axis(0) + v(1) * axis(1) +
+      v(2) * axis(2) + v(3) * axis(3))
+    assert(cosAxis > 0.999, s"direction ${v.toSeq} vs axis ${axis.toSeq}")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12) // unit norm
+    assert(lambda > 10.0, s"dominant eigenvalue $lambda")
+    assert(mu.length === 4)
+  }
+
+  test("pcaScores == manual centered projection; null vectors drop from fit") {
+    val rows = Seq(
+      (0L, Some(Array(1f, 0f))), (1L, Some(Array(3f, 0f))),
+      (2L, Some(Array(5f, 1f))), (3L, Option.empty[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val (mu, v, _) = Similarity.principalComponent(rows, "embedding")
+    val got = Similarity.pcaScores(rows.na.drop(), "vec_id", "embedding")
+      .as[(Long, Double)].collect().toMap
+    val vecs = Map(0L -> Array(1f, 0f), 1L -> Array(3f, 0f),
+      2L -> Array(5f, 1f))
+    vecs.foreach { case (id, x) =>
+      val manual = (0 until 2).map(i => (x(i).toDouble - mu(i)) * v(i)).sum
+      assert(math.abs(got(id) - manual) < 1e-12, s"id $id")
+    }
+    // the fit ignored the null row: mean is over the 3 real vectors
+    assert(math.abs(mu(0) - 3.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Similarity.principalComponent(
+        Seq(Option.empty[Array[Float]]).toDF("embedding"), "embedding")
+    }
+  }
 }

@@ -123,6 +123,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("a", 2L, 3L), ("b", 2L, 4L), ("c", 1L, 1L)))
   }
 
+  test("tfIdfTopTerms: hand-computed scores, per-doc k, lexical ties") {
+    // N=3. df: a→2, b→2, c→1. idf: ln(1.5), ln(1.5), ln(3)
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(df, "text", k = 1)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._5))).toMap
+    def s(tf: Long, idf: Double) =
+      BigDecimal(tf * idf).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // doc 1: a = 2·ln1.5 ≈ 0.8109 beats b = ln1.5; doc 2: c = ln3 ≈
+    // 1.0986 beats a; doc 3: b = 3·ln1.5 ≈ 1.2164
+    assert(got(1L) === (("a", s(2, math.log(1.5)))))
+    assert(got(2L) === (("c", s(1, math.log(3.0)))))
+    assert(got(3L) === (("b", s(3, math.log(1.5)))))
+    // k larger than vocab: every (doc, term) row comes back
+    assert(TextAnalysis.tfIdfTopTerms(df, "text", k = 10).count() === 5L)
+  }
+
   test("topNgrams counts corpus-wide with deterministic ordering") {
     val df = Seq("a b a b", "a b c", "c a b").toDF("text")
     val got = TextAnalysis.topNgrams(df, "text", 2, 3)
