@@ -748,6 +748,28 @@ object SparkEntry {
         .select(col("vec_id"), round(col("pc1"), 6).as("pc1"))
     }),
 
+    // Pairwise Pearson correlations of the four lineitem measures in
+    // ONE aggregation pass (upper triangle + diagonal, 10 pairs).
+    "q_corr" -> ((s, dir) => {
+      graft.operators.Profiling.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    // Equi-depth histogram of order totals: exact decile boundaries
+    // (grouped percentile aggregate), then a map-only comparison-chain
+    // binning — no ntile, no global sort.
+    "q_histogram_depth" -> ((s, dir) => {
+      graft.operators.Profiling.equiDepthHistogram(
+        t(s, dir, "orders"), "o_totalprice", nBuckets = 10)
+    }),
+
+    // Key-skew report for l_partkey: distinct keys, top-key share, Gini
+    // of the per-key count distribution — the "is this join key safe"
+    // one-rower feeding SkewJoin's salting decision.
+    "q_skew_report" -> ((s, dir) => {
+      graft.operators.Profiling.skewReport(t(s, dir, "lineitem"), "l_partkey")
+    }),
+
     // ── Mission extensions: dedup / similarity / text analysis ───────────
 
     // Exact dedup: canonical doc per distinct text — scale-shaped
@@ -3164,6 +3186,39 @@ object SparkEntry {
          |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        (a, i) <- cols.zipWithIndex; b <- cols.drop(i)
+      } yield s"""SELECT '$a' AS col_a, '$b' AS col_b,
+                 |  round(covar_samp(CAST($a AS DOUBLE), CAST($b AS DOUBLE))
+                 |    / NULLIF(stddev_samp(CAST($a AS DOUBLE))
+                 |              * stddev_samp(CAST($b AS DOUBLE)), 0), 6) AS "corr"
+                 |FROM lineitem""".stripMargin
+      pairs.mkString("\nUNION ALL\n")
+    },
+    "q_histogram_depth" -> {
+      val probs = (1 until 10).map(i => i / 10.0)
+      val caseChain = probs.indices
+        .map(i => s"CASE WHEN v > bs[${i + 1}] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+         |    [${probs.mkString(", ")}]) AS bs FROM orders)
+         |SELECT bucket, count(*) AS n FROM (
+         |  SELECT CAST($caseChain AS BIGINT) AS bucket
+         |  FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         |        WHERE o_totalprice IS NOT NULL), b)
+         |GROUP BY bucket""".stripMargin
+    },
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS c
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i FROM c)
+        |SELECT count(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share,
+        |  round(2.0 * SUM(i * c) / (count(*) * SUM(c))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
     "q_pca_scores" -> pcaOracleSql(iters = 8),
     // same md5→52-bit→uniform mapping, same quantized A-Res key
     "q_sample_weighted_topk" ->

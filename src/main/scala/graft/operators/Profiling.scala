@@ -105,6 +105,115 @@ object Profiling {
   }
 
   /**
+   * Pairwise Pearson correlation matrix of numeric columns, in ONE
+   * map-side-combined aggregation pass (every `corr` pair is a
+   * co-moment accumulator; the frame is scanned once regardless of
+   * pair count). The redundancy detector of a feature-profiling gate:
+   * two near-perfectly-correlated quality signals are one signal.
+   *
+   * Emits the upper triangle including the diagonal, one row per pair:
+   * (`col_a`, `col_b`, `corr`), 6dp (absorbs co-moment
+   * accumulation-order ulps across engines). Constant columns have no
+   * defined correlation — NULL, as both engines agree.
+   */
+  def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "need at least two columns")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    val pairs = for {
+      (a, i) <- columns.zipWithIndex
+      b <- columns.drop(i)
+    } yield (a, b)
+    // explicit covar/stddev form rather than corr(): Spark's corr
+    // finalizes with a plain division, which THROWS on a zero-variance
+    // column under ANSI mode; try_divide returns the NULL the contract
+    // wants (and DuckDB mirrors it with NULLIF)
+    val aggs = pairs.map { case (a, b) =>
+      val (x, y) = (col(a).cast("double"), col(b).cast("double"))
+      round(try_divide(covar_samp(x, y), stddev_samp(x) * stddev_samp(y)), 6)
+        .as(s"__c_${a}__$b")
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', __c_${a}__$b"
+    }.mkString(", ")
+    agged.select(expr(s"stack(${pairs.size}, $stackArgs) " +
+      "as (col_a, col_b, corr)"))
+  }
+
+  /**
+   * Equi-depth (quantile-boundary) histogram — the companion of the
+   * equi-width [[histogram]] for heavy-tailed columns where fixed-width
+   * buckets put 99% of rows in bucket 0. Boundaries are the exact
+   * interpolated `i/nBuckets` quantiles (one grouped percentile
+   * aggregate — engine-portable, same semantics as DuckDB
+   * `quantile_cont`); each row's bucket is then `Σ_i [v > boundary_i]`
+   * over the interior boundaries — a map-only codegen'd comparison
+   * chain against plan constants. NO global sort and no ntile window:
+   * a single-partition ranking of 10¹¹ rows is exactly the task a
+   * 100 TB profile cannot run, while the boundary aggregate moves one
+   * percentile state per partition.
+   *
+   * With duplicate-heavy data the bucket POPULATIONS are unequal (all
+   * equal values share a bucket — the honest semantics of value-based
+   * boundaries); the boundaries are still exact quantiles.
+   *
+   * Returns (`bucket`, `n`) for non-empty buckets, plus each bucket's
+   * value range is recoverable from the boundaries; `n` sums to the
+   * non-null row count.
+   */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val v = col(valueCol).cast("double")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.agg(expr(
+        s"percentile(cast($valueCol as double), array(${probs.map(p => s"${p}D").mkString(", ")}))")
+        .as("b")).head().getSeq[Double](0)
+    val bucket = bounds.map(b => when(v > b, 1).otherwise(0))
+      .reduce(_ + _)
+    df.filter(v.isNotNull)
+      .select(bucket.cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Key-skew report: the one-row answer to "can this column be a join/
+   * aggregation key at scale". Per-key counts reduce map-side; the
+   * statistics then run over the KEY frame (≪ data): distinct keys,
+   * total rows, the heaviest key's share, and the Gini coefficient of
+   * the count distribution (0 = uniform, → 1 = one key owns
+   * everything) via the sorted-cumulative form
+   * `G = 2·Σ_i i·c_(i) / (n·Σc) − (n+1)/n` — one window pass over
+   * counts ordered by (count, key), deterministic under ties.
+   *
+   * This is the DIAGNOSIS side of the skew machinery: feed keys whose
+   * `top_share` is large to `SkewJoin.saltedJoin`'s CMS pass and the
+   * prescription follows. NULL keys are excluded (they join nothing).
+   *
+   * The Gini rank is the one single-partition pass here — over KEYS,
+   * not rows, fine to ~10⁸ distinct keys; beyond that swap the window
+   * for `Packing`'s chunked exact-prefix-sum trick (and the i·c sum
+   * into double) before trusting the report.
+   *
+   * Returns one row: (`n_keys`, `n_rows`, `top_share`, `gini`), shares
+   * at 6dp.
+   */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").asc, col(keyCol).asc)
+    counts.select(col("c"), row_number().over(w).cast("long").as("i"))
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+        max("c").as("__mx"), sum(col("i") * col("c")).as("__ic"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("__mx").cast("double") / col("n_rows"), 6).as("top_share"),
+        round(lit(2.0) * col("__ic") / (col("n_keys") * col("n_rows"))
+          - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
+
+  /**
    * Exact equi-width histogram of a numeric column: `nBuckets` equal
    * intervals over `[lo, hi]` (derived from the frame's min/max in one
    * aggregate when not given), values clamped into the edge buckets so

@@ -38,6 +38,48 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("correlationMatrix: perfect/anti/constant pairs, one row per pair") {
+    val rows = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0)).toDF("a", "b", "c", "k")
+    val got = Profiling.correlationMatrix(rows, Seq("a", "b", "c", "k"))
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 10) // 4 diag + 6 upper
+    assert(got(("a", "a")) === Some(1.0) && got(("a", "b")) === Some(1.0))
+    assert(got(("a", "c")) === Some(-1.0))
+    assert(got(("a", "k")) === None) // constant column: undefined
+    intercept[IllegalArgumentException] {
+      Profiling.correlationMatrix(rows, Seq("a"))
+    }
+  }
+
+  test("equiDepthHistogram: quantile boundaries, map-side binning") {
+    val vals = ((1 to 10).map(_.toDouble).map(Some(_)) :+ None).toDF("v")
+    val got = Profiling.equiDepthHistogram(vals, "v", 2)
+      .as[(Long, Long)].collect().toMap
+    // p50 of 1..10 = 5.5: bucket 0 = {1..5}, bucket 1 = {6..10}
+    assert(got === Map(0L -> 5L, 1L -> 5L))
+    // duplicate-heavy: all-equal values share one bucket
+    val dup = Seq.fill(8)(3.0).toDF("v")
+    val g2 = Profiling.equiDepthHistogram(dup, "v", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 === Map(0L -> 8L))
+  }
+
+  test("skewReport: hand-computed Gini and top share") {
+    val rows = (Seq.fill(3)("b") ++ Seq("a") ++ Seq.fill(0)("x"))
+      .map(k => Tuple1(k)).toDF("k")
+    val got = Profiling.skewReport(rows, "k")
+      .as[(Long, Long, Double, Double)].head()
+    // counts sorted: a=1 (i=1), b=3 (i=2); G = 2·7/(2·4) − 3/2 = 0.25
+    assert(got === ((2L, 4L, 0.75, 0.25)))
+    // uniform distribution → gini 0
+    val uni = (1 to 8).map(i => s"k${i % 4}").map(Tuple1(_)).toDF("k")
+    val g0 = Profiling.skewReport(uni, "k")
+      .as[(Long, Long, Double, Double)].head()
+    assert(g0 === ((4L, 8L, 0.25, 0.0)))
+  }
+
   test("snapshotDiff classifies added/removed/changed; unchanged omitted") {
     val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
       .toDF("id", "s", "n")
