@@ -315,16 +315,18 @@ object Graph {
    * probe on the (v,w) pair) → explode the three corners → count.
    * Everything that moves is (long, long) pairs.
    *
-   * The closure probe is the operator's one big join: the wedge set
-   * (Σ orientedOutDeg² rows — easily 50× the edge count on dense
-   * graphs) probes the oriented edge set. At or under
-   * `maxBroadcastEdges` oriented edges (default 4M ≈ tens of MB
-   * serialized) the edge set broadcasts and the probe runs map-side —
-   * wedges stream through the hash map WITHOUT ever shuffling, which
-   * is the difference between seconds and an exchange of 10⁷–10⁸
-   * wedge rows. Above the gate it falls back to a shuffled hash join
-   * keyed by the (v, w) pair — the honest distributed form. Pass 0 to
-   * force the shuffle path.
+   * The wedge set (Σ orientedOutDeg² rows — easily 50× the edge count
+   * on dense graphs) is the operator's real volume, and it exists only
+   * BETWEEN two joins: the wedge fan-out and the closure probe. At or
+   * under `maxBroadcastEdges` oriented edges (default 4M ≈ tens of MB
+   * serialized) BOTH join sides broadcast, so the whole enumeration
+   * fuses into one map-side pipeline — scan → wedge fan-out → closure
+   * probe → explode → partial agg — and the wedge stream never touches
+   * an exchange (the difference between seconds and shuffling 10⁷–10⁸
+   * rows). When ids fit 31 bits the closure key packs into a single
+   * long for the specialized dense hash relation. Above the gate it
+   * falls back to shuffled hash joins — the honest distributed form.
+   * Pass 0 to force the shuffle path.
    *
    * Returns (`node`, `triangles`) for EVERY node of the canonical
    * graph, zeros included (the zero IS the spam signal).
@@ -351,26 +353,48 @@ object Graph {
       when(fwd, col("a")).otherwise(col("b")).as("u"),
       when(fwd, col("b")).otherwise(col("a")).as("v"),
       when(fwd, col("db")).otherwise(col("da")).as("dv"))
-    // wedges from each low corner u: unordered endpoint pairs, ordered
-    // by the SAME (deg, id) total order so the closing edge — if it
-    // exists — is oriented exactly v1 → v2
-    val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-    val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
-    val wedges = o1.join(o2, Seq("u"))
-      .filter(col("dv1") < col("dv2") ||
-        (col("dv1") === col("dv2") && col("v1") < col("v2")))
-    val closure0 = oriented.select(col("u").as("cu"), col("v").as("cv"))
     // the canonical frame is read three times (degree agg, orientation
     // join, closure) — persist it across the branches; stays persisted
     // for the returned plan's lifetime (caller releases, same contract
-    // as Sketches.frequentItems' cache)
-    val useBroadcast = maxBroadcastEdges > 0 && {
-      canon.persist()
-      canon.count() <= maxBroadcastEdges
-    }
-    val closure = if (useBroadcast) broadcast(closure0) else closure0
-    val tris = wedges.join(closure,
-      col("v1") === col("cu") && col("v2") === col("cv"))
+    // as Sketches.frequentItems' cache). The same stats job decides the
+    // broadcast gate AND whether ids fit 31 bits (packable pair keys).
+    canon.persist()
+    val st = canon.agg(count(lit(1)).as("n"),
+      min(col("a")).as("mn"), max(col("b")).as("mx")).head()
+    val nEdges = st.getLong(0)
+    val packable = nEdges > 0 && st.getLong(1) >= 0 &&
+      st.getLong(2) < (1L << 31)
+    val useBroadcast = maxBroadcastEdges > 0 && nEdges <= maxBroadcastEdges
+    def bc(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+
+    // wedges from each low corner u: unordered endpoint pairs, ordered
+    // by the SAME (deg, id) total order so the closing edge — if it
+    // exists — is oriented exactly v1 → v2. Under the broadcast gate
+    // BOTH hash sides broadcast, so the whole enumeration is ONE
+    // map-side pipeline — scan → wedge fan-out → closure probe →
+    // explode → partial agg — with no exchange until the final
+    // per-node aggregate (the DuckDB-equivalent fused plan; the wedge
+    // stream, easily 50× the edge count, never materializes anywhere).
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = o1.join(bc(o2), Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    // pack the (v, w) pair into ONE long when ids fit 31 bits: a
+    // single-long equi-join key gets Spark's specialized dense
+    // LongHashedRelation instead of the generic row-key map — a
+    // constant-factor win on the probe that runs once per wedge
+    val tris =
+      if (packable) {
+        val closure = bc(oriented.select(
+          (shiftleft(col("u"), 32) + col("v")).as("ck")))
+        wedges.join(closure,
+          shiftleft(col("v1"), 32) + col("v2") === col("ck"))
+      } else {
+        val closure = bc(oriented.select(col("u").as("cu"), col("v").as("cv")))
+        wedges.join(closure,
+          col("v1") === col("cu") && col("v2") === col("cv"))
+      }
     val perNode = tris
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("t"))
