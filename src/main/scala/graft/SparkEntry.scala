@@ -770,6 +770,17 @@ object SparkEntry {
       graft.operators.Profiling.skewReport(t(s, dir, "lineitem"), "l_partkey")
     }),
 
+    // Join-size estimation without the join: CMS inner product over
+    // md5-bucketed counter tables (deterministic ⇒ the oracle
+    // reproduces the ESTIMATE bit-for-bit, not just the bound); the
+    // exact size rides along to prove one-sidedness. Self-join on
+    // l_partkey — the "is this key safe" pre-flight.
+    "q_join_size_estimate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Sketches.estimateEquiJoinSize(
+        li, "l_partkey", li, "l_partkey")
+    }),
+
     // ── Mission extensions: dedup / similarity / text analysis ───────────
 
     // Exact dedup: canonical doc per distinct text — scale-shaped
@@ -3186,6 +3197,24 @@ object SparkEntry {
          |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_join_size_estimate" ->
+      """WITH ra AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        |  WHERE l_partkey IS NOT NULL),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |ca AS (SELECT j,
+        |    (('0x' || substr(md5('42:' || j || ':' || k), 1, 8))::UBIGINT
+        |      % 8192) AS bucket, count(*) AS c
+        |  FROM ra, js GROUP BY 1, 2),
+        |ip AS (SELECT a.j, SUM(a.c * b.c) AS ip
+        |  FROM ca a JOIN ca b ON a.j = b.j AND a.bucket = b.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_pairs FROM ip),
+        |ex AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS exact_pairs
+        |  FROM (SELECT k, count(*) AS na FROM ra GROUP BY 1) a
+        |  JOIN (SELECT k, count(*) AS nb FROM ra GROUP BY 1) b USING (k))
+        |SELECT exact_pairs, est_pairs,
+        |  est_pairs >= exact_pairs AS overestimate
+        |FROM ex, est""".stripMargin,
     "q_corr" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val pairs = for {

@@ -353,6 +353,66 @@ object Sketches {
       suspect.join(keys, suspect(largeKey) === col("__baj_key"), "left_anti"))
   }
 
+  /**
+   * Equi-join SIZE estimation without running the join — the
+   * count-min inner-product estimator (Cormode–Muthukrishnan 2005,
+   * §4.2): hash each side's keys into `depth` independent rows of
+   * `width` counters; for each row the counter inner product
+   * Σ_b a[b]·b[b] counts every true joining pair PLUS non-negative
+   * collision cross-terms, so `min` over rows is an estimate that can
+   * NEVER undercount — `est ≥ exact` always, with expected slack
+   * ≤ |A|·|B|/width per row. THE pre-flight for join planning: decide
+   * salted-vs-broadcast-vs-plain (and whether to run `skewReport`)
+   * from two counter tables instead of paying the join to learn it
+   * was a cross-product.
+   *
+   * Scale shape: each side is ONE map-side-combined aggregation into
+   * ≤ depth·width rows (default 4·8192 ≈ tens of KB); the inner
+   * product joins those counter tables, never data. Buckets come from
+   * the engine-portable md5 convention (8 hex chars → 32 bits, mod
+   * width), so the estimate is DETERMINISTIC and the SQL oracle
+   * reproduces it bit-for-bit — not just a bound check. Keys compare
+   * by their string form (cast before hashing); NULL keys join
+   * nothing and are excluded.
+   *
+   * Returns one row: (`exact_pairs`, `est_pairs`, `overestimate`)
+   * with the exact size computed the honest way (per-key count join —
+   * still ≪ the join itself) so callers can VERIFY the one-sidedness;
+   * drop that column's computation in production and keep only the
+   * estimate (`exactToo = false`).
+   */
+  def estimateEquiJoinSize(a: DataFrame, aKey: String,
+                           b: DataFrame, bKey: String,
+                           width: Int = 8192, depth: Int = 4,
+                           seed: Int = 42,
+                           exactToo: Boolean = true): DataFrame = {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+    def counters(df: DataFrame, key: String, side: String): DataFrame = {
+      val rows = df.filter(col(key).isNotNull)
+        .select(col(key).cast("string").as("k"),
+          explode(array((0 until depth).map(lit): _*)).as("j"))
+      rows.select(col("j"),
+          (expr(s"conv(substring(md5(concat('$seed:', j, ':', k)), 1, 8), 16, 10)")
+            .cast("long") % width).as("bucket"))
+        .groupBy("j", "bucket").agg(count(lit(1)).as(s"c_$side"))
+    }
+    val ca = counters(a, aKey, "a")
+    val cb = counters(b, bKey, "b")
+    val est = ca.join(cb, Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("c_a") * col("c_b")).as("ip"))
+      .agg(min("ip").as("est_pairs"))
+    if (!exactToo) return est
+    val ka = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).cast("string").as("k")).agg(count(lit(1)).as("na"))
+    val kb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).cast("string").as("k")).agg(count(lit(1)).as("nb"))
+    val exact = ka.join(kb, "k")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_pairs"))
+    exact.crossJoin(est)
+      .select(col("exact_pairs"), col("est_pairs"),
+        (col("est_pairs") >= col("exact_pairs")).as("overestimate"))
+  }
+
   // ---- persisted HLL distinct-count ledger -------------------------------
   //
   // The distinct-count sibling of the persisted Bloom blocklist: a daily

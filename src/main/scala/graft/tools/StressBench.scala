@@ -607,6 +607,20 @@ object StressBench {
         run("pagerank6_dang", n)(
           graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
             redistributeDangling = true).count())
+        // r9 graph family. concomp forces the distributed loop (the
+        // driver union-find would otherwise absorb the 1M tier and the
+        // numbers would measure two different algorithms). triangles
+        // crosses the 4M broadcast gate between the 4M and 16M tiers BY
+        // DESIGN — the jump, if any, prices the fused-vs-shuffled plan
+        // change. kCore at k=12 peels the avg-degree-20 hash graph
+        // partway (non-empty work at every tier).
+        run("concomp", n)(
+          graft.operators.Graph.connectedComponents(edges, "src", "dst",
+            maxIter = 30, maxDriverEdges = 0).count())
+        run("triangles", n)(
+          graft.operators.Graph.triangleCounts(edges, "src", "dst").count())
+        run("kcore12", n)(
+          graft.operators.Graph.kCore(edges, "src", "dst", k = 12).count())
         edges.unpersist()
       }
     }

@@ -11,6 +11,26 @@ import graft.SparkSpec
   * equivalent. Every test here compares against that equivalent. */
 class SketchesSpec extends SparkSpec {
 
+  test("estimateEquiJoinSize: exact at wide width, one-sided always") {
+    import spark.implicits._
+    val a = (Seq.fill(2)("x") ++ Seq("y")).map(Tuple1(_)).toDF("k")
+    val b = (Seq.fill(3)("x") ++ Seq.fill(5)("z") :+ null)
+      .map(Tuple1(_)).toDF("k")
+    // exact = 2·3 = 6 (y and z match nothing; null excluded)
+    val r = Sketches.estimateEquiJoinSize(a, "k", b, "k")
+      .as[(Long, Long, Boolean)].head()
+    assert(r._1 === 6L && r._3)
+    assert(r._2 === 6L, // 3 keys in 8192 buckets: no collisions
+      s"estimate ${r._2} should be exact at this width")
+    // narrow width: collisions inflate, never deflate
+    val narrow = Sketches.estimateEquiJoinSize(a, "k", b, "k", width = 1)
+      .as[(Long, Long, Boolean)].head()
+    assert(narrow._1 === 6L && narrow._2 === 3L * 8L && narrow._3)
+    // estimate-only mode returns the single-column frame
+    assert(Sketches.estimateEquiJoinSize(a, "k", b, "k", exactToo = false)
+      .columns.toSeq === Seq("est_pairs"))
+  }
+
   import spark.implicits._
 
   // key k appears k times (k = 1..30) plus nulls — skew and a null group
