@@ -781,6 +781,31 @@ object SparkEntry {
         li, "l_partkey", li, "l_partkey")
     }),
 
+    // EXACT all-pairs similarity join (prefix-filtered AllPairs) over
+    // the German slice ∪ planted near-copies: recall 1.0 by
+    // construction, so the oracle is the brute-force shared-token
+    // all-pairs Jaccard — every pair ≥ 0.5, not just the plants.
+    "dedup_simjoin" -> ((s, dir) => {
+      val de = t(s, dir, "documents").filter(col("lang") === "de")
+        .select("doc_id", "text")
+      val plants = de.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" appended near duplicate token")).as("text"))
+      graft.operators.Dedup.similarityJoinExact(
+        de.unionAll(plants), "doc_id", "text", threshold = 0.5)
+    }),
+
+    // First-touch conversion funnel view → click → purchase within 3
+    // days of the first view: k type-pushed scans + k user-keyed joins
+    // of timestamp vectors, no windows or sorts. Oracle re-derives the
+    // same greedy chain with one CTE per stage.
+    "q_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.firstTouch(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        windowNs = 3L * 24 * 3600 * 1000000000L)
+    }),
+
     // ── Mission extensions: dedup / similarity / text analysis ───────────
 
     // Exact dedup: canonical doc per distinct text — scale-shaped
@@ -3197,6 +3222,41 @@ object SparkEntry {
          |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts
+        |  FROM events),
+        |s1 AS (SELECT u, MIN(ts) AS t1 FROM e WHERE ty = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, s1.t1, MIN(e.ts) AS t FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE e.ty = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + 259200000000000 GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, s2.t1, MIN(e.ts) AS t FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE e.ty = 'purchase' AND e.ts > s2.t
+        |    AND e.ts <= s2.t1 + 259200000000000 GROUP BY e.u, s2.t1)
+        |SELECT 1 AS stage, 'view' AS stage_name,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    // brute-force all-pairs (no prefixes) — a DIFFERENT algorithm whose
+    // result set the prefix-filtered engine must reproduce exactly
+    "dedup_simjoin" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended near duplicate token'
+        |  FROM base WHERE doc_id % 5 = 0),
+        |d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM corpus WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(t) AS n FROM d)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
     "q_join_size_estimate" ->
       """WITH ra AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
         |  WHERE l_partkey IS NOT NULL),

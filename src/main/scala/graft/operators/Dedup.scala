@@ -374,6 +374,86 @@ object Dedup {
   }
 
   /**
+   * EXACT all-pairs set-similarity join with prefix filtering (AllPairs
+   * / PPJoin family — Bayardo, Ma & Srikant 2007 "Scaling up all pairs
+   * similarity search"; Chaudhuri, Ganti & Kaushik 2006 SSJoin): every
+   * pair of documents whose word-SET Jaccard ≥ `threshold`, with the
+   * exact score — no LSH probability, no missed pairs. The complement
+   * of [[minhashPairs]]: use this when recall must be 1.0 (compliance
+   * dedup, eval-set decontamination audits), LSH when the corpus is too
+   * large for exactness.
+   *
+   * Why it scales: tokens are globally ordered RAREST-FIRST (df asc),
+   * and each document only emits its PREFIX — the first
+   * `|x| − ⌈t·|x|⌉ + 1` ordered tokens. Two sets with Jaccard ≥ t must
+   * share at least one prefix token under that common order, so the
+   * candidate equi-join runs on prefix tokens only — and prefix tokens
+   * are by construction the RAREST in each document, so the join's
+   * per-key fan-out is bounded by rare-token document frequencies, not
+   * by "the"-sized posting lists (the frequent tokens that would
+   * quadratically explode a naive shared-token join never leave the
+   * suffix). A size pre-filter (`t·|x| ≤ |y| ≤ |x|/t` — Jaccard ≥ t is
+   * impossible outside it) prunes before verification; the exact
+   * array-intersect verify runs on surviving candidates only.
+   *
+   * The df census is one map-side-combined aggregate; the global order
+   * attaches by a token-keyed join and each document re-sorts its own
+   * tokens locally (per-token work, never per-pair). Verification
+   * joins the two (id, token-set) sides by 8-byte ids.
+   *
+   * Returns (`id_a`, `id_b`, `jaccard`) with id_a < id_b, 6dp.
+   */
+  def similarityJoinExact(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]; got $threshold")
+    val sets = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.tokens(lower(col(textCol)))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint(true)
+    val dfreq = sets.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    // global rarest-first order: (df, token); each doc sorts ITS OWN
+    // tokens by it and keeps the prefix
+    val ordered = sets.select(col("id"), explode(col("toks")).as("w"))
+      .join(dfreq, "w")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("w"))))
+        .as("__ord"))
+      .select(col("id"),
+        expr("transform(__ord, x -> x.w)").as("ow"),
+        size(col("__ord")).as("n"))
+      // the 1e-9 guards float-up error in t·n (an over-rounded ceil
+      // would SHORTEN the prefix and silently break completeness; the
+      // epsilon can only lengthen it, which stays sound)
+      .withColumn("__plen",
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+          .cast("int"))
+      .select(col("id"), col("n"),
+        slice(col("ow"), lit(1), col("__plen")).as("prefix"))
+      .localCheckpoint(true)
+    val pa = ordered.select(col("id").as("id_a"), col("n").as("na"),
+      explode(col("prefix")).as("w"))
+    val pb = ordered.select(col("id").as("id_b"), col("n").as("nb"),
+      explode(col("prefix")).as("w"))
+    val cand = pa.join(pb, Seq("w"))
+      .filter(col("id_a") < col("id_b"))
+      // size filter: Jaccard >= t forces t·|a| <= |b| <= |a|/t
+      .filter(col("nb") >= lit(threshold) * col("na") &&
+        col("na") >= lit(threshold) * col("nb"))
+      .select("id_a", "id_b").distinct()
+    val ga = sets.select(col("id").as("id_a"), col("toks").as("__ta"))
+    val gb = sets.select(col("id").as("id_b"), col("toks").as("__tb"))
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("__j", col("__i").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /**
    * One-call near-duplicate removal: MinHash-LSH candidates → exact
    * n-gram Jaccard verification → connected components → keep only each
    * component's canonical (min-id) row. Returns the deduplicated corpus

@@ -338,4 +338,43 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(4L).size === 1)
     assert(!byDoc.contains(5L) && !byDoc.contains(6L))
   }
+
+  test("similarityJoinExact == brute-force all-pairs Jaccard (recall 1.0)") {
+    // word overlap engineered so pairs straddle the 0.5 threshold
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), // J(1,2) = 3/5 = 0.6
+      (3L, "alpha beta zeta eta theta"), // J(1,3) = 2/7 < 0.5
+      (4L, "alpha beta gamma delta"), // J(1,4) = 1.0, J(2,4) = 0.6
+      (5L, "unrelated words entirely different"),
+      (6L, "") // empty: excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.similarityJoinExact(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute-force reference over distinct word sets
+    val sets = Map(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma epsilon",
+      3L -> "alpha beta zeta eta theta", 4L -> "alpha beta gamma delta",
+      5L -> "unrelated words entirely different")
+      .view.mapValues(_.split(" ").toSet).toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = sets(a).intersect(sets(b)).size
+      j = i.toDouble / (sets(a).size + sets(b).size - i)
+      if j >= 0.5
+    } yield (a, b, BigDecimal(j).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got === expect)
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    intercept[IllegalArgumentException] {
+      Dedup.similarityJoinExact(docs, "doc_id", "text", 0.0)
+    }
+  }
+
+  test("similarityJoinExact: threshold 1.0 finds exactly identical sets") {
+    val docs = Seq((1L, "x y z"), (2L, "z y x x"), (3L, "x y"))
+      .toDF("doc_id", "text") // 1 and 2 have the same SET {x,y,z}
+    val got = Dedup.similarityJoinExact(docs, "doc_id", "text", 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 1.0)))
+  }
 }
