@@ -122,29 +122,51 @@ object SparkEntry {
     * rounds as a generated MATERIALIZED CTE chain (same reasoning as
     * [[kcoreOracleSql]]), then the centered projection. d is pinned to
     * the testdata's 64 (v0 = 1/√64 = 0.125, exact in both engines). */
-  private def pcaOracleSql(iters: Int): String = {
-    val rounds = (1 to iters).map { t =>
-      val prev = if (t == 1) "v0" else s"v${t - 1}"
-      s"""w$t AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS wv
-         |  FROM cov c JOIN $prev v ON v.i = c.j GROUP BY c.i),
-         |v$t AS MATERIALIZED (SELECT i,
-         |  wv / (SELECT sqrt(SUM(wv * wv)) FROM w$t) AS v FROM w$t)""".stripMargin
+  private def pcaOracleSql(iters: Int, m: Int = 1): String = {
+    // per component q: power-iterate on covq, then (for the next one)
+    // deflate covq+1 = covq − λq·vq·vqᵀ — exactly the driver loop
+    def rounds(q: Int): String = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"w${q}_${t - 1}v"
+      s"""w${q}_$t AS MATERIALIZED (SELECT c.i, SUM(c.c * v.v) AS wv
+         |  FROM cov$q c JOIN $prev v ON v.i = c.j GROUP BY c.i),
+         |w${q}_${t}v AS MATERIALIZED (SELECT i,
+         |  wv / (SELECT sqrt(SUM(wv * wv)) FROM w${q}_$t) AS v
+         |  FROM w${q}_$t)""".stripMargin
     }.mkString(",\n")
+    val chains = (1 to m).map { q =>
+      val deflate = if (q == 1) "" else {
+        val p = q - 1
+        s"""lam$p AS (SELECT SUM(va.v * c.c * vb.v) AS l FROM cov$p c
+           |  JOIN w${p}_${iters}v va ON va.i = c.i
+           |  JOIN w${p}_${iters}v vb ON vb.i = c.j),
+           |cov$q AS MATERIALIZED (SELECT c.i, c.j,
+           |    c.c - (SELECT l FROM lam$p) * va.v * vb.v AS c
+           |  FROM cov$p c JOIN w${p}_${iters}v va ON va.i = c.i
+           |  JOIN w${p}_${iters}v vb ON vb.i = c.j),
+           |""".stripMargin
+      }
+      deflate + rounds(q)
+    }.mkString(",\n")
+    val pcSelects = (1 to m).map(q =>
+      s"ROUND(SUM((x.xv - mu.m) * p$q.v), 6) AS pc$q").mkString(",\n  ")
+    val pcJoins = (1 to m).map(q =>
+      s"JOIN w${q}_${iters}v p$q ON p$q.i = x.i").mkString(" ")
     s"""WITH x AS MATERIALIZED (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xv
        |  FROM embeddings, range(1, 65) t(i) WHERE embedding IS NOT NULL),
        |nn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM x),
        |mu AS MATERIALIZED (
        |  SELECT i, SUM(xv) / (SELECT n FROM nn) AS m FROM x GROUP BY i),
-       |cov AS MATERIALIZED (
+       |cov1 AS MATERIALIZED (
        |  SELECT s.i, s.j, s.s / (SELECT n FROM nn) - ma.m * mb.m AS c
        |  FROM (SELECT a.i, b.i AS j, SUM(a.xv * b.xv) AS s
        |        FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2) s
        |  JOIN mu ma ON ma.i = s.i JOIN mu mb ON mb.i = s.j),
        |v0 AS (SELECT i, 0.125 AS v FROM mu),
-       |$rounds
-       |SELECT x.vec_id, ROUND(SUM((x.xv - mu.m) * v$iters.v), 6) AS pc1
-       |FROM x JOIN mu ON mu.i = x.i JOIN v$iters ON v$iters.i = x.i
+       |$chains
+       |SELECT x.vec_id,
+       |  $pcSelects
+       |FROM x JOIN mu ON mu.i = x.i $pcJoins
        |GROUP BY x.vec_id""".stripMargin
   }
 
@@ -804,6 +826,16 @@ object SparkEntry {
         "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"),
         windowNs = 3L * 24 * 3600 * 1000000000L)
+    }),
+
+    // Top-2 spectral embedding: same single moment pass, Hotelling
+    // deflation on the driver, two codegen'd centered_dot projections.
+    // Oracle deflates cov − λ·v·vᵀ in SQL and re-runs the 8 rounds.
+    "q_pca_scores2" -> ((s, dir) => {
+      graft.operators.Similarity.pcaScoresM(
+          t(s, dir, "embeddings"), m = 2, iters = 8)
+        .select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
+          round(col("pc2"), 6).as("pc2"))
     }),
 
     // ── Mission extensions: dedup / similarity / text analysis ───────────
@@ -3309,6 +3341,7 @@ object SparkEntry {
         |    - (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r""".stripMargin,
     "q_pca_scores" -> pcaOracleSql(iters = 8),
+    "q_pca_scores2" -> pcaOracleSql(iters = 8, m = 2),
     // same md5→52-bit→uniform mapping, same quantized A-Res key
     "q_sample_weighted_topk" ->
       """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w, n_chars

@@ -1378,7 +1378,28 @@ object Similarity {
   def principalComponent(corpus: DataFrame, vecCol: String = "embedding",
                          iters: Int = 8)
   : (Array[Double], Array[Double], Double) = {
+    val (mu, vs, ls) = principalComponents(corpus, 1, vecCol, iters)
+    (mu, vs.head, ls.head)
+  }
+
+  /**
+   * Top-`m` principal components by Hotelling deflation: after each
+   * power-iterated component, `C ← C − λ·v·vᵀ` removes its subspace
+   * and the next iteration converges to the next-largest eigenvector
+   * (Hotelling 1933). The distributed cost is UNCHANGED from
+   * [[principalComponent]] — still exactly one moment pass; deflation
+   * and the m power iterations are all O(d²) driver arithmetic.
+   * Components are mutually orthogonal (up to iteration tolerance) and
+   * each carries its eigenvalue (the variance it explains).
+   *
+   * Returns (mean, directions, eigenvalues), directions L2-unit in
+   * eigenvalue-descending order.
+   */
+  def principalComponents(corpus: DataFrame, m: Int,
+                          vecCol: String = "embedding", iters: Int = 8)
+  : (Array[Double], Array[Array[Double]], Array[Double]) = {
     require(iters >= 1, "iters must be >= 1")
+    require(m >= 1, "m must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col(vecCol)).na.drop().as[Array[Float]].rdd
@@ -1435,28 +1456,46 @@ object Similarity {
       }
       i += 1
     }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var it = 0
-    while (it < iters) {
-      val w = new Array[Double](d)
+    require(m <= d, s"m=$m components from a $d-dim covariance")
+    val dirs = Array.ofDim[Array[Double]](m)
+    val lambdas = new Array[Double](m)
+    var comp = 0
+    while (comp < m) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val w = new Array[Double](d)
+        var r = 0
+        while (r < d) {
+          var acc = 0.0
+          var k = 0
+          while (k < d) { acc += c(r)(k) * v(k); k += 1 }
+          w(r) = acc
+          r += 1
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        require(nrm > 0,
+          "power iteration collapsed to zero (degenerate covariance — " +
+            s"fewer than $m informative components)")
+        v = w.map(_ / nrm)
+        it += 1
+      }
+      val cv = (0 until d).map(r =>
+        (0 until d).map(k => c(r)(k) * v(k)).sum)
+      val lambda = (0 until d).map(r => v(r) * cv(r)).sum
+      dirs(comp) = v
+      lambdas(comp) = lambda
+      // Hotelling deflation: remove the found subspace so the next
+      // power iteration converges to the next-largest component
       var r = 0
       while (r < d) {
-        var acc = 0.0
         var k = 0
-        while (k < d) { acc += c(r)(k) * v(k); k += 1 }
-        w(r) = acc
+        while (k < d) { c(r)(k) -= lambda * v(r) * v(k); k += 1 }
         r += 1
       }
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      require(nrm > 0,
-        "power iteration collapsed to zero (degenerate covariance)")
-      v = w.map(_ / nrm)
-      it += 1
+      comp += 1
     }
-    val cv = (0 until d).map(r =>
-      (0 until d).map(k => c(r)(k) * v(k)).sum)
-    val lambda = (0 until d).map(r => v(r) * cv(r)).sum
-    (mu, v, lambda)
+    (mu, dirs, lambdas)
   }
 
   /**
@@ -1473,5 +1512,18 @@ object Similarity {
     val (mu, dir, _) = principalComponent(corpus, vecCol, iters)
     corpus.select(col(idCol),
       graft.functions.Vectors.centeredDot(col(vecCol), mu, dir).as("pc1"))
+  }
+
+  /** Scores along the top-`m` components (`pc1`..`pcm` columns) — the
+    * m-dimensional spectral embedding; still ONE moment pass + one
+    * map-only projection with m codegen'd `centered_dot`s. */
+  def pcaScoresM(corpus: DataFrame, m: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding", iters: Int = 8): DataFrame = {
+    val (mu, dirs, _) = principalComponents(corpus, m, vecCol, iters)
+    val cols = col(idCol) +: dirs.zipWithIndex.map { case (dir, i) =>
+      graft.functions.Vectors.centeredDot(col(vecCol), mu, dir)
+        .as(s"pc${i + 1}")
+    }.toSeq
+    corpus.select(cols: _*)
   }
 }

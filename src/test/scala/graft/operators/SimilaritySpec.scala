@@ -454,6 +454,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mu.length === 4)
   }
 
+  test("principalComponents: deflation finds orthogonal axes in order") {
+    // variance 100 along e1, 25 along e2, ~0 elsewhere
+    val rows = (0 until 200).map { i =>
+      val a = (i % 21 - 10).toFloat
+      val b = ((i * 3) % 11 - 5).toFloat * 0.5f
+      (i.toLong, Array(a, b, 0.001f * (i % 3), 0f))
+    }.toDF("vec_id", "embedding")
+    val (_, dirs, lambdas) = Similarity.principalComponents(rows, 2, "embedding")
+    assert(lambdas(0) > lambdas(1) && lambdas(1) > 0)
+    assert(math.abs(dirs(0)(0)) > 0.999, s"pc1 ${dirs(0).toSeq}") // e1
+    assert(math.abs(dirs(1)(1)) > 0.999, s"pc2 ${dirs(1).toSeq}") // e2
+    val dot = (0 until 4).map(i => dirs(0)(i) * dirs(1)(i)).sum
+    assert(math.abs(dot) < 1e-6, s"components not orthogonal: $dot")
+    // pcaScoresM column shape
+    val sc = Similarity.pcaScoresM(rows, 2)
+    assert(sc.columns.toSeq === Seq("vec_id", "pc1", "pc2"))
+    intercept[IllegalArgumentException] {
+      Similarity.principalComponents(rows, 5, "embedding") // m > d
+    }
+  }
+
   test("pcaScores == manual centered projection; null vectors drop from fit") {
     val rows = Seq(
       (0L, Some(Array(1f, 0f))), (1L, Some(Array(3f, 0f))),
