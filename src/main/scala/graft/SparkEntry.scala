@@ -117,6 +117,29 @@ object SparkEntry {
        |SELECT n AS node, deg FROM dfin""".stripMargin
   }
 
+  /** Unrolled label-propagation oracle: `rounds` synchronous rounds,
+    * each a neighbor-label count + ROW_NUMBER (count desc, label asc)
+    * argmax — the same deterministic tie-break the engine's
+    * (−count, label) struct-min encodes. Generated, same reasoning as
+    * [[kcoreOracleSql]]. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT u.src AS node, l.lbl, count(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON u.dst = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, ROW_NUMBER() OVER (
+         |    PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM r$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseSql(Some(30), 2)},
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM e WHERE src <> dst
+       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM und),
+       |$steps
+       |SELECT node, lbl AS community FROM l$rounds""".stripMargin
+  }
+
   /** Unrolled power-iteration oracle for q_pca_scores: gram/covariance
     * from the exploded (vec_id, i, value) frame, `iters` matvec+normalize
     * rounds as a generated MATERIALIZED CTE chain (same reasoning as
@@ -700,6 +723,26 @@ object SparkEntry {
         "src", "dst", k = 3)
     }),
 
+    // Multi-source BFS hop levels over the undirected part↔supplier
+    // link graph: per-hop frontier join + anti-join against visited,
+    // keys only. Oracle unrolls the same 3 hops as CTEs.
+    "q_bfs" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.bfsLevels(edges, "src", "dst",
+        sources = Seq(1L, 2L), maxHops = 3)
+    }),
+
+    // Deterministic synchronous label propagation (3 rounds) over the
+    // co-purchase graph: per round one neighbor-label count aggregate +
+    // per-node argmin over (−count, label) structs — no window sorts.
+    // Oracle replays the identical rounds with ROW_NUMBER tie-breaks.
+    "q_label_prop" -> ((s, dir) => {
+      graft.operators.Graph.labelPropagation(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        "src", "dst", iters = 3)
+    }),
+
     // Corpus snapshot diff — the daily-drop audit. Old/new versions are
     // derived deterministically from documents (drop-by-modulus +
     // edit-by-modulus); the operator classifies via 8-byte payload
@@ -826,6 +869,62 @@ object SparkEntry {
         "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"),
         windowNs = 3L * 24 * 3600 * 1000000000L)
+    }),
+
+    // Cohort retention triangle, daily buckets: cohort = first-event
+    // day, each cell = distinct users active `offset` days later. Two
+    // keys-only aggregates + one user-keyed join.
+    "q_retention" -> ((s, dir) => {
+      graft.operators.Events.cohortRetention(t(s, dir, "events"),
+          "user_id", "ts", bucketNs = 86400000000000L)
+        .select(col("cohort"), col("offset").as("offset_buckets"),
+          col("users"))
+    }),
+
+    // Last-touch attribution: each purchase credited to the latest
+    // view/click by the same user within 3 days (ties by event id);
+    // no-touch purchases fall to "(direct)". One user-keyed join + one
+    // per-conversion window.
+    "q_attribution" -> ((s, dir) => {
+      graft.operators.Events.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", "value",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowNs = 3L * 24 * 3600 * 1000000000L)
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences ((ts, id)-ordered): one window + one keyed count agg;
+    // probs are exact long/long→double divisions, no rounding.
+    "q_transitions" -> ((s, dir) => {
+      graft.operators.Events.transitionMatrix(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+    }),
+
+    // SCD-2 validity intervals from the event log as a change feed
+    // (entity = user, tracked attr = event type): no-op updates create
+    // no version; one entity-partitioned window, evaluated twice.
+    "q_scd2" -> ((s, dir) => {
+      graft.operators.Events.scd2Intervals(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+    }),
+
+    // Daily-grid resample of purchase values per user with forward
+    // fill: per-bucket latest obs (struct max), sequence+explode grid,
+    // one ignore-nulls last() window. Gaps report filled = true.
+    "q_resample_fill" -> ((s, dir) => {
+      graft.operators.TimeSeries.resampleFill(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id", "value",
+        stepNs = 86400000000000L)
+    }),
+
+    // Rolling out-of-sample z-scores over each user's event values
+    // (20 preceding, current excluded, ≥5 obs): one shared window
+    // computing n/Σ/Σ², closed-form variance identical in SQL, 4dp.
+    "q_rolling_zscore" -> ((s, dir) => {
+      graft.operators.TimeSeries.rollingZScore(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value",
+        lookback = 20, threshold = 2.0, minObs = 5)
     }),
 
     // Top-2 spectral embedding: same single moment pass, Hotelling
@@ -3254,6 +3353,27 @@ object SparkEntry {
          |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_bfs" ->
+      """WITH d0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+        |  FROM lineitem WHERE l_partkey <> l_suppkey),
+        |e AS MATERIALIZED (SELECT src, dst FROM d0
+        |  UNION SELECT dst AS src, src AS dst FROM d0),
+        |f0 AS (SELECT CAST(1 AS BIGINT) AS node UNION SELECT 2),
+        |f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+        |  FROM e JOIN f0 ON e.src = f0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0)),
+        |f2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+        |  FROM e JOIN f1 ON e.src = f1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0 UNION SELECT node FROM f1)),
+        |f3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+        |  FROM e JOIN f2 ON e.src = f2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0
+        |    UNION SELECT node FROM f1 UNION SELECT node FROM f2))
+        |SELECT node, 0 AS level FROM f0
+        |UNION ALL SELECT node, 1 FROM f1
+        |UNION ALL SELECT node, 2 FROM f2
+        |UNION ALL SELECT node, 3 FROM f3""".stripMargin,
+    "q_label_prop" -> labelPropOracleSql(rounds = 3),
     "q_funnel" ->
       """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts
         |  FROM events),
@@ -3268,6 +3388,92 @@ object SparkEntry {
         |  (SELECT count(*) FROM s1) AS users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    epoch_ns(ts) // 86400000000000 AS bucket FROM events),
+        |c AS (SELECT u, MIN(bucket) AS cohort FROM e GROUP BY u),
+        |a AS (SELECT DISTINCT u, bucket FROM e)
+        |SELECT c.cohort, a.bucket - c.cohort AS offset_buckets,
+        |  count(DISTINCT a.u) AS users
+        |FROM a JOIN c ON a.u = c.u GROUP BY 1, 2""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts,
+        |    event_id AS eid, value AS v FROM events),
+        |conv AS (SELECT u, ts AS cts, eid AS cid, v FROM e
+        |  WHERE ty = 'purchase'),
+        |touch AS (SELECT u, ty, ts, eid FROM e WHERE ty IN ('view','click')),
+        |paired AS (SELECT c.cid, t.ty, t.ts, t.eid
+        |  FROM conv c JOIN touch t ON c.u = t.u
+        |  WHERE t.ts <= c.cts AND t.ts > c.cts - 259200000000000),
+        |latest AS (SELECT cid, ty FROM (
+        |  SELECT cid, ty, ROW_NUMBER() OVER (
+        |    PARTITION BY cid ORDER BY ts DESC, eid DESC) AS rn FROM paired)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(l.ty, '(direct)') AS channel,
+        |  count(*) AS conversions, round(SUM(c.v), 4) AS credited_value
+        |FROM conv c LEFT JOIN latest l ON l.cid = c.cid GROUP BY 1""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts,
+        |    event_id AS eid FROM events),
+        |p AS (SELECT ty AS from_type, LEAD(ty) OVER (
+        |    PARTITION BY u ORDER BY ts, eid) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS transitions FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, SUM(transitions) AS row_total FROM c
+        |  GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.transitions,
+        |  CAST(c.transitions AS DOUBLE) / t.row_total AS prob
+        |FROM c JOIN tot t ON t.from_type = c.from_type""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id AS entity, epoch_ns(ts) AS ts,
+        |    event_id AS eid, event_type AS attr FROM events),
+        |l AS (SELECT entity, ts, eid, attr, LAG(attr) OVER (
+        |    PARTITION BY entity ORDER BY ts, eid) AS prev FROM e),
+        |ch AS (SELECT entity, ts, eid, attr FROM l
+        |  WHERE prev IS DISTINCT FROM attr)
+        |SELECT entity, attr, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY entity ORDER BY ts, eid) AS valid_to,
+        |  (LEAD(ts) OVER (PARTITION BY entity ORDER BY ts, eid)) IS NULL
+        |    AS is_current
+        |FROM ch""".stripMargin,
+    "q_resample_fill" ->
+      """WITH o AS (SELECT user_id AS k,
+        |    epoch_ns(ts) // 86400000000000 AS bucket,
+        |    epoch_ns(ts) AS ts, event_id AS oid, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |pb AS (SELECT k, bucket, v AS obs_v FROM (
+        |  SELECT k, bucket, v, ROW_NUMBER() OVER (
+        |    PARTITION BY k, bucket ORDER BY ts DESC, oid DESC) AS rn FROM o)
+        |  WHERE rn = 1),
+        |bounds AS (SELECT k, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM o
+        |  GROUP BY k),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket
+        |  FROM bounds),
+        |j AS (SELECT g.k, g.bucket, pb.obs_v FROM grid g
+        |  LEFT JOIN pb ON pb.k = g.k AND pb.bucket = g.bucket)
+        |SELECT k AS key, bucket,
+        |  last_value(obs_v IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  obs_v IS NULL AS filled
+        |FROM j""".stripMargin,
+    "q_rolling_zscore" ->
+      """WITH e AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
+        |    event_id AS id, value FROM events),
+        |w AS (SELECT key, ts, id, value,
+        |    count(value) OVER win AS n,
+        |    SUM(value) OVER win AS s1,
+        |    SUM(value * value) OVER win AS s2
+        |  FROM e WINDOW win AS (PARTITION BY key ORDER BY ts, id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT key, ts, id, value,
+        |    CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        |      THEN round((value - s1 / n) /
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+        |    END AS z
+        |  FROM w)
+        |SELECT key, ts, id, value, z,
+        |  COALESCE(abs(z) > 2.0, FALSE) AS anomaly FROM z""".stripMargin,
     // brute-force all-pairs (no prefixes) — a DIFFERENT algorithm whose
     // result set the prefix-filtered engine must reproduce exactly
     "dedup_simjoin" ->

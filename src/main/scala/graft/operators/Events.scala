@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics over (user, type, time, value) logs — the
+ * product-analytics family next to [[Funnel]] and
+ * [[graft.streaming.Streams.sessionize]]: cohort retention, conversion
+ * attribution, behavioral transition matrices, and slowly-changing-
+ * dimension interval construction. All four are single-purpose
+ * DataFrame plans whose shuffles carry keys and timestamps, never
+ * event payloads.
+ *
+ * Timestamps are long event-time everywhere (epoch-nanos like the rest
+ * of the temporal operators — `tsCol` is cast to long, lossless for
+ * the nanos-as-long parquet reads this repo standardizes on).
+ */
+object Events {
+
+  /**
+   * Cohort retention triangle: users are cohorted by the time bucket of
+   * their FIRST event, and each (cohort, offset) cell counts the
+   * distinct users of that cohort active `offset` buckets later — the
+   * week-over-week retention report every growth dashboard draws.
+   *
+   * Scale shape: (1) one user-keyed min-aggregate for first-touch
+   * (map-side combined, (user, long) pairs), (2) one distinct over
+   * (user, bucket) — also map-side combined keys-only, (3) an equi-join
+   * of the two on `user` (AQE broadcasts the cohort side when small;
+   * both are user-keyed so at scale this is a co-partitioned shuffle
+   * join), (4) a final (cohort, offset)-keyed count-distinct whose
+   * domain is users — the only aggregation that moves user ids, and it
+   * moves each (cohort, offset, user) triple exactly once. No windows,
+   * no sorts, no event payloads anywhere.
+   *
+   * Returns (`cohort`, `offset`, `users`): cohort = first-event bucket
+   * index (floorDiv of event time by `bucketNs`), offset ≥ 0 in
+   * buckets. Offset-0 cells equal cohort sizes by construction.
+   */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    // integral `div`, NOT floor(a/b): double division loses integer
+    // precision past 2^53 — epoch-nanos are ~2^60 and adjacent buckets
+    // would alias. (div truncates toward zero == floor for the
+    // non-negative event times this operator is specified over.)
+    val ev = events.select(col(userCol).as("u"),
+      col(tsCol).cast("long").as("__ts"))
+      .select(col("u"), expr(s"__ts div ${bucketNs}L").as("bucket"))
+    val cohorts = ev.groupBy("u").agg(min("bucket").as("cohort"))
+    val active = ev.distinct()
+    active.join(cohorts, "u")
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
+      .agg(countDistinct("u").as("users"))
+  }
+
+  /**
+   * Last-touch conversion attribution: each conversion event (type ==
+   * `conversionType`) is credited to the LATEST touch event among
+   * `touchTypes` by the same user at or before the conversion and
+   * within `windowNs` of it; conversions with no in-window touch fall
+   * into the `"(direct)"` channel. Per channel: conversion count and
+   * summed conversion value — the report that decides marketing spend.
+   *
+   * Determinism: simultaneous touches (equal timestamps) tie-break on
+   * the larger `idCol` — a total order, so the credited touch is unique
+   * and the SQL oracle re-derives the identical assignment with the
+   * same ROW_NUMBER ordering.
+   *
+   * Scale shape: touches and conversions are two type-pushed
+   * projections of the same scan (the type filters reach the parquet
+   * scan). One user-keyed equi-join pairs each conversion with its
+   * in-window touches — both sides are (user, ts, id[, value]) rows,
+   * never payloads — then ONE window (`row_number` partitioned by
+   * conversion id) keeps the latest. The window partitions by
+   * conversion id, so its sort is per-conversion-candidate-set (the
+   * handful of in-window touches), not per-user history. A left join
+   * back to all conversions restores the no-touch rows for the direct
+   * channel. At 100 TB the join is the honest cost and it is keyed,
+   * AQE-skew-splittable, and carries ~32 bytes/row.
+   */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           typeCol: String, tsCol: String, idCol: String,
+                           valueCol: String, conversionType: String,
+                           touchTypes: Seq[String],
+                           windowNs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type $conversionType cannot also be a touch type")
+    require(windowNs > 0, "windowNs must be positive")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("eid"),
+      col(valueCol).cast("double").as("v"))
+    val conv = ev.filter(col("ty") === conversionType)
+      .select(col("u"), col("ts").as("cts"), col("eid").as("cid"), col("v"))
+    val touch = ev.filter(col("ty").isin(touchTypes: _*))
+      .select(col("u"), col("ty"), col("ts"), col("eid"))
+    val paired = conv.join(touch, "u")
+      .filter(col("ts") <= col("cts") && col("ts") > col("cts") - windowNs)
+    val latest = paired.withColumn("rn", row_number().over(
+        Window.partitionBy("cid")
+          .orderBy(col("ts").desc, col("eid").desc)))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("mcid"), col("ty").as("channel"))
+    conv.join(latest, conv("cid") === latest("mcid"), "left")
+      .select(coalesce(col("channel"), lit("(direct)")).as("channel"), col("v"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("conversions"),
+        round(sum("v"), 4).as("credited_value"))
+  }
+
+  /**
+   * First-order Markov transition matrix over per-user event
+   * sequences: for every ordered adjacent pair of events by the same
+   * user, count (from_type → to_type) and its row-normalized
+   * probability — the behavioral model behind next-action prediction
+   * and anomaly-flagging on event streams.
+   *
+   * Determinism: the per-user order is (ts, id) — a total order, so
+   * `lead` is well-defined under equal timestamps and the oracle
+   * replays the identical sequence.
+   *
+   * Scale shape: ONE window (`lead` over user partitions ordered by
+   * (ts, id)) — the per-user sort is the honest cost of sequencing and
+   * it shuffles (user, ts, id, type) rows only; then one
+   * (from, to)-keyed count aggregate (map-side combined, ~#types²
+   * groups) and a broadcast-sized row-sum join for the probabilities.
+   * Probabilities are exact long/long divisions cast to double —
+   * IEEE-identical cross-engine, no rounding needed.
+   *
+   * Returns (`from_type`, `to_type`, `transitions`, `prob`).
+   */
+  def transitionMatrix(events: DataFrame, userCol: String,
+                       typeCol: String, tsCol: String,
+                       idCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("eid"))
+    val w = Window.partitionBy("u").orderBy(col("ts"), col("eid"))
+    val pairs = ev.withColumn("nxt", lead("ty", 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val counts = pairs.groupBy(col("ty").as("from_type"),
+        col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum("transitions").as("row_total"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        (col("transitions").cast("double") / col("row_total")).as("prob"))
+  }
+
+  /**
+   * Slowly-changing-dimension (type 2) interval build from a change
+   * log: per entity, order observations by time, DROP rows whose
+   * tracked attribute equals the previous row's (no-op updates create
+   * no version), and emit validity intervals — `valid_from` = the
+   * change's time, `valid_to` = the next change's time (null = still
+   * current), plus an `is_current` flag. The standard
+   * dimension-history build every warehouse load runs.
+   *
+   * Determinism: per-entity order is (ts, id), a total order; under
+   * equal timestamps the larger id wins as "later", same as the oracle.
+   *
+   * Scale shape: ONE entity-partitioned window evaluated twice (`lag`
+   * to detect changes, then `lead` on the filtered rows for interval
+   * ends) — both windows share the same partitioning and ordering, so
+   * Catalyst plans one exchange + sort and reuses it; rows carry
+   * (entity, ts, id, attr) only. Entities are the natural partition
+   * key at any scale; per-entity history length bounds the sort run.
+   *
+   * Returns (`entity`, `attr`, `valid_from`, `valid_to`, `is_current`).
+   */
+  def scd2Intervals(changes: DataFrame, entityCol: String, tsCol: String,
+                    idCol: String, attrCol: String): DataFrame = {
+    val ev = changes.select(col(entityCol).as("entity"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("eid"),
+      col(attrCol).as("attr"))
+    val w = Window.partitionBy("entity").orderBy(col("ts"), col("eid"))
+    val changed = ev.withColumn("prev", lag("attr", 1).over(w))
+      // null-safe change detection (IS DISTINCT FROM): the first row per
+      // entity opens a version iff its attr is non-null (prev is null
+      // there, so a null attr compares null-safe-equal and is dropped —
+      // "no version for an unknown value"); null→value and value→null
+      // are real changes
+      .filter(!(col("prev") <=> col("attr")))
+    changed.withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("entity"), col("attr"), col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+}

@@ -538,4 +538,140 @@ object Graph {
         col("node") === col("__an"))
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
+
+  /**
+   * Multi-source BFS hop levels: the minimum hop count from any node in
+   * `sources` to every reachable node, up to `maxHops` — reachability
+   * radius around seed hosts (how far does a spam cluster's influence
+   * extend?), landmark distances for graph features, and the
+   * building block of k-hop neighborhood extraction.
+   *
+   * Classic frontier expansion as DataFrame rounds: per hop, ONE
+   * equi-join (edge frame × current frontier on the edge's source) plus
+   * one anti-join against the visited set — all frames are (long) node
+   * ids or (long, long) edge pairs, keys only. The frontier shrinks as
+   * the reachable set saturates and the loop exits early on an empty
+   * frontier (`isEmpty` on a keys-only frame — a limit-1 scan, not a
+   * full count). The visited set grows to the reachable-node count; it
+   * is the anti-join's build side and stays keyed by node, so at
+   * cluster scale both sides co-partition. Same `checkpointDir`
+   * reliability contract as [[pageRank]]: per-round lineage cuts are
+   * executor-local by default, reliable `checkpoint()` when a cluster
+   * FS dir is configured.
+   *
+   * `undirected` (default true) walks edges both ways — host-graph
+   * neighborhoods are usually undirected; false follows edge direction.
+   *
+   * Returns one row per REACHED node: (`node`, `level`), level 0 = the
+   * sources themselves (sources absent from the edge frame still
+   * report level 0 — a seed is trivially at distance 0 of itself).
+   * Unreached nodes are absent, maxHops caps the walk (a cap is a
+   * semantic parameter here, not silent truncation — "within k hops"
+   * IS the query).
+   */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                sources: Seq[Long], maxHops: Int,
+                undirected: Boolean = true,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(sources.nonEmpty, "bfsLevels needs at least one source")
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = cut((if (undirected)
+        dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      else dir0).distinct())
+    import spark.implicits._
+    var frontier = cut(sources.distinct.toDF("node"))
+    var visited = frontier.withColumn("level", lit(0))
+    var level = 1
+    var done = false
+    while (level <= maxHops && !done) {
+      val next = cut(e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti"))
+      if (next.isEmpty) done = true
+      else {
+        visited = cut(visited.unionAll(
+          next.withColumn("level", lit(level))))
+        frontier = next
+        level += 1
+      }
+    }
+    visited
+  }
+
+  /**
+   * Community detection by synchronous label propagation (Raghavan,
+   * Albert & Kumara 2007) — near-linear-time community structure over
+   * host graphs and co-occurrence graphs, the cheap first look before
+   * anything spectral. This is the DETERMINISTIC synchronous variant:
+   * every node simultaneously adopts its neighbors' most frequent
+   * label, breaking count ties toward the SMALLEST label, for exactly
+   * `iters` rounds. (Classic LPA randomizes update order and tie
+   * breaks; an exactness-gated engine can't — fixed rounds plus a
+   * total-order tie break make the result reproducible and
+   * SQL-replayable round for round. Synchronous LPA can oscillate on
+   * bipartite structures rather than converge, which a fixed round
+   * count also sidesteps: the output is "labels after k propagation
+   * rounds", a well-defined quantity.)
+   *
+   * Per round: ONE equi-join (undirected edge frame × labels, on the
+   * edge's far end) feeding ONE (node, label)-keyed count aggregate,
+   * then a per-node argmin over `(−count, label)` structs — an
+   * aggregate, not a window, so there is no per-node sort; everything
+   * that moves is (long, long[, count]) rows keyed by node. Same
+   * per-round lineage-cut + `checkpointDir` reliability contract as
+   * [[pageRank]]. Isolated labels stay fixed: every node in an edge
+   * frame has ≥ 1 neighbor, so the argmin is always defined.
+   *
+   * Returns one row per node: (`node`, `community`) — the label (a
+   * node id) after `iters` rounds; nodes sharing a label share a
+   * community.
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 5,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = cut(dir0
+      .unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    require(!und.isEmpty, "labelPropagation on an empty edge frame")
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var i = 1
+    while (i <= iters) {
+      val counted = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("n2"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // most frequent neighbor label, ties to the smallest label:
+      // min over (−count, label) structs — lexicographic struct order
+      // gives (highest count, then lowest label) without a window sort
+      labels = counted
+        .groupBy(col("n2").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("mx"))
+        .select(col("node"), col("mx.lbl").as("lbl"))
+      if (i % 3 == 0 && i < iters) labels = cut(labels)
+      i += 1
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Regular-grid time-series preparation over irregular observation logs:
+ * gap-filling resample with forward fill, and rolling-window robust
+ * anomaly scores. Feature pipelines (and monitoring on pipeline
+ * telemetry itself) need observations on a regular grid with explicit
+ * carried-forward values, and a scale-shaped rolling z-score is the
+ * standard first-line anomaly flag.
+ *
+ * Timestamps are long event-time (epoch-nanos) like every temporal
+ * operator here; grids are integer bucket indices (floorDiv ts /
+ * stepNs) so all bucket arithmetic is exact long math — no
+ * timestamp-truncation semantics to disagree on cross-engine.
+ */
+object TimeSeries {
+
+  /**
+   * Resample each key's observations onto a regular `stepNs` grid
+   * between that key's first and last observation, carrying the last
+   * observed value forward through gaps (LOCF). Buckets holding
+   * multiple observations keep the LATEST by (ts, id) — a total order,
+   * so the kept value is unique and SQL-replayable.
+   *
+   * Returns (`key`, `bucket`, `value`, `filled`): one row per key per
+   * grid bucket, `filled` true where the value was carried forward
+   * (no observation in that bucket). Leading buckets always have an
+   * observation by construction (the grid starts at the first one).
+   *
+   * Scale shape: (1) one (key, bucket)-keyed max-struct aggregate
+   * picks each bucket's latest observation — map-side combined,
+   * keys + one double move; (2) per-key min/max bucket is a second
+   * keys-only aggregate; (3) the grid materializes via
+   * `sequence`+`explode` on the PER-KEY bounds row — one row per
+   * output bucket, generated executor-side, never a driver loop (a
+   * key's grid length is bounded by its own observed span; a runaway
+   * span is the caller's data bug, guarded by `maxBucketsPerKey`);
+   * (4) a left join grid×observations on (key, bucket) — co-keyed,
+   * AQE-planned; (5) ONE key-partitioned window (`last` ignoring
+   * nulls, ordered by bucket) for the forward fill. The window sort is
+   * per-key over grid rows — the honest cost of ordered filling, keyed
+   * so it scales out.
+   */
+  def resampleFill(obs: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, valueCol: String, stepNs: Long,
+                   maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(stepNs > 0, "stepNs must be positive")
+    // integral `div`, NOT floor(a/b): double division loses integer
+    // precision past 2^53 and epoch-nanos are ~2^60 — adjacent buckets
+    // would alias (truncation == floor for non-negative event times)
+    val o = obs.select(col(keyCol).as("k"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("oid"),
+      col(valueCol).cast("double").as("v"))
+      .withColumn("bucket", expr(s"ts div ${stepNs}L"))
+    // latest observation per (key, bucket): struct max orders by
+    // (ts, oid) lexicographically — deterministic under ts ties
+    val perBucket = o.groupBy("k", "bucket")
+      .agg(max(struct(col("ts"), col("oid"), col("v"))).as("mx"))
+      .select(col("k"), col("bucket"), col("mx.v").as("obs_v"))
+    val bounds = o.groupBy("k")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    // fail loud rather than explode a quadrillion-row grid from one
+    // corrupt timestamp — the guard is a FILTER predicate (a pruned
+    // projection column would be optimized away, silently disarming it)
+    val guarded = bounds.filter(
+      when(col("b1") - col("b0") + 1 > maxBucketsPerKey,
+        raise_error(concat(lit("resampleFill: key "), col("k").cast("string"),
+          lit(s" spans more than $maxBucketsPerKey buckets")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+    val grid = guarded
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val joined = grid.join(perBucket, Seq("k", "bucket"), "left")
+    val w = Window.partitionBy("k").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("value", last("obs_v", ignoreNulls = true).over(w))
+      .select(col("k").as("key"), col("bucket"), col("value"),
+        col("obs_v").isNull.as("filled"))
+  }
+
+  /**
+   * Rolling z-score anomaly flags: for each key's (ts, id)-ordered
+   * series, score observation x against the mean/stddev of the
+   * PRECEDING `lookback` observations (current row excluded — the
+   * score is out-of-sample, an anomaly cannot mask itself), flagging
+   * |z| > `threshold`. Rows with fewer than `minObs` preceding
+   * observations (or zero variance) get a null score and no flag.
+   *
+   * The mean/stddev come from rolling Σx and Σx² in closed form
+   * (sample variance (Σx² − (Σx)²/n)/(n−1)) — the exact arithmetic the
+   * SQL oracle states, rather than an engine-private variance
+   * algorithm, so cross-engine agreement is to fold order, absorbed by
+   * 4 dp rounding (fold-order ulps are ~1e-13 relative; a 4 dp grid
+   * makes a boundary flip vanishingly unlikely at any corpus size).
+   *
+   * Scale shape: ONE key-partitioned window computes count/Σ/Σ² over
+   * `ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING`; all three share
+   * the window's single exchange+sort, rows carry (key, ts, id,
+   * double). The per-key sort is the honest sequencing cost; keyed, so
+   * it scales out — and the frame is row-bounded, so Spark evaluates
+   * it with a sliding accumulator, not a per-row rescan.
+   *
+   * Returns (`key`, `ts`, `id`, `value`, `z` 4dp, `anomaly`).
+   */
+  def rollingZScore(obs: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valueCol: String, lookback: Int,
+                    threshold: Double = 3.0, minObs: Int = 5): DataFrame = {
+    require(lookback >= 2, "lookback must be >= 2")
+    require(minObs >= 2 && minObs <= lookback,
+      s"minObs must be in [2, lookback]; got $minObs vs lookback $lookback")
+    val o = obs.select(col(keyCol).as("key"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("value"))
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("id"))
+      .rowsBetween(-lookback, -1)
+    val stats = o
+      .withColumn("n", count("value").over(w))
+      .withColumn("s1", sum("value").over(w))
+      .withColumn("s2", sum(col("value") * col("value")).over(w))
+    val mean = col("s1") / col("n")
+    val variance = (col("s2") - col("s1") * col("s1") / col("n")) /
+      (col("n") - 1)
+    stats
+      .withColumn("z",
+        when(col("n") >= minObs && variance > 0,
+          round((col("value") - mean) / sqrt(variance), 4)))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .select("key", "ts", "id", "value", "z", "anomaly")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Event analytics: hand-traced retention cells, attribution credits
+  * (including the tie-break and direct-channel conventions), Markov
+  * transitions, and SCD-2 interval construction. */
+class EventsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cohortRetention: hand-counted cells, offset 0 = cohort size") {
+    // bucket width 10: u1 first at bucket 0, active 0,1,3;
+    // u2 first at bucket 1, active 1,3; u3 first at bucket 0, active 0
+    val ev = Seq(
+      (1L, 1L), (1L, 5L), (1L, 12L), (1L, 30L),
+      (2L, 11L), (2L, 39L),
+      (3L, 9L)
+    ).toDF("user_id", "ts")
+    val got = Events.cohortRetention(ev, "user_id", "ts", bucketNs = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 2L), // u1, u3 at their own cohort bucket
+      (0L, 1L, 1L), // u1 back one bucket later
+      (0L, 3L, 1L), // u1 at offset 3
+      (1L, 0L, 1L), // u2's cohort
+      (1L, 2L, 1L)  // u2 at offset 2 (bucket 3)
+    ))
+  }
+
+  test("cohortRetention: duplicate activity in a bucket counts once") {
+    val ev = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("user_id", "ts")
+    val got = Events.cohortRetention(ev, "user_id", "ts", bucketNs = 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      Events.cohortRetention(ev, "user_id", "ts", bucketNs = 0L)
+    }
+  }
+
+  test("lastTouchAttribution: latest in-window touch wins, ties by id") {
+    val ev = Seq(
+      // u1: click@8 then view@9 → purchase@10 credits view (later ts)
+      (1L, 1L, "click", 8L, 0.0), (2L, 1L, "view", 9L, 0.0),
+      (3L, 1L, "purchase", 10L, 5.0),
+      // u2: two touches at the SAME ts → larger event id wins (view)
+      (4L, 2L, "click", 9L, 0.0), (5L, 2L, "view", 9L, 0.0),
+      (6L, 2L, "purchase", 10L, 7.0),
+      // u3: only touch is OUTSIDE the window (10 - 8 = 2 > windowNs
+      // would be inside; use ts 1 → outside) → direct
+      (7L, 3L, "view", 1L, 0.0), (8L, 3L, "purchase", 10L, 11.0),
+      // u4: touch AFTER the conversion never counts → direct
+      (9L, 4L, "purchase", 10L, 13.0), (10L, 4L, "view", 11L, 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", "purchase", Seq("view", "click"),
+        windowNs = 5L)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(("view", 2L, 12.0), ("(direct)", 2L, 24.0)))
+    intercept[IllegalArgumentException] {
+      Events.lastTouchAttribution(ev, "user_id", "event_type", "ts",
+        "event_id", "value", "purchase", Seq("purchase"), 5L)
+    }
+  }
+
+  test("lastTouchAttribution: touch at the conversion instant counts") {
+    val ev = Seq(
+      (1L, 1L, "view", 10L, 0.0), (2L, 1L, "purchase", 10L, 3.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", "purchase", Seq("view"), 5L)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(("view", 1L, 3.0)))
+  }
+
+  test("transitionMatrix: hand-counted pairs, (ts, id) order, exact probs") {
+    val ev = Seq(
+      // u1 ordered by (ts, id): a(1) b(2) a(3,id1) b(3,id2) → ab, ba, ab
+      (1L, 1L, "a", 1L), (2L, 1L, "b", 2L),
+      (3L, 1L, "a", 3L), (4L, 1L, "b", 3L),
+      // u2: single event → no transition
+      (5L, 2L, "a", 1L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    // id 3 and 4 share ts=3: id order decides a-then-b
+    val got = Events.transitionMatrix(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("scd2Intervals: no-op updates skipped, intervals chain, current flagged") {
+    val ch = Seq(
+      (1L, 1L, 10L, "bronze"), (2L, 1L, 20L, "bronze"), // no-op at 20
+      (3L, 1L, 30L, "silver"), (4L, 1L, 40L, "gold"),
+      (5L, 2L, 10L, "bronze")
+    ).toDF("event_id", "user_id", "ts", "tier")
+    val got = Events.scd2Intervals(ch, "user_id", "ts", "event_id", "tier")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "bronze", 10L, None, true)))
+  }
+
+  test("scd2Intervals: null attrs — leading null opens nothing, null→value → version") {
+    val ch = Seq(
+      (1L, 1L, 10L, None), (2L, 1L, 20L, Some("a")),
+      (3L, 1L, 30L, None), (4L, 1L, 40L, None)
+    ).toDF("event_id", "user_id", "ts", "tier")
+    val got = Events.scd2Intervals(ch, "user_id", "ts", "event_id", "tier")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    // leading null dropped; a opens at 20; value→null at 30 is a change
+    // (null-safe); the second null at 40 is a no-op
+    assert(got === Set(
+      (1L, Some("a"), 20L, Some(30L), false),
+      (1L, None, 30L, None, true)))
+  }
+}

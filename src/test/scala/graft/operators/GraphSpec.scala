@@ -363,4 +363,65 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("fixpoint"))
   }
+
+  test("bfsLevels: hand-traced hop levels on a path + branch") {
+    import spark.implicits._
+    // 1-2-3-4 path, 2-5 branch, 8-9 disconnected
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.bfsLevels(e, "src", "dst", sources = Seq(1L),
+        maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 2))
+    // maxHops caps the walk; full walk reaches 4 at level 3
+    val full = Graph.bfsLevels(e, "src", "dst", Seq(1L), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(full === Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 2, 4L -> 3))
+  }
+
+  test("bfsLevels: directed mode follows edge direction; multi-source min") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val directed = Graph.bfsLevels(e, "src", "dst", Seq(3L), maxHops = 5,
+        undirected = false)
+      .as[(Long, Int)].collect().toMap
+    assert(directed === Map(3L -> 0)) // no out-edges from 3
+    // multi-source: a node reachable from two seeds takes the min level,
+    // and a seed absent from the graph still reports level 0
+    val multi = Graph.bfsLevels(e, "src", "dst", Seq(1L, 4L, 99L),
+        maxHops = 5, undirected = false)
+      .as[(Long, Int)].collect().toMap
+    assert(multi === Map(1L -> 0, 4L -> 0, 99L -> 0, 2L -> 1, 3L -> 1))
+    intercept[IllegalArgumentException] {
+      Graph.bfsLevels(e, "src", "dst", Seq.empty, maxHops = 1)
+    }
+  }
+
+  test("labelPropagation: two cliques with a bridge separate; deterministic ties") {
+    import spark.implicits._
+    // triangle {1,2,3} + triangle {10,11,12} + bridge 3-10
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, "src", "dst", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced: the left triangle coalesces on label 1; the right
+    // one stabilizes on label 3 (node 10's min-tie adopts the bridge
+    // neighbor's id in round 1, and it propagates) — two distinct
+    // communities with node 3 itself on the LEFT side
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(Set(10L, 11L, 12L).map(got) === Set(3L))
+  }
+
+  test("labelPropagation: one round on a star adopts the hub's minimum rule") {
+    import spark.implicits._
+    // star: hub 5, leaves 1..4. Round 1: every leaf sees only the hub
+    // (label 5); the hub sees {1,2,3,4}, all count 1 → tie to 1.
+    val e = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, "src", "dst", iters = 0)
+    }
+  }
 }

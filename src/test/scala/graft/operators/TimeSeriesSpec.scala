@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Time-series prep: hand-built grids with forward fill, bucket
+  * latest-wins selection, the runaway-span guard, and rolling z-scores
+  * against hand-computed closed-form stats. */
+class TimeSeriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("resampleFill: grid spans per key, gaps forward-fill, latest wins") {
+    val obs = Seq(
+      // key 1, step 10: buckets 0 (two obs — latest by (ts,id) wins),
+      // gap at 1-2, obs at 3
+      (1L, 1L, 2L, 10.0), (2L, 1L, 8L, 20.0),
+      (3L, 1L, 31L, 30.0),
+      // key 2: single bucket
+      (4L, 2L, 5L, 99.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.resampleFill(obs, "user_id", "ts", "event_id",
+        "value", stepNs = 10L)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 20.0, false), // latest of the two bucket-0 obs
+      (1L, 1L, 20.0, true),  // carried forward
+      (1L, 2L, 20.0, true),
+      (1L, 3L, 30.0, false),
+      (2L, 0L, 99.0, false)))
+  }
+
+  test("resampleFill: equal-ts observations tie-break on larger id") {
+    val obs = Seq((1L, 1L, 5L, 1.0), (2L, 1L, 5L, 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.resampleFill(obs, "user_id", "ts", "event_id",
+        "value", stepNs = 10L)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 0L, 2.0, false)))
+  }
+
+  test("resampleFill: runaway span fails loud, not a quadrillion-row grid") {
+    val obs = Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1000L, 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val e = intercept[Exception] {
+      TimeSeries.resampleFill(obs, "user_id", "ts", "event_id", "value",
+        stepNs = 1L, maxBucketsPerKey = 100L).collect()
+    }
+    assert(e.getMessage != null)
+    // the healthy key still resamples when under the cap
+    val ok = TimeSeries.resampleFill(obs, "user_id", "ts", "event_id",
+      "value", stepNs = 1L, maxBucketsPerKey = 2000L)
+    assert(ok.count() === 1001L)
+  }
+
+  test("rollingZScore: hand-computed out-of-sample score") {
+    // key 1 ordered: 10, 20, 30, 40, then x=100 scored against the
+    // first four: mean 25, var = (1000+...)... closed form:
+    // s1=100, s2=3000, n=4 → var = (3000 - 2500)/3 = 166.666...,
+    // sd = 12.9099...; z = (100-25)/12.9099 = 5.8095
+    val obs = Seq(
+      (1L, 1L, 1L, 10.0), (2L, 1L, 2L, 20.0), (3L, 1L, 3L, 30.0),
+      (4L, 1L, 4L, 40.0), (5L, 1L, 5L, 100.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.rollingZScore(obs, "user_id", "ts", "event_id",
+        "value", lookback = 10, threshold = 3.0, minObs = 4)
+      .as[(Long, Long, Long, Double, Option[Double], Boolean)]
+      .collect().sortBy(_._3)
+    // first four rows: fewer than minObs preceding → null z, no flag
+    assert(got.take(4).forall(r => r._5.isEmpty && !r._6))
+    val last = got.last
+    assert(last._5 === Some(5.8095))
+    assert(last._6)
+  }
+
+  test("rollingZScore: zero-variance window yields null score") {
+    val obs = Seq(
+      (1L, 1L, 1L, 7.0), (2L, 1L, 2L, 7.0), (3L, 1L, 3L, 7.0),
+      (4L, 1L, 4L, 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.rollingZScore(obs, "user_id", "ts", "event_id",
+        "value", lookback = 5, threshold = 1.0, minObs = 2)
+      .as[(Long, Long, Long, Double, Option[Double], Boolean)]
+      .collect().sortBy(_._3)
+    // row 4 sees three constant 7s: variance exactly 0 → null, no flag
+    assert(got.last._5.isEmpty && !got.last._6)
+    // row 3 sees (7, 7): also constant → null
+    assert(got(2)._5.isEmpty)
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingZScore(obs, "user_id", "ts", "event_id", "value",
+        lookback = 1)
+    }
+  }
+}
