@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{BloomContainsProbe, CanonicalTokens, CharEntropy, CmsGeProbe, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, MinHashSig, NfcClean, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
+import org.apache.spark.sql.graft.{BloomContainsProbe, CanonicalTokens, CharEntropy, CmsGeProbe, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, JaroSim, JaroWinklerSim, MinHashSig, NfcClean, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -115,6 +115,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bloom_contains(key, filterBytes) - Bloom-filter membership probe of key (bigint or string; no false negatives)",
       { case Seq(child, bytes) =>
         BloomContainsProbe(child, binLit(bytes, "filterBytes")) })
+
+    register(ext, "jaro_sim",
+      "jaro_sim(a, b) - byte-level Jaro similarity (record-linkage comparator)",
+      { case Seq(a, b) => JaroSim(a, b) })
+
+    register(ext, "jaro_winkler_sim",
+      "jaro_winkler_sim(a, b) - byte-level Jaro-Winkler similarity (prefix<=4, p=0.1, boost>0.7)",
+      { case Seq(a, b) => JaroWinklerSim(a, b) })
 
     // a composed rewrite chain, not a single native expression: the
     // builder and the Column facade share ONE Catalyst tree definition

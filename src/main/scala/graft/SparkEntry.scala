@@ -1234,6 +1234,19 @@ object SparkEntry {
         pairs, maxDist = 285)
     }),
 
+    // Jaro-Winkler candidate verification over 80-char title-like
+    // prefixes of adjacent docs: the codegen'd byte-level kernel scores
+    // pairs in-plan; the oracle is DuckDB's own jaro_winkler_similarity
+    // — an independent implementation of the same pinned algorithm.
+    "dedup_jw_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("text"))
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      graft.operators.Dedup.verifyJaroWinkler(docs, "doc_id", "text",
+        pairs, minSim = 0.75)
+    }),
+
     // One-call winnow dedupe: winnow candidates → banded edit-distance
     // verify → connected components → keep-first. At maxDist = 0 the
     // composition IS exact dedup (identical texts share every
@@ -2604,6 +2617,13 @@ object SparkEntry {
         |         AS edit_dist,
         |       levenshtein(a.text, b.text) <= 285 AS is_dup
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_jw_verify" ->
+      """WITH d AS (SELECT doc_id, text[1:80] AS text FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(jaro_winkler_similarity(a.text, b.text), 6) AS jw_sim,
+        |       round(jaro_winkler_similarity(a.text, b.text), 6) >= 0.75
+        |         AS is_dup
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "dedup_winnow_pipeline" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -36,7 +36,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       zorder62(3, 1) AS z,
           |       zorder63(1, 1, 1) AS z3,
           |       canonical_url('HTTPS://WWW.Example.COM:443/Path/?utm_source=x#f') AS cu,
-          |       nfc_clean('  a\tb  ') AS nc
+          |       nfc_clean('  a\tb  ') AS nc,
+          |       jaro_sim('martha', 'marhta') AS js,
+          |       jaro_winkler_sim('martha', 'marhta') AS jws
           |""".stripMargin).head()
       assert(r.getInt(0) === EsMurmur3.hash("hello"))
       assert(r.getInt(1) === EsMurmur3.shard("hello", 5))
@@ -56,6 +58,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(12) === 7L)
       assert(r.getString(13) === "https://example.com/Path")
       assert(r.getString(14) === "a b")
+      assert(math.abs(r.getDouble(15) - 0.9444444444444445) < 1e-12)
+      assert(math.abs(r.getDouble(16) - 0.9611111111111111) < 1e-12)
 
       // sketch probes: the serialized sketch rides in as a binary literal
       val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.99, 42)
