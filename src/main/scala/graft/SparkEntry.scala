@@ -117,6 +117,39 @@ object SparkEntry {
        |SELECT n AS node, deg FROM dfin""".stripMargin
   }
 
+  /** Unrolled personalized-PageRank oracle over the part↔supplier link
+    * graph: teleport mass lands on the seed set only; `iters` generated
+    * join+agg rounds (same structure as the q_pagerank oracle). The
+    * base/init literals are emitted via Double.toString (round-trip
+    * exact), so the SQL replays the engine's arithmetic bit-for-bit
+    * before the 6dp rounding. */
+  private def pprOracleSql(iters: Int, seeds: Seq[Long],
+                           damping: Double = 0.85): String = {
+    val s = seeds.distinct
+    val inList = s.mkString(", ")
+    val base = (1.0 - damping) / s.size
+    val init = 1.0 / s.size
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (SELECT n.node,
+         |    CASE WHEN n.node IN ($inList) THEN $base ELSE 0.0 END
+         |      + $damping*COALESCE(c.s, 0) AS r
+         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+         |    JOIN p${i - 1} p ON p.node = ce.src GROUP BY ce.dst) c
+         |    ON c.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ce AS (SELECT e.src, e.dst, 1.0/d.deg AS w
+       |       FROM edges e JOIN deg d ON e.src = d.src),
+       |p0 AS (SELECT node,
+       |  CASE WHEN node IN ($inList) THEN $init ELSE 0.0 END AS r
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, ROUND(r, 6) AS pr FROM p$iters""".stripMargin
+  }
+
   /** Unrolled label-propagation oracle: `rounds` synchronous rounds,
     * each a neighbor-label count + ROW_NUMBER (count desc, label asc)
     * argmax — the same deterministic tie-break the engine's
@@ -654,6 +687,18 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 
+    // Personalized PageRank from a 3-seed teleport set (TrustRank
+    // shape): same per-round join+agg plan as q_pagerank, teleport mass
+    // confined to the seeds via an in-plan isin literal. Oracle = six
+    // generated rounds with exact-round-trip base/init literals.
+    "q_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+          teleportTo = Some(Seq(1L, 2L, 3L)))
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
     // HITS hubs & authorities over the same link graph: per round, two
     // equi-joins + two L2 normalizations (one-row broadcast frames).
     // Oracle = three unrolled rounds in SQL, 6dp.
@@ -925,6 +970,15 @@ object SparkEntry {
       graft.operators.TimeSeries.rollingZScore(t(s, dir, "events"),
         "user_id", "ts", "event_id", "value",
         lookback = 20, threshold = 2.0, minObs = 5)
+    }),
+
+    // Time-weighted average purchase value per user (step-held values,
+    // integral over observed span): one lead window + one keyed agg.
+    // Zero-span keys report NULL on both engines by explicit guard.
+    "q_time_weighted" -> ((s, dir) => {
+      graft.operators.TimeSeries.timeWeightedAverage(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id", "value")
     }),
 
     // Top-2 spectral embedding: same single moment pass, Hotelling
@@ -3236,6 +3290,7 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
         |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+    "q_ppr" -> pprOracleSql(iters = 6, seeds = Seq(1L, 2L, 3L)),
     // HITS: three unrolled rounds; each round = in-sum, L2 norm,
     // out-sum, L2 norm. The norm scalar subqueries read each raw frame
     // a second time — linear chain, no exponential re-evaluation.
@@ -3494,6 +3549,19 @@ object SparkEntry {
         |  FROM w)
         |SELECT key, ts, id, value, z,
         |  COALESCE(abs(z) > 2.0, FALSE) AS anomaly FROM z""".stripMargin,
+    "q_time_weighted" ->
+      """WITH o AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
+        |    event_id AS id, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT key, ts, id, v,
+        |    CAST(LEAD(ts) OVER (PARTITION BY key ORDER BY ts, id) - ts
+        |      AS DOUBLE) AS dt
+        |  FROM o),
+        |a AS (SELECT key, SUM(v * dt) AS num, MAX(ts) - MIN(ts) AS span_ns,
+        |    count(*) AS n_obs FROM d GROUP BY key)
+        |SELECT key,
+        |  CASE WHEN span_ns > 0 THEN round(num / span_ns, 6) END AS twa,
+        |  span_ns, n_obs FROM a""".stripMargin,
     // brute-force all-pairs (no prefixes) — a DIFFERENT algorithm whose
     // result set the prefix-filtered engine must reproduce exactly
     "dedup_simjoin" ->

@@ -67,13 +67,37 @@ object Graph {
    * nodes' pooled rank, divided evenly, to every node's contribution —
    * ranks then sum to 1 (mass-conserving PageRank). Costs one extra
    * O(nodes) join + scalar aggregate per round.
+   *
+   * `teleportTo`: PERSONALIZED PageRank (Haveliwala 2002) — the
+   * teleport mass lands uniformly on the given seed set instead of all
+   * nodes, and iteration starts from the seed-uniform vector; the
+   * result ranks nodes by authority RELATIVE to the seeds (topic- or
+   * trust-biased authority, the TrustRank shape). The seed set is a
+   * driver-side `Seq` by design: seeds are curated lists (trusted
+   * hosts, topic exemplars), orders of magnitude below data scale, and
+   * ride into the plan as an `isin` literal — no extra join. Seeds
+   * must all exist in the graph (checked, fail-loud: a silently absent
+   * seed would redistribute its teleport share to the REMAINING seeds
+   * and skew every rank). Mutually exclusive with
+   * `redistributeDangling` (dangling mass in the personalized setting
+   * would need to return to the seeds, a different — also
+   * leak-free — formulation; rejected loudly rather than guessed).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
                weightCol: Option[String] = None,
                checkpointDir: Option[String] = None,
-               redistributeDangling: Boolean = false): DataFrame = {
+               redistributeDangling: Boolean = false,
+               teleportTo: Option[Seq[Long]] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val seeds = teleportTo.map(_.distinct)
+    seeds.foreach { s =>
+      require(s.nonEmpty, "teleportTo must name at least one seed")
+      require(!redistributeDangling,
+        "teleportTo and redistributeDangling are mutually exclusive " +
+          "(personalized dangling handling returns mass to the seeds — " +
+          "not implemented; pick one)")
+    }
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     val reliable = sc.getCheckpointDir.isDefined
@@ -129,8 +153,27 @@ object Graph {
           Seq("node"), "left_anti"))
       else null
 
-    val base = (1.0 - damping) / nNodes
-    var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
+    seeds.foreach { s =>
+      val present = nodes.filter(col("node").isin(s: _*)).count()
+      require(present == s.size,
+        s"teleportTo: ${s.size - present} seed(s) absent from the graph — " +
+          s"an absent seed would silently skew the teleport distribution")
+    }
+
+    // teleport base: uniform over all nodes, or over the seed set
+    val base = (1.0 - damping) / seeds.map(_.size.toDouble)
+      .getOrElse(nNodes.toDouble)
+    def baseExpr = seeds match {
+      case Some(s) =>
+        when(col("node").isin(s: _*), lit(base)).otherwise(lit(0.0))
+      case None => lit(base)
+    }
+    var ranks = seeds match {
+      case Some(s) => nodes.select(col("node"),
+        when(col("node").isin(s: _*), lit(1.0 / s.size))
+          .otherwise(lit(0.0)).as("rank"))
+      case None => nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
+    }
     var i = 1
     while (i <= iters) {
       val contribs = contribEdges
@@ -150,7 +193,7 @@ object Graph {
                 (coalesce(col("contrib"), lit(0.0)) +
                   col("dm") / nNodes)).as("rank"))
         } else next.select(nodes("node"),
-          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+          (baseExpr + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
       // truncate lineage every 3 rounds; otherwise the plan for round N
       // contains all prior rounds (TWO copies per round when the
       // dangling branch reads `ranks` a second time) and planning cost

@@ -84,6 +84,46 @@ object TimeSeries {
   }
 
   /**
+   * Time-weighted average per key over irregular observations — the
+   * metric monitoring systems mean by "average": each value is held
+   * until the NEXT observation (step interpolation, the LOCF
+   * convention [[resampleFill]] materializes), so a value that held
+   * for an hour weighs 60× one that held a minute. The arithmetic
+   * mean over-weights busy periods; this is the integral divided by
+   * the observed span.
+   *
+   * Returns (`key`, `twa` 6dp, `span_ns`, `n_obs`): twa = Σ vᵢ·(tᵢ₊₁ −
+   * tᵢ) / (t_n − t₁) over the (ts, id)-ordered series; the last
+   * observation bounds the integral and contributes no own interval.
+   * Keys with a single observation — or an all-simultaneous series —
+   * have zero span and report NULL (stated rather than an engine-
+   * specific 0/0 artifact: IEEE says NaN, some engines say NULL; the
+   * guard makes both read the same).
+   *
+   * Scale shape: ONE key-partitioned (ts, id)-ordered window for
+   * `lead`, then one key-keyed aggregate (map-side combined) — rows
+   * carry (key, ts, id, double). Same honest per-key sequencing cost
+   * as [[rollingZScore]], sharing its partitioning.
+   */
+  def timeWeightedAverage(obs: DataFrame, keyCol: String, tsCol: String,
+                          idCol: String, valueCol: String): DataFrame = {
+    val o = obs.select(col(keyCol).as("key"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("v"))
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("id"))
+    val spanned = o.withColumn("dt",
+      (lead("ts", 1).over(w) - col("ts")).cast("double"))
+    spanned.groupBy("key")
+      .agg(sum(col("v") * col("dt")).as("num"),
+        (max("ts") - min("ts")).as("span_ns"),
+        count(lit(1)).as("n_obs"))
+      .select(col("key"),
+        when(col("span_ns") > 0,
+          round(col("num") / col("span_ns"), 6)).as("twa"),
+        col("span_ns"), col("n_obs"))
+  }
+
+  /**
    * Rolling z-score anomaly flags: for each key's (ts, id)-ordered
    * series, score observation x against the mean/stddev of the
    * PRECEDING `lookback` observations (current row excluded — the

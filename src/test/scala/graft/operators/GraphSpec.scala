@@ -364,6 +364,58 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  /** Reference PERSONALIZED power iteration: teleport uniform on seeds. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     iters: Int, d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outDeg = e.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val base = (1 - d) / seeds.size
+    var r = nodes.map(nd =>
+      nd -> (if (seeds.contains(nd)) 1.0 / seeds.size else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _) => r(s) / outDeg(s) }.sum
+      }
+      r = nodes.map(nd => nd ->
+        ((if (seeds.contains(nd)) base else 0.0) +
+          d * contrib.getOrElse(nd, 0.0))).toMap
+    }
+    r
+  }
+
+  test("personalized pageRank matches the seed-teleport reference") {
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = 10, teleportTo = Some(Seq(1L)))
+      .as[(Long, Double)].collect().toMap
+    val expect = refPpr(edges, Seq(1L), iters = 10, d = 0.85)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (node, pr) =>
+      assert(math.abs(pr - expect(node)) < 1e-12, s"node $node")
+    }
+    // seed proximity dominates: 1's direct successors outrank the
+    // dangling leaf 4 two hops out
+    assert(got(3L) > got(4L) && got(2L) > got(4L))
+    // and the seed itself holds the teleport floor
+    assert(got(1L) > 0.15 - 1e-9)
+  }
+
+  test("personalized pageRank validates seeds and mode exclusivity") {
+    val df = edges.toDF("src", "dst")
+    val absent = intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "src", "dst", iters = 2,
+        teleportTo = Some(Seq(1L, 99L)))
+    }
+    assert(absent.getMessage.contains("absent"))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "src", "dst", iters = 2,
+        teleportTo = Some(Seq(1L)), redistributeDangling = true)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "src", "dst", iters = 2, teleportTo = Some(Nil))
+    }
+  }
+
   test("bfsLevels: hand-traced hop levels on a path + branch") {
     import spark.implicits._
     // 1-2-3-4 path, 2-5 branch, 8-9 disconnected

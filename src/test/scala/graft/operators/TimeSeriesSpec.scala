@@ -72,6 +72,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(last._6)
   }
 
+  test("timeWeightedAverage: step-held integral, hand-computed") {
+    // key 1: v=10 held 10ns, v=20 held 30ns, v=50 bounds the span →
+    // twa = (10·10 + 20·30) / 40 = 700/40 = 17.5; key 2: single obs →
+    // null twa; key 3: two simultaneous obs → zero span → null
+    val obs = Seq(
+      (1L, 1L, 0L, 10.0), (2L, 1L, 10L, 20.0), (3L, 1L, 40L, 50.0),
+      (4L, 2L, 5L, 99.0),
+      (5L, 3L, 7L, 1.0), (6L, 3L, 7L, 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.timeWeightedAverage(obs, "user_id", "ts",
+        "event_id", "value")
+      .as[(Long, Option[Double], Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, Some(17.5), 40L, 3L)))
+    assert(got(2L) === ((2L, None, 0L, 1L)))
+    assert(got(3L) === ((3L, None, 0L, 2L)))
+  }
+
   test("rollingZScore: zero-variance window yields null score") {
     val obs = Seq(
       (1L, 1L, 1L, 7.0), (2L, 1L, 2L, 7.0), (3L, 1L, 3L, 7.0),
