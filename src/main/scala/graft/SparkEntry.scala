@@ -150,6 +150,34 @@ object SparkEntry {
        |SELECT node, ROUND(r, 6) AS pr FROM p$iters""".stripMargin
   }
 
+  /** Unrolled Bellman-Ford oracle: `rounds` relaxation rounds, each a
+    * union of standing distances with edge-relaxed candidates under a
+    * per-node MIN — the identical recurrence the engine iterates (the
+    * engine's fixpoint early-exit is idempotent, so unrolling more
+    * rounds than it ran agrees exactly). Quantity weights are integer
+    * -valued doubles, so every distance is exact — no rounding. */
+  private def ssspOracleSql(rounds: Int, seeds: Seq[Long]): String = {
+    val seedRows = seeds.distinct.zipWithIndex.map { case (s, i) =>
+      if (i == 0) s"SELECT CAST($s AS BIGINT) AS node, CAST(0 AS DOUBLE) AS d"
+      else s"UNION ALL SELECT $s, 0"
+    }.mkString(" ")
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT node, MIN(d) AS d FROM (
+         |  SELECT node, d FROM s${i - 1}
+         |  UNION ALL SELECT e.dst AS node, s.d + e.w AS d
+         |  FROM e JOIN s${i - 1} s ON e.src = s.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT l_partkey AS src, l_suppkey AS dst,
+       |    CAST(l_quantity AS DOUBLE) AS w
+       |  FROM lineitem WHERE l_partkey <> l_suppkey),
+       |bi AS (SELECT src, dst, w FROM raw
+       |  UNION ALL SELECT dst, src, w FROM raw),
+       |e AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM bi GROUP BY 1, 2),
+       |s0 AS ($seedRows),
+       |$steps
+       |SELECT node, d AS dist FROM s$rounds""".stripMargin
+  }
+
   /** Unrolled label-propagation oracle: `rounds` synchronous rounds,
     * each a neighbor-label count + ROW_NUMBER (count desc, label asc)
     * argmax — the same deterministic tie-break the engine's
@@ -589,6 +617,32 @@ object SparkEntry {
     // day-2 delta merged O(delta), estimate from the stored union. The
     // error-bound gate + exact count is the same oracle shape as
     // q_approx_distinct.
+    // HLL inclusion-exclusion overlap screen: how many users both
+    // viewed and purchased — two O(n) sketch scans, no join; gated on
+    // the documented 3-sigma bound against the exact semi-join count.
+    "q_hll_intersect" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.filter(col("event_type") === "view").select("user_id")
+      val b = e.filter(col("event_type") === "purchase").select("user_id")
+      val est = graft.operators.Sketches.approxIntersection(
+        a, "user_id", b, "user_id")
+      val exact = a.distinct()
+        .join(b.distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_overlap"))
+      est.crossJoin(exact).select(
+        (abs(col("est_intersect").cast("double") - col("exact_overlap"))
+          <= col("err_bound")).as("within_bound"),
+        col("exact_overlap"))
+    }),
+
+    // Top-20 PMI collocations (adjacent bigrams, min pair count 5):
+    // keys-only gram/unigram counts, broadcast N/B scalars, rank on the
+    // rounded score. Oracle recomputes the identical count arithmetic.
+    "text_pmi" -> ((s, dir) => {
+      graft.operators.TextAnalysis.topCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, k = 20)
+    }),
+
     "q_hll_ledger" -> ((s, dir) => {
       import graft.operators.Sketches
       val dest = s"$scratchRoot/users.hll"
@@ -776,6 +830,19 @@ object SparkEntry {
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
       graft.operators.Graph.bfsLevels(edges, "src", "dst",
         sources = Seq(1L, 2L), maxHops = 3)
+    }),
+
+    // Hop-bounded weighted shortest paths (Bellman-Ford, 6 relaxation
+    // rounds) from a 3-seed set over the quantity-weighted undirected
+    // link graph: per round one edge×distance join + per-node min over
+    // the union; exact keys-only improvement witness allows idempotent
+    // early exit. Integer-valued weights ⇒ exact distances, no rounding.
+    "q_sssp" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"),
+          col("l_quantity").as("w"))
+      graft.operators.Graph.shortestPaths(edges, "src", "dst",
+        sources = Seq(1L, 2L, 3L), maxHops = 6, weightCol = Some("w"))
     }),
 
     // Deterministic synchronous label propagation (3 rounds) over the
@@ -3449,6 +3516,7 @@ object SparkEntry {
         |UNION ALL SELECT node, 2 FROM f2
         |UNION ALL SELECT node, 3 FROM f3""".stripMargin,
     "q_label_prop" -> labelPropOracleSql(rounds = 3),
+    "q_sssp" -> ssspOracleSql(rounds = 6, seeds = Seq(1L, 2L, 3L)),
     "q_funnel" ->
       """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts
         |  FROM events),
@@ -3987,6 +4055,28 @@ object SparkEntry {
     "q_hll_ledger" ->
       """SELECT true AS within_5pct, count(DISTINCT user_id) AS exact_users
         |FROM events""".stripMargin,
+    "q_hll_intersect" ->
+      """SELECT true AS within_bound, count(*) AS exact_overlap FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "text_pmi" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS MATERIALIZED (SELECT unnest(t) AS w FROM toks),
+        |un AS MATERIALIZED (SELECT w, count(*) AS nw FROM uni GROUP BY w),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+        |pairs AS MATERIALIZED (SELECT t[i] AS w1, t[i+1] AS w2 FROM (
+        |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+        |bb AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM pairs),
+        |big AS (SELECT w1, w2, count(*) AS pair_count FROM pairs
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT g.w1, g.w2, g.pair_count,
+        |  round(ln((CAST(g.pair_count AS DOUBLE) * nn.n * nn.n) /
+        |    (bb.b * ua.nw * ub.nw)), 6) AS pmi
+        |FROM big g JOIN un ua ON ua.w = g.w1 JOIN un ub ON ub.w = g.w2,
+        |  nn, bb
+        |ORDER BY pmi DESC, g.w1, g.w2 LIMIT 20""".stripMargin,
     // Exact n-gram set intersection — the SQL computes the same flags
     // over gram STRINGS (the operator hashes them; 64-bit collisions are
     // the only divergence risk, negligible at corpus scale).

@@ -653,6 +653,96 @@ object Graph {
   }
 
   /**
+   * Hop-bounded single/multi-source shortest paths (Bellman-Ford as
+   * DataFrame rounds): minimum summed edge weight from any seed to
+   * every node reachable within `maxHops` edges — the weighted
+   * companion of [[bfsLevels]] (link-distance-to-trusted-hosts
+   * features, weighted proximity scoring).
+   *
+   * Semantics: "shortest distance using at most `maxHops` edges" —
+   * `maxHops` is a semantic parameter, not silent truncation, and the
+   * relaxation is a fixpoint process (a round with zero improvements
+   * proves all later rounds change nothing, so early exit never
+   * alters the result; an oracle unrolling MORE rounds than the engine
+   * ran agrees exactly). Weights must be non-null, non-NaN and ≥ 0
+   * (checked fail-loud: Bellman-Ford tolerates negative edges but
+   * "shortest" under negative cycles is undefined, and a silent NaN
+   * poisons every downstream distance). Duplicate edges keep their
+   * MINIMUM weight. Omitting `weightCol` makes every edge cost 1 —
+   * hop counts, i.e. [[bfsLevels]] with distances as doubles.
+   *
+   * Per round: the candidate frame is one equi-join (edges × current
+   * distances on the edge source) + a per-node min-aggregate over the
+   * union with the standing distances — all (long, double) pairs,
+   * keyed by node. The early-exit witness is EXACT: a keys-only join
+   * counts strictly-improved or newly-reached nodes (no float-sum
+   * witness whose fold-order noise could mask a real improvement).
+   * Same `checkpointDir` reliability contract as [[pageRank]].
+   *
+   * Returns one row per REACHED node: (`node`, `dist`); seeds report
+   * 0.0 (even seeds absent from the edge frame — distance 0 to
+   * itself is trivially true).
+   */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    sources: Seq[Long], maxHops: Int,
+                    weightCol: Option[String] = None,
+                    undirected: Boolean = true,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(sources.nonEmpty, "shortestPaths needs at least one source")
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        weightCol.map(wc =>
+            // null → -Inf: survives min() and trips the ≥ 0 check
+            // instead of silently dropping the edge's weight
+            coalesce(col(wc).cast("double"),
+              lit(Double.NegativeInfinity)))
+          .getOrElse(lit(1.0)).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val both =
+      if (undirected)
+        dir0.unionAll(dir0.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+      else dir0
+    // duplicate edges keep the cheapest parallel link
+    val e = cut(both.groupBy("src", "dst").agg(min("w").as("w")))
+    if (weightCol.isDefined) {
+      val row = e.agg(min("w").as("mn"),
+        sum(when(isnan(col("w")), 1L).otherwise(0L)).as("nans")).head()
+      require(row.getLong(1) == 0 && row.getDouble(0) >= 0,
+        s"shortestPaths weights must be non-null, non-NaN and >= 0; " +
+          s"min = ${row.getDouble(0)}, NaN weights = ${row.getLong(1)}")
+    }
+    import spark.implicits._
+    var dist = cut(sources.distinct.toDF("node")
+      .select(col("node"), lit(0.0).as("d")))
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val cand = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      val next = cut(dist.unionAll(cand)
+        .groupBy("node").agg(min("d").as("d")))
+      // exact improvement witness: new/improved node count (keys only)
+      val improved = next.join(
+          dist.select(col("node"), col("d").as("__od")), Seq("node"), "left")
+        .filter(col("__od").isNull || col("d") < col("__od"))
+        .limit(1).count()
+      if (improved == 0) done = true else dist = next
+      hop += 1
+    }
+    dist.select(col("node"), col("d").as("dist"))
+  }
+
+  /**
    * Community detection by synchronous label propagation (Raghavan,
    * Albert & Kumara 2007) — near-linear-time community structure over
    * host graphs and co-occurrence graphs, the cheap first look before

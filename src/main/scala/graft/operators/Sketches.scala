@@ -462,6 +462,49 @@ object Sketches {
       .select(hll_sketch_estimate(lit(readBytes(spark, path))).as("e"))
       .head().getLong(0)
 
+  /**
+   * Approximate distinct-set OVERLAP between two key columns by
+   * HLL inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, with all
+   * three terms from HLL sketches and the union formed by sketch
+   * merge (lossless w.r.t. the sketch bound — same estimate as
+   * sketching A∪B directly). The audience/corpus-overlap question
+   * ("how many doc ids do these two crawls share?") answered with two
+   * O(n) scans and KBs of state — no join, no shuffle of keys.
+   *
+   * ERROR CONTRACT: each HLL term carries ~1.04/√2^lgK relative
+   * error on ITS OWN estimate, so the subtraction's absolute error
+   * scales with |A∪B|, not |A∩B| — for overlaps much smaller than
+   * either set the relative error blows up (the well-known
+   * inclusion-exclusion caveat; the returned `err_bound` makes it
+   * explicit). Exact joins remain the tool for small-overlap
+   * precision; this is the cheap screen that tells you whether the
+   * expensive join is worth running.
+   *
+   * Returns one row: (`est_a`, `est_b`, `est_union`, `est_intersect`
+   * ≥ 0 clamped, `err_bound` = 3·1.04/√2^lgK · est_union — the
+   * 3-sigma absolute bound on the intersection estimate).
+   */
+  def approxIntersection(a: DataFrame, aKey: String,
+                         b: DataFrame, bKey: String,
+                         lgK: Int = 12): DataFrame = {
+    val spark = a.sparkSession
+    val sa = a.filter(col(aKey).isNotNull)
+      .agg(hll_sketch_agg(col(aKey), lgK).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val sb = b.filter(col(bKey).isNotNull)
+      .agg(hll_sketch_agg(col(bKey), lgK).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    spark.range(1).select(
+        hll_sketch_estimate(lit(sa)).as("est_a"),
+        hll_sketch_estimate(lit(sb)).as("est_b"),
+        hll_sketch_estimate(hll_union(lit(sa), lit(sb))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_intersect"),
+        (lit(3.0 * rse) * col("est_union").cast("double")).as("err_bound"))
+  }
+
   private def writeBytes(spark: org.apache.spark.sql.SparkSession,
                          dest: String, bytes: Array[Byte]): Unit = {
     val path = new org.apache.hadoop.fs.Path(dest)

@@ -137,6 +137,54 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Top-k adjacent-bigram collocations by pointwise mutual information
+   * (Church & Hanks 1990): PMI = ln(P(w₁w₂) / (P(w₁)·P(w₂))) computed
+   * from corpus counts as ln(n₁₂·N² / (B·n₁·n₂)) — the phrase-mining
+   * signal that separates "new york" (components rarely apart) from
+   * frequent-but-independent pairs. `minCount` filters the
+   * low-frequency noise PMI notoriously over-rewards (a pair seen once
+   * whose words are hapaxes scores near-maximal PMI).
+   *
+   * Determinism: rank on the ROUNDED (6dp) score, ties (w₁, w₂)
+   * lexical — cross-engine identical even under libm ln ulps.
+   *
+   * Scale shape: bigram and unigram counts both reduce map-side
+   * (keys only); N and B are one-row frames broadcast back; the two
+   * unigram attachments join the FILTERED bigram table (≥ minCount,
+   * typically orders of magnitude below the raw gram count); top-k is
+   * `TakeOrderedAndProject` — per-partition heaps, no global sort.
+   * The gram pass uses the native codegen'd `word_ngrams` (the HOF
+   * form is interpreted per gram).
+   *
+   * Returns k rows: (`w1`, `w2`, `pair_count`, `pmi` 6dp).
+   */
+  def topCollocations(df: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val grams = df.select(explode(wordNgrams(col(textCol), 2)).as("g"))
+    val uni = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val nTokens = uni.agg(sum("nw").cast("double").as("n"))
+    val nBigrams = grams.agg(count(lit(1)).cast("double").as("b"))
+    val big = grams.groupBy("g").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+      .select(element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"),
+        col("pair_count"))
+    big
+      .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
+      .crossJoin(broadcast(nTokens)).crossJoin(broadcast(nBigrams))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log(
+          (col("pair_count").cast("double") * col("n") * col("n")) /
+            (col("b") * col("n1") * col("n2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /**
    * Word n-grams over lowercased whitespace tokens, space-joined
    * ("new york" for n=2). Documents shorter than n tokens yield an empty
    * array. Native single-pass expression — the HOF composition

@@ -449,6 +449,48 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths: weighted relaxation beats the direct edge; hop cap") {
+    import spark.implicits._
+    // 1-2 (5), 2-3 (1), 1-3 (10): two-hop route costs 6 vs direct 10
+    val e = Seq((1L, 2L, 5.0), (2L, 3L, 1.0), (1L, 3L, 10.0))
+      .toDF("src", "dst", "w")
+    val oneHop = Graph.shortestPaths(e, "src", "dst", Seq(1L),
+        maxHops = 1, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(oneHop === Map(1L -> 0.0, 2L -> 5.0, 3L -> 10.0))
+    val twoHop = Graph.shortestPaths(e, "src", "dst", Seq(1L),
+        maxHops = 2, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(twoHop === Map(1L -> 0.0, 2L -> 5.0, 3L -> 6.0))
+  }
+
+  test("shortestPaths: dup edges keep min weight; guards; hop-count default") {
+    import spark.implicits._
+    val dup = Seq((1L, 2L, 5.0), (1L, 2L, 3.0)).toDF("src", "dst", "w")
+    val got = Graph.shortestPaths(dup, "src", "dst", Seq(1L), maxHops = 3,
+        weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.0, 2L -> 3.0))
+    // unweighted: every edge costs 1 (bfs with double distances)
+    val hops = Graph.shortestPaths(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst",
+        Seq(1L), maxHops = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(hops === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    val neg = Seq((1L, 2L, -1.0)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.shortestPaths(neg, "src", "dst", Seq(1L), maxHops = 2,
+        weightCol = Some("w"))
+    }
+    assert(ex.getMessage.contains(">= 0"))
+    val nullW = Seq((Some(1L), Some(2L), None: Option[Double]))
+      .toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.shortestPaths(nullW, "src", "dst", Seq(1L), maxHops = 2,
+        weightCol = Some("w"))
+    }
+  }
+
   test("labelPropagation: two cliques with a bridge separate; deterministic ties") {
     import spark.implicits._
     // triangle {1,2,3} + triangle {10,11,12} + bridge 3-10

@@ -283,4 +283,25 @@ class SketchesSpec extends SparkSpec {
     val est2 = Sketches.hllEstimate(spark, dest2)
     assert(est2 === 3L) // tiny cardinalities are exact in HLL
   }
+
+  test("approxIntersection: overlap inside the stated bound; clamp; nulls") {
+    import spark.implicits._
+    val a = (1L to 1000L).toDF("k")
+    val b = (500L to 1500L).toDF("k")
+    val row = Sketches.approxIntersection(a, "k", b, "k").head()
+    val est = row.getAs[Long]("est_intersect")
+    val bound = row.getAs[Double]("err_bound")
+    assert(math.abs(est - 501.0) <= bound,
+      s"est $est vs exact 501, bound $bound")
+    assert(row.getAs[Long]("est_union") > 0)
+    // disjoint sets: inclusion-exclusion may go negative -> clamped 0
+    val dis = Sketches.approxIntersection(
+      (1L to 50L).toDF("k"), "k", (1000L to 1050L).toDF("k"), "k").head()
+    assert(dis.getAs[Long]("est_intersect") >= 0)
+    // null keys are not values on either side
+    val withNulls = Seq(Some(1L), Some(2L), None).toDF("k")
+    val n = Sketches.approxIntersection(withNulls, "k", withNulls, "k").head()
+    assert(n.getAs[Long]("est_a") === 2L)
+    assert(n.getAs[Long]("est_intersect") === 2L)
+  }
 }

@@ -387,4 +387,30 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(0L, 3L))
   }
+
+  test("topCollocations: hand-computed PMI, min-count cut, rounded-rank ties") {
+    import spark.implicits._
+    // tokens: N = 9; bigrams: B = 6; counts: new-york 2, others 1
+    val docs = Seq("new york is big", "new york city", "big city")
+      .toDF("text")
+    val strict = TextAnalysis.topCollocations(docs, "text",
+        minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // PMI(new,york) = ln(2*9*9 / (6*2*2)) = ln(6.75)
+    val ln675 = BigDecimal(math.log(2.0 * 9 * 9 / (6.0 * 2 * 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(strict === Seq(("new", "york", 2L, ln675)))
+    // minCount = 1: (is,big) and (york,is) tie new-york at ln(6.75)
+    // (hapax words), ties break (w1, w2) lexical; the n=2-word pairs
+    // (big,city), (york,city) land at ln(3.375)
+    val loose = TextAnalysis.topCollocations(docs, "text",
+        minCount = 1, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(loose.map(r => (r._1, r._2, r._3)) === Seq(
+      ("is", "big", 1L), ("new", "york", 2L), ("york", "is", 1L),
+      ("big", "city", 1L), ("york", "city", 1L)))
+    assert(loose.take(3).forall(_._4 === ln675))
+    // k caps the output
+    assert(TextAnalysis.topCollocations(docs, "text", 1, 2).count() === 2)
+  }
 }
