@@ -1039,6 +1039,35 @@ object SparkEntry {
         lookback = 20, threshold = 2.0, minObs = 5)
     }),
 
+    // PSI drift report: urgent-priority order totals vs the rest,
+    // bucketed by the REFERENCE's exact deciles; smoothed add-half
+    // shares so empty buckets can't produce infinities. Per-bucket
+    // contributions (Σ = the PSI scalar) keep the report actionable.
+    "q_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Profiling.populationStability(
+        o.filter(col("o_orderpriority") =!= "1-URGENT"),
+        o.filter(col("o_orderpriority") === "1-URGENT"),
+        "o_totalprice", nBuckets = 10)
+    }),
+
+    // Top-15 session paths (30-min gap sessionization): one shared
+    // user window (gap flag + running session id), per-session ordered
+    // path build, path-keyed count, TakeOrdered top-k.
+    "q_session_paths" -> ((s, dir) => {
+      graft.operators.Events.sessionPaths(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        gapNs = 30L * 60 * 1000000000L, k = 15)
+    }),
+
+    // Positional inverted index over the corpus (minDf 5): the honest
+    // (term, doc, pos) explode through ONE (term, doc)-keyed shuffle;
+    // df attaches via a term-keyed join of the postings-frame agg.
+    "text_postings" -> ((s, dir) => {
+      graft.operators.TextAnalysis.buildPostings(
+        t(s, dir, "documents"), "doc_id", "text", minDf = 5)
+    }),
+
     // Time-weighted average purchase value per user (step-held values,
     // integral over observed span): one lead window + one keyed agg.
     // Zero-span keys report NULL on both engines by explicit guard.
@@ -3617,6 +3646,60 @@ object SparkEntry {
         |  FROM w)
         |SELECT key, ts, id, value, z,
         |  COALESCE(abs(z) > 2.0, FALSE) AS anomaly FROM z""".stripMargin,
+    "q_psi" -> {
+      val probs = (1 until 10).map(i => i / 10.0)
+      val caseChain = probs.indices
+        .map(i => s"CASE WHEN v > bs[${i + 1}] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH refv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         |  WHERE o_orderpriority <> '1-URGENT' AND o_totalprice IS NOT NULL),
+         |curv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL),
+         |b AS (SELECT quantile_cont(v, [${probs.mkString(", ")}]) AS bs
+         |  FROM refv),
+         |pc AS (SELECT CAST($caseChain AS BIGINT) AS bucket, count(*) AS c
+         |  FROM refv, b GROUP BY 1),
+         |qc AS (SELECT CAST($caseChain AS BIGINT) AS bucket, count(*) AS c
+         |  FROM curv, b GROUP BY 1),
+         |nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM refv),
+         |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM curv),
+         |g AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+         |SELECT bucket, round(p, 6) AS ref_share, round(q, 6) AS cur_share,
+         |  round((q - p) * ln(q / p), 6) AS contrib
+         |FROM (SELECT g.bucket,
+         |    (COALESCE(pc.c, 0) + 0.5) / (nr.n + 5.0) AS p,
+         |    (COALESCE(qc.c, 0) + 0.5) / (nc.n + 5.0) AS q
+         |  FROM g LEFT JOIN pc ON pc.bucket = g.bucket
+         |    LEFT JOIN qc ON qc.bucket = g.bucket, nr, nc)""".stripMargin
+    },
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts,
+        |    event_id AS eid FROM events),
+        |f AS (SELECT u, ty, ts, eid,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR ts - LAG(ts) OVER w > 1800000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, eid)),
+        |s AS (SELECT u, ty, ts, eid, SUM(ns) OVER (
+        |    PARTITION BY u ORDER BY ts, eid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |p AS (SELECT u, sid, string_agg(ty, '>' ORDER BY ts, eid) AS path
+        |  FROM s GROUP BY u, sid)
+        |SELECT path, count(*) AS sessions FROM p GROUP BY path
+        |ORDER BY sessions DESC, path ASC LIMIT 15""".stripMargin,
+    "text_postings" ->
+      """WITH toksx AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS MATERIALIZED (SELECT doc_id, t[i] AS term, i - 1 AS pos
+        |  FROM (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t))) AS i FROM toksx)),
+        |per AS MATERIALIZED (SELECT term, doc_id, count(*) AS tf,
+        |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+        |  FROM pos GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM per GROUP BY 1
+        |  HAVING count(*) >= 5)
+        |SELECT p.term, p.doc_id, p.tf, p.positions, d.df
+        |FROM per p JOIN dfc d ON d.term = p.term""".stripMargin,
     "q_time_weighted" ->
       """WITH o AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
         |    event_id AS id, value AS v

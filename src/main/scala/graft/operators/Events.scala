@@ -151,6 +151,51 @@ object Events {
   }
 
   /**
+   * Top-k session paths: gap-sessionize each user's event stream
+   * (a new session opens when the inter-event gap exceeds `gapNs`),
+   * render each session as its ordered `>`-joined event-type path,
+   * and count path frequencies — "what do users actually do"
+   * navigation mining, the report behind funnel DESIGN (funnels test
+   * a hypothesized path; this surfaces the real ones).
+   *
+   * Determinism: event order inside a session is (ts, id) — a total
+   * order — and the top-k ranks on (count desc, path asc).
+   *
+   * Scale shape: ONE user-partitioned (ts, id)-ordered window
+   * evaluated for lag (gap flag) and running-sum (session id) —
+   * shared exchange+sort; then a (user, session)-keyed aggregate
+   * builds each path from its own session's events only (never a
+   * per-user collect), and a path-keyed count reduces map-side.
+   * Top-k is `TakeOrderedAndProject`. Paths are bounded by session
+   * length — the same bound any sessionizer carries.
+   *
+   * Returns k rows: (`path`, `sessions`).
+   */
+  def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String, gapNs: Long,
+                   k: Int): DataFrame = {
+    require(gapNs > 0, "gapNs must be positive")
+    require(k >= 1, "k must be >= 1")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("eid"))
+    val w = Window.partitionBy("u").orderBy(col("ts"), col("eid"))
+    val flagged = ev.withColumn("ns",
+      when(lag("ts", 1).over(w).isNull ||
+        col("ts") - lag("ts", 1).over(w) > gapNs, 1).otherwise(0))
+    val sess = flagged.withColumn("sid",
+      sum("ns").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val paths = sess.groupBy("u", "sid")
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("eid"), col("ty")))),
+          x => x.getField("ty"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /**
    * Slowly-changing-dimension (type 2) interval build from a change
    * log: per entity, order observations by time, DROP rows whose
    * tracked attribute equals the previous row's (no-op updates create

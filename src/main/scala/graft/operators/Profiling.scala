@@ -178,6 +178,62 @@ object Profiling {
   }
 
   /**
+   * Population Stability Index between a reference and a current
+   * sample of the same metric (the standard ML-monitoring drift
+   * detector; rule-of-thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+   * shifted): bucket BOTH samples by the REFERENCE's equi-depth
+   * quantile boundaries, then per bucket contribute
+   * (q − p)·ln(q / p) over the smoothed shares. Smoothing is
+   * deterministic add-half: share = (count + 0.5)/(total + 0.5·k) —
+   * an empty bucket on either side must not produce ±∞ (the classic
+   * PSI epsilon hack, stated as an explicit Laplace-style rule both
+   * engines compute identically rather than an arbitrary 1e-6).
+   *
+   * Returns one row per bucket (`bucket` 0-based, `ref_share`,
+   * `cur_share`, `contrib`, all 6dp) — Σ contrib is the PSI; emitting
+   * per-bucket contributions keeps the report actionable (WHICH part
+   * of the distribution moved), callers sum for the scalar.
+   *
+   * Scale shape: one exact grouped-percentile agg over the REFERENCE
+   * (the [[equiDepthHistogram]] cost), boundaries become plan
+   * constants; both samples then bin map-only through the comparison
+   * chain into ≤ nBuckets-group aggregates. Nothing data-sized
+   * shuffles; NULL values are excluded (they are not a metric value).
+   */
+  def populationStability(ref: DataFrame, cur: DataFrame,
+                          valueCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val v = col(valueCol).cast("double")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = ref.agg(expr(
+        s"percentile(cast($valueCol as double), array(${probs.map(p => s"${p}D").mkString(", ")}))")
+        .as("b")).head().getSeq[Double](0)
+    val bucket = bounds.map(b => when(v > b, 1).otherwise(0))
+      .reduce(_ + _).cast("long").as("bucket")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(v.isNotNull).select(bucket)
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    val nRef = ref.filter(v.isNotNull).count()
+    val nCur = cur.filter(v.isNotNull).count()
+    require(nRef > 0 && nCur > 0,
+      s"populationStability needs non-null values on both sides " +
+        s"(ref $nRef, cur $nCur)")
+    val all = ref.sparkSession.range(nBuckets)
+      .select(col("id").as("bucket"))
+    // absent buckets count 0 and still hold the smoothing half-count
+    val p = (coalesce(col("__pc"), lit(0L)) + lit(0.5)) /
+      lit(nRef + 0.5 * nBuckets)
+    val q = (coalesce(col("__qc"), lit(0L)) + lit(0.5)) /
+      lit(nCur + 0.5 * nBuckets)
+    all.join(counts(ref, "__pc"), Seq("bucket"), "left")
+      .join(counts(cur, "__qc"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(p, 6).as("ref_share"),
+        round(q, 6).as("cur_share"),
+        round((q - p) * log(q / p), 6).as("contrib"))
+  }
+
+  /**
    * Key-skew report: the one-row answer to "can this column be a join/
    * aggregation key at scale". Per-key counts reduce map-side; the
    * statistics then run over the KEY frame (≪ data): distinct keys,

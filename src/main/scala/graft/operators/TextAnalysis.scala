@@ -137,6 +137,40 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Positional inverted-index build — the search-engine prep step the
+   * reference's whole pipeline feeds (its ES bulk-indexer delegates
+   * this to the embedded engine; here it is a first-class operator):
+   * one row per (term, document) with term frequency, the 0-based
+   * position list (comma-joined ascending — phrase queries need
+   * positions), and the term's document frequency. `minDf` drops
+   * hapax terms (the long tail that bloats every index).
+   *
+   * Scale shape: the (term, doc, pos) explode is the honest volume of
+   * positional indexing — one token-sized shuffle keyed by
+   * (term, doc) builds the postings; document frequencies are a
+   * second keys-only aggregate over the POSTING frame (≪ tokens), and
+   * the df attachment joins on the term key. At 100 TB this is
+   * exactly the movement a distributed indexer pays; position lists
+   * stay per-(term, doc) — never a whole-term collect.
+   *
+   * Returns (`term`, `doc_id`, `tf`, `positions`, `df`).
+   */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+    val per = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        concat_ws(",", sort_array(collect_list(col("pos"))))
+          .as("positions"))
+    val dfc = per.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    per.join(dfc, "term")
+      .select("term", "doc_id", "tf", "positions", "df")
+  }
+
+  /**
    * Top-k adjacent-bigram collocations by pointwise mutual information
    * (Church & Hanks 1990): PMI = ln(P(w₁w₂) / (P(w₁)·P(w₂))) computed
    * from corpus counts as ln(n₁₂·N² / (B·n₁·n₂)) — the phrase-mining

@@ -117,4 +117,23 @@ class EventsSpec extends SparkSpec {
       (1L, Some("a"), 20L, Some(30L), false),
       (1L, None, 30L, None, true)))
   }
+
+  test("sessionPaths: gap splits sessions, ordered paths, top-k ties") {
+    val ev = Seq(
+      // u1: a@0, b@10 same session; c@1000 opens a new one (gap 100)
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 10L), (3L, 1L, "c", 1000L),
+      // u2: one session "a>b"
+      (4L, 2L, "a", 0L), (5L, 2L, "b", 5L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.sessionPaths(ev, "user_id", "event_type", "ts",
+        "event_id", gapNs = 100L, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a>b", 2L), ("c", 1L)))
+    // simultaneous events order by id inside the path
+    val tie = Seq((2L, 1L, "x", 0L), (1L, 1L, "y", 0L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val p = Events.sessionPaths(tie, "user_id", "event_type", "ts",
+        "event_id", 100L, 5).as[(String, Long)].collect()
+    assert(p.toSeq === Seq(("y>x", 1L)))
+  }
 }

@@ -135,4 +135,25 @@ class ProfilingSpec extends SparkSpec {
       Profiling.histogram(Seq(5.0, 5.0).toDF("v"), "v", 4) // hi == lo
     }
   }
+
+  test("populationStability: hand-computed smoothed PSI contributions") {
+    import spark.implicits._
+    val ref = (1 to 10).map(_.toDouble).toDF("v")
+    val cur = Seq(6.0, 7.0, 8.0, 9.0).toDF("v")
+    // 2 buckets, boundary = median of ref (5.5); ref 5/5, cur 0/4;
+    // smoothed: p = 5.5/11 = 0.5 both; q0 = 0.5/5 = 0.1, q1 = 4.5/5 = 0.9
+    val got = Profiling.populationStability(ref, cur, "v", nBuckets = 2)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) === ((0L, 0.5, 0.1, r6((0.1 - 0.5) * math.log(0.1 / 0.5)))))
+    assert(got(1) === ((1L, 0.5, 0.9, r6((0.9 - 0.5) * math.log(0.9 / 0.5)))))
+    // identical samples: every contribution is exactly 0
+    val same = Profiling.populationStability(ref, ref, "v", nBuckets = 5)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(same.forall(_._4 === 0.0))
+    intercept[IllegalArgumentException] {
+      Profiling.populationStability(ref, cur.filter($"v" < 0), "v", 2)
+    }
+  }
 }

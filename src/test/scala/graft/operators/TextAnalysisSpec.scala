@@ -413,4 +413,23 @@ class TextAnalysisSpec extends SparkSpec {
     // k caps the output
     assert(TextAnalysis.topCollocations(docs, "text", 1, 2).count() === 2)
   }
+
+  test("buildPostings: positions, tf, df, and the minDf cut") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val all = TextAnalysis.buildPostings(docs, "doc_id", "text")
+      .as[(String, Long, Long, String, Long)].collect().toSet
+    assert(all === Set(
+      ("a", 1L, 2L, "0,2", 1L),
+      ("b", 1L, 1L, "1", 2L), ("b", 2L, 1L, "0", 2L),
+      ("c", 2L, 1L, "1", 1L)))
+    val cut = TextAnalysis.buildPostings(docs, "doc_id", "text", minDf = 2)
+      .as[(String, Long, Long, String, Long)].collect().toSet
+    assert(cut.map(_._1) === Set("b"))
+    // double-digit positions must sort numerically, not lexically
+    val long = Seq((1L, ("t " * 12).trim)).toDF("doc_id", "text")
+    val pos = TextAnalysis.buildPostings(long, "doc_id", "text")
+      .as[(String, Long, Long, String, Long)].collect().head
+    assert(pos._4 === "0,1,2,3,4,5,6,7,8,9,10,11")
+  }
 }
