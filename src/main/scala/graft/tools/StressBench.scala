@@ -646,6 +646,41 @@ object StressBench {
       }
     }
 
+    // Round-9 session-3 event-analytics tier: all four ops are
+    // one-window or keyed-agg plans, so wall should track event count
+    // ~linearly when per-user history is held constant (users scale
+    // with n; 100 events/user at every tier).
+    if (only.contains("events")) {
+      import graft.operators.{Events, TimeSeries}
+      for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+        val users = n / 100
+        val ev = spark.range(n).select(
+          col("id").as("event_id"),
+          (col("id") % users).as("user_id"),
+          pmod(xxhash64(col("id")), lit(30L * 86400000000000L)).as("ts"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+              lit("signup"), lit("error")),
+            (pmod(xxhash64(col("id"), lit(7)), lit(5)) + 1).cast("int"))
+            .as("event_type"),
+          (pmod(xxhash64(col("id"), lit(13)), lit(10000L)) / lit(100.0))
+            .as("value"))
+        ev.cache().count()
+        run("sess_paths", n)(
+          Events.sessionPaths(ev, "user_id", "event_type", "ts",
+            "event_id", gapNs = 1800000000000L, k = 15).count())
+        run("roll_zscore", n)(
+          TimeSeries.rollingZScore(ev, "user_id", "ts", "event_id",
+            "value", lookback = 20).queryExecution.toRdd.count())
+        run("retention", n)(
+          Events.cohortRetention(ev, "user_id", "ts",
+            bucketNs = 86400000000000L).count())
+        run("transitions", n)(
+          Events.transitionMatrix(ev, "user_id", "event_type", "ts",
+            "event_id").count())
+        ev.unpersist()
+      }
+    }
+
     // BPE merge-loop scaling: the incremental pair bookkeeping should
     // make merge count ~free relative to the recount's O(merges × dict)
     // (the distributed word-frequency pass is identical either way).
