@@ -2271,6 +2271,24 @@ object SparkEntry {
       Streams.sessionizeStreamParity(s, cohort, gapMs = 30L * 60 * 1000)
     }),
 
+    // TRUE-streaming per-user transition extraction: a user cohort
+    // replays through a MemoryStream in 3 micro-batches + watermark
+    // sentinels; streamed (from, to) counts must equal the batch
+    // transitionMatrix row-for-row. Oracle derives the same invariant
+    // (n_stream == n_batch == n_matched) from the batch SQL.
+    "q_stream_transitions" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val cohort = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.transitionsStreamParity(s, cohort)
+    }),
+
     // TRUE-streaming stream-stream time-bounded join (attribution): the
     // click/purchase cohorts replay through two MemoryStreams; the
     // streamed pair set must equal the plain batch join.
@@ -4110,6 +4128,17 @@ object SparkEntry {
         |  FROM y),
         |n AS (SELECT count(*) AS c
         |      FROM (SELECT user_id, sid FROM z GROUP BY 1, 2))
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // millisecond order keys (Timestamp.getTime) tie-broken by event id
+    // — the drive's stream and batch sides both order that way
+    "q_stream_transitions" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty,
+        |    epoch_ns(ts) // 1000000 AS tsm, event_id AS eid FROM events
+        |  WHERE user_id % 10 = 0),
+        |p AS (SELECT ty AS f, LEAD(ty) OVER (
+        |    PARTITION BY u ORDER BY tsm, eid) AS t FROM e),
+        |n AS (SELECT count(*) AS c FROM (
+        |  SELECT f, t FROM p WHERE t IS NOT NULL GROUP BY 1, 2))
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Stream-stream join parity: the batch inequality join computed at
     // MICROsecond precision (the operator's timestamp unit) — all three

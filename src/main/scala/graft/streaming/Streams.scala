@@ -237,6 +237,143 @@ object Streams {
       .crossJoin(streamed.join(batch, cols).agg(count(lit(1)).as("n_matched")))
   }
 
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String)
+
+  /**
+   * Streaming per-user adjacent event transitions — the incremental
+   * form of [[graft.operators.Events.transitionMatrix]]'s pair
+   * extraction: each (from_type → to_type) adjacency in a user's
+   * (ts, id)-ordered stream is emitted exactly once, once it is FINAL.
+   *
+   * Finality: a pair (eᵢ, eᵢ₊₁) is final when the watermark strictly
+   * passes eᵢ₊₁'s event time — an event that could still sort between
+   * them (ts < wm is dropped by the watermark contract; ts == wm may
+   * still arrive) can then no longer exist. Buffered events up to the
+   * last emitted pair's LEFT member are discarded; the pair's right
+   * member stays (it is the left of the next pair), so per-user state
+   * is O(unfinalized tail), not history. A timeout at the tail's last
+   * event time flushes pairs whose users see no further batches.
+   *
+   * The aggregation to a transition MATRIX stays downstream (a
+   * standard streaming groupBy count on the emitted pairs) — emitting
+   * pairs, not counts, keeps this operator composable (paths,
+   * sessions, and matrices all consume the same adjacency stream).
+   */
+  def transitionsStream(events: Dataset[Event],
+                        watermarkDelay: String = "0 seconds"): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = (state.getOption.getOrElse(Nil) ++ it)
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          if (buf.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val pairs = buf.zip(buf.tail)
+            // ts is non-decreasing along pairs, so finality is a prefix
+            val closed = pairs.takeWhile(p => wm > p._2.ts.getTime)
+            val remaining = buf.drop(closed.length)
+            state.update(remaining)
+            if (remaining.length > 1) {
+              // open pairs exist: wake this group once the watermark can
+              // close them all (must be strictly beyond the current wm)
+              state.setTimeoutTimestamp(
+                math.max(wm + 1, remaining.last.ts.getTime + 1))
+            }
+            closed.iterator
+              .map(p => Transition(uid, p._1.event_type, p._2.event_type))
+          }
+      }
+  }
+
+  /** Split a ts-SORTED event array into ~`batches` chunks whose
+    * boundaries never divide an equal-ts run: after a chunk is fed, the
+    * watermark sits exactly on its max event time, and Spark's stateful
+    * late-row filter drops subsequent rows with ts <= wm — an equal-ts
+    * straggler in the next chunk would silently vanish. */
+  private def tsAlignedChunks(rows: Array[Event],
+                              batches: Int): Seq[Seq[Event]] = {
+    val target = math.max(1, (rows.length + batches - 1) / batches)
+    val out = scala.collection.mutable.ListBuffer.empty[Seq[Event]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[Event]
+    rows.foreach { e =>
+      if (cur.size >= target && cur.last.ts.getTime != e.ts.getTime) {
+        out += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer.empty[Event]
+      }
+      cur += e
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
+  }
+
+  /**
+   * Driver-facing parity drive for [[transitionsStream]]: replays a
+   * bounded ts-ordered cohort through a real MemoryStream in multiple
+   * micro-batches (plus watermark-sentinel batches that flush the
+   * tails), aggregates the streamed pairs to (from, to) counts, and
+   * compares them row-for-row with the batch
+   * [[graft.operators.Events.transitionMatrix]] counts. Returns ONE
+   * row (n_stream, n_batch, n_matched) — equal iff the incremental
+   * and batch semantics agree exactly. Parity GATE, not the scale
+   * path (the operator itself is).
+   */
+  def transitionsStreamParity(spark: SparkSession, events: Dataset[Event],
+                              batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = events.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[Event]
+    val trans = transitionsStream(input.toDS())
+    val sinkName = "graft_transitions_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = trans.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      // never split an equal-ts run across micro-batches: the watermark
+      // lands exactly ON the boundary ts and Spark's stateful late-row
+      // filter drops ts <= wm — the event would silently vanish and the
+      // parity gate would blame the operator
+      tsAlignedChunks(rows, batches).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark past every
+      // tail, the second lets the timeouts fire against it
+      input.addData(Event(-1L, new Timestamp(maxTs + 3600000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(maxTs + 7200000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    val streamed = spark.table(sinkName).filter(col("user_id") >= 0)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+    val batch = graft.operators.Events.transitionMatrix(
+        events.toDF().withColumn("ts", unix_millis(col("ts")) * lit(1000000L)),
+        "user_id", "event_type", "ts", "event_id")
+      .select("from_type", "to_type", "transitions")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch,
+        Seq("from_type", "to_type", "transitions"))
+        .agg(count(lit(1)).as("n_matched")))
+  }
+
   /**
    * Driver-facing parity drive for [[nearDupVerdicts]]: streams the corpus
    * (with byte-identical planted copies, ids offset by 1e6) through a

@@ -424,4 +424,25 @@ class StreamsSpec extends SparkSpec {
     assert(out.map(_.key) === Seq(99L)) // only the true heavy emits
     assert(out.head.guaranteed_count >= 6L)
   }
+
+  test("transitionsStream: pairs close on watermark, cross-batch, tail flush") {
+    import spark.implicits._
+    // u1: a@1s, b@2s in batch 1; c@10s in batch 2 — the (b,c) pair
+    // spans batches; equal-ts pair (d,e) at 20s orders by event id
+    val ev = Seq(
+      Streams.Event(1L, ts(1000), 1L, "a", 0.0),
+      Streams.Event(2L, ts(2000), 1L, "b", 0.0),
+      Streams.Event(3L, ts(10000), 1L, "c", 0.0),
+      Streams.Event(5L, ts(20000), 1L, "e", 0.0),
+      Streams.Event(4L, ts(20000), 1L, "d", 0.0),
+      Streams.Event(6L, ts(1000), 2L, "x", 0.0),
+      Streams.Event(7L, ts(3000), 2L, "y", 0.0)
+    ).toDS()
+    val got = Streams.transitionsStreamParity(spark, ev, batches = 3)
+      .as[(Long, Long, Long)].head()
+    // batch pairs: u1 a>b, b>c, c>d, d>e; u2 x>y → 5 distinct groups
+    assert(got === ((5L, 5L, 5L)))
+  }
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
 }
