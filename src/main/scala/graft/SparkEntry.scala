@@ -812,6 +812,14 @@ object SparkEntry {
         "src", "dst")
     }),
 
+    // Local clustering coefficient over the same graph: 2t/(d(d-1)),
+    // NULL below degree 2 — the normalized link-spam signal.
+    "q_clustering_coeff" -> ((s, dir) => {
+      graft.operators.Graph.clusteringCoefficient(
+        copurchaseEdges(s, dir, qtyMax = None, minSupport = 1),
+        "src", "dst")
+    }),
+
     // 3-core of the support-2 co-purchase graph: the dense "trusted
     // seed" subgraph (1055 of 1892 nodes at sf0.01; the peel takes 8
     // rounds). Oracle = 12 unrolled peel rounds (idempotent past the
@@ -1037,6 +1045,23 @@ object SparkEntry {
       graft.operators.TimeSeries.rollingZScore(t(s, dir, "events"),
         "user_id", "ts", "event_id", "value",
         lookback = 20, threshold = 2.0, minObs = 5)
+    }),
+
+    // Cramér's V between order priority and status: chi-squared over
+    // the full contingency table (zero cells included), keys-only
+    // marginals, r×c expected grid from two category frames.
+    "q_cramers_v" -> ((s, dir) => {
+      graft.operators.Profiling.cramersV(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+    }),
+
+    // Repeat-factor upsampling (de ×2.5, fr ×1.25): floor copies plus
+    // a deterministic md5-decided fractional copy, map-only plan.
+    "q_upsample_mix" -> ((s, dir) => {
+      graft.operators.Mixes.repeatUpsample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Map("de" -> 2.5, "fr" -> 1.25))
+        .select("doc_id", "lang", "copy")
     }),
 
     // PSI drift report: urgent-priority order totals vs the rest,
@@ -3541,6 +3566,62 @@ object SparkEntry {
          |  UNION ALL SELECT z FROM tri) GROUP BY n)
          |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
+    "q_clustering_coeff" ->
+      s"""WITH ${copurchaseSql(None, 1)},
+         |deg AS (SELECT n, count(*) AS d FROM (
+         |  SELECT src AS n FROM e UNION ALL SELECT dst FROM e) GROUP BY n),
+         |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+         |  FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |pern AS (SELECT n, count(*) AS t FROM (
+         |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) GROUP BY n)
+         |SELECT d.n AS node, d.d AS degree,
+         |  COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles,
+         |  CASE WHEN d.d >= 2 THEN
+         |    round(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 6) END AS coeff
+         |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
+    "q_cramers_v" ->
+      """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+        |    CAST(o_orderstatus AS VARCHAR) AS b FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |o AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS na FROM o GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS nb FROM o GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |grid AS (SELECT ra.a, cb.b,
+        |    CAST(ra.na AS DOUBLE) * cb.nb / (SELECT n FROM nn) AS e
+        |  FROM ra CROSS JOIN cb),
+        |cells AS (SELECT
+        |    ((COALESCE(o.o, 0) - g.e) * (COALESCE(o.o, 0) - g.e)) / g.e
+        |      AS cell
+        |  FROM grid g LEFT JOIN o ON o.a = g.a AND o.b = g.b),
+        |chi AS (SELECT SUM(cell) AS chi2 FROM cells)
+        |SELECT (SELECT n FROM nn) AS n,
+        |  (SELECT count(*) FROM ra) AS r,
+        |  (SELECT count(*) FROM cb) AS c,
+        |  round(chi2, 6) AS chi2,
+        |  CASE WHEN LEAST((SELECT count(*) FROM ra),
+        |                  (SELECT count(*) FROM cb)) >= 2 THEN
+        |    round(sqrt(chi2 / (CAST((SELECT n FROM nn) AS DOUBLE) *
+        |      (LEAST((SELECT count(*) FROM ra),
+        |             (SELECT count(*) FROM cb)) - 1))), 6)
+        |  END AS cramers_v
+        |FROM chi""".stripMargin,
+    "q_upsample_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN lang = 'de' THEN 2.5 WHEN lang = 'fr' THEN 1.25
+        |      ELSE 1.0 END AS f
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang, f,
+        |    unnest(generate_series(1, CAST(ceil(f) AS BIGINT))) AS copy
+        |  FROM d WHERE f > 0)
+        |SELECT doc_id, lang, copy FROM x
+        |WHERE copy <= CAST(floor(f) AS BIGINT)
+        |  OR substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |    CASE WHEN lang = 'de' THEN '80000000'
+        |         WHEN lang = 'fr' THEN '40000000'
+        |         ELSE '00000000' END""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
     "q_bfs" ->
       """WITH d0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst

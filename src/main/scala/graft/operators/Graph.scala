@@ -653,6 +653,42 @@ object Graph {
   }
 
   /**
+   * Local clustering coefficient per node: 2·triangles / (deg·(deg−1))
+   * over the canonical undirected graph — the normalized form of
+   * [[triangleCounts]]'s spam signal (a 10⁴-degree hub with 10
+   * triangles is star-shaped link spam; coefficient ≈ 0 says so where
+   * the raw count alone doesn't). Nodes of degree < 2 have no possible
+   * triangle and report NULL (0/0 is not "zero clustering" — it is
+   * undefined, and both engines must say the same thing).
+   *
+   * Scale shape: [[triangleCounts]]'s fused enumeration (its gate and
+   * caveats apply verbatim) plus one keys-only degree aggregate and a
+   * node-keyed join — both negligible next to the wedge pass.
+   *
+   * Returns (`node`, `degree`, `triangles`, `coeff` 6dp).
+   */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String,
+                            maxBroadcastEdges: Long = 4L << 20): DataFrame = {
+    val tri = triangleCounts(edges, srcCol, dstCol, maxBroadcastEdges)
+    val canon = edges
+      .select(col(srcCol).cast("long").as("s0"),
+        col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    tri.join(deg, "node")
+      .select(col("node"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
+  }
+
+  /**
    * Hop-bounded single/multi-source shortest paths (Bellman-Ford as
    * DataFrame rounds): minimum summed edge weight from any seed to
    * every node reachable within `maxHops` edges — the weighted

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -136,5 +136,53 @@ object Mixes {
     Samples.weighted(rows.join(broadcast(rates), Seq(stratumCol)),
         idCol, "__rate", seed)
       .drop("__rate")
+  }
+
+  /**
+   * Epoch-style repeat-factor upsampling (the "repeat high-quality
+   * sources k times per epoch" half of a data recipe — [[toTargetShares]]
+   * and [[temperatureSample]] only DOWNSAMPLE): every row of stratum s
+   * appears floor(f_s) times, plus one more copy with probability
+   * frac(f_s), decided by the shared deterministic md5-uniform — so the
+   * realized mass tracks f_s exactly in expectation and the row set is
+   * reproducible across runs, partitionings, and engines. Strata absent
+   * from `factors` use `defaultFactor`; factors must be finite and
+   * ≥ 0 (0 drops the stratum; fail-loud on negative/NaN — a silent
+   * negative would just vanish rows).
+   *
+   * Returns the input columns plus `copy` (1-based replica index) —
+   * downstream shuffles (packing's hash order) spread replicas, and the
+   * copy index keeps them distinguishable for debugging/dedup audits.
+   *
+   * Scale shape: map-only — a when-chain resolves per-stratum factors
+   * and thresholds (broadcast-free plan literals), `explode(sequence)`
+   * generates copies executor-side, the fractional copy filters on the
+   * md5 prefix. No shuffle, no state.
+   */
+  def repeatUpsample(df: DataFrame, idCol: String, strataCol: String,
+                     factors: Map[String, Double],
+                     defaultFactor: Double = 1.0,
+                     seed: Long = 42L): DataFrame = {
+    (factors.values.toSeq :+ defaultFactor).foreach { f =>
+      require(!f.isNaN && !f.isInfinite && f >= 0.0,
+        s"repeat factors must be finite and >= 0; got $f")
+    }
+    def chain(value: Double => Column): Column =
+      factors.foldLeft(value(defaultFactor)) { case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), value(f)).otherwise(acc)
+      }
+    val fCol = chain(f => lit(f))
+    val ceilCol = chain(f => lit(math.ceil(f).toLong))
+    // per-stratum md5 threshold for the fractional extra copy
+    val thrCol = chain(f =>
+      lit(Samples.thresholdHex(f - math.floor(f))))
+    val floorCol = chain(f => lit(math.floor(f).toLong))
+    df.withColumn("__f", fCol)
+      .filter(col("__f") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), ceilCol)))
+      .filter(col("copy") <= floorCol ||
+        substring(md5(concat(lit(seed.toString), lit(":"),
+          col(idCol).cast("string"))), 1, 8) < thrCol)
+      .drop("__f")
   }
 }

@@ -178,6 +178,52 @@ object Profiling {
   }
 
   /**
+   * Cramér's V association between two CATEGORICAL columns — the
+   * categorical companion of [[correlationMatrix]] (Pearson on
+   * categories is meaningless; χ²-based V ∈ [0, 1] is the standard
+   * measure): χ² over the full contingency table (zero-observed cells
+   * INCLUDED — their expected counts still contribute, and skipping
+   * them understates association), V = √(χ² / (n·min(r−1, c−1))).
+   *
+   * Scale shape: one (a, b)-keyed count aggregate (map-side combined)
+   * builds the observed table; marginals are keys-only aggregates OVER
+   * THAT TABLE (≪ rows); the r×c expected grid is a cross join of two
+   * category frames — categorical cardinalities, not data. Rows with a
+   * NULL on either side are excluded (a null category is missingness,
+   * not a level; profile it with [[profile]]'s null counts).
+   *
+   * Returns one row: (`n`, `r`, `c`, `chi2` 6dp, `cramers_v` 6dp);
+   * degenerate single-level tables (min(r,c) = 1) report NULL V —
+   * association is undefined with one category.
+   */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val o = base.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = o.groupBy("a").agg(sum("o").as("na"))
+    val cb = o.groupBy("b").agg(sum("o").as("nb"))
+    val stats = base.agg(count(lit(1)).as("n")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "cramersV on an empty (or all-null) frame")
+    val e = col("na").cast("double") * col("nb") / n
+    val cells = ra.crossJoin(cb)
+      .join(o, Seq("a", "b"), "left")
+      .select(col("na"), col("nb"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .select((((col("o") - e) * (col("o") - e)) / e).as("cell"))
+    cells.agg(sum("cell").as("chi2"))
+      .crossJoin(ra.agg(count(lit(1)).as("r")))
+      .crossJoin(cb.agg(count(lit(1)).as("c")))
+      .select(lit(n).as("n"), col("r"), col("c"),
+        round(col("chi2"), 6).as("chi2"),
+        when(least(col("r"), col("c")) >= 2,
+          round(sqrt(col("chi2") /
+            (lit(n.toDouble) * (least(col("r"), col("c")) - 1))), 6))
+          .as("cramers_v"))
+  }
+
+  /**
    * Population Stability Index between a reference and a current
    * sample of the same metric (the standard ML-monitoring drift
    * detector; rule-of-thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25

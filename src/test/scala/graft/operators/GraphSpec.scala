@@ -449,6 +449,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoefficient: K4+pendant hand values, degree<2 null") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (coeff 1.0, 3 triangles each, deg 3) plus
+    // pendant 5-1 (node 5: deg 1 → null; node 1: deg 4, still 3 tris
+    // → 2·3/(4·3) = 0.5)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(e, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 3L, Some(0.5))))
+    assert(got(2L) === ((2L, 3L, 3L, Some(1.0))))
+    assert(got(3L)._4 === Some(1.0) && got(4L)._4 === Some(1.0))
+    assert(got(5L) === ((5L, 1L, 0L, None)))
+  }
+
   test("shortestPaths: weighted relaxation beats the direct edge; hop cap") {
     import spark.implicits._
     // 1-2 (5), 2-3 (1), 1-3 (10): two-hop route costs 6 vs direct 10

@@ -130,4 +130,37 @@ class MixesSpec extends SparkSpec {
     assert(math.abs(n("s1") / total - 0.3) < 0.02)
     assert(math.abs(n("s2") / total - 0.1) < 0.02)
   }
+
+  test("repeatUpsample: integer factors exact, fractional deterministic, guards") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    // integer factor: every de row exactly 3x, en (default 1.0) exactly 1x
+    val tripled = Mixes.repeatUpsample(df, "doc_id", "lang",
+      Map("de" -> 3.0))
+    assert(tripled.filter($"lang" === "de").count() === 600L)
+    assert(tripled.filter($"lang" === "en").count() === 200L)
+    // copies carry 1-based indices
+    assert(tripled.filter($"lang" === "de").select("copy")
+      .distinct().as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // fractional factor: floor copies guaranteed, extra copy ~frac share;
+    // exact row set is deterministic — two runs agree exactly
+    val a = Mixes.repeatUpsample(df, "doc_id", "lang", Map("de" -> 2.5))
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    val b = Mixes.repeatUpsample(df, "doc_id", "lang", Map("de" -> 2.5))
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    assert(a === b)
+    val deCount = a.count { case (id, _) => id % 2 == 0 }
+    assert(deCount >= 400 && deCount <= 600) // 2x guaranteed, 3x max
+    // factor 0 drops the stratum
+    val dropped = Mixes.repeatUpsample(df, "doc_id", "lang",
+      Map("de" -> 0.0))
+    assert(dropped.filter($"lang" === "de").count() === 0L)
+    intercept[IllegalArgumentException] {
+      Mixes.repeatUpsample(df, "doc_id", "lang", Map("de" -> -1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Mixes.repeatUpsample(df, "doc_id", "lang", Map("de" -> Double.NaN))
+    }
+  }
 }

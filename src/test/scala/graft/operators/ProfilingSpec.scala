@@ -156,4 +156,25 @@ class ProfilingSpec extends SparkSpec {
       Profiling.populationStability(ref, cur.filter($"v" < 0), "v", 2)
     }
   }
+
+  test("cramersV: hand-computed 2x2 table; perfect association; one level") {
+    import spark.implicits._
+    // table: (x,p)=30 (x,q)=10 / (y,p)=10 (y,q)=30; n=80
+    // marginals 40/40 each way -> e=20 everywhere; chi2 = 4*(10^2/20)=20
+    // V = sqrt(20 / (80*1)) = 0.5
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val got = Profiling.cramersV(rows.toDF("a", "b"),
+      "a", "b").as[(Long, Long, Long, Double, Option[Double])].head()
+    assert(got === ((80L, 2L, 2L, 20.0, Some(0.5))))
+    // perfect association -> V = 1
+    val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q")))
+      .toDF("a", "b")
+    assert(Profiling.cramersV(perfect, "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double])].head()._5 === Some(1.0))
+    // single level on one side: V undefined
+    val mono = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Profiling.cramersV(mono, "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double])].head()._5.isEmpty)
+  }
 }
