@@ -1047,6 +1047,53 @@ object SparkEntry {
         lookback = 20, threshold = 2.0, minObs = 5)
     }),
 
+    // GCN-style two-round neighborhood means over the link graph with
+    // part retail prices as node features: per round one equi-join +
+    // node-keyed mean — PageRank's per-iteration shape, no learning.
+    "q_neighbor_agg" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      val feats = t(s, dir, "part")
+        .select(col("p_partkey").as("node"),
+          col("p_retailprice").as("x"))
+      graft.operators.Graph.neighborAgg(edges, "src", "dst",
+        feats, "node", "x")
+    }),
+
+    // Mutual information + entropies + NMI between priority and status
+    // — the information-theoretic companion of q_cramers_v (observed
+    // cells only; zero cells contribute exactly 0).
+    "q_mutual_info" -> ((s, dir) => {
+      graft.operators.Profiling.mutualInformation(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+    }),
+
+    // Conversion latency distribution: first view → first purchase
+    // strictly after it, exact p50/p90 over converting users.
+    "q_conversion_latency" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id").as("u"),
+        col("event_type").as("ty"), col("ts").cast("long").as("ts"))
+      val fv = e.filter(col("ty") === "view")
+        .groupBy("u").agg(min("ts").as("vt"))
+      val fp = e.filter(col("ty") === "purchase").join(fv, "u")
+        .filter(col("ts") > col("vt"))
+        .groupBy("u", "vt").agg(min("ts").as("pt"))
+      fp.select(((col("pt") - col("vt")).cast("double")).as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lat, array(0.5D, 0.9D))").as("__p"))
+        .select(col("n_converted"), col("__p").getItem(0).as("p50"),
+          col("__p").getItem(1).as("p90"))
+    }),
+
+    // Balanced class downsampling to the minority language's count:
+    // deterministic md5-rank per class, reported as per-class totals.
+    "q_balance_classes" -> ((s, dir) => {
+      graft.operators.Samples.balanceClasses(
+          t(s, dir, "documents"), "doc_id", "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("doc_id").as("id_sum"))
+    }),
+
     // Cramér's V between order priority and status: chi-squared over
     // the full contingency table (zero cells included), keys-only
     // marginals, r×c expected grid from two category frames.
@@ -3581,6 +3628,63 @@ object SparkEntry {
          |  CASE WHEN d.d >= 2 THEN
          |    round(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 6) END AS coeff
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
+    "q_neighbor_agg" ->
+      """WITH d0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+        |  FROM lineitem WHERE l_partkey <> l_suppkey),
+        |und AS MATERIALIZED (SELECT src, dst FROM d0
+        |  UNION SELECT dst, src FROM d0),
+        |x AS (SELECT p_partkey AS node, CAST(p_retailprice AS DOUBLE) AS x
+        |  FROM part),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY 1),
+        |m1 AS MATERIALIZED (SELECT und.src AS node, AVG(x.x) AS m1
+        |  FROM und JOIN x ON x.node = und.dst GROUP BY 1),
+        |m2 AS (SELECT und.src AS node, AVG(m1.m1) AS m2
+        |  FROM und JOIN m1 ON m1.node = und.dst GROUP BY 1)
+        |SELECT d.node, d.degree, round(m1.m1, 6) AS m1, round(m2.m2, 6) AS m2
+        |FROM deg d LEFT JOIN m1 ON m1.node = d.node
+        |  LEFT JOIN m2 ON m2.node = d.node""".stripMargin,
+    "q_mutual_info" ->
+      """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+        |    CAST(o_orderstatus AS VARCHAR) AS b FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |o AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS na FROM o GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS nb FROM o GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |mi AS (SELECT SUM((o.o / CAST(nn.n AS DOUBLE)) *
+        |    ln((CAST(o.o AS DOUBLE) * nn.n) /
+        |       (CAST(ra.na AS DOUBLE) * cb.nb))) AS mi
+        |  FROM o JOIN ra ON ra.a = o.a JOIN cb ON cb.b = o.b, nn),
+        |ha AS (SELECT SUM(-(na / CAST(nn.n AS DOUBLE)) *
+        |    ln(na / CAST(nn.n AS DOUBLE))) AS h_a FROM ra, nn),
+        |hb AS (SELECT SUM(-(nb / CAST(nn.n AS DOUBLE)) *
+        |    ln(nb / CAST(nn.n AS DOUBLE))) AS h_b FROM cb, nn)
+        |SELECT (SELECT n FROM nn) AS n, round(ha.h_a, 6) AS h_a,
+        |  round(hb.h_b, 6) AS h_b, round(mi.mi, 6) AS mi,
+        |  CASE WHEN ha.h_a > 0 AND hb.h_b > 0 THEN
+        |    round(mi.mi / sqrt(ha.h_a * hb.h_b), 6) END AS nmi
+        |FROM mi, ha, hb""".stripMargin,
+    "q_conversion_latency" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts
+        |  FROM events),
+        |fv AS (SELECT u, MIN(ts) AS vt FROM e WHERE ty = 'view' GROUP BY u),
+        |fp AS (SELECT e.u, fv.vt, MIN(e.ts) AS pt FROM e
+        |  JOIN fv ON fv.u = e.u
+        |  WHERE e.ty = 'purchase' AND e.ts > fv.vt GROUP BY e.u, fv.vt),
+        |lat AS (SELECT CAST(pt - vt AS DOUBLE) AS lat FROM fp)
+        |SELECT count(*) AS n_converted,
+        |  quantile_cont(lat, 0.5) AS p50,
+        |  quantile_cont(lat, 0.9) AS p90
+        |FROM lat""".stripMargin,
+    "q_balance_classes" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |k AS (SELECT MIN(c) AS k FROM c),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r, k WHERE rk <= k.k GROUP BY lang""".stripMargin,
     "q_cramers_v" ->
       """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
         |    CAST(o_orderstatus AS VARCHAR) AS b FROM orders

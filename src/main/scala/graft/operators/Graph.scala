@@ -653,6 +653,51 @@ object Graph {
   }
 
   /**
+   * Two-round neighborhood mean aggregation (the message-passing /
+   * GCN-style feature build): m₁(v) = mean of x(u) over v's neighbors,
+   * m₂(v) = mean of m₁(u) over v's neighbors — graph-contextual
+   * features for nodes (a host surrounded by high-authority hosts is
+   * itself evidence of quality) computed WITHOUT learning machinery:
+   * two join+agg rounds, exactly PageRank's per-iteration shape.
+   *
+   * Nodes missing from `features` contribute NULL (mean skips them —
+   * aggregate-null semantics, identical cross-engine); isolated
+   * feature rows for non-graph nodes are ignored. Means are 6dp
+   * (fold-order ulps).
+   *
+   * Scale shape: undirected edge frame built once; per round ONE
+   * equi-join (edges × current values on the far end) + a node-keyed
+   * mean — (long, double) pairs keyed by node throughout.
+   *
+   * Returns (`node`, `degree`, `m1`, `m2`).
+   */
+  def neighborAgg(edges: DataFrame, srcCol: String, dstCol: String,
+                  features: DataFrame, nodeCol: String,
+                  valueCol: String): DataFrame = {
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = dir0
+      .unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val x = features.select(col(nodeCol).cast("long").as("node"),
+      col(valueCol).cast("double").as("x"))
+    def meanOver(vals: DataFrame, vCol: String): DataFrame =
+      und.join(vals, und("dst") === vals("node"))
+        .groupBy(und("src").as("node"))
+        .agg(avg(col(vCol)).as("m"), count(lit(1)).as("__cnt"))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val m1 = meanOver(x, "x").select(col("node"), col("m").as("m1"))
+    val m2 = meanOver(m1.select(col("node"), col("m1")), "m1")
+      .select(col("node"), col("m").as("m2"))
+    deg.join(m1, Seq("node"), "left").join(m2, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        round(col("m1"), 6).as("m1"), round(col("m2"), 6).as("m2"))
+  }
+
+  /**
    * Local clustering coefficient per node: 2·triangles / (deg·(deg−1))
    * over the canonical undirected graph — the normalized form of
    * [[triangleCounts]]'s spam signal (a 10⁴-degree hub with 10

@@ -224,6 +224,52 @@ object Profiling {
   }
 
   /**
+   * Mutual information (nats) between two categorical columns, with
+   * entropies and the normalized form NMI = MI/√(H(a)·H(b)) — the
+   * information-theoretic companion of [[cramersV]] (χ² weights rare
+   * co-occurrences differently; reporting both is standard feature-
+   * screening practice). Zero-observed cells contribute exactly 0
+   * (lim p→0 of p·ln p — only OBSERVED cells enter, unlike χ²'s
+   * expected grid).
+   *
+   * Scale shape: identical to [[cramersV]] minus the grid — one
+   * (a, b)-keyed count, keys-only marginals, broadcast n. Rows with a
+   * NULL side are excluded.
+   *
+   * Returns one row: (`n`, `h_a`, `h_b`, `mi`, `nmi`, all 6dp); NMI is
+   * NULL when either entropy is 0 (a constant column carries no
+   * information to normalize by).
+   */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val o = base.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = o.groupBy("a").agg(sum("o").as("na"))
+    val cb = o.groupBy("b").agg(sum("o").as("nb"))
+    val n = base.count()
+    require(n > 0, "mutualInformation on an empty (or all-null) frame")
+    val nd = n.toDouble
+    val mi = o.join(ra, "a").join(cb, "b")
+      .select(((col("o") / nd) *
+        log(col("o").cast("double") * n /
+          (col("na").cast("double") * col("nb")))).as("term"))
+      .agg(sum("term").as("mi"))
+    val ha = ra.select((-(col("na") / nd) * log(col("na") / nd)).as("t"))
+      .agg(sum("t").as("h_a"))
+    val hb = cb.select((-(col("nb") / nd) * log(col("nb") / nd)).as("t"))
+      .agg(sum("t").as("h_b"))
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(lit(n).as("n"),
+        round(col("h_a"), 6).as("h_a"),
+        round(col("h_b"), 6).as("h_b"),
+        round(col("mi"), 6).as("mi"),
+        when(col("h_a") > 0 && col("h_b") > 0,
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"))
+  }
+
+  /**
    * Population Stability Index between a reference and a current
    * sample of the same metric (the standard ML-monitoring drift
    * detector; rule-of-thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25

@@ -104,6 +104,32 @@ object Samples {
   }
 
   /**
+   * Balanced class downsampling: every class keeps EXACTLY the minority
+   * class's count (the classifier-prep step behind
+   * [[graft.operators.Classifier]] — a 99:1 skew trains a
+   * majority-guesser; balancing to the minority count is the standard
+   * fix when upweighting isn't available). Selection within each class
+   * is the deterministic md5-rank of [[kPerGroup]] — reproducible
+   * across runs, partitionings, and engines. NULL classes are excluded
+   * (missingness is not a class).
+   *
+   * Scale shape: one keys-only class-count aggregate (collect of
+   * #classes rows) picks k, then [[kPerGroup]]'s per-class window —
+   * partitioned by class, so it scales out; the per-class sort is the
+   * honest cost of exact-k selection.
+   */
+  def balanceClasses(df: DataFrame, idCol: String, classCol: String,
+                     seed: Long = 42L): DataFrame = {
+    val base = df.filter(col(classCol).isNotNull)
+    val counts = base.groupBy(col(classCol)).agg(count(lit(1)).as("__c"))
+      .agg(min("__c").as("__min")).head()
+    require(!counts.isNullAt(0), "balanceClasses on an empty frame")
+    val k = counts.getLong(0)
+    require(k <= Int.MaxValue, s"minority class too large for exact-k: $k")
+    kPerGroup(base, idCol, classCol, k.toInt, seed)
+  }
+
+  /**
    * Token-budget corpus packing: within each `groupCol` stratum, keep rows
    * in `priority` order until the running sum of `costCol` exceeds
    * `budget` (the first row that would cross the line is dropped, as is

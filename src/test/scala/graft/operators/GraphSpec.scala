@@ -534,4 +534,18 @@ class GraphSpec extends SparkSpec {
       Graph.labelPropagation(e, "src", "dst", iters = 0)
     }
   }
+
+  test("neighborAgg: hand-computed two-round means; unfeatured nodes skip") {
+    import spark.implicits._
+    // path 1-2-3-4; features x(1)=10, x(2)=20, x(3)=40; node 4 unfeatured
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val x = Seq((1L, 10.0), (2L, 20.0), (3L, 40.0)).toDF("node", "x")
+    val got = Graph.neighborAgg(e, "src", "dst", x, "node", "x")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, Some(20.0), Some(25.0))))
+    assert(got(2L) === ((2L, 2L, Some(25.0), Some(20.0))))
+    assert(got(3L) === ((3L, 2L, Some(20.0), Some(32.5))))
+    assert(got(4L) === ((4L, 1L, Some(40.0), Some(20.0))))
+  }
 }

@@ -177,4 +177,27 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.cramersV(mono, "a", "b")
       .as[(Long, Long, Long, Double, Option[Double])].head()._5.isEmpty)
   }
+
+  test("mutualInformation: perfect -> ln 2 / NMI 1; independent -> 0") {
+    import spark.implicits._
+    val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q")))
+      .toDF("a", "b")
+    val got = Profiling.mutualInformation(perfect, "a", "b")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === 10L)
+    assert(got._2 === r6(math.log(2)) && got._3 === r6(math.log(2)))
+    assert(got._4 === r6(math.log(2)))
+    assert(got._5 === Some(1.0))
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val g2 = Profiling.mutualInformation(indep, "a", "b")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    assert(g2._4 === 0.0 && g2._5 === Some(0.0))
+    // constant column: zero entropy -> NMI undefined
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Profiling.mutualInformation(const, "a", "b")
+      .as[(Long, Double, Double, Double, Option[Double])].head()._5.isEmpty)
+  }
 }

@@ -201,4 +201,20 @@ class SamplesSpec extends SparkSpec {
         "id", "w", "grp", 1)
     }
   }
+
+  test("balanceClasses: every class trimmed to the minority count, deterministic") {
+    import spark.implicits._
+    val df = ((1L to 3L).map(i => (i, "a")) ++ (10L to 14L).map(i => (i, "b")) ++
+      Seq((99L, null.asInstanceOf[String]))).toDF("id", "cls")
+    val got = Samples.balanceClasses(df, "id", "cls")
+    val counts = got.groupBy("cls").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("a" -> 3L, "b" -> 3L)) // null class excluded
+    val again = Samples.balanceClasses(df, "id", "cls")
+      .select("id").as[Long].collect().toSet
+    assert(again === got.select("id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Samples.balanceClasses(df.filter($"cls".isNull), "id", "cls")
+    }
+  }
 }
