@@ -1047,6 +1047,44 @@ object SparkEntry {
         lookback = 20, threshold = 2.0, minObs = 5)
     }),
 
+    // Deterministic 5-fold cross-validation assignment (md5-uniform mod
+    // k — exact fold replayable in SQL, unlike xxhash splits).
+    "q_kfold" -> ((s, dir) => {
+      graft.operators.Splits.kFold(t(s, dir, "documents"), "doc_id", k = 5)
+        .groupBy("fold").agg(count(lit(1)).as("n"),
+          sum("doc_id").as("id_sum"))
+    }),
+
+    // RFM quintile segmentation over purchases: one user-keyed agg +
+    // three user-level ntiles ordered (metric, user) — deterministic.
+    "q_rfm" -> ((s, dir) => {
+      graft.operators.Events.rfmSegments(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "value", "purchase")
+        .withColumnRenamed("user", "user_id")
+    }),
+
+    // Degree assortativity of the co-purchase graph: do hubs link to
+    // hubs? Closed-form Pearson over oriented endpoint degrees.
+    "q_assortativity" -> ((s, dir) => {
+      graft.operators.Graph.assortativity(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        "src", "dst")
+    }),
+
+    // Keyword-in-context concordance for 'the' (±3 tokens): map-only
+    // tokenize + posexplode + filter, context from the carried array.
+    "text_kwic" -> ((s, dir) => {
+      graft.operators.TextAnalysis.keywordInContext(
+        t(s, dir, "documents"), "doc_id", "text", term = "the")
+    }),
+
+    // Flesch-Kincaid readability via the deterministic vowel-group
+    // syllable heuristic — one codegen'd map-only pass, 4dp.
+    "text_readability" -> ((s, dir) => {
+      graft.operators.TextAnalysis.readability(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // GCN-style two-round neighborhood means over the link graph with
     // part retail prices as node features: per round one equi-join +
     // node-keyed mean — PageRank's per-iteration shape, no learning.
@@ -3628,6 +3666,70 @@ object SparkEntry {
          |  CASE WHEN d.d >= 2 THEN
          |    round(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 6) END AS coeff
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
+    "q_kfold" ->
+      """SELECT CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8))::UBIGINT % 5 AS BIGINT) AS fold,
+        |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, event_type AS ty, epoch_ns(ts) AS ts,
+        |    value AS v FROM events),
+        |mx AS (SELECT MAX(ts) AS mt FROM e),
+        |m AS (SELECT user_id, (SELECT mt FROM mx) - MAX(ts) AS r_ns,
+        |    count(*) AS f, round(SUM(v), 2) AS m
+        |  FROM e WHERE ty = 'purchase' GROUP BY user_id)
+        |SELECT user_id, r_ns, f, m,
+        |  CAST(ntile(5) OVER (ORDER BY r_ns DESC, user_id) AS INTEGER)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY f ASC, user_id) AS INTEGER)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY m ASC, user_id) AS INTEGER)
+        |    AS m_score
+        |FROM m""".stripMargin,
+    "q_assortativity" ->
+      s"""WITH ${copurchaseSql(Some(30), 2)},
+         |canon AS (SELECT DISTINCT LEAST(src, dst) AS a,
+         |    GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT a, b FROM canon
+         |  UNION ALL SELECT b, a FROM canon),
+         |deg AS (SELECT a AS node, CAST(count(*) AS DOUBLE) AS d
+         |  FROM und GROUP BY 1),
+         |p AS (SELECT da.d AS da, db.d AS db FROM und
+         |  JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+         |mo AS (SELECT count(*) AS m, SUM(da) AS sx, SUM(db) AS sy,
+         |    SUM(da * db) AS sxy, SUM(da * da) AS sxx, SUM(db * db) AS syy
+         |  FROM p)
+         |SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+         |  round((sxy / m - (sx / m) * (sy / m)) /
+         |    NULLIF(sqrt((sxx / m - (sx / m) * (sx / m)) *
+         |                (syy / m - (sy / m) * (sy / m))), 0), 6)
+         |    AS assortativity
+         |FROM mo""".stripMargin,
+    "text_kwic" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ix AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t))) AS i FROM toks)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |  array_to_string(t[greatest(i - 3, 1):least(i + 3, len(t))], ' ')
+        |    AS context
+        |FROM ix WHERE t[i] = 'the'""".stripMargin,
+    "text_readability" ->
+      """SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 THEN
+        |    round(0.39 * (CAST(words AS DOUBLE) / sentences) +
+        |          11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59, 4)
+        |  END AS fk_grade
+        |FROM (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syllables
+        |  FROM documents)""".stripMargin,
     "q_neighbor_agg" ->
       """WITH d0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
         |  FROM lineitem WHERE l_partkey <> l_suppkey),

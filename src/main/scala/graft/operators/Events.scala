@@ -151,6 +151,45 @@ object Events {
   }
 
   /**
+   * RFM customer segmentation (recency / frequency / monetary quintile
+   * scores — the classic value-segmentation every CRM pipeline runs):
+   * per user over their `conversionType` events, R = time since last
+   * conversion (against the corpus max event time, so the score is a
+   * pure function of the data), F = conversion count, M = summed value;
+   * each dimension scored 1..`nTiles` by `ntile` with 5 = best
+   * (most recent / most frequent / highest value).
+   *
+   * Determinism: every ntile orders on (metric, user) — a total
+   * order, so equal metrics split identically cross-engine (ntile's
+   * larger-buckets-first fill is the SQL-standard rule both engines
+   * implement).
+   *
+   * Scale shape: one user-keyed aggregate builds the metric frame
+   * (keys + 3 numbers); the three ntiles are global windows over
+   * USERS, not events — fine to ~10⁸ users, the documented
+   * chunked-prefix-sum escape beyond ([[Packing]]'s trick). Returns
+   * (`user`, `r_ns`, `f`, `m` 2dp, `r_score`, `f_score`, `m_score`).
+   */
+  def rfmSegments(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, valueCol: String, conversionType: String,
+                  nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2, "nTiles must be >= 2")
+    val ev = events.select(col(userCol).as("user"), col(typeCol).as("ty"),
+      col(tsCol).cast("long").as("ts"), col(valueCol).cast("double").as("v"))
+    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    val m = ev.filter(col("ty") === conversionType)
+      .groupBy("user")
+      .agg((lit(maxTs) - max("ts")).as("r_ns"),
+        count(lit(1)).as("f"), round(sum("v"), 2).as("m"))
+    m.withColumn("r_score", ntile(nTiles).over(
+        Window.orderBy(col("r_ns").desc, col("user"))))
+      .withColumn("f_score", ntile(nTiles).over(
+        Window.orderBy(col("f").asc, col("user"))))
+      .withColumn("m_score", ntile(nTiles).over(
+        Window.orderBy(col("m").asc, col("user"))))
+  }
+
+  /**
    * Top-k session paths: gap-sessionize each user's event stream
    * (a new session opens when the inter-event gap exceeds `gapNs`),
    * render each session as its ordered `>`-joined event-type path,

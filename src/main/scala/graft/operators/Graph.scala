@@ -653,6 +653,51 @@ object Graph {
   }
 
   /**
+   * Degree assortativity: the Pearson correlation of endpoint degrees
+   * over the undirected edge set (each edge contributes both
+   * orientations — the standard symmetric form), answering "do hubs
+   * link to hubs?" — positive for social/co-purchase structure,
+   * negative for hub-and-spoke (and for spam farms pointing at
+   * authorities). Closed-form moments like [[Profiling.correlationMatrix]]
+   * (try_divide semantics: a degree-regular graph has zero variance
+   * and reports NULL, not a crash).
+   *
+   * Scale shape: canonical edges + one keys-only degree agg; degrees
+   * attach via two node-keyed joins; ONE map-side-combined moment
+   * aggregate over the oriented-edge frame. Everything that moves is
+   * (long, long) pairs.
+   *
+   * Returns one row: (`n_edges` canonical count, `assortativity` 6dp).
+   */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("long").as("s0"),
+        col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct()
+    val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("double").as("d"))
+    val pairs = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    val mo = pairs.agg(count(lit(1)).as("m"),
+      sum("da").as("sx"), sum("db").as("sy"),
+      sum(col("da") * col("db")).as("sxy"),
+      sum(col("da") * col("da")).as("sxx"),
+      sum(col("db") * col("db")).as("syy"))
+    mo.select((col("m") / 2).cast("long").as("n_edges"),
+      round(try_divide(
+        col("sxy") / col("m") - (col("sx") / col("m")) * (col("sy") / col("m")),
+        sqrt((col("sxx") / col("m") - (col("sx") / col("m")) * (col("sx") / col("m"))) *
+          (col("syy") / col("m") - (col("sy") / col("m")) * (col("sy") / col("m"))))), 6)
+        .as("assortativity"))
+  }
+
+  /**
    * Two-round neighborhood mean aggregation (the message-passing /
    * GCN-style feature build): m₁(v) = mean of x(u) over v's neighbors,
    * m₂(v) = mean of m₁(u) over v's neighbors — graph-contextual

@@ -92,4 +92,21 @@ object Splits {
       "__canon", weights, salt, out)
       .drop("__canon")
   }
+
+  /**
+   * Deterministic k-fold assignment for cross-validation: fold =
+   * (md5-uniform of the id) mod k — engine-portable (the md5 hex-prefix
+   * convention every sampler here uses, so the SQL oracle reproduces
+   * the EXACT fold of every row, unlike xxhash-based [[assign]] whose
+   * oracle is counts-only), stable across runs/partitionings, and ids
+   * never migrate between folds as the corpus grows. Map-only.
+   */
+  def kFold(df: DataFrame, idCol: String, k: Int, seed: Long = 42L,
+            out: String = "fold"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.withColumn(out,
+      conv(substring(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % k)
+  }
 }

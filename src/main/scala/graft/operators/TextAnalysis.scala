@@ -137,6 +137,67 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Keyword-in-context (KWIC / concordance) extraction: every exact
+   * token occurrence of `term` with ±`window` tokens of context —
+   * what a reviewer looks at before blocklisting a term, and the
+   * qualitative check behind every quality-filter rule. Matching is on
+   * the lowercased whitespace token (the corpus-wide tokenize
+   * convention), so "Foo." does not match term "foo" — deliberate:
+   * exact-token semantics are SQL-replayable; fuzzy matching belongs
+   * to the similarity operators.
+   *
+   * Scale shape: tokenize + posexplode + filter — map-only, the match
+   * filter drops everything but hit rows before any downstream
+   * exchange; context slices come from the carried token array, never
+   * a re-scan. Returns (`doc_id`, `pos` 0-based, `context`).
+   */
+  def keywordInContext(df: DataFrame, idCol: String, textCol: String,
+                       term: String, window: Int = 3): DataFrame = {
+    require(term.nonEmpty, "term must be non-empty")
+    require(window >= 0, "window must be >= 0")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        tokens(lower(col(textCol))).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__t")).as(Seq("pos", "tok")))
+      .filter(col("tok") === lit(term))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("__t"),
+          greatest(col("pos") + 1 - window, lit(1)),
+          least(col("pos") + 1 + window, size(col("__t"))) -
+            greatest(col("pos") + 1 - window, lit(1)) + 1)).as("context"))
+  }
+
+  /**
+   * Flesch-Kincaid grade-level readability (the vowel-group syllable
+   * heuristic — deterministic and engine-portable, unlike dictionary
+   * syllabification): grade = 0.39·(words/sentences) +
+   * 11.8·(syllables/words) − 15.59, with sentences = [.!?]+ runs
+   * (min 1) and syllables = [aeiouy]+ runs in the lowercased text
+   * (vowel groups never span whitespace, so the corpus-level count
+   * equals the per-word sum without a per-word pass). Empty docs
+   * report NULL. One codegen'd map-only pass; 4dp.
+   *
+   * Returns (`doc_id`, `words`, `sentences`, `syllables`, `fk_grade`).
+   */
+  def readability(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val words = size(tokens(col(textCol)))
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = size(
+      regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+    df.select(col(idCol).cast("long").as("doc_id"),
+      words.cast("long").as("words"),
+      sentences.cast("long").as("sentences"),
+      syllables.cast("long").as("syllables"))
+      .withColumn("fk_grade",
+        when(col("words") > 0,
+          round(lit(0.39) * (col("words").cast("double") / col("sentences")) +
+            lit(11.8) * (col("syllables").cast("double") / col("words")) -
+            lit(15.59), 4)))
+  }
+
+  /**
    * Positional inverted-index build — the search-engine prep step the
    * reference's whole pipeline feeds (its ES bulk-indexer delegates
    * this to the embedded engine; here it is a first-class operator):

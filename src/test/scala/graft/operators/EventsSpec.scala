@@ -136,4 +136,21 @@ class EventsSpec extends SparkSpec {
         "event_id", 100L, 5).as[(String, Long)].collect()
     assert(p.toSeq === Seq(("y>x", 1L)))
   }
+
+  test("rfmSegments: hand metrics; ntile scores deterministic under ties") {
+    val ev = Seq(
+      // corpus max ts = 100 (u3's signup)
+      (1L, 1L, "purchase", 10L, 5.0), (2L, 1L, "purchase", 90L, 5.0),
+      (3L, 2L, "purchase", 50L, 20.0),
+      (4L, 3L, "signup", 100L, 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.rfmSegments(ev, "user_id", "event_type", "ts",
+        "value", "purchase", nTiles = 2)
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // u1: r=100-90=10, f=2, m=10; u2: r=50, f=1, m=20; u3 absent
+    assert(got(1L) === ((1L, 10L, 2L, 10.0, 2, 2, 1)))
+    assert(got(2L) === ((2L, 50L, 1L, 20.0, 1, 1, 2)))
+    assert(!got.contains(3L))
+  }
 }

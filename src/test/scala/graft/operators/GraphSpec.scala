@@ -548,4 +548,18 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) === ((3L, 2L, Some(20.0), Some(32.5))))
     assert(got(4L) === ((4L, 1L, Some(40.0), Some(20.0))))
   }
+
+  test("assortativity: star is maximally disassortative; cycle is degree-regular null") {
+    import spark.implicits._
+    // star K1,3: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.assortativity(star, "src", "dst")
+      .as[(Long, Option[Double])].head()
+    assert(r._1 === 3L && r._2 === Some(-1.0))
+    // 4-cycle: all degrees 2 -> zero variance -> NULL, not a crash
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rc = Graph.assortativity(cyc, "src", "dst")
+      .as[(Long, Option[Double])].head()
+    assert(rc._1 === 4L && rc._2.isEmpty)
+  }
 }

@@ -71,4 +71,22 @@ class SplitsSpec extends SparkSpec {
     (0L until 200L).filter(_ % 5 != 0).foreach { id =>
       assert(assigned(id) === plain(id)) }
   }
+
+  test("kFold: every row assigned, folds stable, k respected") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val folded = Splits.kFold(df, "id", k = 5)
+    val counts = folded.groupBy("fold").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(counts.values.sum === 1000L)
+    // roughly balanced (md5-uniform): no fold below 100 of 200 expected
+    assert(counts.values.forall(_ > 100L))
+    // stability: ids keep their fold when the corpus doubles
+    val wider = Splits.kFold((1L to 2000L).toDF("id"), "id", k = 5)
+      .filter($"id" <= 1000L).as[(Long, Long)].collect().toMap
+    val orig = folded.as[(Long, Long)].collect().toMap
+    assert(wider === orig)
+    intercept[IllegalArgumentException] { Splits.kFold(df, "id", k = 1) }
+  }
 }

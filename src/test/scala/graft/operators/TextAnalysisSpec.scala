@@ -432,4 +432,30 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, String, Long)].collect().head
     assert(pos._4 === "0,1,2,3,4,5,6,7,8,9,10,11")
   }
+
+  test("keywordInContext: hits with clamped windows; exact-token matching") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox likes the lazy dog"),
+      (2L, "The. start")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywordInContext(docs, "doc_id", "text",
+        "the", window = 2)
+      .as[(Long, Int, String)].collect().toSet
+    // doc 1: pos 0 (left-clamped) and pos 5; doc 2: "the." is NOT "the"
+    assert(got === Set(
+      (1L, 0, "the quick brown"),
+      (1L, 5, "fox likes the lazy dog")))
+  }
+
+  test("readability: hand-computed FK grade; empty doc null") {
+    import spark.implicits._
+    // "the cat sat. it ran!" -> words 5, sentences 2, syllables:
+    // e,a,a,i,a -> 5 groups; grade = .39*2.5 + 11.8*1 - 15.59 = -2.815
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 5L, 2L, 5L, Some(-2.815))))
+    assert(got(2L) === ((2L, 0L, 1L, 0L, None)))
+  }
 }
