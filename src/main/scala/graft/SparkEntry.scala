@@ -178,6 +178,32 @@ object SparkEntry {
        |SELECT node, d AS dist FROM s$rounds""".stripMargin
   }
 
+  /** Unrolled k-truss peel oracle: per round, id-ordered triangle
+    * enumeration (a<b<c — a different generation order from the
+    * engine's degree orientation, same triangle set), per-edge support
+    * counts, drop below k−2; peeling is idempotent past the fixpoint
+    * so extra rounds are safe. Same generator reasoning as
+    * [[kcoreOracleSql]]. */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val sup = k - 2
+    val steps = (0 until rounds).map { i =>
+      s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e$i e1 JOIN e$i e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e$i e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |s$i AS MATERIALIZED (SELECT ea, eb, count(*) AS s FROM (
+         |  SELECT x AS ea, y AS eb FROM t$i
+         |  UNION ALL SELECT x, z FROM t$i
+         |  UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2),
+         |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+         |  JOIN s$i s ON s.ea = e.a AND s.eb = e.b AND s.s >= $sup)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseSql(Some(30), 2)},
+       |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+       |  GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |$steps
+       |SELECT a AS src, b AS dst FROM e$rounds""".stripMargin
+  }
+
   /** Unrolled label-propagation oracle: `rounds` synchronous rounds,
     * each a neighbor-label count + ROW_NUMBER (count desc, label asc)
     * argmax — the same deterministic tie-break the engine's
@@ -1061,6 +1087,44 @@ object SparkEntry {
       graft.operators.Events.rfmSegments(t(s, dir, "events"),
           "user_id", "event_type", "ts", "value", "purchase")
         .withColumnRenamed("user", "user_id")
+    }),
+
+    // 3-truss of the co-purchase graph (every edge triangle-supported):
+    // simultaneous edge peel on per-edge triangle support
+    // (degree-oriented enumeration per round), exact count-witness
+    // convergence. Oracle unrolls 6 idempotent id-ordered peel rounds.
+    "q_ktruss" -> ((s, dir) => {
+      graft.operators.Graph.kTruss(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        "src", "dst", k = 3)
+    }),
+
+    // Interval coverage per user over [ts, ts+1h) activity windows:
+    // gaps-and-islands merge under one key-ordered window; exact long
+    // arithmetic, one IEEE-exact division for the ratio.
+    "q_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("user_id"),
+        col("ts").cast("long").as("s"),
+        (col("ts").cast("long") + lit(3600000000000L)).as("e"))
+      graft.operators.Events.intervalCoverage(iv, "user_id", "s", "e")
+    }),
+
+    // Mean pairwise cosine of a deterministic 1-in-5 embedding sample —
+    // the corpus-diversity audit dedup quality is judged by. Diversity
+    // audits are bounded-sample by definition: the all-pairs join is
+    // over the SAMPLE (n²/2 pairs of a few hundred rows), never the
+    // corpus; the codegen'd cosine matches DuckDB's fold bit-for-bit.
+    "q_sample_diversity" -> ((s, dir) => {
+      val sample = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      sample.as("a").join(sample.as("b"), col("a.id") < col("b.id"))
+        .select(graft.functions.Vectors.cosineSim(
+          col("a.v"), col("b.v")).as("cs"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("cs"), 6).as("mean_cosine"),
+          round(min("cs"), 6).as("min_cosine"),
+          round(max("cs"), 6).as("max_cosine"))
     }),
 
     // Degree assortativity of the co-purchase graph: do hubs link to
@@ -3666,6 +3730,39 @@ object SparkEntry {
          |  CASE WHEN d.d >= 2 THEN
          |    round(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 6) END AS coeff
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
+    "q_ktruss" -> ktrussOracleSql(k = 3, rounds = 6),
+    "q_interval_coverage" ->
+      """WITH iv AS (SELECT user_id AS key, epoch_ns(ts) AS s,
+        |    epoch_ns(ts) + 3600000000000 AS e FROM events),
+        |f AS (SELECT key, s, e, MAX(e) OVER (PARTITION BY key
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS pme
+        |  FROM iv),
+        |g AS (SELECT key, s, e,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni,
+        |    CASE WHEN pme IS NOT NULL AND s > pme THEN s - pme
+        |      ELSE 0 END AS gap
+        |  FROM f),
+        |h AS (SELECT key, s, e, gap, SUM(ni) OVER (PARTITION BY key
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS island
+        |  FROM g),
+        |isl AS (SELECT key, island, MIN(s) AS i0, MAX(e) AS i1,
+        |    MAX(gap) AS gap FROM h GROUP BY 1, 2)
+        |SELECT key, CAST(SUM(i1 - i0) AS BIGINT) AS covered_ns,
+        |  MAX(i1) - MIN(i0) AS span_ns,
+        |  CAST(CAST(SUM(i1 - i0) AS BIGINT) AS DOUBLE) /
+        |    (MAX(i1) - MIN(i0)) AS coverage,
+        |  count(*) AS n_islands, MAX(gap) AS longest_gap_ns
+        |FROM isl GROUP BY key""".stripMargin,
+    "q_sample_diversity" ->
+      """WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS (SELECT list_cosine_similarity(a.v, b.v) AS cs
+        |  FROM s a JOIN s b ON a.id < b.id)
+        |SELECT count(*) AS n_pairs, round(AVG(cs), 6) AS mean_cosine,
+        |  round(MIN(cs), 6) AS min_cosine, round(MAX(cs), 6) AS max_cosine
+        |FROM p""".stripMargin,
     "q_kfold" ->
       """SELECT CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)),
         |    1, 8))::UBIGINT % 5 AS BIGINT) AS fold,

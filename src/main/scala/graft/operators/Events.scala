@@ -151,6 +151,59 @@ object Events {
   }
 
   /**
+   * Interval coverage report (uptime / activity accounting): per key,
+   * merge possibly-overlapping [start, end) intervals into disjoint
+   * islands (the gaps-and-islands pattern) and report covered time,
+   * observed span, coverage ratio, island count, and the longest gap —
+   * the monitoring summary behind SLA accounting and user-activity
+   * coverage. Degenerate intervals (end ≤ start) are dropped up front
+   * (a zero-length interval covers nothing; a negative one is noise).
+   *
+   * Determinism: islands form under (start, end)-ordered running-max
+   * ends — a total order given the input intervals are distinct per
+   * key (duplicates merge into the same island regardless).
+   *
+   * Scale shape: ONE key-partitioned (start, end)-ordered window
+   * (running max of end over preceding rows marks island starts +
+   * running sum numbers them), then a (key, island)-keyed aggregate
+   * and a key-keyed rollup — rows carry (key, long, long). The
+   * per-key sort is the inherent cost of interval merging. All
+   * arithmetic is exact long math; the coverage ratio is one
+   * long/long→double division, IEEE-identical cross-engine.
+   *
+   * Returns (`key`, `covered_ns`, `span_ns`, `coverage`, `n_islands`,
+   * `longest_gap_ns` — 0 for a single island).
+   */
+  def intervalCoverage(intervals: DataFrame, keyCol: String,
+                       startCol: String, endCol: String): DataFrame = {
+    val iv = intervals.select(col(keyCol).as("key"),
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+      .filter(col("e") > col("s"))
+    val w = Window.partitionBy("key").orderBy(col("s"), col("e"))
+    val flagged = iv
+      .withColumn("prev_max_e",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1)
+          .otherwise(0))
+      .withColumn("gap",
+        when(col("new_island") === 1 && col("prev_max_e").isNotNull,
+          col("s") - col("prev_max_e")).otherwise(lit(0L)))
+      .withColumn("island",
+        sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = flagged.groupBy("key", "island")
+      .agg(min("s").as("is"), max("e").as("ie"), max("gap").as("gap"))
+    islands.groupBy("key")
+      .agg(sum(col("ie") - col("is")).as("covered_ns"),
+        (max("ie") - min("is")).as("span_ns"),
+        count(lit(1)).as("n_islands"),
+        max("gap").as("longest_gap_ns"))
+      .select(col("key"), col("covered_ns"), col("span_ns"),
+        (col("covered_ns").cast("double") / col("span_ns")).as("coverage"),
+        col("n_islands"), col("longest_gap_ns"))
+  }
+
+  /**
    * RFM customer segmentation (recency / frequency / monetary quintile
    * scores — the classic value-segmentation every CRM pipeline runs):
    * per user over their `conversionType` events, R = time since last

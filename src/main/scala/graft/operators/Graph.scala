@@ -653,6 +653,100 @@ object Graph {
   }
 
   /**
+   * k-truss decomposition (Cohen 2008): the maximal subgraph in which
+   * EVERY edge participates in at least k−2 triangles — the
+   * cohesive-community extractor one notch stronger than [[kCore]]
+   * (a k-core admits star centers; a k-truss demands triangle-tied
+   * edges, the structure spam rings fake hardest). Computed by
+   * simultaneous edge peeling to the unique fixpoint: per round,
+   * per-edge triangle support via degree-oriented enumeration (each
+   * triangle counted once from its lowest-(deg, id) corner — the same
+   * √E wedge bound as [[triangleCounts]]), then every under-supported
+   * edge drops at once.
+   *
+   * Convergence is detected by the surviving-edge COUNT (peeling only
+   * removes; an unchanged count is the fixpoint — an exact long, no
+   * float witness). Fails loudly at `maxIter`: a truncated peel
+   * returns a SUPERSET of the truss, the silent failure an exactness
+   * gate cannot admit. Same `checkpointDir` reliability contract as
+   * [[pageRank]].
+   *
+   * Returns the surviving canonical edges: (`src` < `dst`). May be
+   * empty (no k-truss) — that is an answer, not an error.
+   */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             maxIter: Int = 30,
+             checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 3, "k must be >= 3 (a 2-truss is every edge)")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val minSup = k - 2
+    var e = cut(edges
+      .select(col(srcCol).cast("long").as("s0"),
+        col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct())
+    require(!e.isEmpty, "kTruss on an empty edge frame")
+    var nEdges = e.count()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val deg = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      // orient each edge from its lower-(deg, id) endpoint
+      val withDeg = e
+        .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("da").as("dv"))).as("o"))
+        .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      // wedges at the shared low corner; close on the oriented (v, w)
+      val o2 = oriented.select(col("u").as("u2"), col("v").as("w"),
+        col("dv").as("dw"))
+      val wedges = oriented.join(o2, col("u") === col("u2") &&
+        (col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w"))))
+      val o3 = oriented.select(col("u").as("cv"), col("v").as("cw"))
+      val tris = wedges.join(o3,
+        col("v") === col("cv") && col("w") === col("cw"))
+      val support = tris.select(explode(array(
+          struct(least(col("u"), col("v")).as("ea"),
+            greatest(col("u"), col("v")).as("eb")),
+          struct(least(col("u"), col("w")).as("ea"),
+            greatest(col("u"), col("w")).as("eb")),
+          struct(least(col("v"), col("w")).as("ea"),
+            greatest(col("v"), col("w")).as("eb")))).as("ed"))
+        .select(col("ed.ea").as("ea"), col("ed.eb").as("eb"))
+        .groupBy("ea", "eb").agg(count(lit(1)).as("sup"))
+      val next = cut(e.join(support,
+          col("a") === col("ea") && col("b") === col("eb"))
+        .filter(col("sup") >= minSup)
+        .select("a", "b"))
+      val nNext = next.count()
+      if (nNext == nEdges) converged = true
+      else { e = next; nEdges = nNext; converged = nNext == 0 }
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kTruss did not converge in $maxIter rounds — raise maxIter; " +
+        s"a truncated peel silently returns a superset of the truss")
+    e.select(col("a").as("src"), col("b").as("dst"))
+  }
+
+  /**
    * Degree assortativity: the Pearson correlation of endpoint degrees
    * over the undirected edge set (each edge contributes both
    * orientations — the standard symmetric form), answering "do hubs

@@ -153,4 +153,24 @@ class EventsSpec extends SparkSpec {
     assert(got(2L) === ((2L, 50L, 1L, 20.0, 1, 1, 2)))
     assert(!got.contains(3L))
   }
+
+  test("intervalCoverage: islands merge, gaps measured, degenerates drop") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 40L), // two islands, gap 10
+      (2L, 0L, 5L),                                  // single island
+      (3L, 7L, 7L), (3L, 1L, 2L)                     // zero-length dropped
+    ).toDF("user_id", "s", "e")
+    val got = Events.intervalCoverage(iv, "user_id", "s", "e")
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 30L, 40L, 0.75, 2L, 10L)))
+    assert(got(2L) === ((2L, 5L, 5L, 1.0, 1L, 0L)))
+    assert(got(3L) === ((3L, 1L, 1L, 1.0, 1L, 0L)))
+    // contained interval never opens an island
+    val contained = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 50L, 120L))
+      .toDF("user_id", "s", "e")
+    val c = Events.intervalCoverage(contained, "user_id", "s", "e")
+      .as[(Long, Long, Long, Double, Long, Long)].head()
+    assert(c === ((1L, 120L, 120L, 1.0, 1L, 0L)))
+  }
 }

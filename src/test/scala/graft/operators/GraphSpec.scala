@@ -562,4 +562,27 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Option[Double])].head()
     assert(rc._1 === 4L && rc._2.isEmpty)
   }
+
+  test("kTruss: K4 survives a 4-truss, appendages peel; fail-loud cap") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + triangle spur {3,4,5} + pendant 1-9
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (1L, 9L)).toDF("src", "dst")
+    val got = Graph.kTruss(e, "src", "dst", k = 4)
+      .as[(Long, Long)].collect().toSet
+    // spur edges have support 1 < 2 and peel; K4's six edges remain
+    assert(got === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    // triangle-free graph: empty truss is an answer
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    assert(Graph.kTruss(cyc, "src", "dst", k = 3).count() === 0L)
+    // truncation fails loud (this peel needs 2+ rounds to stabilize)
+    intercept[IllegalStateException] {
+      Graph.kTruss(e, "src", "dst", k = 4, maxIter = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(e, "src", "dst", k = 2)
+    }
+  }
 }
