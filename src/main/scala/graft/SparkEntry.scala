@@ -4141,7 +4141,7 @@ object SparkEntry {
         |  WHERE l_partkey IS NOT NULL),
         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
         |ca AS (SELECT j,
-        |    (('0x' || substr(md5('42:' || j || ':' || k), 1, 8))::UBIGINT
+        |    (('0x' || substr(md5('42:' || k), 1 + 8 * j, 8))::UBIGINT
         |      % 8192) AS bucket, count(*) AS c
         |  FROM ra, js GROUP BY 1, 2),
         |ip AS (SELECT a.j, SUM(a.c * b.c) AS ip

@@ -386,14 +386,21 @@ object Sketches {
                            width: Int = 8192, depth: Int = 4,
                            seed: Int = 42,
                            exactToo: Boolean = true): DataFrame = {
-    require(width > 0 && depth > 0, "width and depth must be positive")
+    require(width > 0, "width must be positive")
+    require(depth >= 1 && depth <= 4,
+      s"depth must be in [1, 4] (each row gets ONE md5; the rows' $depth " +
+        s"buckets come from disjoint 32-bit digest slices)")
     def counters(df: DataFrame, key: String, side: String): DataFrame = {
-      val rows = df.filter(col(key).isNotNull)
-        .select(col(key).cast("string").as("k"),
-          explode(array((0 until depth).map(lit): _*)).as("j"))
-      rows.select(col("j"),
-          (expr(s"conv(substring(md5(concat('$seed:', j, ':', k)), 1, 8), 16, 10)")
-            .cast("long") % width).as("bucket"))
+      // ONE md5 per row — the depth hash functions are disjoint 32-bit
+      // slices of the 128-bit digest (md5 bits are independent), which
+      // quarters the sketch pass's hashing cost vs a hash per (row, j)
+      // and keeps buckets deterministic for the SQL replica
+      val hashed = df.filter(col(key).isNotNull)
+        .select(md5(concat(lit(s"$seed:"), col(key).cast("string"))).as("h"))
+      hashed.select(posexplode(array((0 until depth).map { j =>
+          expr(s"conv(substring(h, ${1 + 8 * j}, 8), 16, 10)")
+            .cast("long") % width
+        }: _*)).as(Seq("j", "bucket")))
         .groupBy("j", "bucket").agg(count(lit(1)).as(s"c_$side"))
     }
     val ca = counters(a, aKey, "a")
