@@ -643,6 +643,26 @@ object SparkEntry {
     // day-2 delta merged O(delta), estimate from the stored union. The
     // error-bound gate + exact count is the same oracle shape as
     // q_approx_distinct.
+    // KMV bottom-k corpus-overlap: Jaccard of viewer vs purchaser user
+    // sets from two TakeOrdered hash passes — the estimate is
+    // deterministic (md5 order), so the oracle reproduces it exactly
+    // alongside the exact Jaccard.
+    "q_corpus_jaccard" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Sketches.kmvJaccard(
+        e.filter(col("event_type") === "view").select("user_id"), "user_id",
+        e.filter(col("event_type") === "purchase").select("user_id"),
+        "user_id", k = 64)
+    }),
+
+    // Pareto concentration: share of purchase value held by the top
+    // 10% of users — one keyed sum + a ranking over keys.
+    "q_pareto" -> ((s, dir) => {
+      graft.operators.Events.paretoReport(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "value", fraction = 0.1)
+    }),
+
     // HLL inclusion-exclusion overlap screen: how many users both
     // viewed and purchased — two O(n) sketch scans, no join; gated on
     // the documented 3-sigma bound against the exact semi-join count.
@@ -4551,6 +4571,42 @@ object SparkEntry {
     "q_hll_ledger" ->
       """SELECT true AS within_5pct, count(DISTINCT user_id) AS exact_users
         |FROM events""".stripMargin,
+    "q_corpus_jaccard" ->
+      """WITH va AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+        |  ORDER BY h LIMIT 64),
+        |vb AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  ORDER BY h LIMIT 64),
+        |u AS (SELECT h FROM (SELECT h FROM va UNION SELECT h FROM vb)
+        |  ORDER BY h LIMIT 64),
+        |st AS (SELECT count(*) AS k_used,
+        |    SUM(CASE WHEN h IN (SELECT h FROM va)
+        |      AND h IN (SELECT h FROM vb) THEN 1 ELSE 0 END) AS inter
+        |  FROM u),
+        |ea AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |eb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |ex AS (SELECT (SELECT count(*) FROM ea) AS na,
+        |  (SELECT count(*) FROM eb) AS nb,
+        |  (SELECT count(*) FROM ea WHERE k IN (SELECT k FROM eb)) AS ni)
+        |SELECT CAST(st.k_used AS BIGINT) AS k_used,
+        |  CAST(st.inter AS DOUBLE) / st.k_used AS est_jaccard,
+        |  CAST(ex.ni AS DOUBLE) / (ex.na + ex.nb - ex.ni) AS exact_jaccard
+        |FROM st, ex""".stripMargin,
+    "q_pareto" ->
+      """WITH s AS (SELECT user_id AS k, SUM(value) AS v FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT k, v, row_number() OVER (ORDER BY v DESC, k) AS rn,
+        |    count(*) OVER () AS n FROM s)
+        |SELECT MAX(n) AS n_keys, CAST(ceil(MAX(n) * 0.1) AS BIGINT)
+        |    AS head_keys,
+        |  round(SUM(CASE WHEN rn <= ceil(n * 0.1) THEN v END) / SUM(v), 4)
+        |    AS head_share,
+        |  round((SUM(CASE WHEN rn <= ceil(n * 0.1) THEN v END) / SUM(v))
+        |    / 0.1, 4) AS concentration
+        |FROM r""".stripMargin,
     "q_hll_intersect" ->
       """SELECT true AS within_bound, count(*) AS exact_overlap FROM (
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'

@@ -151,6 +151,43 @@ object Events {
   }
 
   /**
+   * Pareto concentration report ("what share of value comes from the
+   * top X% of keys?") — the whale-dependence metric behind both
+   * revenue risk and corpus-source concentration audits. Keys are
+   * ranked by their summed value (ties to the smaller key — total
+   * order), the top ⌈fraction·n⌉ keys form the head, and the report
+   * is one row: key count, head size, head share, plus the Gini-free
+   * quick ratio head_share/fraction (1 = perfectly uniform).
+   *
+   * Scale shape: one key-keyed sum (map-side combined) → ranking over
+   * KEYS (≪ rows; same single-partition caveat + chunked-prefix
+   * escape as [[Profiling.skewReport]]'s Gini) → one scalar
+   * aggregate. Share is 4dp (fold-order ulps on the double sums).
+   *
+   * Returns (`n_keys`, `head_keys`, `head_share`, `concentration`).
+   */
+  def paretoReport(df: DataFrame, keyCol: String, valueCol: String,
+                   fraction: Double = 0.1): DataFrame = {
+    require(fraction > 0 && fraction < 1, "fraction must be in (0, 1)")
+    val sums = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      .agg(sum(col(valueCol).cast("double")).as("v"))
+    val ranked = sums
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v").desc, col("k"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked.agg(max("n").as("n_keys"),
+        ceil(max("n") * fraction).as("head_keys"),
+        sum("v").as("__total"),
+        sum(when(col("rn") <= ceil(col("n") * fraction), col("v")))
+          .as("__head"))
+      .select(col("n_keys"), col("head_keys"),
+        round(col("__head") / col("__total"), 4).as("head_share"),
+        round((col("__head") / col("__total")) / fraction, 4)
+          .as("concentration"))
+  }
+
+  /**
    * Interval coverage report (uptime / activity accounting): per key,
    * merge possibly-overlapping [start, end) intervals into disjoint
    * islands (the gaps-and-islands pattern) and report covered time,

@@ -470,6 +470,65 @@ object Sketches {
       .head().getLong(0)
 
   /**
+   * KMV (k-minimum-values / bottom-k sketch) Jaccard similarity
+   * between two key SETS (Bar-Yossef et al. 2002; Beyer et al. 2007):
+   * est = |U ∩ S_A ∩ S_B| / k where S_X is the k smallest distinct key
+   * hashes of side X and U the k smallest of S_A ∪ S_B — the corpus-
+   * overlap ratio ("how similar are these two crawls?") from two
+   * bottom-k passes, no key join. Unlike [[approxIntersection]]'s
+   * inclusion-exclusion, the KMV estimator is a direct sample of the
+   * union, so its error concentrates around the RATIO (±~1/√k)
+   * rather than scaling with the union size.
+   *
+   * The hash is the md5 hex string (lexicographic order == uniform
+   * order), so the ESTIMATE is deterministic and the SQL oracle
+   * reproduces it bit-for-bit — the same portability contract as the
+   * md5 samplers. `exactToo` adds the exact Jaccard via distinct-key
+   * joins for gating.
+   *
+   * Scale shape: per side, distinct hashes reduce map-side and the
+   * bottom-k is a `TakeOrdered` (per-partition heaps, no global
+   * sort); everything after operates on ≤ 3k driver-collected hash
+   * strings — O(k), corpus-independent. The exact pass (when
+   * requested) is two distinct-key aggregates + a semi-join — the
+   * thing the sketch exists to avoid at 100 TB; gate-only.
+   *
+   * Returns one row: (`k_used`, `est_jaccard`, and with `exactToo`
+   * `exact_jaccard`) — exact long/long→double divisions, no rounding.
+   */
+  def kmvJaccard(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                 k: Int = 1024, exactToo: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = a.sparkSession
+    def bottomK(df: DataFrame, key: String): Array[String] =
+      df.filter(col(key).isNotNull)
+        .select(md5(col(key).cast("string")).as("h"))
+        .distinct().orderBy("h").limit(k)
+        .collect().map(_.getString(0))
+    val sa = bottomK(a, aKey)
+    val sb = bottomK(b, bKey)
+    // k smallest of the union; est = fraction of them in BOTH sets
+    val u = (sa ++ sb).distinct.sorted.take(k)
+    val saSet = sa.toSet
+    val sbSet = sb.toSet
+    val kUsed = u.length // < k only when |A ∪ B| < k (then est is exact)
+    val inter = u.count(h => saSet(h) && sbSet(h))
+    val est = inter.toDouble / kUsed
+    import spark.implicits._
+    val base = Seq((kUsed.toLong, est)).toDF("k_used", "est_jaccard")
+    if (!exactToo) return base
+    val da = a.filter(col(aKey).isNotNull)
+      .select(col(aKey).cast("string").as("ka")).distinct()
+    val db = b.filter(col(bKey).isNotNull)
+      .select(col(bKey).cast("string").as("kb")).distinct()
+    val na = da.count()
+    val nb = db.count()
+    val ni = da.join(db, da("ka") === db("kb"), "left_semi").count()
+    base.withColumn("exact_jaccard",
+      lit(ni.toDouble / (na + nb - ni).toDouble))
+  }
+
+  /**
    * Approximate distinct-set OVERLAP between two key columns by
    * HLL inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, with all
    * three terms from HLL sketches and the union formed by sketch

@@ -173,4 +173,19 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Long, Long)].head()
     assert(c === ((1L, 120L, 120L, 1.0, 1L, 0L)))
   }
+
+  test("paretoReport: hand-computed head share and concentration") {
+    // 10 users: one whale (100) + nine 1s; top 20% (2 keys) hold 101/109
+    val rows = (1L to 10L).map(u =>
+      (u, u, "p", 1L, if (u == 1L) 100.0 else 1.0))
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.paretoReport(df, "user_id", "value", fraction = 0.2)
+      .as[(Long, Long, Double, Double)].head()
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === ((10L, 2L, r4(101.0 / 109), r4(101.0 / 109 / 0.2))))
+    intercept[IllegalArgumentException] {
+      Events.paretoReport(df, "user_id", "value", fraction = 1.5)
+    }
+  }
 }

@@ -304,4 +304,31 @@ class SketchesSpec extends SparkSpec {
     assert(n.getAs[Long]("est_a") === 2L)
     assert(n.getAs[Long]("est_intersect") === 2L)
   }
+
+  test("kmvJaccard: identical sets -> 1, disjoint -> 0, small union exact") {
+    import spark.implicits._
+    val a = (1L to 300L).toDF("k")
+    val same = Sketches.kmvJaccard(a, "k", a, "k", k = 64).head()
+    assert(same.getAs[Double]("est_jaccard") === 1.0)
+    assert(same.getAs[Double]("exact_jaccard") === 1.0)
+    val dis = Sketches.kmvJaccard(a, "k", (1000L to 1300L).toDF("k"), "k",
+      k = 64).head()
+    assert(dis.getAs[Double]("est_jaccard") === 0.0)
+    assert(dis.getAs[Double]("exact_jaccard") === 0.0)
+    // union smaller than k: the sketch IS the set -> est == exact
+    val b = (26L to 75L).toDF("k") // |A∩B| = 25, |A∪B| = 75 with A=1..50
+    val sm = Sketches.kmvJaccard((1L to 50L).toDF("k"), "k", b, "k",
+      k = 1024).head()
+    assert(sm.getAs[Long]("k_used") === 75L)
+    assert(sm.getAs[Double]("est_jaccard") ===
+      sm.getAs[Double]("exact_jaccard"))
+    assert(sm.getAs[Double]("exact_jaccard") === 25.0 / 75)
+    // estimate lands near the truth at moderate k
+    val big = Sketches.kmvJaccard((1L to 2000L).toDF("k"), "k",
+      (1001L to 3000L).toDF("k"), "k", k = 512).head()
+    val est = big.getAs[Double]("est_jaccard")
+    val ex = big.getAs[Double]("exact_jaccard")
+    assert(math.abs(est - ex) < 5.0 / math.sqrt(512),
+      s"est $est vs exact $ex")
+  }
 }
