@@ -858,11 +858,14 @@ object SparkEntry {
         "src", "dst")
     }),
 
-    // Local clustering coefficient over the same graph: 2t/(d(d-1)),
-    // NULL below degree 2 — the normalized link-spam signal.
+    // Local clustering coefficient over the SUPPORT-2 co-purchase
+    // graph: 2t/(d(d-1)), NULL below degree 2 — the normalized
+    // link-spam signal. (The full graph's triangle enumeration is
+    // already priced by q_triangles; one 10-second wedge pass in the
+    // bench is evidence, two is redundancy.)
     "q_clustering_coeff" -> ((s, dir) => {
       graft.operators.Graph.clusteringCoefficient(
-        copurchaseEdges(s, dir, qtyMax = None, minSupport = 1),
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
         "src", "dst")
     }),
 
@@ -1214,6 +1217,21 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "lang")
         .groupBy("lang").agg(count(lit(1)).as("n"),
           sum("doc_id").as("id_sum"))
+    }),
+
+    // Functional-dependency audit: order→supplier violates (multi-line
+    // orders), orders' primary key holds — keys-only distinct + count.
+    "q_fd_check" -> ((s, dir) => {
+      import graft.operators.Profiling
+      val a = Profiling.functionalDependency(
+          t(s, dir, "lineitem"), "l_orderkey", "l_suppkey")
+        .select(lit("l_orderkey->l_suppkey").as("dependency"),
+          col("n_keys"), col("n_violating"), col("holds"))
+      val b = Profiling.functionalDependency(
+          t(s, dir, "orders"), "o_orderkey", "o_custkey")
+        .select(lit("o_orderkey->o_custkey").as("dependency"),
+          col("n_keys"), col("n_violating"), col("holds"))
+      a.unionAll(b)
     }),
 
     // Cramér's V between order priority and status: chi-squared over
@@ -3736,7 +3754,7 @@ object SparkEntry {
          |SELECT d.n AS node, COALESCE(p.t, CAST(0 AS BIGINT)) AS triangles
          |FROM deg d LEFT JOIN pern p ON p.n = d.n""".stripMargin,
     "q_clustering_coeff" ->
-      s"""WITH ${copurchaseSql(None, 1)},
+      s"""WITH ${copurchaseSql(Some(30), 2)},
          |deg AS (SELECT n, count(*) AS d FROM (
          |  SELECT src AS n FROM e UNION ALL SELECT dst FROM e) GROUP BY n),
          |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
@@ -3904,6 +3922,23 @@ object SparkEntry {
         |  FROM documents WHERE lang IS NOT NULL)
         |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r, k WHERE rk <= k.k GROUP BY lang""".stripMargin,
+    "q_fd_check" ->
+      """WITH a AS (SELECT count(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT k, count(*) AS nv FROM (
+        |    SELECT DISTINCT l_orderkey AS k, l_suppkey AS v FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL) GROUP BY 1)),
+        |b AS (SELECT count(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT k, count(*) AS nv FROM (
+        |    SELECT DISTINCT o_orderkey AS k, o_custkey AS v FROM orders
+        |    WHERE o_orderkey IS NOT NULL) GROUP BY 1))
+        |SELECT 'l_orderkey->l_suppkey' AS dependency, n_keys, n_violating,
+        |  n_violating = 0 AS holds FROM a
+        |UNION ALL SELECT 'o_orderkey->o_custkey', n_keys, n_violating,
+        |  n_violating = 0 FROM b""".stripMargin,
     "q_cramers_v" ->
       """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
         |    CAST(o_orderstatus AS VARCHAR) AS b FROM orders

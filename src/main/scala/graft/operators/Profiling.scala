@@ -224,6 +224,34 @@ object Profiling {
   }
 
   /**
+   * Functional-dependency check: does `detCol` determine `depCol`
+   * (every determinant value maps to exactly one dependent value)?
+   * The schema-inference / data-quality primitive behind key
+   * discovery and denormalization audits — a violated "id → payload"
+   * dependency is exactly the duplicate-key corruption
+   * [[snapshotDiff]] fails loudly on.
+   *
+   * NULL determinants are excluded (a null key determines nothing);
+   * NULL dependents count as a value (two rows mapping one key to
+   * NULL and 'x' ARE a violation — null-safe distinctness).
+   *
+   * Scale shape: one (det, dep)-keyed distinct (map-side combined)
+   * then one det-keyed count — keys only, no payloads. Returns one
+   * row: (`n_keys`, `n_violating`, `holds`).
+   */
+  def functionalDependency(df: DataFrame, detCol: String,
+                           depCol: String): DataFrame = {
+    val pairs = df.filter(col(detCol).isNotNull)
+      .select(col(detCol).as("k"), col(depCol).as("v"))
+      .distinct()
+    pairs.groupBy("k").agg(count(lit(1)).as("nv"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(col("n_keys"), col("n_violating"),
+        (col("n_violating") === 0).as("holds"))
+  }
+
+  /**
    * Mutual information (nats) between two categorical columns, with
    * entropies and the normalized form NMI = MI/√(H(a)·H(b)) — the
    * information-theoretic companion of [[cramersV]] (χ² weights rare

@@ -200,4 +200,18 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.mutualInformation(const, "a", "b")
       .as[(Long, Double, Double, Double, Option[Double])].head()._5.isEmpty)
   }
+
+  test("functionalDependency: violations counted, null semantics pinned") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, Some("a")), // duplicate pair: fine
+      (2L, Some("a")), (2L, Some("b")),            // violation
+      (3L, None), (3L, Some("x")),                 // null dep IS a value
+      (4L, None)).toDF("k", "v")
+    val got = Profiling.functionalDependency(df, "k", "v")
+      .as[(Long, Long, Boolean)].head()
+    assert(got === ((4L, 2L, false)))
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(Profiling.functionalDependency(clean, "k", "v")
+      .as[(Long, Long, Boolean)].head() === ((2L, 0L, true)))
+  }
 }
