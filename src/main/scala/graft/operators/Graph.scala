@@ -854,7 +854,9 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String,
                             maxBroadcastEdges: Long = 4L << 20): DataFrame = {
-    val tri = triangleCounts(edges, srcCol, dstCol, maxBroadcastEdges)
+    // canonicalize ONCE and cut: both the triangle pass and the degree
+    // pass consume this frame, and an expensive upstream edge
+    // derivation (a co-occurrence self-join) must not run twice
     val canon = edges
       .select(col(srcCol).cast("long").as("s0"),
         col(dstCol).cast("long").as("d0"))
@@ -862,6 +864,8 @@ object Graph {
       .select(least(col("s0"), col("d0")).as("a"),
         greatest(col("s0"), col("d0")).as("b"))
       .distinct()
+      .localCheckpoint(true)
+    val tri = triangleCounts(canon, "a", "b", maxBroadcastEdges)
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
