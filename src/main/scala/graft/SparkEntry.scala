@@ -178,6 +178,33 @@ object SparkEntry {
        |SELECT node, d AS dist FROM s$rounds""".stripMargin
   }
 
+  /** Benford first-digit oracle: the expectation table is emitted as
+    * Double.toString literals of the SAME Scala-computed log10 values
+    * the engine uses (round-trip exact), so no libm log10 delta can
+    * enter the chi-squared arithmetic. */
+  private def benfordOracleSql: String = {
+    val rows = (1 to 9).map(d =>
+      s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+    s"""WITH b AS (SELECT digit, CAST(benford_share AS DOUBLE)
+       |    AS benford_share
+       |  FROM (VALUES $rows) t(digit, benford_share)),
+       |d AS (SELECT CAST(regexp_extract(CAST(v AS VARCHAR), '([1-9])', 1)
+       |    AS INTEGER) AS digit
+       |  FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+       |        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+       |  WHERE regexp_extract(CAST(v AS VARCHAR), '([1-9])', 1) <> ''),
+       |c AS (SELECT digit, count(*) AS observed FROM d GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+       |SELECT b.digit, COALESCE(c.observed, 0) AS observed,
+       |  round(COALESCE(c.observed, 0) / CAST(nn.n AS DOUBLE), 6)
+       |    AS obs_share,
+       |  round(b.benford_share, 6) AS benford_share,
+       |  round(((COALESCE(c.observed, 0) - nn.n * b.benford_share) *
+       |         (COALESCE(c.observed, 0) - nn.n * b.benford_share)) /
+       |    (nn.n * b.benford_share), 6) AS chi2_term
+       |FROM b LEFT JOIN c ON c.digit = b.digit, nn""".stripMargin
+  }
+
   /** Unrolled k-truss peel oracle: per round, id-ordered triangle
     * enumeration (a<b<c — a different generation order from the
     * engine's degree orientation, same triangle set), per-edge support
@@ -1217,6 +1244,14 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "lang")
         .groupBy("lang").agg(count(lit(1)).as("n"),
           sum("doc_id").as("id_sum"))
+    }),
+
+    // Benford first-digit audit of order totals: textual leading-digit
+    // extraction (rendering-invariant), 9-row expectation join, chi2
+    // terms per digit.
+    "q_benford" -> ((s, dir) => {
+      graft.operators.Profiling.benfordAudit(
+        t(s, dir, "orders"), "o_totalprice")
     }),
 
     // Functional-dependency audit: order→supplier violates (multi-line
@@ -3922,6 +3957,7 @@ object SparkEntry {
         |  FROM documents WHERE lang IS NOT NULL)
         |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r, k WHERE rk <= k.k GROUP BY lang""".stripMargin,
+    "q_benford" -> benfordOracleSql,
     "q_fd_check" ->
       """WITH a AS (SELECT count(*) AS n_keys,
         |    CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)

@@ -224,6 +224,53 @@ object Profiling {
   }
 
   /**
+   * Benford's-law first-digit audit: the observed leading-digit
+   * distribution of a positive numeric column against Benford's
+   * log₁₀(1 + 1/d) expectation, with per-digit χ² contributions — the
+   * classic fabricated-data / synthetic-corruption screen for
+   * naturally-scaled quantities (amounts, populations, file sizes).
+   * Zero/negative/null values are excluded (Benford applies to
+   * positive magnitudes).
+   *
+   * The leading digit is extracted TEXTUALLY (first digit char of the
+   * plain decimal rendering) — floating-point division chains disagree
+   * cross-engine on boundary magnitudes; the first significant decimal
+   * digit of the value is a string fact both engines agree on.
+   *
+   * Scale shape: map-only digit extraction → one ≤ 9-group aggregate;
+   * the expectation join is a 9-row literal. Returns one row per digit
+   * 1-9: (`digit`, `observed`, `obs_share` 6dp, `benford_share` 6dp,
+   * `chi2_term` 6dp — Σ over digits is the χ² statistic against
+   * n·benford).
+   */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("v") > 0)
+      // strip sign/zeros/dot: first char in 1-9 of the decimal rendering
+      .select(regexp_extract(col("v").cast("string"),
+        "([1-9])", 1).as("d"))
+      .filter(col("d") =!= "")
+      .select(col("d").cast("int").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("observed"))
+    val n = digits.count()
+    require(n > 0, "benfordAudit needs positive values")
+    val expect = (1 to 9).map(d =>
+      (d, math.log10(1.0 + 1.0 / d))).toDF("digit", "benford_share")
+    expect.join(counts, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        col("benford_share"))
+      .select(col("digit"), col("observed"),
+        round(col("observed") / n.toDouble, 6).as("obs_share"),
+        round(col("benford_share"), 6).as("benford_share"),
+        round(((col("observed") - lit(n) * col("benford_share")) *
+          (col("observed") - lit(n) * col("benford_share"))) /
+          (lit(n) * col("benford_share")), 6).as("chi2_term"))
+  }
+
+  /**
    * Functional-dependency check: does `detCol` determine `depCol`
    * (every determinant value maps to exactly one dependent value)?
    * The schema-inference / data-quality primitive behind key

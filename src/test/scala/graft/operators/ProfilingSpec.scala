@@ -214,4 +214,22 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.functionalDependency(clean, "k", "v")
       .as[(Long, Long, Boolean)].head() === ((2L, 0L, true)))
   }
+
+  test("benfordAudit: digits pinned, shares sum, guards") {
+    import spark.implicits._
+    // values with known leading digits: 1,1,2,9 (0.0034 -> 3; skip: use
+    // explicit) — leading digits: 123->1, 0.19->1, 2e3->2, 9.5->9
+    val df = Seq(123.0, 0.19, 2000.0, 9.5, -7.0, 0.0).toDF("v")
+    val got = Profiling.benfordAudit(df, "v")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === (1 to 9).toSet)
+    assert(got(1)._2 === 2L && got(2)._2 === 1L && got(9)._2 === 1L)
+    assert(got(3)._2 === 0L) // absent digit still reported
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-4)
+    intercept[IllegalArgumentException] {
+      Profiling.benfordAudit(Seq(-1.0, 0.0).toDF("v"), "v")
+    }
+  }
 }
