@@ -810,8 +810,10 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6)
-        .select(col("node"), round(col("pr"), 6).as("pr"))
+      val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iters = 6)
+      pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
+        .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),
 
     // Personalized PageRank from a 3-seed teleport set (TrustRank
@@ -845,9 +847,10 @@ object SparkEntry {
       val edges = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
-          weightCol = Some("w"))
-        .select(col("node"), round(col("pr"), 6).as("pr"))
+      val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iters = 6, weightCol = Some("w"))
+      pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
+        .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),
 
     // Mass-conserving PageRank: supplier→part edges leave most parts
@@ -858,9 +861,10 @@ object SparkEntry {
     "q_pagerank_dangling" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
-          redistributeDangling = true)
-        .select(col("node"), round(col("pr"), 6).as("pr"))
+      val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iters = 6, redistributeDangling = true)
+      pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
+        .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),
 
     // Connected components over the support-2 co-purchase graph (parts
@@ -3632,25 +3636,25 @@ object SparkEntry {
         |ce AS (SELECT e.src, e.dst, 1.0/d.deg AS w
         |       FROM edges e JOIN deg d ON e.src = d.src),
         |p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
-        |p1 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p1 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p0 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p2 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p2 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p1 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p3 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p3 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p2 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p4 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p4 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p3 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p5 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p5 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p6 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p6 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
-        |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+        |SELECT node, ROUND(r * (SELECT CAST(count(*) AS DOUBLE) FROM nodes), 6) AS pr_n FROM p6""".stripMargin,
     "q_ppr" -> pprOracleSql(iters = 6, seeds = Seq(1L, 2L, 3L)),
     // HITS: three unrolled rounds; each round = in-sum, L2 norm,
     // out-sum, L2 norm. The norm scalar subqueries read each raw frame
@@ -3699,25 +3703,25 @@ object SparkEntry {
         |ce AS (SELECT e.src, e.dst, e.w0/o.ow AS w
         |       FROM edges e JOIN ow o ON e.src = o.src),
         |p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
-        |p1 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p1 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p0 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p2 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p2 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p1 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p3 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p3 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p2 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p4 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p4 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p3 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p5 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p5 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p6 AS (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |p6 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
-        |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+        |SELECT node, ROUND(r * (SELECT CAST(count(*) AS DOUBLE) FROM nodes), 6) AS pr_n FROM p6""".stripMargin,
     // mass-conserving variant: per round, the dangling nodes' pooled rank
     // (scalar subquery over the previous iterate) is redistributed evenly
     // — same six unrolled rounds, supplier→part edges so most parts dangle
@@ -3730,37 +3734,37 @@ object SparkEntry {
         |ce AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.deg AS w
         |       FROM edges e JOIN deg d ON e.src = d.src),
         |p0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
-        |p1 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |p1 AS MATERIALIZED (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
         |    (SELECT COALESCE(SUM(p.r), 0) FROM p0 p
         |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p0 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p2 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |p2 AS MATERIALIZED (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
         |    (SELECT COALESCE(SUM(p.r), 0) FROM p1 p
         |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p1 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p3 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |p3 AS MATERIALIZED (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
         |    (SELECT COALESCE(SUM(p.r), 0) FROM p2 p
         |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p2 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p4 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |p4 AS MATERIALIZED (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
         |    (SELECT COALESCE(SUM(p.r), 0) FROM p3 p
         |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p3 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p5 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |p5 AS MATERIALIZED (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
         |    (SELECT COALESCE(SUM(p.r), 0) FROM p4 p
         |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
-        |p6 AS MATERIALIZED (SELECT n.node, 0.15/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
+        |p6 AS MATERIALIZED (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.s, 0) +
         |    (SELECT COALESCE(SUM(p.r), 0) FROM p5 p
         |     WHERE p.node NOT IN (SELECT src FROM edges))/(SELECT n FROM nn)) AS r
         |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
         |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
-        |SELECT node, ROUND(r, 6) AS pr FROM p6""".stripMargin,
+        |SELECT node, ROUND(r * (SELECT CAST(count(*) AS DOUBLE) FROM nodes), 6) AS pr_n FROM p6""".stripMargin,
     // components = min reachable node id, computed by a recursive CTE
     // (DuckDB iterates UNION-dedup'd reachability to fixpoint); the
     // engine's pointer-jumping propagation converges to the same min

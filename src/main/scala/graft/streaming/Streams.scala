@@ -401,7 +401,14 @@ object Streams {
     }
 
     val input = MemoryStream[DocEvent]
-    val verdicts = nearDupVerdicts(input.toDS())
+    // the drive asserts FULL recall over its replay, so the state TTL
+    // must cover the whole synthetic timeline: at 1 s spacing a 5 000-doc
+    // corpus spans 83 min and the operator's default 1 h TTL (correct
+    // production behavior — old docs age out of the dedup window) was
+    // silently evicting early originals before their plants arrived
+    val spanMs = (originals.length + plantEvents.length + 2) * 1000L
+    val verdicts = nearDupVerdicts(input.toDS(),
+      stateTtlMs = spanMs + 60 * 60 * 1000L)
     val sinkName = "graft_neardup_stream_out"
     spark.catalog.dropTempView(sinkName)
     // see sessionizeStreamParity: pin the scratch stream's state rounds
