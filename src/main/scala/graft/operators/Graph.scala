@@ -955,12 +955,16 @@ object Graph {
         .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
       val next = cut(dist.unionAll(cand)
         .groupBy("node").agg(min("d").as("d")))
-      // exact improvement witness: new/improved node count (keys only)
-      val improved = next.join(
-          dist.select(col("node"), col("d").as("__od")), Seq("node"), "left")
-        .filter(col("__od").isNull || col("d") < col("__od"))
-        .limit(1).count()
-      if (improved == 0) done = true else dist = next
+      if (hop == maxHops) dist = next // last round: exit regardless —
+      // the witness would be a pure extra job
+      else {
+        // exact improvement witness: new/improved node count (keys only)
+        val improved = next.join(
+            dist.select(col("node"), col("d").as("__od")), Seq("node"), "left")
+          .filter(col("__od").isNull || col("d") < col("__od"))
+          .limit(1).count()
+        if (improved == 0) done = true else dist = next
+      }
       hop += 1
     }
     dist.select(col("node"), col("d").as("dist"))
