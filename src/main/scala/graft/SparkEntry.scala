@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.EsHash
 import graft.operators.ShardPartitioning
 import graft.sources.Ingest
+import graft.core.LineageCut._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1869,7 +1870,7 @@ object SparkEntry {
       // re-run the whole dup-graph machinery and re-scan the source
       val assigned = Splits.assignLeakageSafe(docs.unionAll(plants),
         "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .localCheckpoint(true)
+        .lineageCut()
       val o = assigned.select(col("doc_id").as("oid"), col("split").as("osplit"))
       val p = assigned.select((col("doc_id") - 1000000L).as("oid"),
         col("split").as("psplit"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.LineageCut._
 
 /**
  * Trained quality classifier (mission extension, SURVEY.md §7.4) — the
@@ -51,7 +52,7 @@ object Classifier {
 
   /**
    * A trained model: per-feature class counts (`feat`|`feath`,
-   * `cnt_pos`, `cnt_neg` — localCheckpointed so repeated scoring never
+   * `cnt_pos`, `cnt_neg` — lineage-cut so repeated scoring never
    * re-runs training), the Laplace constants, and the class priors.
    */
   final case class NaiveBayesModel private[Classifier] (
@@ -84,7 +85,7 @@ object Classifier {
       .groupBy(key(col("f")).as(keyName))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("cnt_pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("cnt_neg"))
-      .localCheckpoint(true)
+      .lineageCut()
     val Array(vocab, nPos, nNeg) = features
       .agg(count(lit(1)).cast("double"),
         sum("cnt_pos").cast("double"), sum("cnt_neg").cast("double"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.LineageCut._
 
 /**
  * Deduplication operators for LLM training-data pipelines (mission
@@ -117,7 +118,7 @@ object Dedup {
     // broadcast limit — text moves, but only because the data genuinely
     // dup-floods (and the runtime bloom-filter semi-join reduction can
     // still thin it when enabled).
-    val census = dupHashes.localCheckpoint() // count + join read it once
+    val census = dupHashes.lineageCut() // count + join read it once
     val censusSide =
       if (census.count() <= maxBroadcastCensusRows(df.sparkSession))
         broadcast(census)
@@ -129,7 +130,7 @@ object Dedup {
       .agg(collect_list(col("__idx")).as("__lost"))
       // one row per LOSING doc — orders smaller than the corpus;
       // materialize once so sizing it doesn't recompute the window
-      .localCheckpoint()
+      .lineageCut()
     chunks.unpersist(blocking = false) // checkpoint consumed both readers
     // broadcast the loser table so the rebuild join never exchanges the
     // corpus (a stats-blind planner falls back to a sort-merge join here
@@ -274,9 +275,9 @@ object Dedup {
       // materialize signatures ONCE before the self-join — otherwise
       // Catalyst re-derives minhash_sig from the scan on BOTH join sides
       // (and again inside pushed filters): ~4-6 sketch evaluations per
-      // document. Lazy localCheckpoint caches at first action and is
-      // GC-cleaned (a persist() would pin the CacheManager entry).
-      .localCheckpoint(true)
+      // document. lineageCut materializes once and is GC-cleaned (a
+      // persist() would pin the CacheManager entry).
+      .lineageCut()
     // The band self-join carries ONLY (id, band, bucket) — 24-byte rows.
     // Joining with the signature inline multiplies the shuffle by the
     // 0.5 KB sig × bands replication (measured: the sf-XL 1.28M-doc tier
@@ -322,7 +323,7 @@ object Dedup {
     val fps = df.select(col(idCol).as("id"),
         graft.functions.Text.simhash64(col(textCol)).as("fp"))
       // one simhash64 evaluation per doc (see minhashPairs note)
-      .localCheckpoint(true)
+      .lineageCut()
     val chunked = fps.select(col("id"), col("fp"),
         explode(expr("transform(sequence(0, 3), c -> " +
           "struct(c AS chunk, shiftright(fp, c * 16) & 65535 AS cv))")).as("ck"))
@@ -356,14 +357,14 @@ object Dedup {
                     textCol: String, n: Int = 5): DataFrame = {
     // the candidate set is small and referenced three times (two id
     // projections + the verify join): materialize it once
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.lineageCut()
     val wanted = p.select(col("id_a").as("__wid"))
       .unionAll(p.select(col("id_b").as("__wid"))).distinct()
     val grams = docs
       .join(wanted, col(idCol) === col("__wid"), "left_semi")
       .select(col(idCol).as("vid"), charNgrams(col(textCol), n).as("grams"))
       // joined twice (id_a side + id_b side): shingle each candidate once
-      .localCheckpoint(true)
+      .lineageCut()
     p
       .join(grams.withColumnRenamed("vid", "id_a").withColumnRenamed("grams", "ga"), "id_a")
       .join(grams.withColumnRenamed("vid", "id_b").withColumnRenamed("grams", "gb"), "id_b")
@@ -411,7 +412,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(TextAnalysis.tokens(lower(col(textCol)))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .localCheckpoint(true)
+      .lineageCut()
     val dfreq = sets.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("df"))
     // global rarest-first order: (df, token); each doc sorts ITS OWN
@@ -432,7 +433,7 @@ object Dedup {
           .cast("int"))
       .select(col("id"), col("n"),
         slice(col("ow"), lit(1), col("__plen")).as("prefix"))
-      .localCheckpoint(true)
+      .lineageCut()
     val pa = ordered.select(col("id").as("id_a"), col("n").as("na"),
       explode(col("prefix")).as("w"))
     val pb = ordered.select(col("id").as("id_b"), col("n").as("nb"),
@@ -465,7 +466,7 @@ object Dedup {
     // ONE shared (id, text) projection feeds sketch, verify, and label
     // stages — without it each stage re-scans (and re-decodes) the source
     // table; only the final survivor semi-join touches the source again
-    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val slim = df.select(col(idCol), col(textCol)).lineageCut()
     val cand = minhashPairs(slim, idCol, textCol, numHashes, bands, shingleSize,
       threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
       .select("id_a", "id_b")
@@ -494,7 +495,7 @@ object Dedup {
   def dedupeByWinnow(df: DataFrame, idCol: String, textCol: String,
                      maxDist: Int, k: Int = 3, w: Int = 4,
                      maxBucketSize: Int = 64): DataFrame = {
-    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val slim = df.select(col(idCol), col(textCol)).lineageCut()
     val fps = winnowFingerprints(slim, idCol, textCol, k, w)
       .select(col("fp_hash"), col(idCol).cast("long"))
     val capped = fps.join(
@@ -520,7 +521,7 @@ object Dedup {
    * corpora (train × eval), never all-pairs — the candidate generator for
    * decontamination. Emits (id_a from `a`, id_b from `b`, est_jaccard).
    */
-  /** Lean MinHash sketch frame `(id, sig, band_keys)`, localCheckpointed
+  /** Lean MinHash sketch frame `(id, sig, band_keys)`, lineage-cut
     * so the sketch is evaluated exactly once per document no matter how
     * many joins reference it — the shared currency of [[minhashPairs]],
     * [[crossMinhashPairs]], and [[admitDelta]]. */
@@ -534,7 +535,7 @@ object Dedup {
       .withColumn("band_keys",
         expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, xxhash64(slice(sig, b * $r + 1, $r)) AS bucket))"))
-      .localCheckpoint(true)
+      .lineageCut()
   }
 
   /** `(id, band, bucket)` 24-byte band rows of a [[sketchFrame]]. */
@@ -577,8 +578,8 @@ object Dedup {
                     shingleSize: Int = 5): DataFrame = {
     // ONE shared slim projection per side: sketching and gram verify
     // both read it instead of re-scanning the source tables
-    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(true)
-    val slimE = eval.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val slimC = corpus.select(col(idCol), col(textCol)).lineageCut()
+    val slimE = eval.select(col(idCol), col(textCol)).lineageCut()
     val cand = crossMinhashPairs(slimC, slimE, idCol, textCol, numHashes,
       bands, shingleSize, threshold = math.max(0.0, jaccardThreshold - 0.2))
       .select("id_a", "id_b")
@@ -692,7 +693,7 @@ object Dedup {
     // ONE delta sketch and ONE verification pass serve both stages.
     // Composing decontaminate ∘ dedupe ran minhash_sig over the delta
     // twice, two candidate distinct() shuffles, and two verifyJaccard
-    // pipelines (2 localCheckpoint jobs each) — at bench scale the job
+    // pipelines (2 lineage-cut jobs each) — at bench scale the job
     // COUNT, not the data, was the measured top fixed cost. Per-pair
     // predicates (signature estimate, exact Jaccard) commute with the
     // survivor restriction, so within-delta candidates are generated over
@@ -701,8 +702,8 @@ object Dedup {
     // two-stage composition.
     val candMargin = math.max(0.0, jaccardThreshold - 0.2) // recall margin
     // shared slim projections: sketch + verify read these, not the source
-    val slimD = delta.select(col(idCol), col(textCol)).localCheckpoint(true)
-    val slimC = corpus.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val slimD = delta.select(col(idCol), col(textCol)).lineageCut()
+    val slimC = corpus.select(col(idCol), col(textCol)).lineageCut()
     val sigD = sketchFrame(slimD, idCol, textCol, numHashes, bands, shingleSize)
     val sigC = sketchFrame(slimC, idCol, textCol, numHashes, bands, shingleSize)
     val bandedD = bandFrame(sigD)
@@ -734,10 +735,10 @@ object Dedup {
     val verified = verifyJaccard(cand, slimD.unionByName(slimC),
         idCol, textCol, shingleSize)
       .filter(col("jaccard") >= jaccardThreshold)
-      .localCheckpoint(true) // referenced three times below
+      .lineageCut() // referenced three times below
     val contaminated = verified.filter(col("__cross"))
       .select(col("id_a").as("id")).distinct()
-      .localCheckpoint(true) // referenced four times below
+      .lineageCut() // referenced four times below
     // within-delta dup edges among SURVIVORS only (both endpoints clean) —
     // exactly the pair set dedupe(fresh) would have generated
     val verifiedD = verified.filter(!col("__cross"))
@@ -872,7 +873,7 @@ object Dedup {
         .select(col("id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
             .as("canonical_id"))
-      labels = updated.localCheckpoint(true) // truncate the iterative lineage
+      labels = updated.lineageCut() // truncate the iterative lineage
       val s = labels.agg(sum(col("canonical_id")).cast("decimal(38,0)")).head()
         .getDecimal(0)
       converged = prevSum.contains(s)

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.LineageCut
+
 /**
  * Graph centrality over edge frames (mission extension): RefinedWeb /
  * Common-Crawl-style pipelines weight documents by the link authority of
@@ -100,12 +102,7 @@ object Graph {
     }
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    // one truncation mode for every cut in the loop: reliable checkpoint
-    // when a cluster-FS dir is available, executor-local otherwise
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     val e = cut(weightCol match {
       case Some(wc) => edges
         .select(col(srcCol).cast("long").as("src"),
@@ -249,10 +246,7 @@ object Graph {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -475,10 +469,7 @@ object Graph {
     require(maxIter >= 1, "maxIter must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     var cur = cut(edges
       .select(col(srcCol).cast("long").as("s0"),
         col(dstCol).cast("long").as("d0"))
@@ -538,10 +529,7 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     val e = cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -621,10 +609,7 @@ object Graph {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -681,10 +666,7 @@ object Graph {
     require(maxIter >= 1, "maxIter must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     val minSup = k - 2
     var e = cut(edges
       .select(col(srcCol).cast("long").as("s0"),
@@ -849,22 +831,26 @@ object Graph {
    * caveats apply verbatim) plus one keys-only degree aggregate and a
    * node-keyed join — both negligible next to the wedge pass.
    *
+   * Same `checkpointDir` reliability contract as [[pageRank]].
+   *
    * Returns (`node`, `degree`, `triangles`, `coeff` 6dp).
    */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String,
-                            maxBroadcastEdges: Long = 4L << 20): DataFrame = {
+                            maxBroadcastEdges: Long = 4L << 20,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(
+      edges.sparkSession.sparkContext.setCheckpointDir)
     // canonicalize ONCE and cut: both the triangle pass and the degree
     // pass consume this frame, and an expensive upstream edge
     // derivation (a co-occurrence self-join) must not run twice
-    val canon = edges
+    val canon = LineageCut.cut(edges
       .select(col(srcCol).cast("long").as("s0"),
         col(dstCol).cast("long").as("d0"))
       .filter(col("s0") =!= col("d0"))
       .select(least(col("s0"), col("d0")).as("a"),
         greatest(col("s0"), col("d0")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val tri = triangleCounts(canon, "a", "b", maxBroadcastEdges)
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
@@ -917,10 +903,7 @@ object Graph {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
@@ -1004,10 +987,7 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))

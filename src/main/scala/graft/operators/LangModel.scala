@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.core.LineageCut._
 
 /**
  * N-gram language-model quality scoring (mission extension, SURVEY.md
@@ -103,7 +104,7 @@ object LangModel {
     // Reused by the constants collect AND both scoring joins — an eager
     // checkpoint stops the model plan (and everything upstream of the
     // training corpus) re-running once per consumer.
-    val m = model.localCheckpoint(true)
+    val m = model.lineageCut()
     val uniModel = m.where(col(prevName).isNull)
       .select(col(curName).as("u_tok"), col("cnt").as("u_cnt"))
     val bigModel = m.where(col(prevName).isNotNull)
@@ -246,7 +247,7 @@ object LangModel {
     // analysis instead of silently joining across representations.
     val hashed = model.columns.contains("gramh")
     val keyName = if (hashed) "gramh" else "gram"
-    val m = model.localCheckpoint(true)
+    val m = model.lineageCut()
     def order(k: Int, gramCol: String, cntName: String) =
       m.where(col("n") === k)
         .select(col(keyName).as(gramCol), col("cnt").as(cntName))
@@ -346,7 +347,7 @@ object LangModel {
                      discount: Double = 0.75,
                      hashedKeys: Boolean = false): DataFrame = {
     require(discount > 0 && discount < 1, s"discount $discount not in (0,1)")
-    val m = model.localCheckpoint(true)
+    val m = model.lineageCut()
     def jk(c: Column) = if (hashedKeys) hkey(c) else c
     val g3types = m.where(col("n") === 3).select(col("gram"), col("cnt"))
     val g2types = m.where(col("n") === 2).select(col("gram"), col("cnt"))
@@ -358,7 +359,7 @@ object LangModel {
     // enough to derive the two tables below, hash only at the join
     val c23str = g3types
       .groupBy(substring_index(col("gram"), " ", -2).as("k"))
-      .agg(count(lit(1)).as("c23")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c23")).lineageCut()
     val c23 = c23str.select(jk(col("k")).as("k_c23"), col("c23"))
     // N1+(•v•): trigram types per middle token
     val nmid = g3types

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.LineageCut._
 
 /**
  * Similarity search over embedding columns (mission extension, SURVEY.md
@@ -885,7 +886,7 @@ object Similarity {
     // count+sample, residual-sample count+sample, the code pass) — the
     // same shared-projection shape the Dedup slim checkpoints fix; cache
     // it once instead of re-normalizing the upstream scan per consumer
-    val corpusN = l2Normalize(corpus, idCol, vecCol).localCheckpoint(true)
+    val corpusN = l2Normalize(corpus, idCol, vecCol).lineageCut()
     val queriesN = l2Normalize(queries, queryIdCol, vecCol)
     val coarse = trainKMeans(corpusN, numCells, iters, seed, trainSample,
       idCol, vecCol)
@@ -925,7 +926,7 @@ object Similarity {
     val (codes, shortlistSize) =
       if (rerankSize > 0) (codesRaw, math.max(rerankSize, k))
       else {
-        val ck = codesRaw.localCheckpoint(true)
+        val ck = codesRaw.lineageCut()
         val cellCounts = ck.groupBy("cell").count()
           .select(col("count")).as[Long].collect().sorted
         val p95 = if (cellCounts.isEmpty) k
@@ -1179,7 +1180,7 @@ object Similarity {
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"no centroids at $dest — buildIvfIndex first")
     val assigned = assignCells(delta, cents, idCol, vecCol)
-      .localCheckpoint(true) // one assignment pass feeds write + census
+      .lineageCut() // one assignment pass feeds write + census
     assigned.write.mode("append").partitionBy("cell").parquet(s"$dest/vectors")
     assigned.groupBy("cell").count()
       .as[(Int, Long)].collect().toMap
@@ -1197,7 +1198,7 @@ object Similarity {
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val probed = probeFrame(queries, cents, nProbe, queryIdCol, vecCol)
-      .localCheckpoint(true) // evaluated twice: cell set + the probe join
+      .lineageCut() // evaluated twice: cell set + the probe join
     // LITERAL partition predicate, not a join-driven one: dynamic
     // partition pruning declines filter-less build sides (measured: 98%
     // of store rows read), while an isin over the collected probed-cell
@@ -1295,7 +1296,7 @@ object Similarity {
     val sigged = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         graft.functions.Vectors.hyperplaneSig(col(vecCol), numPlanes, seed)
           .as("sig0"))
-      .localCheckpoint(true)
+      .lineageCut()
     val probes = array((0 to numPlanes).map {
       case 0 => col("sig0")
       case i => col("sig0").bitwiseXOR(lit(1L << (i - 1)))

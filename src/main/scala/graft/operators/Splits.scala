@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.LineageCut._
 
 /**
  * Deterministic dataset splitting for training pipelines (mission
@@ -75,7 +76,7 @@ object Splits {
     // ONE shared (id, text) projection feeds sketch, verify, and label
     // stages (the dup-graph machinery re-scanned the source table per
     // stage otherwise); only the final label join reads the source again
-    val slim = df.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val slim = df.select(col(idCol), col(textCol)).lineageCut()
     val cand = Dedup.minhashPairs(slim, idCol, textCol,
       threshold = math.max(0.0, jaccardThreshold - 0.2)) // recall margin
       .select("id_a", "id_b")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Mixes, Splits, TextAnalysis}
+import graft.core.LineageCut._
 
 /**
  * Stage toggles for [[CorpusPipeline.prepare]] — the canonical
@@ -156,7 +157,7 @@ object CorpusPipeline {
       // filtering with LangModel.perplexityFilter directly). The gate
       // reads `cur` several times (train + score + keep-join); an eager
       // checkpoint stops the upstream stage chain replaying per read.
-      cur = cur.localCheckpoint(true)
+      cur = cur.lineageCut()
       // A slice whose every surviving text emptied out has nothing to
       // train on — and nothing to gate (empty docs are kept by the
       // gate's own semantics). Skip rather than fail the whole pipeline
@@ -168,7 +169,7 @@ object CorpusPipeline {
     cfg.maxBackoffCe.foreach { ceiling =>
       // same self-train shape (and the same empty-slice skip) as the
       // perplexity gate, one model order up
-      cur = cur.localCheckpoint(true)
+      cur = cur.lineageCut()
       if (!cur.where(length(trim(col(cfg.textCol))) > 0).isEmpty)
         cur = graft.operators.LangModel.backoffFilter(
           cur, cur, cfg.idCol, cfg.textCol, ceiling)
