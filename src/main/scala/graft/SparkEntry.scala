@@ -4676,12 +4676,12 @@ object SparkEntry {
         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1),
         |r AS (SELECT k, v, row_number() OVER (ORDER BY v DESC, k) AS rn,
         |    count(*) OVER () AS n FROM s)
-        |SELECT MAX(n) AS n_keys, CAST(ceil(MAX(n) * 0.1) AS BIGINT)
-        |    AS head_keys,
-        |  round(SUM(CASE WHEN rn <= ceil(n * 0.1) THEN v END) / SUM(v), 4)
-        |    AS head_share,
-        |  round((SUM(CASE WHEN rn <= ceil(n * 0.1) THEN v END) / SUM(v))
-        |    / 0.1, 4) AS concentration
+        |SELECT MAX(n) AS n_keys,
+        |  (MAX(n) * 100000 + 999999) // 1000000 AS head_keys,
+        |  round(SUM(CASE WHEN rn <= (n * 100000 + 999999) // 1000000
+        |    THEN v END) / SUM(v), 4) AS head_share,
+        |  round((SUM(CASE WHEN rn <= (n * 100000 + 999999) // 1000000
+        |    THEN v END) / SUM(v)) / 0.1, 4) AS concentration
         |FROM r""".stripMargin,
     "q_hll_intersect" ->
       """SELECT true AS within_bound, count(*) AS exact_overlap FROM (

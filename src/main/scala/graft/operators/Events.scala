@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,6 +169,23 @@ object Events {
   def paretoReport(df: DataFrame, keyCol: String, valueCol: String,
                    fraction: Double = 0.1): DataFrame = {
     require(fraction > 0 && fraction < 1, "fraction must be in (0, 1)")
+    // exact rational cutoff: fraction as num/10⁶. ceil of the DOUBLE
+    // product hits binary-FP knife edges — 70 · 0.1 = 7.000000000000001,
+    // so ceil = 8 and the "top 10%" head quietly includes one extra key
+    // over the documented ⌈fraction·n⌉. Integer arithmetic is exact;
+    // fractions must be expressible to 6 decimal places (checked — a
+    // silently quantized 1/3 would be a different report than asked for).
+    val den = 1000000L
+    val num = math.round(fraction * den)
+    require(math.abs(num.toDouble / den - fraction) < 1e-12,
+      s"fraction must be expressible in 6 decimal places; got $fraction")
+    // (n·num + den−1) div den: t − t%den is a den-multiple, and both it
+    // and the integer quotient are exactly double-representable while
+    // n·num < 2⁵³ (n ≤ ~9·10⁹ keys — beyond any key cardinality here)
+    def ceilFrac(n: Column): Column = {
+      val t = n * lit(num) + lit(den - 1)
+      ((t - pmod(t, lit(den))) / lit(den)).cast("long")
+    }
     val sums = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("k"))
       .agg(sum(col(valueCol).cast("double")).as("v"))
@@ -177,9 +194,9 @@ object Events {
         Window.orderBy(col("v").desc, col("k"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy()))
     ranked.agg(max("n").as("n_keys"),
-        ceil(max("n") * fraction).as("head_keys"),
+        ceilFrac(max("n")).as("head_keys"),
         sum("v").as("__total"),
-        sum(when(col("rn") <= ceil(col("n") * fraction), col("v")))
+        sum(when(col("rn") <= ceilFrac(col("n")), col("v")))
           .as("__head"))
       .select(col("n_keys"), col("head_keys"),
         round(col("__head") / col("__total"), 4).as("head_share"),
@@ -266,7 +283,11 @@ object Events {
     require(nTiles >= 2, "nTiles must be >= 2")
     val ev = events.select(col(userCol).as("user"), col(typeCol).as("ty"),
       col(tsCol).cast("long").as("ts"), col(valueCol).cast("double").as("v"))
-    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    val maxRow = ev.agg(max("ts")).head()
+    require(!maxRow.isNullAt(0),
+      "rfmSegments needs at least one event with a non-null timestamp " +
+        "(recency is measured against the frame's max timestamp)")
+    val maxTs = maxRow.getLong(0)
     val m = ev.filter(col("ty") === conversionType)
       .groupBy("user")
       .agg((lit(maxTs) - max("ts")).as("r_ns"),

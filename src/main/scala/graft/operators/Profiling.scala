@@ -246,16 +246,31 @@ object Profiling {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val digits = df.select(col(valueCol).cast("double").as("v"))
+    val pos = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && col("v") > 0)
+    // fail loud on non-finite input: +Infinity (and NaN, which Spark
+    // orders above every real value so it passes v > 0 too) renders
+    // without a [1-9] digit and would otherwise vanish from both the
+    // counts and n with no signal — corrupt input, not a distribution
+    // fact. One map-only aggregate doubles as the n > 0 gate.
+    val row = pos.agg(count(lit(1)).as("n"),
+      sum(when(isnan(col("v")) ||
+        col("v") === lit(Double.PositiveInfinity), 1L)
+        .otherwise(0L)).as("bad")).head()
+    val n = row.getLong(0)
+    val bad = if (row.isNullAt(1)) 0L else row.getLong(1)
+    require(bad == 0,
+      s"benfordAudit input has $bad non-finite positive value(s) " +
+        "(NaN/+Infinity) — they carry no leading decimal digit; clean " +
+        "the column first")
+    require(n > 0, "benfordAudit needs positive values")
+    val digits = pos
       // strip sign/zeros/dot: first char in 1-9 of the decimal rendering
       .select(regexp_extract(col("v").cast("string"),
         "([1-9])", 1).as("d"))
       .filter(col("d") =!= "")
       .select(col("d").cast("int").as("digit"))
     val counts = digits.groupBy("digit").agg(count(lit(1)).as("observed"))
-    val n = digits.count()
-    require(n > 0, "benfordAudit needs positive values")
     val expect = (1 to 9).map(d =>
       (d, math.log10(1.0 + 1.0 / d))).toDF("digit", "benford_share")
     expect.join(counts, Seq("digit"), "left")

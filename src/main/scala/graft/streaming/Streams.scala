@@ -259,9 +259,21 @@ object Streams {
    * standard streaming groupBy count on the emitted pairs) — emitting
    * pairs, not counts, keeps this operator composable (paths,
    * sessions, and matrices all consume the same adjacency stream).
+   *
+   * State bound: the unfinalized tail always keeps its LAST event (it
+   * is the left member of the next pair), so without eviction state
+   * grows O(distinct users ever seen) in a long-running stream — the
+   * same leak [[nearDupVerdicts]]'s TTL exists to prevent. A user
+   * whose single-event tail sits idle past `stateTtlMs` of EVENT time
+   * (watermark clock) is evicted; if that user later reappears, the
+   * adjacency across the idle gap is forfeit by contract (their chain
+   * restarts) — for most telemetry a multi-day-idle "transition" is
+   * noise anyway. Size the TTL like a session horizon.
    */
   def transitionsStream(events: Dataset[Event],
-                        watermarkDelay: String = "0 seconds"): Dataset[Transition] = {
+                        watermarkDelay: String = "0 seconds",
+                        stateTtlMs: Long = 24 * 60 * 60 * 1000L): Dataset[Transition] = {
+    require(stateTtlMs > 0, "stateTtlMs must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     events.withWatermark("ts", watermarkDelay)
@@ -278,12 +290,22 @@ object Streams {
             // ts is non-decreasing along pairs, so finality is a prefix
             val closed = pairs.takeWhile(p => wm > p._2.ts.getTime)
             val remaining = buf.drop(closed.length)
-            state.update(remaining)
-            if (remaining.length > 1) {
-              // open pairs exist: wake this group once the watermark can
-              // close them all (must be strictly beyond the current wm)
+            if (remaining.length == 1 &&
+                wm >= remaining.head.ts.getTime + stateTtlMs) {
+              // idle single-event tail past TTL: evict — the chain
+              // restarts if the user reappears (documented contract)
+              state.remove()
+            } else {
+              state.update(remaining)
+              // always register a wake-up: open pairs wake as soon as
+              // the watermark can close them; a bare tail wakes at TTL
+              // expiry so eviction happens even if the user never sends
+              // another event (timestamp must be strictly beyond wm)
               state.setTimeoutTimestamp(
-                math.max(wm + 1, remaining.last.ts.getTime + 1))
+                if (remaining.length > 1)
+                  math.max(wm + 1, remaining.last.ts.getTime + 1)
+                else
+                  math.max(wm + 1, remaining.head.ts.getTime + stateTtlMs))
             }
             closed.iterator
               .map(p => Transition(uid, p._1.event_type, p._2.event_type))
@@ -333,7 +355,14 @@ object Streams {
     require(rows.nonEmpty, "parity drive needs a non-empty cohort")
     val maxTs = rows.last.ts.getTime
     val input = MemoryStream[Event]
-    val trans = transitionsStream(input.toDS())
+    // the drive asserts FULL batch parity over its replay, so the state
+    // TTL must cover the cohort's whole event-time span: a user idle
+    // longer than the TTL mid-replay would have their tail evicted and
+    // the cross-gap adjacency forfeited (correct production behavior,
+    // but the batch transitionMatrix it is compared against counts it)
+    val spanMs = maxTs - rows.head.ts.getTime
+    val trans = transitionsStream(input.toDS(),
+      stateTtlMs = spanMs + 60 * 60 * 1000L)
     val sinkName = "graft_transitions_stream_out"
     spark.catalog.dropTempView(sinkName)
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -188,4 +188,34 @@ class EventsSpec extends SparkSpec {
       Events.paretoReport(df, "user_id", "value", fraction = 1.5)
     }
   }
+
+  test("paretoReport: FP knife-edge n·fraction stays at exact ceil") {
+    // 70 · 0.1 = 7.000000000000001 in binary FP — double-based ceil
+    // gave 8; the exact rational cutoff must report ⌈0.1·70⌉ = 7
+    val rows = (1L to 70L).map(u => (u, u, "p", 1L, u.toDouble))
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.paretoReport(df, "user_id", "value", fraction = 0.1)
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._1 === 70L)
+    assert(got._2 === 7L)
+    // head = top 7 values 64..70 = 469 of total 2485
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._3 === r4(469.0 / 2485))
+    // a fraction not expressible in 6 decimal places is rejected, not
+    // silently quantized to a different report
+    intercept[IllegalArgumentException] {
+      Events.paretoReport(df, "user_id", "value", fraction = 1.0 / 3)
+    }
+  }
+
+  test("rfmSegments: empty / all-null-ts frame fails with a clear message") {
+    val empty = Seq.empty[(Long, Long, String, Long, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val ex = intercept[IllegalArgumentException] {
+      Events.rfmSegments(empty, "user_id", "event_type", "ts",
+        "value", "purchase")
+    }
+    assert(ex.getMessage.contains("non-null timestamp"))
+  }
 }

@@ -231,5 +231,17 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profiling.benfordAudit(Seq(-1.0, 0.0).toDF("v"), "v")
     }
+    // non-finite positives (+Inf sails through v > 0; NaN orders above
+    // every real value in Spark so it does too) must fail loudly — they
+    // have no leading decimal digit and previously vanished silently
+    val inf = intercept[IllegalArgumentException] {
+      Profiling.benfordAudit(
+        Seq(123.0, Double.PositiveInfinity).toDF("v"), "v")
+    }
+    assert(inf.getMessage.contains("non-finite"))
+    val nan = intercept[IllegalArgumentException] {
+      Profiling.benfordAudit(Seq(123.0, Double.NaN).toDF("v"), "v")
+    }
+    assert(nan.getMessage.contains("non-finite"))
   }
 }

@@ -444,5 +444,50 @@ class StreamsSpec extends SparkSpec {
     assert(got === ((5L, 5L, 5L)))
   }
 
+  test("transitionsStream: idle single-event tail evicted after stateTtlMs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L
+    // u1 leaves one event, goes idle for 3h while other traffic moves
+    // the watermark, then reappears. With a 1h TTL the idle tail must
+    // be evicted (chain restarts: no cross-gap pair, state bounded);
+    // with a TTL covering the gap the adjacency survives.
+    def drive(ttlMs: Long, tag: String): Set[(Long, String, String)] = {
+      val input = MemoryStream[Event]
+      val sinkName = s"graft_transitions_ttl_$tag"
+      spark.catalog.dropTempView(sinkName)
+      val q = Streams.transitionsStream(input.toDS(), stateTtlMs = ttlMs)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        input.addData(Event(1L, ts(1000L), 1L, "a", 0.0))
+        q.processAllAvailable()
+        // wm → 2h; u1's TTL timeout (1s + 1h) is now past due
+        input.addData(Event(2L, ts(2 * H), 2L, "x", 0.0))
+        q.processAllAvailable()
+        // u1 has NO data this batch, so its timeout fires and (small
+        // TTL) evicts the tail before the user reappears
+        input.addData(Event(3L, ts(2 * H + 1000L), 2L, "y", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(4L, ts(3 * H), 1L, "b", 0.0))
+        q.processAllAvailable()
+        // two sentinels: advance wm past every tail, then fire timeouts
+        input.addData(Event(5L, ts(10 * H), 3L, "wm", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(6L, ts(11 * H), 3L, "wm2", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sinkName).as[Streams.Transition].collect()
+        .map(t => (t.user_id, t.from_type, t.to_type)).toSet
+    }
+    val small = drive(H, "small")
+    assert(!small.contains((1L, "a", "b")),
+      "a 1h-idle tail past its TTL must not form a cross-gap pair")
+    assert(small.contains((2L, "x", "y"))) // unrelated pairs unaffected
+    val large = drive(100 * H, "large")
+    assert(large.contains((1L, "a", "b")),
+      "a TTL covering the idle gap must keep the adjacency chain")
+  }
+
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
 }
