@@ -109,7 +109,7 @@ object SparkEntry {
          |  WHERE a NOT IN (SELECT n FROM d$i WHERE deg < $k)
          |    AND b NOT IN (SELECT n FROM d$i WHERE deg < $k))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${copurchaseSql(Some(30), 2)},
+    s"""WITH ${copurchaseSql(None, 2)},
        |e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e),
        |$steps,
        |dfin AS (SELECT n, count(*) AS deg FROM (
@@ -902,12 +902,15 @@ object SparkEntry {
     }),
 
     // 3-core of the support-2 co-purchase graph: the dense "trusted
-    // seed" subgraph (1055 of 1892 nodes at sf0.01; the peel takes 8
-    // rounds). Oracle = 12 unrolled peel rounds (idempotent past the
-    // fixpoint), generated by kcoreOracleSql.
+    // seed" subgraph. NO qty cap here — capping at 30 empties the
+    // 3-core at every scale and the gate then pins only "the peel
+    // terminates empty"; uncapped, sf0.01 keeps 1055 of 1892 nodes
+    // after 8 peel rounds, a non-vacuous fixpoint. Oracle = 12
+    // unrolled peel rounds (idempotent past the fixpoint), generated
+    // by kcoreOracleSql.
     "q_kcore" -> ((s, dir) => {
       graft.operators.Graph.kCore(
-        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        copurchaseEdges(s, dir, qtyMax = None, minSupport = 2),
         "src", "dst", k = 3)
     }),
 

@@ -884,10 +884,13 @@ object Graph {
    * Per round: the candidate frame is one equi-join (edges × current
    * distances on the edge source) + a per-node min-aggregate over the
    * union with the standing distances — all (long, double) pairs,
-   * keyed by node. The early-exit witness is EXACT: a keys-only join
-   * counts strictly-improved or newly-reached nodes (no float-sum
-   * witness whose fold-order noise could mask a real improvement).
-   * Same `checkpointDir` reliability contract as [[pageRank]].
+   * keyed by node. The early-exit witness is EXACT (a count of
+   * strictly-improved or newly-reached nodes, no float-sum whose
+   * fold-order noise could mask a real improvement) and FREE: the
+   * aggregate keeps the standing distance next to the new minimum and
+   * an `Observation` sums the improvement flags inside the round's own
+   * materialization job — one action per hop, no witness job. Same
+   * `checkpointDir` reliability contract as [[pageRank]].
    *
    * Returns one row per REACHED node: (`node`, `dist`); seeds report
    * 0.0 (even seeds absent from the edge frame — distance 0 to
@@ -935,19 +938,26 @@ object Graph {
     var done = false
     while (hop <= maxHops && !done) {
       val cand = e.join(dist, e("src") === dist("node"))
-        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
-      val next = cut(dist.unionAll(cand)
-        .groupBy("node").agg(min("d").as("d")))
-      if (hop == maxHops) dist = next // last round: exit regardless —
-      // the witness would be a pure extra job
-      else {
-        // exact improvement witness: new/improved node count (keys only)
-        val improved = next.join(
-            dist.select(col("node"), col("d").as("__od")), Seq("node"), "left")
-          .filter(col("__od").isNull || col("d") < col("__od"))
-          .limit(1).count()
-        if (improved == 0) done = true else dist = next
-      }
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"),
+          lit(false).as("__old"))
+      // the min-aggregate keeps the standing distance alongside the new
+      // minimum, so "did any node improve or appear" is answerable from
+      // the aggregation itself; an Observation rides the cut's
+      // materialization job — the EXACT early-exit witness costs zero
+      // extra actions (it used to be a separate keys-only join per hop)
+      val obs = new org.apache.spark.sql.Observation(s"sssp_hop_$hop")
+      val nextFull = cut(dist
+        .select(col("node"), col("d"), lit(true).as("__old"))
+        .unionAll(cand)
+        .groupBy("node")
+        .agg(min("d").as("d"), min(when(col("__old"), col("d"))).as("__od"))
+        .observe(obs,
+          sum(when(col("__od").isNull || col("d") < col("__od"), 1L)
+            .otherwise(0L)).as("improved")))
+      val improved = obs.get("improved").asInstanceOf[Long]
+      if (improved == 0) done = true // fixpoint: next ≡ dist (the union
+      // keeps every standing node and min never increases)
+      else dist = nextFull.select(col("node"), col("d"))
       hop += 1
     }
     dist.select(col("node"), col("d").as("dist"))

@@ -377,4 +377,45 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 1.0)))
   }
+
+  test("PPJoin positional filter: fewer candidates, identical survivors") {
+    // Engineered position-asymmetric pair (docs 200/201): they share
+    // exactly one token w, sitting at prefix position 0 of doc 200's
+    // rarest-first order but position 3 of doc 201's (three unique
+    // rarer tokens precede it). AllPairs admits the pair (shared
+    // prefix token, equal sizes); the positional bound says overlap
+    // <= 0+1+min(9,6) = 7 < alpha = ceil(0.7·20/1.7) = 9 and prunes
+    // it before the verify join. Fillers pin the df ranks (x1..x9 and
+    // y4..y9 must outrank w=df2) while staying below the threshold.
+    val xs = (1 to 9).map(i => s"x$i").mkString(" ")
+    val ys = (4 to 9).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (200L, s"w $xs"),                       // w + x1..x9
+      (201L, s"y1 y2 y3 w $ys"),              // y1..y3 + w + y4..y9
+      (301L, xs + " " + (1 to 11).map(i => s"u$i").mkString(" ")),
+      (302L, xs + " " + (1 to 11).map(i => s"v$i").mkString(" ")),
+      (303L, ys + " " + (1 to 14).map(i => s"p$i").mkString(" ")),
+      (304L, ys + " " + (1 to 14).map(i => s"q$i").mkString(" ")),
+      (100L, "alpha beta gamma delta epsilon zeta eta"),
+      (101L, "alpha beta gamma delta epsilon zeta theta") // J = 6/8 = 0.75
+    ).toDF("doc_id", "text")
+    val t = 0.7
+    val sets = Dedup.simJoinSets(docs, "doc_id", "text")
+    val plain = Dedup.simJoinCandidates(sets, t, positional = false)
+      .as[(Long, Long)].collect().toSet
+    val pos = Dedup.simJoinCandidates(sets, t, positional = true)
+      .as[(Long, Long)].collect().toSet
+    assert(pos.subsetOf(plain)) // the filter only ever removes pairs
+    assert(plain.contains((200L, 201L)),
+      "AllPairs must admit the engineered pair through the shared prefix token")
+    assert(!pos.contains((200L, 201L)),
+      "the positional bound must prune the engineered pair")
+    // completeness: the one real pair survives in BOTH modes and the
+    // final output is identical
+    assert(pos.contains((100L, 101L)))
+    val got = Dedup.similarityJoinExact(docs, "doc_id", "text", t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((100L, 101L, 0.75)))
+    info(s"candidates: allpairs=${plain.size} ppjoin=${pos.size}")
+  }
 }
