@@ -619,6 +619,18 @@ object StressBench {
             maxIter = 30, maxDriverEdges = 0).count())
         run("triangles", n)(
           graft.operators.Graph.triangleCounts(edges, "src", "dst").count())
+        // r10: the SHUFFLED wedge path, gate forced off — the plan a
+        // 100 TB graph actually takes (the wedge stream crosses an
+        // exchange into the closure join instead of probing a
+        // broadcast map). Growth must stay wedge-bounded (~Σ deg²),
+        // not quadratic. clusteringCoefficient shares the wedge core
+        // and adds only a degree join on top.
+        run("triangles_shuf", n)(
+          graft.operators.Graph.triangleCounts(edges, "src", "dst",
+            maxBroadcastEdges = 0).count())
+        run("clustering_shuf", n)(
+          graft.operators.Graph.clusteringCoefficient(edges, "src", "dst",
+            maxBroadcastEdges = 0).count())
         run("kcore12", n)(
           graft.operators.Graph.kCore(edges, "src", "dst", k = 12).count())
         edges.unpersist()
