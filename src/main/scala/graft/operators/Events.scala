@@ -159,9 +159,10 @@ object Events {
    * is one row: key count, head size, head share, plus the Gini-free
    * quick ratio head_share/fraction (1 = perfectly uniform).
    *
-   * Scale shape: one key-keyed sum (map-side combined) → ranking over
-   * KEYS (≪ rows; same single-partition caveat + chunked-prefix
-   * escape as [[Profiling.skewReport]]'s Gini) → one scalar
+   * Scale shape: one key-keyed sum (map-side combined) → EXACT
+   * distributed ranking over keys via [[Ranking.withGlobalRank]] (one
+   * range shuffle of (key, double) rows + a ≤ 256-row offset stitch —
+   * no single-task global sort, safe at 10⁸-10⁹ keys) → one scalar
    * aggregate. Share is 4dp (fold-order ulps on the double sums).
    *
    * Returns (`n_keys`, `head_keys`, `head_share`, `concentration`).
@@ -189,10 +190,8 @@ object Events {
     val sums = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("k"))
       .agg(sum(col(valueCol).cast("double")).as("v"))
-    val ranked = sums
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("v").desc, col("k"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val ranked = Ranking.withGlobalRank(sums,
+      Seq(col("v").desc, col("k").asc), "rn", "n")
     ranked.agg(max("n").as("n_keys"),
         ceilFrac(max("n")).as("head_keys"),
         sum("v").as("__total"),
@@ -266,16 +265,19 @@ object Events {
    * each dimension scored 1..`nTiles` by `ntile` with 5 = best
    * (most recent / most frequent / highest value).
    *
-   * Determinism: every ntile orders on (metric, user) — a total
-   * order, so equal metrics split identically cross-engine (ntile's
-   * larger-buckets-first fill is the SQL-standard rule both engines
-   * implement).
+   * Determinism: every tile orders on (metric, user) — a total
+   * order, so equal metrics split identically cross-engine (the
+   * larger-buckets-first fill implemented by [[Ranking.ntileFromRank]]
+   * is the SQL-standard ntile rule both engines implement).
    *
    * Scale shape: one user-keyed aggregate builds the metric frame
-   * (keys + 3 numbers); the three ntiles are global windows over
-   * USERS, not events — fine to ~10⁸ users, the documented
-   * chunked-prefix-sum escape beyond ([[Packing]]'s trick). Returns
-   * (`user`, `r_ns`, `f`, `m` 2dp, `r_score`, `f_score`, `m_score`).
+   * (keys + 3 numbers); each tile pass is an EXACT distributed ntile
+   * via [[Ranking.withNtile]] — a range shuffle of the per-user frame
+   * plus a ≤ 256-row offset stitch, never an unpartitioned window, so
+   * the report survives 10⁸-10⁹ converting users (the old three
+   * global `ntile` windows each funneled every user through one
+   * task's sort). Returns (`user`, `r_ns`, `f`, `m` 2dp, `r_score`,
+   * `f_score`, `m_score`).
    */
   def rfmSegments(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, valueCol: String, conversionType: String,
@@ -292,12 +294,12 @@ object Events {
       .groupBy("user")
       .agg((lit(maxTs) - max("ts")).as("r_ns"),
         count(lit(1)).as("f"), round(sum("v"), 2).as("m"))
-    m.withColumn("r_score", ntile(nTiles).over(
-        Window.orderBy(col("r_ns").desc, col("user"))))
-      .withColumn("f_score", ntile(nTiles).over(
-        Window.orderBy(col("f").asc, col("user"))))
-      .withColumn("m_score", ntile(nTiles).over(
-        Window.orderBy(col("m").asc, col("user"))))
+    val r = Ranking.withNtile(m,
+      Seq(col("r_ns").desc, col("user").asc), "r_score", nTiles)
+    val rf = Ranking.withNtile(r,
+      Seq(col("f").asc, col("user").asc), "f_score", nTiles)
+    Ranking.withNtile(rf,
+      Seq(col("m").asc, col("user").asc), "m_score", nTiles)
   }
 
   /**

@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Event analytics: hand-traced retention cells, attribution credits
@@ -207,6 +210,33 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Events.paretoReport(df, "user_id", "value", fraction = 1.0 / 3)
     }
+  }
+
+  test("rfmSegments: distributed tiles match the ntile window form") {
+    // 300 users with heavily tied frequencies/values (the shape that
+    // makes a value-bucketed chunking collapse) — the scale-safe
+    // Ranking tiles must reproduce ntile-over-(metric, user) exactly
+    val rows = (1 to 900).map { i =>
+      val u = (i % 300) + 1L
+      (i.toLong, u, "purchase", (i * 37 % 500).toLong, (u % 7).toDouble)
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.rfmSegments(ev, "user_id", "event_type", "ts",
+        "value", "purchase", nTiles = 5)
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect().toSet
+    val maxTs = rows.map(_._4).max
+    val m = ev.groupBy("user_id")
+      .agg((lit(maxTs) - max("ts")).as("r_ns"),
+        count(lit(1)).as("f"), round(sum("value"), 2).as("m"))
+    val expected = m
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("r_ns").desc, col("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f").asc, col("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m").asc, col("user_id"))))
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect().toSet
+    assert(got === expected)
   }
 
   test("rfmSegments: empty / all-null-ts frame fails with a clear message") {

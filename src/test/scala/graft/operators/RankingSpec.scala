@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Distributed exact global rank/ntile vs the single-task window forms
+  * they replace: bit-identical on random data with heavy metric ties,
+  * across chunk counts (including chunks=1 and chunks ≫ rows), the
+  * n < k ntile edge, and empty input. */
+class RankingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def randomFrame(n: Int, distinctMetrics: Int) = {
+    // metric collides heavily (the case value-bucketed chunking can't
+    // split); (metric, id) is the total order both forms rank by
+    (0 until n).map { i =>
+      val h = ((i * 2654435761L) ^ (i >> 3)) & Long.MaxValue
+      (i.toLong, (h % distinctMetrics).toDouble)
+    }.toDF("id", "metric")
+  }
+
+  test("withGlobalRank matches row_number window, ties and all chunk counts") {
+    val df = randomFrame(500, distinctMetrics = 7)
+    val expected = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("metric").desc, col("id"))))
+      .withColumn("n", lit(500L))
+      .as[(Long, Double, Int, Long)].collect().toSet
+      .map((t: (Long, Double, Int, Long)) => (t._1, t._2, t._3.toLong, t._4))
+    for (chunks <- Seq(1, 7, 64, 2048)) {
+      val got = Ranking.withGlobalRank(df,
+          Seq(col("metric").desc, col("id").asc), "rn", "n", chunks)
+        .as[(Long, Double, Long, Long)].collect().toSet
+      assert(got === expected, s"chunks = $chunks")
+    }
+  }
+
+  test("withNtile matches ntile window incl. the n < k edge") {
+    for ((rows, k) <- Seq((500, 5), (500, 7), (3, 5), (1, 4))) {
+      val df = randomFrame(rows, distinctMetrics = 3)
+      val expected = df.withColumn("s",
+          ntile(k).over(Window.orderBy(col("metric").asc, col("id"))))
+        .as[(Long, Double, Int)].collect().toSet
+      val got = Ranking.withNtile(df,
+          Seq(col("metric").asc, col("id").asc), "s", k, chunks = 16)
+        .as[(Long, Double, Int)].collect().toSet
+      assert(got === expected, s"rows = $rows, k = $k")
+    }
+  }
+
+  test("empty input, reserved-column and bad-arg guards") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "metric")
+    assert(Ranking.withGlobalRank(empty, Seq(col("id").asc), "rn", "n")
+      .count() === 0L)
+    intercept[IllegalArgumentException] {
+      Ranking.withGlobalRank(
+        Seq((1L, 2L)).toDF("__x", "y"), Seq(col("y")), "rn", "n")
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.withGlobalRank(
+        Seq((1L, 2L)).toDF("rn", "y"), Seq(col("y")), "rn", "n")
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.withGlobalRank(empty, Seq.empty, "rn", "n")
+    }
+  }
+
+  test("the only window in the plan is over the chunk summary") {
+    // the scale property this helper exists for: the FRAME never
+    // passes through an unpartitioned window/sort — the one global-
+    // order step operates on the ≤ chunks-row offset summary, whose
+    // columns are all internal (__pid/__cnt/__off/__n)
+    val df = randomFrame(400, distinctMetrics = 5)
+    val ranked = Ranking.withGlobalRank(df,
+      Seq(col("metric").asc, col("id").asc), "rn", "n", chunks = 8)
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in a
+    // leaf AdaptiveSparkPlanExec that collect() cannot traverse. (The
+    // range exchange itself sits behind the lineage cut's ExistingRDD
+    // scan, so the visible tree starts at the cut — the window nodes
+    // are what remains observable.)
+    val plan = ranked.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the offset-stitch window")
+    windows.foreach { w =>
+      // "__*" are the helper's summary columns; "_we*" are Spark's own
+      // window-expression aliases — both internal, never frame columns
+      val leaked = w.output.map(_.name).filterNot(_.startsWith("_"))
+      assert(leaked.isEmpty,
+        s"window touches frame columns $leaked — must see summary rows only")
+    }
+  }
+}
