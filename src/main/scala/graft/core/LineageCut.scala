@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Engine-wide lineage-truncation helper — ONE reliability contract for
@@ -11,11 +12,33 @@ import org.apache.spark.sql.Dataset
  * the data: the plan that could recompute them is discarded by design.
  * `localCheckpoint` stores those blocks executor-local and
  * non-replicated — free and fine on local[n], but on a real cluster one
- * lost executor after truncation fails the job unrecoverably. When the
- * SparkContext has a checkpoint directory configured
- * (`sparkContext.setCheckpointDir` on a cluster FS), every cut made
- * through this helper switches to RELIABLE `checkpoint()` there — the
- * mode a 100 TB run must use; local mode keeps the zero-IO default.
+ * lost executor after truncation fails the job unrecoverably. Reliable
+ * `checkpoint()` to a cluster-FS checkpoint dir is the mode a 100 TB
+ * run must use.
+ *
+ * Reliable mode is an EXPLICIT opt-in, never ambient context state:
+ * either per call (the Graph loops' `checkpointDir` params pass
+ * `reliable = true` for their own cuts) or session-wide via
+ * `spark.conf.set("spark.graft.lineageCut.reliable", "true")`. A
+ * merely-configured `sparkContext.setCheckpointDir` does NOT flip the
+ * mode — one Graph call passing `checkpointDir` mutates the shared
+ * SparkContext permanently, and silently switching every subsequent
+ * Dedup/Similarity/Splits cut to checkpoint-file IO on that evidence
+ * would change unrelated operators' cost and disk footprint behind the
+ * caller's back. Opting in still requires a checkpoint dir (fail-loud
+ * if missing — falling back to localCheckpoint would silently void the
+ * reliability the caller asked for).
+ *
+ * Reliable-mode cost contract: the frame is persisted
+ * (MEMORY_AND_DISK) before `checkpoint()` so the checkpoint write job
+ * reads cached blocks instead of re-executing the plan (RDD
+ * checkpointing otherwise recomputes the whole lineage a second time —
+ * doubling every "materialize once" site), then unpersisted. Checkpoint
+ * FILES are NOT garbage-collected by default: long-running drivers
+ * should set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+ * (files of out-of-scope frames are then reclaimed) or clean the
+ * checkpoint dir between runs. Local mode keeps the zero-IO
+ * GC-cleaned default.
  *
  * This is the same contract the Graph module's iterative loops exposed
  * first (`pageRank`/`connectedComponents`/... `checkpointDir` params);
@@ -30,16 +53,35 @@ import org.apache.spark.sql.Dataset
  */
 object LineageCut {
 
-  /** Truncate `ds`'s lineage: reliable `checkpoint()` when the context
-   *  has a checkpoint dir configured, executor-local `localCheckpoint`
-   *  otherwise. Eager in both modes. */
-  def cut[T](ds: Dataset[T]): Dataset[T] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      ds.checkpoint(eager = true)
-    else ds.localCheckpoint(eager = true)
+  /** Session-conf opt-in for reliable cuts engine-wide. */
+  val ReliableConfKey = "spark.graft.lineageCut.reliable"
+
+  /** Truncate `ds`'s lineage. `reliable = true` forces reliable
+   *  `checkpoint()` (checkpoint dir required, fail-loud); `false`
+   *  consults [[ReliableConfKey]] (default: executor-local
+   *  `localCheckpoint`). Eager in both modes. */
+  def cut[T](ds: Dataset[T], reliable: Boolean = false): Dataset[T] = {
+    val spark = ds.sparkSession
+    val wantReliable = reliable ||
+      spark.conf.getOption(ReliableConfKey).exists(_.toBoolean)
+    if (wantReliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliable lineage cut requested but no checkpoint dir is set — " +
+          "call sparkContext.setCheckpointDir(<cluster-FS path>) (or pass " +
+          "the operator's checkpointDir param); refusing to silently fall " +
+          "back to executor-local localCheckpoint")
+      // persist first: the reliable checkpoint's write job re-traverses
+      // the RDD — against the cache this is a read, not a second full
+      // plan execution (and plan-riding metrics/accumulators fire once)
+      ds.persist(StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint(eager = true)
+      finally ds.unpersist(blocking = false)
+    } else ds.localCheckpoint(eager = true)
+  }
 
   /** Chainable form: `df.transform(...).lineageCut()`. */
   implicit class CutOps[T](private val ds: Dataset[T]) extends AnyVal {
-    def lineageCut(): Dataset[T] = cut(ds)
+    def lineageCut(reliable: Boolean = false): Dataset[T] =
+      cut(ds, reliable)
   }
 }

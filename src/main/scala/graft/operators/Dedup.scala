@@ -275,8 +275,10 @@ object Dedup {
       // materialize signatures ONCE before the self-join — otherwise
       // Catalyst re-derives minhash_sig from the scan on BOTH join sides
       // (and again inside pushed filters): ~4-6 sketch evaluations per
-      // document. lineageCut materializes once and is GC-cleaned (a
-      // persist() would pin the CacheManager entry).
+      // document. lineageCut materializes once without pinning a
+      // CacheManager entry the way persist() would; in the default local
+      // mode its blocks are GC-cleaned (reliable-mode checkpoint FILES
+      // persist until externally cleaned — see LineageCut's cleanup note).
       .lineageCut()
     // The band self-join carries ONLY (id, band, bucket) — 24-byte rows.
     // Joining with the signature inline multiplies the shuffle by the

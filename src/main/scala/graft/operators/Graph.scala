@@ -29,10 +29,15 @@ import graft.core.LineageCut
  * them executor-local and non-replicated — free and fine on local[n],
  * but on a real cluster one lost executor after truncation fails the
  * job unrecoverably (the lineage that could recompute the blocks is
- * gone by design). Pass `checkpointDir` (or pre-set
- * `sparkContext.setCheckpointDir`) to switch every truncation to
- * RELIABLE `checkpoint()` on the cluster FS — the mode a 100 TB run
- * must use; local mode keeps the zero-IO default.
+ * gone by design). Pass `checkpointDir` to switch THIS call's
+ * truncations to RELIABLE `checkpoint()` on the cluster FS — the mode
+ * a 100 TB run must use; local mode keeps the zero-IO default.
+ * Reliable mode is per-call (or session-wide via
+ * `spark.graft.lineageCut.reliable`) — a checkpoint dir merely being
+ * configured on the context does NOT flip it, so one call's param
+ * cannot silently change other operators' IO behavior (see
+ * [[graft.core.LineageCut]] for the persist-before-checkpoint cost
+ * contract and checkpoint-file cleanup notes).
  *
  * Dangling nodes (no out-edges) leak their damped mass by default —
  * the simple formulation `r' = (1-d)/N + d·Σ_in r/deg`, identical in
@@ -60,9 +65,9 @@ object Graph {
    * `min` sorts NaN ABOVE all real values and would otherwise let a
    * NaN mixed with positive weights slip through).
    *
-   * `checkpointDir`: when set (or when the context already has a
-   * checkpoint dir), lineage truncation uses reliable `checkpoint()`
-   * there instead of executor-local `localCheckpoint` — survives
+   * `checkpointDir`: when set, THIS call's lineage truncation uses
+   * reliable `checkpoint()` there instead of executor-local
+   * `localCheckpoint` — survives
    * executor loss; required at cluster scale (see object doc).
    *
    * `redistributeDangling`: when true, each round adds the dangling
@@ -102,7 +107,8 @@ object Graph {
     }
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     val e = cut(weightCol match {
       case Some(wc) => edges
         .select(col(srcCol).cast("long").as("src"),
@@ -246,7 +252,8 @@ object Graph {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -469,7 +476,8 @@ object Graph {
     require(maxIter >= 1, "maxIter must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     var cur = cut(edges
       .select(col(srcCol).cast("long").as("s0"),
         col(dstCol).cast("long").as("d0"))
@@ -529,7 +537,8 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     val e = cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -609,7 +618,8 @@ object Graph {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -666,7 +676,8 @@ object Graph {
     require(maxIter >= 1, "maxIter must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     val minSup = k - 2
     var e = cut(edges
       .select(col(srcCol).cast("long").as("s0"),
@@ -850,7 +861,7 @@ object Graph {
       .filter(col("s0") =!= col("d0"))
       .select(least(col("s0"), col("d0")).as("a"),
         greatest(col("s0"), col("d0")).as("b"))
-      .distinct())
+      .distinct(), reliable = checkpointDir.isDefined)
     val tri = triangleCounts(canon, "a", "b", maxBroadcastEdges)
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
@@ -906,7 +917,8 @@ object Graph {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
@@ -944,7 +956,11 @@ object Graph {
       // minimum, so "did any node improve or appear" is answerable from
       // the aggregation itself; an Observation rides the cut's
       // materialization job — the EXACT early-exit witness costs zero
-      // extra actions (it used to be a separate keys-only join per hop)
+      // extra actions (it used to be a separate keys-only join per hop).
+      // The metric is valid ONLY as a zero/nonzero witness: if the cut's
+      // plan were ever traversed twice (e.g. a reliable checkpoint write
+      // racing the persist-backed cache), the sum could inflate — it is
+      // never surfaced or compared to a count, only to zero
       val obs = new org.apache.spark.sql.Observation(s"sssp_hop_$hop")
       val nextFull = cut(dist
         .select(col("node"), col("d"), lit(true).as("__old"))
@@ -997,7 +1013,8 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = LineageCut.cut(df)
+    def cut(df: DataFrame): DataFrame =
+      LineageCut.cut(df, reliable = checkpointDir.isDefined)
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))

@@ -29,22 +29,48 @@ class LineageCutSpec extends SparkSpec {
     (5L, Array(0.0f, 0.0f, 1.0f)), (6L, Array(0.5f, 0.5f, 0.0f))
   ).toDF("vec_id", "embedding")
 
-  /** Run `f` twice — default mode, then with a reliable checkpoint dir
-   *  configured on the shared context — and require identical results;
-   *  also require the reliable run actually wrote checkpoint files. */
+  /** Run `f` twice — default mode, then with reliable cuts OPTED IN
+   *  (session conf) against a checkpoint dir — and require identical
+   *  results; also require the reliable run actually wrote checkpoint
+   *  files, and that a merely-configured dir WITHOUT the opt-in stays
+   *  local (the no-ambient-state contract). */
   private def bothModes(f: => Set[String]): Unit = {
     val local = f
     val dir = java.nio.file.Files.createTempDirectory("graft-cut-spec")
     try {
       spark.sparkContext.setCheckpointDir(dir.toString)
+      // setCheckpointDir scaffolds an empty subdir immediately — count
+      // regular FILES, the evidence of an actual checkpoint write
+      def filesWritten(): Long = {
+        val s = java.nio.file.Files.walk(dir)
+        try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally s.close()
+      }
+      // dir configured, no opt-in: cuts must stay executor-local
+      val ambient = f
+      assert(ambient === local)
+      assert(filesWritten() === 0L,
+        "a configured checkpoint dir alone must not flip cuts to " +
+          "reliable mode (explicit opt-in only)")
+      spark.conf.set(LineageCut.ReliableConfKey, "true")
       val reliable = f
       assert(reliable === local)
-      val wrote = java.nio.file.Files.walk(dir).count() > 1
-      assert(wrote, "reliable mode wrote nothing under the checkpoint dir")
+      assert(filesWritten() > 0L,
+        "reliable mode wrote nothing under the checkpoint dir")
     } finally {
+      spark.conf.unset(LineageCut.ReliableConfKey)
       spark.sparkContext.setCheckpointDir(null)
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
+  }
+
+  test("reliable opt-in without a checkpoint dir fails loud") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val df = Seq((1L, "a")).toDF("id", "t")
+    val ex = intercept[IllegalArgumentException] {
+      LineageCut.cut(df, reliable = true)
+    }
+    assert(ex.getMessage.contains("checkpoint dir"))
   }
 
   test("Dedup.dedupe survivors identical under both cut modes") {
@@ -61,11 +87,35 @@ class LineageCutSpec extends SparkSpec {
     }
   }
 
-  test("Similarity.semanticDedup keepers identical under both cut modes") {
+  test("Similarity.lshCosinePairs identical under both cut modes") {
+    // lshCosinePairs cuts its signature frame — a REAL Similarity cut
+    // site. (semanticDedup's flat path has none: the r10 version of
+    // this case only passed its write check because Files.walk counted
+    // the empty scaffold subdir setCheckpointDir creates — the check
+    // now counts regular files, which that path never writes.)
     bothModes {
-      Similarity.semanticDedup(vecs, threshold = 0.9, numCells = 2,
+      Similarity.lshCosinePairs(vecs, threshold = 0.9,
           idCol = "vec_id", vecCol = "embedding")
-        .select("vec_id").as[Long].collect().toSet.map((x: Long) => x.toString)
+        .collect().map(_.toString).toSet
+    }
+  }
+
+  test("Similarity.semanticDedup keepers identical under both cut modes") {
+    val local = Similarity.semanticDedup(vecs, threshold = 0.9,
+        numCells = 2, idCol = "vec_id", vecCol = "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-cut-spec")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      spark.conf.set(LineageCut.ReliableConfKey, "true")
+      val reliable = Similarity.semanticDedup(vecs, threshold = 0.9,
+          numCells = 2, idCol = "vec_id", vecCol = "embedding")
+        .select("vec_id").as[Long].collect().toSet
+      assert(reliable === local) // parity only: this path has no cut site
+    } finally {
+      spark.conf.unset(LineageCut.ReliableConfKey)
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
 }
