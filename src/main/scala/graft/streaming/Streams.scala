@@ -263,12 +263,19 @@ object Streams {
    * State bound: the unfinalized tail always keeps its LAST event (it
    * is the left member of the next pair), so without eviction state
    * grows O(distinct users ever seen) in a long-running stream — the
-   * same leak [[nearDupVerdicts]]'s TTL exists to prevent. A user
-   * whose single-event tail sits idle past `stateTtlMs` of EVENT time
-   * (watermark clock) is evicted; if that user later reappears, the
-   * adjacency across the idle gap is forfeit by contract (their chain
-   * restarts) — for most telemetry a multi-day-idle "transition" is
-   * noise anyway. Size the TTL like a session horizon.
+   * same leak [[nearDupVerdicts]]'s TTL exists to prevent. The TTL
+   * contract is a pure EVENT-TIME gap rule, deterministic across any
+   * batching: an adjacency whose inter-event gap is ≥ `stateTtlMs` is
+   * forfeit (the chain restarts at the later event) — for most
+   * telemetry a multi-day-idle "transition" is noise anyway. The
+   * data path enforces the rule at emission (so a reappearance landing
+   * in the same batch that advances the watermark past the TTL is
+   * suppressed identically), and a timeout evicts an idle single-event
+   * tail once the watermark passes `tail.ts + stateTtlMs` — by the
+   * watermark contract any later arrival then has ts ≥ wm ≥ tail.ts +
+   * TTL, so eviction can only forfeit pairs the gap rule forfeits
+   * anyway: state cleanup, never a semantic change. Size the TTL like
+   * a session horizon.
    */
   def transitionsStream(events: Dataset[Event],
                         watermarkDelay: String = "0 seconds",
@@ -308,6 +315,11 @@ object Streams {
                   math.max(wm + 1, remaining.head.ts.getTime + stateTtlMs))
             }
             closed.iterator
+              // the batch-invariant TTL rule: a ≥-TTL event-time gap
+              // forfeits the adjacency no matter how batches landed
+              // (eviction alone made the forfeit depend on whether a
+              // timeout fired before the user's reappearance)
+              .filter(p => p._2.ts.getTime - p._1.ts.getTime < stateTtlMs)
               .map(p => Transition(uid, p._1.event_type, p._2.event_type))
           }
       }

@@ -489,5 +489,43 @@ class StreamsSpec extends SparkSpec {
       "a TTL covering the idle gap must keep the adjacency chain")
   }
 
+  test("transitionsStream: TTL gap rule is batch-invariant (data path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L
+    // u1's reappearance lands in the SAME batch that advances the
+    // watermark past tail.ts + TTL — no data-less batch ever fires the
+    // eviction timeout. The ≥-TTL cross-gap pair must still be
+    // forfeited (same outcome as the timeout-eviction path), while
+    // u1's post-gap chain and a sub-TTL gap (u2) both emit.
+    val input = MemoryStream[Event]
+    val sinkName = "graft_transitions_gap_rule"
+    spark.catalog.dropTempView(sinkName)
+    val q = Streams.transitionsStream(input.toDS(), stateTtlMs = H)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(1000L), 1L, "a", 0.0),
+        Event(2L, ts(1000L), 2L, "p", 0.0))
+      q.processAllAvailable()
+      // one batch: u1 back after 3h (≥ TTL), u2 after 30min (< TTL)
+      input.addData(Event(3L, ts(3 * H), 1L, "b", 0.0),
+        Event(4L, ts(3 * H + 1000L), 1L, "c", 0.0),
+        Event(5L, ts(H / 2), 2L, "q", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(6L, ts(10 * H), 3L, "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(7L, ts(11 * H), 3L, "wm2", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val got = spark.table(sinkName).as[Streams.Transition].collect()
+      .map(t => (t.user_id, t.from_type, t.to_type)).toSet
+    assert(!got.contains((1L, "a", "b")),
+      "a same-batch reappearance past the TTL must not pair across the gap")
+    assert(got.contains((1L, "b", "c")), "the restarted chain still emits")
+    assert(got.contains((2L, "p", "q")), "a sub-TTL gap is a real adjacency")
+  }
+
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
 }
