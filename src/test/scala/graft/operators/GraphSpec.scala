@@ -507,6 +507,58 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths: exactly one Spark action per hop (witness rides the cut)") {
+    import spark.implicits._
+    // The early-exit witness is an Observation summed inside each
+    // hop's own lineage-cut materialization job — a reintroduced
+    // separate witness action (the pre-r10 keys-only join per hop)
+    // would add one job per hop and fail this count. AQE is disabled
+    // for the measurement: it splits one action into one job per
+    // shuffle stage, which would make the count plan- rather than
+    // action-shaped. Listener delivery is async — poll to stability.
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def settled(): Int = {
+      var prev = -1
+      var cur = counter.get()
+      var waited = 0
+      while (cur != prev && waited < 5000) {
+        prev = cur; Thread.sleep(100); waited += 100; cur = counter.get()
+      }
+      cur
+    }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def jobsFor(maxHops: Int): Int = {
+        val s0 = settled()
+        // the frontier keeps improving on an 8-node path, so no early
+        // exit: the loop runs exactly maxHops rounds
+        Graph.shortestPaths(path, "src", "dst", Seq(1L), maxHops = maxHops)
+        settled() - s0
+      }
+      // setup = 2 cut jobs (canonical edges, seed distances); each hop
+      // = exactly 1 ACTION, which at this size schedules 2 jobs: the
+      // broadcast-exchange build of the dist side (spawned async by
+      // the join) + the cut materialization the Observation rides. A
+      // reintroduced per-hop witness action would make it 3 per hop.
+      val twoHops = jobsFor(2)
+      val fiveHops = jobsFor(5)
+      assert(twoHops === 2 + 2 * 2, s"maxHops=2 ran $twoHops jobs")
+      assert(fiveHops === 2 + 5 * 2, s"maxHops=5 ran $fiveHops jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
   test("labelPropagation: two cliques with a bridge separate; deterministic ties") {
     import spark.implicits._
     // triangle {1,2,3} + triangle {10,11,12} + bridge 3-10
