@@ -1420,6 +1420,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("admitted"), sum(col("doc_id")).as("id_sum"))
     }),
 
+    // INCREMENTAL winnow admission (r9 #7): same daily-drop workflow,
+    // winnow/edit-distance flavor against the PERSISTED fingerprint
+    // index — the corpus is never re-fingerprinted, verification and
+    // components touch delta-involving pairs only (the full
+    // dedup_winnow_pipeline re-derives everything each run). Exact-copy
+    // plants reject at maxDist 0, novels admit, within-delta exact dups
+    // collapse — admissions are exactly the novel ids, which IS the
+    // oracle (same fixture convention as dedup_incremental).
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val novel = docs.filter(col("doc_id") % 25 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(1, 30), " +
+            "i -> substring(md5(concat(doc_id, 'x', i)), 1, 8)))").as("text"))
+      val dupNovel = novel.filter((col("doc_id") - 2000000L) % 50 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val delta = plants.unionAll(novel).unionAll(dupNovel)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-winnow-q").toString
+      Dedup.writeWinnowIndex(docs, idx, "doc_id", "text")
+      Dedup.winnowAdmitDelta(docs, delta, idx, "doc_id", "text",
+          maxDist = 0)
+        .agg(count(lit(1)).as("admitted"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // SimHash near-dup over the same planted corpus.
     "dedup_simhash" -> ((s, dir) => {
       import graft.operators.Dedup
@@ -2977,6 +3005,13 @@ object SparkEntry {
     // Admissions = exactly the novel delta docs (plants rejected against
     // the corpus; within-delta exact dups collapse to the min id).
     "dedup_incremental" ->
+      """SELECT count(*) AS admitted,
+        |       CAST(sum(doc_id + 2000000) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 25 = 7""".stripMargin,
+    // Winnow flavor of the same admission fixture: exact-copy plants
+    // reject at edit distance 0, within-delta exact dups collapse —
+    // admissions are exactly the novels.
+    "dedup_winnow_incremental" ->
       """SELECT count(*) AS admitted,
         |       CAST(sum(doc_id + 2000000) AS BIGINT) AS id_sum
         |FROM documents WHERE doc_id % 25 = 7""".stripMargin,

@@ -563,6 +563,119 @@ object Dedup {
   }
 
   /**
+   * Persist a corpus's winnowing fingerprints as the INCREMENTAL dedup
+   * index `(fp_hash, id)` — the build half of the daily-drop winnow
+   * workflow ([[winnowAdmitDelta]] is the delta half). Built once per
+   * corpus; a delta run then reads this store instead of
+   * re-fingerprinting (and re-shuffling) the whole corpus — the same
+   * persisted-store delta pattern as [[Sketches]]' Bloom ledgers and
+   * [[Similarity.buildIvfIndex]]. Rows are distinct `(fp_hash, id)`
+   * (a doc repeating a fingerprint at several positions indexes once).
+   */
+  def writeWinnowIndex(corpus: DataFrame, path: String, idCol: String,
+                       textCol: String, k: Int = 3, w: Int = 4): Unit = {
+    winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("fp_hash"), col(idCol).cast("long").as("id"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * INCREMENTAL winnow-based corpus admission — [[admitDelta]]'s
+   * contract with [[dedupeByWinnow]]'s machinery (winnowing candidates,
+   * banded edit-distance verification): delta docs within `maxDist`
+   * edits of ANY corpus doc are rejected, within-delta dup groups among
+   * the survivors collapse to their min id, and the admitted delta rows
+   * return. The corpus itself never re-deduplicates — admission leaves
+   * it untouched, which is what makes the rerun O(delta): unlike the
+   * full [[dedupeByWinnow]] over corpus ∪ delta (which re-fingerprints,
+   * re-verifies, and re-labels EVERYTHING each run), only components
+   * touched by new pairs are computed.
+   *
+   * Scale shape, stage by stage: delta-only fingerprinting (the corpus
+   * side comes from the PERSISTED [[writeWinnowIndex]] store); the
+   * store scan is semi-join-filtered by the broadcast delta
+   * fingerprint set, so only buckets containing a delta fingerprint
+   * leave it (O(store) sequential IO, zero corpus text work, zero
+   * corpus-sized shuffle); bucket capping sees each such bucket's TRUE
+   * size (every corpus member of a delta-containing bucket survives
+   * the semi-join); verification touches only delta-involving pairs,
+   * with corpus TEXTS point-semi-joined for exactly the touched ids;
+   * and connected components run over delta survivors only. Corpus
+   * and delta ids must be disjoint (the cross-corpus contract shared
+   * with [[admitDelta]]).
+   *
+   * `corpus` supplies verification texts only — fingerprints are never
+   * recomputed from it; `maxBucketSize` caps pathological fingerprint
+   * buckets exactly like [[dedupeByWinnow]] (capped over distinct
+   * (fp_hash, id) membership — the store's row grain).
+   */
+  def winnowAdmitDelta(corpus: DataFrame, delta: DataFrame,
+                       indexPath: String, idCol: String, textCol: String,
+                       maxDist: Int, k: Int = 3, w: Int = 4,
+                       maxBucketSize: Int = 64): DataFrame = {
+    val spark = delta.sparkSession
+    val slimD = delta.select(col(idCol), col(textCol)).lineageCut()
+    val fpsD = winnowFingerprints(slimD, idCol, textCol, k, w)
+      .select(col("fp_hash"), col(idCol).cast("long").as("id"))
+      .distinct()
+      .lineageCut() // feeds the broadcast hash set AND the bucket join
+    // touched buckets only: the store scan is filtered by the (small)
+    // delta fingerprint set before anything shuffles
+    val idx = spark.read.parquet(indexPath)
+      .join(broadcast(fpsD.select("fp_hash").distinct()),
+        Seq("fp_hash"), "left_semi")
+    val unionFps = fpsD.withColumn("__corpus", lit(false))
+      .unionByName(idx.select(col("fp_hash"), col("id"))
+        .withColumn("__corpus", lit(true)))
+    val capped = unionFps.join(
+      unionFps.groupBy("fp_hash").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucketSize)
+        .select("fp_hash"),
+      Seq("fp_hash"), "left_semi")
+      .lineageCut() // both candidate joins read this frame
+    val dSide = capped.filter(!col("__corpus")).select("fp_hash", "id")
+    val cSide = capped.filter(col("__corpus")).select("fp_hash", "id")
+    val candX = dSide.as("a").join(cSide.as("b"),
+        col("a.fp_hash") === col("b.fp_hash"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(true).as("__cross"))
+    val candD = dSide.as("a").join(dSide.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(false).as("__cross"))
+    val cand = candX.unionByName(candD).distinct()
+      .lineageCut() // verify + the __cross rejoin both read it
+    // corpus texts for exactly the touched ids — a point semi-join, the
+    // only read of the corpus table in the whole delta run
+    val slimC = corpus.select(col(idCol), col(textCol))
+      .join(cand.filter(col("__cross")).select(col("id_b").as("__tid"))
+          .distinct(),
+        col(idCol).cast("long") === col("__tid"), "left_semi")
+    val verified = verifyEditDistance(slimD.unionByName(slimC), idCol,
+        textCol, cand.select("id_a", "id_b"), maxDist)
+      .filter(col("is_dup"))
+      .join(cand, Seq("id_a", "id_b")) // recover the branch tag
+      .lineageCut() // referenced three times below
+    val contaminated = verified.filter(col("__cross"))
+      .select(col("id_a").as("id")).distinct()
+      .lineageCut() // referenced three times below
+    // within-delta dup edges among SURVIVORS only — the pair set the
+    // full pipeline would have produced among admitted docs
+    val dupD = verified.filter(!col("__cross"))
+      .join(contaminated.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(contaminated.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b")
+    val survivorIds = slimD.select(col(idCol).cast("long").as("id"))
+      .join(contaminated, Seq("id"), "left_anti")
+    val keep = assignCanonical(survivorIds, dupD)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as("__admit_id"))
+    delta.join(keep, col(idCol).cast("long") === col("__admit_id"),
+      "left_semi")
+  }
+
+  /**
    * Cross-corpus near-duplicate pairs: LSH-banded join of two DIFFERENT
    * corpora (train × eval), never all-pairs — the candidate generator for
    * decontamination. Emits (id_a from `a`, id_b from `b`, est_jaccard).

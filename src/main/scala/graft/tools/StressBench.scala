@@ -130,6 +130,39 @@ object StressBench {
       degen.unpersist()
     }
 
+    // Incremental winnow admission: the O(delta) rerun claim, measured.
+    // Corpus index is built ONCE (timed separately — the amortized
+    // cost); the daily rerun is then winnowAdmitDelta over a 5% delta,
+    // measured against the full dedupeByWinnow(corpus ∪ delta)
+    // recompute it replaces. Expect: delta-run cost tracks |delta| (+
+    // index scan IO), while the full rerun tracks |corpus|.
+    for (n <- Seq(80000L, 320000L) if only.forall(_ == "winnow")) {
+      val corpus = synthDocs(spark, n)
+      corpus.cache().count()
+      val dN = n / 20
+      // novels draw a DISJOINT id range n..n+dN (fresh hash stream →
+      // fresh texts); plants copy corpus docs under delta-range ids
+      val novel = synthDocs(spark, n + dN).filter(col("doc_id") >= n)
+      val plants = corpus.limit((dN / 4).toInt).select(
+        (col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val delta = novel.unionAll(plants)
+      delta.cache().count()
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-winnow-stress").toString
+      run("winnow_index", n) {
+        Dedup.writeWinnowIndex(corpus, idxDir, "doc_id", "text"); n
+      }
+      run("winnow_delta", n)(
+        Dedup.winnowAdmitDelta(corpus, delta, idxDir, "doc_id", "text",
+          maxDist = 0).count())
+      run("winnow_full", n)(
+        Dedup.dedupeByWinnow(corpus.unionAll(delta), "doc_id", "text",
+          maxDist = 0).count())
+      corpus.unpersist(); delta.unpersist()
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(idxDir))
+    }
+
     // Hot-key temporal joins: one user owns ~50% of events. asOf's window
     // partitions by key — the hot key's timeline sorts in ONE task; rangeJoin
     // fans each interval over span/bucketWidth buckets — a dense hot-key

@@ -278,6 +278,48 @@ class DedupSpec extends SparkSpec {
     assert(strict === Seq(1L, 2L, 4L, 5L))
   }
 
+  test("winnowAdmitDelta: rejects near-corpus, admits novels, collapses " +
+      "within-delta groups via the persisted index") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated content with different words here"),
+      (3L, "another standalone document nothing shared at all")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      // 1 edit from corpus doc 1 → rejected at maxDist 2
+      (10L, "the quick brown fox jumps over the lazy dog todny"),
+      // novel pair, 1 edit apart → both survive the corpus screen,
+      // collapse to the min id
+      (11L, "fresh delta material covering a brand new topic entirely"),
+      (12L, "fresh delta material covering a brand new topic entirelx"),
+      // novel singleton → admitted
+      (13L, "nothing in the corpus or the delta resembles this text at all")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-idx")
+    try {
+      Dedup.writeWinnowIndex(corpus, dir.toString, "doc_id", "text")
+      val admitted = Dedup.winnowAdmitDelta(corpus, delta, dir.toString,
+          "doc_id", "text", maxDist = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(admitted === Seq(11L, 13L))
+      // maxDist 0: the near-copy of doc 1 and the near-dup pair all
+      // miss exact equality — everything admits
+      val strict = Dedup.winnowAdmitDelta(corpus, delta, dir.toString,
+          "doc_id", "text", maxDist = 0)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(strict === Seq(10L, 11L, 12L, 13L))
+      // parity with the full pipeline's admission view: dedupeByWinnow
+      // over corpus ∪ delta, restricted to delta ids whose canonical is
+      // a delta id, keeps the same admitted set
+      val full = Dedup.dedupeByWinnow(corpus.unionAll(delta),
+          "doc_id", "text", maxDist = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(full.filter(_ >= 10L) === admitted.toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("verifyEditDistance: hand-computed distances, banded cap, missing ids") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"), // classic distance 3
