@@ -60,7 +60,8 @@ object Bench {
       s"SPARK_GRAFT_BENCH_ONLY matched no benchable queries: ${only.get}")
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val crashed = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to repeats; (name, fn) <- names) {
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       // Full-plan evaluation, NOT `.count()`: count() lets Catalyst
       // eliminate unique-keyed left joins and final projections, so a
@@ -80,11 +81,30 @@ object Bench {
       if (!ok) crashed += name
       else samples(name) = dt :: samples.getOrElse(name, Nil)
     }
+    for (_ <- 1 to repeats; (name, fn) <- names) timeOne(name, fn)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // ADAPTIVE RE-RUNS (bounded): a pass-to-pass spread LARGER than the
+    // median means the median itself is noise-dominated — round 10 had
+    // 12 queries move >1.3× on median purely from spread (q_hits:
+    // spread 46.8 s on a ~6 s query). Those queries get `extraPasses`
+    // more interleaved samples so the median is taken over 5, which
+    // discards two bursts instead of one. Bounded: only queries whose
+    // median exceeds 0.5 s (sub-second cells can't move the total),
+    // worst 12 by spread, 2 extra passes — worst case adds ~2× the sum
+    // of the unstable medians, a small fraction of suite time.
+    val extraPasses = 2
+    val unstable = names.filter { case (n, _) =>
+      !crashed(n) && samples.get(n).exists { xs =>
+        val m = median(xs)
+        xs.nonEmpty && (xs.max - xs.min) > m && m > 0.5
+      }
+    }.sortBy { case (n, _) => -(samples(n).max - samples(n).min) }.take(12)
+    for (_ <- 1 to extraPasses; (name, fn) <- unstable) timeOne(name, fn)
+    val rerunNames = unstable.map(_._1)
     // per-query: median across passes (the value every total/ratio uses)
     // and spread = max - min (the noise band those passes saw)
     val results = names.map { case (name, _) =>
@@ -135,13 +155,26 @@ object Bench {
         def r2(x: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, x)
         // ratio = median-based (the r9+ headline); ratio_min = best-pass
         // based, comparable with rounds ≤ 8 whose per-query value was min
+        // ratio_series: THE canonical cross-round trend, one semantics —
+        // per-query best-pass (min) totals over each round's benchable
+        // surface divided by the SAME-round committed DuckDB anchor.
+        // History pinned from the committed artifacts/verdicts (r7:
+        // 94.82/14.72 over 99 queries; r8: 100.39/17.30 over 107; r9:
+        // 160.77/28.18 over 173; r10: 167.35/28.18 over 173 — per-query
+        // values in r7/r8 WERE min; see BASELINE.md §ratio-series);
+        // "now" is this run appended on the same semantics.
+        val history = Seq("r7" -> 6.44, "r8" -> 5.80, "r9" -> 5.71,
+          "r10" -> 5.94)
         v.filter(_ > 0 && sfMatch).map { d =>
-          s""","spark_total":${r2(total)},"duckdb_total":${r2(d)},"ratio":${r2(total / d)},"ratio_min":${r2(minTotal / d)}"""
+          val series = (history.map { case (k, x) => s""""$k":$x""" } :+
+            s""""now":${r2(minTotal / d)}""").mkString("{", ",", "}")
+          s""","spark_total":${r2(total)},"duckdb_total":${r2(d)},"ratio":${r2(total / d)},"ratio_min":${r2(minTotal / d)},"ratio_series":$series"""
         }.getOrElse("")
       } else ""
     }.getOrElse("")
+    val rerunJson = rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"min_total":${"%.2f".formatLocal(java.util.Locale.ROOT, minTotal)}$anchorFields,"queries":$qs,"spread":$spreadJson,"min":$minJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"min_total":${"%.2f".formatLocal(java.util.Locale.ROOT, minTotal)}$anchorFields,"reruns":$rerunJson,"queries":$qs,"spread":$spreadJson,"min":$minJson,"sf":"$sfDir"}"""
     // The driver's tail capture is a FIXED ~2000-char window; the full
     // per-query line (~90 queries, full double precision) is ~4000 chars and
     // can never fit, wherever it is printed (r4/r5 `parsed: null`). So:
