@@ -422,27 +422,28 @@ object Profiling {
    * total rows, the heaviest key's share, and the Gini coefficient of
    * the count distribution (0 = uniform, → 1 = one key owns
    * everything) via the sorted-cumulative form
-   * `G = 2·Σ_i i·c_(i) / (n·Σc) − (n+1)/n` — one window pass over
-   * counts ordered by (count, key), deterministic under ties.
+   * `G = 2·Σ_i i·c_(i) / (n·Σc) − (n+1)/n` — ranks ordered by
+   * (count, key), deterministic under ties.
    *
    * This is the DIAGNOSIS side of the skew machinery: feed keys whose
    * `top_share` is large to `SkewJoin.saltedJoin`'s CMS pass and the
    * prescription follows. NULL keys are excluded (they join nothing).
    *
-   * The Gini rank is the one single-partition pass here — over KEYS,
-   * not rows, fine to ~10⁸ distinct keys; beyond that swap the window
-   * for `Packing`'s chunked exact-prefix-sum trick (and the i·c sum
-   * into double) before trusting the report.
+   * The Gini rank comes from [[Ranking.withGlobalRank]] (r11) — a
+   * range shuffle of the (key, count) frame stitched with chunk
+   * offsets, NO single-partition window — so the report holds at any
+   * key cardinality (the former `row_number` window capped it at
+   * ~10⁸ keys).
    *
    * Returns one row: (`n_keys`, `n_rows`, `top_share`, `gini`), shares
    * at 6dp.
    */
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").asc, col(keyCol).asc)
-    counts.select(col("c"), row_number().over(w).cast("long").as("i"))
+    Ranking.withGlobalRank(counts,
+        Seq(col("c").asc, col(keyCol).asc), "i", "__n")
+      .select(col("c"), col("i"))
       .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
         max("c").as("__mx"), sum(col("i") * col("c")).as("__ic"))
       .select(col("n_keys"), col("n_rows"),
