@@ -271,12 +271,13 @@ object Events {
    * is the SQL-standard ntile rule both engines implement).
    *
    * Scale shape: one user-keyed aggregate builds the metric frame
-   * (keys + 3 numbers); each tile pass is an EXACT distributed ntile
-   * via [[Ranking.withNtile]] — a range shuffle of the per-user frame
-   * plus a ≤ 256-row offset stitch, never an unpartitioned window, so
-   * the report survives 10⁸-10⁹ converting users (the old three
-   * global `ntile` windows each funneled every user through one
-   * task's sort). Returns (`user`, `r_ns`, `f`, `m` 2dp, `r_score`,
+   * (keys + 3 numbers); all three tiles come from ONE exact
+   * distributed ranking pass ([[Ranking.withGlobalRank]] over the
+   * 3×-melted frame — a range shuffle plus a ≤ 256-row offset stitch,
+   * never an unpartitioned window) and one user-keyed regroup, so the
+   * report survives 10⁸-10⁹ converting users (the old three global
+   * `ntile` windows each funneled every user through one task's
+   * sort). Returns (`user`, `r_ns`, `f`, `m` 2dp, `r_score`,
    * `f_score`, `m_score`).
    */
   def rfmSegments(events: DataFrame, userCol: String, typeCol: String,
@@ -290,16 +291,43 @@ object Events {
       "rfmSegments needs at least one event with a non-null timestamp " +
         "(recency is measured against the frame's max timestamp)")
     val maxTs = maxRow.getLong(0)
-    val m = ev.filter(col("ty") === conversionType)
+    // cut the metric frame: the range partitioner's boundary sampling
+    // and the shuffle write would otherwise each re-run the events
+    // aggregation (2× the dominant scan)
+    val m = graft.core.LineageCut.cut(ev.filter(col("ty") === conversionType)
       .groupBy("user")
       .agg((lit(maxTs) - max("ts")).as("r_ns"),
-        count(lit(1)).as("f"), round(sum("v"), 2).as("m"))
-    val r = Ranking.withNtile(m,
-      Seq(col("r_ns").desc, col("user").asc), "r_score", nTiles)
-    val rf = Ranking.withNtile(r,
-      Seq(col("f").asc, col("user").asc), "f_score", nTiles)
-    Ranking.withNtile(rf,
-      Seq(col("m").asc, col("user").asc), "m_score", nTiles)
+        count(lit(1)).as("f"), round(sum("v"), 2).as("m")))
+    // ONE ranking pass for all three tiles: melt each user to three
+    // (dim, key) rows whose composite order (dim, rk, fk, mk, user)
+    // restricts to exactly (metric, user) within each dim — r_ns desc
+    // becomes -r_ns asc (long negation, exact), inactive dims pin
+    // their key columns to constants. Each dim then owns a contiguous
+    // rank block of `users` rows, so rank-within-dim = rank − dim·users
+    // and one ntileFromRank per dim finishes the scores. Three
+    // separate withNtile passes cost 3× the (sample + cut) fixed jobs
+    // — measured 3.2 s at sf0.1 vs ~1.2 s for this shape.
+    val melted = m.select(col("user"), col("r_ns"), col("f"), col("m"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("dim"))
+      .withColumn("rk",
+        when(col("dim") === 0, -col("r_ns")).otherwise(lit(0L)))
+      .withColumn("fk",
+        when(col("dim") === 1, col("f")).otherwise(lit(0L)))
+      .withColumn("mk",
+        when(col("dim") === 2, col("m")).otherwise(lit(0.0)))
+    val ranked = Ranking.withGlobalRank(melted,
+      Seq(col("dim").asc, col("rk").asc, col("fk").asc, col("mk").asc,
+        col("user").asc),
+      "rank", "n3")
+    val users = ((col("n3") - pmod(col("n3"), lit(3L))) / 3).cast("long")
+    val score = Ranking.ntileFromRank(
+      col("rank") - col("dim") * users, users, nTiles)
+    ranked.withColumn("score", score)
+      .groupBy("user")
+      .agg(max("r_ns").as("r_ns"), max("f").as("f"), max("m").as("m"),
+        max(when(col("dim") === 0, col("score"))).as("r_score"),
+        max(when(col("dim") === 1, col("score"))).as("f_score"),
+        max(when(col("dim") === 2, col("score"))).as("m_score"))
   }
 
   /**
