@@ -100,6 +100,28 @@ class LineageCutSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.winnowAdmitDelta admissions identical under both cut modes") {
+    // the r11 incremental path: persisted-index read + five cut sites
+    val corpus = docs.limit(4)
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "a wholly new delta document about something else entirely"),
+      (12L, "a wholly new delta document about something else entirely")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-cut-widx")
+    try {
+      Dedup.writeWinnowIndex(corpus, idx.toString, "doc_id", "text")
+      bothModes {
+        Dedup.winnowAdmitDelta(corpus, delta, idx.toString,
+            "doc_id", "text", maxDist = 0)
+          .select("doc_id").as[Long].collect().toSet
+          .map((x: Long) => x.toString)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(idx.toFile)
+    }
+  }
+
   test("Similarity.semanticDedup keepers identical under both cut modes") {
     val local = Similarity.semanticDedup(vecs, threshold = 0.9,
         numCells = 2, idCol = "vec_id", vecCol = "embedding")

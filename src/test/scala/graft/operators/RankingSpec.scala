@@ -50,6 +50,31 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("ntileFromRank: exhaustive sweep against the SQL fill rule") {
+    // every (n, k, rank) with n <= 60, k <= 8: bucket must equal the
+    // reference larger-buckets-first fill (first n%k buckets take
+    // n/k+1 rows) — pins the pmod-based integer arithmetic across all
+    // remainder/edge combinations including n < k and k = 1
+    def reference(rank: Long, n: Long, k: Int): Int = {
+      val base = n / k; val rem = n % k
+      if (rank <= rem * (base + 1)) ((rank - 1) / (base + 1) + 1).toInt
+      else (rem + (rank - rem * (base + 1) - 1) / base + 1).toInt
+    }
+    val triples = for {
+      n <- 1L to 60L; k <- 1 to 8; r <- 1L to n
+    } yield (n, k, r)
+    val df = triples.toDF("n", "k", "rank")
+    for (k <- 1 to 8) {
+      val got = df.filter(col("k") === k)
+        .select(col("n"), col("rank"),
+          Ranking.ntileFromRank(col("rank"), col("n"), k).as("b"))
+        .as[(Long, Long, Int)].collect()
+      got.foreach { case (n, r, b) =>
+        assert(b === reference(r, n, k), s"n=$n k=$k rank=$r")
+      }
+    }
+  }
+
   test("empty input, reserved-column and bad-arg guards") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "metric")
     assert(Ranking.withGlobalRank(empty, Seq(col("id").asc), "rn", "n")
