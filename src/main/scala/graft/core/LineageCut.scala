@@ -56,6 +56,9 @@ object LineageCut {
   /** Session-conf opt-in for reliable cuts engine-wide. */
   val ReliableConfKey = "spark.graft.lineageCut.reliable"
 
+  // warn once per JVM, not per cut: iterative loops cut every round
+  private val warnedNoCleaner = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Truncate `ds`'s lineage. `reliable = true` forces reliable
    *  `checkpoint()` (checkpoint dir required, fail-loud); `false`
    *  consults [[ReliableConfKey]] (default: executor-local
@@ -70,6 +73,19 @@ object LineageCut {
           "call sparkContext.setCheckpointDir(<cluster-FS path>) (or pass " +
           "the operator's checkpointDir param); refusing to silently fall " +
           "back to executor-local localCheckpoint")
+      // checkpoint files of out-of-scope frames are only reclaimed when
+      // the ContextCleaner is told to — without it a long run's
+      // per-iteration cuts accumulate unboundedly on the cluster FS
+      if (!spark.sparkContext.getConf
+            .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
+              defaultValue = false)
+          && warnedNoCleaner.compareAndSet(false, true)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "reliable lineage cuts are on but " +
+            "spark.cleaner.referenceTracking.cleanCheckpoints is false: " +
+            "checkpoint files of dropped frames will NOT be reclaimed " +
+            "until the checkpoint dir is cleaned externally")
+      }
       // persist first: the reliable checkpoint's write job re-traverses
       // the RDD — against the cache this is a read, not a second full
       // plan execution (and plan-riding metrics/accumulators fire once)
