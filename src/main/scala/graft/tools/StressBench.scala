@@ -130,6 +130,28 @@ object StressBench {
       degen.unpersist()
     }
 
+    // Global ranking: the r11 distributed exact rank vs the
+    // unpartitioned-window form it replaced, at growing key counts.
+    // The window funnels every row through ONE task's sort; the
+    // Ranking helper range-partitions and stitches chunk offsets. The
+    // aggregate consumer forces every rank to be computed.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "ranking")) {
+      import org.apache.spark.sql.expressions.Window
+      val keys = spark.range(n).toDF("k")
+        .withColumn("v", pmod(xxhash64(col("k")), lit(1000L)))
+      keys.cache().count()
+      run("rank_dist", n)(
+        graft.operators.Ranking.withGlobalRank(keys,
+            Seq(col("v").asc, col("k").asc), "r", "n")
+          .agg(sum("r")).head().getLong(0))
+      run("rank_window", n)(
+        keys.withColumn("r",
+            row_number().over(Window.orderBy(col("v").asc, col("k").asc)))
+          .agg(sum("r")).head().getLong(0))
+      keys.unpersist()
+    }
+
     // Incremental winnow admission: the O(delta) rerun claim, measured.
     // Corpus index is built ONCE (timed separately — the amortized
     // cost); the daily rerun is then winnowAdmitDelta over a 5% delta,
