@@ -620,11 +620,15 @@ object Dedup {
       .select(col("fp_hash"), col(idCol).cast("long").as("id"))
       .distinct()
       .lineageCut() // feeds the broadcast hash set AND the bucket join
-    // touched buckets only: the store scan is filtered by the (small)
-    // delta fingerprint set before anything shuffles
+    // touched buckets only: the store scan is semi-joined against the
+    // delta fingerprint set before any corpus work happens. No forced
+    // broadcast: a daily-sized delta's hash set broadcasts under AQE's
+    // threshold automatically, while a LARGE delta (the 5%-of-corpus
+    // stress tier measured ~100 MB of hashes at 64k docs) must NOT be
+    // force-shipped to every scan task — the shuffled semi-join is
+    // then the right plan and still touches only (fp_hash, id) rows
     val idx = spark.read.parquet(indexPath)
-      .join(broadcast(fpsD.select("fp_hash").distinct()),
-        Seq("fp_hash"), "left_semi")
+      .join(fpsD.select("fp_hash").distinct(), Seq("fp_hash"), "left_semi")
     val unionFps = fpsD.withColumn("__corpus", lit(false))
       .unionByName(idx.select(col("fp_hash"), col("id"))
         .withColumn("__corpus", lit(true)))

@@ -442,7 +442,7 @@ object Profiling {
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
     Ranking.withGlobalRank(counts,
-        Seq(col("c").asc, col(keyCol).asc), "i", "__n")
+        Seq(col("c").asc, col(keyCol).asc), "i", "n_all")
       .select(col("c"), col("i"))
       .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
         max("c").as("__mx"), sum(col("i") * col("c")).as("__ic"))

@@ -56,6 +56,9 @@ object Ranking {
       s"column names starting with __ are reserved here: ${reserved.toSet}")
     require(!df.columns.contains(rankCol) && !df.columns.contains(nCol),
       s"output columns $rankCol/$nCol already exist in the frame")
+    require(!rankCol.startsWith("__") && !nCol.startsWith("__"),
+      s"output column names $rankCol/$nCol must not use the reserved " +
+        "__ prefix (they would collide with the helper's scratch columns)")
     val parted = df.repartitionByRange(chunks, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
@@ -108,9 +111,16 @@ object Ranking {
    * replacement for `ntile(k).over(Window.orderBy(order…))`.
    */
   def withNtile(df: DataFrame, order: Seq[Column], scoreCol: String,
-                k: Int, chunks: Int = 256): DataFrame =
-    withGlobalRank(df, order, "__rank", "__rn_total", chunks)
-      .withColumn(scoreCol,
-        ntileFromRank(col("__rank"), col("__rn_total"), k))
-      .drop("__rank", "__rn_total")
+                k: Int, chunks: Int = 256): DataFrame = {
+    // scratch names stay OUT of the reserved __ space (that's the
+    // helper's own) and dodge caller columns by suffixing
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+    val rankCol = fresh("gr_rank")
+    val nCol = fresh("gr_total")
+    withGlobalRank(df, order, rankCol, nCol, chunks)
+      .withColumn(scoreCol, ntileFromRank(col(rankCol), col(nCol), k))
+      .drop(rankCol, nCol)
+  }
 }

@@ -158,7 +158,8 @@ object StressBench {
     // measured against the full dedupeByWinnow(corpus ∪ delta)
     // recompute it replaces. Expect: delta-run cost tracks |delta| (+
     // index scan IO), while the full rerun tracks |corpus|.
-    for (n <- Seq(80000L, 320000L) if only.forall(_ == "winnow")) {
+    for (n <- (Seq(80000L, 320000L) ++ (if (xl) Seq(1280000L) else Nil))
+           if only.forall(_ == "winnow")) {
       val corpus = synthDocs(spark, n)
       corpus.cache().count()
       val dN = n / 20
