@@ -92,6 +92,29 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("withNtile dodges caller columns named like its scratch space") {
+    // a frame already carrying gr_rank/gr_total must pass through with
+    // those columns intact (the helper suffixes its scratch names), and
+    // __-prefixed OUTPUT names are rejected up front — they would fall
+    // inside withGlobalRank's reserved namespace
+    val df = randomFrame(120, distinctMetrics = 4)
+      .withColumn("gr_rank", col("id") * 10)
+      .withColumn("gr_total", col("id") * 11)
+    val got = Ranking.withNtile(df,
+      Seq(col("metric").asc, col("id").asc), "s", 4, chunks = 8)
+    assert(got.columns.sorted ===
+      Array("gr_rank", "gr_total", "id", "metric", "s"))
+    val expected = df.withColumn("s",
+        ntile(4).over(Window.orderBy(col("metric").asc, col("id"))))
+      .as[(Long, Double, Long, Long, Int)].collect().toSet
+    assert(got.as[(Long, Double, Long, Long, Int)].collect().toSet
+      === expected)
+    intercept[IllegalArgumentException] {
+      Ranking.withGlobalRank(randomFrame(5, 2),
+        Seq(col("id").asc), "__rank", "n")
+    }
+  }
+
   test("the only window in the plan is over the chunk summary") {
     // the scale property this helper exists for: the FRAME never
     // passes through an unpartitioned window/sort — the one global-
