@@ -1213,9 +1213,14 @@ object SparkEntry {
     "q_neighbor_agg" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      // feature in integer CENTS: m1 (one exact-integer-sum division)
+      // is then bit-deterministic cross-engine with NO rounding — a 2dp
+      // price feature averaged over a 2^a·5^b-degree node terminates ON
+      // the 6dp half-grid where the engines' round() rules disagree
+      // (node 300, degree 640 at sf0.1: 950.2828125)
       val feats = t(s, dir, "part")
         .select(col("p_partkey").as("node"),
-          col("p_retailprice").as("x"))
+          round(col("p_retailprice") * 100).cast("long").as("x"))
       graft.operators.Graph.neighborAgg(edges, "src", "dst",
         feats, "node", "x")
     }),
@@ -3948,14 +3953,17 @@ object SparkEntry {
         |  FROM lineitem WHERE l_partkey <> l_suppkey),
         |und AS MATERIALIZED (SELECT src, dst FROM d0
         |  UNION SELECT dst, src FROM d0),
-        |x AS (SELECT p_partkey AS node, CAST(p_retailprice AS DOUBLE) AS x
+        |x AS (SELECT p_partkey AS node,
+        |    CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS DOUBLE) AS x
         |  FROM part),
         |deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY 1),
         |m1 AS MATERIALIZED (SELECT und.src AS node, AVG(x.x) AS m1
         |  FROM und JOIN x ON x.node = und.dst GROUP BY 1),
-        |m2 AS (SELECT und.src AS node, AVG(m1.m1) AS m2
+        |m2 AS (SELECT und.src AS node,
+        |    CAST(SUM(CAST(floor(m1.m1 * 1000000) AS BIGINT)) AS DOUBLE)
+        |      / CAST(COUNT(m1.m1) AS DOUBLE) / 1000000.0 AS m2
         |  FROM und JOIN m1 ON m1.node = und.dst GROUP BY 1)
-        |SELECT d.node, d.degree, round(m1.m1, 6) AS m1, round(m2.m2, 6) AS m2
+        |SELECT d.node, d.degree, m1.m1 AS m1, m2.m2 AS m2
         |FROM deg d LEFT JOIN m1 ON m1.node = d.node
         |  LEFT JOIN m2 ON m2.node = d.node""".stripMargin,
     "q_mutual_info" ->

@@ -794,8 +794,17 @@ object Graph {
    *
    * Nodes missing from `features` contribute NULL (mean skips them —
    * aggregate-null semantics, identical cross-engine); isolated
-   * feature rows for non-graph nodes are ignored. Means are 6dp
-   * (fold-order ulps).
+   * feature rows for non-graph nodes are ignored. NOTHING here is
+   * rounded — rounding would introduce cross-engine ambiguity exactly
+   * when a mean terminates on the rounding grid (a 2dp price averaged
+   * over a 2^a·5^b-degree node lands ON the 6dp half-grid, where
+   * decimal HALF_UP and float-multiply round() disagree — both caught
+   * by sf0.1 oracle sweeps). Instead the composition is made
+   * bit-deterministic: `m1` is one exact-sum/degree division (exact
+   * whenever the feature is integer-valued — counts, cents); `m2`
+   * averages m1 QUANTIZED to 1e-6 units via floor → exact long sum →
+   * two single IEEE divisions, so it inherits m1's determinism with
+   * ≤1e-6 quantization error and no fold-order sensitivity.
    *
    * Scale shape: undirected edge frame built once; per round ONE
    * equi-join (edges × current values on the far end) + a node-keyed
@@ -815,18 +824,26 @@ object Graph {
       .distinct()
     val x = features.select(col(nodeCol).cast("long").as("node"),
       col(valueCol).cast("double").as("x"))
-    def meanOver(vals: DataFrame, vCol: String): DataFrame =
-      und.join(vals, und("dst") === vals("node"))
-        .groupBy(und("src").as("node"))
-        .agg(avg(col(vCol)).as("m"), count(lit(1)).as("__cnt"))
     val deg = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
-    val m1 = meanOver(x, "x").select(col("node"), col("m").as("m1"))
-    val m2 = meanOver(m1.select(col("node"), col("m1")), "m1")
-      .select(col("node"), col("m").as("m2"))
+    val m1 = und.join(x, und("dst") === x("node"))
+      .groupBy(und("src").as("node"))
+      .agg(avg(col("x")).as("m1"))
+    // m2 averages m1 QUANTIZED to 1e-6 units: floor of a bit-identical
+    // double is bit-identical, the long sum is fold-order-free, and the
+    // two divisions are single IEEE ops — so the whole composition is
+    // bit-deterministic wherever m1 is (no round() anywhere, hence no
+    // half-grid hazard). avg-null semantics preserved: NULL m1 rows
+    // drop from both the sum and the non-null count.
+    val m2 = und.join(m1, und("dst") === m1("node"))
+      .groupBy(und("src").as("node"))
+      .agg(sum(floor(col("m1") * lit(1e6))).as("__s"),
+        count(col("m1")).as("__c"))
+      .select(col("node"),
+        (col("__s").cast("double") / col("__c").cast("double") / lit(1e6))
+          .as("m2"))
     deg.join(m1, Seq("node"), "left").join(m2, Seq("node"), "left")
-      .select(col("node"), col("degree"),
-        round(col("m1"), 6).as("m1"), round(col("m2"), 6).as("m2"))
+      .select(col("node"), col("degree"), col("m1"), col("m2"))
   }
 
   /**

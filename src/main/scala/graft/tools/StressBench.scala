@@ -295,6 +295,73 @@ object StressBench {
           bucketWidth = 1000L).count())
     }
 
+    // END-TO-END corpus prep: the full CorpusPipeline.prepare chain —
+    // normalize → URL dedup → Bloom blocklist → boilerplate strip →
+    // exact dedup → quality/token gates → span dedup → self-trained
+    // perplexity gate → near-dup → LSH + 13-gram decontamination →
+    // target-share mixing → leakage-safe split — over a synthetic crawl
+    // with planted yield at every cut (URL variants, exact copies,
+    // blocklisted ids, eval-set leaks). One number per tier for the
+    // whole composition a 100 TB prep run extrapolates from; the
+    // standalone sections above isolate any stage that regresses.
+    // (Classifier/DSIR/chunk stages are off: measured standalone, they
+    // only stack wall time without changing the composition's shape.)
+    // minQuality is 0.3 not the 0.5 default: hex word-soup scores
+    // ~0.53 ± digit-fraction noise, and a knife-edge gate would make
+    // tier yield (hence downstream cost) data-noise instead of design.
+    for (n <- (Seq(100000L, 400000L) ++ (if (xl) Seq(1600000L) else Nil))
+           if only.forall(_ == "pipeline")) {
+      import graft.pipelines.{CorpusPipeline, CorpusPrepConfig}
+      val base = synthDocs(spark, n).select(
+        col("doc_id"), col("text"),
+        // every 20th doc shares its neighbor's canonical URL (5% URL
+        // cut); %7 rows add variant forms the canonicalizer collapses
+        concat(lit("https://"),
+          when(col("doc_id") % 7 === 1, "WWW.").otherwise(""),
+          lit("h"),
+          (col("doc_id") - when(col("doc_id") % 20 === 5, 1L).otherwise(0L))
+            .cast("string"),
+          lit(".com/p"),
+          when(col("doc_id") % 7 === 2, "?utm_source=x").otherwise(""))
+          .as("url"),
+        concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string"))
+          .as("src"))
+      // 4% exact-text copies under fresh ids/urls → exact-dedup yield
+      val plants = base.filter(col("doc_id") % 25 === 3).select(
+        (col("doc_id") + 100000000L).as("doc_id"), col("text"),
+        concat(lit("https://p"), col("doc_id").cast("string"), lit(".com"))
+          .as("url"),
+        col("src"))
+      val crawl = base.unionByName(plants)
+      crawl.cache().count()
+      val blocklist = spark.range(n).toDF("bad_id")
+        .filter(col("bad_id") % 13 === 0)
+      // eval set: 500 corpus docs verbatim → decontamination yield
+      val eval = crawl.filter(col("doc_id") % (n / 500) === 7)
+        .select(col("doc_id"), col("text"))
+      run("pipeline_e2e", n)(
+        CorpusPipeline.prepare(crawl,
+          CorpusPrepConfig(
+            normalizeText = true,
+            urlCol = Some("url"),
+            blocklist = Some((blocklist, "doc_id", "bad_id")),
+            boilerplateMinDocFreq = Some(100L),
+            exactDedup = true,
+            minQuality = Some(0.3),
+            tokenRange = Some((5L, 10000L)),
+            spanDedupTokens = Some(20),
+            maxPerplexity = Some(1e9),
+            nearDupThreshold = Some(0.7),
+            ngramDecontamination = Some((13, 2)),
+            targetShares = Some(("src",
+              (0 until 20).map(i => s"s$i" ->
+                (if (i == 0) 0.2 else 0.8 / 19)).toMap)),
+            splitWeights = Some(Seq("train" -> 0.9, "val" -> 0.05,
+              "test" -> 0.05))),
+          evalSets = Seq(eval)).count())
+      crawl.unpersist()
+    }
+
     for (n <- annTiers if only.forall(_ == "ann")) {
       val vecs = synthVecs(spark, n)
       vecs.cache().count()

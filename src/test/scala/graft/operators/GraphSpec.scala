@@ -601,6 +601,22 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) === ((4L, 1L, Some(40.0), Some(20.0))))
   }
 
+  test("neighborAgg m2 is the 1e-6-quantized mean, not a rounded avg") {
+    import spark.implicits._
+    // star 2-{1,3,4}: m1(2) = 2/3 never terminates; each leaf's m2 must
+    // be floor(m1(2)·1e6)/1e6 = 0.666666 EXACTLY (the deterministic
+    // quantization contract) — a rounded avg would say 0.666667
+    val e = Seq((2L, 1L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val x = Seq((1L, 1.0), (3L, 1.0), (4L, 0.0)).toDF("node", "x")
+    val got = Graph.neighborAgg(e, "src", "dst", x, "node", "x")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val expected = 666666.0 / 1.0 / 1e6
+    assert(got(1L)._4 === Some(expected))
+    assert(got(3L)._4 === Some(expected))
+    assert(got(4L)._4 === Some(expected))
+  }
+
   test("assortativity: star is maximally disassortative; cycle is degree-regular null") {
     import spark.implicits._
     // star K1,3: every edge joins deg-3 hub to deg-1 leaf -> r = -1
