@@ -309,8 +309,12 @@ object StressBench {
     // minQuality is 0.3 not the 0.5 default: hex word-soup scores
     // ~0.53 ± digit-fraction noise, and a knife-edge gate would make
     // tier yield (hence downstream cost) data-noise instead of design.
-    for (n <- (Seq(100000L, 400000L) ++ (if (xl) Seq(1600000L) else Nil))
-           if only.forall(_ == "pipeline")) {
+    // SPARK_GRAFT_PIPELINE_TIERS=800000[,..] overrides the tier list —
+    // for filling in intermediate points when attributing a growth step
+    val pipelineTiers = sys.env.get("SPARK_GRAFT_PIPELINE_TIERS")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(100000L, 400000L) ++ (if (xl) Seq(1600000L) else Nil))
+    for (n <- pipelineTiers if only.forall(_ == "pipeline")) {
       import graft.pipelines.{CorpusPipeline, CorpusPrepConfig}
       val base = synthDocs(spark, n).select(
         col("doc_id"), col("text"),
@@ -324,7 +328,10 @@ object StressBench {
           lit(".com/p"),
           when(col("doc_id") % 7 === 2, "?utm_source=x").otherwise(""))
           .as("url"),
-        concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string"))
+        // hash-derived stratum — decorrelated from every planted cut
+        // (doc_id%20 would make the URL-collapse rule erase one stratum
+        // entirely and the target-share stage fail loud on it)
+        concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(20)).cast("string"))
           .as("src"))
       // 4% exact-text copies under fresh ids/urls → exact-dedup yield
       val plants = base.filter(col("doc_id") % 25 === 3).select(
