@@ -1131,6 +1131,57 @@ object SparkEntry {
         lookback = 20, threshold = 2.0, minObs = 5)
     }),
 
+    // Bounded-lookback EWMA (half-life decay 1/2, last 8 obs) over each
+    // user's event values: ONE shared window, exact integer weights on
+    // cent-quantized values, single final IEEE division — bit-
+    // deterministic, no rounding anywhere.
+    "q_ewma" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewmaSmooth(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value",
+        lookback = 8, decayNum = 1L, decayDen = 2L, unitScale = 100L)
+    }),
+
+    // Mean-shift changepoints over each user's event values: 4-before
+    // vs 4-from-here window means, flag when the level moves ≥ 25.00 —
+    // exact long window sums, the trigger is an integer comparison.
+    "q_changepoint" -> ((s, dir) => {
+      graft.operators.TimeSeries.meanShiftChangepoints(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        window = 4, minShiftUnits = 2500L, unitScale = 100L)
+    }),
+
+    // Link prediction on the co-purchase graph: common-neighbors /
+    // Jaccard / Resource-Allocation for non-adjacent pairs sharing ≥ 3
+    // neighbors — the wedge fan-out collapses straight into a pair-
+    // keyed aggregate; all scores exact-integer until one division.
+    // minSupport=1 keeps the graph dense enough that the gate is
+    // NON-vacuous at both verify (sf0.01: ~147k pairs) and bench
+    // (sf0.1: ~33k pairs) scales — a sparser fixture predicts nothing.
+    "q_link_predict" -> ((s, dir) => {
+      graft.operators.Graph.linkPrediction(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 1),
+        "src", "dst", minCommon = 3, maxMiddleDegree = 10000L)
+    }),
+
+    // Newman modularity of the brand partition over the co-purchase
+    // graph: is same-brand co-purchase denser than degree-random?
+    // Exact-integer Q = (4m·intra − ΣD_c²)/(4m²), one final division.
+    "q_modularity" -> ((s, dir) => {
+      graft.operators.Graph.modularity(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        "src", "dst",
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        "p_partkey", "p_brand")
+    }),
+
+    // RAKE keyphrases over the document corpus (top 50): stopword/punct
+    // break → candidate phrases, word score deg/freq quantized to exact
+    // micro-units, phrase score an exact long sum — deterministic top-k.
+    "text_keywords" -> ((s, dir) => {
+      graft.operators.TextAnalysis.rakeKeywords(
+        t(s, dir, "documents"), "text", k = 50)
+    }),
+
     // Deterministic 5-fold cross-validation assignment (md5-uniform mod
     // k — exact fold replayable in SQL, unlike xxhash splits).
     "q_kfold" -> ((s, dir) => {
@@ -4190,6 +4241,114 @@ object SparkEntry {
         |  FROM w)
         |SELECT key, ts, id, value, z,
         |  COALESCE(abs(z) > 2.0, FALSE) AS anomaly FROM z""".stripMargin,
+    "q_ewma" -> {
+      // weights 2^(7-j) for lag j (decay 1/2 over an 8-row lookback) —
+      // generated, not hand-copied, so Spark and SQL cannot desync
+      val lags = (0 until 8).map(j =>
+        if (j == 0) "u AS u0" else s"lag(u, $j) OVER win AS u$j")
+        .mkString(", ")
+      val num = (0 until 8)
+        .map(j => s"COALESCE(u$j, 0) * ${1L << (7 - j)}").mkString(" + ")
+      val den = (0 until 8)
+        .map(j => s"(CASE WHEN u$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
+         |    event_id AS id, value,
+         |    CAST(round(value * 100) AS BIGINT) AS u FROM events),
+         |l AS (SELECT key, ts, id, value, $lags
+         |  FROM e WINDOW win AS (PARTITION BY key ORDER BY ts, id))
+         |SELECT key, ts, id, value,
+         |  CAST($num AS DOUBLE) / CAST(($den) * 100 AS DOUBLE) AS ewma
+         |FROM l""".stripMargin
+    },
+    "q_changepoint" ->
+      """WITH e AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
+        |    event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS u FROM events),
+        |w AS (SELECT key, ts, id,
+        |    SUM(u) OVER pre AS sa, COUNT(u) OVER pre AS na,
+        |    SUM(u) OVER post AS sb, COUNT(u) OVER post AS nb
+        |  FROM e WINDOW
+        |    pre AS (PARTITION BY key ORDER BY ts, id
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+        |    post AS (PARTITION BY key ORDER BY ts, id
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+        |SELECT key, ts, id,
+        |  CAST(sa AS DOUBLE) / 400.0 AS before_mean,
+        |  CAST(sb AS DOUBLE) / 400.0 AS after_mean,
+        |  CAST(sb - sa AS DOUBLE) / 400.0 AS shift
+        |FROM w WHERE na = 4 AND nb = 4 AND abs(sb - sa) >= 10000""".stripMargin,
+    "q_link_predict" ->
+      s"""WITH ${copurchaseSql(Some(30), 1)},
+         |canon AS MATERIALIZED (SELECT src AS a, dst AS b FROM e),
+         |und AS MATERIALIZED (SELECT a, b FROM canon
+         |  UNION ALL SELECT b, a FROM canon),
+         |deg AS MATERIALIZED (SELECT a AS node, count(*) AS deg
+         |  FROM und GROUP BY 1),
+         |mids AS MATERIALIZED (SELECT und.a AS z, und.b AS v, deg.deg
+         |  FROM und JOIN deg ON deg.node = und.a WHERE deg.deg <= 10000),
+         |pairs AS (SELECT m1.v AS a, m2.v AS b, count(*) AS common,
+         |    SUM(1000000 // m1.deg) AS ra_micro
+         |  FROM mids m1 JOIN mids m2 ON m1.z = m2.z AND m1.v < m2.v
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |pred AS (SELECT p.* FROM pairs p
+         |  LEFT JOIN canon c ON c.a = p.a AND c.b = p.b WHERE c.a IS NULL)
+         |SELECT pred.a, pred.b, common,
+         |  CAST(common AS DOUBLE) /
+         |    CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard,
+         |  CAST(ra_micro AS DOUBLE) / 1000000.0 AS ra
+         |FROM pred JOIN deg da ON da.node = pred.a
+         |  JOIN deg db ON db.node = pred.b""".stripMargin,
+    "q_modularity" ->
+      s"""WITH ${copurchaseSql(Some(30), 2)},
+         |comm AS (SELECT p_partkey AS node,
+         |    MIN(CAST(p_brand AS VARCHAR)) AS c FROM part GROUP BY 1),
+         |st AS MATERIALIZED (SELECT ca.c AS ca, cb.c AS cb FROM e
+         |  JOIN comm ca ON ca.node = e.src
+         |  JOIN comm cb ON cb.node = e.dst),
+         |ex AS (SELECT ca AS c, CASE WHEN ca = cb THEN 1 ELSE 0 END AS i
+         |    FROM st
+         |  UNION ALL
+         |  SELECT cb, CASE WHEN ca = cb THEN 1 ELSE 0 END FROM st),
+         |bc AS (SELECT c, count(*) AS dc, SUM(i) AS i2 FROM ex GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(dc) // 2 AS BIGINT) AS m,
+         |    count(*) AS n_communities,
+         |    CAST(SUM(i2) // 2 AS BIGINT) AS intra_edges,
+         |    SUM(dc * dc) AS sum_dc2 FROM bc)
+         |SELECT m AS n_edges, n_communities, intra_edges,
+         |  CAST(4 * m * intra_edges - sum_dc2 AS DOUBLE) /
+         |    CAST(4 * m * m AS DOUBLE) AS modularity
+         |FROM tot""".stripMargin,
+    "text_keywords" -> {
+      val stops = graft.operators.TextAnalysis.englishStopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH base AS (SELECT regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]+', ' | ', 'g') AS s FROM documents),
+         |toks AS (SELECT regexp_split_to_array(trim(s), '\\s+') AS t
+         |  FROM base WHERE length(trim(s)) > 0),
+         |marked AS (SELECT list_transform(t, x ->
+         |    CASE WHEN x IN ($stops) THEN '|' ELSE x END) AS m FROM toks),
+         |ph0 AS (SELECT unnest(string_split(array_to_string(m, ' '), '|'))
+         |    AS p FROM marked),
+         |occ AS (SELECT trim(p) AS phrase FROM ph0
+         |  WHERE length(trim(p)) > 0
+         |    AND len(string_split(trim(p), ' ')) <= 4),
+         |words AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         |    unnest(string_split(phrase, ' ')) AS w FROM occ),
+         |ws AS (SELECT w,
+         |    (SUM(plen) * 1000000) // count(*) AS score_micro
+         |  FROM words GROUP BY 1),
+         |dph AS (SELECT phrase, count(*) AS occurrences FROM occ GROUP BY 1),
+         |pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+         |  FROM dph),
+         |ps AS (SELECT pw.phrase, SUM(ws.score_micro) AS micro
+         |  FROM pw JOIN ws USING (w) GROUP BY 1)
+         |SELECT dph.phrase,
+         |  CAST(len(string_split(dph.phrase, ' ')) AS INTEGER) AS n_words,
+         |  dph.occurrences, CAST(micro AS DOUBLE) / 1000000.0 AS score
+         |FROM dph JOIN ps ON ps.phrase = dph.phrase
+         |ORDER BY micro DESC, dph.phrase LIMIT 50""".stripMargin
+    },
     "q_psi" -> {
       val probs = (1 until 10).map(i => i / 10.0)
       val caseChain = probs.indices

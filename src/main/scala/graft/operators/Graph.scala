@@ -1059,4 +1059,156 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /**
+   * Link prediction over the canonical undirected graph: score every
+   * NON-adjacent node pair that shares at least `minCommon` neighbors
+   * with the three classic neighborhood indices (Liben-Nowell & Kleinberg
+   * 2003; Zhou, Lü & Zhang 2009) — common-neighbor count, Jaccard
+   * coefficient, and Resource Allocation. Corpus-curation use: predicted
+   * co-purchase / co-citation links are retrieval-augmentation candidates
+   * and hard-negative mining seeds.
+   *
+   * Resource Allocation (Σ 1/deg(z) over shared neighbors z) is chosen
+   * over Adamic-Adar (Σ 1/ln deg) deliberately: it outperforms AA in the
+   * published benchmarks AND its per-middle term `1e6 div deg` is exact
+   * integer arithmetic — no transcendental whose last-ulp differences
+   * cross-engine could flip a rounded digit. `jaccard` = cn/(da+db−cn)
+   * and `ra` = ra_micro/1e6 are each ONE IEEE division of exact longs,
+   * so every output is bit-deterministic under any partitioning.
+   *
+   * Scale shape: the pair candidates are exactly the wedge set — for
+   * each middle node z, the unordered pairs of its neighbors — i.e.
+   * Σ C(deg(z), 2) rows, the same volume [[triangleCounts]] pipes. It
+   * exists only between the fan-out join and the (a, b)-keyed aggregate
+   * (keys + two longs move, map-side combined). Unlike the triangle
+   * pass there is no orientation trick: a pair's shared neighbors must
+   * ALL be enumerated, so super-hub middles genuinely cost deg² —
+   * `maxMiddleDegree` (default 10⁴ ≈ 5·10⁷ wedges per worst hub) drops
+   * middles above the cap, the standard approximation (a 10⁶-degree hub
+   * contributes ≤ 1e-6·1e6 = 1 unit of RA mass spread over 5·10¹¹
+   * pairs — noise, priced at deg² enumeration cost). Pass 0 to disable.
+   * The existing-edge anti-join and the two degree joins run on the
+   * AGGREGATED pair frame (already `minCommon`-pruned), not the wedge
+   * stream.
+   *
+   * Returns (`a`, `b`, `common`, `jaccard`, `ra`) with a < b, only for
+   * pairs NOT already linked.
+   */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Int = 2,
+                     maxMiddleDegree: Long = 10000L): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val canon = edges
+      .select(col(srcCol).cast("long").as("s0"),
+        col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct()
+    // the canonical frame feeds FIVE consumers (two und arms, the
+    // anti-join, and deg's two final joins re-derive through it) and the
+    // upstream edge derivation is often an expensive co-occurrence
+    // self-join — persist it once (same caller-releases contract as
+    // triangleCounts); deg is node-cardinality small, persist it too so
+    // the three deg consumers don't re-aggregate the edge frame
+    canon.persist()
+    val und = canon.unionAll(
+      canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    deg.persist()
+    val mids0 = und.join(deg.withColumnRenamed("node", "a"), "a")
+    val mids = if (maxMiddleDegree > 0)
+      mids0.filter(col("deg") <= maxMiddleDegree) else mids0
+    // wedge fan-out from each middle z: unordered neighbor pairs, each
+    // carrying z's exact-integer RA term; aggregate immediately on the
+    // pair key so the wedge stream collapses into (key, long, long)
+    // partial aggregates before anything else touches it
+    val m1 = mids.select(col("a").as("z"), col("b").as("v1"),
+      expr("1000000L div deg").as("ra_t"))
+    val m2 = mids.select(col("a").as("z"), col("b").as("v2"))
+    val pairs = m1.join(m2, Seq("z"))
+      .filter(col("v1") < col("v2"))
+      .groupBy(col("v1").as("a"), col("v2").as("b"))
+      .agg(count(lit(1)).as("common"), sum("ra_t").as("ra_micro"))
+      .filter(col("common") >= minCommon)
+    val predicted = pairs.join(canon, Seq("a", "b"), "left_anti")
+    predicted
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double"))
+          .as("jaccard"),
+        (col("ra_micro").cast("double") / lit(1e6)).as("ra"))
+  }
+
+  /**
+   * Newman modularity (Newman & Girvan 2004) of a node partition over
+   * the canonical undirected graph: Q = Σ_c [m_c/m − (D_c/2m)²] — how
+   * much denser within-community linking is than the degree-preserving
+   * random expectation. The quality gate for any community assignment
+   * ([[labelPropagation]]'s output, or a metadata partition like
+   * brand/domain) before it is trusted for corpus stratification.
+   *
+   * Computed in EXACT integer arithmetic via the equivalent form
+   * Q = (4m·Σm_c − ΣD_c²) / (4m²): m (canonical edge count), m_c
+   * (intra-community edges), and D_c (total degree per community) are
+   * exact longs, so the single final IEEE division is bit-deterministic
+   * cross-engine. Long-safe to m ≈ 1.5·10⁹ edges (4m² < 2⁶³), checked
+   * fail-loud rather than silently overflowed.
+   *
+   * Nodes absent from `communities` would make Q ill-defined (their
+   * degree belongs to no community), so the graph is first restricted
+   * to edges whose BOTH endpoints are labeled, and m / degrees are
+   * recomputed on that labeled subgraph — self-consistent, stated.
+   *
+   * Scale shape: two node-keyed joins stamp endpoint communities, one
+   * keys-only degree aggregate, one community-keyed aggregate each for
+   * m_c and D_c, then three one-row scalars — no wedges, no iteration;
+   * everything that moves is (long, long) pairs.
+   *
+   * Returns one row: (`n_edges`, `n_communities`, `intra_edges`,
+   * `modularity`).
+   */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 communities: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("long").as("s0"),
+        col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct()
+    val comm = communities
+      .select(col(nodeCol).cast("long").as("node"),
+        col(commCol).cast("string").as("c"))
+      .groupBy("node").agg(min("c").as("c")) // deterministic if multi-labeled
+    val stamped = canon
+      .join(comm.select(col("node").as("a"), col("c").as("ca")), "a")
+      .join(comm.select(col("node").as("b"), col("c").as("cb")), "b")
+    val byComm = stamped
+      .select(explode(array(col("ca"), col("cb"))).as("c"),
+        (col("ca") === col("cb")).cast("long").as("intra"))
+      .groupBy("c")
+      // D_c counts edge ENDPOINTS per community; each intra edge was
+      // exploded into both its endpoints' (identical) community, so
+      // halve its double-counted intra contribution at the end
+      .agg(count(lit(1)).as("dc"), sum("intra").as("i2"))
+    val tot = byComm.agg(
+      (sum("dc") / 2).cast("long").as("m"),
+      count(lit(1)).as("n_communities"),
+      (sum("i2") / 2).cast("long").as("intra_edges"),
+      sum(col("dc") * col("dc")).as("sum_dc2"))
+    tot.select(
+      when(col("m") > 1500000000L,
+        raise_error(lit("modularity: edge count exceeds exact-long range")))
+        .otherwise(col("m")).as("n_edges"),
+      col("n_communities"), col("intra_edges"),
+      ((lit(4L) * col("m") * col("intra_edges") - col("sum_dc2"))
+        .cast("double") /
+        (lit(4L) * col("m") * col("m")).cast("double")).as("modularity"))
+  }
 }

@@ -42,6 +42,10 @@ object TextAnalysis {
   private val EsStop = Seq("el", "la", "los", "las", "de", "y", "es", "un",
     "una", "en", "por", "que", "no", "con", "para", "del")
 
+  /** The default English stopword list (public so the SQL oracle can
+    * replay [[rakeKeywords]]'s phrase breaking verbatim). */
+  def englishStopwords: Seq[String] = EnStop
+
   private def stopHits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(stops.map(lit): _*), t)))
 
@@ -277,6 +281,86 @@ object TextAnalysis {
             (col("b") * col("n1") * col("n2"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /**
+   * RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+   * extraction from individual documents"): candidate phrases are the
+   * maximal token runs between stopwords/punctuation; each word scores
+   * deg(w)/freq(w) — deg counts every word it co-occurs with in a
+   * candidate phrase (itself included), freq its phrase occurrences —
+   * and a phrase scores the sum of its member words. Corpus-level
+   * keyphrases are the classic cheap topic signal for mixture reporting
+   * and near-dup clustering seeds.
+   *
+   * EXACTNESS: word scores quantize to exact integers
+   * (`deg·10⁶ div freq`) so phrase scores are exact long sums — the
+   * top-k order and the reported `score` (one IEEE division) are
+   * bit-deterministic cross-engine. deg is guarded against the 10⁶
+   * scaling overflowing long (deg ≤ 9·10¹², i.e. ~10¹² corpus word
+   * occurrences — fail-loud, not silent wraparound).
+   *
+   * Scale shape: two explode passes over phrase tokens (map-side), a
+   * word-keyed aggregate, a phrase-keyed aggregate, and one word-keyed
+   * join of (phrase, word) against the word-score frame — strings move
+   * once per token occurrence, everything else is keys + longs. Top-k
+   * via `orderBy.limit` → `TakeOrderedAndProject` per-partition heaps.
+   *
+   * Candidate phrases are capped at `maxPhraseLen` tokens (RAKE
+   * convention; unbounded runs in boilerplate-heavy text otherwise
+   * dominate by pure length).
+   *
+   * Returns k rows: (`phrase`, `n_words`, `occurrences`, `score`),
+   * ordered score-desc then phrase.
+   */
+  def rakeKeywords(df: DataFrame, textCol: String, k: Int,
+                   maxPhraseLen: Int = 4,
+                   stopwords: Seq[String] = EnStop): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxPhraseLen >= 1, "maxPhraseLen must be >= 1")
+    // punctuation runs become explicit '|' break tokens, stopword tokens
+    // are rewritten to the same break, and the re-joined string splits
+    // into phrases — lookaround-free, so the SQL oracle can replay it
+    // in RE2 (no lookbehind) exactly
+    val barred = regexp_replace(lower(col(textCol)),
+      "[^a-z0-9\\s]+", " | ")
+    val toks = split(trim(barred), "\\s+")
+    val stopsArr = array(stopwords.map(lit): _*)
+    val marked = transform(toks,
+      t => when(array_contains(stopsArr, t), lit("|")).otherwise(t))
+    val phrases = filter(
+      transform(split(array_join(marked, " "), "\\|"), p => trim(p)),
+      p => length(p) > 0)
+    val occ = df
+      .select(explode(phrases).as("phrase"))
+      .filter(size(split(col("phrase"), " ")) <= maxPhraseLen)
+    val words = occ.select(col("phrase"),
+      size(split(col("phrase"), " ")).as("plen"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val wscore = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("w"),
+        when(col("deg") > 9000000000000L,
+          raise_error(lit("rakeKeywords: word degree exceeds exact-long " +
+            "score range"))).otherwise(
+          expr("deg * 1000000L div freq")).as("score_micro"))
+    val dphrase = occ.groupBy("phrase")
+      .agg(count(lit(1)).as("occurrences"))
+    val pscore = dphrase
+      .select(col("phrase"), col("occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wscore, "w")
+      .groupBy("phrase", "occurrences")
+      .agg(sum("score_micro").as("__micro"))
+    pscore
+      .select(col("phrase"),
+        size(split(col("phrase"), " ")).as("n_words"),
+        col("occurrences"),
+        (col("__micro").cast("double") / lit(1e6)).as("score"),
+        col("__micro"))
+      .orderBy(col("__micro").desc, col("phrase"))
+      .limit(k)
+      .drop("__micro")
   }
 
   /**

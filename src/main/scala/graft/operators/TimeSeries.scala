@@ -173,4 +173,125 @@ object TimeSeries {
         coalesce(abs(col("z")) > threshold, lit(false)))
       .select("key", "ts", "id", "value", "z", "anomaly")
   }
+
+  /**
+   * Bounded-lookback exponential smoothing (EWMA with a finite window —
+   * the monitoring-system form): each observation's smoothed value is
+   * the decay-weighted mean of the last `lookback` observations in its
+   * key's (ts, id)-ordered series, weight (decayNum/decayDen)^lag. A
+   * short half-life makes weights beyond a few dozen rows numerically
+   * zero anyway, so the truncation at `lookback` is the explicit,
+   * SQL-replayable statement of what the infinite recurrence already
+   * does in practice.
+   *
+   * EXACTNESS: values quantize to integers at `unitScale` (cents for
+   * 2dp money) via round(v·scale); weights are the exact integers
+   * num^lag · den^(lookback−1−lag); numerator and the weight sum are
+   * exact long window sums, and the result is ONE IEEE division of
+   * exact longs — bit-deterministic under any partitioning and any
+   * engine, no fold-order or transcendental hazard anywhere. The exact
+   * recurrence on doubles would be neither (engines disagree on sliding
+   * -sum association order). Long-safety is checked at call time:
+   * den^(lookback−1) ≤ 2³¹ bounds the weight sum by 2·2³¹, keeping
+   * worst-case numerators under 2⁶³ for values to ~10⁹ units.
+   *
+   * Scale shape: ONE key-partitioned (ts, id)-ordered window shared by
+   * all `lookback` lag terms — a single exchange+sort, rows carrying
+   * (key, ts, id, long). The per-key sort is the honest sequencing
+   * cost, keyed so it scales out; `lookback` is a per-ROW constant-work
+   * factor, not a memory term.
+   *
+   * Returns (`key`, `ts`, `id`, `value`, `ewma`) — every input row,
+   * smoothed; rows early in a series use however many of the
+   * `lookback` lags exist (the weight sum adapts).
+   */
+  def ewmaSmooth(obs: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, valueCol: String, lookback: Int = 8,
+                 decayNum: Long = 1L, decayDen: Long = 2L,
+                 unitScale: Long = 100L): DataFrame = {
+    require(lookback >= 2 && lookback <= 32,
+      s"lookback must be in [2, 32]; got $lookback")
+    require(decayDen > decayNum && decayNum >= 1,
+      "decay must satisfy den > num >= 1")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val maxW = math.pow(decayDen.toDouble, (lookback - 1).toDouble)
+    require(maxW <= (1L << 31).toDouble,
+      s"den^(lookback-1) = $maxW exceeds the exact-long weight bound 2^31")
+    def weight(lag: Int): Long = {
+      var w = 1L
+      var i = 0
+      while (i < lag) { w *= decayNum; i += 1 }
+      while (i < lookback - 1) { w *= decayDen; i += 1 }
+      w
+    }
+    val o = obs.select(col(keyCol).as("key"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("value"))
+      .withColumn("u", round(col("value") * unitScale).cast("long"))
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("id"))
+    val terms = (0 until lookback).map { j =>
+      val u = if (j == 0) col("u") else lag(col("u"), j).over(w)
+      (when(u.isNotNull, u * weight(j)).otherwise(lit(0L)),
+        when(u.isNotNull, lit(weight(j))).otherwise(lit(0L)))
+    }
+    o.withColumn("__num", terms.map(_._1).reduce(_ + _))
+      .withColumn("__den", terms.map(_._2).reduce(_ + _))
+      .select(col("key"), col("ts"), col("id"), col("value"),
+        (col("__num").cast("double") /
+          (col("__den") * unitScale).cast("double")).as("ewma"))
+  }
+
+  /**
+   * Mean-shift changepoint detection: flag observations where the mean
+   * of the NEXT `window` observations differs from the mean of the
+   * PREVIOUS `window` by at least `minShiftUnits` quantized units —
+   * the two-sample sliding scan statistic in its exact-arithmetic form.
+   * Pipeline-telemetry use: level shifts in per-source document volume
+   * or quality scores are the first sign of an upstream feed change.
+   *
+   * EXACTNESS: values quantize at `unitScale` (as [[ewmaSmooth]]); the
+   * two window sums are exact longs over full windows only (rows
+   * without `window` observations on BOTH sides cannot be flagged), so
+   * the trigger |s_post − s_pre| ≥ minShiftUnits·window is an exact
+   * integer comparison — no engine-dependent sliding-sum fold order
+   * can flip a flag — and the reported means/shift are single IEEE
+   * divisions of exact longs.
+   *
+   * Scale shape: ONE key-partitioned (ts, id)-ordered window sort
+   * shared by both row-bounded frames (Spark evaluates each with a
+   * sliding accumulator); rows carry (key, ts, id, long). Emits every
+   * triggering row — a sustained shift triggers a run of flags whose
+   * extremum is the caller's pick (returning all of them keeps the
+   * operator deterministic and windowless downstream).
+   *
+   * Returns flagged rows only: (`key`, `ts`, `id`, `before_mean`,
+   * `after_mean`, `shift`), where the "after" window STARTS at the
+   * flagged row (it is the first observation of the new level).
+   */
+  def meanShiftChangepoints(obs: DataFrame, keyCol: String, tsCol: String,
+                            idCol: String, valueCol: String, window: Int,
+                            minShiftUnits: Long,
+                            unitScale: Long = 100L): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    require(minShiftUnits >= 1, "minShiftUnits must be >= 1")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val o = obs.select(col(keyCol).as("key"),
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("value"))
+      .withColumn("u", round(col("value") * unitScale).cast("long"))
+    val ord = Window.partitionBy("key").orderBy(col("ts"), col("id"))
+    val pre = ord.rowsBetween(-window, -1)
+    val post = ord.rowsBetween(0, window - 1)
+    val den = (window * unitScale).toDouble
+    o.withColumn("__sa", sum("u").over(pre))
+      .withColumn("__na", count("u").over(pre))
+      .withColumn("__sb", sum("u").over(post))
+      .withColumn("__nb", count("u").over(post))
+      .filter(col("__na") === window && col("__nb") === window &&
+        abs(col("__sb") - col("__sa")) >= minShiftUnits * window)
+      .select(col("key"), col("ts"), col("id"),
+        (col("__sa").cast("double") / den).as("before_mean"),
+        (col("__sb").cast("double") / den).as("after_mean"),
+        ((col("__sb") - col("__sa")).cast("double") / den).as("shift"))
+  }
 }

@@ -653,4 +653,63 @@ class GraphSpec extends SparkSpec {
       Graph.kTruss(e, "src", "dst", k = 2)
     }
   }
+
+  test("linkPrediction: exact CN/Jaccard/RA; adjacent pairs excluded; middle cap prunes") {
+    import spark.implicits._
+    // degrees: 1→2, 2→3, 3→3, 4→3, 5→1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(e, "src", "dst", minCommon = 1)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // exactly the three non-adjacent pairs sharing ≥1 neighbor
+    assert(got.keySet === Set((1L, 4L), (2L, 5L), (3L, 5L)))
+    // (1,4): shared {2,3}; J = 2/(2+3−2); RA = ⌊1e6/3⌋·2 / 1e6
+    assert(got((1L, 4L))._3 === 2L)
+    assert(got((1L, 4L))._4 === 2.0 / 3.0)
+    assert(got((1L, 4L))._5 === 666666.0 / 1e6)
+    // (2,5) and (3,5): shared {4} (deg 3)
+    Seq((2L, 5L), (3L, 5L)).foreach { p =>
+      assert(got(p)._3 === 1L)
+      assert(got(p)._4 === 1.0 / 3.0)
+      assert(got(p)._5 === 333333.0 / 1e6)
+    }
+    // minCommon = 2 keeps only the two-witness pair
+    val strict = Graph.linkPrediction(e, "src", "dst", minCommon = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(strict.map(r => (r._1, r._2)).toSet === Set((1L, 4L)))
+    // capping middles at degree ≤ 2 leaves only node 1 as a middle,
+    // whose lone neighbor pair (2,3) is adjacent → nothing predicted
+    assert(Graph.linkPrediction(e, "src", "dst", minCommon = 1,
+      maxMiddleDegree = 2L).count() === 0L)
+  }
+
+  test("modularity: exact Q for two bridged triangles; unlabeled endpoints drop") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3–4:
+    // m = 7, intra = 6, D_x = D_y = 7 → Q = (4·7·6 − 2·49)/(4·49) = 70/196
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("node", "c")
+    val got = Graph.modularity(e, "src", "dst", comm, "node", "c")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got === ((7L, 2L, 6L, 70.0 / 196.0)))
+    // an edge to an unlabeled node is excluded, leaving Q unchanged
+    val e2 = e.union(Seq((6L, 7L)).toDF("src", "dst"))
+    val got2 = Graph.modularity(e2, "src", "dst", comm, "node", "c")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got2 === got)
+    // a multi-labeled node resolves to its MIN label, deterministically
+    val comm2 = comm.union(Seq((1L, "z")).toDF("node", "c"))
+    val got3 = Graph.modularity(e, "src", "dst", comm2, "node", "c")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got3 === got)
+    // the all-in-one-community partition scores 1 − 1/1 = ... exactly
+    // (4m·m − (2m)²)/(4m²) = 0 — intra density equals expectation
+    val one = Seq.tabulate(6)(i => (i + 1L, "all")).toDF("node", "c")
+    val g1 = Graph.modularity(e, "src", "dst", one, "node", "c")
+      .as[(Long, Long, Long, Double)].head()
+    assert(g1._3 === 7L && g1._4 === 0.0)
+  }
 }

@@ -458,4 +458,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === ((1L, 5L, 2L, 5L, Some(-2.815))))
     assert(got(2L) === ((2L, 0L, 1L, 0L, None)))
   }
+
+  test("rakeKeywords: hand-scored phrases, punctuation/stopword breaks, length cap") {
+    import spark.implicits._
+    // corpus word stats (phrases break at 'of', 'the', and ','):
+    //   deep     freq 2  deg 4  → score 2.0
+    //   learning freq 2  deg 4  → score 2.0
+    //   networks freq 1  deg 2  → score 2.0
+    //   machine  freq 2  deg 3  → score 1.5
+    val docs = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "machine learning, the machine"),
+      (3L, "alpha beta gamma delta epsilon"), // 5 tokens > cap → dropped
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, "text", k = 10)
+      .as[(String, Int, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(
+      "deep learning", "deep networks", "machine learning", "machine"))
+    val byPhrase = got.map(r => r._1 -> r).toMap
+    assert(byPhrase("deep learning") === (("deep learning", 2, 1L, 4.0)))
+    assert(byPhrase("deep networks") === (("deep networks", 2, 1L, 4.0)))
+    assert(byPhrase("machine learning") ===
+      (("machine learning", 2, 1L, 3.5)))
+    assert(byPhrase("machine") === (("machine", 1, 1L, 1.5)))
+    assert(!got.exists(_._1.contains("alpha")))
+    // k truncates on the (score desc, phrase asc) total order
+    val top2 = TextAnalysis.rakeKeywords(docs, "text", k = 2)
+      .as[(String, Int, Long, Double)].collect().map(_._1).toSeq
+    assert(top2 === Seq("deep learning", "deep networks"))
+  }
 }

@@ -108,4 +108,58 @@ class TimeSeriesSpec extends SparkSpec {
         lookback = 1)
     }
   }
+
+  test("ewmaSmooth: exact weighted means, adapting to short prefixes") {
+    val obs = Seq(
+      (1L, 1L, 1L, 1.0), (2L, 1L, 2L, 2.0), (3L, 1L, 3L, 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.ewmaSmooth(obs, "user_id", "ts", "event_id",
+        "value", lookback = 8, decayNum = 1L, decayDen = 2L,
+        unitScale = 100L)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._2)
+    // weights 2^(7−lag): row 1 sees only itself → its own value
+    assert(got(0)._5 === 1.0)
+    // row 2: (200·128 + 100·64) / ((128+64)·100) = 32000/19200 = 5/3
+    assert(got(1)._5 === 32000.0 / 19200.0)
+    // row 3: (400·128 + 200·64 + 100·32) / ((128+64+32)·100) = 3.0
+    assert(got(2)._5 === 3.0)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaSmooth(obs, "user_id", "ts", "event_id", "value",
+        lookback = 1)
+    }
+    intercept[IllegalArgumentException] { // decay must shrink
+      TimeSeries.ewmaSmooth(obs, "user_id", "ts", "event_id", "value",
+        decayNum = 2L, decayDen = 2L)
+    }
+    intercept[IllegalArgumentException] { // 3^31 blows the long bound
+      TimeSeries.ewmaSmooth(obs, "user_id", "ts", "event_id", "value",
+        lookback = 32, decayNum = 1L, decayDen = 3L)
+    }
+  }
+
+  test("meanShiftChangepoints: exact trigger at the level shift, full windows only") {
+    val obs = (1 to 8).map { i =>
+      (i.toLong, 1L, i.toLong, if (i <= 4) 10.0 else 50.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.meanShiftChangepoints(obs, "user_id", "ts",
+        "event_id", "value", window = 4, minShiftUnits = 1000L,
+        unitScale = 100L)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    // only ts=5 has FULL windows on both sides of the shift
+    assert(got.map(_._2).toSeq === Seq(5L))
+    assert(got.head._4 === 10.0 && got.head._5 === 50.0 &&
+      got.head._6 === 40.0)
+    // threshold is inclusive and exact: |Σpost − Σpre| = 16000 = 4000·4
+    val edge = TimeSeries.meanShiftChangepoints(obs, "user_id", "ts",
+      "event_id", "value", window = 4, minShiftUnits = 4000L)
+    assert(edge.count() === 1L)
+    val over = TimeSeries.meanShiftChangepoints(obs, "user_id", "ts",
+      "event_id", "value", window = 4, minShiftUnits = 4001L)
+    assert(over.count() === 0L)
+    // a flat series never triggers
+    val flat = (1 to 10).map(i => (i.toLong, 2L, i.toLong, 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(TimeSeries.meanShiftChangepoints(flat, "user_id", "ts",
+      "event_id", "value", window = 3, minShiftUnits = 1L).count() === 0L)
+  }
 }
