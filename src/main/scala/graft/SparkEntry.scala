@@ -1182,6 +1182,24 @@ object SparkEntry {
         t(s, dir, "documents"), "text", k = 50)
     }),
 
+    // Pairwise association rules over order baskets (Apriori prune →
+    // bounded per-basket pair fan-out → immediate pair-keyed count):
+    // support/confidence/lift each ONE division of exact longs.
+    "q_assoc_rules" -> ((s, dir) => {
+      graft.operators.Associations.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)
+    }),
+
+    // Global transitivity of the co-purchase graph: 3·triangles /
+    // wedges in exact longs over clusteringCoefficient's fused
+    // enumeration — one extra one-row aggregate.
+    "q_transitivity" -> ((s, dir) => {
+      graft.operators.Graph.transitivity(
+        copurchaseEdges(s, dir, qtyMax = Some(30), minSupport = 2),
+        "src", "dst")
+    }),
+
     // Deterministic 5-fold cross-validation assignment (md5-uniform mod
     // k — exact fold replayable in SQL, unlike xxhash splits).
     "q_kfold" -> ((s, dir) => {
@@ -4349,6 +4367,45 @@ object SparkEntry {
          |FROM dph JOIN ps ON ps.phrase = dph.phrase
          |ORDER BY micro DESC, dph.phrase LIMIT 50""".stripMargin
     },
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM bi),
+        |ic AS (SELECT it AS item, count(*) AS c FROM bi GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |freq AS MATERIALIZED (SELECT bi.bk, bi.it FROM bi
+        |  JOIN ic ON ic.item = bi.it),
+        |pc AS (SELECT x.it AS a, y.it AS b, count(*) AS pair_count
+        |  FROM freq x JOIN freq y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (SELECT a AS antecedent, b AS consequent, pair_count
+        |    FROM pc
+        |  UNION ALL
+        |  SELECT b, a, pair_count FROM pc)
+        |SELECT r.antecedent, r.consequent, r.pair_count,
+        |  CAST(r.pair_count AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        |  CAST(r.pair_count AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+        |  CAST(r.pair_count * nb.n AS DOUBLE) /
+        |    CAST(ca.c * cb.c AS DOUBLE) AS lift
+        |FROM rules r
+        |  JOIN ic ca ON ca.item = r.antecedent
+        |  JOIN ic cb ON cb.item = r.consequent
+        |  CROSS JOIN nb""".stripMargin,
+    "q_transitivity" ->
+      s"""WITH ${copurchaseSql(Some(30), 2)},
+         |deg AS (SELECT n, count(*) AS d FROM (
+         |  SELECT src AS n FROM e UNION ALL SELECT dst FROM e) GROUP BY n),
+         |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+         |  FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tot AS (SELECT count(*) AS nt FROM tri),
+         |wd AS (SELECT count(*) AS n_nodes,
+         |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+         |SELECT n_nodes, nt AS n_triangles, w AS n_wedges,
+         |  CASE WHEN w > 0 THEN
+         |    CAST(3 * nt AS DOUBLE) / CAST(w AS DOUBLE) END AS transitivity
+         |FROM wd CROSS JOIN tot""".stripMargin,
     "q_psi" -> {
       val probs = (1 until 10).map(i => i / 10.0)
       val caseChain = probs.indices

@@ -1061,6 +1061,39 @@ object Graph {
   }
 
   /**
+   * Global transitivity ratio (Newman 2003): 3·triangles / wedges —
+   * the probability that two neighbors of a node are themselves
+   * linked, the one-number companion of [[clusteringCoefficient]]'s
+   * per-node report (and NOT its mean — hubs weigh in proportionally
+   * here). Corpus-curation use: a co-citation graph whose transitivity
+   * collapses between snapshots signals link-farm injection.
+   *
+   * Exact arithmetic end to end: Σ per-node triangles (= 3T) and
+   * Σ deg·(deg−1)/2 are exact longs; the ratio is their single IEEE
+   * division, and `n_triangles` is an exact integer div by 3.
+   *
+   * Scale shape: [[clusteringCoefficient]]'s fused wedge enumeration
+   * (gate and caveats verbatim) plus ONE one-row aggregate. Returns
+   * one row: (`n_nodes`, `n_triangles`, `n_wedges`, `transitivity` —
+   * NULL on wedge-free graphs, where the ratio is undefined).
+   */
+  def transitivity(edges: DataFrame, srcCol: String, dstCol: String,
+                   maxBroadcastEdges: Long = 4L << 20,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    clusteringCoefficient(edges, srcCol, dstCol, maxBroadcastEdges,
+        checkpointDir)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("triangles").as("__t3"),
+        sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
+      .select(col("n_nodes"),
+        expr("__t3 div 3").as("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          col("__t3").cast("double") / col("n_wedges").cast("double"))
+          .as("transitivity"))
+  }
+
+  /**
    * Link prediction over the canonical undirected graph: score every
    * NON-adjacent node pair that shares at least `minCommon` neighbors
    * with the three classic neighborhood indices (Liben-Nowell & Kleinberg
@@ -1094,10 +1127,18 @@ object Graph {
    *
    * Returns (`a`, `b`, `common`, `jaccard`, `ra`) with a < b, only for
    * pairs NOT already linked.
+   *
+   * `maxBroadcastEdges` is [[triangleCounts]]' gate, same default: at
+   * or under it the second wedge arm broadcasts, so fan-out and the
+   * pair-keyed PARTIAL aggregate fuse into one map-side pipeline and
+   * the wedge stream never touches an exchange — only combined
+   * (pair, count, ra) partials shuffle. Above it, shuffled joins —
+   * the honest distributed form. Pass 0 to force the shuffle path.
    */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
                      minCommon: Int = 2,
-                     maxMiddleDegree: Long = 10000L): DataFrame = {
+                     maxMiddleDegree: Long = 10000L,
+                     maxBroadcastEdges: Long = 4L << 20): DataFrame = {
     require(minCommon >= 1, "minCommon must be >= 1")
     val canon = edges
       .select(col(srcCol).cast("long").as("s0"),
@@ -1121,18 +1162,43 @@ object Graph {
     val mids0 = und.join(deg.withColumnRenamed("node", "a"), "a")
     val mids = if (maxMiddleDegree > 0)
       mids0.filter(col("deg") <= maxMiddleDegree) else mids0
+    // one stats job decides the broadcast gate AND 31-bit packability
+    // (canon is persisted, so this materializes the cache it would
+    // have populated anyway)
+    val st = canon.agg(count(lit(1)).as("n"),
+      min(col("a")).as("mn"), max(col("b")).as("mx")).head()
+    val nEdges = st.getLong(0)
+    val packable = nEdges > 0 && st.getLong(1) >= 0 &&
+      st.getLong(2) < (1L << 31)
+    val useBroadcast = maxBroadcastEdges > 0 && nEdges <= maxBroadcastEdges
+    def bcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     // wedge fan-out from each middle z: unordered neighbor pairs, each
     // carrying z's exact-integer RA term; aggregate immediately on the
     // pair key so the wedge stream collapses into (key, long, long)
-    // partial aggregates before anything else touches it
+    // partial aggregates before anything else touches it — and under
+    // the gate the fan-out side broadcasts, so nothing BUT those
+    // partials ever reaches an exchange. When ids fit 31 bits the pair
+    // key packs into ONE long (same dense-hash win as triangleCounts'
+    // closure probe — the aggregate runs once per wedge, so its key
+    // hashing is the per-wedge constant factor).
     val m1 = mids.select(col("a").as("z"), col("b").as("v1"),
       expr("1000000L div deg").as("ra_t"))
     val m2 = mids.select(col("a").as("z"), col("b").as("v2"))
-    val pairs = m1.join(m2, Seq("z"))
+    val wedges = m1.join(bcast(m2), Seq("z"))
       .filter(col("v1") < col("v2"))
-      .groupBy(col("v1").as("a"), col("v2").as("b"))
-      .agg(count(lit(1)).as("common"), sum("ra_t").as("ra_micro"))
-      .filter(col("common") >= minCommon)
+    val pairs = (if (packable) {
+      wedges
+        .groupBy((shiftleft(col("v1"), 32) + col("v2")).as("pk"))
+        .agg(count(lit(1)).as("common"), sum("ra_t").as("ra_micro"))
+        .select(shiftright(col("pk"), 32).as("a"),
+          (col("pk") - shiftleft(shiftright(col("pk"), 32), 32)).as("b"),
+          col("common"), col("ra_micro"))
+    } else {
+      wedges
+        .groupBy(col("v1").as("a"), col("v2").as("b"))
+        .agg(count(lit(1)).as("common"), sum("ra_t").as("ra_micro"))
+    }).filter(col("common") >= minCommon)
     val predicted = pairs.join(canon, Seq("a", "b"), "left_anti")
     predicted
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")

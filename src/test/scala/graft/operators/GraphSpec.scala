@@ -654,6 +654,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("transitivity: exact 3T/W on K4+pendant; zero and undefined cases") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + pendant 1–9: T = 4, wedges = C(4,2) + 3·C(3,2) = 15
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 9L)).toDF("src", "dst")
+    val got = Graph.transitivity(e, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(got === ((5L, 4L, 15L, Some(12.0 / 15.0))))
+    // triangle-free 5-cycle: 5 wedges, 0 triangles → exactly 0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val gc = Graph.transitivity(cyc, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(gc === ((5L, 0L, 5L, Some(0.0))))
+    // a single edge has no wedge: ratio is undefined → NULL, not NaN
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    val g1 = Graph.transitivity(one, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(g1 === ((2L, 0L, 0L, None)))
+  }
+
   test("linkPrediction: exact CN/Jaccard/RA; adjacent pairs excluded; middle cap prunes") {
     import spark.implicits._
     // degrees: 1→2, 2→3, 3→3, 4→3, 5→1
@@ -682,6 +703,28 @@ class GraphSpec extends SparkSpec {
     // whose lone neighbor pair (2,3) is adjacent → nothing predicted
     assert(Graph.linkPrediction(e, "src", "dst", minCommon = 1,
       maxMiddleDegree = 2L).count() === 0L)
+  }
+
+  test("linkPrediction: unpackable ids and forced-shuffle path match the fused path") {
+    import spark.implicits._
+    val big = 1L << 40 // past 31 bits → the packed pair key is illegal
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val eBig = e.select((col("src") + big).as("src"),
+      (col("dst") + big).as("dst"))
+    val base = Graph.linkPrediction(e, "src", "dst", minCommon = 1)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    val shifted = Graph.linkPrediction(eBig, "src", "dst", minCommon = 1)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1 - big, r._2 - big, r._3, r._4, r._5)).toSet
+    assert(shifted === base)
+    // forcing the shuffle path (gate 0) is bit-identical too
+    val shuffled = Graph.linkPrediction(e, "src", "dst", minCommon = 1,
+        maxBroadcastEdges = 0L)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    assert(shuffled === base)
   }
 
   test("modularity: exact Q for two bridged triangles; unlabeled endpoints drop") {
