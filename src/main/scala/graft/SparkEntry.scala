@@ -1200,6 +1200,14 @@ object SparkEntry {
         "src", "dst")
     }),
 
+    // Welch two-sample t per order-status segment: urgent vs non-urgent
+    // order values — exact integer moments (Σx long, Σx² decimal→double
+    // once), then a chain of single IEEE ops; t/df 4dp.
+    "q_ab_test" -> ((s, dir) => {
+      graft.operators.Profiling.welchTTest(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
+    }),
+
     // Deterministic 5-fold cross-validation assignment (md5-uniform mod
     // k — exact fold replayable in SQL, unlike xxhash splits).
     "q_kfold" -> ((s, dir) => {
@@ -4406,6 +4414,41 @@ object SparkEntry {
          |  CASE WHEN w > 0 THEN
          |    CAST(3 * nt AS DOUBLE) / CAST(w AS DOUBLE) END AS transitivity
          |FROM wd CROSS JOIN tot""".stripMargin,
+    "q_ab_test" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
+        |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |mom AS (SELECT segment, treated, count(*) AS n,
+        |    CAST(SUM(u) AS BIGINT) AS s1, CAST(SUM(u * u) AS DOUBLE) AS s2
+        |  FROM base GROUP BY 1, 2),
+        |tr AS (SELECT segment, n AS n_t, s1 AS s1t, s2 AS s2t FROM mom
+        |  WHERE treated),
+        |ct AS (SELECT segment, n AS n_c, s1 AS s1c, s2 AS s2c FROM mom
+        |  WHERE NOT treated),
+        |v AS (SELECT tr.segment, n_t, n_c,
+        |    CAST(s1t AS DOUBLE) / CAST(n_t * 100 AS DOUBLE) AS mean_t,
+        |    CAST(s1c AS DOUBLE) / CAST(n_c * 100 AS DOUBLE) AS mean_c,
+        |    ((s2t - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE)
+        |        / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1))
+        |      / 10000.0 AS vt,
+        |    ((s2c - CAST(s1c AS DOUBLE) * CAST(s1c AS DOUBLE)
+        |        / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1))
+        |      / 10000.0 AS vc
+        |  FROM tr JOIN ct ON ct.segment = tr.segment),
+        |s AS (SELECT segment, n_t, n_c, mean_t, mean_c, vt, vc,
+        |    vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE) AS se2
+        |  FROM v)
+        |SELECT segment, n_t, n_c, mean_t, mean_c,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND se2 > 0 THEN
+        |    round((mean_t - mean_c) / sqrt(se2), 4) END AS t_stat,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND se2 > 0 THEN
+        |    round((se2 * se2) /
+        |      ((vt / n_t) * (vt / n_t) / (CAST(n_t AS DOUBLE) - 1) +
+        |       (vc / n_c) * (vc / n_c) / (CAST(n_c AS DOUBLE) - 1)), 4)
+        |  END AS df
+        |FROM s""".stripMargin,
     "q_psi" -> {
       val probs = (1 until 10).map(i => i / 10.0)
       val caseChain = probs.indices

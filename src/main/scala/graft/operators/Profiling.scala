@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -450,6 +450,81 @@ object Profiling {
         round(col("__mx").cast("double") / col("n_rows"), 6).as("top_share"),
         round(lit(2.0) * col("__ic") / (col("n_keys") * col("n_rows"))
           - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
+
+  /**
+   * Per-segment Welch two-sample t report (Welch 1947) — the unequal-
+   * variance A/B gate for pipeline telemetry: did the treatment cohort's
+   * metric move, per segment, without assuming equal spread? Data-prep
+   * use: comparing a quality metric between two source feeds (or two
+   * pipeline versions) per domain is exactly this shape.
+   *
+   * DETERMINISM: values quantize to integers at `unitScale` (cents for
+   * 2dp money); Σx is an exact long, Σx² accumulates in DECIMAL(38,0)
+   * (x² alone fits a long; the SUM does not at 10⁸+ rows) and converts
+   * to double ONCE — int→double nearest-rounding is exactly defined, so
+   * both engines see identical moments and every downstream step is a
+   * chain of single IEEE ops on identical inputs. t and the Welch–
+   * Satterthwaite df round at 4dp; means are single divisions of exact
+   * longs, unrounded.
+   *
+   * Segments missing a cohort, or with n < 2 on either side, or with
+   * zero variance on both sides report NULL t/df (stated, not an
+   * engine-specific 0/0 artifact). Two-sided exactness over rounding:
+   * the 4dp grid absorbs the one deterministic decimal→double rounding.
+   *
+   * Scale shape: ONE (segment, cohort)-keyed aggregate (map-side
+   * combined, rows carry two longs + a decimal) + a segment-keyed
+   * self-join of the two cohort rows — keys only. No window, no sort.
+   *
+   * Returns (`segment`, `n_t`, `n_c`, `mean_t`, `mean_c`, `t_stat`,
+   * `df`) — one row per segment that has BOTH cohorts.
+   */
+  def welchTTest(df: DataFrame, segmentCol: String, groupCol: String,
+                 treatment: String, valueCol: String,
+                 unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(segmentCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("segment"),
+        (col(groupCol).cast("string") === treatment).as("treated"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val mom = base.groupBy("segment", "treated")
+      .agg(count(lit(1)).as("n"), sum("u").as("s1"),
+        sum((col("u") * col("u")).cast("decimal(38,0)"))
+          .cast("double").as("s2"))
+    val tr = mom.filter(col("treated"))
+      .select(col("segment"), col("n").as("n_t"), col("s1").as("s1t"),
+        col("s2").as("s2t"))
+    val ct = mom.filter(!col("treated"))
+      .select(col("segment"), col("n").as("n_c"), col("s1").as("s1c"),
+        col("s2").as("s2c"))
+    def mean(s1: Column, n: Column): Column =
+      s1.cast("double") / (n * unitScale).cast("double")
+    // sample variance in VALUE units: (Σx² − (Σx)²/n)/(n−1) on the
+    // quantized ints, then one exact scale division — every operand is
+    // deterministic, every op single-IEEE
+    def vr(s1: Column, s2: Column, n: Column): Column =
+      ((s2 - s1.cast("double") * s1.cast("double") / n.cast("double")) /
+        (n.cast("double") - 1d)) /
+        (unitScale * unitScale).toDouble
+    val j = tr.join(ct, "segment")
+    val vt = vr(col("s1t"), col("s2t"), col("n_t"))
+    val vc = vr(col("s1c"), col("s2c"), col("n_c"))
+    val se2 = vt / col("n_t").cast("double") + vc / col("n_c").cast("double")
+    val tStat = (mean(col("s1t"), col("n_t")) - mean(col("s1c"), col("n_c"))) /
+      sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((vt / col("n_t")) * (vt / col("n_t")) / (col("n_t").cast("double") - 1d) +
+        (vc / col("n_c")) * (vc / col("n_c")) / (col("n_c").cast("double") - 1d))
+    j.select(col("segment"), col("n_t"), col("n_c"),
+      mean(col("s1t"), col("n_t")).as("mean_t"),
+      mean(col("s1c"), col("n_c")).as("mean_c"),
+      when(col("n_t") >= 2 && col("n_c") >= 2 && se2 > 0,
+        round(tStat, 4)).as("t_stat"),
+      when(col("n_t") >= 2 && col("n_c") >= 2 && se2 > 0,
+        round(dfW, 4)).as("df"))
   }
 
   /**

@@ -244,4 +244,38 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(nan.getMessage.contains("non-finite"))
   }
+
+  test("welchTTest: hand-computed t/df; degenerate sides go NULL; lone cohorts drop") {
+    import spark.implicits._
+    val rows = Seq(
+      // segment s: treatment {10, 12} (mean 11, var 2),
+      //            control {10, 10, 13} (mean 11, var 3)
+      ("s", "T", 10.0), ("s", "T", 12.0),
+      ("s", "C", 10.0), ("s", "C", 10.0), ("s", "C", 13.0),
+      // segment z: single treated row → t/df NULL but means report
+      ("z", "T", 5.0), ("z", "C", 1.0), ("z", "C", 3.0),
+      // segment only-control: no treated cohort → no output row
+      ("x", "C", 1.0), ("x", "C", 2.0))
+      .toDF("seg", "grp", "v")
+    val got = Profiling.welchTTest(rows, "seg", "grp", "T", "v")
+      .as[(String, Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("s", "z"))
+    val s = got("s")
+    assert(s._2 === 2L && s._3 === 3L)
+    assert(s._4 === 11.0 && s._5 === 11.0)
+    // se² = 2/2 + 3/3 = 2 → t = 0; df = 4 / (1²/1 + 1²/2) = 2.6667
+    assert(s._6 === Some(0.0))
+    assert(s._7 === Some(2.6667))
+    val z = got("z")
+    assert(z._2 === 1L && z._4 === 5.0 && z._5 === 2.0)
+    assert(z._6.isEmpty && z._7.isEmpty)
+    // zero variance on BOTH sides: se² = 0 → NULL, not a 0/0 artifact
+    val const = Seq(("k", "T", 7.0), ("k", "T", 7.0),
+      ("k", "C", 7.0), ("k", "C", 7.0)).toDF("seg", "grp", "v")
+    val kc = Profiling.welchTTest(const, "seg", "grp", "T", "v")
+      .as[(String, Long, Long, Double, Double, Option[Double], Option[Double])]
+      .head()
+    assert(kc._6.isEmpty && kc._7.isEmpty)
+  }
 }
