@@ -1170,7 +1170,13 @@ object Graph {
     val nEdges = st.getLong(0)
     val packable = nEdges > 0 && st.getLong(1) >= 0 &&
       st.getLong(2) < (1L << 31)
-    val useBroadcast = maxBroadcastEdges > 0 && nEdges <= maxBroadcastEdges
+    // the broadcast candidate here is the UNDIRECTED arm — 2 rows per
+    // canonical edge, double what triangleCounts ships — so the gate
+    // compares the frame actually broadcast (2·nEdges) against the
+    // budget; measured at the 4M-canonical tier the oversized
+    // broadcast build cost MORE than the shuffled join it avoided
+    val useBroadcast = maxBroadcastEdges > 0 &&
+      2L * nEdges <= maxBroadcastEdges
     def bcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     // wedge fan-out from each middle z: unordered neighbor pairs, each

@@ -763,6 +763,15 @@ object StressBench {
             maxBroadcastEdges = 0).count())
         run("kcore12", n)(
           graft.operators.Graph.kCore(edges, "src", "dst", k = 12).count())
+        // r11: link prediction shares the wedge volume with triangles
+        // but its pair-keyed aggregate holds ~wedge-cardinality state
+        // (a random graph's neighbor pairs barely repeat) — the honest
+        // cost of exact CN. Crossing the 4M broadcast gate between the
+        // 4M and 16M tiers prices the fused-vs-shuffled change here
+        // exactly as it does for triangles.
+        run("linkpred2", n)(
+          graft.operators.Graph.linkPrediction(edges, "src", "dst",
+            minCommon = 2).count())
         edges.unpersist()
       }
     }
