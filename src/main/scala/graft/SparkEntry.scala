@@ -2654,6 +2654,24 @@ object SparkEntry {
       Streams.transitionsStreamParity(s, cohort)
     }),
 
+    // TRUE-streaming mean-shift changepoints: the cohort replays through
+    // a MemoryStream in ts-aligned micro-batches; the streamed flags
+    // (key, ts, id AND the three exact-arithmetic means) must equal the
+    // batch operator row-for-row.
+    "q_stream_changepoint" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val cohort = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.changepointsStreamParity(s, cohort,
+        window = 4, minShiftUnits = 2500L)
+    }),
+
     // TRUE-streaming stream-stream time-bounded join (attribution): the
     // click/purchase cohorts replay through two MemoryStreams; the
     // streamed pair set must equal the plain batch join.
@@ -4924,6 +4942,24 @@ object SparkEntry {
         |    PARTITION BY u ORDER BY tsm, eid) AS t FROM e),
         |n AS (SELECT count(*) AS c FROM (
         |  SELECT f, t FROM p WHERE t IS NOT NULL GROUP BY 1, 2))
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // Streaming changepoint parity: the batch mean-shift count over the
+    // SAME millisecond-precision cohort frame the drive replays — all
+    // three outputs equal it when the incremental flags are exact.
+    "q_stream_changepoint" ->
+      """WITH e AS (SELECT user_id AS key, epoch_ns(ts) // 1000000 AS tsm,
+        |    event_id AS id, CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE user_id % 10 = 0),
+        |w AS (SELECT key,
+        |    SUM(u) OVER pre AS sa, COUNT(u) OVER pre AS na,
+        |    SUM(u) OVER post AS sb, COUNT(u) OVER post AS nb
+        |  FROM e WINDOW
+        |    pre AS (PARTITION BY key ORDER BY tsm, id
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+        |    post AS (PARTITION BY key ORDER BY tsm, id
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+        |n AS (SELECT count(*) AS c FROM w
+        |  WHERE na = 4 AND nb = 4 AND abs(sb - sa) >= 10000)
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Stream-stream join parity: the batch inequality join computed at
     // MICROsecond precision (the operator's timestamp unit) — all three

@@ -415,6 +415,192 @@ object Streams {
         .agg(count(lit(1)).as("n_matched")))
   }
 
+  // public only because Spark's product-encoder derivation reflects on
+  // them for the state store; not API
+  final case class CpObs(tsMs: Long, id: Long, units: Long)
+  final case class CpState(nextIdx: Long, headIdx: Long,
+                           buf: List[CpObs])
+  final case class ChangePoint(user_id: Long, ts: Timestamp,
+                               event_id: Long, before_mean: Double,
+                               after_mean: Double, shift: Double)
+
+  /** Spark SQL `round()` semantics on a double (exact binary value,
+    * HALF_UP) — `math.round` differs on negative halves, and the batch
+    * parity requires the identical quantization. */
+  private def roundHalfUp(v: Double, scale: Long): Long =
+    new java.math.BigDecimal(v * scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /**
+   * TRUE-streaming mean-shift changepoint detection — the incremental
+   * form of [[graft.operators.TimeSeries.meanShiftChangepoints]]: for
+   * each key's (ts, id)-ordered stream, emit the observation where the
+   * mean of the next `window` values differs from the mean of the
+   * previous `window` by ≥ `minShiftUnits` quantized units, exactly
+   * once, once the verdict is FINAL.
+   *
+   * Finality: position p's verdict needs observations p−w..p+w−1 and
+   * certainty that nothing can still sort inside that span — i.e. the
+   * watermark STRICTLY past the (p+w−1)th observation's event time
+   * (ts < wm is dropped by the watermark contract; ts == wm may still
+   * arrive). Decisions advance in order, so the state keeps exactly
+   * the `w` observations before the next undecided position plus the
+   * undecided tail — O(2w + unflushed batch), never history. A
+   * registered event-time wake-up decides complete-but-unpassed
+   * positions when only OTHER keys' data advances the watermark.
+   *
+   * TTL contract (pure event-time, batch-invariant): an inter-
+   * observation gap ≥ `stateTtlMs` SPLITS the series — no flag is
+   * evaluated on a window spanning the gap (sessionized semantics, the
+   * multi-day-idle "shift" is noise) — and a key idle past the TTL is
+   * evicted entirely. Because only the gap RULE decides semantics and
+   * eviction merely discards observations every future window across
+   * the gap would ignore anyway, eviction is state cleanup, never a
+   * semantic change (same design as [[transitionsStream]]).
+   *
+   * Arithmetic is the batch operator's, verbatim: values quantize via
+   * SQL-round(v·unitScale) to exact longs, the trigger is an integer
+   * comparison, and the reported means are single IEEE divisions —
+   * the parity drive compares all six columns bit-for-bit.
+   */
+  def changepointsStream(events: Dataset[Event], window: Int,
+                         minShiftUnits: Long, unitScale: Long = 100L,
+                         watermarkDelay: String = "0 seconds",
+                         stateTtlMs: Long = 24 * 60 * 60 * 1000L): Dataset[ChangePoint] = {
+    require(window >= 2, "window must be >= 2")
+    require(minShiftUnits >= 1, "minShiftUnits must be >= 1")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(stateTtlMs > 0, "stateTtlMs must be positive")
+    val w = window
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CpState, ChangePoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[CpState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(CpState(w.toLong, 0L, Nil))
+          // arrivals have ts >= wm, and every decided position's post
+          // window ended strictly below some past wm <= wm — so new
+          // observations always sort into the UNDECIDED suffix and the
+          // decided prefix's bookkeeping stays valid
+          val merged = (prev.buf ++ it.map(e =>
+              CpObs(e.ts.getTime, e.event_id,
+                roundHalfUp(e.value, unitScale))))
+            .sortBy(o => (o.tsMs, o.id)).toVector
+          if (merged.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            var nextIdx = prev.nextIdx
+            val headIdx = prev.headIdx
+            val out = scala.collection.mutable.ListBuffer.empty[ChangePoint]
+            var going = true
+            while (going) {
+              val off = (nextIdx - headIdx).toInt
+              if (off + w <= merged.length && wm > merged(off + w - 1).tsMs) {
+                val slice = merged.slice(off - w, off + w)
+                val gapped = slice.iterator.zip(slice.iterator.drop(1))
+                  .exists { case (a, b) => b.tsMs - a.tsMs >= stateTtlMs }
+                if (!gapped) {
+                  val sa = slice.take(w).map(_.units).sum
+                  val sb = slice.drop(w).map(_.units).sum
+                  if (math.abs(sb - sa) >= minShiftUnits * w) {
+                    val den = (w * unitScale).toDouble
+                    out += ChangePoint(uid,
+                      new Timestamp(merged(off).tsMs), merged(off).id,
+                      sa.toDouble / den, sb.toDouble / den,
+                      (sb - sa).toDouble / den)
+                  }
+                }
+                nextIdx += 1
+              } else going = false
+            }
+            // retain exactly the w observations before the next
+            // candidate plus the undecided tail
+            val drop = ((nextIdx - w) - headIdx).toInt
+            val kept = if (drop > 0) merged.drop(drop) else merged
+            val newHead = headIdx + math.max(drop, 0)
+            if (wm >= kept.last.tsMs + stateTtlMs) {
+              // idle past TTL: every future window across this gap is
+              // void by the gap rule — evict, chain restarts fresh
+              state.remove()
+            } else {
+              state.update(CpState(nextIdx, newHead, kept.toList))
+              val off = (nextIdx - newHead).toInt
+              state.setTimeoutTimestamp(
+                if (off + w <= kept.length)
+                  // a complete-but-unpassed position waits on the wm
+                  math.max(wm + 1, kept(off + w - 1).tsMs + 1)
+                else
+                  math.max(wm + 1, kept.last.tsMs + stateTtlMs))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /**
+   * Driver-facing parity drive for [[changepointsStream]]: replays a
+   * bounded cohort through a MemoryStream in ts-aligned micro-batches
+   * (+ watermark sentinels that flush complete tails), then compares
+   * the streamed flags with batch
+   * [[graft.operators.TimeSeries.meanShiftChangepoints]] over the same
+   * millisecond-precision frame on ALL six columns — key, ts, id, and
+   * the three exact-arithmetic means. One row
+   * (n_stream, n_batch, n_matched); equal iff incremental == batch.
+   */
+  def changepointsStreamParity(spark: SparkSession, events: Dataset[Event],
+                               window: Int, minShiftUnits: Long,
+                               unitScale: Long = 100L,
+                               batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = events.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[Event]
+    // full batch parity over the replay needs the TTL past the span:
+    // a ≥-TTL gap inside the cohort would (correctly) split the series
+    // streaming-side while the batch operator flags across it
+    val spanMs = maxTs - rows.head.ts.getTime
+    val cps = changepointsStream(input.toDS(), window, minShiftUnits,
+      unitScale, stateTtlMs = spanMs + 60 * 60 * 1000L)
+    val sinkName = "graft_changepoints_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = cps.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      tsAlignedChunks(rows, batches).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      input.addData(Event(-1L, new Timestamp(maxTs + 3600000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(maxTs + 7200000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    val streamed = spark.table(sinkName).filter(col("user_id") >= 0)
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("ts"),
+        col("event_id").as("id"), col("before_mean"), col("after_mean"),
+        col("shift"))
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+    val batch = graft.operators.TimeSeries.meanShiftChangepoints(
+      events.toDF().withColumn("ts", unix_millis(col("ts"))),
+      "user_id", "ts", "event_id", "value", window, minShiftUnits,
+      unitScale)
+    val cols = Seq("key", "ts", "id", "before_mean", "after_mean", "shift")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch, cols).agg(count(lit(1)).as("n_matched")))
+  }
+
   /**
    * Driver-facing parity drive for [[nearDupVerdicts]]: streams the corpus
    * (with byte-identical planted copies, ids offset by 1e6) through a

@@ -527,5 +527,60 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((2L, "p", "q")), "a sub-TTL gap is a real adjacency")
   }
 
+  test("changepointsStream: parity with the batch operator across micro-batches") {
+    import spark.implicits._
+    // u1: 4 obs at 10.00 then 4 at 50.00 (one flag at the 5th), spread
+    // over batches so the pre/post windows straddle micro-batch
+    // boundaries; u2: flat series, never flags; equal-ts pair orders
+    // by event id inside u1's post window
+    val ev = (1 to 8).map { i =>
+      Streams.Event(i.toLong, ts(i * 1000L), 1L, "v",
+        if (i <= 4) 10.0 else 50.0)
+    } ++ Seq(
+      Streams.Event(14L, ts(4000L), 2L, "v", 7.0),
+      Streams.Event(15L, ts(5000L), 2L, "v", 7.0),
+      Streams.Event(16L, ts(6000L), 2L, "v", 7.0))
+    val got = Streams.changepointsStreamParity(spark, ev.toDS(),
+        window = 4, minShiftUnits = 1000L, batches = 4)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((1L, 1L, 1L)))
+  }
+
+  test("changepointsStream: TTL gap splits the series; idle state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val H = 3600000L
+    // u1 has a textbook level shift, but its two halves sit 3 h apart;
+    // with a 1 h TTL the gap voids every window spanning it → NO flag,
+    // while a TTL covering the gap flags the 5th observation
+    def drive(ttlMs: Long, tag: String): Seq[Long] = {
+      val input = MemoryStream[Streams.Event]
+      val sinkName = s"graft_changepoints_ttl_$tag"
+      spark.catalog.dropTempView(sinkName)
+      val q = Streams.changepointsStream(input.toDS(), window = 2,
+          minShiftUnits = 100L, stateTtlMs = ttlMs)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        input.addData((1 to 4).map(i => Streams.Event(i.toLong,
+          ts(if (i <= 2) i * 1000L else 3 * H + i * 1000L), 1L, "v",
+          if (i <= 2) 10.0 else 50.0)))
+        q.processAllAvailable()
+        input.addData(Streams.Event(90L, ts(4 * H), 2L, "wm", 0.0))
+        q.processAllAvailable()
+        input.addData(Streams.Event(91L, ts(5 * H), 2L, "wm", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sinkName)
+        .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+        .as[Streams.ChangePoint].collect().map(_.event_id).toSeq.sorted
+    }
+    assert(drive(H, "short") === Seq.empty,
+      "a >=TTL gap must void windows spanning it")
+    assert(drive(10 * H, "long") === Seq(3L),
+      "with the TTL past the gap the shift flags at the 3rd observation")
+  }
+
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
 }
