@@ -4394,9 +4394,12 @@ object SparkEntry {
          |ORDER BY micro DESC, dph.phrase LIMIT 50""".stripMargin
     },
     "q_assoc_rules" ->
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      """WITH bi0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem
         |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |bi AS MATERIALIZED (SELECT bi0.bk, bi0.it FROM bi0 JOIN (
+        |    SELECT bk FROM bi0 GROUP BY bk HAVING count(*) <= 10000) ok
+        |  ON ok.bk = bi0.bk),
         |nb AS (SELECT count(DISTINCT bk) AS n FROM bi),
         |ic AS (SELECT it AS item, count(*) AS c FROM bi GROUP BY 1
         |  HAVING count(*) >= 2),

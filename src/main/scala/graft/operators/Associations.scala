@@ -43,17 +43,35 @@ object Associations {
    * once); an item co-occurring with itself is impossible by the a < b
    * pair orientation. Baskets with a single frequent item simply
    * produce no pairs.
+   *
+   * `maxBasketItems` bounds the per-basket quadratic term the Apriori
+   * prune does NOT: one mega-basket of 10⁵ items fans out 5·10⁹ pairs
+   * on its own. Baskets with more distinct items than the cap are
+   * EXCLUDED before ANY counting (standard practice — a basket that
+   * large is a crawler artifact or catalog dump and its pair evidence
+   * is near-uniform noise; excluding up front keeps n, c(x) and
+   * c(a,b) mutually consistent, where dropping only the pair stage
+   * would corrupt confidence). Pass 0 to disable.
    */
   def associationRules(baskets: DataFrame, basketCol: String,
                        itemCol: String, minSupport: Long,
-                       topK: Int = 0): DataFrame = {
+                       topK: Int = 0,
+                       maxBasketItems: Long = 10000L): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(topK >= 0, "topK must be >= 0 (0 = unbounded)")
-    val bi = baskets
+    require(maxBasketItems >= 0, "maxBasketItems must be >= 0")
+    val bi0 = baskets
       .select(col(basketCol).cast("long").as("bk"),
         col(itemCol).cast("long").as("it"))
       .filter(col("bk").isNotNull && col("it").isNotNull)
       .distinct()
+    // mega-basket exclusion up front (keys-only count + semi-join) so
+    // every downstream count shares one consistent basket universe
+    val bi = if (maxBasketItems > 0) {
+      val ok = bi0.groupBy("bk").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") <= maxBasketItems).select("bk")
+      bi0.join(ok, Seq("bk"), "left_semi")
+    } else bi0
     // distinct (basket, item) feeds three consumers (n_baskets, item
     // counts, the pair fan-out) — materialize it once
     bi.persist()

@@ -305,6 +305,11 @@ object TextAnalysis {
    * join of (phrase, word) against the word-score frame — strings move
    * once per token occurrence, everything else is keys + longs. Top-k
    * via `orderBy.limit` → `TakeOrderedAndProject` per-partition heaps.
+   * The word-keyed join is the one skew surface (a ubiquitous content
+   * word probes from millions of distinct phrases): it is a plain
+   * equi-join, so AQE's skew-split handles the hot key — same contract
+   * as the engine's other content-keyed joins (see SkewJoin for the
+   * sketch-driven alternative when AQE is off).
    *
    * Candidate phrases are capped at `maxPhraseLen` tokens (RAKE
    * convention; unbounded runs in boilerplate-heavy text otherwise

@@ -52,4 +52,29 @@ class AssociationsSpec extends SparkSpec {
         "order_id", "part_id", minSupport = 0L)
     }
   }
+
+  test("associationRules: mega-baskets are excluded before any counting") {
+    // capping at 2 items drops b1 (3 items) and b3 (3 items) — the
+    // {1,2} pair then co-occurs only in b2, below minSupport=2, and
+    // n/c(x) shrink consistently with the exclusion
+    val capped = Associations.associationRules(
+        rows.toDF("order_id", "part_id"), "order_id", "part_id",
+        minSupport = 2L, maxBasketItems = 2L)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(capped.isEmpty)
+    // with minSupport=1 the surviving baskets (b2 {1,2}, b4 {3,4,5}→
+    // dropped, 3 items) leave exactly the b2 pair, support over n=1
+    val loose = Associations.associationRules(
+        rows.toDF("order_id", "part_id"), "order_id", "part_id",
+        minSupport = 1L, maxBasketItems = 2L)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(loose.keySet === Set((1L, 2L), (2L, 1L)))
+    assert(loose((1L, 2L))._4 === 1.0) // support = 1/1 surviving basket
+    // cap 0 disables the guard (same totals as the uncapped run)
+    val off = Associations.associationRules(
+      rows.toDF("order_id", "part_id"), "order_id", "part_id",
+      minSupport = 2L, maxBasketItems = 0L)
+    assert(off.count() === 2L)
+  }
 }
