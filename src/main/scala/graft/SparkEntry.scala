@@ -92,6 +92,40 @@ object SparkEntry {
        |      GROUP BY 1, 2$sup)""".stripMargin
   }
 
+  /** Unrolled per-seed BFS + harmonic aggregate oracle: one `hops`-deep
+    * frontier CTE chain per seed over the part↔supplier link graph,
+    * each collapsing to (seed, n_reached, harmonic) with the exact
+    * `1000000 // level` quantization the operator uses. */
+  private def harmonicOracleSql(seeds: Seq[Long], hops: Int): String = {
+    val base =
+      """d0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+        |  FROM lineitem WHERE l_partkey <> l_suppkey),
+        |e AS MATERIALIZED (SELECT src, dst FROM d0
+        |  UNION SELECT dst AS src, src AS dst FROM d0)""".stripMargin
+    val per = seeds.zipWithIndex.map { case (sd, k) =>
+      val chains = (1 to hops).map { h =>
+        val excl = (0 until h).map(j => s"SELECT node FROM s${k}f$j")
+          .mkString(" UNION ")
+        s"""s${k}f$h AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+           |  FROM e JOIN s${k}f${h - 1} ON e.src = s${k}f${h - 1}.node
+           |  WHERE e.dst NOT IN ($excl))""".stripMargin
+      }.mkString(",\n")
+      val lv = (1 to hops)
+        .map(h => s"SELECT node, $h AS level FROM s${k}f$h")
+        .mkString("\n  UNION ALL ")
+      s"""s${k}f0 AS (SELECT CAST($sd AS BIGINT) AS node),
+         |$chains,
+         |s${k}lv AS ($lv),
+         |s${k}agg AS (SELECT CAST($sd AS BIGINT) AS seed,
+         |  count(*) AS n_reached,
+         |  CAST(COALESCE(SUM(1000000 // level), 0) AS DOUBLE) / 1000000.0
+         |    AS harmonic FROM s${k}lv)""".stripMargin
+    }.mkString(",\n")
+    val sel = seeds.indices.map(k => s"SELECT * FROM s${k}agg")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n$per\n$sel"
+  }
+
   /** Unrolled k-core peel oracle: `rounds` delete-below-k rounds as a
     * CTE chain (peeling is idempotent past the fixpoint, so unrolling
     * MORE rounds than the engine needs is safe; the engine-side peel at
@@ -922,6 +956,16 @@ object SparkEntry {
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
       graft.operators.Graph.bfsLevels(edges, "src", "dst",
         sources = Seq(1L, 2L), maxHops = 3)
+    }),
+
+    // Hop-bounded harmonic centrality of three trust-seed candidates:
+    // one BFS per seed, per-node terms 1e6 div level summed exact,
+    // one final division. Oracle unrolls the per-seed chains.
+    "q_harmonic" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.harmonicCentrality(edges, "src", "dst",
+        seeds = Seq(1L, 2L, 3L), maxHops = 3)
     }),
 
     // Hop-bounded weighted shortest paths (Bellman-Ford, 6 relaxation
@@ -4184,6 +4228,7 @@ object SparkEntry {
         |UNION ALL SELECT node, 2 FROM f2
         |UNION ALL SELECT node, 3 FROM f3""".stripMargin,
     "q_label_prop" -> labelPropOracleSql(rounds = 3),
+    "q_harmonic" -> harmonicOracleSql(seeds = Seq(1L, 2L, 3L), hops = 3),
     "q_sssp" -> ssspOracleSql(rounds = 6, seeds = Seq(1L, 2L, 3L)),
     "q_funnel" ->
       """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts

@@ -648,6 +648,49 @@ object Graph {
   }
 
   /**
+   * Hop-bounded harmonic centrality of curated seed nodes (Boldi &
+   * Vigna 2014 "Axioms for centrality" — the closeness variant that
+   * handles disconnection natively): for each seed s, Σ 1/d(s, u) over
+   * every node reached within `maxHops`, unreachable nodes contributing
+   * exactly 0. Corpus-curation use: scoring candidate trust seeds —
+   * the seed whose harmonic mass is largest reaches the most of the
+   * graph, soonest, and the hop bound IS the query ("influence within
+   * k hops"), not truncation.
+   *
+   * Exact arithmetic: per-node terms quantize as `1e6 div level`
+   * (exact integer division of the exact BFS hop count), the per-seed
+   * sum is an exact long, and `harmonic` is ONE IEEE division by 1e6
+   * — bit-deterministic, no float accumulation.
+   *
+   * Scale shape: one [[bfsLevels]] run PER SEED (seeds are curated
+   * lists, orders of magnitude below data scale — same contract as
+   * personalized PageRank's seed Seq) — each a per-hop frontier
+   * join + anti-join over keys-only frames — then a one-row aggregate
+   * per seed, unioned. Same `checkpointDir` reliability contract as
+   * [[pageRank]].
+   *
+   * Returns one row per seed: (`seed`, `n_reached` — nodes at level
+   * ≥ 1 within the cap, `harmonic`).
+   */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: Seq[Long], maxHops: Int,
+                         undirected: Boolean = true,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "harmonicCentrality needs at least one seed")
+    require(seeds.distinct.size == seeds.size, "duplicate seeds")
+    require(maxHops >= 1, "maxHops must be >= 1")
+    seeds.map { s =>
+      bfsLevels(edges, srcCol, dstCol, Seq(s), maxHops, undirected,
+          checkpointDir)
+        .filter(col("level") >= 1)
+        .agg(count(lit(1)).as("n_reached"),
+          coalesce(sum(expr("1000000L div level")), lit(0L)).as("__h"))
+        .select(lit(s).as("seed"), col("n_reached"),
+          (col("__h").cast("double") / lit(1e6)).as("harmonic"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /**
    * k-truss decomposition (Cohen 2008): the maximal subgraph in which
    * EVERY edge participates in at least k−2 triangles — the
    * cohesive-community extractor one notch stronger than [[kCore]]

@@ -654,6 +654,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("harmonicCentrality: exact hop-quantized sums; isolated seed scores 0") {
+    import spark.implicits._
+    // path 1–2–3–4–5: from seed 1 within 3 hops reach 2@1, 3@2, 4@3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(e, "src", "dst",
+        seeds = Seq(1L, 3L, 9L), maxHops = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 1833333.0 / 1e6)))
+    // seed 3 is central: 2@1, 4@1, 1@2, 5@2 → 2·1e6 + 2·5e5
+    assert(got(3L) === ((3L, 4L, 3000000.0 / 1e6)))
+    // seed 9 is not in the graph: trivially at distance 0 of itself,
+    // reaches nothing → exactly 0, not NULL
+    assert(got(9L) === ((9L, 0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Graph.harmonicCentrality(e, "src", "dst", Seq(1L, 1L), maxHops = 2)
+    }
+  }
+
   test("transitivity: exact 3T/W on K4+pendant; zero and undefined cases") {
     import spark.implicits._
     // K4 {1,2,3,4} + pendant 1–9: T = 4, wedges = C(4,2) + 3·C(3,2) = 15
