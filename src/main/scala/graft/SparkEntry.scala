@@ -1252,6 +1252,14 @@ object SparkEntry {
         "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
     }),
 
+    // Per-event-type z-standardization of event values: one moments
+    // agg + one group join; exact moments, UNROUNDED bit-deterministic
+    // scores (welchTTest's arithmetic contract applied row-wise).
+    "q_standardize" -> ((s, dir) => {
+      graft.operators.Profiling.standardize(t(s, dir, "events"),
+        "event_type", "event_id", "value")
+    }),
+
     // Deterministic 5-fold cross-validation assignment (md5-uniform mod
     // k — exact fold replayable in SQL, unlike xxhash splits).
     "q_kfold" -> ((s, dir) => {
@@ -4515,6 +4523,25 @@ object SparkEntry {
         |       (vc / n_c) * (vc / n_c) / (CAST(n_c AS DOUBLE) - 1)), 4)
         |  END AS df
         |FROM s""".stripMargin,
+    "q_standardize" ->
+      """WITH base AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    event_id AS id, value,
+        |    CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |mom AS (SELECT grp, count(*) AS n, CAST(SUM(u) AS BIGINT) AS s1,
+        |    CAST(SUM(u * u) AS DOUBLE) AS s2 FROM base GROUP BY 1),
+        |st AS (SELECT grp,
+        |    CAST(s1 AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mu,
+        |    CASE WHEN n >= 2 THEN
+        |      ((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |        / 10000.0 END AS var
+        |  FROM mom)
+        |SELECT base.grp, base.id, base.value,
+        |  CASE WHEN st.var > 0 THEN
+        |    (CAST(base.u AS DOUBLE) / 100.0 - st.mu) / sqrt(st.var)
+        |  END AS z
+        |FROM base JOIN st ON st.grp = base.grp""".stripMargin,
     "q_psi" -> {
       val probs = (1 until 10).map(i => i / 10.0)
       val caseChain = probs.indices

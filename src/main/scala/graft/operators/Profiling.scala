@@ -528,6 +528,58 @@ object Profiling {
   }
 
   /**
+   * Grouped feature standardization (z-scoring against each group's
+   * own moments) — the ML-prep normalizer: a $9.99 book and a $900
+   * flight are both "typical" only relative to their own category, so
+   * features standardize per group before any cross-group model sees
+   * them. Groups too small (n < 2) or degenerate (zero variance)
+   * yield NULL scores by guard — stated, not an engine 0/0 artifact.
+   *
+   * DETERMINISM (same contract as [[welchTTest]]): values quantize at
+   * `unitScale`; Σx is an exact long, Σx² accumulates DECIMAL(38,0)
+   * and converts to double once; every downstream step — mean,
+   * variance, σ, and each row's z — is a chain of single IEEE ops on
+   * identical inputs, so the UNROUNDED z is bit-deterministic
+   * cross-engine under any partitioning.
+   *
+   * Scale shape: one group-keyed moments aggregate (map-side combined,
+   * two longs + a decimal per partial) + one group-keyed join back to
+   * the rows — group cardinality is tiny next to row count, so the
+   * join side broadcasts (or AQE plans it); no window, no sort.
+   *
+   * Returns every input row: (`grp`, `id`, `value`, `z`) — `grp`, not
+   * `group`: the natural name is a SQL keyword and an output column
+   * that needs quoting in every downstream query is a trap.
+   */
+  def standardize(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("value"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val mom = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("u").as("s1"),
+        sum((col("u") * col("u")).cast("decimal(38,0)"))
+          .cast("double").as("s2"))
+    val nD = col("n").cast("double")
+    val variance =
+      ((col("s2") - col("s1").cast("double") * col("s1").cast("double") / nD)
+        / (nD - 1d)) / (unitScale * unitScale).toDouble
+    val stats = mom.select(col("grp"), col("n"),
+      (col("s1").cast("double") / (col("n") * unitScale).cast("double"))
+        .as("__mu"),
+      when(col("n") >= 2, variance).as("__var"))
+    base.join(stats, "grp")
+      .select(col("grp"), col("id"), col("value"),
+        when(col("__var") > 0,
+          (col("u").cast("double") / unitScale.toDouble - col("__mu")) /
+            sqrt(col("__var"))).as("z"))
+  }
+
+  /**
    * Exact equi-width histogram of a numeric column: `nBuckets` equal
    * intervals over `[lo, hi]` (derived from the frame's min/max in one
    * aggregate when not given), values clamped into the edge buckets so

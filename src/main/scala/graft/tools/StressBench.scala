@@ -828,6 +828,19 @@ object StressBench {
         run("transitions", n)(
           Events.transitionMatrix(ev, "user_id", "event_type", "ts",
             "event_id").count())
+        // r11 window family: both share roll_zscore's one-exchange
+        // keyed-window shape, so wall must track it, not edge off it
+        run("ewma8", n)(
+          TimeSeries.ewmaSmooth(ev, "user_id", "ts", "event_id",
+            "value").queryExecution.toRdd.count())
+        run("chgpt4", n)(
+          TimeSeries.meanShiftChangepoints(ev, "user_id", "ts",
+            "event_id", "value", window = 4, minShiftUnits = 2500L)
+            .queryExecution.toRdd.count())
+        run("welch", n)(
+          graft.operators.Profiling.welchTTest(
+            ev.withColumn("seg", pmod(col("user_id"), lit(5L))),
+            "seg", "event_type", "purchase", "value").count())
         ev.unpersist()
       }
     }

@@ -278,4 +278,27 @@ class ProfilingSpec extends SparkSpec {
       .head()
     assert(kc._6.isEmpty && kc._7.isEmpty)
   }
+
+  test("standardize: exact per-group z; degenerate groups go NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), // μ=2 σ=1
+      ("b", 4L, 9.0),                                  // n=1 → NULL
+      ("c", 5L, 5.0), ("c", 6L, 5.0))                  // var=0 → NULL
+      .toDF("grp", "id", "v")
+    val got = Profiling.standardize(rows, "grp", "id", "v")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got.size === 6)
+    assert(got(1L)._4 === Some(-1.0))
+    assert(got(2L)._4 === Some(0.0))
+    assert(got(3L)._4 === Some(1.0))
+    assert(got(4L)._4.isEmpty)
+    assert(got(5L)._4.isEmpty && got(6L)._4.isEmpty)
+    // a null group is excluded, not standardized against nothing
+    val withNull = rows.union(Seq((null.asInstanceOf[String], 7L, 1.0))
+      .toDF("grp", "id", "v"))
+    assert(Profiling.standardize(withNull, "grp", "id", "v")
+      .count() === 6L)
+  }
 }
