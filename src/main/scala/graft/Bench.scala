@@ -46,7 +46,8 @@ object Bench {
     // them here would only add fixed replay overhead to the total.
     val parityDrives = Set("q_sessionize_stream", "q_stream_neardup",
       "q_stream_join", "q_stream_snapshot", "q_stream_perplexity",
-      "q_stream_heavy", "q_stream_transitions", "q_stream_changepoint")
+      "q_stream_heavy", "q_stream_transitions", "q_stream_changepoint",
+      "q_stream_ewma")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset for local
     // iteration (the driver never sets it — full suite by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

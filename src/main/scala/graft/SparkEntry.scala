@@ -2706,6 +2706,22 @@ object SparkEntry {
       Streams.transitionsStreamParity(s, cohort)
     }),
 
+    // TRUE-streaming bounded-lookback EWMA: every cohort event's
+    // streamed smoothed value must equal batch ewmaSmooth bit-for-bit
+    // (the 4-column join includes the unrounded double).
+    "q_stream_ewma" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val cohort = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.ewmaStreamParity(s, cohort, lookback = 8)
+    }),
+
     // TRUE-streaming mean-shift changepoints: the cohort replays through
     // a MemoryStream in ts-aligned micro-batches; the streamed flags
     // (key, ts, id AND the three exact-arithmetic means) must equal the
@@ -5017,6 +5033,13 @@ object SparkEntry {
         |    PARTITION BY u ORDER BY tsm, eid) AS t FROM e),
         |n AS (SELECT count(*) AS c FROM (
         |  SELECT f, t FROM p WHERE t IS NOT NULL GROUP BY 1, 2))
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // Streaming EWMA parity: every cohort event emits exactly one
+    // smoothed point, so all three outputs equal the cohort row count
+    // when the streamed values bit-match batch in the 4-column join.
+    "q_stream_ewma" ->
+      """WITH n AS (SELECT count(*) AS c FROM events
+        |  WHERE user_id % 10 = 0)
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Streaming changepoint parity: the batch mean-shift count over the
     // SAME millisecond-precision cohort frame the drive replays — all

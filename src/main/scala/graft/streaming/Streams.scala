@@ -539,6 +539,174 @@ object Streams {
       }
   }
 
+  final case class EwmaPoint(user_id: Long, ts: Timestamp,
+                             event_id: Long, value: Double, ewma: Double)
+
+  /**
+   * TRUE-streaming bounded-lookback EWMA — the incremental form of
+   * [[graft.operators.TimeSeries.ewmaSmooth]]: each observation's
+   * smoothed value over its last `lookback` predecessors, emitted
+   * exactly once, once FINAL. Finality here needs no future data —
+   * only certainty that nothing can still sort at-or-before the row:
+   * the watermark STRICTLY past its event time (ts < wm is dropped by
+   * the watermark contract; ts == wm may still arrive and tie-sort by
+   * id, so equality is not enough).
+   *
+   * State per key: the `lookback − 1` observations before the next
+   * undecided position plus the unfinalized tail — O(lookback), never
+   * history; same (nextIdx, headIdx, buffer) bookkeeping as
+   * [[changepointsStream]], including its positional-unionAll-free
+   * Scala-side merge. TTL contract identical too: a ≥ `stateTtlMs`
+   * event-time gap RESTARTS the smoothing window (no weight reaches
+   * across it — the batch operator has no gap semantics, so this is a
+   * documented streaming divergence sized like a session horizon), and
+   * idle keys evict without semantic loss under that rule.
+   *
+   * Arithmetic is the batch operator's verbatim: integer weights
+   * num^lag·den^(L−1−lag) on SQL-round-quantized values, numerator and
+   * weight sum exact longs, ONE final division — the parity drive
+   * compares every smoothed value bit-for-bit.
+   */
+  def ewmaStream(events: Dataset[Event], lookback: Int = 8,
+                 decayNum: Long = 1L, decayDen: Long = 2L,
+                 unitScale: Long = 100L,
+                 watermarkDelay: String = "0 seconds",
+                 stateTtlMs: Long = 24 * 60 * 60 * 1000L): Dataset[EwmaPoint] = {
+    require(lookback >= 2 && lookback <= 32,
+      s"lookback must be in [2, 32]; got $lookback")
+    require(decayDen > decayNum && decayNum >= 1,
+      "decay must satisfy den > num >= 1")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(stateTtlMs > 0, "stateTtlMs must be positive")
+    require(math.pow(decayDen.toDouble, (lookback - 1).toDouble) <=
+      (1L << 31).toDouble, "den^(lookback-1) exceeds the long weight bound")
+    val L = lookback
+    def weight(lag: Int): Long = {
+      var w = 1L; var i = 0
+      while (i < lag) { w *= decayNum; i += 1 }
+      while (i < L - 1) { w *= decayDen; i += 1 }
+      w
+    }
+    val weights = Array.tabulate(L)(weight)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CpState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[CpState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(CpState(0L, 0L, Nil))
+          val merged = (prev.buf ++ it.map(e =>
+              CpObs(e.ts.getTime, e.event_id,
+                roundHalfUp(e.value, unitScale))))
+            .sortBy(o => (o.tsMs, o.id)).toVector
+          if (merged.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            var nextIdx = prev.nextIdx
+            val headIdx = prev.headIdx
+            val out = scala.collection.mutable.ListBuffer.empty[EwmaPoint]
+            var going = true
+            while (going) {
+              val off = (nextIdx - headIdx).toInt
+              if (off < merged.length && wm > merged(off).tsMs) {
+                // window start: at most L−1 back, truncated at the
+                // youngest ≥-TTL gap (the restart rule)
+                var start = math.max(0, off - (L - 1))
+                var j = off
+                while (j > start &&
+                    merged(j).tsMs - merged(j - 1).tsMs < stateTtlMs) {
+                  j -= 1
+                }
+                start = j
+                var num = 0L; var den = 0L
+                var k = off
+                while (k >= start) {
+                  val w = weights(off - k)
+                  num += merged(k).units * w
+                  den += w
+                  k -= 1
+                }
+                val o = merged(off)
+                out += EwmaPoint(uid, new Timestamp(o.tsMs), o.id,
+                  o.units.toDouble / unitScale.toDouble,
+                  num.toDouble / (den * unitScale).toDouble)
+                nextIdx += 1
+              } else going = false
+            }
+            val drop = ((nextIdx - (L - 1)) - headIdx).toInt
+            val kept = if (drop > 0) merged.drop(drop) else merged
+            val newHead = headIdx + math.max(drop, 0)
+            if (wm >= kept.last.tsMs + stateTtlMs) state.remove()
+            else {
+              state.update(CpState(nextIdx, newHead, kept.toList))
+              val off = (nextIdx - newHead).toInt
+              state.setTimeoutTimestamp(
+                if (off < kept.length)
+                  math.max(wm + 1, kept(off).tsMs + 1)
+                else
+                  math.max(wm + 1, kept.last.tsMs + stateTtlMs))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /**
+   * Driver-facing parity drive for [[ewmaStream]]: replays a bounded
+   * cohort through a MemoryStream in ts-aligned micro-batches (+ one
+   * watermark sentinel — EWMA finality needs no post window, so one
+   * advance past maxTs closes everything), then compares every
+   * smoothed value with batch
+   * [[graft.operators.TimeSeries.ewmaSmooth]] over the same
+   * millisecond frame. One row (n_stream, n_batch, n_matched).
+   */
+  def ewmaStreamParity(spark: SparkSession, events: Dataset[Event],
+                       lookback: Int = 8, batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = events.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[Event]
+    val spanMs = maxTs - rows.head.ts.getTime
+    val sm = ewmaStream(input.toDS(), lookback,
+      stateTtlMs = spanMs + 60 * 60 * 1000L)
+    val sinkName = "graft_ewma_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = sm.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      tsAlignedChunks(rows, batches).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      input.addData(Event(-1L, new Timestamp(maxTs + 3600000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(maxTs + 7200000L), -1L, "wm", 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    val streamed = spark.table(sinkName).filter(col("user_id") >= 0)
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("ts"),
+        col("event_id").as("id"), col("ewma"))
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+    val batch = graft.operators.TimeSeries.ewmaSmooth(
+        events.toDF().withColumn("ts", unix_millis(col("ts"))),
+        "user_id", "ts", "event_id", "value", lookback)
+      .select(col("key"), col("ts"), col("id"), col("ewma"))
+    val cols = Seq("key", "ts", "id", "ewma")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch, cols).agg(count(lit(1)).as("n_matched")))
+  }
+
   /**
    * Driver-facing parity drive for [[changepointsStream]]: replays a
    * bounded cohort through a MemoryStream in ts-aligned micro-batches

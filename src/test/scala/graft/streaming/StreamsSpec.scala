@@ -546,6 +546,58 @@ class StreamsSpec extends SparkSpec {
     assert(got === ((1L, 1L, 1L)))
   }
 
+  test("ewmaStream: bit-exact parity with batch across micro-batches") {
+    import spark.implicits._
+    // u1: a varying series whose windows straddle batch boundaries;
+    // equal-ts pair orders by id; u2 single row smooths to itself
+    val ev = Seq(
+      Streams.Event(1L, ts(1000L), 1L, "v", 1.0),
+      Streams.Event(2L, ts(2000L), 1L, "v", 2.0),
+      Streams.Event(3L, ts(3000L), 1L, "v", 4.0),
+      Streams.Event(5L, ts(4000L), 1L, "v", 8.0),
+      Streams.Event(4L, ts(4000L), 1L, "v", 6.0),
+      Streams.Event(6L, ts(9000L), 2L, "v", 3.5))
+    val got = Streams.ewmaStreamParity(spark, ev.toDS(),
+        lookback = 4, batches = 3)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((6L, 6L, 6L)))
+  }
+
+  test("ewmaStream: a >=TTL gap restarts the smoothing window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val H = 3600000L
+    val input = MemoryStream[Streams.Event]
+    val sinkName = "graft_ewma_ttl"
+    spark.catalog.dropTempView(sinkName)
+    val q = Streams.ewmaStream(input.toDS(), lookback = 4,
+        stateTtlMs = H)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      // two obs, a 3 h gap, then a third: the third must smooth from
+      // a FRESH window (ewma == its own value), not blend across
+      input.addData(Seq(
+        Streams.Event(1L, ts(1000L), 1L, "v", 10.0),
+        Streams.Event(2L, ts(2000L), 1L, "v", 20.0),
+        Streams.Event(3L, ts(3 * H), 1L, "v", 40.0)))
+      q.processAllAvailable()
+      input.addData(Streams.Event(90L, ts(4 * H), 2L, "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(91L, ts(5 * H), 2L, "wm", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sinkName)
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .as[Streams.EwmaPoint].collect().map(p => p.event_id -> p.ewma).toMap
+    assert(got(1L) === 10.0)
+    // second row blends within the sub-TTL prefix: (2000·8+1000·4)/1200
+    assert(got(2L) === 20000.0 / 1200.0)
+    // post-gap row restarts: its own value exactly
+    assert(got(3L) === 40.0)
+  }
+
   test("changepointsStream: TTL gap splits the series; idle state evicts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
