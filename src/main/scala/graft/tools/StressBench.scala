@@ -793,6 +793,12 @@ object StressBench {
         run("winnow", n)(
           graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text",
             k = 3, w = 4).queryExecution.toRdd.count())
+        // r11: RAKE is two explode passes + two keyed aggs + one
+        // word-keyed join — wall should track corpus size like the
+        // other single-shuffle text ops
+        run("rake50", n)(
+          graft.operators.TextAnalysis.rakeKeywords(docs, "text", k = 50)
+            .count())
         docs.unpersist()
       }
     }
@@ -841,6 +847,16 @@ object StressBench {
           graft.operators.Profiling.welchTTest(
             ev.withColumn("seg", pmod(col("user_id"), lit(5L))),
             "seg", "event_type", "purchase", "value").count())
+        // r11: Apriori rules over ~10-item baskets derived from the
+        // same event frame (basket = user-day, item = hashed product):
+        // the Apriori prune + per-basket bound keep the pair fan-out
+        // linear in events, the shape the operator promises
+        run("assoc2", n)(
+          graft.operators.Associations.associationRules(
+            ev.select((col("user_id") * 31L +
+                expr("ts div 86400000000000")).as("bk"),
+              pmod(xxhash64(col("event_id")), lit(2000L)).as("it")),
+            "bk", "it", minSupport = 2L).count())
         ev.unpersist()
       }
     }
