@@ -1260,6 +1260,34 @@ object SparkEntry {
         "event_type", "event_id", "value")
     }),
 
+    // Token-distribution drift between the even- and odd-doc_id corpus
+    // halves: add-half-smoothed per-token KL/JS contributions, top-50
+    // movers ranked by the EXACT cross-multiplied integer share
+    // distance (no double ever orders the frontier).
+    "text_divergence" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def half(m: Int) = d
+        .filter(pmod(col("doc_id"), lit(2)) === m)
+        .select(explode(graft.operators.TextAnalysis.tokens(
+          lower(col("text")))).as("tok"))
+      graft.operators.Profiling.categoricalDivergence(
+        half(0), half(1), "tok", k = 50)
+    }),
+
+    // Zipf slope of the corpus token-frequency head (top 500 ranks):
+    // distributed exact ranks, one ≤500-row OLS aggregate, 4dp fit.
+    "text_zipf" -> ((s, dir) => {
+      graft.operators.TextAnalysis.zipfFit(t(s, dir, "documents"),
+        "text", topN = 500)
+    }),
+
+    // Covariance of the embedding corpus's leading 16 components in ONE
+    // tree-aggregated Gram pass — only (n, Σx, Σxᵢxⱼ) summaries move.
+    "q_vector_cov" -> ((s, dir) => {
+      graft.operators.Profiling.vectorCovariance(
+        t(s, dir, "embeddings"), "embedding", dims = 16)
+    }),
+
     // Deterministic 5-fold cross-validation assignment (md5-uniform mod
     // k — exact fold replayable in SQL, unlike xxhash splits).
     "q_kfold" -> ((s, dir) => {
@@ -4558,6 +4586,76 @@ object SparkEntry {
         |    (CAST(base.u AS DOUBLE) / 100.0 - st.mu) / sqrt(st.var)
         |  END AS z
         |FROM base JOIN st ON st.grp = base.grp""".stripMargin,
+    "text_divergence" ->
+      """WITH rt AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |      '\s+')) AS key
+        |    FROM documents
+        |    WHERE doc_id % 2 = 0 AND length(trim(lower(text))) > 0),
+        |ct AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |      '\s+')) AS key
+        |    FROM documents
+        |    WHERE doc_id % 2 = 1 AND length(trim(lower(text))) > 0),
+        |rc AS (SELECT key, count(*) AS cr FROM rt GROUP BY 1),
+        |cc AS (SELECT key, count(*) AS cq FROM ct GROUP BY 1),
+        |j AS (SELECT COALESCE(rc.key, cc.key) AS key,
+        |    COALESCE(rc.cr, 0) AS cr, COALESCE(cc.cq, 0) AS cq
+        |  FROM rc FULL OUTER JOIN cc ON cc.key = rc.key),
+        |tot AS (SELECT count(*) AS v, SUM(cr) AS tr, SUM(cq) AS tc FROM j),
+        |sh AS (SELECT j.key, j.cr, j.cq,
+        |    (CAST(j.cr AS DOUBLE) + 0.5) /
+        |      (CAST(tot.tr AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE)) AS ps,
+        |    (CAST(j.cq AS DOUBLE) + 0.5) /
+        |      (CAST(tot.tc AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE)) AS qs,
+        |    ABS(CAST(2 * j.cr + 1 AS HUGEINT) *
+        |        CAST(2 * tot.tc + tot.v AS HUGEINT)
+        |      - CAST(2 * j.cq + 1 AS HUGEINT) *
+        |        CAST(2 * tot.tr + tot.v AS HUGEINT)) AS dord
+        |  FROM j CROSS JOIN tot)
+        |SELECT key, cr AS ref_count, cq AS cur_count,
+        |  round(ps, 6) AS ref_share, round(qs, 6) AS cur_share,
+        |  round(ps * ln(ps / qs), 6) + 0.0 AS kl_contrib,
+        |  round((ps * ln(2 * ps / (ps + qs)) +
+        |         qs * ln(2 * qs / (ps + qs))) / 2, 6) + 0.0 AS js_contrib
+        |FROM sh ORDER BY dord DESC, key ASC LIMIT 50""".stripMargin,
+    "text_zipf" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |      '\s+')) AS token
+        |    FROM documents WHERE length(trim(lower(text))) > 0),
+        |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |rk AS (SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, token ASC) AS r FROM cnt),
+        |pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y FROM rk WHERE r <= 500),
+        |s AS (SELECT count(*) AS n_fit, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM pts),
+        |g AS (SELECT n_fit, sx, sy, CAST(n_fit AS DOUBLE) AS nd,
+        |    CAST(n_fit AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n_fit AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n_fit AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM s)
+        |SELECT n_fit,
+        |  CASE WHEN n_fit >= 2 AND den <> 0 THEN round(num / den, 4)
+        |    END AS slope,
+        |  CASE WHEN n_fit >= 2 AND den <> 0 THEN
+        |    round((sy - (num / den) * sx) / nd, 4) END AS intercept,
+        |  CASE WHEN n_fit >= 2 AND den <> 0 AND deny <> 0 THEN
+        |    round(num * num / (den * deny), 4) END AS r2
+        |FROM g""".stripMargin,
+    "q_vector_cov" ->
+      """WITH x AS (SELECT vec_id, t.i AS i,
+        |    CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(16) t(i)
+        |  WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+        |s AS (SELECT i, SUM(v) AS sv, count(*) AS n FROM x GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS spp
+        |  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+        |  sa.n,
+        |  round((spp - sa.sv * sb.sv / CAST(sa.n AS DOUBLE))
+        |    / CAST(sa.n AS DOUBLE), 6) + 0.0 AS cov
+        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j""".stripMargin,
     "q_psi" -> {
       val probs = (1 until 10).map(i => i / 10.0)
       val caseChain = probs.indices

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.LineageCut.CutOps
+
 /**
  * Ingest-side data profiling: per-column null counts, distinct counts,
  * and min/max in ONE aggregation pass over the frame — the "what did we
@@ -577,6 +579,147 @@ object Profiling {
         when(col("__var") > 0,
           (col("u").cast("double") / unitScale.toDouble - col("__mu")) /
             sqrt(col("__var"))).as("z"))
+  }
+
+  /**
+   * Categorical KL / Jensen–Shannon divergence between two samples of
+   * a discrete column — [[populationStability]]'s companion for
+   * distributions with NO numeric order to bucket (tokens, domains,
+   * languages, event types): which corpus slice drifted, and by how
+   * much? The canonical LLM-data use is comparing token distributions
+   * between a reference corpus and a new crawl before mixing.
+   *
+   * Shares use the SAME deterministic add-half smoothing as PSI —
+   * `p = (c + 0.5)/(T + 0.5·V)` with `V` the union vocabulary — so a
+   * key absent on one side contributes finitely. Emits the top `k`
+   * keys by |p − q| with per-key contributions (PSI's actionable-rows
+   * convention: callers sum `kl_contrib`/`js_contrib` over the FULL
+   * frame for the scalar; the top-k view answers "which keys moved").
+   * `kl_contrib = p·ln(p/q)`; `js_contrib = (p·ln(2p/(p+q)) +
+   * q·ln(2q/(p+q)))/2` (JS base e, bounded by ln 2). Shares and
+   * contributions round at 6dp; the RANKING never touches a double —
+   * |p − q| orders by the cross-multiplied EXACT integer
+   * `|(2c_r+1)(2T_c+V) − (2c_c+1)(2T_r+V)|` in DECIMAL(38,0)
+   * (sound to counts ~10¹² against totals ~10¹⁵; both engines compare
+   * the same integers, so the top-k frontier cannot drift on a ULP).
+   *
+   * Scale shape: one map-side-combined count per key per side —
+   * exchanges carry each side's key cardinality, not its rows — a
+   * key-keyed full outer join of the two count frames (lineage-cut,
+   * so the totals pass and the output pass share it), ONE 1-row
+   * totals aggregate collected to plan literals, and a TakeOrdered
+   * top-k. No window, no data-sized sort.
+   */
+  def categoricalDivergence(ref: DataFrame, cur: DataFrame,
+                            keyCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(keyCol).isNotNull)
+        .select(col(keyCol).cast("string").as("key"))
+        .groupBy("key").agg(count(lit(1)).as(out))
+    val joined = counts(ref, "__cr")
+      .join(counts(cur, "__cc"), Seq("key"), "full_outer")
+      .select(col("key"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+      .lineageCut()
+    val t = joined.agg(count(lit(1)), sum("__cr"), sum("__cc")).head()
+    val (v, tr, tc) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    require(tr > 0 && tc > 0,
+      s"categoricalDivergence needs non-null keys on both sides " +
+        s"(ref $tr, cur $tc)")
+    val p = (col("__cr").cast("double") + 0.5d) / lit(tr + 0.5 * v)
+    val q = (col("__cc").cast("double") + 0.5d) / lit(tc + 0.5 * v)
+    val dec = "decimal(19,0)"
+    val dord = abs(
+      (col("__cr") * 2 + 1).cast(dec) * lit(2 * tc + v).cast(dec) -
+        (col("__cc") * 2 + 1).cast(dec) * lit(2 * tr + v).cast(dec))
+    joined
+      .withColumn("__ord", dord)
+      .orderBy(col("__ord").desc, col("key").asc)
+      .limit(k)
+      .select(col("key"), col("__cr").as("ref_count"),
+        col("__cc").as("cur_count"),
+        round(p, 6).as("ref_share"), round(q, 6).as("cur_share"),
+        // + 0.0: canonicalize a −0.0 rounded from a tiny negative
+        (round(p * log(p / q), 6) + lit(0.0)).as("kl_contrib"),
+        (round((p * log(lit(2d) * p / (p + q)) +
+          q * log(lit(2d) * q / (p + q))) / 2d, 6) + lit(0.0))
+          .as("js_contrib"))
+  }
+
+  /**
+   * Population covariance matrix of an embedding column's leading
+   * `dims` components in ONE distributed pass — the input every
+   * vector-space diagnostic and transform starts from (PCA /
+   * whitening before [[graft.operators.Similarity]]'s k-means or
+   * SemDeDup cells, anisotropy checks on encoder output, feature
+   * de-correlation). An embedding column whose covariance is far from
+   * isotropic is the standard explanation for LSH/IVF recall cliffs —
+   * this is the operator that shows it.
+   *
+   * Scale shape: the classic Gram-accumulation reduction —
+   * `mapPartitions`-style `treeAggregate` where every partition folds
+   * its rows into ONE `(n, Σx[d], Σxᵢxⱼ[d(d+1)/2])` summary (a few KB
+   * for d ≤ 128), partials tree-combine, and ONLY summaries move.
+   * Nothing data-sized shuffles, nothing collects but the d×d state;
+   * this is one of the rare per-partition-imperative shapes where the
+   * RDD layer beats any DataFrame formulation (a posexplode² pairing
+   * would shuffle d²·N rows).
+   *
+   * DETERMINISM: components widen float→double exactly; each xᵢ·xⱼ
+   * product is EXACT (24-bit mantissas fit 53); Σx sums of same-scale
+   * floats stay exact far past 10⁹ rows; only the product sums round,
+   * and the 6dp output grid absorbs their summation-order ULP drift.
+   *
+   * Returns the upper triangle (i ≤ j): (`i`, `j`, `n`, `cov`) with
+   * `cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n` (population form), ordered (i, j).
+   * Rows missing the column or shorter than `dims` are excluded and
+   * counted against nothing — stated, not silent (callers compare `n`
+   * to their row count; a mixed-dim corpus should be split upstream).
+   */
+  def vectorCovariance(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 512, s"dims must be in [1, 512]; got $dims")
+    val spark = df.sparkSession
+    val nPairs = dims * (dims + 1) / 2
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) >= dims)
+      .rdd.map(_.getSeq[Double](0))
+    val d = dims
+    val zero = (0L, new Array[Double](d), new Array[Double](nPairs))
+    val (n, s, pr) = vecs.treeAggregate(zero)(
+      seqOp = { case ((cnt, sums, prods), row) =>
+        var i = 0
+        var k = 0
+        while (i < d) {
+          val xi = row(i)
+          sums(i) += xi
+          var j = i
+          while (j < d) { prods(k) += xi * row(j); j += 1; k += 1 }
+          i += 1
+        }
+        (cnt + 1, sums, prods)
+      },
+      combOp = { case ((n1, s1, p1), (n2, s2, p2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        var k = 0
+        while (k < nPairs) { p1(k) += p2(k); k += 1 }
+        (n1 + n2, s1, p1)
+      }, depth = 2)
+    require(n > 0, s"vectorCovariance: no rows with $dims+ components")
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val k = i * d - i * (i - 1) / 2 + (j - i)
+      (i, j, n, (pr(k) - s(i) * s(j) / n) / n)
+    }
+    import spark.implicits._
+    // + 0.0 canonicalizes a rounded −0.0 to 0.0 (engines disagree on
+    // the sign of a zero rounded from a tiny negative; the hash doesn't)
+    rows.toDF("i", "j", "n", "__cov")
+      .select(col("i"), col("j"), col("n"),
+        (round(col("__cov"), 6) + lit(0.0)).as("cov"))
   }
 
   /**

@@ -141,6 +141,54 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Zipf-law fit over the corpus's token frequency head — the one-row
+   * corpus-health gate: natural language sits near slope −1 on the
+   * log(freq) vs log(rank) line; a much flatter slope says templated /
+   * machine-generated text (every token equally common), a much
+   * steeper one says degenerate repetition. Fits OLS over the top
+   * `topN` ranks (the head is where Zipf holds; the long tail bends
+   * by Heaps' law and would drown the signal).
+   *
+   * Ranks come from [[Ranking.withGlobalRank]] ordered (freq desc,
+   * token asc) — exact, distributed, deterministic under ties — so
+   * both engines fit the IDENTICAL (rank, freq) point set; x = ln rank
+   * and y = ln freq are then single-op functions of exact integers.
+   * The five OLS sums run over ≤ `topN` rows; slope/intercept/r2
+   * round at 4dp (the grid absorbs summation-order ULP drift, the
+   * same band every multi-term double aggregate in this file rides).
+   *
+   * Scale shape: explode + map-side-combined token counts (the
+   * exchange carries vocabulary, not corpus), one distributed rank
+   * over the count frame, then a ≤ topN-row aggregate. Returns ONE
+   * row: (`n_fit`, `slope`, `intercept`, `r2`) — NULL fit columns
+   * when fewer than 2 distinct ranks survive (no line to fit).
+   */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    val counts = df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ranked = Ranking.withGlobalRank(counts,
+        Seq(col("c").desc, col("token").asc), "r", "n_all")
+      .filter(col("r") <= topN)
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    val s = ranked.agg(count(lit(1)).as("n_fit"), sum(x).as("__sx"),
+      sum(y).as("__sy"), sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"))
+    val n = col("n_fit").cast("double")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    val deny = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = num / den
+    val ok = col("n_fit") >= 2 && den =!= 0d
+    s.select(col("n_fit"),
+      when(ok, round(slope, 4)).as("slope"),
+      when(ok, round((col("__sy") - slope * col("__sx")) / n, 4))
+        .as("intercept"),
+      when(ok && deny =!= 0d, round(num * num / (den * deny), 4)).as("r2"))
+  }
+
+  /**
    * Keyword-in-context (KWIC / concordance) extraction: every exact
    * token occurrence of `term` with ±`window` tokens of context —
    * what a reviewer looks at before blocklisting a term, and the

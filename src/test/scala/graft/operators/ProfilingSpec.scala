@@ -301,4 +301,45 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.standardize(withNull, "grp", "id", "v")
       .count() === 6L)
   }
+
+  test("categoricalDivergence: smoothing, exact-integer ordering, zero on identity") {
+    val ref = Seq("a", "a", "b").toDF("k")
+    val cur = Seq("a", "b", "b", "b").toDF("k")
+    val got = Profiling.categoricalDivergence(ref, cur, "k")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    // V=2, Tr=3, Tc=4: p_a=2.5/4, q_a=1.5/5; p_b=1.5/4, q_b=3.5/5.
+    // |p−q| ties at 0.325 — the decimal order key ties too (26 = 26),
+    // so key asc breaks it: a first.
+    assert(got.map(_._1).toSeq === Seq("a", "b"))
+    val (pa, qa) = (2.5 / 4.0, 1.5 / 5.0)
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    assert(got(0)._4 === r6(pa) && got(0)._5 === r6(qa))
+    assert(got(0)._6 === r6(pa * math.log(pa / qa)))
+    assert(got(0)._7 === r6((pa * math.log(2 * pa / (pa + qa)) +
+      qa * math.log(2 * qa / (pa + qa))) / 2))
+    // identical sides → every contribution is exactly zero
+    val same = Profiling.categoricalDivergence(ref, ref, "k")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(same.forall(r => r._6 === 0.0 && r._7 === 0.0))
+    // k caps the report; an empty side fails loud
+    assert(Profiling.categoricalDivergence(ref, cur, "k", k = 1).count() === 1L)
+    intercept[IllegalArgumentException] {
+      Profiling.categoricalDivergence(ref.limit(0), cur, "k")
+    }
+  }
+
+  test("vectorCovariance: one-pass Gram matches brute force, short rows excluded") {
+    val vecs = Seq(Seq(1.0, 2.0), Seq(2.0, 4.0), Seq(3.0, 6.0), Seq(9.0))
+      .toDF("embedding")
+    val got = Profiling.vectorCovariance(vecs, "embedding", dims = 2)
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size === 3) // upper triangle of d=2
+    assert(got((0, 0)) === ((3L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got((0, 1)) === ((3L, math.rint(4.0 / 3 * 1e6) / 1e6)))
+    assert(got((1, 1)) === ((3L, math.rint(8.0 / 3 * 1e6) / 1e6)))
+    intercept[IllegalArgumentException] {
+      Profiling.vectorCovariance(vecs, "embedding", dims = 3) // all rows short
+    }
+  }
 }

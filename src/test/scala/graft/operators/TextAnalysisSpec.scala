@@ -488,4 +488,28 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Int, Long, Double)].collect().map(_._1).toSeq
     assert(top2 === Seq("deep learning", "deep networks"))
   }
+
+  test("zipfFit: exact power-law corpus recovers slope -1, guards degenerate fits") {
+    import spark.implicits._
+    // freq(r) = 12/r at ranks 1..4 → ln f = ln 12 − ln r: a PERFECT
+    // line, so OLS must return slope −1, r² = 1, intercept ln 12
+    val doc = ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim
+    val docs = Seq(doc).toDF("text")
+    val got = TextAnalysis.zipfFit(docs, "text", topN = 10)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(got._1 === 4L)
+    assert(got._2 === Some(-1.0) && got._4 === Some(1.0))
+    assert(got._3 === Some(math.rint(math.log(12.0) * 1e4) / 1e4))
+    // topN restricts the fit to the head
+    val head2 = TextAnalysis.zipfFit(docs, "text", topN = 2)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(head2._1 === 2L && head2._2.isDefined)
+    // single-token corpus: one point, no line — NULL fit, not a crash
+    val one = TextAnalysis.zipfFit(Seq("x x x").toDF("text"), "text")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(one._1 === 1L && one._2.isEmpty && one._3.isEmpty && one._4.isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfFit(docs, "text", topN = 1)
+    }
+  }
 }
