@@ -386,6 +386,12 @@ object StressBench {
       val planes = math.min(40, (math.log(n.toDouble) / math.log(2)).ceil.toInt + 6)
       run("cos_pairs_lsh", n)(
         Similarity.lshCosinePairs(vecs, 0.999, numPlanes = planes).count())
+      // r11: full d=64 Gram pass — per-partition fold to (n, Σx, Σxᵢxⱼ),
+      // only 17 KB summaries tree-combine, so wall must track the SCAN
+      // (~linear in vectors), never the 2080-cell output
+      run("veccov64", n)(
+        graft.operators.Profiling.vectorCovariance(vecs, "embedding",
+          dims = 64).count())
       if (n == 50000L) {
         // recall@5 of the approximate paths vs the exact baseline — the
         // quality side of the speed/recall trade the knobs tune
