@@ -1260,6 +1260,39 @@ object SparkEntry {
         "event_type", "event_id", "value")
     }),
 
+    // Hybrid-retrieval fusion: BM25 lexical top-100 and brute-force
+    // cosine top-100 (query = vec 0) merged by reciprocal-rank fusion —
+    // scores are fixed-order IEEE folds of exact integer ranks, so the
+    // (score, key) frontier is bit-deterministic cross-engine.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import graft.operators.{Ranking, Similarity, TextAnalysis}
+      val bm = TextAnalysis.bm25TopK(t(s, dir, "documents"), "text",
+        Seq("spark", "vector", "merge"), k = 100)
+      val lex = Ranking.withGlobalRank(bm,
+          Seq(col("bm25").desc, col("doc_id").asc), "r", "n_all")
+        .select(col("doc_id"), col("r"))
+      val emb = t(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val sem = Similarity.bruteForceTopK(emb, q0, 100)
+        .select(col("nn_id").as("doc_id"), col("rank").as("r"))
+      Ranking.rrfFuse(Seq(lex, sem), "doc_id", "r", k0 = 60, topK = 50)
+    }),
+
+    // Quote-in-document containment pairs: every 20th doc's 12-token
+    // prefix is planted as a standalone "quote" doc — Jaccard-invisible
+    // (tiny resemblance), containment 1.0. Grams travel as 64-bit
+    // hashes; df>cap grams excluded from evidence AND sizes.
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(graft.operators.TextAnalysis.tokens(
+            lower(col("text"))), 1, 12), " ").as("text"))
+      graft.operators.Dedup.containmentPairs(docs.unionAll(planted),
+        "doc_id", "text", n = 5, threshold = 0.9, maxGramDf = 500)
+    }),
+
     // Token-distribution drift between the even- and odd-doc_id corpus
     // halves: add-half-smoothed per-token KL/JS contributions, top-50
     // movers ranked by the EXACT cross-multiplied integer share
@@ -4586,6 +4619,86 @@ object SparkEntry {
         |    (CAST(base.u AS DOUBLE) / 100.0 - st.mu) / sqrt(st.var)
         |  END AS z
         |FROM base JOIN st ON st.grp = base.grp""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS dl,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM base),
+        |posting AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base
+        |        WHERE dl > 0)
+        |  WHERE token IN ('spark', 'vector', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+        |  FROM posting GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+        |           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS w
+        |  FROM posting p JOIN dfreq f ON p.token = f.token CROSS JOIN stats s),
+        |bm AS (SELECT doc_id, round(sum(w), 4) AS bm25
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+        |  FROM bm),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |sem0 AS (SELECT c.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(qv.q AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c CROSS JOIN qv),
+        |sem AS (SELECT doc_id, r FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r
+        |    FROM sem0) WHERE r <= 100),
+        |j AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS key,
+        |    CAST(lex.r AS BIGINT) AS rank_1, CAST(sem.r AS BIGINT) AS rank_2
+        |  FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id),
+        |sc AS (SELECT key, rank_1, rank_2,
+        |    COALESCE(1.0 / CAST(rank_1 + 60 AS DOUBLE), 0.0) +
+        |    COALESCE(1.0 / CAST(rank_2 + 60 AS DOUBLE), 0.0) AS s
+        |  FROM j)
+        |SELECT key, rank_1, rank_2, round(s, 6) AS rrf
+        |FROM sc ORDER BY s DESC, key ASC LIMIT 50""".stripMargin,
+    "dedup_containment" ->
+      """WITH pl AS (SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string((regexp_split_to_array(trim(lower(text)),
+        |      '\s+'))[1:12], ' ') AS text
+        |  FROM documents WHERE doc_id % 20 = 0 AND length(trim(text)) > 0),
+        |alld AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM pl),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 4),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |             t[i+3] || ' ' || t[i+4])) AS gram
+        |    FROM (SELECT doc_id,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |      FROM alld WHERE length(trim(text)) > 0))),
+        |dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY 1
+        |  HAVING count(*) <= 500),
+        |keep AS (SELECT g.doc_id, g.gram, dfc.df
+        |  FROM g JOIN dfc ON dfc.gram = g.gram),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM keep GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS common
+        |  FROM keep a JOIN keep b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  WHERE a.df >= 2 GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.common, sa.sz AS size_a, sb.sz AS size_b,
+        |  round(CAST(p.common AS DOUBLE) /
+        |    CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+        |FROM pairs p
+        |  JOIN sz sa ON sa.doc_id = p.id_a
+        |  JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE CAST(p.common AS DOUBLE) /
+        |  CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.9""".stripMargin,
     "text_divergence" ->
       """WITH rt AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |      '\s+')) AS key

@@ -377,6 +377,78 @@ object Dedup {
   }
 
   /**
+   * Containment-coefficient near-dup pairs — the measure
+   * Jaccard-resemblance structurally misses (Broder 1997 separates
+   * resemblance from containment for exactly this case): a 10-token
+   * passage quoted inside a 500-token document has Jaccard ≈ 0.02 —
+   * no LSH band ever buckets the pair — but containment 1.0. This is
+   * the doc-inside-doc detector: quoted eval passages, boilerplate-
+   * wrapped reposts, prefix-truncated duplicates.
+   *
+   * Semantics: word-`n`-gram sets, with grams whose document frequency
+   * exceeds `maxGramDf` excluded from evidence AND from sizes — the
+   * measure is containment over the INFORMATIVE gram vocabulary
+   * (ubiquitous boilerplate grams say nothing about copying, and at
+   * corpus scale their posting lists are exactly the quadratic join
+   * blow-up; same knob contract as [[minhashPairs]]'s
+   * `maxBucketSize`). Reported `containment = common / min(|A|, |B|)`
+   * — the larger directional coefficient — with both capped set sizes
+   * emitted so callers can recover each direction exactly.
+   *
+   * Scale shape: grams travel as 64-bit hashes from the first select
+   * (never strings; equality-only use, collisions 2⁻⁶⁴ per gram pair —
+   * the [[graft.operators.Profiling.snapshotDiff]] contract); the
+   * (id, gram) frame is lineage-cut and feeds df-counts, sizes, and
+   * the pair join from ONE materialization. df = 1 grams are pruned
+   * from the JOIN only (they cannot pair; typically most of the
+   * vocabulary) while still counting toward sizes, so the self-join's
+   * fan-out is bounded by Σ df² over 2 ≤ df ≤ `maxGramDf` — capped,
+   * never "the"-sized. The pair aggregate and size joins are keyed;
+   * one final single-division filter. No per-pair array intersect
+   * anywhere.
+   *
+   * Returns (`id_a`, `id_b`, `common`, `size_a`, `size_b`,
+   * `containment` 6dp) for pairs at or above `threshold`, id_a < id_b.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, threshold: Double = 0.8,
+                       maxGramDf: Int = 1000): DataFrame = {
+    require(n >= 2, "n must be >= 2 (unigram containment is topic overlap)")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]; got $threshold")
+    require(maxGramDf >= 2, s"maxGramDf must be >= 2; got $maxGramDf")
+    val grams = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__gram"))
+      .select(col("__id"), xxhash64(col("__gram")).as("__gh"))
+      .dropDuplicates("__id", "__gh")
+    val dfc = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDf)
+    // (id, gh, df) over the informative vocabulary — referenced by the
+    // size aggregate AND both sides of the pair join: materialize once
+    val kept = grams.join(dfc, "__gh").lineageCut()
+    val sizes = kept.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val joinable = kept.filter(col("__df") >= 2).select("__gh", "__id")
+    val pairs = joinable.as("a")
+      .join(joinable.as("b"),
+        col("a.__gh") === col("b.__gh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("size_a")),
+        "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("size_b")),
+        "id_b")
+      .withColumn("__cont", col("common").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("__cont") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("size_a"), col("size_b"),
+        round(col("__cont"), 6).as("containment"))
+  }
+
+  /**
    * EXACT all-pairs set-similarity join with prefix filtering (AllPairs
    * / PPJoin family — Bayardo, Ma & Srikant 2007 "Scaling up all pairs
    * similarity search"; Chaudhuri, Ganti & Kaushik 2006 SSJoin): every

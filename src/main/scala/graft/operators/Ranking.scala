@@ -106,6 +106,55 @@ object Ranking {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+   * ranked lists: `score(d) = Σ_i 1/(k0 + rank_i(d))` over the lists
+   * containing d. THE standard hybrid-retrieval combiner — lexical
+   * BM25 + embedding ANN candidates for contamination audits or
+   * near-dup review merge this way — because it needs no score
+   * calibration between lists, only ranks.
+   *
+   * Every input frame carries (`keyCol`, `rankCol`) with 1-based
+   * ranks. Output: (`key`, `rank_1` … `rank_N` nullable, `rrf` 6dp),
+   * top `topK` by score. DETERMINISM: each 1/(k0 + rank) is one IEEE
+   * division of an exact integer; the per-key sum is a FIXED
+   * left-to-right fold over the list index (never a groupBy over
+   * per-list rows, whose partial-aggregation order is
+   * engine-dependent), so equal inputs give bit-equal scores and the
+   * (score desc, key asc) frontier cannot drift. Symmetric rank swaps
+   * tie exactly — the key tiebreak is load-bearing, not cosmetic.
+   * Duplicate keys within one list take their best (min) rank.
+   *
+   * Scale shape: N list-tagged projections union (ranked lists are
+   * topK-bounded upstream), ONE key-keyed pivot aggregate, a
+   * TakeOrdered. Nothing here should ever see corpus-sized frames —
+   * fuse lists, not corpora.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], keyCol: String, rankCol: String,
+              k0: Int = 60, topK: Int = 100): DataFrame = {
+    require(rankings.size >= 2 && rankings.size <= 16,
+      s"rrfFuse wants 2..16 lists; got ${rankings.size}")
+    require(k0 >= 1, "k0 must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val tagged = rankings.zipWithIndex.map { case (f, i) =>
+      f.select(col(keyCol).as("key"), col(rankCol).cast("long").as("__r"),
+        lit(i).as("__src"))
+    }.reduce(_ unionAll _)
+    val pivots = rankings.indices.map(i =>
+      min(when(col("__src") === i, col("__r"))).as(s"rank_${i + 1}"))
+    val score = rankings.indices
+      .map(i => coalesce(
+        lit(1.0) / (col(s"rank_${i + 1}") + lit(k0.toLong)).cast("double"),
+        lit(0.0)))
+      .reduceLeft(_ + _)
+    tagged.groupBy("key").agg(pivots.head, pivots.tail: _*)
+      .withColumn("__rrf", score)
+      .orderBy(col("__rrf").desc, col("key").asc)
+      .limit(topK)
+      .select(col("key") +: rankings.indices.map(i =>
+        col(s"rank_${i + 1}")) :+ round(col("__rrf"), 6).as("rrf"): _*)
+  }
+
+  /**
    * One scale-safe ntile pass: rank by `order`, bucket into `k` tiles
    * as `scoreCol`, drop the scratch rank/count. The drop-in
    * replacement for `ntile(k).over(Window.orderBy(order…))`.

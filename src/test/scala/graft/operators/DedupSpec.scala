@@ -460,4 +460,43 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((100L, 101L, 0.75)))
     info(s"candidates: allpairs=${plain.size} ppjoin=${pos.size}")
   }
+
+  test("containmentPairs: catches the quote-in-document pair Jaccard misses") {
+    import spark.implicits._
+    // doc 1: 30 distinct words → 26 5-grams; doc 2 quotes its first 10
+    // words → 6 grams, ALL inside doc 1's set. Word-set Jaccard is
+    // 10/30 ≈ 0.33 and gram Jaccard 6/26 ≈ 0.23 — below any dedup
+    // threshold — but containment is exactly 6/6 = 1.0.
+    val big = (0 until 30).map(i => s"w$i").mkString(" ")
+    val quote = (0 until 10).map(i => s"w$i").mkString(" ")
+    val lone = (0 until 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, quote), (3L, lone)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 6L, 26L, 6L, 1.0)))
+    // the resemblance path indeed never surfaces this pair
+    val sim = Dedup.similarityJoinExact(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!sim.exists(p => p._1 == 1L && p._2 == 2L))
+    // maxGramDf retires ubiquitous grams from evidence AND sizes: three
+    // docs share ONE boilerplate gram (df=3); with cap 2 it is gone and
+    // no pair exists; uncapped it is the only common gram (1/6 each)
+    val boiler = Seq(
+      (10L, "b0 b1 b2 b3 b4 x0 x1 x2 x3 x4"),
+      (11L, "b0 b1 b2 b3 b4 y0 y1 y2 y3 y4"),
+      (12L, "b0 b1 b2 b3 b4 z0 z1 z2 z3 z4")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(boiler, "doc_id", "text",
+      n = 5, threshold = 0.1, maxGramDf = 2)
+    assert(capped.count() === 0L)
+    val uncapped = Dedup.containmentPairs(boiler, "doc_id", "text",
+        n = 5, threshold = 0.1, maxGramDf = 1000)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(uncapped.length === 3 &&
+      uncapped.forall(p => p._3 == 1L && p._4 == 6L && p._5 == 6L &&
+        p._6 == math.rint(1.0 / 6 * 1e6) / 1e6))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", n = 1)
+    }
+  }
 }

@@ -141,4 +141,35 @@ class RankingSpec extends SparkSpec {
         s"window touches frame columns $leaked — must see summary rows only")
     }
   }
+
+  test("rrfFuse: hand-computed fusion, exact ties break on key, min-rank dedup") {
+    import spark.implicits._
+    val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "r")
+    val l2 = Seq(("b", 1), ("c", 2), ("d", 3)).toDF("id", "r")
+    val got = Ranking.rrfFuse(Seq(l1, l2), "id", "r", k0 = 60)
+      .as[(String, Option[Long], Option[Long], Double)].collect()
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // fixed fold order: list-1 term first, then list-2
+    assert(got.toSeq === Seq(
+      ("b", Some(2L), Some(1L), r6(1.0 / 62 + 1.0 / 61)),
+      ("c", Some(3L), Some(2L), r6(1.0 / 63 + 1.0 / 62)),
+      ("a", Some(1L), None, r6(1.0 / 61)),
+      ("d", None, Some(3L), r6(1.0 / 63))))
+    // symmetric rank swap → bit-equal scores → key asc is load-bearing
+    val s1 = Seq(("x", 1), ("y", 5)).toDF("id", "r")
+    val s2 = Seq(("x", 5), ("y", 1)).toDF("id", "r")
+    val tied = Ranking.rrfFuse(Seq(s1, s2), "id", "r")
+      .as[(String, Option[Long], Option[Long], Double)].collect()
+    assert(tied.map(_._1).toSeq === Seq("x", "y"))
+    assert(tied(0)._4 === tied(1)._4)
+    // duplicate key in one list takes its best rank; topK caps
+    val dup = Seq(("a", 7), ("a", 2)).toDF("id", "r")
+    val fused = Ranking.rrfFuse(Seq(dup, l2), "id", "r", topK = 2)
+      .as[(String, Option[Long], Option[Long], Double)].collect()
+    assert(fused.length === 2)
+    assert(fused.find(_._1 == "a").get._2 === Some(2L))
+    intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq(l1), "id", "r")
+    }
+  }
 }
