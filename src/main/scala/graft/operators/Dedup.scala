@@ -417,19 +417,39 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]; got $threshold")
     require(maxGramDf >= 2, s"maxGramDf must be >= 2; got $maxGramDf")
+    // the minimal 16-byte (id, gh) frame is the ONLY corpus-sized thing
+    // materialized; df classification then touches it via aggregates
+    // and joins against gram LISTS (over-cap boilerplate, pairable
+    // grams) that are vocabulary-outlier-sized, never via a
+    // corpus-wide (id, gh, df) join — the first cut of this operator
+    // carried df on every row and cost 17× at the 1.28M stress tier
     val grams = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(TextAnalysis.wordNgrams(col(textCol), n)).as("__gram"))
       .select(col("__id"), xxhash64(col("__gram")).as("__gh"))
       .dropDuplicates("__id", "__gh")
-    val dfc = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxGramDf)
-    // (id, gh, df) over the informative vocabulary — referenced by the
-    // size aggregate AND both sides of the pair join: materialize once
-    val kept = grams.join(dfc, "__gh").lineageCut()
-    val sizes = kept.groupBy("__id").agg(count(lit(1)).as("__sz"))
-    val joinable = kept.filter(col("__df") >= 2).select("__gh", "__id")
+      .lineageCut() // feeds df counts, totals, over-cap hits, pair join
+    // the gh-keyed df aggregate is the one full-width exchange (unique
+    // grams don't combine map-side); run it ONCE and keep only the
+    // repeated grams — df = 1 is typically ~all of the vocabulary and
+    // nothing downstream wants it (can't pair, can't exceed the cap)
+    val multi = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .lineageCut() // over-cap list + pairable list from one pass
+    // size = all df ≤ cap grams: per-id totals MINUS over-cap hits
+    // (df = 1 grams count toward sizes — a gram unique to A is evidence
+    // AGAINST A being contained anywhere)
+    val totals = grams.groupBy("__id").agg(count(lit(1)).as("__tot"))
+    val overHits = grams
+      .join(multi.filter(col("__df") > maxGramDf).select("__gh"), "__gh")
+      .groupBy("__id").agg(count(lit(1)).as("__over"))
+    val sizes = totals.join(overHits, Seq("__id"), "left")
+      .select(col("__id"),
+        (col("__tot") - coalesce(col("__over"), lit(0L))).as("__sz"))
+    // evidence grams: repeated somewhere but not boilerplate
+    val pairable = multi.filter(col("__df") <= maxGramDf).select("__gh")
+    val joinable = grams.join(pairable, "__gh")
     val pairs = joinable.as("a")
       .join(joinable.as("b"),
         col("a.__gh") === col("b.__gh") && col("a.__id") < col("b.__id"))

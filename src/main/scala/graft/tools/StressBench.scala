@@ -805,6 +805,13 @@ object StressBench {
         run("rake50", n)(
           graft.operators.TextAnalysis.rakeKeywords(docs, "text", k = 50)
             .count())
+        // r11: containment's pair join is fan-out-bounded by Σ df² over
+        // 2 ≤ df ≤ cap — on this shared-vocabulary corpus gram reuse is
+        // real, so the row prices the inverted index + capped join, not
+        // a no-op df=1 prune
+        run("containment", n)(
+          graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+            n = 5, threshold = 0.8, maxGramDf = 100).count())
         docs.unpersist()
       }
     }
