@@ -1875,6 +1875,20 @@ object SparkEntry {
         pairs, minSim = 0.75)
     }),
 
+    // Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    // rank by a 40-char blocking key, compare each record against its
+    // 3 successors only, Jaro-Winkler verify. Candidate GENERATION
+    // (w·n pairs, not n²) — complements dedup_jw_verify, which only
+    // scores caller-supplied pairs. The rank comes from the chunked
+    // distributed pass, so the oracle's global row_number doubles as a
+    // cross-engine check of Ranking.withGlobalRank's total order.
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+      graft.operators.Dedup.sortedNeighborhoodPairs(docs, "doc_id", "k",
+        window = 3, minSim = 0.8)
+    }),
+
     // One-call winnow dedupe: winnow candidates → banded edit-distance
     // verify → connected components → keep-first. At maxDist = 0 the
     // composition IS exact dedup (identical texts share every
@@ -3311,6 +3325,15 @@ object SparkEntry {
         |       round(jaro_winkler_similarity(a.text, b.text), 6) >= 0.75
         |         AS is_dup
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, text[1:40] AS k,
+        |         row_number() OVER (ORDER BY text[1:40], doc_id) AS r
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(jaro_winkler_similarity(a.k, b.k), 6) AS jw_sim
+        |FROM ranked a JOIN ranked b ON b.r BETWEEN a.r + 1 AND a.r + 3
+        |WHERE round(jaro_winkler_similarity(a.k, b.k), 6) >= 0.8""".stripMargin,
     "dedup_winnow_pipeline" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

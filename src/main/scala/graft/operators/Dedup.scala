@@ -1212,6 +1212,59 @@ object Dedup {
   }
 
   /**
+   * Sorted-neighborhood record linkage (Hernández & Stolfo 1995): sort
+   * the corpus by a blocking key, compare each record only against its
+   * `window` successors in that order, verify candidates with
+   * Jaro-Winkler. THE classic entity-resolution blocking strategy for
+   * name/address-shaped keys, where near-duplicates land adjacent
+   * under lexicographic order (typos past the first characters,
+   * suffix variants) but token-set methods see unrelated strings.
+   * Complements [[verifyJaroWinkler]] (which verifies caller-supplied
+   * pairs): this GENERATES the candidate pairs, w·n of them instead
+   * of n².
+   *
+   * Scale shape: ranks come from [[Ranking.withGlobalRank]] — a range
+   * shuffle + chunk-offset stitch, NO single-partition window — and
+   * the (id, key, rank) frame is lineage-cut once for both sides of
+   * the neighbor join. Candidates materialize as an exact-integer
+   * `sequence(r+1, r+w)` explode equi-joined back on rank (keys-only
+   * w-fold expansion; ranks are unique so the join cannot fan out);
+   * the Jaro-Winkler verify runs on the candidate rows only, inside
+   * codegen. One rank exchange + one w× keys exchange, total.
+   *
+   * Returns (`id_a`, `id_b`, `jw_sim` 6dp) for candidates at or above
+   * `minSim`, where `id_a` precedes `id_b` in (key, id) order. NULL
+   * keys are excluded (they sort nowhere).
+   */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+                              window: Int = 5,
+                              minSim: Double = 0.9): DataFrame = {
+    require(window >= 1 && window <= 100,
+      s"window must be in [1, 100]; got $window")
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"minSim must be in [0, 1]; got $minSim")
+    // scratch names stay OUT of withGlobalRank's reserved __ space
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(col(idCol).cast("long").as("sn_id"),
+        col(keyCol).cast("string").as("sn_key"))
+    val ranked = Ranking.withGlobalRank(base,
+        Seq(col("sn_key").asc, col("sn_id").asc), "sn_r", "sn_n")
+      .select("sn_id", "sn_key", "sn_r")
+      .lineageCut() // probe side + build side of the neighbor join
+    val probes = ranked.select(col("sn_id").as("id_a"),
+      col("sn_key").as("sn_ka"),
+      explode(sequence(col("sn_r") + 1, col("sn_r") + window)).as("sn_r2"))
+    val targets = ranked.select(col("sn_id").as("id_b"),
+      col("sn_key").as("sn_kb"), col("sn_r").as("sn_r2"))
+    probes.join(targets, "sn_r2")
+      .withColumn("jw_sim", round(
+        org.apache.spark.sql.graft.StringSimilarityFunctions
+          .jaroWinklerSim(col("sn_ka"), col("sn_kb")), 6))
+      .filter(col("jw_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jw_sim"))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
    * algorithm): from each document's word `k`-gram hash sequence, every
    * window of `w` consecutive grams contributes its minimum hash

@@ -109,6 +109,13 @@ object StressBench {
       run("fingerprint", n)(docs.select(
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
         .distinct().count())
+      // minSim=0 keeps every candidate so the row count is the exact
+      // w·n − Σ1..w tail bound AND the JW verify prices in full; cost
+      // should track the rank shuffle, i.e. ~linear in n
+      run("sorted_neighbors", n)(
+        Dedup.sortedNeighborhoodPairs(
+          docs.select(col("doc_id"), substring(col("text"), 1, 24).as("k")),
+          "doc_id", "k", window = 5, minSim = 0.0).count())
       docs.unpersist()
     }
 

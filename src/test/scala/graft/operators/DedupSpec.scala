@@ -499,4 +499,32 @@ class DedupSpec extends SparkSpec {
       Dedup.containmentPairs(docs, "doc_id", "text", n = 1)
     }
   }
+
+  test("sortedNeighborhoodPairs: window-bounded candidates, JW verify, null keys out") {
+    import spark.implicits._
+    // sort order: alphq(1) alphr(2) betaa(3) betab(4) omega(5)
+    val recs = Seq((10L, "alphq"), (11L, "alphr"), (12L, "betaa"),
+      (13L, "betab"), (14L, "omega"), (15L, null.asInstanceOf[String]))
+      .toDF("id", "name")
+    val got = Dedup.sortedNeighborhoodPairs(recs, "id", "name",
+        window = 1, minSim = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // adjacent near-typos pass; cross-prefix neighbors fail the verify
+    assert(got.keySet === Set((10L, 11L), (12L, 13L)))
+    // JW("alphq","alphr"): jaro = (4/5 + 4/5 + 1)/3, prefix 4 → hand value
+    val jaro = (4.0 / 5 + 4.0 / 5 + 1.0) / 3
+    val jw = jaro + 4 * 0.1 * (1 - jaro)
+    assert(got((10L, 11L)) === math.rint(jw * 1e6) / 1e6)
+    // a wider window reaches past immediate neighbors (candidates only —
+    // the verify still rejects); identical keys score 1.0
+    val dup = Seq((20L, "same"), (21L, "same"), (22L, "zzz"))
+      .toDF("id", "name")
+    val exact = Dedup.sortedNeighborhoodPairs(dup, "id", "name",
+        window = 2, minSim = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.toSeq === Seq((20L, 21L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(recs, "id", "name", window = 0)
+    }
+  }
 }
