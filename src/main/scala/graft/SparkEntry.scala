@@ -1889,6 +1889,27 @@ object SparkEntry {
         window = 3, minSim = 0.8)
     }),
 
+    // Exact edit-distance self-join (Ed-Join / q-gram prefix filter):
+    // typo-level duplicate GENERATION over 30-char keys, on the
+    // doc_id%4 slice plus two planted mutation families (2-char
+    // substitution, truncate+substitute) so the ED spectrum 0..3 all
+    // occurs. The oracle is the brute-force O(n²) levenshtein join —
+    // a direct cross-engine proof that the prefix filter misses
+    // NOTHING on this corpus.
+    "dedup_editjoin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      val base = docs.select(col("doc_id"),
+        substring(col("text"), 1, 30).as("k"))
+      val p1 = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 28), lit("xq")).as("k"))
+      val p2 = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 27), lit("z")).as("k"))
+      graft.operators.Dedup.editDistancePairs(
+        base.unionAll(p1).unionAll(p2), "doc_id", "k", maxDist = 3)
+    }),
+
     // One-call winnow dedupe: winnow candidates → banded edit-distance
     // verify → connected components → keep-first. At maxDist = 0 the
     // composition IS exact dedup (identical texts share every
@@ -3325,6 +3346,20 @@ object SparkEntry {
         |       round(jaro_winkler_similarity(a.text, b.text), 6) >= 0.75
         |         AS is_dup
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_editjoin" ->
+      """WITH d AS (
+        |  SELECT doc_id, text[1:30] AS k FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text[1:28] || 'xq' FROM documents
+        |  WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text[1:27] || 'z' FROM documents
+        |  WHERE doc_id % 40 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.k, b.k) AS INTEGER) AS edit_dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.k) - length(b.k)) <= 3
+        |  AND levenshtein(a.k, b.k) <= 3""".stripMargin,
     "dedup_sorted_neighborhood" ->
       """WITH ranked AS (
         |  SELECT doc_id, text[1:40] AS k,

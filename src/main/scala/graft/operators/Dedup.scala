@@ -1265,6 +1265,115 @@ object Dedup {
   }
 
   /**
+   * EXACT edit-distance similarity self-join via q-gram prefix
+   * filtering (Gravano et al. 2001 approximate string joins; Ed-Join —
+   * Xiao, Wang & Lin, VLDB 2008): every unordered pair of keys with
+   * Levenshtein distance ≤ `maxDist`, with the exact distance — no
+   * missed pairs. The edit-metric complement of
+   * [[similarityJoinExact]]'s set-Jaccard join: use this when
+   * "duplicate" means typo-level character edits (identifiers, titles,
+   * normalized URLs), not token overlap.
+   *
+   * Completeness argument (the scheme the brute-force oracle
+   * cross-checks): one edit changes at most `q` of a string's q-grams,
+   * so ED ≤ d bounds BOTH multiset differences by q·d, and distinct-set
+   * differences are no larger. Order all grams by one global total
+   * order (df asc, gram asc — rarest first) and keep each key's
+   * `q·d + 1` smallest distinct grams as its prefix. If two prefixes
+   * were disjoint, the one whose prefix-max is smaller lies entirely
+   * outside the other STRING's gram set (any shared gram ≤ the other's
+   * prefix-max would have to appear in that prefix), forcing a set
+   * difference ≥ q·d + 1 — contradiction. The one unguarded case is
+   * BOTH keys having ≤ q·d distinct grams (their prefixes are their
+   * whole gram sets and may legitimately share nothing): those short
+   * keys additionally carry a sentinel signature so short×short pairs
+   * still meet; short×long pairs are already covered through the long
+   * side's full-length prefix (its q·d+1 grams cannot all miss a string
+   * within distance d).
+   *
+   * Scale shape: the gram-df census is one map-side-combined aggregate;
+   * the global order attaches by a gram-keyed join and each key sorts
+   * only ITS OWN grams (per-gram work, never per-pair). The candidate
+   * equi-join runs on prefix grams only — by construction the RAREST
+   * grams in each key, so per-key fan-out is bounded by rare-gram
+   * document frequencies; a length filter (|len_a − len_b| ≤ d is
+   * forced by ED ≤ d) prunes before verification, and the banded
+   * `levenshtein(a, b, maxDist)` kernel (O(len·d), early-exit) verifies
+   * survivors attached via 8-byte-id joins. The sentinel bucket is the
+   * one potentially hot join key — its fan-out is (#short-keys)², so
+   * corpora dominated by keys under ~q·(d+1) chars should raise `q`…
+   * or accept that at those lengths everything is within d edits of
+   * everything and the OUTPUT is quadratic by data.
+   *
+   * CHOOSING q (the scale knob — exactness never depends on it):
+   * candidate volume ≈ Σ_grams df_prefix², and prefix occurrences
+   * spread over at most |Σ|^q possible grams, so the join stays lean
+   * only while |Σ|^q ≫ n·(q·d+1). Measured cliff (SCALING.md): q = 2
+   * over 17-char-alphabet keys (289 possible grams) ran 147 s at just
+   * 80k keys — 4× keys cost 16× — while q = 4 over the same corpus is
+   * flat-linear. Rule of thumb: q ≥ log_|Σ|(corpus size) + 1; longer
+   * grams trade a longer prefix (q·d+1 rows per key) for exponentially
+   * more selective posting lists, the right trade everywhere past toy
+   * corpora.
+   *
+   * Returns (`id_a`, `id_b`, `edit_dist`) with `id_a` < `id_b` for
+   * pairs at distance ≤ `maxDist`. NULL keys are excluded.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
+                        maxDist: Int = 2, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative; got $maxDist")
+    require(q >= 2 && q <= 8, s"q must be in [2, 8]; got $q")
+    val pLen = q * maxDist + 1
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(keyCol).cast("string").as("k"))
+      .lineageCut() // feeds the gram stage AND both verify joins
+    // distinct q-grams per key (sets stay sound — see scaladoc)
+    val gramArr = keys.select(col("id"), array_distinct(expr(
+      s"transform(sequence(1, greatest(length(k) - ${q - 1}, 0)), " +
+        s"i -> substring(k, i, $q))")).as("gs"))
+    val dfreq = gramArr.select(explode(col("gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    val ordered = gramArr.select(col("id"), explode(col("gs")).as("g"))
+      .join(dfreq, "g")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("gdf"), col("g"))))
+        .as("__ord"))
+      .select(col("id"),
+        slice(expr("transform(__ord, x -> x.g)"), 1, pLen).as("__pre"),
+        size(col("__ord")).as("__ng"))
+    // zero-gram keys (len < q) never reach `ordered` — the left join
+    // restores them with an empty prefix, and the sentinel rule below
+    // (ng ≤ q·d covers ng = 0) gives them their signature
+    val pref = keys.join(ordered, Seq("id"), "left")
+      .select(col("id"), length(col("k")).as("__len"),
+        when(col("__ng").isNotNull, col("__pre"))
+          .otherwise(array().cast("array<string>")).as("__pre"),
+        coalesce(col("__ng"), lit(0)).as("__ng"))
+      .withColumn("__pre",
+        when(col("__ng") <= q * maxDist,
+          concat(col("__pre"), array(lit(" short"))))
+          .otherwise(col("__pre")))
+      .select("id", "__len", "__pre")
+      .lineageCut() // both sides of the candidate join
+    val pa = pref.select(col("id").as("id_a"), col("__len").as("__la"),
+      explode(col("__pre")).as("g"))
+    val pb = pref.select(col("id").as("id_b"), col("__len").as("__lb"),
+      explode(col("__pre")).as("g"))
+    val cand = pa.join(pb, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(keys.select(col("id").as("id_a"), col("k").as("__ka")), "id_a")
+      .join(keys.select(col("id").as("id_b"), col("k").as("__kb")), "id_b")
+      .withColumn("edit_dist",
+        nullif(levenshtein(col("__ka"), col("__kb"), maxDist), lit(-1)))
+      .filter(col("edit_dist").isNotNull)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
    * algorithm): from each document's word `k`-gram hash sequence, every
    * window of `w` consecutive grams contributes its minimum hash

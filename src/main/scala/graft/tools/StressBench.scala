@@ -116,6 +116,17 @@ object StressBench {
         Dedup.sortedNeighborhoodPairs(
           docs.select(col("doc_id"), substring(col("text"), 1, 24).as("k")),
           "doc_id", "k", window = 5, minSim = 0.0).count())
+      // distinct pseudo-keys → near-zero true pairs; measures the
+      // census + rank-join + prefix-join machinery, not pair output.
+      // q = 4 is the entropy-matched gram length for 24-char base64
+      // keys (64⁴ ≈ 16.7M possible grams ≫ prefix rows); q = 2 on the
+      // hex-word corpus (289 possible grams) measured 147 s at 80k —
+      // the wrong-q cliff documented in the operator's scaladoc
+      run("editjoin_pairs", n)(
+        Dedup.editDistancePairs(
+          docs.select(col("doc_id"),
+            expr("base64(unhex(md5(cast(doc_id as string))))").as("k")),
+          "doc_id", "k", maxDist = 2, q = 4).count())
       docs.unpersist()
     }
 

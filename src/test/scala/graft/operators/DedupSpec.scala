@@ -527,4 +527,42 @@ class DedupSpec extends SparkSpec {
       Dedup.sortedNeighborhoodPairs(recs, "id", "name", window = 0)
     }
   }
+
+  test("editDistancePairs: exact pairs, short-key sentinel, brute-force completeness") {
+    import spark.implicits._
+    val recs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten!"),
+      (4L, "zzzzzz"), (5L, null.asInstanceOf[String])).toDF("id", "k")
+    val got = Dedup.editDistancePairs(recs, "id", "k", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // textbook kitten→sitting = 3; the zzzzzz key pairs with nothing
+    assert(got === Set((1L, 2L, 3), (1L, 3L, 1), (2L, 3L, 3)))
+    // short keys (< q chars → ZERO grams) meet through the sentinel
+    val short = Seq((1L, "a"), (2L, "b"), (3L, "ab")).toDF("id", "k")
+    val gotShort = Dedup.editDistancePairs(short, "id", "k", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotShort === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)))
+    // adversarial completeness sweep: the filter chain (prefix + length
+    // + sentinel) must lose NOTHING a brute-force cross join finds —
+    // low-entropy keys over a 3-letter alphabet maximize near-misses
+    val rng = new scala.util.Random(7)
+    val corp = (1L to 80L).map { i =>
+      (i, (0 until 3 + rng.nextInt(6)).map(_ => "abc" (rng.nextInt(3)))
+        .mkString)
+    }.toDF("id", "k")
+    val fast = Dedup.editDistancePairs(corp, "id", "k", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val a = corp.select(col("id").as("id_a"), col("k").as("ka"))
+    val b = corp.select(col("id").as("id_b"), col("k").as("kb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("d", levenshtein(col("ka"), col("kb")))
+      .filter(col("d") <= 2)
+      .select(col("id_a"), col("id_b"), col("d").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast === brute)
+    assert(brute.nonEmpty) // the sweep must actually exercise pairs
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(recs, "id", "k", maxDist = 2, q = 1)
+    }
+  }
 }
