@@ -1194,6 +1194,21 @@ object SparkEntry {
         window = 4, minShiftUnits = 2500L, unitScale = 100L)
     }),
 
+    // Classical additive seasonal decomposition (period 7, day-of-week)
+    // of each event type's daily volume: trend = centered 7-day MA,
+    // seasonal = per-phase mean of the exact-integer detrended values,
+    // residual = the anomaly signal. Integer counts at unitScale 1 →
+    // every output is a single IEEE division of exact longs,
+    // bit-replicated by the SQL's identical window/group arithmetic.
+    "q_seasonal" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("k"),
+          expr("ts div 86400000000000L").as("d"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.operators.TimeSeries.seasonalDecompose(daily, "k", "d", "v",
+        period = 7, unitScale = 1L)
+    }),
+
     // Link prediction on the co-purchase graph: common-neighbors /
     // Jaccard / Resource-Allocation for non-adjacent pairs sharing ≥ 3
     // neighbors — the wedge fan-out collapses straight into a pair-
@@ -4510,6 +4525,32 @@ object SparkEntry {
         |  CAST(sb AS DOUBLE) / 400.0 AS after_mean,
         |  CAST(sb - sa AS DOUBLE) / 400.0 AS shift
         |FROM w WHERE na = 4 AND nb = 4 AND abs(sb - sa) >= 10000""".stripMargin,
+    "q_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, epoch_ns(ts) // 86400000000000 AS t,
+        |         CAST(count(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT key, t, value, CAST(round(value) AS BIGINT) AS u,
+        |         t % 7 AS ph,
+        |         2 * sum(CAST(round(value) AS BIGINT)) OVER win AS t2,
+        |         count(*) OVER win AS nw
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY key ORDER BY t
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |s AS (
+        |  SELECT key, ph,
+        |         sum(CASE WHEN nw = 7 THEN 14 * u - t2 END) AS sd,
+        |         sum(CASE WHEN nw = 7 THEN 1 ELSE 0 END) AS nd
+        |  FROM w GROUP BY 1, 2)
+        |SELECT w.key, w.t AS ts, w.ph AS phase, w.value,
+        |  CASE WHEN nw = 7 THEN CAST(t2 AS DOUBLE) / 14 END AS trend,
+        |  CASE WHEN nd > 0 THEN CAST(sd AS DOUBLE) / (nd * 14) END
+        |    AS seasonal,
+        |  w.value - (CASE WHEN nw = 7 THEN CAST(t2 AS DOUBLE) / 14 END)
+        |          - (CASE WHEN nd > 0
+        |             THEN CAST(sd AS DOUBLE) / (nd * 14) END) AS residual
+        |FROM w JOIN s USING (key, ph)""".stripMargin,
     "q_link_predict" ->
       s"""WITH ${copurchaseSql(Some(30), 1)},
          |canon AS MATERIALIZED (SELECT src AS a, dst AS b FROM e),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.LineageCut._
 
 /**
  * Regular-grid time-series preparation over irregular observation logs:
@@ -293,5 +294,93 @@ object TimeSeries {
         (col("__sa").cast("double") / den).as("before_mean"),
         (col("__sb").cast("double") / den).as("after_mean"),
         ((col("__sb") - col("__sa")).cast("double") / den).as("shift"))
+  }
+
+  /**
+   * Classical additive seasonal decomposition (the moving-average
+   * method behind X-11/STL's initial pass — Macaulay 1931): split a
+   * regular series into trend + seasonal + residual. Trend is the
+   * centered moving average of length `period` (for even periods the
+   * standard 2×MA with half-weight endpoints, so the window stays
+   * centered); the seasonal index of phase φ = ts mod period is the
+   * mean of the detrended values at that phase; the residual is what
+   * remains. Pipeline telemetry reads each part separately: trend =
+   * feed growth, seasonal = day-of-week shape, residual = the
+   * anomalies worth alerting on.
+   *
+   * EXACTNESS: values quantize at `unitScale` to exact longs (as
+   * [[ewmaSmooth]]); the doubled trend numerator t2 (×2 absorbs the
+   * even-period half-weights into integers) and the per-row detrended
+   * numerator 2·period·u − t2 stay exact longs through the phase
+   * aggregate, so `trend` and `seasonal` are SINGLE IEEE divisions of
+   * exact integers and `residual` a fixed two-subtraction chain —
+   * bit-deterministic cross-engine, no rounding anywhere.
+   *
+   * CONTRACT: `tsCol` must be a REGULAR integer time index per key
+   * (consecutive, duplicate-free — compose [[resampleFill]] first);
+   * any per-key step ≠ 1 fails loud with the offending key rather
+   * than silently mixing phases. Trend (and residual) are NULL at the
+   * ⌊period/2⌋ edge rows of each key (no full centered window);
+   * seasonal indexes average FULL-window rows only and are NULL when
+   * a phase has none (series shorter than ~1.5 periods).
+   *
+   * Scale shape: ONE key-partitioned ts-ordered window sort shared by
+   * the step guard, the trend frame, and the endpoint lag/lead; the
+   * phase aggregate is map-side combined onto (key, phase) —
+   * #keys×period rows — and broadcast back. Rows carry (key, long,
+   * long); nothing global, nothing per-pair.
+   *
+   * Returns (`key`, `ts`, `phase`, `value`, `trend`, `seasonal`,
+   * `residual`), one row per input row.
+   */
+  def seasonalDecompose(obs: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, period: Int,
+                        unitScale: Long = 100L): DataFrame = {
+    require(period >= 2 && period <= 10000,
+      s"period must be in [2, 10000]; got $period")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val p = period
+    val hp = p / 2 // window half-width; even p widens to p+1 rows
+    val even = p % 2 == 0
+    val fullN = if (even) p + 1 else p
+    val den2p = (2L * p * unitScale).toDouble
+    val o = obs.select(col(keyCol).as("key"),
+      col(tsCol).cast("long").as("ts"),
+      col(valueCol).cast("double").as("value"))
+      .withColumn("u", round(col("value") * unitScale).cast("long"))
+    val ord = Window.partitionBy("key").orderBy("ts")
+    val win = ord.rowsBetween(-hp, hp)
+    // regularity guard as a FILTER predicate (a pruned projection
+    // column would be optimized away, silently disarming it): any
+    // gap or duplicate shows as a step ≠ 1 somewhere in the key
+    val guarded = o.withColumn("__step", col("ts") - lag("ts", 1).over(ord))
+      .filter(when(col("__step").isNotNull && col("__step") =!= 1L,
+        raise_error(concat(lit("seasonalDecompose: key "),
+          col("key").cast("string"),
+          lit(" is not a regular unit-step series at ts "),
+          col("ts").cast("string"))).cast("boolean"))
+        .otherwise(lit(true)))
+    val t2base = sum("u").over(win) * 2L
+    val framed = guarded
+      .withColumn("__t2", if (even)
+        t2base - lag("u", hp).over(ord) - lead("u", hp).over(ord)
+      else t2base)
+      .withColumn("__nw", count("u").over(win))
+      .withColumn("phase", pmod(col("ts"), lit(p.toLong)))
+      .withColumn("__full", col("__nw") === fullN && col("__t2").isNotNull)
+      .lineageCut() // phase aggregate + output join share one window pass
+    val seasonalIdx = framed.groupBy("key", "phase")
+      .agg(sum(when(col("__full"), lit(2L * p) * col("u") - col("__t2")))
+        .as("__sd"),
+        sum(when(col("__full"), 1L).otherwise(0L)).as("__nd"))
+    framed.join(broadcast(seasonalIdx), Seq("key", "phase"))
+      .withColumn("trend",
+        when(col("__full"), col("__t2").cast("double") / den2p))
+      .withColumn("seasonal", when(col("__nd") > 0,
+        col("__sd").cast("double") / (col("__nd") * lit(2L * p * unitScale))
+          .cast("double")))
+      .withColumn("residual",
+        col("value") - col("trend") - col("seasonal"))
+      .select("key", "ts", "phase", "value", "trend", "seasonal", "residual")
   }
 }

@@ -162,4 +162,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.meanShiftChangepoints(flat, "user_id", "ts",
       "event_id", "value", window = 3, minShiftUnits = 1L).count() === 0L)
   }
+
+  test("seasonalDecompose: exact odd/even trend, periodic residual zero, guard") {
+    import spark.implicits._
+    // pure period-3 signal → interior trend is the flat mean, the
+    // seasonal indexes recover the pattern EXACTLY, residual == 0.0
+    val per = (0 to 8).map(i => ("a", i.toLong, Seq(2.0, 5.0, 8.0)(i % 3)))
+      .toDF("k", "t", "v")
+    val got3 = TimeSeries.seasonalDecompose(per, "k", "t", "v",
+        period = 3, unitScale = 1L)
+      .orderBy("ts")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(got3.length === 9)
+    // edges: no full centered window → trend & residual null
+    assert(got3.head._5.isEmpty && got3.last._5.isEmpty)
+    assert(got3(4)._5 === Some(5.0)) // (2+5+8)/3
+    assert(got3(3)._6 === Some(-3.0) && got3(4)._6 === Some(0.0) &&
+      got3(5)._6 === Some(3.0))
+    assert(got3.filter(_._5.isDefined).forall(_._7 === Some(0.0)))
+    // even period: 2×MA half-weight endpoints, hand value at ts=2:
+    // t2 = 2*(1+2+3+4+5) − 1 − 5 = 24 → trend 24/8 = 3.0
+    val lin = (0 to 4).map(i => ("a", i.toLong, (i + 1).toDouble))
+      .toDF("k", "t", "v")
+    val got4 = TimeSeries.seasonalDecompose(lin, "k", "t", "v",
+        period = 4, unitScale = 1L)
+      .filter(org.apache.spark.sql.functions.col("trend").isNotNull)
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(got4.map(r => (r._2, r._5.get)).toSeq === Seq((2L, 3.0)))
+    // a gapped series fails loud instead of silently mixing phases
+    val gap = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 3L, 3.0))
+      .toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      TimeSeries.seasonalDecompose(gap, "k", "t", "v", period = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("not a regular unit-step series"))
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalDecompose(per, "k", "t", "v", period = 1)
+    }
+  }
 }
