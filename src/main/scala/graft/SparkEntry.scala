@@ -1495,6 +1495,17 @@ object SparkEntry {
         t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
     }),
 
+    // Cohen's kappa between the DECLARED document language and the
+    // heuristic language-ID — the annotation-audit read on how much
+    // the two label sources agree beyond chance. Exact-integer
+    // (n·agree − S)/(n² − S), single divisions; the oracle replays
+    // the full langid heuristic then the same kappa arithmetic.
+    "q_kappa" -> ((s, dir) => {
+      val pred = graft.operators.TextAnalysis.withLangId(
+        t(s, dir, "documents"), "text")
+      graft.operators.Profiling.cohensKappa(pred, "lang", "lang_pred")
+    }),
+
     // Repeat-factor upsampling (de ×2.5, fr ×1.25): floor copies plus
     // a deterministic md5-decided fractional copy, map-only plan.
     "q_upsample_mix" -> ((s, dir) => {
@@ -4323,6 +4334,43 @@ object SparkEntry {
         |  n_violating = 0 AS holds FROM a
         |UNION ALL SELECT 'o_orderkey->o_custkey', n_keys, n_violating,
         |  n_violating = 0 FROM b""".stripMargin,
+    "q_kappa" ->
+      """WITH sc AS (
+        |  SELECT lang,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by'], t))) AS s_en,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['der','die','das','und','ist','ich','nicht','ein','eine','mit','für','auf','des','im','zu','von'], t))) AS s_de,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','pour','que','qui','au','pas','sur'], t))) AS s_fr,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['el','la','los','las','de','y','es','un','una','en','por','que','no','con','para','del'], t))) AS s_es,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS is_zh
+        |  FROM documents),
+        |lab AS (SELECT lang AS a,
+        |    CASE WHEN is_zh THEN 'zh'
+        |         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS b
+        |  FROM sc WHERE lang IS NOT NULL),
+        |o AS (SELECT a, b, count(*) AS o FROM lab GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS agree
+        |  FROM o),
+        |sm AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS s FROM
+        |  (SELECT a AS l, CAST(sum(o) AS BIGINT) AS na FROM o GROUP BY 1) x
+        |  JOIN
+        |  (SELECT b AS l, CAST(sum(o) AS BIGINT) AS nb FROM o GROUP BY 1) y
+        |  USING (l))
+        |SELECT n, agree,
+        |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+        |  CASE WHEN n * n <> s THEN
+        |    CAST(n * agree - s AS DOUBLE) / CAST(n * n - s AS DOUBLE)
+        |  END AS kappa
+        |FROM tot, sm""".stripMargin,
     "q_cramers_v" ->
       """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
         |    CAST(o_orderstatus AS VARCHAR) AS b FROM orders

@@ -226,6 +226,53 @@ object Profiling {
   }
 
   /**
+   * Cohen's kappa inter-rater agreement (Cohen 1960): how much two
+   * labelers agree BEYOND what their marginal label rates predict by
+   * chance — the standard audit when two annotation sources label the
+   * same corpus (declared metadata vs a heuristic classifier, two
+   * model-generated label sets, human vs silver labels). Raw percent
+   * agreement rewards majority-class collapse; kappa doesn't.
+   *
+   * EXACTNESS: with n rows, `agree` diagonal matches, and S =
+   * Σ_label nA·nB the marginal-product sum, kappa = (n·agree − S) /
+   * (n² − S) — numerator and denominator EXACT longs, one IEEE
+   * division (likewise po = agree/n and pe = S/n²). No intermediate
+   * double ever sums. n is guarded at 3·10⁹ so n² stays in-range;
+   * pe = 1 (both raters constant — the undefined case) reports NULL
+   * kappa rather than an engine-specific 0/0.
+   *
+   * Scale shape: ONE map-side-combined (a, b) contingency aggregate —
+   * exchanges carry label-pair cardinality, never rows; marginals,
+   * diagonal, and S all derive from that tiny table. Null labels on
+   * either side are excluded (not a category).
+   *
+   * Returns one row: (`n`, `agree`, `po`, `pe`, `kappa`).
+   */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .lineageCut() // totals, diagonal, and both marginals share it
+    val tot = o.agg(sum("o").as("n"),
+      sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("agree"))
+      .filter(when(col("n") > 3000000000L,
+        raise_error(lit("cohensKappa: n exceeds the exact n² long range"))
+          .cast("boolean")).otherwise(lit(true)))
+    val s = o.groupBy("a").agg(sum("o").as("na"))
+      .join(o.groupBy("b").agg(sum("o").as("nb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("s"))
+    tot.crossJoin(s).select(col("n"), col("agree"),
+      (col("agree").cast("double") / col("n").cast("double")).as("po"),
+      (col("s").cast("double") / (col("n") * col("n")).cast("double"))
+        .as("pe"),
+      when(col("n") * col("n") =!= col("s"),
+        (col("n") * col("agree") - col("s")).cast("double") /
+          (col("n") * col("n") - col("s")).cast("double")).as("kappa"))
+  }
+
+  /**
    * Benford's-law first-digit audit: the observed leading-digit
    * distribution of a positive numeric column against Benford's
    * log₁₀(1 + 1/d) expectation, with per-digit χ² contributions — the

@@ -342,4 +342,25 @@ class ProfilingSpec extends SparkSpec {
       Profiling.vectorCovariance(vecs, "embedding", dims = 3) // all rows short
     }
   }
+
+  test("cohensKappa: textbook 2x2 value, null exclusion, constant-rater null") {
+    import spark.implicits._
+    // classic fixture: po = 0.7, pe = 0.5 → kappa = 0.4 exactly
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(5)(("n", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq((null.asInstanceOf[String], "y")) // excluded, not a category
+    val got = Profiling.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(got === ((50L, 35L, 0.7, 0.5, Some(0.4))))
+    // both raters constant → pe = 1, kappa undefined → NULL
+    val const = Seq.fill(4)(("x", "x")).toDF("a", "b")
+    val k = Profiling.cohensKappa(const, "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(k._1 === 4L && k._3 === 1.0 && k._4 === 1.0 && k._5.isEmpty)
+    // disjoint label spaces: S = 0 → kappa = agree/n = 0 over 1 → 0
+    val disj = Seq(("a", "b"), ("c", "d")).toDF("a", "b")
+    val d = Profiling.cohensKappa(disj, "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(d._4 === 0.0 && d._5 === Some(0.0))
+  }
 }
