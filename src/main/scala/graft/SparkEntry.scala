@@ -1267,6 +1267,15 @@ object SparkEntry {
         "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
     }),
 
+    // Mann-Whitney U on the same segments as q_ab_test — the
+    // nonparametric distribution-shift read next to Welch's means
+    // test; rank algebra over (segment, value) LEVELS, doubled rank
+    // sums exact, tie-corrected z.
+    "q_rank_test" -> ((s, dir) => {
+      graft.operators.Profiling.mannWhitneyU(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
+    }),
+
     // Per-event-type z-standardization of event values: one moments
     // agg + one group join; exact moments, UNROUNDED bit-deterministic
     // scores (welchTTest's arithmetic contract applied row-wise).
@@ -4712,6 +4721,39 @@ object SparkEntry {
          |  CASE WHEN w > 0 THEN
          |    CAST(3 * nt AS DOUBLE) / CAST(w AS DOUBLE) END AS transitivity
          |FROM wd CROSS JOIN tot""".stripMargin,
+    "q_rank_test" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
+        |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |levels AS (SELECT segment, u,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    count(*) AS cv
+        |  FROM base GROUP BY 1, 2),
+        |ranked AS (SELECT *,
+        |    COALESCE(sum(cv) OVER (PARTITION BY segment ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM levels),
+        |seg AS (SELECT segment,
+        |    CAST(sum(ct) AS BIGINT) AS n_t,
+        |    CAST(sum(cv - ct) AS BIGINT) AS n_c,
+        |    sum(ct * (2 * cum + cv + 1)) AS r2t,
+        |    sum(cv * (cv - 1) * (cv + 1)) AS tsum
+        |  FROM ranked GROUP BY 1),
+        |f AS (SELECT segment, n_t, n_c,
+        |    (CAST(r2t AS DOUBLE) - CAST(n_t * (n_t + 1) AS DOUBLE)) / 2
+        |      AS u_stat,
+        |    CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE) / 12 *
+        |      ((CAST(n_t + n_c AS DOUBLE) + 1) - CAST(tsum AS DOUBLE) /
+        |       (CAST(n_t + n_c AS DOUBLE) * (CAST(n_t + n_c AS DOUBLE) - 1)))
+        |      AS sig2
+        |  FROM seg WHERE n_t > 0 AND n_c > 0)
+        |SELECT segment, n_t, n_c, u_stat,
+        |  CASE WHEN sig2 > 0 THEN
+        |    round((u_stat - CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE) / 2)
+        |      / sqrt(sig2), 4) END AS z
+        |FROM f""".stripMargin,
     "q_ab_test" ->
       """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
         |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.LineageCut.CutOps
@@ -574,6 +575,80 @@ object Profiling {
         round(tStat, 4)).as("t_stat"),
       when(col("n_t") >= 2 && col("n_c") >= 2 && se2 > 0,
         round(dfW, 4)).as("df"))
+  }
+
+  /**
+   * Mann-Whitney U rank-sum test per segment (Mann & Whitney 1947) —
+   * the NONPARAMETRIC partner to [[welchTTest]]: compares the two
+   * groups' value DISTRIBUTIONS by ranks, so heavy tails and outliers
+   * (the norm for prices, latencies, doc lengths) can't fabricate or
+   * mask a shift the way they do to a means test. Report both: Welch
+   * answers "did the mean move", U answers "did the distribution".
+   *
+   * NO per-row ranking happens: rows collapse to per-(segment, value)
+   * level counts first, and rank algebra runs on levels — the average
+   * rank of a tie group is (rows below) + (size+1)/2, so DOUBLED rank
+   * sums stay exact integers: R2_t = Σ_levels ct·(2·cum + cv + 1),
+   * U = (R2_t − n_t(n_t+1))/2. The tie-corrected normal approximation
+   * σ² = (n_t·n_c/12)·((n+1) − Σ(t³−t)/(n(n−1))) uses the same level
+   * counts. Sums accumulate DECIMAL(38,0) and convert to double ONCE
+   * (the [[welchTTest]] determinism contract); every later step is a
+   * fixed chain of single IEEE ops, so `u_stat` (an exact half-
+   * integer) ships unrounded and `z` rounds at 4dp. All-tied segments
+   * (σ² = 0) report NULL z; segments missing either group drop (no
+   * comparison exists).
+   *
+   * Scale shape: one map-side-combined (segment, value) level
+   * aggregate — exchanges carry level cardinality, never rows — then
+   * a segment-partitioned value-ordered window over LEVELS for the
+   * cumulative counts, and one segment aggregate. The window's
+   * per-segment sequential bound is level cardinality (quantized
+   * values, ≤ value-range·unitScale), the [[skewReport]]-class bound;
+   * corpora with ~10⁸+ distinct quantized values per segment should
+   * coarsen `unitScale` — the ranks, and therefore U, only ever see
+   * the quantized values anyway.
+   *
+   * Returns one row per segment with both groups present:
+   * (`segment`, `n_t`, `n_c`, `u_stat`, `z`).
+   */
+  def mannWhitneyU(df: DataFrame, segmentCol: String, groupCol: String,
+                   treatment: String, valueCol: String,
+                   unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(segmentCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("segment"),
+        (col(groupCol).cast("string") === treatment).as("treated"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val levels = base.groupBy("segment", "u")
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cv"))
+    val w = Window.partitionBy("segment").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = levels
+      .withColumn("cum", coalesce(sum("cv").over(w), lit(0L)))
+    val seg = ranked.groupBy("segment").agg(
+      sum("ct").as("n_t"), sum(col("cv") - col("ct")).as("n_c"),
+      sum((col("ct") * (lit(2L) * col("cum") + col("cv") + 1L))
+        .cast("decimal(38,0)")).as("r2t"),
+      sum((col("cv") * (col("cv") - 1L) * (col("cv") + 1L))
+        .cast("decimal(38,0)")).as("tsum"))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .filter(when(col("n_t") + col("n_c") > 1500000000L,
+        raise_error(lit("mannWhitneyU: segment exceeds the exact " +
+          "rank-sum long range")).cast("boolean")).otherwise(lit(true)))
+    val nD = (col("n_t") + col("n_c")).cast("double")
+    val uStat = (col("r2t").cast("double") -
+      (col("n_t") * (col("n_t") + 1L)).cast("double")) / 2d
+    val sig2 = col("n_t").cast("double") * col("n_c").cast("double") /
+      12d * ((nD + 1d) -
+        col("tsum").cast("double") / (nD * (nD - 1d)))
+    seg.select(col("segment"), col("n_t"), col("n_c"),
+      uStat.as("u_stat"),
+      when(sig2 > 0d, round(
+        (uStat - col("n_t").cast("double") * col("n_c").cast("double") / 2d)
+          / sqrt(sig2), 4)).as("z"))
   }
 
   /**

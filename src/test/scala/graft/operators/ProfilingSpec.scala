@@ -363,4 +363,29 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Option[Double])].collect().head
     assert(d._4 === 0.0 && d._5 === Some(0.0))
   }
+
+  test("mannWhitneyU: hand-computed tied U and z, all-tied null, missing group drop") {
+    import spark.implicits._
+    // treated {1,2,3} vs control {2,3,4}: avg ranks 1, 2.5, 2.5, 4.5,
+    // 4.5, 6 → R_t = 8 → U = 8 − 6 = 2; ties T = 2·(2³−2) = 12,
+    // σ² = (9/12)(7 − 12/30) = 4.95, z = −2.5/√4.95
+    val rows = Seq(("s", "t", 1.0), ("s", "t", 2.0), ("s", "t", 3.0),
+      ("s", "c", 2.0), ("s", "c", 3.0), ("s", "c", 4.0),
+      ("only_t", "t", 1.0)) // no control → no comparison → dropped
+      .toDF("segment", "grp", "v")
+    val got = Profiling.mannWhitneyU(rows, "segment", "grp", "t", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Double, Option[Double])].collect()
+    assert(got.map(_._1).toSeq === Seq("s"))
+    val r = got.head
+    assert(r._2 === 3L && r._3 === 3L && r._4 === 2.0)
+    assert(r._5 === Some(math.rint(-2.5 / math.sqrt(4.95) * 1e4) / 1e4))
+    // every value tied → σ² = 0 → NULL z, U still exact
+    val tied = Seq(("s", "t", 5.0), ("s", "t", 5.0), ("s", "c", 5.0))
+      .toDF("segment", "grp", "v")
+    val tr = Profiling.mannWhitneyU(tied, "segment", "grp", "t", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Double, Option[Double])].collect().head
+    assert(tr._4 === 1.0 && tr._5.isEmpty) // R_t = 4 → U = 4 − 3 = 1
+  }
 }
