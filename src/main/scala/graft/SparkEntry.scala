@@ -1267,6 +1267,19 @@ object SparkEntry {
         "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
     }),
 
+    // Spearman rank correlation (tie-exact) between line-item quantity
+    // and extended price: the monotone-association read Pearson's
+    // covariance can't give on heavy-tailed quantities. Ranks via the
+    // chunked distributed pass; a tie level's doubled average rank is
+    // min+max of its unique ranks — exact longs end to end.
+    "q_spearman" -> ((s, dir) => {
+      graft.operators.Profiling.spearmanCorrelation(
+        t(s, dir, "lineitem")
+          .withColumn("li_id",
+            col("l_orderkey") * 8 + col("l_linenumber")),
+        "l_quantity", "l_extendedprice", "li_id")
+    }),
+
     // Mann-Whitney U on the same segments as q_ab_test — the
     // nonparametric distribution-shift read next to Welch's means
     // test; rank algebra over (segment, value) LEVELS, doubled rank
@@ -4721,6 +4734,31 @@ object SparkEntry {
          |  CASE WHEN w > 0 THEN
          |    CAST(3 * nt AS DOUBLE) / CAST(w AS DOUBLE) END AS transitivity
          |FROM wd CROSS JOIN tot""".stripMargin,
+    "q_spearman" ->
+      """WITH base AS (SELECT
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS ux,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS uy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT
+        |    2 * rank() OVER (ORDER BY ux)
+        |      + count(*) OVER (PARTITION BY ux) - 1 AS r2x,
+        |    2 * rank() OVER (ORDER BY uy)
+        |      + count(*) OVER (PARTITION BY uy) - 1 AS r2y
+        |  FROM base),
+        |mom AS (SELECT count(*) AS n,
+        |    sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+        |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+        |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM mom""".stripMargin,
     "q_rank_test" ->
       """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
         |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,

@@ -578,6 +578,70 @@ object Profiling {
   }
 
   /**
+   * Spearman rank correlation with exact tie handling (Spearman 1904)
+   * — the monotone-association measure next to [[correlationMatrix]]'s
+   * Pearson: invariant to any monotone transform, so heavy-tailed
+   * pipeline quantities (prices, latencies, doc lengths) correlate by
+   * ORDER, not by whichever tail dominates the covariance.
+   *
+   * EXACTNESS: values quantize at `unitScale`; per-variable ranks come
+   * from [[Ranking.withGlobalRank]] over (value, id) — a chunked range
+   * shuffle, NO single-partition window — and a tie level's DOUBLED
+   * average rank is min+max of its rows' unique ranks (consecutive
+   * integers average to their endpoints' midpoint), an exact long per
+   * level. All five moments (n, Σr2x, Σr2y, Σr2x², Σr2y², Σr2x·r2y)
+   * accumulate DECIMAL(38,0); ρ = (n·Sxy − Sx·Sy) /
+   * √((n·Sxx − Sx²)(n·Syy − Sy²)) converts each exact factor to double
+   * once (doubling cancels algebraically; both engines compute the
+   * same expression on the same integers). A constant variable (zero
+   * denominator) reports NULL ρ. n is guarded at 10⁹ so every decimal
+   * product stays within 38 digits.
+   *
+   * Scale shape: two chunked rank passes + two level aggregates (min/
+   * max rank per distinct value) + two value-keyed joins back + one
+   * moments aggregate. Rows carry (id, long, long); nothing global,
+   * nothing quadratic. `idCol` must uniquely identify rows (the rank's
+   * total-order tiebreak).
+   *
+   * Returns one row: (`n`, `rho`).
+   */
+  def spearmanCorrelation(df: DataFrame, xCol: String, yCol: String,
+                          idCol: String,
+                          unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        round(col(xCol) * unitScale).cast("long").as("ux"),
+        round(col(yCol) * unitScale).cast("long").as("uy"))
+      .lineageCut() // both rank passes + the final joins share it
+    def levelRanks(vCol: String, out: String): DataFrame =
+      Ranking.withGlobalRank(base.select(col("id"), col(vCol)),
+          Seq(col(vCol).asc, col("id").asc), "r", "nn")
+        .groupBy(vCol)
+        // doubled tie-average rank = min + max of the level's ranks
+        .agg((min("r") + max("r")).as(out))
+    val withR = base
+      .join(levelRanks("ux", "r2x"), "ux")
+      .join(levelRanks("uy", "r2y"), "uy")
+    val d = "decimal(38,0)"
+    val mom = withR.agg(count(lit(1)).as("n"),
+      sum(col("r2x").cast(d)).as("sx"), sum(col("r2y").cast(d)).as("sy"),
+      sum((col("r2x").cast(d) * col("r2x"))).as("sxx"),
+      sum((col("r2y").cast(d) * col("r2y"))).as("syy"),
+      sum((col("r2x").cast(d) * col("r2y"))).as("sxy"))
+      .filter(when(col("n") > 1000000000L,
+        raise_error(lit("spearmanCorrelation: n exceeds the exact " +
+          "decimal(38,0) moment range")).cast("boolean"))
+        .otherwise(lit(true)))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    mom.select(col("n"),
+      when(vx > 0d && vy > 0d, round(cov / sqrt(vx * vy), 6)).as("rho"))
+  }
+
+  /**
    * Mann-Whitney U rank-sum test per segment (Mann & Whitney 1947) —
    * the NONPARAMETRIC partner to [[welchTTest]]: compares the two
    * groups' value DISTRIBUTIONS by ranks, so heavy tails and outliers

@@ -388,4 +388,22 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Option[Double])].collect().head
     assert(tr._4 === 1.0 && tr._5.isEmpty) // R_t = 4 → U = 4 − 3 = 1
   }
+
+  test("spearmanCorrelation: tie-exact rho, monotone ±1, constant null") {
+    import spark.implicits._
+    def rho(rows: Seq[(Long, Double, Double)]): Option[Double] =
+      Profiling.spearmanCorrelation(rows.toDF("id", "x", "y"), "x", "y",
+          "id", unitScale = 1L)
+        .as[(Long, Option[Double])].collect().head._2
+    // aligned ties, monotone → exactly 1; reversed → exactly −1
+    val mono = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 2.0, 20.0),
+      (4L, 3.0, 40.0))
+    assert(rho(mono) === Some(1.0))
+    assert(rho(mono.map(r => (r._1, r._2, -r._3))) === Some(-1.0))
+    // hand case: ranks (1,2,3) vs (3,1,2) → ρ = −0.5 exactly
+    assert(rho(Seq((1L, 1.0, 3.0), (2L, 2.0, 1.0), (3L, 3.0, 2.0)))
+      === Some(-0.5))
+    // constant variable → zero rank variance → NULL
+    assert(rho(Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0))).isEmpty)
+  }
 }
