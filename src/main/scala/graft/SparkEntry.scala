@@ -1289,6 +1289,14 @@ object SparkEntry {
         "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
     }),
 
+    // Two-sample KS on the same segments — the third leg of the trio
+    // (mean / rank shift / ECDF gap anywhere); D's numerator is an
+    // exact long per level, one final division.
+    "q_ks_test" -> ((s, dir) => {
+      graft.operators.Profiling.ksTest(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
+    }),
+
     // Per-event-type z-standardization of event values: one moments
     // agg + one group join; exact moments, UNROUNDED bit-deterministic
     // scores (welchTTest's arithmetic contract applied row-wise).
@@ -4734,6 +4742,35 @@ object SparkEntry {
          |  CASE WHEN w > 0 THEN
          |    CAST(3 * nt AS DOUBLE) / CAST(w AS DOUBLE) END AS transitivity
          |FROM wd CROSS JOIN tot""".stripMargin,
+    "q_ks_test" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
+        |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |levels AS (SELECT segment, u,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT segment,
+        |    sum(ct) OVER w AS cumt, sum(cc) OVER w AS cumc,
+        |    sum(ct) OVER t AS n_t, sum(cc) OVER t AS n_c
+        |  FROM levels WINDOW
+        |    w AS (PARTITION BY segment ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    t AS (PARTITION BY segment
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |seg AS (SELECT segment,
+        |    CAST(first(n_t) AS BIGINT) AS n_t,
+        |    CAST(first(n_c) AS BIGINT) AS n_c,
+        |    CAST(max(abs(cumt * n_c - cumc * n_t)) AS BIGINT) AS dnum
+        |  FROM cum WHERE n_t > 0 AND n_c > 0 GROUP BY 1)
+        |SELECT segment, n_t, n_c,
+        |  CAST(dnum AS DOUBLE) / CAST(n_t * n_c AS DOUBLE) AS d_stat,
+        |  round(CAST(dnum AS DOUBLE) / CAST(n_t * n_c AS DOUBLE) *
+        |    sqrt(CAST(n_t * n_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)), 4)
+        |    AS ks_stat
+        |FROM seg""".stripMargin,
     "q_spearman" ->
       """WITH base AS (SELECT
         |    CAST(round(l_quantity * 100) AS BIGINT) AS ux,

@@ -716,6 +716,71 @@ object Profiling {
   }
 
   /**
+   * Two-sample Kolmogorov-Smirnov test per segment (Smirnov 1939) —
+   * the third leg of the distribution-comparison trio: [[welchTTest]]
+   * asks "did the mean move", [[mannWhitneyU]] "did the distribution
+   * shift", KS "do the distributions DIFFER ANYWHERE" (shape changes
+   * — variance, bimodality — that leave rank sums untouched still move
+   * the ECDF gap). D = sup |ECDF_t − ECDF_c|.
+   *
+   * EXACTNESS: on (segment, value) level counts, the ECDF gap at a
+   * level is |cum_t·n_c − cum_c·n_t| / (n_t·n_c) — numerator an exact
+   * long per level (inclusive cumulative counts), maximum taken over
+   * exact longs, ONE final IEEE division for `d_stat`. The scaled
+   * statistic `ks_stat` = D·√(n_t·n_c/n) is a fixed chain on the same
+   * integers, rounded 4dp. Values quantize at `unitScale` (ECDFs —
+   * and therefore D — only ever see the quantized values). The
+   * n_t·n_c product is guarded against long overflow.
+   *
+   * Scale shape: identical to [[mannWhitneyU]] — one map-side-combined
+   * level aggregate, a segment-partitioned value-ordered window over
+   * LEVELS (cumulatives + per-segment totals ride one sort), one
+   * segment max-aggregate. The per-segment sequential bound is
+   * quantized-level cardinality; coarsen `unitScale` past ~10⁸ levels.
+   *
+   * Returns one row per segment with both groups present:
+   * (`segment`, `n_t`, `n_c`, `d_stat`, `ks_stat`).
+   */
+  def ksTest(df: DataFrame, segmentCol: String, groupCol: String,
+             treatment: String, valueCol: String,
+             unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(segmentCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("segment"),
+        (col(groupCol).cast("string") === treatment).as("treated"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val levels = base.groupBy("segment", "u")
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("treated"), 0L).otherwise(1L)).as("cc"))
+    val ord = Window.partitionBy("segment").orderBy("u")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("segment")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = levels
+      .withColumn("cumt", sum("ct").over(cumW))
+      .withColumn("cumc", sum("cc").over(cumW))
+      .withColumn("n_t", sum("ct").over(totW))
+      .withColumn("n_c", sum("cc").over(totW))
+    val seg = cum
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .filter(when(col("n_t") > 3000000000L || col("n_c") > 3000000000L,
+        raise_error(lit("ksTest: group size exceeds the exact n_t·n_c " +
+          "long range")).cast("boolean")).otherwise(lit(true)))
+      .groupBy("segment")
+      .agg(first("n_t").as("n_t"), first("n_c").as("n_c"),
+        max(abs(col("cumt") * col("n_c") - col("cumc") * col("n_t")))
+          .as("dnum"))
+    val d = col("dnum").cast("double") /
+      (col("n_t") * col("n_c")).cast("double")
+    seg.select(col("segment"), col("n_t"), col("n_c"),
+      d.as("d_stat"),
+      round(d * sqrt((col("n_t") * col("n_c")).cast("double") /
+        (col("n_t") + col("n_c")).cast("double")), 4).as("ks_stat"))
+  }
+
+  /**
    * Grouped feature standardization (z-scoring against each group's
    * own moments) — the ML-prep normalizer: a $9.99 book and a $900
    * flight are both "typical" only relative to their own category, so

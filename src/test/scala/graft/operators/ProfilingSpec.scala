@@ -406,4 +406,30 @@ class ProfilingSpec extends SparkSpec {
     // constant variable → zero rank variance → NULL
     assert(rho(Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0))).isEmpty)
   }
+
+  test("ksTest: exact ECDF gap, identical-sample zero, shape-only difference") {
+    import spark.implicits._
+    // t = {1,2}, c = {2,3}: gaps 2/4, 2/4, 0 → D = 0.5 exactly
+    val rows = Seq(("s", "t", 1.0), ("s", "t", 2.0),
+      ("s", "c", 2.0), ("s", "c", 3.0)).toDF("segment", "grp", "v")
+    val got = Profiling.ksTest(rows, "segment", "grp", "t", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(got === (("s", 2L, 2L, 0.5, 0.5))) // ks = 0.5·√(4/4)
+    // identical samples → D = 0
+    val same = Seq(("s", "t", 1.0), ("s", "t", 2.0),
+      ("s", "c", 1.0), ("s", "c", 2.0)).toDF("segment", "grp", "v")
+    assert(Profiling.ksTest(same, "segment", "grp", "t", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Double, Double)].collect().head._4 === 0.0)
+    // same mean and rank sum, different SHAPE: t = {−2,2}×2 vs
+    // c = {−1,1}×2 — U sees symmetry, KS sees D = 1/2 at u = −1
+    val shape = Seq(("s", "t", -2.0), ("s", "t", 2.0), ("s", "t", -2.0),
+      ("s", "t", 2.0), ("s", "c", -1.0), ("s", "c", 1.0),
+      ("s", "c", -1.0), ("s", "c", 1.0)).toDF("segment", "grp", "v")
+    val sh = Profiling.ksTest(shape, "segment", "grp", "t", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(sh._4 === 0.5)
+  }
 }
