@@ -170,6 +170,29 @@ object StressBench {
       keys.unpersist()
     }
 
+    // r11 rank-statistics family at growing LEVEL cardinality — the
+    // worst case for their per-segment level windows is one segment
+    // whose every value is distinct (levels == rows); spearman instead
+    // prices two chunked rank passes + level joins. All values unique
+    // → no tie collapse anywhere, the honest upper bound.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "stats")) {
+      import graft.operators.Profiling
+      val rows = spark.range(n).toDF("id")
+        .select(col("id"), lit("s").as("seg"),
+          (pmod(col("id"), lit(2L)) === 0L).cast("string").as("grp"),
+          (xxhash64(col("id")) % 1000000000L).cast("double").as("x"),
+          (xxhash64(col("id"), lit(7)) % 1000000000L).cast("double").as("y"))
+      rows.cache().count()
+      run("mwu_levels", n)(Profiling.mannWhitneyU(rows, "seg", "grp",
+        "true", "x", unitScale = 1L).count())
+      run("ks_levels", n)(Profiling.ksTest(rows, "seg", "grp",
+        "true", "x", unitScale = 1L).count())
+      run("spearman", n)(Profiling.spearmanCorrelation(rows, "x", "y",
+        "id", unitScale = 1L).count())
+      rows.unpersist()
+    }
+
     // Incremental winnow admission: the O(delta) rerun claim, measured.
     // Corpus index is built ONCE (timed separately — the amortized
     // cost); the daily rerun is then winnowAdmitDelta over a 5% delta,
