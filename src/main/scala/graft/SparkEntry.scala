@@ -1289,6 +1289,16 @@ object SparkEntry {
         "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
     }),
 
+    // CART Gini split profile: can document length alone separate
+    // English from non-English docs? One row per candidate threshold,
+    // exact-integer impurity numerator/denominator, single division —
+    // the feature-screening curve, no argmin knife-edge.
+    "q_gini_split" -> ((s, dir) => {
+      graft.operators.Profiling.giniSplitProfile(
+        t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en", unitScale = 1L)
+    }),
+
     // Two-sample KS on the same segments — the third leg of the trio
     // (mean / rank shift / ECDF gap anywhere); D's numerator is an
     // exact long per level, one final division.
@@ -4742,6 +4752,33 @@ object SparkEntry {
          |  CASE WHEN w > 0 THEN
          |    CAST(3 * nt AS DOUBLE) / CAST(w AS DOUBLE) END AS transitivity
          |FROM wd CROSS JOIN tot""".stripMargin,
+    "q_gini_split" ->
+      """WITH base AS (SELECT CAST(round(n_chars) AS BIGINT) AS u,
+        |    (lang = 'en') AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |levels AS (SELECT u,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+        |  FROM base GROUP BY 1),
+        |cum AS (SELECT u,
+        |    sum(p) OVER w AS pl, sum(q) OVER w AS ql,
+        |    sum(p) OVER t AS pt, sum(q) OVER t AS qt
+        |  FROM levels WINDOW
+        |    w AS (ORDER BY u ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW),
+        |    t AS (ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING)),
+        |f AS (SELECT u, pl, ql, pt - pl AS pr, qt - ql AS qr,
+        |    pl + ql AS nl, pt + qt - pl - ql AS nr, pt + qt AS n
+        |  FROM cum WHERE pt + qt - pl - ql > 0)
+        |SELECT u AS threshold, CAST(nl AS BIGINT) AS n_l,
+        |  CAST(nr AS BIGINT) AS n_r,
+        |  CAST((CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+        |          - CAST(ql AS HUGEINT) * ql) * nr
+        |      + (CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+        |          - CAST(qr AS HUGEINT) * qr) * nl AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * nl * nr AS DOUBLE) AS gini
+        |FROM f""".stripMargin,
     "q_ks_test" ->
       """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
         |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,

@@ -781,6 +781,72 @@ object Profiling {
   }
 
   /**
+   * Gini split profile of a numeric feature against a binary label
+   * (the CART decision-stump criterion — Breiman, Friedman, Olshen &
+   * Stone 1984): for EVERY candidate threshold t (each distinct
+   * quantized feature value with rows on both sides), the weighted
+   * Gini impurity of the split `feature ≤ t`. The feature-screening
+   * primitive for quality-classifier pipelines: a feature whose best
+   * split barely beats the root impurity carries no signal, and the
+   * full curve shows WHERE the signal lives — no argmin is baked in,
+   * so no cross-engine double-ordering knife-edge exists either.
+   *
+   * EXACTNESS: on (value) level counts with per-level cumulative
+   * positives/negatives (pL, qL of nL = pL + qL; right side by
+   * subtraction), weighted Gini =
+   * ((nL² − pL² − qL²)·nR + (nR² − pR² − qR²)·nL) / (n·nL·nR) —
+   * numerator and denominator EXACT in DECIMAL(38,0) (n³-scale terms;
+   * n is guarded at 10¹⁰ for the 38-digit bound), ONE IEEE division
+   * per row, zero rounding.
+   *
+   * Scale shape: identical to [[ksTest]] — one map-side-combined level
+   * aggregate, one value-ordered window over LEVELS for the
+   * cumulatives and totals, map-only arithmetic after. The window is
+   * global over levels (single feature, no segment): quantized-level
+   * cardinality bounds it; coarsen `unitScale` past ~10⁸ levels.
+   *
+   * Returns one row per interior threshold, ascending `threshold`
+   * (quantized units): (`threshold`, `n_l`, `n_r`, `gini`).
+   */
+  def giniSplitProfile(df: DataFrame, featureCol: String, labelCol: String,
+                       unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(featureCol) * unitScale).cast("long").as("u"),
+        col(labelCol).cast("boolean").as("y"))
+    val levels = base.groupBy("u")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("q"))
+    val ord = Window.orderBy("u")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val d = "decimal(38,0)"
+    def sq(c: Column): Column = c.cast(d) * c
+    val cum = levels
+      .withColumn("pl", sum("p").over(cumW))
+      .withColumn("ql", sum("q").over(cumW))
+      .withColumn("pt", sum("p").over(totW))
+      .withColumn("qt", sum("q").over(totW))
+      .filter(when(col("pt") + col("qt") > 10000000000L,
+        raise_error(lit("giniSplitProfile: n exceeds the exact " +
+          "decimal(38,0) n³ bound")).cast("boolean")).otherwise(lit(true)))
+      .withColumn("nl", col("pl") + col("ql"))
+      .withColumn("nr", col("pt") + col("qt") - col("nl"))
+      .filter(col("nr") > 0) // the last level splits nothing off
+    val pr = col("pt") - col("pl")
+    val qr = col("qt") - col("ql")
+    val num = (sq(col("nl")) - sq(col("pl")) - sq(col("ql"))) * col("nr") +
+      (sq(col("nr")) - sq(pr) - sq(qr)) * col("nl")
+    val den = (col("pt") + col("qt")).cast(d) * col("nl") * col("nr")
+    cum.select(col("u").as("threshold"), col("nl").as("n_l"),
+        col("nr").as("n_r"),
+        (num.cast("double") / den.cast("double")).as("gini"))
+      .orderBy("threshold")
+  }
+
+  /**
    * Grouped feature standardization (z-scoring against each group's
    * own moments) — the ML-prep normalizer: a $9.99 book and a $900
    * flight are both "typical" only relative to their own category, so

@@ -432,4 +432,21 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double)].collect().head
     assert(sh._4 === 0.5)
   }
+
+  test("giniSplitProfile: perfect split zero, hand curve, last level excluded") {
+    import spark.implicits._
+    // label flips exactly at the value boundary → gini 0 at t = 1
+    val perfect = Seq((1.0, true), (1.0, true), (2.0, false), (2.0, false))
+      .toDF("f", "y")
+    val p = Profiling.giniSplitProfile(perfect, "f", "y", unitScale = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(p.toSeq === Seq((1L, 2L, 2L, 0.0))) // t=2 splits nothing off
+    // alternating labels: curve 1/3, 1/2, 1/3 by hand
+    val alt = Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false))
+      .toDF("f", "y")
+    val a = Profiling.giniSplitProfile(alt, "f", "y", unitScale = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(a.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(a.map(_._4).toSeq === Seq(4.0 / 12, 0.5, 4.0 / 12))
+  }
 }
