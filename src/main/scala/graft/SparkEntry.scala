@@ -1307,6 +1307,60 @@ object SparkEntry {
         "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
     }),
 
+    // ROC AUC of doc length as an English-detector score — the
+    // threshold-FREE companion to q_gini_split's per-threshold curve;
+    // exact integer rank-sum numerator, ONE division.
+    "q_auc" -> ((s, dir) => {
+      graft.operators.Profiling.aucReport(
+        t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en", unitScale = 1L)
+    }),
+
+    // Kruskal-Wallis across all five order priorities per status — the
+    // k-sample extension of q_rank_test; exact rank sums, fold-order-
+    // pinned cross-group reduction, tie-corrected H.
+    "q_kruskal" -> ((s, dir) => {
+      graft.operators.Profiling.kruskalWallis(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority", "o_totalprice")
+    }),
+
+    // One-way ANOVA of extended price across return flags per line
+    // status — mean-shift F plus the η² effect size; exact integer
+    // moments, quantization scale cancels in both ratios.
+    "q_anova" -> ((s, dir) => {
+      graft.operators.Profiling.anovaF(t(s, dir, "lineitem"),
+        "l_linestatus", "l_returnflag", "l_extendedprice")
+    }),
+
+    // Calibration of a deterministic length-based English score
+    // p = n_chars/(n_chars+1000) against the actual language label —
+    // the reliability table a filtering pipeline audits before using
+    // scores as sampling weights. Pure integer bin arithmetic.
+    "q_calibration" -> ((s, dir) => {
+      graft.operators.Profiling.calibrationReport(
+        t(s, dir, "documents")
+          .withColumn("p", col("n_chars") / (col("n_chars") + lit(1000)))
+          .withColumn("is_en", col("lang") === "en"),
+        "p", "is_en", nBins = 10)
+    }),
+
+    // Kendall τ-b of quantity vs line number — concordance-probability
+    // association on heavily tied integer columns (50 × 7 levels → 350
+    // cells; the C² pair join is trivial at this cell cardinality).
+    "q_kendall" -> ((s, dir) => {
+      graft.operators.Profiling.kendallTau(t(s, dir, "lineitem"),
+        "l_quantity", "l_linenumber", unitScale = 1L)
+    }),
+
+    // Quantile normalization of event values across event types —
+    // after it, every type shares one empirical value distribution
+    // (batch correction for cross-type comparisons); per-type ranking,
+    // exact cross-type rank means, bit-deterministic output.
+    "q_quantile_norm" -> ((s, dir) => {
+      graft.operators.Profiling.quantileNormalize(t(s, dir, "events"),
+        "event_type", "event_id", "value")
+    }),
+
     // Per-event-type z-standardization of event values: one moments
     // agg + one group join; exact moments, UNROUNDED bit-deterministic
     // scores (welchTTest's arithmetic contract applied row-wise).
@@ -4808,6 +4862,162 @@ object SparkEntry {
         |    sqrt(CAST(n_t * n_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)), 4)
         |    AS ks_stat
         |FROM seg""".stripMargin,
+    "q_auc" ->
+      """WITH base AS (SELECT (lang = 'en') AS pos,
+        |    CAST(n_chars AS BIGINT) AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |levels AS (SELECT u,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    count(*) AS cv FROM base GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    COALESCE(sum(cv) OVER (ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM levels),
+        |agg AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |    CAST(sum(cv - cp) AS BIGINT) AS n_neg,
+        |    sum(CAST(cp * (2 * cum + cv + 1) AS HUGEINT)) AS r2p
+        |  FROM ranked)
+        |SELECT n_pos, n_neg,
+        |  CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE) /
+        |    CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+        |  round(2 * (CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE) /
+        |    CAST(2 * n_pos * n_neg AS DOUBLE)) - 1, 6) AS gini_coef
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+    "q_kruskal" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
+        |    CAST(o_orderpriority AS VARCHAR) AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |lvl AS (SELECT segment, u, g, count(*) AS cnt FROM base
+        |  GROUP BY 1, 2, 3),
+        |marked AS (SELECT *,
+        |    COALESCE(sum(cnt) OVER (PARTITION BY segment ORDER BY u
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    sum(cnt) OVER (PARTITION BY segment ORDER BY u
+        |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS cv
+        |  FROM lvl),
+        |grp AS (SELECT segment, g, CAST(sum(cnt) AS BIGINT) AS n_g,
+        |    sum(CAST(cnt * (2 * cum + cv + 1) AS HUGEINT)) AS r2,
+        |    sum(CAST(cnt AS HUGEINT) * ((cv - 1) * (cv + 1))) AS tpart
+        |  FROM marked GROUP BY 1, 2),
+        |tot AS (SELECT *,
+        |    count(*) OVER (PARTITION BY segment) AS k,
+        |    sum(n_g) OVER (PARTITION BY segment) AS n,
+        |    sum(tpart) OVER (PARTITION BY segment) AS tsum,
+        |    row_number() OVER (PARTITION BY segment ORDER BY g) AS rn,
+        |    sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) /
+        |        (4 * CAST(n_g AS DOUBLE)))
+        |      OVER (PARTITION BY segment ORDER BY g
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_run
+        |  FROM grp),
+        |seg AS (SELECT segment, CAST(k AS BIGINT) AS k,
+        |    CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(tsum AS DOUBLE) AS tsumd, a_run
+        |  FROM tot WHERE rn = k AND k >= 2)
+        |SELECT segment, k, n,
+        |  CASE WHEN (1 - tsumd / (nd * nd * nd - nd)) > 0 THEN
+        |    round((12 / (nd * (nd + 1)) * a_run - 3 * (nd + 1)) /
+        |      (1 - tsumd / (nd * nd * nd - nd)), 4) END AS h
+        |FROM seg""".stripMargin,
+    "q_anova" ->
+      """WITH base AS (SELECT CAST(l_linestatus AS VARCHAR) AS segment,
+        |    CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS u
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL
+        |    AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |mom AS (SELECT segment, g, count(*) AS n_g,
+        |    CAST(sum(u) AS BIGINT) AS s1,
+        |    sum(CAST(u AS HUGEINT) * u) AS s2
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (SELECT *,
+        |    count(*) OVER (PARTITION BY segment) AS k,
+        |    sum(n_g) OVER (PARTITION BY segment) AS n,
+        |    sum(s1) OVER (PARTITION BY segment) AS s,
+        |    sum(s2) OVER (PARTITION BY segment) AS ss,
+        |    row_number() OVER (PARTITION BY segment ORDER BY g) AS rn,
+        |    sum(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+        |        CAST(n_g AS DOUBLE))
+        |      OVER (PARTITION BY segment ORDER BY g
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_run
+        |  FROM mom),
+        |seg AS (SELECT segment, CAST(k AS BIGINT) AS k,
+        |    CAST(n AS BIGINT) AS n, CAST(k AS DOUBLE) AS kd,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS grand,
+        |    CAST(ss AS DOUBLE) AS ssd, a_run
+        |  FROM tot WHERE rn = k AND k >= 2)
+        |SELECT segment, k, n,
+        |  CASE WHEN n > k AND (ssd - a_run) > 0 THEN
+        |    round(((a_run - grand) / (kd - 1)) /
+        |      ((ssd - a_run) / (nd - kd)), 4) END AS f_stat,
+        |  CASE WHEN (ssd - grand) > 0 THEN
+        |    round((a_run - grand) / (ssd - grand), 6) END AS eta2
+        |FROM seg""".stripMargin,
+    "q_calibration" ->
+      """WITH base AS (SELECT (lang = 'en') AS pos,
+        |    CAST(round(CAST(n_chars AS DOUBLE) / (n_chars + 1000)
+        |      * 1000000) AS BIGINT) AS up
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |bins AS (SELECT
+        |    least(CAST((up * 10 - (up * 10) % 1000000) / 1000000
+        |      AS BIGINT), 9) AS bin, pos, up
+        |  FROM base)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(up) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)
+        |    AS mean_pred,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS frac_pos,
+        |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) -
+        |    CAST(sum(up) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE),
+        |    6) AS gap
+        |FROM bins GROUP BY 1""".stripMargin,
+    "q_kendall" ->
+      """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS ux,
+        |    CAST(l_linenumber AS BIGINT) AS uy
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_linenumber IS NOT NULL),
+        |cells AS (SELECT ux, uy, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |pairs AS (SELECT
+        |    sum(CASE WHEN a.uy < b.uy THEN CAST(a.cnt * b.cnt AS HUGEINT)
+        |      ELSE 0 END) AS n_conc,
+        |    sum(CASE WHEN a.uy > b.uy THEN CAST(a.cnt * b.cnt AS HUGEINT)
+        |      ELSE 0 END) AS n_disc
+        |  FROM cells a JOIN cells b ON a.ux < b.ux),
+        |tx AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS t2x,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT ux, CAST(sum(cnt) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1)),
+        |ty AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS t2y
+        |  FROM (SELECT uy, CAST(sum(cnt) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1)),
+        |j AS (SELECT n, n_conc, n_disc,
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS n02,
+        |    CAST(t2x AS DOUBLE) AS t2xd, CAST(t2y AS DOUBLE) AS t2yd
+        |  FROM pairs, tx, ty)
+        |SELECT n, CAST(n_conc AS BIGINT) AS n_conc,
+        |  CAST(n_disc AS BIGINT) AS n_disc,
+        |  CASE WHEN sqrt((n02 - t2xd) * (n02 - t2yd)) > 0 THEN
+        |    round(2 * CAST(n_conc - n_disc AS DOUBLE) /
+        |      sqrt((n02 - t2xd) * (n02 - t2yd)), 6) END AS tau_b
+        |FROM j""".stripMargin,
+    "q_quantile_norm" ->
+      """WITH base AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    event_id AS id, CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (PARTITION BY grp ORDER BY u, id) AS rk
+        |  FROM base),
+        |ref AS (SELECT rk,
+        |    CAST(sum(u) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE)
+        |      AS qn_value
+        |  FROM ranked GROUP BY 1)
+        |SELECT grp, id, CAST(u AS DOUBLE) / 100 AS value, qn_value
+        |FROM ranked JOIN ref USING (rk)""".stripMargin,
     "q_spearman" ->
       """WITH base AS (SELECT
         |    CAST(round(l_quantity * 100) AS BIGINT) AS ux,

@@ -696,8 +696,12 @@ object Profiling {
       sum("ct").as("n_t"), sum(col("cv") - col("ct")).as("n_c"),
       sum((col("ct") * (lit(2L) * col("cum") + col("cv") + 1L))
         .cast("decimal(38,0)")).as("r2t"),
-      sum((col("cv") * (col("cv") - 1L) * (col("cv") + 1L))
-        .cast("decimal(38,0)")).as("tsum"))
+      // widen BEFORE the cubic product: (cv−1)(cv+1) = cv²−1 fits a
+      // long under the n guard below, but cv·(cv²−1) wraps past
+      // cv ≈ 2.1×10⁶ tied rows at one level — the decimal factor
+      // first keeps the whole product exact
+      sum(col("cv").cast("decimal(38,0)") *
+          ((col("cv") - 1L) * (col("cv") + 1L))).as("tsum"))
       .filter(col("n_t") > 0 && col("n_c") > 0)
       .filter(when(col("n_t") + col("n_c") > 1500000000L,
         raise_error(lit("mannWhitneyU: segment exceeds the exact " +
@@ -1078,5 +1082,382 @@ object Profiling {
         (lit(lo) + col("bucket") * lit(width)).as("lo"),
         (lit(lo) + (col("bucket") + 1) * lit(width)).as("hi"),
         col("n"))
+  }
+
+  /**
+   * ROC AUC of a numeric score against a binary label (Hanley &
+   * McNeil 1982's rank formulation) — the threshold-FREE companion to
+   * [[giniSplitProfile]]: where the split profile asks "how well does
+   * the best single threshold separate", AUC integrates separation
+   * over EVERY threshold (it equals the probability a random positive
+   * outscores a random negative, ties counting half — exactly the
+   * Mann-Whitney U normalized by n_pos·n_neg).
+   *
+   * EXACTNESS: scores quantize at `unitScale`; on score LEVELS the
+   * doubled mid-rank sum of positives r2p is an exact integer
+   * (DECIMAL(38,0)), so AUC = (r2p − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+   * has an exact integer numerator and denominator and ONE IEEE
+   * division — no per-row double ever sums. `gini_coef` = 2·AUC − 1 is
+   * a fixed two-op chain on that quotient, rounded 6dp. n is guarded
+   * at 1.5×10⁹ so every long product stays in range.
+   *
+   * Scale shape: identical to [[giniSplitProfile]] — one
+   * map-side-combined level aggregate, ONE value-ordered window over
+   * LEVELS (quantized-score cardinality bounds it; coarsen `unitScale`
+   * past ~10⁸ levels), one scalar aggregate.
+   *
+   * Returns one row: (`n_pos`, `n_neg`, `auc`, `gini_coef`) — empty
+   * when either class is absent (AUC is undefined).
+   */
+  def aucReport(df: DataFrame, scoreCol: String, labelCol: String,
+                unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("pos"),
+        round(col(scoreCol) * unitScale).cast("long").as("u"))
+    val levels = base.groupBy("u")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("cv"))
+    val w = Window.orderBy("u").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = levels
+      .withColumn("cum", coalesce(sum("cv").over(w), lit(0L)))
+    val agg = ranked.agg(
+        sum("cp").as("n_pos"), sum(col("cv") - col("cp")).as("n_neg"),
+        sum((col("cp") * (lit(2L) * col("cum") + col("cv") + 1L))
+          .cast("decimal(38,0)")).as("r2p"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .filter(when(col("n_pos") + col("n_neg") > 1500000000L,
+        raise_error(lit("aucReport: frame exceeds the exact rank-sum " +
+          "long range")).cast("boolean")).otherwise(lit(true)))
+    val auc = (col("r2p") -
+        (col("n_pos") * (col("n_pos") + 1L)).cast("decimal(38,0)"))
+      .cast("double") /
+      (lit(2L) * col("n_pos") * col("n_neg")).cast("double")
+    agg.select(col("n_pos"), col("n_neg"), auc.as("auc"),
+      round(lit(2d) * auc - 1d, 6).as("gini_coef"))
+  }
+
+  /**
+   * Kruskal-Wallis H test per segment (Kruskal & Wallis 1952) — the
+   * k-sample extension of [[mannWhitneyU]]: "did ANY of the k groups'
+   * value distributions shift", rank-based so heavy tails don't
+   * dominate the way they do [[welchTTest]]'s variance.
+   *
+   * EXACTNESS: per-group doubled rank sums r2_g and the tie sum
+   * Σ(t³−t) are exact integers (DECIMAL(38,0)) built from (segment,
+   * value, group) LEVEL counts — the cubic widens to decimal BEFORE
+   * multiplying so no long ever wraps. The cross-group reduction
+   * Σ r2_g²/(4·n_g) is the one place doubles must sum across rows;
+   * it runs as a RUNNING window sum in group-name order — a
+   * sequential left fold both engines evaluate streaming over the
+   * default frame, so the fold order (and hence every ulp) is pinned
+   * cross-engine. H and the tie correction C = 1 − Σ(t³−t)/(n³−n)
+   * are fixed chains on those values; `h` rounds 4dp and is NULL when
+   * C = 0 (every value tied). n per segment is guarded at 1.5×10⁹.
+   *
+   * Scale shape: one map-side-combined (segment, value, group) level
+   * aggregate, one segment-partitioned value-ordered window over
+   * LEVELS (RANGE frames give below-level and at-level counts in the
+   * same sort), one (segment, group) aggregate, then windows over the
+   * ≤ k rows per segment. The per-segment sequential bound is
+   * quantized-level × group cardinality; coarsen `unitScale` past
+   * ~10⁸ levels.
+   *
+   * Returns one row per segment with ≥ 2 groups:
+   * (`segment`, `k`, `n`, `h`).
+   */
+  def kruskalWallis(df: DataFrame, segmentCol: String, groupCol: String,
+                    valueCol: String, unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(segmentCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("segment"),
+        col(groupCol).cast("string").as("g"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val lvl = base.groupBy("segment", "u", "g")
+      .agg(count(lit(1)).as("cnt"))
+    val byU = Window.partitionBy("segment").orderBy(col("u"))
+    val marked = lvl
+      .withColumn("cum", coalesce(sum("cnt")
+        .over(byU.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cv", sum("cnt").over(byU.rangeBetween(0, 0)))
+    val grp = marked.groupBy("segment", "g").agg(
+      sum("cnt").as("n_g"),
+      sum((col("cnt") * (lit(2L) * col("cum") + col("cv") + 1L))
+        .cast("decimal(38,0)")).as("r2"),
+      sum(col("cnt").cast("decimal(38,0)") *
+        ((col("cv") - 1L) * (col("cv") + 1L))).as("tpart"))
+    val segW = Window.partitionBy("segment")
+    val byG = Window.partitionBy("segment").orderBy("g")
+    val term = col("r2").cast("double") * col("r2").cast("double") /
+      (lit(4d) * col("n_g").cast("double"))
+    val withTot = grp
+      .withColumn("k", count(lit(1)).over(segW))
+      .withColumn("n", sum("n_g").over(segW))
+      .withColumn("tsum", sum("tpart").over(segW))
+      .withColumn("rn", row_number().over(byG))
+      .withColumn("a_run", sum(term)
+        .over(byG.rowsBetween(Window.unboundedPreceding, 0)))
+    val seg = withTot.filter(col("rn") === col("k") && col("k") >= 2)
+      .filter(when(col("n") > 1500000000L,
+        raise_error(lit("kruskalWallis: segment exceeds the exact " +
+          "rank-sum long range")).cast("boolean")).otherwise(lit(true)))
+    val nD = col("n").cast("double")
+    val hRaw = lit(12d) / (nD * (nD + 1d)) * col("a_run") -
+      lit(3d) * (nD + 1d)
+    val c = lit(1d) - col("tsum").cast("double") / (nD * nD * nD - nD)
+    seg.select(col("segment"), col("k"), col("n"),
+      when(c > 0d, round(hRaw / c, 4)).as("h"))
+  }
+
+  /**
+   * One-way ANOVA F per segment (Fisher 1925) — the parametric
+   * k-sample companion to [[kruskalWallis]]: "did any group's MEAN
+   * move", with `eta2` = SSB/SST reporting the variance share the
+   * grouping explains (the effect size the F statistic alone hides).
+   *
+   * EXACTNESS: per-group moments (n_g, Σu, Σu²) are exact integers on
+   * the quantized values (squares widen through DECIMAL(38,0)); the
+   * quantization scale cancels in both F and η² (each is a ratio of
+   * same-unit sums of squares), so no unscaling division exists to
+   * round. The cross-group Σ(Σu)²/n_g reduction runs as the same
+   * group-name-ordered running window fold as [[kruskalWallis]] —
+   * fold order pinned cross-engine. F rounds 4dp (NULL when SSW = 0
+   * or n ≤ k), η² rounds 6dp (NULL when SST = 0).
+   *
+   * Scale shape: ONE map-side-combined (segment, group) moment
+   * aggregate over the raw rows — no level frame, no value sort —
+   * then windows over the ≤ k rows per segment. Nothing about this
+   * operator depends on value cardinality at all.
+   *
+   * Returns one row per segment with ≥ 2 groups:
+   * (`segment`, `k`, `n`, `f_stat`, `eta2`).
+   */
+  def anovaF(df: DataFrame, segmentCol: String, groupCol: String,
+             valueCol: String, unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(segmentCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("segment"),
+        col(groupCol).cast("string").as("g"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val mom = base.groupBy("segment", "g").agg(
+      count(lit(1)).as("n_g"), sum("u").as("s1"),
+      sum((col("u") * col("u")).cast("decimal(38,0)")).as("s2"))
+    val segW = Window.partitionBy("segment")
+    val byG = Window.partitionBy("segment").orderBy("g")
+    val term = col("s1").cast("double") * col("s1").cast("double") /
+      col("n_g").cast("double")
+    val withTot = mom
+      .withColumn("k", count(lit(1)).over(segW))
+      .withColumn("n", sum("n_g").over(segW))
+      .withColumn("s", sum("s1").over(segW))
+      .withColumn("ss", sum("s2").over(segW))
+      .withColumn("rn", row_number().over(byG))
+      .withColumn("a_run", sum(term)
+        .over(byG.rowsBetween(Window.unboundedPreceding, 0)))
+    val seg = withTot.filter(col("rn") === col("k") && col("k") >= 2)
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val grand = col("s").cast("double") * col("s").cast("double") / nD
+    val ssb = col("a_run") - grand
+    val sst = col("ss").cast("double") - grand
+    val ssw = col("ss").cast("double") - col("a_run")
+    seg.select(col("segment"), col("k"), col("n"),
+      when(col("n") > col("k") && ssw > 0d,
+        round((ssb / (kD - 1d)) / (ssw / (nD - kD)), 4)).as("f_stat"),
+      when(sst > 0d, round(ssb / sst, 6)).as("eta2"))
+  }
+
+  /**
+   * Calibration (reliability) report of a probability score against a
+   * binary label: `nBins` equal-width probability bins, and per bin
+   * the count, mean predicted probability, empirical positive rate,
+   * and their gap — the table behind every reliability diagram and
+   * the per-bin terms of expected calibration error (ECE =
+   * Σ n_b/n · |gap_b|, one weighted fold away for the caller). The
+   * quality-classifier audit a filtering pipeline runs before
+   * trusting scores as sampling weights.
+   *
+   * EXACTNESS: probabilities quantize at `unitScale` (default 10⁶ —
+   * six decimal places); the bin index is PURE integer arithmetic
+   * (`min(u·nBins div unitScale, nBins−1)` — no double floor, no
+   * engine-specific edge at bin boundaries), per-bin sums are exact
+   * longs, and `mean_pred`/`frac_pos` are each ONE IEEE division with
+   * `gap` their fixed-chain difference rounded 6dp.
+   *
+   * Scale shape: one map-side-combined aggregate to ≤ nBins rows.
+   * Nothing else moves.
+   *
+   * Returns one row per non-empty bin, ascending `bin`:
+   * (`bin`, `n`, `n_pos`, `mean_pred`, `frac_pos`, `gap`).
+   */
+  def calibrationReport(df: DataFrame, probCol: String, labelCol: String,
+                        nBins: Int = 10,
+                        unitScale: Long = 1000000L): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    require(unitScale >= nBins, "unitScale must be >= nBins")
+    val base = df
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("pos"),
+        round(col(probCol) * unitScale).cast("long").as("up"))
+      .filter(when(col("up") < 0L || col("up") > unitScale,
+        raise_error(lit("calibrationReport: probability outside [0, 1]"))
+          .cast("boolean")).otherwise(lit(true)))
+    // exact integer division via the exact-multiple idiom (see
+    // Events.paretoReport): t − t%unitScale is a unitScale-multiple and
+    // both operands are exactly double-representable (t ≤ nBins·unitScale)
+    val t = col("up") * lit(nBins.toLong)
+    val bin = least(((t - pmod(t, lit(unitScale))) / lit(unitScale))
+      .cast("long"), lit((nBins - 1).toLong))
+    base.select(bin.as("bin"), col("pos"), col("up"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum("up").as("sup"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("sup").cast("double") /
+          (col("n") * unitScale).cast("double")).as("mean_pred"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("frac_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double") -
+          col("sup").cast("double") /
+            (col("n") * unitScale).cast("double"), 6).as("gap"))
+  }
+
+  /**
+   * Kendall rank correlation τ-b with exact tie handling (Kendall
+   * 1938; the τ-b tie normalization of Kendall 1945) — the
+   * concordance-probability companion to [[spearmanCorrelation]]:
+   * where Spearman correlates RANKS linearly, τ counts how often two
+   * random rows agree in order on both variables, which gives it a
+   * direct probabilistic reading (τ = P(concordant) − P(discordant))
+   * and more robustness to a few extreme ranks.
+   *
+   * EXACTNESS: concordant/discordant pair counts are exact integers —
+   * Σ over strictly-x-ordered CELL pairs of n_i·n_j accumulated in
+   * DECIMAL(38,0) — and tie pair counts Σt(t−1)/2 come from exact
+   * per-level counts (products widen to decimal before the sum). τ-b
+   * = (C − D)/√((N0 − T_x)(N0 − T_y)) converts each exact factor to
+   * double once, rounds 6dp. n is guarded at 3×10⁹ (N0 long range).
+   *
+   * Scale shape: quantized values fold to (x, y) CELLS first (one
+   * map-side-combined aggregate, lineage-cut so the pair join's two
+   * sides and the two tie aggregates share ONE materialization instead
+   * of four base scans), then cell pairs enumerate via a
+   * strict-inequality self-join — **O(C²) in cell count C**, planned
+   * as a broadcast nested-loop when one side is small. This is the
+   * operator's scale bound: coarsen `unitScale` to keep C ≲ 10⁵
+   * (10¹⁰ cell pairs of pure long arithmetic); past that, use
+   * [[spearmanCorrelation]], whose chunked rank path has no quadratic
+   * term. Row count n is unbounded — only distinct quantized cells
+   * pair up.
+   *
+   * Returns one row: (`n`, `n_conc`, `n_disc`, `tau_b` — NULL when
+   * either variable is constant).
+   */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol) * unitScale).cast("long").as("ux"),
+        round(col(yCol) * unitScale).cast("long").as("uy"))
+    // cut: the cell frame feeds THREE consumers (both pair-join sides
+    // and the two tie aggregates) — uncut, each re-runs the full base
+    // scan + aggregate (plan-audited: 4 scans)
+    val cells = graft.core.LineageCut.cut(
+      base.groupBy("ux", "uy").agg(count(lit(1)).as("cnt")))
+    val a = cells.select(col("ux").as("xa"), col("uy").as("ya"),
+      col("cnt").as("ca"))
+    val b = cells.select(col("ux").as("xb"), col("uy").as("yb"),
+      col("cnt").as("cb"))
+    val pairs = a.join(b, col("xa") < col("xb"))
+      .agg(sum(when(col("ya") < col("yb"), col("ca") * col("cb"))
+          .otherwise(0L).cast("decimal(38,0)")).as("n_conc"),
+        sum(when(col("ya") > col("yb"), col("ca") * col("cb"))
+          .otherwise(0L).cast("decimal(38,0)")).as("n_disc"))
+    def tiePairs(vCol: String, out: String): DataFrame =
+      cells.groupBy(col(vCol)).agg(sum("cnt").as("t"))
+        .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - 1L))
+          .as(out), sum("t").as(out + "_n"))
+    val tx = tiePairs("ux", "t2x")
+    val ty = tiePairs("uy", "t2y")
+    val j = pairs.crossJoin(tx).crossJoin(ty)
+      .filter(when(col("t2x_n") > 3000000000L,
+        raise_error(lit("kendallTau: frame exceeds the exact pair-count " +
+          "long range")).cast("boolean")).otherwise(lit(true)))
+    // doubled pair counts throughout (t(t−1), n(n−1)) — the ÷2 cancels
+    // in τ-b, so no integer halving ever happens
+    val n02 = (col("t2x_n").cast("decimal(38,0)") *
+      (col("t2x_n") - 1L)).cast("double")
+    val denom = sqrt((n02 - col("t2x").cast("double")) *
+      (n02 - col("t2y").cast("double")))
+    j.select(col("t2x_n").as("n"),
+      col("n_conc").cast("long").as("n_conc"),
+      col("n_disc").cast("long").as("n_disc"),
+      when(denom > 0d, round(
+        lit(2d) * (col("n_conc") - col("n_disc")).cast("double") / denom,
+        6)).as("tau_b"))
+  }
+
+  /**
+   * Quantile normalization across groups (Bolstad et al. 2003 — the
+   * microarray/batch-correction classic): rank every row within its
+   * group, average the quantized values at each rank ACROSS groups,
+   * and hand each row the cross-group mean at its rank — after which
+   * every group shares one empirical distribution and between-group
+   * comparisons stop being distribution artifacts. Unequal group
+   * sizes use the simple variant: the reference value at rank r
+   * averages over the groups that HAVE a rank r (documented choice;
+   * the interpolating variant is a different operator).
+   *
+   * EXACTNESS: ranks are `row_number` over the total order (value,
+   * id) — deterministic under ties; the reference value is an exact
+   * long sum of quantized values over groups at that rank, ONE IEEE
+   * division per rank. `qn_value` therefore matches cross-engine
+   * bit-for-bit; no double ever sums.
+   *
+   * Scale shape: one GROUP-partitioned window (per-group sort — the
+   * inherent cost of within-group ranking, never a global sort),
+   * lineage-cut so the reference aggregate and the final join read ONE
+   * materialization instead of each re-running the scan + sort, then
+   * one rank-keyed aggregate (≤ max group size rows) and one rank-keyed
+   * join back. Rows carry (group, id, long). Parallelism is ACROSS
+   * groups: a single- or few-group frame degenerates to one sort task
+   * per group over n/G rows (skewReport-class bound; measured in
+   * SCALING.md) — group cardinality, not row count, is the dial.
+   *
+   * Returns one row per input row:
+   * (`grp`, `id`, `value`, `qn_value`).
+   */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String,
+                        unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val w = Window.partitionBy("grp").orderBy(col("u"), col("id"))
+    // cut: the ranked frame is read twice (reference aggregate + the
+    // final join) — uncut, the scan AND the per-group sort both run
+    // twice (plan-audited); one materialization beats a second full sort
+    val ranked = graft.core.LineageCut.cut(
+      base.withColumn("rk", row_number().over(w)))
+    val ref = ranked.groupBy("rk")
+      .agg(sum("u").as("su"), count(lit(1)).as("c"))
+      .select(col("rk"),
+        (col("su").cast("double") / (col("c") * unitScale).cast("double"))
+          .as("qn_value"))
+    ranked.join(ref, "rk")
+      .select(col("grp"), col("id"),
+        (col("u").cast("double") / unitScale.toDouble).as("value"),
+        col("qn_value"))
   }
 }

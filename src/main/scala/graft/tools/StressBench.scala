@@ -190,7 +190,61 @@ object StressBench {
         "true", "x", unitScale = 1L).count())
       run("spearman", n)(Profiling.spearmanCorrelation(rows, "x", "y",
         "id", unitScale = 1L).count())
+      // closing r11 additions on the same worst case (levels == rows):
+      // AUC shares mwu's level-window shape; KW adds the k-way group
+      // split on the same sort; ANOVA has NO level frame at all — its
+      // flat line at growing distinct-value count is the evidence for
+      // the "value-cardinality-independent" claim
+      val k5 = rows.withColumn("g5", pmod(col("id"), lit(5L)).cast("string"))
+        .withColumn("pos", pmod(col("id"), lit(2L)) === 0L)
+      run("auc_levels", n)(Profiling.aucReport(k5, "x", "pos",
+        unitScale = 1L).count())
+      run("kruskal_levels", n)(Profiling.kruskalWallis(k5, "seg", "g5",
+        "x", unitScale = 1L).count())
+      run("anova_moments", n)(Profiling.anovaF(k5, "seg", "g5", "x",
+        unitScale = 1L).count())
       rows.unpersist()
+    }
+
+    // Kendall τ-b at growing CELL cardinality — the operator's documented
+    // O(C²) bound made visible: n is FIXED (4M rows) while quantized
+    // (x, y) cells grow 4× per tier, so the pair-join cost (not the
+    // scan) is the number on display. 45² → ~2k cells, 90² → ~8k,
+    // 180² → ~32k (xl); the scaladoc prescribes spearman past ~10⁵.
+    for (k <- (Seq(45L, 90L) ++ (if (xl) Seq(180L) else Nil))
+           if only.forall(_ == "kendall")) {
+      import graft.operators.Profiling
+      val n = 4000000L
+      val rows = spark.range(n).toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(k)).cast("double").as("x"),
+          pmod(xxhash64(col("id"), lit(7)), lit(k)).cast("double").as("y"))
+      rows.cache().count()
+      run(s"kendall_c${k * k}", k * k)(
+        Profiling.kendallTau(rows, "x", "y", unitScale = 1L).count())
+      rows.unpersist()
+    }
+
+    // Quantile normalization: the per-group sort is the inherent cost
+    // and parallelizes ACROSS groups — measured at 32 groups vs 2
+    // groups at the same n so the group-parallelism penalty (one task
+    // sorts n/G rows) is the number on display, not corpus size.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "qnorm")) {
+      import graft.operators.Profiling
+      def g(groups: Long) = spark.range(n).toDF("id")
+        .select(col("id"), pmod(col("id"), lit(groups)).cast("string")
+          .as("grp"), (xxhash64(col("id")) % 1000000000L).cast("double")
+          .as("v"))
+      val g32 = g(32); g32.cache().count()
+      run("qnorm_g32", n)(
+        Profiling.quantileNormalize(g32, "grp", "id", "v",
+          unitScale = 1L).count())
+      g32.unpersist()
+      val g2 = g(2); g2.cache().count()
+      run("qnorm_g2", n)(
+        Profiling.quantileNormalize(g2, "grp", "id", "v",
+          unitScale = 1L).count())
+      g2.unpersist()
     }
 
     // Incremental winnow admission: the O(delta) rerun claim, measured.

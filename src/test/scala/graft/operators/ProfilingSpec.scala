@@ -449,4 +449,134 @@ class ProfilingSpec extends SparkSpec {
     assert(a.map(_._1).toSeq === Seq(1L, 2L, 3L))
     assert(a.map(_._4).toSeq === Seq(4.0 / 12, 0.5, 4.0 / 12))
   }
+
+  test("aucReport: hand mid-rank AUC with ties, perfect separation, one-class empty") {
+    import spark.implicits._
+    // pos {3, 2} vs neg {1, 2}: ranks 1 | 2.5 2.5 | 4 → R_pos = 6.5 →
+    // U = 3.5 → AUC = 3.5/4 = 0.875, gini = 0.75
+    val rows = Seq((3.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val r = Profiling.aucReport(rows, "s", "y", unitScale = 1L)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r === ((2L, 2L, 0.875, 0.75)))
+    // every positive above every negative → AUC exactly 1
+    val perfect = Seq((9.0, true), (10.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    assert(Profiling.aucReport(perfect, "s", "y", unitScale = 1L)
+      .as[(Long, Long, Double, Double)].collect().head._3 === 1.0)
+    // one class absent → AUC undefined → empty frame
+    val onec = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(Profiling.aucReport(onec, "s", "y", unitScale = 1L).count() === 0)
+  }
+
+  test("kruskalWallis: tie-free hand H, tie-corrected H, all-tied null, k=1 drop") {
+    import spark.implicits._
+    // {1,2} {3,4} {5,6}: R = 3,7,11 → H = 12/42·89.5 − 21 = 32/7
+    val rows = Seq(("s", "a", 1.0), ("s", "a", 2.0), ("s", "b", 3.0),
+      ("s", "b", 4.0), ("s", "c", 5.0), ("s", "c", 6.0),
+      ("lone", "a", 1.0)) // single group → no test → dropped
+      .toDF("segment", "g", "v")
+    val got = Profiling.kruskalWallis(rows, "segment", "g", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(got.map(_._1).toSeq === Seq("s"))
+    val r = got.head
+    assert(r._2 === 3L && r._3 === 6L)
+    assert(r._4 === Some(math.rint(32.0 / 7 * 1e4) / 1e4))
+    // ties: {1,1} vs {2,2} → H_raw = 2.4, C = 1 − 12/60 = 0.8 → H = 3
+    val tied = Seq(("s", "a", 1.0), ("s", "a", 1.0), ("s", "b", 2.0),
+      ("s", "b", 2.0)).toDF("segment", "g", "v")
+    assert(Profiling.kruskalWallis(tied, "segment", "g", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Option[Double])].collect().head._4
+      === Some(3.0))
+    // every value tied → C = 0 → NULL h, counts still exact
+    val all = Seq(("s", "a", 5.0), ("s", "b", 5.0)).toDF("segment", "g", "v")
+    val at = Profiling.kruskalWallis(all, "segment", "g", "v",
+        unitScale = 1L)
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(at._2 === 2L && at._4.isEmpty)
+  }
+
+  test("anovaF: hand F and eta2, zero-within variance null, k=1 drop") {
+    import spark.implicits._
+    // {1,2} vs {4,6}: SSB = 12.25, SSW = 2.5, SST = 14.75 →
+    // F = 12.25/(2.5/2) = 9.8, η² = 12.25/14.75
+    val rows = Seq(("s", "a", 1.0), ("s", "a", 2.0), ("s", "b", 4.0),
+      ("s", "b", 6.0), ("lone", "a", 1.0)).toDF("segment", "g", "v")
+    val got = Profiling.anovaF(rows, "segment", "g", "v", unitScale = 1L)
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+    assert(got.map(_._1).toSeq === Seq("s"))
+    val r = got.head
+    assert(r._2 === 2L && r._3 === 4L && r._4 === Some(9.8))
+    assert(r._5 === Some(math.rint(12.25 / 14.75 * 1e6) / 1e6))
+    // groups internally constant → SSW = 0 → F NULL, η² = 1 exactly
+    val sep = Seq(("s", "a", 1.0), ("s", "a", 1.0), ("s", "b", 2.0),
+      ("s", "b", 2.0)).toDF("segment", "g", "v")
+    val sp = Profiling.anovaF(sep, "segment", "g", "v", unitScale = 1L)
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(sp._4.isEmpty && sp._5 === Some(1.0))
+  }
+
+  test("calibrationReport: hand bins with p=1 clamp, out-of-range raises") {
+    import spark.implicits._
+    val rows = Seq((0.05, false), (0.95, true), (0.95, false), (1.0, true))
+      .toDF("p", "y")
+    val got = Profiling.calibrationReport(rows, "p", "y", nBins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length === 2)
+    assert(got(0) === ((0L, 1L, 0L, 0.05, 0.0, -0.05)))
+    // bin 9 holds 0.95, 0.95, 1.0 (clamped): mean 2.9/3, rate 2/3
+    val b9 = got(1)
+    assert(b9._1 === 9L && b9._2 === 3L && b9._3 === 2L)
+    assert(b9._4 === 2900000.0 / 3000000.0 && b9._5 === 2.0 / 3.0)
+    assert(b9._6 === math.rint((2.0 / 3.0 - 2900000.0 / 3000000.0) * 1e6)
+      / 1e6)
+    val bad = Seq((1.5, true)).toDF("p", "y")
+    val e = intercept[Exception] {
+      Profiling.calibrationReport(bad, "p", "y").collect()
+    }
+    assert(e.getMessage.contains("outside [0, 1]"))
+  }
+
+  test("kendallTau: monotone ±1, hand tie case 0.5, constant null") {
+    import spark.implicits._
+    def tau(rows: Seq[(Double, Double)]): (Long, Option[Double]) = {
+      val r = Profiling.kendallTau(rows.toDF("x", "y"), "x", "y",
+          unitScale = 1L)
+        .as[(Long, Option[Long], Option[Long], Option[Double])]
+        .collect().head
+      (r._1, r._4)
+    }
+    assert(tau(Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0))) === ((3L, Some(1.0))))
+    assert(tau(Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0))) === ((3L, Some(-1.0))))
+    // x = (1,1,2), y = (1,2,2): C = 1, D = 0, T_x = T_y = 1 →
+    // τ-b = 1/√(2·2) = 0.5 exactly
+    assert(tau(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0))) === ((3L, Some(0.5))))
+    // constant x → denominator 0 → NULL
+    assert(tau(Seq((5.0, 1.0), (5.0, 2.0)))._2.isEmpty)
+  }
+
+  test("quantileNormalize: equal groups swap to rank means, unequal-size variant") {
+    import spark.implicits._
+    val rows = Seq(("A", 1L, 2.0), ("A", 2L, 4.0), ("B", 3L, 6.0),
+      ("B", 4L, 8.0)).toDF("grp", "id", "v")
+    val got = Profiling.quantileNormalize(rows, "grp", "id", "v",
+        unitScale = 1L)
+      .orderBy("grp", "id")
+      .as[(String, Long, Double, Double)].collect()
+    // rank-1 mean = (2+6)/2 = 4, rank-2 mean = (4+8)/2 = 6 — both
+    // groups end up on the SAME two-point distribution
+    assert(got.toSeq === Seq(("A", 1L, 2.0, 4.0), ("A", 2L, 4.0, 6.0),
+      ("B", 3L, 6.0, 4.0), ("B", 4L, 8.0, 6.0)))
+    // a short group only contributes to the ranks it has
+    val uneq = rows.union(Seq(("C", 5L, 10.0)).toDF("grp", "id", "v"))
+    val u = Profiling.quantileNormalize(uneq, "grp", "id", "v",
+        unitScale = 1L)
+      .filter(col("grp") === "C")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(u._4 === (2.0 + 6.0 + 10.0) / 3) // rank-1 mean over 3 groups
+  }
 }
