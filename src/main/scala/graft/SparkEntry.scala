@@ -1361,6 +1361,58 @@ object SparkEntry {
         "event_type", "event_id", "value")
     }),
 
+    // χ² token screen: which tokens separate English from non-English
+    // docs — distinct-presence 2×2 tables, exact integer cells, one
+    // fixed double chain per token, full table (no top-k knife-edge).
+    "q_chi2_tokens" -> ((s, dir) => {
+      graft.operators.TextAnalysis.chi2TokenSelection(
+        t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "text", "is_en", minDocFreq = 5L)
+    }),
+
+    // Frequent 3-step event flows with distinct-user support — the
+    // behavioral-motif companion to q_transitions (bigram probs) and
+    // q_session_paths (whole paths); one per-user window sort.
+    "q_seq_patterns" -> ((s, dir) => {
+      graft.operators.Events.sequentialPatterns(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", k = 3, minSupport = 5L)
+    }),
+
+    // Heaps'-law vocabulary-growth fit — text_zipf's companion corpus-
+    // health gate; exact integer halving checkpoints, chunked doc rank,
+    // ≤ 20-row OLS.
+    "q_heaps" -> ((s, dir) => {
+      graft.operators.TextAnalysis.heapsFit(t(s, dir, "documents"),
+        "text", "doc_id")
+    }),
+
+    // TextRank keywords: weighted PageRank over the adjacent-token
+    // co-occurrence graph (symmetric by construction — no dangling
+    // mass); scores ×N at O(1), 6dp — the q_pagerank rounding contract.
+    "q_textrank" -> ((s, dir) => {
+      graft.operators.TextAnalysis.textrankKeywords(
+        t(s, dir, "documents"), "text", iters = 6, minCount = 5L)
+    }),
+
+    // McNemar paired test: do the length filter and the language filter
+    // disagree symmetrically on the same docs? Exact discordant cells,
+    // one division, continuity-corrected.
+    "q_mcnemar" -> ((s, dir) => {
+      graft.operators.Profiling.mcnemarTest(
+        t(s, dir, "documents")
+          .withColumn("len_pass", col("n_chars") > 500)
+          .withColumn("lang_pass", col("lang") === "en"),
+        "len_pass", "lang_pass")
+    }),
+
+    // Kish effective sample size of order totals per status — the
+    // weight-health diagnostic an importance-weighted mix needs; exact
+    // quantized moments, scale cancels.
+    "q_ess" -> ((s, dir) => {
+      graft.operators.Profiling.effectiveSampleSize(t(s, dir, "orders"),
+        "o_totalprice", "o_orderstatus")
+    }),
+
     // Per-event-type z-standardization of event values: one moments
     // agg + one group join; exact moments, UNROUNDED bit-deterministic
     // scores (welchTTest's arithmetic contract applied row-wise).
@@ -5018,6 +5070,166 @@ object SparkEntry {
         |  FROM ranked GROUP BY 1)
         |SELECT grp, id, CAST(u AS DOUBLE) / 100 AS value, qn_value
         |FROM ranked JOIN ref USING (rk)""".stripMargin,
+    "q_chi2_tokens" ->
+      """WITH base AS (SELECT (lang = 'en') AS pos, text FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |cnt AS (SELECT token,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    count(*) AS ab
+        |  FROM (SELECT pos, unnest(list_distinct(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+        |    FROM base WHERE length(trim(lower(text))) > 0)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    count(*) AS n FROM base),
+        |j AS (SELECT token, a, ab - a AS b, np - a AS c,
+        |    n - np - (ab - a) AS d, n FROM cnt, tot)
+        |SELECT token, a AS n_pos, b AS n_neg,
+        |  CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+        |      CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) > 0 THEN
+        |    round(CAST(n AS DOUBLE) * CAST(a * d - b * c AS DOUBLE) *
+        |        CAST(a * d - b * c AS DOUBLE) /
+        |      (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+        |       CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 4)
+        |  END AS chi2
+        |FROM j""".stripMargin,
+    "q_seq_patterns" ->
+      """WITH base AS (SELECT user_id AS uid,
+        |    CAST(event_type AS VARCHAR) AS ty, epoch_ns(ts) AS ts,
+        |    event_id AS eid
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |led AS (SELECT *, lead(ty, 1) OVER w AS ty1,
+        |    lead(ty, 2) OVER w AS ty2
+        |  FROM base WINDOW w AS (PARTITION BY uid ORDER BY ts, eid)),
+        |pats AS (SELECT uid, concat_ws('>', ty, ty1, ty2) AS pattern
+        |  FROM led WHERE ty1 IS NOT NULL AND ty2 IS NOT NULL),
+        |g AS (SELECT pattern, uid, count(*) AS c FROM pats GROUP BY 1, 2)
+        |SELECT pattern, CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  count(*) AS n_users
+        |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "q_heaps" ->
+      """WITH docs AS (SELECT doc_id AS id,
+        |    CASE WHEN length(trim(lower(text))) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS toks
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |ranked AS (SELECT row_number() OVER (ORDER BY id) AS rk, toks
+        |  FROM docs),
+        |dd AS (SELECT count(*) AS d FROM docs),
+        |pts AS (SELECT DISTINCT
+        |    (d + (1::BIGINT << j) - 1) // (1::BIGINT << j) AS pt
+        |  FROM dd, range(0, 20) t(j)
+        |  WHERE (d + (1::BIGINT << j) - 1) // (1::BIGINT << j) >= 1),
+        |ttot AS (SELECT pt, CAST(sum(len(toks)) AS BIGINT) AS tokens
+        |  FROM ranked JOIN pts ON rk <= pt GROUP BY 1),
+        |vtot AS (SELECT pt, count(*) AS vocab FROM
+        |    (SELECT token, min(rk) AS mrk FROM
+        |      (SELECT rk, unnest(list_distinct(toks)) AS token FROM ranked)
+        |     GROUP BY 1)
+        |  JOIN pts ON mrk <= pt GROUP BY 1),
+        |curve AS (SELECT ttot.pt, tokens, vocab
+        |  FROM ttot JOIN vtot ON ttot.pt = vtot.pt
+        |  WHERE tokens > 0 AND vocab > 0),
+        |s AS (SELECT count(*) AS n_fit,
+        |    SUM(ln(CAST(tokens AS DOUBLE))) AS sx,
+        |    SUM(ln(CAST(vocab AS DOUBLE))) AS sy,
+        |    SUM(ln(CAST(tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)))
+        |      AS sxy,
+        |    SUM(ln(CAST(tokens AS DOUBLE)) * ln(CAST(tokens AS DOUBLE)))
+        |      AS sxx,
+        |    SUM(ln(CAST(vocab AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)))
+        |      AS syy
+        |  FROM curve),
+        |g AS (SELECT n_fit, sx, sy, CAST(n_fit AS DOUBLE) AS nd,
+        |    CAST(n_fit AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n_fit AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n_fit AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM s)
+        |SELECT n_fit,
+        |  CASE WHEN n_fit >= 2 AND den <> 0 THEN round(num / den, 4)
+        |    END AS beta,
+        |  CASE WHEN n_fit >= 2 AND den <> 0 THEN
+        |    round((sy - (num / den) * sx) / nd, 4) END AS log_k,
+        |  CASE WHEN n_fit >= 2 AND den <> 0 AND deny <> 0 THEN
+        |    round(num * num / (den * deny), 4) END AS r2
+        |FROM g""".stripMargin,
+    "q_textrank" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)),
+        |      '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |big AS (SELECT w1, w2, count(*) AS c FROM (
+        |    SELECT t[i] AS w1, t[i+1] AS w2 FROM (
+        |      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |      FROM toks))
+        |  WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 5),
+        |und AS (SELECT a, b, CAST(sum(c) AS DOUBLE) AS w0 FROM (
+        |    SELECT w1 AS a, w2 AS b, c FROM big
+        |    UNION ALL SELECT w2 AS a, w1 AS b, c FROM big)
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ow AS (SELECT a, SUM(w0) AS ow FROM und GROUP BY a),
+        |ce AS (SELECT e.a AS src, e.b AS dst, e.w0/o.ow AS w
+        |       FROM und e JOIN ow o ON e.a = o.a),
+        |p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+        |p1 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p0 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p2 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p1 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p3 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p2 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p4 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p3 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p5 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p4 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node),
+        |p6 AS (SELECT n.node, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*COALESCE(c.s, 0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT ce.dst, SUM(p.r*ce.w) AS s FROM ce
+        |    JOIN p5 p ON p.node = ce.src GROUP BY ce.dst) c ON c.dst = n.node)
+        |SELECT node AS token,
+        |  ROUND(r * (SELECT CAST(count(*) AS DOUBLE) FROM nodes), 6)
+        |    AS score
+        |FROM p6""".stripMargin,
+    "q_mcnemar" ->
+      """WITH base AS (SELECT (n_chars > 500) AS a, (lang = 'en') AS b
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |agg AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neither,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10
+        |  FROM base)
+        |SELECT n, n_both, n_neither, n01, n10,
+        |  CASE WHEN (n01 + n10) > 0 THEN
+        |    round(CAST((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1)
+        |        AS DOUBLE) / CAST(n01 + n10 AS DOUBLE), 4) END AS chi2
+        |FROM agg""".stripMargin,
+    "q_ess" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS grp,
+        |    CAST(round(o_totalprice * 1000000) AS BIGINT) AS u
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |agg AS (SELECT grp, count(*) AS n,
+        |    CAST(sum(u) AS BIGINT) AS s1,
+        |    sum(CAST(u AS HUGEINT) * u) AS s2
+        |  FROM base GROUP BY 1)
+        |SELECT grp, n,
+        |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+        |    CAST(s2 AS DOUBLE), 4) AS ess,
+        |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ess_ratio
+        |FROM agg""".stripMargin,
     "q_spearman" ->
       """WITH base AS (SELECT
         |    CAST(round(l_quantity * 100) AS BIGINT) AS ux,

@@ -414,4 +414,54 @@ object Events {
         col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /**
+   * Frequent contiguous event sequences (sequential k-gram mining —
+   * the contiguous special case of AprioriAll, Agrawal & Srikant
+   * 1995): every run of `k` consecutive events per user (ordered by
+   * time, event-id tiebreak) becomes a `>`-joined pattern string, and
+   * patterns ship with their total occurrence count and distinct-user
+   * support. The behavioral-motif companion to [[transitionMatrix]]
+   * (bigram probabilities) and [[sessionPaths]] (whole-path strings):
+   * "which 3-step flows recur, and across how many users".
+   *
+   * Determinism: the per-user order is (ts, event id) — a total order
+   * — so k-gram extraction is reproducible under timestamp ties.
+   * Event types must not contain the `>` separator (unchecked — the
+   * pattern is a display string, not a parse format).
+   *
+   * Scale shape: ONE user-partitioned (ts, id)-ordered window carries
+   * all k−1 `lead`s (one sort, the inherent per-user-sequence cost —
+   * never global), then a map-side-combined pattern aggregate;
+   * distinct-user support is a two-level (pattern, user) aggregate.
+   * Rows carry (user, k strings). Per-user sequence length bounds the
+   * window task, same class as [[sessionPaths]].
+   *
+   * Returns one row per pattern with user support ≥ `minSupport`:
+   * (`pattern`, `n_occurrences`, `n_users`).
+   */
+  def sequentialPatterns(events: DataFrame, userCol: String,
+                         typeCol: String, tsCol: String, idCol: String,
+                         k: Int = 3, minSupport: Long = 2L): DataFrame = {
+    require(k >= 2, "k must be >= 2 (a 1-gram is tokenFrequencies)")
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val base = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("user"), col(typeCol).cast("string").as("ty"),
+        col(tsCol).cast("long").as("ts"), col(idCol).as("eid"))
+    val w = Window.partitionBy("user").orderBy(col("ts"), col("eid"))
+    val led = (1 until k).foldLeft(base) { (d, i) =>
+      d.withColumn(s"ty$i", lead("ty", i).over(w))
+    }
+    val pats = led
+      .filter((1 until k).map(i => col(s"ty$i").isNotNull).reduce(_ && _))
+      .select(col("user"), concat_ws(">",
+        col("ty") +: (1 until k).map(i => col(s"ty$i")): _*).as("pattern"))
+    val grouped = pats.groupBy("pattern", "user")
+      .agg(count(lit(1)).as("c"))
+    grouped.groupBy("pattern")
+      .agg(sum("c").as("n_occurrences"), count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+  }
 }

@@ -1460,4 +1460,95 @@ object Profiling {
         (col("u").cast("double") / unitScale.toDouble).as("value"),
         col("qn_value"))
   }
+
+  /**
+   * McNemar's test for paired binary outcomes (McNemar 1947, with
+   * Edwards' continuity correction): given two boolean verdicts on the
+   * SAME items — two quality filters, a filter before/after a change,
+   * two classifiers — "do they disagree symmetrically, or does one
+   * systematically pass what the other fails?" Only the discordant
+   * cells carry signal: χ² = (|n01 − n10| − 1)² / (n01 + n10) under
+   * the correction (the uncorrected variant drops the −1).
+   *
+   * EXACTNESS: all four cells are exact longs from ONE
+   * map-side-combined aggregate; the statistic is one integer
+   * numerator over one integer denominator — a single IEEE division,
+   * rounded 4dp (NULL when no discordant pairs exist — the test is
+   * undefined). Nothing about this operator depends on value
+   * cardinality; n is unbounded.
+   *
+   * Returns ONE row: (`n`, `n_both`, `n_neither`, `n01`, `n10`,
+   * `chi2`) where n01 = a-only passes, n10 = b-only passes.
+   */
+  def mcnemarTest(df: DataFrame, aCol: String, bCol: String,
+                  corrected: Boolean = true): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("boolean").as("a"),
+        col(bCol).cast("boolean").as("b"))
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n_neither"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n10"))
+    val disc = col("n01") + col("n10")
+    val diff = abs(col("n01") - col("n10"))
+    val num = if (corrected) {
+      // (|b−c|−1)² floored at 0: a 1-disagreement split would otherwise
+      // go negative-squared... it cannot (|d|≥0, (|d|−1)² ≥ 0) — but
+      // |d|=0 with disc>0 gives (−1)²=1, the standard corrected value
+      val d = diff - lit(1L)
+      d * d
+    } else diff * diff
+    agg.select(col("n"), col("n_both"), col("n_neither"), col("n01"),
+      col("n10"),
+      when(disc > 0L,
+        round(num.cast("double") / disc.cast("double"), 4)).as("chi2"))
+  }
+
+  /**
+   * Effective sample size of a weighted frame (Kish 1965's design
+   * effect): ESS = (Σw)²/Σw² — how many EQUAL-weight samples the
+   * weighted set is worth. The diagnostic every importance-weighted
+   * mix ([[DataSelection.importanceWeights]], temperature sampling)
+   * needs before training on the weights: an ESS ratio near 1 says
+   * the weights are benign; near 0 says a few heavy documents
+   * dominate and the mix's nominal size is a lie.
+   *
+   * EXACTNESS: weights quantize at `unitScale` (zero/negative weights
+   * fail loud — they poison ESS silently); Σw is an exact long, Σw²
+   * exact DECIMAL(38,0); the quantization scale cancels in both ESS
+   * and the ratio, each ONE fixed double chain per group, 4dp.
+   *
+   * Scale shape: ONE map-side-combined aggregate per group key (or
+   * one row global when `groupCol` is empty). Nothing else moves.
+   *
+   * Returns (`grp`, `n`, `ess`, `ess_ratio`) — or without `grp` when
+   * ungrouped.
+   */
+  def effectiveSampleSize(df: DataFrame, weightCol: String,
+                          groupCol: String = "",
+                          unitScale: Long = 1000000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val w = round(col(weightCol) * unitScale).cast("long")
+    val base = df.filter(col(weightCol).isNotNull)
+      .select((if (groupCol.nonEmpty)
+        Seq(col(groupCol).cast("string").as("grp")) else Nil) :+
+        w.as("u"): _*)
+      .filter(when(col("u") <= 0L,
+        raise_error(lit("effectiveSampleSize: weight quantized to <= 0 " +
+          "(raise unitScale or drop nonpositive weights)"))
+          .cast("boolean")).otherwise(lit(true)))
+    val grouped = if (groupCol.nonEmpty) base.groupBy("grp") else
+      base.groupBy()
+    // widen BEFORE squaring: at the default 10⁶ scale a weight of ~10⁴
+    // quantizes to 10¹⁰ and its long square overflows (ANSI fail)
+    val agg = grouped.agg(count(lit(1)).as("n"), sum("u").as("s1"),
+      sum(col("u").cast("decimal(38,0)") * col("u")).as("s2"))
+    val ess = col("s1").cast("double") * col("s1").cast("double") /
+      col("s2").cast("double")
+    val front = if (groupCol.nonEmpty) Seq(col("grp")) else Nil
+    agg.select(front ++ Seq(col("n"), round(ess, 4).as("ess"),
+      round(ess / col("n").cast("double"), 4).as("ess_ratio")): _*)
+  }
 }

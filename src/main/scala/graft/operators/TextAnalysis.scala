@@ -708,4 +708,202 @@ object TextAnalysis {
       .withColumn(textCol, coalesce(col("__newtext"), lit("")))
       .select(df.columns.map(col): _*)
   }
+
+  /**
+   * χ² token feature selection against a binary document label
+   * (Yang & Pedersen 1997's χ²-max text-feature screen): for every
+   * token with document frequency ≥ `minDocFreq`, the chi-squared
+   * statistic of its 2×2 presence/label table — the standard "which
+   * tokens separate the classes" screen a quality-classifier pipeline
+   * runs before training. The FULL qualifying table ships (no top-k
+   * argsort — no cross-engine double-ordering knife-edge); callers
+   * threshold on the χ² column.
+   *
+   * EXACTNESS: per-token DISTINCT-presence counts (a = positive docs
+   * containing the token, b = negative) and the class totals are exact
+   * longs; χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) evaluates as ONE
+   * fixed left-associated double chain per token on those integers,
+   * rounded 4dp (NULL when a marginal is zero). N is guarded at
+   * 1.5×10⁹ so the a·d products stay in long range.
+   *
+   * Scale shape: ONE distinct-token explode (fan-out bounded by
+   * tokens-per-doc) into a map-side-combined token aggregate — class
+   * totals ride the SAME scan as a per-doc sentinel token (the EMPTY
+   * string — unproducible by a whitespace split of trimmed text, so
+   * collision-free by construction; present once per doc including
+   * empty ones), so the text column is read exactly once; the vocabulary-sized aggregate is
+   * lineage-cut (its two consumers — the sentinel totals row and the
+   * token rows — would otherwise each re-run the scan) and the 1-row
+   * totals broadcast into the token frame. Nothing global, nothing
+   * quadratic.
+   *
+   * Returns (`token`, `n_pos`, `n_neg`, `chi2`) — presence counts per
+   * class and the statistic, one row per token with df ≥ `minDocFreq`.
+   */
+  def chi2TokenSelection(df: DataFrame, textCol: String, labelCol: String,
+                         minDocFreq: Long = 5L): DataFrame = {
+    require(minDocFreq >= 1, "minDocFreq must be >= 1")
+    val sentinel = ""
+    val base = df
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+    val counts = graft.core.LineageCut.cut(
+      base.select(col(labelCol).cast("boolean").as("pos"),
+          explode(concat(array_distinct(tokens(lower(col(textCol)))),
+            array(lit(sentinel)))).as("token"))
+        .groupBy("token")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("a"),
+          count(lit(1)).as("ab")))
+    val tok = counts
+      .filter(col("token") =!= sentinel && col("ab") >= minDocFreq)
+    val tot = counts.filter(col("token") === sentinel)
+      .select(col("a").as("np"), col("ab").as("n"))
+      .filter(when(col("n") > 1500000000L,
+        raise_error(lit("chi2TokenSelection: corpus exceeds the exact " +
+          "cell-product long range")).cast("boolean")).otherwise(lit(true)))
+    val j = tok.crossJoin(broadcast(tot))
+    val aL = col("a")
+    val bL = col("ab") - col("a")
+    val cL = col("np") - col("a")
+    val dL = col("n") - col("np") - bL
+    val diffD = (aL * dL - bL * cL).cast("double")
+    val denom = (aL + bL).cast("double") * (cL + dL).cast("double") *
+      (aL + cL).cast("double") * (bL + dL).cast("double")
+    j.select(col("token"), aL.as("n_pos"), bL.as("n_neg"),
+      when(denom > 0d,
+        round(col("n").cast("double") * diffD * diffD / denom, 4))
+        .as("chi2"))
+  }
+
+  /**
+   * Heaps'-law vocabulary-growth fit (Heaps 1978) — [[zipfFit]]'s
+   * companion corpus-health gate: natural corpora grow vocabulary as
+   * V(T) ≈ K·T^β with β ≈ 0.4-0.6 in corpus TOKEN count T; β near 0
+   * says a closed template vocabulary (machine-generated boilerplate),
+   * β near 1 says runaway novel tokens (OCR noise, random strings).
+   * Fits OLS on (ln T, ln V) at geometric checkpoints of the corpus
+   * prefix (docs ordered by `idCol` — the corpus order key, required
+   * unique).
+   *
+   * Checkpoints are EXACT integer halvings N_j = ⌈D/2^j⌉ (j < 
+   * `maxPoints`, deduplicated) — no float log/exp ever picks the
+   * sample points, so both engines fit the IDENTICAL point set.
+   * Prefix totals come from exact longs (token counts, first-occurrence
+   * doc ranks); the ≤ maxPoints-row OLS rounds 4dp (the grid absorbs
+   * summation-order ULP drift — the zipfFit contract).
+   *
+   * Scale shape: one chunked [[Ranking.withGlobalRank]] over docs (by
+   * id — never a single-partition window), lineage-cut (three
+   * consumers: the 1-row D lookup, per-doc token counts, the
+   * first-occurrence explode); per-token min-rank is a map-side
+   * combined aggregate; each checkpoint total is a broadcast
+   * ≤ maxPoints-row join with ≤ maxPoints× map-local fan-out that
+   * collapses in the partial aggregate. Nothing global, nothing
+   * quadratic.
+   *
+   * Returns ONE row: (`n_fit`, `beta`, `log_k`, `r2`) — NULL fit
+   * columns when fewer than 2 usable checkpoints exist.
+   */
+  def heapsFit(df: DataFrame, textCol: String, idCol: String,
+               maxPoints: Int = 20): DataFrame = {
+    require(maxPoints >= 2, "maxPoints must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs0 = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("toks"))
+    val ranked = graft.core.LineageCut.cut(
+      Ranking.withGlobalRank(docs0, Seq(col("id").asc), "rk", "n_docs")
+        .select(col("rk"), col("n_docs"), col("toks")))
+    val dRow = ranked.agg(max("n_docs")).head()
+    require(!dRow.isNullAt(0), "heapsFit needs at least one document")
+    val d = dRow.getLong(0)
+    val points = (0 until maxPoints).map(j => (d + (1L << j) - 1) / (1L << j))
+      .filter(_ >= 1L).distinct.sorted
+    val ptsDf = points.toDF("pt")
+    val tTot = ranked
+      .select(col("rk"), size(col("toks")).cast("long").as("ntok"))
+      .join(broadcast(ptsDf), col("rk") <= col("pt"))
+      .groupBy("pt").agg(sum("ntok").as("tokens"))
+    val vTot = ranked
+      .select(col("rk"), explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token").agg(min("rk").as("mrk"))
+      .join(broadcast(ptsDf), col("mrk") <= col("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("vocab"))
+    val curve = tTot.join(vTot, "pt")
+      .filter(col("tokens") > 0 && col("vocab") > 0)
+    val x = log(col("tokens").cast("double"))
+    val y = log(col("vocab").cast("double"))
+    val sAgg = curve.agg(count(lit(1)).as("n_fit"), sum(x).as("__sx"),
+      sum(y).as("__sy"), sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"))
+    val n = col("n_fit").cast("double")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    val deny = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = num / den
+    val ok = col("n_fit") >= 2 && den =!= 0d
+    sAgg.select(col("n_fit"),
+      when(ok, round(slope, 4)).as("beta"),
+      when(ok, round((col("__sy") - slope * col("__sx")) / n, 4))
+        .as("log_k"),
+      when(ok && deny =!= 0d, round(num * num / (den * deny), 4)).as("r2"))
+  }
+
+  /**
+   * TextRank keyword scores (Mihalcea & Tarau 2004): weighted PageRank
+   * over the adjacent-token co-occurrence graph — the graph-centrality
+   * keyword extractor next to [[rakeKeywords]] (degree/frequency
+   * phrase scores) and [[topCollocations]] (PMI pairs). A token ranks
+   * high when it co-occurs with other high-ranking tokens, which
+   * surfaces thematic hubs frequency alone misses. The FULL score
+   * table ships (no top-k argsort knife-edge); scores are normalized
+   * ×N (node count) so they sit at O(1) — the rounding-grid contract
+   * every PageRank query here follows.
+   *
+   * Construction: directed adjacent pairs (self-loops dropped) with
+   * count ≥ `minCount`, then mirrored and merged into a SYMMETRIC
+   * weighted graph — every node has out-edges, so no dangling mass
+   * exists by construction. String tokens map to long node ids via a
+   * chunked rank over the vocabulary (deterministic, SQL-replayable);
+   * [[graft.operators.Graph.pageRank]] runs `iters` fixed rounds with
+   * out-weight-normalized columns.
+   *
+   * Scale shape: one bigram explode (map-side-combined pair counts —
+   * the exchange carries pair vocabulary, not corpus), one chunked
+   * vocabulary rank (lineage-cut: three consumers), two vocab-keyed id
+   * joins, then pageRank's per-round keys-only join+agg plan. Nothing
+   * global, nothing quadratic.
+   *
+   * Returns (`token`, `score` 6dp) — one row per graph node.
+   */
+  def textrankKeywords(df: DataFrame, textCol: String, iters: Int = 6,
+                       minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val big = df.select(explode(wordNgrams(col(textCol), 2)).as("g"))
+      .select(element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val und = big.select(col("w1").as("a"), col("w2").as("b"), col("c"))
+      .unionAll(big.select(col("w2").as("a"), col("w1").as("b"), col("c")))
+      .groupBy("a", "b").agg(sum("c").as("w"))
+    val vocab = graft.core.LineageCut.cut(Ranking.withGlobalRank(
+      und.select(col("a").as("token")).distinct(),
+      Seq(col("token").asc), "nid", "nv"))
+    // no pair cleared minCount → empty graph → empty result (pageRank
+    // itself fails loud on empty edges — correct for graphs, wrong for
+    // a corpus screen where "no recurring pairs" is an answer)
+    if (vocab.isEmpty)
+      return vocab.select(col("token"),
+        lit(null).cast("double").as("score"))
+    val edges = und
+      .join(vocab.select(col("token").as("a"), col("nid").as("src")), "a")
+      .join(vocab.select(col("token").as("b"), col("nid").as("dst")), "b")
+      .select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val pr = Graph.pageRank(edges, "src", "dst", iters = iters,
+      weightCol = Some("w"))
+    pr.join(vocab.select(col("nid").as("node"), col("token")), "node")
+      .crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
+      .select(col("token"), round(col("pr") * col("__n"), 6).as("score"))
+  }
 }

@@ -206,6 +206,48 @@ object StressBench {
       rows.unpersist()
     }
 
+    // χ² token screen: explode-bound like the text family — distinct
+    // tokens per doc fan out once, the token aggregate map-side
+    // combines, totals prune to the label column. Expect ~linear.
+    for (n <- (Seq(80000L, 320000L) ++ (if (xl) Seq(1280000L) else Nil))
+           if only.forall(_ == "textsel")) {
+      val docs = synthDocs(spark, n)
+        .withColumn("pos", pmod(col("doc_id"), lit(2L)) === 0L)
+      docs.cache().count()
+      run("chi2_tokens", n)(
+        graft.operators.TextAnalysis.chi2TokenSelection(docs, "text",
+          "pos", minDocFreq = 5L).count())
+      // Heaps fit: chunked doc rank + min-rank vocab aggregate + ≤ 20
+      // broadcast checkpoint joins — expect scan/rank-bound ~linear
+      run("heaps_fit", n)(
+        graft.operators.TextAnalysis.heapsFit(docs, "text",
+          "doc_id").count())
+      // TextRank at minCount=1: the random 50k-word vocabulary repeats
+      // almost no bigram, so this drives the WORST case — every
+      // adjacent pair becomes an edge (~39·n edges) and all 6 pageRank
+      // rounds run on the full pair graph
+      run("textrank", n)(
+        graft.operators.TextAnalysis.textrankKeywords(docs, "text",
+          iters = 6, minCount = 1L).count())
+      docs.unpersist()
+    }
+
+    // Sequential k-gram mining: ONE per-user window sort carries all
+    // k−1 leads (sessionPaths-class bound — per-user sequence length,
+    // never global). Expect ~linear in events.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "seqpat")) {
+      val ev = spark.range(n).toDF("id")
+        .select(pmod(col("id"), lit(n / 50L)).as("uid"),
+          concat(lit("t"), pmod(xxhash64(col("id")), lit(8L)))
+            .as("ty"), col("id").as("ts"), col("id").as("eid"))
+      ev.cache().count()
+      run("seq_patterns", n)(
+        graft.operators.Events.sequentialPatterns(ev, "uid", "ty", "ts",
+          "eid", k = 3, minSupport = 2L).count())
+      ev.unpersist()
+    }
+
     // Kendall τ-b at growing CELL cardinality — the operator's documented
     // O(C²) bound made visible: n is FIXED (4M rows) while quantized
     // (x, y) cells grow 4× per tier, so the pair-join cost (not the

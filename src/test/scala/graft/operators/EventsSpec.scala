@@ -248,4 +248,33 @@ class EventsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-null timestamp"))
   }
+
+  test("sequentialPatterns: hand trigram counts, user support, tie order") {
+    import spark.implicits._
+    // u1: a b c b c (trigrams abc, bcb, cbc); u2: a b c (abc).
+    // abc: 2 occurrences across 2 users; others: 1 occurrence, 1 user.
+    val ev = Seq(
+      ("u1", "a", 1L, 1L), ("u1", "b", 2L, 2L), ("u1", "c", 3L, 3L),
+      ("u1", "b", 4L, 4L), ("u1", "c", 5L, 5L),
+      ("u2", "a", 10L, 6L), ("u2", "b", 11L, 7L), ("u2", "c", 12L, 8L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Events.sequentialPatterns(ev, "user_id", "event_type",
+        "ts", "event_id", k = 3, minSupport = 1L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a>b>c" -> ((2L, 2L)), "b>c>b" -> ((1L, 1L)),
+      "c>b>c" -> ((1L, 1L))))
+    // minSupport on USERS (not occurrences) keeps only the shared flow
+    val sup = Events.sequentialPatterns(ev, "user_id", "event_type",
+        "ts", "event_id", k = 3, minSupport = 2L)
+      .as[(String, Long, Long)].collect()
+    assert(sup.toSeq === Seq(("a>b>c", 2L, 2L)))
+    // timestamp tie broken by event id: (b id=2) before (c id=3)
+    val tie = Seq(("u", "a", 1L, 1L), ("u", "b", 2L, 2L),
+      ("u", "c", 2L, 3L)).toDF("user_id", "event_type", "ts", "event_id")
+    val t = Events.sequentialPatterns(tie, "user_id", "event_type",
+        "ts", "event_id", k = 3, minSupport = 1L)
+      .as[(String, Long, Long)].collect()
+    assert(t.toSeq === Seq(("a>b>c", 1L, 1L)))
+  }
 }

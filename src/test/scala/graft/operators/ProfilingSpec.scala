@@ -579,4 +579,51 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().head
     assert(u._4 === (2.0 + 6.0 + 10.0) / 3) // rank-1 mean over 3 groups
   }
+
+  test("mcnemarTest: textbook corrected chi2, uncorrected variant, no-discord null") {
+    import spark.implicits._
+    // classic fixture: both=59, a-only=6, b-only=16, neither=80
+    // corrected chi2 = (|6-16|-1)^2/22 = 81/22
+    val rows = (Seq.fill(59)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(16)((false, true)) ++ Seq.fill(80)((false, false)))
+      .toDF("a", "b")
+    val r = Profiling.mcnemarTest(rows, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(r === ((161L, 59L, 80L, 6L, 16L,
+      Some(math.rint(81.0 / 22 * 1e4) / 1e4))))
+    // uncorrected: 100/22
+    val u = Profiling.mcnemarTest(rows, "a", "b", corrected = false)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(u._6 === Some(math.rint(100.0 / 22 * 1e4) / 1e4))
+    // perfect agreement -> no discordant pairs -> NULL
+    val same = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Profiling.mcnemarTest(same, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().head._6.isEmpty)
+  }
+
+  test("effectiveSampleSize: equal weights full, dominated low, grouped, guard") {
+    import spark.implicits._
+    // equal weights -> ESS = n exactly
+    val eq = Seq(("g", 2.0), ("g", 2.0), ("g", 2.0), ("g", 2.0))
+      .toDF("grp", "w")
+    val e = Profiling.effectiveSampleSize(eq, "w", "grp")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(e === (("g", 4L, 4.0, 1.0)))
+    // one dominating weight: w = (3, 1): ESS = 16/10 = 1.6, ratio 0.8
+    val dom = Seq(("g", 3.0), ("g", 1.0)).toDF("grp", "w")
+    val d = Profiling.effectiveSampleSize(dom, "w", "grp")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(d._3 === 1.6 && d._4 === 0.8)
+    // ungrouped variant drops the group column
+    val g = Profiling.effectiveSampleSize(eq, "w")
+      .as[(Long, Double, Double)].collect().head
+    assert(g === ((4L, 4.0, 1.0)))
+    // zero weight fails loud
+    val bad = Seq(("g", 0.0)).toDF("grp", "w")
+    val ex = intercept[Exception] {
+      Profiling.effectiveSampleSize(bad, "w", "grp").collect()
+    }
+    assert(ex.getMessage.contains("quantized to <= 0"))
+  }
 }

@@ -512,4 +512,74 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.zipfFit(docs, "text", topN = 1)
     }
   }
+
+  test("chi2TokenSelection: hand 2x2 chi2, distinct presence, marginal guards") {
+    import spark.implicits._
+    // 4 docs: "hot" in both positives, neither negative -> a=2 b=0
+    // c=0 d=2: chi2 = 4*(4-0)^2/(2*2*2*2) = 4 exactly. "the" in all
+    // four -> a zero marginal (b+d... c+d=0? a=2 b=2 c=0 d=0) -> NULL.
+    // repeated token in one doc counts ONCE (distinct presence).
+    val docs = Seq(
+      ("hot hot the", true), ("hot the", true),
+      ("cold the", false), ("cold the", false)).toDF("text", "y")
+    val got = TextAnalysis.chi2TokenSelection(docs, "text", "y",
+        minDocFreq = 1L)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("hot") === ((2L, 0L, Some(4.0))))
+    assert(got("cold") === ((0L, 2L, Some(4.0))))
+    assert(got("the") === ((2L, 2L, None))) // c+d = 0 marginal
+    // minDocFreq filters rare tokens out entirely
+    val rare = TextAnalysis.chi2TokenSelection(docs, "text", "y",
+        minDocFreq = 3L)
+      .as[(String, Long, Long, Option[Double])].collect().map(_._1).toSet
+    assert(rare === Set("the")) // df: hot=2, cold=2, the=4
+  }
+
+  test("heapsFit: hand three-doc curve, flat-vocab degenerate, single point") {
+    import spark.implicits._
+    // docs (corpus order by id): "a b" / "a c" / "a b c d"
+    // D = 3 -> checkpoints {3, 2, 1}; T = (2, 4, 8), V = (2, 3, 4)
+    // OLS over (ln T, ln V): x devs (-ln2, 0, ln2), the y-mean cancels
+    // -> num = ln2*(ln4-ln2) = ln2², den = 2·ln2² -> beta = 0.5 exactly
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("id", "text")
+    val r = TextAnalysis.heapsFit(docs, "text", "id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(r._1 === 3L)
+    assert(r._2 === Some(0.5))
+    assert(r._3.isDefined && r._4.exists(v => v > 0 && v <= 1))
+    // empty second doc: T stalls at (1, 1) -> zero x-variance -> NULL
+    val flat = Seq((1L, "a"), (2L, "")).toDF("id", "text")
+    val f = TextAnalysis.heapsFit(flat, "text", "id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(f._1 === 2L && f._2.isEmpty)
+    // single doc -> one checkpoint -> no line to fit
+    val one = Seq((1L, "a b")).toDF("id", "text")
+    val o = TextAnalysis.heapsFit(one, "text", "id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(o._1 === 1L && o._2.isEmpty)
+  }
+
+  test("textrankKeywords: symmetric pair parity, hub outranks leaves, minCount") {
+    import spark.implicits._
+    // two tokens co-occurring only with each other -> identical rank 1.0
+    val pair = Seq("a b a b").toDF("text")
+    val p = TextAnalysis.textrankKeywords(pair, "text", minCount = 1L)
+      .as[(String, Double)].collect().toMap
+    assert(p === Map("a" -> 1.0, "b" -> 1.0))
+    // a hub adjacent to three leaves outranks every leaf
+    val hub = Seq("hub x hub y hub z").toDF("text")
+    val h = TextAnalysis.textrankKeywords(hub, "text", minCount = 1L)
+      .as[(String, Double)].collect().toMap
+    assert(h.keySet === Set("hub", "x", "y", "z"))
+    assert(h("hub") > h("x") && h("hub") > h("y") && h("hub") > h("z"))
+    assert(math.abs(h.values.sum - 4.0) < 1e-3) // normalized x N mass
+    // minCount prunes rare pairs (every pair here occurs once)
+    assert(TextAnalysis.textrankKeywords(hub, "text", minCount = 2L)
+      .count() === 0)
+  }
 }
