@@ -1413,6 +1413,53 @@ object SparkEntry {
         "o_totalprice", "o_orderstatus")
     }),
 
+    // Precision-recall sweep of the length score — the rare-positive
+    // read ROC hides; one row per distinct score, exact confusion
+    // counts, unrounded single divisions.
+    "q_pr_curve" -> ((s, dir) => {
+      graft.operators.Profiling.prCurve(
+        t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en", unitScale = 1L)
+    }),
+
+    // Decile gains/lift of the same score — "keep the top 20%, capture
+    // what share of positives?"; chunked rank + exact ntile fill,
+    // never an unpartitioned window.
+    "q_lift" -> ((s, dir) => {
+      graft.operators.Profiling.liftTable(
+        t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "n_chars", "is_en", "doc_id", k = 10, unitScale = 1L)
+    }),
+
+    // Brier score of the deterministic length-based probability — the
+    // proper scoring rule next to q_calibration's reliability table.
+    "q_brier" -> ((s, dir) => {
+      graft.operators.Profiling.brierScore(
+        t(s, dir, "documents")
+          .withColumn("p", col("n_chars") / (col("n_chars") + lit(1000)))
+          .withColumn("is_en", col("lang") === "en"),
+        "p", "is_en")
+    }),
+
+    // Binned mutual information between price and quantity — the
+    // dependence screen Spearman can't run (nonmonotone shapes);
+    // exact percentile boundaries, map-only binning, ≤ 16-cell MI.
+    "q_mi_binned" -> ((s, dir) => {
+      graft.operators.Profiling.mutualInformationBinned(
+        t(s, dir, "lineitem"), "l_extendedprice", "l_quantity", nBins = 4)
+    }),
+
+    // Pairwise Spearman matrix over three lineitem measures — k rank
+    // passes + ONE moments aggregate (never k² passes); run next to
+    // q_corr's Pearson matrix, a large gap flags tail-driven correlation.
+    "q_spearman_matrix" -> ((s, dir) => {
+      graft.operators.Profiling.spearmanMatrix(
+        t(s, dir, "lineitem")
+          .withColumn("li_id",
+            col("l_orderkey") * 8 + col("l_linenumber")),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), "li_id")
+    }),
+
     // Per-event-type z-standardization of event values: one moments
     // agg + one group join; exact moments, UNROUNDED bit-deterministic
     // scores (welchTTest's arithmetic contract applied row-wise).
@@ -4439,7 +4486,9 @@ object SparkEntry {
         |SELECT (SELECT n FROM nn) AS n, round(ha.h_a, 6) AS h_a,
         |  round(hb.h_b, 6) AS h_b, round(mi.mi, 6) AS mi,
         |  CASE WHEN ha.h_a > 0 AND hb.h_b > 0 THEN
-        |    round(mi.mi / sqrt(ha.h_a * hb.h_b), 6) END AS nmi
+        |    round(mi.mi / sqrt(ha.h_a * hb.h_b), 6) END AS nmi,
+        |  CASE WHEN ha.h_a > 0 THEN round(mi.mi / ha.h_a, 6) END AS u_ab,
+        |  CASE WHEN hb.h_b > 0 THEN round(mi.mi / hb.h_b, 6) END AS u_ba
         |FROM mi, ha, hb""".stripMargin,
     "q_conversion_latency" ->
       """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_ns(ts) AS ts
@@ -5230,6 +5279,148 @@ object SparkEntry {
         |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ess_ratio
         |FROM agg""".stripMargin,
+    "q_pr_curve" ->
+      """WITH base AS (SELECT (lang = 'en') AS pos,
+        |    CAST(n_chars AS BIGINT) AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |levels AS (SELECT u,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    count(*) AS cv FROM base GROUP BY 1),
+        |cum AS (SELECT u,
+        |    sum(cp) OVER (ORDER BY u DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(cv) OVER (ORDER BY u DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred,
+        |    sum(cp) OVER () AS n_pos,
+        |    sum(cv - cp) OVER () AS n_neg
+        |  FROM levels)
+        |SELECT u AS threshold, CAST(tp AS BIGINT) AS tp,
+        |  CAST(pred - tp AS BIGINT) AS fp,
+        |  CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+        |FROM cum WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+    "q_lift" ->
+      """WITH base AS (SELECT doc_id AS id, (lang = 'en') AS pos,
+        |    CAST(n_chars AS BIGINT) AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |dec AS (SELECT
+        |    CAST(ntile(10) OVER (ORDER BY u DESC, id ASC) AS INTEGER)
+        |      AS decile, pos
+        |  FROM base),
+        |g AS (SELECT decile, count(*) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM dec GROUP BY 1),
+        |c AS (SELECT *,
+        |    sum(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    sum(n_pos) OVER () AS t_pos, sum(n) OVER () AS t_n
+        |  FROM g)
+        |SELECT decile, n, n_pos,
+        |  CAST(cum_pos AS DOUBLE) / CAST(t_pos AS DOUBLE) AS cum_gain,
+        |  CAST(n_pos * t_n AS DOUBLE) / CAST(n * t_pos AS DOUBLE) AS lift
+        |FROM c WHERE t_pos > 0""".stripMargin,
+    "q_brier" ->
+      """WITH base AS (SELECT (lang = 'en') AS pos,
+        |    CAST(round(CAST(n_chars AS DOUBLE) / (n_chars + 1000)
+        |      * 1000000) AS BIGINT) AS up
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT count(*) AS n,
+        |  round(CAST(sum(CAST(up - CASE WHEN pos THEN 1000000 ELSE 0 END
+        |        AS HUGEINT) *
+        |      (up - CASE WHEN pos THEN 1000000 ELSE 0 END)) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * (1000000.0 * 1000000)), 6)
+        |    AS brier
+        |FROM base""".stripMargin,
+    "q_mi_binned" ->
+      """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_quantity AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL),
+        |bx AS (SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS bs FROM base),
+        |byy AS (SELECT quantile_cont(y, [0.25, 0.5, 0.75]) AS bs FROM base),
+        |binned AS (SELECT
+        |    CAST(CAST(CASE WHEN x > bx.bs[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN x > bx.bs[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN x > bx.bs[3] THEN 1 ELSE 0 END AS BIGINT)
+        |      AS VARCHAR) AS a,
+        |    CAST(CAST(CASE WHEN y > byy.bs[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN y > byy.bs[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN y > byy.bs[3] THEN 1 ELSE 0 END AS BIGINT)
+        |      AS VARCHAR) AS b
+        |  FROM base, bx, byy),
+        |o AS (SELECT a, b, count(*) AS o FROM binned GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS na FROM o GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS nb FROM o GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM binned),
+        |mi AS (SELECT SUM((o.o / CAST(nn.n AS DOUBLE)) *
+        |    ln((CAST(o.o AS DOUBLE) * nn.n) /
+        |       (CAST(ra.na AS DOUBLE) * cb.nb))) AS mi
+        |  FROM o JOIN ra ON ra.a = o.a JOIN cb ON cb.b = o.b, nn),
+        |ha AS (SELECT SUM(-(na / CAST(nn.n AS DOUBLE)) *
+        |    ln(na / CAST(nn.n AS DOUBLE))) AS h_a FROM ra, nn),
+        |hb AS (SELECT SUM(-(nb / CAST(nn.n AS DOUBLE)) *
+        |    ln(nb / CAST(nn.n AS DOUBLE))) AS h_b FROM cb, nn)
+        |SELECT (SELECT n FROM nn) AS n, round(ha.h_a, 6) AS h_a,
+        |  round(hb.h_b, 6) AS h_b, round(mi.mi, 6) AS mi,
+        |  CASE WHEN ha.h_a > 0 AND hb.h_b > 0 THEN
+        |    round(mi.mi / sqrt(ha.h_a * hb.h_b), 6) END AS nmi,
+        |  CASE WHEN ha.h_a > 0 THEN round(mi.mi / ha.h_a, 6) END AS u_ab,
+        |  CASE WHEN hb.h_b > 0 THEN round(mi.mi / hb.h_b, 6) END AS u_ba
+        |FROM mi, ha, hb""".stripMargin,
+    "q_spearman_matrix" ->
+      """WITH base AS (SELECT
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS u0,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS u1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS u2
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+        |r AS (SELECT
+        |    2 * rank() OVER (ORDER BY u0)
+        |      + count(*) OVER (PARTITION BY u0) - 1 AS r0,
+        |    2 * rank() OVER (ORDER BY u1)
+        |      + count(*) OVER (PARTITION BY u1) - 1 AS r1,
+        |    2 * rank() OVER (ORDER BY u2)
+        |      + count(*) OVER (PARTITION BY u2) - 1 AS r2
+        |  FROM base),
+        |mom AS (SELECT count(*) AS n,
+        |    sum(CAST(r0 AS HUGEINT)) AS s0,
+        |    sum(CAST(r1 AS HUGEINT)) AS s1,
+        |    sum(CAST(r2 AS HUGEINT)) AS s2,
+        |    sum(CAST(r0 AS HUGEINT) * r0) AS p00,
+        |    sum(CAST(r0 AS HUGEINT) * r1) AS p01,
+        |    sum(CAST(r0 AS HUGEINT) * r2) AS p02,
+        |    sum(CAST(r1 AS HUGEINT) * r1) AS p11,
+        |    sum(CAST(r1 AS HUGEINT) * r2) AS p12,
+        |    sum(CAST(r2 AS HUGEINT) * r2) AS p22
+        |  FROM r),
+        |f AS (SELECT n,
+        |    CAST(n * p00 - s0 * s0 AS DOUBLE) AS v0,
+        |    CAST(n * p11 - s1 * s1 AS DOUBLE) AS v1,
+        |    CAST(n * p22 - s2 * s2 AS DOUBLE) AS v2,
+        |    CAST(n * p01 - s0 * s1 AS DOUBLE) AS c01,
+        |    CAST(n * p02 - s0 * s2 AS DOUBLE) AS c02,
+        |    CAST(n * p12 - s1 * s2 AS DOUBLE) AS c12
+        |  FROM mom)
+        |SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+        |  CASE WHEN v0 > 0 AND v0 > 0 THEN
+        |    round(v0 / sqrt(v0 * v0), 6) END AS rho FROM f
+        |UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+        |  CASE WHEN v0 > 0 AND v1 > 0 THEN
+        |    round(c01 / sqrt(v0 * v1), 6) END FROM f
+        |UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  CASE WHEN v0 > 0 AND v2 > 0 THEN
+        |    round(c02 / sqrt(v0 * v2), 6) END FROM f
+        |UNION ALL SELECT 'l_extendedprice', 'l_extendedprice',
+        |  CASE WHEN v1 > 0 AND v1 > 0 THEN
+        |    round(v1 / sqrt(v1 * v1), 6) END FROM f
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  CASE WHEN v1 > 0 AND v2 > 0 THEN
+        |    round(c12 / sqrt(v1 * v2), 6) END FROM f
+        |UNION ALL SELECT 'l_discount', 'l_discount',
+        |  CASE WHEN v2 > 0 AND v2 > 0 THEN
+        |    round(v2 / sqrt(v2 * v2), 6) END FROM f""".stripMargin,
     "q_spearman" ->
       """WITH base AS (SELECT
         |    CAST(round(l_quantity * 100) AS BIGINT) AS ux,

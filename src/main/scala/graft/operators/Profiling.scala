@@ -406,7 +406,50 @@ object Profiling {
         round(col("h_b"), 6).as("h_b"),
         round(col("mi"), 6).as("mi"),
         when(col("h_a") > 0 && col("h_b") > 0,
-          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"))
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"),
+        // Theil's uncertainty coefficients (Theil 1970): U(a|b) =
+        // MI/H(a) — the ASYMMETRIC association Cramér's V and NMI
+        // can't express ("b predicts a perfectly, a barely narrows b")
+        when(col("h_a") > 0, round(col("mi") / col("h_a"), 6))
+          .as("u_ab"),
+        when(col("h_b") > 0, round(col("mi") / col("h_b"), 6))
+          .as("u_ba"))
+  }
+
+  /**
+   * Mutual information between two NUMERIC columns via equi-depth
+   * binning — the dependence screen [[spearmanMatrix]] can't run:
+   * Spearman sees only MONOTONE association (a V-shaped or periodic
+   * relationship scores ρ ≈ 0), binned MI sees any statistical
+   * dependence the bin resolution can express. Each variable bins by
+   * its own exact `i/nBins` percentile boundaries (the
+   * [[equiDepthHistogram]] semantics — boundaries become plan
+   * constants, binning is a map-only comparison chain), then the
+   * categorical [[mutualInformation]] runs on the (binx, biny) frame —
+   * same output contract including the Theil's U columns.
+   *
+   * Scale shape: two exact percentile aggregates (one per variable) +
+   * [[mutualInformation]]'s ≤ nBins² cell aggregates. NULL on either
+   * side excludes the row from BOTH binning and the boundary
+   * percentiles (pairwise-complete semantics, stated — a one-sided
+   * null is not a dependence observation).
+   */
+  def mutualInformationBinned(df: DataFrame, xCol: String, yCol: String,
+                              nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    def bounds(c: String): Seq[Double] = base.agg(expr(
+        s"percentile($c, array(${probs.map(p => s"${p}D").mkString(", ")}))")
+        .as("b")).head().getSeq[Double](0)
+    def bucket(c: Column, bs: Seq[Double]): Column =
+      bs.map(b => when(c > b, 1).otherwise(0)).reduce(_ + _).cast("long")
+    val binned = base.select(bucket(col("x"), bounds("x")).as("bx"),
+      bucket(col("y"), bounds("y")).as("by"))
+    mutualInformation(binned, "bx", "by")
   }
 
   /**
@@ -1550,5 +1593,228 @@ object Profiling {
     val front = if (groupCol.nonEmpty) Seq(col("grp")) else Nil
     agg.select(front ++ Seq(col("n"), round(ess, 4).as("ess"),
       round(ess / col("n").cast("double"), 4).as("ess_ratio")): _*)
+  }
+
+  /**
+   * Pairwise Spearman rank-correlation matrix (the monotone companion
+   * to [[correlationMatrix]]'s Pearson): every column pair's rank
+   * correlation with exact tie handling, from ONE moments aggregate —
+   * so a k-column screen costs k rank passes + k level joins + one
+   * aggregate, never k² passes. Heavy-tailed pipeline columns
+   * (prices, latencies, lengths) correlate by ORDER here; run both
+   * matrices and a large Pearson−Spearman gap flags tail-driven
+   * correlation.
+   *
+   * EXACTNESS: the [[spearmanCorrelation]] contract per column —
+   * quantized values, chunked [[Ranking.withGlobalRank]] over (value,
+   * id) (NO single-partition window), a tie level's DOUBLED average
+   * rank = min+max of its unique ranks (exact long per level) — then
+   * ALL k sums, k square sums, and k(k−1)/2 cross sums accumulate
+   * DECIMAL(38,0) in one aggregate; each ρ converts its exact factors
+   * to double once, 6dp. Zero-rank-variance columns yield NULL ρ
+   * against everything (diagonal included). n guarded at 10⁹.
+   *
+   * Scale shape: k chunked rank passes (each a range shuffle + level
+   * aggregate + value-keyed join back onto the row frame), one moments
+   * aggregate, one ≤ k(k+1)/2-row stack. Rows carry (id, k longs).
+   *
+   * Returns one row per ordered pair a ≤ b (diagonal included, ρ = 1
+   * for any column with rank variance): (`col_a`, `col_b`, `rho`).
+   */
+  def spearmanMatrix(df: DataFrame, columns: Seq[String], idCol: String,
+                     unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(columns.size >= 2, "need at least two columns")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    val base = df
+      .filter(columns.map(c => col(c).isNotNull).reduce(_ && _) &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("id") +:
+        columns.zipWithIndex.map { case (c, i) =>
+          round(col(c) * unitScale).cast("long").as(s"u$i")
+        }: _*)
+    val withR = columns.indices.foldLeft(base) { (d, i) =>
+      val lvl = Ranking.withGlobalRank(d.select(col("id"), col(s"u$i")),
+          Seq(col(s"u$i").asc, col("id").asc), "r", "nn")
+        .groupBy(s"u$i")
+        .agg((min("r") + max("r")).as(s"r2_$i"))
+      d.join(lvl, s"u$i")
+    }
+    val dec = "decimal(38,0)"
+    val pairs = for {
+      i <- columns.indices
+      j <- columns.indices.drop(i)
+    } yield (i, j)
+    val sums =
+      columns.indices.map(i => sum(col(s"r2_$i").cast(dec)).as(s"s$i")) ++
+      pairs.map { case (i, j) =>
+        sum(col(s"r2_$i").cast(dec) * col(s"r2_$j")).as(s"p${i}_$j")
+      }
+    val aggCols = count(lit(1)).as("n") +: sums
+    val mom = withR.agg(aggCols.head, aggCols.tail: _*)
+      .filter(when(col("n") > 1000000000L,
+        raise_error(lit("spearmanMatrix: n exceeds the exact " +
+          "decimal(38,0) moment range")).cast("boolean"))
+        .otherwise(lit(true)))
+    val rhoCols = pairs.map { case (i, j) =>
+      val cov = (col("n") * col(s"p${i}_$j") -
+        col(s"s$i") * col(s"s$j")).cast("double")
+      val vx = (col("n") * col(s"p${i}_$i") -
+        col(s"s$i") * col(s"s$i")).cast("double")
+      val vy = (col("n") * col(s"p${j}_$j") -
+        col(s"s$j") * col(s"s$j")).cast("double")
+      when(vx > 0d && vy > 0d, round(cov / sqrt(vx * vy), 6))
+        .as(s"rho${i}_$j")
+    }
+    val rhod = mom.select(rhoCols: _*)
+    val stackArgs = pairs.map { case (i, j) =>
+      s"'${columns(i)}', '${columns(j)}', rho${i}_$j"
+    }.mkString(", ")
+    rhod.select(expr(s"stack(${pairs.size}, $stackArgs) " +
+      "as (col_a, col_b, rho)"))
+  }
+
+  /**
+   * Precision-recall curve of a score against a binary label — the
+   * threshold-sweep companion to [[aucReport]]: one row per distinct
+   * quantized score t with the confusion counts of classifying
+   * `score ≥ t` as positive. Rare-positive screens (toxicity, spam,
+   * contamination) read THIS, not ROC: with 0.1% positives a 0.99 AUC
+   * can still mean useless precision at any useful recall.
+   *
+   * EXACTNESS: per-level positive/total counts are exact longs; the
+   * ≥-threshold cumulatives come from ONE descending-score window
+   * over LEVELS; precision = tp/(tp+fp) and recall = tp/n_pos are
+   * single IEEE divisions of exact integers — unrounded,
+   * IEEE-identical cross-engine. Empty when either class is absent
+   * (no curve exists).
+   *
+   * Scale shape: identical to [[aucReport]] — one map-side-combined
+   * level aggregate, one value-ordered window over LEVELS (quantized-
+   * score cardinality bounds it; coarsen `unitScale` past ~10⁸
+   * levels), map-only arithmetic after.
+   *
+   * Returns one row per distinct score, descending-threshold order by
+   * `threshold` asc: (`threshold`, `tp`, `fp`, `precision`, `recall`).
+   */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("pos"),
+        round(col(scoreCol) * unitScale).cast("long").as("u"))
+    val levels = base.groupBy("u")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("cv"))
+    val desc = Window.orderBy(col("u").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = levels
+      .withColumn("tp", sum("cp").over(desc))
+      .withColumn("pred", sum("cv").over(desc))
+      .withColumn("n_pos", sum("cp").over(tot))
+      .withColumn("n_neg", sum(col("cv") - col("cp")).over(tot))
+    cum.filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("u").as("threshold"), col("tp"),
+        (col("pred") - col("tp")).as("fp"),
+        (col("tp").cast("double") / col("pred").cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("n_pos").cast("double"))
+          .as("recall"))
+  }
+
+  /**
+   * Decile lift / gains table of a score against a binary label (the
+   * campaign-targeting classic): rank by score descending, split into
+   * `k` near-equal buckets by the SQL-standard ntile fill, and per
+   * decile report size, positives, the cumulative gain share, and
+   * lift = decile rate / overall rate. What a budget-capped filtering
+   * pass reads: "if we only keep the top 20% by score, what share of
+   * the positives do we capture?"
+   *
+   * EXACTNESS: ranks come from [[Ranking.withGlobalRank]] over (score
+   * desc, id asc) — a total order, so equal scores split identically
+   * cross-engine — with [[Ranking.ntileFromRank]]'s exact-integer
+   * bucket fill (NEVER an unpartitioned ntile window); per-decile
+   * counts are exact longs; lift = (pos_d·n)/(n_d·pos) and the gain
+   * share are single divisions of exact integer products (guarded by
+   * the 10⁹ rank bound). All unrounded — IEEE-identical.
+   *
+   * Scale shape: one chunked rank pass (range shuffle + offset
+   * stitch), one ≤ k-row aggregate, one ≤ k-row cumulative window.
+   *
+   * Returns k rows ascending `decile` (1 = highest scores):
+   * (`decile`, `n`, `n_pos`, `cum_gain`, `lift`).
+   */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                idCol: String, k: Int = 10,
+                unitScale: Long = 100L): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).cast("boolean").as("pos"),
+        round(col(scoreCol) * unitScale).cast("long").as("u"))
+    val ranked = Ranking.withGlobalRank(base,
+      Seq(col("u").desc, col("id").asc), "rk", "nn")
+    val dec = ranked
+      .select(Ranking.ntileFromRank(col("rk"), col("nn"), k).as("decile"),
+        col("pos"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val byD = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    dec
+      .withColumn("cum_pos", sum("n_pos").over(byD))
+      .withColumn("t_pos", sum("n_pos").over(tot))
+      .withColumn("t_n", sum("n").over(tot))
+      .filter(col("t_pos") > 0)
+      .select(col("decile"), col("n"), col("n_pos"),
+        (col("cum_pos").cast("double") / col("t_pos").cast("double"))
+          .as("cum_gain"),
+        ((col("n_pos") * col("t_n")).cast("double") /
+          (col("n") * col("t_pos")).cast("double")).as("lift"))
+  }
+
+  /**
+   * Brier score of a probability forecast against binary outcomes
+   * (Brier 1950): mean squared error Σ(p − y)²/n — the PROPER scoring
+   * rule next to [[calibrationReport]]'s reliability table (a model
+   * can be perfectly calibrated yet useless; Brier punishes both
+   * miscalibration AND lack of resolution).
+   *
+   * EXACTNESS: probabilities quantize at `unitScale`; each residual
+   * (u − y·unitScale) is an exact long, squares accumulate
+   * DECIMAL(38,0) (widened BEFORE multiplying), and the score is ONE
+   * division with a fixed two-factor double denominator, 6dp.
+   * Out-of-range probabilities fail loud.
+   *
+   * Scale shape: ONE map-side-combined aggregate. Returns one row:
+   * (`n`, `brier`).
+   */
+  def brierScore(df: DataFrame, probCol: String, labelCol: String,
+                 unitScale: Long = 1000000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("pos"),
+        round(col(probCol) * unitScale).cast("long").as("up"))
+      .filter(when(col("up") < 0L || col("up") > unitScale,
+        raise_error(lit("brierScore: probability outside [0, 1]"))
+          .cast("boolean")).otherwise(lit(true)))
+    val res = col("up") - when(col("pos"), unitScale).otherwise(0L)
+    base.agg(count(lit(1)).as("n"),
+        sum(res.cast("decimal(38,0)") * res).as("ss"))
+      .select(col("n"),
+        round(col("ss").cast("double") /
+          (col("n").cast("double") * (unitScale.toDouble * unitScale)), 6)
+          .as("brier"))
   }
 }

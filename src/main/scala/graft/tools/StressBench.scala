@@ -203,6 +203,20 @@ object StressBench {
         "x", unitScale = 1L).count())
       run("anova_moments", n)(Profiling.anovaF(k5, "seg", "g5", "x",
         unitScale = 1L).count())
+      // eval family on the same all-unique fixture: prCurve shares
+      // auc's level window (row-sized output here — the honest worst
+      // case); liftTable is one chunked rank + a 10-row aggregate
+      run("pr_curve", n)(Profiling.prCurve(k5, "x", "pos",
+        unitScale = 1L).count())
+      run("lift_table", n)(Profiling.liftTable(k5, "x", "pos", "id",
+        k = 10, unitScale = 1L).count())
+      // 3-column Spearman matrix at the same all-unique worst case:
+      // 3 chunked rank passes + 3 level joins + ONE moments aggregate —
+      // expect ~1.5× the single-pair spearman, never 3×
+      val rows3 = rows.withColumn("z",
+        (xxhash64(col("id"), lit(13)) % 1000000000L).cast("double"))
+      run("spearman_mat3", n)(Profiling.spearmanMatrix(rows3,
+        Seq("x", "y", "z"), "id", unitScale = 1L).count())
       rows.unpersist()
     }
 

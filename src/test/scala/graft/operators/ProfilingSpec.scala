@@ -178,27 +178,60 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Option[Double])].head()._5.isEmpty)
   }
 
-  test("mutualInformation: perfect -> ln 2 / NMI 1; independent -> 0") {
+  test("mutualInformation: perfect -> ln 2 / NMI 1; independent -> 0; Theil's U") {
     import spark.implicits._
     val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q")))
       .toDF("a", "b")
     val got = Profiling.mutualInformation(perfect, "a", "b")
-      .as[(Long, Double, Double, Double, Option[Double])].head()
+      .as[(Long, Double, Double, Double, Option[Double], Option[Double], Option[Double])].head()
     def r6(v: Double) = BigDecimal(v)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got._1 === 10L)
     assert(got._2 === r6(math.log(2)) && got._3 === r6(math.log(2)))
     assert(got._4 === r6(math.log(2)))
     assert(got._5 === Some(1.0))
+    assert(got._6 === Some(1.0) && got._7 === Some(1.0)) // U both ways
     val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
     val g2 = Profiling.mutualInformation(indep, "a", "b")
-      .as[(Long, Double, Double, Double, Option[Double])].head()
+      .as[(Long, Double, Double, Double, Option[Double], Option[Double], Option[Double])].head()
     assert(g2._4 === 0.0 && g2._5 === Some(0.0))
-    // constant column: zero entropy -> NMI undefined
+    assert(g2._6 === Some(0.0) && g2._7 === Some(0.0))
+    // constant column a: H(a)=0 -> NMI and U(a|b) undefined; U(b|a)=0
     val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
-    assert(Profiling.mutualInformation(const, "a", "b")
-      .as[(Long, Double, Double, Double, Option[Double])].head()._5.isEmpty)
+    val g3 = Profiling.mutualInformation(const, "a", "b").as[(Long, Double, Double, Double, Option[Double], Option[Double], Option[Double])].head()
+    assert(g3._5.isEmpty && g3._6.isEmpty && g3._7 === Some(0.0))
+    // ASYMMETRY: b determines a (each b level maps to one a), but a
+    // leaves b uncertain -> U(a|b) = 1, U(b|a) < 1
+    val asym = Seq(("x", "p"), ("x", "q"), ("y", "r"), ("y", "s"))
+      .toDF("a", "b")
+    val g4 = Profiling.mutualInformation(asym, "a", "b").as[(Long, Double, Double, Double, Option[Double], Option[Double], Option[Double])].head()
+    assert(g4._6 === Some(1.0))
+    assert(g4._7.exists(_ < 1.0))
+  }
+
+  test("mutualInformationBinned: V-shape invisible to Spearman, independent zero") {
+    import spark.implicits._
+    // y = |x - 5.5|: perfectly dependent, monotone NOWHERE near rho=1;
+    // with 2 equi-depth bins each: x-bins split at median, y similar —
+    // binned MI must come out strictly positive
+    val v = (1 to 10).map(i => (i.toDouble, math.abs(i - 5.5))).toDF("x", "y")
+    val mi = Profiling.mutualInformationBinned(v, "x", "y", nBins = 2)
+      .as[(Long, Double, Double, Double, Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(mi._1 === 10L && mi._4 === 0.0) // 2 bins: V-shape folds evenly!
+    // 4 bins resolve the V: dependence appears
+    val mi4 = Profiling.mutualInformationBinned(v, "x", "y", nBins = 4)
+      .as[(Long, Double, Double, Double, Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(mi4._4 > 0.0)
+    // independent uniform grid -> exactly zero at matching bins
+    val ind = (for (i <- 1 to 4; j <- 1 to 4) yield (i.toDouble, j.toDouble))
+      .toDF("x", "y")
+    val mz = Profiling.mutualInformationBinned(ind, "x", "y", nBins = 2)
+      .as[(Long, Double, Double, Double, Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(mz._4 === 0.0)
   }
 
   test("functionalDependency: violations counted, null semantics pinned") {
@@ -625,5 +658,87 @@ class ProfilingSpec extends SparkSpec {
       Profiling.effectiveSampleSize(bad, "w", "grp").collect()
     }
     assert(ex.getMessage.contains("quantized to <= 0"))
+  }
+
+  test("spearmanMatrix: pairwise rho matches single-pair operator, constant NULL") {
+    import spark.implicits._
+    val rows = Seq((1L, 1.0, 10.0, 3.0), (2L, 2.0, 20.0, 1.0),
+      (3L, 2.0, 20.0, 2.0), (4L, 3.0, 40.0, 7.0))
+      .toDF("id", "x", "y", "k")
+    val got = Profiling.spearmanMatrix(rows, Seq("x", "y", "k"), "id",
+        unitScale = 1L)
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 6) // 3 diag + 3 upper
+    assert(got(("x", "x")) === Some(1.0) && got(("y", "y")) === Some(1.0))
+    // each pair must equal the single-pair operator bit-for-bit
+    for ((a, b) <- Seq(("x", "y"), ("x", "k"), ("y", "k"))) {
+      val single = Profiling.spearmanCorrelation(rows, a, b, "id",
+          unitScale = 1L)
+        .as[(Long, Option[Double])].collect().head._2
+      assert(got((a, b)) === single, s"pair ($a, $b)")
+    }
+    // constant column: NULL against everything including itself
+    val const = rows.withColumn("c", lit(5.0))
+    val g2 = Profiling.spearmanMatrix(const, Seq("x", "c"), "id",
+        unitScale = 1L)
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(g2(("c", "c")).isEmpty && g2(("x", "c")).isEmpty)
+  }
+
+  test("prCurve: hand confusion sweep on the AUC fixture, one-class empty") {
+    import spark.implicits._
+    // pos {3, 2} vs neg {1, 2}: thresholds 3/2/1 give (tp, fp) =
+    // (1,0) / (2,1) / (2,2)
+    val rows = Seq((3.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val got = Profiling.prCurve(rows, "s", "y", unitScale = 1L)
+      .orderBy("threshold")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 0.5, 1.0),
+      (2L, 2L, 1L, 2.0 / 3.0, 1.0),
+      (3L, 1L, 0L, 1.0, 0.5)))
+    assert(Profiling.prCurve(Seq((1.0, true)).toDF("s", "y"), "s", "y",
+      unitScale = 1L).count() === 0)
+  }
+
+  test("liftTable: concentrated positives double the top-decile lift") {
+    import spark.implicits._
+    // scores 4,3,2,1; positives on the top two -> k=2: top bucket
+    // lift = (2*4)/(2*2) = 2, bottom = 0; gains 1.0 then 1.0
+    val rows = Seq((1L, 4.0, true), (2L, 3.0, true), (3L, 2.0, false),
+      (4L, 1.0, false)).toDF("id", "s", "y")
+    val got = Profiling.liftTable(rows, "s", "y", "id", k = 2,
+        unitScale = 1L)
+      .orderBy("decile")
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(got.toSeq === Seq((1, 2L, 2L, 1.0, 2.0), (2, 2L, 0L, 1.0, 0.0)))
+    // uniform positives -> lift exactly 1 everywhere
+    val uni = Seq((1L, 4.0, true), (2L, 3.0, false), (3L, 2.0, true),
+      (4L, 1.0, false)).toDF("id", "s", "y")
+    val u = Profiling.liftTable(uni, "s", "y", "id", k = 2,
+        unitScale = 1L)
+      .orderBy("decile")
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(u.map(_._5).toSeq === Seq(1.0, 1.0))
+  }
+
+  test("brierScore: exact quantized MSE, perfect zero, out-of-range raise") {
+    import spark.implicits._
+    // residuals 0 and -0.5 -> (0 + 0.25)/2 = 0.125 exactly
+    val rows = Seq((1.0, true), (0.5, true)).toDF("p", "y")
+    val got = Profiling.brierScore(rows, "p", "y")
+      .as[(Long, Double)].collect().head
+    assert(got === ((2L, 0.125)))
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("p", "y")
+    assert(Profiling.brierScore(perfect, "p", "y")
+      .as[(Long, Double)].collect().head._2 === 0.0)
+    val ex = intercept[Exception] {
+      Profiling.brierScore(Seq((-0.1, true)).toDF("p", "y"), "p", "y")
+        .collect()
+    }
+    assert(ex.getMessage.contains("outside [0, 1]"))
   }
 }
