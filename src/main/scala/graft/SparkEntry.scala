@@ -1413,6 +1413,15 @@ object SparkEntry {
         "o_totalprice", "o_orderstatus")
     }),
 
+    // Split-conformal threshold at α=0.1 over doc lengths — the
+    // distribution-free filtering cutoff with a finite-sample
+    // guarantee; pure-integer order-statistic index, chunked rank.
+    "q_conformal" -> ((s, dir) => {
+      graft.operators.Profiling.conformalThreshold(
+        t(s, dir, "documents"), "n_chars", "doc_id", alpha = 0.1,
+        unitScale = 1L)
+    }),
+
     // Precision-recall sweep of the length score — the rare-positive
     // read ROC hides; one row per distinct score, exact confusion
     // counts, unrounded single divisions.
@@ -5279,6 +5288,19 @@ object SparkEntry {
         |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ess_ratio
         |FROM agg""".stripMargin,
+    "q_conformal" ->
+      """WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS u
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |kk AS (SELECT n, CAST((n + 1) -
+        |    ((n + 1) * 100000 - ((n + 1) * 100000) % 1000000) / 1000000
+        |    AS BIGINT) AS k FROM nn),
+        |ranked AS (SELECT u, row_number() OVER (ORDER BY u, id) AS rk
+        |  FROM base)
+        |SELECT (SELECT n FROM kk) AS n, (SELECT k FROM kk) AS k,
+        |  CAST(u AS DOUBLE) / 1 AS qhat
+        |FROM ranked WHERE rk = (SELECT k FROM kk)""".stripMargin,
     "q_pr_curve" ->
       """WITH base AS (SELECT (lang = 'en') AS pos,
         |    CAST(n_chars AS BIGINT) AS u

@@ -429,7 +429,11 @@ object Profiling {
    * same output contract including the Theil's U columns.
    *
    * Scale shape: two exact percentile aggregates (one per variable) +
-   * [[mutualInformation]]'s ≤ nBins² cell aggregates. NULL on either
+   * [[mutualInformation]]'s ≤ nBins² cell aggregates. The exact
+   * `percentile` aggregate's state is O(distinct values) per partition
+   * (the [[equiDepthHistogram]] contract) — at extreme value
+   * cardinality pre-quantize the inputs, the same coarsening dial the
+   * level-window operators carry. NULL on either
    * side excludes the row from BOTH binning and the boundary
    * percentiles (pairwise-complete semantics, stated — a one-sided
    * null is not a dependence observation).
@@ -1635,7 +1639,10 @@ object Profiling {
           round(col(c) * unitScale).cast("long").as(s"u$i")
         }: _*)
     val withR = columns.indices.foldLeft(base) { (d, i) =>
-      val lvl = Ranking.withGlobalRank(d.select(col("id"), col(s"u$i")),
+      // each level frame derives from BASE, not the partially-joined
+      // accumulator — deriving from `d` would nest every earlier join
+      // under every later rank pass (rank pass k re-running k−1 joins)
+      val lvl = Ranking.withGlobalRank(base.select(col("id"), col(s"u$i")),
           Seq(col(s"u$i").asc, col("id").asc), "r", "nn")
         .groupBy(s"u$i")
         .agg((min("r") + max("r")).as(s"r2_$i"))
@@ -1816,5 +1823,58 @@ object Profiling {
         round(col("ss").cast("double") /
           (col("n").cast("double") * (unitScale.toDouble * unitScale)), 6)
           .as("brier"))
+  }
+
+  /**
+   * Split-conformal quantile threshold (Vovk et al. 2005; Lei et al.
+   * 2018's split-conformal recipe): from a calibration set of
+   * nonconformity scores, the ⌈(n+1)(1−α)⌉-th smallest score — the
+   * distribution-FREE cutoff with the finite-sample guarantee that a
+   * fresh score lands below it with probability ≥ 1−α. The principled
+   * way to turn any quality/novelty score into a filtering threshold
+   * (vs. eyeballing a percentile).
+   *
+   * EXACTNESS: the order-statistic index k = (n+1) − ⌊(n+1)·α⌋
+   * evaluates in PURE integer arithmetic (α as an exact num/10⁶
+   * rational, the paretoReport idiom — a float product would ride a
+   * binary knife edge at (n+1)·α integers); the k-th smallest comes
+   * from [[Ranking.withGlobalRank]] over (score, id) — a chunked
+   * range shuffle, never a single-partition sort — and the VALUE at
+   * position k is tie-invariant even though the tiebreak orders equal
+   * scores. One division converts back to value units. Fails loud
+   * when k > n (α too small for the calibration size — the guarantee
+   * is unattainable, not approximable).
+   *
+   * Scale shape: one chunked rank pass + a 1-row filter. Returns ONE
+   * row: (`n`, `k`, `qhat`).
+   */
+  def conformalThreshold(df: DataFrame, scoreCol: String, idCol: String,
+                         alpha: Double,
+                         unitScale: Long = 100L): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val den = 1000000L
+    val num = math.round(alpha * den)
+    require(math.abs(num.toDouble / den - alpha) < 1e-12,
+      s"alpha must be expressible in 6 decimal places; got $alpha")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        round(col(scoreCol) * unitScale).cast("long").as("u"))
+    // k computes driver-side from a scan-only count (a plan-side
+    // raise_error guard would be unreachable: when k > n no row
+    // matches rk == k, so the guarded filter never evaluates and the
+    // failure would read as a silent empty result)
+    val n = base.count()
+    require(n >= 1, "conformalThreshold on an empty calibration frame")
+    val k = (n + 1L) - (n + 1L) * num / den
+    require(k <= n,
+      s"conformalThreshold: alpha=$alpha too small for n=$n calibration " +
+        s"scores (k=$k > n — the 1−α guarantee is unattainable)")
+    val ranked = Ranking.withGlobalRank(base,
+      Seq(col("u").asc, col("id").asc), "rk", "nn")
+    ranked.filter(col("rk") === k)
+      .select(col("nn").as("n"), col("rk").as("k"),
+        (col("u").cast("double") / unitScale.toDouble).as("qhat"))
   }
 }

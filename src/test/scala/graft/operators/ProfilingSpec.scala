@@ -741,4 +741,31 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("outside [0, 1]"))
   }
+
+  test("conformalThreshold: exact order-statistic index, tie-invariant, guards") {
+    import spark.implicits._
+    // n=9, alpha=0.1: k = 10 - floor(10*0.1) = 9 -> 9th smallest = 9.0
+    val nine = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val r = Profiling.conformalThreshold(nine, "s", "id", alpha = 0.1,
+        unitScale = 1L)
+      .as[(Long, Long, Double)].collect().head
+    assert(r === ((9L, 9L, 9.0)))
+    // n=19, alpha=0.2: k = 20 - 4 = 16 -> value 16
+    val nineteen = (1 to 19).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    assert(Profiling.conformalThreshold(nineteen, "s", "id", alpha = 0.2,
+        unitScale = 1L)
+      .as[(Long, Long, Double)].collect().head === ((19L, 16L, 16.0)))
+    // ties: the VALUE at position k is tie-invariant
+    val tied = Seq((1L, 1.0), (2L, 5.0), (3L, 5.0), (4L, 5.0), (5L, 1.0),
+      (6L, 1.0), (7L, 5.0), (8L, 5.0), (9L, 5.0)).toDF("id", "s")
+    assert(Profiling.conformalThreshold(tied, "s", "id", alpha = 0.1,
+        unitScale = 1L)
+      .as[(Long, Long, Double)].collect().head._3 === 5.0)
+    // alpha too small for n -> fail loud, never a silent empty
+    val ex = intercept[IllegalArgumentException] {
+      Profiling.conformalThreshold(nine, "s", "id", alpha = 0.05,
+        unitScale = 1L).collect()
+    }
+    assert(ex.getMessage.contains("unattainable"))
+  }
 }
