@@ -1966,6 +1966,44 @@ object SparkEntry {
             .as("copies_agree")))
     }),
 
+    // Simplified-silhouette clustering-quality gate over the trained
+    // k-means cells (invariant oracle, cluster_assign-style: exact
+    // totals + planted duplicates must get IDENTICAL per-row rows +
+    // every per-cell mean inside [−1, 1]).
+    "q_silhouette" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val plants = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionAll(plants)
+      val centroids = Similarity.trainKMeans(corpus, numCells = 8)
+      val rows = Similarity.silhouetteRows(corpus, centroids)
+      val rep = Similarity.silhouetteReport(corpus, centroids)
+      val copies = rows.filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("vec_id"),
+          col("cell").as("c2"), col("sil").as("s2"))
+      rep.agg(sum("n").as("n_vecs"),
+          (countDistinct("cell") >= 2).as("spread_ok"),
+          (min("mean_sil") >= -1.0 && max("mean_sil") <= 1.0).as("in_range"))
+        .crossJoin(rows.join(copies, "vec_id")
+          .agg(count(when(col("cell") === col("c2") &&
+            col("sil") === col("s2"), 1)).as("copies_identical")))
+    }),
+
+    // Recall@1 of LSH vs brute force on in-corpus queries — the ANN
+    // evaluation operator exercised end-to-end on a provable value
+    // (self-recovery makes recall@1 exactly 1.0; the stress harness
+    // reports the operator's non-trivial recall at k=5 per tier).
+    "q_ann_recall" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.recallAtK(
+        Similarity.lshTopK(corpus, queries, 1, numPlanes = 14),
+        Similarity.bruteForceTopK(corpus, queries, 1))
+    }),
+
     // Embedding-cosine near-dup (exact, on a deterministic subset ∪ planted
     // exact copies). SQL-expressible via DuckDB list_cosine_similarity.
     "dedup_embedding" -> ((s, dir) => {
@@ -6378,6 +6416,22 @@ object SparkEntry {
         |       true AS spread_ok,
         |       (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
         |         AS copies_agree""".stripMargin,
+    "q_ann_recall" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
+        |         AS n_queries,
+        |       (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
+        |         AS n_exact,
+        |       (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
+        |         AS n_hit,
+        |       CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
+    "q_silhouette" ->
+      """SELECT (SELECT count(*) FROM embeddings)
+        |         + (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+        |         AS n_vecs,
+        |       true AS spread_ok,
+        |       true AS in_range,
+        |       (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+        |         AS copies_identical""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0

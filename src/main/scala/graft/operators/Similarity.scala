@@ -1527,4 +1527,116 @@ object Similarity {
     }.toSeq
     corpus.select(cols: _*)
   }
+
+  /**
+   * Per-vector simplified silhouette against a fixed centroid table
+   * (Rousseeuw 1987's silhouette with the centroid approximation —
+   * a = distance to OWN centroid, b = distance to the nearest OTHER
+   * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]): the per-point cluster-
+   * quality signal behind [[silhouetteReport]], exposed row-level so
+   * callers can flag individual boundary points (s ≈ 0) or
+   * misassignments (s < 0). The centroid approximation is what makes
+   * silhouette LINEAR — the classical pairwise form is O(n²) by
+   * definition and has no place at corpus scale.
+   *
+   * Determinism: one broadcast + one streamed map pass (the
+   * [[kmeansAssign]] shape, no shuffle); per-row arithmetic is a fixed
+   * sequential fold over (centroid, dimension) — same result every
+   * run, duplicates of a vector get the IDENTICAL (cell, sil).
+   * Assignment ties break to the lowest centroid index (the [[nearest]]
+   * rule). A vector sitting exactly on two centroids (a = b = 0)
+   * reports s = 0.
+   *
+   * Returns (`idCol`, `cell`, `sil`).
+   */
+  def silhouetteRows(corpus: DataFrame, centroids: Array[Array[Float]],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(centroids.length >= 2,
+      "silhouette needs >= 2 centroids (no 'other cluster' exists)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = cB.value
+        rows.map { case (id, vec) =>
+          var own = 0; var a = Double.MaxValue; var b = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c); var d = 0.0; var i = 0
+            val n = math.min(cv.length, vec.length)
+            while (i < n) { val t = cv(i) - vec(i); d += t * t; i += 1 }
+            if (d < a) { b = a; a = d; own = c }
+            else if (d < b) { b = d }
+            c += 1
+          }
+          val da = math.sqrt(a); val db = math.sqrt(b)
+          val m = math.max(da, db)
+          val s = if (m > 0) (db - da) / m else 0.0
+          (id, own, s)
+        }
+      }.toDF(idCol, "cell", "sil")
+  }
+
+  /**
+   * Per-cluster simplified-silhouette report: the clustering-quality
+   * gate to run after [[trainKMeans]] before trusting cells for
+   * SemDeDup buckets or stratified mixes — a cell whose mean
+   * silhouette sits near 0 is a boundary soup, not a cluster.
+   *
+   * EXACTNESS: per-row silhouettes quantize at `unitScale` (exact
+   * long sums — the cross-row reduction never sums raw doubles), mean
+   * = ONE division per cell. Scale shape: [[silhouetteRows]]'s
+   * broadcast map pass + one map-side-combined ≤ k-cell aggregate.
+   *
+   * Returns one row per non-empty cell: (`cell`, `n`, `mean_sil`).
+   */
+  def silhouetteReport(corpus: DataFrame, centroids: Array[Array[Float]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       unitScale: Long = 1000000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    silhouetteRows(corpus, centroids, idCol, vecCol)
+      .select(col("cell"),
+        round(col("sil") * unitScale).cast("long").as("us"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("us").as("ss"))
+      .select(col("cell"), col("n"),
+        (col("ss").cast("double") / (col("n") * unitScale).cast("double"))
+          .as("mean_sil"))
+  }
+
+  /**
+   * Recall@k of an approximate ranked retrieval against an exact one —
+   * the evaluation every ANN deployment owes its users: macro recall
+   * Σ|approx ∩ exact| / Σ|exact| over per-query top-k result frames
+   * (both in the (queryIdCol, itemIdCol) shape [[bruteForceTopK]] /
+   * [[lshTopK]] / [[ivfTopK]] emit). The per-tier recall numbers in
+   * SCALING.md's ann section come from exactly this computation.
+   *
+   * EXACTNESS: the intersection is an equi-join on (query, item) —
+   * exact long counts, macro recall ONE division. Queries the
+   * approximate side missed entirely still count their exact k in the
+   * denominator (macro semantics — dropping them would inflate
+   * recall exactly when the index is at its worst).
+   *
+   * Scale shape: two keys-only aggregates + one (query, item) hash
+   * join over top-k-sized frames (≪ corpus). Returns ONE row:
+   * (`n_queries`, `n_exact`, `n_hit`, `recall`).
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                queryIdCol: String = "query_id",
+                itemIdCol: String = "nn_id"): DataFrame = {
+    val a = approx.select(col(queryIdCol).as("q"), col(itemIdCol).as("i"))
+    val e = exact.select(col(queryIdCol).as("q"), col(itemIdCol).as("i"))
+    val hits = a.join(e, Seq("q", "i"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    e.agg(countDistinct("q").as("n_queries"), count(lit(1)).as("n_exact"))
+      .crossJoin(hits)
+      .select(col("n_queries"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
 }

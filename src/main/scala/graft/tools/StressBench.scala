@@ -528,6 +528,12 @@ object StressBench {
       run("lsh_topk", n)(Similarity.lshTopK(vecs, queries, 5, numPlanes = 14).count())
       run("ivf_topk", n)(
         Similarity.ivfTopK(vecs, queries, 5, numCells = 64, nProbe = 4).count())
+      // silhouette gate: train once (sample-bounded), then ONE broadcast
+      // map pass + a ≤ k-cell aggregate — expect linear in n
+      run("silhouette", n) {
+        val cs = Similarity.trainKMeans(vecs, numCells = 16)
+        Similarity.silhouetteReport(vecs, cs).count()
+      }
       // embedding near-dup pairs via one-sided multi-probe LSH. Planes
       // scale with corpus (≈ log2(n) + 6) so expected bucket occupancy
       // stays O(1) on a uniform corpus — the knob the operator documents;

@@ -496,4 +496,52 @@ class SimilaritySpec extends SparkSpec {
         Seq(Option.empty[Array[Float]]).toDF("embedding"), "embedding")
     }
   }
+
+  test("silhouette: on-centroid 1, equidistant 0, misassigned negative, exact means") {
+    import spark.implicits._
+    val cs = Array(Array(0f, 0f), Array(10f, 10f))
+    // exactly ON centroid 0 -> a=0, b=sqrt(200) -> s = 1; midpoint
+    // (5,5) -> a=b -> s = 0; near centroid 1 -> s close to 1
+    val vecs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(5f, 5f)), (3L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.silhouetteRows(vecs, cs)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(rows(1L) === ((0, 1.0)))
+    assert(rows(2L) === ((0, 0.0))) // tie -> lowest index, s = 0
+    assert(rows(3L) === ((1, 1.0)))
+    // duplicates get the IDENTICAL row (the determinism contract)
+    val dup = vecs.unionAll(Seq((11L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding"))
+    val dr = graft.operators.Similarity.silhouetteRows(dup, cs)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(dr(11L) === dr(1L))
+    // report: exact quantized means per cell
+    val rep = graft.operators.Similarity.silhouetteReport(vecs, cs)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(rep(0) === ((2L, 0.5)) && rep(1) === ((1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.silhouetteRows(vecs, Array(Array(0f, 0f)))
+    }
+  }
+
+  test("recallAtK: hand overlap, missing-query macro penalty, perfect one") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "nn_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "nn_id")
+    val r = graft.operators.Similarity.recallAtK(approx, exact)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r === ((2L, 4L, 3L, 0.75)))
+    // a query the approx side missed entirely still counts (macro)
+    val miss = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "nn_id")
+    assert(graft.operators.Similarity.recallAtK(miss, exact)
+      .as[(Long, Long, Long, Double)].collect().head === ((2L, 4L, 2L, 0.5)))
+    assert(graft.operators.Similarity.recallAtK(exact, exact)
+      .as[(Long, Long, Long, Double)].collect().head._4 === 1.0)
+  }
 }
