@@ -1422,6 +1422,14 @@ object SparkEntry {
         unitScale = 1L)
     }),
 
+    // Per-event-type conformal thresholds — group-conditional coverage
+    // for a mixed corpus (one global cutoff over-filters minority
+    // strata); partitioned windows only, undersized groups NULL.
+    "q_conformal_group" -> ((s, dir) => {
+      graft.operators.Profiling.conformalThresholdByGroup(
+        t(s, dir, "events"), "value", "event_type", alpha = 0.1)
+    }),
+
     // Precision-recall sweep of the length score — the rare-positive
     // read ROC hides; one row per distinct score, exact confusion
     // counts, unrounded single divisions.
@@ -5339,6 +5347,23 @@ object SparkEntry {
         |SELECT (SELECT n FROM kk) AS n, (SELECT k FROM kk) AS k,
         |  CAST(u AS DOUBLE) / 1 AS qhat
         |FROM ranked WHERE rk = (SELECT k FROM kk)""".stripMargin,
+    "q_conformal_group" ->
+      """WITH base AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS u FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |ranked AS (SELECT grp, u,
+        |    row_number() OVER (PARTITION BY grp ORDER BY u) AS rk,
+        |    count(*) OVER (PARTITION BY grp) AS n FROM base),
+        |q AS (SELECT grp, CAST(u AS DOUBLE) / 100 AS qhat FROM ranked
+        |  WHERE rk = (n + 1) - CAST(((n + 1) * 100000
+        |    - ((n + 1) * 100000) % 1000000) / 1000000 AS BIGINT)),
+        |c AS (SELECT grp, count(*) AS n FROM base GROUP BY 1)
+        |SELECT c.grp, c.n,
+        |  CAST((c.n + 1) - CAST(((c.n + 1) * 100000
+        |    - ((c.n + 1) * 100000) % 1000000) / 1000000 AS BIGINT)
+        |    AS BIGINT) AS k,
+        |  q.qhat
+        |FROM c LEFT JOIN q ON c.grp = q.grp""".stripMargin,
     "q_pr_curve" ->
       """WITH base AS (SELECT (lang = 'en') AS pos,
         |    CAST(n_chars AS BIGINT) AS u

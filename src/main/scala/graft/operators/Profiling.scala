@@ -1877,4 +1877,54 @@ object Profiling {
       .select(col("nn").as("n"), col("rk").as("k"),
         (col("u").cast("double") / unitScale.toDouble).as("qhat"))
   }
+
+  /**
+   * Per-group split-conformal thresholds — [[conformalThreshold]]
+   * stratified by a group key (per-language, per-source, per-domain
+   * cutoffs): within each group, the ⌈(n_g+1)(1−α)⌉-th smallest score.
+   * Group-conditional coverage is exactly what a mixed corpus needs —
+   * one global cutoff over-filters the minority strata.
+   *
+   * EXACTNESS: the [[conformalThreshold]] contract per group — the
+   * order-statistic index in pure integer arithmetic (α as exact
+   * num/10⁶), the VALUE at position k tie-invariant — but the rank is
+   * a GROUP-partitioned `row_number` (per-group sort, never global,
+   * no driver action at all). Groups too small for the guarantee
+   * ((n_g+1)·α < 1, i.e. k > n_g) report NULL `qhat` — present and
+   * visibly unattainable rather than silently dropped.
+   *
+   * Scale shape: one group-partitioned window + one group aggregate +
+   * one group-keyed join of group-count rows. Parallelism is across
+   * groups (skewReport-class: a single giant group sorts in one task).
+   *
+   * Returns one row per group: (`grp`, `n`, `k`, `qhat`).
+   */
+  def conformalThresholdByGroup(df: DataFrame, scoreCol: String,
+                                groupCol: String, alpha: Double,
+                                unitScale: Long = 100L): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val den = 1000000L
+    val num = math.round(alpha * den)
+    require(math.abs(num.toDouble / den - alpha) < 1e-12,
+      s"alpha must be expressible in 6 decimal places; got $alpha")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        round(col(scoreCol) * unitScale).cast("long").as("u"))
+    def kOf(n: Column): Column = {
+      val t = (n + 1L) * num
+      (n + 1L) - ((t - pmod(t, lit(den))) / den).cast("long")
+    }
+    val w = Window.partitionBy("grp").orderBy("u")
+    val ranked = base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    val qrows = ranked.filter(col("rk") === kOf(col("n")))
+      .select(col("grp"),
+        (col("u").cast("double") / unitScale.toDouble).as("qhat"))
+    base.groupBy("grp").agg(count(lit(1)).as("n"))
+      .join(qrows, Seq("grp"), "left")
+      .select(col("grp"), col("n"), kOf(col("n")).as("k"), col("qhat"))
+  }
 }

@@ -768,4 +768,25 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("unattainable"))
   }
+
+  test("conformalThresholdByGroup: per-group k, undersized group NULL") {
+    import spark.implicits._
+    // group a: n=9, alpha=0.1 -> k=9 -> qhat = 9; group b: n=3 ->
+    // k = 4 - floor(0.4) = 4 > 3 -> guarantee unattainable -> NULL,
+    // but the group row is PRESENT
+    val rows = ((1 to 9).map(i => ("a", i.toDouble)) ++
+      (1 to 3).map(i => ("b", i.toDouble))).toDF("g", "s")
+    val got = Profiling.conformalThresholdByGroup(rows, "s", "g",
+        alpha = 0.1, unitScale = 1L)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((9L, 9L, Some(9.0))))
+    assert(got("b") === ((3L, 4L, None)))
+    // matches the global operator on a single-group frame
+    val g = Profiling.conformalThreshold(
+      rows.filter(col("g") === "a").withColumn("id",
+        monotonically_increasing_id()), "s", "id", alpha = 0.1,
+      unitScale = 1L).as[(Long, Long, Double)].collect().head
+    assert((got("a")._1, got("a")._2, got("a")._3.get) === g)
+  }
 }
