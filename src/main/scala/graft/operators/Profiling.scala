@@ -446,9 +446,16 @@ object Profiling {
       .select(col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
     val probs = (1 until nBins).map(_.toDouble / nBins)
-    def bounds(c: String): Seq[Double] = base.agg(expr(
+    def bounds(c: String): Seq[Double] = {
+      // fail loud on an empty/all-null frame (percentile returns NULL
+      // and getSeq would NPE) — the heapsFit isNullAt convention
+      val row = base.agg(expr(
         s"percentile($c, array(${probs.map(p => s"${p}D").mkString(", ")}))")
-        .as("b")).head().getSeq[Double](0)
+        .as("b")).head()
+      require(!row.isNullAt(0),
+        "mutualInformationBinned needs at least one non-null (x, y) pair")
+      row.getSeq[Double](0)
+    }
     def bucket(c: Column, bs: Seq[Double]): Column =
       bs.map(b => when(c > b, 1).otherwise(0)).reduce(_ + _).cast("long")
     val binned = base.select(bucket(col("x"), bounds("x")).as("bx"),
@@ -1397,8 +1404,11 @@ object Profiling {
    * of four base scans), then cell pairs enumerate via a
    * strict-inequality self-join — **O(C²) in cell count C**, planned
    * as a broadcast nested-loop when one side is small. This is the
-   * operator's scale bound: coarsen `unitScale` to keep C ≲ 10⁵
-   * (10¹⁰ cell pairs of pure long arithmetic); past that, use
+   * operator's scale bound, ENFORCED fail-loud: a cell-count gate
+   * (`maxCells`, default 10⁵ ≈ 10¹⁰ cell pairs of pure long
+   * arithmetic) runs over the cut cell frame before the pair join and
+   * aborts with the escape hatch in the message — coarsen
+   * `unitScale`, raise `maxCells` deliberately, or use
    * [[spearmanCorrelation]], whose chunked rank path has no quadratic
    * term. Row count n is unbounded — only distinct quantized cells
    * pair up.
@@ -1407,8 +1417,10 @@ object Profiling {
    * either variable is constant).
    */
   def kendallTau(df: DataFrame, xCol: String, yCol: String,
-                 unitScale: Long = 100L): DataFrame = {
+                 unitScale: Long = 100L,
+                 maxCells: Long = 100000L): DataFrame = {
     require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxCells >= 1, "maxCells must be >= 1")
     val base = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(round(col(xCol) * unitScale).cast("long").as("ux"),
@@ -1418,6 +1430,15 @@ object Profiling {
     // scan + aggregate (plan-audited: 4 scans)
     val cells = graft.core.LineageCut.cut(
       base.groupBy("ux", "uy").agg(count(lit(1)).as("cnt")))
+    // FAIL-LOUD scale guard on the documented O(C²) bound: the count
+    // runs over the already-cut cell frame (no base rescan) and fires
+    // BEFORE the quadratic pair join is ever planned into a job.
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTau: $nCells distinct quantized (x, y) cells exceeds " +
+        s"maxCells=$maxCells — the pair join is O(C²); coarsen " +
+        "unitScale, raise maxCells deliberately, or use " +
+        "spearmanCorrelation (no quadratic term)")
     val a = cells.select(col("ux").as("xa"), col("uy").as("ya"),
       col("cnt").as("ca"))
     val b = cells.select(col("ux").as("xb"), col("uy").as("yb"),
@@ -1893,9 +1914,12 @@ object Profiling {
    * ((n_g+1)·α < 1, i.e. k > n_g) report NULL `qhat` — present and
    * visibly unattainable rather than silently dropped.
    *
-   * Scale shape: one group-partitioned window + one group aggregate +
-   * one group-keyed join of group-count rows. Parallelism is across
-   * groups (skewReport-class: a single giant group sorts in one task).
+   * Scale shape: ONE group-partitioned window pass, lineage-cut so
+   * its two consumers (the k-rank filter and the per-group n rows)
+   * share one materialization — the base is scanned exactly once —
+   * plus one group-keyed join of group-count rows. Parallelism is
+   * across groups (skewReport-class: a single giant group sorts in
+   * one task).
    *
    * Returns one row per group: (`grp`, `n`, `k`, `qhat`).
    */
@@ -1917,13 +1941,17 @@ object Profiling {
       (n + 1L) - ((t - pmod(t, lit(den))) / den).cast("long")
     }
     val w = Window.partitionBy("grp").orderBy("u")
-    val ranked = base
+    // cut: the ranked frame feeds TWO consumers (the k-rank filter and
+    // the per-group n derivation) — uncut, each re-ran the base scan +
+    // the group window. n comes from the window count the cut frame
+    // already carries, so no second scan of base exists at all.
+    val ranked = graft.core.LineageCut.cut(base
       .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp"))))
     val qrows = ranked.filter(col("rk") === kOf(col("n")))
       .select(col("grp"),
         (col("u").cast("double") / unitScale.toDouble).as("qhat"))
-    base.groupBy("grp").agg(count(lit(1)).as("n"))
+    ranked.groupBy("grp").agg(max("n").as("n"))
       .join(qrows, Seq("grp"), "left")
       .select(col("grp"), col("n"), kOf(col("n")).as("k"), col("qhat"))
   }

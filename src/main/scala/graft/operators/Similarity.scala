@@ -1610,17 +1610,24 @@ object Similarity {
 
   /**
    * Recall@k of an approximate ranked retrieval against an exact one —
-   * the evaluation every ANN deployment owes its users: macro recall
-   * Σ|approx ∩ exact| / Σ|exact| over per-query top-k result frames
-   * (both in the (queryIdCol, itemIdCol) shape [[bruteForceTopK]] /
-   * [[lshTopK]] / [[ivfTopK]] emit). The per-tier recall numbers in
-   * SCALING.md's ann section come from exactly this computation.
+   * the evaluation every ANN deployment owes its users: POOLED (micro)
+   * recall Σ|approx ∩ exact| / Σ|exact| over per-query top-k result
+   * frames (both in the (queryIdCol, itemIdCol) shape
+   * [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]] emit). Pooled ≠
+   * macro (mean of per-query recalls): the two diverge whenever
+   * per-query exact-set sizes differ — pooled weights each query by
+   * its exact count, which is the right weighting for "what fraction
+   * of true neighbors did the index surface". The per-tier recall
+   * numbers in SCALING.md's ann section come from exactly this
+   * computation.
    *
-   * EXACTNESS: the intersection is an equi-join on (query, item) —
-   * exact long counts, macro recall ONE division. Queries the
-   * approximate side missed entirely still count their exact k in the
-   * denominator (macro semantics — dropping them would inflate
-   * recall exactly when the index is at its worst).
+   * EXACTNESS: the intersection is an equi-join on (query, item) over
+   * the DEDUPLICATED approx pairs (a malformed approx frame with
+   * duplicate (query, item) rows must not count a hit twice — recall
+   * could exceed 1.0) — exact long counts, pooled recall ONE
+   * division. Queries the approximate side missed entirely still
+   * count their exact k in the denominator (dropping them would
+   * inflate recall exactly when the index is at its worst).
    *
    * Scale shape: two keys-only aggregates + one (query, item) hash
    * join over top-k-sized frames (≪ corpus). Returns ONE row:
@@ -1630,6 +1637,7 @@ object Similarity {
                 queryIdCol: String = "query_id",
                 itemIdCol: String = "nn_id"): DataFrame = {
     val a = approx.select(col(queryIdCol).as("q"), col(itemIdCol).as("i"))
+      .distinct()
     val e = exact.select(col(queryIdCol).as("q"), col(itemIdCol).as("i"))
     val hits = a.join(e, Seq("q", "i"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))

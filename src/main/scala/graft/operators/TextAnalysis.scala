@@ -806,6 +806,11 @@ object TextAnalysis {
   def heapsFit(df: DataFrame, textCol: String, idCol: String,
                maxPoints: Int = 20): DataFrame = {
     require(maxPoints >= 2, "maxPoints must be >= 2")
+    // 1L << j wraps mod 64 past j = 63, turning the documented exact
+    // halvings into garbage checkpoints — and 2^63 already exceeds any
+    // doc count, so > 63 is never a meaningful request: fail loud
+    require(maxPoints <= 63,
+      s"maxPoints must be <= 63 (halving shifts wrap past 2^63); got $maxPoints")
     val spark = df.sparkSession
     import spark.implicits._
     val docs0 = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)

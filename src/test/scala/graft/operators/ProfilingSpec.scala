@@ -232,6 +232,14 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Double, Double, Double, Option[Double], Option[Double],
         Option[Double])].head()
     assert(mz._4 === 0.0)
+    // empty / all-null input fails loud (was an NPE off percentile's
+    // NULL row before the guard)
+    val empty = Seq((Option.empty[Double], Option.empty[Double]))
+      .toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.mutualInformationBinned(empty, "x", "y")
+    }
+    assert(e.getMessage.contains("at least one non-null"))
   }
 
   test("functionalDependency: violations counted, null semantics pinned") {
@@ -590,6 +598,19 @@ class ProfilingSpec extends SparkSpec {
     assert(tau(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0))) === ((3L, Some(0.5))))
     // constant x → denominator 0 → NULL
     assert(tau(Seq((5.0, 1.0), (5.0, 2.0)))._2.isEmpty)
+    // the documented O(C²) cell bound is ENFORCED: 4 distinct cells
+    // against maxCells = 3 must fail loud with the escape hatch —
+    // and coarsening unitScale (the prescribed fix) un-trips it
+    val wide = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.kendallTau(wide, "x", "y", unitScale = 1L, maxCells = 3L)
+    }
+    assert(e.getMessage.contains("maxCells") &&
+      e.getMessage.contains("spearmanCorrelation"))
+    assert(Profiling.kendallTau(wide, "x", "y", unitScale = 1L, maxCells = 4L)
+      .as[(Long, Option[Long], Option[Long], Option[Double])]
+      .collect().head._4 === Some(1.0))
   }
 
   test("quantileNormalize: equal groups swap to rank means, unequal-size variant") {

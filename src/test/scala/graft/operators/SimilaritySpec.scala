@@ -528,7 +528,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("recallAtK: hand overlap, missing-query macro penalty, perfect one") {
+  test("recallAtK: hand overlap, missing-query pooled penalty, dup-proof, perfect one") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
       .toDF("query_id", "nn_id")
@@ -537,11 +537,17 @@ class SimilaritySpec extends SparkSpec {
     val r = graft.operators.Similarity.recallAtK(approx, exact)
       .as[(Long, Long, Long, Double)].collect().head
     assert(r === ((2L, 4L, 3L, 0.75)))
-    // a query the approx side missed entirely still counts (macro)
+    // a query the approx side missed entirely still counts its exact k
+    // in the pooled denominator
     val miss = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "nn_id")
     assert(graft.operators.Similarity.recallAtK(miss, exact)
       .as[(Long, Long, Long, Double)].collect().head === ((2L, 4L, 2L, 0.5)))
     assert(graft.operators.Similarity.recallAtK(exact, exact)
       .as[(Long, Long, Long, Double)].collect().head._4 === 1.0)
+    // duplicate (query, item) rows in the approx frame must not count
+    // a hit twice (recall could exceed 1.0 before the dedup)
+    val dup = exact.union(exact)
+    assert(graft.operators.Similarity.recallAtK(dup, exact)
+      .as[(Long, Long, Long, Double)].collect().head === ((2L, 4L, 4L, 1.0)))
   }
 }

@@ -562,6 +562,11 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Option[Double], Option[Double], Option[Double])]
       .collect().head
     assert(o._1 === 1L && o._2.isEmpty)
+    // maxPoints past 63 would wrap the 1L << j halving shift: fail loud
+    val g = intercept[IllegalArgumentException] {
+      TextAnalysis.heapsFit(docs, "text", "id", maxPoints = 64)
+    }
+    assert(g.getMessage.contains("63"))
   }
 
   test("textrankKeywords: symmetric pair parity, hub outranks leaves, minCount") {
