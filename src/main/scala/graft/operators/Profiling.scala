@@ -1639,15 +1639,22 @@ object Profiling {
    * to double once, 6dp. Zero-rank-variance columns yield NULL ρ
    * against everything (diagonal included). n guarded at 10⁹.
    *
-   * Scale shape: k chunked rank passes (each a range shuffle + level
-   * aggregate + value-keyed join back onto the row frame), one moments
-   * aggregate, one ≤ k(k+1)/2-row stack. Rows carry (id, k longs).
+   * Scale shape (default `oneShuffle`): the k columns MELT to
+   * (col_idx, value, id) and ALL k rank passes ride ONE range shuffle
+   * of k·n rows through [[Ranking.withGroupedRank]], then one
+   * (col_idx, level) aggregate (lineage-cut) feeds k value-keyed
+   * level joins back onto the row frame, one moments aggregate, one
+   * ≤ k(k+1)/2-row stack. `oneShuffle = false` keeps the prior form —
+   * k sequential chunked rank passes (k full-frame range shuffles) —
+   * for A/B measurement; both produce BIT-IDENTICAL output (same
+   * per-column (value, id) total order → same exact level ranks).
    *
    * Returns one row per ordered pair a ≤ b (diagonal included, ρ = 1
    * for any column with rank variance): (`col_a`, `col_b`, `rho`).
    */
   def spearmanMatrix(df: DataFrame, columns: Seq[String], idCol: String,
-                     unitScale: Long = 100L): DataFrame = {
+                     unitScale: Long = 100L,
+                     oneShuffle: Boolean = true): DataFrame = {
     require(unitScale >= 1, "unitScale must be >= 1")
     require(columns.size >= 2, "need at least two columns")
     val missing = columns.filterNot(df.columns.contains)
@@ -1659,10 +1666,34 @@ object Profiling {
         columns.zipWithIndex.map { case (c, i) =>
           round(col(c) * unitScale).cast("long").as(s"u$i")
         }: _*)
-    val withR = columns.indices.foldLeft(base) { (d, i) =>
-      // each level frame derives from BASE, not the partially-joined
-      // accumulator — deriving from `d` would nest every earlier join
-      // under every later rank pass (rank pass k re-running k−1 joins)
+    val k = columns.size
+    val withR = if (oneShuffle) {
+      // ONE-SHUFFLE rank pass (r12 default; measured in SCALING.md
+      // §spearman-matrix): melt the k quantized columns to (cidx, u,
+      // id) rows and rank ALL k columns in a single range shuffle of
+      // k·n rows via [[Ranking.withGroupedRank]] — the k-pass form
+      // below runs k sequential full-frame range shuffles instead.
+      // Each column's (value, id) total order is identical either
+      // way, so per-level doubled average ranks — and every exact
+      // decimal moment downstream — are BIT-IDENTICAL across forms.
+      val stackArgs = columns.indices.map(i => s"$i, u$i").mkString(", ")
+      val melted = base.selectExpr("id", s"stack($k, $stackArgs) as (cidx, u)")
+      val ranked = Ranking.withGroupedRank(melted, "cidx",
+        Seq(col("u").asc, col("id").asc), "r", "nn")
+      // per-(column, level) doubled average rank; cut — k filtered
+      // slices join back, each must not re-run the rank pass
+      val levels = graft.core.LineageCut.cut(
+        ranked.groupBy("cidx", "u").agg((min("r") + max("r")).as("r2")))
+      columns.indices.foldLeft(base) { (d, i) =>
+        val lvl = levels.filter(col("cidx") === i)
+          .select(col("u").as(s"u$i"), col("r2").as(s"r2_$i"))
+        d.join(lvl, s"u$i")
+      }
+    } else columns.indices.foldLeft(base) { (d, i) =>
+      // k-pass form (kept for A/B measurement): each level frame
+      // derives from BASE, not the partially-joined accumulator —
+      // deriving from `d` would nest every earlier join under every
+      // later rank pass (rank pass k re-running k−1 joins)
       val lvl = Ranking.withGlobalRank(base.select(col("id"), col(s"u$i")),
           Seq(col(s"u$i").asc, col("id").asc), "r", "nn")
         .groupBy(s"u$i")

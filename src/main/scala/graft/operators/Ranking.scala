@@ -85,6 +85,80 @@ object Ranking {
   }
 
   /**
+   * Exact DISTRIBUTED per-group ranking — [[withGlobalRank]] with a
+   * group key: adds `rankCol` (1-based exact rank by `order` WITHIN
+   * each `grpCol` group) and `nCol` (the group's total row count).
+   * The scale-safe replacement for `row_number() OVER (PARTITION BY g
+   * ORDER BY …)` when single groups are too large for one task's
+   * sort — and, melted, the one-shuffle path for k parallel rankings
+   * ([[graft.operators.Profiling.spearmanMatrix]] melts k columns to
+   * (col_idx, value, id) rows and ranks ALL k columns in ONE range
+   * shuffle of k·n rows instead of k full-frame passes).
+   *
+   * Same chunked exact-prefix-sum factorization as [[withGlobalRank]],
+   * with the range partitioner keyed on (group, order…): ranges are
+   * disjoint and ordered over the composite key, so each group's rows
+   * occupy a CONTIGUOUS run of chunks and are contiguous within each
+   * chunk after the sort. The chunk summary therefore carries one row
+   * per (chunk, group) — ≤ chunks + groups − 1 rows total, since each
+   * chunk boundary splits at most one group — with per-(chunk, group)
+   * count and min id; per-group chunk offsets are a group-partitioned
+   * prefix window over that summary (tiny, bounded), and the final
+   * broadcast join stitches local positions into exact per-group
+   * ranks. No per-group sort task ever sees more than ~n/chunks rows,
+   * whatever the group-size skew — the giant-group bound that
+   * `PARTITION BY` windows carry does not exist here.
+   *
+   * Determinism: `order` must totally order rows WITHIN each group
+   * (callers tiebreak on a unique key). Null group values rank
+   * together as their own group (null-safe stitch join), matching the
+   * window form's null-partition semantics.
+   */
+  def withGroupedRank(df: DataFrame, grpCol: String, order: Seq[Column],
+                      rankCol: String, nCol: String,
+                      chunks: Int = 256): DataFrame = {
+    require(order.nonEmpty, "order must name at least one sort column")
+    require(chunks >= 1, "chunks must be >= 1")
+    require(df.columns.contains(grpCol), s"no column $grpCol in the frame")
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    require(!df.columns.contains(rankCol) && !df.columns.contains(nCol),
+      s"output columns $rankCol/$nCol already exist in the frame")
+    require(!rankCol.startsWith("__") && !nCol.startsWith("__"),
+      s"output column names $rankCol/$nCol must not use the reserved " +
+        "__ prefix (they would collide with the helper's scratch columns)")
+    val keys = col(grpCol) +: order
+    val parted = df.repartitionByRange(chunks, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .lineageCut() // offsets job + consumer must see identical ids
+    // one summary row per (chunk, group): count + the group's first id
+    // in the chunk (rows of a group are contiguous after the sort, so
+    // __mid − __base IS the 0-based local rank within (chunk, group))
+    val summary = parted
+      .groupBy(shiftright(col("__mid"), MidBits).as("__opid"),
+        col(grpCol).as("__g"))
+      .agg(count(lit(1)).as("__cnt"), min("__mid").as("__base"))
+    val offW = Window.partitionBy("__g").orderBy(col("__opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy("__g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = summary
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(totW))
+      .select("__opid", "__g", "__base", "__off", "__n")
+    parted
+      .withColumn("__pid", shiftright(col("__mid"), MidBits))
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(grpCol) <=> col("__g"))
+      .withColumn(rankCol,
+        col("__off") + (col("__mid") - col("__base")) + 1)
+      .withColumn(nCol, col("__n"))
+      .drop("__mid", "__pid", "__opid", "__g", "__base", "__off", "__n")
+  }
+
+  /**
    * SQL-standard `ntile(k)` bucket (IntegerType, 1-based) from an
    * exact 1-based `rank` and total count `n` — the first `n % k`
    * buckets take `n/k + 1` rows, the rest `n/k` (larger buckets

@@ -220,6 +220,28 @@ object StressBench {
       rows.unpersist()
     }
 
+    // r12 A/B: spearmanMatrix's one-shuffle melted rank pass vs the
+    // k-pass form at k ∈ {3, 8, 16} — the melt replaces k full-frame
+    // range shuffles with ONE shuffle of k·n rows, so its edge should
+    // grow with k. All-unique values (levels == rows), the honest
+    // worst case for the level machinery on both forms.
+    for (n <- Seq(1000000L, 4000000L) if only.forall(_ == "spearmat")) {
+      import graft.operators.Profiling
+      val cols = (0 until 16).map(i => s"c$i")
+      val rows = spark.range(n).toDF("id")
+        .select(col("id") +: cols.zipWithIndex.map { case (c, i) =>
+          (xxhash64(col("id"), lit(i)) % 1000000000L).cast("double").as(c)
+        }: _*)
+      rows.cache().count()
+      for (k <- Seq(3, 8, 16)) {
+        run(s"spearmat${k}_melt", n)(Profiling.spearmanMatrix(rows,
+          cols.take(k), "id", unitScale = 1L).count())
+        run(s"spearmat${k}_kpass", n)(Profiling.spearmanMatrix(rows,
+          cols.take(k), "id", unitScale = 1L, oneShuffle = false).count())
+      }
+      rows.unpersist()
+    }
+
     // χ² token screen: explode-bound like the text family — distinct
     // tokens per doc fan out once, the token aggregate map-side
     // combines, totals prune to the label column. Expect ~linear.

@@ -706,6 +706,13 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, String, Option[Double])].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(g2(("c", "c")).isEmpty && g2(("x", "c")).isEmpty)
+    // the one-shuffle melted form and the k-pass form are BIT-IDENTICAL
+    // (same per-column (value, id) total order → same exact moments)
+    val kPass = Profiling.spearmanMatrix(rows, Seq("x", "y", "k"), "id",
+        unitScale = 1L, oneShuffle = false)
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(kPass === got)
   }
 
   test("prCurve: hand confusion sweep on the AUC fixture, one-class empty") {

@@ -37,6 +37,53 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("withGroupedRank matches partitioned row_number window across chunk counts") {
+    // 5 groups × heavy metric ties; groups MUST span chunks at the
+    // small chunk counts (250 rows / 4 chunks ≫ one group per chunk)
+    val df = (0 until 250).map { i =>
+      val h = ((i * 2654435761L) ^ (i >> 3)) & Long.MaxValue
+      (i.toLong, s"g${i % 5}", (h % 7).toDouble)
+    }.toDF("id", "grp", "metric")
+    val w = Window.partitionBy("grp")
+      .orderBy(col("metric").desc, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .as[(Long, String, Double, Int, Long)].collect().toSet
+      .map((t: (Long, String, Double, Int, Long)) =>
+        (t._1, t._2, t._3, t._4.toLong, t._5))
+    for (chunks <- Seq(1, 4, 64, 2048)) {
+      val got = Ranking.withGroupedRank(df, "grp",
+          Seq(col("metric").desc, col("id").asc), "rn", "n", chunks)
+        .as[(Long, String, Double, Long, Long)].collect().toSet
+      assert(got === expected, s"chunks = $chunks")
+    }
+  }
+
+  test("withGroupedRank: null group ranks as its own group; single group = global") {
+    val withNulls = Seq((1L, Option("a"), 3.0), (2L, None, 1.0),
+      (3L, Option("a"), 1.0), (4L, None, 2.0)).toDF("id", "grp", "v")
+    val got = Ranking.withGroupedRank(withNulls, "grp",
+        Seq(col("v").asc, col("id").asc), "rn", "n", chunks = 2)
+      .as[(Long, Option[String], Double, Long, Long)].collect().toSet
+    // window-form semantics: NULL is one partition
+    assert(got === Set((3L, Some("a"), 1.0, 1L, 2L),
+      (1L, Some("a"), 3.0, 2L, 2L),
+      (2L, None, 1.0, 1L, 2L), (4L, None, 2.0, 2L, 2L)))
+    // one group degenerates to the global helper's answer
+    val one = Seq((1L, "g", 5.0), (2L, "g", 3.0)).toDF("id", "grp", "v")
+    val g = Ranking.withGroupedRank(one, "grp",
+        Seq(col("v").asc, col("id").asc), "rn", "n")
+      .as[(Long, String, Double, Long, Long)].collect().toSet
+    assert(g === Set((2L, "g", 3.0, 1L, 2L), (1L, "g", 5.0, 2L, 2L)))
+    // guards: missing group column, output collision
+    intercept[IllegalArgumentException] {
+      Ranking.withGroupedRank(one, "nope", Seq(col("v")), "rn", "n")
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.withGroupedRank(one, "grp", Seq(col("v")), "id", "n")
+    }
+  }
+
   test("withNtile matches ntile window incl. the n < k edge") {
     for ((rows, k) <- Seq((500, 5), (500, 7), (3, 5), (1, 4))) {
       val df = randomFrame(rows, distinctMetrics = 3)
