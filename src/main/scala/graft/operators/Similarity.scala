@@ -1175,15 +1175,141 @@ object Similarity {
                        vecCol: String = "embedding"): Map[Int, Long] = {
     val spark = delta.sparkSession
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dest/centroids")
+    val live = resolveIvfDir(spark, dest)
+    val cents = spark.read.parquet(s"$live/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"no centroids at $dest — buildIvfIndex first")
     val assigned = assignCells(delta, cents, idCol, vecCol)
       .lineageCut() // one assignment pass feeds write + census
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$dest/vectors")
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$live/vectors")
     assigned.groupBy("cell").count()
       .as[(Int, Long)].collect().toMap
+  }
+
+  private def ivfFs(spark: SparkSession, dest: String)
+  : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dest)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def ivfGenNumbers(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("gen-\\d+") => s.drop(4).toLong }
+
+  /**
+   * Live data dir of an IVF store under the generation lifecycle:
+   * `dest/CURRENT` names the committed generation (`gen-N`, written by
+   * [[rebuildIvfIndexIfSkewed]]); a missing/stale pointer falls back
+   * to the NEWEST generation carrying a `COMMITTED` marker, then to
+   * the legacy flat layout ([[buildIvfIndex]] writes
+   * `dest/{centroids,vectors}` directly, which stays fully
+   * compatible). A failed rebuild attempt leaves an UNCOMMITTED gen
+   * dir that no resolver path ever returns — that is the atomicity
+   * contract: readers see the old index until the commit marker and
+   * pointer land, however the attempt died.
+   */
+  private[operators] def resolveIvfDir(spark: SparkSession,
+                                       dest: String): String = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = ivfFs(spark, dest)
+    def committed(gen: String): Boolean =
+      gen.matches("gen-\\d+") && fs.exists(new Path(root, s"$gen/COMMITTED"))
+    val cur = new Path(root, "CURRENT")
+    val pointed =
+      if (!fs.exists(cur)) None
+      else {
+        val in = fs.open(cur)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some(name).filter(committed)
+      }
+    pointed.map(g => s"$dest/$g").getOrElse {
+      val gens = ivfGenNumbers(fs, root).filter(n => committed(s"gen-$n"))
+      if (gens.nonEmpty) s"$dest/gen-${gens.max}" else dest
+    }
+  }
+
+  /**
+   * Close the IVF lifecycle loop: when appended deltas have skewed the
+   * cell occupancy ([[appendToIvfIndex]]'s census is the observable
+   * trigger; this is its actionable half), RETRAIN the codebook on the
+   * store's full current contents and atomically swap the index to the
+   * new generation. Skew metric: max cell count / mean cell count over
+   * the live store — 1.0 is perfectly balanced; the default fires at
+   * 4× (a probe visiting nProbe cells then scans up to ~4× its fair
+   * share of candidates, the point where probe cost visibly degrades).
+   *
+   * Swap protocol (the snapshot sink's staging-promote pattern,
+   * [[graft.sinks.essnapshot]]): train + assign + write land in an
+   * attempt-unique staging dir `dest/gen-N` (N = max existing + 1 —
+   * a partial dir from a died attempt is never reused), then a
+   * `COMMITTED` marker, then the `dest/CURRENT` pointer swings via
+   * tmp-write + rename. Readers ([[ivfTopKFromIndex]],
+   * [[appendToIvfIndex]]) resolve through [[resolveIvfDir]], so a
+   * failure at ANY point before the marker leaves them on the old
+   * generation; uncommitted carcasses are swept by the next successful
+   * rebuild. Committed generations beyond `keepGenerations` are
+   * GC'd oldest-first; the legacy flat layout is never deleted.
+   *
+   * Scale shape: one ≤ numCells census aggregate, one bounded-sample
+   * k-means train, one assignment map pass + partitioned write over
+   * the store — work ∝ store size, driver state ≤ numCells rows.
+   * Returns true iff a rebuild happened.
+   */
+  def rebuildIvfIndexIfSkewed(spark: SparkSession, dest: String,
+                              skewThreshold: Double = 4.0,
+                              numCells: Int = 16, iters: Int = 5,
+                              seed: Long = 42, trainSample: Int = 50000,
+                              keepGenerations: Int = 2): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(skewThreshold >= 1.0,
+      "skewThreshold must be >= 1 (max/mean is >= 1 by definition)")
+    require(keepGenerations >= 1, "keepGenerations must be >= 1")
+    val (fs, root) = ivfFs(spark, dest)
+    val live = resolveIvfDir(spark, dest)
+    val census = spark.read.parquet(s"$live/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .as[(Int, Long)].collect()
+    require(census.nonEmpty, s"no vectors at $live — buildIvfIndex first")
+    val nCells = spark.read.parquet(s"$live/centroids").count()
+    val total = census.map(_._2).sum
+    val skew = census.map(_._2).max.toDouble * nCells / total
+    if (skew < skewThreshold) return false
+    // ---- staging write (attempt-unique: a partial gen is never reused)
+    val gen = (ivfGenNumbers(fs, root) :+ 0L).max + 1
+    val genDir = s"$dest/gen-$gen"
+    val store = graft.core.LineageCut.cut(
+      spark.read.parquet(s"$live/vectors").select(col("nn_id"), col("cvec")))
+    val cents = trainKMeans(store, numCells, iters, seed, trainSample,
+      "nn_id", "cvec")
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
+    assignCells(store, cents, "nn_id", "cvec")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/vectors")
+    // ---- commit: marker first, then the pointer swing
+    fs.create(new Path(root, s"gen-$gen/COMMITTED"), true).close()
+    val tmp = new Path(root, s"CURRENT.tmp-$gen")
+    val out = fs.create(tmp, true)
+    try out.write(s"gen-$gen".getBytes("UTF-8")) finally out.close()
+    val cur = new Path(root, "CURRENT")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"pointer swing $tmp -> $cur failed")
+    // ---- retention: keep the newest `keepGenerations` committed gens
+    // (rollback window), sweep everything else — including uncommitted
+    // carcasses of died attempts. Legacy flat dirs are never touched.
+    val all = ivfGenNumbers(fs, root)
+    val keep = all
+      .filter(n => fs.exists(new Path(root, s"gen-$n/COMMITTED")))
+      .sorted(Ordering[Long].reverse).take(keepGenerations).toSet
+    all.filterNot(keep).filter(_ < gen)
+      .foreach(n => fs.delete(new Path(root, s"gen-$n"), true))
+    true
   }
 
   /** Probe a [[buildIvfIndex]] store: same semantics (and, with the same
@@ -1194,7 +1320,8 @@ object Similarity {
                        queryIdCol: String = "query_id",
                        vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dest/centroids")
+    val live = resolveIvfDir(spark, dest)
+    val cents = spark.read.parquet(s"$live/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val probed = probeFrame(queries, cents, nProbe, queryIdCol, vecCol)
@@ -1207,7 +1334,7 @@ object Similarity {
     // probed cells' files — the scan IS the candidate selection.
     val cellsWanted = probed.select(col("cell")).distinct()
       .as[Int].collect().toSeq
-    val binned = spark.read.parquet(s"$dest/vectors")
+    val binned = spark.read.parquet(s"$live/vectors")
       .filter(col("cell").isin(cellsWanted: _*))
       .select(col("cell"), col("nn_id"), col("cvec"))
     topKFromCells(binned, broadcast(probed), k, queryIdCol)

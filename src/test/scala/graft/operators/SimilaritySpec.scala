@@ -267,6 +267,69 @@ class SimilaritySpec extends SparkSpec {
     assert(gotOld.nonEmpty && gotOld.forall { case (q, nn) => q === nn })
   }
 
+  test("rebuildIvfIndexIfSkewed: skip below threshold, generation swap above, " +
+      "failed attempt leaves the live index untouched") {
+    val n = 2000
+    val vecs = spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        expr("transform(sequence(1, 8), " +
+          "i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-ivf-rb").toString
+    Similarity.buildIvfIndex(vecs.filter(col("vec_id") % 4 === 0), dest,
+      numCells = 8)
+    Similarity.appendToIvfIndex(vecs.filter(col("vec_id") % 4 =!= 0), dest)
+    val queries = vecs.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = Similarity.ivfTopKFromIndex(spark, dest, queries, 3,
+      nProbe = 3)
+
+    // an absurdly high threshold skips: returns false, store untouched
+    assert(!Similarity.rebuildIvfIndexIfSkewed(spark, dest,
+      skewThreshold = 1e9))
+    assert(Similarity.resolveIvfDir(spark, dest) === dest)
+
+    // FAILED-ATTEMPT ATOMICITY: a died rebuild = partial gen dir with
+    // no COMMITTED marker (simulate one), even with a stale CURRENT
+    // pointing at it — the resolver must keep serving the old layout
+    val carcass = new java.io.File(s"$dest/gen-7/vectors"); carcass.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dest/CURRENT"), "gen-7")
+    assert(Similarity.resolveIvfDir(spark, dest) === dest)
+    val during = Similarity.ivfTopKFromIndex(spark, dest, queries, 3,
+      nProbe = 3)
+    assert(during.exceptAll(before).isEmpty && before.exceptAll(during).isEmpty)
+
+    // threshold 1.0 always fires: new generation must be COMMITTED,
+    // CURRENT swung past the carcass (attempt-unique: gen-8, not gen-7),
+    // and the carcass swept
+    assert(Similarity.rebuildIvfIndexIfSkewed(spark, dest,
+      skewThreshold = 1.0, numCells = 8))
+    assert(Similarity.resolveIvfDir(spark, dest) === s"$dest/gen-8")
+    assert(new java.io.File(s"$dest/gen-8/COMMITTED").exists())
+    assert(!new java.io.File(s"$dest/gen-7").exists(), "carcass not swept")
+
+    // post-rebuild recall parity vs brute force: the rebuilt codebook
+    // serves at least as well as the stale pre-rebuild one
+    val exact = Similarity.bruteForceTopK(vecs, queries, 3)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact)
+        .select("recall").as[Double].collect().head
+    val after = Similarity.ivfTopKFromIndex(spark, dest, queries, 3,
+      nProbe = 3)
+    assert(recall(after) >= recall(before))
+    // self-recovery invariant holds through the new generation
+    val r1 = after.filter(col("rank") === 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSeq
+    assert(r1.nonEmpty && r1.forall { case (q, nn) => q === nn })
+
+    // appends now land in the LIVE generation, not the legacy dir
+    Similarity.appendToIvfIndex(
+      vecs.select(col("vec_id") + 100000L as "vec_id", col("embedding"))
+        .limit(10), dest)
+    val genRows = spark.read.parquet(s"$dest/gen-8/vectors").count()
+    assert(genRows === n + 10)
+  }
+
   test("hierarchical codebook: two-level assignment is consistent and flatten-aligned") {
     // 4 well-separated planted clusters in R^4
     val vecs = (for {
