@@ -1819,6 +1819,33 @@ object SparkEntry {
             .as("docs_changed"))
     }),
 
+    // Cross-document exact-substring dedup at the PUBLISHED granularity
+    // (Lee et al. 2022: ~50-token repeated substrings via suffix
+    // arrays; the stride-1 hashed-window scan is the distributed
+    // equivalent — COVERAGE.md carries the equivalence argument). The
+    // plants embed a MID-DOCUMENT 60-token excerpt of an earlier doc
+    // between novel sentinels: the span machinery must cut exactly the
+    // shared 60-token run (11 overlapping 50-grams merged to one
+    // interval), never the novel frame around it. Oracle replicates
+    // the full machinery over gram strings at spanTokens = 50.
+    "dedup_substring" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val plants = docs
+        .filter(col("doc_id") % 25 === 0 &&
+          size(TextAnalysis.tokens(col("text"))) >= 70)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("qq ww ee rr tt yy uu ii oo pp "),
+            array_join(slice(TextAnalysis.tokens(col("text")), 11, 60), " "),
+            lit(" aa ss dd ff gg hh jj kk ll mm")).as("text"))
+      Dedup.removeRepeatedSpans(docs.unionAll(plants), "doc_id", "text",
+          spanTokens = 50)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("removed_tokens")).as("removed_tokens"),
+          sum(when(col("removed_tokens") > 0, 1L).otherwise(0L))
+            .as("docs_changed"))
+    }),
+
     // Incremental corpus admission (the daily-crawl-drop workflow): the
     // delta mixes near-copies of corpus docs (must be REJECTED), novel
     // docs (ADMITTED), and an exact within-delta dup of half the novels
@@ -2233,6 +2260,39 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopKFromIndex(s, dest, queries, 5, nProbe = 4)
         .filter(col("rank") === 1)
+    }),
+
+    // Full IVF lifecycle loop: build on a 10% slice (stale codebook),
+    // append the 90% bulk (cell occupancy skews), REBUILD — retrain +
+    // atomic generation swap — then probe through the new generation.
+    // threshold = 1.0 fires deterministically (max/mean >= 1 by
+    // definition); the skip path and failed-attempt atomicity are
+    // spec-pinned (SimilaritySpec). Rank-1 self-recovery must survive
+    // the swap: the probe visits the query's own argmin cell under the
+    // NEW codebook, where its identical vector now sits.
+    "ann_ivf_rebuild" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val dest = s"$scratchRoot/ivf_rebuild"
+      // reset the store: the generation lifecycle is append-only by
+      // design (committed gens outlive buildIvfIndex's flat overwrite),
+      // so a repeated bench/verify pass must start from a fresh dir or
+      // the append would land in the PREVIOUS pass's live generation
+      val root = java.nio.file.Paths.get(dest)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 === 0), dest,
+        numCells = 16)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), dest)
+      val rebuilt = Similarity.rebuildIvfIndexIfSkewed(s, dest,
+        skewThreshold = 1.0, numCells = 16)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopKFromIndex(s, dest, queries, 5, nProbe = 4)
+        .filter(col("rank") === 1)
+        .withColumn("rebuilt", lit(rebuilt))
     }),
 
     // Int8 scalar-quantized ANN (SQ8): codes-only shortlist pass + exact
@@ -3540,6 +3600,44 @@ object SparkEntry {
         |       CAST(coalesce(sum(removed), 0) AS BIGINT) AS removed_tokens,
         |       count(*) AS docs_changed
         |FROM rem""".stripMargin,
+    // Published-granularity (50-token) cross-document substring dedup:
+    // same machinery replication as dedup_spans, with mid-document
+    // 60-token excerpt plants between novel sentinels.
+    "dedup_substring" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |srcs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rt
+        |         FROM base WHERE doc_id % 25 = 0),
+        |alld AS (SELECT doc_id, text FROM base
+        |         UNION ALL
+        |         SELECT doc_id + 1000000,
+        |                'qq ww ee rr tt yy uu ii oo pp ' ||
+        |                array_to_string(rt[11:70], ' ') ||
+        |                ' aa ss dd ff gg hh jj kk ll mm'
+        |         FROM srcs WHERE len(rt) >= 70),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |       FROM alld WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+49], ' ') AS gram
+        |      FROM tk, UNNEST(generate_series(1, len(t) - 49)) AS u(i)),
+        |d AS (SELECT doc_id, pos AS s, pos + 50 AS e
+        |      FROM (SELECT doc_id, pos,
+        |              row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        |            FROM g)
+        |      WHERE rk > 1),
+        |m AS (SELECT doc_id, s, e,
+        |             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |                    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND 1 PRECEDING), -1)
+        |                  THEN 1 ELSE 0 END AS ng
+        |      FROM d),
+        |mg AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id
+        |          ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+        |iv AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM mg GROUP BY 1, 2),
+        |rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed
+        |        FROM iv GROUP BY 1)
+        |SELECT (SELECT count(*) FROM alld) AS n_docs,
+        |       CAST(coalesce(sum(removed), 0) AS BIGINT) AS removed_tokens,
+        |       count(*) AS docs_changed
+        |FROM rem""".stripMargin,
     // Admissions = exactly the novel delta docs (plants rejected against
     // the corpus; within-delta exact dups collapse to the min id).
     "dedup_incremental" ->
@@ -3584,6 +3682,12 @@ object SparkEntry {
       """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 100 <= 1""".stripMargin,
+    // Rebuild self-recovery: the generation swap preserves the rank-1
+    // invariant, and threshold 1.0 makes `rebuilt` deterministically true.
+    "ann_ivf_rebuild" ->
+      """SELECT vec_id AS query_id, 1 AS rank, vec_id AS nn_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine, TRUE AS rebuilt
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "q_profile" ->
       """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
         |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)

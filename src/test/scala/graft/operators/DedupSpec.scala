@@ -218,6 +218,32 @@ class DedupSpec extends SparkSpec {
     assert(removed === Map(1L -> 0L, 2L -> 4L, 3L -> 6L, 4L -> 0L))
   }
 
+  test("removeRepeatedSpans: published-granularity (50-token) mid-doc excerpt " +
+      "cut exactly, novel frame survives") {
+    // the Lee et al. 2022 shape: doc B embeds a 60-token MID-DOCUMENT
+    // excerpt of doc A (tokens 11..70) between 10 novel tokens each
+    // side; at spanTokens = 50 the 11 overlapping repeated 50-grams
+    // must merge to ONE interval covering exactly the 60 shared
+    // positions — the novel prefix/suffix and doc A stay verbatim
+    val aToks = (1 to 120).map(i => s"w$i")
+    val prefix = (1 to 10).map(i => s"np$i")
+    val suffix = (1 to 10).map(i => s"ns$i")
+    val excerpt = aToks.slice(10, 70) // tokens 11..70, 0-based slice
+    val docs = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, (prefix ++ excerpt ++ suffix).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        spanTokens = 50)
+      .select("doc_id", "clean_text", "removed_tokens")
+      .as[(Long, String, Long)].collect()
+    val out = rows.map(r => r._1 -> r._2).toMap
+    val removed = rows.map(r => r._1 -> r._3).toMap
+    assert(out(1L) === aToks.mkString(" ")) // first occurrence untouched
+    assert(out(2L) === (prefix ++ suffix).mkString(" "))
+    assert(removed === Map(1L -> 0L, 2L -> 60L))
+  }
+
   test("dedupChunks: within-doc repeated chunk keeps only the first") {
     val docs = Seq((7L, "a b a b c c")).toDF("doc_id", "text")
     val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 2)
