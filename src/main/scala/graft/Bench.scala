@@ -57,9 +57,11 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => parityDrives.contains(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // a typo'd (or parity-excluded) subset must not emit a valid-looking
-    // 0.00-sec metric line and overwrite BENCH_METRIC.json
-    require(names.nonEmpty,
+    // a typo'd subset must not emit a valid-looking 0.00-sec metric
+    // line and overwrite BENCH_METRIC.json (a pure stream-drive subset
+    // is fine — those time in the separate streams block below)
+    require(names.nonEmpty ||
+      only.exists(_.exists(parityDrives.contains)),
       s"SPARK_GRAFT_BENCH_ONLY matched no benchable queries: ${only.get}")
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val crashed = scala.collection.mutable.Set.empty[String]
@@ -108,6 +110,40 @@ object Bench {
     }.sortBy { case (n, _) => -(samples(n).max - samples(n).min) }.take(12)
     for (_ <- 1 to extraPasses; (name, fn) <- unstable) timeOne(name, fn)
     val rerunNames = unstable.map(_._1)
+    // STREAMING drives: correctness-gated elsewhere (parity joins), but
+    // timed HERE in a separate block excluded from the total/ratio, so a
+    // state-machine regression in the streaming operators is
+    // bench-visible round-over-round. Each drive replays a cohort
+    // through MemoryStream micro-batches and returns the oracle-joined
+    // parity frame; rows/sec = parity rows over end-to-end drive wall
+    // (replay machinery INCLUDED — fixed per-micro-batch replanning
+    // overhead is part of what a regression would move, and the block
+    // is ratio-excluded precisely because that overhead is not engine
+    // throughput). min across interleaved passes + spread, the headline
+    // semantics.
+    val streamPasses = 2
+    val streamSamples =
+      scala.collection.mutable.Map.empty[String, List[(Double, Long)]]
+    val streamNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(parityDrives.contains)
+      .filter(n => only.forall(_.contains(n)))
+    for (_ <- 1 to streamPasses; name <- streamNames) {
+      val t0 = System.nanoTime()
+      // most drives return ONE (n_stream, n_batch, n_matched) parity
+      // row — n_stream is the streamed-row count the throughput is
+      // over; drives with a different shape fall back to result count
+      val rows =
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          if (df.columns.contains("n_stream"))
+            df.select("n_stream").head().getLong(0)
+          else df.count()
+        } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      if (rows >= 0)
+        streamSamples(name) = (dt, rows) :: streamSamples.getOrElse(name, Nil)
+    }
     // per-query: MIN across passes (the headline value every total/ratio
     // uses, r12+), median (the r9-r11 headline, kept for cross-round
     // reads) and spread = max - min (the noise band those passes saw)
@@ -178,8 +214,22 @@ object Bench {
       } else ""
     }.getOrElse("")
     val rerunJson = rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // streams block: per-drive {rows, sec (min), spread, rows_per_sec};
+    // a crashed drive reports rows -1 with no timing (sticky, like the
+    // main map's failure marker)
+    val streamsJson = streamNames.map { name =>
+      streamSamples.get(name) match {
+        case Some(xs) =>
+          val best = xs.map(_._1).min
+          val spread = xs.map(_._1).max - best
+          val rows = xs.head._2
+          val rps = if (best > 0) rows / best else 0.0
+          s""""$name":{"rows":$rows,"sec":${f3(best)},"spread":${f3(spread)},"rows_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, rps)}}"""
+        case None => s""""$name":{"rows":-1}"""
+      }
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","semantics":"min","repeats":$repeats,"median_total":${"%.2f".formatLocal(java.util.Locale.ROOT, medianTotal)}$anchorFields,"reruns":$rerunJson,"queries":$qs,"spread":$spreadJson,"median":$medianJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","semantics":"min","repeats":$repeats,"median_total":${"%.2f".formatLocal(java.util.Locale.ROOT, medianTotal)}$anchorFields,"reruns":$rerunJson,"queries":$qs,"spread":$spreadJson,"median":$medianJson,"streams":$streamsJson,"sf":"$sfDir"}"""
     // The driver's tail capture is a FIXED ~2000-char window; the full
     // per-query line (~90 queries, full double precision) is ~4000 chars and
     // can never fit, wherever it is printed (r4/r5 `parsed: null`). So:
