@@ -61,6 +61,24 @@ object SparkEntry {
     p.toString
   }
 
+  /** PII-planted documents corpus shared by text_pii / text_pii_redact
+    * (and their oracles, which replay the identical CASE plant): three
+    * residue classes get an email+ip, ssn+two-phones, and card+ip
+    * suffix respectively; everything else passes through verbatim. */
+  private def piiPlanted(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 20 === 0,
+        concat(col("text"),
+          lit(" reach jane.doe@example.com or 10.0.0.1")))
+        .when(col("doc_id") % 20 === 7,
+          concat(col("text"),
+            lit(" ssn 123-45-6789 call 555-123-4567 or 555.123.4567")))
+        .when(col("doc_id") % 20 === 13,
+          concat(col("text"),
+            lit(" card 4111111111111111 host 10.1.2.3")))
+        .otherwise(col("text")).as("text"))
+
   /** Co-purchase part graph: one edge per unordered part pair appearing
     * together in ≥ `minSupport` orders (src < dst), with an optional
     * quantity cap pre-filter. Per-order fan-out is bounded by
@@ -1413,6 +1431,18 @@ object SparkEntry {
         "o_totalprice", "o_orderstatus")
     }),
 
+    // Krippendorff's alpha over synthetic rating units (docs regrouped
+    // by residue class, label = language): exact cells/units/m-level
+    // machinery, one bounded ordered fold, one decimal D_e — the
+    // oracle replicates every stage.
+    "q_krippendorff" -> ((s, dir) => {
+      graft.operators.Profiling.krippendorffAlpha(
+        t(s, dir, "documents")
+          .select((col("doc_id") % 211).as("unit"), col("doc_id").as("coder"),
+            col("lang").as("lab")),
+        "unit", "coder", "lab")
+    }),
+
     // Split-conformal threshold at α=0.1 over doc lengths — the
     // distribution-free filtering cutoff with a finite-sample
     // guarantee; pure-integer order-statistic index, chunked rank.
@@ -1537,6 +1567,43 @@ object SparkEntry {
     "text_zipf" -> ((s, dir) => {
       graft.operators.TextAnalysis.zipfFit(t(s, dir, "documents"),
         "text", topN = 500)
+    }),
+
+    // PII census over a corpus with planted addresses/numbers: one
+    // text-scan pass evaluates the whole engine-portable pattern set
+    // (no lookaround, ASCII classes — Java regex and RE2 count the
+    // identical leftmost non-overlapping matches), one aggregate, a
+    // 5-row stack. Natural-text matches need no prediction: the oracle
+    // runs the same regexes.
+    "text_pii" -> ((s, dir) => {
+      graft.operators.TextAnalysis.piiReport(
+        piiPlanted(t(s, dir, "documents")), "text")
+    }),
+
+    // PII redaction over the same planted corpus: the ordered
+    // regexp_replace chain, verified by total clean length + changed
+    // docs (the oracle replays the identical chain with 'g').
+    "text_pii_redact" -> ((s, dir) => {
+      graft.operators.TextAnalysis.piiRedact(
+          piiPlanted(t(s, dir, "documents")), "text")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("clean_text"))).cast("long").as("clean_chars"),
+          sum(when(col("clean_text") =!= col("text"), 1L).otherwise(0L))
+            .as("docs_redacted"))
+    }),
+
+    // Okapi BM25 of a QUERY SET against the documents corpus — the
+    // batch companion to text_bm25's single-query top-k (per-query
+    // score frames feed rrfFuse for hybrid lexical+ANN audits). Exact
+    // tf/df/len/N, one avgdl division, per-(query, doc) term fold in
+    // order, 4dp.
+    "text_bm25_multi" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val qs = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
+        (3L, "vector stream")).toDF("query_id", "qtext")
+      graft.operators.TextAnalysis.bm25Scores(
+        t(s, dir, "documents").select("doc_id", "text"), qs)
     }),
 
     // Covariance of the embedding corpus's leading 16 components in ONE
@@ -5438,6 +5505,38 @@ object SparkEntry {
         |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ess_ratio
         |FROM agg""".stripMargin,
+    // Full machinery replication: cells -> pairable units -> m-level
+    // exact numerators -> ONE division per m level -> ordered fold ->
+    // decimal D_e; same association order throughout.
+    "q_krippendorff" ->
+      """WITH r AS (SELECT CAST(doc_id % 211 AS VARCHAR) AS unit,
+        |    CAST(lang AS VARCHAR) AS lab
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (SELECT unit, lab, count(*) AS nuc FROM r GROUP BY 1, 2),
+        |units AS (SELECT unit, CAST(sum(nuc) AS BIGINT) AS mu,
+        |    sum(CAST(nuc AS DECIMAL(38,0)) * nuc) AS sq
+        |  FROM cells GROUP BY 1 HAVING sum(nuc) >= 2),
+        |ml AS (SELECT mu, sum(CAST(mu AS DECIMAL(38,0)) * mu - sq) AS num
+        |  FROM units GROUP BY 1),
+        |fold AS (SELECT
+        |    sum(CAST(num AS DOUBLE) / CAST(mu - 1 AS DOUBLE))
+        |      OVER (ORDER BY mu ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (ORDER BY mu) AS rn,
+        |    count(*) OVER () AS nm
+        |  FROM ml),
+        |dobs AS (SELECT max(run) AS d_obs_sum FROM fold WHERE rn = nm),
+        |tot AS (SELECT count(*) AS n_units,
+        |    CAST(coalesce(sum(mu), 0) AS BIGINT) AS n_ratings FROM units),
+        |lt AS (SELECT lab, CAST(sum(nuc) AS BIGINT) AS nc
+        |  FROM cells JOIN units USING (unit) GROUP BY 1),
+        |dexp AS (SELECT sum(CAST(nc AS DECIMAL(38,0)) * (nr - nc)) AS d_exp
+        |  FROM lt, (SELECT n_ratings AS nr FROM tot))
+        |SELECT n_units, n_ratings,
+        |  CASE WHEN d_exp IS NOT NULL AND d_exp > 0 THEN
+        |    round(1.0 - CAST(n_ratings - 1 AS DOUBLE) * d_obs_sum
+        |      / CAST(d_exp AS DOUBLE), 6) END AS alpha
+        |FROM tot, dobs, dexp""".stripMargin,
     "q_conformal" ->
       """WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS u
         |  FROM documents
@@ -5858,6 +5957,110 @@ object SparkEntry {
         |  CASE WHEN n_fit >= 2 AND den <> 0 AND deny <> 0 THEN
         |    round(num * num / (den * deny), 4) END AS r2
         |FROM g""".stripMargin,
+    // Identical plant CASE + identical regexes (engine-portable set:
+    // no lookaround, ASCII classes, \b boundaries — Java regex and RE2
+    // agree on leftmost non-overlapping matches).
+    "text_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0
+        |           THEN text || ' reach jane.doe@example.com or 10.0.0.1'
+        |         WHEN doc_id % 20 = 7
+        |           THEN text || ' ssn 123-45-6789 call 555-123-4567 or 555.123.4567'
+        |         WHEN doc_id % 20 = 13
+        |           THEN text || ' card 4111111111111111 host 10.1.2.3'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ipv4,
+        |    len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS ssn,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS phone,
+        |    len(regexp_extract_all(text, '\b\d{16}\b')) AS card16
+        |  FROM p)
+        |SELECT 'email' AS pii_type, CAST(sum(email) AS BIGINT) AS n_matches,
+        |  CAST(sum(CASE WHEN email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        |FROM c
+        |UNION ALL SELECT 'ipv4', CAST(sum(ipv4) AS BIGINT),
+        |  CAST(sum(CASE WHEN ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |UNION ALL SELECT 'ssn', CAST(sum(ssn) AS BIGINT),
+        |  CAST(sum(CASE WHEN ssn > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |UNION ALL SELECT 'phone', CAST(sum(phone) AS BIGINT),
+        |  CAST(sum(CASE WHEN phone > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |UNION ALL SELECT 'card16', CAST(sum(card16) AS BIGINT),
+        |  CAST(sum(CASE WHEN card16 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM c""".stripMargin,
+    // Same plant, same ordered replace chain (innermost first = email
+    // first), 'g' for replace-all parity with Spark.
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0
+        |           THEN text || ' reach jane.doe@example.com or 10.0.0.1'
+        |         WHEN doc_id % 20 = 7
+        |           THEN text || ' ssn 123-45-6789 call 555-123-4567 or 555.123.4567'
+        |         WHEN doc_id % 20 = 13
+        |           THEN text || ' card 4111111111111111 host 10.1.2.3'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |r AS (SELECT text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{16}\b', '[CARD16]', 'g') AS clean_text
+        |  FROM p)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(length(clean_text)) AS BIGINT) AS clean_chars,
+        |  CAST(sum(CASE WHEN clean_text <> text THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_redacted
+        |FROM r""".stripMargin,
+    // Full BM25 replication: exact tf/df/len/N, one avgdl division,
+    // identical association order per term, ordered fold per
+    // (query, doc), 4dp.
+    "text_bm25_multi" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'vector stream')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
+        |  FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
+        |    lens.dl, st.n, st.tot
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
+        |c AS (SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS contrib
+        |  FROM m),
+        |f AS (SELECT query_id, doc_id, contrib,
+        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |  FROM c)
+        |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
+        |FROM f WHERE rn = nt""".stripMargin,
     "q_vector_cov" ->
       """WITH x AS (SELECT vec_id, t.i AS i,
         |    CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS v

@@ -1972,10 +1972,11 @@ object Profiling {
       (n + 1L) - ((t - pmod(t, lit(den))) / den).cast("long")
     }
     val w = Window.partitionBy("grp").orderBy("u")
-    // cut: the ranked frame feeds TWO consumers (the k-rank filter and
-    // the per-group n derivation) — uncut, each re-ran the base scan +
-    // the group window. n comes from the window count the cut frame
-    // already carries, so no second scan of base exists at all.
+    // cut (conformal): the ranked frame feeds TWO consumers (the
+    // k-rank filter and the per-group n derivation) — uncut, each
+    // re-ran the base scan + the group window. n comes from the window
+    // count the cut frame already carries, so no second scan of base
+    // exists at all.
     val ranked = graft.core.LineageCut.cut(base
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("grp"))))
@@ -1985,5 +1986,92 @@ object Profiling {
     ranked.groupBy("grp").agg(max("n").as("n"))
       .join(qrows, Seq("grp"), "left")
       .select(col("grp"), col("n"), kOf(col("n")).as("k"), col("qhat"))
+  }
+
+  /**
+   * Krippendorff's alpha for nominal data (Krippendorff 2004) — the
+   * inter-annotator agreement coefficient that, unlike
+   * [[cohensKappa]], handles ANY number of raters per unit and
+   * missing ratings: the chance-corrected ratio of observed to
+   * expected disagreement over all pairable ratings. THE gate for
+   * human-labeled training data (preference pairs, toxicity labels,
+   * quality grades): alpha ≥ 0.8 is the conventional "rely on it"
+   * bar, < 0.667 "discard".
+   *
+   * α = 1 − D_o/D_e over pairable units (m_u ≥ 2 ratings):
+   * D_o·n = Σ_u [Σ_c n_uc(m_u − n_uc)]/(m_u − 1) and
+   * D_e·n(n−1) = Σ_c n_c(n − n_c), giving
+   * α = 1 − (n − 1)·Σ_u […]/(m_u−1) / Σ_c n_c(n − n_c).
+   *
+   * EXACTNESS: all counts are exact longs; each unit's disagreement
+   * numerator m_u² − Σ_c n_uc² is exact DECIMAL(38,0), and the
+   * per-unit ÷(m_u − 1) is FACTORED OUT by grouping units on m_u —
+   * the division happens once per DISTINCT rating-count level, not
+   * per unit, so the only cross-row double sum runs over the ≤
+   * distinct-m LEVEL frame via a RUNNING window fold in m order (a
+   * sequential left fold in both engines — the kruskalWallis
+   * contract); D_e is one exact decimal converted to double once.
+   * α rounds 6dp; NULL when D_e = 0 (a single label) or no unit is
+   * pairable. n guarded at 3×10⁹ (n(n−1) long-range).
+   *
+   * Scale shape: one (unit, label) aggregate, one unit-level
+   * aggregate, one ≤ distinct-m-level aggregate + its bounded ordered
+   * window, one label-level aggregate (bounded by label cardinality).
+   * Coder identity only gates the null filter — nominal alpha depends
+   * on the label MULTISET per unit, never on who assigned what.
+   *
+   * Returns one row: (`n_units`, `n_ratings`, `alpha`).
+   */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, coderCol: String,
+                        labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(unitCol).isNotNull && col(coderCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(unitCol).cast("string").as("unit"),
+        col(labelCol).cast("string").as("lab"))
+    val dec = "decimal(38,0)"
+    val cells = graft.core.LineageCut.cut(
+      base.groupBy("unit", "lab").agg(count(lit(1)).as("nuc")))
+    val units = graft.core.LineageCut.cut(cells.groupBy("unit")
+      .agg(sum("nuc").as("mu"),
+        sum(col("nuc").cast(dec) * col("nuc")).as("sq"))
+      .filter(col("mu") >= 2L))
+    // per distinct rating-count m: exact integer numerator sum, ONE
+    // division by (m − 1) — then a bounded ordered fold over m levels
+    val mLevels = units.groupBy("mu")
+      .agg(sum(col("mu").cast(dec) * col("mu") - col("sq")).as("num"))
+    val foldW = Window.orderBy("mu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dObs = mLevels
+      .withColumn("term",
+        col("num").cast("double") / (col("mu") - 1L).cast("double"))
+      .withColumn("run", sum("term").over(foldW))
+      .withColumn("rn", row_number().over(Window.orderBy("mu")))
+      .withColumn("nm", count(lit(1)).over(
+        Window.orderBy("mu").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rn") === col("nm"))
+      // force exactly ONE row (null on no pairable units) so the
+      // crossJoins below never zero out the output row
+      .agg(max("run").as("d_obs_sum"))
+    val totals = units.agg(count(lit(1)).as("n_units"),
+      coalesce(sum("mu"), lit(0L)).as("n_ratings"))
+    val labTotals = cells
+      .join(units.select("unit"), "unit") // pairable units only
+      .groupBy("lab").agg(sum("nuc").as("nc"))
+    val dExp = labTotals
+      .crossJoin(broadcast(totals.select(col("n_ratings").as("nr"))))
+      .agg(sum(col("nc").cast(dec) * (col("nr") - col("nc"))).as("d_exp"))
+    totals
+      .filter(when(col("n_ratings") > 3000000000L,
+        raise_error(lit("krippendorffAlpha: n exceeds the exact " +
+          "pair-count long range")).cast("boolean")).otherwise(lit(true)))
+      .crossJoin(dObs)
+      .crossJoin(dExp)
+      .select(col("n_units"), col("n_ratings"),
+        when(col("d_exp").isNotNull && col("d_exp") > 0,
+          round(lit(1.0) - (col("n_ratings") - 1L).cast("double") *
+            col("d_obs_sum") / col("d_exp").cast("double"), 6))
+          .as("alpha"))
   }
 }

@@ -911,4 +911,143 @@ object TextAnalysis {
       .crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
       .select(col("token"), round(col("pr") * col("__n"), 6).as("score"))
   }
+
+  /**
+   * The deterministic PII pattern set [[piiReport]]/[[piiRedact]]
+   * share — the standard pre-training scrub list (emails, phone
+   * numbers, SSNs, IPv4 addresses, bare 16-digit card numbers).
+   * ENGINE-PORTABLE by construction: no lookaround (RE2-compatible),
+   * ASCII character classes only, `\b` ASCII word boundaries —
+   * leftmost non-overlapping match semantics agree between Java regex
+   * and RE2, so a SQL replica counts the identical matches. The list
+   * is ordered; [[piiRedact]] applies it in THIS order (a fixed
+   * documented fold, not an implementation accident).
+   */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "card16" -> "\\b\\d{16}\\b")
+
+  /**
+   * PII occurrence census over a corpus — the audit every
+   * training-data release owes its users BEFORE the scrub: one row
+   * per [[piiPatterns]] type with total match count and affected-doc
+   * count. EXACTNESS: counts are exact longs (leftmost
+   * non-overlapping matches, identical in both engines — see
+   * [[piiPatterns]]); null text counts zero everywhere.
+   *
+   * Scale shape: ONE text-column scan evaluates all patterns per row
+   * (codegen'd `regexp_extract_all`, no UDF), one map-side-combined
+   * global aggregate, a ≤ |patterns|-row stack. Nothing shuffles but
+   * the |patterns|-row summary.
+   */
+  def piiReport(df: DataFrame, textCol: String): DataFrame = {
+    val counted = df.select(piiPatterns.map { case (name, rx) =>
+      coalesce(size(regexp_extract_all(col(textCol), lit(rx), lit(0))),
+        lit(0)).cast("long").as(name)
+    }: _*)
+    val aggs = piiPatterns.flatMap { case (name, _) =>
+      Seq(sum(col(name)).as(s"__m_$name"),
+        sum(when(col(name) > 0L, 1L).otherwise(0L)).as(s"__d_$name"))
+    }
+    val stacked = piiPatterns.map { case (name, _) =>
+      s"'$name', __m_$name, __d_$name"
+    }.mkString(", ")
+    counted.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${piiPatterns.size}, $stacked) " +
+        "as (pii_type, n_matches, n_docs)")
+      .select(col("pii_type"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  /**
+   * PII redaction: every [[piiPatterns]] match replaced by its
+   * `[TYPE]` tag, applied in the documented list order (email before
+   * the numeric patterns, so an address is tagged once as itself and
+   * never partially re-matched by a later rule). One codegen'd
+   * `regexp_replace` chain per row — stays inside WholeStageCodegen,
+   * no shuffle at all.
+   */
+  def piiRedact(df: DataFrame, textCol: String,
+                outCol: String = "clean_text"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists in the frame")
+    df.withColumn(outCol, piiPatterns.foldLeft(col(textCol)) {
+      case (c, (name, rx)) =>
+        regexp_replace(c, rx, s"[${name.toUpperCase(java.util.Locale.ROOT)}]")
+    })
+  }
+
+  /**
+   * Okapi BM25 relevance scores of a query set against a corpus
+   * (Robertson & Zaragoza 2009) — the lexical-retrieval baseline that
+   * pairs with the ANN family through [[Ranking.rrfFuse]] for hybrid
+   * contamination audits and near-dup review. Lucene-shaped
+   * non-negative idf: ln(1 + (N − df + 0.5)/(df + 0.5)).
+   *
+   * DETERMINISM: tf/df/doc-length/N are exact longs and avgdl is ONE
+   * IEEE division of exact integers, so every per-(query, doc, term)
+   * contribution is an identical double chain in both engines (the
+   * one libm call, ln, sits on the established zipfFit precedent);
+   * the per-(query, doc) sum is a RUNNING window fold in term order —
+   * a sequential left fold in BOTH engines, never an unordered
+   * aggregate — and the final score rounds 4dp. Duplicate query terms
+   * dedup (standard bag-of-words query semantics).
+   *
+   * Scale shape: one corpus token explode → (doc, term) tf aggregate
+   * (map-side combined); df is a term-keyed aggregate over tf rows;
+   * the query-term frame is tiny and BROADCASTs onto tf, so the
+   * corpus never shuffles by term for the probe — only matched
+   * (query, doc, term) rows (≪ corpus tokens) move into the fold
+   * window. Returns (`query_id`, doc id, `n_terms`, `bm25`) for docs
+   * matching ≥ 1 query term.
+   */
+  def bm25Scores(docs: DataFrame, queries: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 queryIdCol: String = "query_id",
+                 queryTextCol: String = "qtext",
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, "need k1 > 0 and b in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.LineageCut.cut(
+      docs.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("__id"),
+          tokens(lower(col(textCol))).as("__toks")))
+    val lens = base.select(col("__id"), size(col("__toks")).cast("long")
+      .as("__len"))
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      sum("__len").as("__tok_total"))
+    val tf = base.select(col("__id"), explode(col("__toks")).as("__term"))
+      .groupBy("__id", "__term").agg(count(lit(1)).as("__tf"))
+    // tf rows are unique per (doc, term): df = plain row count per term
+    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(lower(col(queryTextCol)))))
+          .as("__term"))
+    val matched = tf
+      .join(broadcast(qterms), "__term")
+      .join(dfreq, "__term")
+      .join(lens, "__id")
+      .crossJoin(broadcast(stats))
+    val nD = col("__n").cast("double")
+    val idf = log(lit(1.0) + (nD - col("__df") + 0.5) / (col("__df") + 0.5))
+    val avgdl = col("__tok_total").cast("double") / nD
+    val tfD = col("__tf").cast("double")
+    val contrib = idf * tfD * (lit(k1) + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - b + lit(b) * col("__len") / avgdl))
+    val w = Window.partitionBy("query_id", "__id").orderBy("__term")
+    matched
+      .withColumn("__run", sum(contrib).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nt",
+        count(lit(1)).over(Window.partitionBy("query_id", "__id")))
+      .filter(col("__rn") === col("__nt"))
+      .select(col("query_id"), col("__id").as(idCol),
+        col("__nt").as("n_terms"), round(col("__run"), 4).as("bm25"))
+  }
 }

@@ -265,6 +265,29 @@ object StressBench {
       run("textrank", n)(
         graft.operators.TextAnalysis.textrankKeywords(docs, "text",
           iters = 6, minCount = 1L).count())
+      // r12 additions on the same corpus tiers:
+      // PII census: one scan, all 5 regexes per row, one aggregate —
+      // expect scan-bound ~linear (regex cost per char dominates)
+      run("pii_report", n)(
+        graft.operators.TextAnalysis.piiReport(docs, "text").count())
+      // batch BM25: tf/df aggregates + broadcast query probe + fold —
+      // the probe moves only matched (q, doc, term) rows; hex terms
+      // exist in the synthetic vocabulary (lowercasing matches)
+      run("bm25_multi", n) {
+        import spark.implicits._
+        val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+          (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+        graft.operators.TextAnalysis.bm25Scores(docs, qs).count()
+      }
+      // Krippendorff's alpha over synthetic units (40 ratings/unit,
+      // 5 labels): two keyed aggregates + bounded level fold — expect
+      // the (unit, label) aggregate to dominate, ~linear
+      run("krippendorff", n)(
+        graft.operators.Profiling.krippendorffAlpha(
+          docs.select(pmod(col("doc_id"), lit(n / 40L)).as("unit"),
+            col("doc_id").as("coder"),
+            pmod(col("doc_id"), lit(5L)).cast("string").as("lab")),
+          "unit", "coder", "lab").count())
       docs.unpersist()
     }
 

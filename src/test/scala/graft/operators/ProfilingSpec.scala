@@ -242,6 +242,35 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("at least one non-null"))
   }
 
+  test("krippendorffAlpha: textbook fixture, perfect 1, single-label NULL, " +
+      "unpairable NULL") {
+    import spark.implicits._
+    // 4 units × 2 coders: (a,a) (a,b) (b,b) (b,b) → D_obs numerator 2
+    // at m=2, n=8, n_a=3, n_b=5 → α = 1 − 7·2/30 = 8/15 = 0.533333
+    val rows = Seq((1, 1, "a"), (1, 2, "a"), (2, 1, "a"), (2, 2, "b"),
+      (3, 1, "b"), (3, 2, "b"), (4, 1, "b"), (4, 2, "b"))
+      .toDF("unit", "coder", "lab")
+    val got = Profiling.krippendorffAlpha(rows, "unit", "coder", "lab")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got === ((4L, 8L, Some(math.rint((1.0 - 7.0 * 2.0 / 30.0) * 1e6)
+      / 1e6))))
+    // perfect agreement → 1.0
+    val perfect = Seq((1, 1, "a"), (1, 2, "a"), (2, 1, "b"), (2, 2, "b"))
+      .toDF("unit", "coder", "lab")
+    assert(Profiling.krippendorffAlpha(perfect, "unit", "coder", "lab")
+      .as[(Long, Long, Option[Double])].collect().head ===
+      ((2L, 4L, Some(1.0))))
+    // one label everywhere → D_exp = 0 → NULL (agreement is undefined,
+    // not perfect — the classic alpha gotcha)
+    val mono = Seq((1, 1, "a"), (1, 2, "a")).toDF("unit", "coder", "lab")
+    assert(Profiling.krippendorffAlpha(mono, "unit", "coder", "lab")
+      .as[(Long, Long, Option[Double])].collect().head === ((1L, 2L, None)))
+    // no unit has 2 ratings → nothing pairable → 0 units, NULL alpha
+    val single = Seq((1, 1, "a"), (2, 1, "b")).toDF("unit", "coder", "lab")
+    assert(Profiling.krippendorffAlpha(single, "unit", "coder", "lab")
+      .as[(Long, Long, Option[Double])].collect().head === ((0L, 0L, None)))
+  }
+
   test("functionalDependency: violations counted, null semantics pinned") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("a")), // duplicate pair: fine

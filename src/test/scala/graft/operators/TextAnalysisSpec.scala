@@ -587,4 +587,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.textrankKeywords(hub, "text", minCount = 2L)
       .count() === 0)
   }
+
+  test("piiReport: hand-planted counts per type; null text counts zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("mail a@b.co and c.d@e.org plus ip 10.0.0.1")),
+      (2L, Some("ssn 123-45-6789 phone 555-123-4567 again 555.123.4567")),
+      (3L, Some("card 4111111111111111 nothing else")),
+      (4L, Some("clean document")),
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiReport(docs, "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(
+      "email" -> ((2L, 1L)), "ipv4" -> ((1L, 1L)), "ssn" -> ((1L, 1L)),
+      "phone" -> ((2L, 1L)), "card16" -> ((1L, 1L))))
+  }
+
+  test("piiRedact: every match tagged in documented order, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write a@b.co or call 555-123-4567"),
+      (2L, "untouched words only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs, "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) === "write [EMAIL] or call [PHONE]")
+    assert(out(2L) === "untouched words only")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.piiRedact(docs.withColumn("clean_text", lit("x")), "text")
+    }
+  }
+
+  test("bm25Scores: hand corpus matches the formula bit-for-bit; no-match docs absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "cat fish"), (11L, "unseen")).toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25Scores(docs, qs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // N = 3, avgdl = 2.0; idf(cat) = ln(1 + 1.5/2.5), idf(fish) = ln(1 + 2.5/1.5)
+    val idfCat = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val idfFish = math.log(1.0 + (3.0 - 1 + 0.5) / (1 + 0.5))
+    def sc(idf: Double, tf: Double, len: Double): Double =
+      idf * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / 2.0))
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    // d1: cat only (tf 1, len 2); d2: cat (tf 2) then fish (tf 1), len 3,
+    // folded in term order cat -> fish
+    assert(got((10L, 1L)) === ((1L, r4(sc(idfCat, 1, 2)))))
+    assert(got((10L, 2L)) ===
+      ((2L, r4(sc(idfCat, 2, 3) + sc(idfFish, 1, 3)))))
+    assert(got.keySet === Set((10L, 1L), (10L, 2L))) // bird + unseen absent
+  }
 }
