@@ -79,6 +79,28 @@ object SparkEntry {
             lit(" card 4111111111111111 host 10.1.2.3")))
         .otherwise(col("text")).as("text"))
 
+  /** Labeled candidate pairs for the Fellegi-Sunter queries (adjacent
+    * customers as the blocked pairs, synthetic match label, three
+    * agreement indicators) — shared by q_fs_weights / q_fs_score and
+    * mirrored verbatim by their oracles. */
+  private def fsPairs(s: SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal"))
+    val l = c.select(col("k"), col("nat").as("nat1"), col("seg").as("seg1"),
+      col("bal").as("bal1"))
+    val r = c.select((col("k") - 1L).as("k"), col("nat").as("nat2"),
+      col("seg").as("seg2"), col("bal").as("bal2"))
+    l.join(r, "k")
+      .withColumn("is_match", col("k") % 7 === 0)
+      .withColumn("same_nation", col("nat1") === col("nat2"))
+      .withColumn("same_segment", col("seg1") === col("seg2"))
+      .withColumn("close_balance", abs(col("bal1") - col("bal2")) < 1000)
+  }
+
+  private val fsFields = Seq("same_nation", "same_segment", "close_balance")
+
   /** Co-purchase part graph: one edge per unordered part pair appearing
     * together in ≥ `minSupport` orders (src < dst), with an optional
     * quantity cap pre-filter. Per-order fan-out is bounded by
@@ -1429,6 +1451,25 @@ object SparkEntry {
     "q_ess" -> ((s, dir) => {
       graft.operators.Profiling.effectiveSampleSize(t(s, dir, "orders"),
         "o_totalprice", "o_orderstatus")
+    }),
+
+    // Fellegi-Sunter per-field m/u rates + log-likelihood weights from
+    // labeled adjacent-customer pairs: one aggregate pass, add-half
+    // smoothing, ln at the end — the oracle replicates each cell and
+    // formula.
+    "q_fs_weights" -> ((s, dir) => {
+      graft.operators.Dedup.fellegiSunterWeights(fsPairs(s, dir),
+        "is_match", fsFields)
+    }),
+
+    // Composite Fellegi-Sunter pair score: broadcast K-row weights,
+    // fixed field-order fold per pair (never an unordered aggregate).
+    "q_fs_score" -> ((s, dir) => {
+      val pairs = fsPairs(s, dir)
+      val wts = graft.operators.Dedup.fellegiSunterWeights(pairs,
+        "is_match", fsFields)
+      graft.operators.Dedup.fellegiSunterScore(pairs, wts, fsFields)
+        .select(col("k").as("custkey"), col("is_match"), col("fs_score"))
     }),
 
     // Krippendorff's alpha over synthetic rating units (docs regrouped
@@ -5505,6 +5546,69 @@ object SparkEntry {
         |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ess_ratio
         |FROM agg""".stripMargin,
+    // Identical pair construction + cell counts + add-half formulas.
+    "q_fs_weights" ->
+      """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+        |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |p AS (SELECT l.k, (l.k % 7 = 0) AS m,
+        |    (l.nat = r.nat) AS a0, (l.seg = r.seg) AS a1,
+        |    (abs(l.bal - r.bal) < 1000) AS a2
+        |  FROM c l JOIN c r ON r.k - 1 = l.k),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(sum(CASE WHEN m AND a0 THEN 1 ELSE 0 END) AS BIGINT) AS am0,
+        |    CAST(sum(CASE WHEN NOT m AND a0 THEN 1 ELSE 0 END) AS BIGINT) AS au0,
+        |    CAST(sum(CASE WHEN m AND a1 THEN 1 ELSE 0 END) AS BIGINT) AS am1,
+        |    CAST(sum(CASE WHEN NOT m AND a1 THEN 1 ELSE 0 END) AS BIGINT) AS au1,
+        |    CAST(sum(CASE WHEN m AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS am2,
+        |    CAST(sum(CASE WHEN NOT m AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS au2
+        |  FROM p),
+        |w AS (SELECT 'same_nation' AS field, nm AS n_match,
+        |    am0 AS agree_match, nu AS n_unmatch, au0 AS agree_unmatch
+        |  FROM agg
+        |  UNION ALL SELECT 'same_segment', nm, am1, nu, au1 FROM agg
+        |  UNION ALL SELECT 'close_balance', nm, am2, nu, au2 FROM agg)
+        |SELECT field, n_match, agree_match, n_unmatch, agree_unmatch,
+        |  round((agree_match + 0.5) / (n_match + 1.0), 6) AS m,
+        |  round((agree_unmatch + 0.5) / (n_unmatch + 1.0), 6) AS u,
+        |  round(ln(((agree_match + 0.5) / (n_match + 1.0))
+        |    / ((agree_unmatch + 0.5) / (n_unmatch + 1.0))), 6) AS w_agree,
+        |  round(ln((1.0 - (agree_match + 0.5) / (n_match + 1.0))
+        |    / (1.0 - (agree_unmatch + 0.5) / (n_unmatch + 1.0))), 6)
+        |    AS w_disagree
+        |FROM w""".stripMargin,
+    // Rounded per-field weights summed in fixed field order per pair.
+    "q_fs_score" ->
+      """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+        |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |p AS (SELECT l.k, (l.k % 7 = 0) AS m,
+        |    (l.nat = r.nat) AS a0, (l.seg = r.seg) AS a1,
+        |    (abs(l.bal - r.bal) < 1000) AS a2
+        |  FROM c l JOIN c r ON r.k - 1 = l.k),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(sum(CASE WHEN m AND a0 THEN 1 ELSE 0 END) AS BIGINT) AS am0,
+        |    CAST(sum(CASE WHEN NOT m AND a0 THEN 1 ELSE 0 END) AS BIGINT) AS au0,
+        |    CAST(sum(CASE WHEN m AND a1 THEN 1 ELSE 0 END) AS BIGINT) AS am1,
+        |    CAST(sum(CASE WHEN NOT m AND a1 THEN 1 ELSE 0 END) AS BIGINT) AS au1,
+        |    CAST(sum(CASE WHEN m AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS am2,
+        |    CAST(sum(CASE WHEN NOT m AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS au2
+        |  FROM p),
+        |w AS (SELECT
+        |    round(ln(((am0 + 0.5) / (nm + 1.0)) / ((au0 + 0.5) / (nu + 1.0))), 6) AS w0a,
+        |    round(ln((1.0 - (am0 + 0.5) / (nm + 1.0)) / (1.0 - (au0 + 0.5) / (nu + 1.0))), 6) AS w0d,
+        |    round(ln(((am1 + 0.5) / (nm + 1.0)) / ((au1 + 0.5) / (nu + 1.0))), 6) AS w1a,
+        |    round(ln((1.0 - (am1 + 0.5) / (nm + 1.0)) / (1.0 - (au1 + 0.5) / (nu + 1.0))), 6) AS w1d,
+        |    round(ln(((am2 + 0.5) / (nm + 1.0)) / ((au2 + 0.5) / (nu + 1.0))), 6) AS w2a,
+        |    round(ln((1.0 - (am2 + 0.5) / (nm + 1.0)) / (1.0 - (au2 + 0.5) / (nu + 1.0))), 6) AS w2d
+        |  FROM agg)
+        |SELECT p.k AS custkey, p.m AS is_match,
+        |  round(CASE WHEN a0 THEN w0a ELSE w0d END
+        |    + CASE WHEN a1 THEN w1a ELSE w1d END
+        |    + CASE WHEN a2 THEN w2a ELSE w2d END, 6) AS fs_score
+        |FROM p, w""".stripMargin,
     // Full machinery replication: cells -> pairable units -> m-level
     // exact numerators -> ONE division per m level -> ordered fold ->
     // decimal D_e; same association order throughout.

@@ -288,6 +288,20 @@ object StressBench {
             col("doc_id").as("coder"),
             pmod(col("doc_id"), lit(5L)).cast("string").as("lab")),
           "unit", "coder", "lab").count())
+      // Fellegi-Sunter: weights = ONE aggregate over labeled pairs;
+      // scoring = a codegen'd per-row chain (weights broadcast as
+      // literals) — both must be scan-bound flat
+      run("fs_weights_score", n) {
+        val pairs = docs.select(col("doc_id").as("pid"),
+          (col("doc_id") % 11 === 0).as("is_match"),
+          (col("doc_id") % 3 === 0).as("f1"),
+          (col("doc_id") % 5 === 0).as("f2"),
+          (col("doc_id") % 7 === 0).as("f3"))
+        val w = graft.operators.Dedup.fellegiSunterWeights(pairs,
+          "is_match", Seq("f1", "f2", "f3"))
+        graft.operators.Dedup.fellegiSunterScore(pairs, w,
+          Seq("f1", "f2", "f3")).count()
+      }
       docs.unpersist()
     }
 

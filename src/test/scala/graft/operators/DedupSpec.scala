@@ -244,6 +244,46 @@ class DedupSpec extends SparkSpec {
     assert(removed === Map(1L -> 0L, 2L -> 60L))
   }
 
+  test("fellegiSunterWeights: hand m/u with add-half smoothing; score fold; " +
+      "null = disagreement") {
+    // 4 matches (3 agree on f1), 4 non-matches (1 agrees on f1);
+    // f2 agrees everywhere on matches, never on non-matches
+    val labeled = Seq(
+      (true, Option(true), Option(true)), (true, Option(true), Option(true)),
+      (true, Option(true), Option(true)), (true, Option(false), Option(true)),
+      (false, Option(true), Option(false)), (false, Option(false), Option(false)),
+      (false, Option(false), Option(false)), (false, Option.empty[Boolean], Option(false))
+    ).toDF("is_match", "f1", "f2")
+    val w = Dedup.fellegiSunterWeights(labeled, "is_match", Seq("f1", "f2"))
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // f1: m = 3.5/5 = 0.7, u = 1.5/5 = 0.3 (the NULL row counts as
+    // disagreement); weights ln(7/3), ln(3/7)
+    assert(w("f1") === (("f1", 4L, 3L, 4L, 1L, 0.7, 0.3,
+      r6(math.log(0.7 / 0.3)), r6(math.log(0.3 / 0.7)))))
+    // f2: m = 4.5/5 = 0.9, u = 0.5/5 = 0.1
+    assert(w("f2") === (("f2", 4L, 4L, 4L, 0L, 0.9, 0.1,
+      r6(math.log(0.9 / 0.1)),
+      r6(math.log((1.0 - 0.9) / (1.0 - 0.1))))))
+    // scoring: fixed f1-then-f2 fold over the ROUNDED weights; a NULL
+    // indicator scores as disagreement
+    val weights = Dedup.fellegiSunterWeights(labeled, "is_match",
+      Seq("f1", "f2"))
+    val pairs = Seq((1L, Option(true), Option(true)),
+      (2L, Option(false), Option(true)), (3L, Option.empty[Boolean], Option(false)))
+      .toDF("pid", "f1", "f2")
+    val got = Dedup.fellegiSunterScore(pairs, weights, Seq("f1", "f2"))
+      .select("pid", "fs_score").as[(Long, Double)].collect().toMap
+    val (w1a, w1d) = (r6(math.log(0.7 / 0.3)), r6(math.log(0.3 / 0.7)))
+    val (w2a, w2d) = (r6(math.log(0.9 / 0.1)), r6(math.log(0.1 / 0.9)))
+    assert(got === Map(1L -> r6(w1a + w2a), 2L -> r6(w1d + w2a),
+      3L -> r6(w1d + w2d)))
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunterScore(pairs, weights, Seq("nope"))
+    }
+  }
+
   test("dedupChunks: within-doc repeated chunk keeps only the first") {
     val docs = Seq((7L, "a b a b c c")).toDF("doc_id", "text")
     val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 2)
