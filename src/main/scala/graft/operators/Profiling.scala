@@ -1489,15 +1489,14 @@ object Profiling {
    * division per rank. `qn_value` therefore matches cross-engine
    * bit-for-bit; no double ever sums.
    *
-   * Scale shape: one GROUP-partitioned window (per-group sort — the
-   * inherent cost of within-group ranking, never a global sort),
-   * lineage-cut so the reference aggregate and the final join read ONE
-   * materialization instead of each re-running the scan + sort, then
-   * one rank-keyed aggregate (≤ max group size rows) and one rank-keyed
-   * join back. Rows carry (group, id, long). Parallelism is ACROSS
-   * groups: a single- or few-group frame degenerates to one sort task
-   * per group over n/G rows (skewReport-class bound; measured in
-   * SCALING.md) — group cardinality, not row count, is the dial.
+   * Scale shape (r12): per-group ranks ride the chunked
+   * [[Ranking.withGroupedRank]] — one range shuffle keyed (group,
+   * value, id), NO task ever sorts more than ~n/chunks rows whatever
+   * the group sizes (the former one-task-per-giant-group bound is
+   * gone) — lineage-cut so the reference aggregate and the final join
+   * read ONE materialization, then one rank-keyed aggregate (≤ max
+   * group size rows) and one rank-keyed join back. Rows carry
+   * (group, id, long).
    *
    * Returns one row per input row:
    * (`grp`, `id`, `value`, `qn_value`).
@@ -1512,12 +1511,18 @@ object Profiling {
       .select(col(groupCol).cast("string").as("grp"),
         col(idCol).as("id"),
         round(col(valueCol) * unitScale).cast("long").as("u"))
-    val w = Window.partitionBy("grp").orderBy(col("u"), col("id"))
+    // r12: per-group ranks ride the chunked grouped helper — no task
+    // ever sorts a whole group, so the former "a single giant group
+    // sorts in one task" bound is gone. (u, id) is a total order per
+    // group, so ranks are IDENTICAL to the window form (parity
+    // spec-pinned in RankingSpec).
     // cut: the ranked frame is read twice (reference aggregate + the
-    // final join) — uncut, the scan AND the per-group sort both run
-    // twice (plan-audited); one materialization beats a second full sort
+    // final join) — uncut, the scan AND the rank pass both run twice
+    // (plan-audited); one materialization beats a second full pass
     val ranked = graft.core.LineageCut.cut(
-      base.withColumn("rk", row_number().over(w)))
+      Ranking.withGroupedRank(base, "grp",
+          Seq(col("u").asc, col("id").asc), "rk", "gn")
+        .drop("gn"))
     val ref = ranked.groupBy("rk")
       .agg(sum("u").as("su"), count(lit(1)).as("c"))
       .select(col("rk"),
@@ -1940,17 +1945,17 @@ object Profiling {
    * EXACTNESS: the [[conformalThreshold]] contract per group — the
    * order-statistic index in pure integer arithmetic (α as exact
    * num/10⁶), the VALUE at position k tie-invariant — but the rank is
-   * a GROUP-partitioned `row_number` (per-group sort, never global,
-   * no driver action at all). Groups too small for the guarantee
+   * PER GROUP (the chunked grouped pass, no global sort, no driver
+   * action at all). Groups too small for the guarantee
    * ((n_g+1)·α < 1, i.e. k > n_g) report NULL `qhat` — present and
    * visibly unattainable rather than silently dropped.
    *
-   * Scale shape: ONE group-partitioned window pass, lineage-cut so
+   * Scale shape (r12): ONE chunked [[Ranking.withGroupedRank]] pass
+   * (range shuffle keyed (group, score) — no task ever sorts a whole
+   * group, so giant groups cost what balanced ones do), lineage-cut so
    * its two consumers (the k-rank filter and the per-group n rows)
    * share one materialization — the base is scanned exactly once —
-   * plus one group-keyed join of group-count rows. Parallelism is
-   * across groups (skewReport-class: a single giant group sorts in
-   * one task).
+   * plus one group-keyed join of group-count rows.
    *
    * Returns one row per group: (`grp`, `n`, `k`, `qhat`).
    */
@@ -1971,15 +1976,18 @@ object Profiling {
       val t = (n + 1L) * num
       (n + 1L) - ((t - pmod(t, lit(den))) / den).cast("long")
     }
-    val w = Window.partitionBy("grp").orderBy("u")
+    // r12: per-group ranks + counts ride the chunked grouped helper —
+    // a single giant group no longer sorts in one task. Ranks within
+    // tied u values are arbitrary under BOTH this and the window form,
+    // but the consumed quantity — the u VALUE at position k — is
+    // tie-invariant, so the output is identical (the operator's
+    // documented tie-invariance contract).
     // cut (conformal): the ranked frame feeds TWO consumers (the
     // k-rank filter and the per-group n derivation) — uncut, each
-    // re-ran the base scan + the group window. n comes from the window
-    // count the cut frame already carries, so no second scan of base
-    // exists at all.
-    val ranked = graft.core.LineageCut.cut(base
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp"))))
+    // re-ran the base scan + the rank pass; n comes from the count the
+    // cut frame already carries, so no second scan of base exists.
+    val ranked = graft.core.LineageCut.cut(
+      Ranking.withGroupedRank(base, "grp", Seq(col("u").asc), "rk", "n"))
     val qrows = ranked.filter(col("rk") === kOf(col("n")))
       .select(col("grp"),
         (col("u").cast("double") / unitScale.toDouble).as("qhat"))
