@@ -1647,6 +1647,44 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "text"), qs)
     }),
 
+    // Per-query hybrid retrieval: batch BM25 lists + per-query brute
+    // cosine lists fused by grouped reciprocal-rank fusion — the
+    // multi-query twin of q_rrf_fusion. Lists are top-100-bounded
+    // upstream (the rrfFuseByQuery contract), fold order lex-then-sem.
+    "q_hybrid_multi" -> ((s, dir) => {
+      import graft.operators.{Ranking, Similarity, TextAnalysis}
+      val spark = s
+      import spark.implicits._
+      val qtext = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
+        (3L, "vector stream")).toDF("query_id", "qtext")
+      val bm = TextAnalysis.bm25Scores(
+        t(s, dir, "documents").select("doc_id", "text"), qtext)
+      val lex = Ranking.withGroupedRank(
+          bm.select(col("query_id"), col("doc_id"), col("bm25")),
+          "query_id", Seq(col("bm25").desc, col("doc_id").asc), "r", "nq")
+        .filter(col("r") <= 100)
+        .select(col("query_id"), col("doc_id"), col("r"))
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id").isin(0L, 100L, 200L))
+        .select(((col("vec_id") / lit(100L)) + 1).cast("long")
+          .as("query_id"), col("embedding"))
+      val sem = Similarity.bruteForceTopK(emb, qvec, 100)
+        .select(col("query_id"), col("nn_id").as("doc_id"),
+          col("rank").as("r"))
+      Ranking.rrfFuseByQuery(Seq(lex, sem), "query_id", "doc_id", "r",
+        k0 = 60, topK = 20)
+    }),
+
+    // Mergeable approximate quantiles with the self-checked GK
+    // rank-error gate: the estimate is engine-internal, so the oracle
+    // pins the INVARIANT (within_bound TRUE) plus the exact n and
+    // target ranks — the ann_lsh self-recovery pattern.
+    "q_quantile_gate" -> ((s, dir) => {
+      graft.operators.Sketches.approxQuantileGate(
+          t(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
+        .select("p", "n", "target_rank", "within_bound")
+    }),
+
     // Covariance of the embedding corpus's leading 16 components in ONE
     // tree-aggregated Gram pass — only (n, Σx, Σxᵢxⱼ) summaries move.
     "q_vector_cov" -> ((s, dir) => {
@@ -6165,6 +6203,92 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
         |FROM f WHERE rn = nt""".stripMargin,
+    // Multi-query hybrid fusion: the text_bm25_multi pipeline feeds
+    // per-query lexical ranks (top 100), three labeled query vectors
+    // feed per-query cosine ranks (top 100), fused lex-then-sem with
+    // per-query top-20 — same association order as the Spark fold.
+    "q_hybrid_multi" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'vector stream')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
+        |  FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
+        |    lens.dl, st.n, st.tot
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
+        |co AS (SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS contrib
+        |  FROM m),
+        |bm AS (SELECT query_id, doc_id, round(run, 4) AS bm25 FROM (
+        |    SELECT query_id, doc_id,
+        |      sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |        ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |      row_number() OVER (PARTITION BY query_id, doc_id
+        |        ORDER BY term) AS rn,
+        |      count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |    FROM co) WHERE rn = nt),
+        |lex AS (SELECT query_id, doc_id, r FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS r
+        |    FROM bm) WHERE r <= 100),
+        |qv AS (SELECT CAST(vec_id / 100 + 1 AS BIGINT) AS query_id,
+        |    embedding AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 100, 200)),
+        |sem0 AS (SELECT qv.query_id, c.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(qv.qe AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c CROSS JOIN qv),
+        |sem AS (SELECT query_id, doc_id, r FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS r
+        |    FROM sem0) WHERE r <= 100),
+        |j AS (SELECT COALESCE(lex.query_id, sem.query_id) AS query,
+        |    COALESCE(lex.doc_id, sem.doc_id) AS key,
+        |    CAST(lex.r AS BIGINT) AS rank_1, CAST(sem.r AS BIGINT) AS rank_2
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON sem.query_id = lex.query_id AND sem.doc_id = lex.doc_id),
+        |sc AS (SELECT query, key, rank_1, rank_2,
+        |    COALESCE(1.0 / CAST(rank_1 + 60 AS DOUBLE), 0.0) +
+        |    COALESCE(1.0 / CAST(rank_2 + 60 AS DOUBLE), 0.0) AS s
+        |  FROM j)
+        |SELECT query, key, rank_1, rank_2, round(s, 6) AS rrf FROM (
+        |  SELECT query, key, rank_1, rank_2, s, row_number() OVER (
+        |    PARTITION BY query ORDER BY s DESC, key ASC) AS qr
+        |  FROM sc) WHERE qr <= 20""".stripMargin,
+    // Exact n + target ranks; the estimate itself is engine-internal,
+    // so the gate invariant (within_bound) is the cross-engine check.
+    // ceil runs over the DOUBLE product in both engines (a decimal
+    // 0.9*n would disagree with the IEEE product at n % 10 = 0).
+    "q_quantile_gate" ->
+      """WITH nn AS (SELECT count(*) AS n FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(0.5 AS DOUBLE) AS p, n,
+        |  CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS target_rank, TRUE AS within_bound FROM nn
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), n,
+        |  CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT),
+        |  TRUE FROM nn
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), n,
+        |  CAST(ceil(CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT),
+        |  TRUE FROM nn""".stripMargin,
     "q_vector_cov" ->
       """WITH x AS (SELECT vec_id, t.i AS i,
         |    CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS v

@@ -229,6 +229,55 @@ object Ranking {
   }
 
   /**
+   * Per-QUERY reciprocal-rank fusion — [[rrfFuse]] with a query key:
+   * each input frame carries (`queryCol`, `keyCol`, `rankCol`) per-query
+   * ranked lists (the [[graft.operators.TextAnalysis.bm25Scores]] /
+   * ANN top-k shape), and fusion runs independently within every query.
+   * THE hybrid-retrieval batch combiner: lexical BM25 lists + embedding
+   * ANN lists for a whole query set in one call.
+   *
+   * Same determinism contract as [[rrfFuse]]: per-key scores are a
+   * FIXED left-to-right fold over the list index (never an unordered
+   * aggregate), equal inputs give bit-equal scores, ties break
+   * (score desc, key asc) within the query. Duplicate keys within one
+   * list take their best (min) rank.
+   *
+   * Scale shape: N list-tagged projections union (each list is
+   * per-query top-k-bounded upstream), ONE (query, key)-keyed pivot
+   * aggregate, then a QUERY-partitioned rank window — safe precisely
+   * because every query's candidate set is ≤ N·topK_upstream rows by
+   * construction (a bounded-group window, not a data-sized one) — and
+   * the per-query `topK` cut. Parallelism is across queries.
+   */
+  def rrfFuseByQuery(rankings: Seq[DataFrame], queryCol: String,
+                     keyCol: String, rankCol: String,
+                     k0: Int = 60, topK: Int = 100): DataFrame = {
+    require(rankings.size >= 2 && rankings.size <= 16,
+      s"rrfFuseByQuery wants 2..16 lists; got ${rankings.size}")
+    require(k0 >= 1, "k0 must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val tagged = rankings.zipWithIndex.map { case (f, i) =>
+      f.select(col(queryCol).as("query"), col(keyCol).as("key"),
+        col(rankCol).cast("long").as("__r"), lit(i).as("__src"))
+    }.reduce(_ unionAll _)
+    val pivots = rankings.indices.map(i =>
+      min(when(col("__src") === i, col("__r"))).as(s"rank_${i + 1}"))
+    val score = rankings.indices
+      .map(i => coalesce(
+        lit(1.0) / (col(s"rank_${i + 1}") + lit(k0.toLong)).cast("double"),
+        lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy("query")
+      .orderBy(col("__rrf").desc, col("key").asc)
+    tagged.groupBy("query", "key").agg(pivots.head, pivots.tail: _*)
+      .withColumn("__rrf", score)
+      .withColumn("__qr", row_number().over(w))
+      .filter(col("__qr") <= topK)
+      .select(col("query") +: col("key") +: rankings.indices.map(i =>
+        col(s"rank_${i + 1}")) :+ round(col("__rrf"), 6).as("rrf"): _*)
+  }
+
+  /**
    * One scale-safe ntile pass: rank by `order`, bucket into `k` tiles
    * as `scoreCol`, drop the scratch rank/count. The drop-in
    * replacement for `ntile(k).over(Window.orderBy(order…))`.

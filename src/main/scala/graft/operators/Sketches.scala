@@ -592,4 +592,68 @@ object Sketches {
       out.toByteArray
     } finally in.close()
   }
+
+  /**
+   * Mergeable approximate quantiles with a SELF-CHECKED rank-error
+   * gate — the sketch-family member for order statistics next to
+   * HLL (distinct), CMS (frequency), Bloom (membership), KMV
+   * (similarity): Spark's Greenwald-Khanna `approx_percentile`
+   * aggregate (mergeable partial sketches — the 100 TB path where an
+   * exact `percentile`'s O(distinct-values) state won't fit) plus ONE
+   * exact rank probe per estimate that certifies the published GK
+   * bound |rank(est) − ⌈p·n⌉| ≤ accuracy·n ON THIS RUN. The gate
+   * turns an approximate answer into a checked one: consumers read
+   * `within_bound` before trusting `estimate`.
+   *
+   * The probe is deliberately cheap: counting rows ≤ each of the k
+   * estimates is one map-side-combined aggregate over k codegen'd
+   * comparisons — NOT the exact-quantile sort the sketch exists to
+   * avoid; n is unbounded and value cardinality never enters.
+   *
+   * Oracle shape: the estimate itself is engine-internal (DuckDB
+   * cannot replay GK), so the cross-engine check is the INVARIANT —
+   * `within_bound` must be TRUE for every probed p (the ann_lsh
+   * self-recovery pattern); `p`, `n`, and `target_rank` are exact.
+   *
+   * Returns one row per probability, in `probs` order: (`p`,
+   * `n`, `target_rank`, `rank_of_estimate`, `within_bound`).
+   */
+  def approxQuantileGate(df: DataFrame, valueCol: String,
+                         probs: Seq[Double], accuracy: Int = 10000)
+  : DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
+    require(probs.forall(p => p > 0 && p < 1), s"probs must be in (0, 1)")
+    require(accuracy >= 100, "accuracy must be >= 100 (GK 1/eps)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val probsArr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val est = base.agg(
+      expr(s"approx_percentile(__v, $probsArr, $accuracy)").as("__est"),
+      count(lit(1)).as("__n")).head()
+    require(!est.isNullAt(0), "approxQuantileGate needs at least one " +
+      s"non-null $valueCol value")
+    val ests = est.getSeq[Double](0)
+    val n = est.getLong(1)
+    // one probe aggregate: each estimate's exact rank INTERVAL — a
+    // tied value occupies ranks [#rows < est + 1, #rows <= est], and
+    // the GK guarantee is that this interval INTERSECTS
+    // [⌈pn⌉ − εn, ⌈pn⌉ + εn] (checking only the upper rank would
+    // false-alarm on heavy ties)
+    val rankAggs = ests.zipWithIndex.flatMap { case (e, i) =>
+      Seq(sum(when(col("__v") <= e, 1L).otherwise(0L)).as(s"__le$i"),
+        sum(when(col("__v") < e, 1L).otherwise(0L)).as(s"__lt$i"))
+    }
+    val ranks = base.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    probs.zipWithIndex.map { case (p, i) =>
+      val target = math.ceil(p * n).toLong
+      val hi = ranks.getLong(2 * i)     // upper rank of the estimate
+      val lo = ranks.getLong(2 * i + 1) + 1 // lower rank
+      val eps = n.toDouble / accuracy
+      val ok = lo.toDouble <= target + eps + 1e-9 &&
+        hi.toDouble >= target - eps - 1e-9
+      (p, n, target, hi, ok)
+    }.toDF("p", "n", "target_rank", "rank_of_estimate", "within_bound")
+  }
 }

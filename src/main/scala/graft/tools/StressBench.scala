@@ -288,6 +288,23 @@ object StressBench {
             col("doc_id").as("coder"),
             pmod(col("doc_id"), lit(5L)).cast("string").as("lab")),
           "unit", "coder", "lab").count())
+      // approx-quantile gate: one mergeable GK aggregate + one probe
+      // aggregate (k codegen'd comparisons) — value cardinality never
+      // enters, expect scan-bound flat
+      run("quantile_gate", n)(
+        graft.operators.Sketches.approxQuantileGate(
+          docs.select(col("doc_id").cast("double").as("v")), "v",
+          Seq(0.5, 0.9, 0.99)).count())
+      // grouped RRF: 2 lists × n/100 queries × 100-ranked keys — one
+      // pivot aggregate + a bounded per-query window
+      run("rrf_by_query", n) {
+        val l1 = docs.select((col("doc_id") / lit(100L)).cast("long")
+          .as("q"), col("doc_id").as("k"),
+          (pmod(col("doc_id"), lit(100L)) + 1L).as("r"))
+        val l2 = l1.withColumn("r", lit(101L) - col("r"))
+        graft.operators.Ranking.rrfFuseByQuery(Seq(l1, l2), "q", "k", "r",
+          topK = 10).count()
+      }
       // Fellegi-Sunter: weights = ONE aggregate over labeled pairs;
       // scoring = a codegen'd per-row chain (weights broadcast as
       // literals) — both must be scan-bound flat

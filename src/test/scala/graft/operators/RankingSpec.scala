@@ -189,6 +189,34 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuseByQuery: per-query fusion equals single-query rrfFuse; topK per query") {
+    import spark.implicits._
+    val l1 = Seq((10L, "a", 1), (10L, "b", 2), (11L, "x", 1), (11L, "y", 2))
+      .toDF("q", "id", "r")
+    val l2 = Seq((10L, "b", 1), (10L, "c", 2), (11L, "y", 1), (11L, "z", 2))
+      .toDF("q", "id", "r")
+    val fused = Ranking.rrfFuseByQuery(Seq(l1, l2), "q", "id", "r", k0 = 60)
+      .as[(Long, String, Option[Long], Option[Long], Double)].collect()
+    // each query's slice must equal the single-query operator on its rows
+    for (q <- Seq(10L, 11L)) {
+      val single = Ranking.rrfFuse(
+        Seq(l1.filter(col("q") === q).select("id", "r"),
+          l2.filter(col("q") === q).select("id", "r")),
+        "id", "r", k0 = 60)
+        .as[(String, Option[Long], Option[Long], Double)].collect().toSeq
+      val slice = fused.filter(_._1 == q)
+        .map(t => (t._2, t._3, t._4, t._5)).toSeq
+      assert(slice.sortBy(r => (-r._4, r._1)) === single, s"query $q")
+    }
+    // topK cuts per query, not globally
+    val cut = Ranking.rrfFuseByQuery(Seq(l1, l2), "q", "id", "r", topK = 1)
+      .as[(Long, String, Option[Long], Option[Long], Double)].collect()
+    assert(cut.length === 2 && cut.map(_._1).toSet === Set(10L, 11L))
+    intercept[IllegalArgumentException] {
+      Ranking.rrfFuseByQuery(Seq(l1), "q", "id", "r")
+    }
+  }
+
   test("rrfFuse: hand-computed fusion, exact ties break on key, min-rank dedup") {
     import spark.implicits._
     val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "r")

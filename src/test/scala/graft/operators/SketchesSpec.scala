@@ -331,4 +331,29 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - ex) < 5.0 / math.sqrt(512),
       s"est $est vs exact $ex")
   }
+
+  test("approxQuantileGate: exact within bound on uniform + heavy ties; guards") {
+    import spark.implicits._
+    val uniform = (1 to 1000).map(_.toDouble).toDF("v")
+    val got = graft.operators.Sketches
+      .approxQuantileGate(uniform, "v", Seq(0.5, 0.9, 0.99))
+      .as[(Double, Long, Long, Long, Boolean)].collect()
+    assert(got.length === 3)
+    assert(got.forall(_._5), s"bound violated: ${got.mkString(", ")}")
+    assert(got.map(_._3).toSeq === Seq(500L, 900L, 990L)) // ceil(p*n)
+    // heavy ties: one value occupies ranks 1..999 — the INTERVAL check
+    // must pass where an upper-rank-only check would false-alarm
+    val ties = ((1 to 999).map(_ => 5.0) :+ 9.0).toDF("v")
+    val t = graft.operators.Sketches
+      .approxQuantileGate(ties, "v", Seq(0.5))
+      .as[(Double, Long, Long, Long, Boolean)].collect().head
+    assert(t._5 && t._4 === 999L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.approxQuantileGate(uniform, "v", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.approxQuantileGate(
+        Seq(Option.empty[Double]).toDF("v"), "v", Seq(0.5))
+    }
+  }
 }
