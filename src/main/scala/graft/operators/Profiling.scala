@@ -1489,13 +1489,18 @@ object Profiling {
    * division per rank. `qn_value` therefore matches cross-engine
    * bit-for-bit; no double ever sums.
    *
-   * Scale shape (r12): per-group ranks ride the chunked
-   * [[Ranking.withGroupedRank]] — one range shuffle keyed (group,
-   * value, id), NO task ever sorts more than ~n/chunks rows whatever
-   * the group sizes (the former one-task-per-giant-group bound is
-   * gone) — lineage-cut so the reference aggregate and the final join
-   * read ONE materialization, then one rank-keyed aggregate (≤ max
-   * group size rows) and one rank-keyed join back. Rows carry
+   * Scale shape: one GROUP-partitioned window by default (parallelism
+   * across groups — the right plan when groups are balanced), with a
+   * `giantGroups` knob that swaps in the chunked
+   * [[Ranking.withGroupedRank]] (no task ever sorts more than
+   * ~n/chunks rows, whatever the group skew) producing BIT-IDENTICAL
+   * output ((value, id) totally orders each group; parity
+   * spec-pinned). The knob is opt-in because the skew insurance costs
+   * real constant overhead — measured 7.6× at balanced sf0.1 scale
+   * (BENCH r12 mover table) — buy it when one group dwarfs the rest,
+   * not by default. Then: lineage-cut so the reference aggregate and
+   * the final join read ONE materialization, one rank-keyed aggregate
+   * (≤ max group size rows), one rank-keyed join back. Rows carry
    * (group, id, long).
    *
    * Returns one row per input row:
@@ -1503,7 +1508,8 @@ object Profiling {
    */
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
                         valueCol: String,
-                        unitScale: Long = 100L): DataFrame = {
+                        unitScale: Long = 100L,
+                        giantGroups: Boolean = false): DataFrame = {
     require(unitScale >= 1, "unitScale must be >= 1")
     val base = df
       .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
@@ -1511,18 +1517,25 @@ object Profiling {
       .select(col(groupCol).cast("string").as("grp"),
         col(idCol).as("id"),
         round(col(valueCol) * unitScale).cast("long").as("u"))
-    // r12: per-group ranks ride the chunked grouped helper — no task
-    // ever sorts a whole group, so the former "a single giant group
-    // sorts in one task" bound is gone. (u, id) is a total order per
-    // group, so ranks are IDENTICAL to the window form (parity
-    // spec-pinned in RankingSpec).
+    // Default: group-partitioned window (parallel ACROSS groups).
+    // giantGroups = true swaps in the chunked Ranking.withGroupedRank
+    // — bit-identical ranks ((u, id) totally orders each group;
+    // parity spec-pinned), no task ever sorts a whole group — for
+    // frames where one group dwarfs the rest. NOT the default because
+    // the insurance isn't free: at balanced sf0.1 scale the chunked
+    // form measured 7.6× the window form (range-sampling pass +
+    // checkpoint + stitch overhead, BENCH r12 mover table) — buy it
+    // when group skew, not row count, is the risk.
     // cut: the ranked frame is read twice (reference aggregate + the
     // final join) — uncut, the scan AND the rank pass both run twice
     // (plan-audited); one materialization beats a second full pass
     val ranked = graft.core.LineageCut.cut(
-      Ranking.withGroupedRank(base, "grp",
-          Seq(col("u").asc, col("id").asc), "rk", "gn")
-        .drop("gn"))
+      if (giantGroups)
+        Ranking.withGroupedRank(base, "grp",
+            Seq(col("u").asc, col("id").asc), "rk", "gn")
+          .drop("gn")
+      else base.withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("u"), col("id")))))
     val ref = ranked.groupBy("rk")
       .agg(sum("u").as("su"), count(lit(1)).as("c"))
       .select(col("rk"),
@@ -1945,23 +1958,26 @@ object Profiling {
    * EXACTNESS: the [[conformalThreshold]] contract per group — the
    * order-statistic index in pure integer arithmetic (α as exact
    * num/10⁶), the VALUE at position k tie-invariant — but the rank is
-   * PER GROUP (the chunked grouped pass, no global sort, no driver
-   * action at all). Groups too small for the guarantee
+   * PER GROUP (never global, no driver action at all). Groups too
+   * small for the guarantee
    * ((n_g+1)·α < 1, i.e. k > n_g) report NULL `qhat` — present and
    * visibly unattainable rather than silently dropped.
    *
-   * Scale shape (r12): ONE chunked [[Ranking.withGroupedRank]] pass
-   * (range shuffle keyed (group, score) — no task ever sorts a whole
-   * group, so giant groups cost what balanced ones do), lineage-cut so
-   * its two consumers (the k-rank filter and the per-group n rows)
-   * share one materialization — the base is scanned exactly once —
-   * plus one group-keyed join of group-count rows.
+   * Scale shape: ONE group-partitioned window pass by default
+   * (parallel across groups), or — `giantGroups` — the chunked
+   * [[Ranking.withGroupedRank]] (no task ever sorts a whole group;
+   * identical output, ~3.7× constant overhead at balanced scale —
+   * same trade as [[quantileNormalize]]'s knob); either way
+   * lineage-cut so its two consumers (the k-rank filter and the
+   * per-group n rows) share one materialization — the base is scanned
+   * exactly once — plus one group-keyed join of group-count rows.
    *
    * Returns one row per group: (`grp`, `n`, `k`, `qhat`).
    */
   def conformalThresholdByGroup(df: DataFrame, scoreCol: String,
                                 groupCol: String, alpha: Double,
-                                unitScale: Long = 100L): DataFrame = {
+                                unitScale: Long = 100L,
+                                giantGroups: Boolean = false): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
     require(unitScale >= 1, "unitScale must be >= 1")
     val den = 1000000L
@@ -1976,18 +1992,23 @@ object Profiling {
       val t = (n + 1L) * num
       (n + 1L) - ((t - pmod(t, lit(den))) / den).cast("long")
     }
-    // r12: per-group ranks + counts ride the chunked grouped helper —
-    // a single giant group no longer sorts in one task. Ranks within
-    // tied u values are arbitrary under BOTH this and the window form,
-    // but the consumed quantity — the u VALUE at position k — is
-    // tie-invariant, so the output is identical (the operator's
-    // documented tie-invariance contract).
+    // Default: group-partitioned window; giantGroups = true swaps in
+    // the chunked Ranking.withGroupedRank (quantileNormalize's knob —
+    // same trade, measured 3.7× overhead here at balanced scale).
+    // Ranks within tied u values are arbitrary under BOTH forms, but
+    // the consumed quantity — the u VALUE at position k — is
+    // tie-invariant, so the output is identical either way.
     // cut (conformal): the ranked frame feeds TWO consumers (the
     // k-rank filter and the per-group n derivation) — uncut, each
     // re-ran the base scan + the rank pass; n comes from the count the
     // cut frame already carries, so no second scan of base exists.
     val ranked = graft.core.LineageCut.cut(
-      Ranking.withGroupedRank(base, "grp", Seq(col("u").asc), "rk", "n"))
+      if (giantGroups)
+        Ranking.withGroupedRank(base, "grp", Seq(col("u").asc), "rk", "n")
+      else base
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("grp").orderBy("u")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp"))))
     val qrows = ranked.filter(col("rk") === kOf(col("n")))
       .select(col("grp"),
         (col("u").cast("double") / unitScale.toDouble).as("qhat"))

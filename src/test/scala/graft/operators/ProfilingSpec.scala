@@ -642,6 +642,24 @@ class ProfilingSpec extends SparkSpec {
       .collect().head._4 === Some(1.0))
   }
 
+  test("quantileNormalize/conformalThresholdByGroup: giantGroups form is " +
+      "bit-identical to the window default") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val h = ((i * 2654435761L) ^ (i >> 2)) & Long.MaxValue
+      (s"g${i % 4}", i.toLong, (h % 13).toDouble)
+    }.toDF("grp", "id", "v")
+    val a = Profiling.quantileNormalize(rows, "grp", "id", "v", unitScale = 1L)
+    val b = Profiling.quantileNormalize(rows, "grp", "id", "v", unitScale = 1L,
+      giantGroups = true)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val c = Profiling.conformalThresholdByGroup(rows, "v", "grp", alpha = 0.2,
+      unitScale = 1L)
+    val d = Profiling.conformalThresholdByGroup(rows, "v", "grp", alpha = 0.2,
+      unitScale = 1L, giantGroups = true)
+    assert(c.exceptAll(d).isEmpty && d.exceptAll(c).isEmpty)
+  }
+
   test("quantileNormalize: equal groups swap to rank means, unequal-size variant") {
     import spark.implicits._
     val rows = Seq(("A", 1L, 2.0), ("A", 2L, 4.0), ("B", 3L, 6.0),
