@@ -239,6 +239,18 @@ object StressBench {
         run(s"spearmat${k}_kpass", n)(Profiling.spearmanMatrix(rows,
           cols.take(k), "id", unitScale = 1L, oneShuffle = false).count())
       }
+      // the documented level dial, measured: quantize the same 16
+      // columns to ~1000 levels each (any real metric's resolution) —
+      // the level frames collapse from k·n rows to k·1000, and the
+      // all-unique 4M×16 cliff (both forms ~320 s) must vanish
+      val rowsQ = spark.range(n).toDF("id")
+        .select(col("id") +: cols.zipWithIndex.map { case (c, i) =>
+          (pmod(xxhash64(col("id"), lit(i)), lit(1000L))).cast("double").as(c)
+        }: _*)
+      rowsQ.cache().count()
+      run("spearmat16q_melt", n)(Profiling.spearmanMatrix(rowsQ,
+        cols.take(16), "id", unitScale = 1L).count())
+      rowsQ.unpersist()
       rows.unpersist()
     }
 
