@@ -59,6 +59,32 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("withGroupedRank: randomized parity sweep over group counts, tie rates, chunks") {
+    // deterministic pseudo-random configs — group-count × tie-density ×
+    // chunk-count grid, every cell checked against the window form
+    for {
+      (groups, metrics, seed) <- Seq((1, 3, 11L), (7, 2, 23L), (40, 50, 37L))
+      chunks <- Seq(3, 97)
+    } {
+      val df = (0 until 400).map { i =>
+        val h = ((i * 2654435761L) ^ seed) & Long.MaxValue
+        (i.toLong, s"g${h % groups}", ((h >> 7) % metrics).toDouble)
+      }.toDF("id", "grp", "metric")
+      val w = Window.partitionBy("grp")
+        .orderBy(col("metric").asc, col("id").desc)
+      val expected = df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+        .as[(Long, String, Double, Int, Long)].collect().toSet
+        .map((t: (Long, String, Double, Int, Long)) =>
+          (t._1, t._2, t._3, t._4.toLong, t._5))
+      val got = Ranking.withGroupedRank(df, "grp",
+          Seq(col("metric").asc, col("id").desc), "rn", "n", chunks)
+        .as[(Long, String, Double, Long, Long)].collect().toSet
+      assert(got === expected,
+        s"groups=$groups metrics=$metrics seed=$seed chunks=$chunks")
+    }
+  }
+
   test("withGroupedRank: null group ranks as its own group; single group = global") {
     val withNulls = Seq((1L, Option("a"), 3.0), (2L, None, 1.0),
       (3L, Option("a"), 1.0), (4L, None, 2.0)).toDF("id", "grp", "v")
