@@ -328,6 +328,20 @@ class SimilaritySpec extends SparkSpec {
         .limit(10), dest)
     val genRows = spark.read.parquet(s"$dest/gen-8/vectors").count()
     assert(genRows === n + 10)
+
+    // SECOND rebuild with keepGenerations = 1: gen-9 commits, CURRENT
+    // swings, and the retention sweep deletes gen-8 (beyond the window)
+    assert(Similarity.rebuildIvfIndexIfSkewed(spark, dest,
+      skewThreshold = 1.0, numCells = 8, keepGenerations = 1))
+    assert(Similarity.resolveIvfDir(spark, dest) === s"$dest/gen-9")
+    assert(!new java.io.File(s"$dest/gen-8").exists(),
+      "retention kept a generation beyond the window")
+    assert(spark.read.parquet(s"$dest/gen-9/vectors").count() === n + 10)
+    // probes keep serving through the newest generation
+    val afterTwo = Similarity.ivfTopKFromIndex(spark, dest, queries, 1,
+      nProbe = 2).filter(col("rank") === 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSeq
+    assert(afterTwo.nonEmpty && afterTwo.forall { case (q, nn) => q === nn })
   }
 
   test("hierarchical codebook: two-level assignment is consistent and flatten-aligned") {

@@ -639,5 +639,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((10L, 2L)) ===
       ((2L, r4(sc(idfCat, 2, 3) + sc(idfFish, 1, 3)))))
     assert(got.keySet === Set((10L, 1L), (10L, 2L))) // bird + unseen absent
+    // empty-text docs count in N and avgdl (len 0) but never match:
+    // N 3 -> 4 changes idf and avgdl for every score
+    val docs4 = docs.unionAll(Seq((4L, "")).toDF("doc_id", "text"))
+    val g4 = TextAnalysis.bm25Scores(docs4, qs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val idfCat4 = math.log(1.0 + (4.0 - 2 + 0.5) / (2 + 0.5))
+    val avgdl4 = 6.0 / 4.0
+    def sc4(idf: Double, tf: Double, len: Double): Double =
+      idf * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl4))
+    assert(g4((10L, 1L)) === r4(sc4(idfCat4, 1, 2)))
+    assert(!g4.keySet.exists(_._2 == 4L))
   }
 }
