@@ -204,8 +204,12 @@ object Bench {
         // 218 — per-query values in r7/r8 WERE min; see BASELINE.md
         // §ratio-series); "now" is this run appended on the same
         // semantics.
+        // r12 pins the ROUND-CLOSE committed value (253.87/56.41 over
+        // 228; BASELINE.md §ratio-series) — the driver's post-close
+        // regen read 3.81 on the same code, recorded there as the
+        // session-noise band, not the series point
         val history = Seq("r7" -> 6.44, "r8" -> 5.80, "r9" -> 5.71,
-          "r10" -> 5.94, "r11" -> 5.60)
+          "r10" -> 5.94, "r11" -> 5.60, "r12" -> 4.50)
         v.filter(_ > 0 && sfMatch).map { d =>
           val series = (history.map { case (k, x) => s""""$k":$x""" } :+
             s""""now":${r2(minTotal / d)}""").mkString("{", ",", "}")
@@ -228,8 +232,14 @@ object Bench {
         case None => s""""$name":{"rows":-1}"""
       }
     }.mkString("{", ",", "}")
+    // a parity-drive-only SPARK_GRAFT_BENCH_ONLY subset times zero
+    // benchable queries — emit a streams-only line WITHOUT the
+    // total/ratio/anchor fields rather than a valid-looking 0.00 total
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","semantics":"min","repeats":$repeats,"median_total":${"%.2f".formatLocal(java.util.Locale.ROOT, medianTotal)}$anchorFields,"reruns":$rerunJson,"queries":$qs,"spread":$spreadJson,"median":$medianJson,"streams":$streamsJson,"sf":"$sfDir"}"""
+      if (names.isEmpty)
+        s"""{"metric":"streams_only","unit":"sec","repeats":$streamPasses,"streams":$streamsJson,"sf":"$sfDir"}"""
+      else
+        s"""{"metric":"total","value":$total,"unit":"sec","semantics":"min","repeats":$repeats,"median_total":${"%.2f".formatLocal(java.util.Locale.ROOT, medianTotal)}$anchorFields,"reruns":$rerunJson,"queries":$qs,"spread":$spreadJson,"median":$medianJson,"streams":$streamsJson,"sf":"$sfDir"}"""
     // The driver's tail capture is a FIXED ~2000-char window; the full
     // per-query line (~90 queries, full double precision) is ~4000 chars and
     // can never fit, wherever it is printed (r4/r5 `parsed: null`). So:
@@ -254,6 +264,8 @@ object Bench {
     // reported total ("timed" = genuinely timed only)
     val failed = results.count(_._2 < 0)
     def compactLine(n: Int): String = {
+      if (names.isEmpty)
+        return s"""{"metric":"streams_only","unit":"sec","sf":"$sfDir"}"""
       val cq = slowest.take(n).mkString("{", ",", "}")
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","timed":${results.size - failed},"failed":$failed,"queries":$cq,"sf":"$sfDir"}"""
     }

@@ -101,6 +101,115 @@ object SparkEntry {
 
   private val fsFields = Seq("same_nation", "same_segment", "close_balance")
 
+  /**
+   * Unlabeled comparison-vector frame for the EM fit (q_fs_em): TWO
+   * planted pair populations over customer with genuinely different
+   * per-field agreement rates — a self-pair class whose indicators
+   * agree at ~6/7, ~4/5, ~2/3 (synthetic noise via custkey residues)
+   * and an adjacent-pair class agreeing at the data's natural base
+   * rates (~1/5 segment, ~1/25 nation, never on the residue field).
+   * No label column survives — EM must recover the mixture itself.
+   */
+  private def fsEmPairs(s: SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("sg"), col("c_nationkey").as("n"))
+    val pA = c.select((col("k") % 7 =!= 0).as("a0"),
+      (col("k") % 5 =!= 0).as("a1"), (col("k") % 3 =!= 0).as("a2"))
+    val pB = c.as("x").join(c.as("y"),
+        col("y.k") === col("x.k") + 1)
+      .select((col("x.sg") === col("y.sg")).as("a0"),
+        (col("x.n") === col("y.n")).as("a1"),
+        ((col("x.k") % 3) === (col("y.k") % 3)).as("a2"))
+    pA.unionAll(pB)
+  }
+
+  /**
+   * The q_fs_em DuckDB oracle, GENERATED: EM over 2^3 comparison
+   * patterns is a fixed-iteration chain of pure scalar IEEE
+   * arithmetic once the pattern counts pivot to one row — so the
+   * oracle UNROLLS the iterations as chained CTEs (g_i: per-pattern
+   * posteriors; s_i: pinned ascending-order sums; it_i: new
+   * parameters), every product/sum left-associated exactly as the
+   * operator's driver folds. Init literals CAST to DOUBLE — a bare
+   * 0.9 is DECIMAL in DuckDB and `1.0 - 0.9` would be exact decimal
+   * 0.1 (a DIFFERENT double than the IEEE subtraction the Scala side
+   * performs).
+   */
+  private def fsEmOracleSql(iters: Int): String = {
+    val k = 3
+    val nPat = 1 << k
+    def bit(t: Int, i: Int): Boolean = (t & (1 << i)) != 0
+    val cCols = (0 until nPat).map(t => s"c$t").mkString(", ")
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "it0" else s"it${i - 1}"
+      val gs = (0 until nPat).map { t =>
+        val pm = (0 until k).map(j =>
+          if (bit(t, j)) s"m$j" else s"(1.0 - m$j)").mkString(" * ")
+        val pu = (0 until k).map(j =>
+          if (bit(t, j)) s"u$j" else s"(1.0 - u$j)").mkString(" * ")
+        s"(p * ($pm)) / ((p * ($pm)) + ((1.0 - p) * ($pu))) AS g$t"
+      }.mkString(",\n    ")
+      val gsum = (0 until nPat).map(t => s"g$t * c$t").mkString(" + ")
+      val usum = (0 until nPat).map(t => s"(1.0 - g$t) * c$t").mkString(" + ")
+      // every M-step estimate clamps (the operator's NaN guard) —
+      // LEAST/GREATEST mirror Scala's min/max exactly
+      def cl(e: String): String =
+        s"LEAST(GREATEST($e, 0.000001), 0.999999)"
+      val params = (0 until k).map { j =>
+        val mn = (0 until nPat).filter(bit(_, j))
+          .map(t => s"g$t * c$t").mkString(" + ")
+        val un = (0 until nPat).filter(bit(_, j))
+          .map(t => s"(1.0 - g$t) * c$t").mkString(" + ")
+        s"${cl(s"($mn) / gsum")} AS m$j,\n    " +
+          s"${cl(s"($un) / usum")} AS u$j"
+      }.mkString(",\n    ")
+      s"""g$i AS (SELECT $cCols, total,
+    $gs
+  FROM $prev, pc),
+s$i AS (SELECT *, ($gsum) AS gsum, ($usum) AS usum FROM g$i),
+it$i AS (SELECT ${cl("gsum / total")} AS p,
+    $params
+  FROM s$i)"""
+    }.mkString(",\n")
+    val counts = (0 until nPat).map(t =>
+      s"  CAST(COALESCE(SUM(CASE WHEN t = $t THEN 1 END), 0) AS DOUBLE) AS c$t")
+      .mkString(",\n")
+    val inits = (0 until k).map(j =>
+      s"CAST(0.9 AS DOUBLE) AS m$j, CAST(0.1 AS DOUBLE) AS u$j")
+      .mkString(", ")
+    val clamps = (0 until k).map(j =>
+      s"  LEAST(GREATEST(m$j, 0.000001), 0.999999) AS cm$j,\n" +
+        s"  LEAST(GREATEST(u$j, 0.000001), 0.999999) AS cu$j")
+      .mkString(",\n")
+    val fieldRows = (0 until k).map { j =>
+      s"""SELECT 'a$j' AS field, round(cm$j, 6) AS m, round(cu$j, 6) AS u,
+  round(ln(cm$j / cu$j), 6) AS w_agree,
+  round(ln((1.0 - cm$j) / (1.0 - cu$j)), 6) AS w_disagree,
+  round(p, 6) AS p_match FROM fin"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT c_custkey AS k, c_mktsegment AS sg,
+    c_nationkey AS n FROM customer),
+pA AS (SELECT (k % 7 <> 0) AS a0, (k % 5 <> 0) AS a1,
+    (k % 3 <> 0) AS a2 FROM c),
+pB AS (SELECT (x.sg = y.sg) AS a0, (x.n = y.n) AS a1,
+    ((x.k % 3) = (y.k % 3)) AS a2
+  FROM c x JOIN c y ON y.k = x.k + 1),
+cmp AS (SELECT * FROM pA UNION ALL SELECT * FROM pB),
+pat AS (SELECT (CASE WHEN a0 THEN 1 ELSE 0 END)
+    + (CASE WHEN a1 THEN 2 ELSE 0 END)
+    + (CASE WHEN a2 THEN 4 ELSE 0 END) AS t FROM cmp),
+pc AS (SELECT
+$counts,
+  CAST(COUNT(*) AS DOUBLE) AS total FROM pat),
+it0 AS (SELECT CAST(0.5 AS DOUBLE) AS p, $inits),
+$iterCtes,
+fin AS (SELECT p,
+$clamps
+  FROM it$iters)
+$fieldRows"""
+  }
+
   /** Co-purchase part graph: one edge per unordered part pair appearing
     * together in ≥ `minSupport` orders (src < dst), with an optional
     * quantity cap pre-filter. Per-order fan-out is bounded by
@@ -1472,6 +1581,83 @@ object SparkEntry {
         .select(col("k").as("custkey"), col("is_match"), col("fs_score"))
     }),
 
+    // UNSUPERVISED Fellegi-Sunter via EM (Winkler 1988): two planted
+    // pair populations, no labels — EM on the 2^3 pattern counts
+    // recovers the mixture. Fixed 5 iterations, every fold pinned
+    // ascending/left-assoc; the oracle UNROLLS the same chain as CTEs.
+    "q_fs_em" -> ((s, dir) => {
+      graft.operators.Dedup.fellegiSunterEM(fsEmPairs(s, dir),
+        Seq("a0", "a1", "a2"), iters = 5)
+    }),
+
+    // Entity resolution closure: FS-scored pairs → net-positive-
+    // evidence edges (score ≥ 0) → connected components = entities.
+    // Edges are always (k, k+1), so components are maximal runs of
+    // consecutive passing ks — the oracle computes them as
+    // gaps-and-islands over the replicated score frame.
+    "q_entity_clusters" -> ((s, dir) => {
+      val pairs = fsPairs(s, dir)
+      val wts = graft.operators.Dedup.fellegiSunterWeights(pairs,
+        "is_match", fsFields)
+      val scored = graft.operators.Dedup
+        .fellegiSunterScore(pairs, wts, fsFields)
+        .select(col("k").as("id_a"), (col("k") + 1L).as("id_b"),
+          col("fs_score"))
+      graft.operators.Dedup.entityClusters(scored, "id_a", "id_b",
+        "fs_score", threshold = 0.0)
+    }),
+
+    // Cohen's d / Hedges' g between the two big order-status
+    // populations: exact quantized moments to 2 rows, one fixed IEEE
+    // chain — the effect-size companion to the significance tests.
+    "q_cohens_d" -> ((s, dir) => {
+      graft.operators.Profiling.cohensD(
+        t(s, dir, "orders").filter(col("o_orderstatus").isin("F", "O")),
+        "o_totalprice", "o_orderstatus", unitScale = 100L)
+    }),
+
+    // Cliff's delta of returned-flag lineitem quantities vs the rest:
+    // level-pair dominance counts in exact decimal, one division.
+    "q_cliffs_delta" -> ((s, dir) => {
+      graft.operators.Profiling.cliffsDelta(t(s, dir, "lineitem"),
+        "l_returnflag", "R", "l_quantity", unitScale = 1L)
+    }),
+
+    // Kaplan-Meier conversion curve: per-user observation span in
+    // whole minutes (exact-multiple division), event = ever purchased;
+    // level counts + ordered ln-fold, d = n routes the zero flag.
+    "q_kaplan_meier" -> ((s, dir) => {
+      val diff = max(col("ts")) - min(col("ts"))
+      val m = 60000000000L // one minute of epoch-nanos
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        (((diff - pmod(diff, lit(m))) / m)).cast("long").as("dur_min"),
+        (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          === 1L).as("converted"))
+      graft.operators.Events.kaplanMeier(per, "dur_min", "converted")
+    }),
+
+    // Cochran's Q over matched per-user binary outcomes (view/click/
+    // purchase): exact-integer ratio, one aggregate, one division.
+    "q_cochran_q" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        (max(when(col("event_type") === "view", 1L).otherwise(0L)) === 1L)
+          .as("did_view"),
+        (max(when(col("event_type") === "click", 1L).otherwise(0L)) === 1L)
+          .as("did_click"),
+        (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          === 1L).as("did_purchase"))
+      graft.operators.Events.cochranQ(per,
+        Seq("did_view", "did_click", "did_purchase"))
+    }),
+
+    // Friedman within-row rank test across three lineitem rates:
+    // per-row integer rank arithmetic (no window), exact moments,
+    // tie-corrected chi2.
+    "q_friedman" -> ((s, dir) => {
+      graft.operators.Profiling.friedmanTest(t(s, dir, "lineitem"),
+        Seq("l_discount", "l_tax", "l_quantity"), unitScale = 100L)
+    }),
+
     // Krippendorff's alpha over synthetic rating units (docs regrouped
     // by residue class, label = language): exact cells/units/m-level
     // machinery, one bounded ordered fold, one decimal D_e — the
@@ -1644,6 +1830,37 @@ object SparkEntry {
       val qs = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
         (3L, "vector stream")).toDF("query_id", "qtext")
       graft.operators.TextAnalysis.bm25Scores(
+        t(s, dir, "documents").select("doc_id", "text"), qs)
+    }),
+
+    // PERSISTED BM25 postings index + probe: build once (term-sorted
+    // postings, doclens, stats under a committed generation), then
+    // score a query batch reading ONLY index files — the probe's term
+    // set is a pushed parquet filter, df aggregates over matched
+    // postings, and the arithmetic is bm25Scores' shared path, so the
+    // scores bit-match the direct scorer (and this oracle).
+    "text_bm25_index" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val qs = Seq((1L, "hash join strategy"), (2L, "vector stream scan"))
+        .toDF("query_id", "qtext")
+      val dest = java.nio.file.Files.createTempDirectory("graft-bm25-q")
+        .toString
+      graft.operators.TextAnalysis.buildBm25Index(
+        t(s, dir, "documents").select("doc_id", "text"), dest)
+      graft.operators.TextAnalysis.bm25ScoresFromIndex(s, dest, qs)
+    }),
+
+    // Query-likelihood retrieval (Dirichlet-smoothed LM, Zhai &
+    // Lafferty 2001) in the matched-terms rank-equivalent form: only
+    // matched (q, doc, term) rows materialize; per-(q, doc) ordered
+    // fold + ONE length-normalizer ln after the fold, 4dp.
+    "text_lm_dirichlet" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val qs = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
+        (3L, "vector stream")).toDF("query_id", "qtext")
+      graft.operators.TextAnalysis.lmDirichletScores(
         t(s, dir, "documents").select("doc_id", "text"), qs)
     }),
 
@@ -5647,6 +5864,224 @@ object SparkEntry {
         |    + CASE WHEN a1 THEN w1a ELSE w1d END
         |    + CASE WHEN a2 THEN w2a ELSE w2d END, 6) AS fs_score
         |FROM p, w""".stripMargin,
+    // Unrolled EM: pattern counts pivot to one row, then 5 iterations
+    // of pure scalar IEEE arithmetic as chained CTEs — generated, every
+    // fold left-assoc ascending exactly as the operator's driver loop.
+    "q_fs_em" -> fsEmOracleSql(5),
+    // Entities over (k, k+1) edges = maximal runs of consecutive
+    // passing ks: the replicated fs_score frame thresholds at 0, then
+    // gaps-and-islands (k − row_number over k) labels each run; the
+    // component id is the run's min k, size = edges + 1 — exactly the
+    // connected-components contract on a path graph.
+    "q_entity_clusters" ->
+      """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+        |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |p AS (SELECT l.k, (l.nat = r.nat) AS a0, (l.seg = r.seg) AS a1,
+        |    (abs(l.bal - r.bal) < 1000) AS a2
+        |  FROM c l JOIN c r ON r.k - 1 = l.k),
+        |pm AS (SELECT l.k, (l.k % 7 = 0) AS m,
+        |    (l.nat = r.nat) AS a0, (l.seg = r.seg) AS a1,
+        |    (abs(l.bal - r.bal) < 1000) AS a2
+        |  FROM c l JOIN c r ON r.k - 1 = l.k),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(sum(CASE WHEN m AND a0 THEN 1 ELSE 0 END) AS BIGINT) AS am0,
+        |    CAST(sum(CASE WHEN NOT m AND a0 THEN 1 ELSE 0 END) AS BIGINT) AS au0,
+        |    CAST(sum(CASE WHEN m AND a1 THEN 1 ELSE 0 END) AS BIGINT) AS am1,
+        |    CAST(sum(CASE WHEN NOT m AND a1 THEN 1 ELSE 0 END) AS BIGINT) AS au1,
+        |    CAST(sum(CASE WHEN m AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS am2,
+        |    CAST(sum(CASE WHEN NOT m AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS au2
+        |  FROM pm),
+        |w AS (SELECT
+        |    round(ln(((am0 + 0.5) / (nm + 1.0)) / ((au0 + 0.5) / (nu + 1.0))), 6) AS w0a,
+        |    round(ln((1.0 - (am0 + 0.5) / (nm + 1.0)) / (1.0 - (au0 + 0.5) / (nu + 1.0))), 6) AS w0d,
+        |    round(ln(((am1 + 0.5) / (nm + 1.0)) / ((au1 + 0.5) / (nu + 1.0))), 6) AS w1a,
+        |    round(ln((1.0 - (am1 + 0.5) / (nm + 1.0)) / (1.0 - (au1 + 0.5) / (nu + 1.0))), 6) AS w1d,
+        |    round(ln(((am2 + 0.5) / (nm + 1.0)) / ((au2 + 0.5) / (nu + 1.0))), 6) AS w2a,
+        |    round(ln((1.0 - (am2 + 0.5) / (nm + 1.0)) / (1.0 - (au2 + 0.5) / (nu + 1.0))), 6) AS w2d
+        |  FROM agg),
+        |e AS (SELECT p.k FROM p, w
+        |  WHERE round(CASE WHEN a0 THEN w0a ELSE w0d END
+        |    + CASE WHEN a1 THEN w1a ELSE w1d END
+        |    + CASE WHEN a2 THEN w2a ELSE w2d END, 6) >= 0.0),
+        |runs AS (SELECT k, k - row_number() OVER (ORDER BY k) AS g
+        |  FROM e),
+        |comp AS (SELECT k, min(k) OVER (PARTITION BY g) AS cid,
+        |    count(*) OVER (PARTITION BY g) AS ne,
+        |    max(k) OVER (PARTITION BY g) AS kmax
+        |  FROM runs)
+        |SELECT k AS record_id, cid AS cluster_id,
+        |  CAST(ne + 1 AS BIGINT) AS cluster_size FROM comp
+        |UNION ALL
+        |SELECT kmax + 1, cid, CAST(ne + 1 AS BIGINT) FROM comp
+        |WHERE k = kmax""".stripMargin,
+    // Exact quantized moments to two rows, the fixed IEEE chain —
+    // (n−1)s² enters as vnum/n, pooled, one sqrt, Hedges factor.
+    "q_cohens_d" ->
+      """WITH b AS (SELECT o_orderstatus AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |    AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+        |g AS (SELECT grp, count(*) AS n, sum(CAST(u AS HUGEINT)) AS s1,
+        |    sum(CAST(u AS HUGEINT) * u) AS s2
+        |  FROM b GROUP BY 1),
+        |j AS (SELECT a.grp AS ga, bb.grp AS gb, a.n AS na, bb.n AS nb,
+        |    a.s1 AS s1a, a.s2 AS s2a, bb.s1 AS s1b, bb.s2 AS s2b
+        |  FROM g a JOIN g bb ON a.grp < bb.grp),
+        |f AS (SELECT ga, gb, na, nb,
+        |    CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS meana,
+        |    CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS meanb,
+        |    CAST(na * s2a - s1a * s1a AS DOUBLE) AS vnuma,
+        |    CAST(nb * s2b - s1b * s1b AS DOUBLE) AS vnumb
+        |  FROM j),
+        |s AS (SELECT ga, gb, na, nb, meana, meanb,
+        |    (vnuma / CAST(na AS DOUBLE) + vnumb / CAST(nb AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS sp2
+        |  FROM f)
+        |SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+        |  round((meana - meanb) / 100.0, 6) AS mean_diff,
+        |  CASE WHEN sp2 > 0 THEN
+        |    round((meana - meanb) / sqrt(sp2), 6) END AS cohens_d,
+        |  CASE WHEN sp2 > 0 THEN
+        |    round(((meana - meanb) / sqrt(sp2))
+        |      * (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+        |        + CAST(nb AS DOUBLE)) - 9.0)), 6) END AS hedges_g
+        |FROM s""".stripMargin,
+    // KM: level counts, exclusive at-risk cumulative, ordered running
+    // ln-fold (sequential in both engines), zero-flag for d = n (ln(0)
+    // raises in DuckDB, NULLs in Spark — the flag is the portable form).
+    "q_kaplan_meier" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST((d - d % 60000000000) / 60000000000 AS BIGINT) AS t,
+        |    (p = 1) AS ev
+        |  FROM (SELECT user_id,
+        |      max(epoch_ns(ts)) - min(epoch_ns(ts)) AS d,
+        |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS p
+        |    FROM events GROUP BY 1)),
+        |lv AS (SELECT t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS alln
+        |  FROM per GROUP BY 1),
+        |ar AS (SELECT t, d,
+        |    sum(alln) OVER () - COALESCE(sum(alln) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM lv),
+        |st AS (SELECT t, d, n_risk,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS z,
+        |    sum(CASE WHEN d = n_risk THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum
+        |  FROM ar)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
+        |    AS survival
+        |FROM st WHERE d > 0""".stripMargin,
+    // Cochran's Q: exact-integer numerator/denominator, one division.
+    "q_cochran_q" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(a) AS HUGEINT) AS g0, CAST(sum(b) AS HUGEINT) AS g1,
+        |    CAST(sum(c) AS HUGEINT) AS g2,
+        |    CAST(sum(a + b + c) AS BIGINT) AS t,
+        |    CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS l2
+        |  FROM per)
+        |SELECT n, 2 AS df,
+        |  CASE WHEN 3 * t - l2 > 0 THEN
+        |    round(2.0 * CAST(3 * (g0 * g0 + g1 * g1 + g2 * g2)
+        |        - CAST(t AS HUGEINT) * t AS DOUBLE)
+        |      / CAST(3 * t - l2 AS DOUBLE), 4) END AS q
+        |FROM m""".stripMargin,
+    // Friedman: per-row doubled ranks from k^2 comparisons, exact
+    // moments, tie-corrected chi2 as the same fixed chain.
+    "q_friedman" ->
+      """WITH b AS (SELECT
+        |    CAST(round(l_discount * 100) AS BIGINT) AS u0,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS u1,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS u2
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND l_tax IS NOT NULL AND l_quantity IS NOT NULL),
+        |r AS (SELECT
+        |    2 * ((CASE WHEN u0 < u0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u1 < u0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u2 < u0 THEN 1 ELSE 0 END))
+        |      + ((CASE WHEN u0 = u0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u1 = u0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u2 = u0 THEN 1 ELSE 0 END)) + 1 AS r0,
+        |    2 * ((CASE WHEN u0 < u1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u1 < u1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u2 < u1 THEN 1 ELSE 0 END))
+        |      + ((CASE WHEN u0 = u1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u1 = u1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u2 = u1 THEN 1 ELSE 0 END)) + 1 AS r1,
+        |    2 * ((CASE WHEN u0 < u2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u1 < u2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u2 < u2 THEN 1 ELSE 0 END))
+        |      + ((CASE WHEN u0 = u2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u1 = u2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN u2 = u2 THEN 1 ELSE 0 END)) + 1 AS r2,
+        |    ((CASE WHEN u0 = u0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u1 = u0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u2 = u0 THEN 1 ELSE 0 END))
+        |    * ((CASE WHEN u0 = u0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u1 = u0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u2 = u0 THEN 1 ELSE 0 END)) - 1
+        |    + ((CASE WHEN u0 = u1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u1 = u1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u2 = u1 THEN 1 ELSE 0 END))
+        |    * ((CASE WHEN u0 = u1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u1 = u1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u2 = u1 THEN 1 ELSE 0 END)) - 1
+        |    + ((CASE WHEN u0 = u2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u1 = u2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u2 = u2 THEN 1 ELSE 0 END))
+        |    * ((CASE WHEN u0 = u2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u1 = u2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN u2 = u2 THEN 1 ELSE 0 END)) - 1 AS tie
+        |  FROM b),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(r0) AS HUGEINT) AS s0, CAST(sum(r1) AS HUGEINT) AS s1,
+        |    CAST(sum(r2) AS HUGEINT) AS s2,
+        |    CAST(sum(tie) AS BIGINT) AS tsum
+        |  FROM r)
+        |SELECT n, 2 AS df,
+        |  CASE WHEN 1.0 - CAST(tsum AS DOUBLE) / CAST(n * 24 AS DOUBLE) > 0
+        |  THEN round(CAST(3 * (s0 * s0 + s1 * s1 + s2 * s2)
+        |      - 144 * CAST(n AS HUGEINT) * n AS DOUBLE)
+        |    / CAST(n * 12 AS DOUBLE)
+        |    / (1.0 - CAST(tsum AS DOUBLE) / CAST(n * 24 AS DOUBLE)), 4)
+        |  END AS chi2
+        |FROM m""".stripMargin,
+    // Level-pair dominance counts in exact HUGEINT, one division.
+    "q_cliffs_delta" ->
+      """WITH b AS (SELECT (l_returnflag = 'R') AS tr,
+        |    CAST(round(l_quantity * 1) AS BIGINT) AS u
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |lv AS (SELECT tr, u, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |p AS (SELECT
+        |    CAST(COALESCE(sum(CASE WHEN t.u > c.u
+        |      THEN CAST(t.cnt AS HUGEINT) * c.cnt END), 0) AS BIGINT)
+        |      AS n_gt,
+        |    CAST(COALESCE(sum(CASE WHEN t.u < c.u
+        |      THEN CAST(t.cnt AS HUGEINT) * c.cnt END), 0) AS BIGINT)
+        |      AS n_lt
+        |  FROM lv t, lv c WHERE t.tr AND NOT c.tr),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN tr THEN cnt ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN NOT tr THEN cnt ELSE 0 END) AS BIGINT) AS n_c
+        |  FROM lv)
+        |SELECT n_t, n_c, n_gt, n_lt,
+        |  round((n_gt - n_lt) / (CAST(n_t AS DOUBLE)
+        |    * CAST(n_c AS DOUBLE)), 6) AS delta
+        |FROM p, tot""".stripMargin,
     // Full machinery replication: cells -> pairable units -> m-level
     // exact numerators -> ONE division per m level -> ordered fold ->
     // decimal D_e; same association order throughout.
@@ -6202,6 +6637,92 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
         |  FROM c)
         |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
+        |FROM f WHERE rn = nt""".stripMargin,
+    // Index probe = the direct scorer's math on the same corpus: the
+    // oracle recomputes BM25 from the raw documents table — the Spark
+    // side must land on identical bits while reading ONLY index files.
+    "text_bm25_index" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'vector stream scan')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
+        |  FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
+        |    lens.dl, st.n, st.tot
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
+        |c AS (SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS contrib
+        |  FROM m),
+        |f AS (SELECT query_id, doc_id, contrib,
+        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |  FROM c)
+        |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
+        |FROM f WHERE rn = nt""".stripMargin,
+    // LM scoring: identical corpus/tokenizer CTEs, Dirichlet
+    // decomposition — matched contributions fold in term order, the
+    // length normalizer adds ONCE after the fold (same association
+    // order as the Spark chain).
+    "text_lm_dirichlet" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'vector stream')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+        |  GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tot FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |ql AS (SELECT query_id, count(*) AS qlen FROM qt GROUP BY 1),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, cf.cf,
+        |    lens.dl, st.tot, ql.qlen
+        |  FROM qt JOIN tf USING (term) JOIN cf USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id
+        |    JOIN ql ON qt.query_id = ql.query_id, st),
+        |c AS (SELECT query_id, doc_id, term, dl, qlen,
+        |    ln(1.0 + (CAST(tf AS DOUBLE) * CAST(tot AS DOUBLE))
+        |      / (2000.0 * CAST(cf AS DOUBLE))) AS contrib
+        |  FROM m),
+        |f AS (SELECT query_id, doc_id, dl, qlen,
+        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |  FROM c)
+        |SELECT query_id, doc_id, nt AS n_terms,
+        |  round(run + CAST(qlen AS DOUBLE)
+        |    * ln(2000.0 / (CAST(dl AS DOUBLE) + 2000.0)), 4) + 0.0
+        |    AS lm_score
         |FROM f WHERE rn = nt""".stripMargin,
     // Multi-query hybrid fusion: the text_bm25_multi pipeline feeds
     // per-query lexical ranks (top 100), three labeled query vectors

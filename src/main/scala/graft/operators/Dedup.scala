@@ -1352,7 +1352,7 @@ object Dedup {
         coalesce(col("__ng"), lit(0)).as("__ng"))
       .withColumn("__pre",
         when(col("__ng") <= q * maxDist,
-          concat(col("__pre"), array(lit(" short"))))
+          concat(col("__pre"), array(lit("\u0000short"))))
           .otherwise(col("__pre")))
       .select("id", "__len", "__pre")
       .lineageCut() // both sides of the candidate join
@@ -1472,17 +1472,22 @@ object Dedup {
           sum(when(!col("__m") && col(s"__a$i"), 1L).otherwise(0L))
             .as(s"__au$i"))
       }
-    val stacked = agreeCols.zipWithIndex.map { case (c, i) =>
-      s"'$c', __am$i, __au$i"
-    }.mkString(", ")
+    // TYPED melt (explode of array-of-struct), never string SQL: a field
+    // name is caller data — interpolating it into a selectExpr stack
+    // would break on quotes and is an expression-injection surface
+    val melt = explode(array(agreeCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("field"), col(s"__am$i").as("agree_match"),
+        col(s"__au$i").as("agree_unmatch"))
+    }: _*)).as("__f")
     val m = (col("agree_match").cast("double") + 0.5) /
       (col("n_match").cast("double") + 1.0)
     val u = (col("agree_unmatch").cast("double") + 0.5) /
       (col("n_unmatch").cast("double") + 1.0)
     base.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("__nm", "__nu",
-        s"stack(${agreeCols.size}, $stacked) " +
-          "as (field, agree_match, agree_unmatch)")
+      .select(col("__nm"), col("__nu"), melt)
+      .select(col("__nm"), col("__nu"), col("__f.field").as("field"),
+        col("__f.agree_match").as("agree_match"),
+        col("__f.agree_unmatch").as("agree_unmatch"))
       .select(col("field"),
         coalesce(col("__nm"), lit(0L)).as("n_match"),
         coalesce(col("agree_match"), lit(0L)).as("agree_match"),
@@ -1524,5 +1529,150 @@ object Dedup {
         .otherwise(lit(w(c)._2))
     }.reduceLeft(_ + _)
     pairs.withColumn(scoreCol, round(score, 6))
+  }
+
+  /**
+   * Entity resolution closure: threshold scored candidate pairs
+   * ([[fellegiSunterScore]] / [[fellegiSunterEM]]-weighted) into match
+   * edges and take CONNECTED COMPONENTS as entity clusters — the
+   * standard transitive-closure step every linkage pipeline ends with
+   * (pairwise decisions alone leave A=B, B=C, A≠C inconsistencies;
+   * the component is the entity). Returns one row per record that
+   * appears in ≥ 1 passing edge: (`record_id`, `cluster_id` — the
+   * component's min id, [[graft.operators.Graph.connectedComponents]]'
+   * label contract — and `cluster_size`).
+   *
+   * Scale shape: the edge filter is a map-only pass; components run
+   * the size-gated union-find / distributed-loop split of the Graph
+   * operator; `cluster_size` is one component-keyed aggregate joined
+   * back (cluster count is unbounded → a shuffle join, never a
+   * broadcast). Records with no passing edge are singletons by
+   * definition — callers who need them materialized can left-join
+   * this output from the record frame and coalesce to self-ids.
+   */
+  def entityClusters(scored: DataFrame, idACol: String, idBCol: String,
+                     scoreCol: String, threshold: Double,
+                     maxIter: Int = 30): DataFrame = {
+    val edges = scored.filter(col(scoreCol) >= threshold)
+    val comps = Graph.connectedComponents(edges, idACol, idBCol, maxIter)
+    val sizes = comps.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "component")
+      .select(col("node").as("record_id"),
+        col("component").as("cluster_id"), col("cluster_size"))
+  }
+
+  /**
+   * UNSUPERVISED Fellegi-Sunter parameter estimation via EM over
+   * comparison-vector patterns (Winkler 1988; the classical fit of the
+   * Fellegi & Sunter 1969 mixture when no labeled pairs exist — the
+   * realistic record-linkage regime). The K boolean agreement
+   * indicators collapse each candidate pair to one of 2^K PATTERNS;
+   * EM fits the two-class mixture (match prevalence `p`, per-field
+   * agreement rates m_k / u_k) on the pattern COUNTS, so the E/M steps
+   * cost O(2^K) driver arithmetic per iteration regardless of pair
+   * count. NULL indicators count as disagreement (the
+   * [[fellegiSunterWeights]] convention).
+   *
+   * DETERMINISM (cross-engine replayable): pattern counts are exact
+   * longs from ONE map-side-combined aggregate; every E/M-step double
+   * is a FIXED left-to-right fold — per-pattern class likelihoods
+   * multiply in ascending field order, all pattern sums accumulate in
+   * ascending pattern order — and the iteration count is fixed, never
+   * a convergence test (a tolerance check would make the output
+   * depend on float comparison behavior). EVERY M-step estimate (and
+   * the final outputs) clamps to [0.000001, 0.999999] — a rate that
+   * saturates to exactly 0/1 would zero both class likelihoods of its
+   * unobserved patterns next iteration (0/0 posteriors) and must not
+   * emit ±∞ log-weights either; outputs round 6dp. An identical
+   * unrolled arithmetic chain is SQL-expressible, so a DuckDB oracle
+   * replays the iterations bit-for-bit.
+   *
+   * Scale shape: one aggregate over the pair frame (the only
+   * distributed work — pairs never move again), a ≤ 2^K-row collect
+   * (K ≤ 16 enforced → ≤ 65536 rows), O(iters · 2^K · K) driver
+   * flops. Label identity: the class whose initial rates sit closer
+   * to the data's high-agreement component takes the `m` label —
+   * with the default m0=0.9/u0=0.1 the match class is the
+   * high-agreement one, the standard convention.
+   *
+   * Returns one row per field, in `agreeCols` order: (`field`, `m`,
+   * `u`, `w_agree`, `w_disagree`, `p_match`), all 6dp (`p_match`
+   * repeats the fitted prevalence on every row).
+   */
+  def fellegiSunterEM(pairs: DataFrame, agreeCols: Seq[String],
+                      iters: Int = 5, pInit: Double = 0.5,
+                      mInit: Double = 0.9, uInit: Double = 0.1): DataFrame = {
+    require(agreeCols.nonEmpty, "need at least one agreement field")
+    require(agreeCols.size <= 16,
+      s"more than 16 fields (2^K patterns must stay driver-bounded): " +
+        s"${agreeCols.size}")
+    require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
+    require(pInit > 0 && pInit < 1, "pInit must be in (0, 1)")
+    require(mInit > 0 && mInit < 1 && uInit > 0 && uInit < 1,
+      "mInit/uInit must be in (0, 1)")
+    require(mInit != uInit,
+      "mInit must differ from uInit (equal rates make the two classes " +
+        "identical and EM cannot break the symmetry)")
+    val missing = agreeCols.filterNot(pairs.columns.contains)
+    require(missing.isEmpty, s"fields not in the frame: $missing")
+    val k = agreeCols.size
+    val pattern = agreeCols.zipWithIndex.map { case (c, i) =>
+      when(col(c).cast("boolean") <=> lit(true), lit(1 << i)).otherwise(lit(0))
+    }.reduceLeft(_ + _)
+    val counts = pairs.groupBy(pattern.as("__pat"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPat = 1 << k
+    val c = Array.tabulate(nPat)(t => counts.getOrElse(t, 0L).toDouble)
+    val total = (0 until nPat).foldLeft(0.0)((acc, t) => acc + c(t))
+    require(total > 0, "no pairs with non-null pattern")
+    // EM — every fold ascending, left-assoc (the SQL-mirror contract).
+    // Every M-step estimate clamps to [1e-6, 1 − 1e-6]: a field that
+    // collapses exactly to 0/1 (an all-null indicator, a saturated
+    // class) would otherwise zero BOTH class likelihoods of its
+    // unobserved patterns next iteration and poison the posteriors
+    // with 0/0 = NaN.
+    def clamp(x: Double): Double = math.min(math.max(x, 0.000001), 0.999999)
+    var p = pInit
+    var m = Array.fill(k)(mInit)
+    var u = Array.fill(k)(uInit)
+    for (_ <- 1 to iters) {
+      val g = Array.tabulate(nPat) { t =>
+        val pm = (0 until k).foldLeft(1.0) { (acc, i) =>
+          acc * (if ((t & (1 << i)) != 0) m(i) else 1.0 - m(i))
+        }
+        val pu = (0 until k).foldLeft(1.0) { (acc, i) =>
+          acc * (if ((t & (1 << i)) != 0) u(i) else 1.0 - u(i))
+        }
+        (p * pm) / ((p * pm) + ((1.0 - p) * pu))
+      }
+      val gsum = (0 until nPat).foldLeft(0.0)((acc, t) => acc + g(t) * c(t))
+      val usum = (0 until nPat).foldLeft(0.0)((acc, t) =>
+        acc + (1.0 - g(t)) * c(t))
+      val mNew = Array.tabulate(k) { i =>
+        clamp((0 until nPat).filter(t => (t & (1 << i)) != 0)
+          .foldLeft(0.0)((acc, t) => acc + g(t) * c(t)) / gsum)
+      }
+      val uNew = Array.tabulate(k) { i =>
+        clamp((0 until nPat).filter(t => (t & (1 << i)) != 0)
+          .foldLeft(0.0)((acc, t) => acc + (1.0 - g(t)) * c(t)) / usum)
+      }
+      p = clamp(gsum / total)
+      m = mNew
+      u = uNew
+    }
+    // Spark round() semantics (exact-decimal HALF_UP), not rint — this
+    // driver-side round must behave exactly like the engine round every
+    // other oracle-gated 6dp output goes through
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    agreeCols.zipWithIndex.map { case (f, i) =>
+      val (mc, uc) = (clamp(m(i)), clamp(u(i)))
+      (f, r6(mc), r6(uc), r6(math.log(mc / uc)),
+        r6(math.log((1.0 - mc) / (1.0 - uc))), r6(p))
+    }.toDF("field", "m", "u", "w_agree", "w_disagree", "p_match")
   }
 }

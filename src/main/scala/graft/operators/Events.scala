@@ -464,4 +464,108 @@ object Events {
       .agg(sum("c").as("n_occurrences"), count(lit(1)).as("n_users"))
       .filter(col("n_users") >= minSupport)
   }
+
+  /**
+   * Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+   * 1958) — THE retention/churn curve with right-censoring done
+   * correctly: a user who simply hasn't converted/churned YET
+   * (censored) still counts in the at-risk denominator up to their
+   * observation end, where naive "conversion by day t" curves throw
+   * them away and bias the estimate. Input: one row per subject with
+   * an integer `durationCol` (time observed) and boolean `eventCol`
+   * (true = the event happened at that time; false = censored there).
+   *
+   * EXACTNESS: rows collapse to per-duration LEVELS (d_t events,
+   * all_t leaving) — exact longs; the at-risk count n_t = N − (rows
+   * with shorter duration) is an exclusive running sum over levels
+   * (ordered, deterministic); each factor 1 − d/n is one IEEE
+   * division; the PRODUCT runs as exp(Σ ln factor) with the Σ a
+   * RUNNING window fold in duration order — a sequential left fold in
+   * both engines — and a d = n level (survival hits exactly 0) routes
+   * through a running zero-flag instead of ln(0) (DuckDB raises on
+   * ln(0); Spark returns NULL — the flag is the one portable form).
+   * `survival` rounds 6dp.
+   *
+   * Scale shape: one map-side-combined level aggregate; the window
+   * runs over LEVELS (distinct durations — quantize upstream if that
+   * cardinality approaches 10⁸), never rows. Returns one row per
+   * EVENT time (d_t > 0, the standard KM step points):
+   * (`t`, `n_risk`, `n_events`, `survival`).
+   */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("ev"))
+    val levels = base.groupBy("t").agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("all"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = levels
+      .withColumn("n_risk",
+        sum("all").over(wTot) - coalesce(sum("all").over(wPrev), lit(0L)))
+    val factor = lit(1.0) -
+      col("d").cast("double") / col("n_risk").cast("double")
+    val stepped = atRisk
+      .withColumn("__lnf",
+        when(col("d") === col("n_risk"), lit(0.0)).otherwise(log(factor)))
+      .withColumn("__zero",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wRun))
+      .withColumn("__lnsum", sum(col("__lnf")).over(wRun))
+    stepped.filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        when(col("__zero") === 1L, lit(0.0))
+          .otherwise(round(exp(col("__lnsum")), 6)).as("survival"))
+  }
+
+  /**
+   * Cochran's Q test for k matched binary treatments (Cochran 1950) —
+   * the repeated-measures extension of McNemar past two conditions:
+   * given one row per subject and k boolean outcome columns (did the
+   * user view / click / purchase; did a doc pass filter A / B / C),
+   * tests whether the k success rates differ when every subject is
+   * its own control. NULL outcomes count as failure (stated — the
+   * complete-block design needs a value everywhere).
+   *
+   * EXACTNESS: Q = (k−1)·(k·ΣG_j² − T²) / (k·ΣL_i − ΣL_i²) is a ratio
+   * of EXACT INTEGERS — column totals G_j, row-sum moments ΣL, ΣL²
+   * from ONE aggregate (L² ≤ k² so plain longs suffice; ΣG² widens to
+   * decimal before summing the k squares in column order) — then ONE
+   * IEEE division, 4dp. Degenerate denominator (every subject all-
+   * success or all-failure) reports NULL q. df = k−1 ships alongside.
+   *
+   * Scale shape: one map-side-combined aggregate to one row. Nothing
+   * else moves.
+   */
+  def cochranQ(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two outcome columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    val k = cols.size
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      when(col(c).cast("boolean") <=> lit(true), 1L).otherwise(0L)
+        .as(s"__x$i")
+    }: _*)
+      .withColumn("__l", cols.indices.map(i => col(s"__x$i"))
+        .reduceLeft(_ + _))
+    val aggs = cols.indices.map(i => sum(s"__x$i").as(s"__g$i")) ++
+      Seq(sum("__l").as("__t"), sum(col("__l") * col("__l")).as("__l2"),
+        count(lit(1)).as("__n"))
+    val mom = base.agg(aggs.head, aggs.tail: _*)
+    val sumG2 = cols.indices.map(i =>
+      col(s"__g$i").cast("decimal(38,0)") * col(s"__g$i"))
+      .reduceLeft(_ + _)
+    val num = (lit(k.toLong) * sumG2 -
+      col("__t").cast("decimal(38,0)") * col("__t")).cast("double")
+    val den = (lit(k.toLong) * col("__t") - col("__l2")).cast("double")
+    mom.select(col("__n").as("n"), lit(k - 1).as("df"),
+      when(den > 0d, round(lit((k - 1).toDouble) * num / den, 4))
+        .as("q"))
+  }
 }

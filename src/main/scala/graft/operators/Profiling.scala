@@ -774,6 +774,198 @@ object Profiling {
   }
 
   /**
+   * Cohen's d and Hedges' g standardized effect sizes between exactly
+   * two groups (Cohen 1988; Hedges 1981) — the MAGNITUDE companion to
+   * the significance trio ([[welchTTest]]/[[mannWhitneyU]]/[[ksTest]]):
+   * at corpus scale everything is "significant", so the filtering
+   * decision rides on HOW BIG the shift is, in pooled-SD units that
+   * compare across metrics. g is d with the small-sample bias factor
+   * (1 − 3/(4n − 9)).
+   *
+   * EXACTNESS: quantized values (d and g are scale-invariant, so
+   * quantization only sets resolution; `mean_diff` divides back once),
+   * exact long/decimal moments per group ([[welchTTest]] contract:
+   * squares widen to DECIMAL(38,0) before summing), then a FIXED chain
+   * of single IEEE ops — (n−1)s² enters as vnum/n with vnum = n·Σu² −
+   * (Σu)² exact — rounded 6dp. Groups pair via a cross of the 2-row
+   * group frame (a < b by group key), so `group_a`/`group_b` order is
+   * deterministic; ≠ 2 groups fails loud (a 1-group or k-group frame
+   * silently producing one arbitrary pair is the bug this prevents).
+   *
+   * Scale shape: one map-side-combined aggregate to 2 rows. Nothing
+   * else moves.
+   */
+  def cohensD(df: DataFrame, valueCol: String, groupCol: String,
+              unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val grps = graft.core.LineageCut.cut(
+      base.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("u").cast("decimal(38,0)")).as("s1"),
+        sum(col("u").cast("decimal(38,0)") * col("u")).as("s2")))
+    val nGrps = grps.count()
+    require(nGrps == 2,
+      s"cohensD needs exactly two groups, got $nGrps — filter or " +
+        "recode the group column")
+    val a = grps.select(col("grp").as("group_a"), col("n").as("na"),
+      col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = grps.select(col("grp").as("group_b"), col("n").as("nb"),
+      col("s1").as("s1b"), col("s2").as("s2b"))
+    val j = a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .filter(when(col("na") < 2L || col("nb") < 2L,
+        raise_error(lit("cohensD: both groups need n >= 2 for a pooled " +
+          "variance")).cast("boolean")).otherwise(lit(true)))
+    def nD(c: Column): Column = c.cast("double")
+    val meanA = col("s1a").cast("double") / nD(col("na"))
+    val meanB = col("s1b").cast("double") / nD(col("nb"))
+    // (n−1)·s² = vnum/n with vnum exact decimal — ONE conversion each
+    val vnumA = (col("na") * col("s2a") - col("s1a") * col("s1a"))
+      .cast("double")
+    val vnumB = (col("nb") * col("s2b") - col("s1b") * col("s1b"))
+      .cast("double")
+    val sp2 = (vnumA / nD(col("na")) + vnumB / nD(col("nb"))) /
+      (nD(col("na")) + nD(col("nb")) - 2.0)
+    val d = (meanA - meanB) / sqrt(sp2)
+    val g = d * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (nD(col("na")) + nD(col("nb"))) - 9.0))
+    j.select(col("group_a"), col("group_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round((meanA - meanB) / unitScale.toDouble, 6).as("mean_diff"),
+      when(sp2 > 0d, round(d, 6)).as("cohens_d"),
+      when(sp2 > 0d, round(g, 6)).as("hedges_g"))
+  }
+
+  /**
+   * Friedman rank test for k repeated measures (Friedman 1937) — the
+   * nonparametric k-condition within-subject test next to
+   * [[graft.operators.Events.cochranQ]]'s binary form: one row per
+   * subject, k numeric columns (the same doc scored by k quality
+   * models, the same query timed under k configs), ranks WITHIN each
+   * row, tests whether any condition systematically outranks.
+   *
+   * EXACTNESS: within-row average ranks come from pure per-row integer
+   * arithmetic on quantized values — doubled rank r2_j = 2·(#less) +
+   * (#equal incl self) + 1 (so tie-averages stay integers), the
+   * per-row tie term Σ_j(eq_j² − 1) = Σ_groups(t³ − t) — k² codegen'd
+   * comparisons per row, NO window anywhere; column rank sums and the
+   * tie total are exact longs from ONE aggregate, squares widen to
+   * DECIMAL(38,0), and χ²_F = (3·ΣR2² − 3n²k(k+1)²)/(nk(k+1)) with the
+   * tie correction C = 1 − ΣT/(nk(k²−1)) is a fixed IEEE chain, 4dp.
+   * Fully-tied data (C ≤ 0) reports NULL chi2. Rows with any NULL
+   * column drop (complete-block design, stated).
+   *
+   * Scale shape: one map-side-combined aggregate to one row; k² per-row
+   * comparisons stay inside WholeStageCodegen. Nothing else moves.
+   */
+  def friedmanTest(df: DataFrame, columns: Seq[String],
+                   unitScale: Long = 100L): DataFrame = {
+    require(columns.size >= 2, "need at least two measure columns")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    val k = columns.size
+    val base = df
+      .filter(columns.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(columns.zipWithIndex.map { case (c, i) =>
+        round(col(c) * unitScale).cast("long").as(s"__u$i")
+      }: _*)
+    def cnt(pred: (Column, Column) => Column, j: Int): Column =
+      columns.indices.map(l =>
+        when(pred(col(s"__u$l"), col(s"__u$j")), 1L).otherwise(0L))
+        .reduceLeft(_ + _)
+    val withRanks = base.select(
+      columns.indices.map { j =>
+        (lit(2L) * cnt(_ < _, j) + cnt(_ === _, j) + 1L).as(s"__r2_$j")
+      } :+
+        columns.indices.map { j =>
+          val eq = cnt(_ === _, j)
+          eq * eq - 1L
+        }.reduceLeft(_ + _).as("__tie"): _*)
+    val aggs = columns.indices.map(j => sum(s"__r2_$j").as(s"__s$j")) ++
+      Seq(sum("__tie").as("__tsum"), count(lit(1)).as("__n"))
+    val mom = withRanks.agg(aggs.head, aggs.tail: _*)
+      .filter(when(col("__n") > 1000000000L,
+        raise_error(lit("friedmanTest: n exceeds the exact decimal " +
+          "moment range")).cast("boolean")).otherwise(lit(true)))
+    val sumR2sq = columns.indices.map(j =>
+      col(s"__s$j").cast("decimal(38,0)") * col(s"__s$j"))
+      .reduceLeft(_ + _)
+    val n2 = col("__n").cast("decimal(38,0)") * col("__n")
+    val num = (lit(3L) * sumR2sq -
+      lit(3L * k * (k + 1).toLong * (k + 1)) * n2).cast("double")
+    val den = (col("__n") * (k.toLong * (k + 1))).cast("double")
+    val corr = lit(1.0) - col("__tsum").cast("double") /
+      (col("__n") * (k.toLong * (k.toLong * k - 1))).cast("double")
+    mom.select(col("__n").as("n"), lit(k - 1).as("df"),
+      when(corr > 0d, round(num / den / corr, 4)).as("chi2"))
+  }
+
+  /**
+   * Cliff's delta ordinal effect size (Cliff 1993) — the
+   * distribution-free magnitude partner to [[mannWhitneyU]] the way
+   * [[cohensD]] partners [[welchTTest]]: δ = P(X > Y) − P(X < Y) over
+   * all treatment×control pairs, readable as dominance in [−1, 1] and
+   * immune to the heavy tails that make pooled-SD units lie.
+   *
+   * EXACTNESS: rows collapse to per-group VALUE LEVELS; the pair
+   * counts Σ ct·cc over strictly ordered level pairs accumulate
+   * DECIMAL(38,0) from exact longs ([[kendallTau]]'s cell machinery
+   * with the group split as the second axis), δ is ONE division of
+   * exact factors, 6dp. The level pair join is O(C_t·C_c) — ENFORCED
+   * fail-loud: `maxCells` (default 10⁵) gates TOTAL level count over
+   * the cut level frame, escape hatch in the message (coarsen
+   * `unitScale`, or raise deliberately). Row count is unbounded.
+   *
+   * Returns one row: (`n_t`, `n_c`, `n_gt`, `n_lt`, `delta`).
+   */
+  def cliffsDelta(df: DataFrame, groupCol: String, treatment: String,
+                  valueCol: String, unitScale: Long = 100L,
+                  maxCells: Long = 100000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxCells >= 1, "maxCells must be >= 1")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select((col(groupCol).cast("string") === treatment).as("treated"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val levels = graft.core.LineageCut.cut(
+      base.groupBy("treated", "u").agg(count(lit(1)).as("cnt")))
+    val nLevels = levels.count()
+    require(nLevels <= maxCells,
+      s"cliffsDelta: $nLevels distinct (group, value) levels exceeds " +
+        s"maxCells=$maxCells — the level pair join is O(C_t*C_c); " +
+        "coarsen unitScale or raise maxCells deliberately")
+    val t = levels.filter(col("treated"))
+      .select(col("u").as("ut"), col("cnt").as("ct"))
+    val c = levels.filter(!col("treated"))
+      .select(col("u").as("uc"), col("cnt").as("cc"))
+    val pairs = t.crossJoin(c).agg(
+      sum(when(col("ut") > col("uc"), col("ct") * col("cc")).otherwise(0L)
+        .cast("decimal(38,0)")).as("n_gt"),
+      sum(when(col("ut") < col("uc"), col("ct") * col("cc")).otherwise(0L)
+        .cast("decimal(38,0)")).as("n_lt"))
+    val tot = levels.agg(
+      sum(when(col("treated"), col("cnt")).otherwise(0L)).as("n_t"),
+      sum(when(!col("treated"), col("cnt")).otherwise(0L)).as("n_c"))
+    val j = pairs.crossJoin(tot)
+      .filter(when(col("n_t") === 0L || col("n_c") === 0L,
+        raise_error(lit("cliffsDelta: both groups must be non-empty"))
+          .cast("boolean")).otherwise(lit(true)))
+      // n_gt/n_lt ship as longs: each is bounded by n_t·n_c
+      .filter(when(col("n_t") > 3000000000L || col("n_c") > 3000000000L,
+        raise_error(lit("cliffsDelta: group exceeds the exact " +
+          "pair-count long range")).cast("boolean")).otherwise(lit(true)))
+    j.select(col("n_t"), col("n_c"),
+      col("n_gt").cast("long").as("n_gt"),
+      col("n_lt").cast("long").as("n_lt"),
+      round((col("n_gt") - col("n_lt")).cast("double") /
+        (col("n_t").cast("double") * col("n_c").cast("double")), 6)
+        .as("delta"))
+  }
+
+  /**
    * Two-sample Kolmogorov-Smirnov test per segment (Smirnov 1939) —
    * the third leg of the distribution-comparison trio: [[welchTTest]]
    * asks "did the mean move", [[mannWhitneyU]] "did the distribution
@@ -1667,13 +1859,27 @@ object Profiling {
    * for A/B measurement; both produce BIT-IDENTICAL output (same
    * per-column (value, id) total order → same exact level ranks).
    *
+   * The level-join machinery's scale bound is the LEVEL-FRAME
+   * CARDINALITY — distinct (column, quantized value) rows — not n:
+   * all-unique columns make it k·n rows and the k joins go row-sized
+   * (measured: the 4M×16 all-unique cliff, ~320 s in BOTH forms,
+   * SCALING.md §spearman-matrix). ENFORCED fail-loud ([[kendallTau]]'s
+   * `maxCells` convention): a level-count gate (`maxLevels`, default
+   * 10⁷) runs over the already-cut level frame before any join is
+   * planned into a job and aborts with the escape hatch in the
+   * message — coarsen `unitScale` (the measured 11× recovery dial:
+   * quantization collapses near-duplicate levels), or raise
+   * `maxLevels` deliberately.
+   *
    * Returns one row per ordered pair a ≤ b (diagonal included, ρ = 1
    * for any column with rank variance): (`col_a`, `col_b`, `rho`).
    */
   def spearmanMatrix(df: DataFrame, columns: Seq[String], idCol: String,
                      unitScale: Long = 100L,
-                     oneShuffle: Boolean = true): DataFrame = {
+                     oneShuffle: Boolean = true,
+                     maxLevels: Long = 10000000L): DataFrame = {
     require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxLevels >= 1, "maxLevels must be >= 1")
     require(columns.size >= 2, "need at least two columns")
     val missing = columns.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in the frame: $missing")
@@ -1702,6 +1908,18 @@ object Profiling {
       // slices join back, each must not re-run the rank pass
       val levels = graft.core.LineageCut.cut(
         ranked.groupBy("cidx", "u").agg((min("r") + max("r")).as("r2")))
+      // FAIL-LOUD scale guard on the documented level-cardinality
+      // bound: the count runs over the already-cut level frame (no
+      // rank-pass rescan) and fires BEFORE the k row-frame joins are
+      // ever planned into a job
+      val nLevels = levels.count()
+      require(nLevels <= maxLevels,
+        s"spearmanMatrix: $nLevels distinct (column, value) levels " +
+          s"exceeds maxLevels=$maxLevels — the k level joins go " +
+          "row-sized at this cardinality (the measured 4M x 16 " +
+          "all-unique cliff, SCALING.md); coarsen unitScale " +
+          "(quantization collapses near-duplicate levels, measured " +
+          "11x recovery) or raise maxLevels deliberately")
       columns.indices.foldLeft(base) { (d, i) =>
         val lvl = levels.filter(col("cidx") === i)
           .select(col("u").as(s"u$i"), col("r2").as(s"r2_$i"))

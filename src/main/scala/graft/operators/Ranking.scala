@@ -113,10 +113,20 @@ object Ranking {
    * (callers tiebreak on a unique key). Null group values rank
    * together as their own group (null-safe stitch join), matching the
    * window form's null-partition semantics.
+   *
+   * GROUP-CARDINALITY BOUND: the offsets summary is ≤ chunks + groups
+   * − 1 rows and is collected to the driver for the stitch broadcast —
+   * the helper's scale ceiling is GROUP COUNT, not group size (the
+   * exact complement of the `PARTITION BY` window, whose ceiling is
+   * the largest group). With millions of distinct groups, pass
+   * `broadcastOffsets = false`: the stitch becomes a shuffle join on
+   * (chunk, group) — same exact output, no driver materialization —
+   * at the price of one extra exchange of the row frame.
    */
   def withGroupedRank(df: DataFrame, grpCol: String, order: Seq[Column],
                       rankCol: String, nCol: String,
-                      chunks: Int = 256): DataFrame = {
+                      chunks: Int = 256,
+                      broadcastOffsets: Boolean = true): DataFrame = {
     require(order.nonEmpty, "order must name at least one sort column")
     require(chunks >= 1, "chunks must be >= 1")
     require(df.columns.contains(grpCol), s"no column $grpCol in the frame")
@@ -148,9 +158,10 @@ object Ranking {
       .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
       .withColumn("__n", sum(col("__cnt")).over(totW))
       .select("__opid", "__g", "__base", "__off", "__n")
+    val stitch = if (broadcastOffsets) broadcast(offsets) else offsets
     parted
       .withColumn("__pid", shiftright(col("__mid"), MidBits))
-      .join(broadcast(offsets),
+      .join(stitch,
         col("__pid") === col("__opid") && col(grpCol) <=> col("__g"))
       .withColumn(rankCol,
         col("__off") + (col("__mid") - col("__base")) + 1)

@@ -1193,12 +1193,6 @@ object Similarity {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def ivfGenNumbers(fs: org.apache.hadoop.fs.FileSystem,
-                            root: org.apache.hadoop.fs.Path): Seq[Long] =
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .collect { case s if s.matches("gen-\\d+") => s.drop(4).toLong }
-
   /**
    * Live data dir of an IVF store under the generation lifecycle:
    * `dest/CURRENT` names the committed generation (`gen-N`, written by
@@ -1209,29 +1203,13 @@ object Similarity {
    * compatible). A failed rebuild attempt leaves an UNCOMMITTED gen
    * dir that no resolver path ever returns — that is the atomicity
    * contract: readers see the old index until the commit marker and
-   * pointer land, however the attempt died.
+   * pointer land, however the attempt died. Delegates to
+   * [[graft.core.Generations]], the engine-wide claim/commit/resolve
+   * protocol shared with the BM25 postings index.
    */
   private[operators] def resolveIvfDir(spark: SparkSession,
-                                       dest: String): String = {
-    import org.apache.hadoop.fs.Path
-    val (fs, root) = ivfFs(spark, dest)
-    def committed(gen: String): Boolean =
-      gen.matches("gen-\\d+") && fs.exists(new Path(root, s"$gen/COMMITTED"))
-    val cur = new Path(root, "CURRENT")
-    val pointed =
-      if (!fs.exists(cur)) None
-      else {
-        val in = fs.open(cur)
-        val name =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        Some(name).filter(committed)
-      }
-    pointed.map(g => s"$dest/$g").getOrElse {
-      val gens = ivfGenNumbers(fs, root).filter(n => committed(s"gen-$n"))
-      if (gens.nonEmpty) s"$dest/gen-${gens.max}" else dest
-    }
-  }
+                                       dest: String): String =
+    graft.core.Generations.resolve(spark, dest)
 
   /**
    * Close the IVF lifecycle loop: when appended deltas have skewed the
@@ -1280,8 +1258,14 @@ object Similarity {
     val total = census.map(_._2).sum
     val skew = census.map(_._2).max.toDouble * nCells / total
     if (skew < skewThreshold) return false
-    // ---- staging write (attempt-unique: a partial gen is never reused)
-    val gen = (ivfGenNumbers(fs, root) :+ 0L).max + 1
+    // ---- staging write under an ATOMICALLY CLAIMED generation dir
+    // (create-no-overwrite of gen-N/CLAIM): two concurrent rebuilds —
+    // or a rebuild racing an append-triggered one — can no longer pick
+    // the same N and interleave writes before either COMMITTED marker
+    // lands; the loser of the claim race advances to the next free N.
+    // A partial dir from a died attempt holds its CLAIM forever and is
+    // likewise never reused.
+    val gen = graft.core.Generations.claim(fs, root)
     val genDir = s"$dest/gen-$gen"
     val store = graft.core.LineageCut.cut(
       spark.read.parquet(s"$live/vectors").select(col("nn_id"), col("cvec")))
@@ -1292,23 +1276,11 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
     assignCells(store, cents, "nn_id", "cvec")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/vectors")
-    // ---- commit: marker first, then the pointer swing
-    fs.create(new Path(root, s"gen-$gen/COMMITTED"), true).close()
-    val tmp = new Path(root, s"CURRENT.tmp-$gen")
-    val out = fs.create(tmp, true)
-    try out.write(s"gen-$gen".getBytes("UTF-8")) finally out.close()
-    val cur = new Path(root, "CURRENT")
-    if (fs.exists(cur)) fs.delete(cur, false)
-    require(fs.rename(tmp, cur), s"pointer swing $tmp -> $cur failed")
-    // ---- retention: keep the newest `keepGenerations` committed gens
-    // (rollback window), sweep everything else — including uncommitted
-    // carcasses of died attempts. Legacy flat dirs are never touched.
-    val all = ivfGenNumbers(fs, root)
-    val keep = all
-      .filter(n => fs.exists(new Path(root, s"gen-$n/COMMITTED")))
-      .sorted(Ordering[Long].reverse).take(keepGenerations).toSet
-    all.filterNot(keep).filter(_ < gen)
-      .foreach(n => fs.delete(new Path(root, s"gen-$n"), true))
+    // ---- commit (marker, then pointer swing) + retention GC: keep
+    // the newest `keepGenerations` committed gens, sweep the rest —
+    // including uncommitted carcasses of died attempts
+    graft.core.Generations.commit(fs, root, gen)
+    graft.core.Generations.gc(fs, root, gen, keepGenerations)
     true
   }
 

@@ -624,8 +624,12 @@ object Sketches {
     require(probs.nonEmpty, "need at least one probability")
     require(probs.forall(p => p > 0 && p < 1), s"probs must be in (0, 1)")
     require(accuracy >= 100, "accuracy must be >= 100 (GK 1/eps)")
-    val base = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("__v"))
+    // cut: estimate pass and exact-rank probe are two separate driver
+    // actions — a non-deterministic input (sample/limit upstream) would
+    // otherwise let the probe check different rows than the estimate
+    // saw, corrupting the within_bound verdict
+    val base = graft.core.LineageCut.cut(df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v")))
     val probsArr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
     val est = base.agg(
       expr(s"approx_percentile(__v, $probsArr, $accuracy)").as("__est"),

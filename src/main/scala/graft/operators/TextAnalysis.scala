@@ -998,39 +998,237 @@ object TextAnalysis {
    * dedup (standard bag-of-words query semantics).
    *
    * Scale shape: one corpus token explode → (doc, term) tf aggregate
-   * (map-side combined); df is a term-keyed aggregate over tf rows;
-   * the query-term frame is tiny and BROADCASTs onto tf, so the
+   * (map-side combined, lineage-cut — the df pass reuses it instead of
+   * re-running the explode); df is VOCAB-INDEPENDENT — tf semi-joins
+   * to the broadcast query terms BEFORE the per-term df aggregate, so
+   * the df frame is ≤ K rows and broadcasts unconditionally (a
+   * full-vocabulary df frame would fall to a term-keyed exchange of
+   * the whole vocabulary at 100 TB for a probe that needs ≤ K terms).
+   * The query-term frame is tiny and BROADCASTs onto tf, so the
    * corpus never shuffles by term for the probe — only matched
    * (query, doc, term) rows (≪ corpus tokens) move into the fold
    * window. Returns (`query_id`, doc id, `n_terms`, `bm25`) for docs
-   * matching ≥ 1 query term.
+   * matching ≥ 1 query term. Docs with NULL text are excluded from
+   * the corpus entirely (N and avgdl count scoreable docs only).
    */
   def bm25Scores(docs: DataFrame, queries: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text",
                  queryIdCol: String = "query_id",
                  queryTextCol: String = "qtext",
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k1 > 0 && b >= 0 && b <= 1, "need k1 > 0 and b in [0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val base = graft.core.LineageCut.cut(
-      docs.filter(col(idCol).isNotNull)
+      docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
         .select(col(idCol).as("__id"),
           tokens(lower(col(textCol))).as("__toks")))
     val lens = base.select(col("__id"), size(col("__toks")).cast("long")
       .as("__len"))
     val stats = lens.agg(count(lit(1)).as("__n"),
       sum("__len").as("__tok_total"))
-    val tf = base.select(col("__id"), explode(col("__toks")).as("__term"))
-      .groupBy("__id", "__term").agg(count(lit(1)).as("__tf"))
-    // tf rows are unique per (doc, term): df = plain row count per term
-    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    // cut: tf feeds BOTH the probe join and the df aggregate — uncut,
+    // the plan re-runs the token explode+aggregate for each consumer
+    val tf = graft.core.LineageCut.cut(
+      base.select(col("__id"), explode(col("__toks")).as("__term"))
+        .groupBy("__id", "__term").agg(count(lit(1)).as("__tf")))
+    bm25Probe(tf, lens, stats, queries, idCol, queryIdCol, queryTextCol,
+      k1, b)
+  }
+
+  /**
+   * Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+   * Lafferty 2001) — the language-modeling counterpart to
+   * [[bm25Scores]], scored in the standard rank-equivalent matched-
+   * terms decomposition: log p(q|d) = Σ_{t ∈ q∩d} ln(1 + tf·T/(μ·cf))
+   * + |q|·ln(μ/(|d| + μ)), where cf is the term's COLLECTION
+   * frequency, T the total corpus token count, and |q| the query's
+   * distinct-term count (bag-of-words queries dedup, the bm25Scores
+   * convention) — so only MATCHED (query, doc, term) rows ever
+   * materialize, never the full q×docs grid the naive form implies.
+   * BM25 and LM disagree most on long documents and rare terms;
+   * running both and fusing via [[Ranking.rrfFuse]] is the classic
+   * robustness play.
+   *
+   * DETERMINISM: tf/cf/|d|/T/|q| are exact longs; each matched
+   * contribution is a fixed IEEE chain (one ln on the zipfFit
+   * precedent), the per-(query, doc) sum is a RUNNING window fold in
+   * term order, the length term is one ln added after the fold, 4dp.
+   * Scale shape: exactly [[bm25Scores]]' — cut tf, cf semi-joined to
+   * the ≤ K broadcast query terms (vocab-independent), corpus never
+   * shuffles by term. Docs sharing ≥ 1 query term return
+   * (`query_id`, doc id, `n_terms`, `lm_score`).
+   */
+  def lmDirichletScores(docs: DataFrame, queries: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        queryIdCol: String = "query_id",
+                        queryTextCol: String = "qtext",
+                        mu: Double = 2000.0): DataFrame = {
+    require(mu > 0, "mu must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.LineageCut.cut(
+      docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol).as("__id"),
+          tokens(lower(col(textCol))).as("__toks")))
+    val lens = base.select(col("__id"), size(col("__toks")).cast("long")
+      .as("__len"))
+    val stats = lens.agg(sum("__len").as("__tok_total"))
+    val tf = graft.core.LineageCut.cut(
+      base.select(col("__id"), explode(col("__toks")).as("__term"))
+        .groupBy("__id", "__term").agg(count(lit(1)).as("__tf")))
+    val qterms = graft.core.LineageCut.cut(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(lower(col(queryTextCol)))))
+          .as("__term")))
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("__qlen"))
+    // collection frequency, vocab-independent: semi-join to the ≤ K
+    // query terms BEFORE the per-term aggregate (the bm25Scores df
+    // contract)
+    val cf = tf
+      .join(broadcast(qterms.select("__term").distinct()), "__term")
+      .groupBy("__term").agg(sum("__tf").as("__cf"))
+    val matched = tf
+      .join(broadcast(qterms), "__term")
+      .join(broadcast(cf), "__term")
+      .join(lens, "__id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qlen), "query_id")
+    val contrib = log(lit(1.0) +
+      (col("__tf").cast("double") * col("__tok_total").cast("double")) /
+        (lit(mu) * col("__cf").cast("double")))
+    val w = Window.partitionBy("query_id", "__id").orderBy("__term")
+    matched
+      .withColumn("__run", sum(contrib).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nt",
+        count(lit(1)).over(Window.partitionBy("query_id", "__id")))
+      .filter(col("__rn") === col("__nt"))
+      .select(col("query_id"), col("__id").as(idCol),
+        col("__nt").as("n_terms"),
+        // + 0.0 normalizes IEEE −0.0 → 0.0: log-prob scores CAN round
+        // to zero at 4dp, and DuckDB's float round keeps the sign
+        // while Spark's exact-decimal round does not — the one value
+        // where the engines' rounders disagree
+        (round(col("__run") + col("__qlen").cast("double") *
+          log(lit(mu) / (col("__len").cast("double") + lit(mu))), 4) +
+          lit(0.0)).as("lm_score"))
+  }
+
+  /**
+   * The shared BM25 probe: scores `queries` against a prepared corpus
+   * given its postings (`__id`, `__term`, `__tf` — unique per (doc,
+   * term)), doc lengths (`__id`, `__len`) and corpus stats (one row:
+   * `__n`, `__tok_total`). [[bm25Scores]] builds these frames from the
+   * raw corpus; [[bm25ScoresFromIndex]] reads them from a persisted
+   * index — ONE arithmetic path, so the two bit-match by construction.
+   */
+  /**
+   * Persist a BM25 postings index so query batches score WITHOUT a
+   * corpus scan — the 100 TB retrieval workflow builds once, probes
+   * many times ([[bm25Scores]] recomputes tf/df per call; this is its
+   * amortized form). Layout under `dest`, one committed generation via
+   * [[graft.core.Generations]] (the claim/commit/resolve lifecycle
+   * shared with the IVF ANN store — atomic swap, concurrent-writer
+   * claim, reader isolation from died attempts):
+   *
+   *   - `gen-N/postings` (`term`, `doc_id`, `tf`) — range-partitioned
+   *     AND sorted by term, so each parquet file/row-group carries a
+   *     tight term min/max and a probe's pushed term filter prunes at
+   *     FILE level: the probe reads ~K/vocab of the postings bytes,
+   *     never the corpus (term cardinality is far too high for
+   *     `partitionBy` dirs — min/max pruning is the scalable form)
+   *   - `gen-N/doclens` (`doc_id`, `len`); `gen-N/stats` (one row:
+   *     `n_docs`, `tok_total`)
+   *
+   * Corpus definition and all counts are EXACTLY [[bm25Scores]]'s
+   * (null-id/null-text docs excluded; same tokenizer), so index probes
+   * bit-match the direct scorer on the same corpus.
+   */
+  def buildBm25Index(docs: DataFrame, dest: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     shards: Int = 32): Unit = {
+    require(shards >= 1, "shards must be >= 1")
+    val spark = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dest)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = graft.core.Generations.claim(fs, root)
+    val genDir = s"$dest/gen-$gen"
+    val base = graft.core.LineageCut.cut(
+      docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          tokens(lower(col(textCol))).as("__toks")))
+    val lens = base.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("len"))
+    lens.agg(count(lit(1)).as("n_docs"), sum("len").as("tok_total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/stats")
+    lens.write.mode("overwrite").parquet(s"$genDir/doclens")
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(shards, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$genDir/postings")
+    graft.core.Generations.commit(fs, root, gen)
+  }
+
+  /**
+   * Probe a [[buildBm25Index]] store: same semantics (and, on the same
+   * corpus, the SAME bits) as [[bm25Scores]] — the shared
+   * [[bm25Probe]] does the arithmetic — but the corpus pass is
+   * replaced by a term-pruned read of the postings: the ≤
+   * `maxProbeTerms` distinct query terms become a LITERAL pushed
+   * parquet filter (the IVF probed-cell isin pattern — pruning at file
+   * listing and row-group stats, unconditional), df aggregates over
+   * only the matched postings, and doc lengths join from the stored
+   * doclens. No corpus scan appears in the plan.
+   */
+  def bm25ScoresFromIndex(spark: org.apache.spark.sql.SparkSession,
+                          dest: String, queries: DataFrame,
+                          idCol: String = "doc_id",
+                          queryIdCol: String = "query_id",
+                          queryTextCol: String = "qtext",
+                          k1: Double = 1.2, b: Double = 0.75,
+                          maxProbeTerms: Int = 10000): DataFrame = {
+    require(maxProbeTerms >= 1, "maxProbeTerms must be >= 1")
+    val live = graft.core.Generations.resolve(spark, dest)
+    val terms = queries
+      .select(explode(array_distinct(tokens(lower(col(queryTextCol)))))
+        .as("__term"))
+      .distinct().limit(maxProbeTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(terms.size <= maxProbeTerms,
+      s"query batch probes more than maxProbeTerms=$maxProbeTerms " +
+        "distinct terms — split the batch or raise the bound " +
+        "deliberately (the term set becomes a driver-side literal " +
+        "pushed filter)")
+    val tf = spark.read.parquet(s"$live/postings")
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id").as("__id"), col("term").as("__term"),
+        col("tf").as("__tf"))
+    val lens = spark.read.parquet(s"$live/doclens")
+      .select(col("doc_id").as("__id"), col("len").as("__len"))
+    val stats = spark.read.parquet(s"$live/stats")
+      .select(col("n_docs").as("__n"), col("tok_total").as("__tok_total"))
+    bm25Probe(tf, lens, stats, queries, idCol, queryIdCol, queryTextCol,
+      k1, b)
+  }
+
+  private def bm25Probe(tf: DataFrame, lens: DataFrame, stats: DataFrame,
+                        queries: DataFrame, idCol: String,
+                        queryIdCol: String, queryTextCol: String,
+                        k1: Double, b: Double): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, "need k1 > 0 and b in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
     val qterms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(array_distinct(tokens(lower(col(queryTextCol)))))
           .as("__term"))
+    // tf rows are unique per (doc, term): df = plain row count per
+    // term — computed ONLY for the ≤ K query terms (broadcast
+    // semi-join first), never for the full vocabulary
+    val dfreq = tf
+      .join(broadcast(qterms.select("__term").distinct()), "__term")
+      .groupBy("__term").agg(count(lit(1)).as("__df"))
     val matched = tf
       .join(broadcast(qterms), "__term")
-      .join(dfreq, "__term")
+      .join(broadcast(dfreq), "__term")
       .join(lens, "__id")
       .crossJoin(broadcast(stats))
     val nD = col("__n").cast("double")

@@ -70,6 +70,8 @@ object StressBench {
     import graft.operators.{Dedup, Similarity}
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
+    // handoff between the bm25 index build tier and its probe tier
+    var bm25Dest: String = null
     // Optional op-level filter within a section (comma-separated run()
     // names) — lets a crashing tier (e.g. the string-key backoff OOM
     // demonstration) be isolated without re-timing its whole section.
@@ -330,6 +332,71 @@ object StressBench {
           "is_match", Seq("f1", "f2", "f3"))
         graft.operators.Dedup.fellegiSunterScore(pairs, w,
           Seq("f1", "f2", "f3")).count()
+      }
+      // r13: EM fit — distributed cost is ONE pattern-count aggregate
+      // (8 cells), then O(iters·2^K·K) driver flops: must track
+      // fs_weights_score's scan-bound shape exactly
+      run("fs_em", n) {
+        val pairs = docs.select(
+          (col("doc_id") % 3 === 0).as("f1"),
+          (col("doc_id") % 5 === 0).as("f2"),
+          (col("doc_id") % 7 === 0).as("f3"))
+        graft.operators.Dedup.fellegiSunterEM(pairs,
+          Seq("f1", "f2", "f3"), iters = 5).count()
+      }
+      // r13: persisted BM25 index — build is the corpus pass (tf/df
+      // write, ~bm25_multi's aggregate cost + IO); the PROBE must be
+      // vocab/corpus-independent: term-pruned postings read + ≤ K-row
+      // df, so expect probe time ~flat while build grows with n
+      run("bm25_index_build", n) {
+        val dest = java.nio.file.Files
+          .createTempDirectory("graft-sb-bm25").toString
+        bm25Dest = dest
+        graft.operators.TextAnalysis.buildBm25Index(docs, dest)
+        n // rows indexed (build returns Unit; the tier size is the count)
+      }
+      run("bm25_index_probe", n) {
+        import spark.implicits._
+        val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+          (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+        graft.operators.TextAnalysis.bm25ScoresFromIndex(spark, bm25Dest,
+          qs).count()
+      }
+      // r13: LM scoring — bm25_multi's shape plus the cf aggregate and
+      // the qlen broadcast; must track bm25_multi's wall
+      run("lm_dirichlet", n) {
+        import spark.implicits._
+        val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+          (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+        graft.operators.TextAnalysis.lmDirichletScores(docs, qs).count()
+      }
+      // r13: the effect-size/repeated-measures family — every one is
+      // ONE map-side-combined aggregate (cliffs adds the bounded level
+      // pair join); all must be scan-bound flat
+      run("effect_sizes", n) {
+        val f = docs.select(col("doc_id"),
+          (pmod(col("doc_id"), lit(2L)) === 0L).cast("string").as("g"),
+          pmod(xxhash64(col("doc_id")), lit(1000L)).cast("double").as("v"),
+          pmod(xxhash64(col("doc_id"), lit(1)), lit(997L)).cast("double")
+            .as("v2"),
+          pmod(xxhash64(col("doc_id"), lit(2)), lit(991L)).cast("double")
+            .as("v3"))
+        graft.operators.Profiling.cohensD(f, "v", "g", unitScale = 1L)
+          .count()
+        graft.operators.Profiling.cliffsDelta(f, "g", "true", "v",
+          unitScale = 1L).count()
+        graft.operators.Profiling.friedmanTest(f, Seq("v", "v2", "v3"),
+          unitScale = 1L).count()
+      }
+      run("km_cochran", n) {
+        val f = docs.select(
+          pmod(xxhash64(col("doc_id")), lit(2000L)).as("dur"),
+          (pmod(col("doc_id"), lit(3L)) === 0L).as("ev"),
+          (pmod(col("doc_id"), lit(2L)) === 0L).as("a"),
+          (pmod(col("doc_id"), lit(5L)) === 0L).as("b"),
+          (pmod(col("doc_id"), lit(7L)) === 0L).as("c"))
+        graft.operators.Events.kaplanMeier(f, "dur", "ev").count()
+        graft.operators.Events.cochranQ(f, Seq("a", "b", "c")).count()
       }
       docs.unpersist()
     }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
@@ -282,6 +284,88 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.fellegiSunterScore(pairs, weights, Seq("nope"))
     }
+  }
+
+  test("entityClusters: transitive closure of thresholded pair scores; " +
+      "sub-threshold edges break chains") {
+    val scored = Seq((1L, 2L, 5.0), (2L, 3L, 4.0), (3L, 4L, 0.5),
+      (10L, 11L, 9.0)).toDF("id_a", "id_b", "fs_score")
+    val got = Dedup.entityClusters(scored, "id_a", "id_b", "fs_score",
+        threshold = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    // 3–4 scores 0.5 < 1.0: the chain breaks there — {1,2,3} and
+    // {10,11}; 4 has no passing edge and is a singleton (absent)
+    assert(got === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("fellegiSunterEM: recovers a planted mixture without labels; " +
+      "fixed-iteration determinism; guards") {
+    // two planted classes of 1260 pairs each over PAIRWISE-COPRIME
+    // moduli 9/7/5/4 — lcm 1260, so the four indicators are EXACTLY
+    // independent within each class (coprimality is load-bearing:
+    // shared factors, e.g. 10 and 5, make within-class indicators
+    // dependent, the mixture's MLE drifts off the plant, and EM
+    // "fails" to recover parameters it was never shown). K = 4 beats
+    // K = 3 for the same reason in kind: at K = 3 the model is
+    // SATURATED (7 params = 7 free pattern probabilities) and other
+    // exact-fit solutions compete with the plant. Truth:
+    // m = (8/9, 5/7, 0.8, 0.75), u = (1/9, 2/7, 0.2, 0.25), p = 0.5.
+    val rows = (0 until 1260).map { i =>
+      (i % 9 < 8, i % 7 < 5, i % 5 < 4, i % 4 < 3)
+    } ++ (0 until 1260).map { i =>
+      (i % 9 == 0, i % 7 < 2, i % 5 == 0, i % 4 == 0)
+    }
+    val fields = Seq("f1", "f2", "f3", "f4")
+    val pairs = rows.toDF(fields: _*)
+    val got = Dedup.fellegiSunterEM(pairs, fields, iters = 30)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val truth = Map("f1" -> (8.0 / 9, 1.0 / 9), "f2" -> (5.0 / 7, 2.0 / 7),
+      "f3" -> (0.8, 0.2), "f4" -> (0.75, 0.25))
+    for ((f, (tm, tu)) <- truth) {
+      assert(math.abs(got(f)._2 - tm) < 0.01, s"$f m: ${got(f)._2} vs $tm")
+      assert(math.abs(got(f)._3 - tu) < 0.01, s"$f u: ${got(f)._3} vs $tu")
+      assert(got(f)._4 > 0 && got(f)._5 < 0,
+        s"$f weights must separate: ${got(f)}")
+    }
+    assert(math.abs(got("f1")._6 - 0.5) < 0.01, s"p: ${got("f1")._6}")
+    // fixed iteration count → bit-identical reruns
+    val again = Dedup.fellegiSunterEM(pairs, fields, iters = 30)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again === got)
+    // NULL indicators count as disagreement (the weights convention):
+    // an all-null field fits m = u = 0 and reports the clamp floor
+    // instead of ±∞ weights
+    val withNull = pairs.withColumn("f5",
+      lit(null).cast("boolean"))
+    val g5 = Dedup.fellegiSunterEM(withNull, fields :+ "f5", iters = 5)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(g5("f5")._2 === 0.000001 && g5("f5")._3 === 0.000001)
+    // guards: width bound, degenerate inits, iteration bounds
+    intercept[IllegalArgumentException] {
+      val wide = (1 to 17).foldLeft(pairs)((d, i) =>
+        d.withColumn(s"x$i", lit(true)))
+      Dedup.fellegiSunterEM(wide, (1 to 17).map(i => s"x$i"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunterEM(pairs, Seq("f1"), mInit = 0.5, uInit = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunterEM(pairs, Seq("f1"), iters = 0)
+    }
+  }
+
+  test("fellegiSunterWeights: a field name containing a quote is data, " +
+      "not SQL (typed melt, no expression injection)") {
+    val labeled = Seq((true, Option(true)), (false, Option(false)))
+      .toDF("is_match", "o'brien")
+    val w = Dedup.fellegiSunterWeights(labeled, "is_match", Seq("o'brien"))
+      .select("field", "n_match", "agree_match")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(w === Seq(("o'brien", 1L, 1L)))
   }
 
   test("dedupChunks: within-doc repeated chunk keeps only the first") {

@@ -277,4 +277,47 @@ class EventsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(t.toSeq === Seq(("a>b>c", 1L, 1L)))
   }
+
+  test("kaplanMeier: hand product-limit curve with censoring; d = n step " +
+      "hits exactly 0 without ln(0); censor-only times absent") {
+    // durations/events: (1,e) (2,c) (3,e) (3,e) (4,c) (5,e) — the
+    // textbook fixture: S(1) = 5/6, S(3) = 5/6 · 1/2 = 5/12, S(5) = 0
+    // (the last at-risk subject dies: d = n routes the zero flag)
+    val rows = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "ev")
+    val got = Events.kaplanMeier(rows, "dur", "ev")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    assert(got === Seq(
+      (1L, 6L, 1L, r6(math.exp(math.log(1.0 - 1.0 / 6.0)))),
+      (3L, 4L, 2L, r6(math.exp(math.log(1.0 - 1.0 / 6.0) +
+        math.log(1.0 - 2.0 / 4.0)))),
+      (5L, 1L, 1L, 0.0)))
+    // censor time 2 and 4 emit no step row
+    assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
+  }
+
+  test("cochranQ: hand Q on a 6x3 binary block; degenerate NULL") {
+    // G = (5, 5, 2), T = 12, sum L^2 = 28:
+    // Q = 2 * (3*(25+25+4) - 144) / (36 - 28) = 4.5
+    val rows = Seq((1, 1, 0), (1, 1, 0), (1, 0, 0), (1, 1, 1),
+      (0, 1, 0), (1, 1, 1))
+      .map { case (a, b, c) => (a == 1, b == 1, c == 1) }
+      .toDF("a", "b", "c")
+    val got = Events.cochranQ(rows, Seq("a", "b", "c"))
+      .as[(Long, Int, Option[Double])].collect().head
+    assert(got === ((6L, 2, Some(4.5))))
+    // all-success blocks: denominator 0 -> NULL q
+    val degen = Seq((true, true, true), (true, true, true)).toDF("a", "b", "c")
+    val g2 = Events.cochranQ(degen, Seq("a", "b", "c"))
+      .as[(Long, Int, Option[Double])].collect().head
+    assert(g2 === ((2L, 2, None)))
+    // NULL outcome counts as failure
+    val withNull = rows.withColumn("c",
+      when(col("c"), col("c"))) // true stays, false -> null
+    val g3 = Events.cochranQ(withNull, Seq("a", "b", "c"))
+      .as[(Long, Int, Option[Double])].collect().head
+    assert(g3 === ((6L, 2, Some(4.5))))
+  }
 }

@@ -762,6 +762,98 @@ class ProfilingSpec extends SparkSpec {
     assert(kPass === got)
   }
 
+  test("spearmanMatrix: maxLevels gate fails loud on the level-cardinality " +
+      "bound with the coarsen escape hatch; at the bound it runs") {
+    import spark.implicits._
+    // 3 columns × 4 all-distinct values = 12 (column, value) levels;
+    // a maxLevels below that must abort BEFORE the level joins, naming
+    // the knob and the unitScale escape (kendallTau's maxCells style)
+    val rows = Seq((1L, 1.0, 10.0, 3.0), (2L, 2.0, 20.0, 1.0),
+      (3L, 5.0, 30.0, 2.0), (4L, 3.0, 40.0, 7.0))
+      .toDF("id", "x", "y", "k")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.spearmanMatrix(rows, Seq("x", "y", "k"), "id",
+        unitScale = 1L, maxLevels = 11L).collect()
+    }
+    assert(e.getMessage.contains("maxLevels") &&
+      e.getMessage.contains("unitScale"))
+    // exactly at the bound: runs, and output is unchanged
+    assert(Profiling.spearmanMatrix(rows, Seq("x", "y", "k"), "id",
+      unitScale = 1L, maxLevels = 12L).count() === 6)
+  }
+
+  test("cohensD: hand pooled-SD effect size; deterministic group order; " +
+      "group-count and n>=2 guards") {
+    import spark.implicits._
+    // A = {1,2,3} (mean 2, (n−1)s² = 2), B = {2,4,6,8} (mean 5,
+    // (n−1)s² = 20) → sp² = 22/5, d = −3/√4.4, g = d·(1 − 3/19)
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val got = Profiling.cohensD(rows, "v", "g", unitScale = 1L)
+      .as[(String, String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val d = (1.0 * 2 - 5) / math.sqrt((6.0 / 3 + 80.0 / 4) / 5.0)
+    assert(got === (("a", "b", 3L, 4L, -3.0,
+      Some(r6(d)), Some(r6(d * (1.0 - 3.0 / 19.0))))))
+    // three groups fail loud; a 1-row group fails loud
+    intercept[IllegalArgumentException] {
+      Profiling.cohensD(rows.withColumn("g",
+        when(col("v") > 5.0, "c").otherwise(col("g"))), "v", "g")
+    }
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Profiling.cohensD(tiny, "v", "g", unitScale = 1L).collect()
+    }
+    assert(e.getMessage.contains("n >= 2"))
+  }
+
+  test("friedmanTest: hand chi2 without and with ties; fully-tied NULL") {
+    import spark.implicits._
+    // two identical rows (1, 2, 3): R2 = (4, 8, 12) -> chi2 = 4, no ties
+    val clean = Seq((1.0, 2.0, 3.0), (1.0, 2.0, 3.0)).toDF("a", "b", "c")
+    val got = Profiling.friedmanTest(clean, Seq("a", "b", "c"),
+        unitScale = 1L)
+      .as[(Long, Int, Option[Double])].collect().head
+    assert(got === ((2L, 2, Some(4.0))))
+    // two rows (1, 1, 2): doubled ranks (3, 3, 6), tie term 6 per row
+    // -> chi2 = 3, C = 1 - 12/48 = 0.75, corrected = 4
+    val tied = Seq((1.0, 1.0, 2.0), (1.0, 1.0, 2.0)).toDF("a", "b", "c")
+    val g2 = Profiling.friedmanTest(tied, Seq("a", "b", "c"),
+        unitScale = 1L)
+      .as[(Long, Int, Option[Double])].collect().head
+    assert(g2 === ((2L, 2, Some(4.0))))
+    // fully tied rows: correction factor 0 -> NULL chi2
+    val flat = Seq((5.0, 5.0, 5.0), (5.0, 5.0, 5.0)).toDF("a", "b", "c")
+    val g3 = Profiling.friedmanTest(flat, Seq("a", "b", "c"),
+        unitScale = 1L)
+      .as[(Long, Int, Option[Double])].collect().head
+    assert(g3 === ((2L, 2, None)))
+  }
+
+  test("cliffsDelta: hand dominance counts; symmetric flip; maxCells guard") {
+    import spark.implicits._
+    // treated {1,2,2} vs control {2,3}: gt 0, lt 4 (ties drop) →
+    // δ = −4/6
+    val rows = Seq((true, 1.0), (true, 2.0), (true, 2.0),
+      (false, 2.0), (false, 3.0)).toDF("tr", "v")
+      .withColumn("grp", when(col("tr"), "t").otherwise("c"))
+    val got = Profiling.cliffsDelta(rows, "grp", "t", "v", unitScale = 1L)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got === ((3L, 2L, 0L, 4L, -0.666667)))
+    // swapping the roles negates delta exactly
+    val flip = Profiling.cliffsDelta(rows, "grp", "c", "v", unitScale = 1L)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(flip === ((2L, 3L, 4L, 0L, 0.666667)))
+    // level-cardinality gate fails loud with the coarsen escape
+    val e = intercept[IllegalArgumentException] {
+      Profiling.cliffsDelta(rows, "grp", "t", "v", unitScale = 1L,
+        maxCells = 3L).collect()
+    }
+    assert(e.getMessage.contains("maxCells") &&
+      e.getMessage.contains("unitScale"))
+  }
+
   test("prCurve: hand confusion sweep on the AUC fixture, one-class empty") {
     import spark.implicits._
     // pos {3, 2} vs neg {1, 2}: thresholds 3/2/1 give (tp, fp) =

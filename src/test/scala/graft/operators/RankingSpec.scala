@@ -57,6 +57,14 @@ class RankingSpec extends SparkSpec {
         .as[(Long, String, Double, Long, Long)].collect().toSet
       assert(got === expected, s"chunks = $chunks")
     }
+    // the shuffle-stitch fallback for high group cardinality
+    // (broadcastOffsets = false) is the same exact output — only the
+    // stitch join's physical strategy changes
+    val shuffled = Ranking.withGroupedRank(df, "grp",
+        Seq(col("metric").desc, col("id").asc), "rn", "n", chunks = 4,
+        broadcastOffsets = false)
+      .as[(Long, String, Double, Long, Long)].collect().toSet
+    assert(shuffled === expected)
   }
 
   test("withGroupedRank: randomized parity sweep over group counts, tie rates, chunks") {

@@ -344,6 +344,53 @@ class SimilaritySpec extends SparkSpec {
     assert(afterTwo.nonEmpty && afterTwo.forall { case (q, nn) => q === nn })
   }
 
+  test("rebuild claim protocol: an interleaved concurrent attempt's " +
+      "generation is never co-written (atomic disjoint claims)") {
+    import org.apache.hadoop.fs.Path
+    val dest = java.nio.file.Files.createTempDirectory("graft-ivf-claim")
+      .toString
+    val root = new Path(dest)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // claims are atomic (create-no-overwrite) and disjoint: a rival's
+    // claim landing on the obvious next number forces ours PAST it —
+    // the exact interleaving that used to let two rebuilds co-write
+    // one gen dir before either COMMITTED marker
+    val g1 = graft.core.Generations.claim(fs, root)
+    assert(g1 === 1L)
+    fs.create(new Path(root, s"gen-${g1 + 1}/CLAIM"), false).close()
+    val g2 = graft.core.Generations.claim(fs, root)
+    assert(g2 === g1 + 2, "claim did not skip the rival's held number")
+    // re-creating a held claim file throws, never silently wins
+    intercept[java.io.IOException] {
+      fs.create(new Path(root, s"gen-$g2/CLAIM"), false).close()
+    }
+
+    // end-to-end: with a rival's claimed-but-unfinished attempt
+    // present, a rebuild claims a FRESH generation, commits there, and
+    // the rival's dir gains none of our data files
+    val n = 400
+    val vecs = spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        expr("transform(sequence(1, 8), " +
+          "i -> cast(pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5 as float))"))
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-claim2")
+      .toString
+    Similarity.buildIvfIndex(vecs, store, numCells = 4)
+    val storeRoot = new Path(store)
+    val sfs = storeRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rival = graft.core.Generations.claim(sfs, storeRoot) // holds gen-1
+    assert(Similarity.rebuildIvfIndexIfSkewed(spark, store,
+      skewThreshold = 1.0, numCells = 4))
+    assert(Similarity.resolveIvfDir(spark, store) === s"$store/gen-${rival + 1}")
+    assert(new java.io.File(s"$store/gen-${rival + 1}/COMMITTED").exists())
+    // the rival's claimed dir was never co-written: claim file only
+    // (it is then swept as an uncommitted carcass by our GC — the
+    // documented single-GC-owner contract)
+    val rivalDir = new java.io.File(s"$store/gen-$rival")
+    assert(!rivalDir.exists() ||
+      rivalDir.listFiles().map(_.getName).toSet.subsetOf(Set("CLAIM")))
+  }
+
   test("hierarchical codebook: two-level assignment is consistent and flatten-aligned") {
     // 4 well-separated planted clusters in R^4
     val vecs = (for {

@@ -651,5 +651,81 @@ class TextAnalysisSpec extends SparkSpec {
       idf * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl4))
     assert(g4((10L, 1L)) === r4(sc4(idfCat4, 1, 2)))
     assert(!g4.keySet.exists(_._2 == 4L))
+    // NULL-text docs are excluded from the corpus entirely (unlike
+    // empty text): N and avgdl are unchanged vs the 3-doc corpus —
+    // the DuckDB oracle filters text IS NOT NULL, so both engines
+    // must agree on the corpus definition
+    val docsNull = docs.unionAll(
+      Seq(5L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("string").as("text")))
+    val gNull = TextAnalysis.bm25Scores(docsNull, qs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(gNull === got)
+  }
+
+  test("lmDirichletScores: hand corpus matches the rank-equivalent " +
+      "decomposition bit-for-bit; null-text excluded; unmatched absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "cat fish"), (11L, "unseen")).toDF("query_id", "qtext")
+    val mu = 2.0
+    val got = TextAnalysis.lmDirichletScores(docs, qs, mu = mu)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // T = 6 tokens, cf(cat) = 3, cf(fish) = 1, |q| = 2 distinct terms
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    def contrib(tf: Double, cf: Double): Double =
+      math.log(1.0 + (tf * 6.0) / (mu * cf))
+    def lenTerm(len: Double): Double = 2.0 * math.log(mu / (len + mu))
+    assert(got((10L, 1L)) === ((1L, r4(contrib(1, 3) + lenTerm(2)))))
+    assert(got((10L, 2L)) ===
+      ((2L, r4(contrib(2, 3) + contrib(1, 1) + lenTerm(3)))))
+    assert(got.keySet === Set((10L, 1L), (10L, 2L))) // bird + unseen absent
+    // longer docs pay the length normalizer: same matched terms, the
+    // length term strictly decreases with |d|
+    assert(got((10L, 2L))._2 < contrib(2, 3) + contrib(1, 1))
+    // null-text exclusion (the bm25Scores corpus contract)
+    val docsNull = docs.unionAll(Seq(5L).toDF("doc_id")
+      .select(col("doc_id"), lit(null).cast("string").as("text")))
+    val gNull = TextAnalysis.lmDirichletScores(docsNull, qs, mu = mu)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(gNull === got)
+  }
+
+  test("buildBm25Index + bm25ScoresFromIndex: probe bit-matches the " +
+      "direct scorer; rebuild swaps generations; probe-term guard") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "cat fish"), (11L, "unseen")).toDF("query_id", "qtext")
+    val dest = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextAnalysis.buildBm25Index(docs, dest, shards = 2)
+    assert(new java.io.File(s"$dest/gen-1/COMMITTED").exists())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val direct = rows(TextAnalysis.bm25Scores(docs, qs))
+    val probed = rows(TextAnalysis.bm25ScoresFromIndex(spark, dest, qs))
+    assert(probed === direct && probed.nonEmpty)
+    // REBUILD on a grown corpus lands in gen-2, CURRENT swings, and
+    // probes resolve the new generation — scores track the new corpus
+    val docs4 = docs.unionAll(Seq((4L, "cat bird bird")).toDF("doc_id", "text"))
+    TextAnalysis.buildBm25Index(docs4, dest, shards = 2)
+    assert(new java.io.File(s"$dest/gen-2/COMMITTED").exists())
+    val probed4 = rows(TextAnalysis.bm25ScoresFromIndex(spark, dest, qs))
+    assert(probed4 === rows(TextAnalysis.bm25Scores(docs4, qs)))
+    assert(probed4 !== probed) // N/avgdl moved: the swap is observable
+    // the probe plan reads index files only — never the corpus frame
+    // (executedPlan carries FileScan locations; optimizedPlan elides them)
+    val plan = TextAnalysis.bm25ScoresFromIndex(spark, dest, qs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("postings") && plan.contains("doclens"), plan)
+    // probe-term bound fails loud with the split/raise escape
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ScoresFromIndex(spark, dest, qs, maxProbeTerms = 2)
+    }
+    assert(e.getMessage.contains("maxProbeTerms"))
   }
 }
