@@ -1658,6 +1658,64 @@ $fieldRows"""
         Seq("l_discount", "l_tax", "l_quantity"), unitScale = 100L)
     }),
 
+    // Retrieval-quality evaluation: nDCG@20 / MRR / AP@20 per query
+    // over deterministic ranked lists (length-ordered within residue
+    // buckets) and graded language relevance — ordered window folds,
+    // ln-ratio log2, exact counts.
+    "q_rank_eval" -> ((s, dir) => {
+      import graft.operators.Ranking
+      val docs = t(s, dir, "documents")
+        .withColumn("q", pmod(col("doc_id"), lit(3L)))
+      val ranked = Ranking.withGroupedRank(
+          docs.select(col("q"), col("doc_id"), col("n_chars")),
+          "q", Seq(col("n_chars").desc, col("doc_id").asc), "rnk", "nq")
+        .filter(col("rnk") <= 20)
+        .select(col("q").as("query_id"), col("doc_id"), col("rnk"))
+      val rel = docs.select(col("q").as("query_id"), col("doc_id"),
+        when(col("lang") === "en", 2L).when(col("lang") === "de", 1L)
+          .otherwise(0L).as("rel"))
+      Ranking.rankingEvalReport(ranked, rel, k = 20, rankCol = "rnk")
+    }),
+
+    // Sample autocorrelation of the per-minute event-value series at
+    // lags 1..5: one lag-dimension equi-join, exact decimal moments,
+    // one division per lag.
+    "q_acf" -> ((s, dir) => {
+      val m = 60000000000L
+      val ts = col("ts")
+      val series = t(s, dir, "events")
+        .groupBy((((ts - pmod(ts, lit(m))) / m)).cast("long").as("minute"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("vsum"))
+      graft.operators.TimeSeries.autocorrelation(series, "minute",
+        "vsum", maxLag = 5, unitScale = 1L)
+    }),
+
+    // Ljung-Box white-noise gate over the same series: Q from the
+    // PUBLISHED rounded r_k, ordered lag fold, exact n(n+2).
+    "q_ljung_box" -> ((s, dir) => {
+      val m = 60000000000L
+      val ts = col("ts")
+      val series = t(s, dir, "events")
+        .groupBy((((ts - pmod(ts, lit(m))) / m)).cast("long").as("minute"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("vsum"))
+      graft.operators.TimeSeries.ljungBox(series, "minute", "vsum",
+        maxLag = 5, unitScale = 1L)
+    }),
+
+    // LSH banding planner: the s-curve table (unrolled integer powers,
+    // never libm pow) + the (1/b)^(1/r) threshold estimate.
+    "q_lsh_plan" -> ((s, dir) =>
+      graft.operators.Dedup.minhashPlan(s, bands = 16, rowsPerBand = 8)),
+
+    // Wilson score intervals for the per-source English rate — the
+    // slice-dashboard primitive (Wald collapses exactly on the small
+    // extreme slices that matter).
+    "q_wilson" -> ((s, dir) => {
+      graft.operators.Profiling.wilsonInterval(
+        t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "is_en", "source", z = 2.0)
+    }),
+
     // Krippendorff's alpha over synthetic rating units (docs regrouped
     // by residue class, label = language): exact cells/units/m-level
     // machinery, one bounded ordered fold, one decimal D_e — the
@@ -6059,6 +6117,178 @@ $fieldRows"""
         |    / (1.0 - CAST(tsum AS DOUBLE) / CAST(n * 24 AS DOUBLE)), 4)
         |  END AS chi2
         |FROM m""".stripMargin,
+    // Ranked lists + graded relevance replicated with windows; DCG/AP
+    // as rank-ordered running folds (parenthesized ln-ratio log2 —
+    // same association as the Spark chain), rr an exact division.
+    "q_rank_eval" ->
+      """WITH d AS (SELECT doc_id, n_chars, lang, doc_id % 3 AS q
+        |  FROM documents),
+        |rk AS (SELECT q AS query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM d),
+        |r20 AS (SELECT * FROM rk WHERE rnk <= 20),
+        |rel AS (SELECT q AS query_id, doc_id,
+        |    CAST(CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1
+        |      ELSE 0 END AS BIGINT) AS g
+        |  FROM d
+        |  WHERE CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1
+        |      ELSE 0 END > 0),
+        |j AS (SELECT r.query_id, r.rnk, COALESCE(rel.g, 0) AS g
+        |  FROM r20 r LEFT JOIN rel
+        |    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id),
+        |f1 AS (SELECT query_id, rnk, g,
+        |    sum(CAST(g AS DOUBLE) * (ln(2.0)
+        |      / ln(CAST(rnk AS DOUBLE) + 1.0))) OVER wq AS dcg_run,
+        |    sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) OVER wq AS cumhit,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS rn,
+        |    count(*) OVER (PARTITION BY query_id) AS nq,
+        |    min(CASE WHEN g > 0 THEN rnk END)
+        |      OVER (PARTITION BY query_id) AS first_hit
+        |  FROM j
+        |  WINDOW wq AS (PARTITION BY query_id ORDER BY rnk
+        |    ROWS UNBOUNDED PRECEDING)),
+        |f2 AS (SELECT query_id, nq, dcg_run, first_hit, rn,
+        |    sum(CASE WHEN g > 0
+        |      THEN CAST(cumhit AS DOUBLE) / CAST(rnk AS DOUBLE) END)
+        |      OVER (PARTITION BY query_id ORDER BY rnk
+        |        ROWS UNBOUNDED PRECEDING) AS ap_run
+        |  FROM f1),
+        |lastrow AS (SELECT query_id, nq AS n_ranked, dcg_run AS dcg,
+        |    first_hit, COALESCE(ap_run, 0.0) AS aps
+        |  FROM f2 WHERE rn = nq),
+        |irk AS (SELECT query_id, g,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY g DESC, doc_id) AS BIGINT) AS irank,
+        |    count(*) OVER (PARTITION BY query_id) AS n_rel
+        |  FROM rel),
+        |ifold AS (SELECT query_id, n_rel,
+        |    sum(CAST(g AS DOUBLE) * (ln(2.0)
+        |      / ln(CAST(irank AS DOUBLE) + 1.0)))
+        |      OVER (PARTITION BY query_id ORDER BY irank
+        |        ROWS UNBOUNDED PRECEDING) AS idcg_run,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY irank)
+        |      AS irn,
+        |    count(*) OVER (PARTITION BY query_id) AS ni
+        |  FROM irk WHERE irank <= 20),
+        |ideal AS (SELECT query_id, n_rel, idcg_run AS idcg FROM ifold
+        |  WHERE irn = ni)
+        |SELECT l.query_id, l.n_ranked,
+        |  CAST(COALESCE(i.n_rel, 0) AS BIGINT) AS n_rel,
+        |  round(l.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+        |  CASE WHEN i.idcg > 0 THEN round(l.dcg / i.idcg, 6) END AS ndcg,
+        |  l.first_hit AS first_rel_rank,
+        |  COALESCE(1.0 / CAST(l.first_hit AS DOUBLE), 0.0) AS rr,
+        |  CASE WHEN i.n_rel > 0 THEN round(l.aps
+        |    / CAST(LEAST(i.n_rel, 20) AS DOUBLE), 6) END AS ap
+        |FROM lastrow l LEFT JOIN ideal i ON l.query_id = i.query_id""".stripMargin,
+    // ACF: per-minute value sums, one lag-dimension join, exact
+    // HUGEINT moments cleared of the mean fractions, one division/lag.
+    "q_acf" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS en, value FROM events),
+        |s AS (SELECT CAST((en - en % 60000000000) / 60000000000
+        |      AS BIGINT) AS t,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS u
+        |  FROM e GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(CAST(u AS HUGEINT))
+        |      AS HUGEINT) AS sm,
+        |    CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS s2
+        |  FROM s),
+        |lg(lag) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |    (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT)), (CAST(5 AS BIGINT))),
+        |pl AS (SELECT l.lag, count(*) AS n_pairs,
+        |    CAST(sum(CAST(h.u AS HUGEINT) * tl.u) AS HUGEINT) AS suu,
+        |    CAST(sum(CAST(h.u AS HUGEINT)) AS HUGEINT) AS hh,
+        |    CAST(sum(CAST(tl.u AS HUGEINT)) AS HUGEINT) AS tt
+        |  FROM lg l JOIN s h ON TRUE JOIN s tl ON tl.t = h.t + l.lag
+        |  GROUP BY 1)
+        |SELECT CAST(l.lag AS INTEGER) AS lag,
+        |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CASE WHEN p.n_pairs > 0
+        |    AND CAST(st.n * (st.n * st.s2 - st.sm * st.sm) AS DOUBLE) > 0
+        |  THEN round(CAST(st.n * st.n * p.suu
+        |      - st.n * st.sm * (p.hh + p.tt)
+        |      + (st.n - l.lag) * (st.sm * st.sm) AS DOUBLE)
+        |    / CAST(st.n * (st.n * st.s2 - st.sm * st.sm) AS DOUBLE), 6)
+        |  END AS r
+        |FROM lg l LEFT JOIN pl p ON l.lag = p.lag, st""".stripMargin,
+    // Ljung-Box over the replicated rounded ACF: running lag fold,
+    // exact n(n+2), same association order.
+    "q_ljung_box" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS en, value FROM events),
+        |s AS (SELECT CAST((en - en % 60000000000) / 60000000000
+        |      AS BIGINT) AS t,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS u
+        |  FROM e GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(CAST(u AS HUGEINT))
+        |      AS HUGEINT) AS sm,
+        |    CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS s2
+        |  FROM s),
+        |lg(lag) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |    (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT)), (CAST(5 AS BIGINT))),
+        |pl AS (SELECT l.lag, count(*) AS n_pairs,
+        |    CAST(sum(CAST(h.u AS HUGEINT) * tl.u) AS HUGEINT) AS suu,
+        |    CAST(sum(CAST(h.u AS HUGEINT)) AS HUGEINT) AS hh,
+        |    CAST(sum(CAST(tl.u AS HUGEINT)) AS HUGEINT) AS tt
+        |  FROM lg l JOIN s h ON TRUE JOIN s tl ON tl.t = h.t + l.lag
+        |  GROUP BY 1),
+        |acf AS (SELECT l.lag,
+        |    CASE WHEN p.n_pairs > 0 AND CAST(st.n * (st.n * st.s2
+        |        - st.sm * st.sm) AS DOUBLE) > 0
+        |    THEN round(CAST(st.n * st.n * p.suu
+        |        - st.n * st.sm * (p.hh + p.tt)
+        |        + (st.n - l.lag) * (st.sm * st.sm) AS DOUBLE)
+        |      / CAST(st.n * (st.n * st.s2 - st.sm * st.sm) AS DOUBLE), 6)
+        |    END AS r
+        |  FROM lg l LEFT JOIN pl p ON l.lag = p.lag, st),
+        |fold AS (SELECT lag,
+        |    sum(CASE WHEN r IS NOT NULL THEN r * r
+        |      / ((SELECT CAST(n AS DOUBLE) FROM st)
+        |        - CAST(lag AS DOUBLE)) END)
+        |      OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS run,
+        |    sum(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS used,
+        |    row_number() OVER (ORDER BY lag) AS rn
+        |  FROM acf)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n,
+        |  CAST(5 AS INTEGER) AS m, CAST(used AS BIGINT) AS df_used,
+        |  CASE WHEN used > 0 THEN
+        |    round((SELECT CAST(n * (n + 2) AS DOUBLE) FROM st)
+        |      * COALESCE(run, 0.0), 4) END AS q_stat
+        |FROM fold WHERE rn = 5""".stripMargin,
+    // s-curve grid with UNROLLED integer powers (left-assoc chains,
+    // same association as the codegen'd columns); the one libm step
+    // (fractional-power threshold) rounds 6dp on the ln/exp precedent.
+    "q_lsh_plan" -> {
+      val s8 = Seq.fill(8)("s").mkString(" * ")
+      val x16 = Seq.fill(16)("x").mkString(" * ")
+      s"""WITH g AS (SELECT CAST(i AS DOUBLE) / 20.0 AS s
+         |  FROM range(1, 20) t(i)),
+         |pb AS (SELECT s, $s8 AS pband FROM g),
+         |px AS (SELECT s, 1.0 - pband AS x FROM pb)
+         |SELECT round(s, 6) AS s, round(1.0 - ($x16), 6) AS p_candidate,
+         |  round(exp(ln(1.0 / 16) / 8), 6) AS threshold_est
+         |FROM px""".stripMargin
+    },
+    // Wilson interval: one aggregate, the fixed interval chain.
+    "q_wilson" ->
+      """WITH b AS (SELECT source AS grp,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS h
+        |  FROM documents WHERE source IS NOT NULL),
+        |g AS (SELECT grp, count(*) AS n, CAST(sum(h) AS BIGINT) AS hits
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT grp, n, hits,
+        |    CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT grp, n, hits, round(p, 6) AS p_hat,
+        |  round((p + 4.0 / (2.0 * nd)
+        |    - 2.0 * sqrt(p * (1.0 - p) / nd + 4.0 / (4.0 * nd * nd)))
+        |    / (1.0 + 4.0 / nd), 6) AS lo,
+        |  round((p + 4.0 / (2.0 * nd)
+        |    + 2.0 * sqrt(p * (1.0 - p) / nd + 4.0 / (4.0 * nd * nd)))
+        |    / (1.0 + 4.0 / nd), 6) AS hi
+        |FROM f""".stripMargin,
     // Level-pair dominance counts in exact HUGEINT, one division.
     "q_cliffs_delta" ->
       """WITH b AS (SELECT (l_returnflag = 'R') AS tr,

@@ -1532,6 +1532,48 @@ object Dedup {
   }
 
   /**
+   * MinHash LSH banding planner — the s-curve P(candidate | sim = s)
+   * = 1 − (1 − s^rows)^bands (Leskovec, Rajaraman & Ullman, MMDS
+   * ch. 3) tabulated over a similarity grid, plus the curve's
+   * threshold ≈ (1/b)^(1/r): pick `bands`/`rowsPerBand` BEFORE paying
+   * a full [[minhashPairs]] run by reading where the curve crosses
+   * the recall you need. Pure arithmetic — this is the planning table
+   * the signature-length knobs should be chosen from, not a data
+   * pass.
+   *
+   * DETERMINISM: the grid is s = i/gridSteps for i = 1..gridSteps−1
+   * (one exact-integer division each); the integer powers UNROLL to
+   * left-associated multiplication chains — never a libm pow, whose
+   * engines disagree in the last ulp — so every probability is a
+   * fixed IEEE chain, 6dp. The threshold estimate is the one libm
+   * exception (fractional power), exp(ln(1/b)/r) on the established
+   * ln precedent, 6dp.
+   *
+   * Returns one row per grid point: (`s`, `p_candidate`,
+   * `threshold_est` — constant across rows).
+   */
+  def minhashPlan(spark: org.apache.spark.sql.SparkSession,
+                  bands: Int, rowsPerBand: Int,
+                  gridSteps: Int = 20): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, "bands/rowsPerBand >= 1")
+    require(bands <= 512 && rowsPerBand <= 64,
+      "unrolled powers cap at 512 bands x 64 rows")
+    require(gridSteps >= 2 && gridSteps <= 1000,
+      "gridSteps must be in [2, 1000]")
+    import spark.implicits._
+    val grid = (1 until gridSteps).map(_.toLong).toDF("i")
+    val s = col("i").cast("double") / gridSteps.toDouble
+    def ipow(base: Column, e: Int): Column =
+      (1 until e).foldLeft(base)((acc, _) => acc * base)
+    val pBand = ipow(s, rowsPerBand)
+    val pCand = lit(1.0) - ipow(lit(1.0) - pBand, bands)
+    val thr = math.exp(math.log(1.0 / bands) / rowsPerBand)
+    grid.select(round(s, 6).as("s"), round(pCand, 6).as("p_candidate"),
+      lit(BigDecimal(thr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).as("threshold_est"))
+  }
+
+  /**
    * Entity resolution closure: threshold scored candidate pairs
    * ([[fellegiSunterScore]] / [[fellegiSunterEM]]-weighted) into match
    * edges and take CONNECTED COMPONENTS as entity clusters — the

@@ -306,4 +306,107 @@ object Ranking {
       .withColumn(scoreCol, ntileFromRank(col(rankCol), col(nCol), k))
       .drop(rankCol, nCol)
   }
+
+  /**
+   * Retrieval-quality evaluation report — nDCG@k (Järvelin &
+   * Kekäläinen 2002), MRR, and AP@k per query from a ranked result
+   * frame and a graded relevance frame: the metrics that decide
+   * whether an ANN index / BM25 / hybrid-fusion change actually
+   * improved retrieval, next to [[graft.operators.Similarity.recallAtK]]'s
+   * set-overlap view. LINEAR gain (dcg contribution = rel/log₂(rank+1);
+   * the 2^rel−1 exponential variant is a different operator by
+   * contract), standard AP@k normalization min(R, k).
+   *
+   * Inputs: `ranked` (query, item, 1-based rank — unique per query,
+   * caller contract), `relevance` (query, item, integer grade; grade
+   * ≤ 0 rows are non-relevant and drop). Items ranked but ungraded
+   * count as grade 0.
+   *
+   * DETERMINISM: grades/ranks/counts are exact longs; every log₂ is
+   * written as ln(2)/ln(rank+1) — one expression shape in both
+   * engines, never a native log2 (engines disagree on whether log2 is
+   * ln-ratio or a distinct libm call); DCG, cumulative hits, and the
+   * AP sum ride ONE rank-ordered running window each (sequential left
+   * folds), `rr` = one division of exact integers (unrounded —
+   * IEEE-identical), dcg/idcg/ndcg/ap round 6dp. IDCG's ideal
+   * ordering tiebreaks (grade desc, item asc) — deterministic.
+   *
+   * Scale shape: per-query windows bounded by k (ranked side) and the
+   * relevance-set size (ideal side) — eval frames, not corpora; one
+   * left join + two window passes + one aggregate join. Queries with
+   * no relevant items report NULL ndcg/ap (undefined, visibly so —
+   * rr stays 0).
+   *
+   * Returns one row per ranked query: (`query_id`, `n_ranked`,
+   * `n_rel`, `dcg`, `idcg`, `ndcg`, `first_rel_rank` — NULL when no
+   * hit, `rr`, `ap`).
+   */
+  def rankingEvalReport(ranked: DataFrame, relevance: DataFrame, k: Int,
+                        queryIdCol: String = "query_id",
+                        itemCol: String = "doc_id",
+                        rankCol: String = "rank",
+                        relCol: String = "rel"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def log2inv(rank: Column): Column =
+      log(lit(2.0)) / log(rank.cast("double") + lit(1.0))
+    val r = ranked.select(col(queryIdCol).as("qid"),
+        col(itemCol).as("item"), col(rankCol).cast("long").as("rnk"))
+      .filter(col("rnk") >= 1L && col("rnk") <= k.toLong)
+    val rel = graft.core.LineageCut.cut(
+      relevance.filter(col(relCol).isNotNull)
+        .select(col(queryIdCol).as("qid"), col(itemCol).as("item"),
+          col(relCol).cast("long").as("g"))
+        .filter(col("g") > 0L))
+    val wRun = Window.partitionBy("qid").orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("qid")
+    val joined = r.join(rel, Seq("qid", "item"), "left")
+      .withColumn("gg", coalesce(col("g"), lit(0L)))
+    val folded = joined
+      .withColumn("__dcg",
+        sum(col("gg").cast("double") * log2inv(col("rnk"))).over(wRun))
+      .withColumn("__cumhit",
+        sum(when(col("gg") > 0L, 1L).otherwise(0L)).over(wRun))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy("rnk")))
+      .withColumn("__nq", count(lit(1)).over(wAll))
+      .withColumn("__first", min(when(col("gg") > 0L, col("rnk")))
+        .over(wAll))
+    val last = folded
+      .withColumn("__ap_sum", sum(when(col("gg") > 0L,
+        col("__cumhit").cast("double") / col("rnk").cast("double")))
+        .over(wRun))
+      .filter(col("__rn") === col("__nq"))
+      .select(col("qid"), col("__nq").as("n_ranked"), col("__dcg"),
+        col("__first"), coalesce(col("__ap_sum"), lit(0.0)).as("__aps"))
+    // ideal ordering over the query's full relevance set, top k
+    val wIdeal = Window.partitionBy("qid")
+      .orderBy(col("g").desc, col("item").asc)
+    val idealRun = Window.partitionBy("qid").orderBy("__irank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ideal = rel.withColumn("__irank", row_number().over(wIdeal))
+      .withColumn("__n_rel", count(lit(1)).over(wAll))
+      .filter(col("__irank") <= k.toLong)
+      .withColumn("__idcg",
+        sum(col("g").cast("double") * log2inv(col("__irank")))
+          .over(idealRun))
+      .withColumn("__irn", row_number().over(
+        Window.partitionBy("qid").orderBy("__irank")))
+      .withColumn("__ni", count(lit(1)).over(wAll))
+      .filter(col("__irn") === col("__ni"))
+      .select(col("qid"), col("__n_rel"), col("__idcg"))
+    val denom = least(col("__n_rel"), lit(k.toLong)).cast("double")
+    last.join(ideal, Seq("qid"), "left")
+      .select(col("qid").as(queryIdCol), col("n_ranked"),
+        coalesce(col("__n_rel"), lit(0L)).as("n_rel"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        when(col("__idcg") > 0d, round(col("__dcg") / col("__idcg"), 6))
+          .as("ndcg"),
+        col("__first").as("first_rel_rank"),
+        coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))
+          .as("rr"),
+        when(col("__n_rel") > 0L, round(col("__aps") / denom, 6))
+          .as("ap"))
+  }
 }

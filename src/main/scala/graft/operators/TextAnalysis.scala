@@ -998,12 +998,14 @@ object TextAnalysis {
    * dedup (standard bag-of-words query semantics).
    *
    * Scale shape: one corpus token explode → (doc, term) tf aggregate
-   * (map-side combined, lineage-cut — the df pass reuses it instead of
-   * re-running the explode); df is VOCAB-INDEPENDENT — tf semi-joins
-   * to the broadcast query terms BEFORE the per-term df aggregate, so
-   * the df frame is ≤ K rows and broadcasts unconditionally (a
+   * (map-side combined); df is VOCAB-INDEPENDENT — a SECOND explode
+   * branch over the lineage-cut corpus filters to the broadcast query
+   * terms right at the explode and counts distinct docs, so the df
+   * frame is ≤ K rows and broadcasts unconditionally (a
    * full-vocabulary df frame would fall to a term-keyed exchange of
-   * the whole vocabulary at 100 TB for a probe that needs ≤ K terms).
+   * the whole vocabulary at 100 TB for a probe that needs ≤ K terms;
+   * lineage-cutting the corpus-sized tf frame instead was measured
+   * SLOWER at the 1.28M-doc XL tier than the filtered re-explode).
    * The query-term frame is tiny and BROADCASTs onto tf, so the
    * corpus never shuffles by term for the probe — only matched
    * (query, doc, term) rows (≪ corpus tokens) move into the fold
@@ -1024,13 +1026,20 @@ object TextAnalysis {
       .as("__len"))
     val stats = lens.agg(count(lit(1)).as("__n"),
       sum("__len").as("__tok_total"))
-    // cut: tf feeds BOTH the probe join and the df aggregate — uncut,
-    // the plan re-runs the token explode+aggregate for each consumer
-    val tf = graft.core.LineageCut.cut(
-      base.select(col("__id"), explode(col("__toks")).as("__term"))
-        .groupBy("__id", "__term").agg(count(lit(1)).as("__tf")))
-    bm25Probe(tf, lens, stats, queries, idCol, queryIdCol, queryTextCol,
-      k1, b)
+    val tf = base.select(col("__id"), explode(col("__toks")).as("__term"))
+      .groupBy("__id", "__term").agg(count(lit(1)).as("__tf"))
+    val qterms = bm25QueryTerms(queries, queryIdCol, queryTextCol)
+    // df for ONLY the ≤ K query terms, from a SECOND explode branch
+    // over the cut base with the broadcast term filter applied right
+    // at the explode — never a full-vocabulary (doc, term) aggregate
+    // for the df side, and never a materialization of the corpus-sized
+    // tf frame (measured at the 1.28M-doc XL tier: cutting tf costs
+    // more than the filtered re-explode it saves)
+    val dfreq = base
+      .select(col("__id"), explode(col("__toks")).as("__term"))
+      .join(broadcast(qterms.select("__term").distinct()), "__term")
+      .groupBy("__term").agg(count_distinct(col("__id")).as("__df"))
+    bm25Probe(tf, dfreq, lens, stats, qterms, idCol, k1, b)
   }
 
   /**
@@ -1051,9 +1060,10 @@ object TextAnalysis {
    * contribution is a fixed IEEE chain (one ln on the zipfFit
    * precedent), the per-(query, doc) sum is a RUNNING window fold in
    * term order, the length term is one ln added after the fold, 4dp.
-   * Scale shape: exactly [[bm25Scores]]' — cut tf, cf semi-joined to
-   * the ≤ K broadcast query terms (vocab-independent), corpus never
-   * shuffles by term. Docs sharing ≥ 1 query term return
+   * Scale shape: exactly [[bm25Scores]]' — cf from a term-filtered
+   * second explode branch over the cut corpus (vocab-independent,
+   * ≤ K rows, unconditional broadcast), corpus never shuffles by
+   * term. Docs sharing ≥ 1 query term return
    * (`query_id`, doc id, `n_terms`, `lm_score`).
    */
   def lmDirichletScores(docs: DataFrame, queries: DataFrame,
@@ -1070,20 +1080,20 @@ object TextAnalysis {
     val lens = base.select(col("__id"), size(col("__toks")).cast("long")
       .as("__len"))
     val stats = lens.agg(sum("__len").as("__tok_total"))
-    val tf = graft.core.LineageCut.cut(
-      base.select(col("__id"), explode(col("__toks")).as("__term"))
-        .groupBy("__id", "__term").agg(count(lit(1)).as("__tf")))
-    val qterms = graft.core.LineageCut.cut(queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(tokens(lower(col(queryTextCol)))))
-          .as("__term")))
+    val tf = base.select(col("__id"), explode(col("__toks")).as("__term"))
+      .groupBy("__id", "__term").agg(count(lit(1)).as("__tf"))
+    val qterms = graft.core.LineageCut.cut(
+      bm25QueryTerms(queries, queryIdCol, queryTextCol))
     val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("__qlen"))
-    // collection frequency, vocab-independent: semi-join to the ≤ K
-    // query terms BEFORE the per-term aggregate (the bm25Scores df
-    // contract)
-    val cf = tf
+    // collection frequency, vocab-independent: a second explode branch
+    // over the cut corpus filters to the ≤ K broadcast query terms
+    // right at the explode and counts token occurrences — never a
+    // full-vocabulary aggregate, never a materialized corpus-sized tf
+    // (the bm25Scores df contract and its measured XL rationale)
+    val cf = base
+      .select(explode(col("__toks")).as("__term"))
       .join(broadcast(qterms.select("__term").distinct()), "__term")
-      .groupBy("__term").agg(sum("__tf").as("__cf"))
+      .groupBy("__term").agg(count(lit(1)).as("__cf"))
     val matched = tf
       .join(broadcast(qterms), "__term")
       .join(broadcast(cf), "__term")
@@ -1206,26 +1216,40 @@ object TextAnalysis {
       .select(col("doc_id").as("__id"), col("len").as("__len"))
     val stats = spark.read.parquet(s"$live/stats")
       .select(col("n_docs").as("__n"), col("tok_total").as("__tok_total"))
-    bm25Probe(tf, lens, stats, queries, idCol, queryIdCol, queryTextCol,
-      k1, b)
+    // tf rows are unique per (doc, term) and already term-pruned: df
+    // is a plain per-term row count over the pruned postings — the
+    // index path's cheapest df derivation. Deliberately NOT lineage-
+    // cut: both consumers re-read the term-pruned parquet (each scan
+    // is ≤ K terms' postings, pruned at file stats), which beats
+    // materializing a checkpoint and keeps the pushed filter visible
+    // in both scan nodes of the plan.
+    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    bm25Probe(tf, dfreq, lens, stats,
+      bm25QueryTerms(queries, queryIdCol, queryTextCol), idCol, k1, b)
   }
 
-  private def bm25Probe(tf: DataFrame, lens: DataFrame, stats: DataFrame,
-                        queries: DataFrame, idCol: String,
-                        queryIdCol: String, queryTextCol: String,
-                        k1: Double, b: Double): DataFrame = {
+  /** The per-query distinct probe terms: (`query_id`, `__term`). */
+  private def bm25QueryTerms(queries: DataFrame, queryIdCol: String,
+                             queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(lower(col(queryTextCol)))))
+        .as("__term"))
+
+  /**
+   * The shared BM25 probe arithmetic over prepared frames: postings
+   * `tf` (`__id`, `__term`, `__tf` — unique per (doc, term)),
+   * per-probe-term document frequencies `dfreq` (`__term`, `__df` —
+   * ≤ K rows, built by each caller on its own cheapest path: the raw
+   * scorer re-explodes the cut corpus under the broadcast term filter,
+   * the index probe counts its already-pruned postings), doc lengths,
+   * one-row corpus stats, and the per-query term frame. ONE arithmetic
+   * path, so every caller bit-matches every other on the same corpus.
+   */
+  private def bm25Probe(tf: DataFrame, dfreq: DataFrame, lens: DataFrame,
+                        stats: DataFrame, qterms: DataFrame,
+                        idCol: String, k1: Double, b: Double): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, "need k1 > 0 and b in [0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val qterms = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(tokens(lower(col(queryTextCol)))))
-          .as("__term"))
-    // tf rows are unique per (doc, term): df = plain row count per
-    // term — computed ONLY for the ≤ K query terms (broadcast
-    // semi-join first), never for the full vocabulary
-    val dfreq = tf
-      .join(broadcast(qterms.select("__term").distinct()), "__term")
-      .groupBy("__term").agg(count(lit(1)).as("__df"))
     val matched = tf
       .join(broadcast(qterms), "__term")
       .join(broadcast(dfreq), "__term")

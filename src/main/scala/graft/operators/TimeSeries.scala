@@ -383,4 +383,113 @@ object TimeSeries {
         col("value") - col("trend") - col("seasonal"))
       .select("key", "ts", "phase", "value", "trend", "seasonal", "residual")
   }
+
+  /**
+   * Sample autocorrelation function r_1..r_maxLag (Box & Jenkins 1970)
+   * — the lag-structure diagnostic behind seasonality detection,
+   * [[ewmaSmooth]] span choice, and "is this metric even serially
+   * dependent": r_k = Σ(u_t − ū)(u_{t+k} − ū) / Σ(u_t − ū)², computed
+   * against the FULL-series mean and variance (the standard estimator;
+   * pairs exist only where both t and t+k are present, so missing
+   * buckets shrink n_pairs rather than fabricating zeros — stated).
+   *
+   * EXACTNESS: values quantize at `unitScale`; clearing the ū = S/n
+   * fractions gives r_k = (n²·Σu_t u_{t+k} − n·S·(H_k + T_k) +
+   * (n−k)·S²) / (n·(n·Σu² − S²)) — every factor an EXACT integer
+   * (DECIMAL(38,0); H_k/T_k = head/tail sums of the paired rows), ONE
+   * IEEE division per lag, 6dp. The decimal headroom bounds the
+   * operator: n ≤ 10⁶ rows enforced fail-loud (n²·Σuu′ must stay
+   * inside 38 digits — aggregate to coarser time buckets first; an
+   * ACF over more than 10⁶ points is resolution past any lag anyone
+   * reads anyway).
+   *
+   * Scale shape: one global-moments aggregate, one broadcast of the
+   * ≤ maxLag lag dimension, ONE equi-join on (t + lag) producing all
+   * lag pairs in one pass, one per-lag aggregate. No window, no
+   * cross join of the series with itself.
+   *
+   * Returns one row per lag 1..maxLag: (`lag`, `n_pairs`, `r` — NULL
+   * when the series is constant or the lag has no pairs).
+   */
+  def autocorrelation(obs: DataFrame, tsCol: String, valueCol: String,
+                      maxLag: Int, unitScale: Long = 100L): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val base = obs
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tsCol).cast("long").as("t"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+      .lineageCut() // stats + both join sides share one materialization
+    val dec = "decimal(38,0)"
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(col("u").cast(dec)).as("s"),
+      sum(col("u").cast(dec) * col("u")).as("s2"))
+      .filter(when(col("n") > 1000000L,
+        raise_error(lit("autocorrelation: series exceeds 10^6 points " +
+          "(the exact decimal(38,0) moment headroom) — aggregate to " +
+          "coarser time buckets first")).cast("boolean"))
+        .otherwise(lit(true)))
+    val lags = (1 to maxLag).map(_.toLong).toDF("lag")
+    val tails = base.crossJoin(broadcast(lags))
+      .select((col("t") - col("lag")).as("t"), col("lag"),
+        col("u").as("u_tail"))
+    val perLag = base.join(tails, Seq("t"))
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("u").cast(dec) * col("u_tail")).as("suu"),
+        sum(col("u").cast(dec)).as("h"),
+        sum(col("u_tail").cast(dec)).as("tl"))
+    val j = broadcast(lags).join(perLag, Seq("lag"), "left")
+      .crossJoin(broadcast(stats))
+    val num = (col("n") * col("n") * col("suu") -
+      col("n") * col("s") * (col("h") + col("tl")) +
+      (col("n") - col("lag")) * (col("s") * col("s"))).cast("double")
+    val den = (col("n") * (col("n") * col("s2") - col("s") * col("s")))
+      .cast("double")
+    j.select(col("lag").cast("int").as("lag"),
+      coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+      when(col("n_pairs") > 0L && den > 0d, round(num / den, 6)).as("r"))
+      .orderBy("lag")
+  }
+
+  /**
+   * Ljung-Box portmanteau test (Ljung & Box 1978) — "is this series
+   * white noise at all?": Q = n(n+2)·Σ_{k=1..m} r_k²/(n−k) over the
+   * [[autocorrelation]] estimates, the one-number gate that decides
+   * whether lag structure exists before anyone reads individual r_k
+   * spikes. χ²(m) under the null.
+   *
+   * DETERMINISM: consumes the ACF's ROUNDED 6dp r_k (the published
+   * values — testing unrounded internals a consumer never sees would
+   * make Q unreproducible from the ACF report); the Σ is a RUNNING
+   * window fold in lag order; n(n+2) is exact long arithmetic; 4dp.
+   * Lags with NULL r (no pairs / zero variance) contribute nothing
+   * and are COUNTED OUT of df (reported, so a gappy series is
+   * visible). Same n ≤ 10⁶ bound as the ACF.
+   *
+   * Returns one row: (`n`, `m`, `df_used`, `q_stat`).
+   */
+  def ljungBox(obs: DataFrame, tsCol: String, valueCol: String,
+               maxLag: Int, unitScale: Long = 100L): DataFrame = {
+    val acf = autocorrelation(obs, tsCol, valueCol, maxLag, unitScale)
+      .lineageCut() // the fold + the n re-derivation share one pass
+    val n = obs.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .count()
+    val w = Window.orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = when(col("r").isNotNull,
+      col("r") * col("r") / (lit(n.toDouble) - col("lag").cast("double")))
+    acf
+      .withColumn("__run", sum(term).over(w))
+      .withColumn("__used", sum(when(col("r").isNotNull, 1L).otherwise(0L))
+        .over(w))
+      .withColumn("__rn", row_number().over(Window.orderBy("lag")))
+      .filter(col("__rn") === maxLag)
+      .select(lit(n).as("n"), lit(maxLag).as("m"),
+        col("__used").as("df_used"),
+        when(col("__used") > 0L, round(
+          lit((n * (n + 2)).toDouble) * coalesce(col("__run"), lit(0.0)),
+          4)).as("q_stat"))
+  }
 }

@@ -398,6 +398,29 @@ object StressBench {
         graft.operators.Events.kaplanMeier(f, "dur", "ev").count()
         graft.operators.Events.cochranQ(f, Seq("a", "b", "c")).count()
       }
+      // r13: retrieval-eval windows (n/100 queries × top-20) + the
+      // ACF lag join (series capped at the operator's 10^6 bound)
+      run("rank_eval", n) {
+        val q = pmod(col("doc_id"), lit(n / 100L))
+        val ranked = graft.operators.Ranking.withGroupedRank(
+            docs.select(q.as("q"), col("doc_id"),
+              pmod(xxhash64(col("doc_id")), lit(1000L)).as("sc")),
+            "q", Seq(col("sc").desc, col("doc_id").asc), "rnk", "nq")
+          .filter(col("rnk") <= 20)
+          .select(col("q").as("query_id"), col("doc_id"), col("rnk"))
+        val rel = docs.select(q.as("query_id"), col("doc_id"),
+          pmod(col("doc_id"), lit(3L)).as("rel"))
+        graft.operators.Ranking.rankingEvalReport(ranked, rel, 20,
+          rankCol = "rnk").count()
+      }
+      run("acf", n) {
+        val series = docs.filter(col("doc_id") < 1000000L)
+          .select(col("doc_id").as("t"),
+            pmod(xxhash64(col("doc_id")), lit(1000L)).cast("double")
+              .as("v"))
+        graft.operators.TimeSeries.autocorrelation(series, "t", "v",
+          maxLag = 5, unitScale = 1L).count()
+      }
       docs.unpersist()
     }
 

@@ -286,6 +286,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashPlan: s-curve endpoints, monotonicity, threshold " +
+      "crossing; unrolled powers match the closed form") {
+    val got = Dedup.minhashPlan(spark, bands = 16, rowsPerBand = 8)
+      .as[(Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length === 19)
+    // closed form at each grid point (tolerant compare: the spec's pow
+    // vs the operator's unrolled chain may differ in the last ulp,
+    // which 6dp rounding almost always absorbs)
+    for ((s, p, _) <- got) {
+      val expect = 1.0 - math.pow(1.0 - math.pow(s, 8), 16)
+      assert(math.abs(p - expect) < 2e-6, s"s=$s")
+    }
+    // monotone non-decreasing, ~0 at s=0.05, ~1 at s=0.95
+    assert(got.sliding(2).forall(w => w(0)._2 <= w(1)._2))
+    assert(got.head._2 < 1e-6 && got.last._2 > 0.999)
+    // threshold estimate (1/16)^(1/8) ≈ 0.7071, constant on all rows
+    assert(got.map(_._3).distinct.length === 1)
+    assert(math.abs(got.head._3 - 0.707107) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPlan(spark, bands = 1000, rowsPerBand = 8)
+    }
+  }
+
   test("entityClusters: transitive closure of thresholded pair scores; " +
       "sub-threshold edges break chains") {
     val scored = Seq((1L, 2L, 5.0), (2L, 3L, 4.0), (3L, 4L, 0.5),

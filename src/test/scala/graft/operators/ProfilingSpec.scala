@@ -808,6 +808,28 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("n >= 2"))
   }
 
+  test("wilsonInterval: hand interval; degenerate p = 0/1 stays in " +
+      "[0, 1] where Wald collapses") {
+    import spark.implicits._
+    val rows = Seq(("a", true), ("a", true), ("a", false), ("a", true),
+      ("b", false), ("b", false)).toDF("g", "hit")
+    val got = Profiling.wilsonInterval(rows, "hit", "g", z = 2.0)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // a: p = 3/4, z = 2: center = p + 4/(2·4), half = 2√(p(1−p)/4 +
+    // 4/(4·16)), denom = 1 + 4/4 = 2 — mirror the operator's chain
+    val p = 3.0 / 4.0
+    val center = p + 4.0 / (2.0 * 4.0)
+    val half = 2.0 * math.sqrt(p * (1.0 - p) / 4.0 + 4.0 / (4.0 * 4.0 * 4.0))
+    assert(got("a") === (("a", 4L, 3L, 0.75,
+      r6((center - half) / 2.0), r6((center + half) / 2.0))))
+    // p = 0 group: lo must be exactly 0-adjacent-positive-bounded,
+    // never negative (the Wald interval would be degenerate at 0)
+    val b = got("b")
+    assert(b._4 === 0.0 && b._5 >= 0.0 && b._6 > 0.0 && b._6 < 1.0)
+  }
+
   test("friedmanTest: hand chi2 without and with ties; fully-tied NULL") {
     import spark.implicits._
     // two identical rows (1, 2, 3): R2 = (4, 8, 12) -> chi2 = 4, no ties

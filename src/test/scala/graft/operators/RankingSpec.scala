@@ -93,6 +93,29 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("rankingEvalReport: hand nDCG/MRR/AP fixture; unranked relevant " +
+      "counts in IDCG; no-relevant query reports NULL ndcg/ap, rr 0") {
+    // q1 ranked a,b,c; relevance b=2, c=1, d=3 (d relevant but NOT
+    // retrieved — it must still shape IDCG and n_rel)
+    val ranked = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "x", 1L)).toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, "b", 2L), (1L, "c", 1L), (1L, "d", 3L),
+      (2L, "y", 0L)).toDF("query_id", "doc_id", "rel")
+    val got = Ranking.rankingEvalReport(ranked, rel, k = 3)
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Long], Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    def li(r: Double): Double = math.log(2.0) / math.log(r + 1.0)
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val dcg = 2.0 * li(2) + 1.0 * li(3)
+    val idcg = 3.0 * li(1) + 2.0 * li(2) + 1.0 * li(3)
+    val ap = (1.0 / 2.0 + 2.0 / 3.0) / 3.0
+    assert(got(1L) === ((1L, 3L, 3L, r6(dcg), Some(r6(idcg)),
+      Some(r6(dcg / idcg)), Some(2L), 0.5, Some(r6(ap)))))
+    // q2: its only graded row is rel 0 -> non-relevant drops entirely
+    assert(got(2L) === ((2L, 1L, 0L, 0.0, None, None, None, 0.0, None)))
+  }
+
   test("withGroupedRank: null group ranks as its own group; single group = global") {
     val withNulls = Seq((1L, Option("a"), 3.0), (2L, None, 1.0),
       (3L, Option("a"), 1.0), (4L, None, 2.0)).toDF("id", "grp", "v")

@@ -203,4 +203,49 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.seasonalDecompose(per, "k", "t", "v", period = 1)
     }
   }
+
+  test("autocorrelation: hand r_k on a linear series; gaps shrink " +
+      "n_pairs; constant series NULL; guards") {
+    import spark.implicits._
+    // u = t over t = 1..5: r1 = 4/10, r2 = -1/10 (full-series mean 3)
+    val s = (1 to 5).map(t => (t.toLong, t.toDouble)).toDF("t", "v")
+    val got = TimeSeries.autocorrelation(s, "t", "v", maxLag = 2,
+        unitScale = 1L)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1, 4L, Some(0.4)), (2, 3L, Some(-0.1))))
+    // a missing bucket only shrinks the lag's pair count
+    val gap = s.filter(org.apache.spark.sql.functions.col("t") =!= 3L)
+    val g2 = TimeSeries.autocorrelation(gap, "t", "v", maxLag = 1,
+        unitScale = 1L)
+      .as[(Int, Long, Option[Double])].collect().head
+    assert(g2._2 === 2L) // pairs (1,2) and (4,5) only
+    // constant series: zero variance -> NULL r
+    val const = (1 to 4).map(t => (t.toLong, 7.0)).toDF("t", "v")
+    val g3 = TimeSeries.autocorrelation(const, "t", "v", maxLag = 1,
+        unitScale = 1L)
+      .as[(Int, Long, Option[Double])].collect().head
+    assert(g3 === ((1, 3L, None)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.autocorrelation(s, "t", "v", maxLag = 0)
+    }
+  }
+
+  test("ljungBox: hand Q from the published rounded r_k; NULL lags " +
+      "drop from df_used") {
+    import spark.implicits._
+    // same linear series: r1 = 0.4, r2 = -0.1 (rounded = exact here);
+    // Q = n(n+2) * (r1^2/(n-1) + r2^2/(n-2)) = 5*7*(0.16/4 + 0.01/3)
+    val s = (1 to 5).map(t => (t.toLong, t.toDouble)).toDF("t", "v")
+    val got = TimeSeries.ljungBox(s, "t", "v", maxLag = 2, unitScale = 1L)
+      .as[(Long, Int, Long, Option[Double])].collect().head
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val expected = r4(35.0 * (0.4 * 0.4 / 4.0 + (-0.1) * (-0.1) / 3.0))
+    assert(got === ((5L, 2, 2L, Some(expected))))
+    // a constant series: every r NULL -> df_used 0, NULL q
+    val const = (1 to 4).map(t => (t.toLong, 7.0)).toDF("t", "v")
+    val g2 = TimeSeries.ljungBox(const, "t", "v", maxLag = 2,
+        unitScale = 1L)
+      .as[(Long, Int, Long, Option[Double])].collect().head
+    assert(g2 === ((4L, 2, 0L, None)))
+  }
 }
