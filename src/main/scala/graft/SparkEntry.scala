@@ -1716,6 +1716,30 @@ $fieldRows"""
         "is_en", "source", z = 2.0)
     }),
 
+    // Embedding-space drift: per-slice centroid norm + cosine vs the
+    // corpus centroid from exact quantized per-dim sums, one
+    // dim-ordered fold per slice.
+    "q_centroid_drift" -> ((s, dir) => {
+      graft.operators.Similarity.centroidDrift(
+        t(s, dir, "embeddings")
+          .withColumn("src_slice", col("vec_id") % 4),
+        "src_slice")
+    }),
+
+    // OLS trend line price-per-quantity: five exact moments, two
+    // divisions, R² as the mirrored (cov/vx)·(cov/vy) chain.
+    "q_linear_fit" -> ((s, dir) => {
+      graft.operators.Profiling.linearFit(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", unitScale = 100L)
+    }),
+
+    // Per-doc type-token ratio + Guiraud root TTR — map-only lexical
+    // diversity over the shared tokenizer.
+    "text_ttr" -> ((s, dir) => {
+      graft.operators.TextAnalysis.lexicalDiversity(
+        t(s, dir, "documents"))
+    }),
+
     // Krippendorff's alpha over synthetic rating units (docs regrouped
     // by residue class, label = language): exact cells/units/m-level
     // machinery, one bounded ordered fold, one decimal D_e — the
@@ -6289,6 +6313,81 @@ $fieldRows"""
         |    + 2.0 * sqrt(p * (1.0 - p) / nd + 4.0 / (4.0 * nd * nd)))
         |    / (1.0 + 4.0 / nd), 6) AS hi
         |FROM f""".stripMargin,
+    // Drift: zipped parallel unnests give (dim, value); exact HUGEINT
+    // per-dim sums, the same dim-ordered fold and double-conversion
+    // points (sqrt is IEEE-correctly-rounded in both engines).
+    "q_centroid_drift" ->
+      """WITH x AS (SELECT vec_id % 4 AS sl,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(embedding) AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qq AS (SELECT sl, dim,
+        |    CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM x),
+        |bs AS (SELECT sl, dim, CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT)
+        |      AS s, count(*) AS c
+        |  FROM qq GROUP BY 1, 2),
+        |g AS (SELECT dim, CAST(sum(s) AS HUGEINT) AS gs FROM bs
+        |  GROUP BY 1),
+        |f AS (SELECT sl, c,
+        |    sum(s * gs) OVER wd AS sg, sum(s * s) OVER wd AS ss,
+        |    sum(gs * gs) OVER wd AS gg,
+        |    row_number() OVER (PARTITION BY sl ORDER BY dim) AS rn,
+        |    count(*) OVER (PARTITION BY sl) AS nd
+        |  FROM bs JOIN g USING (dim)
+        |  WINDOW wd AS (PARTITION BY sl ORDER BY dim
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT sl AS slice_key, CAST(c AS BIGINT) AS n,
+        |  round(sqrt(CAST(ss AS DOUBLE))
+        |    / (CAST(c AS DOUBLE) * 1000000.0), 6) AS centroid_norm,
+        |  CASE WHEN ss > 0 AND gg > 0 THEN
+        |    round(CAST(sg AS DOUBLE) / (sqrt(CAST(ss AS DOUBLE))
+        |      * sqrt(CAST(gg AS DOUBLE))), 6) END AS cos_vs_global
+        |FROM f WHERE rn = nd""".stripMargin,
+    // OLS: five HUGEINT moments, the same double-conversion points.
+    "q_linear_fit" ->
+      """WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS ux,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS uy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(ux AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(uy AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(ux AS HUGEINT) * ux) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(uy AS HUGEINT) * uy) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(ux AS HUGEINT) * uy) AS HUGEINT) AS sxy
+        |  FROM b),
+        |f AS (SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN vx > 0 THEN round(cov / vx, 6) END AS slope,
+        |  CASE WHEN vx > 0 THEN
+        |    round((syd - cov / vx * sxd) / nd / 100.0, 6) END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    round(cov / vx * (cov / vy), 6) END AS r2
+        |FROM f""".stripMargin,
+    // Shared tokenizer, one list_distinct, two divisions (sqrt is
+    // IEEE-correctly-rounded in both engines).
+    "text_ttr" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+        |  CASE WHEN len(t) > 0 THEN
+        |    round(CAST(len(list_distinct(t)) AS DOUBLE)
+        |      / CAST(len(t) AS DOUBLE), 6) END AS ttr,
+        |  CASE WHEN len(t) > 0 THEN
+        |    round(CAST(len(list_distinct(t)) AS DOUBLE)
+        |      / sqrt(CAST(len(t) AS DOUBLE)), 6) END AS rttr
+        |FROM d""".stripMargin,
     // Level-pair dominance counts in exact HUGEINT, one division.
     "q_cliffs_delta" ->
       """WITH b AS (SELECT (l_returnflag = 'R') AS tr,

@@ -839,6 +839,56 @@ object Profiling {
   }
 
   /**
+   * Simple ordinary-least-squares fit y = α + βx with R² — the
+   * trend-line primitive ([[correlationMatrix]] says whether two
+   * metrics move together; this says by HOW MUCH per unit, the number
+   * a capacity forecast or a drift report actually quotes). Robust
+   * alternative for heavy-tailed data: rank methods ([[spearmanCorrelation]]).
+   *
+   * EXACTNESS: both columns quantize at `unitScale` (β is
+   * scale-invariant when both share the scale; α divides back once);
+   * all five moments are exact longs/DECIMAL(38,0) from ONE aggregate;
+   * β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and R² = cov²/(vx·vy) convert
+   * each exact factor to double ONCE, α = (Σy − β·Σx)/n is a fixed
+   * chain on those doubles; 6dp. Zero x-variance → NULL β/α/R²
+   * (vertical data has no OLS line). n guarded at 10⁹ (the
+   * [[correlationMatrix]] decimal bound).
+   *
+   * Scale shape: one map-side-combined aggregate to one row.
+   */
+  def linearFit(df: DataFrame, xCol: String, yCol: String,
+                unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol) * unitScale).cast("long").as("ux"),
+        round(col(yCol) * unitScale).cast("long").as("uy"))
+    val dec = "decimal(38,0)"
+    val mom = base.agg(count(lit(1)).as("n"),
+      sum(col("ux").cast(dec)).as("sx"),
+      sum(col("uy").cast(dec)).as("sy"),
+      sum(col("ux").cast(dec) * col("ux")).as("sxx"),
+      sum(col("uy").cast(dec) * col("uy")).as("syy"),
+      sum(col("ux").cast(dec) * col("uy")).as("sxy"))
+      .filter(when(col("n") > 1000000000L,
+        raise_error(lit("linearFit: n exceeds the exact decimal(38,0) " +
+          "moment range")).cast("boolean")).otherwise(lit(true)))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val beta = cov / vx
+    val alpha = (col("sy").cast("double") - beta * col("sx").cast("double")) /
+      col("n").cast("double")
+    mom.select(col("n"),
+      when(vx > 0d, round(beta, 6)).as("slope"),
+      when(vx > 0d, round(alpha / unitScale.toDouble, 6)).as("intercept"),
+      when(vx > 0d && vy > 0d, round(cov / vx * (cov / vy), 6)).as("r2"))
+  }
+
+  /**
    * Wilson score confidence interval for per-group proportions
    * (Wilson 1927) — the slice-quality dashboard primitive: "lang-ID
    * accuracy per source", "filter pass-rate per domain" need an

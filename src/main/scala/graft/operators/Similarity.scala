@@ -1746,4 +1746,66 @@ object Similarity {
         (col("n_hit").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
+
+  /**
+   * Embedding-space drift monitor: per-slice centroid norm and cosine
+   * against the whole-corpus centroid — the cheap first alarm that a
+   * source/day/shard's embedding distribution moved (a drifted
+   * encoder, a new content mix, a broken preprocessing step shift the
+   * centroid long before ANN recall visibly degrades). Slices whose
+   * `cos_vs_global` drops below ~0.9 on a previously-stable feed are
+   * the ones to re-embed or quarantine.
+   *
+   * EXACTNESS: per-dimension coordinates quantize at 10⁶ (floats cast
+   * to double exactly, one product, engine-identical rounding), so
+   * per-(slice, dim) sums are EXACT longs; the global per-dim sums
+   * are exact sums of slice sums; cosine scale-cancels the 1/(n·10⁶)
+   * factors, so cos = ΣS_dG_d / (√ΣS²·√ΣG²) is one fixed chain on
+   * exact DECIMAL(38,0) dot products — the three Σ over dims ride ONE
+   * dim-ordered running window (a sequential fold, never an unordered
+   * double sum) — and √ is IEEE-correctly-rounded in both engines;
+   * 6dp. Norm = √ΣS²/(n·10⁶), the slice centroid's L2 length in
+   * value units.
+   *
+   * Scale shape: one posexplode → (slice, dim) map-side-combined
+   * aggregate (rows × dims, the [[principalComponent]] moment-pass
+   * bound), one ≤ dims-row global aggregate broadcast back, one
+   * window over ≤ dims rows per slice. Nothing row-sized survives the
+   * first aggregate.
+   */
+  def centroidDrift(df: DataFrame, sliceCol: String,
+                    vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val q = df.filter(col(sliceCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__e")))
+      .select(col("slice"), col("__dim"),
+        round(col("__e").cast("double") * 1000000L).cast("long").as("__q"))
+    val bySlice = graft.core.LineageCut.cut(
+      q.groupBy("slice", "__dim").agg(sum(col("__q").cast(dec)).as("__s"),
+        count(lit(1)).as("__c")))
+    val global = bySlice.groupBy("__dim")
+      .agg(sum(col("__s")).as("__g"))
+    val w = Window.partitionBy("slice").orderBy("__dim")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = bySlice.join(broadcast(global), "__dim")
+      .withColumn("__sg", sum(col("__s") * col("__g")).over(w))
+      .withColumn("__ss", sum(col("__s") * col("__s")).over(w))
+      .withColumn("__gg", sum(col("__g") * col("__g")).over(w))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("slice").orderBy("__dim")))
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy("slice")))
+      .filter(col("__rn") === col("__nd"))
+    val ssD = col("__ss").cast("double")
+    val ggD = col("__gg").cast("double")
+    // output key `slice_key` — `slice` is a DuckDB function name and
+    // the oracle checker re-selects output columns unquoted
+    folded.select(col("slice").as("slice_key"), col("__c").as("n"),
+      round(sqrt(ssD) / (col("__c").cast("double") * 1000000.0), 6)
+        .as("centroid_norm"),
+      when(col("__ss") > 0 && col("__gg") > 0,
+        round(col("__sg").cast("double") / (sqrt(ssD) * sqrt(ggD)), 6))
+        .as("cos_vs_global"))
+  }
 }

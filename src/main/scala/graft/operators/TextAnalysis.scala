@@ -1228,6 +1228,35 @@ object TextAnalysis {
       bm25QueryTerms(queries, queryIdCol, queryTextCol), idCol, k1, b)
   }
 
+  /**
+   * Per-document lexical diversity: type-token ratio and Guiraud's
+   * root TTR (Guiraud 1954) — the cheap template/boilerplate signal
+   * next to [[repetitionStats]]: machine-generated and
+   * keyword-stuffed pages reuse a tiny vocabulary, and TTR drops
+   * before the n-gram repetition signals fire. Root TTR
+   * (types/√tokens) corrects raw TTR's length bias enough to compare
+   * docs of different sizes.
+   *
+   * EXACTNESS: token/type counts are exact ints from the shared
+   * [[tokens]] pipeline (lowercased); `ttr` is ONE division of exact
+   * ints, `rttr` one division by one sqrt — fixed chains, 6dp;
+   * zero-token docs report NULL ratios (present, visibly undefined).
+   * Scale shape: map-only per-row collection ops — no shuffle at all.
+   */
+  def lexicalDiversity(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0L, round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6)).as("ttr"),
+        when(col("n_tokens") > 0L, round(col("n_types").cast("double") /
+          sqrt(col("n_tokens").cast("double")), 6)).as("rttr"))
+  }
+
   /** The per-query distinct probe terms: (`query_id`, `__term`). */
   private def bm25QueryTerms(queries: DataFrame, queryIdCol: String,
                              queryTextCol: String): DataFrame =

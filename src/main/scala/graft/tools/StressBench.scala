@@ -421,6 +421,26 @@ object StressBench {
         graft.operators.TimeSeries.autocorrelation(series, "t", "v",
           maxLag = 5, unitScale = 1L).count()
       }
+      // r13: per-slice centroid drift — posexplode n×16 dims into one
+      // map-side-combined (slice, dim) aggregate; expect ~linear in
+      // rows×dims, nothing row-sized past the first aggregate
+      run("centroid_drift", n) {
+        val v = docs.select((col("doc_id") % 16).as("sl"),
+          expr("transform(sequence(1, 16), " +
+            "i -> cast(pmod(xxhash64(doc_id, i), 1000) / 1000.0 as float))")
+            .as("embedding"))
+        graft.operators.Similarity.centroidDrift(v, "sl").count()
+      }
+      // r13: OLS moments (one aggregate) + map-only TTR — scan-bound
+      run("fit_ttr", n) {
+        val f = docs.select(
+          pmod(xxhash64(col("doc_id")), lit(1000L)).cast("double").as("x"),
+          pmod(xxhash64(col("doc_id"), lit(1)), lit(997L)).cast("double")
+            .as("y"))
+        graft.operators.Profiling.linearFit(f, "x", "y",
+          unitScale = 1L).count()
+        graft.operators.TextAnalysis.lexicalDiversity(docs).count()
+      }
       docs.unpersist()
     }
 

@@ -808,6 +808,35 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("n >= 2"))
   }
 
+  test("linearFit: exact hand fit on a perfect line; noisy R2 < 1; " +
+      "vertical data NULL; unitScale cancels in the slope") {
+    import spark.implicits._
+    // y = 2x + 1 exactly: slope 2, intercept 1, R2 = 1
+    val line = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0))
+      .toDF("x", "y")
+    val got = Profiling.linearFit(line, "x", "y", unitScale = 10L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got === ((4L, Some(2.0), Some(1.0), Some(1.0))))
+    // same fit at a different quantization: slope/intercept/R2 agree
+    val g2 = Profiling.linearFit(line, "x", "y", unitScale = 1000L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g2 === got)
+    // off-line point drops R2 strictly below 1, slope stays finite
+    val noisy = line.unionAll(Seq((5.0, 20.0)).toDF("x", "y"))
+    val g3 = Profiling.linearFit(noisy, "x", "y", unitScale = 10L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g3._4.get < 1.0 && g3._4.get > 0.5 && g3._2.get > 2.0)
+    // constant x: no OLS line exists
+    val vert = Seq((2.0, 1.0), (2.0, 5.0)).toDF("x", "y")
+    val g4 = Profiling.linearFit(vert, "x", "y", unitScale = 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g4 === ((2L, None, None, None)))
+  }
+
   test("wilsonInterval: hand interval; degenerate p = 0/1 stays in " +
       "[0, 1] where Wald collapses") {
     import spark.implicits._

@@ -344,6 +344,26 @@ class SimilaritySpec extends SparkSpec {
     assert(afterTwo.nonEmpty && afterTwo.forall { case (q, nn) => q === nn })
   }
 
+  test("centroidDrift: identical slices cosine exactly 1; an opposed " +
+      "slice drags below; norms exact") {
+    // slice 0 and 1 both at centroid (1, 0); slice 2 at (-1, 0):
+    // global centroid sums cancel slice 2 against one of the others
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)), (4L, Array(1.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.0f)), (5L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("sl", col("vec_id") % 3)
+    val got = Similarity.centroidDrift(vecs, "sl")
+      .as[(Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // slices 0, 1 = {(1,0), (1,0)}: norm 1, global sum = (2e6, 0) -> cos 1
+    assert(got(0L) === ((0L, 2L, 1.0, Some(1.0))))
+    assert(got(1L) === ((1L, 2L, 1.0, Some(1.0))))
+    // slice 2 = {(-1,0), (-1,0)}: norm 1, cos vs (2e6, 0) = -1 exactly
+    assert(got(2L) === ((2L, 2L, 1.0, Some(-1.0))))
+  }
+
   test("rebuild claim protocol: an interleaved concurrent attempt's " +
       "generation is never co-written (atomic disjoint claims)") {
     import org.apache.hadoop.fs.Path

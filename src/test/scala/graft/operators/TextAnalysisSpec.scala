@@ -664,6 +664,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gNull === got)
   }
 
+  test("lexicalDiversity: hand TTR/root-TTR; template text scores low; " +
+      "empty text NULL") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 4L, Some(1.0), Some(2.0))))
+    assert(got(2L) === ((2L, 4L, 1L, Some(0.25), Some(0.5))))
+    assert(got(3L) === ((3L, 0L, 0L, None, None)))
+    // the boilerplate signal: repeated template scores strictly lower
+    assert(got(2L)._4.get < got(1L)._4.get)
+  }
+
   test("lmDirichletScores: hand corpus matches the rank-equivalent " +
       "decomposition bit-for-bit; null-text excluded; unmatched absent") {
     import spark.implicits._
