@@ -1716,6 +1716,25 @@ $fieldRows"""
         "is_en", "source", z = 2.0)
     }),
 
+    // Index APPEND lifecycle: build on half the corpus, append the
+    // other half as a delta into the live generation — probes on the
+    // grown store must bit-match the full-corpus oracle (stats derive
+    // from doclens, so there is no staleness window to hide in).
+    "text_bm25_append" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val qs = Seq((1L, "hash join strategy"), (2L, "vector stream scan"))
+        .toDF("query_id", "qtext")
+      val dest = java.nio.file.Files.createTempDirectory("graft-bm25-a")
+        .toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.operators.TextAnalysis.buildBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), dest)
+      graft.operators.TextAnalysis.appendToBm25Index(
+        docs.filter(col("doc_id") % 2 =!= 0), dest)
+      graft.operators.TextAnalysis.bm25ScoresFromIndex(s, dest, qs)
+    }),
+
     // Embedding-space drift: per-slice centroid norm + cosine vs the
     // corpus centroid from exact quantized per-dim sums, one
     // dim-ordered fold per slice.
@@ -3908,6 +3927,48 @@ $fieldRows"""
       |SELECT doc.doc_id, CAST(coalesce(per.n, 0) AS INTEGER) AS n_tokens,
       |       per.kn_ce
       |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin
+
+  /** Shared full-corpus BM25 oracle: text_bm25_index (build +
+    * probe) and text_bm25_append (build-half + delta-half) must
+    * BOTH land on these bits while reading only index files. */
+  private val bm25IndexOracleSql: String =
+    """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'vector stream scan')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
+        |  FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
+        |    lens.dl, st.n, st.tot
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
+        |c AS (SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS contrib
+        |  FROM m),
+        |f AS (SELECT query_id, doc_id, contrib,
+        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |  FROM c)
+        |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
+        |FROM f WHERE rn = nt""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ef_ingest_ids" ->
@@ -6970,44 +7031,10 @@ $fieldRows"""
     // Index probe = the direct scorer's math on the same corpus: the
     // oracle recomputes BM25 from the raw documents table — the Spark
     // side must land on identical bits while reading ONLY index files.
-    "text_bm25_index" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |    (CAST(1 AS BIGINT), 'hash join strategy'),
-        |    (CAST(2 AS BIGINT), 'vector stream scan')),
-        |docs AS (SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
-        |    END AS t
-        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
-        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
-        |  FROM docs),
-        |qt AS (SELECT query_id, unnest(list_distinct(
-        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
-        |  FROM q),
-        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
-        |    lens.dl, st.n, st.tot
-        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
-        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
-        |c AS (SELECT query_id, doc_id, term,
-        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
-        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
-        |      AS contrib
-        |  FROM m),
-        |f AS (SELECT query_id, doc_id, contrib,
-        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
-        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
-        |    row_number() OVER (PARTITION BY query_id, doc_id
-        |      ORDER BY term) AS rn,
-        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
-        |  FROM c)
-        |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
-        |FROM f WHERE rn = nt""".stripMargin,
+    "text_bm25_index" -> bm25IndexOracleSql,
+    // Append lifecycle: build-half + delta-half must equal the SAME
+    // full-corpus oracle bit-for-bit.
+    "text_bm25_append" -> bm25IndexOracleSql,
     // LM scoring: identical corpus/tokenizer CTEs, Dirichlet
     // decomposition — matched contributions fold in term order, the
     // length normalizer adds ONCE after the fold (same association

@@ -1179,6 +1179,44 @@ object TextAnalysis {
   }
 
   /**
+   * Append a document delta to a [[buildBm25Index]] store WITHOUT
+   * rebuilding: the delta's postings and doclens land as NEW FILES
+   * inside the live generation (each delta postings file is itself
+   * term-sorted, so per-file min/max stats keep pruning probes —
+   * the [[graft.operators.Similarity.appendToIvfIndex]] shape), and
+   * corpus stats need no touch at all because probes derive them from
+   * doclens. Same corpus definition as the build (null id/text drop);
+   * the caller owns doc-id uniqueness across build + deltas (duplicate
+   * ids would double-count their terms, exactly as feeding duplicate
+   * rows to [[bm25Scores]] would). Single-writer per store, the IVF
+   * append contract. Returns the number of docs appended.
+   */
+  def appendToBm25Index(docs: DataFrame, dest: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shards: Int = 8): Long = {
+    require(shards >= 1, "shards must be >= 1")
+    val spark = docs.sparkSession
+    val live = graft.core.Generations.resolve(spark, dest)
+    require(live != dest || new org.apache.hadoop.fs.Path(s"$dest/doclens")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$dest/doclens")),
+      s"no BM25 index at $dest — buildBm25Index first")
+    val base = graft.core.LineageCut.cut(
+      docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          tokens(lower(col(textCol))).as("__toks")))
+    val lens = base.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("len"))
+    lens.write.mode("append").parquet(s"$live/doclens")
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(shards, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("append").parquet(s"$live/postings")
+    base.count()
+  }
+
+  /**
    * Probe a [[buildBm25Index]] store: same semantics (and, on the same
    * corpus, the SAME bits) as [[bm25Scores]] — the shared
    * [[bm25Probe]] does the arithmetic — but the corpus pass is
@@ -1214,8 +1252,16 @@ object TextAnalysis {
         col("tf").as("__tf"))
     val lens = spark.read.parquet(s"$live/doclens")
       .select(col("doc_id").as("__id"), col("len").as("__len"))
-    val stats = spark.read.parquet(s"$live/stats")
-      .select(col("n_docs").as("__n"), col("tok_total").as("__tok_total"))
+    // corpus stats DERIVE from doclens at probe time (one extra
+    // aggregate scan of the doc-count-sized lens file — deliberately
+    // NOT checkpoint-shared with the join side, same rationale as the
+    // postings double-read) rather than reading the stats file: an
+    // [[appendToBm25Index]] delta then can never leave a probe reading
+    // postings and stats from different moments — consistency by
+    // construction, not by locking (the stats dir remains as build
+    // metadata)
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      sum("__len").as("__tok_total"))
     // tf rows are unique per (doc, term) and already term-pruned: df
     // is a plain per-term row count over the pruned postings — the
     // index path's cheapest df derivation. Deliberately NOT lineage-

@@ -737,6 +737,19 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = TextAnalysis.bm25ScoresFromIndex(spark, dest, qs)
       .queryExecution.executedPlan.toString
     assert(plan.contains("postings") && plan.contains("doclens"), plan)
+    // APPEND a delta into the live generation: probes on the grown
+    // store bit-match the direct scorer on the union corpus — stats
+    // derive from doclens, so no staleness window exists
+    val delta = Seq((9L, "fish fish cat")).toDF("doc_id", "text")
+    assert(TextAnalysis.appendToBm25Index(delta, dest) === 1L)
+    val docs5 = docs4.unionAll(delta)
+    assert(rows(TextAnalysis.bm25ScoresFromIndex(spark, dest, qs)) ===
+      rows(TextAnalysis.bm25Scores(docs5, qs)))
+    // appending to a store that was never built fails loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(delta,
+        java.nio.file.Files.createTempDirectory("graft-bm25-none").toString)
+    }
     // probe-term bound fails loud with the split/raise escape
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.bm25ScoresFromIndex(spark, dest, qs, maxProbeTerms = 2)
