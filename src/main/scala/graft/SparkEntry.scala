@@ -1752,6 +1752,15 @@ $fieldRows"""
         "l_quantity", "l_extendedprice", unitScale = 100L)
     }),
 
+    // Theil-Sen robust slope of discount points vs quantity: cell-pair
+    // slopes (exact-int divisions) + the weighted-median crossing.
+    "q_theil_sen" -> ((s, dir) => {
+      graft.operators.Profiling.theilSenSlope(
+        t(s, dir, "lineitem")
+          .withColumn("d100", col("l_discount") * 100),
+        "l_quantity", "d100", unitScale = 1L)
+    }),
+
     // Per-doc type-token ratio + Guiraud root TTR — map-only lexical
     // diversity over the shared tokenizer.
     "text_ttr" -> ((s, dir) => {
@@ -1963,6 +1972,22 @@ $fieldRows"""
         (3L, "vector stream")).toDF("query_id", "qtext")
       graft.operators.TextAnalysis.lmDirichletScores(
         t(s, dir, "documents").select("doc_id", "text"), qs)
+    }),
+
+    // One index, two retrieval models: the Dirichlet LM probe over
+    // the SAME persisted BM25 store (cf from the pruned postings, T
+    // from doclens) — must bit-match the direct LM scorer's oracle
+    // while reading only index files.
+    "text_lm_index" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val qs = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
+        (3L, "vector stream")).toDF("query_id", "qtext")
+      val dest = java.nio.file.Files.createTempDirectory("graft-lm-q")
+        .toString
+      graft.operators.TextAnalysis.buildBm25Index(
+        t(s, dir, "documents").select("doc_id", "text"), dest)
+      graft.operators.TextAnalysis.lmDirichletFromIndex(s, dest, qs)
     }),
 
     // Per-query hybrid retrieval: batch BM25 lists + per-query brute
@@ -3968,6 +3993,51 @@ $fieldRows"""
         |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
         |  FROM c)
         |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
+        |FROM f WHERE rn = nt""".stripMargin
+
+  /** Shared full-corpus Dirichlet-LM oracle: text_lm_dirichlet
+    * (direct) and text_lm_index (persisted-index probe) must BOTH
+    * land on these bits. */
+  private val lmDirichletOracleSql: String =
+    """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'vector stream')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+        |  GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tot FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |ql AS (SELECT query_id, count(*) AS qlen FROM qt GROUP BY 1),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, cf.cf,
+        |    lens.dl, st.tot, ql.qlen
+        |  FROM qt JOIN tf USING (term) JOIN cf USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id
+        |    JOIN ql ON qt.query_id = ql.query_id, st),
+        |c AS (SELECT query_id, doc_id, term, dl, qlen,
+        |    ln(1.0 + (CAST(tf AS DOUBLE) * CAST(tot AS DOUBLE))
+        |      / (2000.0 * CAST(cf AS DOUBLE))) AS contrib
+        |  FROM m),
+        |f AS (SELECT query_id, doc_id, dl, qlen,
+        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |  FROM c)
+        |SELECT query_id, doc_id, nt AS n_terms,
+        |  round(run + CAST(qlen AS DOUBLE)
+        |    * ln(2000.0 / (CAST(dl AS DOUBLE) + 2000.0)), 4) + 0.0
+        |    AS lm_score
         |FROM f WHERE rn = nt""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -6432,6 +6502,38 @@ $fieldRows"""
         |  CASE WHEN vx > 0 AND vy > 0 THEN
         |    round(cov / vx * (cov / vy), 6) END AS r2
         |FROM f""".stripMargin,
+    // Theil-Sen: cells -> strictly-x-ordered pair slopes (exact-int
+    // divisions) -> slope-ordered running weight fold; the crossing
+    // positions compute from exact HUGEINT x-marginals (integer //).
+    "q_theil_sen" ->
+      """WITH b AS (SELECT CAST(round(l_quantity * 1) AS BIGINT) AS ux,
+        |    CAST(round(l_discount * 100 * 1) AS BIGINT) AS uy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT ux, uy, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |xm AS (SELECT ux, CAST(sum(cnt) AS HUGEINT) AS cx FROM cells
+        |  GROUP BY 1),
+        |wt AS (SELECT CAST(sum(cx) AS HUGEINT) AS t,
+        |    CAST(sum(cx * cx) AS HUGEINT) AS ss
+        |  FROM xm),
+        |k AS (SELECT t, (t * t - ss) // 2 AS w FROM wt),
+        |p AS (SELECT CAST(bb.uy - aa.uy AS DOUBLE)
+        |      / CAST(bb.ux - aa.ux AS DOUBLE) AS slope,
+        |    aa.cnt * bb.cnt AS pw, aa.ux AS xa, aa.uy AS ya, bb.ux AS xb
+        |  FROM cells aa JOIN cells bb ON aa.ux < bb.ux),
+        |f AS (SELECT slope,
+        |    sum(pw) OVER (ORDER BY slope, xa, ya, xb
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM p),
+        |m AS (SELECT
+        |    min(CASE WHEN cum >= (SELECT (w + 1) // 2 FROM k)
+        |      THEN slope END) AS lo,
+        |    min(CASE WHEN cum >= (SELECT w // 2 + 1 FROM k)
+        |      THEN slope END) AS hi
+        |  FROM f)
+        |SELECT CAST(k.t AS BIGINT) AS n, CAST(k.w AS BIGINT) AS n_pairs,
+        |  CASE WHEN k.w > 0 THEN (m.lo + m.hi) / 2.0 END AS slope
+        |FROM m, k""".stripMargin,
     // Shared tokenizer, one list_distinct, two divisions (sqrt is
     // IEEE-correctly-rounded in both engines).
     "text_ttr" ->
@@ -7039,47 +7141,9 @@ $fieldRows"""
     // decomposition — matched contributions fold in term order, the
     // length normalizer adds ONCE after the fold (same association
     // order as the Spark chain).
-    "text_lm_dirichlet" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |    (CAST(1 AS BIGINT), 'hash join strategy'),
-        |    (CAST(2 AS BIGINT), 'slow scan filter'),
-        |    (CAST(3 AS BIGINT), 'vector stream')),
-        |docs AS (SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
-        |    END AS t
-        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
-        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
-        |  GROUP BY 1),
-        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
-        |st AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tot FROM docs),
-        |qt AS (SELECT query_id, unnest(list_distinct(
-        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
-        |  FROM q),
-        |ql AS (SELECT query_id, count(*) AS qlen FROM qt GROUP BY 1),
-        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, cf.cf,
-        |    lens.dl, st.tot, ql.qlen
-        |  FROM qt JOIN tf USING (term) JOIN cf USING (term)
-        |    JOIN lens ON tf.doc_id = lens.doc_id
-        |    JOIN ql ON qt.query_id = ql.query_id, st),
-        |c AS (SELECT query_id, doc_id, term, dl, qlen,
-        |    ln(1.0 + (CAST(tf AS DOUBLE) * CAST(tot AS DOUBLE))
-        |      / (2000.0 * CAST(cf AS DOUBLE))) AS contrib
-        |  FROM m),
-        |f AS (SELECT query_id, doc_id, dl, qlen,
-        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
-        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
-        |    row_number() OVER (PARTITION BY query_id, doc_id
-        |      ORDER BY term) AS rn,
-        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
-        |  FROM c)
-        |SELECT query_id, doc_id, nt AS n_terms,
-        |  round(run + CAST(qlen AS DOUBLE)
-        |    * ln(2000.0 / (CAST(dl AS DOUBLE) + 2000.0)), 4) + 0.0
-        |    AS lm_score
-        |FROM f WHERE rn = nt""".stripMargin,
+    "text_lm_dirichlet" -> lmDirichletOracleSql,
+    // One index, two models: the LM index probe lands on the SAME bits.
+    "text_lm_index" -> lmDirichletOracleSql,
     // Multi-query hybrid fusion: the text_bm25_multi pipeline feeds
     // per-query lexical ranks (top 100), three labeled query vectors
     // feed per-query cosine ranks (top 100), fused lex-then-sem with

@@ -1094,6 +1094,56 @@ object TextAnalysis {
       .select(explode(col("__toks")).as("__term"))
       .join(broadcast(qterms.select("__term").distinct()), "__term")
       .groupBy("__term").agg(count(lit(1)).as("__cf"))
+    lmProbe(tf, cf, lens, stats, qterms, qlen, idCol, mu)
+  }
+
+  /**
+   * Probe a [[buildBm25Index]] store with the DIRICHLET LM scorer —
+   * one persisted index serves both retrieval models, because the
+   * postings already carry everything the LM needs: cf is the per-term
+   * tf sum over the term-pruned postings (the pruned read returns a
+   * probe term's FULL posting list, so the sum is the true collection
+   * frequency) and T derives from doclens like the BM25 probe's stats.
+   * Bit-matches [[lmDirichletScores]] on the same corpus (shared
+   * [[lmProbe]] arithmetic); no corpus scan in the plan.
+   */
+  def lmDirichletFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           dest: String, queries: DataFrame,
+                           idCol: String = "doc_id",
+                           queryIdCol: String = "query_id",
+                           queryTextCol: String = "qtext",
+                           mu: Double = 2000.0,
+                           maxProbeTerms: Int = 10000): DataFrame = {
+    val live = graft.core.Generations.resolve(spark, dest)
+    val terms = collectProbeTerms(queries, queryTextCol, maxProbeTerms)
+    val tf = spark.read.parquet(s"$live/postings")
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id").as("__id"), col("term").as("__term"),
+        col("tf").as("__tf"))
+    val lens = spark.read.parquet(s"$live/doclens")
+      .select(col("doc_id").as("__id"), col("len").as("__len"))
+    val stats = lens.agg(sum("__len").as("__tok_total"))
+    val cf = tf.groupBy("__term").agg(sum("__tf").as("__cf"))
+    val qterms = graft.core.LineageCut.cut(
+      bm25QueryTerms(queries, queryIdCol, queryTextCol))
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("__qlen"))
+    lmProbe(tf, cf, lens, stats, qterms, qlen, idCol, mu)
+  }
+
+  /**
+   * The shared Dirichlet-LM probe arithmetic over prepared frames —
+   * the [[bm25Probe]] contract for the LM scorer: postings `tf`,
+   * per-probe-term collection frequencies `cf` (≤ K rows), doc
+   * lengths, one-row `__tok_total` stats, per-query terms and
+   * distinct-term counts. One arithmetic path → every caller
+   * bit-matches every other on the same corpus.
+   */
+  private def lmProbe(tf: DataFrame, cf: DataFrame, lens: DataFrame,
+                      stats: DataFrame, qterms: DataFrame,
+                      qlen: DataFrame, idCol: String,
+                      mu: Double): DataFrame = {
+    require(mu > 0, "mu must be > 0")
+    import org.apache.spark.sql.expressions.Window
     val matched = tf
       .join(broadcast(qterms), "__term")
       .join(broadcast(cf), "__term")
@@ -1122,14 +1172,6 @@ object TextAnalysis {
           lit(0.0)).as("lm_score"))
   }
 
-  /**
-   * The shared BM25 probe: scores `queries` against a prepared corpus
-   * given its postings (`__id`, `__term`, `__tf` — unique per (doc,
-   * term)), doc lengths (`__id`, `__len`) and corpus stats (one row:
-   * `__n`, `__tok_total`). [[bm25Scores]] builds these frames from the
-   * raw corpus; [[bm25ScoresFromIndex]] reads them from a persisted
-   * index — ONE arithmetic path, so the two bit-match by construction.
-   */
   /**
    * Persist a BM25 postings index so query batches score WITHOUT a
    * corpus scan — the 100 TB retrieval workflow builds once, probes
@@ -1234,18 +1276,8 @@ object TextAnalysis {
                           queryTextCol: String = "qtext",
                           k1: Double = 1.2, b: Double = 0.75,
                           maxProbeTerms: Int = 10000): DataFrame = {
-    require(maxProbeTerms >= 1, "maxProbeTerms must be >= 1")
     val live = graft.core.Generations.resolve(spark, dest)
-    val terms = queries
-      .select(explode(array_distinct(tokens(lower(col(queryTextCol)))))
-        .as("__term"))
-      .distinct().limit(maxProbeTerms + 1)
-      .collect().map(_.getString(0)).toSeq
-    require(terms.size <= maxProbeTerms,
-      s"query batch probes more than maxProbeTerms=$maxProbeTerms " +
-        "distinct terms — split the batch or raise the bound " +
-        "deliberately (the term set becomes a driver-side literal " +
-        "pushed filter)")
+    val terms = collectProbeTerms(queries, queryTextCol, maxProbeTerms)
     val tf = spark.read.parquet(s"$live/postings")
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id").as("__id"), col("term").as("__term"),
@@ -1309,6 +1341,24 @@ object TextAnalysis {
     queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(tokens(lower(col(queryTextCol)))))
         .as("__term"))
+
+  /** The batch's distinct probe terms as driver literals (the pushed
+    * parquet filter), gated at `maxProbeTerms` fail-loud. */
+  private def collectProbeTerms(queries: DataFrame, queryTextCol: String,
+                                maxProbeTerms: Int): Seq[String] = {
+    require(maxProbeTerms >= 1, "maxProbeTerms must be >= 1")
+    val terms = queries
+      .select(explode(array_distinct(tokens(lower(col(queryTextCol)))))
+        .as("__term"))
+      .distinct().limit(maxProbeTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(terms.size <= maxProbeTerms,
+      s"query batch probes more than maxProbeTerms=$maxProbeTerms " +
+        "distinct terms — split the batch or raise the bound " +
+        "deliberately (the term set becomes a driver-side literal " +
+        "pushed filter)")
+    terms
+  }
 
   /**
    * The shared BM25 probe arithmetic over prepared frames: postings

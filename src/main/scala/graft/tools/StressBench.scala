@@ -362,6 +362,25 @@ object StressBench {
         graft.operators.TextAnalysis.bm25ScoresFromIndex(spark, bm25Dest,
           qs).count()
       }
+      // r13: the LM probe over the SAME store — must track the bm25
+      // probe's flat shape (cf sums the pruned postings)
+      run("lm_index_probe", n) {
+        import spark.implicits._
+        val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+          (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+        graft.operators.TextAnalysis.lmDirichletFromIndex(spark, bm25Dest,
+          qs).count()
+      }
+      // r13: Theil-Sen — O(C²) gated cell pairs + one ordered weight
+      // fold; cost tracks CELL count (bounded), not rows
+      run("theil_sen", n) {
+        val f = docs.select(
+          pmod(xxhash64(col("doc_id")), lit(40L)).cast("double").as("x"),
+          pmod(xxhash64(col("doc_id"), lit(1)), lit(25L)).cast("double")
+            .as("y"))
+        graft.operators.Profiling.theilSenSlope(f, "x", "y",
+          unitScale = 1L).count()
+      }
       // r13: LM scoring — bm25_multi's shape plus the cf aggregate and
       // the qlen broadcast; must track bm25_multi's wall
       run("lm_dirichlet", n) {

@@ -808,6 +808,43 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("n >= 2"))
   }
 
+  test("theilSenSlope: hand pairwise-slope medians (odd, even, " +
+      "weighted); outlier robustness vs OLS; guards") {
+    import spark.implicits._
+    // (1,1) (2,2) (3,10): slopes {1, 4.5, 8} -> median 4.5
+    val odd = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 10.0)).toDF("x", "y")
+    val got = Profiling.theilSenSlope(odd, "x", "y", unitScale = 1L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got === ((3L, 3L, Some(4.5))))
+    // even W with cell weights: x=1:{0,2}, x=2:{1,3} -> slopes
+    // {-1, 1, 1, 3}, median = (1+1)/2 = 1
+    val even = Seq((1.0, 0.0), (1.0, 2.0), (2.0, 1.0), (2.0, 3.0))
+      .toDF("x", "y")
+    val g2 = Profiling.theilSenSlope(even, "x", "y", unitScale = 1L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(g2 === ((4L, 4L, Some(1.0))))
+    // robustness: y = 2x with one wild outlier — the median ignores it
+    // where OLS visibly cannot
+    val outl = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0),
+      (5.0, 1000.0)).toDF("x", "y")
+    val g3 = Profiling.theilSenSlope(outl, "x", "y", unitScale = 1L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(g3._3 === Some(2.0))
+    val ols = Profiling.linearFit(outl, "x", "y", unitScale = 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(ols._2.get > 100.0)
+    // single x level: no pair has distinct x -> NULL slope, 0 pairs
+    val vert = Seq((2.0, 1.0), (2.0, 5.0)).toDF("x", "y")
+    val g4 = Profiling.theilSenSlope(vert, "x", "y", unitScale = 1L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(g4 === ((2L, 0L, None)))
+    val e = intercept[IllegalArgumentException] {
+      Profiling.theilSenSlope(odd, "x", "y", unitScale = 1L, maxCells = 2L)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
   test("linearFit: exact hand fit on a perfect line; noisy R2 < 1; " +
       "vertical data NULL; unitScale cancels in the slope") {
     import spark.implicits._

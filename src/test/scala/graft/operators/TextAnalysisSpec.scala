@@ -750,6 +750,13 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.appendToBm25Index(delta,
         java.nio.file.Files.createTempDirectory("graft-bm25-none").toString)
     }
+    // ONE index serves BOTH retrieval models: the Dirichlet LM probe
+    // over the same store bit-matches the direct LM scorer on the
+    // union corpus (cf = per-term tf sum over the pruned postings)
+    def lmRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(lmRows(TextAnalysis.lmDirichletFromIndex(spark, dest, qs)) ===
+      lmRows(TextAnalysis.lmDirichletScores(docs5, qs)))
     // probe-term bound fails loud with the split/raise escape
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.bm25ScoresFromIndex(spark, dest, qs, maxProbeTerms = 2)
