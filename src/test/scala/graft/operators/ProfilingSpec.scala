@@ -845,6 +845,41 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCells"))
   }
 
+  test("theilSenSlope: randomized parity sweep vs the brute-force " +
+      "row-pair median") {
+    import spark.implicits._
+    // deterministic pseudo-random frames with heavy value ties (small
+    // domains force multi-row cells, exercising the WEIGHTED median
+    // path); reference = literal median over ALL row pairs with
+    // distinct x, computed in plain Scala
+    for ((n, xDom, yDom, seed) <- Seq((40, 5, 7, 11L), (60, 3, 4, 23L),
+      (25, 8, 3, 37L), (50, 2, 9, 53L))) {
+      val rows = (0 until n).map { i =>
+        val h = (i * 2654435761L) ^ seed
+        val x = (((h % xDom) + xDom) % xDom).toDouble
+        val y = ((((h >> 13) % yDom) + yDom) % yDom).toDouble
+        (x, y)
+      }
+      val slopes = (for {
+        i <- rows.indices; j <- rows.indices.drop(i + 1)
+        if rows(i)._1 != rows(j)._1
+      } yield (rows(j)._2 - rows(i)._2) / (rows(j)._1 - rows(i)._1))
+        .sorted
+      val expect =
+        if (slopes.isEmpty) None
+        else {
+          val w = slopes.length
+          Some((slopes((w + 1) / 2 - 1) + slopes(w / 2 + 1 - 1)) / 2.0)
+        }
+      val got = Profiling.theilSenSlope(rows.toDF("x", "y"),
+          "x", "y", unitScale = 1L)
+        .as[(Long, Long, Option[Double])].collect().head
+      assert(got._2 === slopes.length.toLong,
+        s"pair count n=$n seed=$seed")
+      assert(got._3 === expect, s"median n=$n seed=$seed")
+    }
+  }
+
   test("linearFit: exact hand fit on a perfect line; noisy R2 < 1; " +
       "vertical data NULL; unitScale cancels in the slope") {
     import spark.implicits._

@@ -116,6 +116,65 @@ class RankingSpec extends SparkSpec {
     assert(got(2L) === ((2L, 1L, 0L, 0.0, None, None, None, 0.0, None)))
   }
 
+  test("rankingEvalReport: randomized parity sweep vs a plain-Scala " +
+      "reference (graded, gappy, unretrieved-relevant mixes)") {
+    def li(r: Double): Double = math.log(2.0) / math.log(r + 1.0)
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    for ((nq, nd, k, seed) <- Seq((5, 30, 10, 7L), (3, 12, 4, 19L),
+      (8, 50, 20, 41L))) {
+      def h(a: Long, b: Long): Long =
+        (((a * 2654435761L) ^ (b * 40503L) ^ seed) % 1000000L + 1000000L) %
+          1000000L
+      // ranked: per query, the nd items ordered by a hash score,
+      // top k retained; relevance: grade = hash % 4 (0 drops)
+      val ranked = (for {
+        q <- 0 until nq
+        (d, r) <- (0 until nd).sortBy(d => (h(q, d), d)).zipWithIndex
+        if r < k
+      } yield (q.toLong, s"d$d", (r + 1).toLong))
+      val rel = (for {
+        q <- 0 until nq; d <- 0 until nd
+        g = h(d, q) % 4
+        if g > 0
+      } yield (q.toLong, s"d$d", g)).toVector
+      val got = Ranking.rankingEvalReport(ranked.toDF("query_id",
+          "doc_id", "rank"), rel.toDF("query_id", "doc_id", "rel"), k)
+        .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+          Option[Long], Double, Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+      for (q <- 0 until nq) {
+        val relMap = rel.filter(_._1 == q).map(t => t._2 -> t._3).toMap
+        val lst = ranked.filter(_._1 == q).sortBy(_._3)
+          .map(t => relMap.getOrElse(t._2, 0L))
+        val dcg = lst.zipWithIndex
+          .map { case (g, i) => g.toDouble * li(i + 1.0) }.sum
+        val ideal = relMap.toSeq.sortBy { case (d, g) => (-g, d) }
+          .take(k).map(_._2)
+        val idcg = ideal.zipWithIndex
+          .map { case (g, i) => g.toDouble * li(i + 1.0) }.sum
+        val hits = lst.zipWithIndex.filter(_._1 > 0L)
+        val ap =
+          if (relMap.isEmpty) None
+          else Some(r6(hits.zipWithIndex
+            .map { case ((_, idx), hi) => (hi + 1.0) / (idx + 1.0) }.sum /
+            math.min(relMap.size, k).toDouble))
+        val first = hits.headOption.map(_._2 + 1L)
+        val g = got(q.toLong)
+        assert(g._2 === lst.length.toLong, s"q=$q n_ranked seed=$seed")
+        assert(g._3 === relMap.size.toLong, s"q=$q n_rel seed=$seed")
+        assert(g._4 === r6(dcg), s"q=$q dcg seed=$seed")
+        assert(g._5 === (if (relMap.isEmpty) None else Some(r6(idcg))),
+          s"q=$q idcg seed=$seed")
+        assert(g._6 === (if (relMap.isEmpty || idcg <= 0) None
+          else Some(r6(dcg / idcg))), s"q=$q ndcg seed=$seed")
+        assert(g._7 === first, s"q=$q first seed=$seed")
+        assert(g._8 === first.map(1.0 / _).getOrElse(0.0),
+          s"q=$q rr seed=$seed")
+        assert(g._9 === ap, s"q=$q ap seed=$seed")
+      }
+    }
+  }
+
   test("withGroupedRank: null group ranks as its own group; single group = global") {
     val withNulls = Seq((1L, Option("a"), 3.0), (2L, None, 1.0),
       (3L, Option("a"), 1.0), (4L, None, 2.0)).toDF("id", "grp", "v")
