@@ -1636,6 +1636,93 @@ $fieldRows"""
       graft.operators.Events.kaplanMeier(per, "dur_min", "converted")
     }),
 
+    // Two-sample log-rank test on time-to-first-purchase with Type-I
+    // administrative censoring at 2880 min (≈ the corpus median-2×):
+    // exact level counts, ordered at-risk windows; e_a/variance round
+    // FIRST and χ² builds from the rounded pair (engine-portable).
+    "q_logrank" -> ((s, dir) => {
+      val m = 60000000000L // one minute of epoch-nanos
+      val diff = min(when(col("event_type") === "purchase", col("ts"))) -
+        min(col("ts"))
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        (((diff - pmod(diff, lit(m))) / m)).cast("long").as("tp"))
+        .select(col("user_id"),
+          least(col("tp"), lit(2880L)).as("t"),
+          (col("tp") <= 2880L).as("ev"),
+          pmod(col("user_id"), lit(2L)).cast("string").as("grp"))
+      graft.operators.Events.logRankTest(per, "t", "ev", "grp", "0")
+    }),
+
+    // 2×2 odds/risk ratios with Woolf/Katz 95% intervals over per-user
+    // exposure (even user id) × outcome (≥14 purchases): four exact
+    // cells, fixed IEEE chains, 6dp.
+    "q_odds_ratio" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+        .select((pmod(col("user_id"), lit(2L)) === 0L).as("exposed"),
+          (col("np") >= 14L).as("heavy"))
+      graft.operators.Events.oddsRiskRatio(per, "exposed", "heavy")
+    }),
+
+    // Benjamini-Hochberg FDR over one p-value per order: nulls are
+    // Knuth-hash uniforms ((id·2654435761) mod 1000003 — exact integer
+    // arithmetic in both engines), 'P'-status orders planted 1000×
+    // smaller; ranks tiebreak on id, suffix-min fold, reject compares
+    // the UNROUNDED adjusted p to α.
+    "q_bh_fdr" -> ((s, dir) => {
+      val hyp = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        (pmod(col("o_orderkey") * lit(2654435761L), lit(1000003L))
+          .cast("double") / lit(1000003.0) *
+          when(col("o_orderstatus") === "P", lit(0.001))
+            .otherwise(lit(1.0))).as("p"))
+      graft.operators.Profiling.benjaminiHochberg(hyp, "id", "p", 0.05)
+    }),
+
+    // Inclusion-dependency (FK-candidate) check both ways between
+    // events.user_id and customer.c_custkey: distinct key sets + anti
+    // join; the forward dependency holds, the reverse quantifies the
+    // never-active customers.
+    "q_ind_check" -> ((s, dir) => {
+      import graft.operators.Profiling
+      val ev = t(s, dir, "events")
+      val cu = t(s, dir, "customer")
+      Profiling.inclusionCoverage(ev, "user_id", cu, "c_custkey")
+        .withColumn("dep", lit("events.user_id<=customer.c_custkey"))
+        .unionByName(
+          Profiling.inclusionCoverage(cu, "c_custkey", ev, "user_id")
+            .withColumn("dep", lit("customer.c_custkey<=events.user_id")))
+        .select("dep", "n_child_distinct", "n_missing", "coverage", "holds")
+    }),
+
+    // Exact-integer permutation test (199 md5-replicable relabelings of
+    // click vs rest event values): the replica rank runs the chunked
+    // grouped rank (a replica IS the canonical giant group); zero
+    // floating point until the final p division.
+    "q_perm_test" -> ((s, dir) => {
+      graft.operators.Profiling.permutationTestMeanDiff(
+        t(s, dir, "events")
+          .select(col("event_id"), col("value"), col("event_type")),
+        "event_id", "value", "event_type", "click", reps = 199)
+    }),
+
+    // k-anonymity release gate over {nation, segment} quasi-identifiers
+    // at k = 10: one class aggregate + one-row rollup, exact longs.
+    "q_k_anonymity" -> ((s, dir) => {
+      graft.operators.Privacy.kAnonymityReport(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), 10L)
+    }),
+
+    // Distinct + entropy l-diversity of the balance band (2000-unit
+    // floors) inside each {nation, segment} class at l = 5: exact
+    // two-level aggregate, factored-entropy identity at 4dp.
+    "q_l_diversity" -> ((s, dir) => {
+      graft.operators.Privacy.lDiversityClasses(
+        t(s, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / lit(2000.0))),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", 5L)
+    }),
+
     // Cochran's Q over matched per-user binary outcomes (view/click/
     // purchase): exact-integer ratio, one aggregate, one division.
     "q_cochran_q" -> ((s, dir) => {
@@ -6193,6 +6280,193 @@ $fieldRows"""
         |  CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
         |    AS survival
         |FROM st WHERE d > 0""".stripMargin,
+    // Log-rank: level counts + exclusive at-risk windows; e_a/variance
+    // round at 4dp FIRST, chi2 from the rounded pair — both engines
+    // square identical quantities.
+    "q_logrank" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST((d - d % 60000000000) / 60000000000 AS BIGINT) AS tp
+        |  FROM (SELECT user_id,
+        |      epoch_ns(min(CASE WHEN event_type = 'purchase' THEN ts END))
+        |        - epoch_ns(min(ts)) AS d
+        |    FROM events GROUP BY 1)),
+        |subj AS (SELECT least(tp, 2880) AS t, (tp <= 2880) AS ev,
+        |    CAST(user_id % 2 AS VARCHAR) AS grp FROM per),
+        |lv AS (SELECT t,
+        |    sum(CASE WHEN grp = '0' AND ev THEN 1 ELSE 0 END) AS da,
+        |    sum(CASE WHEN grp <> '0' AND ev THEN 1 ELSE 0 END) AS db,
+        |    sum(CASE WHEN grp = '0' THEN 1 ELSE 0 END) AS la,
+        |    sum(CASE WHEN grp <> '0' THEN 1 ELSE 0 END) AS lb
+        |  FROM subj GROUP BY 1),
+        |ar AS (SELECT t, da, db,
+        |    sum(la) OVER () AS natot, sum(lb) OVER () AS nbtot,
+        |    sum(la) OVER () - COALESCE(sum(la) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+        |    sum(lb) OVER () - COALESCE(sum(lb) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM lv),
+        |mom AS (SELECT CAST(max(natot) AS BIGINT) AS n_a,
+        |    CAST(max(nbtot) AS BIGINT) AS n_b,
+        |    CAST(sum(da) AS BIGINT) AS o_a,
+        |    round(sum((da + db) * CAST(na AS DOUBLE) / (na + nb)), 4)
+        |      AS e_a,
+        |    round(sum(CASE WHEN na + nb > 1 THEN
+        |        (da + db) * (CAST(na AS DOUBLE) / (na + nb))
+        |          * (CAST(nb AS DOUBLE) / (na + nb))
+        |          * ((na + nb - (da + db))
+        |             / (CAST(na + nb AS DOUBLE) - 1.0))
+        |      ELSE 0.0 END), 4) AS variance
+        |  FROM ar WHERE da + db > 0)
+        |SELECT n_a, n_b, o_a, e_a, variance,
+        |  CASE WHEN variance > 0 THEN
+        |    round((o_a - e_a) * (o_a - e_a) / variance, 4) END AS chi2,
+        |  1 AS df
+        |FROM mom""".stripMargin,
+    // Odds/risk ratios: four exact cells, single IEEE chains, literal
+    // z = 1.96, zero cells → NULL (no silent continuity correction).
+    "q_odds_ratio" ->
+      """WITH per AS (SELECT (user_id % 2 = 0) AS e,
+        |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14) AS o
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a*b*c*d > 0 THEN round(exp(lnor), 6) END AS odds_ratio,
+        |  CASE WHEN a*b*c*d > 0 THEN round(exp(lnor - 1.96 * seor), 6) END
+        |    AS or_lo,
+        |  CASE WHEN a*b*c*d > 0 THEN round(exp(lnor + 1.96 * seor), 6) END
+        |    AS or_hi,
+        |  CASE WHEN a*b*c*d > 0 THEN round(exp(lnrr), 6) END AS risk_ratio,
+        |  CASE WHEN a*b*c*d > 0 THEN round(exp(lnrr - 1.96 * serr), 6) END
+        |    AS rr_lo,
+        |  CASE WHEN a*b*c*d > 0 THEN round(exp(lnrr + 1.96 * serr), 6) END
+        |    AS rr_hi
+        |FROM (SELECT a, b, c, d,
+        |    ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |       / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) AS lnor,
+        |    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |       + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))
+        |      AS seor,
+        |    ln((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+        |       / (CAST(c AS DOUBLE)
+        |          / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))) AS lnrr,
+        |    sqrt(1.0 / CAST(a AS DOUBLE)
+        |       - 1.0 / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |       + 1.0 / CAST(c AS DOUBLE)
+        |       - 1.0 / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS serr
+        |  FROM c)""".stripMargin,
+    // BH step-up: rank tiebreaks on id, suffix-min as a running min
+    // over DESCENDING rank, reject compares the UNROUNDED adjusted p.
+    "q_bh_fdr" ->
+      """WITH hyp AS (SELECT o_orderkey AS id,
+        |    ((o_orderkey * 2654435761) % 1000003) / 1000003.0
+        |      * (CASE WHEN o_orderstatus = 'P' THEN 0.001 ELSE 1.0 END)
+        |      AS p
+        |  FROM orders),
+        |r AS (SELECT id, p, row_number() OVER (ORDER BY p, id) AS rank,
+        |    count(*) OVER () AS m FROM hyp),
+        |s AS (SELECT id, p, rank, m,
+        |    least(min(p * m / rank) OVER (ORDER BY rank DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+        |      AS padj
+        |  FROM r)
+        |SELECT id, p, CAST(rank AS BIGINT) AS rank,
+        |  CAST(m AS BIGINT) AS m, round(padj, 6) AS p_adj,
+        |  (padj <= 0.05) AS reject
+        |FROM s""".stripMargin,
+    // Inclusion dependency both directions: distinct key sets + anti
+    // membership; coverage is one division.
+    "q_ind_check" ->
+      """WITH e AS (SELECT DISTINCT user_id AS k FROM events
+        |  WHERE user_id IS NOT NULL),
+        |c AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey IS NOT NULL),
+        |u AS (
+        |  SELECT 'events.user_id<=customer.c_custkey' AS dep,
+        |    (SELECT count(*) FROM e) AS n_child_distinct,
+        |    (SELECT count(*) FROM e WHERE k NOT IN (SELECT k FROM c))
+        |      AS n_missing
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey<=events.user_id' AS dep,
+        |    (SELECT count(*) FROM c) AS n_child_distinct,
+        |    (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM e))
+        |      AS n_missing)
+        |SELECT dep, n_child_distinct, n_missing,
+        |  round(1.0 - CAST(n_missing AS DOUBLE)
+        |    / CAST(n_child_distinct AS DOUBLE), 6) AS coverage,
+        |  (n_missing = 0) AS holds
+        |FROM u""".stripMargin,
+    // Permutation test: md5(id || ':' || b) renders identically in both
+    // engines, so every relabeling is bit-equal; the statistic
+    // comparison is pure HUGEINT — no floating point until p.
+    "q_perm_test" ->
+      """WITH base AS (SELECT event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS u,
+        |    (event_type = 'click') AS ga
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |obs AS (SELECT
+        |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN ga THEN u ELSE 0 END) AS HUGEINT) AS sa_obs,
+        |    CAST(sum(u) AS HUGEINT) AS s_tot FROM base),
+        |rep AS (SELECT id, u, b, md5(id || ':' || b) AS mk
+        |  FROM base CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 198)) AS b)),
+        |rk AS (SELECT b, u, row_number() OVER (PARTITION BY b
+        |    ORDER BY mk, id) AS rk FROM rep),
+        |sa AS (SELECT b,
+        |    CAST(sum(CASE WHEN rk <= (SELECT n_a FROM obs) THEN u
+        |      ELSE 0 END) AS HUGEINT) AS sa
+        |  FROM rk GROUP BY b),
+        |ct AS (SELECT CAST(count(*) FILTER (
+        |    abs(sa * o.n_b - (o.s_tot - sa) * o.n_a)
+        |      >= abs(o.sa_obs * o.n_b - (o.s_tot - o.sa_obs) * o.n_a))
+        |    AS BIGINT) AS n_ge
+        |  FROM sa, obs o)
+        |SELECT o.n_a, o.n_b, 199 AS reps,
+        |  round(CAST(o.sa_obs AS DOUBLE) / CAST(o.n_a * 100 AS DOUBLE)
+        |    - CAST(o.s_tot - o.sa_obs AS DOUBLE)
+        |      / CAST(o.n_b * 100 AS DOUBLE), 6) AS mean_diff,
+        |  ct.n_ge,
+        |  round(CAST(1 + ct.n_ge AS DOUBLE) / 200.0, 6) AS p_value
+        |FROM obs o, ct""".stripMargin,
+    // k-anonymity: one class aggregate + one-row rollup, exact longs.
+    "q_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS cs
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(cs) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(min(cs) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN cs < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(sum(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  round(CAST(sum(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cs) AS DOUBLE), 6) AS risk_ratio
+        |FROM cls""".stripMargin,
+    // l-diversity: exact two-level aggregate; entropy via the factored
+    // identity ln(n) − (Σ c·ln c)/n at 4dp (text_entropy convention).
+    "q_l_diversity" ->
+      """WITH cell AS (SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 2000.0) AS sb, count(*) AS c
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(sum(c) AS BIGINT) AS class_size,
+        |  count(*) AS distinct_sensitive,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
+        |    AS entropy,
+        |  (count(*) < 5) AS violates
+        |FROM cell GROUP BY 1, 2""".stripMargin,
     // Cochran's Q: exact-integer numerator/denominator, one division.
     "q_cochran_q" ->
       """WITH per AS (SELECT user_id,

@@ -568,4 +568,130 @@ object Events {
       when(den > 0d, round(lit((k - 1).toDouble) * num / den, 4))
         .as("q"))
   }
+
+  /**
+   * Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) — the
+   * significance companion to [[kaplanMeier]]: do two survival curves
+   * differ, counting censored subjects correctly? Rows where
+   * `groupCol = groupA` form arm A; every other non-null group is arm
+   * B (the same one-vs-rest convention as
+   * [[Profiling.cliffsDelta]]). At each distinct EVENT time t the
+   * observed arm-A events d_At are compared to the hypergeometric
+   * expectation d_t·n_At/n_t given the at-risk counts, and
+   * χ² = (O_A − E_A)² / V with V the sum of per-time hypergeometric
+   * variances d·(n_A/n)·(n_B/n)·(n−d)/(n−1).
+   *
+   * EXACTNESS: rows collapse to per-duration LEVELS of exact longs
+   * (d_At, d_Bt, leaving_At, leaving_Bt); at-risk counts are exclusive
+   * running sums over the ordered level frame (deterministic); each
+   * E/V term is one IEEE chain from exact integers, the level terms
+   * sum in ONE aggregate, and — so both engines build χ² from the same
+   * 4dp quantities — `e_a` and `variance` are ROUNDED FIRST and χ²
+   * computed from the rounded values (stated; the alternative of
+   * rounding only χ² leaves the comparison hostage to last-ulp
+   * summation-order drift amplified by the square). Levels with
+   * n_t = 1 contribute zero variance (the n−1 guard).
+   *
+   * Scale shape: one level aggregate (map-side combined), two ordered
+   * windows over LEVELS (distinct durations — quantize upstream if
+   * that cardinality approaches 10⁸), one single-row rollup. Output:
+   * one row (`n_a`, `n_b`, `o_a`, `e_a`, `variance`, `chi2`, `df`).
+   */
+  def logRankTest(df: DataFrame, durationCol: String, eventCol: String,
+                  groupCol: String, groupA: String): DataFrame = {
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("ev"),
+        (col(groupCol).cast("string") === lit(groupA)).as("ga"))
+    val levels = base.groupBy("t").agg(
+      sum(when(col("ga") && col("ev"), 1L).otherwise(0L)).as("da"),
+      sum(when(!col("ga") && col("ev"), 1L).otherwise(0L)).as("db"),
+      sum(when(col("ga"), 1L).otherwise(0L)).as("la"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("lb"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val atRisk = levels
+      .withColumn("n_a_tot", sum("la").over(wTot))
+      .withColumn("n_b_tot", sum("lb").over(wTot))
+      .withColumn("na",
+        col("n_a_tot") - coalesce(sum("la").over(wPrev), lit(0L)))
+      .withColumn("nb",
+        col("n_b_tot") - coalesce(sum("lb").over(wPrev), lit(0L)))
+    val n = (col("na") + col("nb")).cast("double")
+    val d = (col("da") + col("db")).cast("double")
+    val eTerm = d * col("na").cast("double") / n
+    val vTerm = when(col("na") + col("nb") > 1L,
+      d * (col("na").cast("double") / n) * (col("nb").cast("double") / n) *
+        ((n - d) / (n - lit(1.0)))).otherwise(lit(0.0))
+    val mom = atRisk.filter(col("da") + col("db") > 0L).agg(
+      max("n_a_tot").as("n_a"),
+      max("n_b_tot").as("n_b"),
+      sum("da").as("o_a"),
+      round(sum(eTerm), 4).as("e_a"),
+      round(sum(vTerm), 4).as("variance"))
+    mom.select(col("n_a"), col("n_b"), col("o_a"), col("e_a"),
+      col("variance"),
+      when(col("variance") > 0d,
+        round((col("o_a").cast("double") - col("e_a")) *
+          (col("o_a").cast("double") - col("e_a")) / col("variance"), 4))
+        .as("chi2"),
+      lit(1).as("df"))
+  }
+
+  /**
+   * 2×2 association effect sizes with Wald intervals: odds ratio
+   * (Woolf 1955 log-interval) and risk ratio (Katz et al. 1978) from
+   * two boolean columns — the epidemiology-style readout of an A/B
+   * exposure/outcome table, complementing [[graft.operators
+   * .Profiling]]'s significance tests (χ²/McNemar say WHETHER the
+   * margins associate; this says HOW MUCH, with uncertainty). NULL in
+   * either column drops the row (stated).
+   *
+   * EXACTNESS: one aggregate to four exact long cells; every derived
+   * value is a single fixed IEEE chain from those integers, rounded
+   * 6dp. The interval z is the LITERAL 1.96 (the conventional 95%
+   * normal quantile — documented constant, not a computed quantile).
+   * Any zero cell makes the ratios/intervals NULL rather than applying
+   * a continuity correction silently (stated; callers who want
+   * Haldane-Anscombe +0.5 can add it upstream).
+   *
+   * Scale shape: one map-side-combined aggregate to ONE row; no
+   * shuffle wider than four longs.
+   */
+  def oddsRiskRatio(df: DataFrame, exposureCol: String,
+                    outcomeCol: String): DataFrame = {
+    val base = df
+      .filter(col(exposureCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(exposureCol).cast("boolean").as("e"),
+        col(outcomeCol).cast("boolean").as("o"))
+    val cells = base.agg(
+      sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+    val ad = col("a").cast("double")
+    val bd = col("b").cast("double")
+    val cd = col("c").cast("double")
+    val dd = col("d").cast("double")
+    val anyZero = col("a") === 0L || col("b") === 0L ||
+      col("c") === 0L || col("d") === 0L
+    val z = lit(1.96)
+    val lnOr = log(ad * dd / (bd * cd))
+    val seOr = sqrt(lit(1.0) / ad + lit(1.0) / bd +
+      lit(1.0) / cd + lit(1.0) / dd)
+    val lnRr = log((ad / (ad + bd)) / (cd / (cd + dd)))
+    val seRr = sqrt(lit(1.0) / ad - lit(1.0) / (ad + bd) +
+      lit(1.0) / cd - lit(1.0) / (cd + dd))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      when(!anyZero, round(exp(lnOr), 6)).as("odds_ratio"),
+      when(!anyZero, round(exp(lnOr - z * seOr), 6)).as("or_lo"),
+      when(!anyZero, round(exp(lnOr + z * seOr), 6)).as("or_hi"),
+      when(!anyZero, round(exp(lnRr), 6)).as("risk_ratio"),
+      when(!anyZero, round(exp(lnRr - z * seRr), 6)).as("rr_lo"),
+      when(!anyZero, round(exp(lnRr + z * seRr), 6)).as("rr_hi"))
+  }
 }

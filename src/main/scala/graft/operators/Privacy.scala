@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Privacy-risk audits over tabular frames — the release-gate companion
+ * to [[TextAnalysis]]'s PII census: PII regexes find identifiers INSIDE
+ * text, while re-identification risk lives in the COMBINATION of
+ * innocuous columns (Sweeney 2002: 87% of the US population is unique
+ * on {zip, birth date, sex}). These operators quantify that risk before
+ * a training corpus or derived table ships.
+ *
+ * Reference scope: the reference engine (simon-data/elastic-freight)
+ * ships documents to an index verbatim and has no privacy surface; this
+ * is mission-extension territory (training-data pipeline operators).
+ */
+object Privacy {
+
+  /**
+   * k-anonymity audit (Sweeney 2002): group rows by the quasi-identifier
+   * columns and flag every equivalence class smaller than `k` — a row in
+   * such a class is re-identifiable by anyone who knows its quasi values.
+   * NULL quasi values form their own class (SQL grouping semantics; a
+   * NULL zip is itself a linkable fact).
+   *
+   * EXACTNESS: one hash aggregate to exact long counts; `violates` is an
+   * integer comparison. No IEEE anywhere.
+   *
+   * Scale shape: ONE shuffle on the quasi key with map-side combine; the
+   * output is class-cardinality-sized (≪ rows for real quasi sets — if
+   * the quasi set is near-unique per row, k-anonymity is already zero
+   * and the audit's answer is the class count itself). No windows, no
+   * driver state.
+   *
+   * Returns one row per equivalence class:
+   * (quasi columns…, `class_size`, `violates`).
+   */
+  def kAnonymityClasses(df: DataFrame, quasiCols: Seq[String],
+                        k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1L, s"k must be >= 1, got $k")
+    val missing = quasiCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("violates", col("class_size") < lit(k))
+  }
+
+  /**
+   * One-row k-anonymity summary over [[kAnonymityClasses]]: the dataset
+   * IS k'-anonymous for k' = `min_class_size`, and `rows_at_risk` rows
+   * sit in classes below the requested `k`. This is the gate form — a
+   * release pipeline checks `rows_at_risk == 0`.
+   *
+   * EXACTNESS: exact longs end-to-end; `risk_ratio` is one IEEE division
+   * rounded 6dp.
+   *
+   * Scale shape: the class aggregate (one shuffle) followed by a
+   * single-row rollup — a second, class-cardinality-sized aggregate.
+   */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+                       k: Long): DataFrame = {
+    kAnonymityClasses(df, quasiCols, k).agg(
+      sum("class_size").as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min("class_size").as("min_class_size"),
+      sum(when(col("violates"), 1L).otherwise(0L)).as("n_violating_classes"),
+      sum(when(col("violates"), col("class_size")).otherwise(0L))
+        .as("rows_at_risk"))
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_violating_classes"), col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double") /
+          col("n_rows").cast("double"), 6).as("risk_ratio"))
+  }
+
+  /**
+   * l-diversity audit (Machanavajjhala et al. 2007): k-anonymity is not
+   * enough when everyone in a class shares the same SENSITIVE value (the
+   * "homogeneity attack" — knowing the quasi values reveals the secret
+   * even without pinpointing the row). Per equivalence class this
+   * reports both the distinct-l form (`distinct_sensitive` < l ⇒
+   * violates) and the entropy form (entropy l-diversity requires
+   * H(class) ≥ ln l; reported, not gated — the distinct form is the one
+   * a release gate usually enforces).
+   *
+   * NULL sensitive values are dropped (stated: a NULL secret discloses
+   * nothing), but the class itself remains with its surviving rows.
+   *
+   * EXACTNESS: distinct counting is EXACT — a two-level aggregate
+   * ((quasi, sensitive) counts, then a class rollup), never
+   * approx_count_distinct; `entropy` uses the factored identity
+   * H = ln(n) − (Σ c·ln c)/n so the aggregate sums ONE double term per
+   * sensitive level (each term derived from exact integer counts),
+   * rounded 4dp — the same unordered-sum-of-level-terms contract
+   * [[graft.functions.Text.charEntropy]] ships under (text_entropy).
+   *
+   * Scale shape: two shuffles — (quasi, sensitive) then quasi — both
+   * map-side combined; no windows; output is class-sized. The
+   * (quasi, sensitive) frame is the bigger of the two and is still
+   * level-sized, not row-sized.
+   *
+   * Returns one row per class:
+   * (quasi columns…, `class_size`, `distinct_sensitive`, `entropy`,
+   * `violates`).
+   */
+  def lDiversityClasses(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1L, s"l must be >= 1, got $l")
+    val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    val cells = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("__c").as("class_size"),
+        count(lit(1)).as("distinct_sensitive"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double")))
+          .as("__clnc"))
+      .select((quasiCols.map(col) ++ Seq(
+        col("class_size"), col("distinct_sensitive"),
+        round(log(col("class_size").cast("double")) -
+          col("__clnc") / col("class_size").cast("double"), 4)
+          .as("entropy"),
+        (col("distinct_sensitive") < lit(l)).as("violates"))): _*)
+  }
+}

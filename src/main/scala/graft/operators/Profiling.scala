@@ -2487,4 +2487,175 @@ object Profiling {
             col("d_obs_sum") / col("d_exp").cast("double"), 6))
           .as("alpha"))
   }
+
+  /**
+   * Benjamini-Hochberg step-up FDR correction (Benjamini & Hochberg
+   * 1995) — the multiple-testing companion to every per-group test in
+   * this file: run welchTTest/χ²/MWU per segment, feed the p-value
+   * frame here, and gate on `reject` instead of raw p < α (which at
+   * 10⁴ segments yields ~500 false positives at α = 0.05 by
+   * construction). Adjusted p_(i) = min_{j ≥ i}(m·p_(j)/j) clipped at
+   * 1; `reject` is the step-up rule (true iff adjusted ≤ α).
+   *
+   * EXACTNESS: the ascending rank orders by (p, id) — the id tiebreak
+   * makes the permutation deterministic; each m·p/j is one IEEE chain;
+   * the suffix-min is an ordered running fold (descending-rank running
+   * min — sequential in both engines); `p_adj` rounds 6dp AFTER the
+   * fold and `reject` compares the UNROUNDED adjusted value to α
+   * (stated — rounding first would flip decisions at the boundary).
+   *
+   * Scale shape: the frame is HYPOTHESIS-count-sized (one row per test
+   * already run), not data-sized — windows over it are windows over
+   * thousands-to-millions of rows, and both (the rank and the suffix
+   * fold) run as ONE global ordered window pair. That bound is the
+   * documented contract (the kaplanMeier/level-frame convention);
+   * callers with ≥10⁸ simultaneous hypotheses have a different
+   * problem. One row out per hypothesis: (id, p, `rank`, `m`,
+   * `p_adj`, `reject`).
+   */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
+                        alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
+    val wTot = Window.orderBy("p", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy("p", "id")
+    // suffix min over ascending rank == running min over DESCENDING rank
+    val wSuffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wTot))
+      .withColumn("__stepped",
+        col("p") * col("m").cast("double") / col("rank").cast("double"))
+      .withColumn("__padj",
+        least(min("__stepped").over(wSuffix), lit(1.0)))
+      .select(col("id"), col("p"), col("rank"), col("m"),
+        round(col("__padj"), 6).as("p_adj"),
+        (col("__padj") <= lit(alpha)).as("reject"))
+  }
+
+  /**
+   * Inclusion-dependency check (the profiling primitive behind
+   * foreign-key discovery, Bell & Brockhausen 1995): what fraction of
+   * the DISTINCT non-null values of `child.childCol` appear in
+   * `parent.parentCol`? Coverage 1.0 ⇒ the inclusion dependency holds
+   * (a valid FK candidate); < 1.0 quantifies referential-integrity
+   * violations — the ingest gate a 100 TB join pipeline runs BEFORE
+   * the join silently drops orphaned rows.
+   *
+   * EXACTNESS: both sides reduce to exact distinct key sets (hash
+   * aggregates); the miss count is a LEFT ANTI join; `coverage` is one
+   * IEEE division rounded 6dp. Values compare under the CHILD column's
+   * type after casting the parent key to it (stated — cross-type FK
+   * checks inherit SQL cast semantics).
+   *
+   * Scale shape: two keys-only distinct aggregates (map-side combined
+   * — the shuffles carry DISTINCT keys, not rows), one anti join that
+   * AQE broadcasts when the parent key set is small; no windows, no
+   * driver state. Output is ONE row: (`n_child_distinct`, `n_missing`,
+   * `coverage`, `holds`).
+   */
+  def inclusionCoverage(child: DataFrame, childCol: String,
+                        parent: DataFrame, parentCol: String): DataFrame = {
+    val childKeys = child.filter(col(childCol).isNotNull)
+      .select(col(childCol).as("__k")).distinct()
+    val parentKeys = parent.filter(col(parentCol).isNotNull)
+      .select(col(parentCol).cast(child.schema(childCol).dataType).as("__k"))
+      .distinct()
+    val missing = childKeys.join(parentKeys, Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    childKeys.agg(count(lit(1)).as("n_child_distinct"))
+      .crossJoin(missing)
+      .select(col("n_child_distinct"), col("n_missing"),
+        round(lit(1.0) - col("n_missing").cast("double") /
+          col("n_child_distinct").cast("double"), 6).as("coverage"),
+        (col("n_missing") === 0L).as("holds"))
+  }
+
+  /**
+   * Exact-integer two-sample permutation test for a difference in
+   * means (Fisher 1935; the randomization-inference workhorse) with a
+   * CROSS-ENGINE-REPLICABLE permutation stream: replica b reorders
+   * subjects by `md5(id || ':' || b)` — both engines produce the
+   * identical lowercase-hex digest of the identical decimal-rendered
+   * string, so the "random" relabelings are bit-equal in Spark and the
+   * DuckDB oracle, and the whole test (not just its inputs) is
+   * verifiable. The first n_A ranks of each replica take arm A,
+   * preserving the observed group sizes (a permutation, not a
+   * bootstrap).
+   *
+   * EXACTNESS: values quantize at `unitScale` (welchTTest convention);
+   * because every permutation preserves the total sum S and the sizes
+   * (n_A, n_B), |mean_A − mean_B| ≥ observed is EQUIVALENT to the pure
+   * integer comparison |s_A·n_B − (S−s_A)·n_A| ≥ |s_Aobs·n_B −
+   * (S−s_Aobs)·n_A| (both sides share the positive denominator
+   * n_A·n_B) — the replica statistics are DECIMAL(38,0) integers and
+   * the test has NO floating point until the final p = (1 + #{≥}) /
+   * (reps + 1) division (round 6dp; the +1s are the standard
+   * include-the-identity bias guard making p never 0). `mean_diff`
+   * reports the observed difference, one IEEE chain, 6dp.
+   *
+   * Scale shape: the replicated frame is reps·N rows of (long, long,
+   * string-hash) — ranked per replica by [[Ranking.withGroupedRank]]
+   * (the chunked grouped rank: a replica is the canonical GIANT group,
+   * every replica has N rows), then ONE map-side-combined aggregate to
+   * reps rows and a single-row rollup. reps bounds the blowup
+   * explicitly (default 199 ⇒ p resolution 0.005); at 100 TB you
+   * permute a SAMPLE, not the corpus — the test's power saturates long
+   * before N does.
+   */
+  def permutationTestMeanDiff(df: DataFrame, idCol: String,
+                              valueCol: String, groupCol: String,
+                              groupA: String, reps: Int = 199,
+                              unitScale: Long = 100L): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1: $reps")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u"),
+        (col(groupCol).cast("string") === lit(groupA)).as("ga"))
+      // moments, the replica fan-out, and the final readout all consume
+      // this frame — cut once so they share one materialization
+      .lineageCut()
+    val obs = base.agg(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("ga"), col("u")).otherwise(0L)).cast(dec).as("sa_obs"),
+      sum(col("u")).cast(dec).as("s_tot"))
+    val rep = base
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("mk",
+        md5(concat(col("id").cast("string"), lit(":"),
+          col("b").cast("string"))))
+    val ranked = graft.operators.Ranking.withGroupedRank(
+      rep.select("b", "id", "u", "mk"), "b",
+      Seq(col("mk"), col("id")), "rk", "nn")
+    val perRep = ranked
+      .crossJoin(broadcast(obs.select(col("n_a").as("na0"))))
+      .groupBy("b")
+      .agg(sum(when(col("rk") <= col("na0"), col("u")).otherwise(0L))
+        .cast(dec).as("sa"))
+    val stat = (s: Column, na: Column, nb: Column, tot: Column) =>
+      abs(s * nb.cast(dec) - (tot - s) * na.cast(dec))
+    val counted = perRep
+      .crossJoin(broadcast(obs))
+      .select((stat(col("sa"), col("n_a"), col("n_b"), col("s_tot")) >=
+        stat(col("sa_obs"), col("n_a"), col("n_b"), col("s_tot")))
+        .as("ge"))
+      .agg(sum(when(col("ge"), 1L).otherwise(0L)).as("n_ge"))
+    obs.crossJoin(counted)
+      .select(col("n_a"), col("n_b"), lit(reps).as("reps"),
+        round(col("sa_obs").cast("double") /
+          (col("n_a") * unitScale).cast("double") -
+          (col("s_tot") - col("sa_obs")).cast("double") /
+            (col("n_b") * unitScale).cast("double"), 6).as("mean_diff"),
+        col("n_ge"),
+        round((lit(1L) + col("n_ge")).cast("double") /
+          lit((reps + 1).toDouble), 6).as("p_value"))
+  }
 }

@@ -320,4 +320,63 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Int, Option[Double])].collect().head
     assert(g3 === ((6L, 2, Some(4.5))))
   }
+
+  test("logRankTest: hand-traced two-arm table; arm-swap symmetry") {
+    // arm a: events at t=1,2; arm b: event at t=1, censored at t=3.
+    // t=1: na=2 nb=2 d=2 -> e = 2*2/4 = 1, v = 2*(.5)*(.5)*(2/3)
+    // t=2: na=1 nb=1 d=1 -> e = .5,      v = 1*(.5)*(.5)*(1/1)
+    // O_A = 2, E_A = 1.5, V = 1/3 + 1/4 = 0.5833,
+    // chi2 = 0.25 / 0.5833 (from the ROUNDED variance) = 0.4286
+    val subj = Seq((1L, true, "a"), (2L, true, "a"),
+      (1L, true, "b"), (3L, false, "b"))
+      .toDF("t", "ev", "grp")
+    val got = Events.logRankTest(subj, "t", "ev", "grp", "a")
+      .as[(Long, Long, Long, Double, Double, Option[Double], Int)]
+      .collect().head
+    assert(got._1 === 2L && got._2 === 2L && got._3 === 2L)
+    assert(got._4 === 1.5 && got._5 === 0.5833)
+    assert(got._6 === Some(BigDecimal(0.25 / 0.5833)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // swapping which arm is "A" flips O−E's sign only: chi2 invariant
+    val swapped = Events.logRankTest(subj, "t", "ev", "grp", "b")
+      .as[(Long, Long, Long, Double, Double, Option[Double], Int)]
+      .collect().head
+    assert(swapped._6 === got._6)
+    assert(swapped._1 === 2L && swapped._3 === 1L) // O_B = 1
+    // a level where everyone at risk dies (n=1 guard): zero v term
+    val solo = Seq((1L, true, "a")).toDF("t", "ev", "grp")
+    val g1 = Events.logRankTest(solo, "t", "ev", "grp", "a")
+      .as[(Long, Long, Long, Double, Double, Option[Double], Int)]
+      .collect().head
+    assert(g1._5 === 0.0 && g1._6.isEmpty) // no variance -> NULL chi2
+  }
+
+  test("oddsRiskRatio: hand 2x2 with Woolf/Katz intervals; zero cell") {
+    // a=2 b=1 c=1 d=2: OR = 4, RR = (2/3)/(1/3) = 2
+    val per = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false))
+      .toDF("e", "o")
+    val r = Events.oddsRiskRatio(per, "e", "o")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert((r._1, r._2, r._3, r._4) === ((2L, 1L, 1L, 2L)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seOr = math.sqrt(1.0 / 2 + 1.0 / 1 + 1.0 / 1 + 1.0 / 2)
+    assert(r._5 === Some(4.0))
+    assert(r._6 === Some(r6(math.exp(math.log(4.0) - 1.96 * seOr))))
+    assert(r._7 === Some(r6(math.exp(math.log(4.0) + 1.96 * seOr))))
+    val seRr = math.sqrt(1.0 / 2 - 1.0 / 3 + 1.0 / 1 - 1.0 / 3)
+    assert(r._8 === Some(2.0))
+    assert(r._9 === Some(r6(math.exp(math.log(2.0) - 1.96 * seRr))))
+    assert(r._10 === Some(r6(math.exp(math.log(2.0) + 1.96 * seRr))))
+    // a zero cell nulls every ratio (no silent continuity correction)
+    val zc = Seq((true, true), (false, false)).toDF("e", "o")
+    val z = Events.oddsRiskRatio(zc, "e", "o")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(z._5.isEmpty && z._8.isEmpty && z._6.isEmpty && z._10.isEmpty)
+  }
 }

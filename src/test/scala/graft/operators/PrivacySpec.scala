@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Privacy audits: hand-counted k-anonymity classes (NULL quasi values
+  * form their own class), the one-row gate summary, and l-diversity's
+  * distinct + entropy forms against hand-computed values. */
+class PrivacySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (zip, sex, diagnosis): class (z1,m) has 3 rows / 2 secrets,
+  // (z1,f) 1 row / 1 secret, (z2,m) 2 rows / 1 secret (homogeneous),
+  // (NULL,m) 1 row — its own class
+  private def tbl = Seq(
+    (Option("z1"), "m", "flu"), (Option("z1"), "m", "flu"),
+    (Option("z1"), "m", "cold"), (Option("z1"), "f", "flu"),
+    (Option("z2"), "m", "cold"), (Option("z2"), "m", "cold"),
+    (Option.empty[String], "m", "flu"))
+    .toDF("zip", "sex", "dx")
+
+  test("kAnonymityClasses: sizes, violations, NULL-quasi class") {
+    val got = Privacy.kAnonymityClasses(tbl, Seq("zip", "sex"), 2L)
+      .as[(Option[String], String, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (Some("z1"), "m", 3L, false), (Some("z1"), "f", 1L, true),
+      (Some("z2"), "m", 2L, false), (None, "m", 1L, true)))
+  }
+
+  test("kAnonymityReport: one-row gate summary") {
+    val r = Privacy.kAnonymityReport(tbl, Seq("zip", "sex"), 2L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(r === ((7L, 4L, 1L, 2L, 2L,
+      BigDecimal(2.0 / 7.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // k = 1 is vacuous: nothing violates
+    val r1 = Privacy.kAnonymityReport(tbl, Seq("zip", "sex"), 1L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(r1._4 === 0L && r1._5 === 0L && r1._6 === 0.0)
+  }
+
+  test("lDiversityClasses: distinct + entropy; NULL sensitive dropped") {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Privacy.lDiversityClasses(tbl, Seq("zip", "sex"), "dx", 2L)
+      .as[(Option[String], String, Long, Long, Double, Boolean)]
+      .collect().toSet
+    // (z1,m): counts {flu:2, cold:1}, H = ln3 − (2ln2 + 0)/3
+    val h3 = r4(math.log(3.0) - 2.0 * math.log(2.0) / 3.0)
+    assert(got === Set(
+      (Some("z1"), "m", 3L, 2L, h3, false),
+      (Some("z1"), "f", 1L, 1L, 0.0, true),
+      (Some("z2"), "m", 2L, 1L, 0.0, true), // homogeneous: H = 0
+      (None, "m", 1L, 1L, 0.0, true)))
+    // NULL sensitive rows vanish but the class survives on the rest
+    val withNull = tbl.withColumn("dx",
+      when(col("dx") === "cold", col("dx"))) // flu -> NULL
+    val g2 = Privacy.lDiversityClasses(withNull, Seq("zip", "sex"),
+      "dx", 2L)
+      .as[(Option[String], String, Long, Long, Double, Boolean)]
+      .collect().toSet
+    assert(g2 === Set(
+      (Some("z1"), "m", 1L, 1L, 0.0, true),
+      (Some("z2"), "m", 2L, 1L, 0.0, true)))
+  }
+
+  test("guards: unknown columns and degenerate k/l fail loud") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityClasses(tbl, Seq("nope"), 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityClasses(tbl, Seq.empty, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityClasses(tbl, Seq("zip"), "dx", 0L)
+    }
+  }
+}

@@ -1079,4 +1079,87 @@ class ProfilingSpec extends SparkSpec {
       unitScale = 1L).as[(Long, Long, Double)].collect().head
     assert((got("a")._1, got("a")._2, got("a")._3.get) === g)
   }
+
+  test("benjaminiHochberg: hand step-up, id tiebreak, boundary reject") {
+    val hyp = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.5),
+      (5L, 1.0)).toDF("id", "p")
+    val got = Profiling.benjaminiHochberg(hyp, "id", "p", 0.05)
+      .as[(Long, Double, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    // stepped = (.05, .05, .05, .625, 1.0); suffix-min leaves them
+    assert(got.map(_._5).toSeq === Seq(0.05, 0.05, 0.05, 0.625, 1.0))
+    // reject compares the UNROUNDED padj: .05 <= .05 is a reject
+    assert(got.map(_._6).toSeq ===
+      Seq(true, true, true, false, false))
+    assert(got.map(_._3).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.forall(_._4 == 5L))
+    // equal p: the rank (and so the adjusted values) tiebreak by id
+    val tied = Seq((2L, 0.5), (1L, 0.5)).toDF("id", "p")
+    val t2 = Profiling.benjaminiHochberg(tied, "id", "p", 0.05)
+      .as[(Long, Double, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(t2.map(r => (r._1, r._3, r._5)).toSeq ===
+      Seq((1L, 1L, 0.5), (2L, 2L, 0.5)))
+    // a monotone-violating sequence: the suffix-min repairs it
+    val mono = Seq((1L, 0.04), (2L, 0.9), (3L, 0.05)).toDF("id", "p")
+    val m3 = Profiling.benjaminiHochberg(mono, "id", "p", 0.1)
+      .as[(Long, Double, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    // ranks: .04->1, .05->2, .9->3; stepped .12, .075, .9;
+    // suffix-min: rank1 = min(.12,.075,.9) = .075
+    assert(m3.find(_._1 == 1L).get._5 === 0.075)
+  }
+
+  test("inclusionCoverage: anti-join miss count, cross-type cast") {
+    val child = Seq(Some(1), Some(2), Some(3), Some(3), None).toDF("k")
+    val parent = Seq(1L, 2L, 4L).toDF("pk")
+    val got = Profiling.inclusionCoverage(child, "k", parent, "pk")
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(got === ((3L, 1L,
+      BigDecimal(1.0 - 1.0 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, false)))
+    val full = Profiling.inclusionCoverage(
+      Seq(1, 2).toDF("k"), "k", parent, "pk")
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(full === ((2L, 0L, 1.0, true)))
+  }
+
+  test("permutationTestMeanDiff: bit-match vs an in-JVM md5 replay") {
+    val rows = Seq((1L, 10.0, "a"), (2L, 2.0, "b"), (3L, 7.5, "a"),
+      (4L, 1.0, "b"), (5L, 3.25, "b"), (6L, 9.0, "a"))
+    val df = rows.toDF("id", "v", "g")
+    val reps = 25
+    val got = Profiling.permutationTestMeanDiff(df, "id", "v", "g", "a",
+      reps = reps, unitScale = 100L)
+      .as[(Long, Long, Int, Double, Long, Double)].collect().head
+    // replay the exact integer test on the driver
+    val u = rows.map { case (id, v, g) =>
+      (id, math.round(v * 100), g == "a")
+    }
+    val nA = u.count(_._3).toLong
+    val nB = u.size - nA
+    val sTot = u.map(_._2).sum
+    val saObs = u.filter(_._3).map(_._2).sum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def stat(sa: Long): BigInt =
+      (BigInt(sa) * nB - BigInt(sTot - sa) * nA).abs
+    val nGe = (0 until reps).count { b =>
+      val sa = u.map { case (id, uu, _) => (md5hex(s"$id:$b"), id, uu) }
+        .sortBy(t => (t._1, t._2)).take(nA.toInt).map(_._3).sum
+      stat(sa) >= stat(saObs)
+    }
+    assert(got._1 === nA && got._2 === nB && got._3 === reps)
+    assert(got._5 === nGe.toLong)
+    assert(got._6 === BigDecimal((1.0 + nGe) / (reps + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all-equal values: every permutation ties the observed statistic,
+    // so p = 1 exactly
+    val flat = Seq((1L, 5.0, "a"), (2L, 5.0, "b"), (3L, 5.0, "a"),
+      (4L, 5.0, "b")).toDF("id", "v", "g")
+    val p1 = Profiling.permutationTestMeanDiff(flat, "id", "v", "g", "a",
+      reps = 7).as[(Long, Long, Int, Double, Long, Double)].collect().head
+    assert(p1._4 === 0.0 && p1._5 === 7L && p1._6 === 1.0)
+  }
 }
