@@ -2709,6 +2709,16 @@ $fieldRows"""
       Similarity.bruteForceTopK(corpus, queries, 5)
     }),
 
+    // Margin-based bitext mining (ratio margin, k = 4): two brute
+    // NN sweeps + ordered-fold neighborhood means; best-margin target
+    // per source above 1.0. Full SQL oracle.
+    "q_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.bitextMine(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 === 5), k = 4, threshold = 1.0)
+    }),
+
     // Contrastive hard-negative mining: top-k most-similar vectors with
     // a DIFFERENT label. Exact streamed-heap form; full SQL oracle.
     "q_hard_negatives" -> ((s, dir) => {
@@ -2976,6 +2986,14 @@ $fieldRows"""
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+    }),
+
+    // word2vec training-pair generation: ±2-window skip-gram counts via
+    // the native codegen'd word_skipgrams (one pass per doc, no window
+    // functions, no self-join); one map-side-combined count shuffle.
+    "text_skipgrams" -> ((s, dir) => {
+      graft.operators.TextAnalysis.skipGramPairs(
+        t(s, dir, "documents"), "text", window = 2, minCount = 3L)
     }),
 
     // Quality scoring: ratios rounded to 4dp, engine-comparable.
@@ -8231,6 +8249,45 @@ $fieldRows"""
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cosine DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // Bitext margin: cosines rounded 6dp BEFORE everything (the
+    // bruteForceTopK contract); neighborhood means fold the rounded
+    // values in (cos, id) window order — sequential in both engines;
+    // best-per-source orders by the ROUNDED margin.
+    "q_bitext_mine" ->
+      """WITH src AS (SELECT vec_id AS sid, embedding AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |tgt AS (SELECT vec_id AS tid, embedding AS v
+        |  FROM embeddings WHERE vec_id % 10 = 5),
+        |fs AS (SELECT s.sid, t.tid,
+        |    round(list_cosine_similarity(CAST(t.v AS DOUBLE[]),
+        |          CAST(s.v AS DOUBLE[])), 6) AS cos
+        |  FROM src s CROSS JOIN tgt t),
+        |fk AS (SELECT sid, tid, cos FROM (SELECT sid, tid, cos,
+        |    row_number() OVER (PARTITION BY sid
+        |      ORDER BY cos DESC, tid ASC) AS rk FROM fs) WHERE rk <= 4),
+        |bk AS (SELECT sid, tid, cos FROM (SELECT sid, tid, cos,
+        |    row_number() OVER (PARTITION BY tid
+        |      ORDER BY cos DESC, sid ASC) AS rk FROM fs) WHERE rk <= 4),
+        |fa AS (SELECT sid, rs / cnt AS ax FROM (SELECT sid,
+        |    sum(cos) OVER (PARTITION BY sid ORDER BY cos, tid
+        |      ROWS UNBOUNDED PRECEDING) AS rs,
+        |    row_number() OVER (PARTITION BY sid ORDER BY cos, tid) AS rn,
+        |    count(*) OVER (PARTITION BY sid) AS cnt FROM fk)
+        |  WHERE rn = cnt),
+        |ba AS (SELECT tid, rs / cnt AS ay FROM (SELECT tid,
+        |    sum(cos) OVER (PARTITION BY tid ORDER BY cos, sid
+        |      ROWS UNBOUNDED PRECEDING) AS rs,
+        |    row_number() OVER (PARTITION BY tid ORDER BY cos, sid) AS rn,
+        |    count(*) OVER (PARTITION BY tid) AS cnt FROM bk)
+        |  WHERE rn = cnt),
+        |sc AS (SELECT f.sid, f.tid, f.cos,
+        |    round(f.cos / ((fa.ax + ba.ay) / 2.0), 6) AS margin
+        |  FROM fk f JOIN fa USING (sid) JOIN ba USING (tid))
+        |SELECT sid AS src_id, tid AS tgt_id, cos AS cosine, margin
+        |FROM (SELECT sid, tid, cos, margin,
+        |    row_number() OVER (PARTITION BY sid
+        |      ORDER BY margin DESC, tid ASC) AS rk FROM sc)
+        |WHERE rk = 1 AND margin >= 1.0""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlab
         |           FROM embeddings WHERE vec_id % 100 = 0 AND label IS NOT NULL),
@@ -8275,6 +8332,25 @@ $fieldRows"""
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |         AS INTEGER) AS n_subwords
         |FROM documents""".stripMargin,
+    // Skip-grams: positional self-join replica of the one-pass native
+    // expression; LowerTokenizer == regexp_split_to_array(trim(lower()))
+    // including Java split's leading-empty quirk (load-bearing parity).
+    "text_skipgrams" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, unnest(range(len(ts))) AS i, ts FROM toks),
+        |pt AS (SELECT doc_id, i, ts[i + 1] AS tok FROM pos),
+        |pr AS (SELECT a.tok AS center, b.tok AS context
+        |    FROM pt a JOIN pt b ON a.doc_id = b.doc_id
+        |      AND b.i > a.i AND b.i <= a.i + 2
+        |  UNION ALL
+        |  SELECT b.tok AS center, a.tok AS context
+        |    FROM pt a JOIN pt b ON a.doc_id = b.doc_id
+        |      AND b.i > a.i AND b.i <= a.i + 2)
+        |SELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2
+        |HAVING count(*) >= 3""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS q_chars,
         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -93,6 +93,9 @@ object TextStatsFunctions {
   def wordNgrams(c: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(c), n))
 
+  def wordSkipgrams(c: Column, window: Int): Column =
+    ExpressionUtils.column(WordSkipgrams(ExpressionUtils.expression(c), window))
+
   def repetitionStats(c: Column, n: Int): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c), n))
 
@@ -191,6 +194,68 @@ case class WordNgrams(child: Expression, n: Int)
       s"org.apache.spark.sql.graft.WordNgramsRuntime.grams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/**
+ * Single-pass skip-gram (center, context) pair generation — the
+ * word2vec/fastText training-pair fan-out (Mikolov et al. 2013):
+ * every position pairs with its neighbors at offsets 1..window in BOTH
+ * directions, emitted as space-joined "center context" strings.
+ * Tokenization is [[LowerTokenizer]] exactly (lowercase, ASCII-space
+ * trim, `\s+` split with Java split's leading-empty quirk), so the
+ * pairs agree with a positional-self-join SQL replica. One pass per
+ * row, no window functions in the plan — the lead()-per-offset
+ * formulation sorts every document's tokens `window` times.
+ */
+object WordSkipgramsRuntime extends Serializable {
+
+  private val Empty = new GenericArrayData(new Array[Any](0))
+
+  def pairs(s: UTF8String, window: Int): GenericArrayData = {
+    val toks = LowerTokenizer.tokens(s)
+    val n = toks.length
+    if (n < 2) return Empty
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](
+      math.min(2 * window * n, 2 * n * (n - 1)))
+    val sb = new java.lang.StringBuilder(32)
+    var p = 0
+    while (p < n) {
+      var i = 1
+      while (i <= window && p + i < n) {
+        sb.setLength(0)
+        sb.append(toks(p)).append(' ').append(toks(p + i))
+        buf += UTF8String.fromString(sb.toString)
+        sb.setLength(0)
+        sb.append(toks(p + i)).append(' ').append(toks(p))
+        buf += UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}
+
+/** word_skipgrams(text, window): array<string> of space-joined
+  * lowercase (center, context) pairs for offsets ±1..±window (empty
+  * below two tokens). */
+case class WordSkipgrams(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1, "window must be >= 1")
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_skipgrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordSkipgramsRuntime.pairs(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordSkipgramsRuntime.pairs($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordSkipgrams =
     copy(child = newChild)
 }
 

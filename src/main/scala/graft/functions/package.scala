@@ -36,6 +36,10 @@ package object functions {
     /** Single-pass lowercase word n-grams (array<string>). */
     def wordNgrams(c: Column, n: Int): Column =
       org.apache.spark.sql.graft.TextStatsFunctions.wordNgrams(c, n)
+    /** Single-pass lowercase skip-gram "center context" pairs for
+      * offsets ±1..±window (array<string>). */
+    def wordSkipgrams(c: Column, window: Int): Column =
+      org.apache.spark.sql.graft.TextStatsFunctions.wordSkipgrams(c, window)
     /** Single-pass word n-gram repetition stats:
       * [ntok, total_grams, max_gram_count, dup_gram_occurrences]. */
     def repetitionStats(c: Column, n: Int): Column =

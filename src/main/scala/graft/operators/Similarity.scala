@@ -263,6 +263,77 @@ object Similarity {
    * partition; corpus vectors are assumed uniform-dimension (as in
    * [[trainPq]]).
    */
+  /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+   * parallel corpus mining with multilingual sentence embeddings") —
+   * the parallel-pair miner behind CCMatrix-style corpora: raw cosine
+   * overrates "hub" sentences that are close to EVERYTHING, so each
+   * candidate (x, y) scores cos(x, y) relative to both neighborhoods,
+   * margin = cos(x, y) / ((avgNN_k(x→tgt) + avgNN_k(y→src)) / 2), and
+   * a source keeps its best-margin target iff margin ≥ `threshold`
+   * (the ratio margin; 1.0 = "closer than your average neighbor").
+   *
+   * EXACTNESS: per-pair cosines come from [[bruteForceTopK]] already
+   * rounded 6dp (its BigDecimal HALF_UP contract); each k-neighborhood
+   * mean folds those rounded values in (cosine, id) order via a
+   * RUNNING window sum — a sequential left fold in both engines, the
+   * kaplanMeier convention — then one division by the kept count;
+   * margin is one fixed IEEE chain rounded 6dp, and the best-per-source
+   * pick orders by the ROUNDED margin with an id tiebreak. cos(x, y)
+   * and cos(y, x) are the same double (the kernel's dot and the
+   * norm·norm product are symmetric), so the backward pass needs no
+   * re-rounding care.
+   *
+   * Scale shape: two NN sweeps (forward src→tgt, backward tgt→src —
+   * partition-local streamed heaps, the corpus never shuffles) +
+   * id-keyed joins of the two neighborhood-mean frames (|src| and
+   * |tgt| rows — AQE broadcasts the small side) + windows bounded at
+   * k rows per group. At 100 TB swap the brute-force sweeps for
+   * [[ivfTopKFromIndex]] probes against two persisted indexes — the
+   * margin/selection stages consume (query, nn, cosine) triples and
+   * are UNCHANGED (same shape as hardNegatives → hardNegativesIvf).
+   *
+   * Returns mined pairs: (`src_id`, `tgt_id`, `cosine`, `margin`).
+   */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int,
+                 threshold: Double = 1.0,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def nbrMean(topk: DataFrame, outId: String,
+                outAvg: String): DataFrame = {
+      val wOrd = Window.partitionBy("query_id")
+        .orderBy(col("cosine"), col("nn_id"))
+      topk
+        .withColumn("__rs", sum("cosine").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy("query_id")))
+        .filter(col("__rn") === col("__cnt"))
+        .select(col("query_id").as(outId),
+          (col("__rs") / col("__cnt").cast("double")).as(outAvg))
+    }
+    val fwd = bruteForceTopK(tgt,
+      src.select(col(idCol).as("query_id"), col(vecCol)), k,
+      idCol = idCol, vecCol = vecCol)
+    val bwd = bruteForceTopK(src,
+      tgt.select(col(idCol).as("query_id"), col(vecCol)), k,
+      idCol = idCol, vecCol = vecCol)
+    val ax = nbrMean(fwd, "src_id", "ax")
+    val ay = nbrMean(bwd, "tgt_id", "ay")
+    val cand = fwd.select(col("query_id").as("src_id"),
+      col("nn_id").as("tgt_id"), col("cosine"))
+      .join(ax, "src_id").join(ay, "tgt_id")
+      .withColumn("margin",
+        round(col("cosine") / ((col("ax") + col("ay")) / lit(2.0)), 6))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    cand.withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1 && col("margin") >= lit(threshold))
+      .select("src_id", "tgt_id", "cosine", "margin")
+  }
+
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              rerankFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding",

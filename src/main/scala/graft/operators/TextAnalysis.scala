@@ -332,6 +332,45 @@ object TextAnalysis {
   }
 
   /**
+   * Skip-gram (center, context) pair counts — the word2vec/fastText
+   * training-pair generation step (Mikolov et al. 2013): every token
+   * pairs with its neighbors at offsets ±1..±window; the aggregated
+   * (center, context, n) frame is what a negative-sampling trainer (or
+   * a PPMI/SVD embedding) consumes. [[topCollocations]] is the
+   * window-1 statistical summary of the same co-occurrence structure;
+   * this emits the full windowed pair distribution.
+   *
+   * EXACTNESS: pair generation is the native codegen'd
+   * `word_skipgrams` (one pass per doc, LowerTokenizer — bit-equal to
+   * the positional-self-join SQL replica including Java split's
+   * leading-empty quirk); counts are exact longs from one hash
+   * aggregate.
+   *
+   * Scale shape: explode ∘ codegen'd expression — NO window functions
+   * (the lead()-per-offset formulation re-sorts every doc `window`
+   * times) and no self-join (the positional join the oracle uses is
+   * O(tokens·window) pairs TWICE — once per side of the join — plus a
+   * doc-keyed shuffle; here pairs materialize exactly once, map-side).
+   * The single shuffle is the (center, context) count with map-side
+   * combine; `minCount` prunes the hapax tail BEFORE the result lands
+   * (the classic 90%+ reduction on natural text). Per-doc cost is
+   * O(len·window) with no cross-doc term.
+   */
+  def skipGramPairs(df: DataFrame, textCol: String, window: Int,
+                    minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    df.filter(col(textCol).isNotNull)
+      .select(explode(
+        graft.functions.Text.wordSkipgrams(col(textCol), window)).as("g"))
+      .select(element_at(split(col("g"), " "), 1).as("center"),
+        element_at(split(col("g"), " "), 2).as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /**
    * RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
    * extraction from individual documents"): candidate phrases are the
    * maximal token runs between stopwords/punctuation; each word scores

@@ -694,4 +694,49 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.Similarity.recallAtK(dup, exact)
       .as[(Long, Long, Long, Double)].collect().head === ((2L, 4L, 4L, 1.0)))
   }
+
+  test("bitextMine: hub penalty, margins vs a hand replay, threshold") {
+    import spark.implicits._
+    // src a=(1,0), b=(0,1); tgt: ta=(1,0) matches a specifically,
+    // hub=(0.8,0.6) is "close to everything" — raw cosine ranks hub
+    // high for both sources, the margin demotes it where a specific
+    // match exists
+    val src = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Array(1f, 0f)), (20L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    def cos6(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        na += x(i).toDouble * x(i).toDouble
+        nb += y(i).toDouble * y(i).toDouble; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (a, b) = (Array(1f, 0f), Array(0f, 1f))
+    val (ta, hub) = (Array(1f, 0f), Array(0.8f, 0.6f))
+    // neighborhood means over k=2 (both targets / both sources kept)
+    val axA = (cos6(a, ta) + cos6(a, hub)) / 2.0
+    val axB = (cos6(b, ta) + cos6(b, hub)) / 2.0
+    val ayTa = (cos6(a, ta) + cos6(b, ta)) / 2.0
+    val ayHub = (cos6(a, hub) + cos6(b, hub)) / 2.0
+    val mATa = r6(cos6(a, ta) / ((axA + ayTa) / 2.0))
+    val mBHub = r6(cos6(b, hub) / ((axB + ayHub) / 2.0))
+    val got = Similarity.bitextMine(src, tgt, k = 2, threshold = 1.0)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 10L, cos6(a, ta), mATa),   // a keeps its exact match...
+      (2L, 20L, cos6(b, hub), mBHub))) // ...b's best is honestly the hub
+    assert(mATa > r6(cos6(a, hub) / ((axA + ayHub) / 2.0)),
+      "the margin must demote the hub where a specific match exists")
+    // a higher threshold drops the weaker pair
+    val strict = Similarity.bitextMine(src, tgt, k = 2,
+      threshold = (mATa + mBHub) / 2.0)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(strict.map(_._1).toSeq === Seq(1L))
+  }
 }

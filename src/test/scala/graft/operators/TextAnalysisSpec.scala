@@ -763,4 +763,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxProbeTerms"))
   }
+
+  test("skipGramPairs: hand counts, posexplode-replica parity, quirk") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.skipGramPairs(docs, "text", window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // forward pairs per doc: (a,b) (a,c) (b,c) (b,d) (c,d), mirrored;
+    // two identical docs double every count; "x" has no pairs
+    val fwd = Seq("a" -> "b", "a" -> "c", "b" -> "c", "b" -> "d",
+      "c" -> "d")
+    val expect = (fwd ++ fwd.map(_.swap)).map(_ -> 2L).toMap
+    assert(got === expect)
+    // minCount prunes below the floor
+    assert(TextAnalysis.skipGramPairs(docs, "text", 2, minCount = 3L)
+      .count() === 0L)
+    // parity with a posexplode + positional-self-join replica on text
+    // with mixed case, runs of whitespace, and a leading tab (Java
+    // split's leading-empty-token quirk — the SQL-replica contract)
+    val messy = Seq((1L, "\tThe  quick\nbrown fox"), (2L, "one two"),
+      (3L, " "), (4L, "solo")).toDF("doc_id", "text")
+    val pos = messy.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("p", "tok")))
+    val fwdRep = pos.as("a").join(pos.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("b.p") > col("a.p") && col("b.p") <= col("a.p") + 2)
+    val replica = fwdRep
+      .select(col("a.tok").as("center"), col("b.tok").as("context"))
+      .union(fwdRep
+        .select(col("b.tok").as("center"), col("a.tok").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val got2 = TextAnalysis.skipGramPairs(messy, "text", window = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got2 === replica)
+    // the quirk is pinned: a leading tab yields an empty center token
+    assert(got2.exists { case (c, x, _) => c == "" && x == "the" })
+  }
 }
