@@ -1665,6 +1665,18 @@ $fieldRows"""
       graft.operators.Events.oddsRiskRatio(per, "exposed", "heavy")
     }),
 
+    // Fisher's exact test on the same 2×2: hypergeometric recurrence as
+    // an ordered running ln-fold over the support levels, max-recentered
+    // exp, ln-space inclusion test — no factorials anywhere.
+    "q_fisher_exact" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+        .select((pmod(col("user_id"), lit(2L)) === 0L).as("exposed"),
+          (col("np") >= 14L).as("heavy"))
+      graft.operators.Events.fisherExactTest(per, "exposed", "heavy")
+    }),
+
     // Benjamini-Hochberg FDR over one p-value per order: nulls are
     // Knuth-hash uniforms ((id·2654435761) mod 1000003 — exact integer
     // arithmetic in both engines), 'P'-status orders planted 1000×
@@ -6381,6 +6393,47 @@ $fieldRows"""
         |       + 1.0 / CAST(c AS DOUBLE)
         |       - 1.0 / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS serr
         |  FROM c)""".stripMargin,
+    // Fisher exact: the recurrence ln-fold, max-recentering, and
+    // ln-space keep test replicated window-for-window.
+    "q_fisher_exact" ->
+      """WITH per AS (SELECT (user_id % 2 = 0) AS e,
+        |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14) AS o
+        |  FROM events GROUP BY user_id),
+        |cl AS (SELECT
+        |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per),
+        |m AS (SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+        |    greatest(0, (a + c) - (c + d)) AS kmin,
+        |    least(a + b, a + c) AS kmax FROM cl),
+        |lv AS (SELECT m.*, unnest(generate_series(kmin, kmax)) AS k
+        |  FROM m),
+        |st AS (SELECT *, sum(CASE WHEN k = kmin THEN 0.0 ELSE
+        |      ln(CAST(r1 - k + 1 AS DOUBLE))
+        |      + ln(CAST(c1 - k + 1 AS DOUBLE))
+        |      - ln(CAST(k AS DOUBLE))
+        |      - ln(CAST(r2 - c1 + k AS DOUBLE)) END)
+        |    OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lnq
+        |  FROM lv),
+        |mm AS (SELECT *, max(lnq) OVER () AS mx,
+        |    max(CASE WHEN k = a THEN lnq END) OVER () AS lnobs FROM st),
+        |ff AS (SELECT a, b, c, d,
+        |    sum(exp(lnq - mx)) OVER (ORDER BY k
+        |      ROWS UNBOUNDED PRECEDING) AS tot,
+        |    sum(CASE WHEN lnq <= lnobs + 9.999999505838704e-08
+        |      THEN exp(lnq - mx) ELSE 0.0 END)
+        |      OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS sel,
+        |    row_number() OVER (ORDER BY k) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM mm)
+        |SELECT a, b, c, d, round(sel / tot, 6) AS p_value
+        |FROM ff WHERE rn = cnt""".stripMargin,
     // BH step-up: rank tiebreaks on id, suffix-min as a running min
     // over DESCENDING rank, reject compares the UNROUNDED adjusted p.
     "q_bh_fdr" ->

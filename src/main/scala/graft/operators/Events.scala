@@ -662,6 +662,89 @@ object Events {
    * Scale shape: one map-side-combined aggregate to ONE row; no
    * shuffle wider than four longs.
    */
+  /**
+   * Fisher's exact test, two-sided, for a 2×2 table (Fisher 1935) —
+   * the small-cell regime where the χ² approximation breaks (any
+   * expected cell < 5, the textbook cutoff): sums hypergeometric point
+   * probabilities P(k) over every table with the observed margins
+   * whose probability does not exceed the observed table's (the
+   * standard two-sided definition, with R's (1 + 10⁻⁷) relative
+   * tolerance so exactly-tied tables — symmetric margins — are
+   * included robustly).
+   *
+   * EXACTNESS: no factorials anywhere — unnormalized log-probabilities
+   * build by the recurrence P(k)/P(k−1) = (r1−k+1)(c1−k+1) /
+   * (k(r2−c1+k)) as an ORDERED running ln-sum over the support levels
+   * (sequential fold in both engines, the kaplanMeier convention; each
+   * step is ln of exact-integer-derived doubles); weights re-center at
+   * the support max before exp (overflow-immune for any margins); the
+   * normalizer, the selected mass, and the observed-row lookup are all
+   * ordered window folds over the SAME level frame; the inclusion test
+   * compares ln-space (lnQ ≤ lnQ_obs + ln(1+10⁻⁷)) — no exp on the
+   * decision path. `p_value` rounds 6dp.
+   *
+   * Scale shape: one aggregate to four exact cells, then a SUPPORT-
+   * sized level frame (min(r1, c1) − max(0, c1 − r2) + 1 rows) with
+   * ordered windows over it. The support is margin-sized, not
+   * row-sized, but a 100 TB 2×2 can still have a 10⁹ support —
+   * `maxSupport` fails loud (use the χ² / G-test at that scale: Fisher
+   * exists precisely for SMALL cells).
+   *
+   * Returns one row: (`a`, `b`, `c`, `d`, `p_value`).
+   */
+  def fisherExactTest(df: DataFrame, exposureCol: String,
+                      outcomeCol: String,
+                      maxSupport: Long = 1000000L): DataFrame = {
+    require(maxSupport >= 1, s"maxSupport must be >= 1: $maxSupport")
+    val base = df
+      .filter(col(exposureCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(exposureCol).cast("boolean").as("e"),
+        col(outcomeCol).cast("boolean").as("o"))
+    val cells = base.agg(
+      sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("c") + col("d"))
+      .withColumn("c1", col("a") + col("c"))
+      .withColumn("kmin", greatest(lit(0L), col("c1") - col("r2")))
+      .withColumn("kmax", least(col("r1"), col("c1")))
+    val levels = cells
+      .filter(when(col("kmax") - col("kmin") >= maxSupport,
+        raise_error(lit("fisherExactTest: support exceeds maxSupport — " +
+          "use chi2/G-test at this scale")).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("k", explode(sequence(col("kmin"), col("kmax"))))
+    val wRun = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ln step k-1 -> k (zero at the support floor)
+    val step = when(col("k") === col("kmin"), lit(0.0)).otherwise(
+      log((col("r1") - col("k") + 1L).cast("double")) +
+        log((col("c1") - col("k") + 1L).cast("double")) -
+        log(col("k").cast("double")) -
+        log((col("r2") - col("c1") + col("k")).cast("double")))
+    val lp = levels
+      .withColumn("__lnq", sum(step).over(wRun))
+      .withColumn("__m", max(col("__lnq")).over(wTot))
+      .withColumn("__lnobs",
+        max(when(col("k") === col("a"), col("__lnq"))).over(wTot))
+      .withColumn("__w", exp(col("__lnq") - col("__m")))
+      .withColumn("__keep",
+        col("__lnq") <= col("__lnobs") + lit(9.999999505838704e-8))
+      .withColumn("__tot", sum(col("__w")).over(wRun))
+      .withColumn("__sel",
+        sum(when(col("__keep"), col("__w")).otherwise(lit(0.0)))
+          .over(wRun))
+      .withColumn("__rn", row_number().over(Window.orderBy("k")))
+      .withColumn("__cnt", count(lit(1)).over(wTot))
+      .filter(col("__rn") === col("__cnt"))
+    lp.select(col("a"), col("b"), col("c"), col("d"),
+      round(col("__sel") / col("__tot"), 6).as("p_value"))
+  }
+
   def oddsRiskRatio(df: DataFrame, exposureCol: String,
                     outcomeCol: String): DataFrame = {
     val base = df

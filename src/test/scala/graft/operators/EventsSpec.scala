@@ -379,4 +379,37 @@ class EventsSpec extends SparkSpec {
       .collect().head
     assert(z._5.isEmpty && z._8.isEmpty && z._6.isEmpty && z._10.isEmpty)
   }
+
+  test("fisherExactTest: tea-tasting fixture, extreme table, guard") {
+    // Fisher's tea-tasting 2x2 (3,1,1,3): P(k) = C(4,k)C(4,4-k)/C(8,4)
+    // = (1,16,36,16,1)/70; observed a=3 keeps k in {0,1,3,4} ->
+    // p = 34/70 (the symmetric tie at k=1 MUST be included)
+    def table(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("e", "o")
+    val got = Events.fisherExactTest(table(3, 1, 1, 3), "e", "o")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got === ((3L, 1L, 1L, 3L,
+      BigDecimal(34.0 / 70.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // perfectly separated 5/0/0/5: only k=0 and k=5 qualify -> 2/252
+    val sep = Events.fisherExactTest(table(5, 0, 0, 5), "e", "o")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(sep._5 === BigDecimal(2.0 / 252.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // uniform-margin degenerate: a single support level -> p = 1
+    val one = Events.fisherExactTest(table(2, 0, 3, 0), "e", "o")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(one._5 === 1.0)
+    // support guard fails loud
+    val e = intercept[Exception] {
+      Events.fisherExactTest(table(3, 1, 1, 3), "e", "o",
+        maxSupport = 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxSupport")))
+  }
 }
