@@ -2721,6 +2721,15 @@ $fieldRows"""
       Similarity.bruteForceTopK(corpus, queries, 5)
     }),
 
+    // Kernel two-sample MMD² between two label slices (cosine-RBF,
+    // h = 0.5): pair kernels quantize to exact micro-units, three
+    // integer sums, one fixed IEEE chain.
+    "q_mmd_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.mmdCosine(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+    }),
+
     // Margin-based bitext mining (ratio margin, k = 4): two brute
     // NN sweeps + ordered-fold neighborhood means; best-margin target
     // per source above 1.0. Full SQL oracle.
@@ -8302,6 +8311,44 @@ $fieldRows"""
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cosine DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // MMD: 6dp cosines -> exp kernel -> micro-unit longs -> exact sums;
+    // mmd2 from the UNROUNDED mean-kernel divisions.
+    "q_mmd_drift" ->
+      """WITH xs AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  WHERE label = 0 AND vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |ys AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  WHERE label = 1 AND vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |xx AS (SELECT CAST(sum(CAST(round(exp((round(
+        |      list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+        |        CAST(b.v AS DOUBLE[])), 6) - 1.0) / 0.5) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sxx, count(*) AS pxx
+        |  FROM xs a JOIN xs b ON a.id < b.id),
+        |yy AS (SELECT CAST(sum(CAST(round(exp((round(
+        |      list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+        |        CAST(b.v AS DOUBLE[])), 6) - 1.0) / 0.5) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS syy, count(*) AS pyy
+        |  FROM ys a JOIN ys b ON a.id < b.id),
+        |xy AS (SELECT CAST(sum(CAST(round(exp((round(
+        |      list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+        |        CAST(b.v AS DOUBLE[])), 6) - 1.0) / 0.5) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sxy, count(*) AS pxy
+        |  FROM xs a CROSS JOIN ys b),
+        |nn AS (SELECT (SELECT count(*) FROM xs) AS n_x,
+        |    (SELECT count(*) FROM ys) AS n_y)
+        |SELECT nn.n_x, nn.n_y,
+        |  round(CAST(sxx AS DOUBLE) / CAST(pxx * 1000000 AS DOUBLE), 6)
+        |    AS k_xx,
+        |  round(CAST(syy AS DOUBLE) / CAST(pyy * 1000000 AS DOUBLE), 6)
+        |    AS k_yy,
+        |  round(CAST(sxy AS DOUBLE) / CAST(pxy * 1000000 AS DOUBLE), 6)
+        |    AS k_xy,
+        |  round(CAST(sxx AS DOUBLE) / CAST(pxx * 1000000 AS DOUBLE)
+        |    + CAST(syy AS DOUBLE) / CAST(pyy * 1000000 AS DOUBLE)
+        |    - 2.0 * CAST(sxy AS DOUBLE) / CAST(pxy * 1000000 AS DOUBLE),
+        |    6) AS mmd2
+        |FROM xx, yy, xy, nn""".stripMargin,
     // Bitext margin: cosines rounded 6dp BEFORE everything (the
     // bruteForceTopK contract); neighborhood means fold the rounded
     // values in (cos, id) window order — sequential in both engines;

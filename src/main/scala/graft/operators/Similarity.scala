@@ -334,6 +334,87 @@ object Similarity {
       .select("src_id", "tgt_id", "cosine", "margin")
   }
 
+  /**
+   * Kernel two-sample MMD² between two embedding samples (Gretton et
+   * al. 2012, "A kernel two-sample test") — the distribution-shift
+   * monitor that sees what [[centroidDrift]] cannot: two samples can
+   * share a centroid exactly while differing in spread or cluster
+   * structure, and the unbiased MMD²_u = mean k(x,x') + mean k(y,y')
+   * − 2·mean k(x,y) is zero in expectation iff the DISTRIBUTIONS
+   * match (for a characteristic kernel). The kernel here is the
+   * cosine-RBF k = exp((cos(x,y) − 1)/h) — an RBF in chordal distance
+   * on the unit sphere, riding this repo's one proven cross-engine
+   * vector primitive (the 6dp-rounded cosine).
+   *
+   * EXACTNESS: per-pair cosines round 6dp FIRST (the bruteForceTopK
+   * contract, via the native codegen'd `cosine_sim`); each kernel
+   * value is one IEEE exp chain then QUANTIZES to exact micro-units
+   * (round(k·10⁶) as long — the welchTTest unitScale convention), so
+   * all three pair sums are EXACT integers and MMD² is one fixed IEEE
+   * chain from them, rounded 6dp. No order-dependent double summation
+   * anywhere.
+   *
+   * Scale shape: quadratic BY DEFINITION (3 pair frames) — `maxRows`
+   * fails loud per side and prices the O(n²) honestly; at 100 TB you
+   * MMD a SAMPLE (the test's power saturates at thousands of points —
+   * Gretton's own experiments run n ≤ 10⁴). Within the gate: the
+   * cross joins broadcast one side, sums are map-side-combined, and
+   * both inputs are lineage-cut so the eager gate counts and the pair
+   * frames share one materialization.
+   *
+   * Returns one row: (`n_x`, `n_y`, `k_xx`, `k_yy`, `k_xy` — the three
+   * mean kernels, 6dp — and `mmd2`).
+   */
+  def mmdCosine(x: DataFrame, y: DataFrame, h: Double = 0.5,
+                maxRows: Long = 4096L,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(h > 0.0, s"bandwidth h must be > 0: $h")
+    require(maxRows >= 2L, s"maxRows must be >= 2: $maxRows")
+    import graft.core.LineageCut.CutOps
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val cutDf = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .lineageCut()
+      val n = cutDf.count()
+      require(n >= 2L && n <= maxRows,
+        s"mmdCosine: side '$tag' has $n rows — need 2..$maxRows " +
+          "(quadratic operator: sample upstream)")
+      cutDf
+    }
+    val xs = side(x, "x")
+    val ys = side(y, "y")
+    val micro = (a: Column, b: Column) =>
+      round(exp((round(cosine(a, b), 6) - lit(1.0)) / lit(h)) * 1e6)
+        .cast("long")
+    def selfSum(s: DataFrame): DataFrame = {
+      val l = s.select(col("id").as("ia"), col("v").as("va"))
+      val r = s.select(col("id").as("ib"), col("v").as("vb"))
+      l.crossJoin(r).filter(col("ia") < col("ib"))
+        .agg(sum(micro(col("va"), col("vb"))).as("s"),
+          count(lit(1)).as("np"))
+    }
+    val sxx = selfSum(xs).select(col("s").as("sxx"), col("np").as("pxx"))
+    val syy = selfSum(ys).select(col("s").as("syy"), col("np").as("pyy"))
+    val sxy = xs.select(col("v").as("va"))
+      .crossJoin(ys.select(col("v").as("vb")))
+      .agg(sum(micro(col("va"), col("vb"))).as("sxy"),
+        count(lit(1)).as("pxy"))
+    val kxx = col("sxx").cast("double") / (col("pxx") * 1000000L)
+      .cast("double")
+    val kyy = col("syy").cast("double") / (col("pyy") * 1000000L)
+      .cast("double")
+    val kxy = col("sxy").cast("double") / (col("pxy") * 1000000L)
+      .cast("double")
+    sxx.crossJoin(syy).crossJoin(sxy)
+      .crossJoin(broadcast(xs.agg(count(lit(1)).as("n_x"))))
+      .crossJoin(broadcast(ys.agg(count(lit(1)).as("n_y"))))
+      .select(col("n_x"), col("n_y"),
+        round(kxx, 6).as("k_xx"), round(kyy, 6).as("k_yy"),
+        round(kxy, 6).as("k_xy"),
+        round(kxx + kyy - lit(2.0) * kxy, 6).as("mmd2"))
+  }
+
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              rerankFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding",

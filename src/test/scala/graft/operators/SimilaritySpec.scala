@@ -695,6 +695,39 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().head === ((2L, 4L, 4L, 1.0)))
   }
 
+  test("mmdCosine: hand kernels on orthogonal bases; separation; guard") {
+    import spark.implicits._
+    val x = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val y = Seq((10L, Array(1f, 0f)), (20L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cos 0 -> k = exp(-2) -> 135335 micro; cos 1 -> 1000000 micro
+    val k0 = math.round(math.exp((0.0 - 1.0) / 0.5) * 1e6)
+    val kxx = k0.toDouble / 1000000.0       // one within-pair
+    val kxy = (2L * 1000000L + 2L * k0).toDouble / (4L * 1000000L)
+    val got = Similarity.mmdCosine(x, y)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(got === ((2L, 2L, r6(kxx), r6(kxx), r6(kxy),
+      r6(kxx + kxx - 2.0 * kxy))))
+    // identical samples: unbiased mmd2 is NEGATIVE (cross pairs include
+    // the self matches the within terms exclude)
+    assert(got._6 < 0.0)
+    // disjoint directions separate: mmd2 clearly positive
+    val z = Seq((30L, Array(-1f, 0f)), (40L, Array(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val sep = Similarity.mmdCosine(x, z)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(sep._6 > 0.1, s"separated samples should drift: ${sep._6}")
+    // quadratic gate fails loud
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmdCosine(x, y, maxRows = 1L)
+    }
+    assert(e.getMessage.contains("maxRows") ||
+      e.getMessage.contains("quadratic"))
+  }
+
   test("bitextMine: hub penalty, margins vs a hand replay, threshold") {
     import spark.implicits._
     // src a=(1,0), b=(0,1); tgt: ta=(1,0) matches a specifically,
