@@ -1636,6 +1636,18 @@ $fieldRows"""
       graft.operators.Events.kaplanMeier(per, "dur_min", "converted")
     }),
 
+    // Nelson-Aalen cumulative hazard over the same spans as the KM
+    // curve: running d/n and d/n² folds over ordered duration levels.
+    "q_nelson_aalen" -> ((s, dir) => {
+      val diff = max(col("ts")) - min(col("ts"))
+      val m = 60000000000L // one minute of epoch-nanos
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        (((diff - pmod(diff, lit(m))) / m)).cast("long").as("dur_min"),
+        (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          === 1L).as("converted"))
+      graft.operators.Events.nelsonAalen(per, "dur_min", "converted")
+    }),
+
     // Two-sample log-rank test on time-to-first-purchase with Type-I
     // administrative censoring at 2880 min (≈ the corpus median-2×):
     // exact level counts, ordered at-risk windows; e_a/variance round
@@ -2115,6 +2127,33 @@ $fieldRows"""
           col("rank").as("r"))
       Ranking.rrfFuseByQuery(Seq(lex, sem), "query_id", "doc_id", "r",
         k0 = 60, topK = 20)
+    }),
+
+    // Rank-biased overlap between the lexical (BM25) and dense (cosine)
+    // top-10 rankings per query: top-weighted list agreement that set
+    // recall can't express; nano-quantized suffix weights.
+    "q_rbo" -> ((s, dir) => {
+      import graft.operators.{Ranking, Similarity, TextAnalysis}
+      val spark = s
+      import spark.implicits._
+      val qtext = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
+        (3L, "vector stream")).toDF("query_id", "qtext")
+      val bm = TextAnalysis.bm25Scores(
+        t(s, dir, "documents").select("doc_id", "text"), qtext)
+      val lex = Ranking.withGroupedRank(
+          bm.select(col("query_id"), col("doc_id"), col("bm25")),
+          "query_id", Seq(col("bm25").desc, col("doc_id").asc), "r", "nq")
+        .filter(col("r") <= 10)
+        .select(col("query_id"), col("doc_id"), col("r"))
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id").isin(0L, 100L, 200L))
+        .select(((col("vec_id") / lit(100L)) + 1).cast("long")
+          .as("query_id"), col("embedding"))
+      val sem = Similarity.bruteForceTopK(emb, qvec, 10)
+        .select(col("query_id"), col("nn_id").as("doc_id"),
+          col("rank").as("r"))
+      Ranking.rankBiasedOverlap(lex, sem, "query_id", "doc_id", "r",
+        p = 0.9, depth = 10)
     }),
 
     // Mergeable approximate quantiles with the self-checked GK
@@ -6319,6 +6358,36 @@ $fieldRows"""
         |  CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
         |    AS survival
         |FROM st WHERE d > 0""".stripMargin,
+    // Nelson-Aalen: the KM level/at-risk machinery with running d/n
+    // and d/n² folds instead of the ln-product.
+    "q_nelson_aalen" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST((d - d % 60000000000) / 60000000000 AS BIGINT) AS t,
+        |    (p = 1) AS ev
+        |  FROM (SELECT user_id,
+        |      max(epoch_ns(ts)) - min(epoch_ns(ts)) AS d,
+        |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS p
+        |    FROM events GROUP BY 1)),
+        |lv AS (SELECT t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS alln
+        |  FROM per GROUP BY 1),
+        |ar AS (SELECT t, d,
+        |    sum(alln) OVER () - COALESCE(sum(alln) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM lv),
+        |st AS (SELECT t, d, n_risk,
+        |    sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h,
+        |    sum(CAST(d AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS v
+        |  FROM ar)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  round(h, 6) AS cum_hazard, round(v, 6) AS cum_var
+        |FROM st WHERE d > 0""".stripMargin,
     // Log-rank: level counts + exclusive at-risk windows; e_a/variance
     // round at 4dp FIRST, chi2 from the rounded pair — both engines
     // square identical quantities.
@@ -7568,6 +7637,81 @@ $fieldRows"""
         |  SELECT query, key, rank_1, rank_2, s, row_number() OVER (
         |    PARTITION BY query ORDER BY s DESC, key ASC) AS qr
         |  FROM sc) WHERE qr <= 20""".stripMargin,
+    // RBO: the hybrid fixture's lex/sem CTEs at depth 10, suffix
+    // weights exp((d-1)ln p)/d nano-quantized, per-shared-item
+    // greatest-rank lookup.
+    "q_rbo" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'vector stream')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
+        |  FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
+        |    lens.dl, st.n, st.tot
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
+        |co AS (SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS contrib
+        |  FROM m),
+        |bm AS (SELECT query_id, doc_id, round(run, 4) AS bm25 FROM (
+        |    SELECT query_id, doc_id,
+        |      sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |        ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |      row_number() OVER (PARTITION BY query_id, doc_id
+        |        ORDER BY term) AS rn,
+        |      count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |    FROM co) WHERE rn = nt),
+        |lex AS (SELECT query_id, doc_id, r FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS r
+        |    FROM bm) WHERE r <= 10),
+        |qv AS (SELECT CAST(vec_id / 100 + 1 AS BIGINT) AS query_id,
+        |    embedding AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 100, 200)),
+        |sem0 AS (SELECT qv.query_id, c.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(qv.qe AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c CROSS JOIN qv),
+        |sem AS (SELECT query_id, doc_id, r FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS r
+        |    FROM sem0) WHERE r <= 10),
+        |dep AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+        |    AS d),
+        |w AS (SELECT d, exp((d - 1) * ln(0.9)) / d AS wd FROM dep),
+        |sfx AS (SELECT d AS m, CAST(round(sum(wd) OVER (ORDER BY d DESC
+        |    ROWS UNBOUNDED PRECEDING) * 1000000000.0) AS BIGINT) AS snano
+        |  FROM w),
+        |sh AS (SELECT lex.query_id AS qq, greatest(lex.r, sem.r) AS m
+        |  FROM lex JOIN sem ON lex.query_id = sem.query_id
+        |    AND lex.doc_id = sem.doc_id),
+        |ag AS (SELECT qq, CAST(sum(snano) AS BIGINT) AS sn,
+        |    count(*) AS ns
+        |  FROM sh JOIN sfx USING (m) GROUP BY qq),
+        |qs AS (SELECT DISTINCT qq FROM (SELECT query_id AS qq FROM lex
+        |  UNION ALL SELECT query_id AS qq FROM sem))
+        |SELECT qs.qq AS query_id, COALESCE(ag.ns, 0) AS n_shared,
+        |  round((1.0 - 0.9) / (1.0 - exp(10 * ln(0.9)))
+        |    * (CAST(COALESCE(ag.sn, 0) AS DOUBLE) / 1000000000.0), 6)
+        |    AS rbo
+        |FROM qs LEFT JOIN ag USING (qq)""".stripMargin,
     // Exact n + target ranks; the estimate itself is engine-internal,
     // so the gate invariant (within_bound) is the cross-engine check.
     // ceil runs over the DOUBLE product in both engines (a decimal

@@ -663,6 +663,57 @@ object Events {
    * shuffle wider than four longs.
    */
   /**
+   * Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+   * 1978) — [[kaplanMeier]]'s additive sibling: Ĥ(t) = Σ_{s ≤ t}
+   * d_s/n_s accumulates hazard instead of multiplying survival, is
+   * defined THROUGH a d = n level (where KM's survival pins to 0 and
+   * stays there), and its increments are what a proportional-hazards
+   * diagnostic or a piecewise-exponential fit consumes. Same input
+   * contract as kaplanMeier (integer duration + boolean event,
+   * censored = false).
+   *
+   * EXACTNESS: identical level machinery to kaplanMeier — exact long
+   * level counts, exclusive at-risk running sums — with the hazard a
+   * RUNNING window fold of single IEEE divisions d/n in duration order
+   * (sequential in both engines); `cum_hazard` and its Poisson-variance
+   * companion `cum_var` (Σ d/n², Klein 1991's simpler form) round 6dp.
+   *
+   * Scale shape: the kaplanMeier contract verbatim — one level
+   * aggregate, windows over LEVELS (distinct durations), one row out
+   * per event time: (`t`, `n_risk`, `n_events`, `cum_hazard`,
+   * `cum_var`).
+   */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("ev"))
+    val levels = base.groupBy("t").agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("all"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    levels
+      .withColumn("n_risk",
+        sum("all").over(wTot) - coalesce(sum("all").over(wPrev), lit(0L)))
+      .withColumn("__h", sum(
+        col("d").cast("double") / col("n_risk").cast("double")).over(wRun))
+      .withColumn("__v", sum(
+        col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")))
+        .over(wRun))
+      .filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        round(col("__h"), 6).as("cum_hazard"),
+        round(col("__v"), 6).as("cum_var"))
+  }
+
+  /**
    * Fisher's exact test, two-sided, for a 2×2 table (Fisher 1935) —
    * the small-cell regime where the χ² approximation breaks (any
    * expected cell < 5, the textbook cutoff): sums hypergeometric point

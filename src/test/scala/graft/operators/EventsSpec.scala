@@ -298,6 +298,25 @@ class EventsSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
   }
 
+  test("nelsonAalen: hand cumulative hazard on the KM fixture; defined " +
+      "through the d = n level") {
+    // same fixture as kaplanMeier: H(1) = 1/6, H(3) = 1/6 + 2/4,
+    // H(5) = ... + 1/1 (KM pins survival to 0 here; NA keeps adding)
+    val rows = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "ev")
+    val got = Events.nelsonAalen(rows, "dur", "ev")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    assert(got === Seq(
+      (1L, 6L, 1L, r6(1.0 / 6.0), r6(1.0 / 36.0)),
+      (3L, 4L, 2L, r6(1.0 / 6.0 + 2.0 / 4.0),
+        r6(1.0 / 36.0 + 2.0 / 16.0)),
+      (5L, 1L, 1L, r6(1.0 / 6.0 + 2.0 / 4.0 + 1.0),
+        r6(1.0 / 36.0 + 2.0 / 16.0 + 1.0))))
+    assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
+  }
+
   test("cochranQ: hand Q on a 6x3 binary block; degenerate NULL") {
     // G = (5, 5, 2), T = 12, sum L^2 = 28:
     // Q = 2 * (3*(25+25+4) - 144) / (36 - 28) = 4.5

@@ -363,4 +363,52 @@ class RankingSpec extends SparkSpec {
       Ranking.rrfFuse(Seq(l1), "id", "r")
     }
   }
+
+  test("rankBiasedOverlap: identity = 1, disjoint = 0, hand swap case") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 1L), (1L, "y", 2L), (1L, "z", 3L))
+      .toDF("query_id", "item", "r")
+    // identical lists at full depth: rbo exactly 1
+    val self = Ranking.rankBiasedOverlap(a, a, "query_id", "item", "r",
+      p = 0.5, depth = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(self === ((1L, 3L, 1.0)))
+    // top-2 swapped: shared m = (2, 2, 3); expected via the exact
+    // nano-quantized chain the operator ships
+    val b = Seq((1L, "y", 1L), (1L, "x", 2L), (1L, "z", 3L))
+      .toDF("query_id", "item", "r")
+    def wd(d: Int) = math.exp((d - 1) * math.log(0.5)) / d
+    def snano(m: Int) =
+      math.round((m to 3).reverse.foldLeft(0.0)((acc, d) => acc + wd(d))
+        * 1e9)
+    val expected = BigDecimal((1.0 - 0.5) /
+      (1.0 - math.exp(3.0 * math.log(0.5))) *
+      ((snano(2) + snano(2) + snano(3)).toDouble / 1e9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Ranking.rankBiasedOverlap(a, b, "query_id", "item", "r",
+      p = 0.5, depth = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((1L, 3L, expected)))
+    // a rank-1 disagreement hurts more than a rank-3 one (the
+    // top-weighting recall@k lacks): swap (1,2) vs swap (2,3)
+    val c = Seq((1L, "x", 1L), (1L, "z", 2L), (1L, "y", 3L))
+      .toDF("query_id", "item", "r")
+    val lowSwap = Ranking.rankBiasedOverlap(a, c, "query_id", "item",
+      "r", p = 0.5, depth = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(lowSwap._3 > got._3,
+      "a deeper swap must score higher than a top swap")
+    // disjoint lists: the query still emits, at zero
+    val d = Seq((1L, "p", 1L), (1L, "q", 2L)).toDF("query_id", "item", "r")
+    val none = Ranking.rankBiasedOverlap(a, d, "query_id", "item", "r",
+      p = 0.5, depth = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(none === ((1L, 0L, 0.0)))
+    // ranks past depth are ignored on BOTH sides
+    val deep = a.union(Seq((1L, "w", 9L)).toDF("query_id", "item", "r"))
+    val trunc = Ranking.rankBiasedOverlap(deep, deep, "query_id",
+      "item", "r", p = 0.5, depth = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(trunc === ((1L, 3L, 1.0)))
+  }
 }
