@@ -1791,6 +1791,22 @@ $fieldRows"""
     // Sample autocorrelation of the per-minute event-value series at
     // lags 1..5: one lag-dimension equi-join, exact decimal moments,
     // one division per lag.
+    // Cross-correlation clicks→purchases at ±3 minute lags: per-minute
+    // pre-quantized sums (exact longs), cleared-fraction integer
+    // moments, one join on (t + lag).
+    "q_ccf" -> ((s, dir) => {
+      val m = 60000000000L
+      val ts = col("ts")
+      val per = t(s, dir, "events")
+        .groupBy((((ts - pmod(ts, lit(m))) / m)).cast("long").as("minute"))
+        .agg(sum(when(col("event_type") === "click",
+            round(col("value") * 100).cast("long"))).as("clicks"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))).as("purchases"))
+      graft.operators.TimeSeries.crossCorrelation(per, "minute",
+        "clicks", "purchases", maxLag = 3, unitScale = 1L)
+    }),
+
     "q_acf" -> ((s, dir) => {
       val m = 60000000000L
       val ts = col("ts")
@@ -6760,6 +6776,49 @@ $fieldRows"""
         |  CASE WHEN i.n_rel > 0 THEN round(l.aps
         |    / CAST(LEAST(i.n_rel, 20) AS DOUBLE), 6) END AS ap
         |FROM lastrow l LEFT JOIN ideal i ON l.query_id = i.query_id""".stripMargin,
+    // CCF: cleared-fraction exact-integer moments per series, one
+    // (t + lag) join; the sqrt argument multiplies as doubles (the
+    // four-factor integer product would burst 38 digits).
+    "q_ccf" ->
+      """WITH per AS (SELECT
+        |    CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+        |      / 60000000000 AS BIGINT) AS minute,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS clicks,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS purchases
+        |  FROM events GROUP BY 1),
+        |xs AS (SELECT minute AS t, CAST(clicks AS BIGINT) AS u FROM per
+        |  WHERE clicks IS NOT NULL),
+        |ys AS (SELECT minute AS t, CAST(purchases AS BIGINT) AS u
+        |  FROM per WHERE purchases IS NOT NULL),
+        |mx AS (SELECT count(*) AS nx,
+        |    CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS s2x FROM xs),
+        |my AS (SELECT count(*) AS ny,
+        |    CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS s2y FROM ys),
+        |lg AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT)
+        |    AS lag),
+        |sh AS (SELECT ys.t - lg.lag AS t, lg.lag, ys.u AS uy
+        |  FROM ys CROSS JOIN lg),
+        |pl AS (SELECT lag, count(*) AS n_pairs,
+        |    CAST(sum(CAST(xs.u AS HUGEINT) * uy) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(xs.u AS HUGEINT)) AS HUGEINT) AS h,
+        |    CAST(sum(CAST(uy AS HUGEINT)) AS HUGEINT) AS tl
+        |  FROM xs JOIN sh ON xs.t = sh.t GROUP BY lag)
+        |SELECT CAST(lg.lag AS INTEGER) AS lag,
+        |  COALESCE(pl.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN pl.n_pairs > 0
+        |      AND CAST(nx * s2x - sx * sx AS DOUBLE) > 0
+        |      AND CAST(ny * s2y - sy * sy AS DOUBLE) > 0
+        |    THEN round(CAST(nx * ny * sxy - nx * sy * h - ny * sx * tl
+        |        + pl.n_pairs * (sx * sy) AS DOUBLE)
+        |      / sqrt(CAST(nx * ny AS DOUBLE)
+        |        * CAST(nx * s2x - sx * sx AS DOUBLE)
+        |        * CAST(ny * s2y - sy * sy AS DOUBLE)), 6)
+        |  END AS r
+        |FROM lg LEFT JOIN pl USING (lag), mx, my""".stripMargin,
     // ACF: per-minute value sums, one lag-dimension join, exact
     // HUGEINT moments cleared of the mean fractions, one division/lag.
     "q_acf" ->

@@ -284,8 +284,10 @@ object Similarity {
    * norm·norm product are symmetric), so the backward pass needs no
    * re-rounding care.
    *
-   * Scale shape: two NN sweeps (forward src→tgt, backward tgt→src —
-   * partition-local streamed heaps, the corpus never shuffles) +
+   * Scale shape: BOTH sides act as a query batch for one sweep each
+   * ([[bruteForceTopK]] collects+broadcasts its query side — so mine
+   * batch-vs-batch, each side driver-broadcast-sized); the sweeps are
+   * partition-local streamed heaps (the corpus side never shuffles) +
    * id-keyed joins of the two neighborhood-mean frames (|src| and
    * |tgt| rows — AQE broadcasts the small side) + windows bounded at
    * k rows per group. At 100 TB swap the brute-force sweeps for

@@ -454,6 +454,85 @@ object TimeSeries {
   }
 
   /**
+   * Sample cross-correlation function r_xy(k) for k ∈ [−maxLag,
+   * maxLag] (Box & Jenkins 1970) — [[autocorrelation]]'s two-series
+   * sibling and the lead/lag detector: a peak at k > 0 means x LEADS y
+   * by k buckets (marketing spend → conversions, error rate → churn),
+   * at k < 0 y leads x; k = 0 is plain Pearson on the overlap. Each
+   * series is centered/scaled by its own FULL-series mean and variance
+   * (the standard estimator — pairs exist only where both t and t+k
+   * are present, missing buckets shrink n_pairs).
+   *
+   * EXACTNESS: both series quantize at `unitScale`; clearing the means
+   * gives the numerator nx·ny·Σx·y′ − nx·Sy·H_k − ny·Sx·T_k +
+   * P·Sx·Sy — every factor an EXACT DECIMAL(38,0) integer (H/T = pair
+   * head/tail sums) — and r_k = Ai / √(nx·ny·Bi·Ci) with Bi/Ci the
+   * exact integer variance numerators; the √ argument MULTIPLIES AS
+   * DOUBLES (each exact integer converts once — the four-factor
+   * integer product would overflow 38 digits where the numerator does
+   * not), one fixed IEEE chain per lag, 6dp. Both series enforce the
+   * ACF's n ≤ 10⁶ fail-loud decimal-headroom bound.
+   *
+   * Scale shape: two global-moment aggregates, one broadcast of the
+   * 2·maxLag+1 lag dimension, ONE equi-join on (t + lag), one per-lag
+   * aggregate — no window, no self-cross-join (the ACF contract).
+   *
+   * Returns one row per lag: (`lag`, `n_pairs`, `r` — NULL when either
+   * series is constant or the lag has no pairs).
+   */
+  def crossCorrelation(obs: DataFrame, tsCol: String, xCol: String,
+                       yCol: String, maxLag: Int,
+                       unitScale: Long = 100L): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    def series(c: String): DataFrame = obs
+      .filter(col(tsCol).isNotNull && col(c).isNotNull)
+      .select(col(tsCol).cast("long").as("t"),
+        round(col(c) * unitScale).cast("long").as("u"))
+      .lineageCut()
+    def moments(s: DataFrame, who: String): DataFrame = s
+      .agg(count(lit(1)).as(s"n$who"),
+        sum(col("u").cast(dec)).as(s"s$who"),
+        sum(col("u").cast(dec) * col("u")).as(s"s2$who"))
+      .filter(when(col(s"n$who") > 1000000L,
+        raise_error(lit("crossCorrelation: series exceeds 10^6 points " +
+          "(the exact decimal(38,0) headroom) — aggregate to coarser " +
+          "buckets first")).cast("boolean")).otherwise(lit(true)))
+    val xs = series(xCol)
+    val ys = series(yCol)
+    val mx = moments(xs, "x")
+    val my = moments(ys, "y")
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val shifted = ys.crossJoin(broadcast(lags))
+      .select((col("t") - col("lag")).as("t"), col("lag"),
+        col("u").as("uy"))
+    val perLag = xs.join(shifted, Seq("t"))
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("u").cast(dec) * col("uy")).as("sxy"),
+        sum(col("u").cast(dec)).as("h"),
+        sum(col("uy").cast(dec)).as("tl"))
+    val j = broadcast(lags).join(perLag, Seq("lag"), "left")
+      .crossJoin(broadcast(mx)).crossJoin(broadcast(my))
+    val num = (col("nx") * col("ny") * col("sxy") -
+      col("nx") * col("sy") * col("h") -
+      col("ny") * col("sx") * col("tl") +
+      col("n_pairs") * (col("sx") * col("sy"))).cast("double")
+    val bi = (col("nx") * col("s2x") - col("sx") * col("sx"))
+      .cast("double")
+    val ci = (col("ny") * col("s2y") - col("sy") * col("sy"))
+      .cast("double")
+    val den = sqrt((col("nx") * col("ny")).cast("double") * bi * ci)
+    j.select(col("lag").cast("int").as("lag"),
+      coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+      when(col("n_pairs") > 0L && bi > 0d && ci > 0d,
+        round(num / den, 6)).as("r"))
+      .orderBy("lag")
+  }
+
+  /**
    * Ljung-Box portmanteau test (Ljung & Box 1978) — "is this series
    * white noise at all?": Q = n(n+2)·Σ_{k=1..m} r_k²/(n−k) over the
    * [[autocorrelation]] estimates, the one-number gate that decides

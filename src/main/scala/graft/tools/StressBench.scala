@@ -1357,6 +1357,75 @@ object StressBench {
       qJ.stop()
     }
 
+    // Round-13 session-2 additions: the permutation test's reps×n
+    // fan-out through the grouped chunked rank, BH's single-window
+    // honesty, privacy/inclusion aggregates — expect rank-bound
+    // ~linear for perm/bh, aggregate-bound flat-to-linear for the rest.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "r13ops")) {
+      val rows = spark.range(n).toDF("id")
+        .select(col("id"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0)
+            .as("v"),
+          concat(lit("g"), pmod(col("id"), lit(2)).cast("string")).as("g"),
+          pmod(col("id"), lit(1000)).as("qk"),
+          pmod(xxhash64(col("id"), lit(7)), lit(50)).as("sens"))
+        .cache()
+      rows.count()
+      run("perm_test_r19", n)(
+        graft.operators.Profiling.permutationTestMeanDiff(
+          rows, "id", "v", "g", "g0", reps = 19).count())
+      run("bh_fdr", n)(
+        graft.operators.Profiling.benjaminiHochberg(
+          rows.select(col("id"), (col("v") / 100.0).as("p")), "id", "p")
+          .count())
+      run("k_anon", n)(
+        graft.operators.Privacy.kAnonymityReport(rows, Seq("qk"), 10L)
+          .count())
+      run("l_div", n)(
+        graft.operators.Privacy.lDiversityClasses(rows, Seq("qk"),
+          "sens", 5L).count())
+      run("ind_check", n)(
+        graft.operators.Profiling.inclusionCoverage(
+          rows, "qk", rows.filter(col("id") % 3 === 0), "id").count())
+      rows.unpersist()
+    }
+
+    // Bitext mining is QUADRATIC in the batch sizes by construction
+    // (brute sweeps both ways) — measured at doubling batch sizes so
+    // the ~4× steps are on display; the operator doc prescribes the
+    // IVF-probe swap past broadcastable batches. MMD is the gated n².
+    for (n <- (Seq(5000L, 10000L) ++ (if (xl) Seq(20000L) else Nil))
+           if only.forall(_ == "r13vec")) {
+      val src = synthVecs(spark, n)
+      val tgt = synthVecs(spark, n).select(
+        (col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      run("bitext_mine_k8", n)(
+        Similarity.bitextMine(src, tgt, k = 8).count())
+    }
+    for (n <- (Seq(1024L, 2048L) ++ (if (xl) Seq(4096L) else Nil))
+           if only.forall(_ == "r13vec")) {
+      val x = synthVecs(spark, n)
+      val y = synthVecs(spark, n).select(
+        (col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      run("mmd_cosine", n)(
+        Similarity.mmdCosine(x, y, maxRows = 5000L).count())
+    }
+
+    // Skip-grams: scan + one map-side-combined count shuffle; window
+    // growth multiplies pair volume linearly (w=2 vs w=4 on display)
+    for (n <- (Seq(80000L, 320000L) ++ (if (xl) Seq(1280000L) else Nil))
+           if only.forall(_ == "r13text")) {
+      val docs = synthDocs(spark, n).cache(); docs.count()
+      run("skipgrams_w2", n)(
+        graft.operators.TextAnalysis.skipGramPairs(docs, "text", 2,
+          minCount = 2L).count())
+      run("skipgrams_w4", n)(
+        graft.operators.TextAnalysis.skipGramPairs(docs, "text", 4,
+          minCount = 2L).count())
+      docs.unpersist()
+    }
+
     // scaling factors op by op: sec(16x)/sec(1x) — linear ⇒ ~16, and the
     // fixed per-job overhead at these sizes usually keeps it below that
     println("op,n,seconds,rows")

@@ -248,4 +248,41 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Int, Long, Option[Double])].collect().head
     assert(g2 === ((4L, 2, 0L, None)))
   }
+
+  test("crossCorrelation: exact r = 1 at the true lead; bounds; " +
+      "constant series NULL") {
+    import spark.implicits._
+    // y_t = 2·x_{t-1}: x leads y by ONE bucket, so the peak is at
+    // lag +1 — and because the pair sets there are the FULL series,
+    // centering is exact and r = 1 exactly
+    val rows = Seq(
+      (1L, Some(1.0), Option.empty[Double]),
+      (2L, Some(2.0), Some(2.0)),
+      (3L, Some(3.0), Some(4.0)),
+      (4L, Some(4.0), Some(6.0)),
+      (5L, Option.empty[Double], Some(8.0)))
+      .toDF("t", "x", "y")
+    val got = TimeSeries.crossCorrelation(rows, "t", "x", "y",
+      maxLag = 2, unitScale = 1L)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    val byLag = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.map(_._1).toSeq === Seq(-2, -1, 0, 1, 2))
+    assert(byLag(1) === ((4L, Some(1.0))))
+    // every other lag correlates strictly less
+    assert(byLag.filter(_._1 != 1).values.forall(v =>
+      v._2.forall(_ < 1.0)))
+    // pair counts shrink at the edges
+    assert(byLag(2)._1 === 3L && byLag(-2)._1 === 1L)
+    // a constant series has zero variance -> NULL r everywhere
+    val const = rows.withColumn("y",
+      org.apache.spark.sql.functions.lit(5.0))
+    val c = TimeSeries.crossCorrelation(const, "t", "x", "y", 1, 1L)
+      .as[(Int, Long, Option[Double])].collect()
+    assert(c.forall(_._3.isEmpty))
+    // ccf(x, x) at lag 0 is plain Pearson of the series with itself
+    val self = TimeSeries.crossCorrelation(rows, "t", "x", "x", 1, 1L)
+      .as[(Int, Long, Option[Double])].collect()
+      .find(_._1 == 0).get
+    assert(self === ((0, 4L, Some(1.0))))
+  }
 }
