@@ -1719,7 +1719,7 @@ $fieldRows"""
         .select("dep", "n_child_distinct", "n_missing", "coverage", "holds")
     }),
 
-    // Exact-integer permutation test (199 md5-replicable relabelings of
+    // Exact-integer permutation test (49 md5-replicable relabelings of
     // click vs rest event values): the replica rank runs the chunked
     // grouped rank (a replica IS the canonical giant group); zero
     // floating point until the final p division.
@@ -1727,7 +1727,7 @@ $fieldRows"""
       graft.operators.Profiling.permutationTestMeanDiff(
         t(s, dir, "events")
           .select(col("event_id"), col("value"), col("event_type")),
-        "event_id", "value", "event_type", "click", reps = 199)
+        "event_id", "value", "event_type", "click", reps = 49)
     }),
 
     // k-anonymity release gate over {nation, segment} quasi-identifiers
@@ -6585,7 +6585,7 @@ $fieldRows"""
         |    CAST(sum(u) AS HUGEINT) AS s_tot FROM base),
         |rep AS (SELECT id, u, b, md5(id || ':' || b) AS mk
         |  FROM base CROSS JOIN
-        |    (SELECT unnest(generate_series(0, 198)) AS b)),
+        |    (SELECT unnest(generate_series(0, 48)) AS b)),
         |rk AS (SELECT b, u, row_number() OVER (PARTITION BY b
         |    ORDER BY mk, id) AS rk FROM rep),
         |sa AS (SELECT b,
@@ -6597,12 +6597,12 @@ $fieldRows"""
         |      >= abs(o.sa_obs * o.n_b - (o.s_tot - o.sa_obs) * o.n_a))
         |    AS BIGINT) AS n_ge
         |  FROM sa, obs o)
-        |SELECT o.n_a, o.n_b, 199 AS reps,
+        |SELECT o.n_a, o.n_b, 49 AS reps,
         |  round(CAST(o.sa_obs AS DOUBLE) / CAST(o.n_a * 100 AS DOUBLE)
         |    - CAST(o.s_tot - o.sa_obs AS DOUBLE)
         |      / CAST(o.n_b * 100 AS DOUBLE), 6) AS mean_diff,
         |  ct.n_ge,
-        |  round(CAST(1 + ct.n_ge AS DOUBLE) / 200.0, 6) AS p_value
+        |  round(CAST(1 + ct.n_ge AS DOUBLE) / 50.0, 6) AS p_value
         |FROM obs o, ct""".stripMargin,
     // k-anonymity: one class aggregate + one-row rollup, exact longs.
     "q_k_anonymity" ->
