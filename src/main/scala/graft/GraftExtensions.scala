@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import org.apache.spark.sql.graft.{BloomContainsProbe, CanonicalTokens, CharEntropy, CmsGeProbe, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, JaroSim, JaroWinklerSim, MinHashSig, NfcClean, RepetitionStats, SigAgree, SimHash64, WordNgrams, ZOrder62, ZOrder63}
+import org.apache.spark.sql.graft.{BloomContainsProbe, CanonicalTokens, CharEntropy, CmsGeProbe, CosineSim, EsMurmur3Hash, EsShard, HyperplaneSig, JaroSim, JaroWinklerSim, MinHashSig, NfcClean, RepetitionStats, SigAgree, SimHash64, WordNgrams, WordSkipgrams, ZOrder62, ZOrder63}
 
 /**
  * SparkSessionExtensions hook exposing the engine's native expressions to
@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "word_ngrams",
       "word_ngrams(text, n) - lowercase word n-grams, space-joined",
       { case Seq(text, n) => WordNgrams(text, intLit(n, "n")) })
+
+    register(ext, "word_skipgrams",
+      "word_skipgrams(text, window) - lowercase skip-gram 'center context' pairs for offsets ±1..±window",
+      { case Seq(text, w) => WordSkipgrams(text, intLit(w, "window")) })
 
     register(ext, "repetition_stats",
       "repetition_stats(text, n) - [ntok, total_grams, max_gram_count, dup_gram_occurrences]",

@@ -3064,6 +3064,15 @@ $fieldRows"""
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))
     }),
 
+    // DIMSUM all-pairs term cosine: the doc-keyed pair fan-out dies in
+    // a pipelined md5 coin whose data-dependent threshold is an IN-PLAN
+    // %08x hex literal; constant-per-pair integer contributions.
+    "text_dimsum" -> ((s, dir) => {
+      graft.operators.TextAnalysis.termSimilarityDimsum(
+        t(s, dir, "documents"), "doc_id", "text",
+        gamma = 15.0, minSim = 0.15, minDf = 5L, maxTermsPerDoc = 32)
+    }),
+
     // word2vec training-pair generation: ±2-window skip-gram counts via
     // the native codegen'd word_skipgrams (one pass per doc, no window
     // functions, no self-join); one map-side-combined count shuffle.
@@ -8635,6 +8644,42 @@ $fieldRows"""
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |         AS INTEGER) AS n_subwords
         |FROM documents""".stripMargin,
+    // DIMSUM: the md5 coin + %08x threshold + constant-per-pair
+    // micro-contributions replicated stage for stage.
+    "text_dimsum" ->
+      """WITH dt AS (SELECT DISTINCT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(trim(text)) > 0),
+        |dfq AS (SELECT term, count(*) AS dft FROM dt GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |cap AS (SELECT id, term, dft FROM (SELECT dt.id, dt.term,
+        |    dfq.dft,
+        |    row_number() OVER (PARTITION BY id ORDER BY term) AS rk
+        |  FROM dt JOIN dfq USING (term)) WHERE rk <= 32),
+        |pr AS (SELECT a.id, a.term AS ta, a.dft AS dfa,
+        |    b.term AS tb, b.dft AS dfb
+        |  FROM cap a JOIN cap b ON a.id = b.id AND a.term < b.term),
+        |co AS (SELECT *, least(1.0, 15.0 / (sqrt(CAST(dfa AS DOUBLE))
+        |    * sqrt(CAST(dfb AS DOUBLE)))) AS p FROM pr),
+        |kept AS (SELECT * FROM co WHERE p >= 1.0
+        |    OR substr(md5(id || ':' || ta || ':' || tb), 1, 8)
+        |      < printf('%08x', CAST(least(round(p * 4294967296.0),
+        |          4294967295.0) AS BIGINT))),
+        |ag AS (SELECT ta, dfa, tb, dfb, count(*) AS n_kept,
+        |    CAST(sum(CAST(round(1000000.0 / p) AS BIGINT)) AS BIGINT)
+        |      AS micro
+        |  FROM kept GROUP BY 1, 2, 3, 4)
+        |SELECT ta AS term_a, tb AS term_b, dfa AS df_a, dfb AS df_b,
+        |  n_kept,
+        |  round((CAST(micro AS DOUBLE) / 1000000.0)
+        |    / (sqrt(CAST(dfa AS DOUBLE)) * sqrt(CAST(dfb AS DOUBLE))),
+        |    6) AS cosine,
+        |  (15.0 * 15.0 >= CAST(dfa * dfb AS DOUBLE)) AS exact
+        |FROM ag WHERE round((CAST(micro AS DOUBLE) / 1000000.0)
+        |  / (sqrt(CAST(dfa AS DOUBLE)) * sqrt(CAST(dfb AS DOUBLE))), 6)
+        |  >= 0.15""".stripMargin,
     // Skip-grams: positional self-join replica of the one-pass native
     // expression; LowerTokenizer == regexp_split_to_array(trim(lower()))
     // including Java split's leading-empty quirk (load-bearing parity).

@@ -371,6 +371,92 @@ object TextAnalysis {
   }
 
   /**
+   * DIMSUM term-similarity: all-pairs cosine between TERM columns of
+   * the binary doc×term matrix with dimension-independent sampling
+   * (Zadeh & Goel 2013, "Dimension independent similarity computation"
+   * — the MapReduce-era answer to "all-pairs similarity without the
+   * full quadratic shuffle"). Each co-occurrence (doc, t_a, t_b)
+   * survives a coin with p = min(1, γ/(√df_a·√df_b)), so HIGH-df pairs
+   * — the ones with quadratically many co-occurrences — are sampled
+   * down exactly in proportion, and the post-coin shuffle volume is
+   * O(vocab·γ²)-ish, independent of the document count. Pairs with
+   * √(df_a·df_b) ≤ γ take p = 1: their cosines are EXACT, not
+   * estimates (`exact` flags this per pair).
+   *
+   * DETERMINISM: the coin is md5(doc ‖ ':' ‖ t_a ‖ ':' ‖ t_b) compared
+   * against an IN-PLAN hex threshold `format_string("%08x",
+   * round(p·2³²))` — the [[Samples]] md5-threshold mechanism with a
+   * DATA-DEPENDENT p (both engines zero-pad lowercase hex, so the
+   * lexicographic compare is the numeric compare) — making the
+   * "random" sample bit-identical in Spark and the DuckDB oracle.
+   * Each survivor contributes the CONSTANT-per-pair integer
+   * round(10⁶/p); the pair sum is an exact long (no float summation
+   * anywhere), and cosine = (Σ/10⁶)/(√df_a·√df_b) is one fixed IEEE
+   * chain rounded 6dp. The output filter compares the ROUNDED cosine
+   * to `minSim`.
+   *
+   * Scale shape: the quadratic pair fan-out happens in the STREAMED
+   * output of a doc-keyed self-join and dies in the pipelined coin
+   * filter before the pair aggregate's map-side combine — shuffled
+   * bytes are O(doc·terms) in, O(survivors) out (the DIMSUM claim,
+   * honored by construction). Per-doc term lists are capped
+   * DETERMINISTICALLY at `maxTermsPerDoc` (rank by term — the long-row
+   * guard; stated, replicated by the oracle) and the df band
+   * [`minDf`, `maxDf`] prunes hapax noise and stopword rows before
+   * any pair forms.
+   *
+   * Returns one row per surviving pair: (`term_a`, `term_b`, `df_a`,
+   * `df_b`, `n_kept`, `cosine`, `exact`).
+   */
+  def termSimilarityDimsum(df: DataFrame, idCol: String, textCol: String,
+                           gamma: Double = 20.0, minSim: Double = 0.1,
+                           minDf: Long = 2L, maxDf: Long = Long.MaxValue,
+                           maxTermsPerDoc: Int = 64): DataFrame = {
+    require(gamma > 0.0, s"gamma must be > 0: $gamma")
+    require(minDf >= 1L && maxDf >= minDf, s"bad df band [$minDf, $maxDf]")
+    require(maxTermsPerDoc >= 2, s"maxTermsPerDoc must be >= 2")
+    val dt = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("dft"))
+      .filter(col("dft") >= minDf && col("dft") <= maxDf)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("term")
+    val capped = dt.join(dfreq, "term")
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") <= maxTermsPerDoc)
+      .select("id", "term", "dft")
+    val a = capped.select(col("id"), col("term").as("ta"),
+      col("dft").as("dfa"))
+    val b = capped.select(col("id"), col("term").as("tb"),
+      col("dft").as("dfb"))
+    val p = least(lit(1.0), lit(gamma) /
+      (sqrt(col("dfa").cast("double")) * sqrt(col("dfb").cast("double"))))
+    val coin = substring(md5(concat(col("id").cast("string"), lit(":"),
+      col("ta"), lit(":"), col("tb"))), 1, 8) <
+      format_string("%08x",
+        least(round(p * lit(4294967296.0)), lit(4294967295.0))
+          .cast("long"))
+    val kept = a.join(b, Seq("id")).filter(col("ta") < col("tb"))
+      .withColumn("__p", p)
+      .filter(col("__p") >= 1.0 || coin)
+      .withColumn("__c", round(lit(1e6) / col("__p")).cast("long"))
+    kept.groupBy("ta", "dfa", "tb", "dfb")
+      .agg(count(lit(1)).as("n_kept"), sum("__c").as("__micro"))
+      .select(col("ta").as("term_a"), col("tb").as("term_b"),
+        col("dfa").as("df_a"), col("dfb").as("df_b"), col("n_kept"),
+        round((col("__micro").cast("double") / lit(1e6)) /
+          (sqrt(col("dfa").cast("double")) *
+            sqrt(col("dfb").cast("double"))), 6).as("cosine"),
+        (lit(gamma) * lit(gamma) >=
+          (col("dfa") * col("dfb")).cast("double")).as("exact"))
+      .filter(col("cosine") >= lit(minSim))
+  }
+
+  /**
    * RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
    * extraction from individual documents"): candidate phrases are the
    * maximal token runs between stopwords/punctuation; each word scores

@@ -31,6 +31,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |                 minhash_sig('abcdef', 32, 4)) AS sa,
           |       canonical_tokens('B a b') AS ct,
           |       word_ngrams('New York City', 2) AS ng,
+          |       word_skipgrams('a b c', 2) AS sg,
           |       repetition_stats('a b a b', 2) AS rs,
           |       char_entropy('aabb') AS ce,
           |       zorder62(3, 1) AS z,
@@ -49,17 +50,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(6) === 32)
       assert(r.getString(7) === "a b")
       assert(r.getSeq[String](8) === Seq("new york", "york city"))
+      assert(r.getSeq[String](9) === Seq("a b", "b a", "a c", "c a",
+        "b c", "c b"))
       // [ntok=4, grams=3, max("a b")=2, dup occurrences=2]
-      assert(r.getSeq[Long](9) === Seq(4L, 3L, 2L, 2L))
-      assert(r.getDouble(10) === 1.0)
+      assert(r.getSeq[Long](10) === Seq(4L, 3L, 2L, 2L))
+      assert(r.getDouble(11) === 1.0)
       // a=0b11 → even bits 0,2; b=0b1 → odd bit 1 → 0b111 = 7
-      assert(r.getLong(11) === 7L)
-      // three dims, bit 0 each → bits 0,1,2 → 7
       assert(r.getLong(12) === 7L)
-      assert(r.getString(13) === "https://example.com/Path")
-      assert(r.getString(14) === "a b")
-      assert(math.abs(r.getDouble(15) - 0.9444444444444445) < 1e-12)
-      assert(math.abs(r.getDouble(16) - 0.9611111111111111) < 1e-12)
+      // three dims, bit 0 each → bits 0,1,2 → 7
+      assert(r.getLong(13) === 7L)
+      assert(r.getString(14) === "https://example.com/Path")
+      assert(r.getString(15) === "a b")
+      assert(math.abs(r.getDouble(16) - 0.9444444444444445) < 1e-12)
+      assert(math.abs(r.getDouble(17) - 0.9611111111111111) < 1e-12)
 
       // sketch probes: the serialized sketch rides in as a binary literal
       val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.99, 42)

@@ -804,4 +804,68 @@ class TextAnalysisSpec extends SparkSpec {
     // the quirk is pinned: a leading tab yields an empty center token
     assert(got2.exists { case (c, x, _) => c == "" && x == "the" })
   }
+
+  test("termSimilarityDimsum: exact path equals brute cosine; sampled " +
+      "path bit-matches an in-JVM md5 replay") {
+    import spark.implicits._
+    // 6 docs: df(a)=4 (1-4), df(b)=4 (1,2,4,6), df(c)=3 (1,3,5),
+    // df(d)=2 (3,4); co-docs: ab=3, ac=2, bc=1, ad=2, bd=1, cd=1
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a c d"),
+      (4L, "a b d"), (5L, "c x? no"), (6L, "b z"))
+      .toDF("doc_id", "text")
+    // wide gamma -> every pair exact: cosine = co/(sqrt(dfa)sqrt(dfb))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exact = TextAnalysis.termSimilarityDimsum(docs, "doc_id", "text",
+      gamma = 100.0, minSim = 0.0, minDf = 2L)
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    def cos(co: Long, da: Long, dbb: Long) =
+      r6((co * 1e6).toLong.toDouble / 1e6 /
+        (math.sqrt(da.toDouble) * math.sqrt(dbb.toDouble)))
+    assert(exact(("a", "b"))._6 === cos(3, 4, 4) &&
+      exact(("a", "b"))._7 === true)
+    assert(exact(("a", "c"))._6 === cos(2, 4, 3))
+    assert(exact(("b", "c"))._6 === cos(1, 4, 3))
+    assert(exact(("c", "d"))._6 === cos(1, 3, 2))
+    assert(!exact.contains(("a", "x?"))) // hapax pruned by minDf
+    // tight gamma -> the (a, b) pair samples; replay the coin in-JVM
+    val g = 1.5
+    val got = TextAnalysis.termSimilarityDimsum(docs, "doc_id", "text",
+      gamma = g, minSim = 0.0, minDf = 2L)
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def replay(ta: String, dfa: Long, tb: String, dfb: Long,
+               coDocs: Seq[Long]): Option[(Long, Double)] = {
+      val p = math.min(1.0,
+        g / (math.sqrt(dfa.toDouble) * math.sqrt(dfb.toDouble)))
+      val thr = "%08x".format(
+        math.min(math.round(p * 4294967296.0), 4294967295L))
+      val kept = coDocs.filter(d =>
+        p >= 1.0 || md5hex(s"$d:$ta:$tb").substring(0, 8) < thr)
+      if (kept.isEmpty) None
+      else {
+        val micro = kept.size.toLong * math.round(1e6 / p)
+        Some((kept.size.toLong, r6(micro.toDouble / 1e6 /
+          (math.sqrt(dfa.toDouble) * math.sqrt(dfb.toDouble)))))
+      }
+    }
+    val ab = replay("a", 4, "b", 4, Seq(1L, 2L, 4L))
+    got.get(("a", "b")) match {
+      case Some(r) =>
+        assert(ab === Some((r._5, r._6)), "kept count + cosine replay")
+        assert(!r._7, "sampled pair must not claim exactness")
+      case None => assert(ab.isEmpty, "coin dropped all co-occurrences")
+    }
+    // the df band prunes: minDf = 3 removes every pair involving d
+    val banded = TextAnalysis.termSimilarityDimsum(docs, "doc_id",
+      "text", gamma = 100.0, minSim = 0.0, minDf = 3L)
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect()
+    assert(banded.map(r => (r._1, r._2)).toSet ===
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
 }
