@@ -1730,6 +1730,22 @@ $fieldRows"""
         "event_id", "value", "event_type", "click", reps = 49)
     }),
 
+    // Declarative expectation battery over orders: 5 row rules in ONE
+    // aggregate + a uniqueness aggregate + an FK anti-join; exact
+    // violation counts per rule, machine-checkable pass flags.
+    "q_expectations" -> ((s, dir) => {
+      import graft.operators.Quality
+      import graft.operators.Quality._
+      Quality.checkExpectations(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        InSet("o_orderstatus", Seq("F", "O", "P")),
+        MatchesRegex("o_orderpriority", "[1-5]-[A-Z]+"),
+        Custom("positive_key", col("o_orderkey") > 0),
+        Unique(Seq("o_orderkey")),
+        ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+
     // k-anonymity release gate over {nation, segment} quasi-identifiers
     // at k = 10: one class aggregate + one-row rollup, exact longs.
     "q_k_anonymity" -> ((s, dir) => {
@@ -6613,6 +6629,42 @@ $fieldRows"""
         |  ct.n_ge,
         |  round(CAST(1 + ct.n_ge AS DOUBLE) / 50.0, 6) AS p_value
         |FROM obs o, ct""".stripMargin,
+    // Expectations: one scalar subquery per rule; regex via
+    // regexp_full_match == the anchored rlike wrapper.
+    "q_expectations" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT idx, rule, n.n_rows, violations,
+        |  (violations = 0) AS pass FROM n, (
+        |  SELECT 0 AS idx, 'not_null(o_custkey)' AS rule,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |      AS violations
+        |  UNION ALL
+        |  SELECT 1, 'in_range(o_totalprice,0.0,400000.0)',
+        |    (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 400000.0))
+        |  UNION ALL
+        |  SELECT 2, 'in_set(o_orderstatus)',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O', 'P'))
+        |  UNION ALL
+        |  SELECT 3, 'matches_regex(o_orderpriority)',
+        |    (SELECT count(*) FROM orders
+        |      WHERE o_orderpriority IS NOT NULL
+        |      AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z]+'))
+        |  UNION ALL
+        |  SELECT 4, 'positive_key',
+        |    (SELECT count(*) FROM orders
+        |      WHERE o_orderkey IS NULL OR NOT (o_orderkey > 0))
+        |  UNION ALL
+        |  SELECT 5, 'unique(o_orderkey)',
+        |    (SELECT count(*) FROM orders)
+        |      - (SELECT count(*) FROM
+        |          (SELECT DISTINCT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 6, 'foreign_key(o_custkey)',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |        WHERE c_custkey IS NOT NULL)))""".stripMargin,
     // k-anonymity: one class aggregate + one-row rollup, exact longs.
     "q_k_anonymity" ->
       """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS cs
