@@ -241,6 +241,145 @@ $fieldRows"""
        |      GROUP BY 1, 2$sup)""".stripMargin
   }
 
+  /**
+   * The q_markov_attr DuckDB oracle, GENERATED: journey construction
+   * replicates the operator's window passes; the transition counts
+   * pivot to ONE row of DOUBLE cells; and the absorption solve —
+   * Gaussian elimination on (I − A | b) in FIXED pivot order, one
+   * scenario per removed channel plus the full chain — UNROLLS as
+   * chained CTEs whose every update `m_ij − (m_ik/m_kk)·m_kj` and
+   * every back-substitution chain is rendered left-assoc exactly as
+   * the operator's driver computes it (the fsEmOracleSql contract).
+   */
+  private def markovOracleSql(channels: Seq[String],
+                              conv: String): String = {
+    val chs = channels.sorted
+    val states = "START" +: chs
+    val dsts = chs ++ Seq("CONV", "NULL")
+    val n = states.size
+    def cn(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val scen: Seq[(String, Option[String])] =
+      ("full", None) +: chs.map(c => (cn(c), Some(c)))
+    val tyList = (conv +: chs).map(t => s"'$t'").mkString(", ")
+    val journey =
+      s"""ev AS (SELECT user_id, event_type AS ty, epoch_ns(ts) AS ets,
+        |    event_id AS eid
+        |  FROM events WHERE event_type IN ($tyList)
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |rn AS (SELECT user_id, ty, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ets, eid) AS rn FROM ev),
+        |cp AS (SELECT user_id, min(rn) AS crn FROM rn
+        |  WHERE ty = '$conv' GROUP BY 1),
+        |kept AS (SELECT r.user_id, r.ty, r.rn FROM rn r
+        |  LEFT JOIN cp USING (user_id)
+        |  WHERE cp.crn IS NULL OR r.rn <= cp.crn),
+        |touches AS (SELECT user_id, ty, rn FROM kept
+        |  WHERE ty <> '$conv'),
+        |steps AS (SELECT COALESCE(lag(ty) OVER (PARTITION BY user_id
+        |    ORDER BY rn), 'START') AS src, ty AS dst FROM touches),
+        |lastt AS (SELECT user_id, ty FROM (SELECT user_id, ty,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY rn DESC)
+        |      AS rr FROM touches) WHERE rr = 1),
+        |ends AS (SELECT COALESCE(lastt.ty, 'START') AS src,
+        |    CASE WHEN cp.crn IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+        |      AS dst
+        |  FROM (SELECT DISTINCT user_id FROM rn) u
+        |  LEFT JOIN lastt USING (user_id) LEFT JOIN cp USING (user_id)),
+        |cnt AS (SELECT src, dst, count(*) AS c FROM
+        |  (SELECT src, dst FROM steps UNION ALL
+        |   SELECT src, dst FROM ends) GROUP BY 1, 2)""".stripMargin
+    val tCols = (for { s <- states; d <- dsts } yield
+      s"  CAST(COALESCE(SUM(CASE WHEN src = '$s' AND dst = '$d' " +
+        s"THEN c END), 0) AS DOUBLE) AS t_${cn(s)}_${cn(d)}")
+      .mkString(",\n")
+    val pCols = (for { s <- states; d <- dsts } yield {
+      val tot = dsts.map(dd => s"t_${cn(s)}_${cn(dd)}").mkString(" + ")
+      s"  CASE WHEN ($tot) > 0 THEN t_${cn(s)}_${cn(d)} / ($tot) " +
+        s"ELSE CAST(0 AS DOUBLE) END AS p_${cn(s)}_${cn(d)}"
+    }).mkString(",\n")
+    def pTerm(rm: Option[String], s: String, d: String): String =
+      if (rm.contains(d)) "CAST(0 AS DOUBLE)"
+      else s"p_${cn(s)}_${cn(d)}"
+    // e0: the augmented (I − A | b) cells per scenario
+    val e0 = scen.flatMap { case (sc, rm) =>
+      (0 until n).flatMap { i =>
+        (0 to n).map { j =>
+          val expr =
+            if (j == n) pTerm(rm, states(i), "CONV")
+            else if (j == 0) {
+              if (i == 0) "CAST(1 AS DOUBLE)" else "CAST(0 AS DOUBLE)"
+            } else {
+              val a = pTerm(rm, states(i), states(j))
+              if (i == j) s"(CAST(1 AS DOUBLE) - $a)"
+              else s"(CAST(0 AS DOUBLE) - $a)"
+            }
+          s"$expr AS m0_${sc}_${i}_$j"
+        }
+      }
+    }.mkString(",\n    ")
+    // elimination steps k = 0..n-2 (CTE e{k+1} from e{k})
+    val elim = (0 until n - 1).map { k =>
+      val cols = scen.flatMap { case (sc, _) =>
+        (0 until n).flatMap { i =>
+          (0 to n).map { j =>
+            val prev = s"m${k}_${sc}_${i}_$j"
+            val expr =
+              if (i <= k) prev
+              else s"($prev - (m${k}_${sc}_${i}_$k / " +
+                s"m${k}_${sc}_${k}_$k) * m${k}_${sc}_${k}_$j)"
+            s"$expr AS m${k + 1}_${sc}_${i}_$j"
+          }
+        }
+      }.mkString(",\n    ")
+      s"e${k + 1} AS (SELECT\n    $cols\n  FROM e$k)"
+    }.mkString(",\n")
+    // back-substitution, one CTE per unknown, descending
+    val last = n - 1
+    val back = (0 until n).reverse.map { i =>
+      val from = if (i == last) s"e$last" else s"b${i + 1}"
+      val cols = scen.map { case (sc, _) =>
+        val num = (i + 1 until n).foldLeft(
+          s"m${last}_${sc}_${i}_$n") { (acc, j) =>
+          s"($acc - m${last}_${sc}_${i}_$j * v_${sc}_$j)"
+        }
+        s"($num / m${last}_${sc}_${i}_$i) AS v_${sc}_$i"
+      }.mkString(",\n    ")
+      s"b$i AS (SELECT *,\n    $cols\n  FROM $from)"
+    }.mkString(",\n")
+    val res = chs.map(c =>
+      s"(CAST(1 AS DOUBLE) - v_${cn(c)}_0 / v_full_0) AS re_${cn(c)}")
+      .mkString(",\n    ")
+    val reSum = chs.map(c => s"re_${cn(c)}").mkString(" + ")
+    val rows = chs.map { c =>
+      s"""  SELECT '$c' AS channel,
+        |    CASE WHEN pf > 0 THEN round(re_${cn(c)}, 6) END
+        |      AS removal_effect,
+        |    CASE WHEN pf > 0 AND rs > 0 THEN round(re_${cn(c)} / rs, 6)
+        |      END AS attribution,
+        |    CASE WHEN pf > 0 THEN round(pf, 6) END AS p_conv
+        |  FROM fin2""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $journey,
+      |pc AS (SELECT
+      |$tCols
+      |  FROM cnt),
+      |pp AS (SELECT
+      |$pCols
+      |  FROM pc),
+      |e0 AS (SELECT
+      |    $e0
+      |  FROM pp),
+      |$elim,
+      |$back,
+      |fin AS (SELECT v_full_0 AS pf,
+      |    $res,
+      |    CAST(0 AS DOUBLE) AS __pad
+      |  FROM b0),
+      |fin2 AS (SELECT *, ($reSum) AS rs FROM fin)
+      |SELECT channel, removal_effect, attribution, p_conv FROM (
+      |$rows)""".stripMargin
+  }
+
   /** Unrolled per-seed BFS + harmonic aggregate oracle: one `hops`-deep
     * frontier CTE chain per seed over the part↔supplier link graph,
     * each collapsing to (seed, n_reached, harmonic) with the exact
@@ -1634,6 +1773,16 @@ $fieldRows"""
         (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           === 1L).as("converted"))
       graft.operators.Events.kaplanMeier(per, "dur_min", "converted")
+    }),
+
+    // Markov-chain attribution with removal effects: one window pass +
+    // one transition-count aggregate; exact Gaussian-elimination
+    // absorption solve on the driver, replayed by a generated
+    // elimination-CTE oracle.
+    "q_markov_attr" -> ((s, dir) => {
+      graft.operators.Events.markovAttribution(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", "purchase",
+        Seq("click", "signup", "error", "view"))
     }),
 
     // Nelson-Aalen cumulative hazard over the same spans as the KM
@@ -6399,6 +6548,10 @@ $fieldRows"""
         |  CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
         |    AS survival
         |FROM st WHERE d > 0""".stripMargin,
+    // Markov attribution: generated journey + pivot + elimination
+    // oracle (see markovOracleSql).
+    "q_markov_attr" -> markovOracleSql(
+      Seq("click", "signup", "error", "view"), "purchase"),
     // Nelson-Aalen: the KM level/at-risk machinery with running d/n
     // and d/n² folds instead of the ln-product.
     "q_nelson_aalen" ->

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.LineageCut.CutOps
+
 /**
  * Event-stream analytics over (user, type, time, value) logs — the
  * product-analytics family next to [[Funnel]] and
@@ -662,6 +664,154 @@ object Events {
    * Scale shape: one map-side-combined aggregate to ONE row; no
    * shuffle wider than four longs.
    */
+  /**
+   * First-order Markov-chain attribution with removal effects (Anderl
+   * et al. 2014, "Mapping the customer journey") — the data-driven
+   * answer to last-touch bias: journeys become a Markov chain
+   * START → channels → {CONV, NULL}, and a channel's credit is its
+   * REMOVAL EFFECT — how much absorption probability into CONV drops
+   * when every edge into that channel redirects to NULL — normalized
+   * across channels into attribution shares. [[attribution]]'s
+   * rule-based models (first/last/linear) answer "who touched";
+   * this answers "who was CAUSALLY load-bearing in the graph".
+   *
+   * Journey construction (stated): per user, events of the given
+   * channel types plus `conversionType` order by (ts, id); the path
+   * truncates at the FIRST conversion (→ CONV) or runs to the end
+   * (→ NULL); transitions are START→first touch, touch→touch,
+   * last-touch-or-START→{CONV, NULL}. Event types outside
+   * channels+conversion are ignored.
+   *
+   * EXACTNESS: the DISTRIBUTED work is one transition-count aggregate
+   * (exact longs over a (K+2)²-bounded state space); each transition
+   * probability is ONE division of exact longs; the absorption system
+   * (I − A)v = b solves EXACTLY by driver-side Gaussian elimination in
+   * FIXED pivot order (no magnitude pivoting — I − A of a substochastic
+   * chain is an M-matrix, the natural diagonal never vanishes while
+   * the chain can convert), every update m_ij − (m_ik/m_kk)·m_kj and
+   * every back-substitution fold a PINNED left-assoc chain — the
+   * fellegiSunterEM determinism contract, so the GENERATED
+   * elimination-CTE oracle replays the arithmetic bit-for-bit. K+1
+   * scenarios solve (full + each channel removed; removal zeroes the
+   * p(·→c) terms — redirect-to-NULL); outputs round 6dp at the end
+   * only.
+   *
+   * Scale shape: journeys need one user-keyed window pass + one
+   * count aggregate; the driver holds (K+2)² longs and runs
+   * O(K³·(K+1)) flops — `channels.size` ≤ 64 enforced, so the
+   * solve is microseconds regardless of corpus size. Nothing
+   * row-proportional ever reaches the driver.
+   *
+   * Returns one row per channel (ascending): (`channel`,
+   * `removal_effect`, `attribution`, `p_conv` — the full-chain
+   * conversion probability, identical on every row; all NULL when the
+   * chain never converts).
+   */
+  def markovAttribution(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String,
+                        conversionType: String,
+                        channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.distinct.size == channels.size,
+      "channels must be non-empty and distinct")
+    require(channels.size <= 64, s"too many channels: ${channels.size}")
+    require(!channels.contains(conversionType),
+      "conversionType cannot also be a channel")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chs = channels.sorted
+    val base = df
+      .filter(col(typeCol).isin((conversionType +: chs).map(x => x: Any): _*) &&
+        col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).cast("string").as("ty"),
+        col(tsCol).cast("long").as("ts"), col(idCol).as("eid"))
+    val w = Window.partitionBy("u").orderBy(col("ts"), col("eid"))
+    val rn = base.withColumn("rn", row_number().over(w))
+      .select("u", "ty", "rn")
+      .lineageCut()
+    val convRn = rn.filter(col("ty") === conversionType)
+      .groupBy("u").agg(min("rn").as("crn"))
+    val kept = rn.join(convRn, Seq("u"), "left")
+      .filter(col("crn").isNull || col("rn") <= col("crn"))
+    val touches = kept.filter(col("ty") =!= conversionType)
+      .select("u", "ty", "rn")
+    val wT = Window.partitionBy("u").orderBy("rn")
+    val steps = touches
+      .select(col("u"), coalesce(lag("ty", 1).over(wT), lit("START"))
+        .as("src"), col("ty").as("dst"))
+    val lastTouch = touches.groupBy("u")
+      .agg(max(struct(col("rn"), col("ty"))).as("__l"))
+      .select(col("u"), col("__l.ty").as("lastTy"))
+    val ends = rn.select("u").distinct()
+      .join(convRn, Seq("u"), "left")
+      .join(lastTouch, Seq("u"), "left")
+      .select(coalesce(col("lastTy"), lit("START")).as("src"),
+        when(col("crn").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("dst"))
+    val counts = steps.select("src", "dst").unionByName(ends)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+      .map { case (s, d, c) => (s, d) -> c }.toMap
+
+    val states = "START" +: chs // transient states, in pinned order
+    def total(s: String): Long =
+      (chs ++ Seq("CONV", "NULL")).map(d => counts.getOrElse((s, d), 0L)).sum
+    def p(s: String, d: String): Double = {
+      val t = total(s)
+      if (t == 0L) 0.0 else counts.getOrElse((s, d), 0L).toDouble / t
+    }
+    // scenario: None = full chain; Some(c) = edges into c go to NULL.
+    // Exact absorption probability via Gaussian elimination in FIXED
+    // pivot order on (I − A | b) — every arithmetic op mirrored
+    // verbatim by the generated SQL oracle (including the no-op
+    // updates under the START column, whose A entries are 0).
+    def solve(removed: Option[String]): Double = {
+      def pp(s: String, d: String): Double =
+        if (removed.contains(d)) 0.0 else p(s, d)
+      val n = states.size
+      var m = Array.tabulate(n, n + 1) { (i, j) =>
+        if (j == n) pp(states(i), "CONV")
+        else {
+          val a = if (j == 0) 0.0 else pp(states(i), states(j))
+          (if (i == j) 1.0 else 0.0) - a
+        }
+      }
+      var k = 0
+      while (k < n - 1) {
+        val next = Array.tabulate(n, n + 1) { (i, j) =>
+          if (i <= k) m(i)(j)
+          else m(i)(j) - (m(i)(k) / m(k)(k)) * m(k)(j)
+        }
+        m = next
+        k += 1
+      }
+      val v = new Array[Double](n)
+      var i = n - 1
+      while (i >= 0) {
+        var acc = m(i)(n)
+        var j = i + 1
+        while (j < n) { acc = acc - m(i)(j) * v(j); j += 1 }
+        v(i) = acc / m(i)(i)
+        i -= 1
+      }
+      v(0) // START
+    }
+    val pFull = solve(None)
+    val rows: Seq[(String, Option[Double], Option[Double], Option[Double])] =
+      if (pFull <= 0.0) chs.map(c => (c, None, None, None))
+      else {
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val res = chs.map(c => c -> (1.0 - solve(Some(c)) / pFull)).toMap
+        val reSum = chs.foldLeft(0.0)((acc, c) => acc + res(c))
+        chs.map { c =>
+          (c, Some(r6(res(c))),
+            if (reSum > 0.0) Some(r6(res(c) / reSum)) else None,
+            Some(r6(pFull)))
+        }
+      }
+    rows.toDF("channel", "removal_effect", "attribution", "p_conv")
+  }
+
   /**
    * Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
    * 1978) — [[kaplanMeier]]'s additive sibling: Ĥ(t) = Σ_{s ≤ t}

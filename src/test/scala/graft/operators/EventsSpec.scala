@@ -399,6 +399,61 @@ class EventsSpec extends SparkSpec {
     assert(z._5.isEmpty && z._8.isEmpty && z._6.isEmpty && z._10.isEmpty)
   }
 
+  test("markovAttribution: hand chain — exact removal effects; " +
+      "truncation at first conversion; degenerate no-conv chain") {
+    // u1: a->CONV, u2: b->CONV, u3: a->b->NULL
+    // P: S->a 2/3, S->b 1/3; a->CONV 1/2, a->b 1/2; b->CONV/NULL 1/2
+    // v(b)=1/2, v(a)=3/4, p_full=2/3; remove a -> 1/6 (re=3/4),
+    // remove b -> 1/3 (re=1/2); shares 0.6 / 0.4
+    def ev(id: Long, u: Long, ts: Long, ty: String) = (id, u, ts, ty)
+    val rows = Seq(
+      ev(1, 1, 10, "a"), ev(2, 1, 20, "conv"),
+      ev(3, 2, 10, "b"), ev(4, 2, 20, "conv"),
+      ev(5, 3, 10, "a"), ev(6, 3, 20, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Events.markovAttribution(rows, "user_id", "event_type",
+      "ts", "event_id", "conv", Seq("a", "b"))
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", Some(0.75), Some(0.6), Some(r6(2.0 / 3.0))),
+      ("b", Some(0.5), Some(0.4), Some(r6(2.0 / 3.0)))))
+    // events AFTER the first conversion are ignored: u1 gets a
+    // post-conversion 'b' touch that must not add a b->... transition
+    val noisy = rows.union(Seq(ev(7, 1, 30, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type"))
+    val g2 = Events.markovAttribution(noisy, "user_id", "event_type",
+      "ts", "event_id", "conv", Seq("a", "b"))
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(g2.toSeq === got.toSeq)
+    // a chain that never converts: every output NULL
+    val dead = Seq(ev(1, 1, 10, "a"), ev(2, 2, 10, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val g3 = Events.markovAttribution(dead, "user_id", "event_type",
+      "ts", "event_id", "conv", Seq("a", "b"))
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(g3.forall(r => r._2.isEmpty && r._3.isEmpty && r._4.isEmpty))
+    // conversion with no prior touch: START->CONV raises p_conv but
+    // credits no channel
+    val direct = rows.union(Seq(ev(8, 4, 10, "conv"))
+      .toDF("event_id", "user_id", "ts", "event_type"))
+    val g4 = Events.markovAttribution(direct, "user_id", "event_type",
+      "ts", "event_id", "conv", Seq("a", "b"))
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    // p_full = 1/4 + 3/4·(2/3) = 0.75; removal floors at 1/4
+    assert(g4.head._4 === Some(0.75))
+    assert(g4.forall(_._2.get < 0.75))
+    intercept[IllegalArgumentException] {
+      Events.markovAttribution(rows, "user_id", "event_type", "ts",
+        "event_id", "conv", Seq("a", "a"))
+    }
+  }
+
   test("fisherExactTest: tea-tasting fixture, extreme table, guard") {
     // Fisher's tea-tasting 2x2 (3,1,1,3): P(k) = C(4,k)C(4,4-k)/C(8,4)
     // = (1,16,36,16,1)/70; observed a=3 keeps k in {0,1,3,4} ->
