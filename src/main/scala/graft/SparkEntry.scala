@@ -251,15 +251,19 @@ $fieldRows"""
    * every back-substitution chain is rendered left-assoc exactly as
    * the operator's driver computes it (the fsEmOracleSql contract).
    */
-  private def markovOracleSql(channels: Seq[String],
-                              conv: String): String = {
-    val chs = channels.sorted
+  /** Shared GENERATED machinery for the chain-attribution oracles:
+    * journey CTEs + count pivot + probability columns + the Gaussian
+    * elimination on (I − A | b) UNROLLED per scenario (a scenario is a
+    * set of channels whose in-edges redirect to NULL), every update
+    * and back-substitution left-assoc exactly as [[graft.operators
+    * .Events.absorption]] computes it. Returns the WITH-body through
+    * the back-sub CTE `b0` exposing `v_<scenario>_0` columns. */
+  private def chainSolveCtes(chs: Seq[String], conv: String,
+                             scen: Seq[(String, Set[String])]): String = {
     val states = "START" +: chs
     val dsts = chs ++ Seq("CONV", "NULL")
     val n = states.size
-    def cn(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "_")
-    val scen: Seq[(String, Option[String])] =
-      ("full", None) +: chs.map(c => (cn(c), Some(c)))
+    def cn(x: String) = x.toLowerCase.replaceAll("[^a-z0-9]", "_")
     val tyList = (conv +: chs).map(t => s"'$t'").mkString(", ")
     val journey =
       s"""ev AS (SELECT user_id, event_type AS ty, epoch_ns(ts) AS ets,
@@ -288,19 +292,18 @@ $fieldRows"""
         |cnt AS (SELECT src, dst, count(*) AS c FROM
         |  (SELECT src, dst FROM steps UNION ALL
         |   SELECT src, dst FROM ends) GROUP BY 1, 2)""".stripMargin
-    val tCols = (for { s <- states; d <- dsts } yield
-      s"  CAST(COALESCE(SUM(CASE WHEN src = '$s' AND dst = '$d' " +
-        s"THEN c END), 0) AS DOUBLE) AS t_${cn(s)}_${cn(d)}")
+    val tCols = (for { st <- states; d <- dsts } yield
+      s"  CAST(COALESCE(SUM(CASE WHEN src = '$st' AND dst = '$d' " +
+        s"THEN c END), 0) AS DOUBLE) AS t_${cn(st)}_${cn(d)}")
       .mkString(",\n")
-    val pCols = (for { s <- states; d <- dsts } yield {
-      val tot = dsts.map(dd => s"t_${cn(s)}_${cn(dd)}").mkString(" + ")
-      s"  CASE WHEN ($tot) > 0 THEN t_${cn(s)}_${cn(d)} / ($tot) " +
-        s"ELSE CAST(0 AS DOUBLE) END AS p_${cn(s)}_${cn(d)}"
+    val pCols = (for { st <- states; d <- dsts } yield {
+      val tot = dsts.map(dd => s"t_${cn(st)}_${cn(dd)}").mkString(" + ")
+      s"  CASE WHEN ($tot) > 0 THEN t_${cn(st)}_${cn(d)} / ($tot) " +
+        s"ELSE CAST(0 AS DOUBLE) END AS p_${cn(st)}_${cn(d)}"
     }).mkString(",\n")
-    def pTerm(rm: Option[String], s: String, d: String): String =
+    def pTerm(rm: Set[String], st: String, d: String): String =
       if (rm.contains(d)) "CAST(0 AS DOUBLE)"
-      else s"p_${cn(s)}_${cn(d)}"
-    // e0: the augmented (I − A | b) cells per scenario
+      else s"p_${cn(st)}_${cn(d)}"
     val e0 = scen.flatMap { case (sc, rm) =>
       (0 until n).flatMap { i =>
         (0 to n).map { j =>
@@ -317,7 +320,6 @@ $fieldRows"""
         }
       }
     }.mkString(",\n    ")
-    // elimination steps k = 0..n-2 (CTE e{k+1} from e{k})
     val elim = (0 until n - 1).map { k =>
       val cols = scen.flatMap { case (sc, _) =>
         (0 until n).flatMap { i =>
@@ -333,7 +335,6 @@ $fieldRows"""
       }.mkString(",\n    ")
       s"e${k + 1} AS (SELECT\n    $cols\n  FROM e$k)"
     }.mkString(",\n")
-    // back-substitution, one CTE per unknown, descending
     val last = n - 1
     val back = (0 until n).reverse.map { i =>
       val from = if (i == last) s"e$last" else s"b${i + 1}"
@@ -346,6 +347,37 @@ $fieldRows"""
       }.mkString(",\n    ")
       s"b$i AS (SELECT *,\n    $cols\n  FROM $from)"
     }.mkString(",\n")
+    s"""$journey,
+      |pc AS (SELECT
+      |$tCols
+      |  FROM cnt),
+      |pp AS (SELECT
+      |$pCols
+      |  FROM pc),
+      |e0 AS (SELECT
+      |    $e0
+      |  FROM pp),
+      |$elim,
+      |$back""".stripMargin
+  }
+
+  /**
+   * The q_markov_attr DuckDB oracle, GENERATED: journey construction
+   * replicates the operator's window passes; the transition counts
+   * pivot to ONE row of DOUBLE cells; and the absorption solve —
+   * Gaussian elimination on (I − A | b) in FIXED pivot order, one
+   * scenario per removed channel plus the full chain — UNROLLS as
+   * chained CTEs whose every update `m_ij − (m_ik/m_kk)·m_kj` and
+   * every back-substitution chain is rendered left-assoc exactly as
+   * the operator's driver computes it (the fsEmOracleSql contract).
+   */
+  private def markovOracleSql(channels: Seq[String],
+                              conv: String): String = {
+    val chs = channels.sorted
+    def cn(x: String) = x.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val scen: Seq[(String, Set[String])] =
+      ("full", Set.empty[String]) +: chs.map(c => (cn(c), Set(c)))
+    val body = chainSolveCtes(chs, conv, scen)
     val res = chs.map(c =>
       s"(CAST(1 AS DOUBLE) - v_${cn(c)}_0 / v_full_0) AS re_${cn(c)}")
       .mkString(",\n    ")
@@ -359,24 +391,62 @@ $fieldRows"""
         |    CASE WHEN pf > 0 THEN round(pf, 6) END AS p_conv
         |  FROM fin2""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $journey,
-      |pc AS (SELECT
-      |$tCols
-      |  FROM cnt),
-      |pp AS (SELECT
-      |$pCols
-      |  FROM pc),
-      |e0 AS (SELECT
-      |    $e0
-      |  FROM pp),
-      |$elim,
-      |$back,
+    s"""WITH $body,
       |fin AS (SELECT v_full_0 AS pf,
       |    $res,
       |    CAST(0 AS DOUBLE) AS __pad
       |  FROM b0),
       |fin2 AS (SELECT *, ($reSum) AS rs FROM fin)
       |SELECT channel, removal_effect, attribution, p_conv FROM (
+      |$rows)""".stripMargin
+  }
+
+  /**
+   * The q_shapley_attr DuckDB oracle, GENERATED: all 2^K coalition
+   * values come from [[chainSolveCtes]] (scenario = the coalition's
+   * COMPLEMENT redirected to NULL), and each Shapley fold renders its
+   * subsets in ascending bitmask order with factorial-integer weight
+   * divisions — the operator's exact driver arithmetic.
+   */
+  private def shapleyOracleSql(channels: Seq[String],
+                               conv: String): String = {
+    val chs = channels.sorted
+    val k = chs.size
+    def cn(x: String) = x.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val scen: Seq[(String, Set[String])] = (0 until (1 << k)).map { m =>
+      val removed = chs.zipWithIndex
+        .filter { case (_, i) => (m & (1 << i)) == 0 }
+        .map(_._1).toSet
+      (s"m$m", removed)
+    }
+    val body = chainSolveCtes(chs, conv, scen)
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val phis = chs.zipWithIndex.map { case (c, ci) =>
+      val bit = 1 << ci
+      val masks = (0 until (1 << k)).filter(m => (m & bit) == 0)
+      val chain = masks.foldLeft("CAST(0 AS DOUBLE)") { (acc, m) =>
+        val s = Integer.bitCount(m)
+        val wNum = fact(s) * fact(k - 1 - s)
+        s"($acc + (CAST($wNum AS DOUBLE) / CAST(${fact(k)} AS DOUBLE))" +
+          s" * (v_m${m | bit}_0 - v_m${m}_0))"
+      }
+      s"$chain AS phi_${cn(c)}"
+    }.mkString(",\n    ")
+    val phiSum = chs.map(c => s"phi_${cn(c)}").mkString(" + ")
+    val rows = chs.map { c =>
+      s"""  SELECT '$c' AS channel,
+        |    CASE WHEN pf > 0 THEN round(phi_${cn(c)}, 6) END AS shapley,
+        |    CASE WHEN pf > 0 AND ps > 0 THEN round(phi_${cn(c)} / ps, 6)
+        |      END AS share,
+        |    CASE WHEN pf > 0 THEN round(pf, 6) END AS p_conv
+        |  FROM fin2""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $body,
+      |fin AS (SELECT v_m${(1 << k) - 1}_0 AS pf,
+      |    $phis
+      |  FROM b0),
+      |fin2 AS (SELECT *, ($phiSum) AS ps FROM fin)
+      |SELECT channel, shapley, share, p_conv FROM (
       |$rows)""".stripMargin
   }
 
@@ -1781,6 +1851,15 @@ $fieldRows"""
     // elimination-CTE oracle.
     "q_markov_attr" -> ((s, dir) => {
       graft.operators.Events.markovAttribution(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", "purchase",
+        Seq("click", "signup", "error", "view"))
+    }),
+
+    // Shapley-value attribution over the same chain: all 2^4 coalition
+    // values by exact elimination; axiomatically fair split of the
+    // total lift (efficiency asserted in spec).
+    "q_shapley_attr" -> ((s, dir) => {
+      graft.operators.Events.shapleyAttribution(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id", "purchase",
         Seq("click", "signup", "error", "view"))
     }),
@@ -6551,6 +6630,9 @@ $fieldRows"""
     // Markov attribution: generated journey + pivot + elimination
     // oracle (see markovOracleSql).
     "q_markov_attr" -> markovOracleSql(
+      Seq("click", "signup", "error", "view"), "purchase"),
+    // Shapley: 16 coalition eliminations + ascending-bitmask folds.
+    "q_shapley_attr" -> shapleyOracleSql(
       Seq("click", "signup", "error", "view"), "purchase"),
     // Nelson-Aalen: the KM level/at-risk machinery with running d/n
     // and d/n² folds instead of the ln-product.

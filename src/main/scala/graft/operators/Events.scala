@@ -707,18 +707,16 @@ object Events {
    * conversion probability, identical on every row; all NULL when the
    * chain never converts).
    */
-  def markovAttribution(df: DataFrame, userCol: String, typeCol: String,
-                        tsCol: String, idCol: String,
-                        conversionType: String,
-                        channels: Seq[String]): DataFrame = {
-    require(channels.nonEmpty && channels.distinct.size == channels.size,
-      "channels must be non-empty and distinct")
-    require(channels.size <= 64, s"too many channels: ${channels.size}")
-    require(!channels.contains(conversionType),
-      "conversionType cannot also be a channel")
+  /** Shared journey → transition-count collection for the chain-based
+    * attribution operators: one window pass, one count aggregate,
+    * (K+2)²-bounded collect. See [[markovAttribution]] for the journey
+    * semantics (truncate at FIRST conversion; START/CONV/NULL pads). */
+  private def journeyCounts(df: DataFrame, userCol: String,
+                            typeCol: String, tsCol: String, idCol: String,
+                            conversionType: String,
+                            chs: Seq[String]): Map[(String, String), Long] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val chs = channels.sorted
     val base = df
       .filter(col(typeCol).isin((conversionType +: chs).map(x => x: Any): _*) &&
         col(userCol).isNotNull && col(tsCol).isNotNull)
@@ -747,54 +745,76 @@ object Events {
       .select(coalesce(col("lastTy"), lit("START")).as("src"),
         when(col("crn").isNotNull, lit("CONV")).otherwise(lit("NULL"))
           .as("dst"))
-    val counts = steps.select("src", "dst").unionByName(ends)
+    steps.select("src", "dst").unionByName(ends)
       .groupBy("src", "dst").agg(count(lit(1)).as("c"))
       .as[(String, String, Long)].collect()
       .map { case (s, d, c) => (s, d) -> c }.toMap
+  }
 
-    val states = "START" +: chs // transient states, in pinned order
+  /** Exact absorption probability P(CONV | START) of the counted chain
+    * with every edge into a `removed` channel redirected to NULL:
+    * Gaussian elimination in FIXED pivot order on (I − A | b) — every
+    * arithmetic op mirrored verbatim by the generated SQL oracles
+    * (including the no-op updates under the START column, whose A
+    * entries are 0). I − A of a substochastic chain is an M-matrix;
+    * the natural diagonal never vanishes while the chain can convert. */
+  private def absorption(counts: Map[(String, String), Long],
+                         chs: Seq[String],
+                         removed: Set[String]): Double = {
+    val states = "START" +: chs
     def total(s: String): Long =
       (chs ++ Seq("CONV", "NULL")).map(d => counts.getOrElse((s, d), 0L)).sum
     def p(s: String, d: String): Double = {
       val t = total(s)
       if (t == 0L) 0.0 else counts.getOrElse((s, d), 0L).toDouble / t
     }
-    // scenario: None = full chain; Some(c) = edges into c go to NULL.
-    // Exact absorption probability via Gaussian elimination in FIXED
-    // pivot order on (I − A | b) — every arithmetic op mirrored
-    // verbatim by the generated SQL oracle (including the no-op
-    // updates under the START column, whose A entries are 0).
-    def solve(removed: Option[String]): Double = {
-      def pp(s: String, d: String): Double =
-        if (removed.contains(d)) 0.0 else p(s, d)
-      val n = states.size
-      var m = Array.tabulate(n, n + 1) { (i, j) =>
-        if (j == n) pp(states(i), "CONV")
-        else {
-          val a = if (j == 0) 0.0 else pp(states(i), states(j))
-          (if (i == j) 1.0 else 0.0) - a
-        }
+    def pp(s: String, d: String): Double =
+      if (removed.contains(d)) 0.0 else p(s, d)
+    val n = states.size
+    var m = Array.tabulate(n, n + 1) { (i, j) =>
+      if (j == n) pp(states(i), "CONV")
+      else {
+        val a = if (j == 0) 0.0 else pp(states(i), states(j))
+        (if (i == j) 1.0 else 0.0) - a
       }
-      var k = 0
-      while (k < n - 1) {
-        val next = Array.tabulate(n, n + 1) { (i, j) =>
-          if (i <= k) m(i)(j)
-          else m(i)(j) - (m(i)(k) / m(k)(k)) * m(k)(j)
-        }
-        m = next
-        k += 1
-      }
-      val v = new Array[Double](n)
-      var i = n - 1
-      while (i >= 0) {
-        var acc = m(i)(n)
-        var j = i + 1
-        while (j < n) { acc = acc - m(i)(j) * v(j); j += 1 }
-        v(i) = acc / m(i)(i)
-        i -= 1
-      }
-      v(0) // START
     }
+    var k = 0
+    while (k < n - 1) {
+      val next = Array.tabulate(n, n + 1) { (i, j) =>
+        if (i <= k) m(i)(j)
+        else m(i)(j) - (m(i)(k) / m(k)(k)) * m(k)(j)
+      }
+      m = next
+      k += 1
+    }
+    val v = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var acc = m(i)(n)
+      var j = i + 1
+      while (j < n) { acc = acc - m(i)(j) * v(j); j += 1 }
+      v(i) = acc / m(i)(i)
+      i -= 1
+    }
+    v(0) // START
+  }
+
+  def markovAttribution(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String,
+                        conversionType: String,
+                        channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.distinct.size == channels.size,
+      "channels must be non-empty and distinct")
+    require(channels.size <= 64, s"too many channels: ${channels.size}")
+    require(!channels.contains(conversionType),
+      "conversionType cannot also be a channel")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chs = channels.sorted
+    val counts = journeyCounts(df, userCol, typeCol, tsCol, idCol,
+      conversionType, chs)
+    def solve(removed: Option[String]): Double =
+      absorption(counts, chs, removed.toSet)
     val pFull = solve(None)
     val rows: Seq[(String, Option[Double], Option[Double], Option[Double])] =
       if (pFull <= 0.0) chs.map(c => (c, None, None, None))
@@ -810,6 +830,82 @@ object Events {
         }
       }
     rows.toDF("channel", "removal_effect", "attribution", "p_conv")
+  }
+
+  /**
+   * Shapley-value attribution over the SAME journey chain as
+   * [[markovAttribution]] (Shapley 1953 applied to conversion credit —
+   * the one attribution scheme with the fairness axioms: efficiency,
+   * symmetry, null player): the coalition value v(S) is the chain's
+   * conversion probability when only channels in S exist (edges into
+   * every other channel redirect to NULL — the removal semantics,
+   * applied to the complement), and channel c earns
+   * φ_c = Σ_{S ⊆ C\{c}} |S|!(K−|S|−1)!/K! · (v(S ∪ {c}) − v(S)).
+   * Removal effects answer "what breaks if c disappears"; Shapley
+   * splits the TOTAL lift v(C) − v(∅) fairly across channels
+   * (efficiency: Σφ = v(C) − v(∅) exactly, which the spec asserts).
+   *
+   * EXACTNESS: the distributed work is the one [[journeyCounts]]
+   * aggregate; all 2^K coalition values solve by the same fixed-pivot
+   * Gaussian elimination ([[absorption]]); Shapley weights render as
+   * single divisions of exact factorial integers, and every φ fold is
+   * pinned left-assoc over subsets in ASCENDING BITMASK order of the
+   * sorted channel list — bit-replayable by the generated oracle.
+   * 2^K scenarios bound the work: `channels.size` ≤ 16 enforced
+   * (65536 K³ driver solves at the cap — still sub-second; the SQL
+   * oracle is only generated for small K fixtures).
+   *
+   * Returns one row per channel (ascending): (`channel`, `shapley`,
+   * `share` = φ/Σφ, `p_conv` = v(C); all NULL when the chain never
+   * converts).
+   */
+  def shapleyAttribution(df: DataFrame, userCol: String, typeCol: String,
+                         tsCol: String, idCol: String,
+                         conversionType: String,
+                         channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.distinct.size == channels.size,
+      "channels must be non-empty and distinct")
+    require(channels.size <= 16,
+      s"Shapley enumerates 2^K coalitions: K = ${channels.size} > 16")
+    require(!channels.contains(conversionType),
+      "conversionType cannot also be a channel")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chs = channels.sorted
+    val k = chs.size
+    val counts = journeyCounts(df, userCol, typeCol, tsCol, idCol,
+      conversionType, chs)
+    // v indexed by coalition bitmask over the sorted channels
+    val v = (0 until (1 << k)).map { mask =>
+      val removed = chs.zipWithIndex
+        .filter { case (_, i) => (mask & (1 << i)) == 0 }
+        .map(_._1).toSet
+      absorption(counts, chs, removed)
+    }
+    val pFull = v((1 << k) - 1)
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val rows: Seq[(String, Option[Double], Option[Double], Option[Double])] =
+      if (pFull <= 0.0) chs.map(c => (c, None, None, None))
+      else {
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val phi = chs.zipWithIndex.map { case (c, ci) =>
+          val bit = 1 << ci
+          val masks = (0 until (1 << k)).filter(m => (m & bit) == 0)
+          c -> masks.foldLeft(0.0) { (acc, m) =>
+            val s = Integer.bitCount(m)
+            val wgt = (fact(s) * fact(k - 1 - s)).toDouble / fact(k).toDouble
+            acc + wgt * (v(m | bit) - v(m))
+          }
+        }.toMap
+        val phiSum = chs.foldLeft(0.0)((acc, c) => acc + phi(c))
+        chs.map { c =>
+          (c, Some(r6(phi(c))),
+            if (phiSum > 0.0) Some(r6(phi(c) / phiSum)) else None,
+            Some(r6(pFull)))
+        }
+      }
+    rows.toDF("channel", "shapley", "share", "p_conv")
   }
 
   /**

@@ -454,6 +454,35 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("shapleyAttribution: hand coalition values; efficiency = total " +
+      "lift; K guard") {
+    // same chain as the markov test: v(∅)=0, v({a})=1/3, v({b})=1/6,
+    // v({a,b})=2/3 -> φ_a = ½·1/3 + ½·(2/3−1/6) = 5/12,
+    // φ_b = ½·1/6 + ½·(2/3−1/3) = 1/4; Σφ = 2/3 = v(C) − v(∅);
+    // shares 5/8 and 3/8
+    def ev(id: Long, u: Long, ts: Long, ty: String) = (id, u, ts, ty)
+    val rows = Seq(
+      ev(1, 1, 10, "a"), ev(2, 1, 20, "conv"),
+      ev(3, 2, 10, "b"), ev(4, 2, 20, "conv"),
+      ev(5, 3, 10, "a"), ev(6, 3, 20, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Events.shapleyAttribution(rows, "user_id", "event_type",
+      "ts", "event_id", "conv", Seq("a", "b"))
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", Some(r6(5.0 / 12.0)), Some(0.625), Some(r6(2.0 / 3.0))),
+      ("b", Some(0.25), Some(0.375), Some(r6(2.0 / 3.0)))))
+    // efficiency: Σφ = v(C) − v(∅) (v(∅) = 0 here — no direct convs)
+    assert(r6(got.map(_._2.get).sum) === r6(2.0 / 3.0))
+    intercept[IllegalArgumentException] {
+      Events.shapleyAttribution(rows, "user_id", "event_type", "ts",
+        "event_id", "conv", (1 to 17).map(i => s"c$i"))
+    }
+  }
+
   test("fisherExactTest: tea-tasting fixture, extreme table, guard") {
     // Fisher's tea-tasting 2x2 (3,1,1,3): P(k) = C(4,k)C(4,4-k)/C(8,4)
     // = (1,16,36,16,1)/70; observed a=3 keeps k in {0,1,3,4} ->
