@@ -1931,6 +1931,17 @@ $fieldRows"""
       graft.operators.Profiling.benjaminiHochberg(hyp, "id", "p", 0.05)
     }),
 
+    // Storey q-values over the same hypothesis frame: BH with the
+    // flat-tail pi0 estimate plugged in (lambda = 0.5).
+    "q_storey_q" -> ((s, dir) => {
+      val hyp = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        (pmod(col("o_orderkey") * lit(2654435761L), lit(1000003L))
+          .cast("double") / lit(1000003.0) *
+          when(col("o_orderstatus") === "P", lit(0.001))
+            .otherwise(lit(1.0))).as("p"))
+      graft.operators.Profiling.storeyQValues(hyp, "id", "p", 0.5)
+    }),
+
     // Inclusion-dependency (FK-candidate) check both ways between
     // events.user_id and customer.c_custkey: distinct key sets + anti
     // join; the forward dependency holds, the reverse quantifies the
@@ -6806,6 +6817,29 @@ $fieldRows"""
         |SELECT id, p, CAST(rank AS BIGINT) AS rank,
         |  CAST(m AS BIGINT) AS m, round(padj, 6) AS p_adj,
         |  (padj <= 0.05) AS reject
+        |FROM s""".stripMargin,
+    // Storey: BH machinery + the exact-tail-count pi0 scalar.
+    "q_storey_q" ->
+      """WITH hyp AS (SELECT o_orderkey AS id,
+        |    ((o_orderkey * 2654435761) % 1000003) / 1000003.0
+        |      * (CASE WHEN o_orderstatus = 'P' THEN 0.001 ELSE 1.0 END)
+        |      AS p
+        |  FROM orders),
+        |r AS (SELECT id, p, row_number() OVER (ORDER BY p, id) AS rank,
+        |    count(*) OVER () AS m,
+        |    least(1.0, CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END)
+        |        OVER () AS DOUBLE)
+        |      / ((1.0 - 0.5) * CAST(count(*) OVER () AS DOUBLE)))
+        |      AS pi0
+        |  FROM hyp),
+        |s AS (SELECT id, p, rank, m, pi0,
+        |    least(min(pi0 * (p * m / rank)) OVER (ORDER BY rank DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+        |      AS q
+        |  FROM r)
+        |SELECT id, p, CAST(rank AS BIGINT) AS rank,
+        |  CAST(m AS BIGINT) AS m, round(pi0, 6) AS pi0,
+        |  round(q, 6) AS q_value
         |FROM s""".stripMargin,
     // Inclusion dependency both directions: distinct key sets + anti
     // membership; coverage is one division.

@@ -2537,6 +2537,56 @@ object Profiling {
   }
 
   /**
+   * Storey q-values (Storey 2002; Storey & Tibshirani 2003) —
+   * [[benjaminiHochberg]] with the null-proportion estimate plugged
+   * in: BH implicitly assumes EVERY hypothesis is null (π₀ = 1),
+   * over-correcting when signal is plentiful; Storey estimates
+   * π₀ = #{p > λ} / ((1−λ)·m) from the flat right tail and scales the
+   * adjusted values by it, so q_i = min_{j ≥ i} π₀·m·p_(j)/j (clipped
+   * at 1) — a q-value is the minimum FDR at which hypothesis i is
+   * called.
+   *
+   * EXACTNESS: the BH machinery verbatim ((p, id)-tiebroken rank,
+   * descending-rank running suffix-min); π₀ is one IEEE chain from an
+   * exact tail count (clipped at 1, the standard estimator guard);
+   * `q_value` rounds 6dp after the fold. λ is a caller literal
+   * (default 0.5 — the flat-tail midpoint; the smoothing-spline λ→1
+   * extrapolation is a different, non-deterministic estimator and
+   * deliberately NOT here).
+   *
+   * Scale shape: the benjaminiHochberg contract — hypothesis-sized
+   * frame, one ordered window pair. One row per hypothesis:
+   * (id, p, `rank`, `m`, `pi0`, `q_value`).
+   */
+  def storeyQValues(df: DataFrame, idCol: String, pCol: String,
+                    lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0,1): $lambda")
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
+    val wTot = Window.orderBy("p", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy("p", "id")
+    val wSuffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wTot))
+      .withColumn("pi0", least(lit(1.0),
+        sum(when(col("p") > lambda, 1L).otherwise(0L)).over(wTot)
+          .cast("double") /
+          ((lit(1.0) - lit(lambda)) * col("m").cast("double"))))
+      .withColumn("__stepped",
+        col("pi0") * (col("p") * col("m").cast("double") /
+          col("rank").cast("double")))
+      .withColumn("__q",
+        least(min("__stepped").over(wSuffix), lit(1.0)))
+      .select(col("id"), col("p"), col("rank"), col("m"),
+        round(col("pi0"), 6).as("pi0"),
+        round(col("__q"), 6).as("q_value"))
+  }
+
+  /**
    * Inclusion-dependency check (the profiling primitive behind
    * foreign-key discovery, Bell & Brockhausen 1995): what fraction of
    * the DISTINCT non-null values of `child.childCol` appear in

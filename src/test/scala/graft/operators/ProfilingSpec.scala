@@ -1110,6 +1110,27 @@ class ProfilingSpec extends SparkSpec {
     assert(m3.find(_._1 == 1L).get._5 === 0.075)
   }
 
+  test("storeyQValues: pi0 from the flat tail scales BH; clip at 1") {
+    val hyp = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.5),
+      (5L, 1.0)).toDF("id", "p")
+    // tail {p > 0.5} = 1 -> pi0 = 1/(0.5·5) = 0.4; q = 0.4·BH padj
+    val got = Profiling.storeyQValues(hyp, "id", "p", 0.5)
+      .as[(Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.forall(_._5 == 0.4))
+    assert(got.map(_._6).toSeq === Seq(0.02, 0.02, 0.02, 0.25, 0.4))
+    // every p above lambda: pi0 clips at 1 and Storey degrades to BH
+    val flat = Seq((1L, 0.6), (2L, 0.7)).toDF("id", "p")
+    val f = Profiling.storeyQValues(flat, "id", "p", 0.5)
+      .as[(Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(f.forall(_._5 == 1.0))
+    assert(f.map(_._6).toSeq === Seq(0.7, 0.7))
+    intercept[IllegalArgumentException] {
+      Profiling.storeyQValues(hyp, "id", "p", 1.0)
+    }
+  }
+
   test("inclusionCoverage: anti-join miss count, cross-type cast") {
     val child = Seq(Some(1), Some(2), Some(3), Some(3), None).toDF("k")
     val parent = Seq(1L, 2L, 4L).toDF("pk")
