@@ -429,9 +429,12 @@ object TextAnalysis {
       .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <= maxTermsPerDoc)
       .select("id", "term", "dft")
-    val a = capped.select(col("id"), col("term").as("ta"),
+    // both pair-join sides consume this frame — cut so the corpus
+    // scans/token aggregates run once, not once per side
+    val cappedCut = graft.core.LineageCut.cut(capped)
+    val a = cappedCut.select(col("id"), col("term").as("ta"),
       col("dft").as("dfa"))
-    val b = capped.select(col("id"), col("term").as("tb"),
+    val b = cappedCut.select(col("id"), col("term").as("tb"),
       col("dft").as("dfb"))
     val p = least(lit(1.0), lit(gamma) /
       (sqrt(col("dfa").cast("double")) * sqrt(col("dfb").cast("double"))))
