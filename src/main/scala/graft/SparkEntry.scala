@@ -3107,6 +3107,25 @@ $fieldRows"""
         window = 3, minSim = 0.8)
     }),
 
+    // Blocking-scheme quality: the {nation, segment}-blocked window-1
+    // sorted neighborhood scored against planted consecutive-key truth
+    // pairs — RR / pairs-completeness / pairs-quality, exact counts.
+    "q_blocking_quality" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+      val cand = c.select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"))
+        .withColumn("prev", lag("c_custkey", 1).over(wB))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("c_custkey").as("id_b"))
+      val truth = c.select(col("c_custkey").as("id_a"),
+          (col("c_custkey") + 1L).as("id_b"))
+        .join(c.select(col("c_custkey").as("id_b")), "id_b")
+      graft.operators.Dedup.blockingQuality(cand, truth, "id_a", "id_b",
+        c.count())
+    }),
+
     // Exact edit-distance self-join (Ed-Join / q-gram prefix filter):
     // typo-level duplicate GENERATION over 30-char keys, on the
     // doc_id%4 slice plus two planted mutation families (2-char
@@ -4759,6 +4778,41 @@ $fieldRows"""
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE abs(length(a.k) - length(b.k)) <= 3
         |  AND levenshtein(a.k, b.k) <= 3""".stripMargin,
+    // Blocking quality: canonical distinct pair sets, one pair-key
+    // join, exact counts; the total-pair denominator via integer
+    // division then ONE double cast.
+    "q_blocking_quality" ->
+      """WITH cand AS (SELECT prev AS a, c_custkey AS b FROM (
+        |    SELECT c_custkey, lag(c_custkey) OVER (
+        |      PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY c_custkey) AS prev
+        |    FROM customer) WHERE prev IS NOT NULL),
+        |tr AS (SELECT c.c_custkey AS a, c.c_custkey + 1 AS b
+        |  FROM customer c
+        |  JOIN customer d ON d.c_custkey = c.c_custkey + 1),
+        |cc AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM cand WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b),
+        |tt AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM tr WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b),
+        |nn AS (SELECT count(*) AS n FROM customer),
+        |m AS (SELECT
+        |    (SELECT count(*) FROM cc) AS n_candidates,
+        |    (SELECT count(*) FROM tt) AS n_truth,
+        |    (SELECT count(*) FROM cc JOIN tt USING (a, b)) AS n_hits,
+        |    nn.n FROM nn)
+        |SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(1.0 - CAST(n_candidates AS DOUBLE)
+        |    / CAST((CAST(n AS HUGEINT) * (n - 1)) // 2 AS DOUBLE), 6)
+        |    AS reduction_ratio,
+        |  CASE WHEN n_truth > 0 THEN
+        |    round(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+        |    END AS pairs_completeness,
+        |  CASE WHEN n_candidates > 0 THEN
+        |    round(CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE),
+        |      6) END AS pairs_quality
+        |FROM m""".stripMargin,
     "dedup_sorted_neighborhood" ->
       """WITH ranked AS (
         |  SELECT doc_id, text[1:40] AS k,

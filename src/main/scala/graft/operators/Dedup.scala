@@ -1717,4 +1717,65 @@ object Dedup {
         r6(math.log((1.0 - mc) / (1.0 - uc))), r6(p))
     }.toDF("field", "m", "u", "w_agree", "w_disagree", "p_match")
   }
+
+  /**
+   * Blocking-scheme quality report (Christen 2012, "Data Matching",
+   * ch. 4 metrics) — the evaluation loop for every candidate generator
+   * in this file (sorted-neighborhood, MinHash bands, q-gram prefixes):
+   * given the CANDIDATE pairs a blocking scheme proposed and a labeled
+   * TRUTH pair set, report
+   *   - `reduction_ratio` = 1 − |C| / (n(n−1)/2): how much of the
+   *     quadratic comparison space the scheme avoided,
+   *   - `pairs_completeness` = |C ∩ T| / |T|: the recall that bounds
+   *     every downstream matcher (a true pair the blocker drops is
+   *     gone forever), and
+   *   - `pairs_quality` = |C ∩ T| / |C|: the precision proxy that
+   *     prices the verification stage.
+   * The classic tuning trade is RR vs PC; a scheme change that raises
+   * one at the other's expense shows up here before a corpus pass is
+   * wasted.
+   *
+   * EXACTNESS: both pair sets canonicalize to unordered (least,
+   * greatest) keys and DISTINCT (a pair proposed by two bands counts
+   * once — stated); all three counts are exact longs (the total-pair
+   * denominator in DECIMAL(38,0) — n(n−1)/2 bursts a long past n ≈
+   * 4.3·10⁹); each metric is one IEEE division rounded 6dp. Self-pairs
+   * (a = b) are dropped from both sets (stated).
+   *
+   * Scale shape: two keys-only distinct aggregates + ONE equi-join on
+   * the canonical pair key (the truth side is label-budget-sized and
+   * broadcasts); `nRecords` is caller-supplied so the operator never
+   * re-counts the corpus. One row out.
+   */
+  def blockingQuality(candidates: DataFrame, truth: DataFrame,
+                      idACol: String, idBCol: String,
+                      nRecords: Long): DataFrame = {
+    require(nRecords >= 2L, s"nRecords must be >= 2: $nRecords")
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
+        col(idACol) =!= col(idBCol))
+      .select(least(col(idACol), col(idBCol)).as("__a"),
+        greatest(col(idACol), col(idBCol)).as("__b"))
+      .distinct()
+    val c = graft.core.LineageCut.cut(canon(candidates))
+    val t = graft.core.LineageCut.cut(canon(truth))
+    val nC = c.agg(count(lit(1)).as("n_candidates"))
+    val nT = t.agg(count(lit(1)).as("n_truth"))
+    val nHit = c.join(t, Seq("__a", "__b"))
+      .agg(count(lit(1)).as("n_hits"))
+    // exact in BigInt, ONE nearest-double conversion (identical to the
+    // oracle's integer-division-then-CAST chain)
+    val totalPairs =
+      (BigInt(nRecords) * BigInt(nRecords - 1L) / 2).toDouble
+    nC.crossJoin(nT).crossJoin(nHit)
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          lit(totalPairs), 6).as("reduction_ratio"),
+        when(col("n_truth") > 0L,
+          round(col("n_hits").cast("double") /
+            col("n_truth").cast("double"), 6)).as("pairs_completeness"),
+        when(col("n_candidates") > 0L,
+          round(col("n_hits").cast("double") /
+            col("n_candidates").cast("double"), 6)).as("pairs_quality"))
+  }
 }

@@ -738,4 +738,37 @@ class DedupSpec extends SparkSpec {
       Dedup.editDistancePairs(recs, "id", "k", maxDist = 2, q = 1)
     }
   }
+
+  test("blockingQuality: hand RR/PC/PQ; canonicalization; degenerates") {
+    import spark.implicits._
+    // dup orderings + a self-pair collapse: candidates {12, 34, 56}
+    val cand = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val truth = Seq((2L, 1L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Dedup.blockingQuality(cand, truth, "id_a", "id_b", 6L)
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    // 15 total pairs; hits {12, 34}
+    assert(got === ((3L, 3L, 2L, 0.8, Some(r6(2.0 / 3.0)),
+      Some(r6(2.0 / 3.0)))))
+    // no truth labels: completeness is NULL, not 0 (unknown ≠ bad)
+    val noTruth = Dedup.blockingQuality(cand,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b", 6L)
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(noTruth._5.isEmpty && noTruth._6 === Some(0.0))
+    // a blocker that proposes nothing: perfect RR, NULL quality
+    val noCand = Dedup.blockingQuality(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), truth,
+      "id_a", "id_b", 6L)
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(noCand._4 === 1.0 && noCand._5 === Some(0.0) &&
+      noCand._6.isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.blockingQuality(cand, truth, "id_a", "id_b", 1L)
+    }
+  }
 }
