@@ -454,6 +454,68 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("markovAttribution: randomized parity vs an independent journey " +
+      "builder + long fixed-point reference") {
+    val rnd = new scala.util.Random(9090)
+    val chans = Seq("a", "b", "c")
+    for (trial <- 1 to 2) {
+      // random event logs: 40 users, 1..8 touches, conv anywhere
+      val evs = (1L to 40L).flatMap { u =>
+        val len = 1 + rnd.nextInt(8)
+        (0 until len).map { i =>
+          val ty = if (rnd.nextDouble() < 0.2) "conv"
+                   else chans(rnd.nextInt(3))
+          (u * 100 + i, u, (i + 1).toLong * 10, ty)
+        }
+      }
+      val df = evs.toDF("event_id", "user_id", "ts", "event_type")
+      val got = Events.markovAttribution(df, "user_id", "event_type",
+        "ts", "event_id", "conv", chans)
+        .as[(String, Option[Double], Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+      // independent journey construction
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      evs.groupBy(_._2).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(r => (r._3, r._1)).map(_._4)
+        val cut = ordered.indexOf("conv") match {
+          case -1 => (ordered, false)
+          case i => (ordered.take(i), true)
+        }
+        val (touches, conv) = cut
+        var prev = "START"
+        touches.foreach { t =>
+          counts((prev, t)) += 1L; prev = t
+        }
+        counts((prev, if (conv) "CONV" else "NULL")) += 1L
+      }
+      def p(s: String, d: String): Double = {
+        val tot = (chans ++ Seq("CONV", "NULL"))
+          .map(x => counts((s, x))).sum
+        if (tot == 0) 0.0 else counts((s, d)).toDouble / tot
+      }
+      def solve(removed: Option[String]): Double = {
+        def pp(s: String, d: String) =
+          if (removed.contains(d)) 0.0 else p(s, d)
+        val states = "START" +: chans
+        var v = states.map(_ => 0.0)
+        for (_ <- 1 to 5000)
+          v = states.map(s => chans.zipWithIndex.foldLeft(pp(s, "CONV")) {
+            case (acc, (ch, i)) => acc + pp(s, ch) * v(i + 1)
+          })
+        v.head
+      }
+      val pf = solve(None)
+      assert(pf > 0.0, s"trial $trial degenerate fixture")
+      chans.foreach { c =>
+        val re = 1.0 - solve(Some(c)) / pf
+        assert(math.abs(got(c)._2.get - re) < 1e-6,
+          s"trial $trial channel $c: ${got(c)._2.get} vs $re")
+        assert(math.abs(got(c)._4.get - pf) < 1e-6, s"trial $trial pf")
+      }
+    }
+  }
+
   test("shapleyAttribution: hand coalition values; efficiency = total " +
       "lift; K guard") {
     // same chain as the markov test: v(∅)=0, v({a})=1/3, v({b})=1/6,

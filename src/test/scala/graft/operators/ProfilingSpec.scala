@@ -1131,6 +1131,34 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("benjaminiHochberg: randomized parity vs a direct reference " +
+      "implementation") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 50 + rnd.nextInt(150)
+      val ps = (1 to n).map(i =>
+        (i.toLong, math.rint(rnd.nextDouble() * 1000) / 1000.0))
+      // reference: sort by (p, id), stepped m*p/rank, suffix min, clip
+      val sorted = ps.sortBy { case (id, p) => (p, id) }
+      val stepped = sorted.zipWithIndex.map { case ((_, p), i) =>
+        p * n / (i + 1).toDouble
+      }
+      val suffixMin = stepped.scanRight(Double.MaxValue)(math.min)
+        .init.map(math.min(_, 1.0))
+      val expect = sorted.map(_._1).zip(suffixMin).toMap
+      val got = Profiling.benjaminiHochberg(
+        ps.toDF("id", "p"), "id", "p", 0.05)
+        .as[(Long, Double, Long, Long, Double, Boolean)].collect()
+      assert(got.length === n, s"trial $trial")
+      got.foreach { r =>
+        val e = BigDecimal(expect(r._1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r._5 === e, s"trial $trial id ${r._1}")
+        assert(r._6 === (expect(r._1) <= 0.05), s"trial $trial reject")
+      }
+    }
+  }
+
   test("inclusionCoverage: anti-join miss count, cross-type cast") {
     val child = Seq(Some(1), Some(2), Some(3), Some(3), None).toDF("k")
     val parent = Seq(1L, 2L, 4L).toDF("pk")

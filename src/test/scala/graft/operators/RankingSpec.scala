@@ -411,4 +411,43 @@ class RankingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().head
     assert(trunc === ((1L, 3L, 1.0)))
   }
+
+  test("rankBiasedOverlap: randomized parity vs the textbook per-depth " +
+      "overlap form") {
+    import spark.implicits._
+    // the operator reshapes RBO per SHARED ITEM (suffix weights at
+    // max(r_a, r_b)); the definition sums per DEPTH the prefix-overlap
+    // fraction A_d — prove the identity on random permuted lists
+    val rnd = new scala.util.Random(777)
+    val (pp, depth) = (0.8, 12)
+    val items = (1 to 40).map(i => s"it$i")
+    val lists = (1L to 5L).flatMap { q =>
+      val perm1 = rnd.shuffle(items).take(depth).zipWithIndex
+      val perm2 = rnd.shuffle(items).take(depth).zipWithIndex
+      perm1.map { case (it, i) => ("a", q, it, (i + 1).toLong) } ++
+        perm2.map { case (it, i) => ("b", q, it, (i + 1).toLong) }
+    }
+    val aDf = lists.filter(_._1 == "a")
+      .map(t => (t._2, t._3, t._4)).toDF("query_id", "item", "r")
+    val bDf = lists.filter(_._1 == "b")
+      .map(t => (t._2, t._3, t._4)).toDF("query_id", "item", "r")
+    val got = Ranking.rankBiasedOverlap(aDf, bDf, "query_id", "item",
+      "r", p = pp, depth = depth)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    for (q <- 1L to 5L) {
+      val la = lists.filter(t => t._1 == "a" && t._2 == q)
+        .sortBy(_._4).map(_._3)
+      val lb = lists.filter(t => t._1 == "b" && t._2 == q)
+        .sortBy(_._4).map(_._3)
+      val sum = (1 to depth).map { d =>
+        val overlap = la.take(d).toSet.intersect(lb.take(d).toSet).size
+        math.exp((d - 1) * math.log(pp)) * overlap / d
+      }.sum
+      val expect = (1.0 - pp) /
+        (1.0 - math.exp(depth * math.log(pp))) * sum
+      assert(math.abs(got(q) - expect) < 2e-6,
+        s"query $q: ${got(q)} vs $expect")
+    }
+  }
 }
