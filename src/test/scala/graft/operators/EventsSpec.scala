@@ -298,6 +298,82 @@ class EventsSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
   }
 
+  test("fisherExactTest: randomized parity vs an exact BigDecimal " +
+      "hypergeometric reference") {
+    val rnd = new scala.util.Random(1357)
+    def choose(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product /
+        (BigInt(1) to BigInt(k)).product
+    for (trial <- 1 to 6) {
+      val (a, b, c, d) = (rnd.nextInt(12), rnd.nextInt(12),
+        rnd.nextInt(12), rnd.nextInt(12))
+      val rows = (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false))
+        ++ Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+      if (rows.nonEmpty) {
+        val got = Events.fisherExactTest(rows.toDF("e", "o"), "e", "o")
+          .as[(Long, Long, Long, Long, Double)].collect().head
+        // exact rational point masses over the support
+        val (r1, r2, c1) = (a + b, c + d, a + c)
+        val n = r1 + r2
+        val kmin = math.max(0, c1 - r2)
+        val kmax = math.min(r1, c1)
+        val masses = (kmin to kmax).map(k =>
+          k -> BigDecimal(choose(r1, k) * choose(r2, c1 - k)))
+        val tot = masses.map(_._2).sum
+        val obs = masses.find(_._1 == a).get._2
+        // the operator's (1 + 1e-7) relative tie tolerance
+        val kept = masses.filter(_._2 <= obs * BigDecimal(1.0 + 1e-7))
+          .map(_._2).sum
+        val expect = (kept / tot).toDouble
+        assert(math.abs(got._5 - expect) < 1e-5,
+          s"trial $trial ($a,$b,$c,$d): ${got._5} vs $expect")
+      }
+    }
+  }
+
+  test("shapleyAttribution: randomized axioms — efficiency and " +
+      "removal-consistency on random chains") {
+    val rnd = new scala.util.Random(2468)
+    val chans = Seq("a", "b", "c")
+    for (trial <- 1 to 2) {
+      val evs = (1L to 30L).flatMap { u =>
+        val len = 1 + rnd.nextInt(6)
+        (0 until len).map { i =>
+          val ty = if (rnd.nextDouble() < 0.25) "conv"
+                   else chans(rnd.nextInt(3))
+          (u * 100 + i, u, (i + 1).toLong * 10, ty)
+        }
+      }
+      val df = evs.toDF("event_id", "user_id", "ts", "event_type")
+      val sh = Events.shapleyAttribution(df, "user_id", "event_type",
+        "ts", "event_id", "conv", chans)
+        .as[(String, Option[Double], Option[Double], Option[Double])]
+        .collect()
+      if (sh.head._4.isDefined) {
+        val pf = sh.head._4.get
+        // every channel's value is shared; phis are finite and the
+        // shares (when present) sum to 1
+        assert(sh.forall(_._4.get == pf))
+        val shares = sh.flatMap(_._3)
+        if (shares.nonEmpty)
+          assert(math.abs(shares.sum - 1.0) < 1e-4,
+            s"trial $trial shares ${shares.toSeq}")
+        // efficiency: sum(phi) = v(C) − v(∅); with every channel
+        // removed only the direct START→CONV edge survives, whose
+        // probability is the fraction of users whose FIRST relevant
+        // event is the conversion (every user emits exactly one
+        // START out-edge)
+        val firstTy = evs.groupBy(_._2).map { case (_, rows) =>
+          rows.minBy(r => (r._3, r._1))._4
+        }
+        val vEmpty = firstTy.count(_ == "conv").toDouble / firstTy.size
+        assert(math.abs(sh.flatMap(_._2).sum - (pf - vEmpty)) < 1e-4,
+          s"trial $trial efficiency")
+      }
+    }
+  }
+
   test("nelsonAalen: hand cumulative hazard on the KM fixture; defined " +
       "through the d = n level") {
     // same fixture as kaplanMeier: H(1) = 1/6, H(3) = 1/6 + 2/4,
