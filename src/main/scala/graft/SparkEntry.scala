@@ -450,6 +450,67 @@ $fieldRows"""
       |$rows)""".stripMargin
   }
 
+  /**
+   * The q_shapley_sampled DuckDB oracle, GENERATED: the generator
+   * calls the OPERATOR'S [[graft.operators.Events.shapleySampleOrder]]
+   * at SQL-generation time (the md5 permutation depends only on the
+   * replica index and the channel names — static per query), so the
+   * rendered scenario set is exactly the distinct prefix coalitions
+   * the driver solves, and each φ̂ fold renders its marginals in
+   * ascending replica order with the final single division by
+   * `samples` — the operator's pinned driver arithmetic, term for
+   * term.
+   */
+  private def shapleySampledOracleSql(channels: Seq[String], conv: String,
+                                      samples: Int): String = {
+    val chs = channels.sorted
+    val k = chs.size
+    val idx = chs.zipWithIndex.toMap
+    def cn(x: String) = x.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val walks: Seq[Seq[String]] = (0 until samples).map(b =>
+      graft.operators.Events.shapleySampleOrder(chs, b))
+    def maskOf(pre: Seq[String]): Int =
+      pre.foldLeft(0)((m, c) => m | (1 << idx(c)))
+    val masks = scala.collection.mutable.SortedSet[Int](0, (1 << k) - 1)
+    walks.foreach { order =>
+      var m = 0
+      order.foreach { c => m |= (1 << idx(c)); masks += m }
+    }
+    val scen: Seq[(String, Set[String])] = masks.toSeq.map { m =>
+      val removed = chs.zipWithIndex
+        .filter { case (_, i) => (m & (1 << i)) == 0 }.map(_._1).toSet
+      (s"m$m", removed)
+    }
+    val body = chainSolveCtes(chs, conv, scen)
+    val phis = chs.map { c =>
+      val ci = idx(c)
+      val chain = (0 until samples).foldLeft("CAST(0 AS DOUBLE)") {
+        (acc, b) =>
+          val order = walks(b)
+          val pre = maskOf(order.take(order.indexOf(c)))
+          val post = pre | (1 << ci)
+          s"($acc + (v_m${post}_0 - v_m${pre}_0))"
+      }
+      s"(($chain) / CAST($samples AS DOUBLE)) AS phi_${cn(c)}"
+    }.mkString(",\n    ")
+    val phiSum = chs.map(c => s"phi_${cn(c)}").mkString(" + ")
+    val rows = chs.map { c =>
+      s"""  SELECT '$c' AS channel,
+        |    CASE WHEN pf > 0 THEN round(phi_${cn(c)}, 6) END AS shapley,
+        |    CASE WHEN pf > 0 AND ps > 0 THEN round(phi_${cn(c)} / ps, 6)
+        |      END AS share,
+        |    CASE WHEN pf > 0 THEN round(pf, 6) END AS p_conv
+        |  FROM fin2""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $body,
+      |fin AS (SELECT v_m${(1 << k) - 1}_0 AS pf,
+      |    $phis
+      |  FROM b0),
+      |fin2 AS (SELECT *, ($phiSum) AS ps FROM fin)
+      |SELECT channel, shapley, share, p_conv FROM (
+      |$rows)""".stripMargin
+  }
+
   /** Unrolled per-seed BFS + harmonic aggregate oracle: one `hops`-deep
     * frontier CTE chain per seed over the part↔supplier link graph,
     * each collapsing to (seed, n_reached, harmonic) with the exact
@@ -1862,6 +1923,15 @@ $fieldRows"""
       graft.operators.Events.shapleyAttribution(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id", "purchase",
         Seq("click", "signup", "error", "view"))
+    }),
+
+    // Sampled-permutation Shapley over the same chain — the K > 16
+    // scale path: md5-derived permutations, coalition-cached solves,
+    // pinned replica-order folds (the oracle renders the SAME walks).
+    "q_shapley_sampled" -> ((s, dir) => {
+      graft.operators.Events.shapleySampledAttribution(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", "purchase",
+        Seq("click", "signup", "error", "view"), samples = 6)
     }),
 
     // Nelson-Aalen cumulative hazard over the same spans as the KM
@@ -6697,6 +6767,8 @@ $fieldRows"""
     "q_markov_attr" -> markovOracleSql(
       Seq("click", "signup", "error", "view"), "purchase"),
     // Shapley: 16 coalition eliminations + ascending-bitmask folds.
+    "q_shapley_sampled" -> shapleySampledOracleSql(
+      Seq("click", "signup", "error", "view"), "purchase", 6),
     "q_shapley_attr" -> shapleyOracleSql(
       Seq("click", "signup", "error", "view"), "purchase"),
     // Nelson-Aalen: the KM level/at-risk machinery with running d/n
@@ -6881,9 +6953,11 @@ $fieldRows"""
         |  FROM orders),
         |r AS (SELECT id, p, row_number() OVER (ORDER BY p, id) AS rank,
         |    count(*) OVER () AS m,
-        |    least(1.0, CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END)
-        |        OVER () AS DOUBLE)
-        |      / ((1.0 - 0.5) * CAST(count(*) OVER () AS DOUBLE)))
+        |    greatest(least(1.0,
+        |        CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END)
+        |          OVER () AS DOUBLE)
+        |        / ((1.0 - 0.5) * CAST(count(*) OVER () AS DOUBLE))),
+        |      1.0 / CAST(count(*) OVER () AS DOUBLE))
         |      AS pi0
         |  FROM hyp),
         |s AS (SELECT id, p, rank, m, pi0,
@@ -7007,14 +7081,20 @@ $fieldRows"""
     "q_l_diversity" ->
       """WITH cell AS (SELECT c_nationkey, c_mktsegment,
         |    floor(c_acctbal / 2000.0) AS sb, count(*) AS c
-        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2, 3)
+        |  FROM customer GROUP BY 1, 2, 3)
         |SELECT c_nationkey, c_mktsegment,
         |  CAST(sum(c) AS BIGINT) AS class_size,
-        |  count(*) AS distinct_sensitive,
-        |  round(ln(CAST(sum(c) AS DOUBLE))
-        |    - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
-        |    AS entropy,
-        |  (count(*) < 5) AS violates
+        |  CAST(sum(CASE WHEN sb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS distinct_sensitive,
+        |  CASE WHEN sum(CASE WHEN sb IS NOT NULL THEN c ELSE 0 END) > 0
+        |    THEN round(
+        |      ln(CAST(sum(CASE WHEN sb IS NOT NULL THEN c END) AS DOUBLE))
+        |      - sum(CASE WHEN sb IS NOT NULL
+        |              THEN c * ln(CAST(c AS DOUBLE)) END)
+        |        / CAST(sum(CASE WHEN sb IS NOT NULL THEN c END) AS DOUBLE),
+        |      4)
+        |  END AS entropy,
+        |  (sum(CASE WHEN sb IS NOT NULL THEN 1 ELSE 0 END) < 5) AS violates
         |FROM cell GROUP BY 1, 2""".stripMargin,
     // Cochran's Q: exact-integer numerator/denominator, one division.
     "q_cochran_q" ->
@@ -9029,10 +9109,11 @@ $fieldRows"""
         |    AND length(trim(text)) > 0),
         |dfq AS (SELECT term, count(*) AS dft FROM dt GROUP BY 1
         |  HAVING count(*) >= 5),
-        |cap AS (SELECT id, term, dft FROM (SELECT dt.id, dt.term,
-        |    dfq.dft,
+        |cap0 AS (SELECT id, term FROM (SELECT dt.id, dt.term,
         |    row_number() OVER (PARTITION BY id ORDER BY term) AS rk
         |  FROM dt JOIN dfq USING (term)) WHERE rk <= 32),
+        |cap AS (SELECT id, term,
+        |    count(*) OVER (PARTITION BY term) AS dft FROM cap0),
         |pr AS (SELECT a.id, a.term AS ta, a.dft AS dfa,
         |    b.term AS tb, b.dft AS dfb
         |  FROM cap a JOIN cap b ON a.id = b.id AND a.term < b.term),

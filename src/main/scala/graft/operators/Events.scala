@@ -468,6 +468,34 @@ object Events {
   }
 
   /**
+   * Shared fail-loud level-cardinality gate for the survival trio
+   * ([[kaplanMeier]] / [[logRankTest]] / [[nelsonAalen]]) — the house
+   * convention ([[fisherExactTest]]'s `maxSupport` twenty lines below;
+   * [[graft.operators.Profiling]]'s spearmanMatrix `maxLevels`): all
+   * three estimators run `Window.orderBy("t")` over the distinct-
+   * duration LEVEL frame, an unpartitioned single-task window that is
+   * bounded ONLY when durations are quantized. This guard cuts the
+   * level aggregate's lineage (one map-side-combined agg — the count
+   * job is keys-only and fully parallel; the cut frame then feeds the
+   * window job without a rescan), counts it, and refuses to plan the
+   * window past `maxLevels`, with the quantize-upstream escape in the
+   * message. Default 10⁷ levels: far above any day/hour-quantized
+   * duration domain, far below the 10⁸ cliff the docs warn about.
+   */
+  private def guardedSurvivalLevels(levels: DataFrame, op: String,
+                                    maxLevels: Long): DataFrame = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1: $maxLevels")
+    val cut = levels.lineageCut()
+    val n = cut.count()
+    require(n <= maxLevels,
+      s"$op: $n distinct duration levels exceeds maxLevels=$maxLevels — " +
+        "the ordered survival window runs over the level frame in ONE " +
+        "task at this cardinality; quantize durations upstream (bucket " +
+        "to days/hours) or raise maxLevels deliberately")
+    cut
+  }
+
+  /**
    * Kaplan-Meier product-limit survival estimator (Kaplan & Meier
    * 1958) — THE retention/churn curve with right-censoring done
    * correctly: a user who simply hasn't converted/churned YET
@@ -489,20 +517,26 @@ object Events {
    * `survival` rounds 6dp.
    *
    * Scale shape: one map-side-combined level aggregate; the window
-   * runs over LEVELS (distinct durations — quantize upstream if that
-   * cardinality approaches 10⁸), never rows. Returns one row per
-   * EVENT time (d_t > 0, the standard KM step points):
-   * (`t`, `n_risk`, `n_events`, `survival`).
+   * runs over LEVELS (distinct durations), never rows — and that
+   * cardinality is now ENFORCED, not just documented: `maxLevels`
+   * fails loud (see [[guardedSurvivalLevels]]) before the
+   * unpartitioned window is ever planned, because a continuous /
+   * ns-resolution duration column makes the level frame row-sized and
+   * would move the whole dataset through ONE window task. Quantize
+   * durations upstream (bucket to days/hours) or raise `maxLevels`
+   * deliberately. Returns one row per EVENT time (d_t > 0, the
+   * standard KM step points): (`t`, `n_risk`, `n_events`, `survival`).
    */
   def kaplanMeier(df: DataFrame, durationCol: String,
-                  eventCol: String): DataFrame = {
+                  eventCol: String,
+                  maxLevels: Long = 10000000L): DataFrame = {
     val base = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
       .select(col(durationCol).cast("long").as("t"),
         col(eventCol).cast("boolean").as("ev"))
-    val levels = base.groupBy("t").agg(
+    val levels = guardedSurvivalLevels(base.groupBy("t").agg(
       sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
-      count(lit(1)).as("all"))
+      count(lit(1)).as("all")), "kaplanMeier", maxLevels)
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.orderBy("t")
@@ -595,23 +629,27 @@ object Events {
    * n_t = 1 contribute zero variance (the n−1 guard).
    *
    * Scale shape: one level aggregate (map-side combined), two ordered
-   * windows over LEVELS (distinct durations — quantize upstream if
-   * that cardinality approaches 10⁸), one single-row rollup. Output:
+   * windows over LEVELS (distinct durations — `maxLevels` ENFORCES the
+   * bound via [[guardedSurvivalLevels]] before the unpartitioned
+   * windows are planned; quantize upstream past it), one single-row
+   * rollup. Output:
    * one row (`n_a`, `n_b`, `o_a`, `e_a`, `variance`, `chi2`, `df`).
    */
   def logRankTest(df: DataFrame, durationCol: String, eventCol: String,
-                  groupCol: String, groupA: String): DataFrame = {
+                  groupCol: String, groupA: String,
+                  maxLevels: Long = 10000000L): DataFrame = {
     val base = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
         col(groupCol).isNotNull)
       .select(col(durationCol).cast("long").as("t"),
         col(eventCol).cast("boolean").as("ev"),
         (col(groupCol).cast("string") === lit(groupA)).as("ga"))
-    val levels = base.groupBy("t").agg(
+    val levels = guardedSurvivalLevels(base.groupBy("t").agg(
       sum(when(col("ga") && col("ev"), 1L).otherwise(0L)).as("da"),
       sum(when(!col("ga") && col("ev"), 1L).otherwise(0L)).as("db"),
       sum(when(col("ga"), 1L).otherwise(0L)).as("la"),
-      sum(when(!col("ga"), 1L).otherwise(0L)).as("lb"))
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("lb")),
+      "logRankTest", maxLevels)
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.orderBy("t")
@@ -816,17 +854,22 @@ object Events {
     def solve(removed: Option[String]): Double =
       absorption(counts, chs, removed.toSet)
     val pFull = solve(None)
+    // !(pFull > 0.0) — not pFull <= 0.0 — so a NaN from a degenerate
+    // pivot routes to the documented all-NULL row instead of blowing
+    // up inside BigDecimal(NaN) (NaN fails every comparison)
     val rows: Seq[(String, Option[Double], Option[Double], Option[Double])] =
-      if (pFull <= 0.0) chs.map(c => (c, None, None, None))
+      if (!(pFull > 0.0)) chs.map(c => (c, None, None, None))
       else {
-        def r6(x: Double) = BigDecimal(x)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def r6(x: Double): Option[Double] =
+          if (x.isNaN) None
+          else Some(BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         val res = chs.map(c => c -> (1.0 - solve(Some(c)) / pFull)).toMap
         val reSum = chs.foldLeft(0.0)((acc, c) => acc + res(c))
         chs.map { c =>
-          (c, Some(r6(res(c))),
-            if (reSum > 0.0) Some(r6(res(c) / reSum)) else None,
-            Some(r6(pFull)))
+          (c, r6(res(c)),
+            if (reSum > 0.0) r6(res(c) / reSum) else None,
+            r6(pFull))
         }
       }
     rows.toDF("channel", "removal_effect", "attribution", "p_conv")
@@ -884,11 +927,15 @@ object Events {
     }
     val pFull = v((1 << k) - 1)
     def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    // !(pFull > 0.0) catches NaN from a degenerate pivot as well as
+    // the never-converts chain — same guard as [[markovAttribution]]
     val rows: Seq[(String, Option[Double], Option[Double], Option[Double])] =
-      if (pFull <= 0.0) chs.map(c => (c, None, None, None))
+      if (!(pFull > 0.0)) chs.map(c => (c, None, None, None))
       else {
-        def r6(x: Double) = BigDecimal(x)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def r6(x: Double): Option[Double] =
+          if (x.isNaN) None
+          else Some(BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         val phi = chs.zipWithIndex.map { case (c, ci) =>
           val bit = 1 << ci
           val masks = (0 until (1 << k)).filter(m => (m & bit) == 0)
@@ -900,9 +947,117 @@ object Events {
         }.toMap
         val phiSum = chs.foldLeft(0.0)((acc, c) => acc + phi(c))
         chs.map { c =>
-          (c, Some(r6(phi(c))),
-            if (phiSum > 0.0) Some(r6(phi(c) / phiSum)) else None,
-            Some(r6(pFull)))
+          (c, r6(phi(c)),
+            if (phiSum > 0.0) r6(phi(c) / phiSum) else None,
+            r6(pFull))
+        }
+      }
+    rows.toDF("channel", "shapley", "share", "p_conv")
+  }
+
+  /** The deterministic permutation for sampled-Shapley replica `b`:
+    * channels sorted by (md5("b:channel") hex, channel) — the
+    * [[graft.operators.Profiling.permutationTestMeanDiff]] md5-coin
+    * mechanism applied to ordering, so every replica is
+    * cross-engine-replicable (the generated oracle calls this SAME
+    * function at SQL-generation time; the hex tiebreak on the channel
+    * name makes the order total even under digest collisions). */
+  def shapleySampleOrder(chs: Seq[String], b: Int): Seq[String] = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    chs.sortBy(c => (md5hex(s"$b:$c"), c))
+  }
+
+  /**
+   * Sampled-permutation Shapley attribution (Castro, Gómez & Tejada
+   * 2009, "Polynomial calculation of the Shapley value based on
+   * sampling") — [[shapleyAttribution]] past its K ≤ 16 exact-fold
+   * cap: real marketing journeys carry 20-50 channels, where 2^K
+   * coalition solves are unpayable. The estimator walks `samples`
+   * random permutations; a channel's marginal contribution in a
+   * permutation is v(prefix ∪ {c}) − v(prefix), and φ̂_c is the mean
+   * over samples. EFFICIENCY STILL HOLDS EXACTLY (Σφ̂ = v(C) − v(∅),
+   * each permutation's marginals telescope); the per-channel values
+   * converge to the exact Shapley at O(1/√samples).
+   *
+   * EXACTNESS (the house determinism contract, not statistical
+   * exactness): the distributed work is the one [[journeyCounts]]
+   * aggregate; permutations come from [[shapleySampleOrder]]'s
+   * md5-derived total order — bit-replicable cross-engine, no RNG
+   * state; coalition values solve by the SAME fixed-pivot elimination
+   * as the exact fold ([[absorption]]), CACHED by coalition (distinct
+   * prefixes across samples, ≤ samples·K + 2 solves); each φ̂
+   * accumulates marginals in ascending replica order (a pinned
+   * left-assoc fold the generated oracle replays term-for-term) and
+   * ends in ONE division by `samples`. Outputs round 6dp at the end.
+   *
+   * Scale shape: one window pass + one count aggregate distribute;
+   * the driver holds (K+2)² longs and runs ≤ samples·K + 2 solves of
+   * O(K³) — ~1.3 GFlop at K = 50, samples = 200, corpus-independent
+   * (`channels.size` ≤ 64 from the journeyCounts state-space cap;
+   * `samples` ≤ 4096 enforced).
+   *
+   * Returns one row per channel (ascending): (`channel`, `shapley`,
+   * `share` = φ̂/Σφ̂, `p_conv` = v(C); all NULL when the chain never
+   * converts).
+   */
+  def shapleySampledAttribution(df: DataFrame, userCol: String,
+                                typeCol: String, tsCol: String,
+                                idCol: String, conversionType: String,
+                                channels: Seq[String],
+                                samples: Int = 200): DataFrame = {
+    require(channels.nonEmpty && channels.distinct.size == channels.size,
+      "channels must be non-empty and distinct")
+    require(channels.size <= 64, s"too many channels: ${channels.size}")
+    require(samples >= 1 && samples <= 4096,
+      s"samples must be in [1, 4096]: $samples")
+    require(!channels.contains(conversionType),
+      "conversionType cannot also be a channel")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chs = channels.sorted
+    val k = chs.size
+    val idx = chs.zipWithIndex.toMap
+    val counts = journeyCounts(df, userCol, typeCol, tsCol, idCol,
+      conversionType, chs)
+    val cache = scala.collection.mutable.Map.empty[
+      scala.collection.immutable.BitSet, Double]
+    def v(members: scala.collection.immutable.BitSet): Double =
+      cache.getOrElseUpdate(members, {
+        val removed = chs.zipWithIndex
+          .filterNot { case (_, i) => members(i) }.map(_._1).toSet
+        absorption(counts, chs, removed)
+      })
+    val full = scala.collection.immutable.BitSet(0 until k: _*)
+    val pFull = v(full)
+    val rows: Seq[(String, Option[Double], Option[Double], Option[Double])] =
+      if (!(pFull > 0.0)) chs.map(c => (c, None, None, None))
+      else {
+        def r6(x: Double): Option[Double] =
+          if (x.isNaN) None
+          else Some(BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val acc = Array.fill(k)(0.0)
+        var b = 0
+        while (b < samples) {
+          val order = shapleySampleOrder(chs, b)
+          var prefix = scala.collection.immutable.BitSet.empty
+          var prev = v(prefix)
+          order.foreach { c =>
+            prefix = prefix + idx(c)
+            val cur = v(prefix)
+            acc(idx(c)) += cur - prev
+            prev = cur
+          }
+          b += 1
+        }
+        val phi = chs.map(c => c -> acc(idx(c)) / samples.toDouble).toMap
+        val phiSum = chs.foldLeft(0.0)((a, c) => a + phi(c))
+        chs.map { c =>
+          (c, r6(phi(c)),
+            if (phiSum > 0.0) r6(phi(c) / phiSum) else None,
+            r6(pFull))
         }
       }
     rows.toDF("channel", "shapley", "share", "p_conv")
@@ -925,19 +1080,21 @@ object Events {
    * companion `cum_var` (Σ d/n², Klein 1991's simpler form) round 6dp.
    *
    * Scale shape: the kaplanMeier contract verbatim — one level
-   * aggregate, windows over LEVELS (distinct durations), one row out
-   * per event time: (`t`, `n_risk`, `n_events`, `cum_hazard`,
-   * `cum_var`).
+   * aggregate, windows over LEVELS (distinct durations, bounded by
+   * the same enforced `maxLevels` gate, [[guardedSurvivalLevels]]),
+   * one row out per event time: (`t`, `n_risk`, `n_events`,
+   * `cum_hazard`, `cum_var`).
    */
   def nelsonAalen(df: DataFrame, durationCol: String,
-                  eventCol: String): DataFrame = {
+                  eventCol: String,
+                  maxLevels: Long = 10000000L): DataFrame = {
     val base = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
       .select(col(durationCol).cast("long").as("t"),
         col(eventCol).cast("boolean").as("ev"))
-    val levels = base.groupBy("t").agg(
+    val levels = guardedSurvivalLevels(base.groupBy("t").agg(
       sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
-      count(lit(1)).as("all"))
+      count(lit(1)).as("all")), "nelsonAalen", maxLevels)
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.orderBy("t")

@@ -84,15 +84,23 @@ object Privacy {
    * H(class) ≥ ln l; reported, not gated — the distinct form is the one
    * a release gate usually enforces).
    *
-   * NULL sensitive values are dropped (stated: a NULL secret discloses
-   * nothing), but the class itself remains with its surviving rows.
+   * NULL sensitive values disclose nothing, so they are EXCLUDED from
+   * `distinct_sensitive` and `entropy` — but the class itself is NEVER
+   * dropped: `class_size` counts ALL rows of the class (NULL-sensitive
+   * included), and a class whose every sensitive value is NULL
+   * surfaces with `distinct_sensitive = 0`, NULL entropy, and
+   * `violates = true` (0 < l), so a release gate iterating `violates`
+   * always sees it. (Aggregating from the filtered frame instead would
+   * silently drop all-NULL classes from the audit entirely.)
    *
    * EXACTNESS: distinct counting is EXACT — a two-level aggregate
-   * ((quasi, sensitive) counts, then a class rollup), never
-   * approx_count_distinct; `entropy` uses the factored identity
-   * H = ln(n) − (Σ c·ln c)/n so the aggregate sums ONE double term per
-   * sensitive level (each term derived from exact integer counts),
-   * rounded 4dp — the same unordered-sum-of-level-terms contract
+   * ((quasi, sensitive) counts with NULL forming its own cell, then a
+   * class rollup that gates the NULL cell out of the sensitive
+   * statistics), never approx_count_distinct; `entropy` uses the
+   * factored identity H = ln(n) − (Σ c·ln c)/n over the NON-NULL count
+   * n, so the aggregate sums ONE double term per sensitive level (each
+   * term derived from exact integer counts), rounded 4dp — the same
+   * unordered-sum-of-level-terms contract
    * [[graft.functions.Text.charEntropy]] ships under (text_entropy).
    *
    * Scale shape: two shuffles — (quasi, sensitive) then quasi — both
@@ -110,19 +118,27 @@ object Privacy {
     require(l >= 1L, s"l must be >= 1, got $l")
     val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in the frame: $missing")
-    val cells = df.filter(col(sensitiveCol).isNotNull)
+    // NULL sensitive values form their own cell (groupBy keeps NULL as
+    // a group) so class_size stays unfiltered; the rollup gates the
+    // NULL cell out of the sensitive statistics — no join, no
+    // null-unsafe quasi-key equality, same two shuffles
+    val cells = df
       .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
+    val sNotNull = col(sensitiveCol).isNotNull
     cells
       .groupBy(quasiCols.map(col): _*)
       .agg(sum("__c").as("class_size"),
-        count(lit(1)).as("distinct_sensitive"),
-        sum(col("__c").cast("double") * log(col("__c").cast("double")))
+        sum(when(sNotNull, 1L).otherwise(0L)).as("distinct_sensitive"),
+        sum(when(sNotNull, col("__c")).otherwise(0L)).as("__n"),
+        sum(when(sNotNull,
+          col("__c").cast("double") * log(col("__c").cast("double"))))
           .as("__clnc"))
       .select((quasiCols.map(col) ++ Seq(
         col("class_size"), col("distinct_sensitive"),
-        round(log(col("class_size").cast("double")) -
-          col("__clnc") / col("class_size").cast("double"), 4)
+        when(col("__n") > 0L,
+          round(log(col("__n").cast("double")) -
+            col("__clnc") / col("__n").cast("double"), 4))
           .as("entropy"),
         (col("distinct_sensitive") < lit(l)).as("violates"))): _*)
   }

@@ -2512,11 +2512,23 @@ object Profiling {
    * callers with ≥10⁸ simultaneous hypotheses have a different
    * problem. One row out per hypothesis: (id, p, `rank`, `m`,
    * `p_adj`, `reject`).
+   *
+   * NULL-p POLICY: fail loud. A NULL p-value is a hypothesis that was
+   * SUBMITTED but didn't produce a test result — silently dropping it
+   * shrinks m and makes the correction less conservative than the
+   * submitted hypothesis count warrants (every kept p_adj would be
+   * too small). Callers who genuinely mean "exclude these" must
+   * filter upstream, visibly.
    */
   def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
                         alpha: Double = 0.05): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
-    val base = df.filter(col(pCol).isNotNull)
+    val base = df
+      .filter(when(col(pCol).isNull,
+        raise_error(lit("benjaminiHochberg: NULL p-value — a submitted " +
+          "hypothesis without a result would silently shrink m; filter " +
+          "upstream if exclusion is intended")).cast("boolean"))
+        .otherwise(lit(true)))
       .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
     val wTot = Window.orderBy("p", "id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2562,7 +2574,13 @@ object Profiling {
                     lambda: Double = 0.5): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0,
       s"lambda must be in (0,1): $lambda")
-    val base = df.filter(col(pCol).isNotNull)
+    // NULL-p: fail loud, the benjaminiHochberg policy (same rationale)
+    val base = df
+      .filter(when(col(pCol).isNull,
+        raise_error(lit("storeyQValues: NULL p-value — a submitted " +
+          "hypothesis without a result would silently shrink m; filter " +
+          "upstream if exclusion is intended")).cast("boolean"))
+        .otherwise(lit(true)))
       .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
     val wTot = Window.orderBy("p", "id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2572,10 +2590,15 @@ object Profiling {
     base
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .withColumn("m", count(lit(1)).over(wTot))
-      .withColumn("pi0", least(lit(1.0),
+      // floored at 1/m: with NO p > lambda the raw estimate is 0,
+      // which would drive EVERY q-value to 0 (reject everything) — the
+      // 1/m floor is the "at least one null hypothesis" guard (the
+      // qvalue package's pi0 > 0 convention)
+      .withColumn("pi0", greatest(least(lit(1.0),
         sum(when(col("p") > lambda, 1L).otherwise(0L)).over(wTot)
           .cast("double") /
-          ((lit(1.0) - lit(lambda)) * col("m").cast("double"))))
+          ((lit(1.0) - lit(lambda)) * col("m").cast("double"))),
+        lit(1.0) / col("m").cast("double")))
       .withColumn("__stepped",
         col("pi0") * (col("p") * col("m").cast("double") /
           col("rank").cast("double")))
@@ -2677,6 +2700,16 @@ object Profiling {
       sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
       sum(when(col("ga"), col("u")).otherwise(0L)).cast(dec).as("sa_obs"),
       sum(col("u")).cast(dec).as("s_tot"))
+      // fail loud when either arm is empty (absent groupA, or groupA is
+      // universal): the mean_diff would be NaN/Infinity and every
+      // permutation trivially "as extreme" (a vacuous p = 1) — the
+      // house convention is to refuse, not to emit a plausible number
+      .filter(when(coalesce(col("n_a"), lit(0L)) < 1L ||
+          coalesce(col("n_b"), lit(0L)) < 1L,
+        raise_error(lit("permutationTestMeanDiff: both arms must be " +
+          "non-empty — groupA matched everything or nothing"))
+          .cast("boolean"))
+        .otherwise(lit(true)))
     val rep = base
       .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("mk",

@@ -403,7 +403,14 @@ object TextAnalysis {
    * DETERMINISTICALLY at `maxTermsPerDoc` (rank by term — the long-row
    * guard; stated, replicated by the oracle) and the df band
    * [`minDf`, `maxDf`] prunes hapax noise and stopword rows before
-   * any pair forms.
+   * any pair forms. The TRUE document frequency drives ONLY the band
+   * filter; the reported `df_a`/`df_b` — and the p coin, the cosine
+   * denominator, and the `exact` bound — are all the POST-CAP
+   * document frequencies, recomputed on the capped frame, so the
+   * cosine is the exact (or DIMSUM-estimated) cosine OF THE CAPPED
+   * CORPUS and `exact = true` is honest by construction even when
+   * docs were truncated (df computed pre-cap would make truncated
+   * docs' cosines biased low while still flagged exact).
    *
    * Returns one row per surviving pair: (`term_a`, `term_b`, `df_a`,
    * `df_b`, `n_kept`, `cosine`, `exact`).
@@ -425,9 +432,15 @@ object TextAnalysis {
       .filter(col("dft") >= minDf && col("dft") <= maxDf)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("term")
-    val capped = dt.join(dfreq, "term")
+    // post-cap df via ONE term-keyed window over the capped frame (no
+    // extra aggregate+join; the pair join shuffles by id next, so this
+    // term shuffle is the df derivation's only cost) — see the
+    // Scaladoc: everything downstream uses CAPPED-corpus frequencies
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val capped = dt.join(dfreq.select("term"), "term")
       .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <= maxTermsPerDoc)
+      .withColumn("dft", count(lit(1)).over(wTerm))
       .select("id", "term", "dft")
     // both pair-join sides consume this frame — cut so the corpus
     // scans/token aggregates run once, not once per side
@@ -1251,7 +1264,12 @@ object TextAnalysis {
     val lens = spark.read.parquet(s"$live/doclens")
       .select(col("doc_id").as("__id"), col("len").as("__len"))
     val stats = lens.agg(sum("__len").as("__tok_total"))
-    val cf = tf.groupBy("__term").agg(sum("__tf").as("__cf"))
+    // cf gated by doclens membership — the same mid-append consistency
+    // contract as the BM25 probe's df (see [[bm25ScoresFromIndex]]):
+    // postings of docs not yet in doclens contribute to neither T nor
+    // the scoring join, so they must not contribute to cf either
+    val cf = tf.join(lens.select("__id"), Seq("__id"), "leftsemi")
+      .groupBy("__term").agg(sum("__tf").as("__cf"))
     val qterms = graft.core.LineageCut.cut(
       bm25QueryTerms(queries, queryIdCol, queryTextCol))
     val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("__qlen"))
@@ -1358,8 +1376,20 @@ object TextAnalysis {
    * doclens. Same corpus definition as the build (null id/text drop);
    * the caller owns doc-id uniqueness across build + deltas (duplicate
    * ids would double-count their terms, exactly as feeding duplicate
-   * rows to [[bm25Scores]] would). Single-writer per store, the IVF
-   * append contract. Returns the number of docs appended.
+   * rows to [[bm25Scores]] would). Single-WRITER per store, the IVF
+   * append contract — but probes are SAFE to run concurrently with an
+   * append, because the write order is POSTINGS FIRST, then doclens,
+   * and both index probes derive every corpus-level quantity
+   * (N/avgdl/T from doclens; df/cf from postings GATED by doclens
+   * membership): a probe landing mid-append sees either the
+   * pre-append corpus exactly (doclens not yet visible → the delta's
+   * postings are invisible to df, cf, AND the scoring join), the
+   * post-append corpus exactly, or — during the doclens job commit
+   * itself — the pre-append corpus plus a prefix subset of delta docs,
+   * each of which already has its COMPLETE postings visible (the
+   * postings job finished before doclens began). Every reachable state
+   * is a consistent corpus; no state scores with half-visible
+   * documents. Returns the number of docs appended.
    */
   def appendToBm25Index(docs: DataFrame, dest: String,
                         idCol: String = "doc_id", textCol: String = "text",
@@ -1377,12 +1407,15 @@ object TextAnalysis {
           tokens(lower(col(textCol))).as("__toks")))
     val lens = base.select(col("doc_id"),
       size(col("__toks")).cast("long").as("len"))
-    lens.write.mode("append").parquet(s"$live/doclens")
+    // POSTINGS BEFORE DOCLENS — the probe-safety invariant (see the
+    // Scaladoc): a doc enters the probes' corpus the moment its
+    // doclens row is visible, so its postings must already be there
     base.select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .repartitionByRange(shards, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("append").parquet(s"$live/postings")
+    lens.write.mode("append").parquet(s"$live/doclens")
     base.count()
   }
 
@@ -1423,13 +1456,20 @@ object TextAnalysis {
     val stats = lens.agg(count(lit(1)).as("__n"),
       sum("__len").as("__tok_total"))
     // tf rows are unique per (doc, term) and already term-pruned: df
-    // is a plain per-term row count over the pruned postings — the
-    // index path's cheapest df derivation. Deliberately NOT lineage-
+    // is a per-term row count over the pruned postings GATED by
+    // doclens membership (the leftsemi below) — docs whose postings
+    // landed but whose doclens row hasn't yet (a concurrent
+    // [[appendToBm25Index]], which writes postings first) must not
+    // count toward df while N/avgdl still describe the old corpus;
+    // with the gate, every probe-visible state is a consistent corpus
+    // (the scoring join already drops lens-less postings, so the gate
+    // aligns df with what actually scores). Deliberately NOT lineage-
     // cut: both consumers re-read the term-pruned parquet (each scan
     // is ≤ K terms' postings, pruned at file stats), which beats
     // materializing a checkpoint and keeps the pushed filter visible
     // in both scan nodes of the plan.
-    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val dfreq = tf.join(lens.select("__id"), Seq("__id"), "leftsemi")
+      .groupBy("__term").agg(count(lit(1)).as("__df"))
     bm25Probe(tf, dfreq, lens, stats,
       bm25QueryTerms(queries, queryIdCol, queryTextCol), idCol, k1, b)
   }

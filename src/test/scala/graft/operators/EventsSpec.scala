@@ -298,6 +298,38 @@ class EventsSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
   }
 
+  test("survival trio: the shared maxLevels gate trips on a high-" +
+      "cardinality duration column and passes at the bound") {
+    // 50 distinct durations — a stand-in for the continuous /
+    // ns-resolution column that would make the level frame row-sized
+    // and push the whole dataset through ONE window task
+    val hi = (1L to 50L).map(t => (t, t % 2 == 0)).toDF("dur", "ev")
+    val e1 = intercept[IllegalArgumentException] {
+      Events.kaplanMeier(hi, "dur", "ev", maxLevels = 10L).collect()
+    }
+    assert(e1.getMessage.contains("maxLevels") &&
+      e1.getMessage.contains("quantize"))
+    val hiG = hi.withColumn("grp",
+      when(col("dur") % 2 === 0, "a").otherwise("b"))
+    val e2 = intercept[IllegalArgumentException] {
+      Events.logRankTest(hiG, "dur", "ev", "grp", "a", maxLevels = 10L)
+        .collect()
+    }
+    assert(e2.getMessage.contains("logRankTest"))
+    val e3 = intercept[IllegalArgumentException] {
+      Events.nelsonAalen(hi, "dur", "ev", maxLevels = 10L).collect()
+    }
+    assert(e3.getMessage.contains("nelsonAalen"))
+    // exactly at the bound passes (the gate is <=, not <)
+    assert(Events.kaplanMeier(hi, "dur", "ev", maxLevels = 50L)
+      .count() > 0L)
+    // quantizing upstream — the escape the message prescribes —
+    // collapses the levels under the gate
+    val q = hi.withColumn("dur", floor(col("dur") / 10L) * 10L)
+    assert(Events.nelsonAalen(q, "dur", "ev", maxLevels = 10L)
+      .count() > 0L)
+  }
+
   test("fisherExactTest: randomized parity vs an exact BigDecimal " +
       "hypergeometric reference") {
     val rnd = new scala.util.Random(1357)
@@ -619,6 +651,67 @@ class EventsSpec extends SparkSpec {
       Events.shapleyAttribution(rows, "user_id", "event_type", "ts",
         "event_id", "conv", (1 to 17).map(i => s"c$i"))
     }
+  }
+
+  test("shapleySampledAttribution: converges to the exact fold on the " +
+      "hand fixture; efficiency holds EXACTLY at any sample count; " +
+      "runs past the exact K cap") {
+    def ev(id: Long, u: Long, ts: Long, ty: String) = (id, u, ts, ty)
+    val rows = Seq(
+      ev(1, 1, 10, "a"), ev(2, 1, 20, "conv"),
+      ev(3, 2, 10, "b"), ev(4, 2, 20, "conv"),
+      ev(5, 3, 10, "a"), ev(6, 3, 20, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // K = 2: only two permutations exist, so the md5 sampler visits
+    // both and the estimate converges fast; exact φ = (5/12, 1/4)
+    val got = Events.shapleySampledAttribution(rows, "user_id",
+      "event_type", "ts", "event_id", "conv", Seq("a", "b"),
+      samples = 2000)
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(math.abs(got(0)._2.get - 5.0 / 12.0) < 0.02)
+    assert(math.abs(got(1)._2.get - 0.25) < 0.02)
+    assert(got.forall(_._4 === Some(r6(2.0 / 3.0))))
+    // efficiency telescopes per permutation: Σφ̂ = v(C) − v(∅)
+    // EXACTLY, at ANY sample count — including a single sample
+    val one = Events.shapleySampledAttribution(rows, "user_id",
+      "event_type", "ts", "event_id", "conv", Seq("a", "b"), samples = 1)
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    // (the reported values are 6dp-rounded, so the telescoped sum can
+    // sit a grid step off the exact total — compare within the grid)
+    assert(math.abs(one.map(_._2.get).sum - 2.0 / 3.0) < 2e-6)
+    // determinism: same inputs, same estimate (md5 walks, no RNG)
+    val again = Events.shapleySampledAttribution(rows, "user_id",
+      "event_type", "ts", "event_id", "conv", Seq("a", "b"),
+      samples = 2000)
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+    // K = 24 — past the exact fold's 2^K cap — runs fine here
+    // (distinct channels c01..c24 on a tiny journey set)
+    val big = (1 to 24).map(i => f"c$i%02d")
+    val rows24 = Seq(
+      ev(1, 1, 10, "c01"), ev(2, 1, 20, "c07"), ev(3, 1, 30, "conv"),
+      ev(4, 2, 10, "c13"), ev(5, 2, 20, "c24"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Events.shapleyAttribution(rows24, "user_id", "event_type", "ts",
+        "event_id", "conv", big)
+    }
+    val sampled24 = Events.shapleySampledAttribution(rows24, "user_id",
+      "event_type", "ts", "event_id", "conv", big, samples = 50)
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(sampled24.length === 24)
+    // touched channels earn credit; untouched channels are null
+    // players (φ̂ = 0 — their marginals vanish in every permutation)
+    val byCh = sampled24.map(r => r._1 -> r._2.get).toMap
+    assert(byCh("c01") > 0.0 && byCh("c07") > 0.0)
+    assert(big.filterNot(Set("c01", "c07", "c13", "c24"))
+      .forall(c => byCh(c) === 0.0))
   }
 
   test("fisherExactTest: tea-tasting fixture, extreme table, guard") {

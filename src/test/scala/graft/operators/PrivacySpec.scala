@@ -54,16 +54,21 @@ class PrivacySpec extends SparkSpec {
       (Some("z1"), "f", 1L, 1L, 0.0, true),
       (Some("z2"), "m", 2L, 1L, 0.0, true), // homogeneous: H = 0
       (None, "m", 1L, 1L, 0.0, true)))
-    // NULL sensitive rows vanish but the class survives on the rest
+    // NULL sensitive values are excluded from the sensitive stats but
+    // NEVER drop rows from class_size, and an all-NULL class surfaces
+    // with distinct_sensitive = 0 / NULL entropy / violates = true —
+    // a release gate iterating `violates` must see every class
     val withNull = tbl.withColumn("dx",
       when(col("dx") === "cold", col("dx"))) // flu -> NULL
     val g2 = Privacy.lDiversityClasses(withNull, Seq("zip", "sex"),
       "dx", 2L)
-      .as[(Option[String], String, Long, Long, Double, Boolean)]
+      .as[(Option[String], String, Long, Long, Option[Double], Boolean)]
       .collect().toSet
     assert(g2 === Set(
-      (Some("z1"), "m", 1L, 1L, 0.0, true),
-      (Some("z2"), "m", 2L, 1L, 0.0, true)))
+      (Some("z1"), "m", 3L, 1L, Some(0.0), true), // 2 NULL + 1 cold
+      (Some("z1"), "f", 1L, 0L, None, true),      // all-NULL class
+      (Some("z2"), "m", 2L, 1L, Some(0.0), true),
+      (None, "m", 1L, 0L, None, true)))           // all-NULL class
   }
 
   test("guards: unknown columns and degenerate k/l fail loud") {

@@ -1211,4 +1211,46 @@ class ProfilingSpec extends SparkSpec {
       reps = 7).as[(Long, Long, Int, Double, Long, Double)].collect().head
     assert(p1._4 === 0.0 && p1._5 === 7L && p1._6 === 1.0)
   }
+
+  test("permutationTestMeanDiff: empty arm fails loud (absent and " +
+      "universal groupA)") {
+    val df = Seq((1L, 1.0, "a"), (2L, 2.0, "a")).toDF("id", "v", "g")
+    // groupA matches nothing -> arm A empty
+    val e1 = intercept[Exception] {
+      Profiling.permutationTestMeanDiff(df, "id", "v", "g", "zz")
+        .collect()
+    }
+    assert(e1.getMessage.contains("non-empty"), e1.getMessage)
+    // groupA matches everything -> arm B empty
+    val e2 = intercept[Exception] {
+      Profiling.permutationTestMeanDiff(df, "id", "v", "g", "a")
+        .collect()
+    }
+    assert(e2.getMessage.contains("non-empty"), e2.getMessage)
+  }
+
+  test("benjaminiHochberg / storeyQValues: NULL p fails loud (a " +
+      "submitted hypothesis without a result must not shrink m)") {
+    val withNull = Seq((1L, Some(0.01)), (2L, None), (3L, Some(0.5)))
+      .toDF("id", "p")
+    val e1 = intercept[Exception] {
+      Profiling.benjaminiHochberg(withNull, "id", "p").collect()
+    }
+    assert(e1.getMessage.contains("NULL p-value"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Profiling.storeyQValues(withNull, "id", "p").collect()
+    }
+    assert(e2.getMessage.contains("NULL p-value"), e2.getMessage)
+  }
+
+  test("storeyQValues: pi0 floors at 1/m when no p exceeds lambda " +
+      "(a zero pi0 would drive every q-value to 0)") {
+    val allSmall = Seq((1L, 0.1), (2L, 0.2)).toDF("id", "p")
+    val got = Profiling.storeyQValues(allSmall, "id", "p", 0.5)
+      .as[(Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.forall(_._5 == 0.5)) // 1/m, not 0
+    // q = suffix-min of pi0·m·p/rank = (0.5·2·0.1/1, 0.5·2·0.2/2)
+    assert(got.map(_._6).toSeq === Seq(0.1, 0.1))
+  }
 }

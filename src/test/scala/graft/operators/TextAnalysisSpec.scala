@@ -764,6 +764,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.getMessage.contains("maxProbeTerms"))
   }
 
+  test("appendToBm25Index mid-append visibility: a probe between the " +
+      "postings write and the doclens write scores the OLD corpus " +
+      "consistently (no half-visible delta)") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "cat fish")).toDF("query_id", "qtext")
+    val dest =
+      java.nio.file.Files.createTempDirectory("graft-bm25-mid").toString
+    TextAnalysis.buildBm25Index(docs, dest, shards = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val before = rows(TextAnalysis.bm25ScoresFromIndex(spark, dest, qs))
+    val lmBefore = rows(TextAnalysis.lmDirichletFromIndex(spark, dest, qs))
+    // simulate EXACTLY the state a concurrent probe can observe during
+    // appendToBm25Index: the delta's postings fully committed (the
+    // append writes postings FIRST), its doclens not yet visible
+    val delta = Seq((9L, "fish fish cat")).toDF("doc_id", "text")
+    val base = delta.select(col("doc_id"),
+      TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+    val live = s"$dest/gen-1"
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$live/postings")
+    // mid-append probes are BIT-IDENTICAL to the pre-append probes:
+    // docs without a doclens row are invisible to df, cf, N/avgdl/T,
+    // AND the scoring join — the old corpus, scored consistently
+    assert(rows(TextAnalysis.bm25ScoresFromIndex(spark, dest, qs))
+      === before)
+    assert(rows(TextAnalysis.lmDirichletFromIndex(spark, dest, qs))
+      === lmBefore)
+    // completing the append (doclens lands) atomically flips every
+    // probe to the union corpus, matching the direct scorers
+    base.select(col("doc_id"), size(col("__toks")).cast("long").as("len"))
+      .write.mode("append").parquet(s"$live/doclens")
+    val union = docs.unionAll(delta)
+    assert(rows(TextAnalysis.bm25ScoresFromIndex(spark, dest, qs))
+      === rows(TextAnalysis.bm25Scores(union, qs)))
+    assert(rows(TextAnalysis.lmDirichletFromIndex(spark, dest, qs))
+      === rows(TextAnalysis.lmDirichletScores(union, qs)))
+  }
+
   test("skipGramPairs: hand counts, posexplode-replica parity, quirk") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x"))
@@ -867,5 +909,35 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     assert(banded.map(r => (r._1, r._2)).toSet ===
       Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("termSimilarityDimsum: df recomputed POST-cap, so truncated " +
+      "docs' cosines are exact for the capped corpus (not biased low " +
+      "against a pre-cap denominator)") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // maxTermsPerDoc = 2 truncates doc1's term list [a,b,c] to [a,b]
+    // (rank by term); true df: a=2 b=3 c=2; POST-cap df: a=2 b=3 c=1
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termSimilarityDimsum(docs, "doc_id", "text",
+      gamma = 100.0, minSim = 0.0, minDf = 1L, maxTermsPerDoc = 2)
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // pair (b,c) survives only in doc3; with PRE-cap df(c) = 2 the
+    // cosine would read 1/(sqrt 3 * sqrt 2) = 0.408248 while flagged
+    // exact — the ADVICE-cited bias. Post-cap df(c) = 1 makes it the
+    // true capped-corpus cosine 1/sqrt(3)
+    val bc = got(("b", "c"))
+    assert((bc._3, bc._4) === ((3L, 1L)), "post-cap df")
+    assert(bc._6 === r6(1.0 / math.sqrt(3.0)))
+    assert(bc._7 === true) // and exact is now honest by construction
+    // (a,b) co-occurs in doc1 (capped but keeps both) and doc2
+    val ab = got(("a", "b"))
+    assert((ab._3, ab._4, ab._5) === ((2L, 3L, 2L)))
+    assert(ab._6 === r6(2.0 / (math.sqrt(2.0) * math.sqrt(3.0))))
+    // the capped-out pair (a,c) forms in no capped doc: absent
+    assert(!got.contains(("a", "c")))
   }
 }
