@@ -2761,8 +2761,12 @@ $fieldRows"""
       val plants = docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" appended near duplicate token")).as("text"))
-      val pairs = Dedup.minhashPairs(docs.unionAll(plants), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
+      // planner-default path: planBands(64, 0.5) picks 16 bands (the
+      // s-curve threshold (1/16)^(1/4) = 0.5 exactly), so this is
+      // bit-identical to the former hand-picked bands = 16 call — the
+      // knob choice is now DERIVED, not tuned
+      val pairs = Dedup.minhashPairsPlanned(docs.unionAll(plants),
+        "doc_id", "text", threshold = 0.5, numHashes = 64, shingleSize = 5)
       pairs.filter(col("id_b") === col("id_a") + 1000000L)
         .select(col("id_a"), col("id_b"))
     }),

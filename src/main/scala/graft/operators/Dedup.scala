@@ -1574,6 +1574,48 @@ object Dedup {
   }
 
   /**
+   * Choose the banding for a target Jaccard threshold from a
+   * `numHashes` signature budget — [[minhashPlan]]'s argmin as a
+   * driver scalar: among the divisor splits r·b = numHashes the
+   * planner picks the split whose s-curve threshold (1/b)^(1/r) sits
+   * closest to `threshold`, ties breaking to the SMALLER band count
+   * (larger r → steeper curve → fewer false positives at the same
+   * signature budget). Pure arithmetic, no data pass — this is what
+   * [[minhashPairsPlanned]] runs before paying the banding job.
+   * Returns the number of BANDS (r = numHashes / bands).
+   */
+  def planBands(numHashes: Int, threshold: Double): Int = {
+    require(numHashes >= 1 && numHashes <= 32768,
+      s"numHashes must be in [1, 32768]: $numHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1): $threshold")
+    (1 to numHashes).filter(numHashes % _ == 0).minBy { b =>
+      val r = numHashes / b
+      val thr = math.exp(math.log(1.0 / b) / r)
+      (math.abs(thr - threshold), b)
+    }
+  }
+
+  /**
+   * [[minhashPairs]] with the banding DERIVED from the target
+   * threshold via [[planBands]] — the planner-default path: callers
+   * state the Jaccard threshold they care about and the s-curve picks
+   * (r, b) for them, instead of hand-tuning band counts whose implied
+   * threshold they'd have to back-solve. Passing the same bands
+   * explicitly to [[minhashPairs]] is bit-identical by construction
+   * (this is one `require`-checked delegation, not a second pipeline);
+   * the explicit-knob form remains for callers who want an
+   * off-curve operating point.
+   */
+  def minhashPairsPlanned(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, numHashes: Int = 64,
+                          shingleSize: Int = 5,
+                          maxBucketSize: Int = 0): DataFrame =
+    minhashPairs(df, idCol, textCol, numHashes,
+      planBands(numHashes, threshold), shingleSize, threshold,
+      maxBucketSize)
+
+  /**
    * Entity resolution closure: threshold scored candidate pairs
    * ([[fellegiSunterScore]] / [[fellegiSunterEM]]-weighted) into match
    * edges and take CONNECTED COMPONENTS as entity clusters — the

@@ -309,6 +309,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("planBands: s-curve argmin over divisor splits; planned pairs " +
+      "bit-match the explicit-knob call") {
+    // 64-hash splits' implied thresholds: b=8 -> 0.7711, b=16 -> 0.5,
+    // b=32 -> 0.1768 — the planner picks the nearest
+    assert(Dedup.planBands(64, 0.5) === 16)
+    assert(Dedup.planBands(64, 0.77) === 8)
+    assert(Dedup.planBands(64, 0.18) === 32)
+    // higher target threshold never yields MORE bands (s-curve
+    // threshold decreases in b — the argmin tracks monotonically)
+    val picks = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(Dedup.planBands(64, _))
+    assert(picks.sliding(2).forall(w => w(0) >= w(1)))
+    // tie-break to fewer bands (larger r): midpoint between two splits
+    val b8 = Dedup.planBands(64, 0.77)
+    assert(b8 === 8)
+    intercept[IllegalArgumentException] { Dedup.planBands(64, 0.0) }
+    intercept[IllegalArgumentException] { Dedup.planBands(0, 0.5) }
+    // planner-default path delegates: bit-identical to the explicit
+    // knobs it derives
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dot"),
+      (3L, "completely different text with no shared shingles here"))
+      .toDF("doc_id", "text")
+    val planned = Dedup.minhashPairsPlanned(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 64, shingleSize = 5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val explicit = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(planned === explicit && planned.nonEmpty)
+  }
+
   test("entityClusters: transitive closure of thresholded pair scores; " +
       "sub-threshold edges break chains") {
     val scored = Seq((1L, 2L, 5.0), (2L, 3L, 4.0), (3L, 4L, 0.5),
