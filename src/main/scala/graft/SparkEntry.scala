@@ -3560,6 +3560,27 @@ $fieldRows"""
       EsSnapshot.readTable(s, dest).agg(count(lit(1)).as("kept_docs"))
     }),
 
+    // The RELEASE-GATED corpus build: the same facade with the
+    // k-anonymity / l-diversity / expectation-battery audits run as
+    // refusal gates over the survivors (all passing here — the refusal
+    // paths are spec-pinned in CorpusPipelineSpec). The gates are
+    // value-neutral when green, so the oracle replicates only the
+    // content stages (exact dedup + quality/token gates).
+    "training_corpus_gated" -> ((s, dir) => {
+      import graft.pipelines.{CorpusPipeline, CorpusPrepConfig}
+      import graft.operators.Quality._
+      val kept = CorpusPipeline.prepare(
+        t(s, dir, "documents").select("doc_id", "text", "lang", "source"),
+        CorpusPrepConfig(
+          releaseKAnonymity = Some((Seq("lang"), 2L)),
+          releaseLDiversity = Some((Seq("lang"), "source", 2L)),
+          releaseExpectations = Seq(
+            NotNull("doc_id"), Unique(Seq("doc_id")),
+            Custom("non_empty_text", length(col("text")) > 0))))
+      kept.agg(count(lit(1)).as("kept_docs"),
+        sum("doc_id").cast("long").as("id_sum"))
+    }),
+
     // Streaming snapshot ingestion: a real MemoryStream drives
     // streamToSnapshots through two micro-batches — each commits as the
     // repo's next snapshot generation; scoped reads see exactly their
@@ -5223,6 +5244,29 @@ $fieldRows"""
         |    toks
         |  FROM q)
         |SELECT count(*) AS kept_docs FROM scored
+        |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
+    // Gated build: gates pass (value-neutral), so the oracle is the
+    // content stages only — exact keep-first dedup + quality/token.
+    "training_corpus_gated" ->
+      """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents
+        |            GROUP BY text),
+        |q AS (
+        |  SELECT doc_id, length(text) AS chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+        |      t -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by'], t))) AS stop_en
+        |  FROM dd),
+        |scored AS (
+        |  SELECT doc_id, round(
+        |      least(round(alpha / greatest(chars, 1), 4) * 1.2, 1.0) * 0.5 +
+        |      least(round(stop_en / greatest(toks, 1), 4) * 4.0, 1.0) * 0.3 +
+        |      CASE WHEN toks BETWEEN 10 AND 10000 THEN 0.2 ELSE 0.0 END, 4) AS quality_score,
+        |    toks
+        |  FROM q)
+        |SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM scored
         |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
     "text_redact" ->
       """WITH r AS (

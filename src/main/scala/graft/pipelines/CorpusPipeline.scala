@@ -86,6 +86,24 @@ final case class CorpusPrepConfig(
     targetShares: Option[(String, Map[String, Double])] = None,
     /** Split weights: adds a leakage-safe `split` column when set. */
     splitWeights: Option[Seq[(String, Double)]] = None,
+    /** (quasiCols, k): k-anonymity RELEASE GATE — after every content
+      * stage, [[CorpusPipeline.prepare]] audits the SURVIVORS with
+      * [[graft.operators.Privacy.kAnonymityReport]] and REFUSES
+      * (`IllegalStateException` carrying the audit counters) to return
+      * a corpus with any quasi-identifier class smaller than k. The
+      * mission-coherent form of the standalone audit: a release
+      * pipeline must not emit a training corpus whose audit fails. */
+    releaseKAnonymity: Option[(Seq[String], Long)] = None,
+    /** (quasiCols, sensitiveCol, l): the l-diversity companion gate —
+      * refuses when any class carries fewer than l distinct NON-NULL
+      * sensitive values (an all-NULL class audits as 0 and refuses;
+      * [[graft.operators.Privacy.lDiversityClasses]] semantics). */
+    releaseLDiversity: Option[(Seq[String], String, Long)] = None,
+    /** Declarative expectation battery
+      * ([[graft.operators.Quality.checkExpectations]]) run as a
+      * release gate — refuses when ANY rule fails, the message
+      * carrying per-rule violation counters. Empty = no gate. */
+    releaseExpectations: Seq[graft.operators.Quality.Expectation] = Nil,
     seed: Long = 42L)
 
 object CorpusPipeline {
@@ -213,6 +231,63 @@ object CorpusPipeline {
     cfg.splitWeights.foreach { w =>
       cur = Splits.assignLeakageSafe(cur, cfg.idCol, cfg.textCol, w,
         salt = cfg.seed)
+    }
+    // RELEASE GATES — the refusal layer: the audits run over the FINAL
+    // survivor frame (after every content stage and the split), and a
+    // failing audit throws instead of returning a frame the caller
+    // could accidentally write. Each audit is one-or-two keyed
+    // aggregates collapsing to a bounded summary (one row, or one row
+    // per rule) — nothing row-proportional reaches the driver. The
+    // lineage cut makes the audits and the returned frame share one
+    // materialization instead of replaying the whole stage chain per
+    // audit.
+    val anyGate = cfg.releaseKAnonymity.isDefined ||
+      cfg.releaseLDiversity.isDefined || cfg.releaseExpectations.nonEmpty
+    if (anyGate) {
+      cur = cur.lineageCut()
+      cfg.releaseKAnonymity.foreach { case (quasi, k) =>
+        val r = graft.operators.Privacy.kAnonymityReport(cur, quasi, k)
+          .select(coalesce(col("n_rows"), lit(0L)).as("a"),
+            coalesce(col("n_classes"), lit(0L)).as("b"),
+            coalesce(col("n_violating_classes"), lit(0L)).as("c"),
+            coalesce(col("rows_at_risk"), lit(0L)).as("d"))
+          .collect().head
+        if (r.getLong(2) > 0L)
+          throw new IllegalStateException(
+            s"release gate k-anonymity(k=$k, quasi=${quasi.mkString(",")}) " +
+              s"REFUSED: ${r.getLong(2)} of ${r.getLong(1)} classes " +
+              s"below k (${r.getLong(3)} of ${r.getLong(0)} rows at " +
+              "risk) — generalize or suppress the quasi-identifiers " +
+              "before release")
+      }
+      cfg.releaseLDiversity.foreach { case (quasi, sens, l) =>
+        val v = graft.operators.Privacy
+          .lDiversityClasses(cur, quasi, sens, l)
+          .agg(count(lit(1)).as("__nc"),
+            coalesce(sum(when(col("violates"), 1L).otherwise(0L)), lit(0L))
+              .as("__nv"),
+            coalesce(sum(when(col("violates"), col("class_size"))
+              .otherwise(0L)), lit(0L)).as("__rows"))
+          .collect().head
+        if (v.getLong(1) > 0L)
+          throw new IllegalStateException(
+            s"release gate l-diversity(l=$l, quasi=${quasi.mkString(",")}, " +
+              s"sensitive=$sens) REFUSED: ${v.getLong(1)} of " +
+              s"${v.getLong(0)} classes below l " +
+              s"(${v.getLong(2)} rows at risk) — a homogeneous class " +
+              "leaks the sensitive value even when k-anonymous")
+      }
+      if (cfg.releaseExpectations.nonEmpty) {
+        val failed = graft.operators.Quality
+          .checkExpectations(cur, cfg.releaseExpectations)
+          .filter(!col("pass"))
+          .select("rule", "violations")
+          .collect() // rule-count-sized by construction
+        if (failed.nonEmpty)
+          throw new IllegalStateException(
+            "release gate expectations REFUSED: " + failed.map(r =>
+              s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+      }
     }
     cur
   }

@@ -274,4 +274,48 @@ class CorpusPipelineSpec extends SparkSpec {
     val splits = out.select("split").distinct().as[String].collect().toSet
     assert(splits.subsetOf(Set("train", "test")) && splits.nonEmpty)
   }
+
+  test("release gates: a failing audit REFUSES the corpus with " +
+      "counters; passing audits are value-neutral") {
+    import graft.operators.Quality._
+    // 4 docs: lang 'en' has 3 rows / 2 sources, lang 'fr' has ONE row
+    // (k = 2 violation) whose source is also unique per class
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en", "s1"),
+      (2L, "the quick brown fox leaps over the lazy dog again", "en", "s1"),
+      (3L, "the slow brown fox walks under the lazy dog again", "en", "s2"),
+      (4L, "le renard brun rapide saute par dessus le chien", "fr", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val noContent = CorpusPrepConfig(exactDedup = false,
+      minQuality = None, tokenRange = None)
+    // k-anonymity refusal: the 'fr' class has 1 < 2 rows
+    val e1 = intercept[IllegalStateException] {
+      CorpusPipeline.prepare(df, noContent.copy(
+        releaseKAnonymity = Some((Seq("lang"), 2L))))
+    }
+    assert(e1.getMessage.contains("k-anonymity") &&
+      e1.getMessage.contains("1 of 2 classes"), e1.getMessage)
+    // l-diversity refusal: 'fr' has one distinct source (< 2)
+    val e2 = intercept[IllegalStateException] {
+      CorpusPipeline.prepare(df, noContent.copy(
+        releaseLDiversity = Some((Seq("lang"), "source", 2L))))
+    }
+    assert(e2.getMessage.contains("l-diversity"), e2.getMessage)
+    // expectation refusal carries the per-rule counters
+    val e3 = intercept[IllegalStateException] {
+      CorpusPipeline.prepare(
+        df.unionByName(Seq((4L, "dup id", "en", "s1"))
+          .toDF("doc_id", "text", "lang", "source")),
+        noContent.copy(releaseExpectations =
+          Seq(NotNull("doc_id"), Unique(Seq("doc_id")))))
+    }
+    assert(e3.getMessage.contains("unique(doc_id)=1"), e3.getMessage)
+    // passing gates return the frame unchanged (value-neutral)
+    val ok = CorpusPipeline.prepare(df, noContent.copy(
+      releaseKAnonymity = Some((Seq("lang"), 1L)),
+      releaseLDiversity = Some((Seq("lang"), "source", 1L)),
+      releaseExpectations = Seq(NotNull("doc_id"),
+        Custom("non_empty", length(col("text")) > 0))))
+    assert(ok.exceptAll(df).isEmpty && df.exceptAll(ok).isEmpty)
+  }
 }
