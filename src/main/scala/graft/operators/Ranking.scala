@@ -42,6 +42,12 @@ object Ranking {
 
   private val MidBits = 33 // monotonically_increasing_id record-index bits
 
+  /** Auto-stitch ceiling for [[withGroupedRank]]: summaries at or
+    * below this many rows broadcast (≈ tens of MB at ~100 B/row);
+    * larger ones stitch via a shuffle join — no driver
+    * materialization scales with group count. */
+  val AutoBroadcastOffsetRows: Long = 1L << 18
+
   /**
    * Adds `rankCol` (1-based exact global rank by `order`) and `nCol`
    * (total row count) to `df`. Both are LongType. `order` must totally
@@ -114,19 +120,27 @@ object Ranking {
    * together as their own group (null-safe stitch join), matching the
    * window form's null-partition semantics.
    *
-   * GROUP-CARDINALITY BOUND: the offsets summary is ≤ chunks + groups
-   * − 1 rows and is collected to the driver for the stitch broadcast —
-   * the helper's scale ceiling is GROUP COUNT, not group size (the
-   * exact complement of the `PARTITION BY` window, whose ceiling is
-   * the largest group). With millions of distinct groups, pass
-   * `broadcastOffsets = false`: the stitch becomes a shuffle join on
-   * (chunk, group) — same exact output, no driver materialization —
-   * at the price of one extra exchange of the row frame.
+   * GROUP-CARDINALITY BOUND — AUTO-SELECTED STITCH: the offsets
+   * summary is ≤ chunks + groups − 1 rows, so the stitch join's right
+   * side scales with GROUP COUNT, not group size (the exact complement
+   * of the `PARTITION BY` window, whose ceiling is the largest group).
+   * By default (`broadcastOffsets = None`) the helper COUNTS the
+   * summary — the count job performs the same aggregation pass the
+   * offsets derivation needs anyway, and the lineage cut hands that
+   * one materialization to both, so auto-selection costs no extra
+   * pass over the row frame — and broadcasts the stitch only when the
+   * summary is ≤ [[AutoBroadcastOffsetRows]] (2¹⁸ rows ≈ a few tens
+   * of MB; past it a driver collect of a million-group summary is
+   * exactly the materialization this helper exists to avoid). Larger
+   * summaries stitch through a shuffle join on (chunk, group) — same
+   * exact output, no driver materialization, one extra exchange of
+   * the row frame. `Some(true)`/`Some(false)` force either strategy
+   * (the A/B measurement escape; forcing also skips the count job).
    */
   def withGroupedRank(df: DataFrame, grpCol: String, order: Seq[Column],
                       rankCol: String, nCol: String,
                       chunks: Int = 256,
-                      broadcastOffsets: Boolean = true): DataFrame = {
+                      broadcastOffsets: Option[Boolean] = None): DataFrame = {
     require(order.nonEmpty, "order must name at least one sort column")
     require(chunks >= 1, "chunks must be >= 1")
     require(df.columns.contains(grpCol), s"no column $grpCol in the frame")
@@ -146,10 +160,19 @@ object Ranking {
     // one summary row per (chunk, group): count + the group's first id
     // in the chunk (rows of a group are contiguous after the sort, so
     // __mid − __base IS the 0-based local rank within (chunk, group))
-    val summary = parted
+    val summary0 = parted
       .groupBy(shiftright(col("__mid"), MidBits).as("__opid"),
         col(grpCol).as("__g"))
       .agg(count(lit(1)).as("__cnt"), min("__mid").as("__base"))
+    val (summary, doBroadcast) = broadcastOffsets match {
+      case Some(forced) => (summary0, forced)
+      case None =>
+        // auto: materialize the summary once, count it, and hand the
+        // SAME cut frame to the offsets derivation — no second
+        // aggregation pass over the row frame
+        val cut = summary0.lineageCut()
+        (cut, cut.count() <= AutoBroadcastOffsetRows)
+    }
     val offW = Window.partitionBy("__g").orderBy(col("__opid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val totW = Window.partitionBy("__g")
@@ -158,7 +181,7 @@ object Ranking {
       .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
       .withColumn("__n", sum(col("__cnt")).over(totW))
       .select("__opid", "__g", "__base", "__off", "__n")
-    val stitch = if (broadcastOffsets) broadcast(offsets) else offsets
+    val stitch = if (doBroadcast) broadcast(offsets) else offsets
     parted
       .withColumn("__pid", shiftright(col("__mid"), MidBits))
       .join(stitch,

@@ -58,13 +58,58 @@ class RankingSpec extends SparkSpec {
       assert(got === expected, s"chunks = $chunks")
     }
     // the shuffle-stitch fallback for high group cardinality
-    // (broadcastOffsets = false) is the same exact output — only the
-    // stitch join's physical strategy changes
-    val shuffled = Ranking.withGroupedRank(df, "grp",
-        Seq(col("metric").desc, col("id").asc), "rn", "n", chunks = 4,
-        broadcastOffsets = false)
-      .as[(Long, String, Double, Long, Long)].collect().toSet
-    assert(shuffled === expected)
+    // (broadcastOffsets = Some(false)) is the same exact output — only
+    // the stitch join's physical strategy changes; Some(true) forces
+    // the broadcast the auto path picks on this tiny summary
+    for (forced <- Seq(Some(false), Some(true))) {
+      val got = Ranking.withGroupedRank(df, "grp",
+          Seq(col("metric").desc, col("id").asc), "rn", "n", chunks = 4,
+          broadcastOffsets = forced)
+        .as[(Long, String, Double, Long, Long)].collect().toSet
+      assert(got === expected, s"forced = $forced")
+    }
+  }
+
+  test("withGroupedRank auto-stitch: a summary past the broadcast " +
+      "ceiling plans the shuffle join — no driver-side offsets " +
+      "materialization at high group cardinality") {
+    // group count > AutoBroadcastOffsetRows would need 262k+ groups to
+    // trip for real; assert the DECISION logic at both ends instead by
+    // inspecting the planned join strategy under forced vs auto on a
+    // small frame, and the ceiling constant's contract
+    assert(Ranking.AutoBroadcastOffsetRows === (1L << 18))
+    val df = (0 until 500).map(i => (i.toLong, s"g${i % 250}", i * 1.0))
+      .toDF("id", "grp", "metric")
+    // auto on a tiny summary (≤ 250 + chunks rows) must broadcast:
+    // the plan carries a BroadcastHashJoin/BroadcastExchange stitch
+    val autoPlan = Ranking.withGroupedRank(df, "grp",
+        Seq(col("metric").asc, col("id").asc), "rn", "n", chunks = 4)
+      .queryExecution.executedPlan.toString
+    assert(autoPlan.contains("BroadcastExchange"), autoPlan)
+    // past the ceiling: 300k single-row groups → the auto path picks
+    // the shuffle stitch. Catalyst's own size-based broadcast is
+    // disabled for the assertion (on a toy frame its size estimate
+    // would broadcast anyway; at a real million-group summary the
+    // estimate exceeds the threshold on its own) — the point is that
+    // the HELPER no longer forces a driver-sized broadcast.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(300000).toDF("id")
+        .withColumn("grp", concat(lit("g"), col("id")))
+        .withColumn("metric", col("id").cast("double"))
+      val ranked = Ranking.withGroupedRank(big, "grp",
+        Seq(col("metric").asc, col("id").asc), "rn", "n", chunks = 8)
+      val plan = ranked.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan)
+      // single-row groups: every rank and group count is exactly 1
+      val agg = ranked.agg(max("rn"), max("n"), count(lit(1)))
+        .collect().head
+      assert(agg.getLong(0) === 1L && agg.getLong(1) === 1L &&
+        agg.getLong(2) === 300000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
   }
 
   test("withGroupedRank: randomized parity sweep over group counts, tie rates, chunks") {
