@@ -927,6 +927,66 @@ object StressBench {
         f"(${readRows * 100.0 / n}%.1f%%)")
     }
 
+    // r14: full persisted-store LIFECYCLE re-price under the shared
+    // graft.core.Generations layer — build / probe / append / probe /
+    // rebuild / probe for BOTH stores at the XL tier: probe flatness
+    // must survive the claim/commit/resolve indirection, the delta
+    // files, and the generation swap.
+    if (only.contains("lifecycle")) {
+      import spark.implicits._
+      val nDocs = if (xl) 1280000L else 80000L
+      val docs = synthDocs(spark, nDocs).cache()
+      docs.count()
+      val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+        (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+      val bdest = java.nio.file.Files
+        .createTempDirectory("graft-lc-bm25").toString
+      run("lc_bm25_build", nDocs) {
+        graft.operators.TextAnalysis.buildBm25Index(docs, bdest); nDocs
+      }
+      run("lc_bm25_probe1", nDocs)(graft.operators.TextAnalysis
+        .bm25ScoresFromIndex(spark, bdest, qs).count())
+      val delta = synthDocs(spark, nDocs / 100)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      run("lc_bm25_append", nDocs)(
+        graft.operators.TextAnalysis.appendToBm25Index(delta, bdest))
+      run("lc_bm25_probe2", nDocs)(graft.operators.TextAnalysis
+        .bm25ScoresFromIndex(spark, bdest, qs).count())
+      run("lc_bm25_rebuild", nDocs) {
+        graft.operators.TextAnalysis.buildBm25Index(
+          docs.unionAll(delta), bdest); nDocs
+      }
+      run("lc_bm25_probe3", nDocs)(graft.operators.TextAnalysis
+        .bm25ScoresFromIndex(spark, bdest, qs).count())
+
+      val nVecs = if (xl) 1280000L else 200000L
+      val vecs = synthVecs(spark, nVecs).cache()
+      vecs.count()
+      val vdest = java.nio.file.Files
+        .createTempDirectory("graft-lc-ivf").toString
+      val vqueries = vecs.filter(col("vec_id") % (nVecs / 3) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      run("lc_ivf_build", nVecs) {
+        Similarity.buildIvfIndex(vecs, vdest, numCells = 64); nVecs
+      }
+      run("lc_ivf_probe1", nVecs)(
+        Similarity.ivfTopKFromIndex(spark, vdest, vqueries, 5).count())
+      val vdelta = synthVecs(spark, nVecs / 100)
+        .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      run("lc_ivf_append", nVecs)(
+        Similarity.appendToIvfIndex(vdelta, vdest).values.sum)
+      run("lc_ivf_probe2", nVecs)(
+        Similarity.ivfTopKFromIndex(spark, vdest, vqueries, 5).count())
+      run("lc_ivf_rebuild", nVecs) {
+        // threshold 1.0 <= any real census skew -> always rebuilds:
+        // this times the staged gen-N write + CURRENT swing + GC
+        if (Similarity.rebuildIvfIndexIfSkewed(spark, vdest,
+          skewThreshold = 1.0, numCells = 64)) 1L else 0L
+      }
+      run("lc_ivf_probe3", nVecs)(
+        Similarity.ivfTopKFromIndex(spark, vdest, vqueries, 5).count())
+    }
+
     // Chunk-dedup shuffle bytes: the hashed-key path promises ~16 bytes
     // per chunk through the exchanges (keys + the small loser set) where
     // the text-keyed baseline moves every chunk's TEXT twice (keep-first
