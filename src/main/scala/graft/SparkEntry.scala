@@ -1906,6 +1906,46 @@ $fieldRows"""
       graft.operators.Events.kaplanMeier(per, "dur_min", "converted")
     }),
 
+    // KM with Greenwood confidence intervals over the same duration
+    // fixture: one extra running d/(n(n-d)) fold; se/CI from the
+    // unrounded survival and fold, plain linear interval.
+    "q_km_ci" -> ((s, dir) => {
+      val diff = max(col("ts")) - min(col("ts"))
+      val m = 60000000000L
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        (((diff - pmod(diff, lit(m))) / m)).cast("long").as("dur_min"),
+        (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          === 1L).as("converted"))
+      graft.operators.Events.kaplanMeierCI(per, "dur_min", "converted")
+    }),
+
+    // Restricted mean survival time to a 2880-minute horizon: the
+    // exact area under the KM step curve — running segment fold over
+    // event levels, tail to tau.
+    "q_rmst" -> ((s, dir) => {
+      val diff = max(col("ts")) - min(col("ts"))
+      val m = 60000000000L
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        (((diff - pmod(diff, lit(m))) / m)).cast("long").as("dur_min"),
+        (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          === 1L).as("converted"))
+      graft.operators.Events.restrictedMeanSurvival(per, "dur_min",
+        "converted", tau = 2880L)
+    }),
+
+    // Pettitt rank changepoint over the per-minute event-volume
+    // series: exact doubled-average-rank U fold, earliest argmax,
+    // one-chain approximate p.
+    "q_pettitt" -> ((s, dir) => {
+      val m = 60000000000L
+      val per = t(s, dir, "events")
+        .groupBy(((col("ts") - pmod(col("ts"), lit(m))) / m).cast("long")
+          .as("minute"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      graft.operators.TimeSeries.pettittTest(per, "minute", "minute",
+        "n_events", unitScale = 1L)
+    }),
+
     // Markov-chain attribution with removal effects: one window pass +
     // one transition-count aggregate; exact Gaussian-elimination
     // absorption solve on the driver, replayed by a generated
@@ -2353,6 +2393,23 @@ $fieldRows"""
 
     // Zipf slope of the corpus token-frequency head (top 500 ranks):
     // distributed exact ranks, one ≤500-row OLS aggregate, 4dp fit.
+    // Per-term burstiness (variance-to-mean ratio over the whole
+    // corpus, zeros included): one exact-integer ratio per term from
+    // two map-side-combined aggregates.
+    "text_burstiness" -> ((s, dir) =>
+      graft.operators.TextAnalysis.termBurstiness(
+        t(s, dir, "documents"), "doc_id", "text", minDf = 5L)),
+
+    // Jensen-Shannon vocabulary drift between the English and
+    // non-English slices: exact term counts, one full-outer term join,
+    // unordered level-term sum (charEntropy contract), 4dp.
+    "q_js_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.corpusJsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", minCount = 2L)
+    }),
+
     "text_zipf" -> ((s, dir) => {
       graft.operators.TextAnalysis.zipfFit(t(s, dir, "documents"),
         "text", topN = 500)
@@ -6810,6 +6867,124 @@ $fieldRows"""
         |  CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
         |    AS survival
         |FROM st WHERE d > 0""".stripMargin,
+    // KM + Greenwood: the q_kaplan_meier machinery plus the running
+    // d/(n(n-d)) fold; se/CI from the unrounded chains, NULL at and
+    // after the d = n zero level.
+    "q_km_ci" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST((d - d % 60000000000) / 60000000000 AS BIGINT) AS t,
+        |    (p = 1) AS ev
+        |  FROM (SELECT user_id,
+        |      max(epoch_ns(ts)) - min(epoch_ns(ts)) AS d,
+        |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS p
+        |    FROM events GROUP BY 1)),
+        |lv AS (SELECT t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS alln
+        |  FROM per GROUP BY 1),
+        |ar AS (SELECT t, d,
+        |    sum(alln) OVER () - COALESCE(sum(alln) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM lv),
+        |st AS (SELECT t, d, n_risk,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS z,
+        |    sum(CASE WHEN d = n_risk THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+        |    sum(CASE WHEN d = n_risk THEN 0.0
+        |        ELSE CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+        |          * CAST(n_risk - d AS DOUBLE))
+        |        END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS gw
+        |  FROM ar),
+        |fin AS (SELECT t, d, n_risk, z, exp(lnsum) AS s,
+        |    exp(lnsum) * sqrt(gw) AS se FROM st WHERE d > 0)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  CASE WHEN z = 1 THEN 0.0 ELSE round(s, 6) END AS survival,
+        |  CASE WHEN z = 1 THEN NULL ELSE round(se, 6) END AS se,
+        |  CASE WHEN z = 1 THEN NULL
+        |    ELSE round(greatest(0.0, s - 1.96 * se), 6) END AS ci_lo,
+        |  CASE WHEN z = 1 THEN NULL
+        |    ELSE round(least(1.0, s + 1.96 * se), 6) END AS ci_hi
+        |FROM fin""".stripMargin,
+    // RMST: the KM step curve integrated to tau = 2880 via the ordered
+    // segment fold + tail term.
+    "q_rmst" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST((d - d % 60000000000) / 60000000000 AS BIGINT) AS t,
+        |    (p = 1) AS ev
+        |  FROM (SELECT user_id,
+        |      max(epoch_ns(ts)) - min(epoch_ns(ts)) AS d,
+        |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS p
+        |    FROM events GROUP BY 1)),
+        |lv AS (SELECT t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS alln
+        |  FROM per GROUP BY 1),
+        |ar AS (SELECT t, d,
+        |    sum(alln) OVER () - COALESCE(sum(alln) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM lv),
+        |st AS (SELECT t, d, n_risk,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS z,
+        |    sum(CASE WHEN d = n_risk THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum
+        |  FROM ar),
+        |sp AS (SELECT t,
+        |    CASE WHEN z = 1 THEN 0.0 ELSE exp(lnsum) END AS s
+        |  FROM st WHERE d > 0 AND t <= 2880),
+        |sg AS (SELECT t, s,
+        |    COALESCE(lag(s) OVER (ORDER BY t), 1.0) AS sprev,
+        |    COALESCE(lag(t) OVER (ORDER BY t), 0) AS tprev FROM sp),
+        |rn AS (SELECT t, s,
+        |    sum(sprev * CAST(t - tprev AS DOUBLE)) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (ORDER BY t) AS rnn,
+        |    count(*) OVER () AS nm FROM sg),
+        |lastv AS (SELECT max(run + s * CAST(2880 - t AS DOUBLE)) AS r
+        |  FROM rn WHERE rnn = nm),
+        |nn AS (SELECT count(*) AS n FROM per)
+        |SELECT CAST(2880 AS BIGINT) AS tau, nn.n,
+        |  CASE WHEN nn.n > 0 THEN round(COALESCE(lastv.r, 2880.0), 6)
+        |  END AS rmst
+        |FROM nn, lastv""".stripMargin,
+    // Pettitt: doubled-average-rank exact-integer U fold over the
+    // per-minute volume series, earliest argmax, one-chain p.
+    "q_pettitt" ->
+      """WITH per AS (SELECT
+        |    CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+        |      / 60000000000 AS BIGINT) AS minute,
+        |    count(*) AS ne
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT minute AS ts, minute AS id,
+        |    CAST(round(ne * 1.0) AS BIGINT) AS u FROM per),
+        |r AS (SELECT u, ts, id,
+        |    row_number() OVER (ORDER BY u, ts, id) AS rn FROM b),
+        |lv AS (SELECT u, CAST(min(rn) + max(rn) AS BIGINT) AS r2
+        |  FROM r GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM b),
+        |j AS (SELECT b.ts, b.id, lv.r2 FROM b JOIN lv USING (u)),
+        |uu AS (SELECT ts,
+        |    CAST(row_number() OVER (ORDER BY ts, id) AS BIGINT) AS t,
+        |    sum(r2) OVER (ORDER BY ts, id ROWS UNBOUNDED PRECEDING)
+        |      AS cum FROM j),
+        |dd AS (SELECT uu.ts, abs(cum - t * (nn.n + 1)) AS absu
+        |  FROM uu, nn),
+        |k AS (SELECT ts, absu, row_number() OVER (ORDER BY ts) AS pick
+        |  FROM dd WHERE absu = (SELECT max(absu) FROM dd))
+        |SELECT nn.n, CAST(k.absu AS BIGINT) AS k_stat,
+        |  k.ts AS t_change,
+        |  round(least(1.0, 2.0 * exp(-6.0 * CAST(absu AS DOUBLE)
+        |    * CAST(absu AS DOUBLE)
+        |    / (CAST(nn.n AS DOUBLE) * nn.n * nn.n
+        |       + CAST(nn.n AS DOUBLE) * nn.n))), 6) AS p_value
+        |FROM k, nn WHERE k.pick = 1""".stripMargin,
     // Markov attribution: generated journey + pivot + elimination
     // oracle (see markovOracleSql).
     "q_markov_attr" -> markovOracleSql(
@@ -9184,6 +9359,57 @@ $fieldRows"""
         |FROM ag WHERE round((CAST(micro AS DOUBLE) / 1000000.0)
         |  / (sqrt(CAST(dfa AS DOUBLE)) * sqrt(CAST(dfb AS DOUBLE))), 6)
         |  >= 0.15""".stripMargin,
+    // Burstiness: exact (doc, term) counts -> exact moment ratio.
+    "text_burstiness" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT term, doc_id, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |        AS term
+        |    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |      AND length(trim(text)) > 0) GROUP BY 1, 2),
+        |m AS (SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf,
+        |    sum(CAST(c AS HUGEINT) * c) AS c2
+        |  FROM c GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT term, df, tf,
+        |  round(CAST(nn.n * c2 - CAST(tf AS HUGEINT) * tf AS DOUBLE)
+        |    / CAST(nn.n * CAST(tf AS HUGEINT) AS DOUBLE), 6) AS vmr
+        |FROM m, nn""".stripMargin,
+    // JS divergence between the en / non-en token distributions: the
+    // same per-term KL chains, unordered sum, 4dp.
+    "q_js_divergence" ->
+      """WITH ta AS (SELECT term, count(*) AS ca FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |    FROM documents WHERE lang = 'en' AND text IS NOT NULL
+        |      AND length(trim(text)) > 0) GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |tb AS (SELECT term, count(*) AS cb FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |    FROM documents WHERE lang <> 'en' AND text IS NOT NULL
+        |      AND length(trim(text)) > 0) GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |j AS (SELECT COALESCE(ta.term, tb.term) AS term,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+        |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS tok_a,
+        |    CAST(sum(cb) AS BIGINT) AS tok_b FROM j),
+        |e AS (SELECT ca, cb,
+        |    CAST(ca AS DOUBLE) / CAST(tok_a AS DOUBLE) AS p,
+        |    CAST(cb AS DOUBLE) / CAST(tok_b AS DOUBLE) AS q
+        |  FROM j, tt),
+        |s AS (SELECT count(*) AS n_terms, round(sum(
+        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2.0))
+        |       ELSE 0.0 END
+        |     + CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |       ELSE 0.0 END) / 2.0), 4) AS js FROM e)
+        |SELECT s.n_terms, tt.tok_a, tt.tok_b,
+        |  CASE WHEN tt.tok_a > 0 AND tt.tok_b > 0 THEN s.js END AS js,
+        |  CASE WHEN tt.tok_a > 0 AND tt.tok_b > 0
+        |    THEN round(s.js / ln(2.0), 4) END AS js_norm
+        |FROM s, tt""".stripMargin,
     // Skip-grams: positional self-join replica of the one-pass native
     // expression; LowerTokenizer == regexp_split_to_array(trim(lower()))
     // including Java split's leading-empty quirk (load-bearing parity).

@@ -561,6 +561,159 @@ object Events {
   }
 
   /**
+   * Kaplan-Meier curve WITH Greenwood confidence intervals (Greenwood
+   * 1926) — [[kaplanMeier]] plus the variance every published survival
+   * curve draws: Var(Ŝ(t)) = Ŝ(t)² · Σ_{s ≤ t} d/(n(n−d)), se = √Var,
+   * and the PLAIN linear 95%-style interval Ŝ ± z·se clipped to [0, 1]
+   * (stated — the log-log transform is a different, also-defensible
+   * interval; the linear Greenwood form is the textbook default and
+   * the one with a fixed replayable arithmetic chain). At and after a
+   * d = n level Ŝ = 0 and Greenwood's sum is undefined (division by
+   * n − d = 0): `se`/`ci_lo`/`ci_hi` report NULL there (stated).
+   *
+   * EXACTNESS: the [[kaplanMeier]] level machinery verbatim (exact
+   * long levels, exclusive at-risk sums, running ln fold), with ONE
+   * more running fold Σ d/(n(n−d)) in duration order (each term a
+   * fixed IEEE chain from exact longs); se is one multiply + one sqrt
+   * from the two folds; the CI bounds are single chains from the
+   * UNROUNDED Ŝ and se. Everything rounds 6dp at the very end. z is a
+   * caller literal (default 1.96, the conventional 95% quantile —
+   * documented constant, the [[oddsRiskRatio]] precedent).
+   *
+   * Scale shape: identical to [[kaplanMeier]] — one level aggregate,
+   * running windows over LEVELS under the same enforced `maxLevels`
+   * gate. One row per event time: (`t`, `n_risk`, `n_events`,
+   * `survival`, `se`, `ci_lo`, `ci_hi`).
+   */
+  def kaplanMeierCI(df: DataFrame, durationCol: String, eventCol: String,
+                    z: Double = 1.96,
+                    maxLevels: Long = 10000000L): DataFrame = {
+    require(z > 0.0, s"z must be > 0: $z")
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("ev"))
+    val levels = guardedSurvivalLevels(base.groupBy("t").agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("all")), "kaplanMeierCI", maxLevels)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = levels
+      .withColumn("n_risk",
+        sum("all").over(wTot) - coalesce(sum("all").over(wPrev), lit(0L)))
+    val factor = lit(1.0) -
+      col("d").cast("double") / col("n_risk").cast("double")
+    val gwTerm = when(col("d") === col("n_risk"), lit(0.0)).otherwise(
+      col("d").cast("double") /
+        (col("n_risk").cast("double") *
+          (col("n_risk") - col("d")).cast("double")))
+    val stepped = atRisk
+      .withColumn("__lnf",
+        when(col("d") === col("n_risk"), lit(0.0)).otherwise(log(factor)))
+      .withColumn("__zero",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wRun))
+      .withColumn("__lnsum", sum(col("__lnf")).over(wRun))
+      .withColumn("__gw", sum(gwTerm).over(wRun))
+    val s = exp(col("__lnsum"))
+    val se = s * sqrt(col("__gw"))
+    stepped.filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        when(col("__zero") === 1L, lit(0.0))
+          .otherwise(round(s, 6)).as("survival"),
+        when(col("__zero") === 1L, lit(null).cast("double"))
+          .otherwise(round(se, 6)).as("se"),
+        when(col("__zero") === 1L, lit(null).cast("double"))
+          .otherwise(round(greatest(lit(0.0), s - lit(z) * se), 6))
+          .as("ci_lo"),
+        when(col("__zero") === 1L, lit(null).cast("double"))
+          .otherwise(round(least(lit(1.0), s + lit(z) * se), 6))
+          .as("ci_hi"))
+  }
+
+  /**
+   * Restricted mean survival time (Royston & Parmar 2013's
+   * recommended reporting summary; Irwin 1949) — the area under the
+   * [[kaplanMeier]] step curve up to a caller horizon τ: "the average
+   * event-free time over the next τ units", the one survival summary
+   * that stays defined under heavy censoring (the plain mean is not)
+   * and compares arms without the proportional-hazards assumption.
+   *
+   * EXACTNESS: the KM level machinery verbatim; the integral of a
+   * step function is the exact sum Σ Ŝ(t_{i−1})·(t_i − t_{i−1}) over
+   * event times ≤ τ plus the tail Ŝ(t_last)·(τ − t_last), with
+   * Ŝ(t_0 = 0) = 1 — each segment one IEEE multiply of the UNROUNDED
+   * running-fold Ŝ by an exact long width, accumulated as a RUNNING
+   * window fold in duration order (sequential in both engines, the
+   * kaplanMeier convention), rounded 6dp once at the end. No event
+   * time ≤ τ ⇒ RMST = τ exactly (Ŝ = 1 throughout).
+   *
+   * Scale shape: one level aggregate + ordered windows over LEVELS
+   * (same enforced `maxLevels` gate), one single-row rollup. Output
+   * one row: (`tau`, `n`, `rmst`).
+   */
+  def restrictedMeanSurvival(df: DataFrame, durationCol: String,
+                             eventCol: String, tau: Long,
+                             maxLevels: Long = 10000000L): DataFrame = {
+    require(tau > 0L, s"tau must be > 0: $tau")
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("ev"))
+    val levels = guardedSurvivalLevels(base.groupBy("t").agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("all")), "restrictedMeanSurvival", maxLevels)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = levels
+      .withColumn("n_risk",
+        sum("all").over(wTot) - coalesce(sum("all").over(wPrev), lit(0L)))
+    val factor = lit(1.0) -
+      col("d").cast("double") / col("n_risk").cast("double")
+    val stepped = atRisk
+      .withColumn("__lnf",
+        when(col("d") === col("n_risk"), lit(0.0)).otherwise(log(factor)))
+      .withColumn("__zero",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wRun))
+      .withColumn("__lnsum", sum(col("__lnf")).over(wRun))
+    // step points inside the horizon; windows re-order over this
+    // filtered frame (still LEVEL-sized)
+    val wOrd = Window.orderBy("t")
+    val wRun2 = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot2 = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val steps = stepped.filter(col("d") > 0L && col("t") <= tau)
+      .withColumn("__s",
+        when(col("__zero") === 1L, lit(0.0)).otherwise(exp(col("__lnsum"))))
+      .withColumn("__sprev", coalesce(lag(col("__s"), 1).over(wOrd), lit(1.0)))
+      .withColumn("__tprev", coalesce(lag(col("t"), 1).over(wOrd), lit(0L)))
+      .withColumn("__run",
+        sum(col("__sprev") * (col("t") - col("__tprev")).cast("double"))
+          .over(wRun2))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__nm", count(lit(1)).over(wTot2))
+    val last = steps.filter(col("__rn") === col("__nm"))
+      .select((col("__run") +
+        col("__s") * (lit(tau) - col("t")).cast("double")).as("__rmst"))
+      // force exactly one row (null when no step point <= tau) — the
+      // krippendorffAlpha dObs convention
+      .agg(max("__rmst").as("__rmst"))
+    levels.agg(coalesce(sum("all"), lit(0L)).as("n")).crossJoin(last)
+      .select(lit(tau).as("tau"), col("n"),
+        when(col("n") > 0L,
+          round(coalesce(col("__rmst"), lit(tau.toDouble)), 6))
+          .as("rmst"))
+  }
+
+  /**
    * Cochran's Q test for k matched binary treatments (Cochran 1950) —
    * the repeated-measures extension of McNemar past two conditions:
    * given one row per subject and k boolean outcome columns (did the

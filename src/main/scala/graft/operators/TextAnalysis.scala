@@ -1565,4 +1565,119 @@ object TextAnalysis {
       .select(col("query_id"), col("__id").as(idCol),
         col("__nt").as("n_terms"), round(col("__run"), 4).as("bm25"))
   }
+
+  /**
+   * Per-term burstiness: the variance-to-mean ratio (index of
+   * dispersion; Church & Gale 1995's burstiness framing) of a term's
+   * per-document counts over the WHOLE corpus (zeros included) — a
+   * Poisson-scattered term has VMR ≈ 1; topical/bursty terms
+   * concentrate their occurrences in few documents and read VMR ≫ 1;
+   * boilerplate reads ≈ its per-doc count. The cheap "is this term
+   * content or chrome" signal next to [[termDocFrequencies]]-style
+   * df stats, and a standard stopword/keyword discriminator.
+   *
+   * EXACTNESS: per-(doc, term) counts are exact longs; with N docs,
+   * μ = tf/N and E[X²] = Σc²/N need only the exact moments (Σc = tf,
+   * Σc² as decimal(38,0), N), so VMR = (E[X²] − μ²)/μ =
+   * (N·Σc² − tf²) / (N·tf) is computed as ONE division of exact
+   * decimal integers, rounded 6dp — no per-doc float accumulation at
+   * all. Terms below `minDf` are pruned (hapax VMR is noise).
+   *
+   * Scale shape: one (doc, term) count aggregate, one term-keyed
+   * moment aggregate (both map-side combined), a 1-row N crossJoin.
+   * Output one row per surviving term: (`term`, `df`, `tf`, `vmr`).
+   */
+  def termBurstiness(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     minDf: Long = 2L): DataFrame = {
+    require(minDf >= 1L, s"minDf must be >= 1: $minDf")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val nDocs = base.agg(count(lit(1)).as("__n"))
+    val cells = base
+      .select(col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term", "__id").agg(count(lit(1)).as("__c"))
+    cells.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum("__c").as("tf"),
+        sum(col("__c").cast(dec) * col("__c")).as("__c2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("tf"),
+        round(((col("__n").cast(dec) * col("__c2") -
+          col("tf").cast(dec) * col("tf")).cast("double")) /
+          ((col("__n").cast(dec) * col("tf")).cast("double")), 6)
+          .as("vmr"))
+  }
+
+  /**
+   * Jensen-Shannon divergence between two corpora's unigram term
+   * distributions (Lin 1991) — the symmetric, always-finite drift
+   * metric for TEXT that [[graft.operators.Profiling
+   * .populationStability]] is for scores and
+   * [[graft.operators.Similarity]]'s MMD is for embeddings: "how far
+   * has the crawl's vocabulary drifted from the reference mix" is the
+   * question a training-data pipeline asks before retraining its
+   * quality gates. JS = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2, in
+   * nats; bounded by ln 2, so `js_norm` = JS/ln 2 ∈ [0, 1] ships
+   * alongside.
+   *
+   * EXACTNESS: both term-count frames are exact longs from one
+   * aggregate each; totals are exact; each term's contribution is a
+   * fixed IEEE chain from exact integers (p·ln(p/m) with the p = 0 /
+   * q = 0 sides contributing their ln 2 branch), and the corpus sum is
+   * an UNORDERED sum of per-term doubles — the
+   * [[graft.functions.Text.charEntropy]] unordered-level-sum contract
+   * (engines may differ in the last ulp; the 4dp rounding absorbs
+   * it; stated). `minCount` prunes sub-threshold terms from BOTH
+   * sides before normalization (stated — totals are over surviving
+   * terms).
+   *
+   * Scale shape: two token-count aggregates (map-side combined, the
+   * shuffles carry distinct terms), one full-outer term join, two
+   * 1-row totals, one scalar rollup. Output ONE row: (`n_terms`,
+   * `tok_a`, `tok_b`, `js`, `js_norm`).
+   */
+  def corpusJsDivergence(a: DataFrame, b: DataFrame,
+                         textCol: String = "text",
+                         minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(out))
+      .filter(col(out) >= minCount)
+    val ca = counts(a, "__ca")
+    val cb = counts(b, "__cb")
+    // totals + the term rollup share one materialization
+    val joined = graft.core.LineageCut.cut(
+      ca.join(cb, Seq("term"), "full_outer")
+        .select(col("term"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+          coalesce(col("__cb"), lit(0L)).as("__cb")))
+    val tots = joined.agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+    // totals-of-zero guard inside the plan (ANSI division): an empty
+    // side has ca = 0 on every row too, so the 0.0 branch is exact
+    val p = when(col("__ta") > 0L,
+      col("__ca").cast("double") / col("__ta").cast("double"))
+      .otherwise(lit(0.0))
+    val q = when(col("__tb") > 0L,
+      col("__cb").cast("double") / col("__tb").cast("double"))
+      .otherwise(lit(0.0))
+    val m = (p + q) / lit(2.0)
+    val term = (when(col("__ca") > 0L, p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("__cb") > 0L, q * log(q / m)).otherwise(lit(0.0))) / lit(2.0)
+    joined.crossJoin(broadcast(tots))
+      .agg(count(lit(1)).as("n_terms"),
+        coalesce(max("__ta"), lit(0L)).cast("long").as("tok_a"),
+        coalesce(max("__tb"), lit(0L)).cast("long").as("tok_b"),
+        round(sum(term), 4).as("__js_raw"))
+      // an empty side makes the divergence undefined (0/0 inside the
+      // KL terms) — report NULL, never a NaN
+      .select(col("n_terms"), col("tok_a"), col("tok_b"),
+        when(col("tok_a") > 0L && col("tok_b") > 0L, col("__js_raw"))
+          .as("js"),
+        when(col("tok_a") > 0L && col("tok_b") > 0L,
+          round(col("__js_raw") / lit(math.log(2.0)), 4)).as("js_norm"))
+  }
 }

@@ -571,4 +571,81 @@ object TimeSeries {
           lit((n * (n + 2)).toDouble) * coalesce(col("__run"), lit(0.0)),
           4)).as("q_stat"))
   }
+
+  /**
+   * Pettitt changepoint test (Pettitt 1979) — the rank-based,
+   * distribution-free single-changepoint detector that complements
+   * [[meanShiftChangepoints]]: no window size to pick and no shift
+   * magnitude to threshold — the statistic K = max_t |U_t| with
+   * U_t = 2·Σ_{i ≤ t} r_i − t(n+1) (r_i the value ranks in time
+   * order) locates the most likely split of the series into two
+   * samples with different distributions, and the approximate
+   * significance p ≈ 2·exp(−6K²/(n³ + n²)) says whether to believe
+   * it.
+   *
+   * EXACTNESS: values quantize at `unitScale` (the welchTTest
+   * convention); ties take AVERAGE ranks carried as DOUBLED integers
+   * (min rank + max rank per value level — the spearman machinery), so
+   * U_t = Σ R2_i − t(n+1) is EXACT INTEGER arithmetic end-to-end; K
+   * and its earliest-argmax location are integer comparisons; p is ONE
+   * IEEE chain from K and n (6dp, clipped at 1). The rank tiebreak
+   * inside a level is (value, ts, id) — a total order, so level
+   * min/max ranks are deterministic.
+   *
+   * Scale shape: one rank pass + level collapse (the spearman shape),
+   * then ordered running windows over the SERIES — the whole series
+   * moves through single-task windows, so `maxRows` fails loud (house
+   * convention; aggregate to a coarser grid upstream past it: Pettitt
+   * on 10⁹ raw points has no more power than on 10⁶ bucket means).
+   *
+   * Output one row: (`n`, `k_stat`, `t_change` — the LAST timestamp of
+   * the first segment, earliest on ties — and `p_value`).
+   */
+  def pettittTest(obs: DataFrame, tsCol: String, idCol: String,
+                  valueCol: String, unitScale: Long = 100L,
+                  maxRows: Long = 10000000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+    val base = obs
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+      .lineageCut() // the gate count + rank pass share one read
+    val n = base.count()
+    require(n <= maxRows,
+      s"pettittTest: $n rows exceeds maxRows=$maxRows — the ordered " +
+        "rank/fold windows run the series through ONE task; aggregate " +
+        "to a coarser grid upstream or raise maxRows deliberately")
+    // doubled average rank per value level: rank all rows by
+    // (u, ts, id), collapse to per-level min+max. With R2 = 2r,
+    // Σ_{i≤t} R2_i = 2·Σ r_i, so Pettitt's U_t = 2Σr_i − t(n+1)
+    // computes DIRECTLY as (running ΣR2) − t(n+1) — exact longs.
+    val wVal = Window.orderBy(col("u"), col("ts"), col("id"))
+    val ranked = base.withColumn("__rn", row_number().over(wVal))
+    val lev = ranked.groupBy("u")
+      .agg((min("__rn") + max("__rn")).cast("long").as("__r2"))
+    val wOrd = Window.orderBy(col("ts"), col("id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wTot = Window.orderBy(col("ts"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val u = base.join(lev, "u")
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .withColumn("__u",
+        sum("__r2").over(wRun) - col("__t") * lit(n + 1L))
+      .withColumn("__absu", abs(col("__u")))
+    val kRow = u
+      .withColumn("__kmax", max(col("__absu")).over(wTot))
+      .filter(col("__absu") === col("__kmax"))
+      // earliest argmax: one more ordered pick over the (tiny) tied set
+      .withColumn("__pick", row_number().over(wOrd))
+      .filter(col("__pick") === 1)
+    kRow.select(lit(n).as("n"), col("__absu").as("k_stat"),
+      col("ts").as("t_change"),
+      round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+        col("__absu").cast("double") * col("__absu").cast("double") /
+        (lit(n.toDouble) * n * n + lit(n.toDouble) * n))), 6)
+        .as("p_value"))
+  }
 }

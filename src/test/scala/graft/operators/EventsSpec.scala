@@ -298,6 +298,58 @@ class EventsSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
   }
 
+  test("kaplanMeierCI: hand Greenwood variance on the KM fixture; " +
+      "NULL se/CI at the d = n zero level; clipping") {
+    // same fixture as kaplanMeier: S(1) = 5/6, S(3) = 5/12, S(5) = 0
+    val rows = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "ev")
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val got = Events.kaplanMeierCI(rows, "dur", "ev")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1)
+    // t=1: gw = 1/(6·5); t=3: gw += 2/(4·2)
+    val s1 = math.exp(math.log(1.0 - 1.0 / 6.0))
+    val se1 = s1 * math.sqrt(1.0 / 30.0)
+    val s3 = math.exp(math.log(1.0 - 1.0 / 6.0) + math.log(1.0 - 2.0 / 4.0))
+    val se3 = s3 * math.sqrt(1.0 / 30.0 + 2.0 / (4.0 * 2.0))
+    assert(got(0) === ((1L, 6L, 1L, r6(s1), Some(r6(se1)),
+      Some(r6(math.max(0.0, s1 - 1.96 * se1))),
+      Some(r6(math.min(1.0, s1 + 1.96 * se1))))))
+    assert(got(1) === ((3L, 4L, 2L, r6(s3), Some(r6(se3)),
+      Some(r6(math.max(0.0, s3 - 1.96 * se3))),
+      Some(r6(math.min(1.0, s3 + 1.96 * se3))))))
+    // the d = n level: survival pins to 0, Greenwood undefined -> NULLs
+    assert(got(2) === ((5L, 1L, 1L, 0.0, None, None, None)))
+    // survival values bit-match the plain kaplanMeier on every row
+    val km = Events.kaplanMeier(rows, "dur", "ev")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq === km.toSeq)
+  }
+
+  test("restrictedMeanSurvival: exact step-curve area; tau inside and " +
+      "past the last event; all-censored = tau exactly") {
+    val rows = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "ev")
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // tau=4: 1·(1−0) + (5/6)·(3−1) + (5/12)·(4−3) = 37/12
+    val g4 = Events.restrictedMeanSurvival(rows, "dur", "ev", tau = 4L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(g4._1 === 4L && g4._2 === 6L)
+    assert(g4._3 === Some(r6(37.0 / 12.0)))
+    // tau=10 passes the last event (S hits 0 at t=5; tail adds 0)
+    val g10 = Events.restrictedMeanSurvival(rows, "dur", "ev", tau = 10L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(g10._3 === Some(3.5))
+    // all censored: S = 1 through the horizon -> RMST = tau exactly
+    val cens = Seq((2L, false), (9L, false)).toDF("dur", "ev")
+    val gc = Events.restrictedMeanSurvival(cens, "dur", "ev", tau = 7L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(gc === ((7L, 2L, Some(7.0))))
+    intercept[IllegalArgumentException] {
+      Events.restrictedMeanSurvival(rows, "dur", "ev", tau = 0L)
+    }
+  }
+
   test("survival trio: the shared maxLevels gate trips on a high-" +
       "cardinality duration column and passes at the bound") {
     // 50 distinct durations — a stand-in for the continuous /

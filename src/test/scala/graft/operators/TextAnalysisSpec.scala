@@ -940,4 +940,69 @@ class TextAnalysisSpec extends SparkSpec {
     // the capped-out pair (a,c) forms in no capped doc: absent
     assert(!got.contains(("a", "c")))
   }
+
+  test("termBurstiness: exact moment ratio over the whole corpus " +
+      "(zeros included); minDf prunes") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N = 3; a: counts {2,1} -> VMR = (3·5 − 9)/(3·3) = 2/3;
+    // b: counts {1,4} -> (3·17 − 25)/(3·5) = 26/15; c: hapax
+    val docs = Seq((1L, "a a b"), (2L, "a"), (3L, "b b b b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(docs, "doc_id", "text",
+      minDf = 1L)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 2L, 3L, r6(2.0 / 3.0))))
+    assert(got("b") === (("b", 2L, 5L, r6(26.0 / 15.0))))
+    assert(got("c") === (("c", 1L, 1L, r6(2.0 / 3.0)))) // (3−1)/3
+    // minDf = 2 prunes the hapax
+    assert(!TextAnalysis.termBurstiness(docs, "doc_id", "text", 2L)
+      .as[(String, Long, Long, Double)].collect().exists(_._1 == "c"))
+    // an exact-copy boilerplate term (1 per doc) reads VMR = 0:
+    // variance of a constant is zero — the chrome signature
+    val chrome = Seq((1L, "menu x"), (2L, "menu y"), (3L, "menu z"))
+      .toDF("doc_id", "text")
+    val gm = TextAnalysis.termBurstiness(chrome, "doc_id", "text", 3L)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(gm === (("menu", 3L, 3L, 0.0)))
+  }
+
+  test("corpusJsDivergence: hand KL chains; identical corpora read 0; " +
+      "disjoint vocabularies read ln 2 (js_norm = 1); empty side NULL") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y")).toDF("doc_id", "text")
+    // P=(2/3,1/3), Q=(1/3,2/3): JS = (2/3)ln(4/3) + (1/3)ln(2/3)
+    val expect = (2.0 / 3.0) * math.log(4.0 / 3.0) +
+      (1.0 / 3.0) * math.log(2.0 / 3.0)
+    val got = TextAnalysis.corpusJsDivergence(a, b, "text", minCount = 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 === 2L && got._2 === 3L && got._3 === 3L)
+    assert(got._4 === Some(r4(expect)))
+    // identical corpora: zero divergence
+    val same = TextAnalysis.corpusJsDivergence(a, a, "text", 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(same._4 === Some(0.0) && same._5 === Some(0.0))
+    // disjoint vocabularies: the ln 2 ceiling, js_norm = 1
+    val c = Seq((3L, "zz ww")).toDF("doc_id", "text")
+    val dis = TextAnalysis.corpusJsDivergence(a, c, "text", 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    // js_norm derives from the ALREADY-4dp-ROUNDED js (both engines
+    // share that chain): 0.6931/ln2 rounds to 0.9999, not 1.0
+    assert(dis._4 === Some(r4(math.log(2.0))) &&
+      dis._5 === Some(r4(r4(math.log(2.0)) / math.log(2.0))))
+    // an empty side is undefined -> NULL, never NaN
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ge = TextAnalysis.corpusJsDivergence(a, empty, "text", 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(ge._3 === 0L && ge._4 === None && ge._5 === None)
+  }
 }

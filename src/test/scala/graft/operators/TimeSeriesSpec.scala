@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.SparkSpec
 
 /** Time-series prep: hand-built grids with forward fill, bucket
@@ -284,5 +286,41 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Int, Long, Option[Double])].collect()
       .find(_._1 == 0).get
     assert(self === ((0, 4L, Some(1.0))))
+  }
+
+  test("pettittTest: hand U fold with ties, earliest argmax, one-chain " +
+      "p; maxRows guard") {
+    import spark.implicits._
+    // 1,1,1,5,5,5 at ts 1..6 — tied levels take doubled average ranks
+    // (r2 = 4 for the 1s, 10 for the 5s); U_t = ΣR2 − t(n+1):
+    // (−3, −6, −9, −6, −3, 0) → K = 9 at t = 3 (the true changepoint)
+    val rows = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0),
+      (4L, 5.0), (5L, 5.0), (6L, 5.0)).toDF("ts", "v")
+      .withColumn("id", col("ts"))
+    val got = TimeSeries.pettittTest(rows, "ts", "id", "v",
+      unitScale = 1L)
+      .as[(Long, Long, Long, Double)].collect().head
+    val n = 6.0
+    val pExpect = math.min(1.0, 2.0 * math.exp(-6.0 * 9.0 * 9.0 /
+      (n * n * n + n * n)))
+    assert(got._1 === 6L && got._2 === 9L && got._3 === 3L)
+    assert(got._4 === math.rint(pExpect * 1e6) / 1e6)
+    // a constant series: every rank level ties, U_t = 0 everywhere ->
+    // K = 0, p clips at 1, earliest t reported
+    val flat = Seq((1L, 2.0), (2L, 2.0), (3L, 2.0)).toDF("ts", "v")
+      .withColumn("id", col("ts"))
+    val gf = TimeSeries.pettittTest(flat, "ts", "id", "v", 1L)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(gf === ((3L, 0L, 1L, 1.0)))
+    // symmetric to reversal: K invariant when the series flips
+    val rev = rows.select((lit(7L) - col("ts")).as("ts"),
+      col("id"), col("v"))
+    val gr = TimeSeries.pettittTest(rev, "ts", "id", "v", 1L)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(gr._2 === 9L && gr._4 === got._4)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.pettittTest(rows, "ts", "id", "v", 1L, maxRows = 3L)
+    }
+    assert(e.getMessage.contains("maxRows"))
   }
 }
