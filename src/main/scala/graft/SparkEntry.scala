@@ -511,6 +511,49 @@ $fieldRows"""
       |$rows)""".stripMargin
   }
 
+  /** The q_psi_profile oracle, GENERATED: one q_psi-pattern CTE chain
+    * per column (ref = non-urgent orders, cur = urgent), each rolled to
+    * round(sum(contrib), 4) with the operator's verdict bands, unioned
+    * in column order. */
+  private def psiProfileOracleSql(columns: Seq[String]): String = {
+    val probs = (1 until 10).map(i => i / 10.0)
+    val caseChain = probs.indices
+      .map(i => s"CASE WHEN v > bs[${i + 1}] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val ctes = columns.zipWithIndex.map { case (c, i) =>
+      s"""refv_$i AS (SELECT CAST($c AS DOUBLE) AS v FROM orders
+         |  WHERE o_orderpriority <> '1-URGENT' AND $c IS NOT NULL),
+         |curv_$i AS (SELECT CAST($c AS DOUBLE) AS v FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND $c IS NOT NULL),
+         |b_$i AS (SELECT quantile_cont(v, [${probs.mkString(", ")}]) AS bs
+         |  FROM refv_$i),
+         |pc_$i AS (SELECT CAST($caseChain AS BIGINT) AS bucket,
+         |    count(*) AS c FROM refv_$i, b_$i GROUP BY 1),
+         |qc_$i AS (SELECT CAST($caseChain AS BIGINT) AS bucket,
+         |    count(*) AS c FROM curv_$i, b_$i GROUP BY 1),
+         |nr_$i AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM refv_$i),
+         |nc_$i AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM curv_$i),
+         |psi_$i AS (SELECT round(sum(
+         |    round((q - p) * ln(q / p), 6)), 4) AS psi
+         |  FROM (SELECT g.bucket,
+         |      (COALESCE(pc_$i.c, 0) + 0.5) / (nr_$i.n + 5.0) AS p,
+         |      (COALESCE(qc_$i.c, 0) + 0.5) / (nc_$i.n + 5.0) AS q
+         |    FROM g LEFT JOIN pc_$i ON pc_$i.bucket = g.bucket
+         |      LEFT JOIN qc_$i ON qc_$i.bucket = g.bucket,
+         |      nr_$i, nc_$i))""".stripMargin
+    }.mkString(",\n")
+    val rows = columns.zipWithIndex.map { case (c, i) =>
+      s"""  SELECT '$c' AS col_name, psi,
+         |    CASE WHEN psi < 0.1 THEN 'stable'
+         |         WHEN psi < 0.25 THEN 'moderate'
+         |         ELSE 'shifted' END AS verdict FROM psi_$i""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH g AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+       |$ctes
+       |SELECT col_name, psi, verdict FROM (
+       |$rows)""".stripMargin
+  }
+
   /** Unrolled per-seed BFS + harmonic aggregate oracle: one `hops`-deep
     * frontier CTE chain per seed over the part↔supplier link graph,
     * each collapsing to (seed, n_reached, harmonic) with the exact
@@ -2105,6 +2148,17 @@ $fieldRows"""
     // Distinct + entropy l-diversity of the balance band (2000-unit
     // floors) inside each {nation, segment} class at l = 5: exact
     // two-level aggregate, factored-entropy identity at 4dp.
+    // Group-fairness audit of a price-threshold "classifier" against
+    // the finished-order label, grouped by order priority: per-group
+    // rates from exact longs, dp_ratio vs the most-selected group.
+    "q_fairness" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_orderstatus") === "F").as("y"),
+        (col("o_totalprice") > 150000.0).as("yh"))
+      graft.operators.Privacy.fairnessReport(o, "o_orderpriority",
+        "y", "yh")
+    }),
+
     "q_l_diversity" -> ((s, dir) => {
       graft.operators.Privacy.lDiversityClasses(
         t(s, dir, "customer")
@@ -2754,6 +2808,17 @@ $fieldRows"""
     // bucketed by the REFERENCE's exact deciles; smoothed add-half
     // shares so empty buckets can't produce infinities. Per-bucket
     // contributions (Σ = the PSI scalar) keep the report actionable.
+    // Per-column drift profile: populationStability per column rolled
+    // to one (column, psi, verdict) row each — the "which features
+    // moved" monitoring table.
+    "q_psi_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Profiling.psiProfile(
+        o.filter(col("o_orderpriority") =!= "1-URGENT"),
+        o.filter(col("o_orderpriority") === "1-URGENT"),
+        Seq("o_totalprice", "o_custkey"))
+    }),
+
     "q_psi" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       graft.operators.Profiling.populationStability(
@@ -3880,6 +3945,19 @@ $fieldRows"""
       DataSelection.selectByImportance(docs, target, "doc_id", "text",
           k = 50, seed = 11)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // Kish effective sample size of the DSIR importance weights — the
+    // run-before-you-sample health check: shifted-exp weights, two
+    // moment sums, one ratio.
+    "q_dsir_ess" -> ((s, dir) => {
+      import graft.operators.{DataSelection, LangModel}
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("text").contains("dup"))
+      val tm = LangModel.trainBigramLM(target, "text")
+      val rm = LangModel.trainBigramLM(docs, "text")
+      DataSelection.importanceESS(
+        DataSelection.importanceWeights(docs, tm, rm, "doc_id", "text"))
     }),
 
     // Web-scale LM scoring (Brants et al. 2007): trigram counts + stupid
@@ -5176,6 +5254,42 @@ $fieldRows"""
         |  FROM per ORDER BY gk DESC, doc_id LIMIT 50)
         |SELECT d2.doc_id, d2.lang FROM documents d2 JOIN sel USING (doc_id)"""
         .stripMargin),
+    // ESS over the same two-LM llr frame as data_select_dsir: shifted
+    // exp weights, (Σw)²/Σw², 4dp.
+    "q_dsir_ess" -> (lmOracleCtes(
+      Seq(("_r", ""), ("_t", " AND is_tgt"))) +
+      """,
+        |lp AS (
+        |  SELECT g.doc_id, g.n,
+        |         CASE WHEN g.prev IS NULL
+        |              THEN ln((coalesce(ur.cnt, 0) + 1) / (k_r.ntot + k_r.v))
+        |              ELSE ln((coalesce(br.cnt, 0) + 1)
+        |                      / (coalesce(ur.cnt, 0) + k_r.v)) END AS lp_r,
+        |         CASE WHEN g.prev IS NULL
+        |              THEN ln((coalesce(ut.cnt, 0) + 1) / (k_t.ntot + k_t.v))
+        |              ELSE ln((coalesce(bt.cnt, 0) + 1)
+        |                      / (coalesce(ut.cnt, 0) + k_t.v)) END AS lp_t
+        |  FROM grams g
+        |  CROSS JOIN k_r CROSS JOIN k_t
+        |  LEFT JOIN uc_r ur ON ur.w = coalesce(g.prev, g.cur)
+        |  LEFT JOIN uc_t ut ON ut.w = coalesce(g.prev, g.cur)
+        |  LEFT JOIN bc_r br ON br.prev = g.prev AND br.cur = g.cur
+        |  LEFT JOIN bc_t bt ON bt.prev = g.prev AND bt.cur = g.cur),
+        |per AS (SELECT doc_id, any_value(n) AS n,
+        |               round(-sum(lp_r) / any_value(n), 4) AS ce_r,
+        |               round(-sum(lp_t) / any_value(n), 4) AS ce_t
+        |        FROM lp GROUP BY doc_id),
+        |w AS (SELECT n * (ce_r - ce_t) AS llr FROM per
+        |  WHERE ce_r IS NOT NULL AND ce_t IS NOT NULL),
+        |mx AS (SELECT max(llr) AS m FROM w),
+        |e AS (SELECT exp(llr - mx.m) AS ww FROM w, mx)
+        |SELECT count(*) AS n,
+        |  CASE WHEN sum(ww * ww) > 0 THEN
+        |    round(sum(ww) * sum(ww) / sum(ww * ww), 4) END AS ess,
+        |  CASE WHEN sum(ww * ww) > 0 AND count(*) > 0 THEN
+        |    round(sum(ww) * sum(ww) / sum(ww * ww)
+        |      / CAST(count(*) AS DOUBLE), 4) END AS ess_ratio
+        |FROM e""".stripMargin),
     // Full trigram + stupid-backoff replication: lockstep-unnest gram
     // count tables, per-position gram/prefix structs via index lambdas,
     // α only on actual backoff steps, Laplace unigram floor — the same
@@ -8488,6 +8602,43 @@ $fieldRows"""
         |  round((spp - sa.sv * sb.sv / CAST(sa.n AS DOUBLE))
         |    / CAST(sa.n AS DOUBLE), 6) + 0.0 AS cov
         |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j""".stripMargin,
+    // Per-column PSI profile: the q_psi machinery per column, rolled
+    // up to (col_name, psi, verdict) — generated so both columns share
+    // one WITH.
+    "q_psi_profile" -> psiProfileOracleSql(
+      Seq("o_totalprice", "o_custkey")),
+    // Group-fairness audit: exact long cells per priority group, one
+    // division per rate, dp_ratio vs the max unrounded pred_rate.
+    "q_fairness" ->
+      """WITH b AS (SELECT o_orderpriority AS grp,
+        |    (o_orderstatus = 'F') AS y,
+        |    (o_totalprice > 150000.0) AS yh
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+        |g AS (SELECT grp, count(*) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN yh THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN y AND yh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(sum(CASE WHEN NOT y AND yh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fp
+        |  FROM b GROUP BY 1),
+        |mx AS (SELECT max(CAST(n_pred AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS mp FROM g)
+        |SELECT grp AS o_orderpriority, n,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+        |  round(CAST(n_pred AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS pred_rate,
+        |  CASE WHEN n_pos > 0
+        |    THEN round(CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+        |  END AS tpr,
+        |  CASE WHEN n - n_pos > 0
+        |    THEN round(CAST(fp AS DOUBLE) / CAST(n - n_pos AS DOUBLE), 6)
+        |  END AS fpr,
+        |  CASE WHEN mx.mp > 0 THEN
+        |    round((CAST(n_pred AS DOUBLE) / CAST(n AS DOUBLE)) / mx.mp, 6)
+        |  END AS dp_ratio
+        |FROM g, mx""".stripMargin,
     "q_psi" -> {
       val probs = (1 until 10).map(i => i / 10.0)
       val caseChain = probs.indices

@@ -162,4 +162,45 @@ object DataSelection {
           .otherwise(least(greatest(v, col("__qlo")), col("__qhi"))))
       .drop("__qlo", "__qhi")
   }
+
+  /**
+   * Kish effective sample size of the DSIR importance weights (Kish
+   * 1965; the standard importance-sampling health check): with
+   * w_d ∝ exp(llr_d), ESS = (Σw)² / Σw² — ESS ≈ n means the target
+   * barely re-weights the corpus (importance sampling is a no-op);
+   * ESS ≪ n means a handful of documents dominate the resample and
+   * the selected corpus will be near-duplicates of them. Run this
+   * BEFORE paying [[selectByImportance]]'s Gumbel pass: a collapsed
+   * ESS says to coarsen the target or clamp llr, not to sample.
+   *
+   * EXACTNESS: weights exponentiate SHIFTED llr (exp(llr − max llr),
+   * the standard overflow guard — ESS is scale-invariant so the shift
+   * is exact); each weight is one IEEE chain from the 4dp-rounded
+   * cross-entropies [[importanceWeights]] emits; the two sums are
+   * unordered double sums (charEntropy class, absorbed by the 4dp
+   * rounding); NULL-llr rows (empty docs) are excluded (stated).
+   *
+   * Scale shape: one max aggregate + one moment aggregate over the
+   * weight frame (both map-side combined); output is ONE row:
+   * (`n`, `ess`, `ess_ratio`).
+   */
+  def importanceESS(weights: DataFrame,
+                    llrCol: String = "llr"): DataFrame = {
+    require(weights.columns.contains(llrCol), s"no column $llrCol")
+    val base = graft.core.LineageCut.cut(
+      weights.filter(col(llrCol).isNotNull)
+        .select(col(llrCol).cast("double").as("__llr")))
+    val m = base.agg(max("__llr").as("__m"))
+    base.crossJoin(broadcast(m))
+      .select(exp(col("__llr") - col("__m")).as("__w"))
+      .agg(count(lit(1)).as("n"),
+        sum("__w").as("__sw"),
+        sum(col("__w") * col("__w")).as("__sw2"))
+      .select(col("n"),
+        when(col("__sw2") > 0.0,
+          round(col("__sw") * col("__sw") / col("__sw2"), 4)).as("ess"),
+        when(col("__sw2") > 0.0 && col("n") > 0L,
+          round(col("__sw") * col("__sw") / col("__sw2") /
+            col("n").cast("double"), 4)).as("ess_ratio"))
+  }
 }

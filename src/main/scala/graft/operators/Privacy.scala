@@ -142,4 +142,68 @@ object Privacy {
           .as("entropy"),
         (col("distinct_sensitive") < lit(l)).as("violates"))): _*)
   }
+
+  /**
+   * Group-fairness audit over a labeled + scored frame (Feldman et al.
+   * 2015's disparate-impact framing; Hardt et al. 2016's equalized
+   * odds) — the governance companion to the k-anonymity/l-diversity
+   * audits: before a classifier gate ([[graft.operators.Classifier]])
+   * or a quality cut prunes a training corpus, this reports WHO it
+   * prunes. Per group: selection rate (`pred_rate`, the demographic-
+   * parity quantity), base rate, TPR and FPR (the equalized-odds
+   * pair), and `dp_ratio` = pred_rate / max-group pred_rate — the
+   * four-fifths-rule readout (< 0.8 is the classic disparate-impact
+   * flag; thresholding is the caller's policy call, so no boolean is
+   * baked in).
+   *
+   * NULL group/label/pred rows are dropped (stated — an unknown group
+   * can't be audited). Groups with no positives report NULL `tpr`; no
+   * negatives, NULL `fpr`; an all-zero selection column reports NULL
+   * `dp_ratio` everywhere.
+   *
+   * EXACTNESS: one keyed aggregate to exact long cells per group;
+   * every rate is ONE division of exact longs; `dp_ratio` divides the
+   * UNROUNDED rates (identical fixed chains in both engines) and
+   * everything rounds 6dp at the end.
+   *
+   * Scale shape: one map-side-combined group aggregate, then ONE
+   * unpartitioned max-window over the GROUP frame (group-count-sized —
+   * the kaplanMeier level-frame class, fine for any real protected
+   * attribute's cardinality). Output one row per group.
+   */
+  def fairnessReport(df: DataFrame, groupCol: String, labelCol: String,
+                     predCol: String): DataFrame = {
+    val missing = Seq(groupCol, labelCol, predCol)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
+        col(predCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(labelCol).cast("boolean").as("y"),
+        col(predCol).cast("boolean").as("yh"))
+    val g = base.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("yh"), 1L).otherwise(0L)).as("n_pred"),
+      sum(when(col("y") && col("yh"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("y") && col("yh"), 1L).otherwise(0L)).as("fp"))
+    val predRate = col("n_pred").cast("double") / col("n").cast("double")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    g.withColumn("__maxpr", max(predRate).over(wAll))
+      .select(col("grp").as(groupCol), col("n"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("base_rate"),
+        round(predRate, 6).as("pred_rate"),
+        when(col("n_pos") > 0L,
+          round(col("tp").cast("double") / col("n_pos").cast("double"), 6))
+          .as("tpr"),
+        when(col("n") - col("n_pos") > 0L,
+          round(col("fp").cast("double") /
+            (col("n") - col("n_pos")).cast("double"), 6)).as("fpr"),
+        when(col("__maxpr") > 0.0, round(predRate / col("__maxpr"), 6))
+          .as("dp_ratio"))
+  }
 }

@@ -520,6 +520,42 @@ object Profiling {
   }
 
   /**
+   * Per-column drift profile: [[populationStability]] run over a list
+   * of numeric columns and collapsed to ONE row per column — the
+   * monitoring dashboard's "which features moved" table, with the
+   * conventional PSI verdict bands (Siddiqi 2006: < 0.1 stable,
+   * < 0.25 moderate, else shifted) rendered as a string so the
+   * thresholds are visible, not policy baked into a boolean.
+   *
+   * EXACTNESS: each column's PSI is the sum of its TEN (= `nBuckets`)
+   * 6dp-ROUNDED per-bucket contributions — an unordered sum of a
+   * bounded, grid-snapped set (the charEntropy unordered-sum class,
+   * absorbed by the 4dp rounding); the verdict compares the ROUNDED
+   * psi (stated). Column order is preserved in the output.
+   *
+   * Scale shape: per column, one percentile aggregate over ref + two
+   * bucket-count aggregates (the populationStability shape) — k
+   * columns cost k passes; the output is k rows. A melted one-pass
+   * form is possible but pointless until k·scan dominates, which a
+   * drift dashboard's daily cadence never reaches.
+   */
+  def psiProfile(ref: DataFrame, cur: DataFrame, columns: Seq[String],
+                 nBuckets: Int = 10): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    val missing = columns.filterNot(c =>
+      ref.columns.contains(c) && cur.columns.contains(c))
+    require(missing.isEmpty, s"columns not on both sides: $missing")
+    columns.map { c =>
+      populationStability(ref, cur, c, nBuckets)
+        .agg(round(sum("contrib"), 4).as("psi"))
+        .select(lit(c).as("col_name"), col("psi"),
+          when(col("psi") < 0.1, lit("stable"))
+            .when(col("psi") < 0.25, lit("moderate"))
+            .otherwise(lit("shifted")).as("verdict"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Key-skew report: the one-row answer to "can this column be a join/
    * aggregation key at scale". Per-key counts reduce map-side; the
    * statistics then run over the KEY frame (≪ data): distinct keys,

@@ -123,4 +123,36 @@ class DataSelectionSpec extends SparkSpec {
       DataSelection.winsorize(rows, "v", "src", pLow = 0.9, pHigh = 0.1)
     }
   }
+
+  test("importanceESS: uniform weights read ESS = n; one dominant " +
+      "weight collapses toward 1; NULL llr excluded; empty NULL") {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // equal llr -> w all equal -> ESS = n exactly
+    val flat = Seq.tabulate(8)(i => (i.toLong, Option(2.5)))
+      .toDF("doc_id", "llr")
+    val gf = DataSelection.importanceESS(flat)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(gf === ((8L, Some(8.0), Some(1.0))))
+    // one dominant llr: hand Kish from the shifted weights
+    val dom = Seq((1L, Option(10.0)), (2L, Option(0.0)), (3L, Option(0.0)))
+      .toDF("doc_id", "llr")
+    val w = Seq(1.0, math.exp(-10.0), math.exp(-10.0))
+    val ess = math.pow(w.sum, 2) / w.map(x => x * x).sum
+    val gd = DataSelection.importanceESS(dom)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(gd._1 === 3L && gd._2 === Some(r4(ess)))
+    assert(gd._2.get < 1.001) // collapsed: effectively one document
+    // NULL llr rows (empty docs) are excluded from n and the moments
+    val withNull = flat.unionByName(
+      Seq((99L, Option.empty[Double])).toDF("doc_id", "llr"))
+    assert(DataSelection.importanceESS(withNull)
+      .as[(Long, Option[Double], Option[Double])].collect().head ===
+      ((8L, Some(8.0), Some(1.0))))
+    // empty frame: n = 0, NULL ess (never NaN)
+    val empty = Seq.empty[(Long, Option[Double])].toDF("doc_id", "llr")
+    assert(DataSelection.importanceESS(empty)
+      .as[(Long, Option[Double], Option[Double])].collect().head ===
+      ((0L, None, None)))
+  }
 }

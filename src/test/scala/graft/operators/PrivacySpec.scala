@@ -71,6 +71,39 @@ class PrivacySpec extends SparkSpec {
       (None, "m", 1L, 0L, None, true)))           // all-NULL class
   }
 
+  test("fairnessReport: hand rates per group, dp_ratio vs the " +
+      "most-selected group, NULL tpr/fpr on empty cells") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // group g1: 4 rows, 2 pos, selected {pos, pos, neg} = 3 -> tp 2 fp 1
+    // group g2: 2 rows, 1 pos, selected 1 (the neg) -> tp 0 fp 1
+    // group g3: 1 row, 1 pos, never selected -> fpr NULL (no negatives)
+    val rows = Seq(
+      ("g1", true, true), ("g1", true, true), ("g1", false, true),
+      ("g1", false, false),
+      ("g2", true, false), ("g2", false, true),
+      ("g3", true, false))
+      .toDF("grp", "y", "yh")
+    val got = Privacy.fairnessReport(rows, "grp", "y", "yh")
+      .as[(String, Long, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1)
+    // pred rates: g1 3/4, g2 1/2, g3 0 -> max = 0.75
+    assert(got(0) === (("g1", 4L, 0.5, 0.75, Some(1.0), Some(0.5),
+      Some(1.0))))
+    assert(got(1) === (("g2", 2L, 0.5, 0.5, Some(0.0), Some(1.0),
+      Some(r6(0.5 / 0.75)))))
+    assert(got(2) === (("g3", 1L, 1.0, 0.0, Some(0.0), None, Some(0.0))))
+    // all-zero selection: dp_ratio NULL everywhere (no favored group)
+    val none = Privacy.fairnessReport(
+      rows.withColumn("yh", lit(false)), "grp", "y", "yh")
+      .as[(String, Long, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(none.forall(_._7.isEmpty))
+    intercept[IllegalArgumentException] {
+      Privacy.fairnessReport(rows, "nope", "y", "yh")
+    }
+  }
+
   test("guards: unknown columns and degenerate k/l fail loud") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityClasses(tbl, Seq("nope"), 2L)

@@ -157,6 +157,36 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("psiProfile: per-column rollup of the PSI contributions with " +
+      "verdict bands; identical sides read stable 0") {
+    import spark.implicits._
+    // col a identical on both sides (psi 0, stable); col b fully
+    // shifted (the hand PSI from the populationStability fixture:
+    // contributions 0.643775 + 0.235139 -> psi 0.8789, shifted)
+    val ref = (1 to 10).map(i => (i.toDouble, i.toDouble)).toDF("a", "b")
+    // cur "a" carries all 10 rows identically; "b" is {6,7,8,9} with
+    // NULLs elsewhere (NULLs drop inside populationStability)
+    val cur2 = (1 to 10).map(_.toDouble).toDF("a")
+      .withColumn("b", when(col("a") <= 4, col("a") + 5.0))
+    val got = Profiling.psiProfile(ref, cur2, Seq("a", "b"), nBuckets = 2)
+      .as[(String, Double, String)].collect()
+    assert(got.length === 2)
+    assert(got(0) === (("a", 0.0, "stable"))) // identical distribution
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // b: ref 5/5 around the 5.5 median; cur non-null = {6,7,8,9} ->
+    // 0/4; the populationStability fixture's contributions exactly
+    val expect = r4(r6((0.1 - 0.5) * math.log(0.1 / 0.5)) +
+      r6((0.9 - 0.5) * math.log(0.9 / 0.5)))
+    assert(got(1)._1 === "b" && got(1)._2 === expect &&
+      got(1)._3 === "shifted")
+    intercept[IllegalArgumentException] {
+      Profiling.psiProfile(ref, cur2, Seq("nope"))
+    }
+  }
+
   test("cramersV: hand-computed 2x2 table; perfect association; one level") {
     import spark.implicits._
     // table: (x,p)=30 (x,q)=10 / (y,p)=10 (y,q)=30; n=80
