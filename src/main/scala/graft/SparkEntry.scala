@@ -2506,6 +2506,19 @@ $fieldRows"""
         t(s, dir, "documents").select("doc_id", "text"), qs)
     }),
 
+    // RM3 pseudo-relevance feedback over the same query batch: top-5
+    // BM25 docs per query define the relevance model, mixed 50/50 with
+    // the query model; top-8 expanded terms per query.
+    "text_rm3" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val qs = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
+        (3L, "vector stream")).toDF("query_id", "qtext")
+      graft.operators.TextAnalysis.rm3ExpandQueries(
+        t(s, dir, "documents").select("doc_id", "text"), qs,
+        fbDocs = 5, fbTerms = 8, alpha = 0.5)
+    }),
+
     // PERSISTED BM25 postings index + probe: build once (term-sorted
     // postings, doclens, stats under a committed generation), then
     // score a query batch reading ONLY index files — the probe's term
@@ -8413,6 +8426,92 @@ $fieldRows"""
         |  FROM c)
         |SELECT query_id, doc_id, nt AS n_terms, round(run, 4) AS bm25
         |FROM f WHERE rn = nt""".stripMargin,
+    // RM3: the text_bm25_multi scoring machinery, then top-5 feedback
+    // docs (4dp-score ×10⁴ exact-integer mass), doc-id-ordered p(t|R)
+    // folds, the 50/50 mix with p(t|q), top-8 terms per query.
+    "text_rm3" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'vector stream')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
+        |  FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
+        |    lens.dl, st.n, st.tot
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
+        |c AS (SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS contrib
+        |  FROM m),
+        |f AS (SELECT query_id, doc_id, contrib,
+        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |  FROM c),
+        |sc AS (SELECT query_id, doc_id, round(run, 4) AS bm25
+        |  FROM f WHERE rn = nt),
+        |fb AS (SELECT query_id, doc_id,
+        |    CAST(round(bm25 * 10000) AS BIGINT) AS s4
+        |  FROM (SELECT query_id, doc_id, bm25, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+        |    FROM sc) WHERE rk <= 5),
+        |stot AS (SELECT query_id, CAST(sum(s4) AS BIGINT) AS stot
+        |  FROM fb GROUP BY 1),
+        |ftf AS (SELECT fb.query_id, fb.doc_id, fb.s4,
+        |    CAST(len(d.t) AS BIGINT) AS dl, tok.term, count(*) AS tf
+        |  FROM fb JOIN docs d USING (doc_id),
+        |    LATERAL (SELECT unnest(d.t) AS term) tok
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |pr0 AS (SELECT ftf.query_id, ftf.term, ftf.doc_id,
+        |    (CAST(s4 AS DOUBLE) / CAST(stot AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) AS contrib
+        |  FROM ftf JOIN stot USING (query_id)),
+        |prf AS (SELECT query_id, term,
+        |    sum(contrib) OVER (PARTITION BY query_id, term
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, term
+        |      ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, term) AS nt
+        |  FROM pr0),
+        |pr AS (SELECT query_id, term, run AS p_r FROM prf WHERE rn = nt),
+        |qtok AS (SELECT query_id, unnest(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term
+        |  FROM q),
+        |qc AS (SELECT query_id, term, count(*) AS qtf
+        |  FROM qtok GROUP BY 1, 2),
+        |ql AS (SELECT query_id, count(*) AS qlen FROM qtok GROUP BY 1),
+        |pq AS (SELECT qc.query_id, qc.term,
+        |    CAST(qtf AS DOUBLE) / CAST(qlen AS DOUBLE) AS p_q
+        |  FROM qc JOIN ql USING (query_id)),
+        |mix AS (SELECT COALESCE(pq.query_id, pr.query_id) AS query_id,
+        |    COALESCE(pq.term, pr.term) AS term,
+        |    0.5 * COALESCE(p_q, 0.0) + 0.5 * COALESCE(p_r, 0.0) AS w
+        |  FROM pq FULL OUTER JOIN pr
+        |    ON pq.query_id = pr.query_id AND pq.term = pr.term),
+        |rk AS (SELECT query_id, term, w, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY w DESC, term) AS rank
+        |  FROM mix)
+        |SELECT query_id, term, round(w, 6) AS rm3_weight,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 8""".stripMargin,
     // Index probe = the direct scorer's math on the same corpus: the
     // oracle recomputes BM25 from the raw documents table — the Spark
     // side must land on identical bits while reading ONLY index files.

@@ -1567,6 +1567,104 @@ object TextAnalysis {
   }
 
   /**
+   * RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+   * 2001 relevance models; Abdul-Jaleel et al. 2004's RM3 mixture) —
+   * the classical feedback leg the retrieval family was missing
+   * (build → probe → fuse → evaluate → EXPAND): each query's top
+   * `fbDocs` BM25 documents define a relevance model
+   * p(t|R) = Σ_d w(d)·tf(t,d)/|d| with w(d) the document's share of
+   * the feedback set's BM25 mass, mixed with the original query model
+   * p(t|q) = qtf/|q| as (1−α)·p(t|q) + α·p(t|R); the top `fbTerms`
+   * terms per query (weight desc, term asc — a total order) are the
+   * expanded query. Run the expanded terms back through
+   * [[bm25Scores]] / the index probe for the recall-boosted pass.
+   *
+   * DETERMINISM: feedback selection orders by the 4dp-ROUNDED bm25
+   * (then doc id); w(d) numerators are those 4dp scores ×10⁴ — exact
+   * longs — so Σ mass is exact and each w(d) is ONE division; every
+   * p(t|R) accumulates its ≤ fbDocs per-doc chains as an ORDERED
+   * running fold in doc-id order (the kaplanMeier convention — both
+   * engines stream the same sequence); p(t|q) is one division of
+   * exact counts; the mix is a fixed two-term chain; ranking compares
+   * the UNROUNDED mixed weight (identical chains ⇒ identical order)
+   * and `rm3_weight` rounds 6dp at the very end.
+   *
+   * Scale shape: one [[bm25Scores]] pass (its own scale contract),
+   * a per-query top-k window over MATCHED docs (candidate-sized, the
+   * bm25TopK bound), a BROADCAST of the (queries × fbDocs) feedback
+   * set against the corpus for the token read, bounded per-(q, term)
+   * folds, and a per-query top-terms window over the feedback
+   * vocabulary (≤ fbDocs · doc-length). A query with NO matching docs
+   * still expands to its own terms scaled by (1−α) (stated).
+   *
+   * Output: (`query_id`, `term`, `rm3_weight`, `rank`).
+   */
+  def rm3ExpandQueries(docs: DataFrame, queries: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       queryIdCol: String = "query_id",
+                       queryTextCol: String = "qtext",
+                       fbDocs: Int = 10, fbTerms: Int = 10,
+                       alpha: Double = 0.5,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbDocs <= 1000, s"fbDocs in [1,1000]: $fbDocs")
+    require(fbTerms >= 1 && fbTerms <= 10000,
+      s"fbTerms in [1,10000]: $fbTerms")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1]: $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scores(docs, queries, idCol, textCol, queryIdCol,
+      queryTextCol, k1, b)
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col(idCol).asc)
+    val fb = graft.core.LineageCut.cut(
+      scored.withColumn("__rk", row_number().over(wQ))
+        .filter(col("__rk") <= fbDocs)
+        .select(col("query_id"), col(idCol).as("__id"),
+          round(col("bm25") * 10000).cast("long").as("__s4")))
+    val sTot = fb.groupBy("query_id").agg(sum("__s4").as("__stot"))
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(lower(col(textCol))).as("__toks"))
+    val fbTf = base.join(broadcast(fb), Seq("__id"))
+      .select(col("query_id"), col("__id"), col("__s4"),
+        size(col("__toks")).cast("long").as("__len"),
+        explode(col("__toks")).as("term"))
+      .groupBy("query_id", "__id", "__s4", "__len", "term")
+      .agg(count(lit(1)).as("__tf"))
+      .join(broadcast(sTot), Seq("query_id"))
+    val contrib = (col("__s4").cast("double") / col("__stot").cast("double")) *
+      (col("__tf").cast("double") / col("__len").cast("double"))
+    val wFold = Window.partitionBy("query_id", "term").orderBy("__id")
+    val pR = fbTf
+      .withColumn("__run", sum(contrib).over(
+        wFold.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(wFold))
+      .withColumn("__nt",
+        count(lit(1)).over(Window.partitionBy("query_id", "term")))
+      .filter(col("__rn") === col("__nt"))
+      .select(col("query_id"), col("term"), col("__run").as("__pr"))
+    val qTok = queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        explode(tokens(lower(col(queryTextCol)))).as("term"))
+    val pQ = qTok.groupBy("query_id", "term").agg(count(lit(1)).as("__qtf"))
+      .join(qTok.groupBy("query_id").agg(count(lit(1)).as("__qlen")),
+        Seq("query_id"))
+      .select(col("query_id"), col("term"),
+        (col("__qtf").cast("double") / col("__qlen").cast("double"))
+          .as("__pq"))
+    val mixed = pQ.join(pR, Seq("query_id", "term"), "full_outer")
+      .select(col("query_id"), col("term"),
+        (lit(1.0 - alpha) * coalesce(col("__pq"), lit(0.0)) +
+          lit(alpha) * coalesce(col("__pr"), lit(0.0))).as("__w"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("__w").desc, col("term").asc)
+    mixed.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= fbTerms)
+      .select(col("query_id"), col("term"),
+        round(col("__w"), 6).as("rm3_weight"), col("rank"))
+  }
+
+  /**
    * Per-term burstiness: the variance-to-mean ratio (index of
    * dispersion; Church & Gale 1995's burstiness framing) of a term's
    * per-document counts over the WHOLE corpus (zeros included) — a

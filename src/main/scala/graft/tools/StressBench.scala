@@ -1451,6 +1451,56 @@ object StressBench {
       rows.unpersist()
     }
 
+    // Round-14 additions: Pettitt's single-task series windows (the
+    // honest maxRows-gated price), the survival CI/RMST level folds
+    // (level-bounded — must stay flat when levels are), fairness /
+    // burstiness / JS divergence (keyed-aggregate shapes — scan-bound).
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "r14ops")) {
+      val rows = spark.range(n).toDF("id")
+        .select(col("id"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0)
+            .as("v"),
+          concat(lit("g"), pmod(col("id"), lit(5)).cast("string")).as("g"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(2)) === 0).as("y"),
+          (pmod(xxhash64(col("id"), lit(5)), lit(3)) === 0).as("yh"),
+          // durations quantized to 10k levels — the gate-passing regime
+          pmod(xxhash64(col("id"), lit(9)), lit(10000)).as("dur"),
+          (pmod(xxhash64(col("id"), lit(11)), lit(4)) > 0).as("ev"))
+        .cache()
+      rows.count()
+      run("pettitt", n)(
+        graft.operators.TimeSeries.pettittTest(rows, "id", "id", "v",
+          unitScale = 100L, maxRows = 20000000L).count())
+      run("km_ci", n)(
+        graft.operators.Events.kaplanMeierCI(rows, "dur", "ev").count())
+      run("rmst", n)(
+        graft.operators.Events.restrictedMeanSurvival(rows, "dur", "ev",
+          tau = 5000L).count())
+      run("fairness", n)(
+        graft.operators.Privacy.fairnessReport(rows, "g", "y", "yh")
+          .count())
+      run("psi_profile", n)(
+        graft.operators.Profiling.psiProfile(
+          rows.filter(col("id") % 2 === 0), rows.filter(col("id") % 2 === 1),
+          Seq("v", "dur")).count())
+      rows.unpersist()
+    }
+    for (n <- (Seq(80000L, 320000L) ++ (if (xl) Seq(1280000L) else Nil))
+           if only.forall(_ == "r14text")) {
+      val docs = synthDocs(spark, n).cache()
+      docs.count()
+      run("burstiness", n)(
+        graft.operators.TextAnalysis.termBurstiness(docs, "doc_id",
+          "text", minDf = 5L).count())
+      run("js_divergence", n)(
+        graft.operators.TextAnalysis.corpusJsDivergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text", minCount = 2L)
+          .count())
+      docs.unpersist()
+    }
+
     // Bitext mining is QUADRATIC in the batch sizes by construction
     // (brute sweeps both ways) — measured at doubling batch sizes so
     // the ~4× steps are on display; the operator doc prescribes the

@@ -941,6 +941,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(("a", "c")))
   }
 
+  test("rm3ExpandQueries: hand mixture on an equal-score feedback " +
+      "pair; no-match query expands to its own scaled terms; caps") {
+    import spark.implicits._
+    // two IDENTICAL docs match 'apple' with equal bm25 -> w(d) = 1/2
+    // each; p(apple|R) = 2·(1/2·1/2) = 1/2 = p(banana|R);
+    // p(apple|q) = 1 -> rm3(apple) = .5·1 + .5·.5 = 0.75,
+    // rm3(banana) = 0.25; 'zebra yak' never matches -> absent
+    val docs = Seq((1L, "apple banana"), (2L, "apple banana"),
+      (3L, "zebra yak")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple"), (2L, "nomatch")).toDF("query_id", "qtext")
+    val got = TextAnalysis.rm3ExpandQueries(docs, qs,
+      fbDocs = 2, fbTerms = 8, alpha = 0.5)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4) }
+    assert(got(1L).map(r => (r._2, r._3, r._4)).toSeq === Seq(
+      ("apple", 0.75, 1), ("banana", 0.25, 2)))
+    // the no-match query still expands: (1-alpha)·p(t|q) = 0.5·1
+    assert(got(2L).map(r => (r._2, r._3, r._4)).toSeq === Seq(
+      ("nomatch", 0.5, 1)))
+    // fbTerms caps the expansion; ordering ties break by term
+    val capped = TextAnalysis.rm3ExpandQueries(docs, qs,
+      fbDocs = 2, fbTerms = 1, alpha = 0.5)
+      .as[(Long, String, Double, Int)].collect()
+    assert(capped.count(_._1 == 1L) === 1 &&
+      capped.find(_._1 == 1L).get._2 === "apple")
+    // alpha = 0: pure query model regardless of feedback
+    val a0 = TextAnalysis.rm3ExpandQueries(docs, qs, fbDocs = 2,
+      fbTerms = 8, alpha = 0.0)
+      .as[(Long, String, Double, Int)].collect()
+      .filter(r => r._1 == 1L && r._3 > 0.0)
+    assert(a0.map(_._2).toSeq === Seq("apple") && a0.head._3 === 1.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rm3ExpandQueries(docs, qs, alpha = 1.5)
+    }
+  }
+
   test("termBurstiness: exact moment ratio over the whole corpus " +
       "(zeros included); minDf prunes") {
     import spark.implicits._
