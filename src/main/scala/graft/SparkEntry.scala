@@ -2148,6 +2148,24 @@ $fieldRows"""
     // Distinct + entropy l-diversity of the balance band (2000-unit
     // floors) inside each {nation, segment} class at l = 5: exact
     // two-level aggregate, factored-entropy identity at 4dp.
+    // t-closeness — the third privacy audit: ordered-distance EMD of
+    // each class's acctbal-band distribution vs the table's, over the
+    // class × level grid with per-class ordered cumulative folds.
+    "q_t_closeness" -> ((s, dir) => {
+      graft.operators.Privacy.tClosenessClasses(
+        t(s, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / lit(2000.0))),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", 0.2)
+    }),
+
+    // Jarque-Bera normality screen on line quantities: one exact
+    // decimal moment aggregate, fixed IEEE chains, closed-form chi2(2)
+    // p-value.
+    "q_jarque_bera" -> ((s, dir) => {
+      graft.operators.Profiling.jarqueBera(t(s, dir, "lineitem"),
+        "l_quantity", unitScale = 100L)
+    }),
+
     // Group-fairness audit of a price-threshold "classifier" against
     // the finished-order label, grouped by order priority: per-group
     // rates from exact longs, dp_ratio vs the most-selected group.
@@ -8706,6 +8724,86 @@ $fieldRows"""
     // one WITH.
     "q_psi_profile" -> psiProfileOracleSql(
       Seq("o_totalprice", "o_custkey")),
+    // t-closeness: class x level grid, per-class ordered cumulative
+    // P−Q folds, EMD = sum |cum| / (m−1); all-NULL classes flagged.
+    "q_t_closeness" ->
+      """WITH cell AS (SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 2000.0) AS sb, count(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(c) AS BIGINT) AS class_size,
+        |    CAST(sum(CASE WHEN sb IS NOT NULL THEN c ELSE 0 END)
+        |      AS BIGINT) AS nc
+        |  FROM cell GROUP BY 1, 2),
+        |lv AS (SELECT sb AS v, CAST(sum(c) AS BIGINT) AS gq
+        |  FROM cell WHERE sb IS NOT NULL GROUP BY 1),
+        |gt AS (SELECT CAST(sum(gq) AS BIGINT) AS gn, count(*) AS m
+        |  FROM lv),
+        |grid AS (SELECT * FROM cls CROSS JOIN lv),
+        |cc AS (SELECT c_nationkey, c_mktsegment, sb AS v, c AS cp
+        |  FROM cell WHERE sb IS NOT NULL),
+        |j AS (SELECT g.c_nationkey, g.c_mktsegment, g.v, g.class_size,
+        |    g.nc, g.gq, COALESCE(cc.cp, 0) AS cp
+        |  FROM grid g LEFT JOIN cc
+        |    ON g.c_nationkey = cc.c_nationkey
+        |    AND g.c_mktsegment = cc.c_mktsegment AND g.v = cc.v),
+        |f1 AS (SELECT j.*, gt.gn, gt.m,
+        |    sum(CASE WHEN nc > 0 THEN
+        |        CAST(cp AS DOUBLE) / CAST(nc AS DOUBLE)
+        |        - CAST(gq AS DOUBLE) / CAST(gt.gn AS DOUBLE) END)
+        |      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v
+        |        ROWS UNBOUNDED PRECEDING) AS cum,
+        |    row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY v) AS rn
+        |  FROM j, gt),
+        |f2 AS (SELECT *,
+        |    sum(abs(cum)) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS acc
+        |  FROM f1)
+        |SELECT c_nationkey, c_mktsegment, class_size,
+        |  round(CASE WHEN nc > 0 THEN
+        |    CASE WHEN m > 1 THEN acc / (m - 1) ELSE 0.0 END END, 6)
+        |    AS t_value,
+        |  (nc = 0 OR COALESCE(CASE WHEN nc > 0 THEN
+        |    CASE WHEN m > 1 THEN acc / (m - 1) ELSE 0.0 END END > 0.2,
+        |    FALSE)) AS violates
+        |FROM f2 WHERE rn = m""".stripMargin,
+    // Jarque-Bera: exact HUGEINT power sums -> fixed IEEE chains.
+    "q_jarque_bera" ->
+      """WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS u
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(u AS HUGEINT)) AS s1,
+        |    sum(CAST(u AS HUGEINT) * u) AS s2,
+        |    sum(CAST(u AS HUGEINT) * u * u) AS s3,
+        |    sum(CAST(u AS HUGEINT) * u * u * u) AS s4
+        |  FROM b),
+        |d AS (SELECT n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM m),
+        |cm AS (SELECT n,
+        |    r2 - mean * mean AS m2,
+        |    r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |    r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |      - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM d),
+        |st AS (SELECT n, m2,
+        |    m3 / sqrt(m2 * m2 * m2) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS exk
+        |  FROM cm),
+        |jbv AS (SELECT n, m2, skew, exk,
+        |    CAST(n AS DOUBLE) / 6.0 * (skew * skew + exk * exk / 4.0)
+        |      AS jb
+        |  FROM st)
+        |SELECT n,
+        |  CASE WHEN m2 > 0 THEN round(skew, 6) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(exk, 6) END AS kurtosis,
+        |  CASE WHEN m2 > 0 THEN round(jb, 4) END AS jb,
+        |  CASE WHEN m2 > 0 THEN round(exp(-jb / 2.0), 6) END AS p_value
+        |FROM jbv""".stripMargin,
     // Group-fairness audit: exact long cells per priority group, one
     // division per rate, dp_ratio vs the max unrounded pred_rate.
     "q_fairness" ->

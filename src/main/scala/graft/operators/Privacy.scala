@@ -144,6 +144,95 @@ object Privacy {
   }
 
   /**
+   * t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+   * leg of the privacy trilogy: k-anonymity bounds re-identification,
+   * l-diversity blocks the homogeneity attack, and t-closeness blocks
+   * the SKEWNESS attack l-diversity still allows (a class with l
+   * distinct sensitive values whose distribution is wildly unlike the
+   * table's — e.g. 90% "positive" in a class vs 1% globally — leaks
+   * almost as much as homogeneity). Per equivalence class this
+   * reports the ORDERED-distance Earth Mover's Distance between the
+   * class's sensitive distribution P and the whole table's Q:
+   * t = Σ_i |cum(P−Q)_i| / (m−1) over the m global sensitive LEVELS in
+   * value order (the paper's numeric/ordinal form; m = 1 ⇒ t = 0).
+   * `violates` flags t > `tThreshold`.
+   *
+   * NULL sensitive values are excluded from BOTH distributions but the
+   * class itself is never dropped ([[lDiversityClasses]]'s contract):
+   * an all-NULL class reports NULL `t_value` and `violates = true` —
+   * visible for review, not silently absent.
+   *
+   * EXACTNESS: level counts are exact longs (class×level and global);
+   * p and q are single divisions; the cumulative P−Q runs as an
+   * ORDERED window fold per class over its level-complete grid
+   * (sequential in both engines), the |·| sum likewise; `t_value`
+   * rounds 6dp.
+   *
+   * Scale shape: one (quasi, sensitive) aggregate + one sensitive
+   * aggregate, then a CLASS × LEVEL grid (the full cross of class list
+   * and global level list — zero cells must exist for the cumulative
+   * walk; grid size = classes · levels, the audit's honest cost —
+   * quantize the sensitive column upstream if levels are unbounded)
+   * with per-class ordered windows over it.
+   *
+   * Returns one row per class: (quasi columns…, `class_size`,
+   * `t_value`, `violates`).
+   */
+  def tClosenessClasses(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String,
+                        tThreshold: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tThreshold > 0.0 && tThreshold < 1.0,
+      s"tThreshold must be in (0,1): $tThreshold")
+    val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val sNotNull = col(sensitiveCol).isNotNull
+    // class frame: TOTAL size + non-null sensitive count
+    val classes = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum("__c").as("class_size"),
+        sum(when(sNotNull, col("__c")).otherwise(0L)).as("__nc"))
+    // global sensitive levels with counts (non-null only)
+    val levels = df.filter(sNotNull)
+      .groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__gq"))
+    val gTotals = levels.agg(sum("__gq").as("__gn"),
+      count(lit(1)).as("__m"))
+    val grid = classes.crossJoin(levels)
+    val classCells = cells.filter(sNotNull)
+      .select((quasiCols.map(col) :+ col(sensitiveCol).as("__v") :+
+        col("__c").as("__cp")): _*)
+    val joined = grid.join(classCells,
+      quasiCols.map(c => grid(c) <=> classCells(c))
+        .reduce(_ && _) && grid("__v") <=> classCells("__v"), "left")
+      .select((quasiCols.map(grid(_)) ++ Seq(grid("__v"),
+        col("class_size"), col("__nc"), col("__gq"),
+        coalesce(col("__cp"), lit(0L)).as("__cp"))): _*)
+    val wClass = Window.partitionBy(quasiCols.map(col): _*)
+    val wRun = wClass.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = when(col("__nc") > 0L,
+      col("__cp").cast("double") / col("__nc").cast("double") -
+        col("__gq").cast("double") / col("__gn").cast("double"))
+    val folded = joined.crossJoin(broadcast(gTotals))
+      .withColumn("__cum", sum(diff).over(wRun))
+      .withColumn("__acc", sum(abs(col("__cum"))).over(wRun))
+      .withColumn("__rn", row_number().over(wClass.orderBy("__v")))
+    val tRaw = when(col("__nc") > 0L,
+      when(col("__m") > 1L,
+        col("__acc") / (col("__m") - 1L).cast("double"))
+        .otherwise(lit(0.0)))
+    folded.filter(col("__rn") === col("__m"))
+      .select((quasiCols.map(col) ++ Seq(col("class_size"),
+        round(tRaw, 6).as("t_value"),
+        (col("__nc") === 0L || coalesce(tRaw > tThreshold, lit(false)))
+          .as("violates"))): _*)
+  }
+
+  /**
    * Group-fairness audit over a labeled + scored frame (Feldman et al.
    * 2015's disparate-impact framing; Hardt et al. 2016's equalized
    * odds) — the governance companion to the k-anonymity/l-diversity

@@ -556,6 +556,63 @@ object Profiling {
   }
 
   /**
+   * Jarque-Bera normality test (Jarque & Bera 1980) — the moments-only
+   * normality screen every parametric test in this file implicitly
+   * leans on (welchTTest/anovaF assume roughly-normal arms): JB =
+   * n/6·(S² + K²/4) from sample skewness S = m₃/m₂^1.5 and EXCESS
+   * kurtosis K = m₄/m₂² − 3, with the large-sample χ²(2) p-value
+   * p = exp(−JB/2) (closed form — no quantile tables).
+   *
+   * EXACTNESS: values quantize at `unitScale` (welchTTest convention);
+   * the four raw power sums accumulate as EXACT DECIMAL(38,0) (u⁴
+   * widens before multiplying), so both engines derive every central
+   * moment from the SAME exact integers via FIXED IEEE chains (the
+   * decimal→double conversion is IEEE-nearest on identical inputs —
+   * deterministic, and scale cancels in S and K). |u| is fail-loud
+   * gated at 10⁷ units so Σu⁴ stays inside 38 digits at any row count
+   * up to 10⁹ (rescale unitScale for wider-magnitude columns).
+   * `skewness`/`kurtosis` round 6dp, `jb` 4dp, `p_value` 6dp; a
+   * zero-variance column reports NULL statistics.
+   *
+   * Scale shape: ONE map-side-combined aggregate to one row; nothing
+   * else moves.
+   */
+  def jarqueBera(df: DataFrame, valueCol: String,
+                 unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val u = round(col(valueCol) * unitScale).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(u.as("u"))
+      .filter(when(abs(col("u")) > 10000000L,
+        raise_error(lit("jarqueBera: |value|*unitScale exceeds 1e7 " +
+          "units — sum of fourth powers would overflow decimal(38,0); " +
+          "lower unitScale")).cast("boolean")).otherwise(lit(true)))
+    val ud = col("u").cast(dec)
+    val mom = base.agg(count(lit(1)).as("n"),
+      sum(ud).as("s1"), sum(ud * ud).as("s2"),
+      sum(ud * ud * ud).as("s3"), sum(ud * ud * ud * ud).as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mean * mean
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mean * (col("s2").cast("double") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0) * mean * (col("s3").cast("double") / nD) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exk = m4 / (m2 * m2) - lit(3.0)
+    val jb = nD / lit(6.0) * (skew * skew + exk * exk / lit(4.0))
+    mom.select(col("n"),
+      when(m2 > 0.0, round(skew, 6)).as("skewness"),
+      when(m2 > 0.0, round(exk, 6)).as("kurtosis"),
+      when(m2 > 0.0, round(jb, 4)).as("jb"),
+      when(m2 > 0.0, round(exp(-jb / lit(2.0)), 6)).as("p_value"))
+  }
+
+  /**
    * Key-skew report: the one-row answer to "can this column be a join/
    * aggregation key at scale". Per-key counts reduce map-side; the
    * statistics then run over the KEY frame (≪ data): distinct keys,

@@ -71,6 +71,47 @@ class PrivacySpec extends SparkSpec {
       (None, "m", 1L, 0L, None, true)))           // all-NULL class
   }
 
+  test("tClosenessClasses: hand ordered-EMD per class; all-NULL class " +
+      "flagged with NULL t; m = 1 degenerates to 0") {
+    // global bands: 0×3, 1×2, 2×1 (Q = 1/2, 1/3, 1/6; m = 3)
+    val rows = Seq(
+      ("z1", Option(0)), ("z1", Option(0)), ("z1", Option(0)),
+      ("z2", Option(1)), ("z2", Option(1)),
+      ("z3", Option(2)),
+      ("z4", Option.empty[Int]))
+      .toDF("zip", "band")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replicate the double chains: per class P over (0,1,2)
+    def emd(p: Seq[Double]): Double = {
+      val q = Seq(3.0 / 6.0, 2.0 / 6.0, 1.0 / 6.0)
+      var cum = 0.0; var acc = 0.0
+      p.indices.foreach { i => cum += p(i) - q(i); acc += math.abs(cum) }
+      acc / 2.0 // m − 1
+    }
+    val got = Privacy.tClosenessClasses(rows, Seq("zip"), "band", 0.5)
+      .as[(String, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("z1") === (("z1", 3L,
+      Some(r6(emd(Seq(1.0, 0.0, 0.0)))), false)))
+    assert(got("z2") === (("z2", 2L,
+      Some(r6(emd(Seq(0.0, 1.0, 0.0)))), false)))
+    // the skewed-to-rare-band class reads the largest distance
+    assert(got("z3") === (("z3", 1L,
+      Some(r6(emd(Seq(0.0, 0.0, 1.0)))), true)))
+    assert(got("z3")._3.get > got("z1")._3.get)
+    // all-NULL sensitive: class visible, NULL t, flagged
+    assert(got("z4") === (("z4", 1L, None, true)))
+    // one global level: every class trivially matches (t = 0)
+    val one = Seq(("a", 1), ("b", 1)).toDF("zip", "band")
+    val g1 = Privacy.tClosenessClasses(one, Seq("zip"), "band", 0.2)
+      .as[(String, Long, Option[Double], Boolean)].collect()
+    assert(g1.forall(r => r._3 === Some(0.0) && !r._4))
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessClasses(rows, Seq("zip"), "band", 1.5)
+    }
+  }
+
   test("fairnessReport: hand rates per group, dp_ratio vs the " +
       "most-selected group, NULL tpr/fpr on empty cells") {
     def r6(x: Double) = BigDecimal(x)

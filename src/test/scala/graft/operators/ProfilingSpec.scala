@@ -157,6 +157,45 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("jarqueBera: hand moments on a 4-point fixture; constant " +
+      "column NULLs; magnitude guard") {
+    import spark.implicits._
+    // u = (1,2,3,4): m2 = 1.25, m3 = 0 (symmetric), m4 = 2.5625 ->
+    // skew 0, excess kurtosis 1.64 - 3 = -1.36,
+    // JB = 4/6 · (0 + 1.8496/4)
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val got = Profiling.jarqueBera(rows, "v", unitScale = 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exk = 2.5625 / (1.25 * 1.25) - 3.0
+    val jb = 4.0 / 6.0 * (0.0 + exk * exk / 4.0)
+    assert(got._1 === 4L && got._2 === Some(0.0))
+    assert(got._3 === Some(r(exk, 6)))
+    assert(got._4 === Some(r(jb, 4)))
+    assert(got._5 === Some(r(math.exp(-jb / 2.0), 6)))
+    // constant column: zero variance -> all statistics NULL
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val gc = Profiling.jarqueBera(const, "v")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(gc === ((3L, None, None, None, None)))
+    // a normal-ish symmetric fixture scores a SMALLER JB than a
+    // one-sided one (the screen actually discriminates)
+    val skewed = Seq(1.0, 1.0, 1.0, 1.0, 10.0).toDF("v")
+    val gs = Profiling.jarqueBera(skewed, "v")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(gs._4.get > got._4.get)
+    // magnitude gate: |u| past 1e7 units fails loud
+    val big = Seq(1.0e9).toDF("v")
+    val e = intercept[Exception] {
+      Profiling.jarqueBera(big, "v", unitScale = 100L).collect()
+    }
+    assert(e.getMessage.contains("unitScale"), e.getMessage)
+  }
+
   test("psiProfile: per-column rollup of the PSI contributions with " +
       "verdict bands; identical sides read stable 0") {
     import spark.implicits._
