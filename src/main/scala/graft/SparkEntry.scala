@@ -3727,6 +3727,7 @@ $fieldRows"""
         CorpusPrepConfig(
           releaseKAnonymity = Some((Seq("lang"), 2L)),
           releaseLDiversity = Some((Seq("lang"), "source", 2L)),
+          releaseTCloseness = Some((Seq("lang"), "source", 0.5)),
           releaseExpectations = Seq(
             NotNull("doc_id"), Unique(Seq("doc_id")),
             Custom("non_empty_text", length(col("text")) > 0))))

@@ -99,6 +99,12 @@ final case class CorpusPrepConfig(
       * sensitive values (an all-NULL class audits as 0 and refuses;
       * [[graft.operators.Privacy.lDiversityClasses]] semantics). */
     releaseLDiversity: Option[(Seq[String], String, Long)] = None,
+    /** (quasiCols, sensitiveCol, t): t-closeness companion gate —
+      * refuses when any class's ordered-EMD distance from the table's
+      * sensitive distribution exceeds t (the skewness attack
+      * l-diversity still allows; [[graft.operators.Privacy
+      * .tClosenessClasses]] semantics, all-NULL classes flagged). */
+    releaseTCloseness: Option[(Seq[String], String, Double)] = None,
     /** Declarative expectation battery
       * ([[graft.operators.Quality.checkExpectations]]) run as a
       * release gate — refuses when ANY rule fails, the message
@@ -242,7 +248,8 @@ object CorpusPipeline {
     // materialization instead of replaying the whole stage chain per
     // audit.
     val anyGate = cfg.releaseKAnonymity.isDefined ||
-      cfg.releaseLDiversity.isDefined || cfg.releaseExpectations.nonEmpty
+      cfg.releaseLDiversity.isDefined || cfg.releaseTCloseness.isDefined ||
+      cfg.releaseExpectations.nonEmpty
     if (anyGate) {
       cur = cur.lineageCut()
       cfg.releaseKAnonymity.foreach { case (quasi, k) =>
@@ -276,6 +283,23 @@ object CorpusPipeline {
               s"${v.getLong(0)} classes below l " +
               s"(${v.getLong(2)} rows at risk) — a homogeneous class " +
               "leaks the sensitive value even when k-anonymous")
+      }
+      cfg.releaseTCloseness.foreach { case (quasi, sens, t) =>
+        val v = graft.operators.Privacy
+          .tClosenessClasses(cur, quasi, sens, t)
+          .agg(count(lit(1)).as("__nc"),
+            coalesce(sum(when(col("violates"), 1L).otherwise(0L)), lit(0L))
+              .as("__nv"),
+            coalesce(sum(when(col("violates"), col("class_size"))
+              .otherwise(0L)), lit(0L)).as("__rows"))
+          .collect().head
+        if (v.getLong(1) > 0L)
+          throw new IllegalStateException(
+            s"release gate t-closeness(t=$t, quasi=${quasi.mkString(",")}, " +
+              s"sensitive=$sens) REFUSED: ${v.getLong(1)} of " +
+              s"${v.getLong(0)} classes exceed the distance bound " +
+              s"(${v.getLong(2)} rows at risk) — a skewed class leaks " +
+              "the sensitive distribution even when l-diverse")
       }
       if (cfg.releaseExpectations.nonEmpty) {
         val failed = graft.operators.Quality

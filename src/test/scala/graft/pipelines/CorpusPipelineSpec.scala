@@ -301,6 +301,13 @@ class CorpusPipelineSpec extends SparkSpec {
         releaseLDiversity = Some((Seq("lang"), "source", 2L))))
     }
     assert(e2.getMessage.contains("l-diversity"), e2.getMessage)
+    // t-closeness refusal: 'fr' (one row, source s3) is maximally
+    // skewed vs the table's source distribution
+    val e2t = intercept[IllegalStateException] {
+      CorpusPipeline.prepare(df, noContent.copy(
+        releaseTCloseness = Some((Seq("lang"), "source", 0.1))))
+    }
+    assert(e2t.getMessage.contains("t-closeness"), e2t.getMessage)
     // expectation refusal carries the per-rule counters
     val e3 = intercept[IllegalStateException] {
       CorpusPipeline.prepare(
@@ -314,6 +321,7 @@ class CorpusPipelineSpec extends SparkSpec {
     val ok = CorpusPipeline.prepare(df, noContent.copy(
       releaseKAnonymity = Some((Seq("lang"), 1L)),
       releaseLDiversity = Some((Seq("lang"), "source", 1L)),
+      releaseTCloseness = Some((Seq("lang"), "source", 0.99)),
       releaseExpectations = Seq(NotNull("doc_id"),
         Custom("non_empty", length(col("text")) > 0))))
     assert(ok.exceptAll(df).isEmpty && df.exceptAll(ok).isEmpty)
