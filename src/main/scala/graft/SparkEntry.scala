@@ -2158,6 +2158,26 @@ $fieldRows"""
         Seq("c_nationkey", "c_mktsegment"), "bal_band", 0.2)
     }),
 
+    // Durbin-Watson on the per-minute volume trend: OLS from exact
+    // moments, ordered residual folds, DW ~ 2 = uncorrelated.
+    "q_durbin_watson" -> ((s, dir) => {
+      val m = 60000000000L
+      val per = t(s, dir, "events")
+        .groupBy(((col("ts") - pmod(col("ts"), lit(m))) / m).cast("long")
+          .as("minute"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      graft.operators.Profiling.durbinWatson(per, "minute", "minute",
+        "minute", "n_events", unitScale = 1L)
+    }),
+
+    // Brown-Forsythe variance homogeneity of extended price across
+    // return flags: median-centered deviations as exact doubled longs,
+    // one moment aggregate, pinned k-row fold.
+    "q_brown_forsythe" -> ((s, dir) => {
+      graft.operators.Profiling.brownForsythe(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag", unitScale = 100L)
+    }),
+
     // Jarque-Bera normality screen on line quantities: one exact
     // decimal moment aggregate, fixed IEEE chains, closed-form chi2(2)
     // p-value.
@@ -8769,6 +8789,89 @@ $fieldRows"""
         |    CASE WHEN m > 1 THEN acc / (m - 1) ELSE 0.0 END END > 0.2,
         |    FALSE)) AS violates
         |FROM f2 WHERE rn = m""".stripMargin,
+    // Durbin-Watson: exact moment OLS + ordered residual folds.
+    "q_durbin_watson" ->
+      """WITH per AS (SELECT
+        |    CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+        |      / 60000000000 AS BIGINT) AS minute,
+        |    count(*) AS ne
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT minute AS ts, minute AS id,
+        |    CAST(round(minute * 1) AS BIGINT) AS ux,
+        |    CAST(round(ne * 1.0) AS BIGINT) AS uy FROM per),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(ux AS HUGEINT)) AS sx, sum(CAST(uy AS HUGEINT)) AS sy,
+        |    sum(CAST(ux AS HUGEINT) * ux) AS sxx,
+        |    sum(CAST(ux AS HUGEINT) * uy) AS sxy
+        |  FROM b),
+        |f AS (SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS bb,
+        |    sx, sy FROM m),
+        |f2 AS (SELECT n, den, bb,
+        |    (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS aa
+        |  FROM f),
+        |r AS (SELECT ts, id,
+        |    CAST(uy AS DOUBLE) - (aa + bb * CAST(ux AS DOUBLE)) AS e
+        |  FROM b, f2),
+        |w AS (SELECT e, lag(e) OVER (ORDER BY ts, id) AS ep,
+        |    row_number() OVER (ORDER BY ts, id) AS rn,
+        |    ts, id FROM r),
+        |s AS (SELECT rn,
+        |    sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+        |        ELSE 0.0 END) OVER (ORDER BY ts, id
+        |      ROWS UNBOUNDED PRECEDING) AS num,
+        |    sum(e * e) OVER (ORDER BY ts, id
+        |      ROWS UNBOUNDED PRECEDING) AS den2
+        |  FROM w)
+        |SELECT f2.n,
+        |  CASE WHEN f2.den <> 0 THEN round(f2.bb, 6) END AS slope,
+        |  CASE WHEN f2.den <> 0 THEN round(f2.aa / 1.0, 6) END
+        |    AS intercept,
+        |  CASE WHEN f2.den <> 0 AND s.den2 > 0 AND f2.n >= 2
+        |    THEN round(s.num / s.den2, 6) END AS dw
+        |FROM s, f2 WHERE s.rn = f2.n""".stripMargin,
+    // Brown-Forsythe: exact doubled median deviations, HUGEINT
+    // moments, pinned group-order fold.
+    "q_brown_forsythe" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS u
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |md AS (SELECT g, quantile_cont(u, 0.5) AS med FROM b GROUP BY 1),
+        |z AS (SELECT b.g,
+        |    abs(b.u * 2 - CAST(round(md.med * 2.0) AS BIGINT)) AS z2
+        |  FROM b JOIN md USING (g)),
+        |pg AS (SELECT g, count(*) AS ng,
+        |    sum(CAST(z2 AS HUGEINT)) AS sz,
+        |    sum(CAST(z2 AS HUGEINT) * z2) AS szz
+        |  FROM z GROUP BY 1),
+        |f1 AS (SELECT g, ng, sz, szz,
+        |    (CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / CAST(ng AS DOUBLE) AS btw,
+        |    row_number() OVER (ORDER BY g) AS kidx,
+        |    count(*) OVER () AS k FROM pg),
+        |f2 AS (SELECT *,
+        |    sum(ng) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS nrun,
+        |    sum(sz) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS szrun,
+        |    sum(szz) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS szzrun,
+        |    sum(btw) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS brun
+        |  FROM f1)
+        |SELECT CAST(nrun AS BIGINT) AS n, CAST(k AS INTEGER) AS k,
+        |  CAST(k - 1 AS INTEGER) AS df1, CAST(nrun - k AS BIGINT) AS df2,
+        |  CASE WHEN k >= 2 AND nrun > k
+        |      AND (CAST(szzrun AS DOUBLE) - brun) > 0 THEN
+        |    round((CAST(nrun - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |      * (brun - (CAST(szrun AS DOUBLE) * CAST(szrun AS DOUBLE))
+        |         / CAST(nrun AS DOUBLE))
+        |      / (CAST(szzrun AS DOUBLE) - brun), 4)
+        |  END AS w
+        |FROM f2 WHERE kidx = k""".stripMargin,
     // Jarque-Bera: exact HUGEINT power sums -> fixed IEEE chains.
     "q_jarque_bera" ->
       """WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS u

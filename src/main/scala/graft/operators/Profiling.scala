@@ -556,6 +556,161 @@ object Profiling {
   }
 
   /**
+   * Durbin-Watson autocorrelation diagnostic (Durbin & Watson 1950) —
+   * the regression-residual check [[linearFit]] callers need before
+   * trusting its standard errors: DW = Σ(e_i − e_{i−1})² / Σe_i² over
+   * the TIME-ordered residuals of the y ~ x OLS fit (≈ 2 means
+   * uncorrelated; → 0 strong positive autocorrelation — the classic
+   * "trend fitted to a random walk" tell; → 4 negative).
+   *
+   * EXACTNESS: the OLS slope/intercept come from [[linearFit]]'s exact
+   * DECIMAL(38,0) moments via fixed IEEE chains (unitScale cancels in
+   * DW); each residual e = uy − (a + b·ux) is one fixed chain; BOTH
+   * sums run as ORDERED window folds in (ts, id) order (sequential in
+   * both engines, the kaplanMeier convention); `dw` rounds 6dp, NULL
+   * on a perfect fit (zero residual variance) or n < 2.
+   *
+   * Scale shape: one map-side-combined moments aggregate + ONE ordered
+   * window pass over the series — single-task, so `maxRows` fails loud
+   * (aggregate to a coarser grid upstream past it).
+   *
+   * Output one row: (`n`, `slope`, `intercept`, `dw`).
+   */
+  def durbinWatson(df: DataFrame, tsCol: String, idCol: String,
+                   xCol: String, yCol: String,
+                   unitScale: Long = 100L,
+                   maxRows: Long = 10000000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+    val dec = "decimal(38,0)"
+    val base = graft.core.LineageCut.cut(df
+      .filter(col(tsCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(xCol) * unitScale).cast("long").as("ux"),
+        round(col(yCol) * unitScale).cast("long").as("uy")))
+    val nRows = base.count()
+    require(nRows <= maxRows,
+      s"durbinWatson: $nRows rows exceeds maxRows=$maxRows — the " +
+        "ordered residual fold runs the series through ONE task; " +
+        "aggregate to a coarser grid upstream or raise maxRows")
+    val mom = base.agg(count(lit(1)).as("n"),
+      sum(col("ux").cast(dec)).as("sx"),
+      sum(col("uy").cast(dec)).as("sy"),
+      sum(col("ux").cast(dec) * col("ux")).as("sxx"),
+      sum(col("ux").cast(dec) * col("uy")).as("sxy"))
+    val nD = col("n").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    // ANSI-guarded: a degenerate design (constant x, or empty frame)
+    // reports NULL fit instead of dividing by zero
+    val b = when(den =!= 0.0, (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / den)
+    val a = when(den =!= 0.0,
+      (col("sy").cast("double") - b * col("sx").cast("double")) / nD)
+    val fit = mom.select(col("n"), b.as("__b"), a.as("__a"),
+      (den =!= 0.0).as("__ok"))
+    val wOrd = Window.orderBy("ts", "id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val resid = col("uy").cast("double") -
+      (col("__a") + col("__b") * col("ux").cast("double"))
+    val folded = base.crossJoin(broadcast(fit))
+      .withColumn("__e", resid)
+      .withColumn("__eprev", lag(col("__e"), 1).over(wOrd))
+      .withColumn("__num", sum(
+        when(col("__eprev").isNotNull,
+          (col("__e") - col("__eprev")) * (col("__e") - col("__eprev")))
+          .otherwise(lit(0.0))).over(wRun))
+      .withColumn("__den", sum(col("__e") * col("__e")).over(wRun))
+      .withColumn("__rn", row_number().over(wOrd))
+    folded.filter(col("__rn") === col("n"))
+      .select(col("n"),
+        // unit scale cancels in the slope (both axes scaled); the
+        // intercept is in y-units and divides back once
+        when(col("__ok"), round(col("__b"), 6)).as("slope"),
+        when(col("__ok"), round(col("__a") / lit(unitScale.toDouble), 6))
+          .as("intercept"),
+        when(col("__ok") && col("__den") > 0.0 && col("n") >= 2L,
+          round(col("__num") / col("__den"), 6)).as("dw"))
+  }
+
+  /**
+   * Brown-Forsythe robust variance-homogeneity test (Brown & Forsythe
+   * 1974; Levene 1960 with the MEDIAN center) — the check behind
+   * [[welchTTest]]-vs-pooled decisions and every "are these segments
+   * equally noisy" question: one-way ANOVA on the absolute deviations
+   * z = |v − median_g|, W = ((N−k)/(k−1)) · Σ n_g(z̄_g − z̄)² /
+   * Σ(z − z̄_g)². The median center (not the mean) is what makes it
+   * robust to the heavy tails that break plain Levene.
+   *
+   * EXACTNESS: values quantize at `unitScale`; per-group medians are
+   * exact interpolated percentiles of LONG units (integer or
+   * half-integer — both engines' linear interpolation lands on the
+   * same grid), so DOUBLED deviations 2·|u − med| are EXACT LONGS and
+   * all four moment sums widen through DECIMAL(38,0); W is a fixed
+   * IEEE chain from exact integers, 4dp (the factor 4 from doubling
+   * cancels). Groups need ≥ 1 row; k ≥ 2 enforced; zero within-group
+   * deviation (every group constant) reports NULL w. Statistic-only
+   * (the [[anovaF]] convention — consume with an F table at (k−1,
+   * N−k) df, both shipped).
+   *
+   * Scale shape: one percentile aggregate per the GROUP frame (exact
+   * percentile over each group), a broadcast median join, one
+   * map-side-combined moment aggregate, a k-row rollup with the
+   * fold-order-pinned running window ([[kruskalWallis]]'s convention).
+   *
+   * Output one row: (`n`, `k`, `df1`, `df2`, `w`).
+   */
+  def brownForsythe(df: DataFrame, valueCol: String, groupCol: String,
+                    unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val meds = base.groupBy("g")
+      .agg(expr("percentile(u, 0.5D)").as("__med"))
+    // 2·|u − med| is an exact long (med is an integer or half-integer)
+    val z2 = abs(col("u") * 2L - round(col("__med") * 2.0).cast("long"))
+    val perG = base.join(broadcast(meds), "g")
+      .select(col("g"), z2.as("z2"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("z2").cast(dec)).as("sz"),
+        sum(col("z2").cast(dec) * col("z2")).as("szz"))
+    // rollup over the k-row group frame: cross-group sums fold in
+    // group-name order (pinned left fold both engines)
+    val wOrd = Window.orderBy("g")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val between = (col("sz").cast("double") * col("sz").cast("double")) /
+      col("ng").cast("double")
+    val folded = perG
+      .withColumn("__kidx", row_number().over(wOrd))
+      .withColumn("__nrun", sum("ng").over(wRun))
+      .withColumn("__szrun", sum(col("sz")).over(wRun))
+      .withColumn("__szzrun", sum(col("szz")).over(wRun))
+      .withColumn("__brun", sum(between).over(wRun))
+      .withColumn("__k", count(lit(1)).over(
+        Window.orderBy("g").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val last = folded.filter(col("__kidx") === col("__k"))
+    val nD = col("__nrun").cast("double")
+    val ssb = col("__brun") -
+      (col("__szrun").cast("double") * col("__szrun").cast("double")) / nD
+    val ssw = col("__szzrun").cast("double") - col("__brun")
+    last.select(col("__nrun").as("n"), col("__k").cast("int").as("k"),
+      (col("__k") - 1L).cast("int").as("df1"),
+      (col("__nrun") - col("__k")).cast("long").as("df2"),
+      when(col("__k") >= 2L && col("__nrun") > col("__k") && ssw > 0.0,
+        round(((col("__nrun") - col("__k")).cast("double") /
+          (col("__k") - 1L).cast("double")) * ssb / ssw, 4)).as("w"))
+  }
+
+  /**
    * Jarque-Bera normality test (Jarque & Bera 1980) — the moments-only
    * normality screen every parametric test in this file implicitly
    * leans on (welchTTest/anovaF assume roughly-normal arms): JB =

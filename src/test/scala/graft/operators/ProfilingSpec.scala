@@ -157,6 +157,68 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("durbinWatson: hand OLS + residual fold; perfect fit NULL dw; " +
+      "maxRows guard") {
+    import spark.implicits._
+    // x=(1..4), y=(2,0,2,0): b=-0.4, a=2; residuals (.4,-1.2,1.2,-.4)
+    // -> num=10.88, den=3.2, DW=3.4 exactly (alternating = near-4)
+    val rows = Seq((1L, 2.0), (2L, 0.0), (3L, 2.0), (4L, 0.0))
+      .toDF("x", "y").withColumn("ts", col("x")).withColumn("id", col("x"))
+    val got = Profiling.durbinWatson(rows, "ts", "id", "x", "y",
+      unitScale = 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 === 4L && got._2 === Some(-0.4) && got._3 === Some(2.0))
+    assert(got._4 === Some(3.4))
+    // perfect fit: zero residual variance -> NULL dw, fit still ships
+    val perfect = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      .toDF("x", "y").withColumn("ts", col("x")).withColumn("id", col("x"))
+    val gp = Profiling.durbinWatson(perfect, "ts", "id", "x", "y", 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(gp._2 === Some(1.0) && gp._3 === Some(0.0) && gp._4 === None)
+    // constant x: degenerate design -> NULL everything but n
+    val cx = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "y")
+      .withColumn("x", lit(5.0)).withColumn("ts", col("id"))
+    val gc = Profiling.durbinWatson(cx, "ts", "id", "x", "y", 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(gc._2 === None && gc._4 === None)
+    intercept[IllegalArgumentException] {
+      Profiling.durbinWatson(rows, "ts", "id", "x", "y", 1L, maxRows = 2L)
+    }
+  }
+
+  test("brownForsythe: hand W on a heteroscedastic pair; shifted " +
+      "identical spreads read exactly 0") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // gA (1,2,3) z2=(2,0,2); gB (10,20,30) z2=(20,0,20):
+    // ssb = 1616/3 − 44²/6 = 216, ssw = 808 − 1616/3,
+    // W = 4 · 216 / ssw
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("g", "v")
+    val got = Profiling.brownForsythe(rows, "v", "g", unitScale = 1L)
+      .as[(Long, Int, Int, Long, Option[Double])].collect().head
+    val brun = 16.0 / 3.0 + 1600.0 / 3.0
+    val ssb = brun - 44.0 * 44.0 / 6.0
+    val ssw = 808.0 - brun
+    assert(got === ((6L, 2, 1, 4L, Some(r4(4.0 / 1.0 * ssb / ssw)))))
+    // identical spreads at different locations: ssb = 0 -> W = 0
+    val shifted = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val gs = Profiling.brownForsythe(shifted, "v", "g", 1L)
+      .as[(Long, Int, Int, Long, Option[Double])].collect().head
+    assert(gs._5 === Some(0.0))
+    // every group constant: zero within-deviation -> NULL w
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val gcst = Profiling.brownForsythe(const, "v", "g", 1L)
+      .as[(Long, Int, Int, Long, Option[Double])].collect().head
+    assert(gcst._5 === None)
+  }
+
   test("jarqueBera: hand moments on a 4-point fixture; constant " +
       "column NULLs; magnitude guard") {
     import spark.implicits._
