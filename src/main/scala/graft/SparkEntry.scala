@@ -2158,6 +2158,22 @@ $fieldRows"""
         Seq("c_nationkey", "c_mktsegment"), "bal_band", 0.2)
     }),
 
+    // Lag-1 Granger causality: do past clicks predict purchases
+    // beyond purchases' own past? Closed-form 2x2 solve, fully
+    // in-plan, statistic-only.
+    "q_granger" -> ((s, dir) => {
+      val m = 60000000000L
+      val per = t(s, dir, "events")
+        .groupBy(((col("ts") - pmod(col("ts"), lit(m))) / m).cast("long")
+          .as("minute"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("double").as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("double").as("purchases"))
+      graft.operators.TimeSeries.grangerLag1(per, "minute", "minute",
+        "clicks", "purchases", unitScale = 1L)
+    }),
+
     // Durbin-Watson on the per-minute volume trend: OLS from exact
     // moments, ordered residual folds, DW ~ 2 = uncorrelated.
     "q_durbin_watson" -> ((s, dir) => {
@@ -8789,6 +8805,65 @@ $fieldRows"""
         |    CASE WHEN m > 1 THEN acc / (m - 1) ELSE 0.0 END END > 0.2,
         |    FALSE)) AS violates
         |FROM f2 WHERE rn = m""".stripMargin,
+    // Granger lag-1: exact HUGEINT moments, closed-form Cramer solve,
+    // the same fixed chains as the operator.
+    "q_granger" ->
+      """WITH per AS (SELECT
+        |    CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+        |      / 60000000000 AS BIGINT) AS minute,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS clicks,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purch
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT minute AS ts, minute AS id,
+        |    CAST(round(clicks * 1.0) AS BIGINT) AS ux,
+        |    CAST(round(purch * 1.0) AS BIGINT) AS uy FROM per),
+        |l AS (SELECT uy,
+        |    lag(uy) OVER (ORDER BY ts, id) AS y1,
+        |    lag(ux) OVER (ORDER BY ts, id) AS x1 FROM b),
+        |cm AS (SELECT uy, y1, x1 FROM l
+        |  WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(uy AS HUGEINT)) AS sy,
+        |    sum(CAST(uy AS HUGEINT) * uy) AS syy,
+        |    sum(CAST(y1 AS HUGEINT)) AS s1,
+        |    sum(CAST(y1 AS HUGEINT) * y1) AS s11,
+        |    sum(CAST(x1 AS HUGEINT)) AS s2,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS s22,
+        |    sum(CAST(uy AS HUGEINT) * y1) AS sy1,
+        |    sum(CAST(uy AS HUGEINT) * x1) AS sy2,
+        |    sum(CAST(y1 AS HUGEINT) * x1) AS s12
+        |  FROM cm),
+        |cc AS (SELECT n,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cyy,
+        |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c11,
+        |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c22,
+        |    CAST(sy1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c1y,
+        |    CAST(sy2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c2y,
+        |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c12
+        |  FROM m),
+        |dd AS (SELECT n, cyy, c11, c22, c1y, c2y, c12,
+        |    c11 * c22 - c12 * c12 AS det FROM cc),
+        |rr AS (SELECT n, det, c11,
+        |    CASE WHEN c11 > 0 THEN cyy - c1y * c1y / c11 END AS rss_r,
+        |    CASE WHEN det > 0 THEN cyy
+        |      - (c22 * c1y * c1y - 2.0 * c12 * c1y * c2y
+        |         + c11 * c2y * c2y) / det END AS rss_f
+        |  FROM dd)
+        |SELECT n, 1 AS df1, CAST(n - 3 AS BIGINT) AS df2,
+        |  CASE WHEN c11 > 0 THEN round(rss_r, 4) END AS rss_r,
+        |  CASE WHEN det > 0 THEN round(rss_f, 4) END AS rss_f,
+        |  CASE WHEN n >= 4 AND det > 0 AND c11 > 0 AND rss_f > 0 THEN
+        |    round((rss_r - rss_f) / (rss_f / CAST(n - 3 AS DOUBLE)), 4)
+        |  END AS f_stat
+        |FROM rr""".stripMargin,
     // Durbin-Watson: exact moment OLS + ordered residual folds.
     "q_durbin_watson" ->
       """WITH per AS (SELECT

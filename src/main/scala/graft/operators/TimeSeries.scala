@@ -573,6 +573,93 @@ object TimeSeries {
   }
 
   /**
+   * Lag-1 Granger causality test (Granger 1969) — "does x's PAST
+   * improve the prediction of y beyond y's own past?": compares the
+   * restricted AR model y_t ~ y_{t−1} against the full model
+   * y_t ~ y_{t−1} + x_{t−1} via F = (RSS_r − RSS_f) / (RSS_f/(n−3)),
+   * df = (1, n−3). The single-lag form is deliberately the WHOLE
+   * operator: its 2×2 normal-equation solve has a CLOSED FORM, so the
+   * entire test runs IN-PLAN as fixed IEEE chains on exact integer
+   * moments — no driver solve, no iteration, SQL-replayable
+   * term-for-term (higher lag orders need a general solver and a
+   * p-order model-selection story; at that point fit outside the
+   * engine). Statistic-only with both dfs (the anovaF convention).
+   *
+   * EXACTNESS: both series quantize at `unitScale` (cancels in F);
+   * the ten raw moments over the complete (t ≥ 2) rows accumulate as
+   * EXACT DECIMAL(38,0); centered sums, the 2×2 Cramer solve
+   * (det = Szz₁·Szz₂ − Szz₁₂²; quadratic form closed-form), both RSS
+   * and F are fixed chains from those exact integers, 4dp. NULL F on
+   * a degenerate design (det ≤ 0 — collinear or constant lags — or
+   * RSS_f ≤ 0) or n < 4.
+   *
+   * Scale shape: one ordered lag window over the SERIES (single-task
+   * — `maxRows` fails loud, the [[pettittTest]] convention), one
+   * map-side-combined moment aggregate to ONE row.
+   *
+   * Output one row: (`n`, `df1`, `df2`, `rss_r`, `rss_f`, `f_stat`).
+   */
+  def grangerLag1(obs: DataFrame, tsCol: String, idCol: String,
+                  xCol: String, yCol: String,
+                  unitScale: Long = 100L,
+                  maxRows: Long = 10000000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+    val dec = "decimal(38,0)"
+    val base = obs
+      .filter(col(tsCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(xCol) * unitScale).cast("long").as("ux"),
+        round(col(yCol) * unitScale).cast("long").as("uy"))
+      .lineageCut()
+    val nRows = base.count()
+    require(nRows <= maxRows,
+      s"grangerLag1: $nRows rows exceeds maxRows=$maxRows — the ordered " +
+        "lag window runs the series through ONE task; aggregate to a " +
+        "coarser grid upstream or raise maxRows deliberately")
+    val wOrd = Window.orderBy("ts", "id")
+    val lagged = base
+      .withColumn("__y1", lag(col("uy"), 1).over(wOrd))
+      .withColumn("__x1", lag(col("ux"), 1).over(wOrd))
+      .filter(col("__y1").isNotNull && col("__x1").isNotNull)
+    def d(c: org.apache.spark.sql.Column) = c.cast(dec)
+    val mom = lagged.agg(count(lit(1)).as("n"),
+      sum(d(col("uy"))).as("sy"),
+      sum(d(col("uy")) * col("uy")).as("syy"),
+      sum(d(col("__y1"))).as("s1"),
+      sum(d(col("__y1")) * col("__y1")).as("s11"),
+      sum(d(col("__x1"))).as("s2"),
+      sum(d(col("__x1")) * col("__x1")).as("s22"),
+      sum(d(col("uy")) * col("__y1")).as("sy1"),
+      sum(d(col("uy")) * col("__x1")).as("sy2"),
+      sum(d(col("__y1")) * col("__x1")).as("s12"))
+    val nD = col("n").cast("double")
+    def cd(name: String) = col(name).cast("double")
+    // centered sums (fixed chains from the exact raw moments)
+    val cyy = cd("syy") - cd("sy") * cd("sy") / nD
+    val c11 = cd("s11") - cd("s1") * cd("s1") / nD
+    val c22 = cd("s22") - cd("s2") * cd("s2") / nD
+    val c1y = cd("sy1") - cd("s1") * cd("sy") / nD
+    val c2y = cd("sy2") - cd("s2") * cd("sy") / nD
+    val c12 = cd("s12") - cd("s1") * cd("s2") / nD
+    val det = c11 * c22 - c12 * c12
+    val rssR = when(c11 > 0.0, cyy - c1y * c1y / c11)
+    val rssF = when(det > 0.0, cyy -
+      (c22 * c1y * c1y - lit(2.0) * c12 * c1y * c2y + c11 * c2y * c2y) /
+        det)
+    val fStat = when(col("n") >= 4L && det > 0.0 && c11 > 0.0 &&
+      rssF > 0.0,
+      (rssR - rssF) / (rssF / (col("n") - 3L).cast("double")))
+    mom.select(col("n"), lit(1).as("df1"),
+      (col("n") - 3L).as("df2"),
+      when(c11 > 0.0, round(rssR, 4)).as("rss_r"),
+      when(det > 0.0, round(rssF, 4)).as("rss_f"),
+      round(fStat, 4).as("f_stat"))
+  }
+
+  /**
    * Pettitt changepoint test (Pettitt 1979) — the rank-based,
    * distribution-free single-changepoint detector that complements
    * [[meanShiftChangepoints]]: no window size to pick and no shift

@@ -288,6 +288,66 @@ class TimeSeriesSpec extends SparkSpec {
     assert(self === ((0, 4L, Some(1.0))))
   }
 
+  test("grangerLag1: chain-replica exact value; lead-lag series scores " +
+      "the true direction; degenerate designs NULL; maxRows guard") {
+    import spark.implicits._
+    // pseudo-random driver series; y follows x with one step of lag
+    // plus a parity wobble (breaks the perfect fit)
+    val xs = (0 until 40).map(i => ((i * 2654435761L) % 97).toDouble)
+    val rows = (1 until 40).map { i =>
+      (i.toLong, xs(i), xs(i - 1) + (i % 2).toDouble)
+    }.toDF("ts", "x", "y").withColumn("id", col("ts"))
+    val fwd = TimeSeries.grangerLag1(rows, "ts", "id", "x", "y",
+      unitScale = 1L)
+      .as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val rev = TimeSeries.grangerLag1(rows, "ts", "id", "y", "x",
+      unitScale = 1L)
+      .as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(fwd._6.isDefined && rev._6.isDefined)
+    assert(fwd._6.get > 10.0 * rev._6.get, s"fwd $fwd rev $rev")
+    // exact replica of the closed-form chains on the complete rows
+    val comp = (2 until 40).map { i =>
+      (xs(i - 1) + (i % 2).toDouble, // uy
+        xs(i - 1 - 1) + ((i - 1) % 2).toDouble, // y1
+        xs(i - 1)) // x1
+    }
+    val n = comp.size.toDouble
+    def s(f: ((Double, Double, Double)) => Double) = comp.map(f).sum
+    val (sy, syy) = (s(_._1), s(t => t._1 * t._1))
+    val (s1, s11) = (s(_._2), s(t => t._2 * t._2))
+    val (s2, s22) = (s(_._3), s(t => t._3 * t._3))
+    val (sy1, sy2, s12) =
+      (s(t => t._1 * t._2), s(t => t._1 * t._3), s(t => t._2 * t._3))
+    val (cyy, c11, c22) =
+      (syy - sy * sy / n, s11 - s1 * s1 / n, s22 - s2 * s2 / n)
+    val (c1y, c2y, c12) =
+      (sy1 - s1 * sy / n, sy2 - s2 * sy / n, s12 - s1 * s2 / n)
+    val det = c11 * c22 - c12 * c12
+    val rssR = cyy - c1y * c1y / c11
+    val rssF = cyy -
+      (c22 * c1y * c1y - 2.0 * c12 * c1y * c2y + c11 * c2y * c2y) / det
+    val f = (rssR - rssF) / (rssF / (n - 3.0))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fwd._1 === 38L && fwd._2 === 1 && fwd._3 === 35L)
+    assert(fwd._6 === Some(r4(f)))
+    // moment sums here are exact small integers, so the replica's
+    // double chains ARE the operator's chains — rss values too
+    assert(fwd._4 === Some(r4(rssR)) && fwd._5 === Some(r4(rssF)))
+    // constant x lag: det = 0 -> NULL rss_f and f
+    val cx = (1 to 10).map(i => (i.toLong, 5.0, xs(i))).toDF("ts", "x", "y")
+      .withColumn("id", col("ts"))
+    val gc = TimeSeries.grangerLag1(cx, "ts", "id", "x", "y", 1L)
+      .as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(gc._5 === None && gc._6 === None)
+    intercept[IllegalArgumentException] {
+      TimeSeries.grangerLag1(rows, "ts", "id", "x", "y", 1L, maxRows = 3L)
+    }
+  }
+
   test("pettittTest: hand U fold with ties, earliest argmax, one-chain " +
       "p; maxRows guard") {
     import spark.implicits._
