@@ -4403,6 +4403,27 @@ $fieldRows"""
       Streams.ewmaStreamParity(s, cohort, lookback = 8)
     }),
 
+    // TRUE-streaming categorical drift monitor: per-hour JS divergence
+    // of the streamed event-type mix vs a literal reference; plain
+    // watermarked windowed aggregation (append mode, no keyed state);
+    // every closed window bit-matches the batch replica (one shared
+    // Column chain).
+    "q_stream_drift" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val cohort = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.driftStreamParity(s, cohort,
+        Seq(("view", 50L), ("click", 30L), ("purchase", 10L),
+          ("signup", 8L), ("error", 2L)),
+        windowMs = 3600000L)
+    }),
+
     // TRUE-streaming mean-shift changepoints: the cohort replays through
     // a MemoryStream in ts-aligned micro-batches; the streamed flags
     // (key, ts, id AND the three exact-arithmetic means) must equal the
@@ -9497,6 +9518,14 @@ $fieldRows"""
     "q_stream_ewma" ->
       """WITH n AS (SELECT count(*) AS c FROM events
         |  WHERE user_id % 10 = 0)
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // Streaming drift parity: every closed hour-window matches the
+    // batch replica, so all three counts equal the cohort's distinct
+    // hour-bucket count (epoch-aligned, the window() origin).
+    "q_stream_drift" ->
+      """WITH n AS (SELECT count(DISTINCT
+        |    (epoch_ns(ts) // 1000000) // 3600000) AS c
+        |  FROM events WHERE user_id % 10 = 0)
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Streaming changepoint parity: the batch mean-shift count over the
     // SAME millisecond-precision cohort frame the drive replays — all

@@ -1365,4 +1365,121 @@ object Streams {
     }
     got.toSeq.toDF("key", "crossing_count")
   }
+
+  /**
+   * Shared drift-window builder for [[driftStream]] and its batch
+   * parity replica — ONE Column chain, so the streamed and batch
+   * values are bit-identical by construction: per event-time window,
+   * the Jensen-Shannon divergence (nats) of the window's event-type
+   * distribution P against a caller-provided REFERENCE distribution Q
+   * (a driver literal — counts from a healthy baseline period; types
+   * outside the reference fold into an OTHER bucket whose Q mass is
+   * 0, contributing the p·ln 2 ceiling term). Per window the counts
+   * are exact longs, every p is one division, the per-bucket KL chain
+   * folds in the GIVEN reference order (+ OTHER last) — a fixed
+   * left-associated chain — and `js` rounds 6dp.
+   */
+  private def driftAgg(df: DataFrame, reference: Seq[(String, Long)],
+                       windowDur: String): DataFrame = {
+    val refTot = reference.map(_._2).sum.toDouble
+    val aggs = reference.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__c$i")
+    } :+ sum(when(!col("event_type")
+      .isin(reference.map(_._1): _*), 1L).otherwise(0L)).as("__other")
+    val agged = df
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("double")
+    val terms = reference.zipWithIndex.map { case ((_, qc), i) =>
+      val p = col(s"__c$i").cast("double") / nD
+      val q = lit(qc.toDouble / refTot)
+      val m = (p + q) / lit(2.0)
+      when(col(s"__c$i") > 0L, p * log(p / m)).otherwise(lit(0.0)) +
+        q * log(q / m)
+    } :+ {
+      val p = col("__other").cast("double") / nD
+      when(col("__other") > 0L, p * log(lit(2.0))).otherwise(lit(0.0))
+    }
+    agged.select(col("window.start").as("window_start"), col("n"),
+      round(terms.reduceLeft(_ + _) / lit(2.0), 6).as("js"))
+  }
+
+  /**
+   * TRUE-streaming categorical drift monitor — the [[graft.operators
+   * .TextAnalysis.corpusJsDivergence]] idea on a live stream: per
+   * event-time window, how far has the stream's event-type mix
+   * drifted from the reference distribution? Plain watermarked
+   * windowed aggregation (append mode — a window emits ONCE, when the
+   * watermark passes its end), no keyed state: the monitoring shape
+   * that scales to any event rate because the state is one count
+   * vector per open window.
+   *
+   * Returns (`window_start`, `n`, `js`) per closed window; alert
+   * thresholds are the caller's policy (js ≤ ln 2 always).
+   */
+  def driftStream(events: Dataset[Event], reference: Seq[(String, Long)],
+                  windowDur: String = "1 hour",
+                  watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(reference.nonEmpty && reference.forall(_._2 >= 1L),
+      "reference needs >= 1 type, every count >= 1")
+    require(reference.map(_._1).distinct.size == reference.size,
+      "duplicate reference types")
+    driftAgg(events.toDF().withWatermark("ts", watermarkDelay),
+      reference, windowDur)
+  }
+
+  /**
+   * Driver-facing parity drive for [[driftStream]]: replays a bounded
+   * cohort through a MemoryStream in ts-aligned micro-batches (+ one
+   * watermark sentinel past maxTs + window to close the last window),
+   * then compares every (window_start, n, js) row with the batch
+   * replica over the same frame — bit-equal because both run ONE
+   * shared Column chain ([[driftAgg]]). One row
+   * (n_stream, n_batch, n_matched).
+   */
+  def driftStreamParity(spark: SparkSession, events: Dataset[Event],
+                        reference: Seq[(String, Long)],
+                        windowMs: Long = 3600000L,
+                        batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(windowMs >= 1000L, s"windowMs must be >= 1000: $windowMs")
+    val windowDur = s"$windowMs milliseconds"
+    val rows = events.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[Event]
+    val sm = driftStream(input.toDS(), reference, windowDur)
+    val sinkName = "graft_drift_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = sm.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      tsAlignedChunks(rows, batches).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      // the sentinel sits 1 ms past a far-future window BOUNDARY, so
+      // it closes every real window while its OWN window's end stays
+      // strictly ahead of the watermark — the sentinel never emits,
+      // and the sink holds exactly the real windows
+      val sentinelTs =
+        (maxTs / windowMs + 1000L) * windowMs + 1L
+      input.addData(Event(-1L, new Timestamp(sentinelTs), -1L, "wm", 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+    val streamed = spark.table(sinkName)
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+    val batch = driftAgg(events.toDF(), reference, windowDur)
+    val cols = Seq("window_start", "n", "js")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch, cols)
+        .agg(count(lit(1)).as("n_matched")))
+  }
 }

@@ -634,5 +634,40 @@ class StreamsSpec extends SparkSpec {
       "with the TTL past the gap the shift flags at the 3rd observation")
   }
 
+  test("driftStream: per-window JS vs the reference — identical mix " +
+      "reads 0, disjoint mix reads ln 2; stream bit-matches batch") {
+    import spark.implicits._
+    val ref = Seq(("a", 2L), ("b", 2L))
+    // w0 (0-60s): mix == reference -> js 0; w1: all 'a'; w2: all
+    // outside the reference (the OTHER bucket's ln 2 ceiling)
+    val ev = Seq(
+      Event(1, ts(0L), 1, "a", 0.0), Event(2, ts(1000L), 1, "b", 0.0),
+      Event(3, ts(60000L), 1, "a", 0.0),
+      Event(4, ts(61000L), 1, "a", 0.0),
+      Event(5, ts(120000L), 1, "c", 0.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // batch evaluation of the SAME builder (watermark is a no-op on a
+    // bounded frame): hand values per window
+    val batch = Streams.driftStream(ev.toDS(), ref, "60 seconds")
+      .orderBy("window_start")
+      .as[(java.sql.Timestamp, Long, Double)].collect()
+    assert(batch.length === 3)
+    assert(batch(0)._3 === 0.0)
+    // all-a window: ln(4/3) + 0.5·ln(2/3) + 0.5·ln 2, halved
+    val w1 = (1.0 * math.log(1.0 / 0.75) + 0.5 * math.log(0.5 / 0.75) +
+      0.5 * math.log(0.5 / 0.25)) / 2.0
+    assert(batch(1)._3 === r6(w1))
+    assert(batch(2)._3 === r6(math.log(2.0)))
+    // true-streaming parity: every closed window identical to batch
+    val got = Streams.driftStreamParity(spark, ev.toDS(), ref,
+      windowMs = 60000L, batches = 2)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((3L, 3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Streams.driftStream(ev.toDS(), Seq(("a", 0L)), "60 seconds")
+    }
+  }
+
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
 }
