@@ -1806,6 +1806,16 @@ $fieldRows"""
         "p", "is_en", nBins = 10)
     }),
 
+    // One-number calibration rollup over the same report: ECE =
+    // Σ (n_b/n)·|gap_b| folded in bin order.
+    "q_ece" -> ((s, dir) => {
+      graft.operators.Profiling.expectedCalibrationError(
+        t(s, dir, "documents")
+          .withColumn("p", col("n_chars") / (col("n_chars") + lit(1000)))
+          .withColumn("is_en", col("lang") === "en"),
+        "p", "is_en", nBins = 10)
+    }),
+
     // Kendall τ-b of quantity vs line number — concordance-probability
     // association on heavily tied integer columns (50 × 7 levels → 350
     // cells; the C² pair join is trivial at this cell cardinality).
@@ -6688,6 +6698,33 @@ $fieldRows"""
         |    CAST(sum(up) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE),
         |    6) AS gap
         |FROM bins GROUP BY 1""".stripMargin,
+    // ECE: the q_calibration machinery rolled to one weighted-|gap|
+    // row (per-bin gaps 6dp-rounded first, the operator's contract).
+    "q_ece" ->
+      """WITH base AS (SELECT (lang = 'en') AS pos,
+        |    CAST(round(CAST(n_chars AS DOUBLE) / (n_chars + 1000)
+        |      * 1000000) AS BIGINT) AS up
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |bins AS (SELECT
+        |    least(CAST((up * 10 - (up * 10) % 1000000) / 1000000
+        |      AS BIGINT), 9) AS bin, pos, up
+        |  FROM base),
+        |rep AS (SELECT bin, count(*) AS n,
+        |    round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE) -
+        |      CAST(sum(up) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE),
+        |      6) AS gap
+        |  FROM bins GROUP BY 1),
+        |f AS (SELECT
+        |    sum(n) OVER () AS ntot,
+        |    sum(CAST(n AS DOUBLE) * abs(gap)) OVER (ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (ORDER BY bin) AS rn,
+        |    count(*) OVER () AS nb
+        |  FROM rep)
+        |SELECT CAST(ntot AS BIGINT) AS n, CAST(nb AS INTEGER) AS n_bins,
+        |  round(run / CAST(ntot AS DOUBLE), 6) AS ece
+        |FROM f WHERE rn = nb""".stripMargin,
     "q_kendall" ->
       """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS ux,
         |    CAST(l_linenumber AS BIGINT) AS uy

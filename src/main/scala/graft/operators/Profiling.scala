@@ -711,6 +711,41 @@ object Profiling {
   }
 
   /**
+   * Expected calibration error (Naeini et al. 2015) — the ONE-NUMBER
+   * rollup of [[calibrationReport]]: ECE = Σ_b (n_b/n)·|gap_b|, the
+   * dashboard scalar a model gate thresholds where the per-bin report
+   * is the diagnosis. Composes the report verbatim (same binning, same
+   * 6dp-rounded per-bin gaps), so the two always agree.
+   *
+   * EXACTNESS: each |gap| is the report's already-6dp-rounded value;
+   * the weighted sum folds in BIN ORDER as a running window over the
+   * ≤ nBins rows (sequential both engines); one division by the exact
+   * total, 6dp.
+   *
+   * Scale shape: the calibrationReport aggregate (one pass) plus
+   * windows over ≤ nBins rows. Output ONE row: (`n`, `n_bins`, `ece`).
+   */
+  def expectedCalibrationError(df: DataFrame, probCol: String,
+                               labelCol: String, nBins: Int = 10,
+                               unitScale: Long = 1000000L): DataFrame = {
+    val rep = calibrationReport(df, probCol, labelCol, nBins, unitScale)
+    val wOrd = Window.orderBy("bin")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wTot = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rep
+      .withColumn("__ntot", sum("n").over(wTot))
+      .withColumn("__run",
+        sum(col("n").cast("double") * abs(col("gap"))).over(wRun))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__nb", count(lit(1)).over(wTot))
+      .filter(col("__rn") === col("__nb"))
+      .select(col("__ntot").as("n"), col("__nb").cast("int").as("n_bins"),
+        round(col("__run") / col("__ntot").cast("double"), 6).as("ece"))
+  }
+
+  /**
    * Jarque-Bera normality test (Jarque & Bera 1980) — the moments-only
    * normality screen every parametric test in this file implicitly
    * leans on (welchTTest/anovaF assume roughly-normal arms): JB =

@@ -157,6 +157,25 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("expectedCalibrationError: weighted |gap| rollup agrees with " +
+      "the per-bin report; perfect calibration reads 0") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // two bins: (p=.25, y: 1 of 2) gap .25; (p=.75, y: 3 of 4) gap 0
+    val rows = Seq((0.25, true), (0.25, false),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, false))
+      .toDF("p", "y")
+    val got = Profiling.expectedCalibrationError(rows, "p", "y",
+      nBins = 2)
+      .as[(Long, Int, Double)].collect().head
+    assert(got === ((6L, 2, r6((2.0 * 0.25 + 4.0 * 0.0) / 6.0))))
+    // perfectly calibrated: every bin's frac_pos == mean_pred -> 0
+    val perfect = Seq((0.0, false), (1.0, true)).toDF("p", "y")
+    assert(Profiling.expectedCalibrationError(perfect, "p", "y", 2)
+      .as[(Long, Int, Double)].collect().head._3 === 0.0)
+  }
+
   test("durbinWatson: hand OLS + residual fold; perfect fit NULL dw; " +
       "maxRows guard") {
     import spark.implicits._
