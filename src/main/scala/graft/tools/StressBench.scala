@@ -1498,7 +1498,52 @@ object StressBench {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "text", minCount = 2L)
           .count())
+      run("rm3_expand", n) {
+        import spark.implicits._
+        val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+          (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+        graft.operators.TextAnalysis.rm3ExpandQueries(docs, qs,
+          fbDocs = 10, fbTerms = 10).count()
+      }
       docs.unpersist()
+    }
+
+    // Session-2 r14 statistics: the two single-task series ops priced
+    // honestly (gated); t-closeness's class × level grid; ECE's
+    // one-pass report rollup.
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "r14stats")) {
+      val rows = spark.range(n).toDF("id")
+        .select(col("id"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0)
+            .as("v"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(9000)).cast("double")
+            / 100.0).as("v2"),
+          pmod(xxhash64(col("id"), lit(3)), lit(1000)).as("cls"),
+          pmod(xxhash64(col("id"), lit(5)), lit(50)).as("sens"),
+          (pmod(xxhash64(col("id"), lit(7)), lit(1000000)).cast("double")
+            / 1000000.0).as("p"),
+          (pmod(xxhash64(col("id"), lit(11)), lit(2)) === 0).as("y"))
+        .cache()
+      rows.count()
+      run("granger", n)(
+        graft.operators.TimeSeries.grangerLag1(rows, "id", "id",
+          "v", "v2", unitScale = 100L, maxRows = 20000000L).count())
+      run("durbin_watson", n)(
+        graft.operators.Profiling.durbinWatson(rows, "id", "id",
+          "v", "v2", unitScale = 100L, maxRows = 20000000L).count())
+      run("t_closeness", n)(
+        graft.operators.Privacy.tClosenessClasses(rows, Seq("cls"),
+          "sens", 0.5).count())
+      run("jarque_bera", n)(
+        graft.operators.Profiling.jarqueBera(rows, "v").count())
+      run("brown_forsythe", n)(
+        graft.operators.Profiling.brownForsythe(rows, "v", "cls")
+          .count())
+      run("ece", n)(
+        graft.operators.Profiling.expectedCalibrationError(rows,
+          "p", "y").count())
+      rows.unpersist()
     }
 
     // Bitext mining is QUADRATIC in the batch sizes by construction
