@@ -350,6 +350,76 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeierCI + restrictedMeanSurvival: randomized parity vs " +
+      "a direct product-limit reference") {
+    val rnd = new scala.util.Random(8642)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(60)
+      val subj = (1 to n).map(_ =>
+        (1L + rnd.nextInt(15).toLong, rnd.nextBoolean()))
+      val df = subj.toDF("dur", "ev")
+      // direct reference walk over ascending distinct durations
+      val byT = subj.groupBy(_._1).map { case (t, xs) =>
+        (t, xs.count(_._2).toLong, xs.size.toLong)
+      }.toSeq.sortBy(_._1)
+      var atRisk = n.toLong; var lnS = 0.0; var gw = 0.0; var zero = false
+      val refKm = scala.collection.mutable.Map
+        .empty[Long, (Long, Long, Double, Option[Double])]
+      val steps = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+      for ((t, d, all) <- byT) {
+        if (d == atRisk) zero = true
+        else {
+          lnS += math.log(1.0 - d.toDouble / atRisk.toDouble)
+          gw += d.toDouble /
+            (atRisk.toDouble * (atRisk - d).toDouble)
+        }
+        if (d > 0) {
+          val s = if (zero) 0.0 else math.exp(lnS)
+          refKm(t) = (atRisk, d, s,
+            if (zero) None else Some(math.exp(lnS) * math.sqrt(gw)))
+          steps += ((t, s))
+        }
+        atRisk -= all
+      }
+      val got = Events.kaplanMeierCI(df, "dur", "ev")
+        .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+          Option[Double])].collect()
+      assert(got.length === refKm.size, s"trial $trial")
+      got.foreach { r =>
+        val (nr, d, s, se) = refKm(r._1)
+        assert(r._2 === nr && r._3 === d, s"trial $trial t=${r._1}")
+        assert(math.abs(r._4 - r6(s)) < 2e-6, s"trial $trial survival")
+        (r._5, se) match {
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) < 2e-6, s"trial $trial se")
+            assert(math.abs(r._6.get -
+              math.max(0.0, s - 1.96 * e)) < 4e-6, s"trial $trial lo")
+            assert(math.abs(r._7.get -
+              math.min(1.0, s + 1.96 * e)) < 4e-6, s"trial $trial hi")
+          case (None, None) => // zero level
+          case other => fail(s"trial $trial se mismatch: $other")
+        }
+      }
+      // RMST at a random horizon: step-curve integral from the walk
+      val tau = 1L + rnd.nextInt(20).toLong
+      val inH = steps.filter(_._1 <= tau).toList
+      val refRmst = {
+        var acc = 0.0; var prevT = 0L; var prevS = 1.0
+        inH.foreach { case (t, s) =>
+          acc += prevS * (t - prevT); prevT = t; prevS = s
+        }
+        acc + prevS * (tau - prevT)
+      }
+      val gr = Events.restrictedMeanSurvival(df, "dur", "ev", tau)
+        .as[(Long, Long, Option[Double])].collect().head
+      assert(gr._1 === tau && gr._2 === n.toLong)
+      assert(math.abs(gr._3.get - refRmst) < 2e-6,
+        s"trial $trial rmst ${gr._3} vs $refRmst")
+    }
+  }
+
   test("survival trio: the shared maxLevels gate trips on a high-" +
       "cardinality duration column and passes at the bound") {
     // 50 distinct durations — a stand-in for the continuous /

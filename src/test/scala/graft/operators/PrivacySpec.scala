@@ -145,6 +145,74 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("tClosenessClasses + fairnessReport: randomized parity vs " +
+      "brute references") {
+    val rnd = new scala.util.Random(13579)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(120)
+      val rows = (1 to n).map(_ =>
+        (s"z${rnd.nextInt(5)}", rnd.nextInt(4)))
+      // brute EMD per class over the global level set
+      val levels = rows.map(_._2).distinct.sorted
+      val m = levels.size
+      val gTot = rows.size.toDouble
+      val q = levels.map(v =>
+        rows.count(_._2 == v).toDouble / gTot)
+      val byClass = rows.groupBy(_._1)
+      val got = Privacy.tClosenessClasses(
+        rows.toDF("zip", "band"), Seq("zip"), "band", 0.3)
+        .as[(String, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      byClass.foreach { case (z, xs) =>
+        val nc = xs.size.toDouble
+        val p = levels.map(v => xs.count(_._2 == v).toDouble / nc)
+        var cum = 0.0; var acc = 0.0
+        levels.indices.foreach { i =>
+          cum += p(i) - q(i); acc += math.abs(cum)
+        }
+        val tRef = if (m > 1) acc / (m - 1) else 0.0
+        val r = got(z)
+        assert(r._2 === xs.size.toLong, s"trial $trial $z size")
+        assert(math.abs(r._3.get - tRef) < 2e-6,
+          s"trial $trial $z t ${r._3} vs $tRef")
+        assert(r._4 === (tRef > 0.3) ||
+          math.abs(tRef - 0.3) < 1e-9, s"trial $trial $z violates")
+      }
+      // fairness: direct counting per group
+      val fr = (1 to n).map(_ =>
+        (s"g${rnd.nextInt(4)}", rnd.nextBoolean(), rnd.nextBoolean()))
+      val gotF = Privacy.fairnessReport(
+        fr.toDF("grp", "y", "yh"), "grp", "y", "yh")
+        .as[(String, Long, Double, Double, Option[Double],
+          Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      val byG = fr.groupBy(_._1)
+      val maxPr = byG.values.map(xs =>
+        xs.count(_._3).toDouble / xs.size).max
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      byG.foreach { case (g, xs) =>
+        val r = gotF(g)
+        val nPos = xs.count(_._2); val nNeg = xs.size - nPos
+        assert(r._2 === xs.size.toLong, s"trial $trial $g n")
+        assert(r._3 === r6(nPos.toDouble / xs.size), s"trial $trial $g")
+        assert(r._4 === r6(xs.count(_._3).toDouble / xs.size))
+        if (nPos > 0)
+          assert(r._5 === Some(r6(
+            xs.count(x => x._2 && x._3).toDouble / nPos)))
+        else assert(r._5 === None)
+        if (nNeg > 0)
+          assert(r._6 === Some(r6(
+            xs.count(x => !x._2 && x._3).toDouble / nNeg)))
+        else assert(r._6 === None)
+        if (maxPr > 0)
+          assert(math.abs(r._7.get -
+            (xs.count(_._3).toDouble / xs.size) / maxPr) < 2e-6,
+            s"trial $trial $g dp")
+      }
+    }
+  }
+
   test("guards: unknown columns and degenerate k/l fail loud") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityClasses(tbl, Seq("nope"), 2L)

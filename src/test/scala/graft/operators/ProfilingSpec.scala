@@ -157,6 +157,81 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("jarqueBera / durbinWatson / brownForsythe: randomized parity " +
+      "vs direct-computation references") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(86420)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(100)
+      val us = (1 to n).map(_ => rnd.nextInt(200).toDouble)
+      val df = us.toDF("v")
+      // JB reference: central moments computed DIRECTLY (different
+      // factorization than the operator's raw-moment chains)
+      val mean = us.sum / n
+      val m2 = us.map(u => math.pow(u - mean, 2)).sum / n
+      val m3 = us.map(u => math.pow(u - mean, 3)).sum / n
+      val m4 = us.map(u => math.pow(u - mean, 4)).sum / n
+      if (m2 > 0) {
+        val skew = m3 / math.pow(m2, 1.5)
+        val exk = m4 / (m2 * m2) - 3.0
+        val jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+        val got = Profiling.jarqueBera(df, "v", unitScale = 1L)
+          .as[(Long, Option[Double], Option[Double], Option[Double],
+            Option[Double])].collect().head
+        assert(math.abs(got._2.get - skew) < 1e-6, s"trial $trial skew")
+        assert(math.abs(got._3.get - exk) < 1e-6, s"trial $trial kurt")
+        assert(math.abs(got._4.get - jb) < 1e-3 * (1.0 + jb),
+          s"trial $trial jb")
+      }
+      // DW reference: direct residual loop on the same integers
+      val ys = (1 to n).map(i => (0.5 * (i % 7)).floor + rnd.nextInt(20))
+      val pairs = (1 to n).map(i => (i.toDouble, ys(i - 1).toDouble))
+      val dwDf = pairs.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong + 1L, x, y)
+      }.toDF("ts", "x", "y").withColumn("id", col("ts"))
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val den = n * sxx - sx * sx
+      val b = (n * sxy - sx * sy) / den
+      val a = (sy - b * sx) / n
+      val es = pairs.map { case (x, y) => y - (a + b * x) }
+      val dwRef = es.sliding(2).map { w =>
+        math.pow(w(1) - w(0), 2)
+      }.sum / es.map(e => e * e).sum
+      val gdw = Profiling.durbinWatson(dwDf, "ts", "id", "x", "y", 1L)
+        .as[(Long, Option[Double], Option[Double], Option[Double])]
+        .collect().head
+      assert(math.abs(gdw._4.get - dwRef) < 1e-6, s"trial $trial dw")
+      // Brown-Forsythe reference: direct two-pass over 3 groups
+      val gs = (1 to n).map(i =>
+        (s"g${i % 3}", rnd.nextInt(30 * (1 + i % 3)).toDouble))
+      val bfDf = gs.toDF("g", "v")
+      val zs = gs.groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+        val vs = xs.map(_._2).sorted
+        val med = if (vs.size % 2 == 1) vs(vs.size / 2)
+          else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0
+        xs.map(x => (g, math.abs(x._2 - med)))
+      }
+      val k = 3
+      val zbar = zs.map(_._2).sum / n
+      val grpMeans = zs.groupBy(_._1).map { case (g, xs) =>
+        g -> (xs.map(_._2).sum / xs.size, xs.size)
+      }
+      val ssb = grpMeans.values.map { case (mg, ng) =>
+        ng * math.pow(mg - zbar, 2)
+      }.sum
+      val ssw = zs.map { case (g, z) =>
+        math.pow(z - grpMeans(g)._1, 2)
+      }.sum
+      val wRef = ((n - k).toDouble / (k - 1).toDouble) * ssb / ssw
+      val gbf = Profiling.brownForsythe(bfDf, "v", "g", unitScale = 1L)
+        .as[(Long, Int, Int, Long, Option[Double])].collect().head
+      assert(math.abs(gbf._5.get - wRef) < 1e-3 * (1.0 + wRef),
+        s"trial $trial w ${gbf._5} vs $wRef")
+    }
+  }
+
   test("expectedCalibrationError: weighted |gap| rollup agrees with " +
       "the per-bin report; perfect calibration reads 0") {
     import spark.implicits._

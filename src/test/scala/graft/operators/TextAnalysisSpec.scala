@@ -1005,6 +1005,68 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gm === (("menu", 3L, 3L, 0.0)))
   }
 
+  test("termBurstiness + corpusJsDivergence: randomized parity vs " +
+      "brute references on small random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97531)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(20)
+      val docs = (1 to n).map { i =>
+        (i.toLong, (1 to (1 + rnd.nextInt(12)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val counts = docs.flatMap { case (id, t) =>
+        t.split("\\s+").map(w => (w, id))
+      }
+      val got = TextAnalysis.termBurstiness(df, "doc_id", "text", 1L)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      vocab.filter(w => counts.exists(_._1 == w)).foreach { w =>
+        val perDoc = counts.filter(_._1 == w).groupBy(_._2)
+          .map(_._2.size.toLong)
+        val df_ = perDoc.size.toLong
+        val tf = perDoc.sum
+        val c2 = perDoc.map(c => c * c).sum
+        val vmr = (n * c2 - tf * tf).toDouble / (n * tf).toDouble
+        val r = got(w)
+        assert(r._2 === df_ && r._3 === tf, s"trial $trial $w")
+        assert(r._4 === r6(vmr), s"trial $trial $w vmr")
+      }
+      // JS reference: brute distributions over the split halves
+      val aSide = docs.filter(_._1 % 2 == 0)
+      val bSide = docs.filter(_._1 % 2 == 1)
+      if (aSide.nonEmpty && bSide.nonEmpty) {
+        def dist(ds: Seq[(Long, String)]): Map[String, Long] =
+          ds.flatMap(_._2.split("\\s+")).groupBy(identity)
+            .map { case (w, xs) => w -> xs.size.toLong }
+        val (ca, cb) = (dist(aSide), dist(bSide))
+        val (ta, tb) = (ca.values.sum.toDouble, cb.values.sum.toDouble)
+        val terms = (ca.keySet ++ cb.keySet).toSeq
+        val jsRef = terms.map { w =>
+          val p = ca.getOrElse(w, 0L) / ta
+          val q = cb.getOrElse(w, 0L) / tb
+          val m = (p + q) / 2.0
+          (if (p > 0) p * math.log(p / m) else 0.0) +
+            (if (q > 0) q * math.log(q / m) else 0.0)
+        }.sum / 2.0
+        val gjs = TextAnalysis.corpusJsDivergence(
+          aSide.toDF("doc_id", "text"), bSide.toDF("doc_id", "text"),
+          "text", 1L)
+          .as[(Long, Long, Long, Option[Double], Option[Double])]
+          .collect().head
+        assert(gjs._1 === terms.size.toLong, s"trial $trial n_terms")
+        assert(math.abs(gjs._4.get - r4(jsRef)) < 2e-4,
+          s"trial $trial js ${gjs._4} vs $jsRef")
+      }
+    }
+  }
+
   test("corpusJsDivergence: hand KL chains; identical corpora read 0; " +
       "disjoint vocabularies read ln 2 (js_norm = 1); empty side NULL") {
     import spark.implicits._

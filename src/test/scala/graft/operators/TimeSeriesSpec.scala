@@ -288,6 +288,95 @@ class TimeSeriesSpec extends SparkSpec {
     assert(self === ((0, 4L, Some(1.0))))
   }
 
+  test("pettittTest: randomized parity vs a brute average-rank U " +
+      "reference with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2468)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(60)
+      val vals = (1 to n).map(_ => rnd.nextInt(6).toDouble)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong + 1L, v) }.toDF("ts", "v")
+        .withColumn("id", col("ts"))
+      // brute reference: average ranks with ties, U_t loop, earliest K
+      val sorted = vals.sorted
+      def avgRank(v: Double): Double = {
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        (lo + hi) / 2.0
+      }
+      var cum = 0.0; var bestK = -1.0; var bestT = -1
+      vals.zipWithIndex.foreach { case (v, i) =>
+        cum += avgRank(v)
+        val u = math.abs(2.0 * cum - (i + 1).toDouble * (n + 1))
+        if (u > bestK) { bestK = u; bestT = i + 1 }
+      }
+      val nD = n.toDouble
+      val pRef = math.min(1.0, 2.0 * math.exp(-6.0 * bestK * bestK /
+        (nD * nD * nD + nD * nD)))
+      val got = TimeSeries.pettittTest(df, "ts", "id", "v", 1L)
+        .as[(Long, Long, Long, Double)].collect().head
+      assert(got._1 === n.toLong, s"trial $trial")
+      assert(got._2.toDouble === bestK, s"trial $trial k")
+      assert(got._3 === bestT.toLong, s"trial $trial t")
+      assert(math.abs(got._4 - pRef) < 2e-6, s"trial $trial p")
+    }
+  }
+
+  test("grangerLag1: randomized parity vs an independent normal-" +
+      "equations reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9753)
+    for (trial <- 1 to 4) {
+      val n = 15 + rnd.nextInt(50)
+      // integral values: unitScale = 1 quantization is then exact on
+      // both sides (the reference works on the same integers)
+      val xs = (0 to n).map(_ => rnd.nextInt(40).toDouble)
+      val ys = (0 to n).map(i =>
+        (if (i == 0) 0.0
+         else math.round(0.7 * xs(i - 1)).toDouble) + rnd.nextInt(10))
+      val df = (1 to n).map(i => (i.toLong, xs(i), ys(i)))
+        .toDF("ts", "x", "y").withColumn("id", col("ts"))
+      // reference: explicit residual-sum computation from directly
+      // fitted coefficients (different algebra than the operator's
+      // centered-moment Cramer chains)
+      val comp = (2 to n).map(i => (ys(i), ys(i - 1), xs(i - 1)))
+      val m = comp.size.toDouble
+      def mean(f: ((Double, Double, Double)) => Double) =
+        comp.map(f).sum / m
+      val (my, m1, m2) = (mean(_._1), mean(_._2), mean(_._3))
+      val c11 = comp.map(t => (t._2 - m1) * (t._2 - m1)).sum
+      val c22 = comp.map(t => (t._3 - m2) * (t._3 - m2)).sum
+      val c12 = comp.map(t => (t._2 - m1) * (t._3 - m2)).sum
+      val c1y = comp.map(t => (t._2 - m1) * (t._1 - my)).sum
+      val c2y = comp.map(t => (t._3 - m2) * (t._1 - my)).sum
+      val det = c11 * c22 - c12 * c12
+      // restricted: beta = c1y/c11; residual sum directly
+      val bR = c1y / c11
+      val rssR = comp.map(t =>
+        math.pow((t._1 - my) - bR * (t._2 - m1), 2)).sum
+      // full: solve the 2x2 by substitution and sum residuals directly
+      val b2 = (c2y - c12 * c1y / c11) / (c22 - c12 * c12 / c11)
+      val b1 = (c1y - c12 * b2) / c11
+      val rssF = comp.map(t =>
+        math.pow((t._1 - my) - b1 * (t._2 - m1) - b2 * (t._3 - m2), 2))
+        .sum
+      val fRef = (rssR - rssF) / (rssF / (m - 3.0))
+      val got = TimeSeries.grangerLag1(df, "ts", "id", "x", "y", 1L)
+        .as[(Long, Int, Long, Option[Double], Option[Double],
+          Option[Double])].collect().head
+      assert(got._1 === comp.size.toLong, s"trial $trial")
+      if (det > 1e-9) {
+        assert(math.abs(got._4.get - rssR) < 1e-4 * (1.0 + rssR),
+          s"trial $trial rssR ${got._4} vs $rssR")
+        assert(math.abs(got._5.get - rssF) < 1e-4 * (1.0 + rssF),
+          s"trial $trial rssF ${got._5} vs $rssF")
+        assert(math.abs(got._6.get - fRef) < 1e-3 * (1.0 + fRef),
+          s"trial $trial f ${got._6} vs $fRef")
+      }
+    }
+  }
+
   test("grangerLag1: chain-replica exact value; lead-lag series scores " +
       "the true direction; degenerate designs NULL; maxRows guard") {
     import spark.implicits._
