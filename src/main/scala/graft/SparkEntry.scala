@@ -1769,6 +1769,13 @@ $fieldRows"""
         "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
     }),
 
+    // Cramér–von Mises on the same segments: the squared-gap ECDF
+    // integral — level-ordered running fold, exact gap numerators.
+    "q_cvm_test" -> ((s, dir) => {
+      graft.operators.Profiling.cramerVonMises(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
+    }),
+
     // ROC AUC of doc length as an English-detector score — the
     // threshold-FREE companion to q_gini_split's per-threshold curve;
     // exact integer rank-sum numerator, ONE division.
@@ -6585,6 +6592,45 @@ $fieldRows"""
         |    sqrt(CAST(n_t * n_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)), 4)
         |    AS ks_stat
         |FROM seg""".stripMargin,
+    // CvM: same level machinery; per-level cnt·gap² terms folded in
+    // value order, (n_t·n_c/N²) scaling, 6dp.
+    "q_cvm_test" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
+        |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |levels AS (SELECT segment, u,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT segment, u, ct, cc,
+        |    sum(ct) OVER w AS cumt, sum(cc) OVER w AS cumc,
+        |    sum(ct) OVER t AS n_t, sum(cc) OVER t AS n_c
+        |  FROM levels WINDOW
+        |    w AS (PARTITION BY segment ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    t AS (PARTITION BY segment
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |g AS (SELECT segment, u, n_t, n_c,
+        |    CAST(ct + cc AS DOUBLE) *
+        |      (CAST(cumt * n_c - cumc * n_t AS DOUBLE)
+        |       / CAST(n_t * n_c AS DOUBLE))
+        |      * (CAST(cumt * n_c - cumc * n_t AS DOUBLE)
+        |       / CAST(n_t * n_c AS DOUBLE)) AS term
+        |  FROM cum WHERE n_t > 0 AND n_c > 0),
+        |f AS (SELECT segment, n_t, n_c,
+        |    sum(term) OVER (PARTITION BY segment ORDER BY u
+        |      ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY segment ORDER BY u) AS rn,
+        |    count(*) OVER (PARTITION BY segment) AS nl
+        |  FROM g)
+        |SELECT segment, CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(n_c AS BIGINT) AS n_c,
+        |  round(CAST(n_t * n_c AS DOUBLE)
+        |    / (CAST(n_t + n_c AS DOUBLE) * CAST(n_t + n_c AS DOUBLE))
+        |    * run, 6) AS t_stat
+        |FROM f WHERE rn = nl""".stripMargin,
     "q_auc" ->
       """WITH base AS (SELECT (lang = 'en') AS pos,
         |    CAST(n_chars AS BIGINT) AS u

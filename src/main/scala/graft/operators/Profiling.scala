@@ -1480,6 +1480,73 @@ object Profiling {
   }
 
   /**
+   * Cramér–von Mises two-sample test (Anderson 1962's two-sample
+   * form) — the FOURTH distribution-comparison leg after Welch
+   * (means), MWU (rank shift), and KS (max ECDF gap): CvM integrates
+   * the SQUARED ECDF gap over the pooled sample,
+   * T = (n_t·n_c / N²) · Σ_pooled (F_t(x) − F_c(x))², so a
+   * distribution that differs in many small ways scores where KS —
+   * which only sees the single largest gap — can stay quiet. Same
+   * per-segment one-vs-rest contract as [[ksTest]].
+   *
+   * EXACTNESS: the ksTest level machinery verbatim — (segment, value)
+   * LEVEL counts, cumulative window sums, exact-integer gap numerator
+   * g = cum_t·n_c − cum_c·n_t per level — then each level's
+   * contribution cnt·(g/(n_t·n_c))² is ONE fixed IEEE chain and the
+   * level contributions fold as an ORDERED running window sum in value
+   * order (the kaplanMeier sequential-fold convention — never an
+   * unordered double sum); `t_stat` = (n_t·n_c/N²)·Σ rounded 6dp.
+   * Statistic-only (the two-sample CvM null distribution has no
+   * closed form; compare against published critical values — T ≳ 0.46
+   * rejects at 5% asymptotically). n_t, n_c guarded at 3·10⁹ (the
+   * ksTest long-product bound).
+   *
+   * Scale shape: identical to [[ksTest]] — level aggregate, ordered
+   * windows over LEVELS per segment. One row per segment with both
+   * groups present: (`segment`, `n_t`, `n_c`, `t_stat`).
+   */
+  def cramerVonMises(df: DataFrame, segmentCol: String, groupCol: String,
+                     treatment: String, valueCol: String,
+                     unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(segmentCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("segment"),
+        (col(groupCol).cast("string") === treatment).as("treated"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val levels = base.groupBy("segment", "u")
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("treated"), 0L).otherwise(1L)).as("cc"))
+    val ord = Window.partitionBy("segment").orderBy("u")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val totW = Window.partitionBy("segment")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = levels
+      .withColumn("cumt", sum("ct").over(cumW))
+      .withColumn("cumc", sum("cc").over(cumW))
+      .withColumn("n_t", sum("ct").over(totW))
+      .withColumn("n_c", sum("cc").over(totW))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .filter(when(col("n_t") > 3000000000L || col("n_c") > 3000000000L,
+        raise_error(lit("cramerVonMises: group size exceeds the exact " +
+          "n_t·n_c long range")).cast("boolean")).otherwise(lit(true)))
+    val gap = (col("cumt") * col("n_c") - col("cumc") * col("n_t"))
+      .cast("double") / (col("n_t") * col("n_c")).cast("double")
+    val term = (col("ct") + col("cc")).cast("double") * gap * gap
+    val folded = cum
+      .withColumn("__run", sum(term).over(cumW))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__nl", count(lit(1)).over(totW))
+      .filter(col("__rn") === col("__nl"))
+    val nTot = (col("n_t") + col("n_c")).cast("double")
+    folded.select(col("segment"), col("n_t"), col("n_c"),
+      round((col("n_t") * col("n_c")).cast("double") / (nTot * nTot) *
+        col("__run"), 6).as("t_stat"))
+  }
+
+  /**
    * Gini split profile of a numeric feature against a binary label
    * (the CART decision-stump criterion — Breiman, Friedman, Olshen &
    * Stone 1984): for EVERY candidate threshold t (each distinct

@@ -157,6 +157,53 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("cramerVonMises: hand squared-gap integral; identical samples " +
+      "read 0; randomized parity vs a brute pooled-ECDF reference") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // treated {1,3}, control {2,4}: pooled gaps at levels 1..4 are
+    // (1/2, 0, 1/2, 0) -> sum cnt·gap² = 1/4 + 1/4; T = (4/16)·(1/2)
+    val rows = Seq(("s", "t", 1.0), ("s", "c", 2.0),
+      ("s", "t", 3.0), ("s", "c", 4.0)).toDF("seg", "grp", "v")
+    val got = Profiling.cramerVonMises(rows, "seg", "grp", "t", "v", 1L)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(got === (("s", 2L, 2L, r6(0.125))))
+    // one distribution twice: every gap is 0 -> T = 0 exactly
+    val same = Seq(("s", "t", 1.0), ("s", "c", 1.0),
+      ("s", "t", 2.0), ("s", "c", 2.0)).toDF("seg", "grp", "v")
+    assert(Profiling.cramerVonMises(same, "seg", "grp", "t", "v", 1L)
+      .as[(String, Long, Long, Double)].collect().head._4 === 0.0)
+    // randomized parity vs a brute reference over pooled levels
+    val rnd = new scala.util.Random(5511)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(80)
+      val data = (1 to n).map(_ =>
+        (if (rnd.nextBoolean()) "t" else "c", rnd.nextInt(12).toDouble))
+      if (data.exists(_._1 == "t") && data.exists(_._1 == "c")) {
+        val nt = data.count(_._1 == "t").toDouble
+        val nc = n - nt
+        val lv = data.map(_._2).distinct.sorted
+        var cumT = 0.0; var cumC = 0.0; var acc = 0.0
+        lv.foreach { v =>
+          val ct = data.count(d => d._1 == "t" && d._2 == v)
+          val cc = data.count(d => d._1 == "c" && d._2 == v)
+          cumT += ct; cumC += cc
+          val gap = cumT / nt - cumC / nc
+          acc += (ct + cc) * gap * gap
+        }
+        val tRef = nt * nc / ((nt + nc) * (nt + nc)) * acc
+        val g = Profiling.cramerVonMises(
+          data.map(d => ("s", d._1, d._2)).toDF("seg", "grp", "v"),
+          "seg", "grp", "t", "v", 1L)
+          .as[(String, Long, Long, Double)].collect().head
+        assert(g._2 === nt.toLong && g._3 === nc.toLong, s"trial $trial")
+        assert(math.abs(g._4 - tRef) < 2e-6,
+          s"trial $trial t ${g._4} vs $tRef")
+      }
+    }
+  }
+
   test("jarqueBera / durbinWatson / brownForsythe: randomized parity " +
       "vs direct-computation references") {
     import spark.implicits._
