@@ -208,8 +208,14 @@ object Bench {
         // 228; BASELINE.md §ratio-series) — the driver's post-close
         // regen read 3.81 on the same code, recorded there as the
         // session-noise band, not the series point
+        // r13 pins the committed close 286.73/68.23 over 277 (4.20;
+        // BASELINE.md:69). r14's committed print (4.54) divided a
+        // 296-query spark total by that stale 277-query anchor — the
+        // like-for-like value netting the 19 new queries out is 4.23
+        // (VERDICT r14), pinned here as the series point
         val history = Seq("r7" -> 6.44, "r8" -> 5.80, "r9" -> 5.71,
-          "r10" -> 5.94, "r11" -> 5.60, "r12" -> 4.50)
+          "r10" -> 5.94, "r11" -> 5.60, "r12" -> 4.50, "r13" -> 4.20,
+          "r14" -> 4.23)
         v.filter(_ > 0 && sfMatch).map { d =>
           val series = (history.map { case (k, x) => s""""$k":$x""" } :+
             s""""now":${r2(minTotal / d)}""").mkString("{", ",", "}")

@@ -2191,6 +2191,22 @@ $fieldRows"""
         "clicks", "purchases", unitScale = 1L)
     }),
 
+    // Granger at lag p = 2: exact moment aggregate, bounded
+    // driver-side fixed-pivot elimination (restricted 3x3 vs full
+    // 5x5), F with df = (2, n-5); the oracle replays every pivot step.
+    "q_granger_p" -> ((s, dir) => {
+      val m = 60000000000L
+      val per = t(s, dir, "events")
+        .groupBy(((col("ts") - pmod(col("ts"), lit(m))) / m).cast("long")
+          .as("minute"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("double").as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("double").as("purchases"))
+      graft.operators.TimeSeries.grangerTest(per, "minute", "minute",
+        "clicks", "purchases", p = 2, unitScale = 1L)
+    }),
+
     // Durbin-Watson on the per-minute volume trend: OLS from exact
     // moments, ordered residual folds, DW ~ 2 = uncorrelated.
     "q_durbin_watson" -> ((s, dir) => {
@@ -2587,6 +2603,23 @@ $fieldRows"""
         (3L, "vector stream")).toDF("query_id", "qtext")
       graft.operators.TextAnalysis.rm3ExpandQueries(
         t(s, dir, "documents").select("doc_id", "text"), qs,
+        fbDocs = 5, fbTerms = 8, alpha = 0.5)
+    }),
+
+    // RM3 over the PERSISTED BM25 store: the feedback pass probes the
+    // index (pushed term filter) and the relevance model's tf/|d|
+    // reads come from postings + doclens under a pushed doc-id
+    // filter — no corpus scan anywhere; must bit-match text_rm3.
+    "text_rm3_index" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val qs = Seq((1L, "hash join strategy"), (2L, "slow scan filter"),
+        (3L, "vector stream")).toDF("query_id", "qtext")
+      val dest = java.nio.file.Files.createTempDirectory("graft-rm3-q")
+        .toString
+      graft.operators.TextAnalysis.buildBm25Index(
+        t(s, dir, "documents").select("doc_id", "text"), dest)
+      graft.operators.TextAnalysis.rm3ExpandQueriesFromIndex(s, dest, qs,
         fbDocs = 5, fbTerms = 8, alpha = 0.5)
     }),
 
@@ -3788,6 +3821,21 @@ $fieldRows"""
         sum("doc_id").cast("long").as("id_sum"))
     }),
 
+    // The FAIRNESS-gated corpus build: the same content stages with
+    // the four-fifths-rule release gate auditing per-language
+    // selection rates (passing here — the quality cut prunes every
+    // language near-uniformly on this corpus; the refusal path is
+    // spec-pinned in CorpusPipelineSpec). Value-neutral when green,
+    // so the oracle replicates only the content stages.
+    "training_corpus_fair" -> ((s, dir) => {
+      import graft.pipelines.{CorpusPipeline, CorpusPrepConfig}
+      val kept = CorpusPipeline.prepare(
+        t(s, dir, "documents").select("doc_id", "text", "lang"),
+        CorpusPrepConfig(releaseFairness = Some(("lang", 0.8))))
+      kept.agg(count(lit(1)).as("kept_docs"),
+        sum("doc_id").cast("long").as("id_sum"))
+    }),
+
     // Streaming snapshot ingestion: a real MemoryStream drives
     // streamToSnapshots through two micro-batches — each commits as the
     // repo's next snapshot generation; scoped reads see exactly their
@@ -4753,6 +4801,226 @@ $fieldRows"""
       |       per.kn_ce
       |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin
 
+  /**
+   * Generated Granger-lag-p oracle (q_granger_p): replays
+   * [[graft.operators.TimeSeries.grangerTest]]'s driver arithmetic
+   * term-for-term — exact HUGEINT moments over the per-minute
+   * clicks/purchases series, HUGEINT→DOUBLE casts, fixed-pivot
+   * Gaussian elimination unrolled one CTE per pivot step (update
+   * m_ij − (m_ik/m_kk)·m_kj for rows i > k, cols j > k), sequential
+   * back-substitution CTEs, RSS = y'y − Σ β_j·(X'y)_j left-assoc —
+   * the Markov-attribution elimination-oracle pattern.
+   */
+  private def grangerPOracleSql(p: Int): String = {
+    val d = 2 * p + 1
+    // moment cell names mirror the operator: s{i}, s{i}_{j}, q{i}
+    def sName(i: Int, j: Int): String = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      if (a == 0 && b == 0) "nd" else if (a == 0) s"s$b" else s"s${a}_$b"
+    }
+    val lagSel = ((1 to p).map(k =>
+      s"lag(uy, $k) OVER (ORDER BY ts, id) AS z$k") ++
+      (1 to p).map(k =>
+        s"lag(ux, $k) OVER (ORDER BY ts, id) AS z${p + k}")).mkString(", ")
+    val notNull = (1 to 2 * p).map(k => s"z$k IS NOT NULL")
+      .mkString(" AND ")
+    val momSums = (Seq("count(*) AS n",
+      "sum(CAST(uy AS HUGEINT) * uy) AS syy",
+      "sum(CAST(uy AS HUGEINT)) AS q0") ++
+      (1 to 2 * p).map(i => s"sum(CAST(z$i AS HUGEINT)) AS s$i") ++
+      (for (i <- 1 to 2 * p; j <- i to 2 * p) yield
+        s"sum(CAST(z$i AS HUGEINT) * z$j) AS s${i}_$j") ++
+      (1 to 2 * p).map(i => s"sum(CAST(z$i AS HUGEINT) * uy) AS q$i"))
+      .mkString(", ")
+    val castD = (Seq("n", "CAST(n AS DOUBLE) AS nd",
+      "CAST(syy AS DOUBLE) AS syy", "CAST(q0 AS DOUBLE) AS q0") ++
+      (1 to 2 * p).map(i => s"CAST(s$i AS DOUBLE) AS s$i") ++
+      (for (i <- 1 to 2 * p; j <- i to 2 * p) yield
+        s"CAST(s${i}_$j AS DOUBLE) AS s${i}_$j") ++
+      (1 to 2 * p).map(i => s"CAST(q$i AS DOUBLE) AS q$i"))
+      .mkString(", ")
+    // one elimination per model: pfx 'a' = full (dim = d), 'b' =
+    // restricted (dim = p+1); initial entries from the shared moments
+    def elim(pfx: String, dim: Int): String = {
+      val init = (for (i <- 0 until dim; j <- 0 to dim) yield {
+        val src = if (j == dim) s"q$i" else sName(i, j)
+        s"$src AS ${pfx}${i}_$j"
+      }).mkString(", ")
+      val steps = (0 until dim - 1).map { k =>
+        val prev = if (k == 0) s"${pfx}0c" else s"${pfx}e$k"
+        val cols = (for (i <- 0 until dim; j <- 0 to dim) yield {
+          if (i > k && j > k)
+            s"${pfx}${i}_$j - (${pfx}${i}_$k / ${pfx}${k}_$k) * " +
+              s"${pfx}${k}_$j AS ${pfx}${i}_$j"
+          else s"${pfx}${i}_$j"
+        }).mkString(", ")
+        s"${pfx}e${k + 1} AS (SELECT n, syy, " +
+          (0 to 2 * p).map(i => s"q$i").mkString(", ") +
+          s", $cols FROM $prev)"
+      }
+      val backs = (dim - 1 to 0 by -1).map { i =>
+        val prev = if (i == dim - 1) s"${pfx}e${dim - 1}"
+        else s"${pfx}v${i + 1}"
+        val acc = s"${pfx}${i}_$dim" +
+          (i + 1 until dim).map(j => s" - ${pfx}${i}_$j * ${pfx}w$j")
+            .mkString
+        s"${pfx}v$i AS (SELECT *, ($acc) / ${pfx}${i}_$i AS ${pfx}w$i " +
+          s"FROM $prev)"
+      }
+      val rss = s"syy" +
+        (0 until dim).map(j => s" - ${pfx}w$j * q$j").mkString
+      (Seq(s"${pfx}0c AS (SELECT n, syy, " +
+        (0 to 2 * p).map(i => s"q$i").mkString(", ") +
+        s", $init FROM d0)") ++ steps ++ backs :+
+        s"${pfx}r AS (SELECT n, ($rss) AS rss_${pfx} FROM ${pfx}v0)")
+        .mkString(",\n")
+    }
+    val df2 = s"n - ${2 * p + 1}"
+    s"""WITH per AS (SELECT
+       |    CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+       |      / 60000000000 AS BIGINT) AS minute,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS clicks,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS purch
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT minute AS ts, minute AS id,
+       |    CAST(round(clicks * 1.0) AS BIGINT) AS ux,
+       |    CAST(round(purch * 1.0) AS BIGINT) AS uy FROM per),
+       |l AS (SELECT uy, $lagSel FROM b),
+       |cm AS (SELECT * FROM l WHERE $notNull),
+       |m AS (SELECT $momSums FROM cm),
+       |d0 AS (SELECT $castD FROM m),
+       |${elim("b", p + 1)},
+       |${elim("a", d)}
+       |SELECT ar.n, CAST($p AS INTEGER) AS df1,
+       |  CAST(ar.n - ${2 * p + 1} AS BIGINT) AS df2,
+       |  CASE WHEN isfinite(rss_b) THEN round(rss_b, 4) + 0 END
+       |    AS rss_r,
+       |  CASE WHEN isfinite(rss_a) THEN round(rss_a, 4) + 0 END
+       |    AS rss_f,
+       |  CASE WHEN ar.n >= ${2 * p + 2} AND isfinite(rss_b)
+       |      AND isfinite(rss_a) AND rss_a > 0
+       |    THEN round(((rss_b - rss_a) / ${p}.0)
+       |      / (rss_a / CAST(ar.n - ${2 * p + 1} AS DOUBLE)), 4) + 0
+       |  END AS f_stat
+       |FROM ar, br""".stripMargin
+  }
+
+  /** Shared gated-corpus oracle: training_corpus_gated (privacy +
+    * expectation gates) and training_corpus_fair (four-fifths gate)
+    * run the SAME content stages — exact keep-first dedup +
+    * quality/token — and their gates are value-neutral when green. */
+  private val gatedCorpusOracleSql: String =
+    """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents
+      |            GROUP BY text),
+      |q AS (
+      |  SELECT doc_id, length(text) AS chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+      |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
+      |      t -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by'], t))) AS stop_en
+      |  FROM dd),
+      |scored AS (
+      |  SELECT doc_id, round(
+      |      least(round(alpha / greatest(chars, 1), 4) * 1.2, 1.0) * 0.5 +
+      |      least(round(stop_en / greatest(toks, 1), 4) * 4.0, 1.0) * 0.3 +
+      |      CASE WHEN toks BETWEEN 10 AND 10000 THEN 0.2 ELSE 0.0 END, 4) AS quality_score,
+      |    toks
+      |  FROM q)
+      |SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM scored
+      |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin
+
+  /** Shared RM3 oracle: text_rm3 (direct) and text_rm3_index
+    * (persisted-store probe + index feedback read) must BOTH land
+    * on these bits — one arithmetic path, two execution shapes. */
+  private val rm3OracleSql: String =
+    """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join strategy'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'vector stream')),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+        |    END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
+        |  FROM docs),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
+        |  FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
+        |    lens.dl, st.n, st.tot
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
+        |c AS (SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS contrib
+        |  FROM m),
+        |f AS (SELECT query_id, doc_id, contrib,
+        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY term) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
+        |  FROM c),
+        |sc AS (SELECT query_id, doc_id, round(run, 4) AS bm25
+        |  FROM f WHERE rn = nt),
+        |fb AS (SELECT query_id, doc_id,
+        |    CAST(round(bm25 * 10000) AS BIGINT) AS s4
+        |  FROM (SELECT query_id, doc_id, bm25, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+        |    FROM sc) WHERE rk <= 5),
+        |stot AS (SELECT query_id, CAST(sum(s4) AS BIGINT) AS stot
+        |  FROM fb GROUP BY 1),
+        |ftf AS (SELECT fb.query_id, fb.doc_id, fb.s4,
+        |    CAST(len(d.t) AS BIGINT) AS dl, tok.term, count(*) AS tf
+        |  FROM fb JOIN docs d USING (doc_id),
+        |    LATERAL (SELECT unnest(d.t) AS term) tok
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |pr0 AS (SELECT ftf.query_id, ftf.term, ftf.doc_id,
+        |    (CAST(s4 AS DOUBLE) / CAST(stot AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) AS contrib
+        |  FROM ftf JOIN stot USING (query_id)),
+        |prf AS (SELECT query_id, term,
+        |    sum(contrib) OVER (PARTITION BY query_id, term
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY query_id, term
+        |      ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY query_id, term) AS nt
+        |  FROM pr0),
+        |pr AS (SELECT query_id, term, run AS p_r FROM prf WHERE rn = nt),
+        |qtok AS (SELECT query_id, unnest(
+        |    regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term
+        |  FROM q),
+        |qc AS (SELECT query_id, term, count(*) AS qtf
+        |  FROM qtok GROUP BY 1, 2),
+        |ql AS (SELECT query_id, count(*) AS qlen FROM qtok GROUP BY 1),
+        |pq AS (SELECT qc.query_id, qc.term,
+        |    CAST(qtf AS DOUBLE) / CAST(qlen AS DOUBLE) AS p_q
+        |  FROM qc JOIN ql USING (query_id)),
+        |mix AS (SELECT COALESCE(pq.query_id, pr.query_id) AS query_id,
+        |    COALESCE(pq.term, pr.term) AS term,
+        |    0.5 * COALESCE(p_q, 0.0) + 0.5 * COALESCE(p_r, 0.0) AS w
+        |  FROM pq FULL OUTER JOIN pr
+        |    ON pq.query_id = pr.query_id AND pq.term = pr.term),
+        |rk AS (SELECT query_id, term, w, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY w DESC, term) AS rank
+        |  FROM mix)
+        |SELECT query_id, term, round(w, 6) AS rm3_weight,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 8""".stripMargin
+
+
   /** Shared full-corpus BM25 oracle: text_bm25_index (build +
     * probe) and text_bm25_append (build-half + delta-half) must
     * BOTH land on these bits while reading only index files. */
@@ -5522,29 +5790,13 @@ $fieldRows"""
         |  FROM q)
         |SELECT count(*) AS kept_docs FROM scored
         |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
-    // Gated build: gates pass (value-neutral), so the oracle is the
+    // Gated builds: gates pass (value-neutral), so the oracle is the
     // content stages only — exact keep-first dedup + quality/token.
-    "training_corpus_gated" ->
-      """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents
-        |            GROUP BY text),
-        |q AS (
-        |  SELECT doc_id, length(text) AS chars,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
-        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-        |    len(list_filter(list_transform(regexp_split_to_array(text, '\s+'), t -> lower(t)),
-        |      t -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by'], t))) AS stop_en
-        |  FROM dd),
-        |scored AS (
-        |  SELECT doc_id, round(
-        |      least(round(alpha / greatest(chars, 1), 4) * 1.2, 1.0) * 0.5 +
-        |      least(round(stop_en / greatest(toks, 1), 4) * 4.0, 1.0) * 0.3 +
-        |      CASE WHEN toks BETWEEN 10 AND 10000 THEN 0.2 ELSE 0.0 END, 4) AS quality_score,
-        |    toks
-        |  FROM q)
-        |SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM scored
-        |WHERE quality_score >= 0.5 AND toks BETWEEN 5 AND 10000""".stripMargin,
+    // Shared by the privacy-gated and fairness-gated facades: both run
+    // identical content stages, differing only in which (passing)
+    // refusal audits they carry.
+    "training_corpus_gated" -> gatedCorpusOracleSql,
+    "training_corpus_fair" -> gatedCorpusOracleSql,
     "text_redact" ->
       """WITH r AS (
         |  SELECT text, regexp_replace(text, '[0-9]{4,}', '<NUM>', 'g') AS clean
@@ -8588,89 +8840,12 @@ $fieldRows"""
     // RM3: the text_bm25_multi scoring machinery, then top-5 feedback
     // docs (4dp-score ×10⁴ exact-integer mass), doc-id-ordered p(t|R)
     // folds, the 50/50 mix with p(t|q), top-8 terms per query.
-    "text_rm3" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |    (CAST(1 AS BIGINT), 'hash join strategy'),
-        |    (CAST(2 AS BIGINT), 'slow scan filter'),
-        |    (CAST(3 AS BIGINT), 'vector stream')),
-        |docs AS (SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
-        |    END AS t
-        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS term FROM docs) GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
-        |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot
-        |  FROM docs),
-        |qt AS (SELECT query_id, unnest(list_distinct(
-        |    regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS term
-        |  FROM q),
-        |m AS (SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df,
-        |    lens.dl, st.n, st.tot
-        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
-        |    JOIN lens ON tf.doc_id = lens.doc_id, st),
-        |c AS (SELECT query_id, doc_id, term,
-        |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
-        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-        |         + 0.75 * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))
-        |      AS contrib
-        |  FROM m),
-        |f AS (SELECT query_id, doc_id, contrib,
-        |    sum(contrib) OVER (PARTITION BY query_id, doc_id
-        |      ORDER BY term ROWS UNBOUNDED PRECEDING) AS run,
-        |    row_number() OVER (PARTITION BY query_id, doc_id
-        |      ORDER BY term) AS rn,
-        |    count(*) OVER (PARTITION BY query_id, doc_id) AS nt
-        |  FROM c),
-        |sc AS (SELECT query_id, doc_id, round(run, 4) AS bm25
-        |  FROM f WHERE rn = nt),
-        |fb AS (SELECT query_id, doc_id,
-        |    CAST(round(bm25 * 10000) AS BIGINT) AS s4
-        |  FROM (SELECT query_id, doc_id, bm25, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
-        |    FROM sc) WHERE rk <= 5),
-        |stot AS (SELECT query_id, CAST(sum(s4) AS BIGINT) AS stot
-        |  FROM fb GROUP BY 1),
-        |ftf AS (SELECT fb.query_id, fb.doc_id, fb.s4,
-        |    CAST(len(d.t) AS BIGINT) AS dl, tok.term, count(*) AS tf
-        |  FROM fb JOIN docs d USING (doc_id),
-        |    LATERAL (SELECT unnest(d.t) AS term) tok
-        |  GROUP BY 1, 2, 3, 4, 5),
-        |pr0 AS (SELECT ftf.query_id, ftf.term, ftf.doc_id,
-        |    (CAST(s4 AS DOUBLE) / CAST(stot AS DOUBLE))
-        |      * (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) AS contrib
-        |  FROM ftf JOIN stot USING (query_id)),
-        |prf AS (SELECT query_id, term,
-        |    sum(contrib) OVER (PARTITION BY query_id, term
-        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run,
-        |    row_number() OVER (PARTITION BY query_id, term
-        |      ORDER BY doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY query_id, term) AS nt
-        |  FROM pr0),
-        |pr AS (SELECT query_id, term, run AS p_r FROM prf WHERE rn = nt),
-        |qtok AS (SELECT query_id, unnest(
-        |    regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term
-        |  FROM q),
-        |qc AS (SELECT query_id, term, count(*) AS qtf
-        |  FROM qtok GROUP BY 1, 2),
-        |ql AS (SELECT query_id, count(*) AS qlen FROM qtok GROUP BY 1),
-        |pq AS (SELECT qc.query_id, qc.term,
-        |    CAST(qtf AS DOUBLE) / CAST(qlen AS DOUBLE) AS p_q
-        |  FROM qc JOIN ql USING (query_id)),
-        |mix AS (SELECT COALESCE(pq.query_id, pr.query_id) AS query_id,
-        |    COALESCE(pq.term, pr.term) AS term,
-        |    0.5 * COALESCE(p_q, 0.0) + 0.5 * COALESCE(p_r, 0.0) AS w
-        |  FROM pq FULL OUTER JOIN pr
-        |    ON pq.query_id = pr.query_id AND pq.term = pr.term),
-        |rk AS (SELECT query_id, term, w, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY w DESC, term) AS rank
-        |  FROM mix)
-        |SELECT query_id, term, round(w, 6) AS rm3_weight,
-        |  CAST(rank AS INTEGER) AS rank
-        |FROM rk WHERE rank <= 8""".stripMargin,
+    "text_rm3" -> rm3OracleSql,
+    // Index-backed RM3 = the direct expander's math on the same
+    // corpus: the oracle recomputes from the raw documents table —
+    // the Spark side must land on identical bits while reading ONLY
+    // index files (probe + feedback token read both from the store).
+    "text_rm3_index" -> rm3OracleSql,
     // Index probe = the direct scorer's math on the same corpus: the
     // oracle recomputes BM25 from the raw documents table — the Spark
     // side must land on identical bits while reading ONLY index files.
@@ -8968,6 +9143,9 @@ $fieldRows"""
         |    round((rss_r - rss_f) / (rss_f / CAST(n - 3 AS DOUBLE)), 4)
         |  END AS f_stat
         |FROM rr""".stripMargin,
+    // Granger lag-2: the generated elimination-replay oracle (every
+    // pivot update and back-substitution term mirrored).
+    "q_granger_p" -> grangerPOracleSql(2),
     // Durbin-Watson: exact moment OLS + ordered residual folds.
     "q_durbin_watson" ->
       """WITH per AS (SELECT
@@ -9009,11 +9187,11 @@ $fieldRows"""
         |      ROWS UNBOUNDED PRECEDING) AS den2
         |  FROM w)
         |SELECT f2.n,
-        |  CASE WHEN f2.den <> 0 THEN round(f2.bb, 6) END AS slope,
-        |  CASE WHEN f2.den <> 0 THEN round(f2.aa / 1.0, 6) END
+        |  CASE WHEN f2.den <> 0 THEN round(f2.bb, 6) + 0 END AS slope,
+        |  CASE WHEN f2.den <> 0 THEN round(f2.aa / 1.0, 6) + 0 END
         |    AS intercept,
         |  CASE WHEN f2.den <> 0 AND s.den2 > 0 AND f2.n >= 2
-        |    THEN round(s.num / s.den2, 6) END AS dw
+        |    THEN round(s.num / s.den2, 6) + 0 END AS dw
         |FROM s, f2 WHERE s.rn = f2.n""".stripMargin,
     // Brown-Forsythe: exact doubled median deviations, HUGEINT
     // moments, pinned group-order fold.

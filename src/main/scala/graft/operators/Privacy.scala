@@ -171,19 +171,32 @@ object Privacy {
    * Scale shape: one (quasi, sensitive) aggregate + one sensitive
    * aggregate, then a CLASS × LEVEL grid (the full cross of class list
    * and global level list — zero cells must exist for the cumulative
-   * walk; grid size = classes · levels, the audit's honest cost —
-   * quantize the sensitive column upstream if levels are unbounded)
-   * with per-class ordered windows over it.
+   * walk; grid size = classes · levels, the audit's honest cost).
+   * The grid is FAIL-LOUD gated at `maxGridCells` (the
+   * [[graft.operators.Events]] `guardedSurvivalLevels` convention —
+   * both input frames are lineage-cut and counted BEFORE the crossJoin
+   * is planned; an unquantized continuous sensitive column makes
+   * levels row-sized and the grid quadratic-ish, so the gate's escape
+   * is quantize-the-sensitive-column-upstream). The two count jobs are
+   * keys-only aggregates whose results feed the grid without a rescan.
+   *
+   * Degenerate input: an entirely-NULL sensitive column (zero levels)
+   * emits one row per class with NULL `t_value` and `violates = true` —
+   * the never-drop contract holds even when the grid would be empty,
+   * so a [[graft.pipelines.CorpusPipeline]] t-closeness release gate
+   * fails CLOSED, not silently open.
    *
    * Returns one row per class: (quasi columns…, `class_size`,
    * `t_value`, `violates`).
    */
   def tClosenessClasses(df: DataFrame, quasiCols: Seq[String],
                         sensitiveCol: String,
-                        tThreshold: Double): DataFrame = {
+                        tThreshold: Double,
+                        maxGridCells: Long = 10000000L): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(tThreshold > 0.0 && tThreshold < 1.0,
       s"tThreshold must be in (0,1): $tThreshold")
+    require(maxGridCells >= 1, s"maxGridCells must be >= 1: $maxGridCells")
     val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in the frame: $missing")
     import org.apache.spark.sql.expressions.Window
@@ -192,13 +205,31 @@ object Privacy {
       .agg(count(lit(1)).as("__c"))
     val sNotNull = col(sensitiveCol).isNotNull
     // class frame: TOTAL size + non-null sensitive count
-    val classes = cells.groupBy(quasiCols.map(col): _*)
+    val classes = graft.core.LineageCut.cut(cells
+      .groupBy(quasiCols.map(col): _*)
       .agg(sum("__c").as("class_size"),
-        sum(when(sNotNull, col("__c")).otherwise(0L)).as("__nc"))
+        sum(when(sNotNull, col("__c")).otherwise(0L)).as("__nc")))
     // global sensitive levels with counts (non-null only)
-    val levels = df.filter(sNotNull)
+    val levels = graft.core.LineageCut.cut(df.filter(sNotNull)
       .groupBy(col(sensitiveCol).as("__v"))
-      .agg(count(lit(1)).as("__gq"))
+      .agg(count(lit(1)).as("__gq")))
+    val nClasses = classes.count()
+    val nLevels = levels.count()
+    if (nLevels == 0L) {
+      // entirely-NULL sensitive column: no distribution to compare —
+      // every class is the all-NULL case; surface them all, fail closed
+      return classes.select((quasiCols.map(col) :+
+        col("class_size") :+
+        lit(null).cast("double").as("t_value") :+
+        lit(true).as("violates")): _*)
+    }
+    require(nClasses * nLevels <= maxGridCells,
+      s"tClosenessClasses: $nClasses classes x $nLevels sensitive " +
+        s"levels = ${nClasses * nLevels} grid cells exceeds " +
+        s"maxGridCells=$maxGridCells — the EMD walk materializes the " +
+        "full class-x-level grid; quantize the sensitive column " +
+        "upstream (bucket continuous values) or raise maxGridCells " +
+        "deliberately")
     val gTotals = levels.agg(sum("__gq").as("__gn"),
       count(lit(1)).as("__m"))
     val grid = classes.crossJoin(levels)
@@ -265,6 +296,13 @@ object Privacy {
     val missing = Seq(groupCol, labelCol, predCol)
       .filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in the frame: $missing")
+    // the group column is renamed back over the fixed report columns —
+    // a colliding name would produce a duplicate output column
+    val fixed = Set("n", "base_rate", "pred_rate", "tpr", "fpr",
+      "dp_ratio")
+    require(!fixed.contains(groupCol),
+      s"fairnessReport: groupCol '$groupCol' collides with a fixed " +
+        s"report column (${fixed.mkString(", ")}); alias it upstream")
     import org.apache.spark.sql.expressions.Window
     val base = df
       .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&

@@ -628,12 +628,17 @@ object Profiling {
     folded.filter(col("__rn") === col("n"))
       .select(col("n"),
         // unit scale cancels in the slope (both axes scaled); the
-        // intercept is in y-units and divides back once
-        when(col("__ok"), round(col("__b"), 6)).as("slope"),
-        when(col("__ok"), round(col("__a") / lit(unitScale.toDouble), 6))
+        // intercept is in y-units and divides back once. roundz: a
+        // flat trend's slope rounds to zero FROM BELOW — signed-zero
+        // normalized on both engines (graft.core.Num).
+        when(col("__ok"), graft.core.Num.roundz(col("__b"), 6))
+          .as("slope"),
+        when(col("__ok"),
+          graft.core.Num.roundz(col("__a") / lit(unitScale.toDouble), 6))
           .as("intercept"),
         when(col("__ok") && col("__den") > 0.0 && col("n") >= 2L,
-          round(col("__num") / col("__den"), 6)).as("dw"))
+          graft.core.Num.roundz(col("__num") / col("__den"), 6))
+          .as("dw"))
   }
 
   /**
@@ -1544,6 +1549,216 @@ object Profiling {
     folded.select(col("segment"), col("n_t"), col("n_c"),
       round((col("n_t") * col("n_c")).cast("double") / (nTot * nTot) *
         col("__run"), 6).as("t_stat"))
+  }
+
+  /**
+   * Two-sample Anderson-Darling test per segment (Anderson & Darling
+   * 1952; the k-sample right-continuous-ECDF form of Scholz &
+   * Stephens 1987 at k = 2) — the tail-weighted member of the
+   * distribution-equality trio ([[ksTest]] reads the max gap,
+   * [[cramerVonMises]] the mean squared gap, AD weights the squared
+   * gap by 1/(F(1−F)) so DIFFERENT TAILS count): for pooled level
+   * cumulative counts B_j, treatment cumulatives M_j, level sizes
+   * h_j, A² = (1/(n_t·n_c)) · Σ_{j: B_j<N} h_j·(N·M_j − n_t·B_j)² /
+   * (B_j·(N−B_j)). Statistic-only (the [[anovaF]] convention —
+   * consume with the Scholz-Stephens table; ≈ 2.49 at 5% for large
+   * samples).
+   *
+   * EXACTNESS: values quantize at `unitScale`; level counts and both
+   * cumulatives are exact longs; each level's d = N·M_j − n_t·B_j is
+   * an exact long difference (group sizes guarded so the products fit
+   * a long), squared AFTER one double cast; the level contributions
+   * accumulate as an ORDERED window fold in value order (the
+   * kaplanMeier convention); `a2_stat` rounds 6dp. A single-level
+   * segment (all values equal) reads A² = 0.
+   *
+   * Scale shape: identical to [[cramerVonMises]] — one (segment,
+   * value) aggregate, per-segment ordered windows over the LEVEL
+   * frame (bounded when values are quantized).
+   *
+   * Output one row per segment: (`segment`, `n_t`, `n_c`, `a2_stat`).
+   */
+  def andersonDarling(df: DataFrame, segmentCol: String, groupCol: String,
+                      treatment: String, valueCol: String,
+                      unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val base = df
+      .filter(col(segmentCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("segment"),
+        (col(groupCol).cast("string") === treatment).as("treated"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val levels = base.groupBy("segment", "u")
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("treated"), 0L).otherwise(1L)).as("cc"))
+    val ord = Window.partitionBy("segment").orderBy("u")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val totW = Window.partitionBy("segment")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = levels
+      .withColumn("cumt", sum("ct").over(cumW))
+      .withColumn("cumc", sum("cc").over(cumW))
+      .withColumn("n_t", sum("ct").over(totW))
+      .withColumn("n_c", sum("cc").over(totW))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      // N·M must fit a long: N ≤ 3e9 keeps N·M ≤ 9e18 < 2⁶³
+      .filter(when(col("n_t") + col("n_c") > 3000000000L,
+        raise_error(lit("andersonDarling: pooled size exceeds the " +
+          "exact N*M long range")).cast("boolean")).otherwise(lit(true)))
+    val nTot = col("n_t") + col("n_c")
+    val bj = col("cumt") + col("cumc")
+    val dj = (nTot * col("cumt") - col("n_t") * bj).cast("double")
+    val term = when(bj < nTot,
+      (col("ct") + col("cc")).cast("double") * (dj * dj) /
+        (bj * (nTot - bj)).cast("double")).otherwise(lit(0.0))
+    val folded = cum
+      .withColumn("__run", sum(term).over(cumW))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__nl", count(lit(1)).over(totW))
+      .filter(col("__rn") === col("__nl"))
+    folded.select(col("segment"), col("n_t"), col("n_c"),
+      round(col("__run") / (col("n_t") * col("n_c")).cast("double"), 6)
+        .as("a2_stat"))
+  }
+
+  /**
+   * Mann-Kendall trend test (Mann 1945; Kendall 1975) — the
+   * distribution-free "is this series monotonically trending"
+   * question [[graft.operators.TimeSeries]] callers ask before
+   * fitting [[linearFit]]'s slope to it: S = Σ_{i<j} sgn(v_j − v_i)
+   * over TIME order, with the tie-corrected normal approximation
+   * Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18 and the
+   * continuity-corrected Z = (S ∓ 1)/√Var. Statistic-only with `z`
+   * emitted (consume with a normal table — the [[wilsonInterval]]
+   * no-erf convention).
+   *
+   * EXACTNESS: values quantize at `unitScale`; S is an EXACT LONG sum
+   * of sign comparisons over the gated pair join; both variance
+   * numerator terms are exact decimal integers; Var is ONE division
+   * by 18; Z is a fixed chain through [[graft.core.Num.roundz]] 6dp
+   * (a tiny negative S rounds to signed zero otherwise); Z = 0 when
+   * S = 0, NULL when Var ≤ 0 (all values tied) or n < 2.
+   *
+   * Scale shape: the pair join is honestly QUADRATIC — n(n−1)/2
+   * sign cells through one map-side-combined aggregate — so `maxRows`
+   * fails loud at a default sized for bucket-aggregated series (the
+   * [[kendallTau]] maxCells convention: MK on 10⁹ raw points has no
+   * more power than on 10⁴ bucket means; aggregate upstream).
+   *
+   * Output one row: (`n`, `s_stat`, `var_s`, `z`).
+   */
+  def mannKendallTrend(obs: DataFrame, tsCol: String, idCol: String,
+                       valueCol: String, unitScale: Long = 100L,
+                       maxRows: Long = 20000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+    val dec = "decimal(38,0)"
+    val base = graft.core.LineageCut.cut(obs
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u")))
+    val n = base.count()
+    require(n <= maxRows,
+      s"mannKendallTrend: $n rows exceeds maxRows=$maxRows — the sign " +
+        "sum is an exact PAIR join (n(n-1)/2 cells); aggregate the " +
+        "series to a coarser grid upstream or raise maxRows deliberately")
+    val a = base.select(col("ts").as("ts_a"), col("id").as("id_a"),
+      col("u").as("u_a"))
+    val b = base.select(col("ts").as("ts_b"), col("id").as("id_b"),
+      col("u").as("u_b"))
+    val pairs = a.join(b,
+      col("ts_a") < col("ts_b") ||
+        (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")))
+    val sAgg = pairs.agg(coalesce(sum(
+      when(col("u_b") > col("u_a"), 1L)
+        .when(col("u_b") < col("u_a"), -1L).otherwise(0L)), lit(0L))
+      .as("s"))
+    // tie term over value levels: Σ t(t−1)(2t+5) as exact decimal
+    val ties = base.groupBy("u").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1L) *
+        (col("t") * 2L + 5L)), lit(0L).cast(dec)).as("tie"))
+    val nDec = lit(n).cast(dec)
+    val varS = (nDec * (n - 1L) * (2L * n + 5L) - col("tie"))
+      .cast("double") / 18.0
+    val z = when(col("s") > 0L, (col("s") - 1L).cast("double") /
+        sqrt(varS))
+      .when(col("s") < 0L, (col("s") + 1L).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.crossJoin(ties).select(lit(n).as("n"), col("s").as("s_stat"),
+      when(lit(n) >= 2L, round(varS, 6)).as("var_s"),
+      when(lit(n) >= 2L && varS > 0.0, graft.core.Num.roundz(z, 6))
+        .as("z"))
+  }
+
+  /**
+   * Murphy decomposition of the Brier score (Murphy 1973):
+   * reliability − resolution + uncertainty over the QUANTIZED
+   * forecast levels — the diagnostic [[brierScore]] rolls up
+   * ([[calibrationReport]] shows WHERE calibration fails; this says
+   * how much of the score is miscalibration vs lack of
+   * discrimination vs irreducible base-rate noise). REL =
+   * Σ t_ℓ(p̄_ℓ − ō_ℓ)²/n, RES = Σ t_ℓ(ō_ℓ − ō)²/n, UNC = ō(1 − ō);
+   * on forecast-VALUE levels (not coarse bins) the identity
+   * brier = REL − RES + UNC is EXACT for the quantized forecasts.
+   *
+   * EXACTNESS: forecasts quantize at `unitScale` (out-of-range fails
+   * loud, the [[brierScore]] guard); level/positive counts are exact
+   * longs; each level term is a fixed IEEE chain on exact-int
+   * doubles; REL and RES accumulate as ORDERED window folds in level
+   * order (the kaplanMeier convention); UNC is one chain from the
+   * global exact counts; everything rounds 6dp through
+   * [[graft.core.Num.roundz]].
+   *
+   * Scale shape: ONE (level) aggregate — the level frame is bounded
+   * by unitScale + 1 by construction — then single-task ordered folds
+   * over it. Output one row: (`n`, `brier`, `reliability`,
+   * `resolution`, `uncertainty`).
+   */
+  def brierDecomposition(df: DataFrame, probCol: String,
+                         labelCol: String,
+                         unitScale: Long = 1000L): DataFrame = {
+    require(unitScale >= 1 && unitScale <= 100000000L,
+      s"unitScale in [1, 1e8]: $unitScale")
+    val base = df
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("pos"),
+        round(col(probCol) * unitScale).cast("long").as("up"))
+      .filter(when(col("up") < 0L || col("up") > unitScale,
+        raise_error(lit("brierDecomposition: probability outside " +
+          "[0, 1]")).cast("boolean")).otherwise(lit(true)))
+    val levels = base.groupBy("up").agg(count(lit(1)).as("t"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("s"))
+    val ord = Window.orderBy("up")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val totW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val uD = lit(unitScale.toDouble)
+    val nD = col("__n").cast("double")
+    val oBar = col("__s").cast("double") / nD
+    val pBar = col("up").cast("double") / uD
+    val oLvl = col("s").cast("double") / col("t").cast("double")
+    val relTerm = col("t").cast("double") *
+      ((pBar - oLvl) * (pBar - oLvl)) / nD
+    val resTerm = col("t").cast("double") *
+      ((oLvl - oBar) * (oLvl - oBar)) / nD
+    val folded = levels
+      .withColumn("__n", sum("t").over(totW))
+      .withColumn("__s", sum("s").over(totW))
+      .withColumn("__rel", sum(relTerm).over(cumW))
+      .withColumn("__res", sum(resTerm).over(cumW))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__nl", count(lit(1)).over(totW))
+      .filter(col("__rn") === col("__nl"))
+    val unc = oBar * (lit(1.0) - oBar)
+    folded.select(col("__n").as("n"),
+      graft.core.Num.roundz(col("__rel") - col("__res") + unc, 6)
+        .as("brier"),
+      graft.core.Num.roundz(col("__rel"), 6).as("reliability"),
+      graft.core.Num.roundz(col("__res"), 6).as("resolution"),
+      graft.core.Num.roundz(unc, 6).as("uncertainty"))
   }
 
   /**

@@ -1631,8 +1631,98 @@ object TextAnalysis {
       .groupBy("query_id", "__id", "__s4", "__len", "term")
       .agg(count(lit(1)).as("__tf"))
       .join(broadcast(sTot), Seq("query_id"))
-    val contrib = (col("__s4").cast("double") / col("__stot").cast("double")) *
-      (col("__tf").cast("double") / col("__len").cast("double"))
+    rm3Epilogue(fbTf, queries, queryIdCol, queryTextCol, fbTerms, alpha)
+  }
+
+  /**
+   * RM3 expansion over a PERSISTED [[buildBm25Index]] store — the
+   * build-once/expand-many form of [[rm3ExpandQueries]] (same
+   * arithmetic chains via the shared [[rm3Epilogue]], so on the same
+   * corpus the expansions bit-match): the feedback pass scores with
+   * [[bm25ScoresFromIndex]] (term-pruned postings probe — NO corpus
+   * scan), and the relevance model's tf(t,d)/|d| reads come from the
+   * index TOO (the feedback docs' postings rows under a pushed
+   * doc-id literal filter + their doclens rows), so the whole
+   * expansion touches only index files. This is the 100 TB shape: the
+   * corpus is scanned once at build time; every subsequent expansion
+   * reads ≤ (probe terms' postings + fbDocs·|d| postings rows).
+   *
+   * The feedback doc-id set is (queries × fbDocs)-bounded and becomes
+   * a driver-side literal pushed filter (the [[collectProbeTerms]]
+   * pattern), gated fail-loud at `maxFeedbackIds`.
+   */
+  def rm3ExpandQueriesFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                dest: String, queries: DataFrame,
+                                idCol: String = "doc_id",
+                                queryIdCol: String = "query_id",
+                                queryTextCol: String = "qtext",
+                                fbDocs: Int = 10, fbTerms: Int = 10,
+                                alpha: Double = 0.5,
+                                k1: Double = 1.2, b: Double = 0.75,
+                                maxProbeTerms: Int = 10000,
+                                maxFeedbackIds: Int = 100000): DataFrame = {
+    require(fbDocs >= 1 && fbDocs <= 1000, s"fbDocs in [1,1000]: $fbDocs")
+    require(fbTerms >= 1 && fbTerms <= 10000,
+      s"fbTerms in [1,10000]: $fbTerms")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1]: $alpha")
+    require(maxFeedbackIds >= 1, "maxFeedbackIds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25ScoresFromIndex(spark, dest, queries, idCol,
+      queryIdCol, queryTextCol, k1, b, maxProbeTerms)
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col(idCol).asc)
+    val fb = graft.core.LineageCut.cut(
+      scored.withColumn("__rk", row_number().over(wQ))
+        .filter(col("__rk") <= fbDocs)
+        .select(col("query_id"), col(idCol).as("__id"),
+          round(col("bm25") * 10000).cast("long").as("__s4")))
+    val sTot = fb.groupBy("query_id").agg(sum("__s4").as("__stot"))
+    // the feedback docs' token stats come from the INDEX: postings
+    // rows under a pushed doc-id literal filter (bounded by
+    // queries × fbDocs), lengths from doclens — no corpus in the plan
+    val ids = fb.select("__id").distinct()
+      .limit(maxFeedbackIds + 1).collect().map(_.get(0)).toSeq
+    require(ids.size <= maxFeedbackIds,
+      s"feedback set exceeds maxFeedbackIds=$maxFeedbackIds distinct " +
+        "docs — lower fbDocs / split the query batch or raise the " +
+        "bound deliberately (the id set becomes a driver-side literal " +
+        "pushed filter)")
+    val live = graft.core.Generations.resolve(spark, dest)
+    val post = spark.read.parquet(s"$live/postings")
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id").as("__id"), col("term"),
+        col("tf").as("__tf"))
+    val lens = spark.read.parquet(s"$live/doclens")
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id").as("__id"), col("len").as("__len"))
+    val fbTf = post
+      .join(broadcast(fb), Seq("__id"))
+      .join(broadcast(lens), Seq("__id"))
+      .join(broadcast(sTot), Seq("query_id"))
+      .select(col("query_id"), col("__id"), col("__s4"), col("__len"),
+        col("term"), col("__tf"), col("__stot"))
+    rm3Epilogue(fbTf, queries, queryIdCol, queryTextCol, fbTerms, alpha)
+  }
+
+  /**
+   * The shared RM3 mixing arithmetic over a prepared feedback
+   * term-frequency frame `fbTf` (`query_id`, `__id`, `__s4`, `__len`,
+   * `term`, `__tf`, `__stot` — one row per (query, feedback doc,
+   * term)): ONE path, so the direct and index-backed expanders
+   * bit-match on the same corpus (the [[bm25Probe]] convention).
+   */
+  private def rm3Epilogue(fbTf: DataFrame, queries: DataFrame,
+                          queryIdCol: String, queryTextCol: String,
+                          fbTerms: Int, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // zero feedback mass (every top-fbDocs score rounds to 0 at 4dp):
+    // w(d) would be 0/0 = NaN (double division is not ANSI-guarded) and
+    // NaN sorts LARGEST under the desc rank — guard it so p(t|R)
+    // contributes nothing and the documented (1-α)·p(t|q)-only
+    // fallback applies
+    val contrib = when(col("__stot") > 0L,
+      (col("__s4").cast("double") / col("__stot").cast("double")) *
+        (col("__tf").cast("double") / col("__len").cast("double")))
     val wFold = Window.partitionBy("query_id", "term").orderBy("__id")
     val pR = fbTf
       .withColumn("__run", sum(contrib).over(

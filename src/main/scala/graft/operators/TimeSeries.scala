@@ -660,6 +660,218 @@ object TimeSeries {
   }
 
   /**
+   * Granger causality at lag order `p` ∈ [1, 8] (Granger 1969) — the
+   * general form of [[grangerLag1]]: restricted AR(p) model
+   * y_t ~ 1 + y_{t−1..t−p} against the full model adding
+   * x_{t−1..t−p}, F = ((RSS_r − RSS_f)/p) / (RSS_f/(n − 2p − 1)),
+   * df = (p, n − 2p − 1). Past lag 1 the normal equations have no
+   * closed form, so the solve runs DRIVER-SIDE over the collected
+   * exact moments (the [[graft.operators.Events]] Markov-absorption
+   * pattern: bounded driver flops, corpus-independent): the driver
+   * holds one (2p+1)×(2p+2) double matrix per model and runs fixed-
+   * pivot Gaussian elimination — ≤ 17³ flops at the p = 8 cap,
+   * microseconds regardless of series length.
+   *
+   * EXACTNESS: both series quantize at `unitScale` (cancels in F); ALL
+   * raw moments (Σ z_i z_j over the complete t > p rows, z the design
+   * vector) accumulate as EXACT DECIMAL(38,0) and convert to double
+   * ONCE (correctly-rounded, = the oracle's HUGEINT→DOUBLE cast); the
+   * elimination runs in FIXED pivot order with the exact update/back-
+   * substitution operation ORDER the SQL oracle replays term-for-term;
+   * RSS = y'y − Σ_j β_j·(X'y)_j folds left-associatively. Outputs
+   * round 4dp through [[graft.core.Num.roundz]] (an over-fitted
+   * RSS_r − RSS_f can round to zero from below). NULL rss/F on a
+   * degenerate design (a vanishing fixed pivot surfaces as a
+   * non-finite value — no magnitude pivoting, matching the oracle) or
+   * n < 2p + 2.
+   *
+   * Scale shape: one ordered lag window over the SERIES (single-task —
+   * `maxRows` fails loud, the [[pettittTest]] convention), one
+   * map-side-combined moment aggregate to ONE row of ≤ 2p² + 5p + 3
+   * cells, a bounded driver solve.
+   *
+   * Output one row: (`n`, `df1`, `df2`, `rss_r`, `rss_f`, `f_stat`).
+   */
+  def grangerTest(obs: DataFrame, tsCol: String, idCol: String,
+                  xCol: String, yCol: String, p: Int,
+                  unitScale: Long = 100L,
+                  maxRows: Long = 10000000L): DataFrame = {
+    require(p >= 1 && p <= 8, s"lag order p must be in [1, 8]: $p")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val base = obs
+      .filter(col(tsCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(xCol) * unitScale).cast("long").as("ux"),
+        round(col(yCol) * unitScale).cast("long").as("uy"))
+      .lineageCut()
+    val nRows = base.count()
+    require(nRows <= maxRows,
+      s"grangerTest: $nRows rows exceeds maxRows=$maxRows — the ordered " +
+        "lag window runs the series through ONE task; aggregate to a " +
+        "coarser grid upstream or raise maxRows deliberately")
+    val wOrd = Window.orderBy("ts", "id")
+    // design vector z = (1, y_{t-1..t-p}, x_{t-1..t-p}); complete rows
+    val lagCols = (1 to p).map(k => lag(col("uy"), k).over(wOrd)
+      .as(s"__y$k")) ++ (1 to p).map(k => lag(col("ux"), k).over(wOrd)
+      .as(s"__x$k"))
+    val names = (1 to p).map(k => s"__y$k") ++ (1 to p).map(k => s"__x$k")
+    val lagged = base.select((col("uy") +: lagCols): _*)
+      .filter(names.map(col(_).isNotNull).reduce(_ && _))
+    def dc(c: org.apache.spark.sql.Column) = c.cast(dec)
+    val d = 2 * p + 1
+    // one row of exact-decimal moments: n, y'y, the design sums, all
+    // z_i z_j pair products (i <= j), and X'y
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(dc(col("uy")) * col("uy")).as("syy"),
+      sum(dc(col("uy"))).as("q0")) ++
+      names.zipWithIndex.map { case (nm, i) =>
+        sum(dc(col(nm))).as(s"s${i + 1}") } ++
+      (for (i <- 0 until 2 * p; j <- i until 2 * p) yield
+        sum(dc(col(names(i))) * col(names(j))).as(s"s${i + 1}_${j + 1}")) ++
+      names.zipWithIndex.map { case (nm, i) =>
+        sum(dc(col(nm)) * col("uy")).as(s"q${i + 1}") }
+    val row = lagged.agg(aggs.head, aggs.tail: _*).collect().head
+    def cell(name: String): Double = {
+      val v = row.getAs[java.math.BigDecimal](name)
+      if (v == null) Double.NaN else v.doubleValue()
+    }
+    val nC = row.getAs[Long]("n")
+    val nD = nC.toDouble
+    val syy = cell("syy")
+    // S(i,j) over design indices 0..2p (0 = intercept), X'y as q(i)
+    def s(i: Int, j: Int): Double = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      if (a == 0 && b == 0) nD
+      else if (a == 0) cell(s"s$b")
+      else cell(s"s${a}_$b")
+    }
+    def q(i: Int): Double = cell(s"q$i")
+    // fixed-pivot elimination + back-substitution, then
+    // RSS = y'y − Σ β_j (X'y)_j — operation order pinned (the SQL
+    // oracle replays it term-for-term)
+    def rssOf(dim: Int): Double = {
+      val m = Array.tabulate(dim, dim + 1)((i, j) =>
+        if (j == dim) q(i) else s(i, j))
+      var k = 0
+      while (k < dim - 1) {
+        var i = k + 1
+        while (i < dim) {
+          var j = k + 1
+          while (j <= dim) {
+            m(i)(j) = m(i)(j) - (m(i)(k) / m(k)(k)) * m(k)(j)
+            j += 1
+          }
+          i += 1
+        }
+        k += 1
+      }
+      val v = new Array[Double](dim)
+      var i = dim - 1
+      while (i >= 0) {
+        var acc = m(i)(dim)
+        var j = i + 1
+        while (j < dim) { acc = acc - m(i)(j) * v(j); j += 1 }
+        v(i) = acc / m(i)(i)
+        i -= 1
+      }
+      // β_j multiplies the ORIGINAL (X'y)_j — not the eliminated cell
+      var rss = syy
+      var j2 = 0
+      while (j2 < dim) { rss = rss - v(j2) * q(j2); j2 += 1 }
+      rss
+    }
+    val rssR = rssOf(p + 1)
+    val rssF = rssOf(d)
+    val fin = (x: Double) => java.lang.Double.isFinite(x)
+    val rssROpt = if (fin(rssR)) Some(rssR) else None
+    val rssFOpt = if (fin(rssF)) Some(rssF) else None
+    val fOpt = if (nC >= 2L * p + 2L && fin(rssR) && fin(rssF) &&
+        rssF > 0.0)
+      Some(((rssR - rssF) / p.toDouble) / (rssF / (nC - 2L * p - 1L)))
+    else None
+    Seq((nC, p, nC - 2L * p - 1L, rssROpt, rssFOpt, fOpt))
+      .toDF("n", "df1", "df2", "rss_r", "rss_f", "f_stat")
+      .select(col("n"), col("df1"), col("df2"),
+        graft.core.Num.roundz(col("rss_r"), 4).as("rss_r"),
+        graft.core.Num.roundz(col("rss_f"), 4).as("rss_f"),
+        graft.core.Num.roundz(col("f_stat"), 4).as("f_stat"))
+  }
+
+  /**
+   * Two-sided CUSUM drift detector (Page 1954) — the sequential
+   * small-shift monitor next to [[meanShiftChangepoints]] (window
+   * votes on a LOCAL level jump) and [[pettittTest]] (one global
+   * split): S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack)) and
+   * S⁻_t = max(0, S⁻_{t−1} + (target − slack − x_t)) accumulate
+   * drift above/below the target, alarming when either side exceeds
+   * `threshold` — the classic "many tiny exceedances nobody's window
+   * catches" detector.
+   *
+   * EXACTNESS: values and the target/slack/threshold quantize at
+   * `unitScale`, so both recursions run on EXACT LONGS — and the
+   * max(0, ·) recursion is NOT a window primitive, but its closed
+   * form is: S_t = P_t − min(0, min_{i≤t} P_i) with P the plain
+   * running sum of the increments (one running-sum + one running-min
+   * window per side, both exact integer folds — no recursion, no
+   * UDF). Outputs divide units back once (exact int-derived
+   * divisions, no rounding needed); `alarm` is an integer compare.
+   *
+   * Scale shape: TWO ordered window passes over the SERIES in one
+   * projection — single-task, so `maxRows` fails loud (house
+   * convention; CUSUM on 10⁹ raw points has no more power than on
+   * bucket means — aggregate upstream).
+   *
+   * Output one row per observation: (`ts`, `id`, `value`, `s_pos`,
+   * `s_neg`, `alarm`).
+   */
+  def cusumDetect(obs: DataFrame, tsCol: String, idCol: String,
+                  valueCol: String, target: Double, slack: Double,
+                  threshold: Double, unitScale: Long = 100L,
+                  maxRows: Long = 10000000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(slack >= 0.0, s"slack must be >= 0: $slack")
+    require(threshold > 0.0, s"threshold must be > 0: $threshold")
+    require(maxRows >= 1, s"maxRows must be >= 1: $maxRows")
+    val uT = math.round(target * unitScale)
+    val uK = math.round(slack * unitScale)
+    val uH = math.round(threshold * unitScale)
+    require(uH > 0, "threshold quantizes to 0 units — raise unitScale")
+    val base = obs
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+      .lineageCut()
+    val n = base.count()
+    require(n <= maxRows,
+      s"cusumDetect: $n rows exceeds maxRows=$maxRows — the ordered " +
+        "CUSUM folds run the series through ONE task; aggregate to a " +
+        "coarser grid upstream or raise maxRows deliberately")
+    val wRun = Window.orderBy("ts", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dPos = col("u") - lit(uT) - lit(uK)
+    val dNeg = lit(uT) - lit(uK) - col("u")
+    val folded = base
+      .withColumn("__pp", sum(dPos).over(wRun))
+      .withColumn("__pn", sum(dNeg).over(wRun))
+      .withColumn("__sp", col("__pp") -
+        least(lit(0L), min(col("__pp")).over(wRun)))
+      .withColumn("__sn", col("__pn") -
+        least(lit(0L), min(col("__pn")).over(wRun)))
+    folded.select(col("ts"), col("id"),
+      (col("u").cast("double") / unitScale).as("value"),
+      (col("__sp").cast("double") / unitScale).as("s_pos"),
+      (col("__sn").cast("double") / unitScale).as("s_neg"),
+      (col("__sp") > uH || col("__sn") > uH).as("alarm"))
+  }
+
+  /**
    * Pettitt changepoint test (Pettitt 1979) — the rank-based,
    * distribution-free single-changepoint detector that complements
    * [[meanShiftChangepoints]]: no window size to pick and no shift

@@ -110,6 +110,18 @@ final case class CorpusPrepConfig(
       * release gate — refuses when ANY rule fails, the message
       * carrying per-rule violation counters. Empty = no gate. */
     releaseExpectations: Seq[graft.operators.Quality.Expectation] = Nil,
+    /** (groupCol, minDpRatio): group-fairness RELEASE GATE — the
+      * four-fifths rule (Feldman et al. 2015) over WHO the pipeline
+      * pruned: selection = survival of the full stage chain relative
+      * to the INPUT frame, audited per protected group with
+      * [[graft.operators.Privacy.fairnessReport]] (label := selection,
+      * so only the label-free demographic-parity columns carry
+      * signal); refuses when any group's selection rate falls below
+      * `minDpRatio` × the max group's rate (0.8 = the classic
+      * four-fifths flag). The group column must exist on the INPUT
+      * frame; NULL-group rows are outside the audit (the
+      * fairnessReport contract). */
+    releaseFairness: Option[(String, Double)] = None,
     seed: Long = 42L)
 
 object CorpusPipeline {
@@ -249,7 +261,7 @@ object CorpusPipeline {
     // audit.
     val anyGate = cfg.releaseKAnonymity.isDefined ||
       cfg.releaseLDiversity.isDefined || cfg.releaseTCloseness.isDefined ||
-      cfg.releaseExpectations.nonEmpty
+      cfg.releaseExpectations.nonEmpty || cfg.releaseFairness.isDefined
     if (anyGate) {
       cur = cur.lineageCut()
       cfg.releaseKAnonymity.foreach { case (quasi, k) =>
@@ -300,6 +312,35 @@ object CorpusPipeline {
               s"${v.getLong(0)} classes exceed the distance bound " +
               s"(${v.getLong(2)} rows at risk) — a skewed class leaks " +
               "the sensitive distribution even when l-diverse")
+      }
+      cfg.releaseFairness.foreach { case (grp, minRatio) =>
+        require(df.columns.contains(grp),
+          s"releaseFairness group column '$grp' not in the input frame")
+        require(minRatio > 0.0 && minRatio <= 1.0,
+          s"releaseFairness minDpRatio must be in (0,1]: $minRatio")
+        // selection = survived-the-chain, per INPUT row: one id-keyed
+        // left join of the input's (group, id) pairs against the
+        // survivor ids, then the shared fairness audit (one keyed
+        // aggregate) — only violating GROUPS reach the driver
+        val keptIds = cur.select(col(cfg.idCol).as("__kept_id")).distinct()
+        val labeled = df.select(col(grp), col(cfg.idCol).as("__in_id"))
+          .join(keptIds, col("__in_id") === col("__kept_id"), "left")
+          .select(col(grp), col("__kept_id").isNotNull.as("__kept"))
+          .withColumn("__lbl", col("__kept"))
+        val bad = graft.operators.Privacy
+          .fairnessReport(labeled, grp, "__lbl", "__kept")
+          .filter(col("dp_ratio") < minRatio)
+          .select(col(grp).cast("string").as("g"), col("pred_rate"),
+            col("dp_ratio"))
+          .collect() // protected-group-cardinality bounded
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"release gate fairness(group=$grp, minDpRatio=$minRatio) " +
+              "REFUSED: " + bad.map(r => s"${r.getString(0)} selected " +
+                s"at ${r.get(1)} (dp_ratio ${r.get(2)})").mkString("; ") +
+              " — the content gates prune this group disproportionately" +
+              " (four-fifths rule); rebalance the gates or the corpus" +
+              " before release")
       }
       if (cfg.releaseExpectations.nonEmpty) {
         val failed = graft.operators.Quality

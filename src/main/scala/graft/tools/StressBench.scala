@@ -371,6 +371,24 @@ object StressBench {
         graft.operators.TextAnalysis.lmDirichletFromIndex(spark, bm25Dest,
           qs).count()
       }
+      // r15: RM3 expansion over the SAME store — feedback pass probes
+      // the index, tf/|d| reads come from postings+doclens under a
+      // pushed doc-id filter: expect ~flat like the probes it composes,
+      // vs the direct expander's corpus-scan growth
+      run("rm3_index", n) {
+        import spark.implicits._
+        val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+          (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+        graft.operators.TextAnalysis.rm3ExpandQueriesFromIndex(spark,
+          bm25Dest, qs, fbDocs = 10, fbTerms = 10).count()
+      }
+      run("rm3_direct", n) {
+        import spark.implicits._
+        val qs = Seq((1L, "64 3e8 2710"), (2L, "7b c35 1f4"),
+          (3L, "a 1e 3d7")).toDF("query_id", "qtext")
+        graft.operators.TextAnalysis.rm3ExpandQueries(docs, qs,
+          fbDocs = 10, fbTerms = 10).count()
+      }
       // r13: Theil-Sen — O(C²) gated cell pairs + one ordered weight
       // fold; cost tracks CELL count (bounded), not rows
       run("theil_sen", n) {
@@ -735,6 +753,41 @@ object StressBench {
               "test" -> 0.05))),
           evalSets = Seq(eval)).count())
       crawl.unpersist()
+    }
+
+    // RELEASE-GATE layer pricing: gated vs ungated prepare over the
+    // SAME corpus and content stages — the refusal audits (k-anonymity,
+    // l-diversity, t-closeness, fairness, expectation battery) are each
+    // one-or-two keyed aggregates collapsing to a bounded summary, so
+    // the gated-minus-ungated delta must stay a near-constant handful
+    // of aggregate passes as the corpus grows 4×/16×/64× — a delta that
+    // scales with n would mean an audit stopped being aggregate-bound.
+    // Gates are configured to PASS (the refusal paths are spec-priced:
+    // they cost the same aggregates and then throw).
+    val gateTiers = Seq(80000L, 320000L) ++ (if (xl) Seq(1280000L) else Nil)
+    for (n <- gateTiers if only.forall(_ == "gates")) {
+      import graft.pipelines.{CorpusPipeline, CorpusPrepConfig}
+      import graft.operators.Quality._
+      val docs = synthDocs(spark, n).select(col("doc_id"), col("text"),
+        // hash-derived protected/sensitive columns: 8 langs × 16
+        // sources, uniform — every audit passes and the t-closeness
+        // grid is a fixed 128 cells regardless of n
+        concat(lit("l"), pmod(xxhash64(col("doc_id")), lit(8))
+          .cast("string")).as("lang"),
+        concat(lit("s"), pmod(xxhash64(col("doc_id"), lit(1)), lit(16))
+          .cast("string")).as("source"))
+      docs.cache().count()
+      val cfg = CorpusPrepConfig(minQuality = Some(0.3))
+      run("prepare_ungated", n)(CorpusPipeline.prepare(docs, cfg).count())
+      run("prepare_gated", n)(CorpusPipeline.prepare(docs, cfg.copy(
+        releaseKAnonymity = Some((Seq("lang"), 2L)),
+        releaseLDiversity = Some((Seq("lang"), "source", 2L)),
+        releaseTCloseness = Some((Seq("lang"), "source", 0.9)),
+        releaseFairness = Some(("lang", 0.5)),
+        releaseExpectations = Seq(NotNull("doc_id"), Unique(Seq("doc_id")),
+          Custom("non_empty_text", length(col("text")) > 0))))
+        .count())
+      docs.unpersist()
     }
 
     for (n <- annTiers if only.forall(_ == "ann")) {

@@ -112,6 +112,35 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("tClosenessClasses: maxGridCells fail-loud gate; entirely-NULL " +
+      "sensitive column surfaces every class (fails closed)") {
+    // 4 classes x 3 levels = 12 grid cells: a gate below that refuses
+    val rows = Seq(
+      ("z1", Option(0)), ("z1", Option(0)), ("z1", Option(0)),
+      ("z2", Option(1)), ("z2", Option(1)),
+      ("z3", Option(2)),
+      ("z4", Option.empty[Int]))
+      .toDF("zip", "band")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.tClosenessClasses(rows, Seq("zip"), "band", 0.5,
+        maxGridCells = 11L)
+    }
+    assert(e.getMessage.contains("maxGridCells") &&
+      e.getMessage.contains("quantize"))
+    // exactly at the bound: plans fine
+    assert(Privacy.tClosenessClasses(rows, Seq("zip"), "band", 0.5,
+      maxGridCells = 12L).count() === 4L)
+    // an entirely-NULL sensitive column has ZERO levels — the grid
+    // would be empty and every class silently dropped; the contract
+    // instead emits one row per class, NULL t, violates = true, so a
+    // release gate on `violates` REFUSES (fails closed)
+    val allNull = rows.withColumn("band", lit(null).cast("int"))
+    val got = Privacy.tClosenessClasses(allNull, Seq("zip"), "band", 0.5)
+      .as[(String, Long, Option[Double], Boolean)].collect().toSet
+    assert(got === Set(("z1", 3L, None, true), ("z2", 2L, None, true),
+      ("z3", 1L, None, true), ("z4", 1L, None, true)))
+  }
+
   test("fairnessReport: hand rates per group, dp_ratio vs the " +
       "most-selected group, NULL tpr/fpr on empty cells") {
     def r6(x: Double) = BigDecimal(x)
@@ -142,6 +171,12 @@ class PrivacySpec extends SparkSpec {
     assert(none.forall(_._7.isEmpty))
     intercept[IllegalArgumentException] {
       Privacy.fairnessReport(rows, "nope", "y", "yh")
+    }
+    // a group column named like a fixed report column would collide on
+    // the rename-back — rejected loudly
+    intercept[IllegalArgumentException] {
+      Privacy.fairnessReport(rows.withColumnRenamed("grp", "tpr"),
+        "tpr", "y", "yh")
     }
   }
 

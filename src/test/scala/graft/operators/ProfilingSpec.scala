@@ -328,6 +328,19 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profiling.durbinWatson(rows, "ts", "id", "x", "y", 1L, maxRows = 2L)
     }
+    // signed zero: a tiny NEGATIVE slope (-3e-7 here) rounds to zero at
+    // 6dp — the output must be POSITIVE zero bit-for-bit (round 14:
+    // DuckDB preserved -0.0, the driver hash is sign-bit sensitive;
+    // graft.core.Num.roundz normalizes both engines)
+    val flat = Seq((0L, 1.0), (1000000L, 1.0), (2000000L, 1.0),
+      (3000000L, 0.0)).toDF("x", "y")
+      .withColumn("ts", col("x")).withColumn("id", col("x"))
+    val gz = Profiling.durbinWatson(flat, "ts", "id", "x", "y", 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(gz._2 === Some(0.0))
+    assert(java.lang.Double.doubleToRawLongBits(gz._2.get) === 0L,
+      "rounded-to-zero slope must be +0.0, not -0.0")
   }
 
   test("brownForsythe: hand W on a heteroscedastic pair; shifted " +

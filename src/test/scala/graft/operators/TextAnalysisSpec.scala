@@ -977,6 +977,48 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("rm3ExpandQueriesFromIndex: bit-equal to the direct expander " +
+      "on the same corpus; feedback-id gate fails loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana cherry"), (2L, "apple banana"),
+      (3L, "banana date elder"), (4L, "zebra yak apple"),
+      (5L, "cherry cherry date")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple cherry"), (2L, "banana"), (3L, "nomatch"))
+      .toDF("query_id", "qtext")
+    val direct = TextAnalysis.rm3ExpandQueries(docs, qs,
+      fbDocs = 3, fbTerms = 6, alpha = 0.5)
+      .as[(Long, String, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-rm3-spec").toString
+    TextAnalysis.buildBm25Index(docs, dest)
+    val indexed = TextAnalysis.rm3ExpandQueriesFromIndex(spark, dest, qs,
+      fbDocs = 3, fbTerms = 6, alpha = 0.5)
+      .as[(Long, String, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    // shared epilogue + identical feedback stats => identical BITS
+    assert(indexed.toSeq === direct.toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rm3ExpandQueriesFromIndex(spark, dest, qs,
+        fbDocs = 3, maxFeedbackIds = 2)
+    }
+  }
+
+  test("rm3ExpandQueries: zero feedback mass (scores round to 0 at " +
+      "4dp) falls back to the (1-alpha)-scaled query model, no NaN") {
+    import spark.implicits._
+    // 'common' appears in EVERY one of 20k docs: idf = ln(1 + .5/
+    // (N+.5)) ~ 2.5e-5, score rounds to 0.0000 -> s4 = 0, stot = 0 —
+    // the unguarded w(d) division would be 0/0 = NaN and NaN ranks
+    // FIRST under the desc sort
+    val docs = (1L to 20000L).map(i => (i, "common")).toDF("doc_id", "text")
+    val qs = Seq((1L, "common")).toDF("query_id", "qtext")
+    val got = TextAnalysis.rm3ExpandQueries(docs, qs,
+      fbDocs = 2, fbTerms = 4, alpha = 0.5)
+      .as[(Long, String, Double, Int)].collect()
+    assert(got.length === 1)
+    assert(got.head === ((1L, "common", 0.5, 1)), got.head.toString)
+    assert(!got.head._3.isNaN)
+  }
+
   test("termBurstiness: exact moment ratio over the whole corpus " +
       "(zeros included); minDf prunes") {
     import spark.implicits._

@@ -437,6 +437,63 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("grangerTest: p = 1 agrees with the closed-form grangerLag1; " +
+      "p = 2 scores the true lead-lag direction; guards") {
+    import spark.implicits._
+    // y follows x with one step of lag plus a period-3 wobble. NOT
+    // period-2: a parity wobble is LINEAR in the lag-2 design
+    // (t%2 = 1 − y_{t−1} + x_{t−2}), making the full model a perfect
+    // fit — rss_f = 0 and F rightly NULL; %3 cycles aren't affine in
+    // the lags, so the fit is near-perfect but finite
+    val xs = (0 until 40).map(i => ((i * 2654435761L) % 97).toDouble)
+    val rows = (1 until 40).map { i =>
+      (i.toLong, xs(i), xs(i - 1) + (i % 3).toDouble)
+    }.toDF("ts", "x", "y").withColumn("id", col("ts"))
+    val closed = TimeSeries.grangerLag1(rows, "ts", "id", "x", "y", 1L)
+      .as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val general = TimeSeries.grangerTest(rows, "ts", "id", "x", "y",
+      p = 1, unitScale = 1L).as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    // same n/dfs; the raw-moment elimination and the centered Cramer
+    // closed form are algebraically identical — at 4dp they agree
+    assert(general._1 === closed._1 && general._2 === closed._2 &&
+      general._3 === closed._3)
+    assert(math.abs(general._4.get - closed._4.get) <= 2e-4, s"$general")
+    assert(math.abs(general._5.get - closed._5.get) <= 2e-4)
+    assert(math.abs(general._6.get - closed._6.get) <= 1e-3 *
+      (1.0 + closed._6.get))
+    // p = 2: past x still predicts y far better than past y predicts x
+    val fwd2 = TimeSeries.grangerTest(rows, "ts", "id", "x", "y",
+      p = 2, unitScale = 1L).as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val rev2 = TimeSeries.grangerTest(rows, "ts", "id", "y", "x",
+      p = 2, unitScale = 1L).as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(fwd2._1 === 37L && fwd2._2 === 2 && fwd2._3 === 32L)
+    assert(fwd2._6.isDefined && rev2._6.isDefined)
+    assert(fwd2._6.get > 10.0 * rev2._6.get, s"fwd $fwd2 rev $rev2")
+    // the full model can only lower RSS vs the restricted one
+    assert(fwd2._5.get <= fwd2._4.get)
+    // constant x lags: a vanishing pivot -> non-finite -> NULL full fit
+    val cx = (1 to 12).map(i => (i.toLong, 5.0, xs(i))).toDF("ts", "x", "y")
+      .withColumn("id", col("ts"))
+    val gc = TimeSeries.grangerTest(cx, "ts", "id", "x", "y", p = 2,
+      unitScale = 1L).as[(Long, Int, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(gc._5 === None && gc._6 === None)
+    intercept[IllegalArgumentException] {
+      TimeSeries.grangerTest(rows, "ts", "id", "x", "y", p = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.grangerTest(rows, "ts", "id", "x", "y", p = 9)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.grangerTest(rows, "ts", "id", "x", "y", p = 2,
+        maxRows = 3L)
+    }
+  }
+
   test("pettittTest: hand U fold with ties, earliest argmax, one-chain " +
       "p; maxRows guard") {
     import spark.implicits._

@@ -326,4 +326,33 @@ class CorpusPipelineSpec extends SparkSpec {
         Custom("non_empty", length(col("text")) > 0))))
     assert(ok.exceptAll(df).isEmpty && df.exceptAll(ok).isEmpty)
   }
+
+  test("fairness release gate: four-fifths refusal when the quality " +
+      "cut prunes one group disproportionately; passing is neutral") {
+    // 'en' docs: real sentences that clear the default quality gate;
+    // 'xx' docs: stopword-free noise the gate prunes — selection rates
+    // en 1.0 vs xx 0.0, dp_ratio 0.0 < 0.8 -> REFUSE
+    val en = (1L to 4L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog once more " + i,
+        "en"))
+    val xx = (5L to 8L).map(i => (i, "zzz qqq " + i, "xx"))
+    val df = (en ++ xx).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalStateException] {
+      CorpusPipeline.prepare(df,
+        CorpusPrepConfig(releaseFairness = Some(("lang", 0.8))))
+    }
+    assert(e.getMessage.contains("fairness") &&
+      e.getMessage.contains("four-fifths") &&
+      e.getMessage.contains("xx"), e.getMessage)
+    // with no content gates, every group survives equally: dp_ratio 1
+    val ok = CorpusPipeline.prepare(df,
+      CorpusPrepConfig(exactDedup = false, minQuality = None,
+        tokenRange = None, releaseFairness = Some(("lang", 0.8))))
+    assert(ok.count() === 8L)
+    // a group column absent from the input fails loud
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepare(df,
+        CorpusPrepConfig(releaseFairness = Some(("nope", 0.8))))
+    }
+  }
 }

@@ -33,8 +33,13 @@ def cells_equal(a, b):
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
-        # exact bit compare except the NaN == NaN case
-        return a == b or (math.isnan(a) and math.isnan(b))
+        # exact bit compare except the NaN == NaN case. Python's == says
+        # -0.0 == 0.0 is True, but the driver's hash is sign-bit
+        # sensitive (round 14: q_durbin_watson shipped red because the
+        # mimic passed -0.0 vs +0.0) — require matching sign bits too.
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
     # no cross-type coercion: int vs float vs Decimal must already agree
