@@ -2458,6 +2458,53 @@ $fieldRows"""
         "p", "is_en")
     }),
 
+    // Murphy decomposition of the same forecast on 1e-3 quantized
+    // levels: brier = reliability - resolution + uncertainty EXACTLY
+    // on the quantized forecasts — says how much of the score is
+    // miscalibration vs lack of discrimination vs base-rate noise.
+    "q_brier_decomp" -> ((s, dir) => {
+      graft.operators.Profiling.brierDecomposition(
+        t(s, dir, "documents")
+          .withColumn("p", col("n_chars") / (col("n_chars") + lit(1000)))
+          .withColumn("is_en", col("lang") === "en"),
+        "p", "is_en", unitScale = 1000L)
+    }),
+
+    // Two-sample Anderson-Darling on the q_cvm_test segments: the
+    // tail-weighted member of the KS/CvM/AD trio — exact integer gap
+    // numerators, level-ordered fold, statistic-only.
+    "q_anderson_darling" -> ((s, dir) => {
+      graft.operators.Profiling.andersonDarling(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority", "1-URGENT", "o_totalprice")
+    }),
+
+    // Mann-Kendall trend on the hourly event volume (720 levels —
+    // the gated exact pair join is ~260k sign cells): monotone-trend
+    // S, tie-corrected variance, continuity-corrected z.
+    "q_mann_kendall" -> ((s, dir) => {
+      val h = 3600000000000L
+      val per = t(s, dir, "events")
+        .groupBy(((col("ts") - pmod(col("ts"), lit(h))) / h).cast("long")
+          .as("hour"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      graft.operators.Profiling.mannKendallTrend(per, "hour", "hour",
+        "n_events", unitScale = 1L)
+    }),
+
+    // Two-sided CUSUM drift monitor on the per-minute volume: exact
+    // integer running-sum/running-min closed form of the max(0, ...)
+    // recursion, alarms where either side exceeds the threshold.
+    "q_cusum" -> ((s, dir) => {
+      val m = 60000000000L
+      val per = t(s, dir, "events")
+        .groupBy(((col("ts") - pmod(col("ts"), lit(m))) / m).cast("long")
+          .as("minute"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      graft.operators.TimeSeries.cusumDetect(per, "minute", "minute",
+        "n_events", target = 50.0, slack = 5.0, threshold = 500.0,
+        unitScale = 1L)
+    }),
+
     // Binned mutual information between price and quantity — the
     // dependence screen Spearman can't run (nonmonotone shapes);
     // exact percentile boundaries, map-only binning, ≤ 16-cell MI.
@@ -8396,6 +8443,141 @@ $fieldRows"""
         |    (CAST(count(*) AS DOUBLE) * (1000000.0 * 1000000)), 6)
         |    AS brier
         |FROM base""".stripMargin,
+    // Murphy decomposition: forecast-VALUE levels (1e-3 quantized),
+    // per-level fixed chains folded in level order, exact identity
+    // brier = rel - res + unc on the quantized forecasts.
+    "q_brier_decomp" ->
+      """WITH base AS (SELECT (lang = 'en') AS pos,
+        |    CAST(round(CAST(n_chars AS DOUBLE) / (n_chars + 1000)
+        |      * 1000) AS BIGINT) AS up
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |levels AS (SELECT up, count(*) AS t,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM base GROUP BY 1),
+        |l2 AS (SELECT up, t, s,
+        |    sum(t) OVER tt AS n, sum(s) OVER tt AS sp,
+        |    count(*) OVER tt AS nl
+        |  FROM levels WINDOW tt AS (ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING)),
+        |l3 AS (SELECT n, sp, nl,
+        |    sum(CAST(t AS DOUBLE) *
+        |      ((CAST(up AS DOUBLE) / 1000.0
+        |        - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+        |       * (CAST(up AS DOUBLE) / 1000.0
+        |        - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)))
+        |      / CAST(n AS DOUBLE)) OVER w AS rel,
+        |    sum(CAST(t AS DOUBLE) *
+        |      ((CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+        |        - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+        |        - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / CAST(n AS DOUBLE)) OVER w AS res,
+        |    row_number() OVER (ORDER BY up) AS rn
+        |  FROM l2 WINDOW w AS (ORDER BY up ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(rel - res + (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0
+        |    AS brier,
+        |  round(rel, 6) + 0 AS reliability,
+        |  round(res, 6) + 0 AS resolution,
+        |  round((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0
+        |    AS uncertainty
+        |FROM l3 WHERE rn = nl""".stripMargin,
+    // Anderson-Darling: the CvM level machinery with the 1/(F(1-F))
+    // tail weight — exact long gap d = N·M - n_t·B per level, squared
+    // after ONE double cast, B < N levels only, 1/(n_t·n_c) scale.
+    "q_anderson_darling" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS segment,
+        |    (CAST(o_orderpriority AS VARCHAR) = '1-URGENT') AS treated,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |levels AS (SELECT segment, u,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT segment, u, ct, cc,
+        |    CAST(sum(ct) OVER w AS BIGINT) AS cumt,
+        |    CAST(sum(cc) OVER w AS BIGINT) AS cumc,
+        |    CAST(sum(ct) OVER t AS BIGINT) AS n_t,
+        |    CAST(sum(cc) OVER t AS BIGINT) AS n_c
+        |  FROM levels WINDOW
+        |    w AS (PARTITION BY segment ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    t AS (PARTITION BY segment
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |g AS (SELECT segment, u, n_t, n_c,
+        |    CASE WHEN cumt + cumc < n_t + n_c THEN
+        |      CAST(ct + cc AS DOUBLE) *
+        |        (CAST((n_t + n_c) * cumt - n_t * (cumt + cumc) AS DOUBLE)
+        |         * CAST((n_t + n_c) * cumt - n_t * (cumt + cumc)
+        |             AS DOUBLE)) /
+        |        CAST((cumt + cumc) * ((n_t + n_c) - (cumt + cumc))
+        |          AS DOUBLE)
+        |    ELSE 0.0 END AS term
+        |  FROM cum WHERE n_t > 0 AND n_c > 0),
+        |f AS (SELECT segment, n_t, n_c,
+        |    sum(term) OVER (PARTITION BY segment ORDER BY u
+        |      ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (PARTITION BY segment ORDER BY u) AS rn,
+        |    count(*) OVER (PARTITION BY segment) AS nl
+        |  FROM g)
+        |SELECT segment, n_t, n_c,
+        |  round(run / CAST(n_t * n_c AS DOUBLE), 6) AS a2_stat
+        |FROM f WHERE rn = nl""".stripMargin,
+    // Mann-Kendall: exact pair-join sign sum, HUGEINT tie correction,
+    // continuity-corrected z from the unrounded variance.
+    "q_mann_kendall" ->
+      """WITH per AS (SELECT
+        |    CAST((epoch_ns(ts) - epoch_ns(ts) % 3600000000000)
+        |      / 3600000000000 AS BIGINT) AS hour,
+        |    count(*) AS ne
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT hour AS ts, hour AS id,
+        |    CAST(round(ne * 1.0) AS BIGINT) AS u FROM per),
+        |p AS (SELECT a.u AS ua, bb.u AS ub FROM b a JOIN b bb
+        |  ON a.ts < bb.ts OR (a.ts = bb.ts AND a.id < bb.id)),
+        |s AS (SELECT CAST(COALESCE(sum(CASE WHEN ub > ua THEN 1
+        |    WHEN ub < ua THEN -1 ELSE 0 END), 0) AS BIGINT) AS s FROM p),
+        |ties AS (SELECT COALESCE(sum(CAST(t AS HUGEINT) * (t - 1)
+        |      * (2 * t + 5)), 0) AS tie
+        |  FROM (SELECT count(*) AS t FROM b GROUP BY u)),
+        |nn AS (SELECT count(*) AS n FROM b),
+        |v AS (SELECT n, s, tie,
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie
+        |      AS DOUBLE) / 18.0 AS var_s
+        |  FROM s, ties, nn)
+        |SELECT n, s AS s_stat,
+        |  CASE WHEN n >= 2 THEN round(var_s, 6) END AS var_s,
+        |  CASE WHEN n >= 2 AND var_s > 0 THEN round(
+        |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |         ELSE 0.0 END, 6) + 0 END AS z
+        |FROM v""".stripMargin,
+    // CUSUM: the max(0, ...) recursion's running-sum minus running-min
+    // closed form, exact integer units end-to-end.
+    "q_cusum" ->
+      """WITH per AS (SELECT
+        |    CAST((epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+        |      / 60000000000 AS BIGINT) AS minute,
+        |    count(*) AS ne
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT minute AS ts, minute AS id,
+        |    CAST(round(ne * 1.0) AS BIGINT) AS u FROM per),
+        |f1 AS (SELECT ts, id, u,
+        |    CAST(sum(u - 50 - 5) OVER w AS BIGINT) AS pp,
+        |    CAST(sum(50 - 5 - u) OVER w AS BIGINT) AS pn
+        |  FROM b WINDOW w AS (ORDER BY ts, id ROWS UNBOUNDED PRECEDING)),
+        |f2 AS (SELECT ts, id, u, pp, pn,
+        |    least(CAST(0 AS BIGINT), min(pp) OVER w) AS mp,
+        |    least(CAST(0 AS BIGINT), min(pn) OVER w) AS mn
+        |  FROM f1 WINDOW w AS (ORDER BY ts, id ROWS UNBOUNDED PRECEDING))
+        |SELECT ts, id, CAST(u AS DOUBLE) / 1 AS value,
+        |  CAST(pp - mp AS DOUBLE) / 1 AS s_pos,
+        |  CAST(pn - mn AS DOUBLE) / 1 AS s_neg,
+        |  (pp - mp > 500 OR pn - mn > 500) AS alarm
+        |FROM f2""".stripMargin,
     "q_mi_binned" ->
       """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
         |    CAST(l_quantity AS DOUBLE) AS y

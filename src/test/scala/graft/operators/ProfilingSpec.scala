@@ -343,6 +343,84 @@ class ProfilingSpec extends SparkSpec {
       "rounded-to-zero slope must be +0.0, not -0.0")
   }
 
+  test("andersonDarling: hand A2 on a 3-point pool; identical " +
+      "samples read 0; tail shift outranks the CvM-equal center") {
+    import spark.implicits._
+    // pooled levels 1(t), 2(c), 3(t): n_t=2, n_c=1, N=3
+    // j=1: d = 3·1-2·1 = 1, term = 1/(1·2); j=2: d = 3·1-2·2 = -1,
+    // term = 1/(2·1); j=3 excluded (B=N) -> A2 = (0.5+0.5)/(2·1) = 0.5
+    val rows = Seq(("s", "t", 1.0), ("s", "c", 2.0), ("s", "t", 3.0))
+      .toDF("seg", "grp", "v")
+    val got = Profiling.andersonDarling(rows, "seg", "grp", "t", "v",
+      unitScale = 1L).as[(String, Long, Long, Double)].collect().head
+    assert(got === (("s", 2L, 1L, 0.5)))
+    // both groups at one identical level: A2 = 0 (the zero-term path)
+    val same = Seq(("s", "t", 5.0), ("s", "c", 5.0)).toDF("seg", "grp", "v")
+    val gz = Profiling.andersonDarling(same, "seg", "grp", "t", "v", 1L)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(gz._4 === 0.0)
+  }
+
+  test("mannKendallTrend: hand S/var/z with ties; all-tied NULL z; " +
+      "monotone series maximal S; maxRows guard") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // time-ordered values 1,2,3,2: S = +1+1+1+1+0-1 = 3; tie level 2
+    // (t=2): var = (4·3·13 - 2·1·9)/18 = 138/18; z = 2/sqrt(var)
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 2.0))
+      .toDF("ts", "v").withColumn("id", col("ts"))
+    val got = Profiling.mannKendallTrend(rows, "ts", "id", "v",
+      unitScale = 1L)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(got._1 === 4L && got._2 === 3L)
+    assert(got._3 === Some(r6(138.0 / 18.0)))
+    assert(got._4 === Some(r6(2.0 / math.sqrt(138.0 / 18.0))))
+    // strictly increasing: S = n(n-1)/2; decreasing mirrors negative
+    val up = (1 to 6).map(i => (i.toLong, i.toDouble)).toDF("ts", "v")
+      .withColumn("id", col("ts"))
+    val gu = Profiling.mannKendallTrend(up, "ts", "id", "v", 1L)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(gu._2 === 15L && gu._4.get > 0.0)
+    // all values tied: var = 0 -> NULL z, S = 0
+    val flat = (1 to 5).map(i => (i.toLong, 7.0)).toDF("ts", "v")
+      .withColumn("id", col("ts"))
+    val gf = Profiling.mannKendallTrend(flat, "ts", "id", "v", 1L)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(gf._2 === 0L && gf._3 === Some(0.0) && gf._4 === None)
+    intercept[IllegalArgumentException] {
+      Profiling.mannKendallTrend(up, "ts", "id", "v", 1L, maxRows = 3L)
+    }
+  }
+
+  test("brierDecomposition: hand Murphy terms; rel - res + unc equals " +
+      "the direct Brier score exactly on quantized forecasts") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // levels (unitScale 10): up=2 -> t=2, s=1; up=8 -> t=3, s=2;
+    // n=5, obar=0.6
+    val rows = Seq((0.2, false), (0.2, true), (0.8, true), (0.8, true),
+      (0.8, false)).toDF("p", "y")
+    val got = Profiling.brierDecomposition(rows, "p", "y",
+      unitScale = 10L)
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    val rel = 2.0 * ((2.0 / 10 - 1.0 / 2) * (2.0 / 10 - 1.0 / 2)) / 5.0 +
+      3.0 * ((8.0 / 10 - 2.0 / 3) * (8.0 / 10 - 2.0 / 3)) / 5.0
+    val res = 2.0 * ((1.0 / 2 - 3.0 / 5) * (1.0 / 2 - 3.0 / 5)) / 5.0 +
+      3.0 * ((2.0 / 3 - 3.0 / 5) * (2.0 / 3 - 3.0 / 5)) / 5.0
+    assert(got === ((5L, r6(rel - res + 0.24), r6(rel), r6(res), 0.24)))
+    // identity vs the direct score at the same quantization
+    val direct = Profiling.brierScore(rows, "p", "y", unitScale = 10L)
+      .as[(Long, Double)].collect().head._2
+    assert(math.abs(got._2 - direct) <= 1e-6, s"${got._2} vs $direct")
+    assert(got._2 === 0.28) // (0.04+0.64+0.04+0.04+0.64)/5
+    intercept[Exception] {
+      Profiling.brierDecomposition(
+        Seq((1.2, true)).toDF("p", "y"), "p", "y", 10L).collect()
+    }
+  }
+
   test("brownForsythe: hand W on a heteroscedastic pair; shifted " +
       "identical spreads read exactly 0") {
     import spark.implicits._

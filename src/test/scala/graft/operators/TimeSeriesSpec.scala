@@ -494,6 +494,41 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("cusumDetect: closed form equals the max(0,...) recursion " +
+      "hand-stepped; alarm at the threshold crossing; guards") {
+    import spark.implicits._
+    // u = 10,0,10,10,0 with target 4, slack 1: d+ = u-5 -> S+ =
+    // 5,0,5,10,5 (hand recursion); d- = 3-u -> S- = 0,3,0,0,3
+    val rows = Seq((1L, 10.0), (2L, 0.0), (3L, 10.0), (4L, 10.0),
+      (5L, 0.0)).toDF("ts", "v").withColumn("id", col("ts"))
+    val got = TimeSeries.cusumDetect(rows, "ts", "id", "v",
+      target = 4.0, slack = 1.0, threshold = 9.0, unitScale = 1L)
+      .as[(Long, Long, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._4).toSeq === Seq(5.0, 0.0, 5.0, 10.0, 5.0))
+    assert(got.map(_._5).toSeq === Seq(0.0, 3.0, 0.0, 0.0, 3.0))
+    // only t=4 crosses: S+ = 10 > 9
+    assert(got.map(_._6).toSeq === Seq(false, false, false, true, false))
+    // downward drift alarms on the negative side
+    val down = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("ts", "v")
+      .withColumn("id", col("ts"))
+    val gd = TimeSeries.cusumDetect(down, "ts", "id", "v", 4.0, 1.0,
+      5.0, 1L).as[(Long, Long, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(gd.map(_._5).toSeq === Seq(3.0, 6.0, 9.0))
+    assert(gd.map(_._6).toSeq === Seq(false, true, true))
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusumDetect(rows, "ts", "id", "v", 4.0, -1.0, 9.0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusumDetect(rows, "ts", "id", "v", 4.0, 1.0, 9.0, 1L,
+        maxRows = 2L)
+    }
+    intercept[IllegalArgumentException] { // threshold under the grid
+      TimeSeries.cusumDetect(rows, "ts", "id", "v", 4.0, 1.0, 0.4, 1L)
+    }
+  }
+
   test("pettittTest: hand U fold with ties, earliest argmax, one-chain " +
       "p; maxRows guard") {
     import spark.implicits._
