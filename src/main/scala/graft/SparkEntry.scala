@@ -4536,6 +4536,25 @@ $fieldRows"""
         windowMs = 3600000L)
     }),
 
+    // TRUE-streaming CUSUM drift monitor (12th streaming surface): the
+    // single-type cohort replays through a MemoryStream in ts-aligned
+    // micro-batches; per-key state is TWO LONGS (the S+/S- integer
+    // accumulators) and every streamed (event_id, s_pos, s_neg, alarm)
+    // must bit-match the batch cusumDetect closed form.
+    "q_stream_cusum" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val cohort = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0 && col("event_type") === "view")
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.cusumStreamParity(s, cohort, target = 50.0, slack = 5.0,
+        threshold = 100.0, unitScale = 100L)
+    }),
+
     // TRUE-streaming mean-shift changepoints: the cohort replays through
     // a MemoryStream in ts-aligned micro-batches; the streamed flags
     // (key, ts, id AND the three exact-arithmetic means) must equal the
@@ -9969,6 +9988,13 @@ $fieldRows"""
       """WITH n AS (SELECT count(DISTINCT
         |    (epoch_ns(ts) // 1000000) // 3600000) AS c
         |  FROM events WHERE user_id % 10 = 0)
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // Streaming CUSUM parity: per-event emission, so all three counts
+    // equal the single-type cohort size when the streamed recursion
+    // bit-matches the batch closed form in the 4-column join.
+    "q_stream_cusum" ->
+      """WITH n AS (SELECT count(*) AS c FROM events
+        |  WHERE user_id % 10 = 0 AND event_type = 'view')
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Streaming changepoint parity: the batch mean-shift count over the
     // SAME millisecond-precision cohort frame the drive replays — all

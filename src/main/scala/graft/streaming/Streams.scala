@@ -1482,4 +1482,115 @@ object Streams {
       .crossJoin(streamed.join(batch, cols)
         .agg(count(lit(1)).as("n_matched")))
   }
+
+  final case class CusumState(sPos: Long, sNeg: Long)
+
+  final case class CusumPoint(event_id: Long, ts: Timestamp,
+                              event_type: String, s_pos: Double,
+                              s_neg: Double, alarm: Boolean)
+
+  /**
+   * TRUE-streaming two-sided CUSUM drift monitor — [[graft.operators
+   * .TimeSeries.cusumDetect]]'s recursion kept live per event-type
+   * key: state is TWO LONGS per key (the S⁺/S⁻ accumulators in
+   * exact integer units — the bounded-state requirement met by
+   * construction), each micro-batch folds its group's events in
+   * (ts, event_id) order through the max(0, ·) recursion and emits
+   * one scored point per event. Values quantize through the SAME
+   * BigDecimal HALF_UP chain as the batch operator's `round`, so a
+   * single-key cohort replayed in ts-aligned batches bit-matches
+   * [[graft.operators.TimeSeries.cusumDetect]] row-for-row
+   * ([[cusumStreamParity]] pins it).
+   *
+   * Ordering contract (the [[sessionize]] caveat): per-key event time
+   * must be non-decreasing ACROSS micro-batches for exact recursion
+   * semantics — within a batch the fold sorts; a late event landing
+   * in a later batch folds at its arrival position (monitoring
+   * semantics, stated).
+   */
+  def cusumStream(events: Dataset[Event], target: Double, slack: Double,
+                  threshold: Double,
+                  unitScale: Long = 100L): Dataset[CusumPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(slack >= 0.0 && threshold > 0.0, "slack >= 0, threshold > 0")
+    val uT = math.round(target * unitScale)
+    val uK = math.round(slack * unitScale)
+    val uH = math.round(threshold * unitScale)
+    require(uH > 0, "threshold quantizes to 0 units — raise unitScale")
+    def quant(v: Double): Long = // = Spark round(col * unitScale)
+      java.math.BigDecimal.valueOf(v * unitScale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[CusumState]) =>
+          val st = state.getOption.getOrElse(CusumState(0L, 0L))
+          var sp = st.sPos
+          var sn = st.sNeg
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val u = quant(e.value)
+              sp = math.max(0L, sp + (u - uT - uK))
+              sn = math.max(0L, sn + (uT - uK - u))
+              CusumPoint(e.event_id, e.ts, key,
+                sp.toDouble / unitScale, sn.toDouble / unitScale,
+                sp > uH || sn > uH)
+            }
+          state.update(CusumState(sp, sn))
+          out.iterator
+      }
+  }
+
+  /**
+   * Driver-facing parity drive for [[cusumStream]]: replays a bounded
+   * SINGLE-KEY cohort (one event type — the stream's per-key recursion
+   * then equals the batch operator's global fold) through a
+   * MemoryStream in ts-aligned micro-batches, then joins every
+   * streamed (event_id, s_pos, s_neg, alarm) against
+   * [[graft.operators.TimeSeries.cusumDetect]] over the same frame at
+   * millisecond timestamps. One row (n_stream, n_batch, n_matched).
+   */
+  def cusumStreamParity(spark: SparkSession, events: Dataset[Event],
+                        target: Double, slack: Double, threshold: Double,
+                        unitScale: Long = 100L,
+                        batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    require(rows.map(_.event_type).distinct.length == 1,
+      "parity cohort must carry ONE event type (single-key recursion)")
+    val input = MemoryStream[Event]
+    val sm = cusumStream(input.toDS(), target, slack, threshold, unitScale)
+    val sinkName = "graft_cusum_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = sm.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      tsAlignedChunks(rows, batches).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+    val streamed = spark.table(sinkName)
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+      .select(col("event_id"), col("s_pos"), col("s_neg"), col("alarm"))
+    val batch = graft.operators.TimeSeries.cusumDetect(
+      events.toDF().withColumn("ts_ms", unix_millis(col("ts"))),
+      "ts_ms", "event_id", "value", target, slack, threshold, unitScale)
+      .select(col("id").as("event_id"), col("s_pos"), col("s_neg"),
+        col("alarm"))
+    val cols = Seq("event_id", "s_pos", "s_neg", "alarm")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch, cols)
+        .agg(count(lit(1)).as("n_matched")))
+  }
 }

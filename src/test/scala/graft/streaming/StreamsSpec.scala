@@ -669,5 +669,38 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("cusumStream: per-key two-long state tracks the hand recursion; " +
+      "single-type parity drive bit-matches batch cusumDetect") {
+    import spark.implicits._
+    // values 10,0,10,10,0 vs target 4 slack 1 (the batch spec's hand
+    // case): S+ = 5,0,5,10,5 and S- = 0,3,0,0,3 at unitScale 1
+    val ev = (1 to 5).map { i =>
+      Event(i.toLong, ts(i * 1000L), 1L, "m",
+        Seq(10.0, 0.0, 10.0, 10.0, 0.0)(i - 1))
+    }
+    val pts = Streams.cusumStream(ev.toDS(), target = 4.0, slack = 1.0,
+      threshold = 9.0, unitScale = 1L)
+      .collect().sortBy(_.event_id)
+    assert(pts.map(_.s_pos).toSeq === Seq(5.0, 0.0, 5.0, 10.0, 5.0))
+    assert(pts.map(_.s_neg).toSeq === Seq(0.0, 3.0, 0.0, 0.0, 3.0))
+    assert(pts.map(_.alarm).toSeq ===
+      Seq(false, false, false, true, false))
+    // two keys evolve INDEPENDENT state: a per-key constant-low stream
+    // alarms on its own negative side, untouched by the other key
+    val two = ev ++ (1 to 3).map(i =>
+      Event(10L + i, ts(i * 1000L), 1L, "k2", 0.0))
+    val byKey = Streams.cusumStream(two.toDS(), 4.0, 1.0, 5.0, 1L)
+      .collect().groupBy(_.event_type)
+    assert(byKey("k2").sortBy(_.event_id).map(_.s_neg).toSeq ===
+      Seq(3.0, 6.0, 9.0))
+    // parity drive: streamed rows bit-match the batch closed form
+    val got = Streams.cusumStreamParity(spark, ev.toDS(), 4.0, 1.0, 9.0,
+      unitScale = 1L, batches = 3).as[(Long, Long, Long)].head()
+    assert(got === ((5L, 5L, 5L)))
+    intercept[IllegalArgumentException] { // mixed-type cohort rejected
+      Streams.cusumStreamParity(spark, two.toDS(), 4.0, 1.0, 9.0, 1L)
+    }
+  }
+
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
 }
