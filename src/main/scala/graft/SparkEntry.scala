@@ -2285,7 +2285,8 @@ $fieldRows"""
         .withColumn("q", pmod(col("doc_id"), lit(3L)))
       val ranked = Ranking.withGroupedRank(
           docs.select(col("q"), col("doc_id"), col("n_chars")),
-          "q", Seq(col("n_chars").desc, col("doc_id").asc), "rnk", "nq")
+          "q", Seq(col("n_chars").desc, col("doc_id").asc), "rnk", "nq",
+          broadcastOffsets = Some(true)) // 3 query groups: skip the count
         .filter(col("rnk") <= 20)
         .select(col("q").as("query_id"), col("doc_id"), col("rnk"))
       val rel = docs.select(col("q").as("query_id"), col("doc_id"),
@@ -2731,7 +2732,8 @@ $fieldRows"""
         t(s, dir, "documents").select("doc_id", "text"), qtext)
       val lex = Ranking.withGroupedRank(
           bm.select(col("query_id"), col("doc_id"), col("bm25")),
-          "query_id", Seq(col("bm25").desc, col("doc_id").asc), "r", "nq")
+          "query_id", Seq(col("bm25").desc, col("doc_id").asc), "r", "nq",
+          broadcastOffsets = Some(true)) // 3 query groups: skip the count
         .filter(col("r") <= 100)
         .select(col("query_id"), col("doc_id"), col("r"))
       val emb = t(s, dir, "embeddings")
@@ -2758,7 +2760,8 @@ $fieldRows"""
         t(s, dir, "documents").select("doc_id", "text"), qtext)
       val lex = Ranking.withGroupedRank(
           bm.select(col("query_id"), col("doc_id"), col("bm25")),
-          "query_id", Seq(col("bm25").desc, col("doc_id").asc), "r", "nq")
+          "query_id", Seq(col("bm25").desc, col("doc_id").asc), "r", "nq",
+          broadcastOffsets = Some(true)) // 3 query groups: skip the count
         .filter(col("r") <= 10)
         .select(col("query_id"), col("doc_id"), col("r"))
       val emb = t(s, dir, "embeddings")

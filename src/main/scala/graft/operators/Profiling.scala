@@ -2633,8 +2633,11 @@ object Profiling {
       // decimal moment downstream — are BIT-IDENTICAL across forms.
       val stackArgs = columns.indices.map(i => s"$i, u$i").mkString(", ")
       val melted = base.selectExpr("id", s"stack($k, $stackArgs) as (cidx, u)")
+      // Some(true): groups = the k melted columns (maxCols-gated) —
+      // force the broadcast stitch and skip auto mode's eager count job
       val ranked = Ranking.withGroupedRank(melted, "cidx",
-        Seq(col("u").asc, col("id").asc), "r", "nn")
+        Seq(col("u").asc, col("id").asc), "r", "nn",
+        broadcastOffsets = Some(true))
       // per-(column, level) doubled average rank; cut — k filtered
       // slices join back, each must not re-run the rank pass
       val levels = graft.core.LineageCut.cut(
@@ -3280,9 +3283,12 @@ object Profiling {
       .withColumn("mk",
         md5(concat(col("id").cast("string"), lit(":"),
           col("b").cast("string"))))
+    // Some(true): groups = the reps replicas (cap-gated) — broadcast
+    // stitch forced, auto mode's eager count job skipped
     val ranked = graft.operators.Ranking.withGroupedRank(
       rep.select("b", "id", "u", "mk"), "b",
-      Seq(col("mk"), col("id")), "rk", "nn")
+      Seq(col("mk"), col("id")), "rk", "nn",
+      broadcastOffsets = Some(true))
     val perRep = ranked
       .crossJoin(broadcast(obs.select(col("n_a").as("na0"))))
       .groupBy("b")

@@ -136,6 +136,15 @@ object Ranking {
    * exact output, no driver materialization, one extra exchange of
    * the row frame. `Some(true)`/`Some(false)` force either strategy
    * (the A/B measurement escape; forcing also skips the count job).
+   *
+   * NOTE (r14 API change): auto mode makes construction EAGER — the
+   * summary count job runs when this helper is CALLED, not when the
+   * result is acted on; and `broadcastOffsets` changed Boolean →
+   * Option[Boolean] (source-breaking for callers passing true/false
+   * positionally). Call sites whose group count is bounded by
+   * construction (a handful of queries, melted columns, replica
+   * counts) should pass `Some(true)` to keep construction lazy and
+   * skip the count job — the internal bounded sites do.
    */
   def withGroupedRank(df: DataFrame, grpCol: String, order: Seq[Column],
                       rankCol: String, nCol: String,

@@ -1599,6 +1599,53 @@ object StressBench {
       rows.unpersist()
     }
 
+    // r15 stats additions. cusum/AD/brier-decomp run the 1M/4M/16M row
+    // tiers (single-task series folds / level-frame folds — the gated
+    // or level-bounded shapes); mann-kendall runs its own pair-join
+    // tiers at series lengths (the quadratic is the documented price).
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "r15stats")) {
+      val rows = spark.range(n).toDF("id")
+        .select(col("id"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0)
+            .as("v"),
+          pmod(xxhash64(col("id"), lit(3)), lit(8)).cast("string")
+            .as("seg"),
+          pmod(xxhash64(col("id"), lit(5)), lit(2)).cast("string")
+            .as("grp"),
+          (pmod(xxhash64(col("id"), lit(7)), lit(1000)).cast("double")
+            / 1000.0).as("p"),
+          (pmod(xxhash64(col("id"), lit(11)), lit(2)) === 0).as("y"))
+        .cache()
+      rows.count()
+      // toRdd.count(): a bare count() would PRUNE the window/fold
+      // expressions (the round-6 hollow-number lesson) — evaluate the
+      // full output like Bench does
+      run("cusum", n)(
+        graft.operators.TimeSeries.cusumDetect(rows, "id", "id", "v",
+          target = 50.0, slack = 5.0, threshold = 5000.0,
+          unitScale = 100L, maxRows = 20000000L)
+          .queryExecution.toRdd.count())
+      run("anderson_darling", n)(
+        graft.operators.Profiling.andersonDarling(rows, "seg", "grp",
+          "0", "v").queryExecution.toRdd.count())
+      run("brier_decomp", n)(
+        graft.operators.Profiling.brierDecomposition(rows, "p", "y")
+          .queryExecution.toRdd.count())
+      rows.unpersist()
+    }
+    for (n <- (Seq(5000L, 10000L) ++ (if (xl) Seq(20000L) else Nil))
+           if only.forall(_ == "r15stats")) {
+      val series = spark.range(n).toDF("id")
+        .select(col("id"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0
+            + col("id").cast("double") / 1000.0).as("v"))
+      run("mann_kendall", n)(
+        graft.operators.Profiling.mannKendallTrend(series, "id", "id",
+          "v", unitScale = 100L, maxRows = 50000L)
+          .queryExecution.toRdd.count())
+    }
+
     // Bitext mining is QUADRATIC in the batch sizes by construction
     // (brute sweeps both ways) — measured at doubling batch sizes so
     // the ~4× steps are on display; the operator doc prescribes the
