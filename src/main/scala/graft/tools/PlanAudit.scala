@@ -76,7 +76,10 @@ object PlanAudit {
       "text_burstiness", "q_js_divergence", "q_fairness",
       "q_psi_profile", "q_dsir_ess", "training_corpus_gated",
       "text_rm3", "q_t_closeness", "q_jarque_bera", "q_durbin_watson",
-      "q_brown_forsythe", "q_granger", "q_ece", "q_cvm_test")
+      "q_brown_forsythe", "q_granger", "q_ece", "q_cvm_test",
+      "text_rm3_index", "training_corpus_fair", "q_granger_p",
+      "q_anderson_darling", "q_mann_kendall", "q_cusum",
+      "q_brier_decomp")
 
     val sb = new StringBuilder
     sb ++= "# PLANS — physical-plan audit (generated by graft.tools.PlanAudit)\n\n"
