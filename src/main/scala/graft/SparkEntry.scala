@@ -6676,7 +6676,7 @@ $fieldRows"""
         |z AS (SELECT key, ts, id, value,
         |    CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
         |      THEN round((value - s1 / n) /
-        |        sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) + 0
         |    END AS z
         |  FROM w)
         |SELECT key, ts, id, value, z,

@@ -168,8 +168,12 @@ object TimeSeries {
       (col("n") - 1)
     stats
       .withColumn("z",
+        // roundz: a tiny-below-mean value rounds to zero FROM BELOW —
+        // signed-zero normalized on both engines (graft.core.Num; the
+        // latent case surfaced at sf0.1 in round 15's full sweep)
         when(col("n") >= minObs && variance > 0,
-          round((col("value") - mean) / sqrt(variance), 4)))
+          graft.core.Num.roundz((col("value") - mean) / sqrt(variance),
+            4)))
       .withColumn("anomaly",
         coalesce(abs(col("z")) > threshold, lit(false)))
       .select("key", "ts", "id", "value", "z", "anomaly")
