@@ -2459,6 +2459,24 @@ $fieldRows"""
         "p", "is_en")
     }),
 
+    // CUPED variance-reduced experiment readout: per-user view value
+    // as the pre-period covariate, purchase value as the outcome,
+    // user parity as the arm — pooled theta from exact moments,
+    // per-arm raw vs adjusted means/variances + realized reduction.
+    "q_cuped" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("pre"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("outcome"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.cupedAdjust(per, "arm", "pre",
+        "outcome", unitScale = 1L)
+    }),
+
     // Murphy decomposition of the same forecast on 1e-3 quantized
     // levels: brier = reliability - resolution + uncertainty EXACTLY
     // on the quantized forecasts — says how much of the score is
@@ -8465,6 +8483,64 @@ $fieldRows"""
         |    (CAST(count(*) AS DOUBLE) * (1000000.0 * 1000000)), 6)
         |    AS brier
         |FROM base""".stripMargin,
+    // CUPED: pooled theta/xbar from exact HUGEINT moments, per-arm
+    // raw and adjusted means/variances through the same fixed chains.
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS outc
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT CAST(user_id % 2 AS VARCHAR) AS grp,
+        |    CAST(round(pre * 1) AS BIGINT) AS ux,
+        |    CAST(round(outc * 1) AS BIGINT) AS uy FROM per),
+        |g AS (SELECT count(*) AS gn,
+        |    sum(CAST(ux AS HUGEINT)) AS gsx,
+        |    sum(CAST(uy AS HUGEINT)) AS gsy,
+        |    sum(CAST(ux AS HUGEINT) * ux) AS gsxx,
+        |    sum(CAST(ux AS HUGEINT) * uy) AS gsxy FROM b),
+        |p AS (SELECT grp, count(*) AS n,
+        |    sum(CAST(ux AS HUGEINT)) AS sx,
+        |    sum(CAST(uy AS HUGEINT)) AS sy,
+        |    sum(CAST(ux AS HUGEINT) * ux) AS sxx,
+        |    sum(CAST(ux AS HUGEINT) * uy) AS sxy,
+        |    sum(CAST(uy AS HUGEINT) * uy) AS syy FROM b GROUP BY 1),
+        |d AS (SELECT p.*,
+        |    CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) AS td,
+        |    (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+        |      / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+        |         - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)) AS theta,
+        |    CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS xbar,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM p, g),
+        |e AS (SELECT grp, n, td, nd,
+        |    CAST(sy AS DOUBLE) / nd AS mraw,
+        |    (CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / nd)
+        |      / (nd - 1.0) AS vraw,
+        |    CAST(sy AS DOUBLE)
+        |      - theta * (CAST(sx AS DOUBLE) - nd * xbar) AS sadj,
+        |    CAST(syy AS DOUBLE)
+        |      - 2.0 * theta * (CAST(sxy AS DOUBLE)
+        |          - xbar * CAST(sy AS DOUBLE))
+        |      + theta * theta * (CAST(sxx AS DOUBLE)
+        |          - 2.0 * xbar * CAST(sx AS DOUBLE)
+        |          + nd * xbar * xbar) AS ssadj
+        |  FROM d)
+        |SELECT grp, n, round(mraw, 6) AS mean_raw,
+        |  CASE WHEN td > 0 THEN round(sadj / nd, 6) + 0 END
+        |    AS mean_cuped,
+        |  CASE WHEN nd > 1 THEN round(vraw, 6) END AS var_raw,
+        |  CASE WHEN td > 0 AND nd > 1 THEN
+        |    round((ssadj - sadj * sadj / nd) / (nd - 1.0), 6) + 0 END
+        |    AS var_cuped,
+        |  CASE WHEN td > 0 AND nd > 1 AND vraw > 0 THEN
+        |    round(1.0 - ((ssadj - sadj * sadj / nd) / (nd - 1.0))
+        |      / vraw, 6) + 0 END AS var_reduction
+        |FROM e""".stripMargin,
     // Murphy decomposition: forecast-VALUE levels (1e-3 quantized),
     // per-level fixed chains folded in level order, exact identity
     // brier = rel - res + unc on the quantized forecasts.

@@ -1693,6 +1693,90 @@ object Profiling {
   }
 
   /**
+   * CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+   * Walker 2013) — the pre-period adjustment every large-scale A/B
+   * platform runs before [[welchTTest]]: with a pre-experiment
+   * covariate x per unit, ŷ = y − θ(x − x̄) keeps every group mean
+   * unbiased while removing the variance x explains
+   * (θ = cov(x,y)/var(x), POOLED across groups — the standard form;
+   * a covariate unaffected by treatment is the caller's design
+   * obligation). Per group this reports the raw and adjusted means
+   * and variances plus the realized variance-reduction ratio — the
+   * number that says how much experiment runtime CUPED bought.
+   *
+   * EXACTNESS: both metrics quantize at `unitScale` (cancels in the
+   * reduction ratio); ALL moments — global (for θ, x̄) and per-group
+   * (n, Σx, Σy, Σxx, Σxy, Σyy) — are exact DECIMAL(38,0); θ, x̄, and
+   * every mean/variance are fixed IEEE chains from those exact
+   * integers; sample variances use n−1; `var_reduction` =
+   * 1 − var_adj/var_raw flows through [[graft.core.Num.roundz]] 6dp
+   * (an unhelpful covariate lands on zero from below). Zero-variance
+   * x (θ undefined) reports the RAW columns with NULL adjusted ones;
+   * n_g < 2 reports NULL variances.
+   *
+   * Scale shape: one global moment aggregate + one group-keyed moment
+   * aggregate (both map-side combined; the group frame is
+   * arm-cardinality-sized). Output one row per group: (`grp`, `n`,
+   * `mean_raw`, `mean_cuped`, `var_raw`, `var_cuped`,
+   * `var_reduction`).
+   */
+  def cupedAdjust(df: DataFrame, groupCol: String, preCol: String,
+                  metricCol: String,
+                  unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(preCol).isNotNull &&
+        col(metricCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        round(col(preCol) * unitScale).cast("long").as("ux"),
+        round(col(metricCol) * unitScale).cast("long").as("uy"))
+    def moms(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(count(lit(1)).as("n"),
+        sum(col("ux").cast(dec)).as("sx"),
+        sum(col("uy").cast(dec)).as("sy"),
+        sum(col("ux").cast(dec) * col("ux")).as("sxx"),
+        sum(col("ux").cast(dec) * col("uy")).as("sxy"),
+        sum(col("uy").cast(dec) * col("uy")).as("syy"))
+    val glob = moms(base.groupBy())
+      .select(col("n").as("gn"), col("sx").as("gsx"),
+        col("sy").as("gsy"), col("sxx").as("gsxx"),
+        col("sxy").as("gsxy"))
+    val perG = moms(base.groupBy("grp"))
+    val gnD = col("gn").cast("double")
+    val thetaDen = gnD * col("gsxx").cast("double") -
+      col("gsx").cast("double") * col("gsx").cast("double")
+    val theta = (gnD * col("gsxy").cast("double") -
+      col("gsx").cast("double") * col("gsy").cast("double")) / thetaDen
+    val xbar = col("gsx").cast("double") / gnD
+    val nD = col("n").cast("double")
+    def cd(c: String) = col(c).cast("double")
+    val meanRaw = cd("sy") / nD
+    val varRaw = (cd("syy") - cd("sy") * cd("sy") / nD) / (nD - 1.0)
+    // adjusted moments from the SAME exact integers:
+    // Σŷ = Σy − θ(Σx − n·x̄);  Σŷ² expands through Σyy, Σxy, Σxx
+    val sAdj = cd("sy") - theta * (cd("sx") - nD * xbar)
+    val ssAdj = cd("syy") -
+      lit(2.0) * theta * (cd("sxy") - xbar * cd("sy")) +
+      theta * theta * (cd("sxx") - lit(2.0) * xbar * cd("sx") +
+        nD * xbar * xbar)
+    val meanAdj = sAdj / nD
+    val varAdj = (ssAdj - sAdj * sAdj / nD) / (nD - 1.0)
+    val u2 = lit((unitScale * unitScale).toDouble)
+    val uD = lit(unitScale.toDouble)
+    val ok = thetaDen > 0.0
+    perG.crossJoin(broadcast(glob)).select(col("grp"), col("n"),
+      round(meanRaw / uD, 6).as("mean_raw"),
+      when(ok, graft.core.Num.roundz(meanAdj / uD, 6)).as("mean_cuped"),
+      when(nD > 1.0, round(varRaw / u2, 6)).as("var_raw"),
+      when(ok && nD > 1.0, graft.core.Num.roundz(varAdj / u2, 6))
+        .as("var_cuped"),
+      when(ok && nD > 1.0 && varRaw > 0.0,
+        graft.core.Num.roundz(lit(1.0) - varAdj / varRaw, 6))
+        .as("var_reduction"))
+  }
+
+  /**
    * Murphy decomposition of the Brier score (Murphy 1973):
    * reliability − resolution + uncertainty over the QUANTIZED
    * forecast levels — the diagnostic [[brierScore]] rolls up

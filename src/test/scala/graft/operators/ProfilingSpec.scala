@@ -421,6 +421,37 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("cupedAdjust: a perfectly predictive covariate zeroes the " +
+      "adjusted variance; means stay unbiased; zero-var x NULLs") {
+    import spark.implicits._
+    // y = 2x + arm effect: pooled theta = 2, xbar = 2; adjusted values
+    // collapse to the arm means (A -> 4, B -> 5), var_cuped = 0,
+    // var_raw = 4, reduction = 1
+    val rows = Seq(("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 6.0),
+      ("B", 1.0, 3.0), ("B", 2.0, 5.0), ("B", 3.0, 7.0))
+      .toDF("arm", "x", "y")
+    val got = Profiling.cupedAdjust(rows, "arm", "x", "y",
+      unitScale = 1L)
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 3L, 4.0, Some(4.0), Some(4.0), Some(0.0),
+      Some(1.0))))
+    assert(got("B") === (("B", 3L, 5.0, Some(5.0), Some(4.0), Some(0.0),
+      Some(1.0))))
+    // adjusted mean must be POSITIVE zero even when it lands on zero
+    // from below (roundz contract)
+    val vz = got("A")._6.get
+    assert(java.lang.Double.doubleToRawLongBits(vz) === 0L)
+    // constant covariate: theta undefined -> raw columns only
+    val cx = rows.withColumn("x", lit(5.0))
+    val gc = Profiling.cupedAdjust(cx, "arm", "x", "y", 1L)
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect()
+    assert(gc.forall(r => r._4.isEmpty && r._6.isEmpty && r._7.isEmpty))
+    assert(gc.forall(_._5.isDefined))
+  }
+
   test("brownForsythe: hand W on a heteroscedastic pair; shifted " +
       "identical spreads read exactly 0") {
     import spark.implicits._
