@@ -2459,6 +2459,28 @@ $fieldRows"""
         "p", "is_en")
     }),
 
+    // Sample-ratio-mismatch guardrail: arm counts vs the designed
+    // 4-way split — exact counts, rational expected shares, pinned
+    // k-row fold; the check that runs before any experiment readout.
+    "q_srm" -> ((s, dir) => {
+      val arms = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("arm"))
+      graft.operators.Profiling.srmCheck(arms, "arm",
+        Map("0" -> 0.25, "1" -> 0.25, "2" -> 0.25, "3" -> 0.25))
+    }),
+
+    // Difference-in-differences on user-parity pseudo-arms across the
+    // month's midpoint: four exact moment cells, fixed-chain cell
+    // means, pooled-variance SE, signed-zero-safe did.
+    "q_did" -> ((s, dir) => {
+      val mid = 1705363200000000000L
+      graft.operators.Profiling.diffInDiff(
+        t(s, dir, "events")
+          .withColumn("treated", pmod(col("user_id"), lit(2L)) === 1L)
+          .withColumn("post", col("ts") >= mid),
+        "treated", "post", "value")
+    }),
+
     // CUPED variance-reduced experiment readout: per-user view value
     // as the pre-period covariate, purchase value as the outcome,
     // user parity as the arm — pooled theta from exact moments,
@@ -8483,6 +8505,95 @@ $fieldRows"""
         |    (CAST(count(*) AS DOUBLE) * (1000000.0 * 1000000)), 6)
         |    AS brier
         |FROM base""".stripMargin,
+    // SRM: exact arm counts vs rational designed shares, pinned fold.
+    "q_srm" ->
+      """WITH obs AS (SELECT CAST(user_id % 4 AS VARCHAR) AS g,
+        |    count(*) AS o FROM events GROUP BY 1),
+        |d(g, num) AS (VALUES ('0', 250000), ('1', 250000),
+        |    ('2', 250000), ('3', 250000)),
+        |j AS (SELECT d.g, d.num, COALESCE(obs.o, 0) AS o
+        |  FROM d LEFT JOIN obs ON d.g = obs.g),
+        |f1 AS (SELECT g, num, o,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n,
+        |    CAST(count(*) OVER () AS BIGINT) AS k FROM j),
+        |f2 AS (SELECT g, n, k,
+        |    sum((CAST(o AS DOUBLE) - CAST(n AS DOUBLE)
+        |          * (CAST(num AS DOUBLE) / 1000000.0))
+        |        * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE)
+        |          * (CAST(num AS DOUBLE) / 1000000.0))
+        |        / (CAST(n AS DOUBLE)
+        |          * (CAST(num AS DOUBLE) / 1000000.0)))
+        |      OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS run,
+        |    row_number() OVER (ORDER BY g) AS rn
+        |  FROM f1)
+        |SELECT n, k, k - 1 AS df1,
+        |  CASE WHEN n > 0 THEN round(run, 4) END AS chi2
+        |FROM f2 WHERE rn = k""".stripMargin,
+    // DiD: one 4-cell exact moment aggregate, fixed-chain means/SE.
+    "q_did" ->
+      """WITH b AS (SELECT (user_id % 2 = 1) AS t,
+        |    (epoch_ns(ts) >= 1705363200000000000) AS p,
+        |    CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT t, p, count(*) AS n,
+        |    sum(CAST(u AS HUGEINT)) AS s1,
+        |    sum(CAST(u AS HUGEINT) * u) AS s2 FROM b GROUP BY 1, 2),
+        |w AS (SELECT
+        |    max(CASE WHEN NOT t AND NOT p THEN n END) AS n_c_pre,
+        |    max(CASE WHEN NOT t AND NOT p THEN s1 END) AS s1_c_pre,
+        |    max(CASE WHEN NOT t AND NOT p THEN s2 END) AS s2_c_pre,
+        |    max(CASE WHEN NOT t AND p THEN n END) AS n_c_post,
+        |    max(CASE WHEN NOT t AND p THEN s1 END) AS s1_c_post,
+        |    max(CASE WHEN NOT t AND p THEN s2 END) AS s2_c_post,
+        |    max(CASE WHEN t AND NOT p THEN n END) AS n_t_pre,
+        |    max(CASE WHEN t AND NOT p THEN s1 END) AS s1_t_pre,
+        |    max(CASE WHEN t AND NOT p THEN s2 END) AS s2_t_pre,
+        |    max(CASE WHEN t AND p THEN n END) AS n_t_post,
+        |    max(CASE WHEN t AND p THEN s1 END) AS s1_t_post,
+        |    max(CASE WHEN t AND p THEN s2 END) AS s2_t_post
+        |  FROM c),
+        |e AS (SELECT *,
+        |    CAST(s1_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) AS m_c_pre,
+        |    CAST(s1_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |      AS m_c_post,
+        |    CAST(s1_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) AS m_t_pre,
+        |    CAST(s1_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |      AS m_t_post,
+        |    (CAST(s2_c_pre AS DOUBLE) - CAST(s1_c_pre AS DOUBLE)
+        |      * CAST(s1_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+        |      / (CAST(n_c_pre AS DOUBLE) - 1.0) AS v_c_pre,
+        |    (CAST(s2_c_post AS DOUBLE) - CAST(s1_c_post AS DOUBLE)
+        |      * CAST(s1_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE))
+        |      / (CAST(n_c_post AS DOUBLE) - 1.0) AS v_c_post,
+        |    (CAST(s2_t_pre AS DOUBLE) - CAST(s1_t_pre AS DOUBLE)
+        |      * CAST(s1_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |      / (CAST(n_t_pre AS DOUBLE) - 1.0) AS v_t_pre,
+        |    (CAST(s2_t_post AS DOUBLE) - CAST(s1_t_post AS DOUBLE)
+        |      * CAST(s1_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE))
+        |      / (CAST(n_t_post AS DOUBLE) - 1.0) AS v_t_post
+        |  FROM w)
+        |SELECT COALESCE(n_c_pre, 0) + COALESCE(n_c_post, 0)
+        |    + COALESCE(n_t_pre, 0) + COALESCE(n_t_post, 0) AS n,
+        |  CASE WHEN n_c_pre IS NOT NULL
+        |    THEN round(m_c_pre / 100.0, 6) END AS mean_c_pre,
+        |  CASE WHEN n_c_post IS NOT NULL
+        |    THEN round(m_c_post / 100.0, 6) END AS mean_c_post,
+        |  CASE WHEN n_t_pre IS NOT NULL
+        |    THEN round(m_t_pre / 100.0, 6) END AS mean_t_pre,
+        |  CASE WHEN n_t_post IS NOT NULL
+        |    THEN round(m_t_post / 100.0, 6) END AS mean_t_post,
+        |  CASE WHEN n_c_pre IS NOT NULL AND n_c_post IS NOT NULL
+        |      AND n_t_pre IS NOT NULL AND n_t_post IS NOT NULL
+        |    THEN round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+        |      / 100.0, 6) + 0 END AS did,
+        |  CASE WHEN n_c_pre >= 2 AND n_c_post >= 2 AND n_t_pre >= 2
+        |      AND n_t_post >= 2
+        |    THEN round(sqrt(v_c_pre / CAST(n_c_pre AS DOUBLE)
+        |      + v_c_post / CAST(n_c_post AS DOUBLE)
+        |      + v_t_pre / CAST(n_t_pre AS DOUBLE)
+        |      + v_t_post / CAST(n_t_post AS DOUBLE)) / 100.0, 6)
+        |  END AS se
+        |FROM e""".stripMargin,
     // CUPED: pooled theta/xbar from exact HUGEINT moments, per-arm
     // raw and adjusted means/variances through the same fixed chains.
     "q_cuped" ->

@@ -1693,6 +1693,153 @@ object Profiling {
   }
 
   /**
+   * Sample-ratio-mismatch check (the chi-square goodness-of-fit of
+   * arm counts vs the DESIGNED split — Fabijan et al. 2019 call SRM
+   * the most important A/B guardrail): an experiment whose traffic
+   * split drifted from its design (broken randomization, bot
+   * filtering biased by arm, redirect loss) invalidates every
+   * downstream readout, so this runs BEFORE [[welchTTest]] /
+   * [[cupedAdjust]]. χ² = Σ (O_g − E_g)²/E_g with E_g = n·share_g,
+   * df = k − 1. Statistic-only (the [[anovaF]] convention; at df = 1
+   * the 3.84/6.63 cutoffs are the 5%/1% lines).
+   *
+   * EXACTNESS: observed counts are exact longs from ONE aggregate;
+   * expected shares are caller literals carried as exact
+   * num/10⁶ rationals (the paretoReport idiom) so E_g = n·num/10⁶ is
+   * one fixed chain; per-arm terms fold in ARM ORDER (pinned);
+   * `chi2` rounds 4dp. Arms with zero designed share are rejected
+   * loudly; an OBSERVED arm missing from the design fails loud
+   * in-plan (a silent drop would hide exactly the bug SRM hunts).
+   * Designed arms with zero observed rows still contribute E_g.
+   *
+   * Scale shape: one map-side-combined count aggregate to a k-row
+   * frame + a broadcast of the k designed shares; nothing else moves.
+   *
+   * Output one row: (`n`, `k`, `df1`, `chi2`).
+   */
+  def srmCheck(df: DataFrame, groupCol: String,
+               expectedShares: Map[String, Double]): DataFrame = {
+    require(expectedShares.size >= 2, "need >= 2 designed arms")
+    require(expectedShares.values.forall(s => s > 0.0 && s < 1.0),
+      "every designed share must be in (0,1)")
+    val tot = expectedShares.values.sum
+    require(math.abs(tot - 1.0) < 1e-9,
+      s"designed shares must sum to 1: $tot")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = expectedShares.toSeq.sorted
+      .map { case (g, s) => (g, math.round(s * 1000000L)) }
+      .toDF("__g", "__num")
+    val obs = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__o"))
+    val joined = shares.join(obs, Seq("__g"), "full_outer")
+      .filter(when(col("__num").isNull,
+        raise_error(concat(lit("srmCheck: observed arm '"), col("__g"),
+          lit("' is not in the designed split — randomization is " +
+            "emitting arms the design never had"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("__g"), col("__num"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+    val w = Window.orderBy("__g")
+    val wTot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val nD = col("__n").cast("double")
+    val e = nD * (col("__num").cast("double") / lit(1000000.0))
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / e
+    val folded = joined
+      .withColumn("__n", sum("__o").over(wTot))
+      .withColumn("__k", count(lit(1)).over(wTot))
+      .withColumn("__run", sum(term).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === col("__k"))
+    folded.select(col("__n").as("n"), col("__k").as("k"),
+      (col("__k") - 1L).as("df1"),
+      when(col("__n") > 0L, round(col("__run"), 4)).as("chi2"))
+  }
+
+  /**
+   * Difference-in-differences estimate (Card & Krueger 1994 framing)
+   * — the quasi-experimental readout when randomization wasn't
+   * available but a pre/post boundary and a control population are:
+   * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the treatment
+   * effect under the parallel-trends assumption (the caller's design
+   * obligation — this operator reports the arithmetic, the four cell
+   * means, and the pooled-variance standard error so the reader can
+   * judge the magnitude against the noise; statistic-only, no p).
+   *
+   * EXACTNESS: values quantize at `unitScale`; the four (group ×
+   * period) cells come from ONE exact-decimal moment aggregate; every
+   * mean/variance/SE is a fixed IEEE chain; `did` flows through
+   * [[graft.core.Num.roundz]] 6dp (a null effect lands on zero from
+   * below half the time). Missing cells (no treated-pre rows, say)
+   * report NULL did/se — visibly undiagnosable, never silently 0. SE
+   * uses the pooled per-cell sample variances Σ s²_c/n_c (n_c ≥ 2
+   * per cell required for SE; the did itself needs n_c ≥ 1).
+   *
+   * Scale shape: one map-side-combined aggregate to ≤ 4 rows + a
+   * pinned 4-row fold. Output one row:
+   * (`n`, `mean_c_pre`, `mean_c_post`, `mean_t_pre`, `mean_t_post`,
+   * `did`, `se`).
+   */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+                 valueCol: String,
+                 unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(treatedCol).isNotNull && col(postCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(treatedCol).cast("boolean").as("__t"),
+        col(postCol).cast("boolean").as("__p"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val cells = base.groupBy("__t", "__p")
+      .agg(count(lit(1)).as("n"),
+        sum(col("u").cast(dec)).as("s1"),
+        sum(col("u").cast(dec) * col("u")).as("s2"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      max(when(col("__t") === t && col("__p") === p, col(c))).as(s"${c}_${
+        if (t) "t" else "c"}_${if (p) "post" else "pre"}")
+    val wide = cells.agg(
+      cell(false, false, "n"), cell(false, false, "s1"),
+      cell(false, false, "s2"),
+      cell(false, true, "n"), cell(false, true, "s1"),
+      cell(false, true, "s2"),
+      cell(true, false, "n"), cell(true, false, "s1"),
+      cell(true, false, "s2"),
+      cell(true, true, "n"), cell(true, true, "s1"),
+      cell(true, true, "s2"))
+    val uD = lit(unitScale.toDouble)
+    def m(sfx: String) = col(s"s1_$sfx").cast("double") /
+      col(s"n_$sfx").cast("double")
+    def v(sfx: String) = (col(s"s2_$sfx").cast("double") -
+      col(s"s1_$sfx").cast("double") * col(s"s1_$sfx").cast("double") /
+        col(s"n_$sfx").cast("double")) /
+      (col(s"n_$sfx").cast("double") - 1.0)
+    val sfxs = Seq("c_pre", "c_post", "t_pre", "t_post")
+    val allCells = sfxs.map(s => col(s"n_$s").isNotNull).reduce(_ && _)
+    val allVar = sfxs.map(s => col(s"n_$s") >= 2L).reduce(_ && _)
+    val did = (m("t_post") - m("t_pre")) - (m("c_post") - m("c_pre"))
+    val se = sqrt(sfxs.map(s => v(s) / col(s"n_$s").cast("double"))
+      .reduce(_ + _))
+    val nAll = sfxs.map(s => coalesce(col(s"n_$s"), lit(0L)))
+      .reduce(_ + _)
+    wide.select(nAll.as("n"),
+      when(col("n_c_pre").isNotNull, round(m("c_pre") / uD, 6))
+        .as("mean_c_pre"),
+      when(col("n_c_post").isNotNull, round(m("c_post") / uD, 6))
+        .as("mean_c_post"),
+      when(col("n_t_pre").isNotNull, round(m("t_pre") / uD, 6))
+        .as("mean_t_pre"),
+      when(col("n_t_post").isNotNull, round(m("t_post") / uD, 6))
+        .as("mean_t_post"),
+      when(allCells, graft.core.Num.roundz(did / uD, 6)).as("did"),
+      when(allVar, round(se / uD, 6)).as("se"))
+  }
+
+  /**
    * CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
    * Walker 2013) — the pre-period adjustment every large-scale A/B
    * platform runs before [[welchTTest]]: with a pre-experiment

@@ -421,6 +421,73 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("srmCheck: hand chi2 on a skewed split; designed-but-empty arm " +
+      "contributes its E; undesigned observed arm fails loud") {
+    import spark.implicits._
+    // 30/70 observed vs 50/50 designed on n=100: chi2 = 2*(20^2/50)=16
+    val rows = ((1 to 30).map(_ => "a") ++ (1 to 70).map(_ => "b"))
+      .toDF("arm")
+    val got = Profiling.srmCheck(rows, "arm",
+      Map("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(got === ((100L, 2L, 1L, Some(16.0))))
+    // a designed arm with zero rows still contributes (O-E)^2/E
+    val onlyA = (1 to 30).map(_ => "a").toDF("arm")
+    val gm = Profiling.srmCheck(onlyA, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(gm === ((30L, 2L, 1L, Some(30.0)))) // 15 + 15
+    // an observed arm outside the design is the bug SRM hunts
+    val e = intercept[Exception] {
+      Profiling.srmCheck(rows, "arm", Map("a" -> 0.5, "c" -> 0.5))
+        .collect()
+    }
+    assert(e.getMessage.contains("not in the designed split"))
+    intercept[IllegalArgumentException] {
+      Profiling.srmCheck(rows, "arm", Map("a" -> 0.7, "b" -> 0.7))
+    }
+  }
+
+  test("diffInDiff: hand four-cell estimate + pooled SE; a missing " +
+      "cell NULLs the estimate, never silently zero") {
+    import spark.implicits._
+    // c_pre (10,20) m=15 v=50; c_post (20,30) m=25 v=50;
+    // t_pre (10,30) m=20 v=200; t_post (40,40) m=40 v=0
+    // did = (40-20)-(25-15) = 10; se = sqrt(25+25+100+0)
+    val rows = Seq(
+      (false, false, 10.0), (false, false, 20.0),
+      (false, true, 20.0), (false, true, 30.0),
+      (true, false, 10.0), (true, false, 30.0),
+      (true, true, 40.0), (true, true, 40.0))
+      .toDF("treated", "post", "v")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Profiling.diffInDiff(rows, "treated", "post", "v",
+      unitScale = 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].collect().head
+    assert(got._1 === 8L)
+    assert((got._2, got._3, got._4, got._5) ===
+      ((Some(15.0), Some(25.0), Some(20.0), Some(40.0))))
+    assert(got._6 === Some(10.0))
+    assert(got._7 === Some(r6(math.sqrt(150.0))))
+    // a null effect landing on zero from below is POSITIVE zero
+    val nul = Profiling.diffInDiff(
+      rows.withColumn("v", when(col("post"), 10.0).otherwise(5.0)),
+      "treated", "post", "v", 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].collect().head
+    assert(nul._6 === Some(0.0) &&
+      java.lang.Double.doubleToRawLongBits(nul._6.get) === 0L)
+    // missing treated-pre cell: did/se NULL, present cells report
+    val noTp = Profiling.diffInDiff(
+      rows.filter(!(col("treated") && !col("post"))),
+      "treated", "post", "v", 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].collect().head
+    assert(noTp._4.isEmpty && noTp._6.isEmpty && noTp._7.isEmpty)
+    assert(noTp._2 === Some(15.0))
+  }
+
   test("cupedAdjust: a perfectly predictive covariate zeroes the " +
       "adjusted variance; means stay unbiased; zero-var x NULLs") {
     import spark.implicits._
