@@ -2459,6 +2459,19 @@ $fieldRows"""
         "p", "is_en")
     }),
 
+    // Poisson-bootstrap CI for the mean per-user purchase spend: the
+    // at-scale bootstrap (independent Poisson(1) weights per (row,
+    // rep) from the md5 hash, shared inverse-CDF hex thresholds), one
+    // exploded aggregate to 200 replicate means, basic-percentile CI.
+    "q_bootstrap" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
+      graft.operators.Profiling.poissonBootstrapMeanCI(per, "user_id",
+        "spend", reps = 200, alpha = 0.05, unitScale = 1L)
+    }),
+
     // Sample-ratio-mismatch guardrail: arm counts vs the designed
     // 4-way split — exact counts, rational expected shares, pinned
     // k-row fold; the check that runs before any experiment readout.
@@ -5014,6 +5027,44 @@ $fieldRows"""
        |      / (rss_a / CAST(ar.n - ${2 * p + 1} AS DOUBLE)), 4) + 0
        |  END AS f_stat
        |FROM ar, br""".stripMargin
+  }
+
+  /**
+   * Generated Poisson-bootstrap oracle (q_bootstrap): the inverse-CDF
+   * hex thresholds come from the SAME
+   * [[graft.operators.Profiling.poissonHexThresholds]] the operator
+   * compares against, so both engines assign identical replicate
+   * weights by construction (the q_shapley_sampled generated-oracle
+   * pattern). reps = 200, alpha = 0.05 → order statistics 5 and 196.
+   */
+  private def bootstrapOracleSql: String = {
+    val ths = graft.operators.Profiling.poissonHexThresholds
+    val chain = ths.zipWithIndex
+      .map { case (t, k) => s"WHEN h < '$t' THEN $k" }
+      .mkString("\n        |      ")
+    s"""WITH per AS (SELECT user_id AS id,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS spend
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |b AS (SELECT id, CAST(round(spend * 1) AS BIGINT) AS u FROM per),
+       |r AS (SELECT id, u, unnest(range(200)) AS rep FROM b),
+       |hw AS (SELECT rep, u, substring(md5(CAST(id AS VARCHAR) || ':'
+       |    || CAST(rep AS VARCHAR)), 1, 8) AS h FROM r),
+       |ww AS (SELECT rep, u, CASE
+       |      $chain
+       |      ELSE 12 END AS w FROM hw),
+       |m AS (SELECT rep, CAST(sum(w) AS BIGINT) AS sw,
+       |    sum(CAST(w AS HUGEINT) * u) AS swu FROM ww GROUP BY 1),
+       |mm AS (SELECT rep,
+       |    CAST(swu AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM m),
+       |o AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rn
+       |  FROM mm),
+       |base AS (SELECT count(*) AS n,
+       |    CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS mn FROM b)
+       |SELECT n, 200 AS reps, round(mn, 6) AS mean,
+       |  round((SELECT m FROM o WHERE rn = 5), 6) + 0 AS lo,
+       |  round((SELECT m FROM o WHERE rn = 196), 6) + 0 AS hi
+       |FROM base""".stripMargin
   }
 
   /** Shared gated-corpus oracle: training_corpus_gated (privacy +
@@ -8505,6 +8556,9 @@ $fieldRows"""
         |    (CAST(count(*) AS DOUBLE) * (1000000.0 * 1000000)), 6)
         |    AS brier
         |FROM base""".stripMargin,
+    // Poisson bootstrap: generated inverse-CDF weight chain (shared
+    // hex thresholds), replicate means, order-statistic CI.
+    "q_bootstrap" -> bootstrapOracleSql,
     // SRM: exact arm counts vs rational designed shares, pinned fold.
     "q_srm" ->
       """WITH obs AS (SELECT CAST(user_id % 4 AS VARCHAR) AS g,

@@ -1693,6 +1693,106 @@ object Profiling {
   }
 
   /**
+   * Poisson(1) inverse-CDF thresholds as 8-hex-digit lowercase
+   * strings: weight w(u) = #{k : t_k ≤ u} for a uniform 32-bit hex
+   * draw u — shared VERBATIM by [[poissonBootstrapMeanCI]] and its
+   * generated oracle SQL, so both engines assign identical replicate
+   * weights by construction. t_k = floor(CDF_Poisson(1)(k) · 2³²);
+   * the chain stops at w = 12 (P(X > 12) ≈ 10⁻¹³ — the clamp is part
+   * of the deterministic definition, not an approximation knob).
+   */
+  val poissonHexThresholds: Seq[String] = {
+    var p = math.exp(-1.0)
+    var cdf = p
+    (0 to 11).map { k =>
+      val t = math.floor(cdf * 4294967296.0).toLong
+      if (k < 11) { p = p / (k + 1); cdf += p }
+      f"$t%08x"
+    }
+  }
+
+  /**
+   * Poisson-bootstrap percentile CI for the mean (Chamandy, Muralidhar
+   * & Najmi 2012 — "Estimating Uncertainty for Massive Data Streams",
+   * the bootstrap that actually runs at 100 TB): true multinomial
+   * resampling needs the global n per draw; giving each (row,
+   * replicate) an INDEPENDENT Poisson(1) weight instead makes the
+   * resample embarrassingly parallel — one exploded pass, one
+   * map-side-combined aggregate to `reps` rows — while matching the
+   * classical bootstrap to O(1/n). Weights are DETERMINISTIC: the
+   * md5(id:b) hex prefix is the uniform draw (the q_perm_test
+   * machinery), pushed through the shared [[poissonHexThresholds]]
+   * inverse CDF, so both engines replay the identical resample.
+   *
+   * EXACTNESS: values quantize at `unitScale`; per-replicate Σw is an
+   * exact long and Σw·u an exact decimal; each replicate mean is ONE
+   * division; the CI picks ORDER STATISTICS of the unrounded
+   * replicate means (total order (mean, b); index ⌈reps·α/2⌉ from
+   * exact integer arithmetic with α as num/10⁶, hi = reps − lo + 1 —
+   * the basic percentile rule, stated); outputs round 6dp. n < 30
+   * fails loud (below it a zero-total-weight replicate stops being
+   * astronomically improbable AND the bootstrap itself is invalid).
+   *
+   * Scale shape: rows × reps through ONE exploded aggregate (the
+   * q_perm_test shape — map-side combined to `reps` rows), then a
+   * reps-row ordered pick. `reps` gated at 1000.
+   *
+   * Output one row: (`n`, `reps`, `mean`, `lo`, `hi`).
+   */
+  def poissonBootstrapMeanCI(df: DataFrame, idCol: String,
+                             valueCol: String, reps: Int = 200,
+                             alpha: Double = 0.05,
+                             unitScale: Long = 100L): DataFrame = {
+    require(reps >= 10 && reps <= 1000, s"reps in [10, 1000]: $reps")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = graft.core.LineageCut.cut(df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u")))
+    val n = base.count()
+    require(n >= 30,
+      s"poissonBootstrapMeanCI: n=$n < 30 — the Poisson approximation " +
+        "to the multinomial (and the bootstrap itself) needs more rows")
+    val anum = math.round(alpha * 1000000L)
+    val loIdx = (reps * anum + 2000000L - 1L) / 2000000L // ceil
+    val hiIdx = reps - loIdx + 1
+    require(loIdx >= 1 && loIdx < hiIdx,
+      s"alpha=$alpha with reps=$reps leaves no CI mass")
+    val h = substring(md5(concat(col("id").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 8)
+    val w = poissonHexThresholds.zipWithIndex
+      .foldLeft(when(h < lit(poissonHexThresholds.head), 0L)) {
+        case (c, (t, k)) =>
+          if (k == 0) c
+          else c.when(h < lit(t), k.toLong)
+      }.otherwise(lit(12L))
+    val perRep = base
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", w)
+      .groupBy("b")
+      .agg(sum("__w").as("__sw"),
+        sum(col("__w").cast(dec) * col("u")).as("__swu"))
+      .withColumn("__m",
+        col("__swu").cast("double") / col("__sw").cast("double"))
+    val ord = Window.orderBy(col("__m"), col("b"))
+    val picked = perRep.withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") === loIdx || col("__rn") === hiIdx)
+      .agg(min(when(col("__rn") === loIdx, col("__m"))).as("__lo"),
+        min(when(col("__rn") === hiIdx, col("__m"))).as("__hi"))
+    val mean = base.agg(
+      (sum(col("u").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("__mean"))
+    val uD = lit(unitScale.toDouble)
+    mean.crossJoin(picked).select(lit(n).as("n"),
+      lit(reps).as("reps"),
+      round(col("__mean") / uD, 6).as("mean"),
+      graft.core.Num.roundz(col("__lo") / uD, 6).as("lo"),
+      graft.core.Num.roundz(col("__hi") / uD, 6).as("hi"))
+  }
+
+  /**
    * Sample-ratio-mismatch check (the chi-square goodness-of-fit of
    * arm counts vs the DESIGNED split — Fabijan et al. 2019 call SRM
    * the most important A/B guardrail): an experiment whose traffic

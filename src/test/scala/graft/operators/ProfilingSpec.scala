@@ -421,6 +421,42 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrapMeanCI: deterministic; constant data collapses " +
+      "the CI to the mean; CI brackets the mean on real spread; guards") {
+    import spark.implicits._
+    // thresholds are a monotone CDF grid ending at the w = 12 clamp
+    val ths = Profiling.poissonHexThresholds
+    assert(ths.size === 12 && ths === ths.sorted)
+    assert(ths.head === f"${math.floor(math.exp(-1.0) * 4294967296.0).toLong}%08x")
+    // constant values: every replicate mean IS the constant
+    val const = (1L to 100L).map(i => (i, 7.0)).toDF("id", "v")
+    val gc = Profiling.poissonBootstrapMeanCI(const, "id", "v",
+      reps = 50, alpha = 0.1, unitScale = 1L)
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    assert(gc === ((100L, 50, 7.0, 7.0, 7.0)))
+    // spread data: lo < mean < hi, fully deterministic across runs
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 200L).map(i => (i, rnd.nextInt(100).toDouble))
+      .toDF("id", "v")
+    val g1 = Profiling.poissonBootstrapMeanCI(rows, "id", "v",
+      reps = 100, alpha = 0.05, unitScale = 1L)
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    val g2 = Profiling.poissonBootstrapMeanCI(rows, "id", "v",
+      reps = 100, alpha = 0.05, unitScale = 1L)
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    assert(g1 === g2)
+    assert(g1._4 < g1._3 && g1._3 < g1._5, g1.toString)
+    // the CI should be in the right ballpark (sd/sqrt(n) scale)
+    assert(g1._5 - g1._4 < 20.0 && g1._5 - g1._4 > 2.0)
+    intercept[IllegalArgumentException] {
+      Profiling.poissonBootstrapMeanCI(
+        (1L to 10L).map(i => (i, 1.0)).toDF("id", "v"), "id", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.poissonBootstrapMeanCI(rows, "id", "v", reps = 5)
+    }
+  }
+
   test("srmCheck: hand chi2 on a skewed split; designed-but-empty arm " +
       "contributes its E; undesigned observed arm fails loud") {
     import spark.implicits._
