@@ -2472,6 +2472,19 @@ $fieldRows"""
         "spend", reps = 200, alpha = 0.05, unitScale = 1L)
     }),
 
+    // Poisson-bootstrap CI for the treatment-vs-control spend DIFF:
+    // same deterministic weights, per-(rep, arm) cells, percentile
+    // pick over the replicate diffs — the resampling A/B readout.
+    "q_bootstrap_diff" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.poissonBootstrapDiffCI(per, "user_id",
+        "arm", "1", "spend", reps = 200, alpha = 0.05, unitScale = 1L)
+    }),
+
     // Sample-ratio-mismatch guardrail: arm counts vs the designed
     // 4-way split — exact counts, rational expected shares, pinned
     // k-row fold; the check that runs before any experiment readout.
@@ -5065,6 +5078,49 @@ $fieldRows"""
        |  round((SELECT m FROM o WHERE rn = 5), 6) + 0 AS lo,
        |  round((SELECT m FROM o WHERE rn = 196), 6) + 0 AS hi
        |FROM base""".stripMargin
+  }
+
+  /** Generated bootstrap-diff oracle: the q_bootstrap weight chain,
+    * per-(rep, arm) means, replicate diffs, order statistics 5/196. */
+  private def bootstrapDiffOracleSql: String = {
+    val ths = graft.operators.Profiling.poissonHexThresholds
+    val chain = ths.zipWithIndex
+      .map { case (t, k) => s"WHEN h < '$t' THEN $k" }
+      .mkString("\n        |      ")
+    s"""WITH per AS (SELECT user_id AS id,
+       |    (user_id % 2 = 1) AS t,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS spend
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |b AS (SELECT id, t, CAST(round(spend * 1) AS BIGINT) AS u
+       |  FROM per),
+       |r AS (SELECT id, t, u, unnest(range(200)) AS rep FROM b),
+       |hw AS (SELECT rep, t, u, substring(md5(CAST(id AS VARCHAR)
+       |    || ':' || CAST(rep AS VARCHAR)), 1, 8) AS h FROM r),
+       |ww AS (SELECT rep, t, u, CASE
+       |      $chain
+       |      ELSE 12 END AS w FROM hw),
+       |m AS (SELECT rep, t, CAST(sum(w) AS BIGINT) AS sw,
+       |    sum(CAST(w AS HUGEINT) * u) AS swu FROM ww GROUP BY 1, 2),
+       |mm AS (SELECT rep,
+       |    min(CASE WHEN t THEN CAST(swu AS DOUBLE)
+       |        / CAST(sw AS DOUBLE) END)
+       |    - min(CASE WHEN NOT t THEN CAST(swu AS DOUBLE)
+       |        / CAST(sw AS DOUBLE) END) AS d
+       |  FROM m GROUP BY 1),
+       |o AS (SELECT d, row_number() OVER (ORDER BY d, rep) AS rn
+       |  FROM mm),
+       |arms AS (SELECT t, count(*) AS n,
+       |    CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS mn FROM b GROUP BY 1),
+       |dd AS (SELECT min(CASE WHEN t THEN mn END)
+       |      - min(CASE WHEN NOT t THEN mn END) AS diff,
+       |    max(CASE WHEN t THEN n END) AS n_t,
+       |    max(CASE WHEN NOT t THEN n END) AS n_c FROM arms)
+       |SELECT n_t, n_c, 200 AS reps,
+       |  round(diff, 6) + 0 AS diff,
+       |  round((SELECT d FROM o WHERE rn = 5), 6) + 0 AS lo,
+       |  round((SELECT d FROM o WHERE rn = 196), 6) + 0 AS hi
+       |FROM dd""".stripMargin
   }
 
   /** Shared gated-corpus oracle: training_corpus_gated (privacy +
@@ -8559,6 +8615,8 @@ $fieldRows"""
     // Poisson bootstrap: generated inverse-CDF weight chain (shared
     // hex thresholds), replicate means, order-statistic CI.
     "q_bootstrap" -> bootstrapOracleSql,
+    // Bootstrap diff: same weights, per-(rep, arm) cells, diff pick.
+    "q_bootstrap_diff" -> bootstrapDiffOracleSql,
     // SRM: exact arm counts vs rational designed shares, pinned fold.
     "q_srm" ->
       """WITH obs AS (SELECT CAST(user_id % 4 AS VARCHAR) AS g,

@@ -1793,6 +1793,91 @@ object Profiling {
   }
 
   /**
+   * Poisson-bootstrap percentile CI for the DIFFERENCE of two arm
+   * means — the [[poissonBootstrapMeanCI]] machinery on the actual
+   * A/B readout (Chamandy et al. 2012 run exactly this shape at
+   * fleet scale): each (unit, replicate) draws its deterministic
+   * Poisson(1) weight, each replicate yields (mean_T − mean_C), and
+   * the CI is the basic-percentile order-statistic pick. A CI
+   * excluding 0 is the resampling twin of [[welchTTest]]'s verdict —
+   * with no normality assumption on the unit metric (which for
+   * per-user sums is routinely heavy-tailed).
+   *
+   * EXACTNESS: the [[poissonBootstrapMeanCI]] contract per arm —
+   * exact long/decimal weight sums, one division per (replicate,
+   * arm), the replicate diff a single subtraction; order statistics
+   * over the total order (diff, b); `diff`/`lo`/`hi` flow through
+   * [[graft.core.Num.roundz]] 6dp (a null effect lands on zero from
+   * below half the time). Both arms need ≥ 30 units (fail loud).
+   *
+   * Scale shape: rows × reps through ONE exploded aggregate to
+   * 2·reps (replicate, arm) cells, a reps-row pivot + ordered pick.
+   *
+   * Output one row: (`n_t`, `n_c`, `reps`, `diff`, `lo`, `hi`).
+   */
+  def poissonBootstrapDiffCI(df: DataFrame, idCol: String,
+                             groupCol: String, treatment: String,
+                             valueCol: String, reps: Int = 200,
+                             alpha: Double = 0.05,
+                             unitScale: Long = 100L): DataFrame = {
+    require(reps >= 10 && reps <= 1000, s"reps in [10, 1000]: $reps")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = graft.core.LineageCut.cut(df
+      .filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        (col(groupCol).cast("string") === treatment).as("t"),
+        round(col(valueCol) * unitScale).cast("long").as("u")))
+    val counts = base.groupBy("t").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val (nT, nC) = (counts.getOrElse(true, 0L), counts.getOrElse(false, 0L))
+    require(nT >= 30 && nC >= 30,
+      s"poissonBootstrapDiffCI: need >= 30 units per arm " +
+        s"(treatment=$nT, control=$nC)")
+    val anum = math.round(alpha * 1000000L)
+    val loIdx = (reps * anum + 2000000L - 1L) / 2000000L
+    val hiIdx = reps - loIdx + 1
+    require(loIdx >= 1 && loIdx < hiIdx,
+      s"alpha=$alpha with reps=$reps leaves no CI mass")
+    val h = substring(md5(concat(col("id").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 8)
+    val w = poissonHexThresholds.zipWithIndex
+      .foldLeft(when(h < lit(poissonHexThresholds.head), 0L)) {
+        case (c, (t, k)) =>
+          if (k == 0) c else c.when(h < lit(t), k.toLong)
+      }.otherwise(lit(12L))
+    val perCell = base
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", w)
+      .groupBy("b", "t")
+      .agg(sum("__w").as("__sw"),
+        sum(col("__w").cast(dec) * col("u")).as("__swu"))
+      .withColumn("__m",
+        col("__swu").cast("double") / col("__sw").cast("double"))
+    val perRep = perCell.groupBy("b").agg(
+      (min(when(col("t"), col("__m"))) -
+        min(when(!col("t"), col("__m")))).as("__d"))
+    val ord = Window.orderBy(col("__d"), col("b"))
+    val picked = perRep.withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") === loIdx || col("__rn") === hiIdx)
+      .agg(min(when(col("__rn") === loIdx, col("__d"))).as("__lo"),
+        min(when(col("__rn") === hiIdx, col("__d"))).as("__hi"))
+    val means = base.groupBy("t").agg(
+      (sum(col("u").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("__m"))
+      .agg((min(when(col("t"), col("__m"))) -
+        min(when(!col("t"), col("__m")))).as("__diff"))
+    val uD = lit(unitScale.toDouble)
+    means.crossJoin(picked).select(lit(nT).as("n_t"), lit(nC).as("n_c"),
+      lit(reps).as("reps"),
+      graft.core.Num.roundz(col("__diff") / uD, 6).as("diff"),
+      graft.core.Num.roundz(col("__lo") / uD, 6).as("lo"),
+      graft.core.Num.roundz(col("__hi") / uD, 6).as("hi"))
+  }
+
+  /**
    * Sample-ratio-mismatch check (the chi-square goodness-of-fit of
    * arm counts vs the DESIGNED split — Fabijan et al. 2019 call SRM
    * the most important A/B guardrail): an experiment whose traffic

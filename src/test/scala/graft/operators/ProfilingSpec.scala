@@ -457,6 +457,27 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrapDiffCI: constant arms collapse the CI to the " +
+      "exact diff; deterministic; per-arm size guard") {
+    import spark.implicits._
+    // arm 't' constant 10, arm 'c' constant 4: every replicate diff
+    // is exactly 6 regardless of weights
+    val rows = ((1L to 40L).map(i => (i, "t", 10.0)) ++
+      (41L to 80L).map(i => (i, "c", 4.0))).toDF("id", "arm", "v")
+    val got = Profiling.poissonBootstrapDiffCI(rows, "id", "arm", "t",
+      "v", reps = 50, alpha = 0.1, unitScale = 1L)
+      .as[(Long, Long, Int, Double, Double, Double)].collect().head
+    assert(got === ((40L, 40L, 50, 6.0, 6.0, 6.0)))
+    val again = Profiling.poissonBootstrapDiffCI(rows, "id", "arm", "t",
+      "v", reps = 50, alpha = 0.1, unitScale = 1L)
+      .as[(Long, Long, Int, Double, Double, Double)].collect().head
+    assert(again === got)
+    intercept[IllegalArgumentException] { // arm below 30 units
+      Profiling.poissonBootstrapDiffCI(
+        rows.filter(col("id") <= 60L), "id", "arm", "t", "v")
+    }
+  }
+
   test("srmCheck: hand chi2 on a skewed split; designed-but-empty arm " +
       "contributes its E; undesigned observed arm fails loud") {
     import spark.implicits._
