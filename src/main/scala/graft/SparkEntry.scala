@@ -2459,30 +2459,27 @@ $fieldRows"""
         "p", "is_en")
     }),
 
-    // Poisson-bootstrap CI for the mean per-user purchase spend: the
-    // at-scale bootstrap (independent Poisson(1) weights per (row,
-    // rep) from the md5 hash, shared inverse-CDF hex thresholds), one
-    // exploded aggregate to 200 replicate means, basic-percentile CI.
+    // Poisson-bootstrap CI for the mean event value: the at-scale
+    // bootstrap (independent Poisson(1) weights per (row, rep) from
+    // the md5 hash, shared inverse-CDF hex thresholds), one exploded
+    // aggregate to 200 replicate means, basic-percentile CI.
+    // Event-level units: the sf0.001 smoke corpus has only 15 USERS
+    // and the n >= 30 gate is part of the contract.
     "q_bootstrap" -> ((s, dir) => {
-      val per = t(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
-      graft.operators.Profiling.poissonBootstrapMeanCI(per, "user_id",
-        "spend", reps = 200, alpha = 0.05, unitScale = 1L)
+      graft.operators.Profiling.poissonBootstrapMeanCI(
+        t(s, dir, "events"), "event_id", "value",
+        reps = 200, alpha = 0.05, unitScale = 100L)
     }),
 
-    // Poisson-bootstrap CI for the treatment-vs-control spend DIFF:
+    // Poisson-bootstrap CI for the treatment-vs-control value DIFF:
     // same deterministic weights, per-(rep, arm) cells, percentile
-    // pick over the replicate diffs — the resampling A/B readout.
+    // pick over the replicate diffs — the resampling A/B readout
+    // (event-level units, user-parity pseudo-arms).
     "q_bootstrap_diff" -> ((s, dir) => {
-      val per = t(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
+      val ev = t(s, dir, "events")
         .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
-      graft.operators.Profiling.poissonBootstrapDiffCI(per, "user_id",
-        "arm", "1", "spend", reps = 200, alpha = 0.05, unitScale = 1L)
+      graft.operators.Profiling.poissonBootstrapDiffCI(ev, "event_id",
+        "arm", "1", "value", reps = 200, alpha = 0.05, unitScale = 100L)
     }),
 
     // Sample-ratio-mismatch guardrail: arm counts vs the designed
@@ -5055,10 +5052,9 @@ $fieldRows"""
     val chain = ths.zipWithIndex
       .map { case (t, k) => s"WHEN h < '$t' THEN $k" }
       .mkString("\n        |      ")
-    s"""WITH per AS (SELECT user_id AS id,
-       |    sum(CAST(round(value * 100) AS BIGINT)) AS spend
-       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-       |b AS (SELECT id, CAST(round(spend * 1) AS BIGINT) AS u FROM per),
+    s"""WITH b AS (SELECT event_id AS id,
+       |    CAST(round(value * 100) AS BIGINT) AS u
+       |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
        |r AS (SELECT id, u, unnest(range(200)) AS rep FROM b),
        |hw AS (SELECT rep, u, substring(md5(CAST(id AS VARCHAR) || ':'
        |    || CAST(rep AS VARCHAR)), 1, 8) AS h FROM r),
@@ -5074,9 +5070,9 @@ $fieldRows"""
        |base AS (SELECT count(*) AS n,
        |    CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE)
        |      / CAST(count(*) AS DOUBLE) AS mn FROM b)
-       |SELECT n, 200 AS reps, round(mn, 6) AS mean,
-       |  round((SELECT m FROM o WHERE rn = 5), 6) + 0 AS lo,
-       |  round((SELECT m FROM o WHERE rn = 196), 6) + 0 AS hi
+       |SELECT n, 200 AS reps, round(mn / 100.0, 6) AS mean,
+       |  round((SELECT m FROM o WHERE rn = 5) / 100.0, 6) + 0 AS lo,
+       |  round((SELECT m FROM o WHERE rn = 196) / 100.0, 6) + 0 AS hi
        |FROM base""".stripMargin
   }
 
@@ -5087,12 +5083,10 @@ $fieldRows"""
     val chain = ths.zipWithIndex
       .map { case (t, k) => s"WHEN h < '$t' THEN $k" }
       .mkString("\n        |      ")
-    s"""WITH per AS (SELECT user_id AS id,
-       |    (user_id % 2 = 1) AS t,
-       |    sum(CAST(round(value * 100) AS BIGINT)) AS spend
-       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-       |b AS (SELECT id, t, CAST(round(spend * 1) AS BIGINT) AS u
-       |  FROM per),
+    s"""WITH b AS (SELECT event_id AS id, (user_id % 2 = 1) AS t,
+       |    CAST(round(value * 100) AS BIGINT) AS u
+       |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+       |    AND user_id IS NOT NULL),
        |r AS (SELECT id, t, u, unnest(range(200)) AS rep FROM b),
        |hw AS (SELECT rep, t, u, substring(md5(CAST(id AS VARCHAR)
        |    || ':' || CAST(rep AS VARCHAR)), 1, 8) AS h FROM r),
@@ -5117,9 +5111,9 @@ $fieldRows"""
        |    max(CASE WHEN t THEN n END) AS n_t,
        |    max(CASE WHEN NOT t THEN n END) AS n_c FROM arms)
        |SELECT n_t, n_c, 200 AS reps,
-       |  round(diff, 6) + 0 AS diff,
-       |  round((SELECT d FROM o WHERE rn = 5), 6) + 0 AS lo,
-       |  round((SELECT d FROM o WHERE rn = 196), 6) + 0 AS hi
+       |  round(diff / 100.0, 6) + 0 AS diff,
+       |  round((SELECT d FROM o WHERE rn = 5) / 100.0, 6) + 0 AS lo,
+       |  round((SELECT d FROM o WHERE rn = 196) / 100.0, 6) + 0 AS hi
        |FROM dd""".stripMargin
   }
 

@@ -79,7 +79,8 @@ object PlanAudit {
       "q_brown_forsythe", "q_granger", "q_ece", "q_cvm_test",
       "text_rm3_index", "training_corpus_fair", "q_granger_p",
       "q_anderson_darling", "q_mann_kendall", "q_cusum",
-      "q_brier_decomp")
+      "q_brier_decomp", "q_cuped", "q_srm", "q_did", "q_bootstrap",
+      "q_bootstrap_diff")
 
     val sb = new StringBuilder
     sb ++= "# PLANS — physical-plan audit (generated by graft.tools.PlanAudit)\n\n"

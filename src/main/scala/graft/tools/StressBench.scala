@@ -1645,6 +1645,39 @@ object StressBench {
           "v", unitScale = 100L, maxRows = 50000L)
           .queryExecution.toRdd.count())
     }
+    // bootstrap family: rows × reps through one exploded aggregate —
+    // the q_perm_test cost class; expect ~linear in rows·reps
+    for (n <- (Seq(250000L, 1000000L) ++ (if (xl) Seq(4000000L) else Nil))
+           if only.forall(_ == "r15stats")) {
+      val units = spark.range(n).toDF("id")
+        .select(col("id"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0)
+            .as("v"),
+          pmod(col("id"), lit(2L)).cast("string").as("arm"))
+        .cache()
+      units.count()
+      run("bootstrap_mean", n)(
+        graft.operators.Profiling.poissonBootstrapMeanCI(units, "id",
+          "v", reps = 100, unitScale = 100L)
+          .queryExecution.toRdd.count())
+      run("bootstrap_diff", n)(
+        graft.operators.Profiling.poissonBootstrapDiffCI(units, "id",
+          "arm", "1", "v", reps = 100, unitScale = 100L)
+          .queryExecution.toRdd.count())
+      run("cuped", n)(
+        graft.operators.Profiling.cupedAdjust(units
+          .withColumn("y", col("v") * 2.0 +
+            pmod(xxhash64(col("id"), lit(9)), lit(100)).cast("double")),
+          "arm", "v", "y").queryExecution.toRdd.count())
+      run("srm_did", n) {
+        graft.operators.Profiling.srmCheck(units, "arm",
+          Map("0" -> 0.5, "1" -> 0.5)).queryExecution.toRdd.count() +
+          graft.operators.Profiling.diffInDiff(units
+            .withColumn("post", pmod(col("id"), lit(3L)) === 0L),
+            "arm", "post", "v").queryExecution.toRdd.count()
+      }
+      units.unpersist()
+    }
 
     // Bitext mining is QUADRATIC in the batch sizes by construction
     // (brute sweeps both ways) — measured at doubling batch sizes so
