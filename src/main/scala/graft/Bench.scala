@@ -212,10 +212,12 @@ object Bench {
         // BASELINE.md:69). r14's committed print (4.54) divided a
         // 296-query spark total by that stale 277-query anchor — the
         // like-for-like value netting the 19 new queries out is 4.23
-        // (VERDICT r14), pinned here as the series point
+        // (VERDICT r14), pinned here as the series point.
+        // r15 pins the definitive close 352.94/98.52 over 309 oracles
+        // (3.58; SAME-round anchor — BASELINE.md r15 rows)
         val history = Seq("r7" -> 6.44, "r8" -> 5.80, "r9" -> 5.71,
           "r10" -> 5.94, "r11" -> 5.60, "r12" -> 4.50, "r13" -> 4.20,
-          "r14" -> 4.23)
+          "r14" -> 4.23, "r15" -> 3.58)
         v.filter(_ > 0 && sfMatch).map { d =>
           val series = (history.map { case (k, x) => s""""$k":$x""" } :+
             s""""now":${r2(minTotal / d)}""").mkString("{", ",", "}")
