@@ -204,6 +204,87 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("mannKendall / andersonDarling / cupedAdjust: randomized parity " +
+      "vs brute references") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(24601)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(60)
+      // MK reference: brute pair loop + tie-corrected variance
+      val vs = (1 to n).map(_ => rnd.nextInt(12).toDouble)
+      val mkDf = vs.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+        .toDF("ts", "v").withColumn("id", col("ts"))
+      var sRef = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        sRef += java.lang.Long.signum(math.round(vs(j) - vs(i)))
+      val tie = vs.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varRef = (n.toLong * (n - 1) * (2L * n + 5) - tie) / 18.0
+      val mk = Profiling.mannKendallTrend(mkDf, "ts", "id", "v", 1L)
+        .as[(Long, Long, Option[Double], Option[Double])].collect().head
+      assert(mk._2 === sRef, s"trial $trial S")
+      assert(math.abs(mk._3.get - varRef) < 1e-6, s"trial $trial var")
+      if (varRef > 0) {
+        val zRef = (sRef - java.lang.Long.signum(sRef)).toDouble /
+          math.sqrt(varRef)
+        assert(math.abs(mk._4.get - zRef) < 1e-6, s"trial $trial z")
+      }
+      // AD reference: brute level loop over the pooled sample
+      val tvals = (1 to 15 + rnd.nextInt(40)).map(_ =>
+        rnd.nextInt(25).toDouble)
+      val cvals = (1 to 15 + rnd.nextInt(40)).map(_ =>
+        rnd.nextInt(25).toDouble)
+      val adDf = (tvals.map(("s", "t", _)) ++ cvals.map(("s", "c", _)))
+        .toDF("seg", "grp", "v")
+      val nt = tvals.size.toLong; val nc = cvals.size.toLong
+      val nn = nt + nc
+      val levels = (tvals ++ cvals).distinct.sorted
+      var cumT = 0L; var cum = 0L; var a2Ref = 0.0
+      levels.foreach { u =>
+        val ht = tvals.count(_ == u).toLong
+        val hc = cvals.count(_ == u).toLong
+        cumT += ht; cum += ht + hc
+        if (cum < nn) {
+          val d = (nn * cumT - nt * cum).toDouble
+          a2Ref += (ht + hc).toDouble * d * d / (cum * (nn - cum)).toDouble
+        }
+      }
+      a2Ref /= (nt * nc).toDouble
+      val ad = Profiling.andersonDarling(adDf, "seg", "grp", "t", "v", 1L)
+        .as[(String, Long, Long, Double)].collect().head
+      assert(ad._2 === nt && ad._3 === nc)
+      assert(math.abs(ad._4 - a2Ref) < 1e-6, s"trial $trial a2 $ad vs $a2Ref")
+      // CUPED reference: explicit per-row adjusted values
+      val units = (1 to 40 + rnd.nextInt(40)).map { i =>
+        val x = rnd.nextInt(50).toDouble
+        (if (i % 2 == 0) "A" else "B", x,
+          2.0 * x + rnd.nextInt(30).toDouble)
+      }
+      val cuDf = units.toDF("arm", "x", "y")
+      val gn = units.size
+      val gsx = units.map(_._2).sum; val gsy = units.map(_._3).sum
+      val gsxx = units.map(u => u._2 * u._2).sum
+      val gsxy = units.map(u => u._2 * u._3).sum
+      val thetaRef = (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)
+      val xbarRef = gsx / gn
+      val cu = Profiling.cupedAdjust(cuDf, "arm", "x", "y", 1L)
+        .as[(String, Long, Double, Option[Double], Option[Double],
+          Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      Seq("A", "B").foreach { arm =>
+        val ys = units.filter(_._1 == arm)
+        val adj = ys.map(u => u._3 - thetaRef * (u._2 - xbarRef))
+        val mAdj = adj.sum / adj.size
+        val vAdj = adj.map(a => (a - mAdj) * (a - mAdj)).sum /
+          (adj.size - 1)
+        val got = cu(arm)
+        assert(math.abs(got._4.get - mAdj) < 1e-6, s"trial $trial $arm mean")
+        assert(math.abs(got._6.get - vAdj) < 1e-4 * (1.0 + vAdj),
+          s"trial $trial $arm var")
+      }
+    }
+  }
+
   test("jarqueBera / durbinWatson / brownForsythe: randomized parity " +
       "vs direct-computation references") {
     import spark.implicits._
