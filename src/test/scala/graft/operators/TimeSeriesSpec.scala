@@ -529,6 +529,71 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("grangerTest: randomized p = 2 parity vs an independent " +
+      "partial-pivot solve with explicit residual loops") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13337)
+    // independent reference: Gaussian elimination WITH partial
+    // pivoting (different pivot order than the operator's fixed
+    // pivots) + residuals summed row-by-row (different factorization
+    // than RSS = y'y - b'X'y)
+    def lstsqRss(xs: Array[Array[Double]], ys: Array[Double]): Double = {
+      val d = xs.head.length
+      val a = Array.ofDim[Double](d, d + 1)
+      for (r <- xs.indices; i <- 0 until d) {
+        for (j <- 0 until d) a(i)(j) += xs(r)(i) * xs(r)(j)
+        a(i)(d) += xs(r)(i) * ys(r)
+      }
+      for (k <- 0 until d - 1) {
+        val p = (k until d).maxBy(i => math.abs(a(i)(k)))
+        val t = a(k); a(k) = a(p); a(p) = t
+        for (i <- k + 1 until d) {
+          val f = a(i)(k) / a(k)(k)
+          for (j <- k until d + 1) a(i)(j) -= f * a(k)(j)
+        }
+      }
+      val b = new Array[Double](d)
+      for (i <- d - 1 to 0 by -1) {
+        var acc = a(i)(d)
+        for (j <- i + 1 until d) acc -= a(i)(j) * b(j)
+        b(i) = acc / a(i)(i)
+      }
+      xs.indices.map { r =>
+        val e = ys(r) - (0 until d).map(j => b(j) * xs(r)(j)).sum
+        e * e
+      }.sum
+    }
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val x = (0 until n).map(_ => rnd.nextInt(30).toDouble)
+      val y = (0 until n).map(i =>
+        (if (i >= 1) 0.6 * x(i - 1) else 0.0).floor +
+          rnd.nextInt(8).toDouble)
+      val df = (0 until n).map(i => (i.toLong, x(i), y(i)))
+        .toDF("ts", "x", "y").withColumn("id", col("ts"))
+      val comp = (2 until n).toArray
+      val xr = comp.map(i => Array(1.0, y(i - 1), y(i - 2)))
+      val xf = comp.map(i =>
+        Array(1.0, y(i - 1), y(i - 2), x(i - 1), x(i - 2)))
+      val yv = comp.map(i => y(i))
+      val rssR = lstsqRss(xr, yv)
+      val rssF = lstsqRss(xf, yv)
+      val m = comp.length
+      val fRef = ((rssR - rssF) / 2.0) / (rssF / (m - 5.0))
+      val got = TimeSeries.grangerTest(df, "ts", "id", "x", "y", p = 2,
+        unitScale = 1L)
+        .as[(Long, Int, Long, Option[Double], Option[Double],
+          Option[Double])].collect().head
+      assert(got._1 === m.toLong, s"trial $trial n")
+      assert(math.abs(got._4.get - rssR) < 1e-4 * (1.0 + rssR),
+        s"trial $trial rssR ${got._4} vs $rssR")
+      assert(math.abs(got._5.get - rssF) < 1e-4 * (1.0 + rssF),
+        s"trial $trial rssF ${got._5} vs $rssF")
+      assert(math.abs(got._6.get - fRef) < 1e-3 * (1.0 + math.abs(fRef)),
+        s"trial $trial f ${got._6} vs $fRef")
+    }
+  }
+
   test("pettittTest: hand U fold with ties, earliest argmax, one-chain " +
       "p; maxRows guard") {
     import spark.implicits._
