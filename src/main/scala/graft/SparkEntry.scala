@@ -2468,7 +2468,7 @@ $fieldRows"""
     "q_bootstrap" -> ((s, dir) => {
       graft.operators.Profiling.poissonBootstrapMeanCI(
         t(s, dir, "events"), "event_id", "value",
-        reps = 200, alpha = 0.05, unitScale = 100L)
+        reps = 100, alpha = 0.05, unitScale = 100L)
     }),
 
     // Poisson-bootstrap CI for the treatment-vs-control value DIFF:
@@ -2479,7 +2479,7 @@ $fieldRows"""
       val ev = t(s, dir, "events")
         .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
       graft.operators.Profiling.poissonBootstrapDiffCI(ev, "event_id",
-        "arm", "1", "value", reps = 200, alpha = 0.05, unitScale = 100L)
+        "arm", "1", "value", reps = 100, alpha = 0.05, unitScale = 100L)
     }),
 
     // Sample-ratio-mismatch guardrail: arm counts vs the designed
@@ -5045,7 +5045,7 @@ $fieldRows"""
    * [[graft.operators.Profiling.poissonHexThresholds]] the operator
    * compares against, so both engines assign identical replicate
    * weights by construction (the q_shapley_sampled generated-oracle
-   * pattern). reps = 200, alpha = 0.05 → order statistics 5 and 196.
+   * pattern). reps = 100, alpha = 0.05 → order statistics 3 and 98.
    */
   private def bootstrapOracleSql: String = {
     val ths = graft.operators.Profiling.poissonHexThresholds
@@ -5055,9 +5055,12 @@ $fieldRows"""
     s"""WITH b AS (SELECT event_id AS id,
        |    CAST(round(value * 100) AS BIGINT) AS u
        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
-       |r AS (SELECT id, u, unnest(range(200)) AS rep FROM b),
-       |hw AS (SELECT rep, u, substring(md5(CAST(id AS VARCHAR) || ':'
-       |    || CAST(rep AS VARCHAR)), 1, 8) AS h FROM r),
+       |r AS (SELECT id, u, unnest(range(25)) AS g FROM b),
+       |h32 AS (SELECT u, g, md5(CAST(id AS VARCHAR) || ':'
+       |    || CAST(g AS VARCHAR)) AS hh FROM r),
+       |hw AS (SELECT g * 4 + j AS rep, u,
+       |    substring(hh, CAST(j * 8 + 1 AS INTEGER), 8) AS h
+       |  FROM h32, (SELECT unnest(range(4)) AS j)),
        |ww AS (SELECT rep, u, CASE
        |      $chain
        |      ELSE 12 END AS w FROM hw),
@@ -5070,9 +5073,9 @@ $fieldRows"""
        |base AS (SELECT count(*) AS n,
        |    CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE)
        |      / CAST(count(*) AS DOUBLE) AS mn FROM b)
-       |SELECT n, 200 AS reps, round(mn / 100.0, 6) AS mean,
-       |  round((SELECT m FROM o WHERE rn = 5) / 100.0, 6) + 0 AS lo,
-       |  round((SELECT m FROM o WHERE rn = 196) / 100.0, 6) + 0 AS hi
+       |SELECT n, 100 AS reps, round(mn / 100.0, 6) AS mean,
+       |  round((SELECT m FROM o WHERE rn = 3) / 100.0, 6) + 0 AS lo,
+       |  round((SELECT m FROM o WHERE rn = 98) / 100.0, 6) + 0 AS hi
        |FROM base""".stripMargin
   }
 
@@ -5087,9 +5090,12 @@ $fieldRows"""
        |    CAST(round(value * 100) AS BIGINT) AS u
        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
        |    AND user_id IS NOT NULL),
-       |r AS (SELECT id, t, u, unnest(range(200)) AS rep FROM b),
-       |hw AS (SELECT rep, t, u, substring(md5(CAST(id AS VARCHAR)
-       |    || ':' || CAST(rep AS VARCHAR)), 1, 8) AS h FROM r),
+       |r AS (SELECT id, t, u, unnest(range(25)) AS g FROM b),
+       |h32 AS (SELECT t, u, g, md5(CAST(id AS VARCHAR) || ':'
+       |    || CAST(g AS VARCHAR)) AS hh FROM r),
+       |hw AS (SELECT g * 4 + j AS rep, t, u,
+       |    substring(hh, CAST(j * 8 + 1 AS INTEGER), 8) AS h
+       |  FROM h32, (SELECT unnest(range(4)) AS j)),
        |ww AS (SELECT rep, t, u, CASE
        |      $chain
        |      ELSE 12 END AS w FROM hw),
@@ -5110,10 +5116,10 @@ $fieldRows"""
        |      - min(CASE WHEN NOT t THEN mn END) AS diff,
        |    max(CASE WHEN t THEN n END) AS n_t,
        |    max(CASE WHEN NOT t THEN n END) AS n_c FROM arms)
-       |SELECT n_t, n_c, 200 AS reps,
+       |SELECT n_t, n_c, 100 AS reps,
        |  round(diff / 100.0, 6) + 0 AS diff,
-       |  round((SELECT d FROM o WHERE rn = 5) / 100.0, 6) + 0 AS lo,
-       |  round((SELECT d FROM o WHERE rn = 196) / 100.0, 6) + 0 AS hi
+       |  round((SELECT d FROM o WHERE rn = 3) / 100.0, 6) + 0 AS lo,
+       |  round((SELECT d FROM o WHERE rn = 98) / 100.0, 6) + 0 AS hi
        |FROM dd""".stripMargin
   }
 

@@ -1712,6 +1712,33 @@ object Profiling {
   }
 
   /**
+   * The shared weighted-explode stage of the bootstrap pair: one md5
+   * per (row, replicate-QUAD) — a 32-hex digest carries FOUR
+   * independent 32-bit draws, so the hash work is reps/4 per row, not
+   * reps (measured 16 s -> ~6 s on the 100k x 200 bench cell) — then
+   * each 8-hex slice runs the [[poissonHexThresholds]] inverse CDF.
+   * Returns the input plus (`b`, `__w`). `reps` must be a multiple of
+   * 4 (enforced by the callers' gates).
+   */
+  private def poissonWeightedReps(base: DataFrame, reps: Int): DataFrame = {
+    val h32 = md5(concat(col("id").cast("string"), lit(":"),
+      col("__g").cast("string")))
+    val h = substring(col("__h32"), col("__j") * 8 + 1, lit(8))
+    val w = poissonHexThresholds.zipWithIndex
+      .foldLeft(when(h < lit(poissonHexThresholds.head), 0L)) {
+        case (c, (t, k)) =>
+          if (k == 0) c else c.when(h < lit(t), k.toLong)
+      }.otherwise(lit(12L))
+    base
+      .withColumn("__g", explode(sequence(lit(0), lit(reps / 4 - 1))))
+      .withColumn("__h32", h32)
+      .withColumn("__j", explode(sequence(lit(0), lit(3))))
+      .withColumn("b", col("__g") * 4 + col("__j"))
+      .withColumn("__w", w)
+      .drop("__g", "__h32", "__j")
+  }
+
+  /**
    * Poisson-bootstrap percentile CI for the mean (Chamandy, Muralidhar
    * & Najmi 2012 — "Estimating Uncertainty for Massive Data Streams",
    * the bootstrap that actually runs at 100 TB): true multinomial
@@ -1719,10 +1746,12 @@ object Profiling {
    * replicate) an INDEPENDENT Poisson(1) weight instead makes the
    * resample embarrassingly parallel — one exploded pass, one
    * map-side-combined aggregate to `reps` rows — while matching the
-   * classical bootstrap to O(1/n). Weights are DETERMINISTIC: the
-   * md5(id:b) hex prefix is the uniform draw (the q_perm_test
-   * machinery), pushed through the shared [[poissonHexThresholds]]
-   * inverse CDF, so both engines replay the identical resample.
+   * classical bootstrap to O(1/n). Weights are DETERMINISTIC: each
+   * md5(id:quad) digest carries FOUR 8-hex uniform draws (the
+   * q_perm_test machinery, amortized 4x via
+   * [[poissonWeightedReps]]), each pushed through the shared
+   * [[poissonHexThresholds]] inverse CDF, so both engines replay the
+   * identical resample.
    *
    * EXACTNESS: values quantize at `unitScale`; per-replicate Σw is an
    * exact long and Σw·u an exact decimal; each replicate mean is ONE
@@ -1743,7 +1772,8 @@ object Profiling {
                              valueCol: String, reps: Int = 200,
                              alpha: Double = 0.05,
                              unitScale: Long = 100L): DataFrame = {
-    require(reps >= 10 && reps <= 1000, s"reps in [10, 1000]: $reps")
+    require(reps >= 12 && reps <= 1000 && reps % 4 == 0,
+      s"reps in [12, 1000], multiple of 4: $reps")
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
     require(unitScale >= 1, "unitScale must be >= 1")
     val dec = "decimal(38,0)"
@@ -1760,17 +1790,7 @@ object Profiling {
     val hiIdx = reps - loIdx + 1
     require(loIdx >= 1 && loIdx < hiIdx,
       s"alpha=$alpha with reps=$reps leaves no CI mass")
-    val h = substring(md5(concat(col("id").cast("string"), lit(":"),
-      col("b").cast("string"))), 1, 8)
-    val w = poissonHexThresholds.zipWithIndex
-      .foldLeft(when(h < lit(poissonHexThresholds.head), 0L)) {
-        case (c, (t, k)) =>
-          if (k == 0) c
-          else c.when(h < lit(t), k.toLong)
-      }.otherwise(lit(12L))
-    val perRep = base
-      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w", w)
+    val perRep = poissonWeightedReps(base, reps)
       .groupBy("b")
       .agg(sum("__w").as("__sw"),
         sum(col("__w").cast(dec) * col("u")).as("__swu"))
@@ -1820,7 +1840,8 @@ object Profiling {
                              valueCol: String, reps: Int = 200,
                              alpha: Double = 0.05,
                              unitScale: Long = 100L): DataFrame = {
-    require(reps >= 10 && reps <= 1000, s"reps in [10, 1000]: $reps")
+    require(reps >= 12 && reps <= 1000 && reps % 4 == 0,
+      s"reps in [12, 1000], multiple of 4: $reps")
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
     require(unitScale >= 1, "unitScale must be >= 1")
     val dec = "decimal(38,0)"
@@ -1841,16 +1862,7 @@ object Profiling {
     val hiIdx = reps - loIdx + 1
     require(loIdx >= 1 && loIdx < hiIdx,
       s"alpha=$alpha with reps=$reps leaves no CI mass")
-    val h = substring(md5(concat(col("id").cast("string"), lit(":"),
-      col("b").cast("string"))), 1, 8)
-    val w = poissonHexThresholds.zipWithIndex
-      .foldLeft(when(h < lit(poissonHexThresholds.head), 0L)) {
-        case (c, (t, k)) =>
-          if (k == 0) c else c.when(h < lit(t), k.toLong)
-      }.otherwise(lit(12L))
-    val perCell = base
-      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w", w)
+    val perCell = poissonWeightedReps(base, reps)
       .groupBy("b", "t")
       .agg(sum("__w").as("__sw"),
         sum(col("__w").cast(dec) * col("u")).as("__swu"))

@@ -512,9 +512,9 @@ class ProfilingSpec extends SparkSpec {
     // constant values: every replicate mean IS the constant
     val const = (1L to 100L).map(i => (i, 7.0)).toDF("id", "v")
     val gc = Profiling.poissonBootstrapMeanCI(const, "id", "v",
-      reps = 50, alpha = 0.1, unitScale = 1L)
+      reps = 52, alpha = 0.1, unitScale = 1L)
       .as[(Long, Int, Double, Double, Double)].collect().head
-    assert(gc === ((100L, 50, 7.0, 7.0, 7.0)))
+    assert(gc === ((100L, 52, 7.0, 7.0, 7.0)))
     // spread data: lo < mean < hi, fully deterministic across runs
     val rnd = new scala.util.Random(42)
     val rows = (1L to 200L).map(i => (i, rnd.nextInt(100).toDouble))
@@ -534,7 +534,7 @@ class ProfilingSpec extends SparkSpec {
         (1L to 10L).map(i => (i, 1.0)).toDF("id", "v"), "id", "v")
     }
     intercept[IllegalArgumentException] {
-      Profiling.poissonBootstrapMeanCI(rows, "id", "v", reps = 5)
+      Profiling.poissonBootstrapMeanCI(rows, "id", "v", reps = 50) // %4
     }
   }
 
@@ -546,11 +546,11 @@ class ProfilingSpec extends SparkSpec {
     val rows = ((1L to 40L).map(i => (i, "t", 10.0)) ++
       (41L to 80L).map(i => (i, "c", 4.0))).toDF("id", "arm", "v")
     val got = Profiling.poissonBootstrapDiffCI(rows, "id", "arm", "t",
-      "v", reps = 50, alpha = 0.1, unitScale = 1L)
+      "v", reps = 52, alpha = 0.1, unitScale = 1L)
       .as[(Long, Long, Int, Double, Double, Double)].collect().head
-    assert(got === ((40L, 40L, 50, 6.0, 6.0, 6.0)))
+    assert(got === ((40L, 40L, 52, 6.0, 6.0, 6.0)))
     val again = Profiling.poissonBootstrapDiffCI(rows, "id", "arm", "t",
-      "v", reps = 50, alpha = 0.1, unitScale = 1L)
+      "v", reps = 52, alpha = 0.1, unitScale = 1L)
       .as[(Long, Long, Int, Double, Double, Double)].collect().head
     assert(again === got)
     intercept[IllegalArgumentException] { // arm below 30 units
