@@ -5204,8 +5204,9 @@ $fieldRows"""
         |    LATERAL (SELECT unnest(d.t) AS term) tok
         |  GROUP BY 1, 2, 3, 4, 5),
         |pr0 AS (SELECT ftf.query_id, ftf.term, ftf.doc_id,
-        |    (CAST(s4 AS DOUBLE) / CAST(stot AS DOUBLE))
-        |      * (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) AS contrib
+        |    CASE WHEN stot > 0 THEN
+        |      (CAST(s4 AS DOUBLE) / CAST(stot AS DOUBLE))
+        |        * (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) END AS contrib
         |  FROM ftf JOIN stot USING (query_id)),
         |prf AS (SELECT query_id, term,
         |    sum(contrib) OVER (PARTITION BY query_id, term

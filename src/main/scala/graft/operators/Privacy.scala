@@ -223,9 +223,12 @@ object Privacy {
         lit(null).cast("double").as("t_value") :+
         lit(true).as("violates")): _*)
     }
-    require(nClasses * nLevels <= maxGridCells,
+    // overflow-safe: nClasses * nLevels as a raw Long product can wrap
+    // negative at ~3e9 x 3e9 (unquantized continuous sensitive columns
+    // are exactly the hostile case) and sail past a <= compare
+    require(nClasses <= maxGridCells / math.max(nLevels, 1L),
       s"tClosenessClasses: $nClasses classes x $nLevels sensitive " +
-        s"levels = ${nClasses * nLevels} grid cells exceeds " +
+        s"levels exceeds " +
         s"maxGridCells=$maxGridCells — the EMD walk materializes the " +
         "full class-x-level grid; quantize the sensitive column " +
         "upstream (bucket continuous values) or raise maxGridCells " +
@@ -288,11 +291,18 @@ object Privacy {
    *
    * Scale shape: one map-side-combined group aggregate, then ONE
    * unpartitioned max-window over the GROUP frame (group-count-sized —
-   * the kaplanMeier level-frame class, fine for any real protected
-   * attribute's cardinality). Output one row per group.
+   * the kaplanMeier level-frame class). The group frame is FAIL-LOUD
+   * gated at `maxGroups` (the guardedSurvivalLevels convention): a
+   * high-cardinality column passed as the protected attribute (a user
+   * id, say) would make the max-window and every downstream
+   * `.collect()` of the report row-sized — the gate's escape is
+   * coarsen-the-attribute-upstream or raise `maxGroups` deliberately.
+   * Output one row per group.
    */
   def fairnessReport(df: DataFrame, groupCol: String, labelCol: String,
-                     predCol: String): DataFrame = {
+                     predCol: String,
+                     maxGroups: Long = 10000L): DataFrame = {
+    require(maxGroups >= 1, s"maxGroups must be >= 1: $maxGroups")
     val missing = Seq(groupCol, labelCol, predCol)
       .filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in the frame: $missing")
@@ -310,12 +320,19 @@ object Privacy {
       .select(col(groupCol).cast("string").as("grp"),
         col(labelCol).cast("boolean").as("y"),
         col(predCol).cast("boolean").as("yh"))
-    val g = base.groupBy("grp").agg(
+    val g = graft.core.LineageCut.cut(base.groupBy("grp").agg(
       count(lit(1)).as("n"),
       sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
       sum(when(col("yh"), 1L).otherwise(0L)).as("n_pred"),
       sum(when(col("y") && col("yh"), 1L).otherwise(0L)).as("tp"),
-      sum(when(!col("y") && col("yh"), 1L).otherwise(0L)).as("fp"))
+      sum(when(!col("y") && col("yh"), 1L).otherwise(0L)).as("fp")))
+    val nGroups = g.count()
+    require(nGroups <= maxGroups,
+      s"fairnessReport: $nGroups protected groups exceeds " +
+        s"maxGroups=$maxGroups — the max-window and the report " +
+        "collect are group-frame-sized; a protected attribute is a " +
+        "LOW-cardinality column, coarsen it upstream or raise " +
+        "maxGroups deliberately")
     val predRate = col("n_pred").cast("double") / col("n").cast("double")
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)

@@ -1753,20 +1753,34 @@ object Profiling {
    * [[poissonHexThresholds]] inverse CDF, so both engines replay the
    * identical resample.
    *
+   * CLUSTER-BOOTSTRAP SEMANTICS (stated): weights key on md5(idCol),
+   * so every row sharing an `idCol` value draws the IDENTICAL weight
+   * in every replicate — duplicate ids are one UNIT whose event rows
+   * resample together (the Chamandy design: the resampling unit is
+   * the randomization unit, not the event row). Pass a row-unique id
+   * for the plain iid bootstrap; pass the user/session id to
+   * bootstrap at the unit level.
+   *
    * EXACTNESS: values quantize at `unitScale`; per-replicate Σw is an
    * exact long and Σw·u an exact decimal; each replicate mean is ONE
    * division; the CI picks ORDER STATISTICS of the unrounded
    * replicate means (total order (mean, b); index ⌈reps·α/2⌉ from
    * exact integer arithmetic with α as num/10⁶, hi = reps − lo + 1 —
-   * the basic percentile rule, stated); outputs round 6dp. n < 30
-   * fails loud (below it a zero-total-weight replicate stops being
-   * astronomically improbable AND the bootstrap itself is invalid).
+   * the basic percentile rule, stated); outputs round 6dp. Fewer
+   * than 30 DISTINCT UNITS fails loud — units, not rows, because a
+   * replicate's total weight is Poisson(units): at 6 units × 1000
+   * rows a zero-total-weight replicate has p ≈ 0.25% per replicate,
+   * nowhere near astronomical — and below 30 units the bootstrap
+   * itself is invalid. A zero-total-weight replicate past the gate
+   * (p ≈ 10⁻¹³ per replicate at 30 units) raises in-plan rather
+   * than letting a NaN mean corrupt the order-statistic pick.
    *
    * Scale shape: rows × reps through ONE exploded aggregate (the
    * q_perm_test shape — map-side combined to `reps` rows), then a
    * reps-row ordered pick. `reps` gated at 1000.
    *
-   * Output one row: (`n`, `reps`, `mean`, `lo`, `hi`).
+   * Output one row: (`n`, `reps`, `mean`, `lo`, `hi`); `n` is the
+   * ROW count (the mean's denominator), the gate counts units.
    */
   def poissonBootstrapMeanCI(df: DataFrame, idCol: String,
                              valueCol: String, reps: Int = 200,
@@ -1781,10 +1795,16 @@ object Profiling {
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         round(col(valueCol) * unitScale).cast("long").as("u")))
-    val n = base.count()
-    require(n >= 30,
-      s"poissonBootstrapMeanCI: n=$n < 30 — the Poisson approximation " +
-        "to the multinomial (and the bootstrap itself) needs more rows")
+    val st = base.agg(count(lit(1)).as("__rows"),
+      countDistinct(col("id")).as("__units")).collect().head
+    val n = st.getLong(0)
+    val units = st.getLong(1)
+    require(units >= 30,
+      s"poissonBootstrapMeanCI: $units distinct units (of $n rows) < " +
+        "30 — weights key on idCol, so duplicate ids share ONE draw " +
+        "per replicate (cluster bootstrap); the Poisson approximation " +
+        "to the multinomial (and the bootstrap itself) needs >= 30 " +
+        "UNITS, not rows")
     val anum = math.round(alpha * 1000000L)
     val loIdx = (reps * anum + 2000000L - 1L) / 2000000L // ceil
     val hiIdx = reps - loIdx + 1
@@ -1794,8 +1814,15 @@ object Profiling {
       .groupBy("b")
       .agg(sum("__w").as("__sw"),
         sum(col("__w").cast(dec) * col("u")).as("__swu"))
-      .withColumn("__m",
+      // fail loud, never NaN: a zero-total-weight replicate would
+      // yield 0/0 = NaN, which sorts LAST under ascending double
+      // order and silently corrupts the hi-index pick
+      .withColumn("__m", when(col("__sw") > 0L,
         col("__swu").cast("double") / col("__sw").cast("double"))
+        .otherwise(raise_error(lit("poissonBootstrapMeanCI: a " +
+          "replicate drew ZERO total weight — too few distinct " +
+          "units for the Poisson bootstrap; add units"))
+          .cast("double")))
     val ord = Window.orderBy(col("__m"), col("b"))
     val picked = perRep.withColumn("__rn", row_number().over(ord))
       .filter(col("__rn") === loIdx || col("__rn") === hiIdx)
@@ -1823,17 +1850,30 @@ object Profiling {
    * with no normality assumption on the unit metric (which for
    * per-user sums is routinely heavy-tailed).
    *
+   * CLUSTER-BOOTSTRAP SEMANTICS (the [[poissonBootstrapMeanCI]]
+   * contract): weights key on md5(idCol), so rows sharing an id are
+   * ONE resampling unit. Both arms need ≥ 30 DISTINCT UNITS (fail
+   * loud — row counts can sail past while Poisson(units) still
+   * zeroes a replicate), and a unit present in BOTH arms is refused
+   * loudly: its shared draw would correlate the two arm means inside
+   * every replicate, silently shrinking the CI.
+   *
    * EXACTNESS: the [[poissonBootstrapMeanCI]] contract per arm —
    * exact long/decimal weight sums, one division per (replicate,
    * arm), the replicate diff a single subtraction; order statistics
    * over the total order (diff, b); `diff`/`lo`/`hi` flow through
    * [[graft.core.Num.roundz]] 6dp (a null effect lands on zero from
-   * below half the time). Both arms need ≥ 30 units (fail loud).
+   * below half the time). A zero-total-weight (replicate, arm) cell
+   * past the gate raises in-plan rather than feeding NaN to the
+   * pick.
    *
    * Scale shape: rows × reps through ONE exploded aggregate to
-   * 2·reps (replicate, arm) cells, a reps-row pivot + ordered pick.
+   * 2·reps (replicate, arm) cells, a reps-row pivot + ordered pick;
+   * the gate adds one id-keyed distinct aggregate.
    *
-   * Output one row: (`n_t`, `n_c`, `reps`, `diff`, `lo`, `hi`).
+   * Output one row: (`n_t`, `n_c`, `reps`, `diff`, `lo`, `hi`);
+   * `n_t`/`n_c` are per-arm ROW counts (the means' denominators),
+   * the gates count units.
    */
   def poissonBootstrapDiffCI(df: DataFrame, idCol: String,
                              groupCol: String, treatment: String,
@@ -1851,12 +1891,26 @@ object Profiling {
       .select(col(idCol).cast("long").as("id"),
         (col(groupCol).cast("string") === treatment).as("t"),
         round(col(valueCol) * unitScale).cast("long").as("u")))
-    val counts = base.groupBy("t").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val (nT, nC) = (counts.getOrElse(true, 0L), counts.getOrElse(false, 0L))
-    require(nT >= 30 && nC >= 30,
-      s"poissonBootstrapDiffCI: need >= 30 units per arm " +
-        s"(treatment=$nT, control=$nC)")
+    val st = base.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("__rt"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("__rc"),
+      countDistinct(when(col("t"), col("id"))).as("__ut"),
+      countDistinct(when(!col("t"), col("id"))).as("__uc"),
+      countDistinct(col("id")).as("__ua")).collect().head
+    val nT = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val nC = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val (uT, uC, uA) = (st.getLong(2), st.getLong(3), st.getLong(4))
+    require(uT >= 30 && uC >= 30,
+      s"poissonBootstrapDiffCI: need >= 30 DISTINCT UNITS per arm " +
+        s"(treatment=$uT units/$nT rows, control=$uC units/$nC rows) " +
+        "— weights key on idCol, so duplicate ids share one draw " +
+        "per replicate (cluster bootstrap)")
+    val overlap = uT + uC - uA
+    require(overlap == 0L,
+      s"poissonBootstrapDiffCI: $overlap unit(s) appear in BOTH arms " +
+        "— a unit's shared weight draw correlates the two arm means " +
+        "inside every replicate and silently shrinks the CI; assign " +
+        "each unit to exactly one arm upstream")
     val anum = math.round(alpha * 1000000L)
     val loIdx = (reps * anum + 2000000L - 1L) / 2000000L
     val hiIdx = reps - loIdx + 1
@@ -1866,8 +1920,13 @@ object Profiling {
       .groupBy("b", "t")
       .agg(sum("__w").as("__sw"),
         sum(col("__w").cast(dec) * col("u")).as("__swu"))
-      .withColumn("__m",
+      // fail loud, never NaN (the poissonBootstrapMeanCI guard)
+      .withColumn("__m", when(col("__sw") > 0L,
         col("__swu").cast("double") / col("__sw").cast("double"))
+        .otherwise(raise_error(lit("poissonBootstrapDiffCI: a " +
+          "(replicate, arm) cell drew ZERO total weight — too few " +
+          "distinct units for the Poisson bootstrap; add units"))
+          .cast("double")))
     val perRep = perCell.groupBy("b").agg(
       (min(when(col("t"), col("__m"))) -
         min(when(!col("t"), col("__m")))).as("__d"))

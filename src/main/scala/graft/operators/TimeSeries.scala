@@ -611,8 +611,11 @@ object TimeSeries {
     require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
     val dec = "decimal(38,0)"
     val base = obs
-      .filter(col(tsCol).isNotNull && col(xCol).isNotNull &&
-        col(yCol).isNotNull)
+      // null ids dropped: a NULL id in the (ts, id) ordered fold sorts
+      // first in Spark but last under the SQL-oracle convention, so
+      // equal-ts ties could fold in a different order across engines
+      .filter(col(tsCol).isNotNull && col(idCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(tsCol).cast("long").as("ts"),
         col(idCol).cast("long").as("id"),
         round(col(xCol) * unitScale).cast("long").as("ux"),
@@ -707,8 +710,11 @@ object TimeSeries {
     import spark.implicits._
     val dec = "decimal(38,0)"
     val base = obs
-      .filter(col(tsCol).isNotNull && col(xCol).isNotNull &&
-        col(yCol).isNotNull)
+      // null ids dropped: a NULL id in the (ts, id) ordered fold sorts
+      // first in Spark but last under the SQL-oracle convention, so
+      // equal-ts ties could fold in a different order across engines
+      .filter(col(tsCol).isNotNull && col(idCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(tsCol).cast("long").as("ts"),
         col(idCol).cast("long").as("id"),
         round(col(xCol) * unitScale).cast("long").as("ux"),
@@ -846,8 +852,11 @@ object TimeSeries {
     val uK = math.round(slack * unitScale)
     val uH = math.round(threshold * unitScale)
     require(uH > 0, "threshold quantizes to 0 units — raise unitScale")
+    // null ids dropped (the grangerTest convention): the (ts, id)
+    // fold's null placement differs across engines on equal-ts ties
     val base = obs
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(tsCol).isNotNull && col(idCol).isNotNull &&
+        col(valueCol).isNotNull)
       .select(col(tsCol).cast("long").as("ts"),
         col(idCol).cast("long").as("id"),
         round(col(valueCol) * unitScale).cast("long").as("u"))

@@ -327,19 +327,24 @@ object CorpusPipeline {
           .join(keptIds, col("__in_id") === col("__kept_id"), "left")
           .select(col(grp), col("__kept_id").isNotNull.as("__kept"))
           .withColumn("__lbl", col("__kept"))
+        // FAIL CLOSED on NULL dp_ratio: when every group's selection
+        // rate is 0 (entire corpus pruned) fairnessReport emits NULL
+        // dp_ratio for all groups — a `< minRatio` filter alone would
+        // pass a fully-empty release silently
         val bad = graft.operators.Privacy
           .fairnessReport(labeled, grp, "__lbl", "__kept")
-          .filter(col("dp_ratio") < minRatio)
+          .filter(col("dp_ratio").isNull || col("dp_ratio") < minRatio)
           .select(col(grp).cast("string").as("g"), col("pred_rate"),
             col("dp_ratio"))
-          .collect() // protected-group-cardinality bounded
+          .collect() // fairnessReport gates group cardinality fail-loud
         if (bad.nonEmpty)
           throw new IllegalStateException(
             s"release gate fairness(group=$grp, minDpRatio=$minRatio) " +
               "REFUSED: " + bad.map(r => s"${r.getString(0)} selected " +
                 s"at ${r.get(1)} (dp_ratio ${r.get(2)})").mkString("; ") +
               " — the content gates prune this group disproportionately" +
-              " (four-fifths rule); rebalance the gates or the corpus" +
+              " (four-fifths rule; a NULL dp_ratio means NO group was" +
+              " selected at all); rebalance the gates or the corpus" +
               " before release")
       }
       if (cfg.releaseExpectations.nonEmpty) {

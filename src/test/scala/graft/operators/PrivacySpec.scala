@@ -178,6 +178,17 @@ class PrivacySpec extends SparkSpec {
       Privacy.fairnessReport(rows.withColumnRenamed("grp", "tpr"),
         "tpr", "y", "yh")
     }
+    // a high-cardinality protected attribute (a user id, say) makes
+    // the max-window and the report collect row-sized — the maxGroups
+    // gate fails loud BEFORE either is planned
+    val wide = (1L to 50L).map(i => (s"u$i", i % 2 == 0, i % 3 == 0))
+      .toDF("grp", "y", "yh")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.fairnessReport(wide, "grp", "y", "yh", maxGroups = 10L)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // at the default gate the same frame passes (50 groups << 10000)
+    assert(Privacy.fairnessReport(wide, "grp", "y", "yh").count() === 50L)
   }
 
   test("tClosenessClasses + fairnessReport: randomized parity vs " +

@@ -559,6 +559,53 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrap gates count DISTINCT UNITS, not rows: 6 units " +
+      "x 1000 rows trips; a cross-arm unit is refused; duplicate ids " +
+      "share the draw (cluster bootstrap)") {
+    import spark.implicits._
+    // 6 distinct user ids, 1000 event rows each = 6000 ROWS — the old
+    // row-count gate sailed past while Poisson(6) zeroes a replicate
+    // with p ~ 0.25%; the unit gate must trip
+    val clustered = (1L to 6000L).map(i => (i % 6, 1.0)).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Profiling.poissonBootstrapMeanCI(clustered, "id", "v",
+        reps = 52, unitScale = 1L)
+    }
+    assert(e1.getMessage.contains("6 distinct units"))
+    // same trap on the diff: 6 units per arm, 500 rows each
+    val clusteredArms = (1L to 6000L).map { i =>
+      val arm = if (i % 2 == 0) "t" else "c"
+      (i % 12, arm, 1.0)
+    }.toDF("id", "arm", "v")
+    intercept[IllegalArgumentException] {
+      Profiling.poissonBootstrapDiffCI(clusteredArms, "id", "arm", "t",
+        "v", reps = 52, unitScale = 1L)
+    }
+    // a unit present in BOTH arms is refused loudly even when both
+    // arms clear 30 units (id 1 carries a row in each arm)
+    val crossed = ((1L to 40L).map(i => (i, "t", 10.0)) ++
+      (41L to 80L).map(i => (i, "c", 4.0)) ++
+      Seq((1L, "c", 4.0))).toDF("id", "arm", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Profiling.poissonBootstrapDiffCI(crossed, "id", "arm", "t", "v",
+        reps = 52, unitScale = 1L)
+    }
+    assert(e2.getMessage.contains("BOTH arms"))
+    // cluster semantics: duplicating every row under the SAME id must
+    // leave the replicate means (hence lo/hi) unchanged on constant
+    // data and keep the unit gate satisfied at 40 units
+    val base = (1L to 40L).map(i => (i, 7.0)).toDF("id", "v")
+    val doubled = base.union(base)
+    val g1 = Profiling.poissonBootstrapMeanCI(base, "id", "v",
+      reps = 52, unitScale = 1L)
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    val g2 = Profiling.poissonBootstrapMeanCI(doubled, "id", "v",
+      reps = 52, unitScale = 1L)
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    assert(g1._3 === g2._3 && g1._4 === g2._4 && g1._5 === g2._5)
+    assert(g2._1 === 80L) // n reports ROWS; the gate counted units
+  }
+
   test("srmCheck: hand chi2 on a skewed split; designed-but-empty arm " +
       "contributes its E; undesigned observed arm fails loud") {
     import spark.implicits._
