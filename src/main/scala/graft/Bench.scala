@@ -49,7 +49,8 @@ object Bench {
     val parityDrives = Set("q_sessionize_stream", "q_stream_neardup",
       "q_stream_join", "q_stream_snapshot", "q_stream_perplexity",
       "q_stream_heavy", "q_stream_transitions", "q_stream_changepoint",
-      "q_stream_ewma", "q_stream_drift", "q_stream_cusum")
+      "q_stream_ewma", "q_stream_drift", "q_stream_cusum",
+      "q_stream_srm")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset for local
     // iteration (the driver never sets it — full suite by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

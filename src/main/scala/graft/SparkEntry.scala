@@ -2522,6 +2522,36 @@ $fieldRows"""
         "outcome", unitScale = 1L)
     }),
 
+    // CUPED-adjusted Welch t readout on the same frame: the number
+    // experimenters actually ship — pooled theta/xbar chains verbatim
+    // from q_cuped, then the welchTTest statistic on the ADJUSTED
+    // per-arm moments (one global + one 2-row keyed aggregate).
+    "q_cuped_ttest" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("pre"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("outcome"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.cupedWelchTTest(per, "arm", "1",
+        "pre", "outcome", unitScale = 1L)
+    }),
+
+    // Always-valid sequential mSPRT over daily looks: cumulative
+    // exact arm moments per look, the mixture likelihood ratio vs a
+    // N(0, tau^2) prior, running-min p and running-intersection CI —
+    // the peeking-safe companion to the fixed-horizon readouts.
+    "q_sequential" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("ts div 86400000000000"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.sequentialMSPRT(ev, "day", "arm", "1",
+        "value", tau2 = 1.0, alpha = 0.05, unitScale = 100L)
+    }),
+
     // Murphy decomposition of the same forecast on 1e-3 quantized
     // levels: brier = reliability - resolution + uncertainty EXACTLY
     // on the quantized forecasts — says how much of the score is
@@ -2553,6 +2583,22 @@ $fieldRows"""
         .agg(count(lit(1)).cast("double").as("n_events"))
       graft.operators.Profiling.mannKendallTrend(per, "hour", "hour",
         "n_events", unitScale = 1L)
+    }),
+
+    // Seasonal Mann-Kendall (Hirsch-Slack) on the same hourly volume
+    // with hour-of-day as the season: within-season pair joins only
+    // (24 seasons x ~30 days), per-season tie-corrected variances
+    // summed exactly, one continuity-corrected z on the summed S.
+    "q_mann_kendall_seasonal" -> ((s, dir) => {
+      val h = 3600000000000L
+      val per = t(s, dir, "events")
+        .groupBy(((col("ts") - pmod(col("ts"), lit(h))) / h).cast("long")
+          .as("hour"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+        .withColumn("day", expr("hour div 24"))
+        .withColumn("season", pmod(col("hour"), lit(24L)))
+      graft.operators.Profiling.mannKendallSeasonal(per, "day",
+        "season", "hour", "n_events", unitScale = 1L)
     }),
 
     // Two-sided CUSUM drift monitor on the per-minute volume: exact
@@ -4619,6 +4665,27 @@ $fieldRows"""
         .as[Streams.Event]
       Streams.cusumStreamParity(s, cohort, target = 50.0, slack = 5.0,
         threshold = 100.0, unitScale = 100L)
+    }),
+
+    // TRUE-streaming SRM guardrail (13th streaming surface): the arm
+    // label (user parity) rides in event_type; per closed hour-window
+    // the designed-vs-observed chi^2 from the shared srmAgg chain —
+    // every streamed row must bit-match the batch replica.
+    "q_stream_srm" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val cohort = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"),
+          pmod(expr("user_id div 10"), lit(2L)).cast("string")
+            .as("event_type"),
+          col("value"))
+        .as[Streams.Event]
+      Streams.srmStreamParity(s, cohort, Map("0" -> 0.5, "1" -> 0.5),
+        windowMs = 3600000L)
     }),
 
     // TRUE-streaming mean-shift changepoints: the cohort replays through
@@ -8642,6 +8709,69 @@ $fieldRows"""
         |SELECT n, k, k - 1 AS df1,
         |  CASE WHEN n > 0 THEN round(run, 4) END AS chi2
         |FROM f2 WHERE rn = k""".stripMargin,
+    // mSPRT: cumulative decimal arm moments over the look x arm grid,
+    // the welch mean/variance chains, one sqrt/exp/ln chain per look,
+    // running-min p and running-intersection CI.
+    "q_sequential" ->
+      """WITH b AS (SELECT
+        |    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS look,
+        |    (user_id % 2 = 1) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT look, t, count(*) AS dn,
+        |    sum(CAST(u AS HUGEINT)) AS ds1,
+        |    sum(CAST(u AS HUGEINT) * u) AS ds2 FROM b GROUP BY 1, 2),
+        |grid AS (SELECT l.look, a.t,
+        |    COALESCE(c.dn, 0) AS dn,
+        |    COALESCE(c.ds1, 0) AS ds1, COALESCE(c.ds2, 0) AS ds2
+        |  FROM (SELECT DISTINCT look FROM cells) l
+        |  CROSS JOIN (SELECT true AS t UNION ALL SELECT false AS t) a
+        |  LEFT JOIN cells c ON c.look = l.look AND c.t = a.t),
+        |cum AS (SELECT look, t,
+        |    CAST(sum(dn) OVER w AS BIGINT) AS n,
+        |    sum(ds1) OVER w AS s1, sum(ds2) OVER w AS s2
+        |  FROM grid WINDOW w AS (PARTITION BY t ORDER BY look
+        |    ROWS UNBOUNDED PRECEDING)),
+        |wide AS (SELECT look,
+        |    max(CASE WHEN t THEN n END) AS n_t,
+        |    max(CASE WHEN t THEN s1 END) AS s1_t,
+        |    max(CASE WHEN t THEN s2 END) AS s2_t,
+        |    max(CASE WHEN NOT t THEN n END) AS n_c,
+        |    max(CASE WHEN NOT t THEN s1 END) AS s1_c,
+        |    max(CASE WHEN NOT t THEN s2 END) AS s2_c
+        |  FROM cum GROUP BY 1),
+        |e AS (SELECT *,
+        |    CAST(s1_t AS DOUBLE) / CAST(n_t * 100 AS DOUBLE)
+        |      - CAST(s1_c AS DOUBLE) / CAST(n_c * 100 AS DOUBLE) AS d,
+        |    ((CAST(s2_t AS DOUBLE) - CAST(s1_t AS DOUBLE)
+        |        * CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |      / (CAST(n_t AS DOUBLE) - 1.0)) / 10000.0
+        |      / CAST(n_t AS DOUBLE)
+        |    + ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE)
+        |        * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      / (CAST(n_c AS DOUBLE) - 1.0)) / 10000.0
+        |      / CAST(n_c AS DOUBLE) AS v
+        |  FROM wide),
+        |f AS (SELECT *,
+        |    (n_t >= 2 AND n_c >= 2 AND v > 0) AS ok,
+        |    sqrt(v / (v + 1.0))
+        |      * exp(d * d * 1.0 / (2.0 * v * (v + 1.0))) AS lam,
+        |    sqrt((v * (v + 1.0) / 1.0) * ln((v + 1.0)
+        |      / ((CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)) * v)))
+        |      AS radius
+        |  FROM e),
+        |r AS (SELECT look, n_t, n_c, d, ok,
+        |    min(CASE WHEN ok THEN least(1.0, 1.0 / lam) END) OVER run
+        |      AS pmin,
+        |    max(CASE WHEN ok THEN d - radius END) OVER run AS lomax,
+        |    min(CASE WHEN ok THEN d + radius END) OVER run AS himin
+        |  FROM f WINDOW run AS (ORDER BY look ROWS UNBOUNDED PRECEDING))
+        |SELECT look, n_t, n_c,
+        |  CASE WHEN ok THEN round(d, 6) + 0 END AS diff,
+        |  round(pmin, 6) AS p_always,
+        |  round(lomax, 6) + 0 AS lo,
+        |  round(himin, 6) + 0 AS hi
+        |FROM r""".stripMargin,
     // DiD: one 4-cell exact moment aggregate, fixed-chain means/SE.
     "q_did" ->
       """WITH b AS (SELECT (user_id % 2 = 1) AS t,
@@ -8765,6 +8895,94 @@ $fieldRows"""
         |    round(1.0 - ((ssadj - sadj * sadj / nd) / (nd - 1.0))
         |      / vraw, 6) + 0 END AS var_reduction
         |FROM e""".stripMargin,
+    // CUPED-adjusted Welch t: the q_cuped theta/xbar chains verbatim,
+    // adjusted per-arm moment expansions, then the welchTTest t/df
+    // fixed chains on those adjusted moments.
+    "q_cuped_ttest" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS outc
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT (user_id % 2 = 1) AS t,
+        |    CAST(round(pre * 1) AS BIGINT) AS ux,
+        |    CAST(round(outc * 1) AS BIGINT) AS uy FROM per),
+        |g AS (SELECT count(*) AS gn,
+        |    sum(CAST(ux AS HUGEINT)) AS gsx,
+        |    sum(CAST(uy AS HUGEINT)) AS gsy,
+        |    sum(CAST(ux AS HUGEINT) * ux) AS gsxx,
+        |    sum(CAST(ux AS HUGEINT) * uy) AS gsxy FROM b),
+        |p AS (SELECT t, count(*) AS n,
+        |    sum(CAST(ux AS HUGEINT)) AS sx,
+        |    sum(CAST(uy AS HUGEINT)) AS sy,
+        |    sum(CAST(ux AS HUGEINT) * ux) AS sxx,
+        |    sum(CAST(ux AS HUGEINT) * uy) AS sxy,
+        |    sum(CAST(uy AS HUGEINT) * uy) AS syy FROM b GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN t THEN n END) AS n_t,
+        |    max(CASE WHEN t THEN sx END) AS sx_t,
+        |    max(CASE WHEN t THEN sy END) AS sy_t,
+        |    max(CASE WHEN t THEN sxx END) AS sxx_t,
+        |    max(CASE WHEN t THEN sxy END) AS sxy_t,
+        |    max(CASE WHEN t THEN syy END) AS syy_t,
+        |    max(CASE WHEN NOT t THEN n END) AS n_c,
+        |    max(CASE WHEN NOT t THEN sx END) AS sx_c,
+        |    max(CASE WHEN NOT t THEN sy END) AS sy_c,
+        |    max(CASE WHEN NOT t THEN sxx END) AS sxx_c,
+        |    max(CASE WHEN NOT t THEN sxy END) AS sxy_c,
+        |    max(CASE WHEN NOT t THEN syy END) AS syy_c
+        |  FROM p),
+        |d AS (SELECT w.*,
+        |    CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) AS td,
+        |    (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+        |      / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+        |         - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)) AS theta,
+        |    CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS xbar
+        |  FROM w, g),
+        |e AS (SELECT *,
+        |    CAST(n_t AS DOUBLE) AS nd_t, CAST(n_c AS DOUBLE) AS nd_c,
+        |    CAST(sy_t AS DOUBLE)
+        |      - theta * (CAST(sx_t AS DOUBLE)
+        |        - CAST(n_t AS DOUBLE) * xbar) AS sadj_t,
+        |    CAST(syy_t AS DOUBLE)
+        |      - 2.0 * theta * (CAST(sxy_t AS DOUBLE)
+        |          - xbar * CAST(sy_t AS DOUBLE))
+        |      + theta * theta * (CAST(sxx_t AS DOUBLE)
+        |          - 2.0 * xbar * CAST(sx_t AS DOUBLE)
+        |          + CAST(n_t AS DOUBLE) * xbar * xbar) AS ssadj_t,
+        |    CAST(sy_c AS DOUBLE)
+        |      - theta * (CAST(sx_c AS DOUBLE)
+        |        - CAST(n_c AS DOUBLE) * xbar) AS sadj_c,
+        |    CAST(syy_c AS DOUBLE)
+        |      - 2.0 * theta * (CAST(sxy_c AS DOUBLE)
+        |          - xbar * CAST(sy_c AS DOUBLE))
+        |      + theta * theta * (CAST(sxx_c AS DOUBLE)
+        |          - 2.0 * xbar * CAST(sx_c AS DOUBLE)
+        |          + CAST(n_c AS DOUBLE) * xbar * xbar) AS ssadj_c
+        |  FROM d),
+        |f AS (SELECT *,
+        |    (ssadj_t - sadj_t * sadj_t / nd_t) / (nd_t - 1.0) AS v_t,
+        |    (ssadj_c - sadj_c * sadj_c / nd_c) / (nd_c - 1.0) AS v_c
+        |  FROM e),
+        |h AS (SELECT *, v_t / nd_t + v_c / nd_c AS se2 FROM f)
+        |SELECT COALESCE(n_t, 0) AS n_t, COALESCE(n_c, 0) AS n_c,
+        |  CASE WHEN td > 0 THEN round(theta, 6) + 0 END AS theta,
+        |  CASE WHEN td > 0 AND n_t IS NOT NULL
+        |    THEN round(sadj_t / nd_t / 1.0, 6) + 0 END AS mean_t,
+        |  CASE WHEN td > 0 AND n_c IS NOT NULL
+        |    THEN round(sadj_c / nd_c / 1.0, 6) + 0 END AS mean_c,
+        |  CASE WHEN td > 0 AND n_t >= 2 AND n_c >= 2 AND se2 > 0
+        |    THEN round((sadj_t / nd_t - sadj_c / nd_c) / sqrt(se2), 4)
+        |      + 0 END AS t_stat,
+        |  CASE WHEN td > 0 AND n_t >= 2 AND n_c >= 2 AND se2 > 0
+        |    THEN round((se2 * se2)
+        |      / ((v_t / nd_t) * (v_t / nd_t) / (nd_t - 1.0)
+        |        + (v_c / nd_c) * (v_c / nd_c) / (nd_c - 1.0)), 4)
+        |  END AS df
+        |FROM h""".stripMargin,
     // Murphy decomposition: forecast-VALUE levels (1e-3 quantized),
     // per-level fixed chains folded in level order, exact identity
     // brier = rel - res + unc on the quantized forecasts.
@@ -8871,6 +9089,41 @@ $fieldRows"""
         |      AS DOUBLE) / 18.0 AS var_s
         |  FROM s, ties, nn)
         |SELECT n, s AS s_stat,
+        |  CASE WHEN n >= 2 THEN round(var_s, 6) END AS var_s,
+        |  CASE WHEN n >= 2 AND var_s > 0 THEN round(
+        |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |         ELSE 0.0 END, 6) + 0 END AS z
+        |FROM v""".stripMargin,
+    // Seasonal Mann-Kendall: within-season pair joins, per-season
+    // HUGEINT tie/variance numerators summed exactly, one /18 cast,
+    // the continuity-corrected z on the summed S.
+    "q_mann_kendall_seasonal" ->
+      """WITH per AS (SELECT
+        |    CAST((epoch_ns(ts) - epoch_ns(ts) % 3600000000000)
+        |      / 3600000000000 AS BIGINT) AS hour,
+        |    count(*) AS ne
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT CAST(hour % 24 AS VARCHAR) AS season,
+        |    CAST(hour // 24 AS BIGINT) AS ts, hour AS id,
+        |    CAST(round(ne * 1.0) AS BIGINT) AS u FROM per),
+        |p AS (SELECT a.u AS ua, bb.u AS ub FROM b a JOIN b bb
+        |  ON a.season = bb.season
+        | AND (a.ts < bb.ts OR (a.ts = bb.ts AND a.id < bb.id))),
+        |s AS (SELECT CAST(COALESCE(sum(CASE WHEN ub > ua THEN 1
+        |    WHEN ub < ua THEN -1 ELSE 0 END), 0) AS BIGINT) AS s FROM p),
+        |sc AS (SELECT season, count(*) AS ng FROM b GROUP BY 1),
+        |ties AS (SELECT season, COALESCE(sum(CAST(t AS HUGEINT) * (t - 1)
+        |      * (2 * t + 5)), 0) AS tie
+        |  FROM (SELECT season, count(*) AS t FROM b GROUP BY season, u)
+        |  GROUP BY 1),
+        |vn AS (SELECT COALESCE(sum(CAST(ng AS HUGEINT) * (ng - 1)
+        |      * (2 * ng + 5) - COALESCE(tie, 0)), 0) AS vnum,
+        |    CAST(sum(ng) AS BIGINT) AS n, count(*) AS ns
+        |  FROM sc LEFT JOIN ties USING (season)),
+        |v AS (SELECT n, ns, s,
+        |    CAST(vnum AS DOUBLE) / 18.0 AS var_s FROM s, vn)
+        |SELECT n, ns AS n_seasons, s AS s_stat,
         |  CASE WHEN n >= 2 THEN round(var_s, 6) END AS var_s,
         |  CASE WHEN n >= 2 AND var_s > 0 THEN round(
         |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
@@ -10298,6 +10551,14 @@ $fieldRows"""
     "q_stream_cusum" ->
       """WITH n AS (SELECT count(*) AS c FROM events
         |  WHERE user_id % 10 = 0 AND event_type = 'view')
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // Streaming SRM parity: every closed hour-window matches the batch
+    // replica (one shared srmAgg chain), so all three counts equal the
+    // cohort's distinct hour-bucket count (epoch-aligned window origin).
+    "q_stream_srm" ->
+      """WITH n AS (SELECT count(DISTINCT
+        |    (epoch_ns(ts) // 1000000) // 3600000) AS c
+        |  FROM events WHERE user_id % 10 = 0)
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Streaming changepoint parity: the batch mean-shift count over the
     // SAME millisecond-precision cohort frame the drive replays — all

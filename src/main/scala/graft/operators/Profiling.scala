@@ -1693,6 +1693,96 @@ object Profiling {
   }
 
   /**
+   * Seasonal Mann-Kendall trend test (Hirsch & Slack 1984; Hirsch,
+   * Smith & Slack 1982) — [[mannKendallTrend]] for series with a
+   * seasonal cycle (hour-of-day, day-of-week, month): comparing
+   * January to July reads the seasonal swing as trend, so the
+   * seasonal form compares only WITHIN-season pairs — S = Σ_g S_g
+   * and Var = Σ_g Var_g over seasons g (per-season tie correction),
+   * z with the same continuity correction on the summed S. The
+   * standard form assumes seasons are serially independent (stated;
+   * the caller's aggregation-grid obligation).
+   *
+   * EXACTNESS: values quantize at `unitScale`; each within-season
+   * sign sum is the EXACT pair join ((ts, id) total order — the
+   * [[mannKendallTrend]] machinery partitioned by season); per-season
+   * tie terms and the variance numerators n_g(n_g−1)(2n_g+5) − tie_g
+   * accumulate as DECIMAL(38,0) and SUM over seasons exactly before
+   * ONE /18 double conversion; z reuses the continuity-corrected
+   * chain through [[graft.core.Num.roundz]] 6dp.
+   *
+   * Scale shape: the pair join is quadratic PER SEASON — season keys
+   * shard the join, so the honest cost is Σ n_g², not (Σ n_g)²; the
+   * LARGEST season is fail-loud gated at `maxRowsPerSeason` (the
+   * [[mannKendallTrend]] convention: aggregate each season to a
+   * coarser grid upstream past it). One level aggregate for ties,
+   * one season-frame aggregate for the variance sum.
+   *
+   * Output one row: (`n`, `n_seasons`, `s_stat`, `var_s`, `z`).
+   */
+  def mannKendallSeasonal(obs: DataFrame, tsCol: String,
+                          seasonCol: String, idCol: String,
+                          valueCol: String, unitScale: Long = 100L,
+                          maxRowsPerSeason: Long = 20000L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxRowsPerSeason >= 2,
+      s"maxRowsPerSeason must be >= 2: $maxRowsPerSeason")
+    val dec = "decimal(38,0)"
+    val base = graft.core.LineageCut.cut(obs
+      .filter(col(tsCol).isNotNull && col(seasonCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(seasonCol).cast("string").as("season"),
+        col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u")))
+    val perSeason = graft.core.LineageCut.cut(
+      base.groupBy("season").agg(count(lit(1)).as("ng")))
+    val gate = perSeason.agg(coalesce(max("ng"), lit(0L)).as("mx"),
+      coalesce(sum("ng"), lit(0L)).as("n"),
+      count(lit(1)).as("ns")).collect().head
+    val (mxSeason, n, nSeasons) =
+      (gate.getLong(0), gate.getLong(1), gate.getLong(2))
+    require(mxSeason <= maxRowsPerSeason,
+      s"mannKendallSeasonal: largest season has $mxSeason rows, " +
+        s"exceeding maxRowsPerSeason=$maxRowsPerSeason — each season's " +
+        "sign sum is an exact within-season PAIR join; aggregate every " +
+        "season to a coarser grid upstream or raise maxRowsPerSeason " +
+        "deliberately")
+    val a = base.select(col("season"), col("ts").as("ts_a"),
+      col("id").as("id_a"), col("u").as("u_a"))
+    val b = base.select(col("season"), col("ts").as("ts_b"),
+      col("id").as("id_b"), col("u").as("u_b"))
+    val pairs = a.join(b, Seq("season"))
+      .filter(col("ts_a") < col("ts_b") ||
+        (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")))
+    val sAgg = pairs.agg(coalesce(sum(
+      when(col("u_b") > col("u_a"), 1L)
+        .when(col("u_b") < col("u_a"), -1L).otherwise(0L)), lit(0L))
+      .as("s"))
+    // per-season tie term, then the EXACT decimal variance-numerator
+    // sum over seasons: Σ_g [n_g(n_g−1)(2n_g+5) − tie_g]
+    val ties = base.groupBy("season", "u").agg(count(lit(1)).as("t"))
+      .groupBy("season")
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1L) *
+        (col("t") * 2L + 5L)), lit(0L).cast(dec)).as("tie"))
+    val varNum = perSeason.join(ties, Seq("season"), "left")
+      .agg(coalesce(sum(col("ng").cast(dec) * (col("ng") - 1L) *
+        (col("ng") * 2L + 5L) -
+        coalesce(col("tie"), lit(0L).cast(dec))), lit(0L).cast(dec))
+        .as("vnum"))
+    val varS = col("vnum").cast("double") / 18.0
+    val z = when(col("s") > 0L, (col("s") - 1L).cast("double") /
+        sqrt(varS))
+      .when(col("s") < 0L, (col("s") + 1L).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.crossJoin(varNum).select(lit(n).as("n"),
+      lit(nSeasons).as("n_seasons"), col("s").as("s_stat"),
+      when(lit(n) >= 2L, round(varS, 6)).as("var_s"),
+      when(lit(n) >= 2L && varS > 0.0, graft.core.Num.roundz(z, 6))
+        .as("z"))
+  }
+
+  /**
    * Poisson(1) inverse-CDF thresholds as 8-hex-digit lowercase
    * strings: weight w(u) = #{k : t_k ≤ u} for a uniform 32-bit hex
    * draw u — shared VERBATIM by [[poissonBootstrapMeanCI]] and its
@@ -1973,6 +2063,19 @@ object Profiling {
    *
    * Output one row: (`n`, `k`, `df1`, `chi2`).
    */
+  /**
+   * The per-arm χ² term — ONE chain shared verbatim by [[srmCheck]]
+   * and the streaming SRM monitor ([[graft.streaming.Streams]]), so
+   * batch and stream land on identical bits: E = n·(num/10⁶) (num
+   * the designed share as an exact num/10⁶ rational),
+   * term = (O − E)²/E.
+   */
+  private[graft] def srmChi2Term(o: Column, n: Column,
+                                 num: Column): Column = {
+    val e = n.cast("double") * (num.cast("double") / lit(1000000.0))
+    (o.cast("double") - e) * (o.cast("double") - e) / e
+  }
+
   def srmCheck(df: DataFrame, groupCol: String,
                expectedShares: Map[String, Double]): DataFrame = {
     require(expectedShares.size >= 2, "need >= 2 designed arms")
@@ -2000,10 +2103,7 @@ object Profiling {
     val w = Window.orderBy("__g")
     val wTot = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val nD = col("__n").cast("double")
-    val e = nD * (col("__num").cast("double") / lit(1000000.0))
-    val term = (col("__o").cast("double") - e) *
-      (col("__o").cast("double") - e) / e
+    val term = srmChi2Term(col("__o"), col("__n"), col("__num"))
     val folded = joined
       .withColumn("__n", sum("__o").over(wTot))
       .withColumn("__k", count(lit(1)).over(wTot))
@@ -2014,6 +2114,126 @@ object Profiling {
     folded.select(col("__n").as("n"), col("__k").as("k"),
       (col("__k") - 1L).as("df1"),
       when(col("__n") > 0L, round(col("__run"), 4)).as("chi2"))
+  }
+
+  /**
+   * Always-valid sequential test — the mixture SPRT (Johari, Koomen,
+   * Pekelis & Walsh 2017, "Peeking at A/B Tests"): every other
+   * readout in this suite ([[welchTTest]], [[cupedWelchTTest]],
+   * [[poissonBootstrapDiffCI]]) is FIXED-HORIZON — peek at it daily
+   * and the realized false-positive rate blows past α (the textbook
+   * peeking problem). The mSPRT's mixture likelihood ratio against a
+   * N(0, τ²) prior on the effect gives a p that is valid at EVERY
+   * look simultaneously: at look k with cumulative arm moments,
+   * θ̂ = m_T − m_C, V = s²_T/n_T + s²_C/n_C,
+   * Λ = √(V/(V+τ²)) · exp(θ̂²τ²/(2V(V+τ²))), and
+   * p_k = min(p_{k−1}, 1/Λ_k) — stop the moment p crosses α, at any
+   * cadence, without alpha spending. The always-valid CI is the
+   * running INTERSECTION of per-look intervals θ̂ ± √((V(V+τ²)/τ²)
+   * · ln((V+τ²)/(α²V))). τ² is the caller's prior effect-scale knob
+   * (the paper's one parameter; match it to the MDE's order).
+   *
+   * EXACTNESS: values quantize at `unitScale`; per-(look, arm)
+   * moments are exact DECIMAL(38,0); CUMULATIVE moments are decimal
+   * window sums over the look×arm grid (exact — missing cells
+   * coalesce to zero), converted to double ONCE per look; means and
+   * variances run the [[welchTTest]] chains verbatim; Λ, p, and the
+   * CI radius are fixed IEEE chains (one sqrt/exp/ln each); the
+   * running min/max fold over the look frame in look order. Outputs
+   * round 6dp through [[graft.core.Num.roundz]]. Looks where either
+   * arm has n < 2 or V ≤ 0 report NULL p/lo/hi for that look (the
+   * running fold skips them — min/max ignore NULLs in both engines).
+   *
+   * Scale shape: ONE map-side-combined (look, arm) moment aggregate
+   * — per-look cost is one aggregate, the Johari deployment shape —
+   * then windows over the LOOK frame only (look-count-sized,
+   * fail-loud gated at `maxLooks`; the raw rows never move again).
+   *
+   * Output one row per look, ascending: (`look`, `n_t`, `n_c`,
+   * `diff`, `p_always`, `lo`, `hi`).
+   */
+  def sequentialMSPRT(df: DataFrame, lookCol: String, groupCol: String,
+                      treatment: String, valueCol: String,
+                      tau2: Double, alpha: Double = 0.05,
+                      unitScale: Long = 100L,
+                      maxLooks: Long = 10000L): DataFrame = {
+    require(tau2 > 0.0, s"tau2 (mixture prior variance) must be > 0: $tau2")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxLooks >= 1, s"maxLooks must be >= 1: $maxLooks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(lookCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(lookCol).cast("long").as("look"),
+        (col(groupCol).cast("string") === treatment).as("t"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val cells = graft.core.LineageCut.cut(base.groupBy("look", "t")
+      .agg(count(lit(1)).as("dn"),
+        sum(col("u").cast(dec)).as("ds1"),
+        sum(col("u").cast(dec) * col("u")).as("ds2")))
+    val looks = graft.core.LineageCut.cut(
+      cells.select("look").distinct())
+    val nLooks = looks.count()
+    require(nLooks <= maxLooks,
+      s"sequentialMSPRT: $nLooks looks exceeds maxLooks=$maxLooks — " +
+        "the cumulative fold runs the look frame through single-task " +
+        "windows; coarsen the look grid upstream or raise maxLooks " +
+        "deliberately")
+    // look×arm grid so a look missing one arm still carries the other
+    // arm's cumulative forward (zero-row cells, not absent cells)
+    val grid = looks.crossJoin(Seq(true, false).toDF("t"))
+      .join(cells, Seq("look", "t"), "left")
+      .select(col("look"), col("t"),
+        coalesce(col("dn"), lit(0L)).as("dn"),
+        coalesce(col("ds1"), lit(0L).cast(dec)).as("ds1"),
+        coalesce(col("ds2"), lit(0L).cast(dec)).as("ds2"))
+    val wArm = Window.partitionBy("t").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("n", sum("dn").over(wArm))
+      .withColumn("s1", sum("ds1").over(wArm))
+      .withColumn("s2", sum("ds2").over(wArm))
+    def cell(t: Boolean, c: String) =
+      max(when(col("t") === t, col(c))).as(s"${c}_${if (t) "t" else "c"}")
+    val wide = cum.groupBy("look").agg(
+      cell(true, "n"), cell(true, "s1"), cell(true, "s2"),
+      cell(false, "n"), cell(false, "s1"), cell(false, "s2"))
+    // the welchTTest mean/variance chains on the cumulative moments
+    def mean(a: String): Column = col(s"s1_$a").cast("double") /
+      (col(s"n_$a") * unitScale).cast("double")
+    def vr(a: String): Column =
+      ((col(s"s2_$a").cast("double") -
+        col(s"s1_$a").cast("double") * col(s"s1_$a").cast("double") /
+          col(s"n_$a").cast("double")) /
+        (col(s"n_$a").cast("double") - 1d)) /
+        (unitScale * unitScale).toDouble
+    val v = vr("t") / col("n_t").cast("double") +
+      vr("c") / col("n_c").cast("double")
+    val d = mean("t") - mean("c")
+    val lam = sqrt(v / (v + tau2)) *
+      exp(d * d * tau2 / (lit(2.0) * v * (v + tau2)))
+    val pRaw = least(lit(1.0), lit(1.0) / lam)
+    val radius = sqrt((v * (v + tau2) / tau2) *
+      log((v + tau2) / (lit(alpha * alpha) * v)))
+    val ok = col("n_t") >= 2L && col("n_c") >= 2L && v > 0.0
+    val wRun = Window.orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wide
+      .withColumn("__p", when(ok, pRaw))
+      .withColumn("__lo", when(ok, d - radius))
+      .withColumn("__hi", when(ok, d + radius))
+      .withColumn("__pmin", min("__p").over(wRun))
+      .withColumn("__lomax", max("__lo").over(wRun))
+      .withColumn("__himin", min("__hi").over(wRun))
+      .select(col("look"), col("n_t"), col("n_c"),
+        when(ok, graft.core.Num.roundz(d, 6)).as("diff"),
+        round(col("__pmin"), 6).as("p_always"),
+        graft.core.Num.roundz(col("__lomax"), 6).as("lo"),
+        graft.core.Num.roundz(col("__himin"), 6).as("hi"))
+      .orderBy("look")
   }
 
   /**
@@ -2149,8 +2369,13 @@ object Profiling {
     val gnD = col("gn").cast("double")
     val thetaDen = gnD * col("gsxx").cast("double") -
       col("gsx").cast("double") * col("gsx").cast("double")
+    // NULL divisor (not a raw /0): ANSI-mode Spark raises on a zero
+    // divisor even under a when() guard once subexpression elimination
+    // hoists the division — a zero-variance covariate must land on the
+    // documented NULL adjusted columns instead
     val theta = (gnD * col("gsxy").cast("double") -
-      col("gsx").cast("double") * col("gsy").cast("double")) / thetaDen
+      col("gsx").cast("double") * col("gsy").cast("double")) /
+      when(thetaDen > 0.0, thetaDen)
     val xbar = col("gsx").cast("double") / gnD
     val nD = col("n").cast("double")
     def cd(c: String) = col(c).cast("double")
@@ -2177,6 +2402,109 @@ object Profiling {
       when(ok && nD > 1.0 && varRaw > 0.0,
         graft.core.Num.roundz(lit(1.0) - varAdj / varRaw, 6))
         .as("var_reduction"))
+  }
+
+  /**
+   * Welch two-sample t on the CUPED-ADJUSTED metric (Deng et al. 2013
+   * §5 — the number experimenters actually ship): [[cupedAdjust]]
+   * reports per-arm adjusted moments and the realized variance
+   * reduction; this composes the SAME exact-moment chains into the
+   * readout — ŷ = y − θ(x − x̄) per unit (θ, x̄ POOLED, identical
+   * chains to [[cupedAdjust]]), then the [[welchTTest]] statistic on
+   * the adjusted per-arm moments. Because every arm mean shifts by
+   * the same constant θx̄, the adjusted diff equals the raw diff
+   * whenever θ·(x̄_T − x̄_C) is the covariate imbalance CUPED removes
+   * — the t moves because the VARIANCE shrank.
+   *
+   * EXACTNESS: both metrics quantize at `unitScale`; global and
+   * per-arm moments are exact DECIMAL(38,0) from ONE aggregate each;
+   * θ/x̄ and the adjusted Σŷ, Σŷ² expansions are the
+   * [[cupedAdjust]] chains verbatim; the Welch t/df run on those
+   * adjusted moments as fixed IEEE chains. Means round 6dp through
+   * [[graft.core.Num.roundz]]; θ likewise; t/df round 4dp (the
+   * [[welchTTest]] grid). Zero-variance covariate (θ undefined),
+   * a missing arm, n < 2 on either side, or zero pooled SE report
+   * NULL t/df — stated, never an engine 0/0 artifact. On a zero-
+   * covariance covariate θ = 0 exactly and the readout equals
+   * [[welchTTest]]'s on the raw metric (spec-pinned).
+   *
+   * Scale shape: one global + one arm-keyed moment aggregate (both
+   * map-side combined, the arm frame is 2 rows); nothing else moves.
+   *
+   * Output one row: (`n_t`, `n_c`, `theta`, `mean_t`, `mean_c`,
+   * `t_stat`, `df`).
+   */
+  def cupedWelchTTest(df: DataFrame, groupCol: String, treatment: String,
+                      preCol: String, metricCol: String,
+                      unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(preCol).isNotNull &&
+        col(metricCol).isNotNull)
+      .select((col(groupCol).cast("string") === treatment).as("t"),
+        round(col(preCol) * unitScale).cast("long").as("ux"),
+        round(col(metricCol) * unitScale).cast("long").as("uy"))
+    val glob = base.agg(count(lit(1)).as("gn"),
+      sum(col("ux").cast(dec)).as("gsx"),
+      sum(col("uy").cast(dec)).as("gsy"),
+      sum(col("ux").cast(dec) * col("ux")).as("gsxx"),
+      sum(col("ux").cast(dec) * col("uy")).as("gsxy"))
+    val perArm = base.groupBy("t").agg(count(lit(1)).as("n"),
+      sum(col("ux").cast(dec)).as("sx"),
+      sum(col("uy").cast(dec)).as("sy"),
+      sum(col("ux").cast(dec) * col("ux")).as("sxx"),
+      sum(col("ux").cast(dec) * col("uy")).as("sxy"),
+      sum(col("uy").cast(dec) * col("uy")).as("syy"))
+    def cell(t: Boolean, c: String) =
+      max(when(col("t") === t, col(c))).as(s"${c}_${if (t) "t" else "c"}")
+    val wide = perArm.agg(
+      cell(true, "n"), cell(true, "sx"), cell(true, "sy"),
+      cell(true, "sxx"), cell(true, "sxy"), cell(true, "syy"),
+      cell(false, "n"), cell(false, "sx"), cell(false, "sy"),
+      cell(false, "sxx"), cell(false, "sxy"), cell(false, "syy"))
+    val gnD = col("gn").cast("double")
+    val thetaDen = gnD * col("gsxx").cast("double") -
+      col("gsx").cast("double") * col("gsx").cast("double")
+    // NULL divisor, not /0 (the cupedAdjust ANSI note)
+    val theta = (gnD * col("gsxy").cast("double") -
+      col("gsx").cast("double") * col("gsy").cast("double")) /
+      when(thetaDen > 0.0, thetaDen)
+    val xbar = col("gsx").cast("double") / gnD
+    // the cupedAdjust adjusted-moment expansions, per arm
+    def cd(c: String) = col(c).cast("double")
+    def nD(a: String) = col(s"n_$a").cast("double")
+    def sAdj(a: String) = cd(s"sy_$a") -
+      theta * (cd(s"sx_$a") - nD(a) * xbar)
+    def ssAdj(a: String) = cd(s"syy_$a") -
+      lit(2.0) * theta * (cd(s"sxy_$a") - xbar * cd(s"sy_$a")) +
+      theta * theta * (cd(s"sxx_$a") - lit(2.0) * xbar * cd(s"sx_$a") +
+        nD(a) * xbar * xbar)
+    def meanAdj(a: String) = sAdj(a) / nD(a)
+    def varAdj(a: String) =
+      (ssAdj(a) - sAdj(a) * sAdj(a) / nD(a)) / (nD(a) - 1.0)
+    val se2 = varAdj("t") / nD("t") + varAdj("c") / nD("c")
+    val tStat = (meanAdj("t") - meanAdj("c")) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((varAdj("t") / nD("t")) * (varAdj("t") / nD("t")) /
+        (nD("t") - 1.0) +
+        (varAdj("c") / nD("c")) * (varAdj("c") / nD("c")) /
+          (nD("c") - 1.0))
+    val uD = lit(unitScale.toDouble)
+    val okTheta = thetaDen > 0.0
+    val bothArms = col("n_t").isNotNull && col("n_c").isNotNull
+    val okT = okTheta && bothArms && col("n_t") >= 2L &&
+      col("n_c") >= 2L && se2 > 0.0
+    wide.crossJoin(broadcast(glob)).select(
+      coalesce(col("n_t"), lit(0L)).as("n_t"),
+      coalesce(col("n_c"), lit(0L)).as("n_c"),
+      when(okTheta, graft.core.Num.roundz(theta, 6)).as("theta"),
+      when(okTheta && col("n_t").isNotNull,
+        graft.core.Num.roundz(meanAdj("t") / uD, 6)).as("mean_t"),
+      when(okTheta && col("n_c").isNotNull,
+        graft.core.Num.roundz(meanAdj("c") / uD, 6)).as("mean_c"),
+      when(okT, graft.core.Num.roundz(tStat, 4)).as("t_stat"),
+      when(okT, round(dfW, 4)).as("df"))
   }
 
   /**

@@ -1593,4 +1593,134 @@ object Streams {
       .crossJoin(streamed.join(batch, cols)
         .agg(count(lit(1)).as("n_matched")))
   }
+
+  /**
+   * Shared SRM-window builder for [[srmStream]] and its batch parity
+   * replica — ONE Column chain (the [[driftStream]] convention), and
+   * the per-arm χ² term is [[graft.operators.Profiling.srmChi2Term]]
+   * VERBATIM (the batch [[graft.operators.Profiling.srmCheck]]
+   * chain), so stream, batch replica, and the fixed-horizon check all
+   * share the arithmetic: per event-time window, exact long arm
+   * counts, E_g = n·(num_g/10⁶) from the designed shares carried as
+   * exact rationals, χ² summed left-associated in SORTED ARM ORDER
+   * (= srmCheck's arm-ordered fold), `chi2` rounds 4dp. An observed
+   * arm outside the design fails loud IN-PLAN when its window emits
+   * (the srmCheck contract — a silent drop would hide exactly the
+   * randomization bug SRM hunts). Designed arms with zero observed
+   * rows in a window still contribute E_g.
+   */
+  private def srmAgg(df: DataFrame, shares: Seq[(String, Long)],
+                     windowDur: String): DataFrame = {
+    val arms = shares.map(_._1)
+    val aggs = arms.zipWithIndex.map { case (a, i) =>
+      sum(when(col("event_type") === a, 1L).otherwise(0L)).as(s"__o$i")
+    } :+ sum(when(!col("event_type").isin(arms: _*), 1L).otherwise(0L))
+      .as("__unknown")
+    val agged = df
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("__nall"), aggs: _*)
+      .filter(when(col("__unknown") > 0L,
+        raise_error(lit("srmStream: observed arm outside the designed " +
+          "split — randomization is emitting arms the design never " +
+          "had"))).otherwise(lit(true)))
+    val n = col("__nall")
+    val terms = shares.zipWithIndex.map { case ((_, num), i) =>
+      graft.operators.Profiling.srmChi2Term(col(s"__o$i"), n, lit(num))
+    }
+    agged.select(col("window.start").as("window_start"),
+      n.as("n"), lit(shares.size.toLong).as("k"),
+      lit(shares.size.toLong - 1L).as("df1"),
+      when(n > 0L, round(terms.reduceLeft(_ + _), 4)).as("chi2"))
+  }
+
+  /**
+   * TRUE-streaming sample-ratio-mismatch guardrail (the 13th
+   * streaming surface) — [[graft.operators.Profiling.srmCheck]] run
+   * CONTINUOUSLY: a randomization bug (broken bucketing, bot
+   * filtering biased by arm, redirect loss) shows up in the first
+   * hour of an experiment, not at the fixed-horizon readout, and SRM
+   * is the one guardrail whose real deployment is a live monitor.
+   * Plain watermarked windowed aggregation over the arm label carried
+   * in `event_type` (append mode — a window emits once, when the
+   * watermark passes its end), no keyed state: per closed window the
+   * designed-vs-observed χ² from the shared [[srmAgg]] chain. Alert
+   * thresholds are the caller's policy (df = k−1; at k = 2 the
+   * 3.84/6.63 cutoffs are the 5%/1% lines — the srmCheck convention).
+   *
+   * Returns (`window_start`, `n`, `k`, `df1`, `chi2`) per closed
+   * window.
+   */
+  def srmStream(events: Dataset[Event],
+                expectedShares: Map[String, Double],
+                windowDur: String = "1 hour",
+                watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(expectedShares.size >= 2, "need >= 2 designed arms")
+    require(expectedShares.values.forall(s => s > 0.0 && s < 1.0),
+      "every designed share must be in (0,1)")
+    val tot = expectedShares.values.sum
+    require(math.abs(tot - 1.0) < 1e-9,
+      s"designed shares must sum to 1: $tot")
+    val shares = expectedShares.toSeq.sorted
+      .map { case (g, s) => (g, math.round(s * 1000000L)) }
+    srmAgg(events.toDF().withWatermark("ts", watermarkDelay),
+      shares, windowDur)
+  }
+
+  /**
+   * Driver-facing parity drive for [[srmStream]] (the
+   * [[driftStreamParity]] machinery): replays a bounded cohort —
+   * arm label in `event_type` — through a MemoryStream in ts-aligned
+   * micro-batches (+ one far-future sentinel CARRYING A DESIGNED ARM
+   * to close every real window without tripping the unknown-arm
+   * raise), then compares every (window_start, n, k, df1, chi2) row
+   * with the batch replica over the same frame — bit-equal because
+   * both run the ONE [[srmAgg]] chain. One row
+   * (n_stream, n_batch, n_matched).
+   */
+  def srmStreamParity(spark: SparkSession, events: Dataset[Event],
+                      expectedShares: Map[String, Double],
+                      windowMs: Long = 3600000L,
+                      batches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(windowMs >= 1000L, s"windowMs must be >= 1000: $windowMs")
+    val windowDur = s"$windowMs milliseconds"
+    val rows = events.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[Event]
+    val sm = srmStream(input.toDS(), expectedShares, windowDur)
+    val sinkName = "graft_srm_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = sm.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      tsAlignedChunks(rows, batches).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      // the driftStreamParity sentinel, carrying a DESIGNED arm: its
+      // own window stays open (never emits, so it never pollutes the
+      // χ² rows) while its watermark closes every real window
+      val sentinelTs = (maxTs / windowMs + 1000L) * windowMs + 1L
+      input.addData(Event(-1L, new Timestamp(sentinelTs), -1L,
+        expectedShares.keys.toSeq.min, 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+    val streamed = spark.table(sinkName)
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+    val shares = expectedShares.toSeq.sorted
+      .map { case (g, s) => (g, math.round(s * 1000000L)) }
+    val batch = srmAgg(events.toDF(), shares, windowDur)
+    val cols = Seq("window_start", "n", "k", "df1", "chi2")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch, cols)
+        .agg(count(lit(1)).as("n_matched")))
+  }
 }

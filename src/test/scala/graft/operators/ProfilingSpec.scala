@@ -606,6 +606,183 @@ class ProfilingSpec extends SparkSpec {
     assert(g2._1 === 80L) // n reports ROWS; the gate counted units
   }
 
+  test("cupedWelchTTest: zero-covariance covariate pins it to raw " +
+      "welchTTest; zero-variance covariate reports NULL; guards") {
+    import spark.implicits._
+    // global cov(x, y) = 0 EXACTLY (integer construction): theta = 0,
+    // the adjusted metric IS the raw metric, and t/df must equal
+    // welchTTest's on the same rows bit-for-bit
+    val rows = Seq(("t", 1.0, 10.0), ("t", 3.0, 10.0), ("t", 2.0, 14.0),
+      ("c", 1.0, 6.0), ("c", 3.0, 6.0), ("c", 2.0, 2.0))
+      .toDF("arm", "x", "y")
+    val cuped = Profiling.cupedWelchTTest(rows, "arm", "t", "x", "y",
+      unitScale = 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    val welch = Profiling.welchTTest(rows.withColumn("seg", lit("all")),
+      "seg", "arm", "t", "y", unitScale = 1L)
+      .select("n_t", "n_c", "mean_t", "mean_c", "t_stat", "df")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(cuped._1 === 3L && cuped._2 === 3L)
+    assert(cuped._3 === Some(0.0)) // theta exactly zero
+    assert(cuped._6 === welch._5 && cuped._7 === welch._6)
+    // adjusted means = raw means (theta = 0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(cuped._4 === Some(r6(welch._3)) &&
+      cuped._5 === Some(r6(welch._4)))
+    // a genuinely predictive covariate shrinks the variance: |t| grows
+    val pred = Seq.tabulate(40) { i =>
+      val arm = if (i % 2 == 0) "t" else "c"
+      val x = (i % 7).toDouble
+      (arm, x, 2.0 * x + (if (arm == "t") 1.0 else 0.0) + (i % 3) * 0.1)
+    }.toDF("arm", "x", "y")
+    val tc = Profiling.cupedWelchTTest(pred, "arm", "t", "x", "y", 100L)
+      .select("t_stat").as[Option[Double]].collect().head
+    val tw = Profiling.welchTTest(pred.withColumn("seg", lit("all")),
+      "seg", "arm", "t", "y", 100L)
+      .select("t_stat").as[Option[Double]].collect().head
+    assert(tc.isDefined && tw.isDefined && math.abs(tc.get) > math.abs(tw.get))
+    // zero-variance covariate: theta undefined -> NULL adjusted outputs
+    val flat = Profiling.cupedWelchTTest(
+      rows.withColumn("x", lit(5.0)), "arm", "t", "x", "y", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(flat._3.isEmpty && flat._6.isEmpty && flat._7.isEmpty)
+    // deterministic across runs
+    val again = Profiling.cupedWelchTTest(rows, "arm", "t", "x", "y", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(again === cuped)
+  }
+
+  test("mannKendallSeasonal: one season equals mannKendallTrend; two " +
+      "seasons sum S and variance; per-season gate trips") {
+    import spark.implicits._
+    val series = (1L to 12L).map(i => (i, i, ((i * 7) % 5).toDouble))
+      .toDF("ts", "id", "v")
+    val trend = Profiling.mannKendallTrend(series, "ts", "id", "v",
+      unitScale = 1L)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    val one = Profiling.mannKendallSeasonal(
+      series.withColumn("season", lit("all")), "ts", "season", "id", "v",
+      unitScale = 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(one === ((trend._1, 1L, trend._2, trend._3, trend._4)))
+    // two seasons: S = S_1 + S_2 and Var = Var_1 + Var_2 (per-season
+    // tie correction) — assembled from the per-season trend runs
+    val sA = (1L to 10L).map(i => (i, i, (i % 4).toDouble))
+    val sB = (1L to 8L).map(i => (i, 100L + i, ((i * 3) % 5).toDouble))
+    val tA = Profiling.mannKendallTrend(sA.toDF("ts", "id", "v"),
+      "ts", "id", "v", unitScale = 1L)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    val tB = Profiling.mannKendallTrend(sB.toDF("ts", "id", "v"),
+      "ts", "id", "v", unitScale = 1L)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    val both = (sA.map(r => ("a", r._1, r._2, r._3)) ++
+      sB.map(r => ("b", r._1, r._2, r._3)))
+      .toDF("season", "ts", "id", "v")
+    val got = Profiling.mannKendallSeasonal(both, "ts", "season", "id",
+      "v", unitScale = 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 === 18L && got._2 === 2L)
+    assert(got._3 === tA._2 + tB._2)
+    val varSum = tA._3.get + tB._3.get
+    assert(math.abs(got._4.get - varSum) < 1e-5, s"${got._4} vs $varSum")
+    val s = got._3
+    val zExp =
+      if (s > 0) (s - 1).toDouble / math.sqrt(got._4.get)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(got._4.get)
+      else 0.0
+    assert(math.abs(got._5.get - zExp) < 1e-5)
+    // the gate is PER SEASON: a 10-row season trips maxRowsPerSeason=9
+    // even though another valid split would pass
+    val e = intercept[IllegalArgumentException] {
+      Profiling.mannKendallSeasonal(both, "ts", "season", "id", "v",
+        unitScale = 1L, maxRowsPerSeason = 9L)
+    }
+    assert(e.getMessage.contains("maxRowsPerSeason"))
+  }
+
+  test("sequentialMSPRT: brute replayed-looks reference; p_always is " +
+      "non-increasing; the CI is a running intersection; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (look <- 1 to 5; i <- 1 to 8) yield
+      (look.toLong, if (i % 2 == 0) "t" else "c",
+        rnd.nextInt(50) / 10.0 + (if (i % 2 == 0) 1.0 else 0.0))
+    val df = rows.toDF("look", "arm", "v")
+    val tau2 = 0.5
+    val got = Profiling.sequentialMSPRT(df, "look", "arm", "t", "v",
+      tau2 = tau2, alpha = 0.05, unitScale = 10L)
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().sortBy(_._1)
+    assert(got.length === 5)
+    // brute: REPLAY each look as a from-scratch fixed-horizon compute
+    // over the cumulative subset, then fold min/max by hand
+    var pmin = Double.PositiveInfinity
+    var lomax = Double.NegativeInfinity
+    var himin = Double.PositiveInfinity
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (row <- got) {
+      val sub = rows.filter(_._1 <= row._1)
+      def mom(a: String): (Long, Double, Double) = {
+        val us = sub.filter(_._2 == a).map(r => math.round(r._3 * 10))
+        (us.size.toLong, us.map(_.toDouble).sum,
+          us.map(u => u.toDouble * u).sum)
+      }
+      val (nt, s1t, s2t) = mom("t")
+      val (nc, s1c, s2c) = mom("c")
+      val mt = s1t / (nt * 10.0)
+      val mc = s1c / (nc * 10.0)
+      val vt = ((s2t - s1t * s1t / nt) / (nt - 1.0)) / 100.0
+      val vc = ((s2c - s1c * s1c / nc) / (nc - 1.0)) / 100.0
+      val v = vt / nt + vc / nc
+      val d = mt - mc
+      val lam = math.sqrt(v / (v + tau2)) *
+        math.exp(d * d * tau2 / (2.0 * v * (v + tau2)))
+      pmin = math.min(pmin, math.min(1.0, 1.0 / lam))
+      val radius = math.sqrt((v * (v + tau2) / tau2) *
+        math.log((v + tau2) / (0.05 * 0.05 * v)))
+      lomax = math.max(lomax, d - radius)
+      himin = math.min(himin, d + radius)
+      assert(row._2 === nt && row._3 === nc)
+      assert(math.abs(row._4.get - r6(d)) < 2e-6, s"diff @${row._1}")
+      assert(math.abs(row._5.get - r6(pmin)) < 2e-6, s"p @${row._1}")
+      assert(math.abs(row._6.get - r6(lomax)) < 2e-6, s"lo @${row._1}")
+      assert(math.abs(row._7.get - r6(himin)) < 2e-6, s"hi @${row._1}")
+    }
+    // always-valid semantics: p never increases, the CI never widens
+    val ps = got.flatMap(_._5)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+    val los = got.flatMap(_._6)
+    assert(los.zip(los.tail).forall { case (a, b) => b >= a })
+    val his = got.flatMap(_._7)
+    assert(his.zip(his.tail).forall { case (a, b) => b <= a })
+    // a look where one arm has n < 2 reports NULL for that look and
+    // the running fold skips it
+    val sparse = (Seq((1L, "t", 1.0), (1L, "c", 2.0)) ++
+      rows.map(r => (r._1 + 1L, r._2, r._3))).toDF("look", "arm", "v")
+    val g2 = Profiling.sequentialMSPRT(sparse, "look", "arm", "t", "v",
+      tau2 = tau2, unitScale = 10L)
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().sortBy(_._1)
+    assert(g2.head._5.isEmpty && g2.head._6.isEmpty)
+    assert(g2(1)._5.isDefined)
+    intercept[IllegalArgumentException] {
+      Profiling.sequentialMSPRT(df, "look", "arm", "t", "v", tau2 = 0.0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Profiling.sequentialMSPRT(df, "look", "arm", "t", "v",
+        tau2 = tau2, maxLooks = 2L)
+    }
+    assert(e.getMessage.contains("maxLooks"))
+  }
+
   test("srmCheck: hand chi2 on a skewed split; designed-but-empty arm " +
       "contributes its E; undesigned observed arm fails loud") {
     import spark.implicits._

@@ -703,4 +703,49 @@ class StreamsSpec extends SparkSpec {
   }
 
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("srmStream: per-window chi2 matches the srmCheck hand case; " +
+      "parity drive bit-matches the batch replica; unknown arm and " +
+      "bad shares fail loud") {
+    import spark.implicits._
+    // window 1 ([0, 60s)): 30 'a' + 70 'b' on a 50/50 design — the
+    // srmCheck hand case, chi2 = 2 * 20^2/50 = 16; window 2
+    // ([60s, 120s)): a clean 50/50, chi2 = 0
+    val w1 = (1 to 30).map(i =>
+      Event(i.toLong, ts(1000L + i), 1L, "a", 0.0)) ++
+      (31 to 100).map(i => Event(i.toLong, ts(1000L + i), 1L, "b", 0.0))
+    val w2 = (101 to 150).map(i =>
+      Event(i.toLong, ts(61000L + i), 1L, "a", 0.0)) ++
+      (151 to 200).map(i => Event(i.toLong, ts(61000L + i), 1L, "b", 0.0))
+    val design = Map("a" -> 0.5, "b" -> 0.5)
+    val got = Streams.srmStreamParity(spark, (w1 ++ w2).toDS(), design,
+      windowMs = 60000L, batches = 2).as[(Long, Long, Long)].head()
+    assert(got === ((2L, 2L, 2L)))
+    // the drive leaves the memory sink in place: assert the streamed
+    // chi2 values against the hand arithmetic
+    val streamed = spark.table("graft_srm_stream_out")
+      .select("window_start", "n", "k", "df1", "chi2")
+      .as[(Timestamp, Long, Long, Long, Option[Double])]
+      .collect().sortBy(_._1.getTime)
+    assert(streamed.map(_._2).toSeq === Seq(100L, 100L))
+    assert(streamed.map(_._3).toSeq === Seq(2L, 2L))
+    assert(streamed.map(_._4).toSeq === Seq(1L, 1L))
+    assert(streamed.map(_._5).toSeq === Seq(Some(16.0), Some(0.0)))
+    // an observed arm outside the design fails the STREAM loud when
+    // its window emits (the srmCheck raise_error contract)
+    intercept[Exception] {
+      Streams.srmStreamParity(spark,
+        (w1 :+ Event(999L, ts(2000L), 1L, "ghost", 0.0)).toDS(),
+        design, windowMs = 60000L, batches = 1)
+    }
+    // share validation is the srmCheck contract
+    intercept[IllegalArgumentException] {
+      Streams.srmStream((w1 ++ w2).toDS().toDF().as[Event],
+        Map("a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Streams.srmStream((w1 ++ w2).toDS().toDF().as[Event],
+        Map("a" -> 0.4, "b" -> 0.4))
+    }
+  }
 }
