@@ -2112,6 +2112,38 @@ $fieldRows"""
       graft.operators.Profiling.storeyQValues(hyp, "id", "p", 0.5)
     }),
 
+    // Holm step-down over the same hypothesis frame: the FWER member
+    // of the multiple-testing trio — prefix max of the stepped
+    // (m-j+1)p values, the mirror of BH's suffix min.
+    "q_holm" -> ((s, dir) => {
+      val hyp = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        (pmod(col("o_orderkey") * lit(2654435761L), lit(1000003L))
+          .cast("double") / lit(1000003.0) *
+          when(col("o_orderstatus") === "P", lit(0.001))
+            .otherwise(lit(1.0))).as("p"))
+      graft.operators.Profiling.holmBonferroni(hyp, "id", "p", 0.05)
+    }),
+
+    // One-way ANOVA ICC + design effect with users as the clusters:
+    // the size-level collapse makes the per-cluster S^2/n sum a
+    // deterministic ordered fold; reports how much within-user
+    // correlation deflates the effective sample size.
+    "q_icc_deff" -> ((s, dir) => {
+      graft.operators.Profiling.clusterDesignEffect(
+        t(s, dir, "events"), "user_id", "value", unitScale = 100L)
+    }),
+
+    // Empirical-Bayes beta-MoM shrinkage of per-bucket quality rates:
+    // small buckets collapse toward the prior mean, large buckets
+    // keep their data — the leaderboard de-noiser.
+    "q_eb_shrink" -> ((s, dir) => {
+      graft.operators.Profiling.ebShrinkRates(
+        t(s, dir, "documents")
+          .withColumn("bucket", pmod(col("doc_id"), lit(50L)))
+          .withColumn("good", col("lang") === "en"),
+        "bucket", "good")
+    }),
+
     // Inclusion-dependency (FK-candidate) check both ways between
     // events.user_id and customer.c_custkey: distinct key sets + anti
     // join; the forward dependency holds, the reverse quantifies the
@@ -2550,6 +2582,26 @@ $fieldRows"""
         .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
       graft.operators.Profiling.sequentialMSPRT(ev, "day", "arm", "1",
         "value", tau2 = 1.0, alpha = 0.05, unitScale = 100L)
+    }),
+
+    // Yuen trimmed-mean t on the arm split: per-arm chunked ranks,
+    // exact 20% tail boundaries, winsorized variances — the robust
+    // readout heavy-tailed per-event values actually need.
+    "q_yuen" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.yuenTTest(ev, "arm", "1", "value",
+        "event_id", trim = 0.2, unitScale = 100L)
+    }),
+
+    // Minimal detectable effect at the current arm sizes (alpha 0.05,
+    // power 0.8): pooled within-arm variance, fixed z literals — the
+    // underpowered-experiment triage number.
+    "q_mde" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.mdeEstimate(ev, "arm", "1", "value",
+        alpha = 0.05, power = 0.8, unitScale = 100L)
     }),
 
     // Murphy decomposition of the same forecast on 1e-3 quantized
@@ -8014,6 +8066,114 @@ $fieldRows"""
         |  CAST(m AS BIGINT) AS m, round(pi0, 6) AS pi0,
         |  round(q, 6) AS q_value
         |FROM s""".stripMargin,
+    // Holm: the BH rank machinery with the step-DOWN prefix max of
+    // least((m - rank + 1) * p, 1).
+    "q_holm" ->
+      """WITH hyp AS (SELECT o_orderkey AS id,
+        |    ((o_orderkey * 2654435761) % 1000003) / 1000003.0
+        |      * (CASE WHEN o_orderstatus = 'P' THEN 0.001 ELSE 1.0 END)
+        |      AS p
+        |  FROM orders),
+        |r AS (SELECT id, p, row_number() OVER (ORDER BY p, id) AS rank,
+        |    count(*) OVER () AS m FROM hyp),
+        |s AS (SELECT id, p, rank, m,
+        |    max(least(p * (m - rank + 1), 1.0)) OVER (ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS padj
+        |  FROM r)
+        |SELECT id, p, CAST(rank AS BIGINT) AS rank,
+        |  CAST(m AS BIGINT) AS m, round(padj, 6) AS p_adj,
+        |  (padj <= 0.05) AS reject
+        |FROM s""".stripMargin,
+    // ICC/design effect: cluster moments -> size-level collapse (the
+    // per-size T_s/s division folds ORDERED over sizes), then the
+    // one-way ANOVA chains.
+    "q_icc_deff" ->
+      """WITH b AS (SELECT CAST(user_id AS VARCHAR) AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |pc AS (SELECT g, count(*) AS ng,
+        |    sum(CAST(u AS HUGEINT)) AS sg FROM b GROUP BY 1),
+        |bs AS (SELECT ng, count(*) AS ks, sum(sg * sg) AS ts
+        |  FROM pc GROUP BY 1),
+        |f AS (SELECT ng,
+        |    sum(CAST(ts AS DOUBLE) / CAST(ng AS DOUBLE)) OVER w AS a,
+        |    sum(CAST(ng AS HUGEINT) * ng * ks) OVER t AS sumsq,
+        |    sum(CAST(ng AS HUGEINT) * ks) OVER t AS n,
+        |    CAST(sum(ks) OVER t AS BIGINT) AS k,
+        |    row_number() OVER (ORDER BY ng) AS rn,
+        |    count(*) OVER t AS nl
+        |  FROM bs WINDOW w AS (ORDER BY ng ROWS UNBOUNDED PRECEDING),
+        |    t AS (ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING)),
+        |g2 AS (SELECT a, sumsq, CAST(n AS BIGINT) AS n, k
+        |  FROM f WHERE rn = nl),
+        |gl AS (SELECT sum(CAST(u AS HUGEINT)) AS s,
+        |    sum(CAST(u AS HUGEINT) * u) AS q FROM b),
+        |e AS (SELECT n, k, a,
+        |    CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+        |    CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd,
+        |    CAST(sumsq AS DOUBLE) AS ssq
+        |  FROM g2, gl),
+        |h AS (SELECT *,
+        |    (a - sd * sd / nd) / (kd - 1.0) AS msb,
+        |    (qd - a) / (nd - kd) AS msw,
+        |    (nd - ssq / nd) / (kd - 1.0) AS n0
+        |  FROM e),
+        |i AS (SELECT *,
+        |    (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc
+        |  FROM h)
+        |SELECT n, k,
+        |  CASE WHEN k >= 2 AND nd > kd THEN round(icc, 6) + 0 END
+        |    AS icc,
+        |  CASE WHEN k >= 2 THEN round(n0, 6) END AS n0,
+        |  CASE WHEN k >= 2 AND nd > kd
+        |    THEN round(1.0 + (nd / kd - 1.0) * icc, 6) + 0 END AS deff,
+        |  CASE WHEN k >= 2 AND nd > kd
+        |    THEN round(nd / (1.0 + (nd / kd - 1.0) * icc), 6) END
+        |    AS n_eff
+        |FROM i""".stripMargin,
+    // EB shrinkage: group counts -> grp-ordered moment folds -> the
+    // beta-MoM prior -> one shrink chain per group.
+    "q_eb_shrink" ->
+      """WITH b AS (SELECT CAST(doc_id % 50 AS VARCHAR) AS grp,
+        |    (lang = 'en') AS y
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |g AS (SELECT grp, count(*) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT grp, n, pos,
+        |    CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+        |    count(*) OVER t AS k,
+        |    sum(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) OVER c AS sp,
+        |    sum((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))) OVER c
+        |      AS spp,
+        |    row_number() OVER (ORDER BY grp) AS rn
+        |  FROM g WINDOW
+        |    t AS (ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING),
+        |    c AS (ORDER BY grp ROWS UNBOUNDED PRECEDING)),
+        |l AS (SELECT grp, n, pos, ph, k,
+        |    max(CASE WHEN rn = k THEN sp END) OVER t AS lastsp,
+        |    max(CASE WHEN rn = k THEN spp END) OVER t AS lastspp
+        |  FROM f WINDOW t AS (ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING)),
+        |e AS (SELECT *,
+        |    lastsp / CAST(k AS DOUBLE) AS mb,
+        |    (lastspp - lastsp * lastsp / CAST(k AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0) AS v
+        |  FROM l),
+        |m AS (SELECT *, mb * (1.0 - mb) AS mom,
+        |    mb * (1.0 - mb) / v - 1.0 AS bigm,
+        |    (k >= 2 AND v > 0 AND v < mb * (1.0 - mb)) AS ok
+        |  FROM e)
+        |SELECT grp, n, pos, round(ph, 6) AS rate_raw,
+        |  CASE WHEN ok THEN round(mb, 6) + 0 END AS m_prior,
+        |  CASE WHEN ok THEN round((CAST(pos AS DOUBLE) + bigm * mb)
+        |    / (CAST(n AS DOUBLE) + bigm), 6) + 0 END AS rate_eb
+        |FROM m""".stripMargin,
     // Inclusion dependency both directions: distinct key sets + anti
     // membership; coverage is one division.
     "q_ind_check" ->
@@ -8895,6 +9055,117 @@ $fieldRows"""
         |    round(1.0 - ((ssadj - sadj * sadj / nd) / (nd - 1.0))
         |      / vraw, 6) + 0 END AS var_reduction
         |FROM e""".stripMargin,
+    // Yuen: per-arm ranks, exact trim boundaries at ranks g+1/n-g,
+    // winsorized HUGEINT moments, the Yuen t/df chains.
+    "q_yuen" ->
+      """WITH b AS (SELECT (user_id % 2 = 1) AS t, event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |r AS (SELECT t, u,
+        |    row_number() OVER (PARTITION BY t ORDER BY u, id) AS rk,
+        |    count(*) OVER (PARTITION BY t) AS na FROM b),
+        |wg AS (SELECT *, (na * 200000) // 1000000 AS g FROM r),
+        |bounds AS (SELECT t, max(na) AS n, max(g) AS gg,
+        |    min(CASE WHEN rk = g + 1 THEN u END) AS lo,
+        |    max(CASE WHEN rk = na - g THEN u END) AS hi
+        |  FROM wg GROUP BY t),
+        |j AS (SELECT wg.t AS t, rk, u, n, gg, lo, hi
+        |  FROM wg JOIN bounds ON wg.t = bounds.t),
+        |a AS (SELECT t, max(n) AS n, max(n) - 2 * max(gg) AS h,
+        |    sum(CASE WHEN rk > gg AND rk <= n - gg
+        |      THEN CAST(u AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS ts,
+        |    sum(CAST(CASE WHEN rk <= gg THEN lo
+        |      WHEN rk > n - gg THEN hi ELSE u END AS HUGEINT)) AS sw,
+        |    sum(CAST(CASE WHEN rk <= gg THEN lo
+        |      WHEN rk > n - gg THEN hi ELSE u END AS HUGEINT)
+        |      * CASE WHEN rk <= gg THEN lo
+        |        WHEN rk > n - gg THEN hi ELSE u END) AS sww
+        |  FROM j GROUP BY t),
+        |w AS (SELECT
+        |    max(CASE WHEN t THEN n END) AS n_t,
+        |    max(CASE WHEN t THEN h END) AS h_t,
+        |    max(CASE WHEN t THEN ts END) AS ts_t,
+        |    max(CASE WHEN t THEN sw END) AS sw_t,
+        |    max(CASE WHEN t THEN sww END) AS sww_t,
+        |    max(CASE WHEN NOT t THEN n END) AS n_c,
+        |    max(CASE WHEN NOT t THEN h END) AS h_c,
+        |    max(CASE WHEN NOT t THEN ts END) AS ts_c,
+        |    max(CASE WHEN NOT t THEN sw END) AS sw_c,
+        |    max(CASE WHEN NOT t THEN sww END) AS sww_c
+        |  FROM a),
+        |e AS (SELECT *,
+        |    CAST(ts_t AS DOUBLE) / CAST(h_t AS DOUBLE) AS mt,
+        |    CAST(ts_c AS DOUBLE) / CAST(h_c AS DOUBLE) AS mc,
+        |    (CAST(sww_t AS DOUBLE) - CAST(sw_t AS DOUBLE)
+        |      * CAST(sw_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |      / (CAST(n_t AS DOUBLE) - 1.0) AS s2w_t,
+        |    (CAST(sww_c AS DOUBLE) - CAST(sw_c AS DOUBLE)
+        |      * CAST(sw_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      / (CAST(n_c AS DOUBLE) - 1.0) AS s2w_c
+        |  FROM w),
+        |f AS (SELECT *,
+        |    s2w_t * (CAST(n_t AS DOUBLE) - 1.0)
+        |      / (CAST(h_t AS DOUBLE) * (CAST(h_t AS DOUBLE) - 1.0))
+        |      AS d_t,
+        |    s2w_c * (CAST(n_c AS DOUBLE) - 1.0)
+        |      / (CAST(h_c AS DOUBLE) * (CAST(h_c AS DOUBLE) - 1.0))
+        |      AS d_c
+        |  FROM e),
+        |g2 AS (SELECT *, d_t + d_c AS ds FROM f)
+        |SELECT n_t, n_c, CAST(h_t AS BIGINT) AS h_t,
+        |  CAST(h_c AS BIGINT) AS h_c,
+        |  CASE WHEN h_t >= 1 THEN round(mt / 100.0, 6) + 0 END
+        |    AS mean_t,
+        |  CASE WHEN h_c >= 1 THEN round(mc / 100.0, 6) + 0 END
+        |    AS mean_c,
+        |  CASE WHEN h_t >= 2 AND h_c >= 2 AND ds > 0
+        |    THEN round((mt - mc) / sqrt(ds), 4) + 0 END AS t_stat,
+        |  CASE WHEN h_t >= 2 AND h_c >= 2 AND ds > 0
+        |    THEN round((ds * ds) / (d_t * d_t
+        |        / (CAST(h_t AS DOUBLE) - 1.0)
+        |      + d_c * d_c / (CAST(h_c AS DOUBLE) - 1.0)), 4)
+        |  END AS df
+        |FROM g2""".stripMargin,
+    // MDE: pooled within-arm variance + the fixed z-literal chain.
+    "q_mde" ->
+      """WITH b AS (SELECT (user_id % 2 = 1) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT t, count(*) AS n, sum(CAST(u AS HUGEINT)) AS s1,
+        |    sum(CAST(u AS HUGEINT) * u) AS s2 FROM b GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN t THEN n END) AS n_t,
+        |    max(CASE WHEN t THEN s1 END) AS s1_t,
+        |    max(CASE WHEN t THEN s2 END) AS s2_t,
+        |    max(CASE WHEN NOT t THEN n END) AS n_c,
+        |    max(CASE WHEN NOT t THEN s1 END) AS s1_c,
+        |    max(CASE WHEN NOT t THEN s2 END) AS s2_c
+        |  FROM p),
+        |e AS (SELECT *,
+        |    CAST(s2_t AS DOUBLE) - CAST(s1_t AS DOUBLE)
+        |      * CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS ss_t,
+        |    CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE)
+        |      * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS ss_c,
+        |    CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE) - 2.0 AS dfden,
+        |    CAST(s1_c AS DOUBLE) / CAST(n_c * 100 AS DOUBLE) AS meanc
+        |  FROM w),
+        |f AS (SELECT *, (ss_t + ss_c) / dfden AS varp FROM e),
+        |g2 AS (SELECT *,
+        |    (CAST(1.959963984540054 AS DOUBLE)
+        |      + CAST(0.8416212335729143 AS DOUBLE))
+        |      * sqrt(varp * (1.0 / CAST(n_t AS DOUBLE)
+        |        + 1.0 / CAST(n_c AS DOUBLE))) AS mdeabs
+        |  FROM f)
+        |SELECT COALESCE(n_t, 0) AS n_t, COALESCE(n_c, 0) AS n_c,
+        |  CASE WHEN n_c IS NOT NULL THEN round(meanc, 6) END AS mean_c,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND varp > 0
+        |    THEN round(sqrt(varp) / 100.0, 6) END AS sd_pooled,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND varp > 0
+        |    THEN round(mdeabs / 100.0, 6) END AS mde_abs,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND varp > 0
+        |      AND abs(meanc) > 0
+        |    THEN round(mdeabs / 100.0 / meanc, 6) END AS mde_rel
+        |FROM g2""".stripMargin,
     // CUPED-adjusted Welch t: the q_cuped theta/xbar chains verbatim,
     // adjusted per-arm moment expansions, then the welchTTest t/df
     // fixed chains on those adjusted moments.

@@ -2508,6 +2508,349 @@ object Profiling {
   }
 
   /**
+   * One-way ANOVA intraclass correlation + the cluster design effect
+   * (Kish 1965; Donner & Klar 2000) — the number every
+   * cluster-randomized experiment needs BEFORE reading
+   * [[welchTTest]]: when randomization is by cluster (user, session,
+   * geo) but analysis rows are events, within-cluster correlation
+   * deflates the effective sample size by deff = 1 + (m̄ − 1)·ρ, and
+   * an SE that ignores it is too small by √deff (the same trap the
+   * [[poissonBootstrapDiffCI]] cluster gate guards — this REPORTS the
+   * magnitude). ρ is the ANOVA estimator: MSB = SSB/(k−1),
+   * MSW = SSW/(N−k), n₀ = (N − Σn_g²/N)/(k−1),
+   * ρ = (MSB − MSW)/(MSB + (n₀−1)·MSW).
+   *
+   * EXACTNESS: values quantize at `unitScale` (cancels in ρ and
+   * deff); per-cluster (n_g, S_g) are exact; the cross term
+   * A = Σ_g S_g²/n_g — the one place a per-cluster DIVISION appears —
+   * collapses clusters BY SIZE first: T_s = Σ_{n_g = s} S_g² is an
+   * exact DECIMAL per size level, A = Σ_s T_s/s folds ORDERED over
+   * the SIZE frame (distinct cluster sizes — hundreds, not clusters),
+   * so the double sum is a deterministic sequential fold, never a
+   * partition-order-dependent aggregate. Σn_g² = Σ_s s²·k_s stays
+   * exact. Every downstream quantity is one fixed IEEE chain; outputs
+   * round 6dp through [[graft.core.Num.roundz]]. k < 2, N ≤ k (no
+   * within-cluster replication), or a degenerate denominator report
+   * NULL ρ/deff (stated).
+   *
+   * Scale shape: one cluster-keyed moment aggregate (map-side
+   * combined — the only pass over the rows), one size-level collapse,
+   * ordered folds over the SIZE frame. Nothing quadratic, nothing
+   * driver-proportional.
+   *
+   * Output one row: (`n`, `k`, `icc`, `n0`, `deff`, `n_eff`).
+   */
+  def clusterDesignEffect(df: DataFrame, clusterCol: String,
+                          valueCol: String,
+                          unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(clusterCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(clusterCol).cast("string").as("g"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val perCluster = base.groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("u").cast(dec)).as("sg"))
+    // size-level collapse: T_s = Σ S_g² (exact decimal), k_s clusters
+    val bySize = perCluster.groupBy("ng")
+      .agg(count(lit(1)).as("ks"),
+        sum(col("sg") * col("sg")).as("ts"))
+    val ordS = Window.orderBy("ng")
+    val cumS = ordS.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val totS = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // A = Σ_s T_s/s as an ORDERED fold over the size frame; the exact
+    // companions fold alongside
+    val sized = bySize
+      .withColumn("__a", sum(col("ts").cast("double") /
+        col("ng").cast("double")).over(cumS))
+      .withColumn("__sumsq",
+        sum(col("ng").cast(dec) * col("ng") * col("ks")).over(totS))
+      .withColumn("__n", sum(col("ng").cast(dec) * col("ks")).over(totS))
+      .withColumn("__k", sum("ks").over(totS))
+      .withColumn("__rn", row_number().over(ordS))
+      .withColumn("__nl", count(lit(1)).over(totS))
+      .filter(col("__rn") === col("__nl"))
+      .select(col("__a").as("a"), col("__sumsq").as("sumsq"),
+        col("__n").cast("long").as("n"), col("__k").as("k"))
+    val glob = base.agg(sum(col("u").cast(dec)).as("s"),
+      sum(col("u").cast(dec) * col("u")).as("q"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val sD = col("s").cast("double")
+    val ssb = col("a") - sD * sD / nD
+    val ssw = col("q").cast("double") - col("a")
+    // NULL divisors on degenerate shapes (the cupedAdjust ANSI note)
+    val msb = ssb / when(kD > 1.0, kD - 1.0)
+    val msw = ssw / when(nD > kD, nD - kD)
+    val n0 = (nD - col("sumsq").cast("double") / nD) /
+      when(kD > 1.0, kD - 1.0)
+    val iccDen = msb + (n0 - 1.0) * msw
+    val icc = (msb - msw) / when(abs(iccDen) > 0.0, iccDen)
+    val mbar = nD / kD
+    val deff = lit(1.0) + (mbar - 1.0) * icc
+    val ok = col("k") >= 2L && nD > kD
+    sized.crossJoin(broadcast(glob)).select(col("n"), col("k"),
+      when(ok, graft.core.Num.roundz(icc, 6)).as("icc"),
+      when(col("k") >= 2L, round(n0, 6)).as("n0"),
+      when(ok, graft.core.Num.roundz(deff, 6)).as("deff"),
+      when(ok, round(nD / when(deff > 0.0, deff), 6)).as("n_eff"))
+  }
+
+  /**
+   * Empirical-Bayes rate shrinkage (beta method-of-moments — the
+   * Morris 1983 / Efron-Morris regime for per-group rates): raw
+   * per-group rates x_g/n_g over thousands of groups are dominated by
+   * small-n noise — the top of any per-domain CTR/quality/defect-rate
+   * leaderboard is just the smallest groups. Fit a beta prior to the
+   * GROUP rate distribution by moments (m̄ = mean of p̂_g,
+   * v = sample variance of p̂_g, prior strength M = m̄(1−m̄)/v − 1)
+   * and shrink each group toward it:
+   * p̃_g = (x_g + M·m̄)/(n_g + M) — small groups collapse to the
+   * prior, large groups keep their data.
+   *
+   * EXACTNESS: per-group (n_g, x_g) are exact longs from ONE keyed
+   * aggregate; p̂_g is one division; m̄ and v fold ORDERED over the
+   * group frame (the [[kaplanMeier]] level-frame convention, gated at
+   * `maxGroups` like [[graft.operators.Privacy.fairnessReport]]);
+   * M and every p̃_g are fixed IEEE chains; `rate_raw`/`rate_eb`
+   * round 6dp. Degenerate priors — v ≤ 0 (identical group rates) or
+   * v ≥ m̄(1−m̄) (MoM M ≤ 0: between-group spread exceeds the
+   * binomial ceiling, no beta fits) — report NULL `rate_eb` with the
+   * raw columns intact (stated, never a silent fallback).
+   *
+   * Scale shape: one map-side-combined group aggregate; everything
+   * after runs on the GROUP frame (gated). Output one row per group:
+   * (`grp`, `n`, `pos`, `rate_raw`, `m_prior`, `rate_eb`).
+   */
+  def ebShrinkRates(df: DataFrame, groupCol: String, labelCol: String,
+                    maxGroups: Long = 100000L): DataFrame = {
+    require(maxGroups >= 1, s"maxGroups must be >= 1: $maxGroups")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(labelCol).cast("boolean").as("y"))
+    val g = graft.core.LineageCut.cut(base.groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos")))
+    val nGroups = g.count()
+    require(nGroups <= maxGroups,
+      s"ebShrinkRates: $nGroups groups exceeds maxGroups=$maxGroups — " +
+        "the moment folds run over the group frame; coarsen the group " +
+        "column upstream or raise maxGroups deliberately")
+    val ord = Window.orderBy("grp")
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pHat = col("pos").cast("double") / col("n").cast("double")
+    val kD = col("__k").cast("double")
+    // m̄ and Σp̂² fold in GROUP order (deterministic sequential sums)
+    val folded = g
+      .withColumn("__k", count(lit(1)).over(tot))
+      .withColumn("__sp", sum(pHat).over(cum))
+      .withColumn("__spp", sum(pHat * pHat).over(cum))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__last", max(when(col("__rn") === col("__k"),
+        col("__sp"))).over(tot))
+      .withColumn("__lastpp", max(when(col("__rn") === col("__k"),
+        col("__spp"))).over(tot))
+    val mBar = col("__last") / kD
+    val v = (col("__lastpp") - col("__last") * col("__last") / kD) /
+      when(kD > 1.0, kD - 1.0)
+    val mom = mBar * (lit(1.0) - mBar)
+    val bigM = mom / when(v > 0.0, v) - 1.0
+    val okPrior = col("__k") >= 2L && v > 0.0 && v < mom
+    val shrunk = (col("pos").cast("double") + bigM * mBar) /
+      (col("n").cast("double") + bigM)
+    folded.select(col("grp"), col("n"), col("pos"),
+      round(pHat, 6).as("rate_raw"),
+      when(okPrior, graft.core.Num.roundz(mBar, 6)).as("m_prior"),
+      when(okPrior, graft.core.Num.roundz(shrunk, 6)).as("rate_eb"))
+  }
+
+  /**
+   * Yuen's trimmed-mean t-test (Yuen 1974) — the robust two-sample
+   * readout for the metrics [[welchTTest]] is worst at: per-user
+   * revenue/latency sums are routinely heavy-tailed, one whale in one
+   * arm moves the raw mean for a week, and the field fix is to
+   * compare γ-trimmed means with winsorized variances — Yuen's
+   * statistic is exactly that with a Welch-style df. Per arm with
+   * g = ⌊γn⌋ trimmed from EACH tail (h = n − 2g kept):
+   * t = (m̄_T − m̄_C)/√(d_T + d_C) with
+   * d = s²_w(n−1)/(h(h−1)), s²_w the winsorized sample variance;
+   * df = (d_T + d_C)²/(d_T²/(h_T−1) + d_C²/(h_C−1)).
+   *
+   * EXACTNESS: values quantize at `unitScale`; per-arm ranks come
+   * from [[Ranking.withGlobalRank]] over (value, id) — a chunked
+   * range shuffle per arm, NO single-partition window — so g, the
+   * tail boundaries (the values AT ranks g+1 and n−g), the kept sum,
+   * and the winsorized Σw/Σw² are all EXACT integers/decimals; γ is
+   * carried as an exact num/10⁶ rational so g = (n·num) div 10⁶ is
+   * integer arithmetic; every downstream quantity is one fixed IEEE
+   * chain. Means round 6dp ([[graft.core.Num.roundz]]), t 4dp
+   * (roundz), df 4dp. h < 2 on either side or a zero pooled d
+   * reports NULL t/df (stated). `idCol` must uniquely identify rows
+   * (the rank's total-order tiebreak — the [[spearmanCorrelation]]
+   * contract).
+   *
+   * Scale shape: two chunked rank passes (one per arm) + one
+   * boundary aggregate and one moment aggregate per arm over the
+   * lineage-cut ranked frames. Nothing single-task, nothing
+   * quadratic.
+   *
+   * Output one row: (`n_t`, `n_c`, `h_t`, `h_c`, `mean_t`, `mean_c`,
+   * `t_stat`, `df`).
+   */
+  def yuenTTest(df: DataFrame, groupCol: String, treatment: String,
+                valueCol: String, idCol: String, trim: Double = 0.2,
+                unitScale: Long = 100L): DataFrame = {
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5): $trim")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val tnum = math.round(trim * 1000000L)
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select((col(groupCol).cast("string") === treatment).as("t"),
+        col(idCol).cast("long").as("id"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    def armStats(tv: Boolean): DataFrame = {
+      val ranked = graft.core.LineageCut.cut(
+        Ranking.withGlobalRank(base.filter(col("t") === tv)
+          .select("id", "u"),
+          Seq(col("u").asc, col("id").asc), "rk", "na"))
+      // g from exact integer arithmetic (long div); boundary VALUES at
+      // ranks g+1 and n−g (ranks are unique, so these are single cells)
+      val withG = ranked.withColumn("g",
+        expr(s"(na * ${tnum}L) div 1000000"))
+      val bounds = withG.agg(
+        max(col("na")).as("n"), max(col("g")).as("gg"),
+        min(when(col("rk") === col("g") + 1L, col("u"))).as("lo"),
+        max(when(col("rk") === col("na") - col("g"), col("u"))).as("hi"))
+      val j = withG.crossJoin(broadcast(bounds))
+      val w = when(col("rk") <= col("gg"), col("lo"))
+        .when(col("rk") > col("n") - col("gg"), col("hi"))
+        .otherwise(col("u"))
+      val kept = col("rk") > col("gg") &&
+        col("rk") <= col("n") - col("gg")
+      val sfx = if (tv) "t" else "c"
+      j.agg(max(col("n")).as(s"n_$sfx"),
+        (max(col("n")) - lit(2L) * max(col("gg"))).as(s"h_$sfx"),
+        sum(when(kept, col("u").cast(dec)).otherwise(lit(0L).cast(dec)))
+          .as(s"ts_$sfx"),
+        sum(w.cast(dec)).as(s"sw_$sfx"),
+        sum(w.cast(dec) * w).as(s"sww_$sfx"))
+    }
+    val wide = armStats(true).crossJoin(armStats(false))
+    def nD(a: String) = col(s"n_$a").cast("double")
+    def hD(a: String) = col(s"h_$a").cast("double")
+    def mTrim(a: String) = col(s"ts_$a").cast("double") / hD(a)
+    def s2w(a: String) = (col(s"sww_$a").cast("double") -
+      col(s"sw_$a").cast("double") * col(s"sw_$a").cast("double") /
+        nD(a)) / (nD(a) - 1.0)
+    def dA(a: String) = s2w(a) * (nD(a) - 1.0) /
+      (hD(a) * (hD(a) - 1.0))
+    val dSum = dA("t") + dA("c")
+    val tStat = (mTrim("t") - mTrim("c")) / sqrt(dSum)
+    val dfY = (dSum * dSum) /
+      (dA("t") * dA("t") / (hD("t") - 1.0) +
+        dA("c") * dA("c") / (hD("c") - 1.0))
+    val uD = lit(unitScale.toDouble)
+    val ok = col("h_t") >= 2L && col("h_c") >= 2L && dSum > 0.0
+    wide.select(col("n_t"), col("n_c"),
+      col("h_t").cast("long").as("h_t"),
+      col("h_c").cast("long").as("h_c"),
+      when(col("h_t") >= 1L, graft.core.Num.roundz(mTrim("t") / uD, 6))
+        .as("mean_t"),
+      when(col("h_c") >= 1L, graft.core.Num.roundz(mTrim("c") / uD, 6))
+        .as("mean_c"),
+      when(ok, graft.core.Num.roundz(tStat, 4)).as("t_stat"),
+      when(ok, round(dfY, 4)).as("df"))
+  }
+
+  /**
+   * Minimal-detectable-effect readout (the two-sample power identity,
+   * fixed-horizon normal approximation): given the CURRENT arm sizes
+   * and pooled variance, the smallest true mean shift the running
+   * experiment would detect at significance α and power 1−β —
+   * MDE = (z_{1−α/2} + z_{1−β})·√(σ²(1/n_T + 1/n_C)). The triage
+   * number next to [[welchTTest]]: a "flat" readout whose MDE is 5%
+   * when you care about 1% is an underpowered experiment, not a null
+   * result. α and power are restricted to the canonical grid so the
+   * normal quantiles are EXACT shared literals (a quantile
+   * approximation would never bit-match across engines).
+   *
+   * EXACTNESS: values quantize at `unitScale`; per-arm and pooled
+   * moments are exact longs/decimals from ONE aggregate; σ² is the
+   * pooled (within-arm) sample variance
+   * (SS_T + SS_C)/(n_T + n_C − 2); the z constants are fixed double
+   * literals (stated below); every output is one fixed IEEE chain,
+   * 6dp. n < 2 in either arm or zero variance reports NULL MDE.
+   * `mde_rel` divides by the CONTROL mean (NULL when it is 0).
+   *
+   * z literals: α 0.01 → 2.5758293035489004, 0.05 →
+   * 1.959963984540054, 0.1 → 1.6448536269514722; power 0.8 →
+   * 0.8416212335729143, 0.9 → 1.2815515655446004, 0.95 →
+   * 1.6448536269514722.
+   *
+   * Scale shape: one map-side-combined (arm) moment aggregate;
+   * nothing else moves. Output one row: (`n_t`, `n_c`, `mean_c`,
+   * `sd_pooled`, `mde_abs`, `mde_rel`).
+   */
+  def mdeEstimate(df: DataFrame, groupCol: String, treatment: String,
+                  valueCol: String, alpha: Double = 0.05,
+                  power: Double = 0.8,
+                  unitScale: Long = 100L): DataFrame = {
+    val zAlpha = Map(0.01 -> 2.5758293035489004,
+      0.05 -> 1.959963984540054, 0.1 -> 1.6448536269514722)
+    val zPower = Map(0.8 -> 0.8416212335729143,
+      0.9 -> 1.2815515655446004, 0.95 -> 1.6448536269514722)
+    require(zAlpha.contains(alpha),
+      s"alpha must be one of ${zAlpha.keys.toSeq.sorted}: $alpha")
+    require(zPower.contains(power),
+      s"power must be one of ${zPower.keys.toSeq.sorted}: $power")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val zSum = lit(zAlpha(alpha) + zPower(power))
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select((col(groupCol).cast("string") === treatment).as("t"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val perArm = base.groupBy("t").agg(count(lit(1)).as("n"),
+      sum(col("u").cast(dec)).as("s1"),
+      sum(col("u").cast(dec) * col("u")).as("s2"))
+    def cell(tv: Boolean, c: String) =
+      max(when(col("t") === tv, col(c)))
+        .as(s"${c}_${if (tv) "t" else "c"}")
+    val wide = perArm.agg(cell(true, "n"), cell(true, "s1"),
+      cell(true, "s2"), cell(false, "n"), cell(false, "s1"),
+      cell(false, "s2"))
+    def nD(a: String) = col(s"n_$a").cast("double")
+    def ss(a: String) = col(s"s2_$a").cast("double") -
+      col(s"s1_$a").cast("double") * col(s"s1_$a").cast("double") /
+        nD(a)
+    val dfDen = nD("t") + nD("c") - 2.0
+    val varPooled = (ss("t") + ss("c")) / when(dfDen > 0.0, dfDen)
+    val meanC = col("s1_c").cast("double") /
+      (col("n_c") * unitScale).cast("double")
+    val mdeAbs = zSum * sqrt(varPooled * (lit(1.0) / nD("t") +
+      lit(1.0) / nD("c")))
+    val uD = lit(unitScale.toDouble)
+    val ok = col("n_t").isNotNull && col("n_c").isNotNull &&
+      col("n_t") >= 2L && col("n_c") >= 2L && varPooled > 0.0
+    wide.select(coalesce(col("n_t"), lit(0L)).as("n_t"),
+      coalesce(col("n_c"), lit(0L)).as("n_c"),
+      when(col("n_c").isNotNull, round(meanC, 6)).as("mean_c"),
+      when(ok, round(sqrt(varPooled) / uD, 6)).as("sd_pooled"),
+      when(ok, round(mdeAbs / uD, 6)).as("mde_abs"),
+      when(ok && abs(meanC) > 0.0,
+        round(mdeAbs / uD / when(abs(meanC) > 0.0, meanC), 6))
+        .as("mde_rel"))
+  }
+
+  /**
    * Murphy decomposition of the Brier score (Murphy 1973):
    * reliability − resolution + uncertainty over the QUANTIZED
    * forecast levels — the diagnostic [[brierScore]] rolls up
@@ -3926,6 +4269,58 @@ object Profiling {
         col("p") * col("m").cast("double") / col("rank").cast("double"))
       .withColumn("__padj",
         least(min("__stepped").over(wSuffix), lit(1.0)))
+      .select(col("id"), col("p"), col("rank"), col("m"),
+        round(col("__padj"), 6).as("p_adj"),
+        (col("__padj") <= lit(alpha)).as("reject"))
+  }
+
+  /**
+   * Holm step-down adjusted p-values (Holm 1979) — the FAMILY-WISE
+   * error-rate member completing the multiple-testing trio:
+   * [[benjaminiHochberg]] and [[storeyQValues]] control FDR (the
+   * screening regime — some false calls are fine), Holm controls
+   * FWER (the confirmatory regime — one false call invalidates the
+   * release decision) uniformly better than plain Bonferroni and
+   * with zero extra assumptions. adj_(i) = max_{j ≤ i}
+   * min(1, (m − j + 1)·p_(j)) over the ascending (p, id) order —
+   * the step-DOWN prefix max, the mirror of BH's step-up suffix min.
+   *
+   * EXACTNESS: the [[benjaminiHochberg]] machinery verbatim —
+   * (p, id)-tiebroken rank from ONE chunked-window pass, each stepped
+   * value ONE multiply of caller doubles, the prefix-max fold in rank
+   * order, `p_adj` rounds 6dp AFTER the fold; NULL p-values fail loud
+   * (a submitted hypothesis without a result would silently shrink
+   * m). `reject` compares the unrounded fold to α.
+   *
+   * Scale shape: identical to [[benjaminiHochberg]] — rank windows
+   * over the HYPOTHESIS frame (tests, not data rows; bounded by the
+   * experiment registry, not the corpus).
+   *
+   * Output one row per hypothesis: (`id`, `p`, `rank`, `m`, `p_adj`,
+   * `reject`).
+   */
+  def holmBonferroni(df: DataFrame, idCol: String, pCol: String,
+                     alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val base = df
+      .filter(when(col(pCol).isNull,
+        raise_error(lit("holmBonferroni: NULL p-value — a submitted " +
+          "hypothesis without a result would silently shrink m; filter " +
+          "upstream if exclusion is intended")).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
+    val wTot = Window.orderBy("p", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy("p", "id")
+    val wPrefix = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wTot))
+      .withColumn("__stepped", least(
+        col("p") * (col("m") - col("rank") + 1L).cast("double"),
+        lit(1.0)))
+      .withColumn("__padj", max("__stepped").over(wPrefix))
       .select(col("id"), col("p"), col("rank"), col("m"),
         round(col("__padj"), 6).as("p_adj"),
         (col("__padj") <= lit(alpha)).as("reject"))

@@ -80,7 +80,9 @@ object PlanAudit {
       "text_rm3_index", "training_corpus_fair", "q_granger_p",
       "q_anderson_darling", "q_mann_kendall", "q_cusum",
       "q_brier_decomp", "q_cuped", "q_srm", "q_did", "q_bootstrap",
-      "q_bootstrap_diff")
+      "q_bootstrap_diff", "q_cuped_ttest", "q_sequential",
+      "q_mann_kendall_seasonal", "q_holm", "q_icc_deff", "q_eb_shrink",
+      "q_yuen", "q_mde")
 
     val sb = new StringBuilder
     sb ++= "# PLANS — physical-plan audit (generated by graft.tools.PlanAudit)\n\n"

@@ -1679,6 +1679,49 @@ object StressBench {
       units.unpersist()
     }
 
+    // r16 experimentation additions: the mSPRT's cost is one moment
+    // aggregate over the rows + windows over the LOOK frame only
+    // (expect scan-~flat at a fixed look count); CUPED Welch t is two
+    // moment aggregates (scan-flat); seasonal Mann-Kendall runs its
+    // per-season pair joins at series tiers (Σ n_g² — the honest
+    // within-season quadratic, gated).
+    for (n <- (Seq(1000000L, 4000000L) ++ (if (xl) Seq(16000000L) else Nil))
+           if only.forall(_ == "r16stats")) {
+      val rows = spark.range(n).toDF("id")
+        .select(col("id"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0)
+            .as("v"),
+          pmod(col("id"), lit(2L)).cast("string").as("arm"),
+          pmod(xxhash64(col("id"), lit(3)), lit(100)).as("look"))
+        .cache()
+      rows.count()
+      run("sequential_msprt", n)(
+        graft.operators.Profiling.sequentialMSPRT(rows, "look", "arm",
+          "1", "v", tau2 = 1.0).queryExecution.toRdd.count())
+      run("cuped_ttest", n)(
+        graft.operators.Profiling.cupedWelchTTest(rows
+          .withColumn("y", col("v") * 2.0 +
+            pmod(xxhash64(col("id"), lit(9)), lit(100)).cast("double")),
+          "arm", "1", "v", "y").queryExecution.toRdd.count())
+      rows.unpersist()
+    }
+    for (n <- (Seq(12000L, 24000L) ++ (if (xl) Seq(48000L) else Nil))
+           if only.forall(_ == "r16stats")) {
+      // 24 seasons × n/24 points each: the within-season pair joins
+      // total 24 · (n/24)² sign cells — 1/24th of the unseasoned
+      // quadratic at the same n, which is the scaling point
+      val series = spark.range(n).toDF("id")
+        .select(col("id"),
+          pmod(col("id"), lit(24L)).cast("string").as("season"),
+          expr("id div 24").as("day"),
+          (pmod(xxhash64(col("id")), lit(10000)).cast("double") / 100.0
+            + col("id").cast("double") / 1000.0).as("v"))
+      run("mk_seasonal", n)(
+        graft.operators.Profiling.mannKendallSeasonal(series, "day",
+          "season", "id", "v", unitScale = 100L,
+          maxRowsPerSeason = 50000L).queryExecution.toRdd.count())
+    }
+
     // Bitext mining is QUADRATIC in the batch sizes by construction
     // (brute sweeps both ways) — measured at doubling batch sizes so
     // the ~4× steps are on display; the operator doc prescribes the

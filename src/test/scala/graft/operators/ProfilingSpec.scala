@@ -783,6 +783,230 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("maxLooks"))
   }
 
+  test("yuenTTest: trim = 0 pins it to welchTTest; one whale cannot " +
+      "move the trimmed readout; hand trim counts; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (1L to 400L).map { i =>
+      val arm = if (i % 2 == 0) "t" else "c"
+      (i, arm, rnd.nextInt(100) / 10.0 + (if (arm == "t") 1.5 else 0.0))
+    }
+    val df0 = base.toDF("id", "arm", "v")
+    // trim = 0: g = 0, winsorized == raw, d = s^2/n -> Yuen IS Welch
+    val y0 = Profiling.yuenTTest(df0, "arm", "t", "v", "id", trim = 0.0,
+      unitScale = 10L)
+      .select("t_stat", "df").as[(Option[Double], Option[Double])]
+      .collect().head
+    val w0 = Profiling.welchTTest(df0.withColumn("seg", lit("all")),
+      "seg", "arm", "t", "v", unitScale = 10L)
+      .select("t_stat", "df").as[(Option[Double], Option[Double])]
+      .collect().head
+    assert(y0._1.isDefined && math.abs(y0._1.get - w0._1.get) < 2e-4)
+    assert(math.abs(y0._2.get - w0._2.get) < 2e-4)
+    // one whale in the CONTROL arm: Welch's t collapses toward 0 (or
+    // flips), Yuen's 20%-trimmed t barely moves
+    val whale = base :+ (9999L, "c", 1.0e6)
+    val dfW = whale.toDF("id", "arm", "v")
+    val yW = Profiling.yuenTTest(dfW, "arm", "t", "v", "id", trim = 0.2,
+      unitScale = 10L).select("t_stat").as[Option[Double]].collect().head
+    val yClean = Profiling.yuenTTest(df0, "arm", "t", "v", "id",
+      trim = 0.2, unitScale = 10L)
+      .select("t_stat").as[Option[Double]].collect().head
+    val wW = Profiling.welchTTest(dfW.withColumn("seg", lit("all")),
+      "seg", "arm", "t", "v", unitScale = 10L)
+      .select("t_stat").as[Option[Double]].collect().head
+    assert(math.abs(yW.get - yClean.get) < 0.5, s"$yW vs $yClean")
+    assert(math.abs(wW.get) < math.abs(yW.get) / 2,
+      s"welch $wW should collapse, yuen $yW should hold")
+    // hand trim counts: n = 10 per arm at 20% -> g = 2, h = 6
+    val ten = ((1L to 10L).map(i => (i, "t", i.toDouble)) ++
+      (11L to 20L).map(i => (i, "c", i.toDouble))).toDF("id", "arm", "v")
+    val hs = Profiling.yuenTTest(ten, "arm", "t", "v", "id", trim = 0.2,
+      unitScale = 1L).select("n_t", "h_t", "mean_t")
+      .as[(Long, Long, Option[Double])].collect().head
+    // kept ranks 3..8 of 1..10 -> mean (3+4+5+6+7+8)/6 = 5.5
+    assert(hs === ((10L, 6L, Some(5.5))))
+    intercept[IllegalArgumentException] {
+      Profiling.yuenTTest(ten, "arm", "t", "v", "id", trim = 0.5)
+    }
+  }
+
+  test("mdeEstimate: brute formula parity; more data shrinks the MDE; " +
+      "off-grid alpha/power rejected") {
+    import spark.implicits._
+    val rows = ((1 to 50).flatMap(_ => Seq(("t", 1.0), ("t", 3.0))) ++
+      (1 to 50).flatMap(_ => Seq(("c", 2.0), ("c", 4.0))))
+      .toDF("arm", "v")
+    val got = Profiling.mdeEstimate(rows, "arm", "t", "v",
+      alpha = 0.05, power = 0.8, unitScale = 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    // brute: each arm 100 rows alternating x, x+2 -> SS = 100,
+    // pooled var = 200/198; mde = (1.96..+0.84..)*sqrt(v*(2/100))
+    val varP = 200.0 / 198.0
+    val mde = (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt(varP * (1.0 / 100 + 1.0 / 100))
+    assert(got._1 === 100L && got._2 === 100L)
+    assert(math.abs(got._3.get - 3.0) < 1e-9) // control mean
+    assert(math.abs(got._4.get - math.sqrt(varP)) < 1e-6)
+    assert(math.abs(got._5.get - mde) < 1e-6)
+    assert(math.abs(got._6.get - mde / 3.0) < 1e-6)
+    // 4x the data ~halves the MDE (sqrt law; exact up to the n-2
+    // pooled-variance denominator)
+    val big = rows.union(rows).union(rows).union(rows)
+    val g2 = Profiling.mdeEstimate(big, "arm", "t", "v",
+      alpha = 0.05, power = 0.8, unitScale = 1L)
+      .select("mde_abs").as[Option[Double]].collect().head
+    val mde4 = (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt((800.0 / 798.0) * (1.0 / 400 + 1.0 / 400))
+    assert(math.abs(g2.get - mde4) < 1e-6)
+    assert(g2.get < got._5.get * 0.51)
+    intercept[IllegalArgumentException] {
+      Profiling.mdeEstimate(rows, "arm", "t", "v", alpha = 0.07)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.mdeEstimate(rows, "arm", "t", "v", power = 0.5)
+    }
+  }
+
+  test("holmBonferroni: hand step-down; monotone in rank; dominates " +
+      "BH pointwise; NULL p fails loud") {
+    import spark.implicits._
+    val hyp = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.5))
+      .toDF("id", "p")
+    val got = Profiling.holmBonferroni(hyp, "id", "p", alpha = 0.05)
+      .as[(Long, Double, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._3)
+    // stepped: 4*0.01, 3*0.02, 2*0.03, 1*0.5 -> prefix max
+    assert(got.map(_._5).toSeq === Seq(0.04, 0.06, 0.06, 0.5))
+    assert(got.map(_._6).toSeq === Seq(true, false, false, false))
+    assert(got.map(_._4).forall(_ === 4L))
+    // Holm (FWER) is never more liberal than BH (FDR): adjusted p
+    // dominates pointwise on a random frame
+    val rnd = new scala.util.Random(11)
+    val rand = (1L to 200L).map(i => (i, rnd.nextDouble())).toDF("id", "p")
+    val holm = Profiling.holmBonferroni(rand, "id", "p")
+      .select("id", "p_adj").as[(Long, Double)].collect().toMap
+    val bh = Profiling.benjaminiHochberg(rand, "id", "p")
+      .select("id", "p_adj").as[(Long, Double)].collect().toMap
+    assert(holm.forall { case (id, h) => h >= bh(id) - 1e-9 })
+    // monotone non-decreasing in rank
+    val ordered = Profiling.holmBonferroni(rand, "id", "p")
+      .orderBy("rank").select("p_adj").as[Double].collect()
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a })
+    intercept[Exception] {
+      Profiling.holmBonferroni(
+        Seq((1L, Some(0.1)), (2L, None)).toDF("id", "p"), "id", "p")
+        .collect()
+    }
+  }
+
+  test("clusterDesignEffect: perfectly clustered data reads icc = 1, " +
+      "deff = m; randomized brute parity; degenerate shapes NULL") {
+    import spark.implicits._
+    // two clusters of 2, zero within-cluster variance: icc = 1,
+    // deff = 1 + (2-1)*1 = 2, n_eff = 2
+    val hand = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0))
+      .toDF("g", "v")
+    val got = Profiling.clusterDesignEffect(hand, "g", "v", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(got === ((4L, 2L, Some(1.0), Some(2.0), Some(2.0), Some(2.0))))
+    // randomized brute parity (unbalanced clusters, real spread)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 3) {
+      val rows = (1 to 300).map { _ =>
+        val g = rnd.nextInt(20)
+        (s"c$g", (g % 5).toDouble + rnd.nextInt(10))
+      }
+      val exp = {
+        val by = rows.groupBy(_._1)
+        val n = rows.size.toDouble
+        val k = by.size.toDouble
+        val a = by.values.toSeq
+          .map(xs => (xs.map(_._2).sum, xs.size))
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (s, gs) =>
+            gs.map(x => x._1 * x._1).sum / s.toDouble }.sum
+        val s = rows.map(_._2).sum
+        val q = rows.map(x => x._2 * x._2).sum
+        val ssb = a - s * s / n
+        val ssw = q - a
+        val msb = ssb / (k - 1.0)
+        val msw = ssw / (n - k)
+        val sumsq = by.values.map(xs =>
+          xs.size.toDouble * xs.size).sum
+        val n0 = (n - sumsq / n) / (k - 1.0)
+        val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+        (icc, 1.0 + (n / k - 1.0) * icc)
+      }
+      val g2 = Profiling.clusterDesignEffect(rows.toDF("g", "v"),
+        "g", "v", 1L)
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+          Option[Double])].collect().head
+      assert(math.abs(g2._3.get - exp._1) < 1e-5, s"icc ${g2._3}")
+      assert(math.abs(g2._5.get - exp._2) < 1e-5, s"deff ${g2._5}")
+    }
+    // size-1 clusters everywhere: N = k, no within replication -> NULL
+    val singletons = (1 to 5).map(i => (s"c$i", i.toDouble)).toDF("g", "v")
+    val g3 = Profiling.clusterDesignEffect(singletons, "g", "v", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(g3._1 === 5L && g3._3.isEmpty && g3._5.isEmpty)
+    // one cluster: k < 2 -> NULL everything including n0
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val g4 = Profiling.clusterDesignEffect(one, "g", "v", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(g4._2 === 1L && g4._3.isEmpty && g4._4.isEmpty)
+  }
+
+  test("ebShrinkRates: small groups shrink harder; brute MoM parity; " +
+      "degenerate priors NULL; maxGroups gate") {
+    import spark.implicits._
+    // same raw rate 0.5 at n = 4 vs n = 400 among low-rate ballast
+    // groups: the small group must move further toward the prior
+    val frame = (
+      (1 to 4).map(i => ("small", i <= 2)) ++
+      (1 to 400).map(i => ("large", i <= 200)) ++
+      (1 to 100).map(i => ("b1", i <= 10)) ++
+      (1 to 100).map(i => ("b2", i <= 20)) ++
+      (1 to 100).map(i => ("b3", i <= 15))).toDF("g", "y")
+    val got = Profiling.ebShrinkRates(frame, "g", "y")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val m = got("small")._5.get
+    assert(m === got("large")._5.get) // one shared prior mean
+    val dSmall = math.abs(got("small")._6.get - 0.5)
+    val dLarge = math.abs(got("large")._6.get - 0.5)
+    assert(dSmall > dLarge, s"$dSmall vs $dLarge")
+    // both shrink TOWARD the prior mean (m < 0.5 here)
+    assert(got("small")._6.get < 0.5 && got("small")._6.get > m)
+    // brute MoM parity
+    val byG = Seq("small" -> (4, 2), "large" -> (400, 200),
+      "b1" -> (100, 10), "b2" -> (100, 20), "b3" -> (100, 15))
+    val ps = byG.sortBy(_._1).map { case (_, (n, x)) => x.toDouble / n }
+    val k = ps.size.toDouble
+    val mb = ps.sum / k
+    val v = ps.map(p => (p - mb) * (p - mb)).sum / (k - 1.0)
+    val bigM = mb * (1.0 - mb) / v - 1.0
+    byG.foreach { case (g, (n, x)) =>
+      val exp = (x + bigM * mb) / (n + bigM)
+      assert(math.abs(got(g)._6.get - exp) < 1e-5, s"$g")
+    }
+    // identical group rates: v = 0 -> NULL prior columns, raw intact
+    val flat = ((1 to 10).map(i => ("a", i <= 5)) ++
+      (1 to 10).map(i => ("b", i <= 5))).toDF("g", "y")
+    val gFlat = Profiling.ebShrinkRates(flat, "g", "y")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(gFlat.forall(r => r._6.isEmpty && r._4 === 0.5))
+    val e = intercept[IllegalArgumentException] {
+      Profiling.ebShrinkRates(frame, "g", "y", maxGroups = 2L)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
+
   test("srmCheck: hand chi2 on a skewed split; designed-but-empty arm " +
       "contributes its E; undesigned observed arm fails loud") {
     import spark.implicits._

@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# Round-close checklist, foldable into one command so no step can be
+# skipped (VERDICT r15 items 2 and 8). Runs the full correctness gate,
+# the signed-zero sweep, the SAME-round DuckDB anchor refresh, and the
+# bench — then commits every close artifact in ONE commit so the
+# committed history and the judged artifacts can never drift apart.
+#
+# Usage: tools/close.sh <round-number> [sf-dir]
+#   tools/close.sh 16                # full close at sf0.1
+#
+# Manual step the script CHECKS but cannot author: the BASELINE.md
+# round row + ratio-series entry and the Bench.scala `history` seq for
+# this round must be written before running (the script greps for the
+# round tag and refuses to commit without it).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROUND=${1:?usage: tools/close.sh <round-number> [sf-dir]}
+SF=${2:-/root/testdata/sf0.1}
+OUT=/tmp/verify_close_r${ROUND}
+
+echo "== [1/6] full Verify dump at $SF =="
+sbt -batch "runMain graft.Verify $SF $OUT"
+
+echo "== [2/6] DuckDB correctness gate =="
+python3 tools/oracle_check.py "$OUT" "$SF" | tail -3
+
+echo "== [3/6] signed-zero sweep (both engines) =="
+python3 tools/zero_sweep.py "$OUT" "$SF"
+
+echo "== [4/6] SAME-round anchor refresh -> BASELINE_LOCAL.json =="
+python3 tools/oracle_bench.py "$OUT" "$SF" > BASELINE_LOCAL.json
+grep -o '"value": *[0-9.]*' BASELINE_LOCAL.json | head -1
+
+echo "== [5/6] bench -> BENCH_METRIC.json =="
+SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
+  | tail -2
+
+echo "== [6/6] close commit (one commit, all artifacts) =="
+grep -q "r${ROUND}" BASELINE.md || {
+  echo "ERROR: BASELINE.md has no r${ROUND} row — write the round row" \
+       "and ratio-series entry first (close discipline item 8)"; exit 1; }
+git add BENCH_METRIC.json BASELINE_LOCAL.json BASELINE.md SCALING.md
+# the driver writes BENCH_r{N}/CORRECTNESS_r{N} after judging previous
+# rounds — stage whichever exist so none stays untracked at judge time
+git add BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json 2>/dev/null || true
+git commit -m "round ${ROUND} close: bench + same-round anchor + artifacts"
+git log --oneline -1
