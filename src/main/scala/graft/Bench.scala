@@ -50,7 +50,7 @@ object Bench {
       "q_stream_join", "q_stream_snapshot", "q_stream_perplexity",
       "q_stream_heavy", "q_stream_transitions", "q_stream_changepoint",
       "q_stream_ewma", "q_stream_drift", "q_stream_cusum",
-      "q_stream_srm")
+      "q_stream_srm", "q_stream_msprt")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset for local
     // iteration (the driver never sets it — full suite by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -4740,6 +4740,27 @@ $fieldRows"""
         windowMs = 3600000L)
     }),
 
+    // TRUE-streaming always-valid mSPRT monitor (14th streaming
+    // surface): one micro-batch = one daily look; six exact longs of
+    // state; every streamed readout (n_t, n_c, diff, p_always, lo,
+    // hi) must bit-match batch sequentialMSPRT over the same frame.
+    "q_stream_msprt" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val spark = s
+      import spark.implicits._
+      val cohort = t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"),
+          pmod(expr("user_id div 10"), lit(2L)).cast("string")
+            .as("event_type"),
+          col("value"))
+        .as[Streams.Event]
+      Streams.msprtStreamParity(s, cohort, "1", tau2 = 1.0,
+        alpha = 0.05, unitScale = 100L)
+    }),
+
     // TRUE-streaming mean-shift changepoints: the cohort replays through
     // a MemoryStream in ts-aligned micro-batches; the streamed flags
     // (key, ts, id AND the three exact-arithmetic means) must equal the
@@ -10829,6 +10850,14 @@ $fieldRows"""
     "q_stream_srm" ->
       """WITH n AS (SELECT count(DISTINCT
         |    (epoch_ns(ts) // 1000000) // 3600000) AS c
+        |  FROM events WHERE user_id % 10 = 0)
+        |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
+    // Streaming mSPRT parity: one readout per daily look, so all three
+    // counts equal the cohort's distinct day count when the streamed
+    // JVM chains bit-match the batch Column chains in the 7-col join.
+    "q_stream_msprt" ->
+      """WITH n AS (SELECT count(DISTINCT
+        |    (epoch_ns(ts) // 1000000) // 86400000) AS c
         |  FROM events WHERE user_id % 10 = 0)
         |SELECT c AS n_stream, c AS n_batch, c AS n_matched FROM n""".stripMargin,
     // Streaming changepoint parity: the batch mean-shift count over the

@@ -1594,6 +1594,168 @@ object Streams {
         .agg(count(lit(1)).as("n_matched")))
   }
 
+  final case class MsprtState(nT: Long, s1T: Long, s2T: Long,
+                              nC: Long, s1C: Long, s2C: Long,
+                              look: Long, pMin: Option[Double],
+                              loMax: Option[Double],
+                              hiMin: Option[Double])
+
+  final case class MsprtPoint(look: Long, n_t: Long, n_c: Long,
+                              diff: Option[Double],
+                              p_always: Option[Double],
+                              lo: Option[Double], hi: Option[Double])
+
+  /**
+   * TRUE-streaming always-valid experiment monitor (the 14th
+   * streaming surface) — [[graft.operators.Profiling.sequentialMSPRT]]
+   * kept live: the mSPRT exists BECAUSE experimenters peek
+   * continuously, so its natural deployment is a stream emitting one
+   * always-valid readout per micro-batch (one micro-batch = one LOOK;
+   * the trigger interval IS the look cadence — stated). Next to
+   * [[srmStream]] this completes the live pair: one guards the split,
+   * one reads the effect, both peek-safe.
+   *
+   * State is SIX EXACT LONGS per key (cumulative n/Σu/Σu² per arm —
+   * quantized through the batch operator's BigDecimal HALF_UP chain)
+   * plus the running p/CI folds; within a batch the moment updates
+   * are exact integer sums, so NO per-key ordering contract is needed
+   * (unlike [[cusumStream]]'s recursion — a first for the stateful
+   * surfaces). Σu² must stay under 2⁶³: at |u| ≤ 10⁵ units that is
+   * ~10⁸ rows per key — lower `unitScale` for longer-lived monitors
+   * (stated; the batch operator's decimal moments have no such bound).
+   * Every emitted value replays the batch Column chains as the SAME
+   * JVM IEEE operations in the SAME order, so a cohort replayed one
+   * look per micro-batch bit-matches [[graft.operators.Profiling
+   * .sequentialMSPRT]] row-for-row ([[msprtStreamParity]] pins it).
+   * The arm label rides in `event_type`; `treatArm` is treatment,
+   * everything else is control (the batch operator's two-arm
+   * equality contract).
+   */
+  def msprtStream(events: Dataset[Event], treatArm: String,
+                  tau2: Double, alpha: Double = 0.05,
+                  unitScale: Long = 100L): Dataset[MsprtPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(tau2 > 0.0, s"tau2 (mixture prior variance) must be > 0: $tau2")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    def quant(v: Double): Long = // = Spark round(col * unitScale)
+      java.math.BigDecimal.valueOf(v * unitScale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def r6(x: Double): Double = // = Num.roundz(c, 6)
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    val u2 = (unitScale * unitScale).toDouble
+    events.groupByKey(_ => true)
+      .flatMapGroupsWithState[MsprtState, MsprtPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Boolean, it: Iterator[Event], state: GroupState[MsprtState]) =>
+          val st = state.getOption.getOrElse(
+            MsprtState(0L, 0L, 0L, 0L, 0L, 0L, 0L, None, None, None))
+          var (nT, s1T, s2T) = (st.nT, st.s1T, st.s2T)
+          var (nC, s1C, s2C) = (st.nC, st.s1C, st.s2C)
+          it.foreach { e =>
+            val u = quant(e.value)
+            if (e.event_type == treatArm) {
+              nT += 1L; s1T += u; s2T = math.addExact(s2T,
+                math.multiplyExact(u, u))
+            } else {
+              nC += 1L; s1C += u; s2C = math.addExact(s2C,
+                math.multiplyExact(u, u))
+            }
+          }
+          // the sequentialMSPRT Column chains as JVM IEEE ops, same
+          // operation order (the cusumStream parity convention)
+          def mean(s1: Long, n: Long): Double =
+            s1.toDouble / (n * unitScale).toDouble
+          def vr(s1: Long, s2: Long, n: Long): Double =
+            ((s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) /
+              (n - 1.0)) / u2
+          val ok = nT >= 2L && nC >= 2L && {
+            val v = vr(s1T, s2T, nT) / nT.toDouble +
+              vr(s1C, s2C, nC) / nC.toDouble
+            v > 0.0
+          }
+          val look = st.look + 1L
+          val (pMin, loMax, hiMin, diff) = if (ok) {
+            val v = vr(s1T, s2T, nT) / nT.toDouble +
+              vr(s1C, s2C, nC) / nC.toDouble
+            val d = mean(s1T, nT) - mean(s1C, nC)
+            val lam = math.sqrt(v / (v + tau2)) *
+              math.exp(d * d * tau2 / (2.0 * v * (v + tau2)))
+            val pRaw = math.min(1.0, 1.0 / lam)
+            val radius = math.sqrt((v * (v + tau2) / tau2) *
+              math.log((v + tau2) / (alpha * alpha * v)))
+            (Some(st.pMin.fold(pRaw)(math.min(_, pRaw))),
+              Some(st.loMax.fold(d - radius)(math.max(_, d - radius))),
+              Some(st.hiMin.fold(d + radius)(math.min(_, d + radius))),
+              Some(d))
+          } else (st.pMin, st.loMax, st.hiMin, None)
+          state.update(MsprtState(nT, s1T, s2T, nC, s1C, s2C, look,
+            pMin, loMax, hiMin))
+          Iterator.single(MsprtPoint(look, nT, nC,
+            diff.map(r6), pMin.map(r6), loMax.map(r6), hiMin.map(r6)))
+      }
+  }
+
+  /**
+   * Driver-facing parity drive for [[msprtStream]]: replays a bounded
+   * cohort through a MemoryStream ONE LOOK (day) PER MICRO-BATCH,
+   * then joins every streamed readout — by look POSITION plus all
+   * five value columns — against [[graft.operators.Profiling
+   * .sequentialMSPRT]] over the same frame with the day as the look
+   * column. Bit-equal because the state function replays the batch
+   * Column chains as identical JVM IEEE chains. One row
+   * (n_stream, n_batch, n_matched).
+   */
+  def msprtStreamParity(spark: SparkSession, events: Dataset[Event],
+                        treatArm: String, tau2: Double,
+                        alpha: Double = 0.05,
+                        unitScale: Long = 100L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "parity drive needs a non-empty cohort")
+    val dayMs = 86400000L
+    val byLook = rows.groupBy(_.ts.getTime / dayMs).toSeq.sortBy(_._1)
+    val input = MemoryStream[Event]
+    val sm = msprtStream(input.toDS(), treatArm, tau2, alpha, unitScale)
+    val sinkName = "graft_msprt_stream_out"
+    spark.catalog.dropTempView(sinkName)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = sm.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      byLook.foreach { case (_, g) =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+    val streamed = spark.table(sinkName)
+      .localCheckpoint(true) // pin: the memory sink view is mutable scratch
+    val batchRaw = graft.operators.Profiling.sequentialMSPRT(
+      events.toDF()
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("day", expr(s"ts_ms div $dayMs")),
+      "day", "event_type", treatArm, "value", tau2, alpha, unitScale)
+    // look POSITION: the stream numbers looks 1..k in arrival order,
+    // the batch carries the day value — rank the batch looks ascending
+    val w = org.apache.spark.sql.expressions.Window.orderBy("look")
+    val batch = batchRaw
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .select(col("idx").as("look"), col("n_t"), col("n_c"),
+        col("diff"), col("p_always"), col("lo"), col("hi"))
+    val cols = Seq("look", "n_t", "n_c", "diff", "p_always", "lo", "hi")
+    streamed.agg(count(lit(1)).as("n_stream"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(streamed.join(batch, cols)
+        .agg(count(lit(1)).as("n_matched")))
+  }
+
   /**
    * Shared SRM-window builder for [[srmStream]] and its batch parity
    * replica — ONE Column chain (the [[driftStream]] convention), and

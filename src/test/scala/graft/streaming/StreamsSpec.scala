@@ -748,4 +748,39 @@ class StreamsSpec extends SparkSpec {
         Map("a" -> 0.4, "b" -> 0.4))
     }
   }
+
+  test("msprtStream: one readout per look; parity drive bit-matches " +
+      "batch sequentialMSPRT; p never increases; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val dayMs = 86400000L
+    // 4 daily looks, two arms ("1" treatment via user parity), a real
+    // effect so lam moves
+    val ev = (0 until 4).flatMap { day =>
+      (1 to 40).map { i =>
+        val arm = if (i % 2 == 0) "1" else "0"
+        Event((day * 100 + i).toLong, ts(day * dayMs + i * 1000L),
+          i.toLong, arm,
+          rnd.nextInt(50) / 10.0 + (if (arm == "1") 1.0 else 0.0))
+      }
+    }
+    val got = Streams.msprtStreamParity(spark, ev.toDS(), "1",
+      tau2 = 0.5, alpha = 0.05, unitScale = 10L)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((4L, 4L, 4L)))
+    // the drive leaves the sink in place: assert always-valid
+    // semantics on the streamed rows directly
+    val streamed = spark.table("graft_msprt_stream_out")
+      .select("look", "n_t", "n_c", "p_always")
+      .as[(Long, Long, Long, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(streamed.map(_._2).toSeq === Seq(20L, 40L, 60L, 80L))
+    val ps = streamed.flatMap(_._4)
+    assert(ps.length === 4)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+    intercept[IllegalArgumentException] {
+      Streams.msprtStream(ev.toDS(), "1", tau2 = 0.0)
+    }
+  }
 }
