@@ -2584,6 +2584,43 @@ $fieldRows"""
         "value", tau2 = 1.0, alpha = 0.05, unitScale = 100L)
     }),
 
+    // Ratio-of-sums metric (purchase value per view) with the
+    // delta-method SE — the CTR-class readout where both numerator
+    // and denominator are random per user.
+    "q_ratio_metric" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("num"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("den"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.ratioMetricDelta(per, "arm", "1",
+        "num", "den", unitScale = 1L)
+    }),
+
+    // Event-study over weekly periods normalized to the first week:
+    // pre-period att ~ 0 is the parallel-trends diagnostic q_did
+    // assumes; per-period gaps from one (period, arm) aggregate.
+    "q_event_study" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("treated", pmod(col("user_id"), lit(2L)) === 1L)
+        .withColumn("week", expr("ts div 604800000000000"))
+      graft.operators.Profiling.eventStudy(ev, "treated", "week",
+        "value", basePeriod = 2817L, unitScale = 100L)
+    }),
+
+    // Post-stratified order value re-weighted to a designed uniform
+    // priority mix: exact per-stratum moments, pinned stratum-order
+    // fold, fail-loud coverage contract.
+    "q_poststrat" -> ((s, dir) => {
+      graft.operators.Profiling.postStratifiedMean(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+        Map("1-URGENT" -> 0.2, "2-HIGH" -> 0.2, "3-MEDIUM" -> 0.2,
+          "4-NOT SPECIFIED" -> 0.2, "5-LOW" -> 0.2), unitScale = 100L)
+    }),
+
     // Yuen trimmed-mean t on the arm split: per-arm chunked ranks,
     // exact 20% tail boundaries, winsorized variances — the robust
     // readout heavy-tailed per-event values actually need.
@@ -9076,6 +9113,169 @@ $fieldRows"""
         |    round(1.0 - ((ssadj - sadj * sadj / nd) / (nd - 1.0))
         |      / vraw, 6) + 0 END AS var_reduction
         |FROM e""".stripMargin,
+    // Ratio metric: per-user ratio-of-sums cells, delta-method SE.
+    "q_ratio_metric" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS num,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS den
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT (user_id % 2 = 1) AS t,
+        |    CAST(round(num * 1) AS BIGINT) AS ux,
+        |    CAST(round(den * 1) AS BIGINT) AS uy FROM per),
+        |p AS (SELECT t, count(*) AS n,
+        |    sum(CAST(ux AS HUGEINT)) AS sx,
+        |    sum(CAST(uy AS HUGEINT)) AS sy,
+        |    sum(CAST(ux AS HUGEINT) * ux) AS sxx,
+        |    sum(CAST(ux AS HUGEINT) * uy) AS sxy,
+        |    sum(CAST(uy AS HUGEINT) * uy) AS syy FROM b GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN t THEN n END) AS n_t,
+        |    max(CASE WHEN t THEN sx END) AS sx_t,
+        |    max(CASE WHEN t THEN sy END) AS sy_t,
+        |    max(CASE WHEN t THEN sxx END) AS sxx_t,
+        |    max(CASE WHEN t THEN sxy END) AS sxy_t,
+        |    max(CASE WHEN t THEN syy END) AS syy_t,
+        |    max(CASE WHEN NOT t THEN n END) AS n_c,
+        |    max(CASE WHEN NOT t THEN sx END) AS sx_c,
+        |    max(CASE WHEN NOT t THEN sy END) AS sy_c,
+        |    max(CASE WHEN NOT t THEN sxx END) AS sxx_c,
+        |    max(CASE WHEN NOT t THEN sxy END) AS sxy_c,
+        |    max(CASE WHEN NOT t THEN syy END) AS syy_c
+        |  FROM p),
+        |e AS (SELECT *,
+        |    CAST(n_t AS DOUBLE) AS nd_t, CAST(n_c AS DOUBLE) AS nd_c,
+        |    CAST(sx_t AS DOUBLE) / CAST(sy_t AS DOUBLE) AS r_t,
+        |    CAST(sx_c AS DOUBLE) / CAST(sy_c AS DOUBLE) AS r_c,
+        |    CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS yb_t,
+        |    CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS yb_c
+        |  FROM w),
+        |f AS (SELECT *,
+        |    ((CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE)
+        |        * CAST(sx_t AS DOUBLE) / nd_t) / (nd_t - 1.0)
+        |      - 2.0 * r_t * ((CAST(sxy_t AS DOUBLE)
+        |        - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / nd_t)
+        |        / (nd_t - 1.0))
+        |      + r_t * r_t * ((CAST(syy_t AS DOUBLE)
+        |        - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / nd_t)
+        |        / (nd_t - 1.0)))
+        |      / (nd_t * yb_t * yb_t) AS vr_t,
+        |    ((CAST(sxx_c AS DOUBLE) - CAST(sx_c AS DOUBLE)
+        |        * CAST(sx_c AS DOUBLE) / nd_c) / (nd_c - 1.0)
+        |      - 2.0 * r_c * ((CAST(sxy_c AS DOUBLE)
+        |        - CAST(sx_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / nd_c)
+        |        / (nd_c - 1.0))
+        |      + r_c * r_c * ((CAST(syy_c AS DOUBLE)
+        |        - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / nd_c)
+        |        / (nd_c - 1.0)))
+        |      / (nd_c * yb_c * yb_c) AS vr_c
+        |  FROM e),
+        |g2 AS (SELECT *, sqrt(vr_t + vr_c) AS se FROM f)
+        |SELECT COALESCE(n_t, 0) AS n_t, COALESCE(n_c, 0) AS n_c,
+        |  CASE WHEN n_t IS NOT NULL AND sy_t <> 0
+        |    THEN round(r_t, 6) + 0 END AS ratio_t,
+        |  CASE WHEN n_c IS NOT NULL AND sy_c <> 0
+        |    THEN round(r_c, 6) + 0 END AS ratio_c,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND sy_t <> 0 AND sy_c <> 0
+        |    THEN round(r_t - r_c, 6) + 0 END AS diff,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND sy_t <> 0 AND sy_c <> 0
+        |      AND se > 0
+        |    THEN round(se, 6) END AS se,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND sy_t <> 0 AND sy_c <> 0
+        |      AND se > 0
+        |    THEN round((r_t - r_c) / se, 4) + 0 END AS z
+        |FROM g2""".stripMargin,
+    // Event study: one (week, arm) moment aggregate, base-week
+    // normalization, the diffInDiff cell chains per period.
+    "q_event_study" ->
+      """WITH b AS (SELECT (user_id % 2 = 1) AS tr,
+        |    CAST(epoch_ns(ts) // 604800000000000 AS BIGINT) AS period,
+        |    CAST(round(value * 100) AS BIGINT) AS u
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT period, tr, count(*) AS n,
+        |    sum(CAST(u AS HUGEINT)) AS s1,
+        |    sum(CAST(u AS HUGEINT) * u) AS s2 FROM b GROUP BY 1, 2),
+        |pp AS (SELECT period,
+        |    max(CASE WHEN tr THEN n END) AS n_t,
+        |    max(CASE WHEN tr THEN s1 END) AS s1_t,
+        |    max(CASE WHEN tr THEN s2 END) AS s2_t,
+        |    max(CASE WHEN NOT tr THEN n END) AS n_c,
+        |    max(CASE WHEN NOT tr THEN s1 END) AS s1_c,
+        |    max(CASE WHEN NOT tr THEN s2 END) AS s2_c
+        |  FROM c GROUP BY 1),
+        |br AS (SELECT n_t AS bn_t, s1_t AS bs1_t, s2_t AS bs2_t,
+        |    n_c AS bn_c, s1_c AS bs1_c, s2_c AS bs2_c
+        |  FROM pp WHERE period = 2817),
+        |e AS (SELECT pp.*, br.*,
+        |    CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS gap,
+        |    CAST(bs1_t AS DOUBLE) / CAST(bn_t AS DOUBLE)
+        |      - CAST(bs1_c AS DOUBLE) / CAST(bn_c AS DOUBLE) AS bgap
+        |  FROM pp, br),
+        |f AS (SELECT *,
+        |    (CAST(s2_t AS DOUBLE) - CAST(s1_t AS DOUBLE)
+        |      * CAST(s1_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |      / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE)
+        |    + (CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE)
+        |      * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE)
+        |    + (CAST(bs2_t AS DOUBLE) - CAST(bs1_t AS DOUBLE)
+        |      * CAST(bs1_t AS DOUBLE) / CAST(bn_t AS DOUBLE))
+        |      / (CAST(bn_t AS DOUBLE) - 1.0) / CAST(bn_t AS DOUBLE)
+        |    + (CAST(bs2_c AS DOUBLE) - CAST(bs1_c AS DOUBLE)
+        |      * CAST(bs1_c AS DOUBLE) / CAST(bn_c AS DOUBLE))
+        |      / (CAST(bn_c AS DOUBLE) - 1.0) / CAST(bn_c AS DOUBLE)
+        |      AS se2
+        |  FROM e)
+        |SELECT period, COALESCE(n_t, 0) AS n_t,
+        |  COALESCE(n_c, 0) AS n_c,
+        |  CASE WHEN n_t IS NOT NULL AND n_c IS NOT NULL
+        |    THEN round(gap / 100.0, 6) + 0 END AS gap,
+        |  CASE WHEN n_t IS NOT NULL AND n_c IS NOT NULL
+        |      AND bn_t IS NOT NULL AND bn_c IS NOT NULL
+        |    THEN round((gap - bgap) / 100.0, 6) + 0 END AS att,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND bn_t >= 2 AND bn_c >= 2
+        |    THEN round(sqrt(se2) / 100.0, 6) END AS se
+        |FROM f""".stripMargin,
+    // Post-stratified mean: exact stratum moments, rational designed
+    // weights, pinned stratum-order fold.
+    "q_poststrat" ->
+      """WITH obs AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+        |    count(*) AS n,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS s1,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS HUGEINT) * CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS s2
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL GROUP BY 1),
+        |d(g, num) AS (VALUES ('1-URGENT', 200000), ('2-HIGH', 200000),
+        |    ('3-MEDIUM', 200000), ('4-NOT SPECIFIED', 200000),
+        |    ('5-LOW', 200000)),
+        |j AS (SELECT d.g AS g, d.num AS num, obs.n AS n,
+        |    obs.s1 AS s1, obs.s2 AS s2
+        |  FROM d JOIN obs ON d.g = obs.g),
+        |f AS (SELECT g, n,
+        |    sum((CAST(num AS DOUBLE) / 1000000.0)
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) OVER c AS est,
+        |    sum((CAST(num AS DOUBLE) / 1000000.0)
+        |      * (CAST(num AS DOUBLE) / 1000000.0)
+        |      * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CASE WHEN n > 1
+        |            THEN CAST(n AS DOUBLE) - 1.0 END))
+        |      / CAST(n AS DOUBLE)) OVER c AS var,
+        |    CAST(sum(n) OVER t AS BIGINT) AS nall,
+        |    count(*) OVER t AS k,
+        |    min(n) OVER t AS minn,
+        |    row_number() OVER (ORDER BY g) AS rn
+        |  FROM j WINDOW c AS (ORDER BY g ROWS UNBOUNDED PRECEDING),
+        |    t AS (ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING))
+        |SELECT nall AS n, k, round(est / 100.0, 6) + 0 AS est,
+        |  CASE WHEN minn >= 2 THEN round(sqrt(var) / 100.0, 6) END
+        |    AS se
+        |FROM f WHERE rn = k""".stripMargin,
     // Yuen: per-arm ranks, exact trim boundaries at ranks g+1/n-g,
     // winsorized HUGEINT moments, the Yuen t/df chains.
     "q_yuen" ->

@@ -2851,6 +2851,251 @@ object Profiling {
   }
 
   /**
+   * Ratio-metric A/B readout with the delta-method SE (the standard
+   * large-scale treatment of CTR/conversion-per-exposure metrics —
+   * Deng, Knoblich & Lu 2018): the metric is a RATIO OF SUMS
+   * R = Σx/Σy over randomization units (never the mean of per-unit
+   * ratios, which weights a 1-impression user like a 10⁶-impression
+   * one), and because both sums are random the SE needs the delta
+   * method: var(R) ≈ (s²_x − 2R·s_xy + R²·s²_y) / (n·ȳ²) per arm,
+   * z = (R_T − R_C)/√(v_T + v_C). Statistic-only (the [[welchTTest]]
+   * convention).
+   *
+   * EXACTNESS: numerator and denominator quantize at `unitScale`
+   * (cancels in R and z); per-arm n/Σx/Σy/Σxx/Σxy/Σyy are exact
+   * DECIMAL(38,0) from ONE keyed aggregate; R, the sample
+   * (co)variances (n−1), and the delta chain are fixed IEEE ops;
+   * ratios/diff round 6dp through [[graft.core.Num.roundz]], z 4dp.
+   * A zero denominator sum, a missing arm, or n < 2 reports NULL
+   * (stated). Units with y = 0 are DATA, not errors — they stay in
+   * (they carry x = 0 in any sane metric; the ratio contract is the
+   * caller's).
+   *
+   * Scale shape: one map-side-combined arm aggregate; nothing else
+   * moves. Output one row: (`n_t`, `n_c`, `ratio_t`, `ratio_c`,
+   * `diff`, `se`, `z`).
+   */
+  def ratioMetricDelta(df: DataFrame, groupCol: String, treatment: String,
+                       numCol: String, denCol: String,
+                       unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(numCol).isNotNull &&
+        col(denCol).isNotNull)
+      .select((col(groupCol).cast("string") === treatment).as("t"),
+        round(col(numCol) * unitScale).cast("long").as("ux"),
+        round(col(denCol) * unitScale).cast("long").as("uy"))
+    val perArm = base.groupBy("t").agg(count(lit(1)).as("n"),
+      sum(col("ux").cast(dec)).as("sx"),
+      sum(col("uy").cast(dec)).as("sy"),
+      sum(col("ux").cast(dec) * col("ux")).as("sxx"),
+      sum(col("ux").cast(dec) * col("uy")).as("sxy"),
+      sum(col("uy").cast(dec) * col("uy")).as("syy"))
+    def cell(tv: Boolean, c: String) =
+      max(when(col("t") === tv, col(c)))
+        .as(s"${c}_${if (tv) "t" else "c"}")
+    val wide = perArm.agg(
+      cell(true, "n"), cell(true, "sx"), cell(true, "sy"),
+      cell(true, "sxx"), cell(true, "sxy"), cell(true, "syy"),
+      cell(false, "n"), cell(false, "sx"), cell(false, "sy"),
+      cell(false, "sxx"), cell(false, "sxy"), cell(false, "syy"))
+    def nD(a: String) = col(s"n_$a").cast("double")
+    def cd(c: String) = col(c).cast("double")
+    def ratio(a: String) = cd(s"sx_$a") /
+      when(cd(s"sy_$a") =!= 0.0, cd(s"sy_$a"))
+    def yBar(a: String) = cd(s"sy_$a") / nD(a)
+    def vx(a: String) = (cd(s"sxx_$a") -
+      cd(s"sx_$a") * cd(s"sx_$a") / nD(a)) / (nD(a) - 1.0)
+    def vy(a: String) = (cd(s"syy_$a") -
+      cd(s"sy_$a") * cd(s"sy_$a") / nD(a)) / (nD(a) - 1.0)
+    def cxy(a: String) = (cd(s"sxy_$a") -
+      cd(s"sx_$a") * cd(s"sy_$a") / nD(a)) / (nD(a) - 1.0)
+    def vR(a: String) = (vx(a) - lit(2.0) * ratio(a) * cxy(a) +
+      ratio(a) * ratio(a) * vy(a)) /
+      (nD(a) * yBar(a) * yBar(a))
+    val se = sqrt(vR("t") + vR("c"))
+    val z = (ratio("t") - ratio("c")) / se
+    val okArm = (a: String) => col(s"n_$a").isNotNull &&
+      col(s"n_$a") >= 2L && cd(s"sy_$a") =!= 0.0
+    val ok = okArm("t") && okArm("c")
+    wide.select(coalesce(col("n_t"), lit(0L)).as("n_t"),
+      coalesce(col("n_c"), lit(0L)).as("n_c"),
+      when(col("n_t").isNotNull && cd("sy_t") =!= 0.0,
+        graft.core.Num.roundz(ratio("t"), 6)).as("ratio_t"),
+      when(col("n_c").isNotNull && cd("sy_c") =!= 0.0,
+        graft.core.Num.roundz(ratio("c"), 6)).as("ratio_c"),
+      when(ok, graft.core.Num.roundz(ratio("t") - ratio("c"), 6))
+        .as("diff"),
+      when(ok && se > 0.0, round(se, 6)).as("se"),
+      when(ok && se > 0.0, graft.core.Num.roundz(z, 4)).as("z"))
+  }
+
+  /**
+   * Event-study readout (the dynamic form of [[diffInDiff]] —
+   * Sun & Abraham 2021 framing, simple two-group version): per
+   * period p, the treated-vs-control gap normalized to a BASE
+   * period, att_p = (ȳ_T,p − ȳ_C,p) − (ȳ_T,b − ȳ_C,b). Pre-period
+   * att ≈ 0 is the PARALLEL-TRENDS DIAGNOSTIC diffInDiff merely
+   * assumes; post-period att traces the effect's dynamics. SE per
+   * period pools the four cell variances (period and base,
+   * independent samples): √(Σ s²_c/n_c) over the four cells.
+   *
+   * EXACTNESS: values quantize at `unitScale`; ONE (period, treated)
+   * exact-moment aggregate; the base row broadcasts back over the
+   * PERIOD frame; means/variances/att are fixed IEEE chains
+   * ([[diffInDiff]]'s verbatim, per period); `att` flows through
+   * [[graft.core.Num.roundz]] 6dp (the base period lands on exact
+   * 0 BY CONSTRUCTION — stated, a parity canary). Periods missing a
+   * group report NULL att; SE needs n ≥ 2 in all four cells.
+   *
+   * Scale shape: one map-side-combined keyed aggregate to the
+   * (period × 2) frame + one broadcast of the base row. Output one
+   * row per period, ascending: (`period`, `n_t`, `n_c`, `gap`,
+   * `att`, `se`).
+   */
+  def eventStudy(df: DataFrame, treatedCol: String, periodCol: String,
+                 valueCol: String, basePeriod: Long,
+                 unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(treatedCol).isNotNull && col(periodCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(treatedCol).cast("boolean").as("tr"),
+        col(periodCol).cast("long").as("period"),
+        round(col(valueCol) * unitScale).cast("long").as("u"))
+    val cells = base.groupBy("period", "tr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("u").cast(dec)).as("s1"),
+        sum(col("u").cast(dec) * col("u")).as("s2"))
+    def cell(tv: Boolean, c: String) =
+      max(when(col("tr") === tv, col(c)))
+        .as(s"${c}_${if (tv) "t" else "c"}")
+    val perPeriod = cells.groupBy("period").agg(
+      cell(true, "n"), cell(true, "s1"), cell(true, "s2"),
+      cell(false, "n"), cell(false, "s1"), cell(false, "s2"))
+    val baseRow = perPeriod.filter(col("period") === basePeriod)
+      .select(col("n_t").as("bn_t"), col("s1_t").as("bs1_t"),
+        col("s2_t").as("bs2_t"), col("n_c").as("bn_c"),
+        col("s1_c").as("bs1_c"), col("s2_c").as("bs2_c"))
+    require(baseRow.count() == 1L,
+      s"eventStudy: base period $basePeriod has no rows — the " +
+        "normalization target must exist")
+    def m(n: String, s1: String) =
+      col(s1).cast("double") / col(n).cast("double")
+    def v(n: String, s1: String, s2: String) =
+      (col(s2).cast("double") - col(s1).cast("double") *
+        col(s1).cast("double") / col(n).cast("double")) /
+        (col(n).cast("double") - 1.0)
+    val gap = m("n_t", "s1_t") - m("n_c", "s1_c")
+    val bGap = m("bn_t", "bs1_t") - m("bn_c", "bs1_c")
+    val att = gap - bGap
+    val se = sqrt(
+      v("n_t", "s1_t", "s2_t") / col("n_t").cast("double") +
+        v("n_c", "s1_c", "s2_c") / col("n_c").cast("double") +
+        v("bn_t", "bs1_t", "bs2_t") / col("bn_t").cast("double") +
+        v("bn_c", "bs1_c", "bs2_c") / col("bn_c").cast("double"))
+    val uD = lit(unitScale.toDouble)
+    val haveGap = col("n_t").isNotNull && col("n_c").isNotNull
+    val haveBase = col("bn_t").isNotNull && col("bn_c").isNotNull
+    val haveVar = Seq("n_t", "n_c", "bn_t", "bn_c")
+      .map(c => col(c) >= 2L).reduce(_ && _)
+    perPeriod.crossJoin(broadcast(baseRow)).select(col("period"),
+      coalesce(col("n_t"), lit(0L)).as("n_t"),
+      coalesce(col("n_c"), lit(0L)).as("n_c"),
+      when(haveGap, graft.core.Num.roundz(gap / uD, 6)).as("gap"),
+      when(haveGap && haveBase,
+        graft.core.Num.roundz(att / uD, 6)).as("att"),
+      when(haveGap && haveBase && haveVar, round(se / uD, 6)).as("se"))
+      .orderBy("period")
+  }
+
+  /**
+   * Post-stratified mean (the survey estimator — Holt & Smith 1979;
+   * the bias fix when the COLLECTED mix differs from the POPULATION
+   * mix): est = Σ_s w_s·ȳ_s with w_s the DESIGNED population shares
+   * (carried as exact num/10⁶ rationals, the [[srmCheck]]
+   * convention), SE² = Σ_s w_s²·s²_s/n_s. The training-data use is
+   * direct: a quality metric sampled non-uniformly across domains
+   * re-weighted to the corpus mix.
+   *
+   * EXACTNESS: values quantize at `unitScale`; per-stratum moments
+   * are exact from ONE keyed aggregate; the estimate and SE fold in
+   * STRATUM ORDER over the stratum frame (the srmCheck pinned fold);
+   * outputs round 6dp. FAIL LOUD (the srmCheck contract): an
+   * observed stratum outside the design, OR a designed stratum with
+   * NO rows (its ȳ is unestimable — silently renormalizing would
+   * hide exactly the coverage gap post-stratification exists to
+   * correct). A designed stratum with n = 1 contributes its mean
+   * with NULL overall `se` (stated).
+   *
+   * Scale shape: one map-side-combined stratum aggregate + a k-row
+   * pinned fold. Output one row: (`n`, `k`, `est`, `se`).
+   */
+  def postStratifiedMean(df: DataFrame, strataCol: String,
+                         valueCol: String,
+                         popShares: Map[String, Double],
+                         unitScale: Long = 100L): DataFrame = {
+    require(popShares.size >= 1, "need >= 1 designed stratum")
+    require(popShares.values.forall(s => s > 0.0 && s <= 1.0),
+      "every designed share must be in (0,1]")
+    val tot = popShares.values.sum
+    require(math.abs(tot - 1.0) < 1e-9,
+      s"designed shares must sum to 1: $tot")
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val shares = popShares.toSeq.sorted
+      .map { case (g, s) => (g, math.round(s * 1000000L)) }
+      .toDF("__g", "__num")
+    val obs = df
+      .filter(col(strataCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col(valueCol) * unitScale).cast("long").cast(dec))
+          .as("__s1"),
+        sum(round(col(valueCol) * unitScale).cast("long").cast(dec) *
+          round(col(valueCol) * unitScale).cast("long")).as("__s2"))
+    val joined = shares.join(obs, Seq("__g"), "full_outer")
+      .filter(when(col("__num").isNull,
+        raise_error(concat(lit("postStratifiedMean: observed stratum '"),
+          col("__g"), lit("' is not in the designed shares")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .filter(when(col("__n").isNull,
+        raise_error(concat(lit("postStratifiedMean: designed stratum '"),
+          col("__g"), lit("' has NO rows — its mean is unestimable; " +
+            "fix coverage or redesign the shares"))).cast("boolean"))
+        .otherwise(lit(true)))
+    val w = col("__num").cast("double") / lit(1000000.0)
+    val mS = col("__s1").cast("double") / col("__n").cast("double")
+    val vS = (col("__s2").cast("double") - col("__s1").cast("double") *
+      col("__s1").cast("double") / col("__n").cast("double")) /
+      when(col("__n") > 1L, col("__n").cast("double") - 1.0)
+    val ord = Window.orderBy("__g")
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot2 = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val uD = lit(unitScale.toDouble)
+    val folded = joined
+      .withColumn("__est", sum(w * mS).over(cum))
+      .withColumn("__var", sum(w * w * vS /
+        col("__n").cast("double")).over(cum))
+      .withColumn("__nall", sum("__n").over(tot2))
+      .withColumn("__k", count(lit(1)).over(tot2))
+      .withColumn("__minn", min("__n").over(tot2))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") === col("__k"))
+    folded.select(col("__nall").as("n"), col("__k").as("k"),
+      graft.core.Num.roundz(col("__est") / uD, 6).as("est"),
+      when(col("__minn") >= 2L, round(sqrt(col("__var")) / uD, 6))
+        .as("se"))
+  }
+
+  /**
    * Murphy decomposition of the Brier score (Murphy 1973):
    * reliability − resolution + uncertainty over the QUANTIZED
    * forecast levels — the diagnostic [[brierScore]] rolls up

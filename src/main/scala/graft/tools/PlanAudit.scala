@@ -82,7 +82,8 @@ object PlanAudit {
       "q_brier_decomp", "q_cuped", "q_srm", "q_did", "q_bootstrap",
       "q_bootstrap_diff", "q_cuped_ttest", "q_sequential",
       "q_mann_kendall_seasonal", "q_holm", "q_icc_deff", "q_eb_shrink",
-      "q_yuen", "q_mde")
+      "q_yuen", "q_mde", "q_ratio_metric", "q_event_study",
+      "q_poststrat")
 
     val sb = new StringBuilder
     sb ++= "# PLANS — physical-plan audit (generated by graft.tools.PlanAudit)\n\n"

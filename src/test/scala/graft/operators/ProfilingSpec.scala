@@ -783,6 +783,120 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("maxLooks"))
   }
 
+  test("ratioMetricDelta: hand ratio-of-sums; brute delta-method " +
+      "parity; zero-spread arms report NULL z; missing arm NULL") {
+    import spark.implicits._
+    // constant cells: R_t = 2, R_c = 1, all variances 0 -> se = 0,
+    // z NULL (stated), ratios exact
+    val const = ((1 to 40).map(_ => ("t", 2.0, 1.0)) ++
+      (1 to 40).map(_ => ("c", 1.0, 1.0))).toDF("arm", "x", "y")
+    val gc = Profiling.ratioMetricDelta(const, "arm", "t", "x", "y", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(gc === ((40L, 40L, Some(2.0), Some(1.0), Some(1.0), None,
+      None)))
+    // brute parity on spread data
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 200).map { i =>
+      val arm = if (i % 2 == 0) "t" else "c"
+      (arm, rnd.nextInt(20).toDouble + (if (arm == "t") 5 else 0),
+        1.0 + rnd.nextInt(9))
+    }
+    val got = Profiling.ratioMetricDelta(rows.toDF("arm", "x", "y"),
+      "arm", "t", "x", "y", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    def brute(a: String): (Double, Double) = {
+      val xs = rows.filter(_._1 == a)
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val r = sx / sy
+      val yb = sy / n
+      val vx = (xs.map(v => v._2 * v._2).sum - sx * sx / n) / (n - 1)
+      val vy = (xs.map(v => v._3 * v._3).sum - sy * sy / n) / (n - 1)
+      val cxy = (xs.map(v => v._2 * v._3).sum - sx * sy / n) / (n - 1)
+      (r, (vx - 2.0 * r * cxy + r * r * vy) / (n * yb * yb))
+    }
+    val (rt, vt) = brute("t")
+    val (rc, vc) = brute("c")
+    assert(math.abs(got._3.get - rt) < 1e-5)
+    assert(math.abs(got._4.get - rc) < 1e-5)
+    assert(math.abs(got._6.get - math.sqrt(vt + vc)) < 1e-5)
+    assert(math.abs(got._7.get - (rt - rc) / math.sqrt(vt + vc)) < 1e-3)
+    // missing arm: counts survive, everything else NULL
+    val solo = Profiling.ratioMetricDelta(
+      rows.filter(_._1 == "t").toDF("arm", "x", "y"),
+      "arm", "t", "x", "y", 1L)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(solo._2 === 0L && solo._4.isEmpty && solo._7.isEmpty)
+  }
+
+  test("eventStudy: base period att is exactly zero; hand two-period " +
+      "gaps; missing base fails loud") {
+    import spark.implicits._
+    // period 1 (base): T mean 10, C mean 8 -> gap 2; period 2:
+    // T mean 15, C mean 9 -> gap 6, att = 4
+    val rows = Seq(
+      (true, 1L, 9.0), (true, 1L, 11.0), (false, 1L, 7.0),
+      (false, 1L, 9.0),
+      (true, 2L, 14.0), (true, 2L, 16.0), (false, 2L, 8.0),
+      (false, 2L, 10.0)).toDF("tr", "p", "v")
+    val got = Profiling.eventStudy(rows, "tr", "p", "v",
+      basePeriod = 1L, unitScale = 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 2L, 2L, Some(2.0), Some(0.0),
+      got(0)._6)))
+    assert(got(1)._4 === Some(6.0) && got(1)._5 === Some(4.0))
+    // the base row's att is EXACT zero (same-chain subtraction) and
+    // positive-signed (roundz)
+    assert(got(0)._5.get === 0.0 &&
+      (1.0 / got(0)._5.get) === Double.PositiveInfinity)
+    // SE pools the four cells: each cell var 2, n 2 -> sqrt(4*2/2) = 2
+    assert(math.abs(got(1)._6.get - 2.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Profiling.eventStudy(rows, "tr", "p", "v", basePeriod = 99L)
+    }
+  }
+
+  test("postStratifiedMean: hand re-weighting; coverage failures are " +
+      "loud both ways; singleton stratum NULLs the SE") {
+    import spark.implicits._
+    // strata a (n=4, mean 10) and b (n=2, mean 20): observed mix 2:1
+    // but designed 50/50 -> est = 15, not the raw mean 40/3
+    val rows = (Seq.fill(4)(("a", 10.0)) ++ Seq.fill(2)(("b", 20.0)))
+      .toDF("s", "v")
+    val got = Profiling.postStratifiedMean(rows, "s", "v",
+      Map("a" -> 0.5, "b" -> 0.5), unitScale = 1L)
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    assert(got._1 === 6L && got._2 === 2L && got._3 === 15.0)
+    assert(got._4 === Some(0.0)) // zero within-stratum variance
+    // observed stratum outside the design fails loud
+    intercept[Exception] {
+      Profiling.postStratifiedMean(
+        rows.union(Seq(("ghost", 1.0)).toDF("s", "v")), "s", "v",
+        Map("a" -> 0.5, "b" -> 0.5), unitScale = 1L).collect()
+    }
+    // designed stratum with NO rows fails loud (silently renormalizing
+    // would hide the coverage gap)
+    intercept[Exception] {
+      Profiling.postStratifiedMean(rows, "s", "v",
+        Map("a" -> 0.4, "b" -> 0.4, "missing" -> 0.2),
+        unitScale = 1L).collect()
+    }
+    // singleton stratum: mean contributes, SE is NULL
+    val single = (Seq.fill(4)(("a", 10.0)) :+ ("b", 20.0)).toDF("s", "v")
+    val g2 = Profiling.postStratifiedMean(single, "s", "v",
+      Map("a" -> 0.5, "b" -> 0.5), unitScale = 1L)
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    assert(g2._3 === 15.0 && g2._4.isEmpty)
+    intercept[IllegalArgumentException] { // shares must sum to 1
+      Profiling.postStratifiedMean(rows, "s", "v",
+        Map("a" -> 0.5, "b" -> 0.4), unitScale = 1L)
+    }
+  }
+
   test("yuenTTest: trim = 0 pins it to welchTTest; one whale cannot " +
       "move the trimmed readout; hand trim counts; guards") {
     import spark.implicits._
