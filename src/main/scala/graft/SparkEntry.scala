@@ -2584,6 +2584,34 @@ $fieldRows"""
         "value", tau2 = 1.0, alpha = 0.05, unitScale = 100L)
     }),
 
+    // Paired t on the per-user (view value, purchase value) pair:
+    // within-unit differences cancel between-user variance — one
+    // exact-moment aggregate to one row.
+    "q_paired_t" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("pre"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("outcome"))
+      graft.operators.Profiling.pairedTTest(per, "pre", "outcome",
+        unitScale = 1L)
+    }),
+
+    // Two-proportion z on per-user conversion (any purchase) across
+    // the arm split: pooled-SE z, the dashboard conversion readout.
+    "q_two_prop" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) === 1L).as("converted"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Profiling.twoProportionZ(per, "arm", "1",
+        "converted")
+    }),
+
     // Ratio-of-sums metric (purchase value per view) with the
     // delta-method SE — the CTR-class readout where both numerator
     // and denominator are random per user.
@@ -9113,6 +9141,64 @@ $fieldRows"""
         |    round(1.0 - ((ssadj - sadj * sadj / nd) / (nd - 1.0))
         |      / vraw, 6) + 0 END AS var_reduction
         |FROM e""".stripMargin,
+    // Paired t: per-user exact diff moments, one-row chains.
+    "q_paired_t" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS outc
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT CAST(round(outc * 1) AS BIGINT)
+        |    - CAST(round(pre * 1) AS BIGINT) AS d FROM per),
+        |a AS (SELECT count(*) AS n, sum(CAST(d AS HUGEINT)) AS s1,
+        |    sum(CAST(d AS HUGEINT) * d) AS s2 FROM b),
+        |e AS (SELECT n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS v
+        |  FROM a)
+        |SELECT n,
+        |  CASE WHEN n >= 1 THEN round(m / 1.0, 6) + 0 END AS mean_diff,
+        |  CASE WHEN n >= 2 AND v > 0
+        |    THEN round(m / sqrt(v / CAST(n AS DOUBLE)), 4) + 0 END
+        |    AS t_stat,
+        |  CASE WHEN n >= 2 AND v > 0 THEN n - 1 END AS df
+        |FROM e""".stripMargin,
+    // Two-proportion z: exact arm conversion counts, pooled-SE chain.
+    "q_two_prop" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      = 1 AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT (user_id % 2 = 1) AS t, y FROM per),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x_t,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_c
+        |  FROM b),
+        |e AS (SELECT *,
+        |    CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t,
+        |    CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_c,
+        |    CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE) AS pp
+        |  FROM a),
+        |f AS (SELECT *,
+        |    sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_t AS DOUBLE)
+        |      + 1.0 / CAST(n_c AS DOUBLE))) AS se
+        |  FROM e)
+        |SELECT COALESCE(n_t, 0) AS n_t, COALESCE(n_c, 0) AS n_c,
+        |  CASE WHEN n_t >= 1 THEN round(p_t, 6) END AS p_t,
+        |  CASE WHEN n_c >= 1 THEN round(p_c, 6) END AS p_c,
+        |  CASE WHEN n_t >= 1 AND n_c >= 1
+        |    THEN round(p_t - p_c, 6) + 0 END AS diff,
+        |  CASE WHEN n_t >= 1 AND n_c >= 1 AND pp > 0 AND pp < 1
+        |    THEN round((p_t - p_c) / se, 4) + 0 END AS z
+        |FROM f""".stripMargin,
     // Ratio metric: per-user ratio-of-sums cells, delta-method SE.
     "q_ratio_metric" ->
       """WITH per AS (SELECT user_id,

@@ -3096,6 +3096,96 @@ object Profiling {
   }
 
   /**
+   * Paired t-test (one row per unit carrying BOTH measurements —
+   * pre/post, variant-A/variant-B on the same unit): the within-unit
+   * difference d cancels all between-unit variance, so when pairing
+   * is available this beats [[welchTTest]] by exactly the
+   * unit-variance share — the cheap cousin of [[cupedAdjust]] for
+   * the perfect-covariate case. t = d̄/(s_d/√n), df = n − 1.
+   *
+   * EXACTNESS: both measurements quantize at `unitScale`; each d is
+   * an exact long SINGLE subtraction; n/Σd/Σd² are exact from ONE
+   * aggregate; t/df are fixed IEEE chains. `mean_diff` flows through
+   * [[graft.core.Num.roundz]] 6dp (a null effect lands on zero from
+   * below half the time), t 4dp likewise; n < 2 or zero diff
+   * variance reports NULL t (stated).
+   *
+   * Scale shape: one map-side-combined aggregate to ONE row.
+   * Output one row: (`n`, `mean_diff`, `t_stat`, `df`).
+   */
+  def pairedTTest(df: DataFrame, preCol: String, postCol: String,
+                  unitScale: Long = 100L): DataFrame = {
+    require(unitScale >= 1, "unitScale must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .select((round(col(postCol) * unitScale).cast("long") -
+        round(col(preCol) * unitScale).cast("long")).as("d"))
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(col("d").cast(dec)).as("s1"),
+      sum(col("d").cast(dec) * col("d")).as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val vD = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) /
+      when(nD > 1.0, nD - 1.0)
+    val t = mean / sqrt(vD / nD)
+    val uD = lit(unitScale.toDouble)
+    agg.select(col("n"),
+      when(col("n") >= 1L, graft.core.Num.roundz(mean / uD, 6))
+        .as("mean_diff"),
+      when(col("n") >= 2L && vD > 0.0, graft.core.Num.roundz(t, 4))
+        .as("t_stat"),
+      when(col("n") >= 2L && vD > 0.0, (col("n") - 1L)).as("df"))
+  }
+
+  /**
+   * Two-proportion z-test with the pooled SE (the textbook conversion
+   * A/B readout): z = (p̂_T − p̂_C)/√(p̂(1−p̂)(1/n_T + 1/n_C)) with p̂
+   * the pooled rate — the statistic behind every "did conversion
+   * move" dashboard, run next to [[srmCheck]] (the guardrail) and the
+   * per-arm [[wilsonInterval]]-style CIs. Statistic-only.
+   *
+   * EXACTNESS: arm counts/positives are exact longs from ONE
+   * aggregate; rates and z are fixed IEEE chains; rates round 6dp, z
+   * 4dp through [[graft.core.Num.roundz]]. A missing arm, n < 1, or
+   * a degenerate pooled rate (0 or 1 — zero variance) reports NULL z
+   * (stated).
+   *
+   * Scale shape: one map-side-combined aggregate to ONE row.
+   * Output one row: (`n_t`, `n_c`, `p_t`, `p_c`, `diff`, `z`).
+   */
+  def twoProportionZ(df: DataFrame, groupCol: String, treatment: String,
+                     labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .select((col(groupCol).cast("string") === treatment).as("t"),
+        col(labelCol).cast("boolean").as("y"))
+    val agg = base.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("t") && col("y"), 1L).otherwise(0L)).as("x_t"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(!col("t") && col("y"), 1L).otherwise(0L)).as("x_c"))
+    def r(x: String, n: String) =
+      col(x).cast("double") / col(n).cast("double")
+    val pPool = (col("x_t") + col("x_c")).cast("double") /
+      (col("n_t") + col("n_c")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_t").cast("double") +
+        lit(1.0) / col("n_c").cast("double")))
+    val z = (r("x_t", "n_t") - r("x_c", "n_c")) / se
+    val ok = col("n_t") >= 1L && col("n_c") >= 1L
+    agg.select(coalesce(col("n_t"), lit(0L)).as("n_t"),
+      coalesce(col("n_c"), lit(0L)).as("n_c"),
+      when(col("n_t") >= 1L, round(r("x_t", "n_t"), 6)).as("p_t"),
+      when(col("n_c") >= 1L, round(r("x_c", "n_c"), 6)).as("p_c"),
+      when(ok, graft.core.Num.roundz(
+        r("x_t", "n_t") - r("x_c", "n_c"), 6)).as("diff"),
+      when(ok && pPool > 0.0 && pPool < 1.0,
+        graft.core.Num.roundz(z, 4)).as("z"))
+  }
+
+  /**
    * Murphy decomposition of the Brier score (Murphy 1973):
    * reliability − resolution + uncertainty over the QUANTIZED
    * forecast levels — the diagnostic [[brierScore]] rolls up

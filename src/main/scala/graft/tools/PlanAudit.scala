@@ -83,7 +83,7 @@ object PlanAudit {
       "q_bootstrap_diff", "q_cuped_ttest", "q_sequential",
       "q_mann_kendall_seasonal", "q_holm", "q_icc_deff", "q_eb_shrink",
       "q_yuen", "q_mde", "q_ratio_metric", "q_event_study",
-      "q_poststrat")
+      "q_poststrat", "q_paired_t", "q_two_prop")
 
     val sb = new StringBuilder
     sb ++= "# PLANS — physical-plan audit (generated by graft.tools.PlanAudit)\n\n"

@@ -783,6 +783,41 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage.contains("maxLooks"))
   }
 
+  test("pairedTTest: hand diffs; constant diff NULLs t; " +
+      "twoProportionZ: hand pooled z; degenerate pooled rate NULL") {
+    import spark.implicits._
+    // d = 2, 3, 0, 3 -> mean 2, s_d^2 = 2, t = 2/sqrt(2/4)
+    val pairs = Seq((1.0, 3.0), (2.0, 5.0), (4.0, 4.0), (6.0, 9.0))
+      .toDF("pre", "post")
+    val got = Profiling.pairedTTest(pairs, "pre", "post", unitScale = 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Long])]
+      .collect().head
+    assert(got._1 === 4L && got._2 === Some(2.0))
+    assert(math.abs(got._3.get - 2.0 / math.sqrt(0.5)) < 1e-3)
+    assert(got._4 === Some(3L))
+    // constant diff: zero variance -> NULL t, mean intact
+    val flat = Seq((1.0, 3.0), (5.0, 7.0)).toDF("pre", "post")
+    val g2 = Profiling.pairedTTest(flat, "pre", "post", unitScale = 1L)
+      .as[(Long, Option[Double], Option[Double], Option[Long])]
+      .collect().head
+    assert(g2._2 === Some(2.0) && g2._3.isEmpty)
+    // two-prop: 4/10 vs 2/10 -> pooled 0.3
+    val conv = ((1 to 10).map(i => ("t", i <= 4)) ++
+      (1 to 10).map(i => ("c", i <= 2))).toDF("arm", "y")
+    val gz = Profiling.twoProportionZ(conv, "arm", "t", "y")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val se = math.sqrt(0.3 * 0.7 * (0.1 + 0.1))
+    assert(gz === ((10L, 10L, Some(0.4), Some(0.2), Some(0.2),
+      gz._6)))
+    assert(math.abs(gz._6.get - 0.2 / se) < 1e-3)
+    // all-true labels: pooled rate 1, zero variance -> NULL z
+    val allTrue = Profiling.twoProportionZ(
+      conv.withColumn("y", lit(true)), "arm", "t", "y")
+      .select("z").as[Option[Double]].collect().head
+    assert(allTrue.isEmpty)
+  }
+
   test("ratioMetricDelta: hand ratio-of-sums; brute delta-method " +
       "parity; zero-spread arms report NULL z; missing arm NULL") {
     import spark.implicits._
