@@ -216,9 +216,13 @@ object Bench {
         // (VERDICT r14), pinned here as the series point.
         // r15 pins the definitive close 352.94/98.52 over 309 oracles
         // (3.58; SAME-round anchor — BASELINE.md r15 rows)
+        // r16 pins the scripted close 362.04/95.86 over 324 oracles
+        // (3.78 headline; 3.69 like-for-like on the r15-comparable
+        // surface — BASELINE.md r16 row; tools/close.sh ran the whole
+        // checklist in one pass)
         val history = Seq("r7" -> 6.44, "r8" -> 5.80, "r9" -> 5.71,
           "r10" -> 5.94, "r11" -> 5.60, "r12" -> 4.50, "r13" -> 4.20,
-          "r14" -> 4.23, "r15" -> 3.58)
+          "r14" -> 4.23, "r15" -> 3.58, "r16" -> 3.78)
         v.filter(_ > 0 && sfMatch).map { d =>
           val series = (history.map { case (k, x) => s""""$k":$x""" } :+
             s""""now":${r2(minTotal / d)}""").mkString("{", ",", "}")
