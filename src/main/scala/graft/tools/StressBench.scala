@@ -1703,6 +1703,9 @@ object StressBench {
           .withColumn("y", col("v") * 2.0 +
             pmod(xxhash64(col("id"), lit(9)), lit(100)).cast("double")),
           "arm", "1", "v", "y").queryExecution.toRdd.count())
+      run("yuen", n)(
+        graft.operators.Profiling.yuenTTest(rows, "arm", "1", "v",
+          "id", trim = 0.2).queryExecution.toRdd.count())
       rows.unpersist()
     }
     for (n <- (Seq(12000L, 24000L) ++ (if (xl) Seq(48000L) else Nil))
