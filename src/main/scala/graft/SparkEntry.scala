@@ -8207,7 +8207,8 @@ $fieldRows"""
         |    (nd - ssq / nd) / (kd - 1.0) AS n0
         |  FROM e),
         |i AS (SELECT *,
-        |    (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc
+        |    CASE WHEN abs(msb + (n0 - 1.0) * msw) > 0 THEN
+        |      (msb - msw) / (msb + (n0 - 1.0) * msw) END AS icc
         |  FROM h)
         |SELECT n, k,
         |  CASE WHEN k >= 2 AND nd > kd THEN round(icc, 6) + 0 END
@@ -8216,6 +8217,7 @@ $fieldRows"""
         |  CASE WHEN k >= 2 AND nd > kd
         |    THEN round(1.0 + (nd / kd - 1.0) * icc, 6) + 0 END AS deff,
         |  CASE WHEN k >= 2 AND nd > kd
+        |      AND 1.0 + (nd / kd - 1.0) * icc > 0
         |    THEN round(nd / (1.0 + (nd / kd - 1.0) * icc), 6) END
         |    AS n_eff
         |FROM i""".stripMargin,

@@ -2196,11 +2196,10 @@ object Profiling {
       .withColumn("n", sum("dn").over(wArm))
       .withColumn("s1", sum("ds1").over(wArm))
       .withColumn("s2", sum("ds2").over(wArm))
-    def cell(t: Boolean, c: String) =
-      max(when(col("t") === t, col(c))).as(s"${c}_${if (t) "t" else "c"}")
     val wide = cum.groupBy("look").agg(
-      cell(true, "n"), cell(true, "s1"), cell(true, "s2"),
-      cell(false, "n"), cell(false, "s1"), cell(false, "s2"))
+      armCell("t", true, "n"), armCell("t", true, "s1"),
+      armCell("t", true, "s2"), armCell("t", false, "n"),
+      armCell("t", false, "s1"), armCell("t", false, "s2"))
     // the welchTTest mean/variance chains on the cumulative moments
     def mean(a: String): Column = col(s"s1_$a").cast("double") /
       (col(s"n_$a") * unitScale).cast("double")
@@ -2343,6 +2342,48 @@ object Profiling {
    * `mean_raw`, `mean_cuped`, `var_raw`, `var_cuped`,
    * `var_reduction`).
    */
+  /** The two-arm pivot cell shared by every wide arm aggregate here:
+    * `max(when(flag === tv, c))` aliased `c_t`/`c_c`. One definition
+    * so the five pivots can never drift in suffix convention. */
+  private def armCell(flag: String, tv: Boolean, c: String): Column =
+    max(when(col(flag) === tv, col(c)))
+      .as(s"${c}_${if (tv) "t" else "c"}")
+
+  /** Pooled CUPED θ/x̄ chains over the global moment columns
+    * (`gn`/`gsx`/`gsy`/`gsxx`/`gsxy`) — shared VERBATIM by
+    * [[cupedAdjust]] and [[cupedWelchTTest]] so the two readouts can
+    * never drift. Returns (θ, x̄, θ-denominator). The divisor is
+    * NULL-guarded, not a raw /0: ANSI-mode Spark raises on a zero
+    * divisor once subexpression elimination hoists the division past
+    * its when() guard, and a zero-variance covariate must land on the
+    * documented NULL adjusted columns instead. */
+  private def cupedThetaXbar(): (Column, Column, Column) = {
+    val gnD = col("gn").cast("double")
+    val thetaDen = gnD * col("gsxx").cast("double") -
+      col("gsx").cast("double") * col("gsx").cast("double")
+    val theta = (gnD * col("gsxy").cast("double") -
+      col("gsx").cast("double") * col("gsy").cast("double")) /
+      when(thetaDen > 0.0, thetaDen)
+    (theta, col("gsx").cast("double") / gnD, thetaDen)
+  }
+
+  /** The CUPED adjusted-moment expansions Σŷ and Σŷ² from one
+    * group's exact moments — the other half of the shared chain. */
+  private def cupedAdjMoments(theta: Column, xbar: Column, n: Column,
+                              sx: Column, sy: Column, sxx: Column,
+                              sxy: Column,
+                              syy: Column): (Column, Column) = {
+    val nD = n.cast("double")
+    val sAdj = sy.cast("double") - theta * (sx.cast("double") -
+      nD * xbar)
+    val ssAdj = syy.cast("double") -
+      lit(2.0) * theta * (sxy.cast("double") -
+        xbar * sy.cast("double")) +
+      theta * theta * (sxx.cast("double") -
+        lit(2.0) * xbar * sx.cast("double") + nD * xbar * xbar)
+    (sAdj, ssAdj)
+  }
+
   def cupedAdjust(df: DataFrame, groupCol: String, preCol: String,
                   metricCol: String,
                   unitScale: Long = 100L): DataFrame = {
@@ -2366,28 +2407,15 @@ object Profiling {
         col("sy").as("gsy"), col("sxx").as("gsxx"),
         col("sxy").as("gsxy"))
     val perG = moms(base.groupBy("grp"))
-    val gnD = col("gn").cast("double")
-    val thetaDen = gnD * col("gsxx").cast("double") -
-      col("gsx").cast("double") * col("gsx").cast("double")
-    // NULL divisor (not a raw /0): ANSI-mode Spark raises on a zero
-    // divisor even under a when() guard once subexpression elimination
-    // hoists the division — a zero-variance covariate must land on the
-    // documented NULL adjusted columns instead
-    val theta = (gnD * col("gsxy").cast("double") -
-      col("gsx").cast("double") * col("gsy").cast("double")) /
-      when(thetaDen > 0.0, thetaDen)
-    val xbar = col("gsx").cast("double") / gnD
+    val (theta, xbar, thetaDen) = cupedThetaXbar()
     val nD = col("n").cast("double")
     def cd(c: String) = col(c).cast("double")
     val meanRaw = cd("sy") / nD
     val varRaw = (cd("syy") - cd("sy") * cd("sy") / nD) / (nD - 1.0)
     // adjusted moments from the SAME exact integers:
     // Σŷ = Σy − θ(Σx − n·x̄);  Σŷ² expands through Σyy, Σxy, Σxx
-    val sAdj = cd("sy") - theta * (cd("sx") - nD * xbar)
-    val ssAdj = cd("syy") -
-      lit(2.0) * theta * (cd("sxy") - xbar * cd("sy")) +
-      theta * theta * (cd("sxx") - lit(2.0) * xbar * cd("sx") +
-        nD * xbar * xbar)
+    val (sAdj, ssAdj) = cupedAdjMoments(theta, xbar, col("n"),
+      col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
     val meanAdj = sAdj / nD
     val varAdj = (ssAdj - sAdj * sAdj / nD) / (nD - 1.0)
     val u2 = lit((unitScale * unitScale).toDouble)
@@ -2456,33 +2484,24 @@ object Profiling {
       sum(col("ux").cast(dec) * col("ux")).as("sxx"),
       sum(col("ux").cast(dec) * col("uy")).as("sxy"),
       sum(col("uy").cast(dec) * col("uy")).as("syy"))
-    def cell(t: Boolean, c: String) =
-      max(when(col("t") === t, col(c))).as(s"${c}_${if (t) "t" else "c"}")
     val wide = perArm.agg(
-      cell(true, "n"), cell(true, "sx"), cell(true, "sy"),
-      cell(true, "sxx"), cell(true, "sxy"), cell(true, "syy"),
-      cell(false, "n"), cell(false, "sx"), cell(false, "sy"),
-      cell(false, "sxx"), cell(false, "sxy"), cell(false, "syy"))
-    val gnD = col("gn").cast("double")
-    val thetaDen = gnD * col("gsxx").cast("double") -
-      col("gsx").cast("double") * col("gsx").cast("double")
-    // NULL divisor, not /0 (the cupedAdjust ANSI note)
-    val theta = (gnD * col("gsxy").cast("double") -
-      col("gsx").cast("double") * col("gsy").cast("double")) /
-      when(thetaDen > 0.0, thetaDen)
-    val xbar = col("gsx").cast("double") / gnD
-    // the cupedAdjust adjusted-moment expansions, per arm
-    def cd(c: String) = col(c).cast("double")
+      armCell("t", true, "n"), armCell("t", true, "sx"),
+      armCell("t", true, "sy"), armCell("t", true, "sxx"),
+      armCell("t", true, "sxy"), armCell("t", true, "syy"),
+      armCell("t", false, "n"), armCell("t", false, "sx"),
+      armCell("t", false, "sy"), armCell("t", false, "sxx"),
+      armCell("t", false, "sxy"), armCell("t", false, "syy"))
+    // the shared cupedThetaXbar / cupedAdjMoments chains, per arm
+    val (theta, xbar, thetaDen) = cupedThetaXbar()
     def nD(a: String) = col(s"n_$a").cast("double")
-    def sAdj(a: String) = cd(s"sy_$a") -
-      theta * (cd(s"sx_$a") - nD(a) * xbar)
-    def ssAdj(a: String) = cd(s"syy_$a") -
-      lit(2.0) * theta * (cd(s"sxy_$a") - xbar * cd(s"sy_$a")) +
-      theta * theta * (cd(s"sxx_$a") - lit(2.0) * xbar * cd(s"sx_$a") +
-        nD(a) * xbar * xbar)
-    def meanAdj(a: String) = sAdj(a) / nD(a)
-    def varAdj(a: String) =
-      (ssAdj(a) - sAdj(a) * sAdj(a) / nD(a)) / (nD(a) - 1.0)
+    def adj(a: String) = cupedAdjMoments(theta, xbar, col(s"n_$a"),
+      col(s"sx_$a"), col(s"sy_$a"), col(s"sxx_$a"), col(s"sxy_$a"),
+      col(s"syy_$a"))
+    def meanAdj(a: String) = adj(a)._1 / nD(a)
+    def varAdj(a: String) = {
+      val (sAdj, ssAdj) = adj(a)
+      (ssAdj - sAdj * sAdj / nD(a)) / (nD(a) - 1.0)
+    }
     val se2 = varAdj("t") / nD("t") + varAdj("c") / nD("c")
     val tStat = (meanAdj("t") - meanAdj("c")) / sqrt(se2)
     val dfW = (se2 * se2) /
@@ -2821,12 +2840,10 @@ object Profiling {
     val perArm = base.groupBy("t").agg(count(lit(1)).as("n"),
       sum(col("u").cast(dec)).as("s1"),
       sum(col("u").cast(dec) * col("u")).as("s2"))
-    def cell(tv: Boolean, c: String) =
-      max(when(col("t") === tv, col(c)))
-        .as(s"${c}_${if (tv) "t" else "c"}")
-    val wide = perArm.agg(cell(true, "n"), cell(true, "s1"),
-      cell(true, "s2"), cell(false, "n"), cell(false, "s1"),
-      cell(false, "s2"))
+    val wide = perArm.agg(armCell("t", true, "n"),
+      armCell("t", true, "s1"), armCell("t", true, "s2"),
+      armCell("t", false, "n"), armCell("t", false, "s1"),
+      armCell("t", false, "s2"))
     def nD(a: String) = col(s"n_$a").cast("double")
     def ss(a: String) = col(s"s2_$a").cast("double") -
       col(s"s1_$a").cast("double") * col(s"s1_$a").cast("double") /
@@ -2892,14 +2909,13 @@ object Profiling {
       sum(col("ux").cast(dec) * col("ux")).as("sxx"),
       sum(col("ux").cast(dec) * col("uy")).as("sxy"),
       sum(col("uy").cast(dec) * col("uy")).as("syy"))
-    def cell(tv: Boolean, c: String) =
-      max(when(col("t") === tv, col(c)))
-        .as(s"${c}_${if (tv) "t" else "c"}")
     val wide = perArm.agg(
-      cell(true, "n"), cell(true, "sx"), cell(true, "sy"),
-      cell(true, "sxx"), cell(true, "sxy"), cell(true, "syy"),
-      cell(false, "n"), cell(false, "sx"), cell(false, "sy"),
-      cell(false, "sxx"), cell(false, "sxy"), cell(false, "syy"))
+      armCell("t", true, "n"), armCell("t", true, "sx"),
+      armCell("t", true, "sy"), armCell("t", true, "sxx"),
+      armCell("t", true, "sxy"), armCell("t", true, "syy"),
+      armCell("t", false, "n"), armCell("t", false, "sx"),
+      armCell("t", false, "sy"), armCell("t", false, "sxx"),
+      armCell("t", false, "sxy"), armCell("t", false, "syy"))
     def nD(a: String) = col(s"n_$a").cast("double")
     def cd(c: String) = col(c).cast("double")
     def ratio(a: String) = cd(s"sx_$a") /
@@ -2969,12 +2985,10 @@ object Profiling {
       .agg(count(lit(1)).as("n"),
         sum(col("u").cast(dec)).as("s1"),
         sum(col("u").cast(dec) * col("u")).as("s2"))
-    def cell(tv: Boolean, c: String) =
-      max(when(col("tr") === tv, col(c)))
-        .as(s"${c}_${if (tv) "t" else "c"}")
     val perPeriod = cells.groupBy("period").agg(
-      cell(true, "n"), cell(true, "s1"), cell(true, "s2"),
-      cell(false, "n"), cell(false, "s1"), cell(false, "s2"))
+      armCell("tr", true, "n"), armCell("tr", true, "s1"),
+      armCell("tr", true, "s2"), armCell("tr", false, "n"),
+      armCell("tr", false, "s1"), armCell("tr", false, "s2"))
     val baseRow = perPeriod.filter(col("period") === basePeriod)
       .select(col("n_t").as("bn_t"), col("s1_t").as("bs1_t"),
         col("s2_t").as("bs2_t"), col("n_c").as("bn_c"),

@@ -1779,6 +1779,13 @@ object Streams {
     } :+ sum(when(!col("event_type").isin(arms: _*), 1L).otherwise(0L))
       .as("__unknown")
     val agged = df
+      // NULL arm labels are dropped BEFORE the window aggregate (the
+      // srmCheck convention): a NULL label is neither a designed arm
+      // nor an unknown one — `=== a` and `!isin(...)` both evaluate
+      // NULL -> otherwise(0), so without this filter NULL rows would
+      // count into n but into NO O_g, skewing every E_g silently AND
+      // slipping past the unknown-arm raise
+      .filter(col("event_type").isNotNull)
       .groupBy(window(col("ts"), windowDur))
       .agg(count(lit(1)).as("__nall"), aggs: _*)
       .filter(when(col("__unknown") > 0L,

@@ -738,6 +738,18 @@ class StreamsSpec extends SparkSpec {
         (w1 :+ Event(999L, ts(2000L), 1L, "ghost", 0.0)).toDS(),
         design, windowMs = 60000L, batches = 1)
     }
+    // NULL arm labels are dropped BEFORE the aggregate (the srmCheck
+    // convention): they must count into neither n nor any O_g — a
+    // NULL is not an unknown arm, and without the filter it would
+    // skew every E_g silently
+    val withNulls = w1 ++ (1 to 10).map(i =>
+      Event(2000L + i, ts(3000L + i), 1L, null, 0.0))
+    val gotN = Streams.srmStreamParity(spark, withNulls.toDS(), design,
+      windowMs = 60000L, batches = 1).as[(Long, Long, Long)].head()
+    assert(gotN === ((1L, 1L, 1L)))
+    val streamedN = spark.table("graft_srm_stream_out")
+      .select("n", "chi2").as[(Long, Option[Double])].collect().head
+    assert(streamedN === ((100L, Some(16.0)))) // NULLs excluded from n
     // share validation is the srmCheck contract
     intercept[IllegalArgumentException] {
       Streams.srmStream((w1 ++ w2).toDS().toDF().as[Event],

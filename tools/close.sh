@@ -37,7 +37,7 @@ SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
   | tail -2
 
 echo "== [6/6] close commit (one commit, all artifacts) =="
-grep -q "r${ROUND}" BASELINE.md || {
+grep -qE "^\| *r${ROUND} " BASELINE.md || {
   echo "ERROR: BASELINE.md has no r${ROUND} row — write the round row" \
        "and ratio-series entry first (close discipline item 8)"; exit 1; }
 git add BENCH_METRIC.json BASELINE_LOCAL.json BASELINE.md SCALING.md
