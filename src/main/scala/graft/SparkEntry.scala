@@ -1307,8 +1307,11 @@ $fieldRows"""
     "q_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      // cut: pr is consumed twice (the count broadcast + the main
+      // flow) — uncut, the whole 6-round iteration re-executes for
+      // the one-row count subtree
       val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
-        iters = 6)
+        iters = 6).lineageCut()
       pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
         .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),
@@ -1344,8 +1347,9 @@ $fieldRows"""
       val edges = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
+      // cut: pr consumed twice (q_pagerank rationale)
       val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
-        iters = 6, weightCol = Some("w"))
+        iters = 6, weightCol = Some("w")).lineageCut()
       pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
         .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),
@@ -1358,8 +1362,9 @@ $fieldRows"""
     "q_pagerank_dangling" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      // cut: pr consumed twice (q_pagerank rationale)
       val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
-        iters = 6, redistributeDangling = true)
+        iters = 6, redistributeDangling = true).lineageCut()
       pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
         .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),

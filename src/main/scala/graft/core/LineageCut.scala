@@ -95,9 +95,33 @@ object LineageCut {
     } else ds.localCheckpoint(eager = true)
   }
 
+  /**
+   * Eager cut + fan-out for frames that feed per-row-heavy fan-out work
+   * (hash replicas, codecs, rank map sides): after materializing, if
+   * the frame landed on FEWER partitions than the cluster's default
+   * parallelism — the single-split small-file scan case — repartition
+   * it up so the expensive downstream stage uses every core instead of
+   * one. The repartition is exactly a no-op at data scale: any frame
+   * already at or above cluster parallelism (every 100 TB scan) skips
+   * the exchange, so this costs nothing where it cannot help, and the
+   * exchange it does add moves only the small frame that fit in one
+   * split to begin with. Row-order effects are nil for the exact
+   * integer/decimal aggregates the house contract mandates; callers
+   * whose arithmetic is order-sensitive must not use this. Partition
+   * count is read off the CUT frame (a materialized LogicalRDD — no
+   * AQE stage execution is triggered by inspecting it).
+   */
+  def cutFanout[T](ds: Dataset[T], reliable: Boolean = false): Dataset[T] = {
+    val c = cut(ds, reliable)
+    val p = c.sparkSession.sparkContext.defaultParallelism
+    if (c.rdd.getNumPartitions < p) c.repartition(p) else c
+  }
+
   /** Chainable form: `df.transform(...).lineageCut()`. */
   implicit class CutOps[T](private val ds: Dataset[T]) extends AnyVal {
     def lineageCut(reliable: Boolean = false): Dataset[T] =
       cut(ds, reliable)
+    def lineageCutFanout(reliable: Boolean = false): Dataset[T] =
+      cutFanout(ds, reliable)
   }
 }

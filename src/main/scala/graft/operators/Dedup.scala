@@ -1166,7 +1166,17 @@ object Dedup {
       col(textCol).as("__text_a"))
     val b = docs.select(col(idCol).cast("long").as("id_b"),
       col(textCol).as("__text_b"))
+    // hash-distribute the ids-only candidate frame on the first join
+    // key BEFORE texts attach: the banded kernel is O(len·maxDist) per
+    // pair — by far the operator's dominant cost — and when the docs
+    // side broadcasts, the join would otherwise inherit the candidate
+    // generator's partitioning (a single split for small inputs, one
+    // core doing every matrix). The exchange moves 16-byte id pairs
+    // (the same exchange a non-broadcast id_a equi-join needs anyway),
+    // priced orders of magnitude below the kernel it parallelizes.
+    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
     pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .repartition(parts, col("id_a"))
       .join(a, Seq("id_a"))
       .join(b, Seq("id_b"))
       // banded kernel returns -1 past the threshold → NULL via nullif

@@ -198,10 +198,14 @@ object Graph {
         } else next.select(nodes("node"),
           (baseExpr + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
       // truncate lineage every 3 rounds; otherwise the plan for round N
-      // contains all prior rounds (TWO copies per round when the
-      // dangling branch reads `ranks` a second time) and planning cost
-      // compounds
-      if (i % 3 == 0 && i < iters) ranks = cut(ranks)
+      // contains all prior rounds and planning cost compounds. The
+      // dangling branch reads `ranks` TWICE per round (the dm
+      // aggregate's broadcast subtree + the main flow), so there the
+      // uncut plan doesn't just grow — it RE-EXECUTES, doubling per
+      // round (8× between every-3-round cuts; measured 56 jobs for 6
+      // rounds at bench scale, ~30 after): cut every round.
+      if ((redistributeDangling || i % 3 == 0) && i < iters)
+        ranks = cut(ranks)
       i += 1
     }
     ranks.select(col("node"), col("rank").as("pr"))
@@ -393,7 +397,7 @@ object Graph {
     // orient low-(deg, id) → high; canon already has a < b, so the id
     // tiebreak keeps a → b
     val fwd = col("da") < col("db") || (col("da") === col("db"))
-    val oriented = withDeg.select(
+    val oriented0 = withDeg.select(
       when(fwd, col("a")).otherwise(col("b")).as("u"),
       when(fwd, col("b")).otherwise(col("a")).as("v"),
       when(fwd, col("db")).otherwise(col("da")).as("dv"))
@@ -405,6 +409,13 @@ object Graph {
     canon.persist()
     val st = canon.agg(count(lit(1)).as("n"),
       min(col("a")).as("mn"), max(col("b")).as("mx")).head()
+    // the ORIENTED frame is read three times too (wedge stream side o1,
+    // wedge broadcast side o2, closure probe side) — without a cut the
+    // degree joins that build it re-run once per consumer (measured:
+    // three concurrent copies of the same 2-join subtree dominated the
+    // enumeration's wall clock at bench scale; at 100 TB the same
+    // duplication triples the pre-enumeration join work)
+    val oriented = LineageCut.cut(oriented0)
     val nEdges = st.getLong(0)
     val packable = nEdges > 0 && st.getLong(1) >= 0 &&
       st.getLong(2) < (1L << 31)
@@ -552,26 +563,31 @@ object Graph {
     var auths: DataFrame = null
     var i = 1
     while (i <= iters) {
-      val aRaw = nodes.join(
+      // aRaw/hRaw are each read TWICE in their round (the L2-norm
+      // aggregate's broadcast subtree + the normalized division), so
+      // without a cut the round's join+agg re-executes once per
+      // consumer and the duplication COMPOUNDS across rounds (2^k
+      // between cuts — measured 57 jobs for 3 rounds at bench scale,
+      // ~16 after; at 100 TB the same shape doubles every round's
+      // join work). Cutting the raw frames also makes the old
+      // every-2-rounds hubs/auths cut redundant: the normalized
+      // frames are one shallow projection over a cut.
+      val aRaw = cut(nodes.join(
           e.join(hubs, e("src") === hubs("node"))
             .groupBy("dst").agg(sum("h").as("v")),
           nodes("node") === col("dst"), "left")
-        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("ar"))
+        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("ar")))
       val aNorm = aRaw.agg(sqrt(sum(col("ar") * col("ar"))).as("nrm"))
       auths = aRaw.crossJoin(broadcast(aNorm))
         .select(col("node"), (col("ar") / col("nrm")).as("a"))
-      val hRaw = nodes.join(
+      val hRaw = cut(nodes.join(
           e.join(auths, e("dst") === auths("node"))
             .groupBy("src").agg(sum("a").as("v")),
           nodes("node") === col("src"), "left")
-        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("hr"))
+        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("hr")))
       val hNorm = hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("nrm"))
       hubs = hRaw.crossJoin(broadcast(hNorm))
         .select(col("node"), (col("hr") / col("nrm")).as("h"))
-      if (i % 2 == 0 && i < iters) {
-        hubs = cut(hubs)
-        auths = cut(auths)
-      }
       i += 1
     }
     hubs.join(auths.select(col("node").as("__an"), col("a")),

@@ -956,7 +956,10 @@ object Profiling {
       .select(col(idCol).cast("long").as("id"),
         round(col(xCol) * unitScale).cast("long").as("ux"),
         round(col(yCol) * unitScale).cast("long").as("uy"))
-      .lineageCut() // both rank passes + the final joins share it
+      // both rank passes + the final joins share it; fan out so the
+      // rank map sides (range sampling + shuffle write) parallelize
+      // off a single-split scan
+      .lineageCutFanout()
     def levelRanks(vCol: String, out: String): DataFrame =
       Ranking.withGlobalRank(base.select(col("id"), col(vCol)),
           Seq(col(vCol).asc, col("id").asc), "r", "nn")
@@ -1881,7 +1884,10 @@ object Profiling {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
     require(unitScale >= 1, "unitScale must be >= 1")
     val dec = "decimal(38,0)"
-    val base = graft.core.LineageCut.cut(df
+    // cutFanout: the weighted-replica explode multiplies per-row md5
+    // work by reps/4 — a single-split scan must not pin that whole
+    // map-side aggregate to one core (measured 4.3 s one-task stage)
+    val base = graft.core.LineageCut.cutFanout(df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         round(col(valueCol) * unitScale).cast("long").as("u")))
@@ -1975,7 +1981,9 @@ object Profiling {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
     require(unitScale >= 1, "unitScale must be >= 1")
     val dec = "decimal(38,0)"
-    val base = graft.core.LineageCut.cut(df
+    // cutFanout: the poissonBootstrapMeanCI rationale — parallelize the
+    // big exploded aggregate's map side off a single-split scan
+    val base = graft.core.LineageCut.cutFanout(df
       .filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
@@ -2972,8 +2980,10 @@ object Profiling {
    */
   def eventStudy(df: DataFrame, treatedCol: String, periodCol: String,
                  valueCol: String, basePeriod: Long,
-                 unitScale: Long = 100L): DataFrame = {
+                 unitScale: Long = 100L,
+                 maxPeriods: Long = 100000L): DataFrame = {
     require(unitScale >= 1, "unitScale must be >= 1")
+    require(maxPeriods >= 1, "maxPeriods must be >= 1")
     val dec = "decimal(38,0)"
     val base = df
       .filter(col(treatedCol).isNotNull && col(periodCol).isNotNull &&
@@ -2981,21 +2991,48 @@ object Profiling {
       .select(col(treatedCol).cast("boolean").as("tr"),
         col(periodCol).cast("long").as("period"),
         round(col(valueCol) * unitScale).cast("long").as("u"))
-    val cells = base.groupBy("period", "tr")
+    // cut the cell frame: the base-row derivation (a broadcast
+    // subtree) and the main per-period flow both consume it — uncut,
+    // the input is scanned once per consumer, and the old eager
+    // `require(baseRow.count() == 1)` existence check added a THIRD
+    // full scan before the real plan ran. One scan total now.
+    val cells = graft.core.LineageCut.cut(base.groupBy("period", "tr")
       .agg(count(lit(1)).as("n"),
         sum(col("u").cast(dec)).as("s1"),
-        sum(col("u").cast(dec) * col("u")).as("s2"))
+        sum(col("u").cast(dec) * col("u")).as("s2")))
+    // level-frame gate (the maxLevels convention): a raw-timestamp
+    // periodCol would make the period frame row-sized — refuse loudly.
+    // The cut is already materialized, so this count reads cached
+    // cells, not the input.
+    val nCells = cells.count()
+    require(nCells <= 2L * maxPeriods,
+      s"eventStudy: $nCells (period, arm) cells exceed maxPeriods = " +
+        s"$maxPeriods — periodCol looks row-grained (a raw timestamp?); " +
+        "bucket it to design periods upstream or raise the gate")
     val perPeriod = cells.groupBy("period").agg(
       armCell("tr", true, "n"), armCell("tr", true, "s1"),
       armCell("tr", true, "s2"), armCell("tr", false, "n"),
       armCell("tr", false, "s1"), armCell("tr", false, "s2"))
-    val baseRow = perPeriod.filter(col("period") === basePeriod)
-      .select(col("n_t").as("bn_t"), col("s1_t").as("bs1_t"),
-        col("s2_t").as("bs2_t"), col("n_c").as("bn_c"),
-        col("s1_c").as("bs1_c"), col("s2_c").as("bs2_c"))
-    require(baseRow.count() == 1L,
-      s"eventStudy: base period $basePeriod has no rows — the " +
-        "normalization target must exist")
+    // base-period existence is checked IN-PLAN (the postStratifiedMean
+    // raise_error convention) instead of the old eager count job: the
+    // one-row aggregate below always exists, carries the base cells
+    // when present, and raises before any readout row can be emitted
+    // when the base period is absent.
+    val baseRow = perPeriod.agg(
+      sum(when(col("period") === basePeriod, 1L).otherwise(0L))
+        .as("__b"),
+      min(when(col("period") === basePeriod, col("n_t"))).as("bn_t"),
+      min(when(col("period") === basePeriod, col("s1_t"))).as("bs1_t"),
+      min(when(col("period") === basePeriod, col("s2_t"))).as("bs2_t"),
+      min(when(col("period") === basePeriod, col("n_c"))).as("bn_c"),
+      min(when(col("period") === basePeriod, col("s1_c"))).as("bs1_c"),
+      min(when(col("period") === basePeriod, col("s2_c"))).as("bs2_c"))
+      .filter(when(col("__b") < 1L,
+        raise_error(lit(s"eventStudy: base period $basePeriod has no " +
+          "rows — the normalization target must exist"))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__b")
     def m(n: String, s1: String) =
       col(s1).cast("double") / col(n).cast("double")
     def v(n: String, s1: String, s2: String) =
@@ -4820,8 +4857,12 @@ object Profiling {
         round(col(valueCol) * unitScale).cast("long").as("u"),
         (col(groupCol).cast("string") === lit(groupA)).as("ga"))
       // moments, the replica fan-out, and the final readout all consume
-      // this frame — cut once so they share one materialization
-      .lineageCut()
+      // this frame — cut once so they share one materialization, and
+      // fan out: the replica explode multiplies per-row md5 work by
+      // `reps`, so a single-split scan must not pin the whole rank map
+      // side (sampling pass + shuffle write) to one core (measured:
+      // 9.1 s + 2.4 s one-task stages at bench scale)
+      .lineageCutFanout()
     val obs = base.agg(
       sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),

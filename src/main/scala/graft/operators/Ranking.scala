@@ -42,6 +42,14 @@ object Ranking {
 
   private val MidBits = 33 // monotonically_increasing_id record-index bits
 
+  /** Session-derived chunk count for the range shuffles (chunks = 0):
+    * max(shuffle partitions, default parallelism). */
+  private def sessionChunks(df: DataFrame): Int = {
+    val s = df.sparkSession
+    math.max(s.sessionState.conf.numShufflePartitions,
+      s.sparkContext.defaultParallelism)
+  }
+
   /** Auto-stitch ceiling for [[withGroupedRank]]: summaries at or
     * below this many rows broadcast (≈ tens of MB at ~100 B/row);
     * larger ones stitch via a shuffle join — no driver
@@ -53,10 +61,21 @@ object Ranking {
    * (total row count) to `df`. Both are LongType. `order` must totally
    * order the rows; column names starting with `__` are reserved.
    */
+  /** chunks = 0 (the default) derives the chunk count from the
+    * session: max(shuffle partitions, default parallelism) — the scale
+    * knob the deployment already sizes, so the range shuffle's task
+    * count follows the cluster instead of a fixed 256 tuned for
+    * neither local mode nor production (at bench scale the 256-task
+    * sorts were 8× the core count in pure scheduling overhead; at
+    * 100 TB a properly-sized spark.sql.shuffle.partitions is far above
+    * 256 and the fixed constant under-parallelized the sort). Rank
+    * output is EXACT for any chunk count — the stitch is exact
+    * integer arithmetic — so this is a plan-shape knob only. */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
-                     nCol: String, chunks: Int = 256): DataFrame = {
+                     nCol: String, chunks: Int = 0): DataFrame = {
     require(order.nonEmpty, "order must name at least one sort column")
-    require(chunks >= 1, "chunks must be >= 1")
+    require(chunks >= 0, "chunks must be >= 0 (0 = derive from session)")
+    val chunksN = if (chunks == 0) sessionChunks(df) else chunks
     val reserved = df.columns.filter(_.startsWith("__"))
     require(reserved.isEmpty,
       s"column names starting with __ are reserved here: ${reserved.toSet}")
@@ -65,7 +84,7 @@ object Ranking {
     require(!rankCol.startsWith("__") && !nCol.startsWith("__"),
       s"output column names $rankCol/$nCol must not use the reserved " +
         "__ prefix (they would collide with the helper's scratch columns)")
-    val parted = df.repartitionByRange(chunks, order: _*)
+    val parted = df.repartitionByRange(chunksN, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .lineageCut() // offsets job + consumer must see identical ids
@@ -148,10 +167,11 @@ object Ranking {
    */
   def withGroupedRank(df: DataFrame, grpCol: String, order: Seq[Column],
                       rankCol: String, nCol: String,
-                      chunks: Int = 256,
+                      chunks: Int = 0,
                       broadcastOffsets: Option[Boolean] = None): DataFrame = {
     require(order.nonEmpty, "order must name at least one sort column")
-    require(chunks >= 1, "chunks must be >= 1")
+    require(chunks >= 0, "chunks must be >= 0 (0 = derive from session)")
+    val chunksN = if (chunks == 0) sessionChunks(df) else chunks
     require(df.columns.contains(grpCol), s"no column $grpCol in the frame")
     val reserved = df.columns.filter(_.startsWith("__"))
     require(reserved.isEmpty,
@@ -162,7 +182,7 @@ object Ranking {
       s"output column names $rankCol/$nCol must not use the reserved " +
         "__ prefix (they would collide with the helper's scratch columns)")
     val keys = col(grpCol) +: order
-    val parted = df.repartitionByRange(chunks, keys: _*)
+    val parted = df.repartitionByRange(chunksN, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .lineageCut() // offsets job + consumer must see identical ids
@@ -326,7 +346,7 @@ object Ranking {
    * replacement for `ntile(k).over(Window.orderBy(order…))`.
    */
   def withNtile(df: DataFrame, order: Seq[Column], scoreCol: String,
-                k: Int, chunks: Int = 256): DataFrame = {
+                k: Int, chunks: Int = 0): DataFrame = {
     // scratch names stay OUT of the reserved __ space (that's the
     // helper's own) and dodge caller columns by suffixing
     def fresh(base: String): String = Iterator.from(0)

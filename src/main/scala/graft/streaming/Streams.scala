@@ -1600,6 +1600,13 @@ object Streams {
                               loMax: Option[Double],
                               hiMin: Option[Double])
 
+  /** Map-side per-batch moment cell for [[msprtStream]]: one row per
+    * input partition per micro-batch (both arms' exact n/Σu/Σu²) —
+    * the shuffle to the single state task carries ≤ #partitions cells
+    * instead of every event row. */
+  final case class MsprtCell(nT: Long, s1T: Long, s2T: Long,
+                             nC: Long, s1C: Long, s2C: Long)
+
   final case class MsprtPoint(look: Long, n_t: Long, n_c: Long,
                               diff: Option[Double],
                               p_always: Option[Double],
@@ -1646,23 +1653,53 @@ object Streams {
       java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
     val u2 = (unitScale * unitScale).toDouble
-    events.groupByKey(_ => true)
+    // MAP-SIDE PER-BATCH PRE-AGGREGATE: the monitor's own contract —
+    // within a batch the moment updates are exact integer sums, so no
+    // per-key ordering is needed — licenses reducing each input
+    // partition to ONE (n, Σu, Σu²)-per-arm cell BEFORE the
+    // single-key state shuffle. Integer-sum associativity makes the
+    // fold's arithmetic and every emitted value bit-identical to the
+    // row-grained form ([[msprtStreamParity]] still pins batch
+    // parity); what changes is the state task's input: ≤ #partitions
+    // cells per micro-batch instead of every event row — the
+    // single-task bottleneck at 100× stream volume is gone. Empty
+    // partitions emit NO cell, so a batch's look count is unchanged
+    // (a look fires iff the batch carried data, as before). All sums
+    // are addExact-guarded (fail-loud symmetry: Σu could only wrap
+    // after ~9.2e18 unit-scale rows, but the house convention is to
+    // trap, not wrap).
+    val cells = events.mapPartitions { it =>
+      var nT = 0L; var s1T = 0L; var s2T = 0L
+      var nC = 0L; var s1C = 0L; var s2C = 0L
+      var any = false
+      it.foreach { e =>
+        any = true
+        val u = quant(e.value)
+        if (e.event_type == treatArm) {
+          nT += 1L; s1T = math.addExact(s1T, u)
+          s2T = math.addExact(s2T, math.multiplyExact(u, u))
+        } else {
+          nC += 1L; s1C = math.addExact(s1C, u)
+          s2C = math.addExact(s2C, math.multiplyExact(u, u))
+        }
+      }
+      if (any) Iterator.single(MsprtCell(nT, s1T, s2T, nC, s1C, s2C))
+      else Iterator.empty
+    }
+    cells.groupByKey(_ => true)
       .flatMapGroupsWithState[MsprtState, MsprtPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Boolean, it: Iterator[Event], state: GroupState[MsprtState]) =>
+        (_: Boolean, it: Iterator[MsprtCell],
+         state: GroupState[MsprtState]) =>
           val st = state.getOption.getOrElse(
             MsprtState(0L, 0L, 0L, 0L, 0L, 0L, 0L, None, None, None))
           var (nT, s1T, s2T) = (st.nT, st.s1T, st.s2T)
           var (nC, s1C, s2C) = (st.nC, st.s1C, st.s2C)
-          it.foreach { e =>
-            val u = quant(e.value)
-            if (e.event_type == treatArm) {
-              nT += 1L; s1T += u; s2T = math.addExact(s2T,
-                math.multiplyExact(u, u))
-            } else {
-              nC += 1L; s1C += u; s2C = math.addExact(s2C,
-                math.multiplyExact(u, u))
-            }
+          it.foreach { c =>
+            nT += c.nT; s1T = math.addExact(s1T, c.s1T)
+            s2T = math.addExact(s2T, c.s2T)
+            nC += c.nC; s1C = math.addExact(s1C, c.s1C)
+            s2C = math.addExact(s2C, c.s2C)
           }
           // the sequentialMSPRT Column chains as JVM IEEE ops, same
           // operation order (the cusumStream parity convention)

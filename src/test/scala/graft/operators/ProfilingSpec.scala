@@ -890,9 +890,20 @@ class ProfilingSpec extends SparkSpec {
       (1.0 / got(0)._5.get) === Double.PositiveInfinity)
     // SE pools the four cells: each cell var 2, n 2 -> sqrt(4*2/2) = 2
     assert(math.abs(got(1)._6.get - 2.0) < 1e-9)
-    intercept[IllegalArgumentException] {
+    // missing base raises IN-PLAN (r17: the postStratifiedMean
+    // raise_error convention replaced the eager count job — the check
+    // now fires at action time, inside the one-scan plan)
+    val missingBase = intercept[Exception] {
       Profiling.eventStudy(rows, "tr", "p", "v", basePeriod = 99L)
+        .collect()
     }
+    assert(missingBase.getMessage.contains("base period 99 has no rows"))
+    // period-frame gate trips loud (maxPeriods = 1 < 2 observed)
+    val gate = intercept[IllegalArgumentException] {
+      Profiling.eventStudy(rows, "tr", "p", "v", basePeriod = 1L,
+        maxPeriods = 1L)
+    }
+    assert(gate.getMessage.contains("maxPeriods"))
   }
 
   test("postStratifiedMean: hand re-weighting; coverage failures are " +
