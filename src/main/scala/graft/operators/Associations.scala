@@ -86,12 +86,16 @@ object Associations {
     // frequent if both items are (left_semi keeps the frame keys-only)
     val frequent = bi.join(
       itemCounts.select(col("item").as("it")), Seq("it"), "left_semi")
-    val pairCounts = frequent.as("x")
+    // cut: the rules union below reads pairCounts TWICE (a→b and b→a
+    // directions) — uncut, the whole quadratic basket self-join + pair
+    // aggregate re-executes per direction (measured ~2× the query's
+    // dominant stage at bench scale; the same doubling at any scale)
+    val pairCounts = graft.core.LineageCut.cut(frequent.as("x")
       .join(frequent.as("y"),
         col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
       .groupBy(col("x.it").as("a"), col("y.it").as("b"))
       .agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minSupport)
+      .filter(col("pair_count") >= minSupport))
     val rules = pairCounts
       .select(col("a").as("antecedent"), col("b").as("consequent"),
         col("pair_count"))

@@ -208,7 +208,12 @@ object LangModel {
     }: _*))
     val keyName = if (hashedKeys) "gramh" else "gram"
     def key(c: Column) = if (hashedKeys) xxhash64(c) else c
-    docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0)
+    // fan out the tokenized frame before the per-position gram
+    // explosion: a single-split corpus scan otherwise pins the whole
+    // 1..k-gram build + count map side to ONE task (cutFanout is a
+    // no-op at data scale — see LineageCut)
+    graft.core.LineageCut.cutFanout(
+      docs.select(toks(col(textCol)).as("t")).where(size(col("t")) > 0))
       .select(explode(allGrams).as("g"))
       .groupBy(key(col("g.gram")).as(keyName), col("g.n").as("n"))
       .agg(count(lit(1)).as("cnt"))
@@ -259,7 +264,12 @@ object LangModel {
       "scoreStupidBackoff: the model has no unigram rows — the training " +
         "corpus was empty or all-whitespace; train on a non-empty slice")
 
-    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+    // fan out before the per-position explode + five joins: a
+    // single-split doc scan otherwise runs that whole pipeline on ONE
+    // task (no-op at data scale; per-doc fold order is unchanged — a
+    // doc's positions still come from its one row in one partition)
+    val base = graft.core.LineageCut.cutFanout(
+      docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t")))
       .withColumn("n", size(col("t")))
     // one struct per token position: the ending k-grams and their
     // backoff prefixes, built map-side from the array
@@ -383,7 +393,9 @@ object LangModel {
       "scoreKneserNey: the model has no unigram rows — the training " +
         "corpus was empty or all-whitespace; train on a non-empty slice")
 
-    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+    // fanned out for the same single-split reason as the backoff scorer
+    val base = graft.core.LineageCut.cutFanout(
+      docs.select(col(idCol).as("__id"), toks(col(textCol)).as("t")))
       .withColumn("n", size(col("t")))
     // per-position frame: same shape as the stupid-backoff scorer
     // (w1/g2/g3/p2/p3), with join keys in the model's representation
