@@ -19,6 +19,18 @@ ROUND=${1:?usage: tools/close.sh <round-number> [sf-dir]}
 SF=${2:-/root/testdata/sf0.1}
 OUT=/tmp/verify_close_r${ROUND}
 
+# Check the manual prerequisite UP FRONT (ADVICE r16): failing on the
+# missing BASELINE.md row only after ~an hour of verify+bench wastes
+# the run. (The row needs this close's numbers, so first closes of a
+# round legitimately run with CLOSE_ALLOW_NO_ROW=1, write the row from
+# the fresh artifacts, and re-run the commit step.)
+if [ -z "${CLOSE_ALLOW_NO_ROW:-}" ]; then
+  grep -qE "^\| *r${ROUND} " BASELINE.md || {
+    echo "ERROR: BASELINE.md has no r${ROUND} row — write it first, or" \
+         "set CLOSE_ALLOW_NO_ROW=1 to defer the check to the commit step"
+    exit 1; }
+fi
+
 echo "== [1/6] full Verify dump at $SF =="
 sbt -batch "runMain graft.Verify $SF $OUT"
 
@@ -40,9 +52,16 @@ echo "== [6/6] close commit (one commit, all artifacts) =="
 grep -qE "^\| *r${ROUND} " BASELINE.md || {
   echo "ERROR: BASELINE.md has no r${ROUND} row — write the round row" \
        "and ratio-series entry first (close discipline item 8)"; exit 1; }
-git add BENCH_METRIC.json BASELINE_LOCAL.json BASELINE.md SCALING.md
-# the driver writes BENCH_r{N}/CORRECTNESS_r{N} after judging previous
-# rounds — stage whichever exist so none stays untracked at judge time
-git add BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json 2>/dev/null || true
-git commit -m "round ${ROUND} close: bench + same-round anchor + artifacts"
+# commit with EXPLICIT pathspecs (ADVICE r16): a bare `git commit`
+# after blanket adds would also sweep in anything previously staged —
+# the 'one commit, all artifacts' guarantee must not smuggle unrelated
+# changes. The driver writes BENCH_r{N}/CORRECTNESS_r{N} after judging
+# previous rounds — include whichever exist so none stays untracked.
+ART=(BENCH_METRIC.json BASELINE_LOCAL.json BASELINE.md SCALING.md)
+for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json; do
+  [ -e "$f" ] && ART+=("$f")
+done
+git add -- "${ART[@]}"
+git commit -m "round ${ROUND} close: bench + same-round anchor + artifacts" \
+  -- "${ART[@]}"
 git log --oneline -1
