@@ -602,15 +602,17 @@ object Graph {
    * extend?), landmark distances for graph features, and the
    * building block of k-hop neighborhood extraction.
    *
-   * Classic frontier expansion as DataFrame rounds: per hop, ONE
-   * equi-join (edge frame × current frontier on the edge's source) plus
-   * one anti-join against the visited set — all frames are (long) node
-   * ids or (long, long) edge pairs, keys only. The frontier shrinks as
-   * the reachable set saturates and the loop exits early on an empty
-   * frontier (`isEmpty` on a keys-only frame — a limit-1 scan, not a
-   * full count). The visited set grows to the reachable-node count; it
-   * is the anti-join's build side and stays keyed by node, so at
-   * cluster scale both sides co-partition. Same `checkpointDir`
+   * Classic frontier expansion as DataFrame rounds over ONE
+   * (node, level) state frame: per hop, one equi-join (edge frame ×
+   * current frontier — the rows at the previous level) and one
+   * node-keyed min-aggregate folding the candidates into the visited
+   * set — all frames are (long[, int]) keys only, and min(level) is
+   * the anti-join (a standing node's level is always smaller, so new
+   * candidates can never change it). The exact "anything newly
+   * reached?" early-exit witness (count of nodes with no standing
+   * entry) rides the hop's own lineage-cut materialization as an
+   * `Observation` — ONE Spark action per hop, no separate `isEmpty`
+   * job (r18; was three actions per hop). Same `checkpointDir`
    * reliability contract as [[pageRank]]: per-round lineage cuts are
    * executor-local by default, reliable `checkpoint()` when a cluster
    * FS dir is configured.
@@ -644,23 +646,40 @@ object Graph {
         dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
       else dir0).distinct())
     import spark.implicits._
-    var frontier = cut(sources.distinct.toDF("node"))
-    var visited = frontier.withColumn("level", lit(0))
+    // SINGLE loop frame (r18): visited carries (node, level) and each
+    // hop folds the new frontier in through ONE min-aggregate — the
+    // old frontier/visited pair cost three actions per hop (cut(next),
+    // next.isEmpty, cut(visited ∪ next)); this shape costs ONE (the
+    // cut, with the exact "anything newly reached?" witness riding it
+    // as an Observation — a node is new iff it has no standing entry,
+    // an integer count valid as the zero/nonzero early-exit signal).
+    // min(level) cannot change a standing node's level (BFS levels only
+    // ever grow hop over hop), so rows are identical to the old shape.
+    var visited = cut(sources.distinct.toDF("node")
+      .select(col("node"), lit(0).as("level")))
     var level = 1
     var done = false
     while (level <= maxHops && !done) {
-      val next = cut(e.join(frontier, e("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti"))
-      if (next.isEmpty) done = true
+      val frontier = visited.filter(col("level") === level - 1)
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(level).as("level"),
+          lit(false).as("__old"))
+      val obs = new org.apache.spark.sql.Observation(s"bfs_hop_$level")
+      val nextFull = cut(visited
+        .select(col("node"), col("level"), lit(true).as("__old"))
+        .unionAll(cand)
+        .groupBy("node")
+        .agg(min("level").as("level"),
+          min(when(col("__old"), col("level"))).as("__ol"))
+        .observe(obs,
+          sum(when(col("__ol").isNull, 1L).otherwise(0L)).as("reached")))
+      if (obs.get("reached").asInstanceOf[Long] == 0) done = true
       else {
-        visited = cut(visited.unionAll(
-          next.withColumn("level", lit(level))))
-        frontier = next
+        visited = nextFull.select(col("node"), col("level"))
         level += 1
       }
     }
-    visited
+    visited.select(col("node"), col("level"))
   }
 
   /**
@@ -678,15 +697,20 @@ object Graph {
    * sum is an exact long, and `harmonic` is ONE IEEE division by 1e6
    * — bit-deterministic, no float accumulation.
    *
-   * Scale shape: ONE multi-seed labeled BFS — frontier and visited
-   * frames carry (node, seed) pairs, so all seeds advance in the SAME
-   * per-hop join + anti-join (maxHops join rounds total, not
-   * seeds×maxHops: at 3 seeds that is 3× fewer jobs than per-seed
-   * loops, measured 8.2 → ~3 s at bench scale) — then one seed-keyed
-   * aggregate. Seeds are curated lists, orders of magnitude below data
-   * scale (personalized PageRank's seed-Seq contract), so the
-   * (node, seed) state is ≤ seeds × reachable nodes, keys only. Same
-   * `checkpointDir` reliability contract as [[pageRank]].
+   * Scale shape: ONE multi-seed labeled BFS over one (seed, node,
+   * level) state frame — all seeds advance in the SAME per-hop join +
+   * (seed, node)-keyed min-aggregate (maxHops join rounds total, not
+   * seeds×maxHops: at 3 seeds that is 3× fewer rounds than per-seed
+   * loops), the exact "anything newly reached?" early-exit witness
+   * rides each hop's lineage-cut materialization as an `Observation`
+   * (ONE Spark action per hop — r18; the old frontier/visited/harmonic
+   * triple cost four), and the harmonic sums fold ONCE at the end over
+   * first-reach levels (integer sums are order-free, so the fold is
+   * bit-identical to the old per-hop accumulation). Seeds are curated
+   * lists, orders of magnitude below data scale (personalized
+   * PageRank's seed-Seq contract), so the state is ≤ seeds × reachable
+   * nodes, keys only. Same `checkpointDir` reliability contract as
+   * [[pageRank]].
    *
    * Returns one row per seed: (`seed`, `n_reached` — nodes at level
    * ≥ 1 within the cap, `harmonic`).
@@ -710,36 +734,53 @@ object Graph {
         dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
       else dir0).distinct())
     import spark.implicits._
-    var frontier = cut(seeds.distinct.toDF("seed")
-      .select(col("seed"), col("seed").as("node")))
-    var harmonic = frontier.groupBy("seed")
-      .agg(lit(0L).as("n_reached"), lit(0L).as("__h"))
-    var visited = frontier
+    // SINGLE loop frame (r18): the labeled BFS carries (seed, node,
+    // level) and each hop folds the frontier expansion in through ONE
+    // min-aggregate — the old frontier/visited/harmonic triple cost
+    // FOUR actions per hop (cut(next), next.isEmpty, cut(harmonic),
+    // cut(visited)); this shape costs ONE (the cut, with the exact
+    // "anything newly reached?" count riding it as an Observation).
+    // The harmonic sums move OUT of the loop entirely: Σ 1e6 div level
+    // over first-reach levels is the identical multiset of exact longs
+    // the per-hop accumulation summed, just folded once at the end
+    // (integer sums are order-free) — bit-equal output.
+    var vis = cut(seeds.distinct.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0).as("level")))
     var level = 1
     var done = false
     while (level <= maxHops && !done) {
-      // column order (seed, node) everywhere: unionAll is POSITIONAL
-      // and the USING anti-join reorders its output to the join keys,
-      // so the order is re-stated explicitly after it
-      val next = cut(e.join(frontier, e("src") === frontier("node"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited, Seq("node", "seed"), "left_anti")
-        .select(col("seed"), col("node")))
-      if (next.isEmpty) done = true
+      val frontier = vis.filter(col("level") === level - 1)
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("seed"), e("dst").as("node"), lit(level).as("level"),
+          lit(false).as("__old"))
+      val obs = new org.apache.spark.sql.Observation(s"harmonic_hop_$level")
+      val nextFull = cut(vis
+        .select(col("seed"), col("node"), col("level"),
+          lit(true).as("__old"))
+        .unionAll(cand)
+        .groupBy("seed", "node")
+        .agg(min("level").as("level"),
+          min(when(col("__old"), col("level"))).as("__ol"))
+        .observe(obs,
+          sum(when(col("__ol").isNull, 1L).otherwise(0L)).as("reached")))
+      if (obs.get("reached").asInstanceOf[Long] == 0) done = true
       else {
-        val term = 1000000L / level // exact: the operator's quantization
-        harmonic = cut(harmonic.unionAll(
-            next.groupBy("seed").agg(count(lit(1)).as("n_reached"),
-              (count(lit(1)) * lit(term)).as("__h")))
-          .groupBy("seed").agg(sum("n_reached").as("n_reached"),
-            sum("__h").as("__h")))
-        visited = cut(visited.unionAll(next))
-        frontier = next
+        vis = nextFull.select(col("seed"), col("node"), col("level"))
         level += 1
       }
     }
-    harmonic.select(col("seed"), col("n_reached"),
-      (col("__h").cast("double") / lit(1e6)).as("harmonic"))
+    // per-seed fold over first-reach levels (seeds' own level-0 rows
+    // are not "reached"); seeds reaching nothing report (0, 0.0)
+    val sums = vis.filter(col("level") >= 1)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div level")).as("__h"))
+    seeds.distinct.toDF("seed")
+      .join(sums, Seq("seed"), "left")
+      .select(col("seed"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        (coalesce(col("__h"), lit(0L)).cast("double") / lit(1e6))
+          .as("harmonic"))
   }
 
   /**
