@@ -1307,11 +1307,15 @@ $fieldRows"""
     "q_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
-      // cut: pr is consumed twice (the count broadcast + the main
-      // flow) — uncut, the whole 6-round iteration re-executes for
-      // the one-row count subtree
+      // NO final cut (r18): pr is consumed twice (count broadcast +
+      // main flow), but AQE stage reuse dedupes the two branches'
+      // identical exchange subtrees, so the count side re-executes only
+      // the post-shuffle tail — measured 34 -> 33 jobs with identical
+      // shuffle bytes when the r17 cut is dropped (QueryProfile A/B;
+      // resolves the VERDICT r17 cut-cadence conflict: the driver's
+      // q_pagerank regression was the cut's own materialization job)
       val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
-        iters = 6).lineageCut()
+        iters = 6)
       pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
         .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),
@@ -1347,9 +1351,10 @@ $fieldRows"""
       val edges = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
-      // cut: pr consumed twice (q_pagerank rationale)
+      // NO final cut (r18): q_pagerank rationale — AQE stage reuse
+      // dedupes the count-broadcast branch (36 -> 35 jobs, same bytes)
       val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
-        iters = 6, weightCol = Some("w")).lineageCut()
+        iters = 6, weightCol = Some("w"))
       pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
         .select(col("node"), round(col("pr") * col("__n"), 6).as("pr_n"))
     }),
@@ -1362,7 +1367,9 @@ $fieldRows"""
     "q_pagerank_dangling" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
-      // cut: pr consumed twice (q_pagerank rationale)
+      // final cut KEPT here (r18 A/B): unlike q_pagerank, dropping it
+      // measured 62 -> 65 jobs — the dangling final round's join tail
+      // is not fully stage-reused across the two consumers
       val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
         iters = 6, redistributeDangling = true).lineageCut()
       pr.crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))

@@ -72,8 +72,12 @@ object Graph {
    *
    * `redistributeDangling`: when true, each round adds the dangling
    * nodes' pooled rank, divided evenly, to every node's contribution —
-   * ranks then sum to 1 (mass-conserving PageRank). Costs one extra
-   * O(nodes) join + scalar aggregate per round.
+   * ranks then sum to 1 (mass-conserving PageRank). The pooled mass
+   * rides the SAME per-round contribution aggregate under a null
+   * sentinel key (a left join fans a dangling rank row into one
+   * null-dst row — r18), so the extra cost per round is one one-row
+   * scalar extract, not an extra pass over the rank frame; the
+   * per-round lineage cut lands on the contribution frame.
    *
    * `teleportTo`: PERSONALIZED PageRank (Haveliwala 2002) — the
    * teleport mass lands uniformly on the given seed set instead of all
@@ -148,14 +152,6 @@ object Graph {
     val contribEdges = cut(e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w0") / col("ow")).as("w")))
 
-    // dangling = nodes with no out-edges; their pooled rank is the
-    // per-round redistribution mass (computed only when requested)
-    val dangling =
-      if (redistributeDangling)
-        cut(nodes.join(e.select(col("src").as("node")).distinct(),
-          Seq("node"), "left_anti"))
-      else null
-
     seeds.foreach { s =>
       val present = nodes.filter(col("node").isin(s: _*)).count()
       require(present == s.size,
@@ -179,32 +175,54 @@ object Graph {
     }
     var i = 1
     while (i <= iters) {
-      val contribs = contribEdges
-        .join(ranks, contribEdges("src") === ranks("node"))
-        .groupBy("dst").agg(sum(col("rank") * col("w")).as("contrib"))
-      val next = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
       ranks =
         if (redistributeDangling) {
-          // one-row frame: Σ rank over dangling nodes this round (a
-          // broadcast-nested-loop of a single row — no data-sized join)
-          val dm = ranks.join(dangling, Seq("node"), "left_semi")
-            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-          next.crossJoin(dm)
+          // SINGLE READ of ranks per round (r18): a LEFT join against
+          // the contribution edges fans each rank row into its
+          // out-edge contributions, and a dangling node (no out-edges
+          // ⇒ no contribEdges.src match, by construction) into ONE
+          // null-dst row carrying its rank — so the SAME aggregate
+          // yields every node's in-contribution AND (under the
+          // collision-free null key) the pooled dangling mass. The old
+          // shape read ranks twice per round (a dangling semi-join +
+          // scalar aggregate broadcast subtree next to the main flow),
+          // which is why it had to cut ranks every round; now the one
+          // per-round cut lands on `contribs` (read twice: the dm
+          // extract + the node join) and the semi-join pass, the
+          // per-round ranks cut, and the precomputed dangling frame
+          // are all gone. The summed values are the identical
+          // multisets (rank·w per in-edge; rank per dangling node).
+          val ce = contribEdges.select(col("src").as("__csrc"),
+            col("dst").as("__cdst"), col("w").as("__cw"))
+          val contribs = cut(ranks
+            .join(ce, col("node") === col("__csrc"), "left")
+            .groupBy(col("__cdst").as("dst"))
+            .agg(sum(when(col("__csrc").isNull, col("rank"))
+              .otherwise(col("rank") * col("__cw"))).as("contrib")))
+          // ≤ 1 null-keyed row → aggregate to exactly one row (0.0
+          // when the graph happens to have no dangling node)
+          val dm = contribs.filter(col("dst").isNull)
+            .agg(coalesce(sum("contrib"), lit(0.0)).as("dm"))
+          nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+            .crossJoin(dm)
             .select(nodes("node"),
               (lit(base) + lit(damping) *
                 (coalesce(col("contrib"), lit(0.0)) +
                   col("dm") / nNodes)).as("rank"))
-        } else next.select(nodes("node"),
-          (baseExpr + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        } else {
+          val contribs = contribEdges
+            .join(ranks, contribEdges("src") === ranks("node"))
+            .groupBy("dst").agg(sum(col("rank") * col("w")).as("contrib"))
+          nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+            .select(nodes("node"),
+              (baseExpr + lit(damping) *
+                coalesce(col("contrib"), lit(0.0))).as("rank"))
+        }
       // truncate lineage every 3 rounds; otherwise the plan for round N
-      // contains all prior rounds and planning cost compounds. The
-      // dangling branch reads `ranks` TWICE per round (the dm
-      // aggregate's broadcast subtree + the main flow), so there the
-      // uncut plan doesn't just grow — it RE-EXECUTES, doubling per
-      // round (8× between every-3-round cuts; measured 56 jobs for 6
-      // rounds at bench scale, ~30 after): cut every round.
-      if ((redistributeDangling || i % 3 == 0) && i < iters)
+      // contains all prior rounds and planning cost compounds (the
+      // dangling branch needs no ranks cut at all — its per-round
+      // contribs cut already truncates everything upstream)
+      if (!redistributeDangling && i % 3 == 0 && i < iters)
         ranks = cut(ranks)
       i += 1
     }

@@ -1046,11 +1046,12 @@ object TextAnalysis {
       .join(vocab.select(col("token").as("a"), col("nid").as("src")), "a")
       .join(vocab.select(col("token").as("b"), col("nid").as("dst")), "b")
       .select(col("src"), col("dst"), col("w").cast("double").as("w"))
-    // cut: pr is consumed twice (the count broadcast + the scored
-    // join) — uncut, the whole weighted-PageRank iteration re-executes
-    // for the one-row count subtree (the q_pagerank fix)
-    val pr = graft.core.LineageCut.cut(Graph.pageRank(edges, "src",
-      "dst", iters = iters, weightCol = Some("w")))
+    // NO final cut (r18): pr is consumed twice (count broadcast +
+    // scored join), but AQE stage reuse dedupes the branches' identical
+    // exchange subtrees — dropping the r17 cut measured 52 -> 51 jobs
+    // with identical shuffle bytes (same A/B as q_pagerank)
+    val pr = Graph.pageRank(edges, "src",
+      "dst", iters = iters, weightCol = Some("w"))
     pr.join(vocab.select(col("nid").as("node"), col("token")), "node")
       .crossJoin(broadcast(pr.agg(count(lit(1)).cast("double").as("__n"))))
       .select(col("token"), round(col("pr") * col("__n"), 6).as("score"))
