@@ -1314,8 +1314,26 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
     deg.persist()
     val mids0 = und.join(deg.withColumnRenamed("node", "a"), "a")
-    val mids = if (maxMiddleDegree > 0)
+    val midsF = if (maxMiddleDegree > 0)
       mids0.filter(col("deg") <= maxMiddleDegree) else mids0
+    // r18: the middle frame feeds BOTH wedge sides (m1 fan-out + m2
+    // probe) — uncut, the und⋈deg subtree executed once per side
+    // (profile: two ~17 s-CPU map sides at sf0.1). Cut once; then, when
+    // the materialized frame landed on fewer partitions than the
+    // session's shuffle width (AQE coalesces the small deg join to ~8
+    // partitions while its wedge FAN-OUT writes 200+ MB — the
+    // input-sized-but-output-heavy case §2.5 warns about), hash-
+    // repartition on the wedge key so BOTH join sides co-partition at
+    // full width: the explicit exchange replaces the SMJ's own two
+    // exchanges (no net addition) and the quadratic wedge+aggregate map
+    // side runs on every core. No-op at data scale (partitions already
+    // ≥ the knob), same condition as LineageCut.cutFanout.
+    val midsCut = LineageCut.cut(midsF)
+    val wedgeParts = math.max(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val mids = if (midsCut.rdd.getNumPartitions < wedgeParts)
+      midsCut.repartition(wedgeParts, col("a")) else midsCut
     // one stats job decides the broadcast gate AND 31-bit packability
     // (canon is persisted, so this materializes the cache it would
     // have populated anyway)
