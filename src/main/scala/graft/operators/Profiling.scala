@@ -943,7 +943,10 @@ object Profiling {
    * max rank per distinct value) + two value-keyed joins back + one
    * moments aggregate. Rows carry (id, long, long); nothing global,
    * nothing quadratic. `idCol` must uniquely identify rows (the rank's
-   * total-order tiebreak).
+   * total-order tiebreak). (The k-column [[spearmanMatrix]] derives
+   * level ranks from counts instead — [[Ranking.levelRanks]]; for the
+   * two-column case the r18 A/B measured that form worse when level
+   * cardinality approaches n.)
    *
    * Returns one row: (`n`, `rho`).
    */
@@ -960,6 +963,12 @@ object Profiling {
       // rank map sides (range sampling + shuffle write) parallelize
       // off a single-split scan
       .lineageCutFanout()
+    // row-rank form kept here (r18 A/B): the two-column case measured
+    // WORSE on the level-count form (21 -> 25 jobs, bytes flat) because
+    // a price-grained column's level cardinality approaches n, so the
+    // map-side level combine reduces nothing while Ranking.levelRanks
+    // adds two exchanges per variable; spearmanMatrix (k melted
+    // columns, one shared level frame) is where the level form wins
     def levelRanks(vCol: String, out: String): DataFrame =
       Ranking.withGlobalRank(base.select(col("id"), col(vCol)),
           Seq(col(vCol).asc, col("id").asc), "r", "nn")
@@ -4124,15 +4133,19 @@ object Profiling {
    * to double once, 6dp. Zero-rank-variance columns yield NULL ρ
    * against everything (diagonal included). n guarded at 10⁹.
    *
-   * Scale shape (default `oneShuffle`): the k columns MELT to
-   * (col_idx, value, id) and ALL k rank passes ride ONE range shuffle
-   * of k·n rows through [[Ranking.withGroupedRank]], then one
-   * (col_idx, level) aggregate (lineage-cut) feeds k value-keyed
-   * level joins back onto the row frame, one moments aggregate, one
-   * ≤ k(k+1)/2-row stack. `oneShuffle = false` keeps the prior form —
-   * k sequential chunked rank passes (k full-frame range shuffles) —
-   * for A/B measurement; both produce BIT-IDENTICAL output (same
-   * per-column (value, id) total order → same exact level ranks).
+   * Scale shape (default `oneShuffle`, r18 form): the k columns MELT
+   * to (col_idx, value) and collapse to per-(col_idx, level) COUNTS in
+   * one map-side-combined aggregate; each level's doubled average rank
+   * derives from chunked prefix counts over LEVELS
+   * ([[Ranking.levelRanks]] — r2 = 2·before + cnt + 1 is exactly
+   * min+max of the row ranks, so no row is ever range-shuffled or
+   * sorted and every exchange is level-cardinality-sized), then the
+   * cut level frame feeds k value-keyed joins back onto the row frame,
+   * one moments aggregate, one ≤ k(k+1)/2-row stack. `oneShuffle =
+   * false` keeps the r11 reference form — k sequential chunked ROW
+   * rank passes (k full-frame range shuffles) — for A/B measurement;
+   * all forms produce BIT-IDENTICAL output (same per-column (value,
+   * id) total order → same exact level ranks).
    *
    * The level-join machinery's scale bound is the LEVEL-FRAME
    * CARDINALITY — distinct (column, quantized value) rows — not n:
@@ -4165,27 +4178,32 @@ object Profiling {
         columns.zipWithIndex.map { case (c, i) =>
           round(col(c) * unitScale).cast("long").as(s"u$i")
         }: _*)
+      // two consumers (level derivation + the k-join moment chain):
+      // cut so the scan+quantize runs once, fan out so the aggregate
+      // map sides parallelize off a single-split scan (r18; the same
+      // shape spearmanCorrelation committed in r17)
+      .lineageCutFanout()
     val k = columns.size
     val withR = if (oneShuffle) {
-      // ONE-SHUFFLE rank pass (r12 default; measured in SCALING.md
-      // §spearman-matrix): melt the k quantized columns to (cidx, u,
-      // id) rows and rank ALL k columns in a single range shuffle of
-      // k·n rows via [[Ranking.withGroupedRank]] — the k-pass form
-      // below runs k sequential full-frame range shuffles instead.
-      // Each column's (value, id) total order is identical either
-      // way, so per-level doubled average ranks — and every exact
-      // decimal moment downstream — are BIT-IDENTICAL across forms.
+      // LEVEL-COUNT rank pass (r18; was a k·n-row melted range shuffle
+      // through withGroupedRank): melt the k quantized columns to
+      // (cidx, u) rows, collapse to per-(column, level) COUNTS in one
+      // map-side-combined aggregate, and derive each level's doubled
+      // average rank from prefix counts — r2 = 2·(rows in smaller
+      // levels) + cnt + 1 is exactly min+max of the ranks the row pass
+      // assigned (consecutive integers), so every exact decimal moment
+      // downstream is BIT-IDENTICAL to both prior forms, while nothing
+      // row-sized is ever range-shuffled or sorted (the exchanges are
+      // level-cardinality-sized — the operator's own documented bound).
       val stackArgs = columns.indices.map(i => s"$i, u$i").mkString(", ")
       val melted = base.selectExpr("id", s"stack($k, $stackArgs) as (cidx, u)")
-      // Some(true): groups = the k melted columns (maxCols-gated) —
-      // force the broadcast stitch and skip auto mode's eager count job
-      val ranked = Ranking.withGroupedRank(melted, "cidx",
-        Seq(col("u").asc, col("id").asc), "r", "nn",
-        broadcastOffsets = Some(true))
-      // per-(column, level) doubled average rank; cut — k filtered
-      // slices join back, each must not re-run the rank pass
+      val levelCounts = melted.groupBy("cidx", "u")
+        .agg(count(lit(1)).as("__lcnt"))
+      // cut — k filtered slices join back, each must not re-run the
+      // level derivation
       val levels = graft.core.LineageCut.cut(
-        ranked.groupBy("cidx", "u").agg((min("r") + max("r")).as("r2")))
+        Ranking.levelRanks(levelCounts, Seq("cidx"), "u", "__lcnt", "r2")
+          .select(col("cidx"), col("u"), col("r2")))
       // FAIL-LOUD scale guard on the documented level-cardinality
       // bound: the count runs over the already-cut level frame (no
       // rank-pass rescan) and fires BEFORE the k row-frame joins are

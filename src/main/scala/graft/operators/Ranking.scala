@@ -90,7 +90,16 @@ object Ranking {
       .lineageCut() // offsets job + consumer must see identical ids
     val counts = parted
       .groupBy(shiftright(col("__mid"), MidBits).as("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
+      // fail-loud overflow guard (ADVICE r17): monotonically_increasing_id
+      // has 33 record-index bits per partition — a chunk beyond 2^33 rows
+      // would silently bleed into the partition-id bits and corrupt every
+      // rank; the check rides the summary aggregate (≤ chunks rows)
+      .agg(when(count(lit(1)) >= (1L << MidBits),
+          raise_error(lit("withGlobalRank: a range chunk exceeds 2^33 " +
+            "rows — monotonically_increasing_id's record-index bits " +
+            "would overflow into the chunk id; raise `chunks` (or " +
+            "spark.sql.shuffle.partitions)")))
+        .otherwise(count(lit(1))).as("__cnt"))
     // exclusive prefix counts + grand total over ≤ `chunks` summary rows
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -192,7 +201,15 @@ object Ranking {
     val summary0 = parted
       .groupBy(shiftright(col("__mid"), MidBits).as("__opid"),
         col(grpCol).as("__g"))
-      .agg(count(lit(1)).as("__cnt"), min("__mid").as("__base"))
+      // same 2^33-rows-per-chunk overflow guard as withGlobalRank
+      // (ADVICE r17) — rides the summary aggregate, near-free
+      .agg(when(count(lit(1)) >= (1L << MidBits),
+          raise_error(lit("withGroupedRank: a range chunk exceeds 2^33 " +
+            "rows — monotonically_increasing_id's record-index bits " +
+            "would overflow into the chunk id; raise `chunks` (or " +
+            "spark.sql.shuffle.partitions)")))
+        .otherwise(count(lit(1))).as("__cnt"),
+        min("__mid").as("__base"))
     val (summary, doBroadcast) = broadcastOffsets match {
       case Some(forced) => (summary0, forced)
       case None =>
@@ -219,6 +236,75 @@ object Ranking {
         col("__off") + (col("__mid") - col("__base")) + 1)
       .withColumn(nCol, col("__n"))
       .drop("__mid", "__pid", "__opid", "__g", "__base", "__off", "__n")
+  }
+
+  /**
+   * Doubled tie-average ranks from LEVEL COUNTS — for rank statistics
+   * that only consume per-level average ranks (Spearman's ρ and
+   * friends): given one row per (`grpCols`…, `valCol`) level with the
+   * level's row count in `cntCol`, adds `r2Col` = 2·(rows in smaller
+   * levels of the same group) + cnt + 1 — EXACTLY min+max of the ranks
+   * a (value, id)-ordered [[withGlobalRank]] row pass would assign the
+   * level's rows (consecutive integers: min = before+1, max =
+   * before+cnt), as exact longs, WITHOUT ever ranking rows. The
+   * replacement collapses a row-sized range shuffle + sort (k·n rows
+   * for a melted matrix) into a map-side-combined level aggregate the
+   * caller already owns plus level-sized prefix machinery here.
+   *
+   * Scale shape: the same chunked exact-prefix-sum factorization as
+   * [[withGlobalRank]] — levels range-partition by (group…, value)
+   * (equal keys share a chunk, so chunk order extends the total
+   * order), per-(chunk, group) count totals stitch through a broadcast
+   * exclusive-prefix window over the ≤ chunks+groups−1 summary rows,
+   * and the within-chunk running count is a (chunk, group)-local
+   * window — every shuffle and window is LEVEL-cardinality-sized,
+   * never row-sized, and no single task sees more than ~levels/chunks
+   * rows.
+   *
+   * Contracts: `levels` carries one row per (group…, value) — callers
+   * aggregate counts first; group and value columns must be non-null
+   * (rank callers filter nulls before quantizing, same as the row-rank
+   * path they replace).
+   */
+  def levelRanks(levels: DataFrame, grpCols: Seq[String], valCol: String,
+                 cntCol: String, r2Col: String,
+                 chunks: Int = 0): DataFrame = {
+    require(chunks >= 0, "chunks must be >= 0 (0 = derive from session)")
+    val missing = (grpCols :+ valCol :+ cntCol)
+      .filterNot(levels.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    require(!levels.columns.contains(r2Col),
+      s"output column $r2Col already exists in the frame")
+    val reserved = levels.columns.filter(_.startsWith("__"))
+      .filterNot(_ == cntCol)
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved here: ${reserved.toSet}")
+    val chunksN = if (chunks == 0) sessionChunks(levels) else chunks
+    val keys = grpCols.map(col) :+ col(valCol)
+    val parted = levels.repartitionByRange(chunksN, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .lineageCut() // summary pass + stitched consumer see identical ids
+    val withPid = parted
+      .withColumn("__pid", shiftright(col("__mid"), MidBits))
+    val gcols = grpCols.map(col)
+    val summary = withPid
+      .groupBy((col("__pid") +: gcols): _*)
+      .agg(sum(col(cntCol)).as("__cs"))
+    val offW = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = summary
+      .withColumn("__choff", coalesce(sum(col("__cs")).over(offW), lit(0L)))
+      .select((col("__pid") +: gcols) :+ col("__choff"): _*)
+    val locW = Window.partitionBy((col("__pid") +: gcols): _*)
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid
+      .withColumn("__loc", coalesce(sum(col(cntCol)).over(locW), lit(0L)))
+      .join(broadcast(offsets), "__pid" +: grpCols)
+      .withColumn(r2Col,
+        lit(2L) * (col("__choff") + col("__loc")) + col(cntCol) + lit(1L))
+      .drop("__mid", "__pid", "__choff", "__loc")
   }
 
   /**

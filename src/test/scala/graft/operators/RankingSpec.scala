@@ -495,4 +495,49 @@ class RankingSpec extends SparkSpec {
         s"query $q: ${got(q)} vs $expect")
     }
   }
+
+  test("levelRanks: r2 from level counts == min+max of row ranks, " +
+      "grouped and global, every chunk count") {
+    import spark.implicits._
+    // heavy ties + skewed groups: values drawn from a tiny domain
+    val rows = (1L to 500L).map(i =>
+      (i, (i % 2).toInt, (i * i % 7).toInt)).toDF("id", "g", "v")
+    // reference r2 per (g, v) from an actual row rank pass
+    def ref(grouped: Boolean): Map[(Int, Int), Long] = {
+      val w =
+        if (grouped)
+          Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+        else Window.orderBy(col("v").asc, col("id").asc)
+      rows.withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("g", "v").agg((min("r") + max("r")).as("r2"))
+        .as[(Int, Int, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    }
+    val counts = rows.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    for (chunks <- Seq(1, 3, 7, 64)) {
+      val grouped = Ranking.levelRanks(counts, Seq("g"), "v", "cnt",
+          "r2", chunks = chunks)
+        .as[(Int, Int, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._4).toMap
+      assert(grouped === ref(grouped = true), s"grouped chunks=$chunks")
+    }
+    // global form (no group columns): collapse to one group's levels
+    val gc = rows.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val refGlobal = {
+      val w = Window.orderBy(col("v").asc, col("id").asc)
+      rows.withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("v").agg((min("r") + max("r")).as("r2"))
+        .as[(Int, Long)].collect().toMap
+    }
+    val global = Ranking.levelRanks(gc, Nil, "v", "cnt", "r2", chunks = 5)
+      .as[(Int, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(global === refGlobal)
+    // guards: existing output column, missing input column
+    intercept[IllegalArgumentException] {
+      Ranking.levelRanks(gc, Nil, "v", "cnt", "cnt")
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.levelRanks(gc, Nil, "nope", "cnt", "r2")
+    }
+  }
 }
