@@ -535,7 +535,10 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         array_distinct(TextAnalysis.tokens(lower(col(textCol)))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .lineageCut()
+      // fanout (r18): the df census + per-doc prefix sort map sides
+      // otherwise run on the input's split count (two tasks at bench
+      // scale for the filtered slice); no-op at data scale
+      .lineageCutFanout()
 
   /** Candidate (`id_a`, `id_b`) pairs for [[similarityJoinExact]]:
     * rarest-first prefix join + size filter, then (when `positional`)
@@ -565,7 +568,11 @@ object Dedup {
           .cast("int"))
       .select(col("id"), col("n"),
         slice(col("ow"), lit(1), col("__plen")).as("prefix"))
-      .lineageCut()
+      // fanout (r18): both posexplode prefix map sides read this frame;
+      // AQE coalesces the upstream collect_list aggregate to one or two
+      // partitions at bench scale, which would pin the candidate join's
+      // map sides there; no-op at data scale
+      .lineageCutFanout()
     val pa = ordered.select(col("id").as("id_a"), col("n").as("na"),
       posexplode(col("prefix")).as(Seq("__pa", "w")))
     val pb = ordered.select(col("id").as("id_b"), col("n").as("nb"),
@@ -633,9 +640,16 @@ object Dedup {
   def dedupeByWinnow(df: DataFrame, idCol: String, textCol: String,
                      maxDist: Int, k: Int = 3, w: Int = 4,
                      maxBucketSize: Int = 64): DataFrame = {
-    val slim = df.select(col(idCol), col(textCol)).lineageCut()
+    // fan out (r18): the per-doc fingerprint map side (tokenize +
+    // window-min) otherwise runs on the input's split count — one or
+    // two tasks for a single-split corpus scan; no-op at data scale
+    val slim = df.select(col(idCol), col(textCol)).lineageCutFanout()
+    // cut (r18): fps feeds BOTH the bucket census and the candidate
+    // join — uncut, the whole fingerprint pipeline executed once per
+    // consumer (two identical 7.8 MB map sides in the r18 profile)
     val fps = winnowFingerprints(slim, idCol, textCol, k, w)
       .select(col("fp_hash"), col(idCol).cast("long"))
+      .lineageCut()
     val capped = fps.join(
       fps.groupBy("fp_hash").agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") <= maxBucketSize)
