@@ -117,6 +117,31 @@ object LineageCut {
     if (c.rdd.getNumPartitions < p) c.repartition(p) else c
   }
 
+  /**
+   * Eager cut + conditional HASH fan-out on `keys` — [[cutFanout]] for
+   * frames feeding an equi-(self-)join on those keys whose OUTPUT (a
+   * pair fan-out) dwarfs its input: the repartition is keyed, so both
+   * join sides co-partition at the session's shuffle width and the
+   * explicit exchange replaces the join's own (no net addition), while
+   * AQE — which sizes post-shuffle partitions on INPUT bytes and would
+   * coalesce a small-input/heavy-output join to a few tasks (guide
+   * §2.5) — cannot coalesce an explicitly-numbered repartition. Same
+   * no-op-at-scale condition as [[cutFanout]]: skipped whenever the
+   * materialized frame already has ≥ max(shuffle partitions, default
+   * parallelism) partitions.
+   */
+  def cutFanoutBy[T](ds: Dataset[T], keys: Seq[String],
+                     reliable: Boolean = false): Dataset[T] = {
+    val c = cut(ds, reliable)
+    val s = c.sparkSession
+    val parts = math.max(s.sessionState.conf.numShufflePartitions,
+      s.sparkContext.defaultParallelism)
+    if (c.rdd.getNumPartitions < parts)
+      c.repartition(parts,
+        keys.map(org.apache.spark.sql.functions.col): _*)
+    else c
+  }
+
   /** Chainable form: `df.transform(...).lineageCut()`. */
   implicit class CutOps[T](private val ds: Dataset[T]) extends AnyVal {
     def lineageCut(reliable: Boolean = false): Dataset[T] =

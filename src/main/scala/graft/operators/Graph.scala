@@ -1328,12 +1328,7 @@ object Graph {
     // exchanges (no net addition) and the quadratic wedge+aggregate map
     // side runs on every core. No-op at data scale (partitions already
     // ≥ the knob), same condition as LineageCut.cutFanout.
-    val midsCut = LineageCut.cut(midsF)
-    val wedgeParts = math.max(
-      edges.sparkSession.sessionState.conf.numShufflePartitions,
-      edges.sparkSession.sparkContext.defaultParallelism)
-    val mids = if (midsCut.rdd.getNumPartitions < wedgeParts)
-      midsCut.repartition(wedgeParts, col("a")) else midsCut
+    val mids = LineageCut.cutFanoutBy(midsF, Seq("a"))
     // one stats job decides the broadcast gate AND 31-bit packability
     // (canon is persisted, so this materializes the cache it would
     // have populated anyway)

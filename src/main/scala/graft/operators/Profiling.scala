@@ -441,25 +441,35 @@ object Profiling {
   def mutualInformationBinned(df: DataFrame, xCol: String, yCol: String,
                               nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "nBins must be >= 2")
-    val base = df
+    // one shared pass (r18): cut the projected frame (the boundary
+    // derivation and the binning pass both read it — uncut it
+    // re-scanned the source per consumer), and derive BOTH variables'
+    // exact percentile boundaries from ONE melted grouped aggregate —
+    // one driver action instead of two sequential ones, and the two
+    // exact-percentile merge states (O(distinct values) each, the
+    // operator's documented bound) merge in two PARALLEL reduce tasks
+    // instead of one task back-to-back twice
+    val base = graft.core.LineageCut.cut(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("x"),
-        col(yCol).cast("double").as("y"))
+        col(yCol).cast("double").as("y")))
     val probs = (1 until nBins).map(_.toDouble / nBins)
-    def bounds(c: String): Seq[Double] = {
-      // fail loud on an empty/all-null frame (percentile returns NULL
-      // and getSeq would NPE) — the heapsFit isNullAt convention
-      val row = base.agg(expr(
-        s"percentile($c, array(${probs.map(p => s"${p}D").mkString(", ")}))")
-        .as("b")).head()
-      require(!row.isNullAt(0),
-        "mutualInformationBinned needs at least one non-null (x, y) pair")
-      row.getSeq[Double](0)
-    }
+    val probsArr = probs.map(p => s"${p}D").mkString(", ")
+    val boundRows = base
+      .selectExpr("stack(2, 0, x, 1, y) as (v, value)")
+      .groupBy("v")
+      .agg(expr(s"percentile(value, array($probsArr))").as("b"))
+      .collect()
+    // fail loud on an empty/all-null frame (no group rows at all) —
+    // the heapsFit isNullAt convention
+    require(boundRows.length == 2 && boundRows.forall(!_.isNullAt(1)),
+      "mutualInformationBinned needs at least one non-null (x, y) pair")
+    val byVar = boundRows.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     def bucket(c: Column, bs: Seq[Double]): Column =
       bs.map(b => when(c > b, 1).otherwise(0)).reduce(_ + _).cast("long")
-    val binned = base.select(bucket(col("x"), bounds("x")).as("bx"),
-      bucket(col("y"), bounds("y")).as("by"))
+    val binned = base.select(
+      bucket(col("x"), byVar(0)).as("bx"),
+      bucket(col("y"), byVar(1)).as("by"))
     mutualInformation(binned, "bx", "by")
   }
 

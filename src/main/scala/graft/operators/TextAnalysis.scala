@@ -443,8 +443,11 @@ object TextAnalysis {
       .withColumn("dft", count(lit(1)).over(wTerm))
       .select("id", "term", "dft")
     // both pair-join sides consume this frame — cut so the corpus
-    // scans/token aggregates run once, not once per side
-    val cappedCut = graft.core.LineageCut.cut(capped)
+    // scans/token aggregates run once, not once per side; keyed fan-out
+    // (r18) so the doc-keyed pair join co-partitions at full width
+    // instead of AQE coalescing its small input to one task while the
+    // per-doc pair fan-out does all the work there (no-op at data scale)
+    val cappedCut = graft.core.LineageCut.cutFanoutBy(capped, Seq("id"))
     val a = cappedCut.select(col("id"), col("term").as("ta"),
       col("dft").as("dfa"))
     val b = cappedCut.select(col("id"), col("term").as("tb"),
