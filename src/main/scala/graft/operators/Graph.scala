@@ -519,8 +519,16 @@ object Graph {
       val deg = cur.select(col("a").as("n"))
         .unionAll(cur.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      val bad = deg.filter(col("deg") < k).select(col("n"))
-      if (bad.isEmpty) {
+      // r18: cut the under-degree frame ONCE with the fixpoint witness
+      // riding its materialization as an Observation (zero/nonzero
+      // only) — the old shape ran a separate isEmpty action AND
+      // re-executed the degree aggregate once per anti-join side
+      // (three executions per round); now it executes once and both
+      // anti-joins read the materialized frame
+      val obs = new org.apache.spark.sql.Observation(s"kcore_round_$i")
+      val bad = cut(deg.filter(col("deg") < k).select(col("n"))
+        .observe(obs, count(lit(1)).as("n_bad")))
+      if (obs.get("n_bad").asInstanceOf[Long] == 0L) {
         return deg.select(col("n").as("node"), col("deg"))
       }
       cur = cut(cur
@@ -841,7 +849,6 @@ object Graph {
         greatest(col("s0"), col("d0")).as("b"))
       .distinct())
     require(!e.isEmpty, "kTruss on an empty edge frame")
-    var nEdges = e.count()
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -878,13 +885,26 @@ object Graph {
             greatest(col("v"), col("w")).as("eb")))).as("ed"))
         .select(col("ed.ea").as("ea"), col("ed.eb").as("eb"))
         .groupBy("ea", "eb").agg(count(lit(1)).as("sup"))
-      val next = cut(e.join(support,
-          col("a") === col("ea") && col("b") === col("eb"))
-        .filter(col("sup") >= minSup)
-        .select("a", "b"))
-      val nNext = next.count()
-      if (nNext == nEdges) converged = true
-      else { e = next; nEdges = nNext; converged = nNext == 0 }
+      // r18: ONE action per peel round — the survive/drop flag rides
+      // the round's own cut (a LEFT join: an edge with no support row
+      // drops exactly as the old inner join dropped it) and the
+      // convergence witnesses are Observations over the flag, valid as
+      // zero/nonzero signals: dropped == 0 ⇔ the old next.count() ==
+      // nEdges fixpoint, kept == 0 ⇔ the old empty-truss exit. The
+      // separate per-round count job (and the setup e.count) are gone.
+      val obs = new org.apache.spark.sql.Observation(s"ktruss_round_$i")
+      val flagged = cut(e.join(support,
+          col("a") === col("ea") && col("b") === col("eb"), "left")
+        .select(col("a"), col("b"),
+          (coalesce(col("sup"), lit(0L)) >= minSup).as("__keep"))
+        .observe(obs,
+          sum(when(!col("__keep"), 1L).otherwise(0L)).as("dropped"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("kept")))
+      if (obs.get("dropped").asInstanceOf[Long] == 0L) converged = true
+      else {
+        e = flagged.filter(col("__keep")).select("a", "b")
+        converged = obs.get("kept").asInstanceOf[Long] == 0L
+      }
       i += 1
     }
     if (!converged) throw new IllegalStateException(
