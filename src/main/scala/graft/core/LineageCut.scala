@@ -110,6 +110,15 @@ object LineageCut {
    * whose arithmetic is order-sensitive must not use this. Partition
    * count is read off the CUT frame (a materialized LogicalRDD — no
    * AQE stage execution is triggered by inspecting it).
+   *
+   * NOTE (ADVICE r17): the repartition sits ABOVE the materialized
+   * LogicalRDD, so a fanned-out frame with MULTIPLE downstream
+   * consumers re-runs the round-robin exchange once per consumer
+   * (each reading the one materialization) — "cut once, share one
+   * materialization" holds, "one exchange" does not. Cheap for the
+   * small single-split frames this targets; a multi-consumer site
+   * where profiling shows the repeated exchange mattering should cut
+   * again after the repartition.
    */
   def cutFanout[T](ds: Dataset[T], reliable: Boolean = false): Dataset[T] = {
     val c = cut(ds, reliable)

@@ -558,8 +558,15 @@ object Graph {
    * (broadcast back; no data-sized join). Duplicate edges collapse
    * (unweighted adjacency, the classic formulation). Same lineage
    * discipline and `checkpointDir` reliability contract as
-   * [[pageRank]]: truncations every 2 rounds, reliable `checkpoint()`
-   * on a cluster FS when configured.
+   * [[pageRank]]: the raw aRaw/hRaw frames are truncated EVERY round
+   * (each is read twice — its L2-norm broadcast + the normalized
+   * division — so an uncut round re-executes per consumer and the
+   * duplication compounds 2^k between sparser cuts; r17). Note for
+   * reliable-mode callers: with `checkpointDir` set this means TWO
+   * cluster-FS checkpoint writes per iteration (one per half-round),
+   * not two every other iteration as the pre-r17 every-2-rounds
+   * cadence did — more checkpoint IO in exchange for the de-duplicated
+   * per-round work.
    *
    * With ≥ 1 edge the norms are always strictly positive (induction:
    * the round's normalized scores have norm 1, so some score is

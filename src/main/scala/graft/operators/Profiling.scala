@@ -2996,6 +2996,15 @@ object Profiling {
    * (period × 2) frame + one broadcast of the base row. Output one
    * row per period, ascending: (`period`, `n_t`, `n_c`, `gap`,
    * `att`, `se`).
+   *
+   * ERROR CONTRACT (changed in r17, noted per ADVICE): a missing base
+   * period fails at ACTION time as a wrapped Spark runtime exception
+   * (the in-plan `raise_error` convention) — not, as before r17, at
+   * construction time as an eager `IllegalArgumentException`. Callers
+   * that caught IllegalArgumentException or relied on validation
+   * before the job launches must handle the runtime form. The
+   * `maxPeriods` gate (guarding a row-grained period column) still
+   * fails eagerly at construction.
    */
   def eventStudy(df: DataFrame, treatedCol: String, periodCol: String,
                  valueCol: String, basePeriod: Long,
