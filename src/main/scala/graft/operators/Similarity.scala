@@ -1302,11 +1302,19 @@ object Similarity {
     import spark.implicits._
     val cents = trainKMeans(corpus, numCells, iters, seed, trainSample,
       idCol, vecCol)
-    cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+    // the two writes are independent once the codebook is trained —
+    // overlap them (guide §2.6: concurrent jobs back-fill the tail;
+    // the tiny one-file centroids write rides the big write's slack)
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centW = scala.concurrent.Future {
+      cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dest/centroids")
+    }
     assignCells(corpus, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/vectors")
+    scala.concurrent.Await.result(centW,
+      scala.concurrent.duration.Duration.Inf)
   }
 
   /**
@@ -1334,11 +1342,19 @@ object Similarity {
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     require(cents.nonEmpty, s"no centroids at $dest — buildIvfIndex first")
-    val assigned = assignCells(delta, cents, idCol, vecCol)
-      .lineageCut() // one assignment pass feeds write + census
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$live/vectors")
-    assigned.groupBy("cell").count()
-      .as[(Int, Long)].collect().toMap
+    // r18: the per-cell census rides the append write's own job as
+    // Observation counters (one fixed sum per known cell — the write
+    // traverses the plan exactly once, so the exact counts are valid),
+    // replacing the former lineage cut + separate census job; cells
+    // with no delta rows are omitted, matching the old groupBy shape
+    val obs = new org.apache.spark.sql.Observation("ivf_append_census")
+    val censusCols = cents.indices.map(c =>
+      sum(when(col("cell") === c, 1L).otherwise(0L)).as(s"c$c"))
+    assignCells(delta, cents, idCol, vecCol)
+      .observe(obs, censusCols.head, censusCols.tail: _*)
+      .write.mode("append").partitionBy("cell").parquet(s"$live/vectors")
+    cents.indices.map(c => c -> obs.get(s"c$c").asInstanceOf[Long])
+      .filter(_._2 > 0L).toMap
   }
 
   private def ivfFs(spark: SparkSession, dest: String)
@@ -1425,11 +1441,18 @@ object Similarity {
       spark.read.parquet(s"$live/vectors").select(col("nn_id"), col("cvec")))
     val cents = trainKMeans(store, numCells, iters, seed, trainSample,
       "nn_id", "cvec")
-    cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
+    // independent writes once trained — overlap (guide §2.6), same as
+    // buildIvfIndex; both complete before the commit marker below
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centW = scala.concurrent.Future {
+      cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
+    }
     assignCells(store, cents, "nn_id", "cvec")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/vectors")
+    scala.concurrent.Await.result(centW,
+      scala.concurrent.duration.Duration.Inf)
     // ---- commit (marker, then pointer swing) + retention GC: keep
     // the newest `keepGenerations` committed gens, sweep the rest —
     // including uncommitted carcasses of died attempts
