@@ -1356,20 +1356,37 @@ object TextAnalysis {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = graft.core.Generations.claim(fs, root)
     val genDir = s"$dest/gen-$gen"
+    // plain cut, no fanout (r18 A/B): round-robin-exchanging the
+    // tokenized frame moves fat token arrays (+7 MB, +3 jobs at bench
+    // scale) for map sides that are already write-bound — measured
+    // worse than leaving the scan partitioning alone
     val base = graft.core.LineageCut.cut(
       docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
         .select(col(idCol).as("doc_id"),
           tokens(lower(col(textCol))).as("__toks")))
     val lens = base.select(col("doc_id"),
       size(col("__toks")).cast("long").as("len"))
-    lens.agg(count(lit(1)).as("n_docs"), sum("len").as("tok_total"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/stats")
-    lens.write.mode("overwrite").parquet(s"$genDir/doclens")
+    // the three writes are independent inside the UNCOMMITTED gen dir
+    // (readers resolve only committed generations, so the append path's
+    // postings-before-doclens ordering invariant does not apply here) —
+    // overlap them from driver threads (guide §2.6); all complete
+    // before the commit marker below
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sideW = Seq(
+      scala.concurrent.Future {
+        lens.agg(count(lit(1)).as("n_docs"), sum("len").as("tok_total"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$genDir/stats")
+      },
+      scala.concurrent.Future {
+        lens.write.mode("overwrite").parquet(s"$genDir/doclens")
+      })
     base.select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .repartitionByRange(shards, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$genDir/postings")
+    sideW.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
     graft.core.Generations.commit(fs, root, gen)
   }
 
